@@ -1,0 +1,109 @@
+"""Table catalog: parquet-backed tables registered as temp views.
+
+Replaces the reference's three storage systems (MongoDB staging, BigQuery
+facts, MySQL checks — SURVEY.md §1.1) with one: parquet tables, optionally
+day-partitioned, addressed by name through the Spark catalog so every module
+and ad-hoc SQL query sees the same relations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated benchmark tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain parquet scan: Catalyst pushes filters
+    and prunes columns into this scan automatically.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects (PARQUET_TYPE_ILLEGAL). We flip the legacy nanosAsLong conf so
+    the column arrives as raw nanos and rebuild a microsecond TIMESTAMP_NTZ
+    in the plan (exact: the generator emits whole microseconds). Integer
+    ``div`` keeps full precision — nanos exceed 2^53 so float math would drift.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return spark.read.parquet(path)
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=TESTDATA_TABLES
+) -> None:
+    """Register every testdata table as a temp view (idempotent).
+
+    Also pins the session timezone to UTC so timestamp semantics match the
+    DuckDB oracle regardless of who built the SparkSession.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for name in tables:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Warehouse:
+    """Minimal warehouse over a directory of parquet tables.
+
+    Mirrors the reference's BigQuery dataset/table surface
+    (reference: database/bigquery.py:52-79,173-199 — auto-create on connect)
+    without DDL: a table exists iff its directory does; writes create it.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Append/overwrite a table, optionally day-partitioned.
+
+        Maps the reference's WRITE_APPEND / WRITE_TRUNCATE dispositions and
+        TimePartitioning (reference: modules/aggregation/custom/
+        bigquery_queries.py:89-116) onto parquet partitioned writes.
+        """
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+
+    def register(self, table: str, view_name: str | None = None) -> DataFrame:
+        df = self.read(table)
+        df.createOrReplaceTempView(view_name or table)
+        return df

@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at sf0.01 on Spark,
+runs the matching ``oracle_sql()`` on DuckDB over the same parquet files,
+and compares row count, column names, and (order-insensitively) values.
+
+Usage:  python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connect():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify everything the way a value-hash would see it
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            out[c] = col.map(lambda v: "null" if pd.isna(v) else f"{v:.9g}")
+        elif pd.api.types.is_datetime64_any_dtype(col):
+            out[c] = col.map(lambda v: "null" if pd.isna(v) else v.isoformat())
+        else:
+            out[c] = col.map(lambda v: "null" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as entry_mod
+    from dawis_spark.session import get_spark
+
+    spark = get_spark("correctness-check", shuffle_partitions=8)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_connect()
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle; rows-only check) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        status = []
+        if len(s) != len(o):
+            status.append(f"rowcount {len(s)} vs {len(o)}")
+        if list(s.columns) != list(o.columns):
+            status.append(f"schema {list(s.columns)} vs {list(o.columns)}")
+        if not status:
+            if not s.equals(o):
+                ne = (s != o)
+                bad_cols = [c for c in s.columns if ne[c].any()]
+                idx = ne.any(axis=1).idxmax()
+                status.append(
+                    f"values differ in {bad_cols}; first diff row {idx}: "
+                    f"spark={s.loc[idx, bad_cols].to_dict()} oracle={o.loc[idx, bad_cols].to_dict()}"
+                )
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"PASS {name}: rows={len(s)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
