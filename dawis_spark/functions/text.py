@@ -1,0 +1,116 @@
+"""Text hashing primitives, dual-rendered for Spark SQL and DuckDB.
+
+Every fragment below has ONE mathematical definition and two renderings
+(``dialect in {"spark", "duck"}``). The engine query and its DuckDB oracle
+are generated from the same builder, so value-hash parity is structural,
+not coincidental.
+
+Design constraints:
+  - pure integer arithmetic mod 1e9+7 — no engine-specific hash functions
+    (Spark's xxhash64 and DuckDB's hash() don't agree);
+  - every intermediate stays < 2^63 (max a_k * h < 2e3 * 1e9 ~ 2e12), so
+    the math is exact in both engines and safe under Spark ANSI mode;
+  - arrays: Spark indexes 0-based with ``arr[i]``, DuckDB 1-based — handled
+    per dialect.
+
+Scale: all fragments are built-in array expressions (whole-stage codegen,
+no Python). Cost is O(chars) per row for hashing — the same work any
+tokenizer does — and the MinHash signature is O(K * shingles).
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007
+
+
+def tokens(col: str, dialect: str) -> str:
+    """Whitespace tokens of lowercased text, empties dropped."""
+    if dialect == "spark":
+        return f"filter(split(lower({col}), '\\\\s+'), t -> t != '')"
+    return f"list_filter(string_split_regex(lower({col}), '\\s+'), t -> t != '')"
+
+
+def char_hash(expr: str, dialect: str) -> str:
+    """Polynomial rolling hash of a string: fold h = (h*31 + code(c)) % MOD.
+
+    The classic Rabin-Karp / Java-String.hashCode construction (public
+    domain math), exact in int64: h < 1e9+7, so h*31 + 127 < 2^35.
+    """
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(1, length({expr})), cast(0 as bigint), "
+            f"(h, i) -> (h * 31 + ascii(substring({expr}, i, 1))) % {MOD})"
+        )
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> cast(ascii({expr}[i]) as bigint))), "
+        f"(h, c) -> (h * 31 + c) % {MOD})"
+    )
+
+
+def shingles(tokens_expr: str, k: int, dialect: str) -> str:
+    """Word k-grams joined with single spaces; empty array if < k tokens.
+
+    ``tokens_expr`` must be a simple reference (it is repeated k times).
+    """
+    words = " || ' ' || ".join(f"{tokens_expr}[i + {j}]" for j in range(k))
+    if dialect == "spark":
+        return (
+            f"case when size({tokens_expr}) < {k} then array() "
+            f"else transform(sequence(0, size({tokens_expr}) - {k}), "
+            f"i -> ({words})) end"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {k - 1}, 0) + 1), "
+        f"i -> ({words}))"
+    )
+
+
+def shingle_hashes(col: str, k: int, dialect: str) -> str:
+    """Distinct polynomial hashes of the word k-shingles of ``col``."""
+    toks = tokens(col, dialect)
+    if dialect == "spark":
+        words = " || ' ' || ".join(f"x[i + {j}]" for j in range(k))
+        sh = (
+            f"case when size(x) < {k} then array() "
+            f"else transform(sequence(0, size(x) - {k}), i -> ({words})) end"
+        )
+        hashed = f"transform({sh}, s -> {char_hash('s', dialect)})"
+        # bind tokens once via a lambda over a single-element wrapper array
+        return (
+            f"array_distinct(flatten(transform(array({toks}), x -> {hashed})))"
+        )
+    words = " || ' ' || ".join(f"x[i + {j}]" for j in range(k))
+    sh = f"list_transform(range(1, greatest(len(x) - {k - 1}, 0) + 1), i -> ({words}))"
+    hashed = f"list_transform({sh}, s -> {char_hash('s', dialect)})"
+    return f"list_distinct(flatten(list_transform([{toks}], x -> {hashed})))"
+
+
+def minhash_coeffs(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic permutation coefficients (a_k odd, b_k spread)."""
+    return [(2 * i + 3, 97 * i + 13) for i in range(n_perms)]
+
+
+def minhash_element(hashes_expr: str, a: int, b: int, dialect: str) -> str:
+    """min over the hash set of the k-th permutation (a*x + b) % MOD."""
+    if dialect == "spark":
+        return (
+            f"case when size({hashes_expr}) = 0 then null else "
+            f"array_min(transform({hashes_expr}, x -> ({a} * x + {b}) % {MOD})) end"
+        )
+    return (
+        f"case when len({hashes_expr}) = 0 then null else "
+        f"list_min(list_transform({hashes_expr}, x -> ({a} * x + {b}) % {MOD})) end"
+    )
+
+
+def jaccard(a_expr: str, b_expr: str, dialect: str) -> str:
+    """|A ∩ B| / |A ∪ B| over distinct-hash arrays, as DOUBLE."""
+    if dialect == "spark":
+        inter = f"size(array_intersect({a_expr}, {b_expr}))"
+        union = f"size(array_union({a_expr}, {b_expr}))"
+        return f"(cast({inter} as double) / cast({union} as double))"
+    inter = f"len(list_intersect({a_expr}, {b_expr}))"
+    union = f"len(list_distinct(list_concat({a_expr}, {b_expr})))"
+    return f"(cast({inter} as double) / cast({union} as double))"

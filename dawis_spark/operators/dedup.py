@@ -1,0 +1,212 @@
+"""Deduplication operators — exact and near-duplicate, designed for 100 TB.
+
+Beyond-reference capability (BASELINE.json north star): a training-data
+pipeline needs document dedup as a first-class operator family. All hashing
+is the engine-portable arithmetic from functions/text.py.
+
+Scale design:
+  - exact: one groupBy on a 64-bit-ish content hash — a single shuffle of
+    (hash, id), never of the document bodies.
+  - MinHash/LSH: signatures are computed map-side (O(K x shingles) per doc,
+    all codegen); candidate generation explodes K/bands band-hashes per doc
+    and self-joins on the band bucket — the classic shuffle-light LSH plan
+    (Broder 1997; Leskovec/Rajaraman/Ullman ch.3). Only candidate PAIRS pay
+    the exact-Jaccard verification.
+  - SimHash: one explode + groupBy(doc) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dawis_spark.functions import text as TXT
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, value_col: str
+) -> DataFrame:
+    """A2-shaped duplicate detection: rows whose ``value_col`` appears on
+    more than one id; ``diff`` = comma-joined OTHER ids of the group
+    (reference metatags.py:277-377 formats it exactly so).
+
+    Scale: groupBy on the value hash; collect_list stays bounded because
+    only duplicate groups (rare) carry more than one element.
+    """
+    groups = (
+        df.select(F.col(id_col).cast("string").alias("id"), F.col(value_col).alias("v"))
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        groups.select(F.explode("ids").alias(id_col), F.col("v").alias(value_col), "ids")
+        .select(
+            F.col(id_col),
+            F.col(value_col),
+            F.array_join(F.array_remove("ids", F.col(id_col)), ", ").alias("diff"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content (hash-groupBy dedup).
+
+    The shuffle carries (content hash, id) only; survivors re-join the full
+    rows, so wide document bodies never shuffle twice.
+    """
+    keyed = df.select(
+        F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256).alias(
+            "__h"
+        ),
+        F.col(id_col),
+    )
+    keep = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col)).drop("__h")
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_perms: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures — map-side only."""
+    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
+    elems = [
+        TXT.minhash_element("__sh", a, b, "spark")
+        for a, b in TXT.minhash_coeffs(n_perms)
+    ]
+    sig = "array(" + ", ".join(elems) + ")"
+    return (
+        df.select(F.col(id_col), F.expr(sh).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(F.col(id_col), F.expr(sig).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    Plan shape: explode to (band_idx, band_key, id), self-join per bucket,
+    distinct. The join key includes band_idx so buckets of different bands
+    never cross. At scale the bucket join is the only shuffle and AQE
+    handles skewed buckets (e.g. boilerplate-heavy corpora).
+    """
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            f"cast(sig[{b * rows_per_band + r}] as string)" for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr("concat_ws(':', " + ", ".join(parts) + ")").alias("key"),
+            )
+        )
+    exploded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
+    )
+    right = exploded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perms: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded candidates
+    -> exact Jaccard verification >= threshold. Returns (id_a, id_b,
+    jaccard) with jaccard rounded to 6 digits."""
+    rows_per_band = n_perms // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_perms, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
+    hashes = df.select(F.col(id_col), F.expr(sh).alias("sh"))
+    a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = TXT.jaccard("sh_a", "sh_b", "spark")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.expr(jac), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — per-token polynomial hashes, bit-majority vote.
+
+    Explode + groupBy(id) keeps the aggregation partial/map-side; the
+    per-bit sums are plain SUM(CASE ...) so the whole thing is codegen.
+    """
+    toks = TXT.tokens(text_col, "spark")
+    h = TXT.char_hash("tok", "spark")
+    tok_hashes = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("tok")
+    ).select(F.col(id_col), F.expr(h).alias("h"))
+    bit_sums = tok_hashes.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    combine = " + ".join(
+        f"(case when b{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(bits)
+    )
+    return bit_sums.select(F.col(id_col), F.expr(combine).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs WITHIN a blocking group.
+
+    Blocking (``group_col``) bounds the quadratic blow-up: at 100 TB you
+    never all-pairs the corpus — you block (by source, language, length
+    bucket, or an LSH band) and pair within blocks.
+    """
+    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(id_col), F.expr(sh).alias("sh")
+    )
+    a = base.select("g", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select("g", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = TXT.jaccard("sh_a", "sh_b", "spark")
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("g").alias(group_col),
+            "id_a",
+            "id_b",
+            F.round(F.expr(jac), 6).alias("jaccard"),
+        )
+    )

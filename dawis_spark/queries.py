@@ -179,3 +179,424 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dawis operator semantics (SURVEY §2.3-2.7): enrichment, checks, alerts,
+# windows, previous-period join, set ops, column mapping, anti-join
+# ---------------------------------------------------------------------------
+
+_MATCH_ORACLE = r"""
+SELECT
+  p_partkey,
+  p_name,
+  CASE
+    WHEN contains(p_name, 'gear') THEN 'tool'
+    WHEN contains(p_name, 'nut') THEN 'fastener'
+    WHEN contains(p_name, 'bolt') THEN 'fastener'
+    WHEN regexp_matches(p_name, '(ring)') THEN 'ring_item'
+    WHEN regexp_matches(p_name, '^(small|red) (\w+)$')
+      THEN 'sz_' || regexp_extract(p_name, '^(small|red) (\w+)$', 2)
+    ELSE 'other'
+  END AS label
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@query("match_enrichment", oracle=_MATCH_ORACLE)
+def match_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4+P5 (google_search_console.py op:335-386): ordered regex and
+    CSV-contains expressions with last-write-wins overwrite + fallback.
+
+    Scale: one map-side when-chain projection, zero shuffle; the pattern
+    set is YAML/CSV config (tens of entries), folded into codegen.
+    """
+    from dawis_spark.operators.enrich import match_enrich
+
+    expressions = [
+        {"regex": r"^(small|red) (\w+)$", "output": "sz_$2"},
+        {"regex": r"(ring)", "output": "ring_item"},
+        {"csv": {"fastener": ["bolt", "nut"], "tool": ["gear"]}, "useRegex": False},
+    ]
+    df = match_enrich(
+        spark.table("part"), "p_name", "label", expressions, fallback="other"
+    )
+    return df.select("p_partkey", "p_name", "label").orderBy("p_partkey")
+
+
+_CHECKS_ORACLE = """
+SELECT event_id, 'value_nonneg' AS "check", CAST(value AS VARCHAR) AS value, value >= 0 AS valid FROM events
+UNION ALL
+SELECT event_id, 'value_small' AS "check", CAST(value AS VARCHAR) AS value, value < 50 AS valid FROM events
+UNION ALL
+SELECT event_id, 'is_click' AS "check", CAST(event_type AS VARCHAR) AS value, event_type = 'click' AS valid FROM events
+"""
+
+
+@query("comparison_checks", oracle=_CHECKS_ORACLE)
+def comparison_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 comparison mini-DSL -> typed Column predicates (parsing.py:4-55),
+    emitted as normalized check rows (service/check.py:27-57 semantics:
+    stringified value + boolean valid)."""
+    from dawis_spark.operators.checks import check_rows
+
+    return check_rows(
+        spark.table("events"),
+        checks={
+            "value_nonneg": "{value} >= 0",
+            "value_small": "{value} < 50",
+            "is_click": "{event_type} == click",
+        },
+        value_cols={
+            "value_nonneg": "value",
+            "value_small": "value",
+            "is_click": "event_type",
+        },
+        key_cols=["event_id"],
+    )
+
+
+_ALERTS_ORACLE = """
+SELECT g."group", event_type || ' exceeded: ' || CAST(value AS VARCHAR) AS message
+FROM events, (VALUES ('ops'), ('seo')) g("group")
+WHERE value > 90
+"""
+
+
+@query("alerts_per_line", oracle=_ALERTS_ORACLE)
+def alerts_per_line_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (alerting_check.py:171-196): per-row check, alert per failing row
+    per group; alert fires iff check-result != negate (the reference's XOR)."""
+    from dawis_spark.operators.checks import alerts_per_line
+
+    return alerts_per_line(
+        spark.table("events"),
+        check_template="{value} > 90",
+        groups=["ops", "seo"],
+        message_template="{event_type} exceeded: {value}",
+        negate=False,
+    )
+
+
+_PREV_DAY_ORACLE = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, c.total, p.total AS totalPreviousDay
+FROM d c LEFT JOIN d p
+  ON p.event_type = c.event_type AND p.day = c.day - INTERVAL 1 DAY
+ORDER BY 1, 2
+"""
+
+
+@query("prev_period_day", oracle=_PREV_DAY_ORACLE)
+def prev_period_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 previous-period enrichment (google_search_console.py:369-408):
+    the reference's per-row find_one lookup becomes ONE self left join on
+    the dimension key + shifted date.
+
+    Scale: both join sides are the same pre-aggregated (small) daily
+    rollup; on day-partitioned facts the previous slice prunes to one
+    partition."""
+    from dawis_spark.operators.period import previous_period_join
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = previous_period_join(
+        daily, keys=["event_type"], date_col="day", metrics=["total"], period="Day"
+    )
+    return out.select("event_type", "day", "total", "totalPreviousDay").orderBy(
+        "event_type", "day"
+    )
+
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+@query("latest_event_per_user", oracle=_LATEST_ORACLE)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/J4 latest-snapshot-per-key (mongodb.py:128-131 find_last_sorted):
+    row_number over (key, time desc) with a unique-id tie-break."""
+    from dawis_spark.operators.windows import latest_per_key
+
+    return latest_per_key(
+        spark.table("events").select("user_id", "event_id", "ts", "event_type", "value"),
+        keys=["user_id"],
+        order_by=[F.desc("ts"), F.desc("event_id")],
+    ).orderBy("user_id")
+
+
+_CHANGE_ORACLE = """
+SELECT user_id, event_id, event_type, lagged AS diff
+FROM (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lagged
+  FROM events
+)
+WHERE lagged IS NOT NULL AND event_type != lagged
+ORDER BY user_id, event_id
+"""
+
+
+@query("change_detection", oracle=_CHANGE_ORACLE)
+def change_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 change detection (metatags.py:209-275): value vs previous snapshot
+    of the same key; previous value carried as ``diff``."""
+    from dawis_spark.operators.windows import change_detection
+
+    out = change_detection(
+        spark.table("events").select("user_id", "event_id", "ts", "event_type"),
+        keys=["user_id"],
+        order_by=[F.asc("ts"), F.asc("event_id")],
+        value_col="event_type",
+    )
+    return out.select("user_id", "event_id", "event_type", "diff").orderBy(
+        "user_id", "event_id"
+    )
+
+
+_DUPS_ORACLE = """
+WITH g AS (
+  SELECT p_name,
+         list_sort(list_transform(list(p_partkey), x -> CAST(x AS VARCHAR))) AS ids
+  FROM part GROUP BY p_name HAVING count(*) > 1
+),
+x AS (SELECT p_name, ids, unnest(ids) AS id FROM g)
+SELECT id AS p_partkey, p_name,
+       array_to_string(list_filter(ids, v -> v != id), ', ') AS diff
+FROM x
+ORDER BY p_name, p_partkey
+"""
+
+
+@query("duplicate_detection", oracle=_DUPS_ORACLE)
+def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 duplicate detection (metatags.py:277-377): group by value, groups
+    of size > 1 are duplicates; one row per (value, id) with ``diff`` =
+    comma-joined OTHER ids — the reference's exact diff format.
+
+    Scale: groupBy + collect_list is safe because only duplicate groups
+    exceed one element; ids (not payloads) are collected."""
+    from dawis_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(
+        spark.table("part"), id_col="p_partkey", value_col="p_name"
+    ).orderBy("p_name", "p_partkey")
+
+
+_NO_ORDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("customers_without_orders", oracle=_NO_ORDERS_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 existence/idempotency predicate as a left-anti join — the
+    exactly-once-append building block (idempotent.py uses the same plan).
+
+    Scale: anti join shuffles only the key columns; with AQE it broadcasts
+    the smaller side."""
+    c = spark.table("customer")
+    o = spark.table("orders").select("o_custkey").distinct()
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_TOPK_ORACLE = """
+WITH rev AS (
+  SELECT p_brand, p.p_partkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p_brand, p.p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rank
+  FROM rev
+)
+WHERE rank <= 3
+ORDER BY p_brand, rank
+"""
+
+
+@query("top_parts_per_brand", oracle=_TOPK_ORACLE)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 top-k per group: agg + row_number window, deterministic tie-break.
+
+    Scale: the rollup shuffles once on (brand, part); the window reuses
+    that partitioning (brand is a prefix), so no second exchange."""
+    from dawis_spark.operators.windows import top_k_per_group
+
+    rev = (
+        spark.table("lineitem")
+        .join(F.broadcast(spark.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    out = top_k_per_group(
+        rev, keys=["p_brand"], order_by=[F.desc("revenue"), F.asc("p_partkey")], k=3
+    )
+    return out.select(
+        "p_brand", "p_partkey", "revenue", F.col("rank_in_group").alias("rank")
+    ).orderBy("p_brand", "rank")
+
+
+_UNION_ORACLE = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 20
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'signup'
+) ORDER BY user_id
+"""
+
+
+@query("union_dedup", oracle=_UNION_ORACLE)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set semantics: the retry-queue merge (unionByName +
+    dropDuplicates, google_search_console.py:53-129) as a data-plane op."""
+    e = spark.table("events")
+    a = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 20)).select(
+        "user_id"
+    )
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).dropDuplicates().orderBy("user_id")
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+@query("set_except", oracle=_EXCEPT_ORACLE)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (beyond the reference's implicit set ops): users who
+    clicked but never errored."""
+    e = spark.table("events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    erroring = e.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.subtract(erroring).orderBy("user_id")
+
+
+_SQLPARAM_ORACLE = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events WHERE ts >= DATE '2024-01-15'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("sql_params_date_days_ago", oracle=_SQLPARAM_ORACLE)
+def sql_params_date_days_ago(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/§3.2: parameterized SQL with the reference's ``dateDaysAgo``
+    dynamic parameter (query_helper.py:73-78), bound as a typed date inside
+    Catalyst (constant-folded -> partition-prunable)."""
+    import datetime as dt
+
+    return run_query(
+        spark,
+        "SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+        "FROM events WHERE ts >= :cutoff GROUP BY event_type ORDER BY event_type",
+        parameters={"cutoff": {"dateDaysAgo": 5}},
+        today=dt.date(2024, 1, 20),
+    )
+
+
+_COLMAP_ORACLE = """
+SELECT event_id AS id, event_type AS kind, value FROM events ORDER BY id
+"""
+
+
+@query("column_mapping_nested", oracle=_COLMAP_ORACLE)
+def column_mapping_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 column mapping incl. nested-struct field rename
+    (query_helper.py:87-156): rename a field inside a struct and a
+    top-level column, then flatten — all compile-time plan rewrites."""
+    from dawis_spark.plans.column_mapping import apply_column_mapping
+
+    df = spark.table("events").select(
+        "event_id",
+        F.struct(F.col("event_type").alias("type"), F.col("value")).alias("payload"),
+    )
+    df = apply_column_mapping(df, {"payload.type": "kind", "event_id": "id"})
+    return df.select(
+        "id", F.col("payload.kind").alias("kind"), F.col("payload.value").alias("value")
+    ).orderBy("id")
+
+
+_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("sessionization", oracle=_SESSION_ORACLE)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) via lag + conditional count — the
+    batch analog of streaming session windows (§2.9; in streaming this is
+    ``session_window``/``applyInPandasWithState``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = spark.table("events").withColumn("prev_ts", F.lag("ts").over(w))
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("tumbling_window_agg", oracle=_TUMBLING_ORACLE)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate via ``F.window`` — identical code shape to
+    the Structured Streaming version (readStream + watermark + window);
+    §2.9's daily-partition micro-batches generalized."""
+    e = spark.table("events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+        .orderBy("window_start", "event_type")
+    )
