@@ -68,23 +68,41 @@ def shingles(tokens_expr: str, k: int, dialect: str) -> str:
 
 
 def shingle_hashes(col: str, k: int, dialect: str) -> str:
-    """Distinct polynomial hashes of the word k-shingles of ``col``."""
+    """Distinct hashes of the word k-shingles of ``col``.
+
+    Two-level construction: each TOKEN is char-hashed once, then a shingle
+    hash combines its k token hashes polynomially (base 131 mod MOD). This
+    hashes every character exactly once (vs k times when hashing the joined
+    shingle string) and allocates no intermediate strings — the hot loop of
+    MinHash at corpus scale.
+    """
     toks = tokens(col, dialect)
     if dialect == "spark":
-        words = " || ' ' || ".join(f"x[i + {j}]" for j in range(k))
+        th = f"transform(x, t -> {char_hash('t', dialect)})"
+        combine = "h[i]"
+        for j in range(1, k):
+            combine = f"(({combine}) * 131 + h[i + {j}]) % {MOD}"
         sh = (
-            f"case when size(x) < {k} then array() "
-            f"else transform(sequence(0, size(x) - {k}), i -> ({words})) end"
+            f"case when size(h) < {k} then array() "
+            f"else transform(sequence(0, size(h) - {k}), i -> ({combine})) end"
         )
-        hashed = f"transform({sh}, s -> {char_hash('s', dialect)})"
-        # bind tokens once via a lambda over a single-element wrapper array
+        # bind tokens (x) then token-hashes (h) once each via 1-element wrappers
         return (
-            f"array_distinct(flatten(transform(array({toks}), x -> {hashed})))"
+            f"array_distinct(flatten(transform(array({toks}), "
+            f"x -> flatten(transform(array({th}), h -> {sh})))))"
         )
-    words = " || ' ' || ".join(f"x[i + {j}]" for j in range(k))
-    sh = f"list_transform(range(1, greatest(len(x) - {k - 1}, 0) + 1), i -> ({words}))"
-    hashed = f"list_transform({sh}, s -> {char_hash('s', dialect)})"
-    return f"list_distinct(flatten(list_transform([{toks}], x -> {hashed})))"
+    th = f"list_transform(x, t -> {char_hash('t', dialect)})"
+    combine = "h[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 131 + h[i + {j}]) % {MOD}"
+    sh = (
+        f"list_transform(range(1, greatest(len(h) - {k - 1}, 0) + 1), "
+        f"i -> ({combine}))"
+    )
+    return (
+        f"list_distinct(flatten(list_transform([{toks}], "
+        f"x -> flatten(list_transform([{th}], h -> {sh})))))"
+    )
 
 
 def minhash_coeffs(n_perms: int) -> list[tuple[int, int]]:

@@ -168,7 +168,7 @@ def simhash(
     bit_sums = tok_hashes.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+                F.when(F.expr(f"(shiftright(h, {b}) & 1)") == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(bits)
         ]

@@ -118,12 +118,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex segment count."""
     toks = TXT.tokens(text_col, "spark")
+    # Spark SQL string literals process backslash escapes; double them so
+    # the regex arrives intact (DuckDB standard strings don't escape).
+    spark_regex = TOKEN_REGEX.replace("\\", "\\\\")
     return df.select(
         F.col(id_col),
         F.expr(f"size({toks})").alias("ws_tokens"),
-        F.expr(f"size(regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0))").alias(
-            "bpe_tokens"
-        ),
+        F.expr(
+            f"size(regexp_extract_all(lower({text_col}), '{spark_regex}', 0))"
+        ).alias("bpe_tokens"),
     )
 
 

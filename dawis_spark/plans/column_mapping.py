@@ -36,19 +36,25 @@ def apply_column_mapping(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame
         if isinstance(field, T.StructType):
             df = df.withColumn(root, _rename_struct_field(F.col(root), field, rest, new_name))
         elif isinstance(field, T.ArrayType) and isinstance(field.elementType, T.StructType):
-            elem = field.elementType
             df = df.withColumn(
                 root,
                 F.transform(
                     F.col(root),
-                    lambda x, _e=elem, _r=rest, _n=new_name: _rename_struct_field(
-                        x, _e, _r, _n
-                    ),
+                    _array_element_renamer(field.elementType, rest, new_name),
                 ),
             )
         else:
             raise ValueError(f"{root!r} is not a struct or array<struct>: {field}")
     return df
+
+
+def _array_element_renamer(elem_type: T.StructType, old: str, new: str):
+    """Unary lambda factory (F.transform requires arity 1-3)."""
+
+    def rename(x):
+        return _rename_struct_field(x, elem_type, old, new)
+
+    return rename
 
 
 def _rename_struct_field(col, struct_type: T.StructType, old: str, new: str):

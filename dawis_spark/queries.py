@@ -600,3 +600,365 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data pipeline operators (BASELINE.json north star):
+# dedup, similarity search, text analysis. Oracles are generated from the
+# SAME dual-rendered fragments the Spark plans use (functions/text.py,
+# functions/vectors.py) — parity by construction.
+# ---------------------------------------------------------------------------
+
+from dawis_spark.functions import text as _TXT
+from dawis_spark.functions import vectors as _VEC
+from dawis_spark.operators import textstats as _TS
+
+_N_PERMS, _BANDS, _SHINGLE_K = 8, 4, 3
+_ROWS_PER_BAND = _N_PERMS // _BANDS
+
+
+def _norm_text(dialect: str) -> str:
+    return _TS.normalized_text_sql("text", dialect)
+
+
+_EXACT_DEDUP_ORACLE = f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+FROM documents
+GROUP BY {_norm_text('duck')}
+ORDER BY doc_id
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: keep the lowest doc_id per
+    normalized-text group. Oracle groups by the normalized text itself —
+    agreeing results also validate the fingerprint's injectivity here.
+
+    Scale: the shuffle carries (64-bit-ish hash, id), never document
+    bodies; survivors semi-join back (see operators/dedup.exact_dedup).
+    """
+    from dawis_spark.operators.textstats import fingerprint
+
+    fp = fingerprint(spark.table("documents"), "doc_id", "text")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("doc_id", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_sig_oracle() -> str:
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    elems = [
+        f"{_TXT.minhash_element('sh', a, b, 'duck')} AS m{i}"
+        for i, (a, b) in enumerate(_TXT.minhash_coeffs(_N_PERMS))
+    ]
+    return (
+        f"WITH s AS (SELECT doc_id, {sh} AS sh FROM documents) "
+        f"SELECT doc_id, {', '.join(elems)} FROM s WHERE len(sh) > 0 ORDER BY doc_id"
+    )
+
+
+@query("minhash_signatures", oracle=_minhash_sig_oracle())
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (Broder '97): K=8 permutations over word-3-gram
+    polynomial hashes — all map-side codegen, no shuffle, no Python."""
+    from dawis_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        spark.table("documents"), "doc_id", "text", _N_PERMS, _SHINGLE_K
+    )
+    return sigs.select(
+        "doc_id", *[F.expr(f"sig[{i}]").alias(f"m{i}") for i in range(_N_PERMS)]
+    ).orderBy("doc_id")
+
+
+def _lsh_pairs_oracle(threshold: float) -> str:
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    sig = (
+        "["
+        + ", ".join(
+            _TXT.minhash_element("sh", a, b, "duck")
+            for a, b in _TXT.minhash_coeffs(_N_PERMS)
+        )
+        + "]"
+    )
+    band_key = " || ':' || ".join(
+        f"CAST(sig[b * {_ROWS_PER_BAND} + {r + 1}] AS VARCHAR)"
+        for r in range(_ROWS_PER_BAND)
+    )
+    jac = _TXT.jaccard("a.sh", "b.sh", "duck")
+    return f"""
+WITH hashes AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (SELECT doc_id, {sig} AS sig FROM hashes WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, t.b AS band, {band_key} AS key
+  FROM sigs, range(0, {_BANDS}) t(b)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, ROUND({jac}, 6) AS jaccard
+FROM cands JOIN hashes a ON a.doc_id = id_a JOIN hashes b ON b.doc_id = id_b
+WHERE ROUND({jac}, 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@query("minhash_lsh_pairs", oracle=_lsh_pairs_oracle(0.2))
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: banded candidate generation ->
+    exact-Jaccard verification (>= 0.2).
+
+    Scale: the ONLY shuffle is the band-bucket self-join on (band, key);
+    exact Jaccard runs on candidate pairs, not all pairs. AQE splits
+    skewed buckets (boilerplate-heavy corpora)."""
+    from dawis_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        n_perms=_N_PERMS,
+        bands=_BANDS,
+        threshold=0.2,
+        shingle_k=_SHINGLE_K,
+    ).orderBy("id_a", "id_b")
+
+
+def _ngram_topk_oracle() -> str:
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    jac = _TXT.jaccard("a.sh", "b.sh", "duck")
+    return f"""
+WITH h AS (SELECT source, doc_id, {sh} AS sh FROM documents)
+SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 6) AS jaccard
+FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@query("ngram_jaccard_topk", oracle=_ngram_topk_oracle())
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: all pairs WITHIN a blocking group
+    (source), top-20 most similar. Blocking is what keeps exact Jaccard
+    feasible at scale — never all-pairs the corpus."""
+    from dawis_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", "source", _SHINGLE_K
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(20)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    toks = _TXT.tokens("text", "duck")
+    h = _TXT.char_hash("tok", "duck")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+th AS (SELECT doc_id, {h} AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id)
+SELECT doc_id, {combine} AS simhash FROM bits ORDER BY doc_id
+"""
+
+
+@query("simhash_docs", oracle=_simhash_oracle())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash (Charikar 2002): per-token hash, bit-majority vote.
+    explode + groupBy(doc) keeps partial aggregation map-side."""
+    from dawis_spark.operators.dedup import simhash
+
+    return simhash(spark.table("documents"), "doc_id", "text", bits=32).orderBy(
+        "doc_id"
+    )
+
+
+def _embedding_topk_oracle(k: int, n_queries: int) -> str:
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_topk", oracle=_embedding_topk_oracle(5, 10))
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k ANN baseline: broadcast the query set against the
+    corpus (map-side nested loop, corpus never shuffles), per-query top-k
+    window. Ties broken on (rounded score, neighbor_id)."""
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    return brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_lsh_oracle(k: int, n_queries: int, n_planes: int, dim: int) -> str:
+    from dawis_spark.operators.similarity import lsh_bucket_expr
+
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    bucket = lsh_bucket_expr(n_planes, dim, "duck")
+    return f"""
+WITH b0 AS (SELECT vec_id, embedding AS vec FROM embeddings),
+b AS (SELECT vec_id, vec, {bucket} AS bucket FROM b0),
+q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket FROM b WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, vec AS c_vec, bucket FROM b),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_lsh", oracle=_ann_lsh_oracle(5, 10, 4, 64))
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (sign random projection, Charikar 2002):
+    exact cosine only within the query's bucket.
+
+    Scale path vs embedding_topk: bucket assignment is map-side; the only
+    shuffle is the bucket equi-join — O(N*Q) becomes O(N*Q / 2^planes)."""
+    from dawis_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.table("embeddings")
+    return lsh_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_planes=4,
+        dim=64,
+    ).orderBy("query_id", "rank")
+
+
+def _lang_id_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    scores = _TS.language_scores_sql("text", "duck")
+    score_sel = ", ".join(
+        f"ROUND({e}, 6) AS {name}" for name, e in scores.items()
+    )
+    langs = list(_TS.STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE WHEN " + greatest + " <= 0 THEN 'und' "
+    pred += " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    )
+    pred += " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS __toks FROM documents),
+s AS (SELECT doc_id, {score_sel} FROM t)
+SELECT doc_id, {', '.join('score_' + l for l in langs)}, {pred} AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+@query("language_id", oracle=_lang_id_oracle())
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic — map-side only, argmax with a
+    fixed tie-break order."""
+    from dawis_spark.operators.textstats import language_id
+
+    return language_id(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    stop = _TS._stopword_ratio_expr("en", "duck")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_obs,
+         {toks} AS __toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS __punct
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_chars_obs,
+         len(__toks) AS n_tokens,
+         ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(__toks, t -> CAST(length(t) AS BIGINT))),
+               (s, v) -> s + v) / CAST(greatest(len(__toks), 1) AS DOUBLE), 6)
+           AS avg_token_len,
+         ROUND(__punct / CAST(greatest(n_chars_obs, 1) AS DOUBLE), 6) AS punct_ratio,
+         ROUND({stop}, 6) AS stop_ratio_en
+  FROM base
+)
+SELECT doc_id, n_chars_obs, n_tokens, avg_token_len, punct_ratio, stop_ratio_en,
+       ROUND(0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.4 * (1.0 - punct_ratio)
+           + 0.3 * least(stop_ratio_en * 4.0, 1.0), 6) AS quality
+FROM o ORDER BY doc_id
+"""
+
+
+@query("quality_scores", oracle=_quality_oracle())
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (length/punct/stopword) + composite
+    score — the Gopher/C4-style filtering signals, all codegen."""
+    from dawis_spark.operators.textstats import quality_score
+
+    return quality_score(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+
+
+def _token_counts_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+SELECT doc_id,
+       len({toks}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{_TS.TOKEN_REGEX}')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("token_counts", oracle=_token_counts_oracle())
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    from dawis_spark.operators.textstats import token_counts
+
+    return token_counts(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+
+
+def _fingerprint_oracle() -> str:
+    h = _TXT.char_hash("__norm", "duck")
+    return f"""
+WITH n AS (SELECT doc_id, {_norm_text('duck')} AS __norm FROM documents)
+SELECT doc_id, {h} AS fingerprint FROM n ORDER BY doc_id
+"""
+
+
+@query("doc_fingerprints", oracle=_fingerprint_oracle())
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint of whitespace-normalized documents."""
+    from dawis_spark.operators.textstats import fingerprint
+
+    return fingerprint(spark.table("documents"), "doc_id", "text").orderBy("doc_id")

@@ -1,0 +1,96 @@
+"""Dedup + similarity operators on synthetic near-duplicates."""
+
+from pyspark.sql import functions as F
+
+from dawis_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dawis_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different content about spark shuffles and parquet files"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], "id bigint, text string"
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_duplicate_groups_diff_format(spark):
+    df = spark.createDataFrame(
+        [(1, "t"), (2, "t"), (3, "u")], "id bigint, v string"
+    )
+    rows = {r["id"]: r["diff"] for r in exact_duplicate_groups(df, "id", "v").collect()}
+    assert rows == {"1": "2", "2": "1"}
+
+
+def test_minhash_near_duplicates_finds_near_pair(spark):
+    out = minhash_near_duplicates(
+        _docs(spark), "id", "text", n_perms=8, bands=4, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near-dup caught
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_signature_deterministic(spark):
+    a = minhash_signatures(_docs(spark), "id", "text").collect()
+    b = minhash_signatures(_docs(spark), "id", "text").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_simhash_similar_docs_close(spark):
+    rows = {r["id"]: r["simhash"] for r in simhash(_docs(spark), "id", "text").collect()}
+    assert rows[1] == rows[4]
+    ham_near = bin(rows[1] ^ rows[2]).count("1")
+    ham_far = bin(rows[1] ^ rows[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_blocked_pairs(spark):
+    df = _docs(spark).withColumn("grp", F.lit("g"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "id", "text", "grp").collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert pairs[(1, 2)] > pairs[(1, 3)]
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    emb = _vecs(spark)
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), "vec_id", "embedding", k=3)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got == [1, 2, 3]  # cos: .994 > 0 > -1
+
+
+def test_lsh_ann_identical_vector_found(spark):
+    emb = _vecs(spark)
+    out = lsh_ann_topk(
+        emb, emb.filter("vec_id = 0"), "vec_id", "embedding", k=3, n_planes=2, dim=4
+    ).collect()
+    # vector 1 is nearly identical -> same sign pattern -> found in-bucket
+    assert any(r["neighbor_id"] == 1 for r in out)
