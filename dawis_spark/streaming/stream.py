@@ -1,0 +1,64 @@
+"""Structured Streaming wrapper — availableNow micro-batches over staging.
+
+Reference triggering (SURVEY §2.9): Celery beat cron fires each module; new
+staged documents accumulate between runs. The Spark-native equivalent is a
+file-source stream over the staging directory with
+``trigger(availableNow=True)``: each scheduled invocation drains exactly
+the files that arrived since the last checkpoint, then stops — cron
+cadence, streaming bookkeeping (no hand-rolled watermark).
+
+Late data: the reference pulls ``dateDaysAgo`` behind realtime
+(google_search_console.py:67); in the streaming shape that's a watermark on
+the event-time column (``withWatermark``), used by windowed aggs below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def staging_stream(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """readStream over a staging directory (schema must be explicit —
+    streaming file sources don't infer)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    transform=None,
+) -> None:
+    """Drain everything currently available through ``transform`` into a
+    parquet sink, then stop (one cron tick's micro-batch)."""
+    out = transform(stream_df) if transform else stream_df
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    time_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of the
+    batch ``tumbling_window_agg`` inventory query (same plan shape)."""
+    keys = keys or []
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n")
+    )

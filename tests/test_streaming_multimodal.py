@@ -1,0 +1,141 @@
+"""Alert queue, retry queue, processed-log, availableNow stream, multimodal."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dawis_spark.multimodal import MEDIA_SCHEMA, extract_features
+from dawis_spark.streaming.alerts import AlertQueue
+from dawis_spark.streaming.processed import ProcessedLog
+from dawis_spark.streaming.retry import RetryQueue
+from dawis_spark.streaming.stream import (
+    run_available_now,
+    staging_stream,
+    windowed_counts,
+)
+
+
+def _alerts(spark, rows):
+    return spark.createDataFrame(
+        rows, "date timestamp, group string, message string, data string"
+    )
+
+
+def test_alert_queue_watermark_consumption(spark, tmp_path):
+    q = AlertQueue(spark, str(tmp_path))
+    q.add(_alerts(spark, [(dt.datetime(2026, 5, 1, 10), "ops", "m1", None)]))
+    batch = q.fetch(["ops", "seo"])
+    assert batch.count() == 1
+    q.commit(batch)
+    # consumed alerts never re-fetch (watermark advanced)
+    assert q.fetch(["ops"]).count() == 0
+    # later alerts still arrive; group filter is IN-semantics (queue.py:53
+    # bug fixed: multiple groups all match)
+    q.add(
+        _alerts(
+            spark,
+            [
+                (dt.datetime(2026, 5, 1, 11), "ops", "m2", None),
+                (dt.datetime(2026, 5, 1, 11), "seo", "m3", None),
+                (dt.datetime(2026, 5, 1, 11), "other", "m4", None),
+            ],
+        )
+    )
+    got = sorted(r["message"] for r in q.fetch(["ops", "seo"]).collect())
+    assert got == ["m2", "m3"]
+
+
+def test_retry_queue_budget_and_merge(tmp_path):
+    rq = RetryQueue(str(tmp_path), "gsc")
+    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 1, "error": "e"}])
+    merged = rq.merge_with_scheduled([{"property": "p", "date": "2026-05-02"}])
+    assert len(merged) == 2  # retry + scheduled, deduped
+    # same item fails again twice -> attempts 3 -> over budget, dropped
+    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 2, "error": "e"}])
+    assert rq.pending() == []
+    # success removes the entry entirely
+    rq2 = RetryQueue(str(tmp_path), "ga")
+    rq2.record_failures([{"item": {"view": 1}, "attempts": 1, "error": "x"}])
+    rq2.record_success([{"view": 1}])
+    assert rq2.pending() == []
+
+
+def test_processed_log_incremental(spark, tmp_path):
+    log = ProcessedLog(spark, str(tmp_path), "metatags")
+    staging = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    first = log.unprocessed(staging, ["doc_id"])
+    assert first.count() == 3
+    log.mark(first.filter(F.col("doc_id") <= 2), ["doc_id"])
+    remaining = log.unprocessed(staging, ["doc_id"])
+    assert [r["doc_id"] for r in remaining.collect()] == [3]
+
+
+def test_available_now_two_ticks_emit_closed_windows(spark, tmp_path):
+    # Append-mode watermarked aggregation emits a window only once the
+    # watermark passes its end — exactly the reference's dateDaysAgo lag
+    # (process data N behind realtime). Tick 1 ingests the first hour's
+    # events (window still open, nothing emitted); tick 2's later file
+    # advances the watermark and closes it.
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, ts timestamp"
+    tick1 = spark.createDataFrame(
+        [(1, dt.datetime(2026, 5, 1, 10, 0)), (2, dt.datetime(2026, 5, 1, 10, 40))],
+        schema,
+    )
+    tick1.write.parquet(staging)
+    stream = staging_stream(spark, staging, tick1.schema)
+    assert stream.isStreaming
+    transform = lambda s: windowed_counts(s, "ts", "1 hour", "1 minute")  # noqa: E731
+    run_available_now(stream, sink, ckpt, transform=transform)
+    assert spark.read.parquet(sink).count() == 0  # window not closed yet
+
+    tick2 = spark.createDataFrame([(3, dt.datetime(2026, 5, 1, 12, 0))], schema)
+    tick2.write.mode("append").parquet(staging)
+    run_available_now(
+        staging_stream(spark, staging, tick1.schema), sink, ckpt, transform=transform
+    )
+    out = {r["window_start"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    assert out[dt.datetime(2026, 5, 1, 10, 0)] == 2  # closed window emitted once
+    assert dt.datetime(2026, 5, 1, 12, 0) not in out  # still open
+
+
+def _media(spark):
+    rows = [
+        (1, {"media_type": "image", "format": "png", "width": 2, "height": 2,
+             "duration_ms": None, "sample_rate": None}, bytearray(b"\x01\x02")),
+        (2, {"media_type": "image", "format": "png", "width": 1, "height": 1,
+             "duration_ms": None, "sample_rate": None}, bytearray(b"\xff")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_decode_stub_raises_per_row(spark):
+    out = extract_features(_media(spark)).collect()
+    assert all(r["feature"] is None for r in out)
+    assert all("image/audio libraries" in r["decode_error"] for r in out)
+
+
+def test_multimodal_fake_decoder_plumbs_batches(spark):
+    def fake(payload: bytes, meta: dict) -> list[float]:
+        return [float(len(payload)), float(meta["width"])]
+
+    rows = {r["media_id"]: r for r in extract_features(_media(spark), fake).collect()}
+    assert rows[1]["feature"] == [2.0, 2.0]
+    assert rows[2]["feature"] == [1.0, 1.0]
+    assert rows[1]["decode_error"] is None
+
+
+def test_multimodal_metadata_scan_prunes_payload(spark, tmp_path):
+    path = str(tmp_path / "media")
+    _media(spark).write.parquet(path)
+    plan = (
+        spark.read.parquet(path)
+        .select("media_id", "meta.media_type")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "payload" not in plan  # column pruning keeps bytes unread
