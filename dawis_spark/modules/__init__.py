@@ -33,5 +33,7 @@ def get_module(name: str) -> Callable:
     import dawis_spark.modules.robotstxt  # noqa: F401
     import dawis_spark.modules.pagespeed  # noqa: F401
     import dawis_spark.modules.gsc  # noqa: F401
+    import dawis_spark.modules.xpath  # noqa: F401
+    import dawis_spark.modules.alerting  # noqa: F401
 
     return _REGISTRY[name]

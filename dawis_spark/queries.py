@@ -962,3 +962,111 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dawis_spark.operators.textstats import fingerprint
 
     return fingerprint(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Analytics the reference lacks but Spark gives for free (SURVEY §2.5 note:
+# "no grouping sets / cube / rollup ... These come free in Spark if wanted")
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(s_acctbal), 2) AS total_acctbal,
+       COUNT(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+@query("rollup_acctbal", oracle=_ROLLUP_SQL)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (region -> nation -> grand total) in one pass —
+    partial aggregation handles all grouping sets in a single shuffle."""
+    return spark.sql(_ROLLUP_SQL)
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS clicks,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS views,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errors,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("pivot_event_counts", oracle=_PIVOT_SQL)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via the DataFrame API (groupBy().pivot() — map-side conditional
+    aggregation, one shuffle, no per-category scan)."""
+    e = spark.table("events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("val"),
+        )
+    )
+    return pivoted.select(
+        "user_id",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("views"),
+        F.coalesce(F.col("error_n"), F.lit(0)).alias("errors"),
+        F.coalesce(F.col("purchase_val"), F.lit(0.0)).alias("purchase_value"),
+    ).orderBy("user_id")
+
+
+_PCTL_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("percentiles_by_type", oracle=_PCTL_SQL)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). At 100 TB swap in percentile_approx (t-digest) —
+    same plan shape, bounded memory; the exact form is the oracle-checkable
+    baseline."""
+    return spark.table("events").groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+    ).orderBy("event_type")
+
+
+_CUMSUM_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query("cumulative_user_value", oracle=_CUMSUM_SQL)
+def cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user with an explicit ROWS frame — deterministic
+    tie-break (ts, event_id) so both engines accumulate in the same order."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spark.table("events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )

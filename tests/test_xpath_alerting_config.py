@@ -1,0 +1,165 @@
+"""xpath operations (A4), alerting_check/dispatcher path, config surface."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dawis_spark.config import load_configuration, validate
+from dawis_spark.modules import get_module
+from dawis_spark.modules.alerting import Dispatcher, evaluate as alerting_check
+from dawis_spark.streaming.alerts import AlertQueue
+
+
+def _xpath_df(spark, contents):
+    rows = [
+        ("https://e.de/", "c", "n", "//div", dt.datetime(2026, 5, 1), c)
+        for c in contents
+    ]
+    return spark.createDataFrame(
+        rows, "url string, cluster string, name string, query string, date timestamp, content string"
+    )
+
+
+def _results(spark, contents, config):
+    import dawis_spark.modules.xpath  # noqa: F401
+    out = get_module("xpath")(_xpath_df(spark, contents), config)
+    return [r["element"]["result"] for r in out.collect()]
+
+
+def test_xpath_length_and_null(spark):
+    assert _results(spark, ["abcd"], {"operation": "length"}) == ["4"]
+    assert _results(spark, ["abcd"], {"operation": "null"}) == [None]
+
+
+def test_xpath_wordcount_reference_rules(spark):
+    # len>1, first char is a letter, HTML stripped: 'of' counts, 'a' and
+    # '42' don't, script content ignored
+    html = "<div>The quick a 42 of<script>ignored tokens here</script></div>"
+    assert _results(spark, [html], {"operation": "wordcount"}) == ["3"]
+
+
+def test_xpath_regex_count_case_insensitive_default(spark):
+    assert _results(
+        spark, ["aA bB aa"], {"operation": "regex_count", "options": {"expression": "a{2}"}}
+    ) == ["2"]
+    assert _results(
+        spark,
+        ["aA bB aa"],
+        {"operation": "regex_count", "options": {"expression": "a{2}", "caseSensitive": True}},
+    ) == ["1"]
+
+
+def test_xpath_regex_match_join_and_null(spark):
+    assert _results(
+        spark, ["x1 y2 z3"], {"operation": "regex_match", "options": {"expression": r"\d"}}
+    ) == ["1|2|3"]
+    assert _results(
+        spark, ["no digits"], {"operation": "regex_match", "options": {"expression": r"\d"}}
+    ) == [None]
+    # multi-group tuples formatted '(g1),(g2)' (reference :246-252)
+    assert _results(
+        spark,
+        ["a1 b2"],
+        {"operation": "regex_match", "options": {"expression": r"([a-z])(\d)"}},
+    ) == ["(a),(1)|(b),(2)"]
+
+
+def test_xpath_rejects_unknown_operation(spark):
+    with pytest.raises(ValueError):
+        _results(spark, ["x"], {"operation": "explode"})
+
+
+def test_alerting_check_per_line_and_dispatcher(spark, tmp_path):
+    spark.createDataFrame(
+        [("p1", 120.0), ("p2", 10.0)], "property string, clicks double"
+    ).createOrReplaceTempView("t_alert")
+    queue = AlertQueue(spark, str(tmp_path))
+    alerts, log = alerting_check(
+        spark,
+        {
+            "query": "SELECT property, clicks FROM t_alert",
+            "groups": ["ops"],
+            "message": "{property} dropped to {clicks}",
+            "checksPerLine": ["{clicks} < 50"],
+            "log": {"name": "clickcheck", "message": "ran"},
+        },
+        queue=queue,
+    )
+    assert [r["message"] for r in alerts.collect()] == ["p2 dropped to 10.0"]
+    assert log.first()["success"] is False
+
+    sent = []
+    d = Dispatcher(queue, send=lambda rcpt, rows: sent.append((rcpt, len(rows))))
+    delivered = d.dispatch({"ops": ["admin@example.de"]})
+    assert delivered == {"ops": 1} and sent == [("admin@example.de", 1)]
+    # at-least-once: committed -> second dispatch is a no-op
+    assert d.dispatch({"ops": ["admin@example.de"]}) == {}
+
+
+def test_alerting_dispatcher_failure_keeps_queue(spark, tmp_path):
+    queue = AlertQueue(spark, str(tmp_path))
+    queue.add(
+        spark.createDataFrame(
+            [(dt.datetime(2026, 5, 1), "ops", "m", None)],
+            "date timestamp, group string, message string, data string",
+        )
+    )
+
+    def failing_send(rcpt, rows):
+        raise ConnectionError("smtp down")
+
+    d = Dispatcher(queue, send=failing_send)
+    with pytest.raises(ConnectionError):
+        d.dispatch({"ops": ["a@b"]})
+    # watermark NOT advanced -> alert redelivered next run
+    assert queue.fetch(["ops"]).count() == 1
+
+
+def test_alerting_aggregate_mode(spark, tmp_path):
+    spark.createDataFrame([(1,), (2,)], "x int").createOrReplaceTempView("t_agg")
+    alerts, _ = alerting_check(
+        spark,
+        {
+            "query": "SELECT x FROM t_agg",
+            "groups": ["g"],
+            "message": "{resultsCount} rows need attention",
+        },
+    )
+    assert [r["message"] for r in alerts.collect()] == ["2 rows need attention"]
+
+
+CONFIG_YAML = """
+urlsets:
+  owndomains:
+    urls: ["https://www.example.de/"]
+    render: false
+operations:
+  metatags:
+    schedule: "0 4 * * *"
+    settings:
+      owndomains: {title: {has_title: true}}
+aggregations:
+  gsc:
+    runtime_limit: 1200
+"""
+
+
+def test_config_load_and_hash_stability():
+    c1 = load_configuration(CONFIG_YAML)
+    c2 = load_configuration(CONFIG_YAML)
+    assert c1.hash == c2.hash
+    assert c1.operations["metatags"].schedule == "0 4 * * *"
+    assert c1.operations["metatags"].runtime_limit == 600  # default
+    assert c1.aggregations["gsc"].runtime_limit == 1200
+    assert c1.module("operation", "metatags").settings["owndomains"]["title"][
+        "has_title"
+    ]
+
+
+def test_config_validation_errors():
+    assert validate({"urlsets": {"a": {}}}) == ["urlset 'a': missing 'urls'"]
+    assert validate({"urlsets": {"a": {"urls": []}}}) != []
+    assert validate({"operations": {"m": {"runtime_limit": "soon"}}}) != []
+    with pytest.raises(ValueError):
+        load_configuration("urlsets:\n  a: {}\n")
