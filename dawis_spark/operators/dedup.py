@@ -140,9 +140,13 @@ def minhash_near_duplicates(
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
+    # Parallelism shape: repartition the BARE id-pairs (tiny rows), then
+    # broadcast the hash-array side in. The expensive set-intersection then
+    # runs across all partitions, and the wide arrays never shuffle.
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.repartition(F.col("id_a"), F.col("id_b"))
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -194,15 +198,23 @@ def ngram_jaccard_pairs(
     bucket, or an LSH band) and pair within blocks.
     """
     sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
-    base = df.select(
-        F.col(group_col).alias("g"), F.col(id_col), F.expr(sh).alias("sh")
+    # Pair generation over bare ids (tiny rows), repartitioned so the
+    # quadratic Jaccard work spreads across partitions; the wide hash
+    # arrays ride in via broadcast joins and never shuffle.
+    ids = df.select(F.col(group_col).alias("g"), F.col(id_col))
+    pairs = (
+        ids.select("g", F.col(id_col).alias("id_a"))
+        .join(ids.select("g", F.col(id_col).alias("id_b")), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(F.col("id_a"), F.col("id_b"))
     )
-    a = base.select("g", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select("g", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    hashes = df.select(F.col(id_col), F.expr(sh).alias("sh"))
+    a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
     return (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .select(
             F.col("g").alias(group_col),
             "id_a",

@@ -438,8 +438,10 @@ ORDER BY p_brand, rank
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 top-k per group: agg + row_number window, deterministic tie-break.
 
-    Scale: the rollup shuffles once on (brand, part); the window reuses
-    that partitioning (brand is a prefix), so no second exchange."""
+    Scale: one shuffle for the (brand, part) rollup, one narrower shuffle
+    for the per-brand window (hash partitioning on the composite key can't
+    be reused for its prefix). The second exchange moves only the rolled-up
+    rows (|parts| << |lineitem|), so it's negligible at any scale."""
     from dawis_spark.operators.windows import top_k_per_group
 
     rev = (
