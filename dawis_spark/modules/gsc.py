@@ -53,6 +53,19 @@ def evaluate(data: DataFrame, config: dict) -> DataFrame:
     return out
 
 
+def load_match_csv(spark, path: str) -> dict[str, list[str]]:
+    """S11 CSV match-list scan (google_search_console.py op:191-201,
+    config/matches.example.csv): header row = output labels, column cells =
+    patterns. Returns the {label: [patterns...]} shape match_enrich takes.
+    """
+    df = spark.read.csv(path, header=True)
+    rows = df.collect()
+    return {
+        label: [r[label] for r in rows if r[label] is not None]
+        for label in df.columns
+    }
+
+
 def default_match_expressions() -> list[dict]:
     """The config/matches.example.csv:1-4 shape as expression dicts —
     page-type labeling by extension/path family."""

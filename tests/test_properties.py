@@ -1,0 +1,107 @@
+"""Property tests: Spark translations vs a faithful Python model of the
+reference's row-wise semantics (SURVEY §5.4)."""
+
+import operator
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dawis_spark.operators.checks import translate_comparison
+from dawis_spark.operators.enrich import match_enrich
+
+_OPS = {
+    "==": operator.eq,
+    "!=": operator.ne,
+    ">": operator.gt,
+    "<": operator.lt,
+    ">=": operator.ge,
+    "<=": operator.le,
+}
+
+
+def _reference_parse_comparison(comparison: str, variables: dict):
+    """utilities/parsing.py:23-55, minus the str round-trip (we feed
+    numerics directly; the reference stringifies then re-parses ints and
+    floats, which is identity for the values we generate)."""
+    tokens = comparison.format(**variables).split()
+    vals = []
+    for t in tokens:
+        try:
+            vals.append(int(t))
+            continue
+        except ValueError:
+            pass
+        try:
+            vals.append(float(t))
+            continue
+        except ValueError:
+            pass
+        vals.append(t)
+    if len(vals) == 1:
+        return vals[0] if isinstance(vals[0], bool) else None
+    return _OPS[vals[1]](vals[0], vals[2])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    v=st.integers(min_value=-1000, max_value=1000),
+    lit=st.integers(min_value=-1000, max_value=1000),
+    op=st.sampled_from(sorted(_OPS)),
+)
+def test_dsl_matches_reference_numeric(spark, v, lit, op):
+    template = f"{{v}} {op} {lit}"
+    expected = _reference_parse_comparison(template, {"v": v})
+    df = spark.createDataFrame([{"v": v}])
+    got = df.select(translate_comparison(template).alias("r")).first()["r"]
+    assert got == expected
+
+
+def _reference_match(rows, expressions, fallback):
+    """google_search_console.py op:335-386 row-wise model."""
+    out = []
+    for value in rows:
+        label = ""
+        for expr in expressions:
+            if "regex" in expr:
+                m = re.search(expr["regex"], value)
+                if m:
+                    label = expr["output"]
+                    for g in re.findall(r"\$(\d)", label):
+                        try:
+                            label = label.replace("$" + g, m.group(int(g)))
+                        except (IndexError, re.error):
+                            pass
+            else:
+                for lab, patterns in expr["csv"].items():
+                    for p in patterns:
+                        if p in value:
+                            label = lab
+        if fallback and label == "":
+            label = fallback
+        out.append(label)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.sampled_from(["small", "red", "ring", "bolt", "gear", "zz"]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_match_enrich_matches_reference(spark, words):
+    value = " ".join(words)
+    expressions = [
+        {"regex": r"^(small|red) (\w+)", "output": "sz_$2"},
+        {"regex": "ring", "output": "ring_item"},
+        {"csv": {"fastener": ["bolt"], "tool": ["gear"]}},
+    ]
+    expected = _reference_match([value], expressions, "other")
+    df = spark.createDataFrame([(value,)], "s string")
+    got = [
+        r["lab"]
+        for r in match_enrich(df, "s", "lab", expressions, fallback="other").collect()
+    ]
+    assert got == expected
