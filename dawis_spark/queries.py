@@ -1072,3 +1072,70 @@ def cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+_ABOVE_AVG_SQL = """
+SELECT p_partkey, p_name, p_brand,
+       ROUND(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > (
+  SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+"""
+
+
+@query("above_brand_avg_price", oracle=_ABOVE_AVG_SQL)
+def above_brand_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join, so the 'per-row subquery' is really one pass."""
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
+_DISTINCT_AGG_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(*) AS events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("distinct_users_by_type", oracle=_DISTINCT_AGG_SQL)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand + two-phase in Spark). At 100 TB swap
+    approx_count_distinct (HLL) for the exact form when ±2%% suffices —
+    same plan minus the expand."""
+    return spark.table("events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("events"),
+    ).orderBy("event_type")
+
+
+_ORDERS_DIST_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+
+@query("customer_order_distribution", oracle=_ORDERS_DIST_SQL)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving zero-order customers, then a
+    distribution over the counts (two cheap aggregations, one join)."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )

@@ -1,0 +1,79 @@
+"""End-to-end runner lifecycle (§3.1) and the salted skew join."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dawis_spark.catalog import Warehouse
+from dawis_spark.config import load_configuration
+from dawis_spark.operators.skew import salted_join
+from dawis_spark.runner import run_operation
+from dawis_spark.schemas import HTML_DOC_SCHEMA
+
+CONFIG = """
+urlsets:
+  owndomains:
+    urls: ["https://www.example.de/"]
+operations:
+  htmlheadings:
+    settings:
+      owndomains:
+        count_headline_h1: {assert: 1}
+"""
+
+
+def _doc(path, body):
+    return {
+        "urlset": "owndomains",
+        "url": {"protocol": "https", "domain": "www.example.de", "path": path, "query": ""},
+        "status_code": 200,
+        "num_redirects": 0,
+        "redirects": [],
+        "ttfb": 1.0,
+        "body": body,
+        "rendered": False,
+        "date": dt.datetime(2026, 5, 1),
+        "headers": {},
+        "configuration_hash": "h",
+    }
+
+
+def test_run_operation_lifecycle(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    docs = spark.createDataFrame(
+        [_doc("/one.html", "<body><h1>a</h1></body>"),
+         _doc("/two.html", "<body></body>")],
+        HTML_DOC_SCHEMA,
+    )
+    wh.write(docs, "staging_html")
+    cfg = load_configuration(CONFIG)
+
+    n = run_operation(spark, wh, cfg, "htmlheadings")
+    assert n == 2
+    checks = wh.read("checks").collect()
+    by_path = {r["url"]["path"]: r["valid"] for r in checks}
+    assert by_path == {"/one.html": True, "/two.html": False}
+    # incremental: second run sees nothing unprocessed
+    assert run_operation(spark, wh, cfg, "htmlheadings") == 0
+    assert wh.read("checks").count() == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key 'x' dominates the big side; salted join must return the
+    # exact same multiset as the plain join
+    big = spark.createDataFrame(
+        [("x", i) for i in range(500)] + [("y", i) for i in range(10)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame([("x", "hot"), ("y", "cold"), ("z", "unused")], "k string, lab string")
+    plain = big.join(small, "k").groupBy("k", "lab").count().collect()
+    salted = salted_join(big, small, "k", salt_buckets=8).groupBy("k", "lab").count().collect()
+    assert sorted(map(str, plain)) == sorted(map(str, salted))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([("x", 1), ("nomatch", 2)], "k string, v int")
+    small = spark.createDataFrame([("x", "lab")], "k string, lab string")
+    out = salted_join(big, small, "k", salt_buckets=4, how="left").collect()
+    rows = {r["k"]: r["lab"] for r in out}
+    assert rows == {"x": "lab", "nomatch": None}
