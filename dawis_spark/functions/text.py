@@ -132,3 +132,84 @@ def jaccard(a_expr: str, b_expr: str, dialect: str) -> str:
     inter = f"len(list_intersect({a_expr}, {b_expr}))"
     union = f"len(list_distinct(list_concat({a_expr}, {b_expr})))"
     return f"(cast({inter} as double) / cast({union} as double))"
+
+
+def np_char_hash_batch(strings, mod: int = MOD):
+    """Vectorized batch evaluation of ``char_hash`` (identical values).
+
+    Horner's fold h = (h*31 + code(c)) % MOD equals
+    sum(code(c_i) * 31^(n-1-i)) mod MOD; with powers precomputed, each
+    string hashes in one numpy dot. Max term 127 * (MOD-1) ~ 1.3e11 and
+    <= ~2^13 terms per chunk stay far under int64 overflow.
+
+    Used by the pandas-UDF fast path (fingerprints over whole documents);
+    the SQL-expression rendering stays the oracle-parity definition.
+    """
+    import numpy as np
+
+    if len(strings) == 0:
+        return []
+    max_len = max(len(s) for s in strings)
+    pow31 = np.ones(max(max_len, 1), dtype=np.int64)
+    for i in range(1, max_len):
+        pow31[i] = (pow31[i - 1] * 31) % mod
+    out = []
+    for s in strings:
+        n = len(s)
+        if n == 0:
+            out.append(0)
+            continue
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        # descending powers 31^(n-1) ... 31^0
+        p = pow31[:n][::-1]
+        # chunk the dot so partial sums stay < 2^63 even for huge docs
+        h = 0
+        step = 1 << 13
+        for i in range(0, n, step):
+            h = (h + int(np.dot(codes[i : i + step] % mod, p[i : i + step]))) % mod
+        out.append(h)
+    return out
+
+
+def np_shingle_hashes_batch(strings, k: int, mod: int = MOD):
+    """Vectorized batch evaluation of ``shingle_hashes`` (identical values).
+
+    Same two-level definition: per-token char hash (Horner base 31), then
+    per-shingle combine of k consecutive token hashes (Horner base 131),
+    distinct, ORDER PRESERVED as first-occurrence (matching Spark's
+    array_distinct / DuckDB's list_distinct stability is NOT required —
+    downstream consumers treat the result as a set: array_min and
+    intersect/union sizes are order-insensitive).
+    """
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")
+    out = []
+    for s in strings:
+        toks = [t for t in ws.split(s.lower()) if t != ""]
+        if len(toks) < k:
+            out.append([])
+            continue
+        th = np.array(
+            [
+                _np_token_hash(t, mod)
+                for t in toks
+            ],
+            dtype=np.int64,
+        )
+        # rolling combine: h = ((...(th[i]*131 + th[i+1])%M ...)*131 + th[i+k-1])%M
+        acc = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            acc = (acc * 131 + th[j : len(th) - k + 1 + j]) % mod
+        # de-duplicate (set semantics downstream)
+        out.append(list(dict.fromkeys(acc.tolist())))
+    return out
+
+
+def _np_token_hash(token: str, mod: int = MOD) -> int:
+    h = 0
+    for c in token:
+        h = (h * 31 + ord(c)) % mod
+    return h

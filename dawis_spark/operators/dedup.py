@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 from dawis_spark.functions import text as TXT
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work (hashing). A small corpus read from one parquet file arrives as
+    ONE partition — repartitioning a few MB is free and unlocks N-way
+    hashing; a 100 TB corpus already has thousands of scan partitions and
+    this is a no-op."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _shingle_hashes_col(text_col: str, shingle_k: int):
+    """array<bigint> shingle-hash column — Arrow-batched numpy evaluator of
+    the same definition functions/text.shingle_hashes renders for SQL
+    (parity asserted in tests; the SQL form remains the oracle)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _batch(texts):
+        return pd.Series(TXT.np_shingle_hashes_batch(list(texts), shingle_k))
+
+    udf = F.pandas_udf(_batch, T.ArrayType(T.LongType()))
+    return udf(text_col)
+
+
 def exact_duplicate_groups(
     df: DataFrame, id_col: str, value_col: str
 ) -> DataFrame:
@@ -69,14 +95,14 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_perms: int = 8, shingle_k: int = 3
 ) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures — map-side only."""
-    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
     elems = [
         TXT.minhash_element("__sh", a, b, "spark")
         for a, b in TXT.minhash_coeffs(n_perms)
     ]
     sig = "array(" + ", ".join(elems) + ")"
+    df = ensure_parallelism(df)
     return (
-        df.select(F.col(id_col), F.expr(sh).alias("__sh"))
+        df.select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .select(F.col(id_col), F.expr(sig).alias("sig"))
     )
@@ -133,10 +159,25 @@ def minhash_near_duplicates(
     -> exact Jaccard verification >= threshold. Returns (id_a, id_b,
     jaccard) with jaccard rounded to 6 digits."""
     rows_per_band = n_perms // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_perms, shingle_k)
+    # ONE shingle-hash relation feeds signatures, candidates and the
+    # verification join. It is consumed three times, so persist it:
+    # (id, hash array) is ~1-2 orders smaller than the documents and
+    # spills to disk if it outgrows memory — far cheaper than re-hashing
+    # the corpus per consumer (plan-level exchange reuse does not fire
+    # across these differently-projected consumers).
+    hashes = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
+        .persist()
+    )
+    elems = [
+        TXT.minhash_element("sh", a, b, "spark")
+        for a, b in TXT.minhash_coeffs(n_perms)
+    ]
+    sigs = hashes.filter(F.size("sh") > 0).select(
+        F.col(id_col), F.expr("array(" + ", ".join(elems) + ")").alias("sig")
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
-    hashes = df.select(F.col(id_col), F.expr(sh).alias("sh"))
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
@@ -166,6 +207,7 @@ def simhash(
     """
     toks = TXT.tokens(text_col, "spark")
     h = TXT.char_hash("tok", "spark")
+    df = ensure_parallelism(df)
     tok_hashes = df.select(
         F.col(id_col), F.explode(F.expr(toks)).alias("tok")
     ).select(F.col(id_col), F.expr(h).alias("h"))
@@ -197,7 +239,6 @@ def ngram_jaccard_pairs(
     never all-pairs the corpus — you block (by source, language, length
     bucket, or an LSH band) and pair within blocks.
     """
-    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
     # Pair generation over bare ids (tiny rows), repartitioned so the
     # quadratic Jaccard work spreads across partitions; the wide hash
     # arrays ride in via broadcast joins and never shuffle.
@@ -208,7 +249,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .repartition(F.col("id_a"), F.col("id_b"))
     )
-    hashes = df.select(F.col(id_col), F.expr(sh).alias("sh"))
+    hashes = ensure_parallelism(df).select(
+        F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh")
+    )
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")

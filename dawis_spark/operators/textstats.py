@@ -130,17 +130,33 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, vectorized: bool = True
+) -> DataFrame:
     """Rolling polynomial hash of the whitespace-normalized document.
 
     Normalization: lower + collapse runs of whitespace to one space + trim,
     so formatting-only variants collide (the point of a fingerprint).
+
+    Two equivalent evaluators of the SAME definition (tests assert bit
+    equality): the SQL higher-order fold (oracle-parity rendering, used by
+    the DuckDB oracle) and an Arrow-batched numpy UDF (~3x faster on whole
+    documents — HOFs evaluate interpreted, one lambda step per character).
     """
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
-    h = TXT.char_hash("__norm", "spark")
-    return df.select(F.col(id_col), F.expr(norm).alias("__norm")).select(
-        F.col(id_col), F.expr(h).alias("fingerprint")
-    )
+    normed = df.select(F.col(id_col), F.expr(norm).alias("__norm"))
+    if not vectorized:
+        h = TXT.char_hash("__norm", "spark")
+        return normed.select(F.col(id_col), F.expr(h).alias("fingerprint"))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _np_hash(texts):
+        return pd.Series(TXT.np_char_hash_batch(list(texts)), dtype="int64")
+
+    np_hash = F.pandas_udf(_np_hash, T.LongType())
+    return normed.select(F.col(id_col), np_hash("__norm").alias("fingerprint"))
 
 
 def normalized_text_sql(text_col: str, dialect: str) -> str:

@@ -47,3 +47,15 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     out = {r["id"]: r["fingerprint"] for r in fingerprint(df, "id", "text").collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_fingerprint_vectorized_equals_expression(spark):
+    df = _df(
+        spark,
+        [(1, "Hello  World"), (2, ""), (3, "x" * 3000), (4, "mixed 123 !?")],
+    )
+    from dawis_spark.operators.textstats import fingerprint as fp
+
+    a = {r["id"]: r["fingerprint"] for r in fp(df, "id", "text", vectorized=True).collect()}
+    b = {r["id"]: r["fingerprint"] for r in fp(df, "id", "text", vectorized=False).collect()}
+    assert a == b
