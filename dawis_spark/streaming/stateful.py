@@ -1,0 +1,64 @@
+"""Stateful streaming dedup — exact dedup across micro-batches.
+
+The batch dedup operators (operators/dedup.py) dedup within one dataset;
+a streaming ingest pipeline must also suppress documents already seen in
+PREVIOUS micro-batches. Spark's arbitrary-stateful operator
+(``applyInPandasWithState``) keeps a per-key "seen" state across batches:
+
+  key   = content fingerprint (group key)
+  state = first-seen marker (timestamp-free: set once)
+  emit  = only rows whose key has no prior state, first-in-batch wins
+
+At scale state is partitioned by key across executors and checkpointed;
+the state per key is one boolean — memory is O(distinct corpus), same as
+any streaming dedup, and can be bounded with state TTL
+(``GroupStateTimeout.ProcessingTimeTimeout``) for windowed-dedup semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType(), True)])
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_col: str,
+    output_schema: T.StructType,
+) -> DataFrame:
+    """Emit only the first-ever row per ``key_col`` across all batches.
+
+    ``stream_df`` must be a streaming DataFrame whose columns match
+    ``output_schema`` plus the key column. Within a batch, the first row
+    (input order) wins — matching exact_dedup's keep-one semantics.
+    """
+
+    def dedup_group(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) > 0:
+                first = pdf.iloc[[0]]
+                break
+        state.update((True,))
+        if first is not None:
+            yield first[[f.name for f in output_schema.fields]]
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        dedup_group,
+        outputStructType=output_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -139,3 +139,45 @@ def test_multimodal_metadata_scan_prunes_payload(spark, tmp_path):
         .toString()
     )
     assert "payload" not in plan  # column pruning keeps bytes unread
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    # tick 1: docs A, B (B duplicated in-batch); tick 2: A again + new C.
+    # Output over both ticks: exactly one A, one B, one C.
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.stateful import stream_dedup
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fp", T.StringType()),
+        ]
+    )
+    out_schema = schema
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        stream = staging_stream(spark, staging, schema)
+        q = (
+            stream_dedup(stream, "fp", out_schema)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tick([(1, "A"), (2, "B"), (3, "B")])
+    got1 = {r["fp"] for r in spark.read.parquet(sink).collect()}
+    assert got1 == {"A", "B"}
+    tick([(4, "A"), (5, "C")])
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["fp"] for r in rows) == ["A", "B", "C"]
+    # the duplicate A from tick 2 was suppressed by cross-batch state
+    assert {r["doc_id"] for r in rows if r["fp"] == "A"} == {1}
