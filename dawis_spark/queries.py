@@ -1203,3 +1203,175 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
     ).orderBy("query_id", "rank")
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name != n2.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_nation_trade", oracle=_Q7_SQL)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-role dimension (nation joined twice under
+    different aliases) + year extraction. The nation dim broadcasts for
+    both roles; the selective IN filters prune before the fact join."""
+    return spark.sql(_Q7_SQL)
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
+       CAST(SUM(CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END) AS BIGINT) AS open_or_partial
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q12_priority_buckets", oracle=_Q12_SQL)
+def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional-sum bucketing after a fact-fact join;
+    the CASE aggregation is map-side partial, one shuffle on priority."""
+    return spark.sql(_Q12_SQL)
+
+
+_Q14_SQL = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'ECONOMY'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS economy_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+@query("q14_category_share", oracle=_Q14_SQL)
+def q14_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: category revenue share — a single global aggregate
+    with a broadcast dim join; answers in one pass at any scale."""
+    return spark.sql(_Q14_SQL)
+
+
+_Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("q19_disjunctive_filter", oracle=_Q19_SQL)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    factors the common join key and pushes the per-side conjuncts into
+    each scan (the part of a disjunct that mentions only one table)."""
+    return spark.sql(_Q19_SQL)
+
+
+_Q22_SQL = """
+SELECT cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT substring(c_name, 10, 2) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q22_idle_customers", oracle=_Q22_SQL)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (computed once, broadcast as a
+    literal) + anti join + substring bucketing."""
+    return spark.sql(_Q22_SQL)
+
+
+_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(first_view) AS BIGINT) AS viewed,
+  CAST(SUM(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+  CAST(SUM(CASE WHEN first_purchase > first_click AND first_click > first_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_funnel
+FROM firsts
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_SQL)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel via conditional-MIN first-touch times —
+    one shuffle on user_id, no self-joins (the naive 3-way self-join
+    formulation shuffles the events table three times)."""
+    return spark.sql(_FUNNEL_SQL)
+
+
+_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT c.cohort_week,
+       CAST(datediff(a.active_week, c.cohort_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS active_users
+FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS active_users
+FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+
+@query("weekly_retention_cohorts", oracle=_RETENTION_ORACLE)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: first-seen week x active week offsets. Both CTEs
+    shuffle on user_id once and the join reuses that key; week arithmetic
+    differs by dialect (datediff vs date_diff) so the two renderings are
+    kept side by side."""
+    return spark.sql(_RETENTION_SQL)
