@@ -84,3 +84,35 @@ def test_idempotent_append_skips_existing_slices(spark, tmp_path):
     )
     assert idempotent_append(spark, batch2, path, ["property", "date"]) == 1
     assert spark.read.parquet(path).count() == 3
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    orders = spark.range(0, 1000).selectExpr("id AS o_key", "id % 7 AS o_val")
+    items = spark.range(0, 3000).selectExpr("id % 1000 AS i_key", "id AS i_val")
+    wh.write_bucketed(orders, "b_orders", ["o_key"], 4)
+    wh.write_bucketed(items, "b_items", ["i_key"], 4)
+    # model a large-large join: broadcast would hide the bucketing benefit
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_items"),
+                F.col("o_key") == F.col("i_key"),
+            )
+            .groupBy("o_val")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not introduce a shuffle: both sides are
+        # co-bucketed on the key (only the final groupBy may exchange)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_key" not in plan
+        assert "Exchange hashpartitioning(i_key" not in plan
+        assert joined.count() == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
