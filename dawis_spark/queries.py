@@ -1375,3 +1375,32 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs by dialect (datediff vs date_diff) so the two renderings are
     kept side by side."""
     return spark.sql(_RETENTION_SQL)
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT e.*, time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS window_start
+  FROM events e, (VALUES (0), (1)) k(k)
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM expanded
+WHERE ts >= window_start AND ts < window_start + INTERVAL 60 MINUTE
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@query("sliding_window_agg", oracle=_SLIDING_ORACLE)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) windows: 1-hour windows every 30 minutes via
+    ``F.window(ts, '1 hour', '30 minutes')`` — each event lands in 2
+    windows. The oracle expands the window membership explicitly (event x
+    slide-offset), which is exactly Spark's internal expansion; the
+    aggregation stays one shuffle on (window, key)."""
+    return (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
