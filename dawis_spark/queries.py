@@ -1404,3 +1404,46 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+def _emb_neardup_oracle(threshold: float) -> str:
+    cos = _VEC.cosine("a.vec", "b.vec", "duck")
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding AS vec FROM embeddings)
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({cos}, 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({cos}, 6) >= {threshold}
+ORDER BY label, id_a, id_b
+"""
+
+
+@query("embedding_near_dups", oracle=_emb_neardup_oracle(0.3))
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.3 — threshold
+    tuned to the synthetic corpus where within-label cosine tops at ~0.47;
+    real embedding corpora use ~0.95), blocked by
+    label — the dedup-family entry for semantic near-dups.
+
+    Scale: blocking (label / cluster id / LSH bucket) bounds the pair
+    count exactly like the n-gram variant; within a block the pair
+    generation repartitions bare ids and broadcasts vectors in, so the
+    quadratic cosine work parallelizes and vectors never shuffle."""
+    v = spark.table("embeddings").select("vec_id", "label", F.col("embedding").alias("vec"))
+    ids = v.select("label", "vec_id")
+    pairs = (
+        ids.select("label", F.col("vec_id").alias("id_a"))
+        .join(ids.select("label", F.col("vec_id").alias("id_b")), "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(F.col("id_a"), F.col("id_b"))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("a_vec"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("b_vec"))
+    cos = F.round(F.expr(_VEC.cosine("a_vec", "b_vec", "spark")), 6)
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select("label", "id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("label", "id_a", "id_b")
+    )
