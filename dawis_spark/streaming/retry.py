@@ -53,14 +53,16 @@ class RetryQueue:
 
     def record_failures(self, failed: Sequence[dict]) -> None:
         """``failed`` entries are {'item':..., 'attempts':..., 'error':...}
-        from the connector harness; attempts accumulate across runs."""
+        from the connector harness. The queue counts RUNS, not in-run HTTP
+        retries (the reference increments its retry_count once per cron
+        tick, google_pagespeed.py:136-169): each call adds one attempt."""
         entries = {self._key(e["item"]): e for e in self._load()}
         for f in failed:
             k = self._key(f["item"])
             prev = entries.get(k, {"item": f["item"], "attempts": 0, "error": ""})
             entries[k] = {
                 "item": f["item"],
-                "attempts": prev["attempts"] + f.get("attempts", 1),
+                "attempts": prev["attempts"] + 1,
                 "error": f.get("error", ""),
             }
         self._save(list(entries.values()))

@@ -48,11 +48,14 @@ def test_alert_queue_watermark_consumption(spark, tmp_path):
 
 def test_retry_queue_budget_and_merge(tmp_path):
     rq = RetryQueue(str(tmp_path), "gsc")
-    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 1, "error": "e"}])
+    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 3, "error": "e"}])
     merged = rq.merge_with_scheduled([{"property": "p", "date": "2026-05-02"}])
     assert len(merged) == 2  # retry + scheduled, deduped
-    # same item fails again twice -> attempts 3 -> over budget, dropped
-    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 2, "error": "e"}])
+    # budget counts RUNS (one per cron tick), not in-run HTTP retries:
+    # after the 3rd failing run the entry is over budget and dropped
+    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 3, "error": "e"}])
+    assert rq.pending() == [{"property": "p", "date": "2026-05-01"}]
+    rq.record_failures([{"item": {"property": "p", "date": "2026-05-01"}, "attempts": 3, "error": "e"}])
     assert rq.pending() == []
     # success removes the entry entirely
     rq2 = RetryQueue(str(tmp_path), "ga")
