@@ -1296,7 +1296,8 @@ FROM (
   SELECT substring(c_name, 10, 2) AS cntrycode, c_acctbal
   FROM customer
   WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 ) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
@@ -1306,7 +1307,8 @@ ORDER BY cntrycode
 @query("q22_idle_customers", oracle=_Q22_SQL)
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery (computed once, broadcast as a
-    literal) + anti join + substring bucketing."""
+    literal) + windowed anti join (no orders since 2000) + substring
+    bucketing."""
     return spark.sql(_Q22_SQL)
 
 
