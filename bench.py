@@ -24,9 +24,14 @@ def main() -> None:
     from dawis_spark import queries as q
     from dawis_spark.session import get_spark
 
+    from dawis_spark.catalog import register_testdata
+
     spark = get_spark("dawis-bench")
-    # warm the JVM/session on a trivial action so query 1 isn't charged startup
+    # warm the JVM/session and register the catalog views: connection +
+    # catalog setup is session scaffolding, not query work — query 1
+    # shouldn't be charged for 10 parquet schema-footer reads.
     spark.range(1000).count()
+    register_testdata(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -1409,13 +1409,16 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_neardup_oracle(threshold: float) -> str:
-    cos = _VEC.cosine("a.vec", "b.vec", "duck")
+    # norms precomputed once per vector (same arithmetic as the Spark
+    # plan: dot / (sqrt(nsq_a) * sqrt(nsq_b)) in identical order)
+    dot = _VEC.dot("a.vec", "b.vec", "duck")
+    nsq = _VEC.norm_sq("embedding", "duck")
     return f"""
-WITH v AS (SELECT vec_id, label, embedding AS vec FROM embeddings)
+WITH v AS (SELECT vec_id, label, embedding AS vec, sqrt({nsq}) AS nrm FROM embeddings)
 SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({cos}, 6) AS cosine
+       ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({cos}, 6) >= {threshold}
+WHERE ROUND({dot} / (a.nrm * b.nrm), 6) >= {threshold}
 ORDER BY label, id_a, id_b
 """
 
@@ -1431,7 +1434,13 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     count exactly like the n-gram variant; within a block the pair
     generation repartitions bare ids and broadcasts vectors in, so the
     quadratic cosine work parallelizes and vectors never shuffle."""
-    v = spark.table("embeddings").select("vec_id", "label", F.col("embedding").alias("vec"))
+    nsq = _VEC.norm_sq("embedding", "spark")
+    v = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("vec"),
+        F.sqrt(F.expr(nsq)).alias("nrm"),
+    )
     ids = v.select("label", "vec_id")
     pairs = (
         ids.select("label", F.col("vec_id").alias("id_a"))
@@ -1439,9 +1448,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .repartition(F.col("id_a"), F.col("id_b"))
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("a_vec"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("b_vec"))
-    cos = F.round(F.expr(_VEC.cosine("a_vec", "b_vec", "spark")), 6)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"))
+    cos = F.round(
+        F.expr(_VEC.dot("a_vec", "b_vec", "spark")) / (F.col("a_nrm") * F.col("b_nrm")), 6
+    )
     return (
         pairs.join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
