@@ -24,15 +24,22 @@ from dawis_spark.functions import text as TXT
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Spread a narrow input across the cluster before CPU-heavy per-row
+    """Spread a narrow input across the workers before CPU-heavy per-row
     work (hashing). A small corpus read from one parquet file arrives as
     ONE partition — repartitioning a few MB is free and unlocks N-way
-    hashing; a 100 TB corpus already has thousands of scan partitions and
-    this is a no-op."""
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    hashing.
+
+    Pure-plan guard: fires only in local mode (where the one-file/one-
+    partition trap lives). On a real cluster a 100 TB scan already has
+    thousands of partitions and a blind ``repartition`` would ADD a full
+    corpus shuffle, so we return the plan untouched there. No
+    ``df.rdd.getNumPartitions()`` probe — that materializes the physical
+    plan per call, which is measurable overhead on small queries."""
+    spark = df.sparkSession
+    if not spark.sparkContext.master.startswith("local"):
+        return df
+    target = min_parts or spark.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def _shingle_hashes_col(text_col: str, shingle_k: int):
@@ -56,13 +63,21 @@ def exact_duplicate_groups(
     more than one id; ``diff`` = comma-joined OTHER ids of the group
     (reference metatags.py:277-377 formats it exactly so).
 
-    Scale: groupBy on the value hash; collect_list stays bounded because
-    only duplicate groups (rare) carry more than one element.
+    Scale: groupBy on sha2(value) — the shuffle key is a 64-byte digest,
+    never the (possibly document-sized) value itself. ``first(v)`` rides
+    along, but partial aggregation reduces it to one value per (mapper,
+    distinct hash) before the exchange, so value bytes on the wire are
+    bounded by distinct-count, not row-count. Exact duplicates share one
+    value by definition, so ``first`` is THE group's value. (sha2-256
+    collisions merging distinct values: negligible by construction.)
     """
     groups = (
         df.select(F.col(id_col).cast("string").alias("id"), F.col(value_col).alias("v"))
-        .groupBy("v")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .groupBy(F.sha2(F.col("v").cast("string"), 256).alias("__h"))
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.first("v").alias("v"),
+        )
         .filter(F.size("ids") > 1)
     )
     return (
@@ -109,7 +124,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
@@ -117,6 +136,10 @@ def lsh_candidate_pairs(
     distinct. The join key includes band_idx so buckets of different bands
     never cross. At scale the bucket join is the only shuffle and AQE
     handles skewed buckets (e.g. boilerplate-heavy corpora).
+
+    ``extra_keys``: additional columns of ``sig_df`` appended to the bucket
+    join key and carried into the output — used for block-scoped LSH
+    (candidates must share the blocking group AND a band bucket).
     """
     band_cols = []
     for b in range(bands):
@@ -129,19 +152,20 @@ def lsh_candidate_pairs(
                 F.expr("concat_ws(':', " + ", ".join(parts) + ")").alias("key"),
             )
         )
+    keys = list(extra_keys)
     exploded = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        *keys, F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(*keys, id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = exploded.select(
-        F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
+        *keys, F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
     )
     right = exploded.select(
-        F.col("band"), F.col("key"), F.col(id_col).alias("id_b")
+        *keys, F.col("band"), F.col("key"), F.col(id_col).alias("id_b")
     )
     return (
-        left.join(right, ["band", "key"])
+        left.join(right, [*keys, "band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select(*keys, "id_a", "id_b")
         .distinct()
     )
 
@@ -181,13 +205,15 @@ def minhash_near_duplicates(
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
-    # Parallelism shape: repartition the BARE id-pairs (tiny rows), then
-    # broadcast the hash-array side in. The expensive set-intersection then
-    # runs across all partitions, and the wide arrays never shuffle.
+    # Verification joins are SHUFFLE_HASH on the pair ids: the hash-array
+    # relation is 1-2 orders smaller than the corpus but still corpus-sized,
+    # so it must never broadcast (a broadcast has to fit in every executor's
+    # memory — guaranteed OOM at 100 TB). Shuffling it by id partitions the
+    # build side; candidate pairs (tiny rows) shuffle alongside. shuffle_hash
+    # skips the sort a merge join would pay on the wide array rows.
     return (
-        cands.repartition(F.col("id_a"), F.col("id_b"))
-        .join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -232,36 +258,74 @@ def ngram_jaccard_pairs(
     text_col: str,
     group_col: str,
     shingle_k: int = 3,
+    max_block_rows: int | None = None,
+    n_perms: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs WITHIN a blocking group.
 
     Blocking (``group_col``) bounds the quadratic blow-up: at 100 TB you
     never all-pairs the corpus — you block (by source, language, length
     bucket, or an LSH band) and pair within blocks.
+
+    ``max_block_rows`` is the per-block pair budget: one hot block (a
+    boilerplate-heavy domain) would still degenerate to O(n²) pairs, so
+    blocks larger than the cap are routed through block-scoped MinHash LSH
+    (candidates must share the block AND a band bucket) instead of
+    all-pairs. With a cap set, the output gains a ``pair_method`` column
+    ('exact' | 'lsh') flagging which pairs came from the approximate path
+    (recall < 1 there). Default None = exact everywhere, no extra column.
     """
-    # Pair generation over bare ids (tiny rows), repartitioned so the
-    # quadratic Jaccard work spreads across partitions; the wide hash
-    # arrays ride in via broadcast joins and never shuffle.
     ids = df.select(F.col(group_col).alias("g"), F.col(id_col))
-    pairs = (
-        ids.select("g", F.col(id_col).alias("id_a"))
-        .join(ids.select("g", F.col(id_col).alias("id_b")), "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .repartition(F.col("id_a"), F.col("id_b"))
-    )
     hashes = ensure_parallelism(df).select(
         F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh")
     )
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
-    return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+
+    def all_pairs(ids_df: DataFrame) -> DataFrame:
+        return (
+            ids_df.select("g", F.col(id_col).alias("id_a"))
+            .join(ids_df.select("g", F.col(id_col).alias("id_b")), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        # Shuffle-hash on pair ids — the hash relation is corpus-sized and
+        # must never broadcast (see minhash_near_duplicates).
+        return (
+            pairs.join(a.hint("shuffle_hash"), "id_a")
+            .join(b.hint("shuffle_hash"), "id_b")
+            .select(
+                F.col("g").alias(group_col),
+                "id_a",
+                "id_b",
+                F.round(F.expr(jac), 6).alias("jaccard"),
+            )
+        )
+
+    if max_block_rows is None:
+        return verify(all_pairs(ids))
+
+    sizes = ids.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
+    tagged = ids.join(sizes, "g")
+    small = tagged.filter(F.col("__bn") <= max_block_rows).select("g", id_col)
+    big = tagged.filter(F.col("__bn") > max_block_rows).select("g", id_col)
+    exact = verify(all_pairs(small)).withColumn("pair_method", F.lit("exact"))
+    rows_per_band = n_perms // bands
+    elems = [
+        TXT.minhash_element("sh", p, q, "spark") for p, q in TXT.minhash_coeffs(n_perms)
+    ]
+    big_sigs = (
+        big.join(hashes, id_col)
+        .filter(F.size("sh") > 0)
         .select(
-            F.col("g").alias(group_col),
-            "id_a",
-            "id_b",
-            F.round(F.expr(jac), 6).alias("jaccard"),
+            "g", F.col(id_col), F.expr("array(" + ", ".join(elems) + ")").alias("sig")
         )
     )
+    lsh_pairs = lsh_candidate_pairs(
+        big_sigs, id_col, bands, rows_per_band, extra_keys=("g",)
+    )
+    approx = verify(lsh_pairs).withColumn("pair_method", F.lit("lsh"))
+    return exact.unionByName(approx)

@@ -133,6 +133,96 @@ def lsh_ann_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    max_block_rows: int | None = None,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking group —
+    the dedup-family entry for semantic near-dups.
+
+    Scale shape: blocking (label / cluster id / LSH bucket) bounds the
+    pair count; pair generation runs over bare (block, id) rows and the
+    vectors join back via SHUFFLE_HASH on the pair ids — the vector
+    relation is corpus-sized so it must never broadcast, and norms are
+    hoisted so each vector's magnitude is computed once, not per pair.
+
+    ``max_block_rows``: per-block pair budget. Blocks above the cap route
+    through sign-random-projection LSH *within the block* (pairs must
+    share the block AND a sign-pattern bucket) instead of all-pairs; with
+    a cap set the output gains a ``pair_method`` ('exact' | 'lsh') flag.
+    """
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    nsq = V.norm_sq("vec", "spark")
+    v = corpus.select(
+        F.col(block_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("nrm", F.sqrt(F.expr(nsq)))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm")
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm")
+    )
+    cos = F.round(
+        F.expr(V.dot("a_vec", "b_vec", "spark")) / (F.col("a_nrm") * F.col("b_nrm")), 6
+    )
+    ids = v.select("g", "id")
+
+    def all_pairs(ids_df: DataFrame) -> DataFrame:
+        return (
+            ids_df.select("g", F.col("id").alias("id_a"))
+            .join(ids_df.select("g", F.col("id").alias("id_b")), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(a.hint("shuffle_hash"), "id_a")
+            .join(b.hint("shuffle_hash"), "id_b")
+            .select(
+                F.col("g").alias(block_col),
+                "id_a",
+                "id_b",
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if max_block_rows is None:
+        return verify(all_pairs(ids))
+
+    sizes = ids.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
+    tagged = ids.join(sizes, "g")
+    small = tagged.filter(F.col("__bn") <= max_block_rows).select("g", "id")
+    big = tagged.filter(F.col("__bn") > max_block_rows).select("g", "id")
+    exact = verify(all_pairs(small)).withColumn("pair_method", F.lit("exact"))
+    # Hot blocks: sign-LSH bucket within the block (map-side hash on both
+    # sides; pairing only within (block, bucket) keeps the quadratic capped).
+    bucket = lsh_bucket_expr(n_planes, dim, "spark")
+    big_b = big.join(v.select("id", "vec"), "id").withColumn(
+        "bucket", F.expr(bucket)
+    )
+    lsh_pairs = (
+        big_b.select("g", "bucket", F.col("id").alias("id_a"))
+        .join(big_b.select("g", "bucket", F.col("id").alias("id_b")), ["g", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("g", "id_a", "id_b")
+        .distinct()
+    )
+    approx = verify(lsh_pairs).withColumn("pair_method", F.lit("lsh"))
+    return exact.unionByName(approx)
+
+
 def ivf_ann_topk(
     corpus,
     queries,
@@ -145,44 +235,76 @@ def ivf_ann_topk(
     """IVF approximate NN: bucket corpus by nearest centroid; per query,
     probe the ``n_probe`` nearest centroids' buckets only.
 
-    Plan shape at scale: centroid set broadcasts (tiny); corpus bucket
-    assignment is one map-side argmin over C centroids; the search is an
-    equi-join on centroid id — the corpus never shuffles by vector, and
-    cost drops by ~C/n_probe versus brute force.
+    Plan shape at scale: the centroid set is config-sized (collected once,
+    embedded as a literal double array — the IVF coarse quantizer is always
+    driver-resident in practice, cf. FAISS). Bucket assignment is a pure
+    map-side argmax over a ``transform(...)`` affinity array: NO crossJoin
+    row inflation, NO window shuffle — the corpus never shuffles by vector.
+    The probe search broadcasts the (small) bucketed query side, so the
+    only exchanges in the whole plan carry (query_id, neighbor_id, cosine)
+    triples, never embeddings. Cost ~ n_probe/C of brute force.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from dawis_spark.functions import vectors as V
 
-    cos = V.cosine("vec", "cvec", "spark")
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    # Coarse quantizer: deterministic first-C vectors, sorted by id so the
+    # literal array index order equals cid order (ties broke by cid asc).
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .collect()
     )
+    cids = [r["cid"] for r in cent_rows]
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in r["cvec"]) + ")"
+            for r in cent_rows
+        )
+        + ")"
+    )
+    cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
+    n_cent = len(cent_rows)
+    # Affinity array: per-row cosine against every centroid, rounded as the
+    # windowed version rounded, evaluated entirely inside codegen.
+    aff = f"transform({cent_lit}, c -> round({V.cosine('vec', 'c', 'spark')}, 6))"
 
-    def assign(df, id_alias: str, vec_alias: str, top_n: int):
-        scored = (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("vec"))
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                id_alias,
-                "vec",
-                "cid",
-                F.round(F.expr(cos), 6).alias("__aff"),
+    def assigned(df, id_alias: str, vec_alias: str, top_n: int):
+        base = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias("vec")
+        ).withColumn("__affs", F.expr(aff))
+        if top_n == 1:
+            # argmax with lowest-index tie-break == highest aff, then cid asc
+            pick = F.expr(
+                f"element_at({cid_lit}, "
+                f"cast(array_position(__affs, array_max(__affs)) as int))"
             )
+            return base.select(
+                id_alias, F.col("vec").alias(vec_alias), pick.alias("cid")
+            )
+        ranked = (
+            f"slice(array_sort(transform(sequence(0, {n_cent - 1}), "
+            f"i -> named_struct('negaff', -__affs[i], 'i', i))), 1, {top_n})"
         )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("__aff"), F.asc("cid"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= top_n)
-            .select(id_alias, F.col("vec").alias(vec_alias), "cid")
+        return base.select(
+            id_alias,
+            F.col("vec").alias(vec_alias),
+            F.explode(F.expr(ranked)).alias("__p"),
+        ).select(
+            id_alias,
+            vec_alias,
+            F.expr(f"element_at({cid_lit}, __p.i + 1)").alias("cid"),
         )
 
-    corpus_b = assign(corpus, "neighbor_id", "c_vec", 1)
-    queries_b = assign(queries, "query_id", "q_vec", n_probe)
+    corpus_b = assigned(corpus, "neighbor_id", "c_vec", 1)
+    queries_b = assigned(queries, "query_id", "q_vec", n_probe)
     pair_cos = V.cosine("q_vec", "c_vec", "spark")
     scored = (
-        queries_b.join(corpus_b, "cid")
+        F.broadcast(queries_b)
+        .join(corpus_b, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -191,9 +313,7 @@ def ivf_ann_topk(
         )
         .distinct()  # a neighbor can appear via several probed buckets
     )
-    from pyspark.sql import Window as W2
-
-    w = W2.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -1431,32 +1431,17 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     label — the dedup-family entry for semantic near-dups.
 
     Scale: blocking (label / cluster id / LSH bucket) bounds the pair
-    count exactly like the n-gram variant; within a block the pair
-    generation repartitions bare ids and broadcasts vectors in, so the
-    quadratic cosine work parallelizes and vectors never shuffle."""
-    nsq = _VEC.norm_sq("embedding", "spark")
-    v = spark.table("embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("vec"),
-        F.sqrt(F.expr(nsq)).alias("nrm"),
-    )
-    ids = v.select("label", "vec_id")
-    pairs = (
-        ids.select("label", F.col("vec_id").alias("id_a"))
-        .join(ids.select("label", F.col("vec_id").alias("id_b")), "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .repartition(F.col("id_a"), F.col("id_b"))
-    )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"))
-    cos = F.round(
-        F.expr(_VEC.dot("a_vec", "b_vec", "spark")) / (F.col("a_nrm") * F.col("b_nrm")), 6
-    )
-    return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .select("label", "id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.3)
-        .orderBy("label", "id_a", "id_b")
-    )
+    count exactly like the n-gram variant; vectors join the bare id-pairs
+    via shuffle-hash (never broadcast — the vector relation is
+    corpus-sized) and norms are hoisted so each magnitude is computed
+    once. See operators/similarity.embedding_near_dup_pairs for the
+    per-block pair budget that routes hot blocks through sign-LSH."""
+    from dawis_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        spark.table("embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=0.3,
+    ).orderBy("label", "id_a", "id_b")

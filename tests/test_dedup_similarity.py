@@ -94,3 +94,69 @@ def test_lsh_ann_identical_vector_found(spark):
     ).collect()
     # vector 1 is nearly identical -> same sign pattern -> found in-bucket
     assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_ngram_block_budget_routes_hot_block_to_lsh(spark):
+    # 'hot' block exceeds the 3-row cap -> block-scoped LSH path (flagged);
+    # 'cold' block stays on the exact all-pairs path.
+    rows = [(i, BASE if i % 2 == 0 else NEAR, "hot") for i in range(6)]
+    rows += [(10, BASE, "cold"), (11, NEAR, "cold")]
+    df = spark.createDataFrame(rows, "id bigint, text string, grp string")
+    out = ngram_jaccard_pairs(df, "id", "text", "grp", max_block_rows=3).collect()
+    methods = {r["grp"]: set() for r in out}
+    for r in out:
+        methods[r["grp"]].add(r["pair_method"])
+    assert methods["hot"] == {"lsh"}
+    assert methods["cold"] == {"exact"}
+    # identical docs share every band -> the LSH path must keep them
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in out if r["pair_method"] == "lsh"}
+    assert (0, 2) in lsh_pairs and (0, 4) in lsh_pairs
+    # exact path on the cold block is complete
+    assert {(r["id_a"], r["id_b"]) for r in out if r["grp"] == "cold"} == {(10, 11)}
+
+
+def test_ngram_block_budget_none_keeps_schema(spark):
+    df = _docs(spark).withColumn("grp", F.lit("g"))
+    assert "pair_method" not in ngram_jaccard_pairs(df, "id", "text", "grp").columns
+
+
+def test_embedding_near_dup_block_budget(spark):
+    from dawis_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(i, [1.0, float(i) * 0.01, 0.0, 0.0], "hot") for i in range(5)]
+    rows += [(10, [0.0, 1.0, 0.0, 0.0], "cold"), (11, [0.0, 0.9, 0.1, 0.0], "cold")]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    out = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", "label", threshold=0.5,
+        max_block_rows=3, n_planes=2, dim=4,
+    ).collect()
+    by_method = {r["label"]: set() for r in out}
+    for r in out:
+        by_method[r["label"]].add(r["pair_method"])
+    assert by_method["cold"] == {"exact"}
+    assert by_method["hot"] == {"lsh"}
+    # near-identical vectors share the sign pattern -> survive the LSH route
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in out)
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """The IVF plan must not shuffle the corpus before the bucket join:
+    corpus-side assignment is a literal-centroid argmax, and the bucket
+    join builds from the broadcast query side."""
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    emb = _vecs(spark)
+    out = ivf_ann_topk(
+        emb, emb.filter("vec_id < 2"), "vec_id", "embedding",
+        k=2, n_centroids=2, n_probe=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [cid" in plan, plan
+    # assignment must not be the old crossJoin+window shape: the only
+    # Window is the final top-k, and there is no nested-loop join at all
+    assert plan.count("Window [row_number()") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    rows = out.collect()
+    assert all(r["query_id"] in (0, 1) for r in rows)
