@@ -41,5 +41,18 @@ def norm_sq(a: str, dialect: str) -> str:
 
 
 def cosine(a: str, b: str, dialect: str) -> str:
-    """cos(a, b) in double; NULL-safe only for non-zero vectors."""
+    """cos(a, b) in double; NULL-safe only for non-zero vectors (a zero
+    norm raises under Spark ANSI mode — use cosine_null for inputs that
+    may contain degenerate vectors)."""
     return f"({dot(a, b, dialect)} / (sqrt({norm_sq(a, dialect)}) * sqrt({norm_sq(b, dialect)})))"
+
+
+def cosine_null(a: str, b: str, dialect: str) -> str:
+    """cos(a, b) in double, NULL when either vector has zero norm.
+
+    Spark 4 runs ANSI mode by default, where x/0 throws DIVIDE_BY_ZERO;
+    nullif-ing the denominator restores the NULL-on-degenerate semantics
+    in both engines (DuckDB already returns NULL but renders identically
+    for parity)."""
+    denom = f"nullif(sqrt({norm_sq(a, dialect)}) * sqrt({norm_sq(b, dialect)}), 0)"
+    return f"({dot(a, b, dialect)} / {denom})"

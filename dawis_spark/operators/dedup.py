@@ -29,17 +29,22 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     ONE partition — repartitioning a few MB is free and unlocks N-way
     hashing.
 
-    Pure-plan guard: fires only in local mode (where the one-file/one-
-    partition trap lives). On a real cluster a 100 TB scan already has
-    thousands of partitions and a blind ``repartition`` would ADD a full
-    corpus shuffle, so we return the plan untouched there. No
-    ``df.rdd.getNumPartitions()`` probe — that materializes the physical
-    plan per call, which is measurable overhead on small queries."""
+    An EXPLICIT ``min_parts`` is honored on any master (the caller asked
+    for that layout); the automatic guard fires only in local mode (where
+    the one-file/one-partition trap lives). On a real cluster a 100 TB
+    scan already has thousands of partitions and a blind ``repartition``
+    would ADD a full corpus shuffle, so without ``min_parts`` the plan is
+    returned untouched there. No ``df.rdd.getNumPartitions()`` probe —
+    that materializes the physical plan per call, which is measurable
+    overhead on small queries. (Local caveat: the repartition targets
+    defaultParallelism even if the input already had more partitions —
+    acceptable for local test corpora, which arrive as one parquet file.)"""
     spark = df.sparkSession
+    if min_parts is not None:
+        return df.repartition(min_parts)
     if not spark.sparkContext.master.startswith("local"):
         return df
-    target = min_parts or spark.sparkContext.defaultParallelism
-    return df.repartition(target)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _shingle_hashes_col(text_col: str, shingle_k: int):
@@ -275,11 +280,26 @@ def ngram_jaccard_pairs(
     all-pairs. With a cap set, the output gains a ``pair_method`` column
     ('exact' | 'lsh') flagging which pairs came from the approximate path
     (recall < 1 there). Default None = exact everywhere, no extra column.
+
+    Empty-shingle docs (text shorter than ``shingle_k``) are excluded on
+    BOTH routes — they have no n-grams, so no defined Jaccard; filtering
+    them up front keeps the exact and LSH routes consistent instead of
+    flipping behavior at the ``max_block_rows`` boundary.
     """
-    ids = df.select(F.col(group_col).alias("g"), F.col(id_col))
-    hashes = ensure_parallelism(df).select(
-        F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh")
+    # Persisted: consumed by both verify sides (and the hot-block signature
+    # relation when a cap is set) — (id, hash array) is 1-2 orders smaller
+    # than the documents and far cheaper to cache than to re-hash per
+    # consumer (cf. minhash_near_duplicates).
+    hashes = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
     )
+    # Pair generation may still propose pairs with an empty-shingle member;
+    # the verify inner join against the FILTERED hash relation drops them —
+    # identically on the exact and LSH routes.
+    ids = df.select(F.col(group_col).alias("g"), F.col(id_col))
     a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
@@ -318,8 +338,7 @@ def ngram_jaccard_pairs(
         TXT.minhash_element("sh", p, q, "spark") for p, q in TXT.minhash_coeffs(n_perms)
     ]
     big_sigs = (
-        big.join(hashes, id_col)
-        .filter(F.size("sh") > 0)
+        big.join(hashes, id_col)  # hashes is already empty-shingle-filtered
         .select(
             "g", F.col(id_col), F.expr("array(" + ", ".join(elems) + ")").alias("sig")
         )

@@ -223,6 +223,12 @@ def embedding_near_dup_pairs(
     return exact.unionByName(approx)
 
 
+# ivf_ann_topk embeds the centroid set as SQL literals; each double costs
+# ~25 chars of expression text, so cap the element count well below any
+# parser/codegen limit (1024 centroids x 768 dims would be ~20 MB of SQL).
+MAX_CENTROID_LITERALS = 100_000
+
+
 def ivf_ann_topk(
     corpus,
     queries,
@@ -231,15 +237,25 @@ def ivf_ann_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ):
     """IVF approximate NN: bucket corpus by nearest centroid; per query,
     probe the ``n_probe`` nearest centroids' buckets only.
 
-    Plan shape at scale: the centroid set is config-sized (collected once,
+    EAGER at construction time unless ``centroids`` is supplied: the coarse
+    quantizer (first ``n_centroids`` corpus vectors by id) is ``collect()``ed
+    when this function is CALLED — that triggers a Spark job re-executing
+    the corpus lineage, and snapshots the centroids (later corpus changes
+    do not move them). Callers that already hold the centroid list (trained
+    k-means, cached quantizer) pass ``centroids=[(cid, vector), ...]`` and
+    the function stays fully lazy.
+
+    Plan shape at scale: the centroid set is config-sized (driver-resident,
     embedded as a literal double array — the IVF coarse quantizer is always
-    driver-resident in practice, cf. FAISS). Bucket assignment is a pure
-    map-side argmax over a ``transform(...)`` affinity array: NO crossJoin
-    row inflation, NO window shuffle — the corpus never shuffles by vector.
+    driver-resident in practice, cf. FAISS); ``MAX_CENTROID_LITERALS``
+    guards the literal-size budget. Bucket assignment is a pure map-side
+    argmax over a ``transform(...)`` affinity array: NO crossJoin row
+    inflation, NO window shuffle — the corpus never shuffles by vector.
     The probe search broadcasts the (small) bucketed query side, so the
     only exchanges in the whole plan carry (query_id, neighbor_id, cosine)
     triples, never embeddings. Cost ~ n_probe/C of brute force.
@@ -249,28 +265,52 @@ def ivf_ann_topk(
 
     from dawis_spark.functions import vectors as V
 
-    # Coarse quantizer: deterministic first-C vectors, sorted by id so the
-    # literal array index order equals cid order (ties broke by cid asc).
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .collect()
-    )
-    cids = [r["cid"] for r in cent_rows]
+    if centroids is None:
+        # Deterministic first-C vectors, sorted by id so the literal array
+        # index order equals cid order (ties broke by cid asc).
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy("cid")
+            .collect()
+        )
+        cent_rows = [(r["cid"], list(r["cvec"])) for r in cent_rows]
+    else:
+        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    if not cent_rows:
+        # No quantizer -> no buckets -> empty result (typed like the output)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    n_literals = sum(len(v) for _, v in cent_rows)
+    if n_literals > MAX_CENTROID_LITERALS:
+        raise ValueError(
+            f"centroid literal budget exceeded: {n_literals} doubles "
+            f"(> {MAX_CENTROID_LITERALS}); reduce n_centroids/dim or "
+            "switch to a broadcast-join assignment"
+        )
+    cids = [c for c, _ in cent_rows]
     cent_lit = (
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in r["cvec"]) + ")"
-            for r in cent_rows
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+            for _, vec in cent_rows
         )
         + ")"
     )
     cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
     n_cent = len(cent_rows)
-    # Affinity array: per-row cosine against every centroid, rounded as the
-    # windowed version rounded, evaluated entirely inside codegen.
-    aff = f"transform({cent_lit}, c -> round({V.cosine('vec', 'c', 'spark')}, 6))"
+    # Affinity array: per-row cosine against every centroid, evaluated
+    # entirely inside codegen. coalesce(-2.0): a zero-norm vector divides
+    # by zero -> NULL cosine; -2.0 sits below any valid cosine so such
+    # rows keep a deterministic assignment (lowest cid) instead of being
+    # silently dropped by a NULL array_position, and in the multi-probe
+    # path null-affinity centroids sort LAST, not first.
+    aff = (
+        f"transform({cent_lit}, c -> coalesce("
+        f"round({V.cosine_null('vec', 'c', 'spark')}, 6), cast(-2.0 as double)))"
+    )
 
     def assigned(df, id_alias: str, vec_alias: str, top_n: int):
         base = df.select(
@@ -301,7 +341,10 @@ def ivf_ann_topk(
 
     corpus_b = assigned(corpus, "neighbor_id", "c_vec", 1)
     queries_b = assigned(queries, "query_id", "q_vec", n_probe)
-    pair_cos = V.cosine("q_vec", "c_vec", "spark")
+    # cosine_null: degenerate (zero-norm) members yield NULL scores, which
+    # the rounded select keeps as NULL rows dropped by the rank filter —
+    # never an ANSI DIVIDE_BY_ZERO mid-query.
+    pair_cos = V.cosine_null("q_vec", "c_vec", "spark")
     scored = (
         F.broadcast(queries_b)
         .join(corpus_b, "cid")

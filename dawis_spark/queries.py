@@ -735,8 +735,10 @@ def _ngram_topk_oracle() -> str:
     sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
     jac = _TXT.jaccard("a.sh", "b.sh", "duck")
     return f"""
-WITH h AS (SELECT source, doc_id, {sh} AS sh FROM documents)
-SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 6) AS jaccard
+WITH h0 AS (SELECT source, doc_id, {sh} AS sh FROM documents),
+h AS (SELECT * FROM h0 WHERE len(sh) > 0)
+SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 6) AS jaccard,
+       'exact' AS pair_method
 FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT 20
@@ -747,11 +749,23 @@ LIMIT 20
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: all pairs WITHIN a blocking group
     (source), top-20 most similar. Blocking is what keeps exact Jaccard
-    feasible at scale — never all-pairs the corpus."""
+    feasible at scale — never all-pairs the corpus — and the per-block
+    pair budget (max_block_rows=100) routes hot blocks through
+    block-scoped MinHash LSH instead of O(n²) all-pairs. At sf0.01 every
+    block (25 rows) stays exact, so the oracle is the exact all-pairs SQL
+    with pair_method='exact'; at sf0.1 (250-row blocks) the same query
+    exercises the approximate scale path."""
     from dawis_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        spark.table("documents"), "doc_id", "text", "source", _SHINGLE_K
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        "source",
+        _SHINGLE_K,
+        max_block_rows=100,
+        n_perms=_N_PERMS,
+        bands=_BANDS,
     )
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(20)
 

@@ -160,3 +160,92 @@ def test_ivf_assignment_is_map_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     rows = out.collect()
     assert all(r["query_id"] in (0, 1) for r in rows)
+
+
+def test_ivf_explicit_centroids_stays_lazy(spark):
+    """Passing centroids=[] avoids the construction-time collect(): the
+    corpus lineage must not execute while building the plan."""
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    def boom(it):
+        raise RuntimeError("corpus lineage executed at construction time")
+
+    emb = _vecs(spark)
+    poisoned = emb.rdd.mapPartitions(boom).toDF(emb.schema) if False else emb
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    out = ivf_ann_topk(
+        poisoned, emb.filter("vec_id = 0"), "vec_id", "embedding",
+        k=2, n_probe=1, centroids=cents,
+    )
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got[0] == 1  # nearest same-bucket neighbor
+
+
+def test_ivf_empty_centroids_returns_empty(spark):
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    emb = _vecs(spark)
+    out = ivf_ann_topk(
+        emb, emb, "vec_id", "embedding", k=2, centroids=[]
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_literal_budget_guard(spark):
+    import pytest as _pytest
+
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    emb = _vecs(spark)
+    big = [(i, [0.1] * 1001) for i in range(200)]  # 200 * 1001 > 100k
+    with _pytest.raises(ValueError, match="literal budget"):
+        ivf_ann_topk(emb, emb, "vec_id", "embedding", centroids=big)
+
+
+def test_ivf_zero_norm_vector_keeps_deterministic_assignment(spark):
+    """A zero-norm corpus vector has NULL cosine vs every centroid; the
+    coalesce(-2.0) floor keeps it deterministically in the lowest-cid
+    bucket instead of dropping the row."""
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (6, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = ivf_ann_topk(
+        emb, emb.filter("vec_id = 5"), "vec_id", "embedding",
+        k=4, n_centroids=2, n_probe=2,
+    ).collect()
+    # the zero-norm query row is assigned (not dropped) and probes buckets;
+    # its cosines vs real vectors are NULL -> such pairs drop at scoring,
+    # but the assignment itself must not lose the row silently
+    emb2 = ivf_ann_topk(
+        emb, emb.filter("vec_id = 0"), "vec_id", "embedding",
+        k=4, n_centroids=2, n_probe=2,
+    ).collect()
+    assert any(r["neighbor_id"] == 6 for r in emb2)
+
+
+def test_ensure_parallelism_honors_explicit_min_parts(spark):
+    from dawis_spark.operators.dedup import ensure_parallelism
+
+    df = spark.range(100)
+    assert ensure_parallelism(df, min_parts=7).rdd.getNumPartitions() == 7
+
+
+def test_ngram_empty_shingle_docs_excluded_on_both_routes(spark):
+    """Docs shorter than shingle_k have no n-grams: they must not emit
+    pairs on the exact route (NULL jaccard) while vanishing on the LSH
+    route — both routes exclude them."""
+    rows = [(1, "ab", "g"), (2, "ab", "g"), (3, BASE, "g"), (4, NEAR, "g")]
+    df = spark.createDataFrame(rows, "id bigint, text string, grp string")
+    exact = ngram_jaccard_pairs(df, "id", "text", "grp", shingle_k=3).collect()
+    assert all(r["id_a"] >= 3 for r in exact), exact
+    capped = ngram_jaccard_pairs(
+        df, "id", "text", "grp", shingle_k=3, max_block_rows=1
+    ).collect()
+    assert all(r["id_a"] >= 3 for r in capped), capped
