@@ -1459,3 +1459,210 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="label",
         threshold=0.3,
     ).orderBy("label", "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# PSI v2 metric extraction (S4: reference google_pagespeed.py:345-487)
+# ---------------------------------------------------------------------------
+
+# One spec drives BOTH sides: the Spark path synthesizes a PSI JSON body
+# from doc_id with these integer formulas, runs the real from_json
+# extraction (modules/google_pagespeed.py), and flattens the nested
+# record; the oracle computes the same planted values directly. The
+# round-trip (synthesize -> parse -> navigate -> validate) must land
+# exactly on the planted ground truth. All arithmetic is integer-only so
+# the JSON strings and the oracle expressions agree to the last bit.
+
+_PSI_NV = {  # labdata numericValue formulas (JSON integers)
+    "cls": "(doc_id % 50)",
+    "lcp": "(1000 + doc_id % 700)",
+    "fcp": "(500 + doc_id % 300)",
+    "tbt": "(doc_id % 400)",
+    "mpfid": "(doc_id % 250)",
+    "ttfb": "(80 + doc_id % 120)",
+}
+_PSI_SCORES = {  # audit score formulas (JSON 0/1 integers)
+    "serverResponseTime": "(doc_id % 2)",
+    "usesTextCompression": "((doc_id + 1) % 2)",
+    "usesLongCacheTtl": "(doc_id % 2)",
+    "domSize": "((doc_id + 1) % 2)",
+    "offscreenImages": "(doc_id % 2)",
+    "usesOptimizedImages": "((doc_id + 1) % 2)",
+    "usesResponsiveImages": "(doc_id % 2)",
+    "renderBlockingResources": "(doc_id % 2)",
+    "bootupTime": "((doc_id + 1) % 2)",
+    "mainthreadWorkBreakdown": "(doc_id % 2)",
+}
+_PSI_SCORE_AUDIT_NAMES = {
+    "serverResponseTime": "server-response-time",
+    "usesTextCompression": "uses-text-compression",
+    "usesLongCacheTtl": "uses-long-cache-ttl",
+    "domSize": "dom-size",
+    "offscreenImages": "offscreen-images",
+    "usesOptimizedImages": "uses-optimized-images",
+    "usesResponsiveImages": "uses-responsive-images",
+    "renderBlockingResources": "render-blocking-resources",
+    "bootupTime": "bootup-time",
+    "mainthreadWorkBreakdown": "mainthread-work-breakdown",
+}
+_PSI_NV_AUDIT_NAMES = {
+    "cls": "cumulative-layout-shift",
+    "lcp": "largest-contentful-paint",
+    "fcp": "first-contentful-paint",
+    "tbt": "total-blocking-time",
+    "mpfid": "max-potential-fid",
+    "ttfb": "server-response-time",
+}
+_PSI_CRUX_PCT = {  # percentile formulas; offset o distinguishes origin vs page
+    "cls": lambda o: f"(10 + (doc_id + {o}) % 90)",
+    "lcp": lambda o: f"(1500 + (doc_id + {o}) % 1000)",
+    "fcp": lambda o: f"(900 + (doc_id + {o}) % 500)",
+    "fid": lambda o: f"(10 + (doc_id + {o}) % 100)",
+}
+_PSI_CRUX_KEYS = {
+    "cls": "CUMULATIVE_LAYOUT_SHIFT_SCORE",
+    "lcp": "LARGEST_CONTENTFUL_PAINT_MS",
+    "fcp": "FIRST_CONTENTFUL_PAINT_MS",
+    "fid": "FIRST_INPUT_DELAY_MS",
+}
+_PSI_PROPS = {  # fixed Good/Medium/Bad proportions per metric (JSON literals)
+    "cls": ("0.5", "0.3", "0.2"),
+    "lcp": ("0.6", "0.25", "0.15"),
+    "fcp": ("0.7", "0.2", "0.1"),
+    "fid": ("0.8", "0.15", "0.05"),
+}
+_PSI_DAY = "lpad(cast(doc_id % 28 + 1 as string), 2, '0')"
+_PSI_STATUS = "(200 + (doc_id % 2) * 104)"
+_PSI_PERF = "concat('0.', lpad(cast(doc_id % 100 as string), 2, '0'))"
+
+
+def _psi_crux_json(offset: int, fallback: bool) -> str:
+    """Spark SQL string expr for one CrUX loading-experience JSON record."""
+    metrics = []
+    for m, key in _PSI_CRUX_KEYS.items():
+        pct = _PSI_CRUX_PCT[m](offset)
+        g, md, b = _PSI_PROPS[m]
+        metrics.append(
+            f"'\"{key}\":{{\"percentile\":', cast({pct} as string), "
+            f"',\"distributions\":[{{\"proportion\":{g}}},"
+            f"{{\"proportion\":{md}}},{{\"proportion\":{b}}}]}}'"
+        )
+    inner = ", ',', ".join(metrics)
+    fb = ',\"origin_fallback\":true' if fallback else ""
+    return f"concat('{{\"metrics\":{{', {inner}, '}}{fb}}}')"
+
+
+def _psi_body_expr() -> str:
+    """Spark SQL expr: synthetic PSI response body keyed on doc_id."""
+    audits = []
+    for m, audit in _PSI_NV_AUDIT_NAMES.items():
+        if audit == "server-response-time":
+            continue  # rendered below with both leaves
+        audits.append(
+            f"'\"{audit}\":{{\"numericValue\":', cast({_PSI_NV[m]} as string), '}}'"
+        )
+    audits.append(
+        f"'\"server-response-time\":{{\"numericValue\":', "
+        f"cast({_PSI_NV['ttfb']} as string), "
+        f"',\"score\":', cast({_PSI_SCORES['serverResponseTime']} as string), '}}'"
+    )
+    for m, audit in _PSI_SCORE_AUDIT_NAMES.items():
+        if audit == "server-response-time":
+            continue
+        audits.append(
+            f"'\"{audit}\":{{\"score\":', cast({_PSI_SCORES[m]} as string), '}}'"
+        )
+    audits.append(
+        f"'\"network-requests\":{{\"details\":{{\"items\":[{{\"statusCode\":', "
+        f"cast({_PSI_STATUS} as string), '}}]}}}}'"
+    )
+    audits_sql = ", ',', ".join(audits)
+    le = (
+        "case when doc_id % 3 = 0 then '' "
+        f"when doc_id % 5 = 0 then concat(',\"loadingExperience\":', {_psi_crux_json(7, True)}) "
+        f"else concat(',\"loadingExperience\":', {_psi_crux_json(7, False)}) end"
+    )
+    return (
+        "concat("
+        f"'{{\"analysisUTCTimestamp\":\"2026-03-', {_PSI_DAY}, 'T08:15:30.000Z\",', "
+        f"'\"lighthouseResult\":{{\"audits\":{{', {audits_sql}, '}}', "
+        f"',\"categories\":{{\"performance\":{{\"score\":', {_PSI_PERF}, '}}}}}},', "
+        f"'\"originLoadingExperience\":', {_psi_crux_json(0, False)}, "
+        f"{le}, "
+        "'}')"
+    )
+
+
+def _psi_oracle() -> str:
+    """Direct-arithmetic oracle: the planted ground truth, no JSON."""
+    cols = [
+        "'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url",
+        "CASE WHEN doc_id % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS strategy",
+        f"CAST('2026-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+        f" || ' 08:15:30' AS TIMESTAMP) AS date",
+        f"CAST({_PSI_STATUS} AS INTEGER) AS statusCode",
+        "source AS cluster",
+    ]
+    for m in _PSI_NV:
+        cols.append(f"CAST({_PSI_NV[m]} AS DOUBLE) AS lab_{m}")
+    cols.append("CAST(doc_id % 100 AS DOUBLE) / 100 AS lab_performanceScore")
+    for m in _PSI_SCORES:
+        cols.append(f"CAST({_PSI_SCORES[m]} AS DOUBLE) AS lab_{m}")
+    for m in _PSI_CRUX_KEYS:
+        cols.append(f"CAST({_PSI_CRUX_PCT[m](0)} AS BIGINT) AS ole_{m}")
+        for band, lit in zip(("Good", "Medium", "Bad"), _PSI_PROPS[m]):
+            cols.append(f"CAST({lit} AS DOUBLE) AS ole_{m}{band}")
+    le_present = "(doc_id % 3 != 0 AND doc_id % 5 != 0)"
+    for m in _PSI_CRUX_KEYS:
+        cols.append(
+            f"CASE WHEN {le_present} THEN CAST({_PSI_CRUX_PCT[m](7)} AS BIGINT) END AS le_{m}"
+        )
+        for band, lit in zip(("Good", "Medium", "Bad"), _PSI_PROPS[m]):
+            cols.append(
+                f"CASE WHEN {le_present} THEN CAST({lit} AS DOUBLE) END AS le_{m}{band}"
+            )
+    sel = ",\n  ".join(cols)
+    return f"SELECT\n  {sel}\nFROM documents\nORDER BY CAST(doc_id AS VARCHAR)"
+
+
+@query("psi_metric_extraction", oracle=_psi_oracle())
+def psi_metric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageSpeed v2 extraction (S4) end-to-end: synthesize a PSI response
+    body per document, run the real pruned-schema from_json extraction +
+    validation (modules/google_pagespeed.py), flatten the nested record.
+
+    Scale: the body never leaves the executor — synthesis, parse and
+    struct navigation are one map-side codegen stage with zero exchanges
+    (the final ORDER BY is presentation-only). from_json deserializes
+    only the ~50 navigated paths of the megabyte response."""
+    from dawis_spark.modules.google_pagespeed import psi_facts
+    from dawis_spark.schemas import LABDATA_STRUCT, LOADING_EXPERIENCE_STRUCT
+
+    docs = spark.table("documents").select(
+        F.concat(F.lit("https://ex.com/doc/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.col("source").alias("cluster"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("desktop"))
+        .otherwise(F.lit("mobile"))
+        .alias("strategy"),
+        F.expr(_psi_body_expr()).alias("body"),
+        F.col("doc_id"),
+    )
+    facts = psi_facts(docs)
+    flat = [
+        F.col("url"),
+        F.col("strategy"),
+        F.col("date"),
+        F.col("statusCode"),
+        F.col("cluster"),
+    ]
+    for f in LABDATA_STRUCT.fields:
+        flat.append(F.col("labdata")[f.name].alias(f"lab_{f.name}"))
+    for f in LOADING_EXPERIENCE_STRUCT.fields:
+        flat.append(
+            F.col("originLoadingExperience")[f.name].alias(f"ole_{f.name}")
+        )
+    for f in LOADING_EXPERIENCE_STRUCT.fields:
+        flat.append(F.col("loadingExperience")[f.name].alias(f"le_{f.name}"))
+    return facts.select(*flat).orderBy("url")
