@@ -165,8 +165,91 @@ def _tag_checks(
     return parts
 
 
+def _canonical_checks(
+    extracted: DataFrame, config: dict, probes: DataFrame | None
+) -> list[DataFrame]:
+    """The full canonical family (reference metatags.py:688-807).
+
+    get_canonical_href (:688-698) iterates every <link rel=canonical> and
+    keeps the LAST href ('' when none) — replicated as element_at(-1).
+
+    - has_canonical (:700-738): valid only when a canonical EXISTS and the
+      assert is True (the reference's inner-if quirk: asserting False can
+      never pass — valid = exists AND assert); error 'no canonical' when
+      absent.
+    - canonical_is_self_referencing (:740-770): valid = exists AND
+      href == own URL AND assert; error always ''.
+    - canonical_href_200 (:772-807): the live GET probe routed through the
+      connector harness — ``probes`` is a (href, status_code) DataFrame
+      produced OUTSIDE the lazy DAG (live connector or FixtureConnector in
+      tests; side-effecting HTTP never hides inside a transformation).
+      valid = (status == 200) == assert; error when a href probes non-200.
+    """
+    canonical_cfg = config["canonical"]
+    if canonical_cfg is True:  # legacy single-check grammar
+        canonical_cfg = {"canonical_is_self_referencing": True}
+    own = assemble_url(F.col("url"))
+    exists = F.size("__canonicals") > 0
+    href = F.when(exists, F.element_at("__canonicals", -1)).otherwise(F.lit(""))
+    extracted = extracted.withColumn("__href", href)
+    parts: list[DataFrame] = []
+    if "has_canonical" in canonical_cfg:
+        want = bool(canonical_cfg["has_canonical"])
+        parts.append(
+            emit_checks(
+                extracted,
+                "metatags-has_canonical",
+                valid=exists & F.lit(want),
+                value=F.col("__href"),
+                error=F.when(~exists, F.lit("no canonical")).otherwise(F.lit("")),
+            )
+        )
+    if "canonical_is_self_referencing" in canonical_cfg:
+        want = bool(canonical_cfg["canonical_is_self_referencing"])
+        parts.append(
+            emit_checks(
+                extracted,
+                "metatags-canonical_is_self_referencing",
+                valid=exists & (F.col("__href") == own) & F.lit(want),
+                value=F.col("__href"),
+                error=F.when(~exists, F.lit("canonical missing")).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+    if "canonical_href_200" in canonical_cfg:
+        if probes is None:
+            raise ValueError(
+                "canonical_href_200 needs probe results: pass "
+                "probes=(href, status_code) from the connector harness"
+            )
+        want = bool(canonical_cfg["canonical_href_200"])
+        probed = extracted.join(
+            probes.select(
+                F.col("href").alias("__href"),
+                F.col("status_code").alias("__status"),
+            ),
+            "__href",
+            "left",
+        )
+        ok200 = exists & (F.col("__status") == 200)
+        parts.append(
+            emit_checks(
+                probed,
+                "metatags-canonical_href_200",
+                valid=ok200 == F.lit(want),
+                value=F.col("__href"),
+                error=F.when(
+                    exists & ~F.coalesce(F.col("__status") == 200, F.lit(False)),
+                    F.lit("href in canonical not valid"),
+                ).otherwise(F.lit("")),
+            )
+        )
+    return parts
+
+
 @register("metatags")
-def evaluate(docs: DataFrame, config: dict) -> DataFrame:
+def evaluate(docs: DataFrame, config: dict, probes: DataFrame | None = None) -> DataFrame:
     extracted = docs.withColumn("__titles", extract_titles(F.col("body"))).withColumn(
         "__descriptions", extract_descriptions(F.col("body"))
     ).withColumn("__canonicals", extract_canonicals(F.col("body")))
@@ -176,23 +259,7 @@ def evaluate(docs: DataFrame, config: dict) -> DataFrame:
     parts += _tag_checks(extracted, "description", "__descriptions", config)
 
     if "canonical" in config:
-        # canonical self-reference (:740-770): exactly one canonical whose
-        # href equals the document's own URL string
-        own = assemble_url(F.col("url"))
-        href = F.when(
-            F.size("__canonicals") == 1, F.element_at("__canonicals", 1)
-        ).otherwise(F.lit(None))
-        parts.append(
-            emit_checks(
-                extracted,
-                "metatags-canonical",
-                valid=href.isNotNull() & (href == own),
-                value=F.coalesce(href, F.lit("")),
-                error=F.when(F.size("__canonicals") == 0, F.lit("canonical missing"))
-                .when(F.size("__canonicals") > 1, F.lit("multiple canonicals"))
-                .otherwise(F.lit("")),
-            )
-        )
+        parts += _canonical_checks(extracted, config, probes)
     if not parts:
         raise ValueError("metatags: no checks configured")
     return union_checks(parts)

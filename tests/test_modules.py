@@ -144,11 +144,95 @@ def test_metatags_canonical_self_reference(spark):
         [_html_doc("/a.html", HTML_OK), _html_doc("/no.html", HTML_NO_TITLE)],
         HTML_DOC_SCHEMA,
     )
+    # legacy boolean grammar maps to the self-referencing check
     out = get_module("metatags")(docs, {"canonical": True})
     c = _checks(out)
-    assert c[("metatags-canonical", "/a.html")]["valid"] is True
-    bad = c[("metatags-canonical", "/no.html")]
+    assert c[("metatags-canonical_is_self_referencing", "/a.html")]["valid"] is True
+    bad = c[("metatags-canonical_is_self_referencing", "/no.html")]
     assert bad["valid"] is False and bad["error"] == "canonical missing"
+
+
+HTML_FOREIGN_CANONICAL = (
+    "<html><head><link rel='canonical' href='https://other.de/x.html'/>"
+    "</head><body></body></html>"
+)
+HTML_TWO_CANONICALS = (
+    "<html><head><link rel='canonical' href='https://first.de/1.html'/>"
+    "<link rel='canonical' href='https://www.example.de/two.html'/>"
+    "</head><body></body></html>"
+)
+
+
+def test_metatags_has_canonical_family(spark):
+    docs = spark.createDataFrame(
+        [
+            _html_doc("/a.html", HTML_OK),
+            _html_doc("/no.html", HTML_NO_TITLE),
+            _html_doc("/foreign.html", HTML_FOREIGN_CANONICAL),
+            _html_doc("/two.html", HTML_TWO_CANONICALS),
+        ],
+        HTML_DOC_SCHEMA,
+    )
+    cfg = {"canonical": {"has_canonical": True, "canonical_is_self_referencing": True}}
+    c = _checks(get_module("metatags")(docs, cfg))
+    # has_canonical: valid iff a canonical exists (reference quirk: the
+    # assert can only pass when one exists)
+    assert c[("metatags-has_canonical", "/a.html")]["valid"] is True
+    missing = c[("metatags-has_canonical", "/no.html")]
+    assert missing["valid"] is False and missing["error"] == "no canonical"
+    assert c[("metatags-has_canonical", "/foreign.html")]["valid"] is True
+    # last <link rel=canonical> wins (reference get_canonical_href loop)
+    two = c[("metatags-canonical_is_self_referencing", "/two.html")]
+    assert two["value"] == "https://www.example.de/two.html"
+    assert two["valid"] is True
+    # foreign canonical: exists but not self-referencing
+    foreign = c[("metatags-canonical_is_self_referencing", "/foreign.html")]
+    assert foreign["valid"] is False and foreign["value"] == "https://other.de/x.html"
+
+
+def test_metatags_canonical_href_200_probe(spark):
+    """The live 200-probe routed through the connector harness: a
+    FixtureConnector stands in for HTTP and produces (href, status_code)."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.sources.connectors import FixtureConnector
+
+    statuses = {"https://www.example.de/a.html": 200, "https://other.de/x.html": 404}
+    probe_schema = T.StructType(
+        [
+            T.StructField("href", T.StringType(), False),
+            T.StructField("status_code", T.IntegerType(), False),
+        ]
+    )
+    connector = FixtureConnector(
+        probe_schema,
+        lambda item: {"href": item["href"], "status_code": statuses[item["href"]]},
+    )
+    probes, failed = connector.ingest(
+        spark, [{"href": h} for h in sorted(statuses)]
+    )
+    assert not failed
+    docs = spark.createDataFrame(
+        [
+            _html_doc("/a.html", HTML_OK),
+            _html_doc("/foreign.html", HTML_FOREIGN_CANONICAL),
+            _html_doc("/no.html", HTML_NO_TITLE),
+        ],
+        HTML_DOC_SCHEMA,
+    )
+    cfg = {"canonical": {"canonical_href_200": True}}
+    c = _checks(get_module("metatags")(docs, cfg, probes=probes))
+    assert c[("metatags-canonical_href_200", "/a.html")]["valid"] is True
+    bad = c[("metatags-canonical_href_200", "/foreign.html")]
+    assert bad["valid"] is False and bad["error"] == "href in canonical not valid"
+    # no canonical: probe result False == assert True -> invalid, no error
+    none = c[("metatags-canonical_href_200", "/no.html")]
+    assert none["valid"] is False and none["error"] == ""
+    # probes are mandatory for this check
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe"):
+        get_module("metatags")(docs, cfg)
 
 
 def test_htmlheadings_h1_count(spark):
