@@ -1666,3 +1666,288 @@ def psi_metric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in LOADING_EXPERIENCE_STRUCT.fields:
         flat.append(F.col("loadingExperience")[f.name].alias(f"le_{f.name}"))
     return facts.select(*flat).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: EXISTS/anti shapes, correlated scalars, market share,
+# top-k revenue — the relational shapes a warehouse engine must plan well
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> left-semi): order counts by priority for
+    orders with at least one returned line. (The canonical Q4 predicate is
+    l_commitdate < l_receiptdate; those columns don't exist in the
+    testdata, so the returned-line predicate keeps the identical plan
+    shape.)
+
+    Scale: the date filter prunes orders at the scan; the EXISTS becomes
+    ONE left-semi hash join on l_orderkey (no row duplication before the
+    aggregate); the groupBy key space is 5 priorities, so the final
+    shuffle is negligible.
+    """
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    returned = spark.table("lineitem").filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate. The whole query is one
+    map-side pass: every predicate pushes to the parquet scan (min/max
+    row-group pruning on l_shipdate), the SUM partial-aggregates per
+    partition, and a single scalar crosses the wire."""
+    return spark.sql(_Q6_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 6)
+         AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year.
+    Two-role nation dim (customer side filters through region; supplier
+    side labels the share) — both roles plus part/customer/supplier/
+    region broadcast under AQE, so the lineitem fact never shuffles for
+    a dimension; the only exchange is the 7-group year aggregate."""
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18, 2))
+           * (1 - CAST(l_discount AS DECIMAL(4, 2))) AS amount
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) t
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation-per-year profit over a part-name
+    pattern. (The canonical Q9 subtracts ps_supplycost; the testdata has
+    no partsupp table, so amount is the discounted price — same joins,
+    same plan.) The LIKE filter prunes part before the fact join; all
+    dims broadcast; partial aggregation runs map-side before the
+    (nation x year) shuffle."""
+    return spark.sql(_Q9_SQL)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue in a quarter. Both
+    selective filters push to the scans before the orders-lineitem join;
+    nation broadcasts; the final top-k is a TakeOrdered over the grouped
+    result, not a full sort."""
+    return spark.sql(_Q10_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the max quarterly revenue. The
+    revenue CTE aggregates once; the scalar-max subquery reuses it (one
+    extra reduce to a single row, broadcast back as a filter) — no
+    window, no second scan of lineitem. Rounding to 2 digits on BOTH the
+    CTE and the comparison keeps the float equality engine-portable."""
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l_partkey
+  )
+"""
+
+
+@query("q17_small_quantity", oracle=_Q17_SQL)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average quantity).
+    Catalyst decorrelates it into an aggregate-then-join on l_partkey —
+    the same shape as above_brand_avg_price — so the 'per row subquery'
+    costs one extra aggregation over the brand's lines, not N scans."""
+    return spark.sql(_Q17_SQL)
+
+
+_Q18_SQL = """
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 120
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_orders", oracle=_Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders. The IN-subquery is an aggregate
+    producing bare orderkeys -> left-semi join (key-only build side, far
+    smaller than the fact); the outer aggregate then runs only on
+    surviving orders. Top-100 by price is TakeOrdered."""
+    return spark.sql(_Q18_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+JOIN nation    ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_1'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("q21_sole_blame_supplier", oracle=_Q21_SQL)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a failed
+    multi-supplier order (EXISTS another supplier's line, NOT EXISTS
+    another returned line — return flag stands in for the receipt-delay
+    predicate absent from the testdata). Catalyst plans the EXISTS as a
+    left-semi and the NOT EXISTS as a left-anti join, both on
+    l_orderkey; the nation filter prunes supplier before the fact join;
+    top-10 is TakeOrdered."""
+    return spark.sql(_Q21_SQL)
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.user_id AS user_id, a.event_id AS event_id, a.ts AS ts,
+       CAST(COUNT(b.event_id) AS BIGINT) AS n_following
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id, a.event_id, a.ts
+ORDER BY user_id, event_id
+"""
+
+
+@query("events_following_1h", oracle=_RANGE_JOIN_ORACLE)
+def events_following_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range self-join: per event, the count of same-user events in
+    the following hour (attribution-window shape).
+
+    Scale: a naive theta-join here is a BroadcastNestedLoopJoin — O(N²)
+    comparisons and a corpus broadcast. following_count bin-buckets time
+    into Δ-wide bins and equi-joins on (user_id, bin), so the only
+    shuffle is a hash join keyed (user, hour-bin) and the per-bucket
+    fan-out is bounded by each user's event density, not corpus size
+    (operators/rangejoin.py)."""
+    from dawis_spark.operators.rangejoin import following_count
+
+    e = spark.table("events").select("user_id", "event_id", "ts")
+    return following_count(
+        e, ["user_id"], "event_id", "ts", 3600
+    ).select("user_id", "event_id", "ts", "n_following").orderBy("user_id", "event_id")
