@@ -1951,3 +1951,89 @@ def events_following_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return following_count(
         e, ["user_id"], "event_id", "ts", 3600
     ).select("user_id", "event_id", "ts", "n_following").orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level training-data ops: vocabulary, packing, decontamination
+# ---------------------------------------------------------------------------
+
+def _vocab_oracle(k: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({toks})) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM t GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT {k}
+"""
+
+
+@query("vocab_top_tokens", oracle=_vocab_oracle(50))
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 tokens by document frequency — the
+    input to BPE vocab pruning / idf weighting. Scale: the shuffle
+    carries (token, partial count) — vocab-sized, not corpus-sized; the
+    top-k is TakeOrdered (operators/corpus.py)."""
+    from dawis_spark.operators.corpus import token_document_frequency
+
+    return token_document_frequency(
+        spark.table("documents"), "doc_id", "text", top_k=50
+    )
+
+
+def _packing_oracle(budget: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}) AS BIGINT) AS shard_id
+FROM t ORDER BY source, doc_id
+"""
+
+
+@query("doc_packing_shards", oracle=_packing_oracle(4096))
+def doc_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential document packing into 4096-token shards, scoped
+    per source — context-window filling for training shards. Packing is
+    inherently sequential, so it's windowed per partition key (the
+    streams parallelize across sources); never a global order
+    (operators/corpus.py)."""
+    from dawis_spark.operators.corpus import pack_documents
+
+    return pack_documents(
+        spark.table("documents"), "doc_id", "text", "source", 4096
+    ).orderBy("source", "doc_id")
+
+
+def _contamination_oracle(k: int) -> str:
+    sh = _TXT.shingle_hashes("text", k, "duck")
+    return f"""
+WITH h AS (SELECT source, doc_id, unnest({sh}) AS sh FROM documents),
+bench AS (SELECT DISTINCT sh FROM h WHERE source = 'src0'),
+corpus AS (SELECT doc_id, sh FROM h WHERE source <> 'src0')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_shingles
+FROM corpus JOIN bench USING (sh)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("benchmark_contamination", oracle=_contamination_oracle(_SHINGLE_K))
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (GPT-3 appendix C shape): corpus docs
+    sharing >= 1 word-3-gram with the 'benchmark' slice (source src0).
+    Scale: both sides reduce to (id, 8-byte hash) map-side; one hash
+    join on the hash — document bodies never shuffle
+    (operators/corpus.py)."""
+    from dawis_spark.operators.corpus import benchmark_contamination
+
+    docs = spark.table("documents")
+    return benchmark_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        shingle_k=_SHINGLE_K,
+    ).orderBy("doc_id")
