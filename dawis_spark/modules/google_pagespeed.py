@@ -220,14 +220,26 @@ def extract_psi(docs: DataFrame, body_col: str = "body") -> DataFrame:
     origin_fallback), error ('' for valid rows — the reference's
     _InvalidDataException cases carry a reason string instead).
     """
-    r = F.from_json(F.col(body_col), RAW_PSI_SCHEMA)
+    # Parse ONCE and fan the fields out from the parsed attribute. A naive
+    # per-consumer from_json would re-parse the body per output field:
+    # Catalyst's JSON-expression optimization rewrites every
+    # GetStructField(JsonToStructs(...)) into its own schema-pruned
+    # from_json (observed: 160 JsonToStructs in the optimized plan,
+    # ~30 ms/row — each copy still scans the full body text). Routing the
+    # parse through explode(array(...)) puts it in a Generate node whose
+    # output is a plain attribute, which neither CollapseProject nor the
+    # JSON rule can inline — exactly one parse per row.
+    parsed = docs.withColumn(
+        "__p", F.explode(F.array(F.from_json(F.col(body_col), RAW_PSI_SCHEMA)))
+    )
+    r = F.col("__p")
     raw_le = r["loadingExperience"]
     le = F.when(
         raw_le.isNotNull()
         & (raw_le["origin_fallback"].isNull() | ~raw_le["origin_fallback"]),
         _loading_experience(raw_le),
     )
-    out = docs.select(
+    out = parsed.select(
         F.col("url"),
         F.col("strategy"),
         F.to_timestamp(
