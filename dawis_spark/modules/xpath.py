@@ -35,13 +35,22 @@ DEFAULT_MATCH_SEPERATOR = "|"  # xpath.py:27 (reference spelling kept)
 SUPPORTED_OPERATIONS = ("null", "length", "wordcount", "regex_match", "regex_count")
 
 
-def extract_elements(df: DataFrame, query: str) -> DataFrame:  # pragma: no cover
-    """XPath extraction over arbitrary HTML needs lxml — absent here.
-    Spark's built-in ``xpath()`` covers well-formed XML only (SURVEY §2.8).
-    Feed pre-extracted ``content`` rows instead (fixtures / upstream UDF)."""
-    raise NotImplementedError(
-        "HTML-tolerant XPath extraction requires lxml; provide pre-extracted "
-        "element content or use pyspark.sql.functions.xpath on well-formed XML"
+def extract_elements(df: DataFrame, query: str, body_col: str = "body") -> DataFrame:
+    """Live XPath extraction over staged HTML (reference xpath.py:282-302):
+    one ``content`` row per matched element, ready for ``evaluate``.
+
+    The engine is the stdlib-based tolerant parser + ElementTree XPath
+    subset in functions/html.html_xpath (tag paths, '//', '*', attribute
+    and position predicates, trailing '/@attr' and '/text()'). lxml's
+    FULL XPath grammar (axes, functions, unions) is NOT covered — queries
+    outside the subset return no rows; swap in lxml for full parity if it
+    lands in the environment. Map-side: parse + match run in one
+    Arrow-batched UDF, the explode is the only plan change."""
+    from dawis_spark.functions.html import extract_xpath
+
+    return (
+        df.withColumn("query", F.lit(query))
+        .withColumn("content", F.explode(extract_xpath(query)(F.col(body_col))))
     )
 
 

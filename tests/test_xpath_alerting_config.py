@@ -163,3 +163,44 @@ def test_config_validation_errors():
     assert validate({"operations": {"m": {"runtime_limit": "soon"}}}) != []
     with pytest.raises(ValueError):
         load_configuration("urlsets:\n  a: {}\n")
+
+
+def test_html_xpath_subset_semantics():
+    from dawis_spark.functions.html import html_xpath
+
+    h = (
+        "<html><head><title>T</title></head><body>"
+        "<div class='main'><p>first</p><p>second <b>bold</b></p></div>"
+        "<div class='side'><a href='/x'>link</a></div>"
+        "<img src='i.png'><p>tail</p></body></html>"
+    )
+    # element with element children serializes the children (reference
+    # xpath.py:289-296); leaf elements return their text
+    assert html_xpath(h, "//div[@class='main']/p") == ["first", "<b>bold</b>"]
+    assert html_xpath(h, "//div[@class='side']") == ['<a href="/x">link</a>']
+    assert html_xpath(h, "//a/@href") == ["/x"]
+    assert html_xpath(h, "//title/text()") == ["T"]
+    # void elements don't swallow siblings; absolute paths work
+    assert html_xpath(h, "/html/body/p") == ["tail"]
+    # broken markup tolerated (unclosed p, stray end tag)
+    assert html_xpath("<div><p>a<p>b</div></span>", "//p") == ["a", "b"]
+
+
+def test_xpath_extract_then_operate_end_to_end(spark):
+    """Live HTML -> extract_elements -> length operation (the previously
+    stubbed extraction path, now stdlib-backed)."""
+    import datetime as dt
+
+    from dawis_spark.modules.xpath import extract_elements
+
+    body = "<html><body><h2>alpha</h2><h2>longer-headline</h2></body></html>"
+    docs = spark.createDataFrame(
+        [("https://e.de/", "c", "n", dt.datetime(2026, 5, 1), body)],
+        "url string, cluster string, name string, date timestamp, body string",
+    )
+    extracted = extract_elements(docs, "//h2")
+    out = get_module("xpath")(extracted, {"operation": "length"})
+    results = sorted(
+        (r["element"]["content"], r["element"]["result"]) for r in out.collect()
+    )
+    assert results == [("alpha", "5"), ("longer-headline", "15")]
