@@ -115,3 +115,53 @@ def benchmark_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = polynomial hash
+    of (salt + id) mod 100, mapped to splits by cumulative weight.
+
+    Properties a training pipeline needs and random() can't give:
+    reproducible across runs/engines (the hash is the dual-rendered
+    functions/text.char_hash), stable under corpus growth (a document
+    never changes split when others are added), and salt-versioned
+    (changing the salt re-rolls every assignment). Map-side only —
+    zero shuffles.
+    """
+    h = TXT.char_hash(f"concat('{salt}', cast({id_col} as string))", "spark")
+    bucket = F.expr(f"({h}) % 100")
+    expr = None
+    edge = 0.0
+    for name, w in weights.items():
+        edge += w * 100
+        cond = bucket < F.lit(int(round(edge)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, id_col: str, n_per_group: int, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    hash(salt + id) and keep the first n — an unbiased, reproducible
+    stand-in for per-stratum random sampling.
+
+    Scale: one window per group (hash partition on ``group_col``); the
+    hash order is data-independent so re-runs and engines agree. For
+    heavily skewed strata sizes the window is still a single pass —
+    no per-group collect, no sortWithinPartitions of the full corpus.
+    """
+    from pyspark.sql import Window
+
+    h = TXT.char_hash(f"concat('{salt}', cast({id_col} as string))", "spark")
+    w = Window.partitionBy(group_col).orderBy(F.expr(h), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )

@@ -2037,3 +2037,54 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         shingle_k=_SHINGLE_K,
     ).orderBy("doc_id")
+
+
+def _split_oracle() -> str:
+    h = _TXT.char_hash("concat('split', cast(doc_id as varchar))", "duck")
+    return f"""
+WITH b AS (SELECT source, doc_id, ({h}) % 100 AS bucket FROM documents)
+SELECT source, doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY source, doc_id
+"""
+
+
+@query("dataset_split", oracle=_split_oracle())
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment via salted content
+    hash — reproducible across engines and stable under corpus growth
+    (a doc's split never changes when others are added). Map-side only
+    (operators/corpus.hash_split)."""
+    from dawis_spark.operators.corpus import hash_split
+
+    return hash_split(
+        spark.table("documents").select("source", "doc_id"),
+        "doc_id",
+        {"train": 0.90, "val": 0.05, "test": 0.05},  # cumulative edges 90/95/100
+    ).orderBy("source", "doc_id")
+
+
+def _stratified_oracle(n: int) -> str:
+    h = _TXT.char_hash("concat('sample', cast(doc_id as varchar))", "duck")
+    return f"""
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ({h}), doc_id) AS rk
+  FROM documents
+)
+SELECT source, doc_id FROM r WHERE rk <= {n} ORDER BY source, doc_id
+"""
+
+
+@query("stratified_sample_docs", oracle=_stratified_oracle(5))
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source sample ranked by salted hash — the
+    reproducible stand-in for per-stratum random sampling; one window
+    pass, no per-group collect (operators/corpus.stratified_sample)."""
+    from dawis_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        spark.table("documents").select("source", "doc_id"), "source", "doc_id", 5
+    ).orderBy("source", "doc_id")

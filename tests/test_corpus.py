@@ -47,3 +47,31 @@ def test_benchmark_contamination_counts_shared_shingles(spark):
     out = {r["id"]: r["shared_shingles"] for r in
            benchmark_contamination(corpus, bench, "id", "text", 3).collect()}
     assert out == {1: 2}  # clean doc 2 absent
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    from dawis_spark.operators.corpus import hash_split
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    small = spark.createDataFrame([(i,) for i in range(50)], "id bigint")
+    big = spark.createDataFrame([(i,) for i in range(200)], "id bigint")
+    s = {r["id"]: r["split"] for r in hash_split(small, "id", w).collect()}
+    b = {r["id"]: r["split"] for r in hash_split(big, "id", w).collect()}
+    assert all(b[i] == s[i] for i in s)  # membership never re-rolls
+    assert set(b.values()) == {"train", "val", "test"}
+    # salt re-rolls assignments
+    s2 = {r["id"]: r["split"] for r in hash_split(small, "id", w, salt="v2").collect()}
+    assert s2 != s
+
+
+def test_stratified_sample_deterministic_n_per_group(spark):
+    from dawis_spark.operators.corpus import stratified_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    a = sorted((r["grp"], r["id"]) for r in stratified_sample(df, "grp", "id", 4).collect())
+    b = sorted((r["grp"], r["id"]) for r in stratified_sample(df, "grp", "id", 4).collect())
+    assert a == b and len(a) == 12
+    from collections import Counter
+
+    assert set(Counter(g for g, _ in a).values()) == {4}
