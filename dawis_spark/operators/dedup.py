@@ -348,3 +348,81 @@ def ngram_jaccard_pairs(
     )
     approx = verify(lsh_pairs).withColumn("pair_method", F.lit("lsh"))
     return exact.unionByName(approx)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``pairs`` — cluster_id is the
+    minimum id reachable through the pair graph. The capstone of the
+    near-dup pipeline: LSH/Jaccard emit PAIRS, but keep-one-per-cluster
+    dedup needs the transitive closure (A~B, B~C => one cluster).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(graph diameter) rounds. Duplicate clusters are near-cliques
+    (diameter 2-3), so 3-4 rounds settle real corpora; ``max_iterations``
+    bounds adversarial chains. The O(log n) large-star/small-star variant
+    (Kiveris et al. 2014) drops in here if million-node chains appear.
+
+    Scale: each round is one shuffle join (edges x labels) + one groupBy
+    on node id — both partition by the same key, so AQE reuses the
+    layout. Labels persist per round and the previous round unpersists;
+    every few rounds the lineage is truncated (localCheckpoint) so plan
+    depth stays bounded. Convergence check is a driver-side count of
+    changed labels (an aggregate, not a collect of the data).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    backing = labels  # the persisted DF the current `labels` reads from
+    try:
+        for i in range(max_iterations):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                        "__changed"
+                    ),
+                )
+            )
+            if (i + 1) % 5 == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
+            # the convergence probe materializes EVERY partition of
+            # new_labels' cache (a limit(1) probe would stop early and
+            # leave holes); only then is the previous round's backing
+            # store safe to drop — unpersisting it earlier forces a full
+            # lineage recompute every round, quadratic work
+            changed = new_labels.filter("__changed").count()
+            backing.unpersist()
+            backing = new_labels
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                break
+        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()

@@ -2088,3 +2088,56 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         spark.table("documents").select("source", "doc_id"), "source", "doc_id", 5
     ).orderBy("source", "doc_id")
+
+
+def _clusters_oracle(threshold: float) -> str:
+    pairs_sql = _lsh_pairs_oracle(threshold).strip().rstrip()
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+@query("duplicate_clusters", oracle=_clusters_oracle(0.2))
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup capstone: near-dup PAIRS (MinHash+LSH, Jaccard >= 0.2)
+    -> duplicate CLUSTERS via connected components (min-label
+    propagation), so keep-one-per-cluster dedup has its group key.
+
+    Scale: each propagation round is one edges-x-labels join + groupBy
+    on node id (same partitioning, AQE reuses the exchange); duplicate
+    clusters are near-cliques so rounds ~ diameter ~ 3. The oracle walks
+    the same graph with a recursive CTE (operators/dedup.py
+    connected_components)."""
+    from dawis_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    # persisted: connected_components reads the pair relation twice
+    # (both edge directions) — one evaluation of the LSH pipeline, not two
+    pairs = minhash_near_duplicates(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        n_perms=_N_PERMS,
+        bands=_BANDS,
+        threshold=0.2,
+        shingle_k=_SHINGLE_K,
+    ).persist()
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )

@@ -249,3 +249,27 @@ def test_ngram_empty_shingle_docs_excluded_on_both_routes(spark):
         df, "id", "text", "grp", shingle_k=3, max_block_rows=1
     ).collect()
     assert all(r["id_a"] >= 3 for r in capped), capped
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from dawis_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    # 5-node chain (diameter 4) converges to min id; separate pair intact
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_iteration_cap(spark):
+    from dawis_spark.operators.dedup import connected_components
+
+    # a long chain with max_iterations too small: labels are still valid
+    # partial propagation (monotone), full convergence needs more rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a bigint, id_b bigint"
+    )
+    full = {r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, max_iterations=20).collect()}
+    assert set(full.values()) == {1}
