@@ -165,3 +165,113 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (smooth idf,
+    sklearn formulation: idf = ln((N+1)/(df+1)) + 1, tf = raw count).
+
+    Output: (id, token, tfidf, term_rank) with term_rank 1..k; ties break
+    lexicographically so ranks are deterministic across engines.
+
+    Scale: one explode -> (id, token) partial counts (the tf relation);
+    doc-frequency is a groupBy on token over that relation (vocab-sized,
+    orders smaller than the corpus); N joins in as a broadcast 1-row
+    aggregate so the plan stays lazy. The final top-k is a window over
+    each document's OWN terms (partition key = id), not a global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = TXT.tokens(text_col, "spark")
+    tf = (
+        df.select(F.col(id_col), F.explode(F.expr(toks)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "token", "tfidf", "term_rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-words query
+    (Robertson/Lucene idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Output: top ``top_n`` (id, bm25) by score desc, id asc.
+
+    Scale: the explode is filtered to the query terms BEFORE the shuffle,
+    so the (id, token) relation carries only matching postings — the
+    classic inverted-index access pattern, corpus-size-independent for
+    selective terms. Corpus stats (N, avgdl) ride along as a broadcast
+    1-row aggregate; doc length joins on id (same key as the postings).
+    """
+    toks = TXT.tokens(text_col, "spark")
+    base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    dl = base.select(
+        F.col(id_col), F.expr("size(__toks)").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    term_tf = (
+        base.select(F.col(id_col), F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(list(terms)))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = term_tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    scored = (
+        term_tf.join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(top_n)
+    )

@@ -426,3 +426,34 @@ def connected_components(
         return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+
+
+def keep_one_per_cluster(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Materialize the dedup decision: keep exactly one document per
+    duplicate cluster (the one whose id IS the cluster_id — connected
+    components labels each cluster with its minimum member id, so the
+    canonical keeper needs no extra ranking pass) plus every document
+    that belongs to no cluster.
+
+    ``clusters`` is connected_components output: (id, cluster_id).
+
+    Scale: one left join corpus x clusters on id — the cluster relation
+    is only the CLUSTERED docs (orders smaller than the corpus for any
+    real dup rate), so AQE broadcast-downgrades it when small and the
+    corpus never reshuffles otherwise beyond the id hash join. The
+    survivor predicate is a map-side filter.
+    """
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id")
+    )
+    joined = corpus.select(id_col).join(cl, id_col, "left")
+    return joined.filter(
+        F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+    ).select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )

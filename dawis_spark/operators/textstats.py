@@ -163,3 +163,114 @@ def normalized_text_sql(text_col: str, dialect: str) -> str:
     if dialect == "spark":
         return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
     return f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate signals (Gopher-style, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals used by Gopher/MassiveText-style
+    quality filtering: fraction of tokens that are repeats, weight of the
+    single most frequent token, and fraction of word n-grams that recur.
+
+    Output: (id, n_tokens, dup_token_frac, top_token_frac, dup_ngram_frac),
+    fractions rounded to 6 for oracle parity.
+
+    Scale: tokens and n-grams are tagged ('t:'/'g:') and emitted through a
+    SINGLE explode, so the corpus is scanned once and there is one shuffle
+    on (id, unit) with map-side partial counts, then a tiny (id)-keyed
+    conditional aggregation. The shuffle carries the unit strings; at
+    extreme scale swap the tag+string for the dual-rendered char_hash
+    (functions/text.py) to shrink shuffle bytes at the cost of map CPU.
+    """
+    toks = TXT.tokens(text_col, "spark")
+    sh = TXT.shingles("__toks", ngram_n, "spark")
+    units = (
+        f"concat(transform(__toks, t -> 't:' || t), "
+        f"transform({sh}, s -> 'g:' || s))"
+    )
+    exploded = (
+        df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .select(F.col(id_col), F.explode(F.expr(units)).alias("u"))
+    )
+    cnt = exploded.groupBy(id_col, "u").agg(F.count(F.lit(1)).alias("c"))
+    is_t = F.col("u").startswith("t:")
+    is_g = F.col("u").startswith("g:")
+    tok_total = F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0)))
+    ng_total = F.sum(F.when(is_g, F.col("c")).otherwise(F.lit(0)))
+    return cnt.groupBy(id_col).agg(
+        tok_total.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(is_t & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.greatest(tok_total, F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.max(F.when(is_t, F.col("c"))).cast("double")
+            / F.greatest(tok_total, F.lit(1)),
+            6,
+        ).alias("top_token_frac"),
+        F.round(
+            F.sum(F.when(is_g & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.greatest(ng_total, F.lit(1)),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level cleaning signals (C4-style, Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+def line_stats_sql(text_col: str, dialect: str, min_words: int = 3) -> dict[str, str]:
+    """Dual-rendered per-document line-filter counters over newline-split
+    text: C4 keeps lines that end in terminal punctuation AND have at
+    least ``min_words`` words; we expose both predicates separately so
+    callers can recombine. Keys: n_lines, n_short_lines, n_unpunct_lines,
+    n_kept_lines."""
+    if dialect == "spark":
+        lines = f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
+        nwords = "size(filter(split(trim(l), ' '), w -> w != ''))"
+        punct = "rtrim(l) rlike '[.!?\"]$'"
+        size_, filter_ = "size", "filter"
+    else:
+        lines = (
+            f"list_filter(string_split({text_col}, chr(10)), l -> trim(l) != '')"
+        )
+        nwords = "len(list_filter(string_split(trim(l), ' '), w -> w != ''))"
+        punct = "regexp_matches(rtrim(l), '[.!?\"]$')"
+        size_, filter_ = "len", "list_filter"
+    short = f"{nwords} < {min_words}"
+    return {
+        "n_lines": f"{size_}({lines})",
+        "n_short_lines": f"{size_}({filter_}({lines}, l -> {short}))",
+        "n_unpunct_lines": f"{size_}({filter_}({lines}, l -> not ({punct})))",
+        "n_kept_lines": (
+            f"{size_}({filter_}({lines}, l -> ({punct}) and not ({short})))"
+        ),
+    }
+
+
+def line_quality(
+    df: DataFrame, id_col: str, text_col: str, min_words: int = 3
+) -> DataFrame:
+    """C4-style line-filter counters + kept-line ratio per document.
+
+    Entirely array expressions inside whole-stage codegen — map-side at
+    any scale, the only cost is the scan. The DuckDB oracle renders the
+    identical definition via line_stats_sql(dialect='duckdb')."""
+    stats = line_stats_sql(text_col, "spark", min_words)
+    cols = [F.expr(e).cast("bigint").alias(k) for k, e in stats.items()]
+    return df.select(F.col(id_col), *cols).withColumn(
+        "kept_line_frac",
+        F.round(
+            F.col("n_kept_lines").cast("double")
+            / F.greatest(F.col("n_lines"), F.lit(1)),
+            6,
+        ),
+    )

@@ -2090,7 +2090,10 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
-def _clusters_oracle(threshold: float) -> str:
+def _clusters_cte(threshold: float) -> str:
+    """WITH-prefix computing ``cl(doc_id, cluster_id)`` — the recursive
+    transitive closure of the LSH near-dup pair graph (shared by the
+    cluster and keep-canonical oracles)."""
     pairs_sql = _lsh_pairs_oracle(threshold).strip().rstrip()
     return f"""
 WITH RECURSIVE p AS ({pairs_sql}),
@@ -2103,10 +2106,16 @@ reach(src, dst) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+),
+cl AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id
+  FROM reach GROUP BY src
 )
-SELECT src AS doc_id, MIN(dst) AS cluster_id
-FROM reach GROUP BY src ORDER BY doc_id
 """
+
+
+def _clusters_oracle(threshold: float) -> str:
+    return _clusters_cte(threshold) + "SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"
 
 
 @query("duplicate_clusters", oracle=_clusters_oracle(0.2))
@@ -2141,3 +2150,245 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+def _keep_canonical_oracle(threshold: float) -> str:
+    return _clusters_cte(threshold) + """
+SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+WHERE cl.cluster_id IS NULL OR d.doc_id = cl.cluster_id
+ORDER BY d.doc_id
+"""
+
+
+@query("dedup_keep_canonical", oracle=_keep_canonical_oracle(0.2))
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP: pairs (MinHash+LSH) -> clusters
+    (connected components) -> keep one doc per cluster (the min-id
+    member, which IS the cluster label) plus all unclustered docs.
+    This is the actual corpus-shrinking operation a training pipeline
+    runs; duplicate_clusters is its diagnostic view.
+
+    Scale: on top of the cluster pass, one id-keyed left join against a
+    cluster relation orders smaller than the corpus (AQE broadcasts it
+    when tiny) and a map-side survivor filter."""
+    from dawis_spark.operators.dedup import (
+        connected_components,
+        keep_one_per_cluster,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        n_perms=_N_PERMS,
+        bands=_BANDS,
+        threshold=0.2,
+        shingle_k=_SHINGLE_K,
+    ).persist()
+    clusters = connected_components(pairs)
+    return keep_one_per_cluster(
+        spark.table("documents"), clusters, "doc_id"
+    ).orderBy("doc_id")
+
+
+def _repetition_oracle(ngram_n: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    sh = _TXT.shingles("__toks", ngram_n, "duck")
+    tok_sum = "SUM(CASE WHEN u LIKE 't:%' THEN c ELSE 0 END)"
+    ng_sum = "SUM(CASE WHEN u LIKE 'g:%' THEN c ELSE 0 END)"
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+units AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(__toks, t -> 't:' || t),
+    list_transform({sh}, s -> 'g:' || s))) AS u
+  FROM base
+),
+cnt AS (SELECT doc_id, u, count(*) AS c FROM units GROUP BY doc_id, u)
+SELECT doc_id,
+  CAST({tok_sum} AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(CASE WHEN u LIKE 't:%' AND c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        / GREATEST({tok_sum}, 1), 6) AS dup_token_frac,
+  ROUND(CAST(MAX(CASE WHEN u LIKE 't:%' THEN c END) AS DOUBLE)
+        / GREATEST({tok_sum}, 1), 6) AS top_token_frac,
+  ROUND(CAST(SUM(CASE WHEN u LIKE 'g:%' AND c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        / GREATEST({ng_sum}, 1), 6) AS dup_ngram_frac
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("repetition_signals", oracle=_repetition_oracle(2))
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (dup-token
+    fraction, top-token weight, dup-2-gram fraction) over the documents
+    table — the signals MassiveText-class pipelines threshold on before
+    training (operators/textstats.repetition_stats)."""
+    return _TS.repetition_stats(
+        spark.table("documents"), "doc_id", "text", ngram_n=2
+    ).orderBy("doc_id")
+
+
+_LINED = "replace(replace(text, ' value ', '.' || chr(10)), ' table ', chr(10))"
+
+
+def _line_quality_oracle(min_words: int) -> str:
+    stats = _TS.line_stats_sql("ltext", "duckdb", min_words)
+    cols = ",\n  ".join(
+        f"CAST({e} AS BIGINT) AS {k}" for k, e in stats.items()
+    )
+    return f"""
+WITH lined AS (SELECT doc_id, {_LINED} AS ltext FROM documents),
+counted AS (SELECT doc_id, {cols} FROM lined)
+SELECT doc_id, n_lines, n_short_lines, n_unpunct_lines, n_kept_lines,
+  ROUND(CAST(n_kept_lines AS DOUBLE) / GREATEST(n_lines, 1), 6) AS kept_line_frac
+FROM counted ORDER BY doc_id
+"""
+
+
+@query("c4_line_quality", oracle=_line_quality_oracle(3))
+def c4_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-filter counters (Raffel et al. 2020 §2.2: drop lines
+    without terminal punctuation or with < 3 words). The corpus text is
+    single-line, so lines are derived deterministically first (sentence
+    breaks at ' value ', bare breaks at ' table ') — same derivation in
+    the oracle. Entirely map-side array expressions
+    (operators/textstats.line_quality)."""
+    lined = spark.table("documents").select(
+        "doc_id", F.expr(_LINED).alias("ltext")
+    )
+    return _TS.line_quality(lined, "doc_id", "ltext", min_words=3).orderBy(
+        "doc_id"
+    )
+
+
+def _tfidf_oracle(k: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH tk AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk GROUP BY doc_id, token),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         ROUND(tf * (ln((n_docs + 1) / (df_t + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tfidf, term_rank FROM ranked
+WHERE term_rank <= {k} ORDER BY doc_id, term_rank
+"""
+
+
+@query("tfidf_top_terms", oracle=_tfidf_oracle(3))
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smooth tf-idf — the
+    vocabulary/df relation is vocab-sized, N rides along as a broadcast
+    1-row aggregate, and the top-k is a per-document window, never a
+    global sort (operators/corpus.tfidf_top_terms)."""
+    from dawis_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(
+        spark.table("documents"), "doc_id", "text", k=3
+    ).orderBy("doc_id", "term_rank")
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+
+
+def _bm25_oracle(k1: float, b: float, top_n: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {top_n}
+"""
+
+
+@query("bm25_search", oracle=_bm25_oracle(1.2, 0.75, 10))
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a bag-of-words query. The explode
+    is filtered to the query terms BEFORE any shuffle — the inverted-index
+    access pattern, corpus-size-independent for selective terms
+    (operators/corpus.bm25_scores)."""
+    from dawis_spark.operators.corpus import bm25_scores
+
+    return bm25_scores(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        list(_BM25_TERMS),
+        k1=1.2,
+        b=0.75,
+        top_n=10,
+    )
+
+
+from dawis_spark.functions import pii as _PII
+
+
+def _pii_text(dialect: str) -> str:
+    """text + a deterministic PII suffix (the synthetic corpus contains no
+    organic PII, so the query plants one email/IP/phone per doc, keyed off
+    doc_id, identically in both dialects)."""
+    cast = "cast({} as string)" if dialect == "spark" else "CAST({} AS VARCHAR)"
+    return (
+        "text || ' contact user' || " + cast.format("doc_id")
+        + " || '@mail' || " + cast.format("doc_id % 7")
+        + " || '.example.com from 10.0.' || " + cast.format("doc_id % 250")
+        + " || '.' || " + cast.format("doc_id % 9")
+        + " || ' tel +49 30 1234 5' || " + cast.format("doc_id % 100")
+    )
+
+
+def _pii_oracle() -> str:
+    counts = _PII.pii_counts_sql("ptext", "duckdb")
+    cols = ",\n  ".join(f"CAST({e} AS BIGINT) AS {k}" for k, e in counts.items())
+    red = _PII.redact_sql("ptext", "duckdb")
+    return f"""
+WITH p AS (SELECT doc_id, {_pii_text('duckdb')} AS ptext FROM documents)
+SELECT doc_id,
+  {cols},
+  {red} AS redacted
+FROM p ORDER BY doc_id
+"""
+
+
+@query("pii_redaction", oracle=_pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count + redact emails, IPv4s, and
+    phone numbers with dual-rendered backslash-free regexes
+    (functions/pii.py). Pure map over the scan — zero shuffles at any
+    scale; the value-hash compares the redacted strings byte-for-byte."""
+    p = spark.table("documents").select(
+        "doc_id", F.expr(_pii_text("spark")).alias("ptext")
+    )
+    counts = _PII.pii_counts_sql("ptext", "spark")
+    return p.select(
+        "doc_id",
+        *[F.expr(e).cast("bigint").alias(k) for k, e in counts.items()],
+        F.expr(_PII.redact_sql("ptext", "spark")).alias("redacted"),
+    ).orderBy("doc_id")

@@ -75,3 +75,48 @@ def test_stratified_sample_deterministic_n_per_group(spark):
     from collections import Counter
 
     assert set(Counter(g for g, _ in a).values()) == {4}
+
+
+def test_tfidf_top_terms_rank_and_value(spark):
+    import math
+
+    from dawis_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "id bigint, text string",
+    )
+    out = tfidf_top_terms(df, "id", "text", k=1).collect()
+    by_id = {r["id"]: r for r in out}
+    # doc 1: apple tf=2, df=1 -> tfidf = 2*(ln(4/2)+1); banana tf=1, df=2
+    assert by_id[1]["token"] == "apple"
+    assert by_id[1]["tfidf"] == round(2 * (math.log(4 / 2) + 1), 6)
+    assert all(r["term_rank"] == 1 for r in out)
+
+
+def test_bm25_prefers_matching_docs_and_caps_topn(spark):
+    from dawis_spark.operators.corpus import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark other words"), (3, "none here")],
+        "id bigint, text string",
+    )
+    out = bm25_scores(df, "id", "text", ["spark"], top_n=2).collect()
+    # doc 3 has no query terms: absent; doc 1 outranks doc 2 (higher tf)
+    assert [r["id"] for r in out] == [1, 2]
+    assert out[0]["bm25"] > out[1]["bm25"] > 0
+
+
+def test_keep_one_per_cluster_survivors(spark):
+    from dawis_spark.operators.dedup import keep_one_per_cluster
+
+    corpus = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "id bigint, cluster_id bigint"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in keep_one_per_cluster(corpus, clusters, "doc_id").collect()
+    }
+    # one survivor per cluster (the min-id member) + unclustered doc 4
+    assert out == {1: 1, 4: 4, 5: 5}

@@ -59,3 +59,45 @@ def test_fingerprint_vectorized_equals_expression(spark):
     a = {r["id"]: r["fingerprint"] for r in fp(df, "id", "text", vectorized=True).collect()}
     b = {r["id"]: r["fingerprint"] for r in fp(df, "id", "text", vectorized=False).collect()}
     assert a == b
+
+
+def test_repetition_stats_hand_computed(spark):
+    from dawis_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "id bigint, text string"
+    )
+    out = {r["id"]: r for r in repetition_stats(df, "id", "text").collect()}
+    # doc 1: tokens a,a,a,b -> dup 3/4, top 3/4; 2-grams "a a","a a","a b"
+    # -> "a a" twice => dup_ngram 2/3
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["dup_ngram_frac"] == round(2 / 3, 6)
+    # doc 2: all unique
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_token_frac"] == 0.25
+    assert out[2]["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_stats_short_doc_no_ngrams(spark):
+    from dawis_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([(1, "solo")], "id bigint, text string")
+    row = repetition_stats(df, "id", "text").collect()[0]
+    # one token, zero 2-grams: the guarded division yields 0, not an error
+    assert row["n_tokens"] == 1 and row["dup_ngram_frac"] == 0.0
+
+
+def test_line_quality_c4_rules(spark):
+    from dawis_spark.operators.textstats import line_quality
+
+    text = "good line here.\nshort.\nno punct at all\n\nanother fine line!"
+    df = spark.createDataFrame([(1, text)], "id bigint, text string")
+    row = line_quality(df, "id", "text").collect()[0]
+    # blank line dropped; "short." fails min_words; "no punct..." fails punct
+    assert row["n_lines"] == 4
+    assert row["n_short_lines"] == 1
+    assert row["n_unpunct_lines"] == 1
+    assert row["n_kept_lines"] == 2
+    assert row["kept_line_frac"] == 0.5
