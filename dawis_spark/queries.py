@@ -2392,3 +2392,198 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e).cast("bigint").alias(k) for k, e in counts.items()],
         F.expr(_PII.redact_sql("ptext", "spark")).alias("redacted"),
     ).orderBy("doc_id")
+
+
+_ASOF_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.click_id DESC
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, ts, click_id, click_ts
+FROM j WHERE rn = 1 ORDER BY event_id
+"""
+
+
+@query("asof_last_click", oracle=_ASOF_ORACLE)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase matched to the user's most recent click
+    at or before it (operators/asof.py). One union + one window per user
+    — linear merge-join shape, vs the oracle's backward range join whose
+    row inflation is the average click history per user."""
+    from dawis_spark.operators.asof import asof_join
+
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        time_col="ts",
+        payload_cols=["click_id"],
+        right_order="click_id",
+        right_time_as="click_ts",
+    ).select("event_id", "user_id", "ts", "click_id", "click_ts").orderBy("event_id")
+
+
+_HYPER_SQL = """
+SELECT
+  CASE WHEN GROUPING(d) = 0 THEN 'day'
+       WHEN GROUPING(w) = 0 THEN 'week'
+       ELSE 'month' END AS grain,
+  COALESCE(d, w, m) AS bucket,
+  event_type,
+  ROUND(SUM(value), 2) AS sum_value,
+  COUNT(*) AS n_events
+FROM (
+  SELECT date_trunc('day', ts) AS d, date_trunc('week', ts) AS w,
+         date_trunc('month', ts) AS m, event_type, value
+  FROM events
+) t
+GROUP BY GROUPING SETS ((d, event_type), (w, event_type), (m, event_type))
+ORDER BY grain, bucket, event_type
+"""
+
+
+@query("hypertable_rollup", oracle=_HYPER_SQL)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain continuous aggregate (the hypertable rollup pattern):
+    day, week, and month buckets per event type computed in ONE scan via
+    GROUPING SETS — Spark expands the sets map-side and partial-aggregates
+    each, so the fact table is read once, not three times. Identical SQL
+    text runs on both engines (date_trunc semantics agree: ISO weeks)."""
+    return spark.sql(_HYPER_SQL)
+
+
+_Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+europe AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+       ROUND(c.unit_cost, 2) AS unit_cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN europe s ON s.s_suppkey = c.l_suppkey
+WHERE p.p_type = 'SMALL' AND p.p_size = 5
+  AND c.unit_cost = (
+    SELECT MIN(c2.unit_cost) FROM cost c2
+    JOIN europe s2 ON s2.s_suppkey = c2.l_suppkey
+    WHERE c2.l_partkey = p.p_partkey
+  )
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier with a correlated scalar
+    subquery), adapted: the testdata has no partsupp, so supply cost is
+    the observed MIN(l_extendedprice/l_quantity) per (part, supplier).
+    Catalyst decorrelates the subquery into a per-part min + self-join;
+    nation/region/supplier dims broadcast."""
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey, SUM(l_extendedprice) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(part_value, 2) AS part_value
+FROM val
+WHERE part_value > (SELECT SUM(part_value) * 0.0015 FROM val)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group value vs a global-total scalar subquery),
+    adapted to lineitem-derived part value for one nation's suppliers
+    (no partsupp table). The HAVING threshold is an uncorrelated scalar
+    subquery — one extra reduction over the SAME aggregate, which Spark
+    reuses via a subquery broadcast, not a rescan."""
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_relationship", oracle=_Q16_SQL)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct-supplier count per part attribute with a
+    NOT IN anti-join), adapted: lineitem is the part-supplier bridge (no
+    partsupp) and the complaints filter becomes a negative-balance filter
+    (no s_comment column). Anti-join broadcasts the tiny supplier
+    exclusion set; COUNT(DISTINCT) expands map-side."""
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN l_quantity ELSE 0 END) AS qty_1996,
+         SUM(l_quantity) AS qty_total
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s_name, n_name
+FROM shipped
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty_1996 > 0.5 * qty_total
+ORDER BY s_name
+"""
+
+
+@query("q20_excess_shippers", oracle=_Q20_SQL)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers whose recent movement of a part family
+    exceeds half their total), adapted: availability comes from shipped
+    quantities (no partsupp). The year/total comparison is a conditional
+    aggregation in ONE pass over the filtered fact — no self-join of
+    lineitem; the part-name filter prunes before the shuffle."""
+    return spark.sql(_Q20_SQL)
