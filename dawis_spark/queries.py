@@ -2587,3 +2587,103 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation in ONE pass over the filtered fact — no self-join of
     lineitem; the part-name filter prunes before the shuffle."""
     return spark.sql(_Q20_SQL)
+
+
+def _ann_recall_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    approx = _ann_lsh_oracle(k, 10, 4, 64).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS (SELECT * FROM ({approx}))
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_lsh", oracle=_ann_recall_oracle(5))
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the ANN index: recall@5 of the sign-LSH path
+    against the exact brute-force top-5, per query — the metric an index
+    tuner watches when trading planes/probes against recall. Both sides
+    reuse the production operators; the comparison join is on
+    (query_id, neighbor_id) — top-k-sized, negligible at any scale."""
+    from dawis_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = lsh_ann_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5, n_planes=4, dim=64,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _source_rollup_oracle() -> str:
+    quality = _quality_oracle().strip()
+    return f"""
+WITH q AS (SELECT * FROM ({quality}))
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT d.text) AS BIGINT) AS n_distinct_texts,
+  ROUND(1.0 - COUNT(DISTINCT d.text) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+  ROUND(AVG(CAST(q.n_tokens AS DOUBLE)), 2) AS avg_tokens,
+  ROUND(AVG(q.quality), 4) AS avg_quality
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("source_quality_rollup", oracle=_source_rollup_oracle())
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-reputation rollup — the per-domain health table a crawl
+    pipeline keeps: volume, exact-dup rate, mean length and quality per
+    source. Composes the production quality_score operator with a
+    distinct-count; at 100 TB the distinct would run on sha2(text)
+    (same cardinality, 32-byte shuffle keys instead of whole documents)
+    — here it stays on text so the oracle is engine-agnostic."""
+    docs = spark.table("documents")
+    q = _TS.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    return (
+        docs.select("doc_id", "source", "text")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("text").cast("bigint").alias("n_distinct_texts"),
+            F.round(
+                1.0 - F.countDistinct("text") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
