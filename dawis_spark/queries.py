@@ -1430,7 +1430,8 @@ def _emb_neardup_oracle(threshold: float) -> str:
     return f"""
 WITH v AS (SELECT vec_id, label, embedding AS vec, sqrt({nsq}) AS nrm FROM embeddings)
 SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine
+       ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine,
+       'exact' AS pair_method
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({dot} / (a.nrm * b.nrm), 6) >= {threshold}
 ORDER BY label, id_a, id_b
@@ -1448,8 +1449,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     count exactly like the n-gram variant; vectors join the bare id-pairs
     via shuffle-hash (never broadcast — the vector relation is
     corpus-sized) and norms are hoisted so each magnitude is computed
-    once. See operators/similarity.embedding_near_dup_pairs for the
-    per-block pair budget that routes hot blocks through sign-LSH."""
+    once. The per-block pair budget (max_block_rows=100) routes hot
+    blocks through block-scoped sign-LSH instead of O(n²) all-pairs: at
+    sf0.01 every label block (44-59 rows) stays exact so the oracle is
+    the exact all-pairs SQL with pair_method='exact'; at sf0.1 (~200-row
+    blocks) the same query exercises the approximate scale path."""
     from dawis_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
@@ -1458,6 +1462,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         block_col="label",
         threshold=0.3,
+        max_block_rows=100,
     ).orderBy("label", "id_a", "id_b")
 
 
@@ -2650,8 +2655,8 @@ def _source_rollup_oracle() -> str:
 WITH q AS (SELECT * FROM ({quality}))
 SELECT d.source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(COUNT(DISTINCT d.text) AS BIGINT) AS n_distinct_texts,
-  ROUND(1.0 - COUNT(DISTINCT d.text) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+  CAST(COUNT(DISTINCT sha256(d.text)) AS BIGINT) AS n_distinct_texts,
+  ROUND(1.0 - COUNT(DISTINCT sha256(d.text)) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
   ROUND(AVG(CAST(q.n_tokens AS DOUBLE)), 2) AS avg_tokens,
   ROUND(AVG(q.quality), 4) AS avg_quality
 FROM documents d JOIN q ON d.doc_id = q.doc_id
@@ -2664,22 +2669,24 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-reputation rollup — the per-domain health table a crawl
     pipeline keeps: volume, exact-dup rate, mean length and quality per
     source. Composes the production quality_score operator with a
-    distinct-count; at 100 TB the distinct would run on sha2(text)
-    (same cardinality, 32-byte shuffle keys instead of whole documents)
-    — here it stays on text so the oracle is engine-agnostic."""
+    distinct-count on sha2(text): the exchange for the distinct carries
+    32-byte digests, never document bodies — same cardinality (SHA-256
+    collisions are negligible), scale-safe shuffle width. DuckDB's
+    sha256() mirrors it on the oracle side."""
     docs = spark.table("documents")
     q = _TS.quality_score(docs, "doc_id", "text").select(
         "doc_id", "n_tokens", "quality"
     )
+    digest = F.sha2(F.col("text"), 256)
     return (
         docs.select("doc_id", "source", "text")
         .join(q, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.countDistinct("text").cast("bigint").alias("n_distinct_texts"),
+            F.countDistinct(digest).cast("bigint").alias("n_distinct_texts"),
             F.round(
-                1.0 - F.countDistinct("text") / F.count(F.lit(1)).cast("double"),
+                1.0 - F.countDistinct(digest) / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("dup_frac"),
             F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"),

@@ -99,7 +99,11 @@ def main(only: list[str]) -> int:
         else:
             print(f"PASS {name}: rows={len(s)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    checked = [n for n in qs if not only or n in only]
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"WARNING: unknown query names: {unknown}")
+    print(f"\n{len(checked) - len(failures)}/{len(checked)} passed")
     return 1 if failures else 0
 
 
