@@ -174,23 +174,167 @@ class _TreeBuilder(HTMLParser):
             cur.text = (cur.text or "") + data
 
 
-def _normalize_path(query: str) -> str:
-    """lxml-style absolute/descendant paths -> ElementTree findall paths
-    (relative to the __doc__ wrapper)."""
-    if query.startswith("//"):
-        return "." + query
-    if query.startswith("/"):
-        return "." + query  # '/html/body' -> './html/body' under the wrapper
-    return query
+def _tokenize_steps(query: str) -> list[tuple[str, str, list[str]]]:
+    """Split an XPath into (axis, name-test, [predicates]) steps.
+
+    axis is 'child' ('/') or 'desc' ('//'); predicates are the raw strings
+    between balanced brackets (quote-aware, so ``[contains(@t,'a]b')]``
+    tokenizes correctly). A relative path behaves like the old
+    ET-``findall`` normalization: first step is a child of the wrapper.
+    """
+    steps: list[tuple[str, str, list[str]]] = []
+    i, n = 0, len(query)
+    while i < n:
+        if query.startswith("//", i):
+            axis, i = "desc", i + 2
+        elif query[i] == "/":
+            axis, i = "child", i + 1
+        else:
+            axis = "child"  # relative: child of the __doc__ wrapper
+        j = i
+        while j < n and query[j] not in "/[":
+            j += 1
+        name = query[i:j]
+        i = j
+        preds: list[str] = []
+        while i < n and query[i] == "[":
+            depth, quote, j = 0, None, i
+            while j < n:
+                ch = query[j]
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "[":
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            preds.append(query[i + 1 : j])
+            i = j + 1
+        steps.append((axis, name, preds))
+    return steps
+
+
+# predicate grammar: function calls over @attr / text() / . plus the
+# ET-compatible forms ([@a], [@a='v'], [tag], [tag='v'], [n], [last()])
+_PRED_FN = re.compile(
+    r"^(not\()?\s*(contains|starts-with|ends-with)\(\s*"
+    r"(@[\w:.-]+|text\(\)|\.)\s*,\s*(['\"])(.*)\4\s*\)\s*(\))?\s*$",
+    re.DOTALL,
+)
+_PRED_CMP = re.compile(
+    r"^(@[\w:.-]+|text\(\)|\.|[\w:.-]+)\s*(!?=)\s*(['\"])(.*)\3\s*$", re.DOTALL
+)
+
+
+def _operand_value(el, operand: str) -> str | None:
+    """String value of a predicate operand: @attr -> attribute (None if
+    absent), text() -> the element's own first text node, '.' -> the full
+    descendant string value (lxml/XPath string() semantics)."""
+    if operand.startswith("@"):
+        return el.get(operand[1:])
+    if operand == "text()":
+        return el.text or ""
+    return "".join(el.itertext())
+
+
+def _pred_match(el, pred: str, pos: int, size: int) -> bool:
+    pred = pred.strip()
+    if pred.isdigit():  # [n] — 1-based position within the parent group
+        return pos == int(pred)
+    if pred == "last()":
+        return pos == size
+    m = _PRED_FN.match(pred)
+    if m:
+        negate, fn, operand, _, needle, closing = m.groups()
+        if bool(negate) != bool(closing):  # 'not(' without ')' or vice versa
+            return False
+        value = _operand_value(el, operand)
+        if value is None:
+            result = False
+        elif fn == "contains":
+            result = needle in value
+        elif fn == "starts-with":
+            result = value.startswith(needle)
+        else:
+            result = value.endswith(needle)
+        return not result if negate else result
+    m = _PRED_CMP.match(pred)
+    if m:
+        operand, op, _, rhs = m.groups()
+        if operand.startswith("@") or operand in ("text()", "."):
+            value = _operand_value(el, operand)
+            eq = value is not None and value == rhs
+        else:  # [tag='v']: any child element of that tag with matching text
+            eq = any(
+                (c.text or "") == rhs for c in el if c.tag == operand
+            )
+        return eq if op == "=" else not eq
+    if pred.startswith("@"):  # [@attr] existence
+        return el.get(pred[1:]) is not None
+    if re.fullmatch(r"[\w:.-]+", pred):  # [tag] child existence
+        return any(c.tag == pred for c in el)
+    return False  # unsupported predicate: match nothing, never crash
+
+
+def _eval_steps(root, steps) -> list:
+    """Walk the step list. Candidates are grouped per context node so
+    positional predicates ([n], [last()]) count within their parent group,
+    as XPath specifies — not over the global match list."""
+    nodes = [root]
+    for axis, name, preds in steps:
+        groups: list[list] = []
+        for node in nodes:
+            if axis == "child":
+                group = [c for c in node if name in ("*", c.tag)]
+            else:
+                group = [
+                    d
+                    for d in node.iter()
+                    if d is not node and name in ("*", d.tag)
+                ]
+            if group:
+                groups.append(group)
+        for pred in preds:
+            groups = [
+                kept
+                for g in groups
+                if (
+                    kept := [
+                        el
+                        for i, el in enumerate(g, 1)
+                        if _pred_match(el, pred, i, len(g))
+                    ]
+                )
+            ]
+        seen: set[int] = set()
+        nodes = []
+        for g in groups:
+            for el in g:
+                if id(el) not in seen:
+                    seen.add(id(el))
+                    nodes.append(el)
+    return nodes
 
 
 _ATTR_TAIL = re.compile(r"/@([\w:.-]+)$")
 
 
 def html_xpath(body: str, query: str) -> list:
-    """Evaluate an XPath (ElementTree subset: tag paths, '//', '*',
-    '[@attr]', \"[@attr='v']\", '[tag]', '[n]', plus trailing '/@attr' and
-    '/text()') over tolerant-parsed HTML.
+    """Evaluate an XPath over tolerant-parsed HTML. Supported grammar
+    (reference xpath.py:282-302 accepts arbitrary lxml XPath; this covers
+    the selectors its configs actually use): '/' and '//' axes, '*' name
+    test, predicates in ANY step — '[@attr]', "[@attr='v']", "[@attr!='v']",
+    "[contains(@attr,'v')]", "[starts-with(@attr,'v')]",
+    "[ends-with(@attr,'v')]", 'not(...)' around any of those,
+    "[contains(text(),'v')]", "[text()='v']", "[contains(.,'v')]" (full
+    string value), '[tag]', "[tag='v']", '[n]', '[last()]' — plus trailing
+    '/@attr' and '/text()'. Positional predicates count within the parent
+    group per the XPath spec.
 
     Element results serialize as the reference does (xpath.py:286-300):
     concatenated child-element markup, else the element's own text.
@@ -212,7 +356,7 @@ def html_xpath(body: str, query: str) -> list:
         want_text = True
         query = query[: -len("/text()")]
     out: list = []
-    for el in builder.root.findall(_normalize_path(query)):
+    for el in _eval_steps(builder.root, _tokenize_steps(query)):
         if attr is not None:
             value = el.get(attr)
             if value is not None:

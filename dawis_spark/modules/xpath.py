@@ -39,13 +39,15 @@ def extract_elements(df: DataFrame, query: str, body_col: str = "body") -> DataF
     """Live XPath extraction over staged HTML (reference xpath.py:282-302):
     one ``content`` row per matched element, ready for ``evaluate``.
 
-    The engine is the stdlib-based tolerant parser + ElementTree XPath
-    subset in functions/html.html_xpath (tag paths, '//', '*', attribute
-    and position predicates, trailing '/@attr' and '/text()'). lxml's
-    FULL XPath grammar (axes, functions, unions) is NOT covered — queries
-    outside the subset return no rows; swap in lxml for full parity if it
-    lands in the environment. Map-side: parse + match run in one
-    Arrow-batched UDF, the explode is the only plan change."""
+    The engine is the stdlib-based tolerant parser + XPath subset in
+    functions/html.html_xpath: '/' and '//' axes, '*', and predicates in
+    any step — attribute/position tests plus contains(), starts-with(),
+    ends-with(), not(...), text()/'.' comparisons — and trailing '/@attr'
+    and '/text()'. lxml's FULL grammar (named axes, unions, arbitrary
+    functions) is NOT covered — queries outside the subset return no
+    rows; swap in lxml for full parity if it lands in the environment.
+    Map-side: parse + match run in one Arrow-batched UDF, the explode is
+    the only plan change."""
     from dawis_spark.functions.html import extract_xpath
 
     return (

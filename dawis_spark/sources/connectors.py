@@ -40,15 +40,34 @@ class Connector:
 
     ``fetch_many`` runs the bounded pool with per-item retry; failures keep
     their item + attempt count for the retry queue (§2.9 semantics).
+
+    ``renderer``: optional injected headless-render callable
+    ``(url) -> body`` (reference html_parser.py:121-132 drives headless
+    Chrome; that binary isn't in this container, so the hook is injected
+    exactly like the alert Dispatcher's sender). When an item carries
+    ``render: true`` and a renderer is set, the rendered body replaces the
+    fetched one and the row's ``rendered`` flag records it
+    (html_parser.py:105-117). A renderer failure goes through the same
+    retry/failed-queue path as a fetch failure.
     """
 
     schema: T.StructType
     max_parallel: int = MAX_PARALLEL_REQUESTS
     max_retries: int = MAX_RETRY_COUNT
     pacing_seconds: float = 0.0  # live connectors set this; fixtures keep 0
+    renderer: Callable[[str], str] | None = None
 
     def fetch_one(self, item: dict) -> dict:  # pragma: no cover - abstract
         raise NotImplementedError
+
+    def _apply_render(self, item: dict, row: dict) -> dict:
+        if not item.get("render") or self.renderer is None:
+            return row
+        row = dict(row)
+        row["body"] = self.renderer(item["url"])
+        if "rendered" in self.schema.fieldNames():
+            row["rendered"] = True
+        return row
 
     def fetch_many(self, items: Sequence[dict]) -> FetchResult:
         result = FetchResult()
@@ -56,7 +75,7 @@ class Connector:
         def run(item: dict) -> None:
             for attempt in range(1, self.max_retries + 1):
                 try:
-                    result.rows.append(self.fetch_one(item))
+                    result.rows.append(self._apply_render(item, self.fetch_one(item)))
                     return
                 except Exception as exc:  # noqa: BLE001 - retry any failure
                     if attempt == self.max_retries:
@@ -83,10 +102,16 @@ class FixtureConnector(Connector):
     """Test/offline connector: 'fetches' from a callable (no network).
     Stands in for any of S1-S8 by pairing it with the right schema."""
 
-    def __init__(self, schema: T.StructType, fetcher: Callable[[dict], dict]):
+    def __init__(
+        self,
+        schema: T.StructType,
+        fetcher: Callable[[dict], dict],
+        renderer: Callable[[str], str] | None = None,
+    ):
         self.schema = schema
         self._fetcher = fetcher
         self.pacing_seconds = 0.0
+        self.renderer = renderer
 
     def fetch_one(self, item: dict) -> dict:
         return self._fetcher(item)

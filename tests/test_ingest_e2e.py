@@ -95,6 +95,70 @@ def test_gsc_ingest_pipeline_e2e(spark, tmp_path):
     assert rows["2026-05-01"]["clicksPreviousDay"] is None
 
 
+def test_render_hook_rewrites_body(spark):
+    """Injectable headless-render path (reference html_parser.py:121-132):
+    items with render=true get their body replaced by the renderer's
+    output and the staged row's rendered flag set; others keep the
+    fetched body."""
+    from urllib.parse import urlparse
+
+    from dawis_spark.schemas import HTML_DOC_SCHEMA
+
+    def fetch(item):
+        p = urlparse(item["url"])
+        return {
+            "urlset": "owndomains",
+            "url": {
+                "protocol": p.scheme,
+                "domain": p.netloc,
+                "path": p.path,
+                "query": p.query or None,
+            },
+            "status_code": 200,
+            "num_redirects": 0,
+            "redirects": [],
+            "ttfb": 0.1,
+            "body": "<html>static</html>",
+            "rendered": False,
+            "date": dt.datetime(2026, 5, 1),
+            "headers": {},
+            "configuration_hash": "h",
+        }
+
+    rendered_urls = []
+
+    def fake_renderer(url):
+        rendered_urls.append(url)
+        return "<html>js-rendered</html>"
+
+    connector = FixtureConnector(HTML_DOC_SCHEMA, fetch, renderer=fake_renderer)
+    staged, failed = connector.ingest(
+        spark,
+        [
+            {"url": "https://e.de/a", "render": True},
+            {"url": "https://e.de/b"},
+        ],
+    )
+    assert failed == []
+    rows = {r["url"]["path"]: r for r in staged.collect()}
+    assert rows["/a"]["body"] == "<html>js-rendered</html>"
+    assert rows["/a"]["rendered"] is True
+    assert rows["/b"]["body"] == "<html>static</html>"
+    assert rows["/b"]["rendered"] is False
+    assert rendered_urls == ["https://e.de/a"]
+
+    # renderer failure takes the fetch-retry path -> retry queue entry
+    def broken_renderer(url):
+        raise RuntimeError("chromedriver not configured")
+
+    connector2 = FixtureConnector(HTML_DOC_SCHEMA, fetch, renderer=broken_renderer)
+    staged2, failed2 = connector2.ingest(
+        spark, [{"url": "https://e.de/a", "render": True}]
+    )
+    assert staged2.count() == 0 and len(failed2) == 1
+    assert failed2[0]["attempts"] == connector2.max_retries
+
+
 def test_sistrix_position_parse(spark):
     df = spark.createDataFrame(
         [("12",), (">100",), (None,), ("n/a",)], "pos string"

@@ -116,6 +116,131 @@ def test_alerting_dispatcher_failure_keeps_queue(spark, tmp_path):
     assert queue.fetch(["ops"]).count() == 1
 
 
+def test_wrike_request_builder():
+    from dawis_spark.modules.alerting import wrike_request
+
+    # POST: parameters become the JSON body
+    req = wrike_request(
+        "post", "/folders/F1/tasks", {"title": "t"}, api_token="tok"
+    )
+    assert req["method"] == "POST"
+    assert req["url"] == "https://www.wrike.com/api/v4/folders/F1/tasks"
+    assert req["headers"]["Authorization"] == "bearer tok"
+    assert req["json"] == {"title": "t"}
+    # GET: params urlencoded, dict/list values JSON-serialized (wrike.py:41-44)
+    req = wrike_request(
+        "GET", "/folders", {"permalink": "https://x/y?id=1", "f": {"a": 1}},
+        api_host="app-eu.wrike.com",
+    )
+    assert req["url"].startswith("https://app-eu.wrike.com/api/v4/folders?")
+    assert "permalink=https%3A//x/y%3Fid%3D1" in req["url"]
+    assert "f=%7B%22a%22%3A%201%7D" in req["url"]
+    with pytest.raises(ValueError):
+        wrike_request("PATCH", "/x")
+    with pytest.raises(ValueError):
+        wrike_request("GET", "/x", api_host="wrike.example.com")
+
+
+def test_wrike_task_payload_rules():
+    from dawis_spark.modules.alerting import wrike_task_payload
+
+    # single date fills both endpoints (wrike.py:122-131)
+    p = wrike_task_payload("T", "d", ["U1"], date_start=dt.date(2026, 5, 1))
+    assert p == {
+        "title": "T",
+        "description": "d",
+        "dates": {"start": "2026-05-01", "due": "2026-05-01"},
+        "responsibles": ["U1"],
+    }
+    p = wrike_task_payload("T", date_end=dt.date(2026, 5, 2))
+    assert p["dates"] == {"start": "2026-05-02", "due": "2026-05-02"}
+    assert "responsibles" not in p and "description" not in p
+    with pytest.raises(ValueError):
+        wrike_task_payload("")
+
+
+def test_wrike_descriptions_per_alert_vs_summarized():
+    from dawis_spark.modules.alerting import wrike_alert_descriptions
+
+    alerts = [
+        {"message": "a\nb", "data": '{"k": 1}'},
+        {"message": "c", "data": None},
+    ]
+    per = wrike_alert_descriptions(alerts)
+    assert len(per) == 2
+    assert per[0].startswith("a<br/>b<br/><br/>")  # newline -> <br/>
+    assert '"k": 1' in per[0]  # pretty-printed data appended
+    summary = wrike_alert_descriptions(alerts, summarize=True)
+    assert len(summary) == 1 and summary[0] == per[0] + per[1]
+    # addAlertData=False drops the data sections
+    bare = wrike_alert_descriptions(alerts, add_alert_data=False)
+    assert bare == ["a<br/>b<br/><br/>", "c<br/><br/>"]
+
+
+def test_dispatch_wrike_modes_and_atleast_once(spark, tmp_path):
+    queue = AlertQueue(spark, str(tmp_path))
+    queue.add(
+        spark.createDataFrame(
+            [
+                (dt.datetime(2026, 5, 1), "ops", "m1", None),
+                (dt.datetime(2026, 5, 1), "ops", "m2", None),
+            ],
+            "date timestamp, group string, message string, data string",
+        )
+    )
+    requests = []
+    d = Dispatcher(queue, send=lambda r, rows: None)
+
+    def failing_transport(req):
+        raise ConnectionError("wrike down")
+
+    with pytest.raises(ConnectionError):
+        d.dispatch_wrike(["ops"], "F1", failing_transport)
+    # watermark NOT advanced -> redelivered, this time summarized: ONE task
+    n = d.dispatch_wrike(
+        ["ops"], "F1", lambda req: requests.append(req) or {"data": [{}]},
+        api_token="tok", summarize=True,
+        task_date=dt.date(2026, 5, 2),
+    )
+    assert n == 1 and len(requests) == 1
+    req = requests[0]
+    assert req["url"].endswith("/folders/F1/tasks") and req["method"] == "POST"
+    assert "m1" in req["json"]["description"] and "m2" in req["json"]["description"]
+    assert req["json"]["dates"] == {"start": "2026-05-02", "due": "2026-05-02"}
+    # committed -> nothing left
+    assert d.dispatch_wrike(["ops"], "F1", failing_transport) == 0
+
+
+def test_multipart_email_message(spark, tmp_path):
+    """Text + HTML parts in one message dict (service/email/dispatcher.py:
+    38-57) and dispatch delivering through send_message."""
+    queue = AlertQueue(spark, str(tmp_path))
+    queue.add(
+        spark.createDataFrame(
+            [(dt.datetime(2026, 5, 1), "ops", "disk full", None)],
+            "date timestamp, group string, message string, data string",
+        )
+    )
+    messages = []
+    d = Dispatcher(
+        queue,
+        send=lambda r, rows: None,
+        html_renderer=Dispatcher.render_html,
+        send_message=lambda rcpt, msg: messages.append((rcpt, msg)),
+    )
+    assert d.dispatch({"ops": ["a@b.de"]}) == {"ops": 1}
+    (rcpt, msg), = messages
+    assert rcpt == "a@b.de" and msg["to"] == "a@b.de"
+    subtypes = [p["subtype"] for p in msg["parts"]]
+    assert subtypes == ["plain", "html"]
+    assert "disk full" in msg["parts"][0]["content"]
+    assert "<li>" in msg["parts"][1]["content"] and "disk full" in msg["parts"][1]["content"]
+    # text-only dispatcher builds a single-part message (send_text_email)
+    d2 = Dispatcher(queue, send=lambda r, rows: None)
+    m = d2.build_message([{"date": "d", "message": "x"}])
+    assert [p["subtype"] for p in m["parts"]] == ["plain"]
+
+
 def test_alerting_aggregate_mode(spark, tmp_path):
     spark.createDataFrame([(1,), (2,)], "x int").createOrReplaceTempView("t_agg")
     alerts, _ = alerting_check(
@@ -184,6 +309,64 @@ def test_html_xpath_subset_semantics():
     assert html_xpath(h, "/html/body/p") == ["tail"]
     # broken markup tolerated (unclosed p, stray end tag)
     assert html_xpath("<div><p>a<p>b</div></span>", "//p") == ["a", "b"]
+
+
+def test_html_xpath_predicate_functions():
+    """Widened predicate grammar (reference xpath.py:282-302 accepts full
+    lxml XPath; these are the selector shapes its configs actually use):
+    contains/starts-with/ends-with over @attr, text() and '.', not(...),
+    positional [n]/[last()] counted within the parent group, [tag],
+    [tag='v'], and chained predicates."""
+    from dawis_spark.functions.html import html_xpath
+
+    h = (
+        "<html><head><title>T</title></head><body>"
+        "<div class='main big'><p>first</p><p id='x2'>second</p><p>third</p></div>"
+        "<div class='side'><a href='https://e.com/x'>link</a>"
+        "<a href='/rel'>rel</a></div>"
+        "<ul><li>one</li><li>two</li><li>three</li></ul>"
+        "</body></html>"
+    )
+    cases = [
+        ("//div[contains(@class,'main')]/p/text()", ["first", "second", "third"]),
+        ("//div[starts-with(@class,'side')]/a/@href", ["https://e.com/x", "/rel"]),
+        ("//a[starts-with(@href,'https://')]/text()", ["link"]),
+        ("//a[not(starts-with(@href,'https://'))]/text()", ["rel"]),
+        ("//a[ends-with(@href,'/rel')]/text()", ["rel"]),
+        ("//p[2]/text()", ["second"]),
+        ("//p[last()]/text()", ["third"]),
+        ("//li[contains(text(),'tw')]/text()", ["two"]),
+        ("//p[@id='x2']/text()", ["second"]),
+        ("//p[@id!='x2'][@id]", []),  # chained predicates
+        ("//div[contains(.,'second')]/p[1]/text()", ["first"]),
+        ("//ul[li]/li[3]/text()", ["three"]),
+        ("//li[text()='one']/text()", ["one"]),
+        ("//div[contains(@class, 'nope')]", []),
+        ('//div[contains(@class,"main")]/p[1]/text()', ["first"]),  # double quotes
+    ]
+    for q, want in cases:
+        assert html_xpath(h, q) == want, q
+
+
+def test_xpath_extract_predicate_selector_end_to_end(spark):
+    """extract_elements with a contains() selector — the module e2e over
+    the widened grammar."""
+    import datetime as dt
+
+    from dawis_spark.modules.xpath import extract_elements
+
+    body = (
+        "<html><body><div class='article lead'><h2>alpha</h2></div>"
+        "<div class='footer'><h2>ignored</h2></div></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [("https://e.de/", "c", "n", dt.datetime(2026, 5, 1), body)],
+        "url string, cluster string, name string, date timestamp, body string",
+    )
+    extracted = extract_elements(docs, "//div[contains(@class,'article')]/h2")
+    out = get_module("xpath")(extracted, {"operation": "length"})
+    results = [(r["element"]["content"], r["element"]["result"]) for r in out.collect()]
+    assert results == [("alpha", "5")]
 
 
 def test_xpath_extract_then_operate_end_to_end(spark):
