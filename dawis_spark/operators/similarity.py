@@ -66,10 +66,13 @@ def brute_force_topk(
     )
 
 
-def projection_plane_expr(plane: int, dim: int, dialect: str) -> str:
+def projection_plane_expr(
+    plane: int, dim: int, dialect: str, invert: bool = False
+) -> str:
     """Deterministic pseudo-random hyperplane: component i of plane p is
     ``((i*37 + p*101) % 17) - 8`` — integer-valued, identical in any engine.
-    Returns the SQL for sign(dot(vec, plane)) as a '0'/'1' string."""
+    Returns the SQL for sign(dot(vec, plane)) as a '0'/'1' string;
+    ``invert`` flips the bit (used to build Hamming-1 probe keys)."""
     if dialect == "spark":
         dot = (
             f"aggregate(sequence(0, {dim - 1}), cast(0 as double), "
@@ -82,7 +85,8 @@ def projection_plane_expr(plane: int, dim: int, dialect: str) -> str:
             f"i -> cast(vec[i] as double) * ((((i - 1) * 37 + {plane} * 101) % 17) - 8))), "
             f"(s, v) -> s + v)"
         )
-    return f"(case when {dot} >= 0 then '1' else '0' end)"
+    hi, lo = ("'0'", "'1'") if invert else ("'1'", "'0'")
+    return f"(case when {dot} >= 0 then {hi} else {lo} end)"
 
 
 def lsh_bucket_expr(n_planes: int, dim: int, dialect: str) -> str:
@@ -93,6 +97,25 @@ def lsh_bucket_expr(n_planes: int, dim: int, dialect: str) -> str:
     return " || ".join(bits)
 
 
+def lsh_probe_keys(n_planes: int, dim: int, dialect: str) -> list[str]:
+    """Multi-probe key set (Lv et al. 2007, Hamming radius 1 for sign-LSH):
+    the vector's own bucket plus every key with exactly one bit flipped —
+    n_planes+1 expressions. Probing the Hamming-1 neighborhood recovers
+    near-duplicates that straddle a single hyperplane, the dominant recall
+    loss of sign-random-projection."""
+
+    def key(flip: int | None) -> str:
+        bits = [
+            projection_plane_expr(p, dim, dialect, invert=(p == flip))
+            for p in range(n_planes)
+        ]
+        if dialect == "spark":
+            return "concat(" + ", ".join(bits) + ")"
+        return " || ".join(bits)
+
+    return [key(None)] + [key(p) for p in range(n_planes)]
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,13 +124,17 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within the query's LSH bucket.
 
     Scale path: bucket assignment is map-side on both relations; the only
     shuffle is the equi-join on bucket. Recall tuned by n_planes (fewer
-    planes = bigger buckets = higher recall & cost). Multi-probe or
-    band-OR variants drop in by unioning more bucket keys.
+    planes = bigger buckets = higher recall & cost). ``multi_probe`` unions
+    the query's Hamming-1 neighbor buckets (n_planes extra probes per
+    query): recall rises toward exact at ~(n_planes+1)x the candidate
+    cost — still map-side + one equi-join; only the (small) QUERY side
+    fans out, the corpus keeps one bucket per row.
     """
     from pyspark.sql import Window
 
@@ -118,13 +145,22 @@ def lsh_ann_topk(
     ).withColumn("bucket", F.expr(bucket)).withColumnsRenamed({"vec": "c_vec"})
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", F.expr(bucket)).withColumnsRenamed({"vec": "q_vec"})
+    )
+    if multi_probe:
+        keys = "array(" + ", ".join(lsh_probe_keys(n_planes, dim, "spark")) + ")"
+        q = q.withColumn("bucket", F.explode(F.expr(keys)))
+    else:
+        q = q.withColumn("bucket", F.expr(bucket))
+    q = q.withColumnsRenamed({"vec": "q_vec"})
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _cosine_col().alias("cosine"))
     )
+    if multi_probe:
+        # a neighbor can share several probed buckets with the query
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

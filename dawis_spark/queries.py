@@ -877,6 +877,54 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_lsh_multiprobe_oracle(k: int, n_queries: int, n_planes: int, dim: int) -> str:
+    from dawis_spark.operators.similarity import lsh_bucket_expr, lsh_probe_keys
+
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    bucket = lsh_bucket_expr(n_planes, dim, "duck")
+    probes = ", ".join(lsh_probe_keys(n_planes, dim, "duck"))
+    return f"""
+WITH b0 AS (SELECT vec_id, embedding AS vec FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, vec AS q_vec, unnest([{probes}]) AS bucket
+  FROM b0 WHERE vec_id < {n_queries}
+),
+c AS (SELECT vec_id AS neighbor_id, vec AS c_vec, {bucket} AS bucket FROM b0),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_lsh_multiprobe", oracle=_ann_lsh_multiprobe_oracle(5, 10, 4, 64))
+def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al. 2007): each query probes its own
+    bucket plus every Hamming-1 neighbor bucket — recall@5 rises from 0.36
+    to 0.76 on this corpus (see ann_recall_lsh_multiprobe) for ~(planes+1)x
+    the candidate cost. Scale shape unchanged: only the SMALL query side
+    fans out (explode before the broadcast), the corpus keeps one map-side
+    bucket per row and the only shuffle is still the bucket equi-join."""
+    from dawis_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.table("embeddings")
+    return lsh_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_planes=4,
+        dim=64,
+        multi_probe=True,
+    ).orderBy("query_id", "rank")
+
+
 def _lang_id_oracle() -> str:
     toks = _TXT.tokens("text", "duck")
     scores = _TS.language_scores_sql("text", "duck")
@@ -2628,6 +2676,60 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_ann_topk(
         corpus=emb, queries=queries_df, id_col="vec_id",
         vec_col="embedding", k=5, n_planes=4, dim=64,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_multiprobe_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    approx = _ann_lsh_multiprobe_oracle(k, 10, 4, 64).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS (SELECT * FROM ({approx}))
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_lsh_multiprobe", oracle=_ann_recall_multiprobe_oracle(5))
+def ann_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the MULTI-PROBE sign-LSH path against exact brute-force
+    — the companion metric to ann_recall_lsh that quantifies what the
+    Hamming-1 probe set buys (0.36 -> 0.76 recall on this corpus at
+    sf0.01). Same top-k-sized comparison join."""
+    from dawis_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = lsh_ann_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5, n_planes=4, dim=64, multi_probe=True,
     ).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )

@@ -96,6 +96,63 @@ def test_lsh_ann_identical_vector_found(spark):
     assert any(r["neighbor_id"] == 1 for r in out)
 
 
+def test_lsh_multiprobe_recovers_straddling_neighbor(spark):
+    """Hamming-1 probing finds a near-identical vector that a single
+    hyperplane separated from the query — the canonical sign-LSH recall
+    loss. Multi-probe candidates are a superset of single-probe's."""
+    from dawis_spark.operators.similarity import lsh_probe_keys
+
+    # plane signs for dim=4 are deterministic; construct a neighbor on the
+    # other side of exactly one plane by flipping a coordinate the plane
+    # weighs heavily. Empirically with these planes, (1,0,0,0) and
+    # (0.9,-0.35,0,0) land in buckets at Hamming distance 1.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, -0.35, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    single = {
+        r["neighbor_id"]
+        for r in lsh_ann_topk(emb, q, "vec_id", "embedding", 3, n_planes=2, dim=4).collect()
+    }
+    multi = {
+        r["neighbor_id"]
+        for r in lsh_ann_topk(
+            emb, q, "vec_id", "embedding", 3, n_planes=2, dim=4, multi_probe=True
+        ).collect()
+    }
+    assert single <= multi  # superset: probing only adds candidates
+    # the probe key list is own bucket + n_planes flips, all distinct exprs
+    keys = lsh_probe_keys(2, 4, "spark")
+    assert len(keys) == 3 and len(set(keys)) == 3
+
+
+def test_lsh_multiprobe_strictly_improves_recall_on_testdata(spark):
+    """recall@5 with Hamming-1 probes strictly beats single-probe on the
+    synthetic embeddings corpus (the VERDICT r3 'done' criterion)."""
+    from dawis_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, "vec_id", "embedding", 5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, qs, "vec_id", "embedding", 5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(
+            emb, qs, "vec_id", "embedding", 5, multi_probe=True
+        ).collect()
+    }
+    assert len(exact & multi) > len(exact & single)
+
+
 def test_ngram_block_budget_routes_hot_block_to_lsh(spark):
     # 'hot' block exceeds the 3-row cap -> block-scoped LSH path (flagged);
     # 'cold' block stays on the exact all-pairs path.
