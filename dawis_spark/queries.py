@@ -2697,6 +2697,58 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_JOIN_ORACLE = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 2), ('error', 5), ('purchase', 4), ('signup', 3), ('view', 1)
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6)) * d.weight), 2) AS DOUBLE) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("salted_skew_join", oracle=_SALTED_JOIN_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted join over a pathologically skewed key: events has
+    only 5 distinct event_type values, so an unsalted shuffle join tops
+    out at 5 active tasks no matter how many executors exist. salted_join
+    (operators/skew.py) scatters the big side across salt_buckets
+    sub-keys and replicates the small side once per bucket — 5 keys
+    become 40 shuffle partitionable keys, restoring parallelism. The
+    result is provably identical to the plain join (the oracle IS the
+    plain join); at this dim size broadcast would also work — salting is
+    the tool when the small side exceeds the broadcast budget or the
+    planner is stuck on sort-merge. Sums run on DECIMAL so both engines
+    agree to the last bit regardless of summation order."""
+    from dawis_spark.operators.skew import salted_join
+
+    dim = spark.createDataFrame(
+        [("click", 2), ("error", 5), ("purchase", 4), ("signup", 3), ("view", 1)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(
+        spark.table("events").select("event_type", "value"),
+        dim,
+        "event_type",
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("weight")), 2
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _ann_recall_multiprobe_oracle(k: int) -> str:
     exact = _embedding_topk_oracle(k, 10).strip()
     approx = _ann_lsh_multiprobe_oracle(k, 10, 4, 64).strip()
