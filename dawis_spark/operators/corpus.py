@@ -275,3 +275,88 @@ def bm25_scores(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(top_n)
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """End-to-end corpus filter — the composition every LLM data pipeline
+    runs between raw documents and training shards: language gate ->
+    quality gate -> length gate -> exact dedup (keep lowest id per text).
+
+    Scale shape: ALL signals (per-language stopword ratios, punctuation
+    ratio, token counts, composite quality) evaluate in ONE map-side
+    projection over a single scan — not operator-per-operator joins,
+    which would rescan the corpus once per signal. The only shuffle in
+    the whole plan is the dedup exchange, and it partitions on the
+    32-byte sha2 digest, never on document text. Filters run BEFORE the
+    shuffle, so rejected documents (the majority, in practice) never
+    leave their input partition.
+
+    Output: (id, *extra_cols, lang_pred, n_tokens, quality) for the
+    surviving documents.
+    """
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.textstats import (
+        STOPWORDS,
+        _stopword_ratio_expr,
+    )
+
+    toks = TXT.tokens(text_col, "spark")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col(text_col).alias("__text"),
+        F.length(text_col).alias("__n_chars"),
+        F.expr(toks).alias("__toks"),
+        F.expr(
+            f"length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]', ''))"
+        ).alias("__punct"),
+    )
+    langs = list(STOPWORDS)
+    scored = base.select(
+        id_col,
+        *extra_cols,
+        "__text",
+        F.size("__toks").alias("n_tokens"),
+        *[
+            F.round(F.expr(_stopword_ratio_expr(l, "spark")), 6).alias(f"score_{l}")
+            for l in langs
+        ],
+        F.round(
+            F.col("__punct") / F.greatest(F.col("__n_chars"), F.lit(1)), 6
+        ).alias("punct_ratio"),
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    quality = F.round(
+        F.lit(0.3) * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - F.col("punct_ratio"))
+        + F.lit(0.3) * F.least(F.col(f"score_{keep_lang}") * 4.0, F.lit(1.0)),
+        6,
+    )
+    kept = (
+        scored.withColumn("lang_pred", pred)
+        .withColumn("quality", quality)
+        .filter(
+            (F.col("lang_pred") == keep_lang)
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+    )
+    w = Window.partitionBy(F.sha2(F.col("__text"), 256)).orderBy(F.col(id_col))
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, *extra_cols, "lang_pred", "n_tokens", "quality")
+    )

@@ -2803,6 +2803,53 @@ def ann_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_filter_oracle(
+    keep_lang: str, min_quality: float, min_tokens: int
+) -> str:
+    lang = _lang_id_oracle().strip()
+    qual = _quality_oracle().strip()
+    return f"""
+WITH l AS (SELECT doc_id, lang_pred FROM ({lang})),
+qq AS (SELECT doc_id, n_tokens, quality FROM ({qual})),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, l.lang_pred, qq.n_tokens, qq.quality
+  FROM documents d JOIN l USING (doc_id) JOIN qq USING (doc_id)
+  WHERE l.lang_pred = '{keep_lang}'
+    AND qq.quality >= {min_quality} AND qq.n_tokens >= {min_tokens}
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS __rn
+  FROM kept
+)
+SELECT doc_id, source, lang_pred, n_tokens, quality
+FROM dedup WHERE __rn = 1 ORDER BY doc_id
+"""
+
+
+@query("corpus_filter_pipeline", oracle=_corpus_filter_oracle("en", 0.65, 10))
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data composition: language gate -> quality
+    gate -> length gate -> exact dedup, producing the surviving corpus.
+
+    Scale shape (operators/corpus.corpus_filter): every signal evaluates
+    in ONE map-side projection over a single scan — the oracle composes
+    the standalone language/quality SQL for readability, but the Spark
+    plan never rescans or self-joins the corpus. Filters precede the
+    plan's only shuffle (the dedup exchange on 32-byte sha2 digests), so
+    rejected documents never leave their input partition."""
+    from dawis_spark.operators.corpus import corpus_filter
+
+    return corpus_filter(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        keep_lang="en",
+        min_quality=0.65,
+        min_tokens=10,
+        extra_cols=("source",),
+    ).orderBy("doc_id")
+
+
 def _source_rollup_oracle() -> str:
     quality = _quality_oracle().strip()
     return f"""

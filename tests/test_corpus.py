@@ -120,3 +120,31 @@ def test_keep_one_per_cluster_survivors(spark):
     }
     # one survivor per cluster (the min-id member) + unclustered doc 4
     assert out == {1: 1, 4: 4, 5: 5}
+
+
+def test_corpus_filter_gates_and_dedup(spark):
+    from dawis_spark.operators.corpus import corpus_filter
+
+    en = (
+        "the cat sat of the mat and it is a story to read in the house "
+        "it is long enough to pass the token gate easily today"
+    )
+    rows = [
+        (1, en, "a"),                          # kept
+        (2, en, "b"),                          # exact dup of 1 -> dropped
+        (3, "der hund und die katze und der vogel mit den tieren von hier "
+            "und noch mehr der die das worte zu den satz", "a"),  # German
+        (4, "xx yy zz", "a"),                  # too short
+        (5, en + " extra tail words here", "a"),  # kept (distinct text)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in corpus_filter(
+            df, "doc_id", "text", keep_lang="en", min_quality=0.4,
+            min_tokens=10, extra_cols=("source",),
+        ).collect()
+    }
+    assert set(out) == {1, 5}  # dup keeps lowest id; de + short rejected
+    assert out[1]["lang_pred"] == "en" and out[1]["source"] == "a"
+    assert out[1]["quality"] >= 0.4 and out[1]["n_tokens"] >= 10
