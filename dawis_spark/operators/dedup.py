@@ -62,7 +62,7 @@ def _shingle_hashes_col(text_col: str, shingle_k: int):
 
 
 def exact_duplicate_groups(
-    df: DataFrame, id_col: str, value_col: str
+    df: DataFrame, id_col: str, value_col: str, max_diff_ids: int | None = None
 ) -> DataFrame:
     """A2-shaped duplicate detection: rows whose ``value_col`` appears on
     more than one id; ``diff`` = comma-joined OTHER ids of the group
@@ -75,6 +75,14 @@ def exact_duplicate_groups(
     bounded by distinct-count, not row-count. Exact duplicates share one
     value by definition, so ``first`` is THE group's value. (sha2-256
     collisions merging distinct values: negligible by construction.)
+
+    ``max_diff_ids``: the reference's diff format is QUADRATIC in group
+    size (every member lists every other member) — a 10x group-size
+    growth costs 100x output bytes (measured: the sf1 rehearsal's
+    duplicate_detection emits ~626M id references, 84 s of a 309 s
+    suite). Setting a cap lists only the first K sorted other-ids per
+    row (deterministic), bounding output linearly in row count; None
+    keeps exact reference parity.
     """
     groups = (
         df.select(F.col(id_col).cast("string").alias("id"), F.col(value_col).alias("v"))
@@ -85,12 +93,15 @@ def exact_duplicate_groups(
         )
         .filter(F.size("ids") > 1)
     )
+    others = F.array_remove("ids", F.col(id_col))
+    if max_diff_ids is not None:
+        others = F.slice(others, 1, max_diff_ids)
     return (
         groups.select(F.explode("ids").alias(id_col), F.col("v").alias(value_col), "ids")
         .select(
             F.col(id_col),
             F.col(value_col),
-            F.array_join(F.array_remove("ids", F.col(id_col)), ", ").alias("diff"),
+            F.array_join(others, ", ").alias("diff"),
         )
     )
 

@@ -36,6 +36,22 @@ def test_duplicate_groups_diff_format(spark):
     assert rows == {"1": "2", "2": "1"}
 
 
+def test_duplicate_groups_diff_cap_bounds_output(spark):
+    # 5-member group: uncapped diff lists 4 others (quadratic at scale);
+    # max_diff_ids=2 keeps the first 2 sorted others per row
+    df = spark.createDataFrame([(i, "t") for i in range(1, 6)], "id bigint, v string")
+    capped = {
+        r["id"]: r["diff"]
+        for r in exact_duplicate_groups(df, "id", "v", max_diff_ids=2).collect()
+    }
+    assert capped["1"] == "2, 3"
+    assert capped["3"] == "1, 2"
+    full = {
+        r["id"]: r["diff"] for r in exact_duplicate_groups(df, "id", "v").collect()
+    }
+    assert full["1"] == "2, 3, 4, 5"  # default stays reference-exact
+
+
 def test_minhash_near_duplicates_finds_near_pair(spark):
     out = minhash_near_duplicates(
         _docs(spark), "id", "text", n_perms=8, bands=4, threshold=0.5
