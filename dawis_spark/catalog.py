@@ -147,3 +147,91 @@ class Warehouse:
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.option("path", self.path(table)).saveAsTable(table)
+
+    def write_sorted(
+        self,
+        df: DataFrame,
+        table: str,
+        sort_cols: list[str],
+        mode: str = "overwrite",
+        num_files: int | None = None,
+    ) -> None:
+        """Range-partitioned, sorted-within-partition write — the layout
+        lever for selective scans: files cover DISJOINT ranges of
+        ``sort_cols`` (repartitionByRange) and rows inside each file are
+        ordered (sortWithinPartitions), so parquet footer min/max stats
+        let a filtered scan skip whole files and row groups with no index
+        structure. At 100 TB this is what makes `WHERE ts BETWEEN ...`
+        read 1/1000th of a fact table instead of all of it.
+        """
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_cols]
+        if num_files:
+            out = df.repartitionByRange(num_files, *cols)
+        else:
+            out = df.repartitionByRange(*cols)
+        out.sortWithinPartitions(*cols).write.mode(mode).parquet(self.path(table))
+
+    def compact(
+        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> tuple[int, int]:
+        """Small-file compaction: rewrite ``table`` into ~target-sized
+        files and atomically swap directories. Incremental appends (cron
+        micro-batches, retry re-runs) accrete files; scan planning, task
+        scheduling, and footer reads all scale with file count, so
+        periodic compaction is standard 100 TB hygiene. Returns
+        (files_before, files_after).
+
+        Preserves Hive-style partition directories if present (partition
+        columns are re-derived from the read schema).
+        """
+        import glob
+        import math
+        import shutil
+
+        path = self.path(table)
+        files = [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        n_before = len(files)
+        total = sum(os.path.getsize(f) for f in files)
+        n_after = max(1, math.ceil(total / target_file_bytes))
+        df = self.spark.read.parquet(path)
+        # partition dirs (key=value) present? re-partition the rewrite too
+        part_cols = sorted(
+            {
+                seg.split("=", 1)[0]
+                for f in files
+                for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+                if "=" in seg
+            }
+        )
+        tmp = path + ".__compact__"
+        if part_cols:
+            # cluster each partition value into one task -> one file per
+            # Hive partition directory after the rewrite
+            from pyspark.sql import functions as F
+
+            out = df.repartition(n_after, *[F.col(c) for c in part_cols])
+            writer = out.write.mode("overwrite").partitionBy(*part_cols)
+        else:
+            out = df.coalesce(n_after)
+            writer = out.write.mode("overwrite")
+        writer.parquet(tmp)
+        bak = path + ".__old__"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+        n_final = len(
+            [
+                f
+                for f in glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+                if os.path.isfile(f)
+            ]
+        )
+        return n_before, n_final

@@ -116,3 +116,81 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_write_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    """Range-partitioned sorted writes give parquet files DISJOINT min/max
+    ranges on the sort key — footer stats alone let selective scans skip
+    whole files (the data-skipping layout for 100 TB fact tables)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dawis_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 10000).selectExpr(
+        "id", "cast(id % 97 as double) as v"
+    ).orderBy(F.expr("rand(7)"))  # scrambled input
+    wh.write_sorted(df, "facts_sorted", ["id"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(str(tmp_path / "facts_sorted" / "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # files never overlap on the sort key
+    # data intact
+    assert wh.read("facts_sorted").count() == 10000
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    import glob
+
+    from dawis_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    # accrete 12 tiny appends (cron micro-batch pattern)
+    for i in range(12):
+        wh.write(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 as v"),
+            "accreted",
+        )
+    files_pattern = str(tmp_path / "accreted" / "**" / "*.parquet")
+    n_files = len(glob.glob(files_pattern, recursive=True))
+    assert n_files >= 12
+    before_rows = sorted(r["id"] for r in wh.read("accreted").collect())
+
+    n_before, n_after = wh.compact("accreted")
+    assert n_before == n_files and n_after < n_before
+    assert sorted(r["id"] for r in wh.read("accreted").collect()) == before_rows
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    import glob
+
+    from dawis_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    for i in range(6):
+        wh.write(
+            spark.range(i * 10, (i + 1) * 10).selectExpr(
+                "id", "cast(id % 2 as int) as day"
+            ),
+            "parts",
+            partition_by=["day"],
+        )
+    n_before, n_after = wh.compact("parts")
+    assert n_after < n_before
+    # partition dirs survive and data is intact per partition
+    dirs = {p.split("=")[1] for p in glob.glob(str(tmp_path / "parts" / "day=*"))}
+    assert dirs == {"0", "1"}
+    out = wh.read("parts")
+    assert out.filter("day = 0").count() + out.filter("day = 1").count() == 60
