@@ -73,17 +73,27 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.withColumn("lang_pred", pred)
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length / punctuation / stopword quality heuristics + composite score.
 
     Columns: n_chars_obs, n_tokens, avg_token_len, punct_ratio,
     stop_ratio_en, quality (all rounded for oracle parity).
     quality = clamp01(0.3*min(n_tokens/100,1) + 0.4*(1-punct_ratio)
               + 0.3*min(stop_ratio_en*4, 1))
+
+    ``extra_cols`` ride along unchanged — callers that need source/text
+    next to the scores stay single-scan instead of self-joining the
+    corpus back on id (which at scale is a corpus-sized join).
     """
     toks = TXT.tokens(text_col, "spark")
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.length(text_col).alias("n_chars_obs"),
         F.expr(toks).alias("__toks"),
         F.expr(f"length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]', ''))").alias(
@@ -93,6 +103,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop = _stopword_ratio_expr("en", "spark")
     out = base.select(
         F.col(id_col),
+        *extra_cols,
         "n_chars_obs",
         F.size("__toks").alias("n_tokens"),
         F.round(

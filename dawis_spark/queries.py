@@ -2873,15 +2873,16 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count on sha2(text): the exchange for the distinct carries
     32-byte digests, never document bodies — same cardinality (SHA-256
     collisions are negligible), scale-safe shuffle width. DuckDB's
-    sha256() mirrors it on the oracle side."""
+    sha256() mirrors it on the oracle side. Single scan: quality_score
+    passes source/text through (extra_cols) instead of self-joining the
+    corpus back on doc_id."""
     docs = spark.table("documents")
-    q = _TS.quality_score(docs, "doc_id", "text").select(
-        "doc_id", "n_tokens", "quality"
-    )
+    scored = _TS.quality_score(
+        docs, "doc_id", "text", extra_cols=("source", "text")
+    ).select("doc_id", "source", "text", "n_tokens", "quality")
     digest = F.sha2(F.col("text"), 256)
     return (
-        docs.select("doc_id", "source", "text")
-        .join(q, "doc_id")
+        scored
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
