@@ -434,7 +434,17 @@ def connected_components(
             labels = new_labels.drop("__changed")
             if changed == 0:
                 break
-        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+        # Eager checkpoint of the converged labels: truncates the
+        # O(rounds)-deep join lineage so every downstream action reads the
+        # materialized blocks instead of re-running the iteration, and
+        # lets this function release its own persists instead of leaking
+        # them to the caller. One extra pass over a (node, label) relation
+        # — cheap next to even a single propagation round.
+        result = labels.select(
+            F.col("id"), F.col("label").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+        backing.unpersist()
+        return result
     finally:
         edges.unpersist()
 
