@@ -173,6 +173,25 @@ class Warehouse:
             out = df.repartitionByRange(*cols)
         out.sortWithinPartitions(*cols).write.mode(mode).parquet(self.path(table))
 
+    def replace(self, df: DataFrame, table: str) -> None:
+        """Atomically replace ``table`` with ``df`` — safe even when ``df``
+        READS from the table being replaced (plain overwrite would delete
+        the input out from under its own scan): materialize to a temp dir,
+        then swap directories.
+        """
+        import shutil
+
+        path = self.path(table)
+        tmp = path + ".__replace__"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            bak = path + ".__old__"
+            os.rename(path, bak)
+            os.rename(tmp, path)
+            shutil.rmtree(bak)
+        else:
+            os.rename(tmp, path)
+
     def compact(
         self, table: str, target_file_bytes: int = 128 * 1024 * 1024
     ) -> tuple[int, int]:

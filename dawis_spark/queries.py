@@ -2521,6 +2521,69 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HYPER_SQL)
 
 
+_INCR_ROLLUP_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS v_sum,
+  MIN(value) AS v_min, MAX(value) AS v_max,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("incremental_rollup_2ticks", oracle=_INCR_ROLLUP_ORACLE)
+def incremental_rollup_2ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate MAINTENANCE, oracle-proven: the fact table is
+    split into two interleaved batches (event_id parity — deliberately
+    not time-ordered), each merged into a stored rollup by
+    operators/rollup.update_rollup; the final rollup must hash-match a
+    single-shot GROUP BY over ALL facts. This is the re-aggregatability
+    invariant every incremental materialized view relies on: partials
+    (count, decimal sum, min, max) merge associatively, derived metrics
+    (avg) compute at read time.
+
+    Scale: per-tick cost is one groupBy over the NEW slice plus a merge
+    groupBy over (rollup ∪ batch partials) — grain-sized, independent of
+    history length. Sums run on DECIMAL so any batch split produces
+    bit-identical results (double summation order would drift)."""
+    import shutil
+
+    from dawis_spark.catalog import Warehouse
+    from dawis_spark.operators.rollup import update_rollup
+
+    root = "/root/repo/spark-warehouse/incr_rollup_demo"
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    wh = Warehouse(spark, root)
+    events = spark.table("events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    measures = {
+        "n_events": ("sum", F.count(F.lit(1)).cast("bigint")),
+        "v_sum": ("sum", F.sum(F.col("value").cast("decimal(18,6)"))),
+        "v_min": ("min", F.min("value")),
+        "v_max": ("max", F.max("value")),
+    }
+    keys = ["day", "event_type"]
+    update_rollup(wh, "rollup", events.filter("event_id % 2 = 0"), keys, measures)
+    merged = update_rollup(
+        wh, "rollup", events.filter("event_id % 2 = 1"), keys, measures
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round("v_sum", 2).cast("double").alias("v_sum"),
+        "v_min",
+        "v_max",
+        F.round(F.col("v_sum").cast("double") / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+    ).orderBy("day", "event_type")
+
+
 _Q2_SQL = """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,

@@ -194,3 +194,40 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     assert dirs == {"0", "1"}
     out = wh.read("parts")
     assert out.filter("day = 0").count() + out.filter("day = 1").count() == 60
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """Three arbitrary batch splits merged incrementally equal one full
+    aggregation — the re-aggregatability invariant, plus replace()'s
+    self-read safety (tick N reads the table tick N writes)."""
+    from dawis_spark.catalog import Warehouse
+    from dawis_spark.operators.rollup import update_rollup
+
+    wh = Warehouse(spark, str(tmp_path))
+    facts = spark.range(0, 300).selectExpr(
+        "cast(id % 7 as string) as k", "cast(id as double) as v", "id"
+    )
+    measures = {
+        "n": ("sum", F.count(F.lit(1)).cast("bigint")),
+        "v_sum": ("sum", F.sum(F.col("v").cast("decimal(18,6)"))),
+        "v_max": ("max", F.max("v")),
+    }
+    for m in range(3):
+        merged = update_rollup(
+            wh, "r", facts.filter(f"id % 3 = {m}"), ["k"], measures
+        )
+    got = {
+        r["k"]: (r["n"], float(r["v_sum"]), r["v_max"])
+        for r in merged.collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["v_sum"]), r["v_max"])
+        for r in facts.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("v_sum"),
+            F.max("v").alias("v_max"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 7
