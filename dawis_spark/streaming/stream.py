@@ -46,6 +46,32 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint: str,
+    batch_fn,
+    transform=None,
+) -> None:
+    """availableNow drain where each micro-batch lands through
+    ``batch_fn(batch_df, batch_id)`` — the exactly-once recipe for sinks
+    with no native streaming support (warehouse merges, JDBC, rollup
+    maintenance): the checkpoint commits batch ids, so a crashed run
+    redelivers the SAME batch with the SAME id and at-least-once becomes
+    exactly-once when ``batch_fn`` is idempotent per id (idempotent
+    append on the slice keys, or a re-aggregatable merge guarded by a
+    ProcessedLog). This is how update_rollup attaches to a stream: one
+    maintenance tick per micro-batch.
+    """
+    out = transform(stream_df) if transform else stream_df
+    q = (
+        out.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_counts(
     stream_df: DataFrame,
     time_col: str,

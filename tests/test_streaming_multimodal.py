@@ -105,6 +105,45 @@ def test_available_now_two_ticks_emit_closed_windows(spark, tmp_path):
     assert dt.datetime(2026, 5, 1, 12, 0) not in out  # still open
 
 
+def test_foreach_batch_streaming_rollup_maintenance(spark, tmp_path):
+    """Streaming continuous aggregate: foreachBatch drives update_rollup
+    once per micro-batch; after two waves of staging files the rollup
+    equals a full aggregation, and a no-new-data tick changes nothing
+    (the checkpoint makes delivery exactly-once)."""
+    from dawis_spark.catalog import Warehouse
+    from dawis_spark.operators.rollup import update_rollup
+    from dawis_spark.streaming.stream import run_foreach_batch
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "k string, v double"
+    measures = {
+        "n": ("sum", F.count(F.lit(1)).cast("bigint")),
+        "v_sum": ("sum", F.sum(F.col("v").cast("decimal(18,6)"))),
+    }
+
+    def tick_fn(batch_df, batch_id):
+        update_rollup(wh, "r", batch_df, ["k"], measures)
+
+    wave1 = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("a", 3.0)], schema)
+    wave1.write.parquet(staging)
+    run_foreach_batch(staging_stream(spark, staging, wave1.schema), ckpt, tick_fn)
+    wave2 = spark.createDataFrame([("a", 10.0), ("c", 5.0)], schema)
+    wave2.write.mode("append").parquet(staging)
+    run_foreach_batch(staging_stream(spark, staging, wave1.schema), ckpt, tick_fn)
+
+    def snapshot():
+        return {
+            r["k"]: (r["n"], float(r["v_sum"])) for r in wh.read("r").collect()
+        }
+
+    assert snapshot() == {"a": (3, 14.0), "b": (1, 2.0), "c": (1, 5.0)}
+    # idle tick: checkpoint says everything is committed -> no change
+    run_foreach_batch(staging_stream(spark, staging, wave1.schema), ckpt, tick_fn)
+    assert snapshot() == {"a": (3, 14.0), "b": (1, 2.0), "c": (1, 5.0)}
+
+
 def _media(spark):
     rows = [
         (1, {"media_type": "image", "format": "png", "width": 2, "height": 2,
