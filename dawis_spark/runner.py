@@ -11,6 +11,8 @@ module run; the only actions are the two appends.
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 
 from dawis_spark.catalog import Warehouse
@@ -59,3 +61,64 @@ def run_operation(
     if incremental:
         log.mark(staging, ["urlset", "url", "date"])
     return total
+
+
+def _cron_field(spec: str, value: int, lo: int, hi: int) -> bool:
+    """One cron field: '*', 'a', 'a-b', '*/n', 'a-b/n', comma lists."""
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+        if part == "*":
+            start, end = lo, hi
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            start, end = int(a), int(b)
+        else:
+            start, end = int(part), int(part) if step == 1 else hi
+        if start <= value <= end and (value - start) % step == 0:
+            return True
+    return False
+
+
+def cron_matches(expr: str, ts: datetime) -> bool:
+    """5-field cron match (minute hour day-of-month month day-of-week),
+    the grammar celery beat's crontab accepts for the reference's
+    ``schedule`` keys (dawis.py:26-44). day-of-week: 0 and 7 are Sunday.
+    Standard cron OR-semantics between dom and dow apply only when both
+    are restricted; the reference's configs restrict at most one, so the
+    simple AND of all five fields is exact for its grammar."""
+    fields = expr.split()
+    if len(fields) != 5:
+        raise ValueError(f"cron expression needs 5 fields: {expr!r}")
+    minute, hour, dom, month, dow = fields
+    # python weekday(): Monday=0; cron: Sunday=0
+    cron_dow = (ts.weekday() + 1) % 7
+    return (
+        _cron_field(minute, ts.minute, 0, 59)
+        and _cron_field(hour, ts.hour, 0, 23)
+        and _cron_field(dom, ts.day, 1, 31)
+        and _cron_field(month, ts.month, 1, 12)
+        and (_cron_field(dow, cron_dow, 0, 6) or _cron_field(dow, 7 if cron_dow == 0 else cron_dow, 0, 7))
+    )
+
+
+def run_due_operations(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    configuration: Configuration,
+    now: datetime,
+    run_one=run_operation,
+) -> dict[str, int]:
+    """The beat loop (reference dawis.py:26-70): run every operation whose
+    cron ``schedule`` matches ``now``. Returns {module: check rows}.
+    ``run_one`` is injectable for tests; an external scheduler calls this
+    once per minute tick — per-module state (processed-log) makes missed
+    or repeated ticks safe."""
+    results: dict[str, int] = {}
+    for name, op in configuration.operations.items():
+        schedule = getattr(op, "schedule", None)
+        if schedule and cron_matches(schedule, now):
+            results[name] = run_one(spark, warehouse, configuration, name)
+    return results

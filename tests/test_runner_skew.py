@@ -77,3 +77,58 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(big, small, "k", salt_buckets=4, how="left").collect()
     rows = {r["k"]: r["lab"] for r in out}
     assert rows == {"x": "lab", "nomatch": None}
+
+
+def test_cron_matches_grammar():
+    import datetime as dt
+
+    from dawis_spark.runner import cron_matches
+
+    t = dt.datetime(2026, 5, 4, 4, 0)  # Monday 04:00
+    assert cron_matches("0 4 * * *", t)
+    assert not cron_matches("0 5 * * *", t)
+    assert cron_matches("*/15 * * * *", t)
+    assert cron_matches("0 4 * * 1", t)            # Monday = 1
+    assert not cron_matches("0 4 * * 0", t)
+    assert cron_matches("0 0-6/2 * * *", t)        # 0,2,4,6
+    assert cron_matches("0,30 4 4 5 *", t)
+    assert not cron_matches("0 4 5 * *", t)
+    sunday = dt.datetime(2026, 5, 3, 4, 0)
+    assert cron_matches("0 4 * * 0", sunday)
+    assert cron_matches("0 4 * * 7", sunday)        # 7 == Sunday too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cron_matches("0 4 * *", t)
+
+
+def test_run_due_operations_dispatches_by_schedule(spark):
+    import datetime as dt
+
+    from dawis_spark.config import load_configuration
+    from dawis_spark.runner import run_due_operations
+
+    cfg = load_configuration(
+        """
+operations:
+  metatags:
+    schedule: "0 4 * * *"
+    settings: {}
+  htmlheadings:
+    schedule: "0 6 * * *"
+    settings: {}
+"""
+    )
+    ran = []
+
+    def fake_run(spark_, wh, configuration, name):
+        ran.append(name)
+        return 7
+
+    out = run_due_operations(
+        spark, None, cfg, dt.datetime(2026, 5, 4, 4, 0), run_one=fake_run
+    )
+    assert out == {"metatags": 7} and ran == ["metatags"]
+    assert run_due_operations(
+        spark, None, cfg, dt.datetime(2026, 5, 4, 5, 0), run_one=fake_run
+    ) == {}
