@@ -104,6 +104,47 @@ def cron_matches(expr: str, ts: datetime) -> bool:
     )
 
 
+class RuntimeLimitExceeded(Exception):
+    """Raised when an operation overruns its configured runtime_limit."""
+
+
+def run_with_limit(spark: SparkSession, fn, limit_seconds: float, group: str):
+    """Execute ``fn()`` under a Spark job group and cancel every job in the
+    group if it overruns — the reference's celery ``soft_time_limit``
+    (dawis.py:47-52, config runtime_limit) translated to Spark's native
+    cancellation: ``cancelJobGroup`` interrupts running tasks, so a stuck
+    scan or shuffle actually stops instead of a Python-side timer leaking
+    a runaway cluster job. Raises RuntimeLimitExceeded on overrun.
+    """
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, f"runtime_limit={limit_seconds}s", interruptOnCancel=True)
+    expired = threading.Event()
+
+    def cancel() -> None:
+        expired.set()
+        sc.cancelJobGroup(group)
+
+    timer = threading.Timer(limit_seconds, cancel)
+    timer.daemon = True
+    timer.start()
+    try:
+        result = fn()
+        if expired.is_set():
+            raise RuntimeLimitExceeded(group)
+        return result
+    except RuntimeLimitExceeded:
+        raise
+    except Exception as exc:
+        if expired.is_set():
+            raise RuntimeLimitExceeded(group) from exc
+        raise
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
+
+
 def run_due_operations(
     spark: SparkSession,
     warehouse: Warehouse,
@@ -119,6 +160,16 @@ def run_due_operations(
     results: dict[str, int] = {}
     for name, op in configuration.operations.items():
         schedule = getattr(op, "schedule", None)
-        if schedule and cron_matches(schedule, now):
+        if not (schedule and cron_matches(schedule, now)):
+            continue
+        limit = getattr(op, "runtime_limit", None)
+        if limit:
+            results[name] = run_with_limit(
+                spark,
+                lambda n=name: run_one(spark, warehouse, configuration, n),
+                limit,
+                f"operation-{name}",
+            )
+        else:
             results[name] = run_one(spark, warehouse, configuration, name)
     return results

@@ -132,3 +132,26 @@ operations:
     assert run_due_operations(
         spark, None, cfg, dt.datetime(2026, 5, 4, 5, 0), run_one=fake_run
     ) == {}
+
+
+def test_run_with_limit_cancels_overrunning_job(spark):
+    import time
+
+    import pytest as _pytest
+
+    from dawis_spark.runner import RuntimeLimitExceeded, run_with_limit
+
+    # fast path completes untouched
+    assert run_with_limit(spark, lambda: spark.range(10).count(), 30, "g-fast") == 10
+
+    def slow():
+        # ~10^10-pair crossJoin count: far beyond the 1.5s budget
+        big = spark.range(100_000)
+        return big.crossJoin(spark.range(100_000)).count()
+
+    t0 = time.time()
+    with _pytest.raises(RuntimeLimitExceeded):
+        run_with_limit(spark, slow, 1.5, "g-slow")
+    assert time.time() - t0 < 30  # cancelled, not run to completion
+    # session still usable after the cancellation
+    assert spark.range(5).count() == 5
