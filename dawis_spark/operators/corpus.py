@@ -360,3 +360,59 @@ def corpus_filter(
         .filter(F.col("__rn") == 1)
         .select(id_col, *extra_cols, "lang_pred", "n_tokens", "quality")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window chunking step between cleaned documents and training
+    sequences (the fixed-stride approximation every large pipeline uses;
+    pack_documents then bins the chunks).
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text), chunk i covering
+    tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final window may be short, and
+    a document never yields zero chunks (empty text -> one empty chunk).
+
+    Scale: pure map-side array arithmetic — tokenize once, then
+    posexplode over a sequence of window offsets; no shuffle at all.
+    Row growth is n_tokens/stride per doc, the unavoidable output size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = TXT.tokens(text_col, "spark")
+    base = df.select(
+        F.col(id_col),
+        F.expr(toks).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(chunk_tokens)) / F.lit(stride)) + 1,
+    ).cast("int")
+    return (
+        base.withColumn("__nc", n_chunks)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.expr("sequence(0, __nc - 1)")).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.expr(
+                f"slice(__toks, chunk_id * {stride} + 1, {chunk_tokens})"
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

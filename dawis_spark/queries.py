@@ -2866,6 +2866,45 @@ def ann_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_docs_oracle(chunk: int, overlap: int) -> str:
+    stride = chunk - overlap
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - {chunk}) / {stride}.0) AS BIGINT) + 1) AS nc
+  FROM t
+),
+c AS (
+  SELECT doc_id, unnest(range(0, nc)) AS chunk_id, toks FROM n
+),
+s AS (
+  SELECT doc_id, chunk_id,
+         list_slice(toks, chunk_id * {stride} + 1, chunk_id * {stride} + {chunk}) AS ch
+  FROM c
+)
+SELECT doc_id, chunk_id,
+       CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ch, ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+@query("chunk_documents", oracle=_chunk_docs_oracle(64, 8))
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride context-window chunking (64-token windows, 8-token
+    overlap) — the step between cleaned documents and training
+    sequences; pack_documents bins the output. Pure map-side array
+    arithmetic: tokenize once, explode window offsets, slice — zero
+    shuffles besides the output sort."""
+    from dawis_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        spark.table("documents"), "doc_id", "text", chunk_tokens=64, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
 def _corpus_filter_oracle(
     keep_lang: str, min_quality: float, min_tokens: int
 ) -> str:

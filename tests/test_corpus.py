@@ -148,3 +148,29 @@ def test_corpus_filter_gates_and_dedup(spark):
     assert set(out) == {1, 5}  # dup keeps lowest id; de + short rejected
     assert out[1]["lang_pred"] == "en" and out[1]["source"] == "a"
     assert out[1]["quality"] >= 0.4 and out[1]["n_tokens"] >= 10
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    import pytest as _pytest
+
+    from dawis_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id bigint, text string"
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> offsets 0,3,6; the last window reaches w9, so
+    # ceil((10-4)/3)+1 = 3 windows cover all tokens with no extra tail
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w3 w4 w5 w6")  # overlap of 1 token
+    assert out[(1, 2)] == (4, "w6 w7 w8 w9")
+    # short doc -> one window; empty doc -> one empty chunk, never zero rows
+    assert out[(2, 0)] == (2, "a b")
+    assert out[(3, 0)] == (0, "")
+    assert len(out) == 5
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
