@@ -398,3 +398,95 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_assign(
+    corpus,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+):
+    """(id, cid): nearest centroid by cosine, computed as a map-side argmax
+    over literal centroid arrays (same machinery as ivf_ann_topk's coarse
+    quantizer — the centroid set is config-sized). Cosines are rounded to
+    6 digits BEFORE the argmax and ties break to the lowest cid, so the
+    assignment is bit-reproducible in any engine."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    cids = [c for c, _ in cent_rows]
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+            for _, vec in cent_rows
+        )
+        + ")"
+    )
+    cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
+    aff = (
+        f"transform({cent_lit}, c -> coalesce("
+        f"round({V.cosine_null('vec', 'c', 'spark')}, 6), cast(-2.0 as double)))"
+    )
+    pick = F.expr(
+        f"element_at({cid_lit}, "
+        f"cast(array_position(__affs, array_max(__affs)) as int))"
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__affs", F.expr(aff))
+        .select("id", "vec", pick.alias("cid"))
+    )
+
+
+def train_kmeans(
+    corpus,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column — trains the coarse
+    quantizer that ivf_ann_topk's ``centroids=`` parameter consumes.
+
+    Structure per iteration: ASSIGN is a map-side argmax against literal
+    centroids (no shuffle of vectors); UPDATE is one posexplode +
+    groupBy(cid, dim) average — the only shuffle, carrying (cid, dim,
+    partial-sum) triples, never whole vectors. The k x dim centroid
+    matrix is driver-resident between rounds (config-sized, exactly like
+    FAISS coarse quantizers), so each round is collect()-bounded by
+    k*dim doubles. Empty clusters keep their previous centroid.
+
+    Determinism for the oracle: init is the k lowest-id vectors; every
+    centroid component is rounded to 6 digits after each update, so
+    engine-order float drift in the averages cannot flip a later
+    assignment.
+    """
+    from pyspark.sql import functions as F
+
+    init = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        (cid, [round(float(x), 6) for x in row["vec"]])
+        for cid, row in enumerate(init)
+    ]
+    for _ in range(iterations):
+        assigned = kmeans_assign(corpus, id_col, vec_col, cents)
+        new_rows = (
+            assigned.select("cid", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.expr("transform(dm, s -> s.m)").alias("vec"))
+            .collect()
+        )
+        updated = {int(r["cid"]): [float(x) for x in r["vec"]] for r in new_rows}
+        cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+    return cents

@@ -925,6 +925,68 @@ def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _kmeans_oracle(k: int, dim: int) -> str:
+    # mirrors train_kmeans(iterations=1) + kmeans_assign: init = k
+    # lowest-id vectors (components rounded 6), one assign/update round
+    # (empty clusters keep their centroid), final assignment output.
+    # NB: alias names must avoid 'i' — the duck fragment binds a lambda
+    # variable i in list_transform(range(...)) and a table alias i would
+    # shadow it inside the correlated subquery.
+    cos_init = _VEC.cosine_null("v.vec", "ini.cvec", "duck")
+    cos_final = _VEC.cosine_null("v.vec", "fc.cvec", "duck")
+    return f"""
+WITH init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+a1 AS (
+  SELECT v.vec_id, v.vec,
+    (SELECT ini.cid FROM init ini
+     ORDER BY coalesce(round({cos_init}, 6), -2.0) DESC, ini.cid LIMIT 1) AS cid
+  FROM v
+),
+upd AS (
+  SELECT cid, r.pos AS pos, round(avg(CAST(vec[r.pos] AS DOUBLE)), 6) AS m
+  FROM a1, range(1, {dim + 1}) r(pos)
+  GROUP BY cid, r.pos
+),
+c1a AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM upd GROUP BY cid),
+c1 AS (
+  SELECT ini.cid, COALESCE(c1a.cvec, ini.cvec) AS cvec
+  FROM init ini LEFT JOIN c1a USING (cid)
+)
+SELECT v.vec_id,
+  (SELECT fc.cid FROM c1 fc
+   ORDER BY coalesce(round({cos_final}, 6), -2.0) DESC, fc.cid LIMIT 1) AS cid
+FROM v ORDER BY v.vec_id
+"""
+
+
+@query("kmeans_clusters", oracle=_kmeans_oracle(8, 64))
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, one training round) over the embedding corpus
+    — trains the coarse quantizer ivf_ann_topk's ``centroids=`` parameter
+    consumes, closing the IVF loop (deterministic-init -> trained
+    centroids -> probe search). ASSIGN is a map-side argmax against
+    literal centroids; UPDATE's only shuffle carries (cid, dim, partial
+    avg) triples, never vectors; the k x dim centroid matrix rides the
+    driver between rounds exactly like a FAISS coarse quantizer. Every
+    centroid component rounds to 6 digits per round so engine float
+    drift cannot flip an assignment — the DuckDB oracle replays the
+    identical round."""
+    from dawis_spark.operators.similarity import kmeans_assign, train_kmeans
+
+    emb = spark.table("embeddings")
+    cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
+    return (
+        kmeans_assign(emb, "vec_id", "embedding", cents)
+        .select(F.col("id").alias("vec_id"), "cid")
+        .orderBy("vec_id")
+    )
+
+
 def _lang_id_oracle() -> str:
     toks = _TXT.tokens("text", "duck")
     scores = _TS.language_scores_sql("text", "duck")

@@ -346,3 +346,27 @@ def test_connected_components_iteration_cap(spark):
     full = {r["id"]: r["cluster_id"]
             for r in connected_components(pairs, max_iterations=20).collect()}
     assert set(full.values()) == {1}
+
+
+def test_train_kmeans_separates_synthetic_clusters(spark):
+    from dawis_spark.operators.similarity import kmeans_assign, train_kmeans
+
+    # two tight direction-clusters in 4d; ids 0 and 1 (the k=2 init) land
+    # one in each cluster so Lloyd converges immediately
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [0.0, 0.1, 1.0, 0.0]),
+        (2, [0.9, 0.0, 0.1, 0.0]),
+        (3, [0.1, 0.0, 0.9, 0.0]),
+        (4, [1.0, 0.1, 0.05, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_kmeans(emb, "vec_id", "embedding", k=2, iterations=2)
+    assert [c for c, _ in cents] == [0, 1] and all(len(v) == 4 for _, v in cents)
+    got = {
+        r["id"]: r["cid"]
+        for r in kmeans_assign(emb, "vec_id", "embedding", cents).collect()
+    }
+    assert got[0] == got[2] == got[4]  # x-direction cluster
+    assert got[1] == got[3]            # z-direction cluster
+    assert got[0] != got[1]
