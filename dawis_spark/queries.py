@@ -925,17 +925,17 @@ def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _kmeans_oracle(k: int, dim: int) -> str:
-    # mirrors train_kmeans(iterations=1) + kmeans_assign: init = k
-    # lowest-id vectors (components rounded 6), one assign/update round
-    # (empty clusters keep their centroid), final assignment output.
-    # NB: alias names must avoid 'i' — the duck fragment binds a lambda
-    # variable i in list_transform(range(...)) and a table alias i would
-    # shadow it inside the correlated subquery.
+def _kmeans_c1_ctes(k: int, dim: int) -> str:
+    """CTE chain replaying train_kmeans(iterations=1): init = k lowest-id
+    vectors (components rounded 6), one assign/update round, empty
+    clusters keep their centroid. Ends with ``c1(cid, cvec)``.
+
+    NB: alias names must avoid 'i' — the duck fragment binds a lambda
+    variable i in list_transform(range(...)) and a table alias i would
+    shadow it inside the correlated subquery."""
     cos_init = _VEC.cosine_null("v.vec", "ini.cvec", "duck")
-    cos_final = _VEC.cosine_null("v.vec", "fc.cvec", "duck")
     return f"""
-WITH init AS (
+init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
   FROM embeddings ORDER BY vec_id LIMIT {k}
@@ -956,7 +956,13 @@ c1a AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM upd GROUP BY cid),
 c1 AS (
   SELECT ini.cid, COALESCE(c1a.cvec, ini.cvec) AS cvec
   FROM init ini LEFT JOIN c1a USING (cid)
-)
+)"""
+
+
+def _kmeans_oracle(k: int, dim: int) -> str:
+    cos_final = _VEC.cosine_null("v.vec", "fc.cvec", "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(k, dim)}
 SELECT v.vec_id,
   (SELECT fc.cid FROM c1 fc
    ORDER BY coalesce(round({cos_final}, 6), -2.0) DESC, fc.cid LIMIT 1) AS cid
@@ -1326,6 +1332,74 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_centroids=16,
         n_probe=4,
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_trained_oracle(k: int, n_queries: int, kc: int, n_probe: int, dim: int) -> str:
+    # the IVF probe chain of _ivf_oracle with `cent` replaced by the
+    # k-means-trained c1 centroids (rounded per round, so both engines
+    # hold bit-identical quantizers)
+    cos_vc = _VEC.cosine_null("vec", "cvec", "duck")
+    cos_qc = _VEC.cosine("q_vec", "c_vec", "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(kc, dim)},
+corpus_aff AS (
+  SELECT vec_id AS neighbor_id, vec, cid,
+         coalesce(ROUND({cos_vc}, 6), -2.0) AS aff
+  FROM v, (SELECT cid, cvec FROM c1) cent(cid, cvec)
+),
+corpus_b AS (
+  SELECT neighbor_id, vec AS c_vec, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY aff DESC, cid) AS r
+    FROM corpus_aff
+  ) WHERE r <= 1
+),
+q_aff AS (
+  SELECT vec_id AS query_id, vec, cid,
+         coalesce(ROUND({cos_vc}, 6), -2.0) AS aff
+  FROM (SELECT vec_id, vec FROM v WHERE vec_id < {n_queries}) q,
+       (SELECT cid, cvec FROM c1) cent(cid, cvec)
+),
+q_b AS (
+  SELECT query_id, vec AS q_vec, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, cid) AS r
+    FROM q_aff
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, ROUND({cos_qc}, 6) AS cosine
+  FROM q_b JOIN corpus_b USING (cid)
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_ivf_trained", oracle=_ivf_trained_oracle(5, 10, 8, 3, 64))
+def embedding_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF pipeline composed end to end: train the coarse
+    quantizer with one k-means round (k=8), then probe-search with the
+    TRAINED centroids through ivf_ann_topk's ``centroids=`` parameter —
+    the production path (FAISS: train quantizer offline, search online),
+    staying fully lazy on the corpus side. The oracle replays training
+    AND search in one SQL; per-round centroid rounding keeps both
+    engines' quantizers bit-identical."""
+    from dawis_spark.operators.similarity import ivf_ann_topk, train_kmeans
+
+    emb = spark.table("embeddings")
+    cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
+    return ivf_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_probe=3,
+        centroids=cents,
     ).orderBy("query_id", "rank")
 
 
