@@ -1,0 +1,53 @@
+"""Physical-plan regression guards.
+
+PLANS.md documents the plan shapes we ship; these tests pin the
+load-bearing properties so a refactor can't silently regress them —
+pushdown reaching the scan, dims broadcasting, single-scan compositions
+staying single-scan. Asserted on the executed plan at sf0.001 (plan
+shape, not timing, so the smallest data suffices — broadcast decisions
+below are AQE-independent: dims are far under the static threshold).
+"""
+
+from dawis_spark import queries as q
+from dawis_spark.catalog import register_testdata
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    register_testdata(spark, SF_DIR)
+    df = q.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q5_dims_broadcast_not_sortmerge(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_filter_single_scan(spark):
+    plan = _plan(spark, "corpus_filter_pipeline")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_source_quality_rollup_no_self_join(spark):
+    plan = _plan(spark, "source_quality_rollup")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_stays_hash_no_nested_loop(spark):
+    plan = _plan(spark, "events_following_1h")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_k_uses_take_ordered(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
