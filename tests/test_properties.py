@@ -105,3 +105,59 @@ def test_match_enrich_matches_reference(spark, words):
         for r in match_enrich(df, "s", "lab", expressions, fallback="other").collect()
     ]
     assert got == expected
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_documents_covers_every_token_once_minimum(
+    spark, n_tokens, chunk, overlap_frac
+):
+    """Coverage invariants of fixed-stride chunking for arbitrary sizes:
+    every token appears in at least one window, window offsets advance by
+    exactly stride, and only the last window may be short."""
+    from dawis_spark.operators.corpus import chunk_documents
+
+    overlap = min(chunk - 1, int(chunk * overlap_frac))
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    assert rows, "a document never yields zero chunks"
+    covered = set()
+    for cid, n, textout in rows:
+        toks = textout.split() if textout else []
+        assert len(toks) == n
+        assert toks == [f"t{i}" for i in range(cid * stride, cid * stride + n)]
+        covered.update(range(cid * stride, cid * stride + n))
+        if cid < rows[-1][0]:
+            assert n == chunk  # only the last window may be short
+    assert covered == set(range(n_tokens))
+
+
+@given(
+    minute=st.integers(0, 59),
+    hour=st.integers(0, 23),
+    step=st.integers(1, 30),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cron_field_membership_model(minute, hour, step):
+    """cron_matches agrees with the naive membership model for exact
+    values, steps, and ranges on the minute/hour fields."""
+    import datetime as dt
+
+    from dawis_spark.runner import cron_matches
+
+    ts = dt.datetime(2026, 5, 4, hour, minute)
+    assert cron_matches(f"{minute} {hour} * * *", ts)
+    assert cron_matches(f"*/{step} * * * *", ts) == (minute % step == 0)
+    lo, hi = sorted((minute, (minute + 17) % 60))
+    assert cron_matches(f"{lo}-{hi} * * * *", ts) == (lo <= minute <= hi)
