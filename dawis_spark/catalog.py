@@ -33,20 +33,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan: Catalyst pushes filters
     and prunes columns into this scan automatically.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects (PARQUET_TYPE_ILLEGAL). We flip the legacy nanosAsLong conf so
-    the column arrives as raw nanos and rebuild a microsecond TIMESTAMP_NTZ
-    in the plan (exact: the generator emits whole microseconds). Integer
-    ``div`` keeps full precision — nanos exceed 2^53 so float math would drift.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) across testdata generations. NANOS is rejected by
+    Spark's parquet reader (PARQUET_TYPE_ILLEGAL), so we flip the legacy
+    nanosAsLong conf first and branch on what actually arrives: raw nano
+    longs are rebuilt into a microsecond TIMESTAMP_NTZ in the plan (integer
+    ``div`` keeps full precision — nanos exceed 2^53 so float math would
+    drift), a plain timestamp is normalized to NTZ, and NTZ passes through.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(path)
 
 
