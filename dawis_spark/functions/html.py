@@ -174,19 +174,38 @@ class _TreeBuilder(HTMLParser):
             cur.text = (cur.text or "") + data
 
 
+# Named axes supported in addition to the '/'-implied child and
+# '//'-implied descendant (reference xpath.py:282-302 accepts all lxml axes;
+# these are the ones that appear in real selector configs).
+_NAMED_AXES = {
+    "child",
+    "descendant",
+    "descendant-or-self",
+    "self",
+    "parent",
+    "ancestor",
+    "ancestor-or-self",
+    "following-sibling",
+    "preceding-sibling",
+}
+
+
 def _tokenize_steps(query: str) -> list[tuple[str, str, list[str]]]:
     """Split an XPath into (axis, name-test, [predicates]) steps.
 
-    axis is 'child' ('/') or 'desc' ('//'); predicates are the raw strings
-    between balanced brackets (quote-aware, so ``[contains(@t,'a]b')]``
-    tokenizes correctly). A relative path behaves like the old
-    ET-``findall`` normalization: first step is a child of the wrapper.
+    axis is 'child' ('/'), 'descendant' ('//'), or any name from
+    ``_NAMED_AXES`` given explicitly as ``axis::test``. ``.`` and ``..``
+    abbreviate ``self::*`` and ``parent::*``. Predicates are the raw
+    strings between balanced brackets (quote-aware, so
+    ``[contains(@t,'a]b')]`` tokenizes correctly). A relative path behaves
+    like the old ET-``findall`` normalization: first step is a child of
+    the wrapper.
     """
     steps: list[tuple[str, str, list[str]]] = []
     i, n = 0, len(query)
     while i < n:
         if query.startswith("//", i):
-            axis, i = "desc", i + 2
+            axis, i = "descendant", i + 2
         elif query[i] == "/":
             axis, i = "child", i + 1
         else:
@@ -196,6 +215,15 @@ def _tokenize_steps(query: str) -> list[tuple[str, str, list[str]]]:
             j += 1
         name = query[i:j]
         i = j
+        if "::" in name:
+            axis_name, _, name = name.partition("::")
+            if axis_name not in _NAMED_AXES:
+                return [("child", "\0unsupported", [])]  # match nothing
+            axis = axis_name
+        elif name == ".":
+            axis, name = "self", "*"
+        elif name == "..":
+            axis, name = "parent", "*"
         preds: list[str] = []
         while i < n and query[i] == "[":
             depth, quote, j = 0, None, i
@@ -242,12 +270,26 @@ def _operand_value(el, operand: str) -> str | None:
     return "".join(el.itertext())
 
 
+_PRED_POS = re.compile(r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+)$")
+
+
 def _pred_match(el, pred: str, pos: int, size: int) -> bool:
     pred = pred.strip()
     if pred.isdigit():  # [n] — 1-based position within the parent group
         return pos == int(pred)
     if pred == "last()":
         return pos == size
+    m = _PRED_POS.match(pred)
+    if m:
+        op, rhs = m.group(1), int(m.group(2))
+        return {
+            "=": pos == rhs,
+            "!=": pos != rhs,
+            "<": pos < rhs,
+            "<=": pos <= rhs,
+            ">": pos > rhs,
+            ">=": pos >= rhs,
+        }[op]
     m = _PRED_FN.match(pred)
     if m:
         negate, fn, operand, _, needle, closing = m.groups()
@@ -281,22 +323,61 @@ def _pred_match(el, pred: str, pos: int, size: int) -> bool:
     return False  # unsupported predicate: match nothing, never crash
 
 
+def _axis_candidates(node, axis: str, parents: dict) -> list:
+    """Raw candidate nodes for one axis from one context node, in axis
+    order (reverse document order for the reverse axes, per XPath)."""
+    if axis == "child":
+        return list(node)
+    if axis == "descendant":
+        return [d for d in node.iter() if d is not node]
+    if axis == "descendant-or-self":
+        return list(node.iter())
+    if axis == "self":
+        return [node]
+    if axis == "parent":
+        p = parents.get(id(node))
+        return [p] if p is not None else []
+    if axis in ("ancestor", "ancestor-or-self"):
+        out = [node] if axis == "ancestor-or-self" else []
+        p = parents.get(id(node))
+        while p is not None:
+            out.append(p)
+            p = parents.get(id(p))
+        return out
+    # sibling axes: position within the parent's child list
+    p = parents.get(id(node))
+    if p is None:
+        return []
+    siblings = list(p)
+    idx = next(i for i, s in enumerate(siblings) if s is node)
+    if axis == "following-sibling":
+        return siblings[idx + 1 :]
+    return siblings[idx - 1 :: -1]  # preceding-sibling, reverse order
+
+
 def _eval_steps(root, steps) -> list:
     """Walk the step list. Candidates are grouped per context node so
     positional predicates ([n], [last()]) count within their parent group,
     as XPath specifies — not over the global match list."""
+    parents: dict[int, object] = {}
+    for p in root.iter():
+        for c in p:
+            parents[id(c)] = p
+    # the synthetic __doc__ wrapper is not a real document node: axes that
+    # walk upward never surface it (the `c is root` filter below)
     nodes = [root]
     for axis, name, preds in steps:
         groups: list[list] = []
         for node in nodes:
-            if axis == "child":
-                group = [c for c in node if name in ("*", c.tag)]
-            else:
-                group = [
-                    d
-                    for d in node.iter()
-                    if d is not node and name in ("*", d.tag)
-                ]
+            group = [
+                c
+                for c in _axis_candidates(node, axis, parents)
+                if name in ("*", getattr(c, "tag", None))
+                and not (
+                    axis in ("parent", "ancestor", "ancestor-or-self")
+                    and c is root
+                )
+            ]
             if group:
                 groups.append(group)
         for pred in preds:
@@ -324,28 +405,61 @@ def _eval_steps(root, steps) -> list:
 _ATTR_TAIL = re.compile(r"/@([\w:.-]+)$")
 
 
+def _split_union(query: str) -> list[str]:
+    """Split on top-level ``|`` (quote- and bracket-aware)."""
+    parts: list[str] = []
+    depth, quote, start = 0, None, 0
+    for i, ch in enumerate(query):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append(query[start:i])
+            start = i + 1
+    parts.append(query[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def html_xpath(body: str, query: str) -> list:
     """Evaluate an XPath over tolerant-parsed HTML. Supported grammar
     (reference xpath.py:282-302 accepts arbitrary lxml XPath; this covers
-    the selectors its configs actually use): '/' and '//' axes, '*' name
-    test, predicates in ANY step — '[@attr]', "[@attr='v']", "[@attr!='v']",
-    "[contains(@attr,'v')]", "[starts-with(@attr,'v')]",
-    "[ends-with(@attr,'v')]", 'not(...)' around any of those,
-    "[contains(text(),'v')]", "[text()='v']", "[contains(.,'v')]" (full
-    string value), '[tag]', "[tag='v']", '[n]', '[last()]' — plus trailing
-    '/@attr' and '/text()'. Positional predicates count within the parent
-    group per the XPath spec.
+    the selectors its configs actually use): '/' and '//' abbreviated axes,
+    named axes (``child::``, ``descendant::``, ``descendant-or-self::``,
+    ``self::``, ``parent::``, ``ancestor::``, ``ancestor-or-self::``,
+    ``following-sibling::``, ``preceding-sibling::``), '.' and '..' steps,
+    '*' name test, top-level union ``a | b``, predicates in ANY step —
+    '[@attr]', "[@attr='v']", "[@attr!='v']", "[contains(@attr,'v')]",
+    "[starts-with(@attr,'v')]", "[ends-with(@attr,'v')]", 'not(...)'
+    around any of those, "[contains(text(),'v')]", "[text()='v']",
+    "[contains(.,'v')]" (full string value), '[tag]', "[tag='v']", '[n]',
+    '[last()]', '[position() OP n]' — plus trailing '/@attr' and
+    '/text()'. Positional predicates count within the parent group per the
+    XPath spec.
 
     Element results serialize as the reference does (xpath.py:286-300):
     concatenated child-element markup, else the element's own text.
-    Deviation documented: child serialization is compact
-    (ET.tostring) rather than lxml pretty_print, so inter-tag whitespace
-    differs; content is identical.
+    Deviations documented: child serialization is compact (ET.tostring)
+    rather than lxml pretty_print, so inter-tag whitespace differs; union
+    results concatenate per-branch in branch order rather than global
+    document order.
     """
-    import xml.etree.ElementTree as ET
-
     builder = _TreeBuilder()
     builder.feed(body or "")
+    out: list = []
+    for branch in _split_union(query):
+        out.extend(_eval_branch(builder.root, branch))
+    return out
+
+
+def _eval_branch(root, query: str) -> list:
+    import xml.etree.ElementTree as ET
+
     attr = None
     want_text = False
     m = _ATTR_TAIL.search(query)
@@ -356,7 +470,7 @@ def html_xpath(body: str, query: str) -> list:
         want_text = True
         query = query[: -len("/text()")]
     out: list = []
-    for el in _eval_steps(builder.root, _tokenize_steps(query)):
+    for el in _eval_steps(root, _tokenize_steps(query)):
         if attr is not None:
             value = el.get(attr)
             if value is not None:
