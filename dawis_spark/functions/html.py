@@ -219,6 +219,10 @@ def _tokenize_steps(query: str) -> list[tuple[str, str, list[str]]]:
             axis_name, _, name = name.partition("::")
             if axis_name not in _NAMED_AXES:
                 return [("child", "\0unsupported", [])]  # match nothing
+            if axis == "descendant":
+                # '//' abbreviates descendant-or-self::node()/ — compose
+                # with the explicit axis instead of overwriting it
+                steps.append(("descendant-or-self", "*", []))
             axis = axis_name
         elif name == ".":
             axis, name = "self", "*"
@@ -352,7 +356,7 @@ def _axis_candidates(node, axis: str, parents: dict) -> list:
     idx = next(i for i, s in enumerate(siblings) if s is node)
     if axis == "following-sibling":
         return siblings[idx + 1 :]
-    return siblings[idx - 1 :: -1]  # preceding-sibling, reverse order
+    return siblings[:idx][::-1]  # preceding-sibling, reverse order
 
 
 def _eval_steps(root, steps) -> list:

@@ -231,3 +231,28 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 7
+
+
+def test_load_table_events_ts_is_timezone_independent(spark):
+    """load_table pins the session timezone before the LTZ->NTZ cast, so a
+    caller who never goes through register_testdata (which also pins UTC)
+    sees the same wall-clock values as the UTC oracle."""
+    from dawis_spark.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        pytest.skip("testdata not present")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = load_table(spark, sf_dir, "events").agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    utc = load_table(spark, sf_dir, "events").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    spark.conf.set("spark.sql.session.timeZone", prev)
+    assert (shifted.lo, shifted.hi) == (utc.lo, utc.hi)

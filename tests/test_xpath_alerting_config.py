@@ -348,6 +348,55 @@ def test_html_xpath_predicate_functions():
         assert html_xpath(h, q) == want, q
 
 
+def test_html_xpath_named_axes_union_position():
+    """Named axes, '.'/'..', top-level union, position() predicates, and
+    the '//' + explicit-axis composition ('//' means
+    descendant-or-self::node()/ before the named step). Includes the
+    first/last-child edge cases: preceding-sibling from the first child
+    and following-sibling from the last child are both empty."""
+    from dawis_spark.functions.html import html_xpath
+
+    h = "<div><a>first</a><b>second</b><c>third</c></div>"
+    cases = [
+        # sibling axes, including the empty-edge cases
+        ("//a/preceding-sibling::*", []),
+        ("//c/following-sibling::*", []),
+        ("//c/preceding-sibling::*/text()", ["second", "first"]),
+        ("//a/following-sibling::*/text()", ["second", "third"]),
+        ("//b/preceding-sibling::a/text()", ["first"]),
+        ("//b/following-sibling::c/text()", ["third"]),
+        # '//' composing with an explicit axis (not overwriting it)
+        ("//following-sibling::b/text()", ["second"]),
+        ("//following-sibling::a", []),
+        ("//self::b/text()", ["second"]),
+        ("//parent::div/b/text()", ["second"]),
+        # upward axes
+        ("//a/parent::div/c/text()", ["third"]),
+        ("//a/ancestor::div/c/text()", ["third"]),
+        ("//a/ancestor-or-self::a/text()", ["first"]),
+        # '.' and '..'
+        ("//a/./text()", ["first"]),
+        ("//a/../c/text()", ["third"]),
+        # explicit downward axes
+        ("//div/child::b/text()", ["second"]),
+        ("/descendant::c/text()", ["third"]),
+        ("//div/descendant-or-self::div/a/text()", ["first"]),
+        # union (per-branch order, documented deviation from lxml)
+        ("//a/text() | //c/text()", ["first", "third"]),
+        ("//c | //a", ["third", "first"]),
+        ("//a | //nope", ["first"]),
+        # position() comparisons within the parent group
+        ("//div/*[position()>1]/text()", ["second", "third"]),
+        ("//div/*[position()<=2]/text()", ["first", "second"]),
+        ("//div/*[position()!=2]/text()", ["first", "third"]),
+        ("//div/*[position()=3]/text()", ["third"]),
+        # unknown axis: match nothing, never crash
+        ("//following::b", []),
+    ]
+    for q, want in cases:
+        assert html_xpath(h, q) == want, q
+
+
 def test_xpath_extract_predicate_selector_end_to_end(spark):
     """extract_elements with a contains() selector — the module e2e over
     the widened grammar."""
