@@ -27,8 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_q.QUERIES)
+    # DRIVER_PRIORITY first: the driver records correctness for the first
+    # 50 entries only, so that prefix is pinned per round, not accidental.
+    return _q.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_q.ORACLES)
+    return _q.ordered_oracles()

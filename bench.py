@@ -65,12 +65,18 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
-        # steady-state run: plan already optimized + codegen compiled —
-        # the number that scales with data (cold includes one-time plan
-        # compilation, which amortizes to zero on real workloads)
-        t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
-        warm[name] = round(time.time() - t0, 3)
+        # steady-state: plan already optimized + codegen compiled — the
+        # number that scales with data (cold includes one-time plan
+        # compilation, which amortizes to zero on real workloads). Min of
+        # two warm runs: in a single shared JVM one query otherwise gets
+        # charged for a neighbour's GC pause — r3→r4 showed 2-4x phantom
+        # regressions on unchanged code from exactly that.
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+        warm[name] = round(min(runs), 3)
         # drop any persist() an operator took out (minhash/ngram hash
         # relations): storage-memory hygiene between queries
         spark.catalog.clearCache()

@@ -6,10 +6,11 @@ extraction / resize / frame-sampling run as Arrow-batched ``mapInPandas``
 stages so bytes stream through Python in partition-sized batches and never
 surface driver-side.
 
-The actual codec work is STUBBED (this container ships no image/audio
-libraries): ``decode_fn`` raises NotImplementedError unless a deterministic
-fake is injected. The Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is real and tested (tests/test_multimodal.py).
+Codecs: pure-stdlib decoders for PCM WAV, PPM and uncompressed BMP are
+REAL (codecs.py) and run as the default ``decode_fn`` — the mapInPandas
+path is exercised end-to-end on real bytes. Compressed formats
+(png/jpeg/mp3/mp4) still raise NotImplementedError because their codec
+libraries aren't in this container; inject ``decode_fn`` where they exist.
 
 Scale: media tables are dominated by payload bytes. The iterator form of
 mapInPandas keeps peak memory at one Arrow batch; metadata-only queries
@@ -54,11 +55,13 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def default_decode(payload: bytes, meta: dict) -> list[float]:
-    """Codec stub — replace with a real decoder where libs exist."""
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; inject decode_fn= a deterministic fake for tests"
-    )
+    """Default decode: pure-stdlib codecs for wav/ppm/bmp (codecs.py —
+    real parsing, no external libs); compressed formats (png/jpeg/mp3/...)
+    raise NotImplementedError because their codec libraries aren't in this
+    container — inject decode_fn= where they exist."""
+    from dawis_spark.multimodal.codecs import stdlib_decode
+
+    return stdlib_decode(payload, meta)
 
 
 def extract_features(

@@ -83,26 +83,60 @@ def exact_duplicate_groups(
     suite). Setting a cap lists only the first K sorted other-ids per
     row (deterministic), bounding output linearly in row count; None
     keeps exact reference parity.
+
+    The capped plan is bounded end-to-end, not just at the output: the
+    first K sorted other-ids of any member depend only on the group's
+    K+1 smallest ids, so a window ``row_number`` (sort-based, spills to
+    disk) selects those and ``collect_list`` aggregates at most K+1
+    elements per group — a hot value with millions of members never
+    materializes its full id list anywhere. The parity path (None)
+    keeps the whole-group ``collect_list``, which is inherently
+    unbounded because the FORMAT is; that is why parity is the opt-in,
+    not the default.
     """
-    groups = (
-        df.select(F.col(id_col).cast("string").alias("id"), F.col(value_col).alias("v"))
-        .groupBy(F.sha2(F.col("v").cast("string"), 256).alias("__h"))
-        .agg(
-            F.sort_array(F.collect_list("id")).alias("ids"),
-            F.first("v").alias("v"),
-        )
-        .filter(F.size("ids") > 1)
+    keyed = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(value_col).alias("v"),
+        F.sha2(F.col(value_col).cast("string"), 256).alias("__h"),
     )
-    others = F.array_remove("ids", F.col(id_col))
-    if max_diff_ids is not None:
-        others = F.slice(others, 1, max_diff_ids)
-    return (
-        groups.select(F.explode("ids").alias(id_col), F.col("v").alias(value_col), "ids")
-        .select(
-            F.col(id_col),
-            F.col(value_col),
-            F.array_join(others, ", ").alias("diff"),
+    if max_diff_ids is None:
+        groups = (
+            keyed.groupBy("__h")
+            .agg(
+                F.sort_array(F.collect_list("id")).alias("ids"),
+                F.first("v").alias("v"),
+            )
+            .filter(F.size("ids") > 1)
         )
+        return (
+            groups.select(F.explode("ids").alias(id_col), F.col("v").alias(value_col), "ids")
+            .select(
+                F.col(id_col),
+                F.col(value_col),
+                F.array_join(F.array_remove("ids", F.col(id_col)), ", ").alias("diff"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h")
+    ranked = keyed.select(
+        "id",
+        "v",
+        "__h",
+        F.row_number().over(w.orderBy("id")).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    ).filter(F.col("__n") > 1)
+    top = (
+        ranked.filter(F.col("__rn") <= max_diff_ids + 1)
+        .groupBy("__h")
+        .agg(F.sort_array(F.collect_list("id")).alias("__top"))
+    )
+    return ranked.join(top, "__h").select(
+        F.col("id").alias(id_col),
+        F.col("v").alias(value_col),
+        F.array_join(
+            F.slice(F.array_remove("__top", F.col("id")), 1, max_diff_ids), ", "
+        ).alias("diff"),
     )
 
 

@@ -43,3 +43,17 @@ def test_ivf_probes_improve_over_single_bucket(spark):
     best4 = {r["query_id"]: r["cosine"] for r in four.collect() if r["rank"] == 1}
     for qid in best1:
         assert best4[qid] >= best1[qid]
+
+
+def test_driver_priority_prefix_is_pinned():
+    """The driver records correctness for only the first 50 registry
+    entries — keep that prefix deliberate: exactly 50 unique names, all
+    registered, and ordered_queries() covers the whole registry with the
+    priority prefix first."""
+    assert len(q.DRIVER_PRIORITY) == 50
+    assert len(set(q.DRIVER_PRIORITY)) == 50
+    assert set(q.DRIVER_PRIORITY) <= set(q.QUERIES)
+    ordered = list(q.ordered_queries())
+    assert ordered[:50] == q.DRIVER_PRIORITY
+    assert set(ordered) == set(q.QUERIES)
+    assert list(q.ordered_oracles()) == [n for n in ordered if n in q.ORACLES]

@@ -51,3 +51,15 @@ def test_range_join_stays_hash_no_nested_loop(spark):
 def test_top_k_uses_take_ordered(spark):
     plan = _plan(spark, "q3_shipping_priority")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_capped_duplicate_diff_uses_bounded_window_plan(spark):
+    """The capped duplicate-diff default must never materialize a group's
+    full id list: the plan ranks ids with a window (sort-based, spills)
+    and only the rn <= K+1 survivors reach the collect_list aggregate."""
+    plan = _plan(spark, "duplicate_detection")
+    assert "row_number" in plan
+    assert "collect_list" in plan  # bounded: fed by the rn filter
+    # the parity opt-in keeps the whole-group collect_list and no window
+    parity = _plan(spark, "duplicate_detection_parity")
+    assert "row_number" not in parity

@@ -155,9 +155,41 @@ def _media(spark):
 
 
 def test_multimodal_decode_stub_raises_per_row(spark):
+    # png is compressed -> no stdlib codec; error lands per-row, not task-wide
     out = extract_features(_media(spark)).collect()
     assert all(r["feature"] is None for r in out)
-    assert all("image/audio libraries" in r["decode_error"] for r in out)
+    assert all("codec libraries" in r["decode_error"] for r in out)
+
+
+def test_multimodal_stdlib_codecs_end_to_end(spark):
+    """Real decode, no fakes: WAV/PPM/BMP payloads synthesized and decoded
+    through the default mapInPandas path; the unsupported format in the
+    same batch errors per-row."""
+    from dawis_spark.multimodal.codecs import encode_bmp, encode_ppm, encode_wav
+
+    def meta(mt, fmt, **kw):
+        base = {"media_type": mt, "format": fmt, "width": None, "height": None,
+                "duration_ms": None, "sample_rate": None}
+        base.update(kw)
+        return base
+
+    rows = [
+        (1, meta("audio", "wav", sample_rate=8000),
+         bytearray(encode_wav([0, 1000, -1000, 1000] * 200, 8000))),
+        (2, meta("image", "ppm", width=4, height=2),
+         bytearray(encode_ppm(4, 2, (255, 0, 0)))),
+        (3, meta("image", "bmp", width=3, height=3),
+         bytearray(encode_bmp(3, 3, (0, 128, 255)))),
+        (4, meta("image", "png"), bytearray(b"\x89PNG")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(df).collect()}
+    dur, rate, ch, rms, zcr = got[1]["feature"]
+    assert rate == 8000.0 and ch == 1.0 and dur == 100.0
+    assert 0.0 < rms < 1.0 and zcr > 0.4  # alternating-sign signal
+    assert got[2]["feature"] == [4.0, 2.0, 255.0, 0.0, 0.0]
+    assert got[3]["feature"] == [3.0, 3.0, 0.0, 128.0, 255.0]
+    assert got[4]["feature"] is None and "codec libraries" in got[4]["decode_error"]
 
 
 def test_multimodal_fake_decoder_plumbs_batches(spark):
