@@ -173,3 +173,21 @@ def run_due_operations(
         else:
             results[name] = run_one(spark, warehouse, configuration, name)
     return results
+
+
+def run_all_operations(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    configuration: Configuration,
+    run_one=run_operation,
+) -> dict[str, int]:
+    """Module-debugger analog (reference module-debugger.py:7-24): run
+    EVERY configured operation once, synchronously, ignoring cron
+    schedules and runtime limits — the run-everything-now path used to
+    smoke a config against real staging data. Per-module processed-log
+    state still applies, so a debugger pass doesn't double-append checks
+    for already-processed documents."""
+    return {
+        name: run_one(spark, warehouse, configuration, name)
+        for name in configuration.operations
+    }

@@ -155,3 +155,44 @@ def test_run_with_limit_cancels_overrunning_job(spark):
     assert time.time() - t0 < 30  # cancelled, not run to completion
     # session still usable after the cancellation
     assert spark.range(5).count() == 5
+
+
+def test_run_all_operations_ignores_schedules(spark):
+    """Module-debugger analog: every configured operation runs once, cron
+    schedules (even never-matching ones) notwithstanding."""
+    from dawis_spark.runner import run_all_operations
+
+    cfg = load_configuration(
+        """
+operations:
+  metatags:
+    schedule: "0 4 * * *"
+    settings: {}
+  htmlheadings:
+    settings: {}
+"""
+    )
+    ran = []
+
+    def fake_run(spark_, wh, configuration, name):
+        ran.append(name)
+        return len(name)
+
+    out = run_all_operations(spark, None, cfg, run_one=fake_run)
+    assert out == {"metatags": 8, "htmlheadings": 12}
+    assert sorted(ran) == ["htmlheadings", "metatags"]
+
+
+def test_validate_config_cli(tmp_path, capsys):
+    from tools.validate_config import main
+
+    assert main([]) == 1
+    assert main([str(tmp_path / "missing.yml")]) == 1
+    good = tmp_path / "good.yml"
+    good.write_text("urlsets:\n  a:\n    urls: ['https://e.de/']\n")
+    assert main([str(good)]) == 0
+    bad = tmp_path / "bad.yml"
+    bad.write_text("urlsets:\n  a: {}\n")
+    assert main([str(bad)]) == 1
+    outs = capsys.readouterr().out
+    assert "configuration valid" in outs and "configuration is invalid" in outs
