@@ -187,6 +187,8 @@ _NAMED_AXES = {
     "ancestor-or-self",
     "following-sibling",
     "preceding-sibling",
+    "following",
+    "preceding",
 }
 
 
@@ -348,6 +350,25 @@ def _axis_candidates(node, axis: str, parents: dict) -> list:
             out.append(p)
             p = parents.get(id(p))
         return out
+    if axis in ("following", "preceding"):
+        # full document axes: climb ancestors, taking each level's
+        # following (resp. preceding) siblings WITH their subtrees —
+        # document order for 'following', reverse for 'preceding';
+        # descendants/ancestors of the context node never appear, per
+        # the XPath axis definitions
+        out: list = []
+        cur = node
+        while (p := parents.get(id(cur))) is not None:
+            sibs = list(p)
+            idx = next(i for i, s in enumerate(sibs) if s is cur)
+            if axis == "following":
+                for s in sibs[idx + 1 :]:
+                    out.extend(s.iter())
+            else:
+                for s in sibs[:idx][::-1]:
+                    out.extend(reversed(list(s.iter())))
+            cur = p
+        return out
     # sibling axes: position within the parent's child list
     p = parents.get(id(node))
     if p is None:
@@ -436,7 +457,8 @@ def html_xpath(body: str, query: str) -> list:
     the selectors its configs actually use): '/' and '//' abbreviated axes,
     named axes (``child::``, ``descendant::``, ``descendant-or-self::``,
     ``self::``, ``parent::``, ``ancestor::``, ``ancestor-or-self::``,
-    ``following-sibling::``, ``preceding-sibling::``), '.' and '..' steps,
+    ``following-sibling::``, ``preceding-sibling::``, ``following::``,
+    ``preceding::``), '.' and '..' steps,
     '*' name test, top-level union ``a | b``, predicates in ANY step —
     '[@attr]', "[@attr='v']", "[@attr!='v']", "[contains(@attr,'v')]",
     "[starts-with(@attr,'v')]", "[ends-with(@attr,'v')]", 'not(...)'

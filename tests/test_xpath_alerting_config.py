@@ -390,8 +390,13 @@ def test_html_xpath_named_axes_union_position():
         ("//div/*[position()<=2]/text()", ["first", "second"]),
         ("//div/*[position()!=2]/text()", ["first", "third"]),
         ("//div/*[position()=3]/text()", ["third"]),
+        # full document axes: sibling subtrees across ancestor levels
+        ("//a/following::*/text()", ["second", "third"]),
+        ("//c/preceding::*/text()", ["second", "first"]),
+        ("//b/following::c/text()", ["third"]),
+        ("//following::b/text()", ["second"]),
         # unknown axis: match nothing, never crash
-        ("//following::b", []),
+        ("//namespace::b", []),
     ]
     for q, want in cases:
         assert html_xpath(h, q) == want, q

@@ -69,7 +69,10 @@ def tile_sql(table: str, keys: list[str]) -> str:
 
 def tile_events() -> None:
     t = pq.read_table(f"{SRC}/events.parquet")
-    assert t.schema.field("ts").type == pa.timestamp("ns")
+    # testdata generations have shipped ts as NANOS or MICROS; catalog.
+    # load_table handles both, and version=2.6 below preserves whichever
+    # physical type arrives
+    assert t.schema.field("ts").type in (pa.timestamp("ns"), pa.timestamp("us"))
     parts = []
     for r in range(REPLICAS):
         if r == 0:
