@@ -56,3 +56,24 @@ def cosine_null(a: str, b: str, dialect: str) -> str:
     for parity)."""
     denom = f"nullif(sqrt({norm_sq(a, dialect)}) * sqrt({norm_sq(b, dialect)}), 0)"
     return f"({dot(a, b, dialect)} / {denom})"
+
+
+def l2_sq(a: str, b: str, dialect: str) -> str:
+    """Sequential double squared L2 distance — the PQ sub-assignment
+    metric (Jegou et al. 2011 train/encode with L2 per subspace). Same
+    left-to-right fold as dot() so both engines produce bit-identical
+    doubles pre-rounding."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(cast(x as double) - cast(y as double)) * "
+            f"(cast(x as double) - cast(y as double))), "
+            f"cast(0 as double), (s, v) -> s + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> (cast({a}[i] as double) - cast({b}[i] as double)) * "
+        f"(cast({a}[i] as double) - cast({b}[i] as double)))), "
+        f"(s, v) -> s + v)"
+    )

@@ -490,3 +490,227 @@ def train_kmeans(
         updated = {int(r["cid"]): [float(x) for x in r["vec"]] for r in new_rows}
         cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid 2011: "Product Quantization
+# for Nearest Neighbor Search") — the 100 TB ANN memory path: vectors
+# compress to M small codes (dim*4 bytes -> M bytes, e.g. 256 B -> 4 B),
+# and search scans codes with per-query lookup tables (ADC), never raw
+# vectors.
+# ---------------------------------------------------------------------------
+
+
+def _pq_slice(vec: str, m: int, ds: int) -> str:
+    return f"slice({vec}, {m * ds + 1}, {ds})"
+
+
+def _pq_cb_literal(book: list[tuple[int, list[float]]]) -> str:
+    """array<array<double>> literal for one subspace's codebook, index
+    j+1 == code j (codes are dense 0..Ks-1 by construction)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in cv) + ")"
+            for _, cv in sorted(book)
+        )
+        + ")"
+    )
+
+
+def _pq_assign_exprs(vec: str, books, ds: int) -> list[str]:
+    """Per-subspace nearest-code expression: argmin of 6-digit-rounded
+    L2^2 against the literal sub-codebook, first-position (lowest code)
+    tie-break — bit-reproducible in any engine (same rationale as the
+    IVF argmax)."""
+    from dawis_spark.functions import vectors as V
+
+    out = []
+    for m, book in enumerate(books):
+        cb = _pq_cb_literal(book)
+        dists = (
+            f"transform({cb}, c -> round("
+            f"{V.l2_sq(_pq_slice(vec, m, ds), 'c', 'spark')}, 6))"
+        )
+        out.append(
+            f"cast(array_position({dists}, array_min({dists})) as int) - 1"
+        )
+    return out
+
+
+def pq_train(
+    corpus,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    iterations: int = 1,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train per-subspace codebooks: Lloyd's k-means on each dim/M slice
+    with L2 distance. Deterministic like train_kmeans (init = slices of
+    the n_codes lowest-id vectors, 6-digit rounding after every update)
+    so a DuckDB oracle can replay training bit-identically.
+
+    One Spark job per iteration covers ALL subspaces: encode map-side,
+    then a single posexplode maps vector position -> (subspace, pos) and
+    the only shuffle carries (m, code, pos, partial-avg) — M*Ks*ds
+    doubles total, config-sized like the IVF quantizer."""
+    from pyspark.sql import functions as F
+
+    init = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(n_codes)
+        .collect()
+    )
+    if not init:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(init[0]["vec"])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    ds = dim // n_subspaces
+    books = [
+        [
+            (j, [round(float(x), 6) for x in row["vec"][m * ds : (m + 1) * ds]])
+            for j, row in enumerate(init)
+        ]
+        for m in range(n_subspaces)
+    ]
+    for _ in range(iterations):
+        codes = ", ".join(_pq_assign_exprs("vec", books, ds))
+        new_rows = (
+            corpus.select(F.col(vec_col).alias("vec"))
+            .withColumn("__codes", F.expr(f"array({codes})"))
+            .select(F.posexplode("vec").alias("d", "x"), "__codes")
+            .select(
+                (F.col("d") / ds).cast("int").alias("m"),
+                (F.col("d") % ds).alias("pos"),
+                F.expr("element_at(__codes, cast(d / " + str(ds) + " as int) + 1)").alias(
+                    "code"
+                ),
+                F.col("x").cast("double").alias("x"),
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("m", "code", F.expr("transform(pc, s -> s.c)").alias("cv"))
+            .collect()
+        )
+        updated = {(int(r["m"]), int(r["code"])): [float(x) for x in r["cv"]] for r in new_rows}
+        books = [
+            [(j, updated.get((m, j), cv)) for j, cv in book]
+            for m, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_encode(corpus, id_col: str, vec_col: str, books) -> "DataFrame":
+    """(id, codes, xsq): M nearest-code ids per vector plus the squared
+    norm of the RECONSTRUCTION (sum of chosen sub-centroid norms —
+    subspaces are orthogonal coordinate blocks, so the cross terms are
+    exactly zero). Pure map-side codegen; at scale this is the write
+    path that shrinks an embedding table ~dim*4/M fold."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    ds = len(books[0][0][1])
+    codes = ", ".join(_pq_assign_exprs("vec", books, ds))
+    # xsq via a literal norm table: norms of the ROUNDED sub-centroids,
+    # left-to-right python fold == the engines' aggregate fold
+    normtab = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                f"cast({_py_norm_sq(cv)!r} as double)" for _, cv in sorted(book)
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+    n_sub = len(books)
+    xsq = (
+        f"aggregate(sequence(0, {n_sub - 1}), cast(0 as double), "
+        f"(acc, m) -> acc + element_at(element_at({normtab}, m + 1), "
+        f"element_at(__codes, m + 1) + 1))"
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__codes", F.expr(f"array({codes})"))
+        .select("id", F.col("__codes").alias("codes"), F.expr(xsq).alias("xsq"))
+    )
+
+
+def _py_norm_sq(cv: list[float]) -> float:
+    s = 0.0
+    for x in cv:
+        s += x * x
+    return s
+
+
+def pq_topk(
+    corpus,
+    queries,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    books=None,
+):
+    """PQ asymmetric-distance top-k (ADC linear scan, Jegou et al. §4.1):
+    approximate cosine = sum_m lut[m][code_m] / (|q| * sqrt(xsq)), where
+    each query's lut[m][j] = <q_m, codebook[m][j]> is computed once per
+    query against the literal codebooks.
+
+    Plan shape at scale: the corpus side reads ONLY (id, codes) — M
+    small ints per row instead of dim floats, the whole point of PQ; the
+    query side (lut tables attached map-side) broadcasts; the join emits
+    (query_id, neighbor_id, cosine) triples, and per-pair work is M
+    array lookups + adds inside codegen. No shuffle of the corpus at
+    any point."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    if books is None:
+        books = pq_train(corpus, id_col, vec_col)
+    ds = len(books[0][0][1])
+    n_sub = len(books)
+    enc = pq_encode(corpus, id_col, vec_col, books).select(
+        F.col("id").alias("neighbor_id"), "codes", "xsq"
+    )
+    luts = ", ".join(
+        f"transform({_pq_cb_literal(book)}, c -> "
+        f"{V.dot(_pq_slice('vec', m, ds), 'c', 'spark')})"
+        for m, book in enumerate(books)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")).select(
+        "query_id",
+        F.expr(f"array({luts})").alias("__lut"),
+        F.expr(f"sqrt({V.norm_sq('vec', 'spark')})").alias("__qn"),
+    )
+    ip = (
+        f"aggregate(sequence(0, {n_sub - 1}), cast(0 as double), "
+        f"(acc, m) -> acc + element_at(element_at(__lut, m + 1), "
+        f"element_at(codes, m + 1) + 1))"
+    )
+    scored = (
+        enc.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(ip) / F.expr("nullif(__qn * sqrt(xsq), 0)"), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

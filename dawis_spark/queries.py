@@ -3204,6 +3204,147 @@ def duplicate_groups_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand", "p_partkey")
 
 
+def _pq_ctes(n_sub: int, ds: int, ks: int) -> str:
+    """DuckDB replay of PQ training (1 Lloyd round, L2 per subspace) and
+    corpus encoding — mirrors operators/similarity.pq_train/pq_encode
+    bit-for-bit: init = slices of the ks lowest-id vectors rounded to 6,
+    assignment = argmin of 6-digit-rounded L2^2 with lowest-code
+    tie-break, update = per-(m,code,pos) avg rounded to 6. Ends with
+    cb(m, code, cv) and codes(vec_id, m, code)."""
+    l2_init = _VEC.l2_sq("s.sv", "ini.cv", "duck")
+    l2_enc = _VEC.l2_sq("s.sv", "cb.cv", "duck")
+    return f"""
+v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+sub AS (
+  SELECT vec_id, sp.m AS m,
+         list_transform(range(sp.m * {ds} + 1, sp.m * {ds} + {ds} + 1),
+                        ix -> CAST(vec[ix] AS DOUBLE)) AS sv
+  FROM v, range(0, {n_sub}) sp(m)
+),
+init AS (
+  SELECT s.m, row_number() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS code,
+         list_transform(s.sv, x -> round(x, 6)) AS cv
+  FROM sub s
+  WHERE s.vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {ks})
+),
+a1 AS (
+  SELECT s.vec_id, s.m, s.sv,
+    (SELECT ini.code FROM init ini WHERE ini.m = s.m
+     ORDER BY round({l2_init}, 6) ASC, ini.code LIMIT 1) AS code
+  FROM sub s
+),
+upd AS (
+  SELECT m, code, r.pos AS pos, round(avg(sv[r.pos]), 6) AS c
+  FROM a1, range(1, {ds + 1}) r(pos)
+  GROUP BY m, code, r.pos
+),
+cb1a AS (SELECT m, code, list(c ORDER BY pos) AS cv FROM upd GROUP BY m, code),
+cb AS (
+  SELECT ini.m, ini.code, COALESCE(u.cv, ini.cv) AS cv
+  FROM init ini LEFT JOIN cb1a u ON ini.m = u.m AND ini.code = u.code
+),
+codes AS (
+  SELECT s.vec_id, s.m,
+    (SELECT cb.code FROM cb WHERE cb.m = s.m
+     ORDER BY round({l2_enc}, 6) ASC, cb.code LIMIT 1) AS code
+  FROM sub s
+)"""
+
+
+def _pq_codes_oracle(n_sub: int, ds: int, ks: int) -> str:
+    return f"""
+WITH {_pq_ctes(n_sub, ds, ks)}
+SELECT vec_id, list(code ORDER BY m) AS codes
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@query("embedding_pq_codes", oracle=_pq_codes_oracle(4, 16, 16))
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011): train 4 per-
+    subspace codebooks of 16 codes (one Lloyd round, L2, deterministic
+    init + 6-digit rounding) and compress every 64-float embedding to 4
+    small codes — 256 B -> 4 B, the write path that makes a 100 TB
+    embedding table scannable. Training shuffles only (m, code, pos,
+    partial-avg); encoding is pure map-side codegen. The oracle replays
+    training AND encoding in DuckDB."""
+    from dawis_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.table("embeddings")
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
+    return (
+        pq_encode(emb, "vec_id", "embedding", books)
+        .select(F.col("id").alias("vec_id"), "codes")
+        .orderBy("vec_id")
+    )
+
+
+def _pq_ann_oracle(k: int, n_queries: int, n_sub: int, ds: int, ks: int) -> str:
+    nsq_cv = _VEC.norm_sq("cb.cv", "duck")
+    dot_qc = _VEC.dot("q.sv", "cb.cv", "duck")
+    qn_v = _VEC.norm_sq("vec", "duck")
+    fold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (s, acc_v) -> s + acc_v)"
+    return f"""
+WITH {_pq_ctes(n_sub, ds, ks)},
+nsq AS (
+  SELECT c.vec_id, c.m, {nsq_cv} AS nsq
+  FROM codes c JOIN cb ON c.m = cb.m AND c.code = cb.code
+),
+recon AS (
+  SELECT vec_id, {fold.format("list(nsq ORDER BY m)")} AS xsq
+  FROM nsq GROUP BY vec_id
+),
+ipm AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.m, {dot_qc} AS ipm
+  FROM sub q
+  JOIN codes c ON q.m = c.m
+  JOIN cb ON c.m = cb.m AND c.code = cb.code
+  WHERE q.vec_id < {n_queries}
+),
+ip AS (
+  SELECT query_id, neighbor_id, {fold.format("list(ipm ORDER BY m)")} AS ip
+  FROM ipm GROUP BY query_id, neighbor_id
+),
+qn AS (SELECT vec_id AS query_id, sqrt({qn_v}) AS qn FROM v WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT ip.query_id, ip.neighbor_id,
+         round(ip.ip / nullif(qn.qn * sqrt(r.xsq), 0), 6) AS cosine
+  FROM ip
+  JOIN qn USING (query_id)
+  JOIN recon r ON r.vec_id = ip.neighbor_id
+  WHERE ip.query_id != ip.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_pq", oracle=_pq_ann_oracle(5, 10, 4, 16, 16))
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC linear scan, Jegou et al. §4.1):
+    per query, a lookup table of <query-slice, sub-centroid> inner
+    products against the literal codebooks; per pair, the approximate
+    cosine is 4 array lookups + adds over the 4-byte codes. The corpus
+    side reads only (id, codes) — at 100 TB the scan is ~64x lighter
+    than raw vectors, and no shuffle ever carries a vector. Oracle
+    replays train + encode + ADC scoring in one SQL."""
+    from dawis_spark.operators.similarity import pq_topk, pq_train
+
+    emb = spark.table("embeddings")
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
+    return pq_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        books=books,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -3219,6 +3360,8 @@ DRIVER_PRIORITY: list[str] = [
     "duplicate_detection",
     "duplicate_detection_parity",
     "duplicate_groups_hot_key",
+    "embedding_pq_codes",
+    "embedding_ann_pq",
     # not driver-checked in round 4 (verified locally then)
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -3266,8 +3409,6 @@ DRIVER_PRIORITY: list[str] = [
     "latest_event_per_user",
     "change_detection",
     "customers_without_orders",
-    "top_parts_per_brand",
-    "union_dedup",
 ]
 
 

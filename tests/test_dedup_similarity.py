@@ -370,3 +370,36 @@ def test_train_kmeans_separates_synthetic_clusters(spark):
     assert got[0] == got[2] == got[4]  # x-direction cluster
     assert got[1] == got[3]            # z-direction cluster
     assert got[0] != got[1]
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """PQ on a tiny controlled corpus: codes land in range, xsq matches the
+    chosen sub-centroids, ADC ranks a near-identical vector first, and the
+    approximate cosine stays in [-1, 1+eps]."""
+    from dawis_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 1.0]),
+        (2, [0.98, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.0, 0.9, 0.1, 1.0]),     # near-dup of 1
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=2, n_codes=2)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    enc = {r["id"]: r for r in pq_encode(emb, "vec_id", "embedding", books).collect()}
+    assert all(0 <= c < 2 for r in enc.values() for c in r["codes"])
+    assert all(r["xsq"] >= 0 for r in enc.values())
+    out = pq_topk(emb, emb.filter("vec_id IN (0, 1)"), "vec_id", "embedding",
+                  k=2, books=books).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert -1.000001 <= r["cosine"] <= 1.000001
+    assert [r["neighbor_id"] for r in by_q[0]][0] == 2  # near-dup wins
+    assert by_q[1][0]["neighbor_id"] == 3
+    # determinism: identical second run (rounded distances, fixed tie-breaks)
+    again = pq_topk(emb, emb.filter("vec_id IN (0, 1)"), "vec_id", "embedding",
+                    k=2, books=books).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
