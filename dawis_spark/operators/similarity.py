@@ -265,6 +265,69 @@ def embedding_near_dup_pairs(
 MAX_CENTROID_LITERALS = 100_000
 
 
+def _ivf_assign(
+    df,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    id_alias: str,
+    vec_alias: str,
+    top_n: int,
+):
+    """(id, vec, cid) with each row's ``top_n`` nearest centroids by
+    6-digit-rounded cosine (map-side argmax over literal centroids, the
+    IVF coarse assignment shared by ivf_ann_topk and ivfpq_ann_topk).
+
+    Affinity array: per-row cosine against every centroid, evaluated
+    entirely inside codegen. coalesce(-2.0): a zero-norm vector divides
+    by zero -> NULL cosine; -2.0 sits below any valid cosine so such
+    rows keep a deterministic assignment (lowest cid) instead of being
+    silently dropped by a NULL array_position, and in the multi-probe
+    path null-affinity centroids sort LAST, not first."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    cids = [c for c, _ in cent_rows]
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+            for _, vec in cent_rows
+        )
+        + ")"
+    )
+    cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
+    n_cent = len(cent_rows)
+    aff = (
+        f"transform({cent_lit}, c -> coalesce("
+        f"round({V.cosine_null('vec', 'c', 'spark')}, 6), cast(-2.0 as double)))"
+    )
+    base = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias("vec")
+    ).withColumn("__affs", F.expr(aff))
+    if top_n == 1:
+        # argmax with lowest-index tie-break == highest aff, then cid asc
+        pick = F.expr(
+            f"element_at({cid_lit}, "
+            f"cast(array_position(__affs, array_max(__affs)) as int))"
+        )
+        return base.select(id_alias, F.col("vec").alias(vec_alias), pick.alias("cid"))
+    ranked = (
+        f"slice(array_sort(transform(sequence(0, {n_cent - 1}), "
+        f"i -> named_struct('negaff', -__affs[i], 'i', i))), 1, {top_n})"
+    )
+    return base.select(
+        id_alias,
+        F.col("vec").alias(vec_alias),
+        F.explode(F.expr(ranked)).alias("__p"),
+    ).select(
+        id_alias,
+        vec_alias,
+        F.expr(f"element_at({cid_lit}, __p.i + 1)").alias("cid"),
+    )
+
+
 def ivf_ann_topk(
     corpus,
     queries,
@@ -326,57 +389,8 @@ def ivf_ann_topk(
             f"(> {MAX_CENTROID_LITERALS}); reduce n_centroids/dim or "
             "switch to a broadcast-join assignment"
         )
-    cids = [c for c, _ in cent_rows]
-    cent_lit = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
-            for _, vec in cent_rows
-        )
-        + ")"
-    )
-    cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
-    n_cent = len(cent_rows)
-    # Affinity array: per-row cosine against every centroid, evaluated
-    # entirely inside codegen. coalesce(-2.0): a zero-norm vector divides
-    # by zero -> NULL cosine; -2.0 sits below any valid cosine so such
-    # rows keep a deterministic assignment (lowest cid) instead of being
-    # silently dropped by a NULL array_position, and in the multi-probe
-    # path null-affinity centroids sort LAST, not first.
-    aff = (
-        f"transform({cent_lit}, c -> coalesce("
-        f"round({V.cosine_null('vec', 'c', 'spark')}, 6), cast(-2.0 as double)))"
-    )
-
-    def assigned(df, id_alias: str, vec_alias: str, top_n: int):
-        base = df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_col).alias("vec")
-        ).withColumn("__affs", F.expr(aff))
-        if top_n == 1:
-            # argmax with lowest-index tie-break == highest aff, then cid asc
-            pick = F.expr(
-                f"element_at({cid_lit}, "
-                f"cast(array_position(__affs, array_max(__affs)) as int))"
-            )
-            return base.select(
-                id_alias, F.col("vec").alias(vec_alias), pick.alias("cid")
-            )
-        ranked = (
-            f"slice(array_sort(transform(sequence(0, {n_cent - 1}), "
-            f"i -> named_struct('negaff', -__affs[i], 'i', i))), 1, {top_n})"
-        )
-        return base.select(
-            id_alias,
-            F.col("vec").alias(vec_alias),
-            F.explode(F.expr(ranked)).alias("__p"),
-        ).select(
-            id_alias,
-            vec_alias,
-            F.expr(f"element_at({cid_lit}, __p.i + 1)").alias("cid"),
-        )
-
-    corpus_b = assigned(corpus, "neighbor_id", "c_vec", 1)
-    queries_b = assigned(queries, "query_id", "q_vec", n_probe)
+    corpus_b = _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "c_vec", 1)
+    queries_b = _ivf_assign(queries, id_col, vec_col, cent_rows, "query_id", "q_vec", n_probe)
     # cosine_null: degenerate (zero-norm) members yield NULL scores, which
     # the rounded select keeps as NULL rows dropped by the rank filter —
     # never an ANSI DIVIDE_BY_ZERO mid-query.
@@ -605,20 +619,15 @@ def pq_train(
     return books
 
 
-def pq_encode(corpus, id_col: str, vec_col: str, books) -> "DataFrame":
-    """(id, codes, xsq): M nearest-code ids per vector plus the squared
-    norm of the RECONSTRUCTION (sum of chosen sub-centroid norms —
-    subspaces are orthogonal coordinate blocks, so the cross terms are
-    exactly zero). Pure map-side codegen; at scale this is the write
-    path that shrinks an embedding table ~dim*4/M fold."""
-    from pyspark.sql import functions as F
-
-    from dawis_spark.functions import vectors as V
-
+def _pq_code_exprs(books) -> tuple[str, str]:
+    """(codes_sql, xsq_sql) over a column named ``vec``; xsq_sql reads the
+    ``__codes`` column produced by codes_sql. xsq comes from a literal
+    norm table of the ROUNDED sub-centroids (left-to-right python fold ==
+    the engines' aggregate fold); it is the squared norm of the
+    RECONSTRUCTION — subspaces are orthogonal coordinate blocks, so the
+    cross terms are exactly zero."""
     ds = len(books[0][0][1])
-    codes = ", ".join(_pq_assign_exprs("vec", books, ds))
-    # xsq via a literal norm table: norms of the ROUNDED sub-centroids,
-    # left-to-right python fold == the engines' aggregate fold
+    codes = "array(" + ", ".join(_pq_assign_exprs("vec", books, ds)) + ")"
     normtab = (
         "array("
         + ", ".join(
@@ -637,9 +646,19 @@ def pq_encode(corpus, id_col: str, vec_col: str, books) -> "DataFrame":
         f"(acc, m) -> acc + element_at(element_at({normtab}, m + 1), "
         f"element_at(__codes, m + 1) + 1))"
     )
+    return codes, xsq
+
+
+def pq_encode(corpus, id_col: str, vec_col: str, books) -> "DataFrame":
+    """(id, codes, xsq): M nearest-code ids per vector plus the squared
+    norm of the reconstruction. Pure map-side codegen; at scale this is
+    the write path that shrinks an embedding table ~dim*4/M fold."""
+    from pyspark.sql import functions as F
+
+    codes, xsq = _pq_code_exprs(books)
     return (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("__codes", F.expr(f"array({codes})"))
+        .withColumn("__codes", F.expr(codes))
         .select("id", F.col("__codes").alias("codes"), F.expr(xsq).alias("xsq"))
     )
 
@@ -677,25 +696,12 @@ def pq_topk(
 
     if books is None:
         books = pq_train(corpus, id_col, vec_col)
-    ds = len(books[0][0][1])
-    n_sub = len(books)
     enc = pq_encode(corpus, id_col, vec_col, books).select(
         F.col("id").alias("neighbor_id"), "codes", "xsq"
     )
-    luts = ", ".join(
-        f"transform({_pq_cb_literal(book)}, c -> "
-        f"{V.dot(_pq_slice('vec', m, ds), 'c', 'spark')})"
-        for m, book in enumerate(books)
-    )
+    lut, qn = _pq_query_exprs(books)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")).select(
-        "query_id",
-        F.expr(f"array({luts})").alias("__lut"),
-        F.expr(f"sqrt({V.norm_sq('vec', 'spark')})").alias("__qn"),
-    )
-    ip = (
-        f"aggregate(sequence(0, {n_sub - 1}), cast(0 as double), "
-        f"(acc, m) -> acc + element_at(element_at(__lut, m + 1), "
-        f"element_at(codes, m + 1) + 1))"
+        "query_id", F.expr(lut).alias("__lut"), F.expr(qn).alias("__qn")
     )
     scored = (
         enc.join(F.broadcast(q))
@@ -704,9 +710,114 @@ def pq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                F.expr(ip) / F.expr("nullif(__qn * sqrt(xsq), 0)"), 6
+                F.expr(_pq_ip_expr(len(books))) / F.expr("nullif(__qn * sqrt(xsq), 0)"),
+                6,
             ).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _pq_query_exprs(books) -> tuple[str, str]:
+    """(lut_sql, qnorm_sql) over a column named ``vec``: the per-query ADC
+    lookup tables (<query-slice, sub-centroid> inner products against the
+    literal codebooks) and the query norm."""
+    from dawis_spark.functions import vectors as V
+
+    ds = len(books[0][0][1])
+    luts = ", ".join(
+        f"transform({_pq_cb_literal(book)}, c -> "
+        f"{V.dot(_pq_slice('vec', m, ds), 'c', 'spark')})"
+        for m, book in enumerate(books)
+    )
+    return f"array({luts})", f"sqrt({V.norm_sq('vec', 'spark')})"
+
+
+def _pq_ip_expr(n_sub: int) -> str:
+    """Approximate inner product: fold the ``__lut`` tables over the
+    ``codes`` column in ascending subspace order."""
+    return (
+        f"aggregate(sequence(0, {n_sub - 1}), cast(0 as double), "
+        f"(acc, m) -> acc + element_at(element_at(__lut, m + 1), "
+        f"element_at(codes, m + 1) + 1))"
+    )
+
+
+def ivfpq_ann_topk(
+    corpus,
+    queries,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    books=None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+):
+    """IVF + PQ composed (FAISS IVFPQ shape, non-residual variant): the
+    coarse quantizer restricts candidates to ``n_probe`` probed buckets,
+    and candidate scoring is PQ asymmetric distance over the codes — the
+    full production ANN pipeline where neither stage touches raw corpus
+    vectors after encode.
+
+    Non-residual: codes quantize the raw vectors, not (x - centroid), so
+    the codebooks are shared with pq_topk/pq_encode and the DuckDB oracle
+    replays one training. (FAISS's residual variant trades that sharing
+    for finer quantization; the plan shape is identical.)
+
+    Plan: corpus -> map-side coarse argmax + PQ encode (one scan, no
+    shuffle); queries -> probe explode + LUT build, broadcast; equi-join
+    on cid; distinct (a neighbor can reach a query via several probed
+    buckets); per-query top-k window over (query_id, neighbor_id, cosine)
+    triples. Cost ~ n_probe/C of pq_topk's linear ADC scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if books is None:
+        books = pq_train(corpus, id_col, vec_col)
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy("cid")
+            .collect()
+        )
+        cent_rows = [(r["cid"], list(r["cvec"])) for r in cent_rows]
+    else:
+        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    codes, xsq = _pq_code_exprs(books)
+    enc = (
+        _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1)
+        .withColumn("__codes", F.expr(codes))
+        .select(
+            "neighbor_id",
+            "cid",
+            F.col("__codes").alias("codes"),
+            F.expr(xsq).alias("xsq"),
+        )
+    )
+    lut, qn = _pq_query_exprs(books)
+    q = _ivf_assign(
+        queries, id_col, vec_col, cent_rows, "query_id", "vec", n_probe
+    ).select("query_id", "cid", F.expr(lut).alias("__lut"), F.expr(qn).alias("__qn"))
+    scored = (
+        F.broadcast(q)
+        .join(enc, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_pq_ip_expr(len(books))) / F.expr("nullif(__qn * sqrt(xsq), 0)"),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -3345,6 +3345,102 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ivfpq_oracle(
+    k: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int, ds: int, ks: int
+) -> str:
+    cos_vc = _VEC.cosine("vec", "cvec", "duck")
+    nsq_cv = _VEC.norm_sq("cb.cv", "duck")
+    dot_qc = _VEC.dot("q.sv", "cb.cv", "duck")
+    qn_v = _VEC.norm_sq("vec", "duck")
+    fold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (s, acc_v) -> s + acc_v)"
+    return f"""
+WITH {_pq_ctes(n_sub, ds, ks)},
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cent}),
+corpus_aff AS (
+  SELECT vec_id AS neighbor_id, cid, ROUND({cos_vc}, 6) AS aff FROM v, cent
+),
+corpus_b AS (
+  SELECT neighbor_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY aff DESC, cid) AS r
+    FROM corpus_aff
+  ) WHERE r <= 1
+),
+q_aff AS (
+  SELECT vec_id AS query_id, cid, ROUND({cos_vc}, 6) AS aff
+  FROM (SELECT vec_id, vec FROM v WHERE vec_id < {n_queries}) q, cent
+),
+q_b AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, cid) AS r
+    FROM q_aff
+  ) WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM q_b JOIN corpus_b USING (cid)
+  WHERE query_id != neighbor_id
+),
+nsq AS (
+  SELECT c.vec_id, c.m, {nsq_cv} AS nsq
+  FROM codes c JOIN cb ON c.m = cb.m AND c.code = cb.code
+),
+recon AS (
+  SELECT vec_id, {fold.format("list(nsq ORDER BY m)")} AS xsq
+  FROM nsq GROUP BY vec_id
+),
+ipm AS (
+  SELECT ca.query_id, ca.neighbor_id, q.m, {dot_qc} AS ipm
+  FROM cand ca
+  JOIN sub q ON q.vec_id = ca.query_id
+  JOIN codes c ON c.vec_id = ca.neighbor_id AND c.m = q.m
+  JOIN cb ON cb.m = c.m AND cb.code = c.code
+),
+ip AS (
+  SELECT query_id, neighbor_id, {fold.format("list(ipm ORDER BY m)")} AS ip
+  FROM ipm GROUP BY query_id, neighbor_id
+),
+qn AS (SELECT vec_id AS query_id, sqrt({qn_v}) AS qn FROM v WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT ip.query_id, ip.neighbor_id,
+         round(ip.ip / nullif(qn.qn * sqrt(r.xsq), 0), 6) AS cosine
+  FROM ip
+  JOIN qn USING (query_id)
+  JOIN recon r ON r.vec_id = ip.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_ivfpq", oracle=_ivfpq_oracle(5, 10, 16, 4, 4, 16, 16))
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ shape, non-residual): the
+    coarse quantizer prunes candidates to 4 probed buckets, PQ asymmetric
+    distance scores the survivors from 4-byte codes — at 100 TB this is
+    THE embedding-search plan: n_probe/C of the corpus scanned, and what
+    is scanned is codes, never raw vectors. Encode + coarse assignment
+    happen in one map-side scan with no shuffle; the only exchanges carry
+    id/score triples. Oracle replays coarse probing AND PQ train/encode/
+    scoring in one SQL."""
+    from dawis_spark.operators.similarity import ivfpq_ann_topk, pq_train
+
+    emb = spark.table("embeddings")
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
+    return ivfpq_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        books=books,
+    ).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -3362,6 +3458,7 @@ DRIVER_PRIORITY: list[str] = [
     "duplicate_groups_hot_key",
     "embedding_pq_codes",
     "embedding_ann_pq",
+    "embedding_ann_ivfpq",
     # not driver-checked in round 4 (verified locally then)
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -3408,7 +3505,6 @@ DRIVER_PRIORITY: list[str] = [
     "prev_period_day",
     "latest_event_per_user",
     "change_detection",
-    "customers_without_orders",
 ]
 
 

@@ -403,3 +403,23 @@ def test_pq_encode_and_adc_topk(spark):
     again = pq_topk(emb, emb.filter("vec_id IN (0, 1)"), "vec_id", "embedding",
                     k=2, books=books).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_ivfpq_probe_all_equals_pq_linear_scan(spark):
+    """With n_probe == n_centroids the IVF stage prunes nothing, so IVFPQ
+    must reproduce the PQ ADC linear scan exactly — the invariant that
+    pins the composition (bucket pruning changes candidates, never
+    scores)."""
+    from dawis_spark.operators.similarity import ivfpq_ann_topk, pq_topk, pq_train
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)]) for i in range(12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter("vec_id < 4")
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=2, n_codes=4)
+    flat = pq_topk(emb, q, "vec_id", "embedding", k=3, books=books).collect()
+    ivf = ivfpq_ann_topk(
+        emb, q, "vec_id", "embedding", k=3, n_centroids=4, n_probe=4, books=books
+    ).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, flat))
