@@ -3441,6 +3441,61 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_recall_pq_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    approx = _pq_ann_oracle(k, 10, 4, 16, 16).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS (SELECT * FROM ({approx}))
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_pq", oracle=_ann_recall_pq_oracle(5))
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ ADC scan against exact brute force, per query —
+    the metric that tunes M/Ks (code budget) against quality, completing
+    the self-eval set (LSH, multiprobe, PQ). Both sides reuse the
+    production operators; the comparison join is top-k-sized."""
+    from dawis_spark.operators.similarity import brute_force_topk, pq_topk, pq_train
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = pq_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5, books=books,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -3459,6 +3514,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_pq_codes",
     "embedding_ann_pq",
     "embedding_ann_ivfpq",
+    "ann_recall_pq",
     # not driver-checked in round 4 (verified locally then)
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -3504,7 +3560,6 @@ DRIVER_PRIORITY: list[str] = [
     "alerts_per_line",
     "prev_period_day",
     "latest_event_per_user",
-    "change_detection",
 ]
 
 
