@@ -31,19 +31,44 @@ def stream_dedup(
     stream_df: DataFrame,
     key_col: str,
     output_schema: T.StructType,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
-    """Emit only the first-ever row per ``key_col`` across all batches.
+    """Emit only the first row per ``key_col`` across batches.
 
     ``stream_df`` must be a streaming DataFrame whose columns match
     ``output_schema`` plus the key column. Within a batch, the first row
     (input order) wins — matching exact_dedup's keep-one semantics.
-    """
+
+    ``ttl_ms``: windowed-dedup semantics — a key's "seen" state expires
+    ``ttl_ms`` of processing time after FIRST sight (fixed window, not
+    sliding: later duplicates are suppressed but do not extend the
+    window), after which the key may be emitted again. This bounds state
+    for endless streams where exact forever-dedup would grow O(all
+    distinct keys ever): at 100 TB/day ingest the state store holds only
+    the TTL window's keys. None keeps exact first-ever semantics.
+    Timeouts fire on the next micro-batch after expiry (Spark's
+    processing-time timeout contract), so re-emission is at-earliest the
+    following trigger.
+
+    Trigger contract: TTL mode is for CONTINUOUS queries
+    (``trigger(processingTime=...)``) — with processing-time timeouts the
+    engine schedules a state-cleanup batch every trigger, so
+    ``availableNow``/``processAllAvailable`` never reach quiescence and
+    will not terminate. The exact (None) mode works with any trigger."""
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def dedup_group(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # forget the key; next sighting re-emits
+            return
         if state.exists:
             return
         first = None
@@ -52,6 +77,8 @@ def stream_dedup(
                 first = pdf.iloc[[0]]
                 break
         state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if first is not None:
             yield first[[f.name for f in output_schema.fields]]
 
@@ -60,5 +87,5 @@ def stream_dedup(
         outputStructType=output_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

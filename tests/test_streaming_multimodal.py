@@ -255,3 +255,54 @@ def test_stream_dedup_across_micro_batches(spark, tmp_path):
     assert sorted(r["fp"] for r in rows) == ["A", "B", "C"]
     # the duplicate A from tick 2 was suppressed by cross-batch state
     assert {r["doc_id"] for r in rows if r["fp"] == "A"} == {1}
+
+
+def test_stream_dedup_ttl_reemits_after_expiry(spark, tmp_path):
+    """Windowed dedup: a key seen once is suppressed within its TTL
+    window, forgotten after the processing-time timeout fires, and
+    re-emitted on its next sighting. TTL mode runs under a continuous
+    trigger (the engine schedules cleanup batches every trigger, so
+    availableNow never terminates — documented contract); the sink is
+    polled instead of awaiting quiescence."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.stateful import stream_dedup
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("fp", T.StringType())]
+    )
+
+    def rows_now():
+        return sorted(
+            (r["doc_id"], r["fp"]) for r in spark.sql("SELECT * FROM ttl_sink").collect()
+        )
+
+    def wait_for(expected, seconds=60):
+        deadline = _time.time() + seconds
+        while _time.time() < deadline:
+            if rows_now() == expected:
+                return
+            _time.sleep(0.5)
+        assert rows_now() == expected  # final, diagnostic assert
+
+    spark.createDataFrame([(1, "A"), (2, "A")], schema).write.mode("append").parquet(staging)
+    q = (
+        stream_dedup(staging_stream(spark, staging, schema), "fp", schema, ttl_ms=1000)
+        .writeStream.format("memory")
+        .queryName("ttl_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        wait_for([(1, "A")])          # in-batch duplicate suppressed
+        _time.sleep(3)                # TTL lapses; cleanup batch removes A
+        spark.createDataFrame([(4, "A")], schema).write.mode("append").parquet(staging)
+        wait_for([(1, "A"), (4, "A")])  # expired window -> re-emitted
+    finally:
+        q.stop()
