@@ -63,3 +63,17 @@ def test_capped_duplicate_diff_uses_bounded_window_plan(spark):
     # the parity opt-in keeps the whole-group collect_list and no window
     parity = _plan(spark, "duplicate_detection_parity")
     assert "row_number" not in parity
+
+
+def test_pq_adc_scan_shapes(spark):
+    """The PQ family's load-bearing physical properties: the flat ADC
+    scan pairs via broadcast nested-loop (deliberate — a linear scan has
+    no equi-key; the broadcast side is the queries), and IVFPQ replaces
+    it with an equi-join on the coarse bucket id. Neither sort-merges."""
+    flat = _plan(spark, "embedding_ann_pq")
+    assert "BroadcastNestedLoopJoin" in flat
+    assert "SortMergeJoin" not in flat
+    ivfpq = _plan(spark, "embedding_ann_ivfpq")
+    assert "BroadcastHashJoin" in ivfpq
+    assert "BroadcastNestedLoopJoin" not in ivfpq
+    assert "SortMergeJoin" not in ivfpq
