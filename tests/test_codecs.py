@@ -80,3 +80,44 @@ def test_stdlib_decode_dispatch_and_unknown_format():
         stdlib_decode(b"\x89PNG", {"format": "png"})
     with pytest.raises(NotImplementedError):
         stdlib_decode(b"", {})
+
+
+def test_wav_roundtrip_property():
+    """encode->decode consistency across widths/rates for deterministic
+    pseudo-random PCM: duration and rate exact; RMS matches a direct
+    computation on the samples."""
+    import random
+
+    rng = random.Random(7)
+    for width, full in ((1, 128.0), (2, 32768.0), (4, 2147483648.0)):
+        for rate in (8000, 44100):
+            n = 500
+            hi = int(full) - 1
+            samples = [rng.randint(-hi, hi) for _ in range(n)]
+            dur, got_rate, ch, rms, zcr = decode_wav(encode_wav(samples, rate, width))
+            assert got_rate == float(rate) and ch == 1.0
+            assert abs(dur - 1000.0 * n / rate) < 1e-6
+            if width == 1:
+                # 8-bit WAV stores unsigned; signed negatives wrap, so just
+                # bound-check the normalized stats
+                assert 0.0 <= rms <= 1.0
+            else:
+                want = (sum((s / full) ** 2 for s in samples) / n) ** 0.5
+                assert abs(rms - want) < 1e-9
+            assert 0.0 <= zcr <= 1.0
+
+
+def test_ppm_bmp_mean_matches_direct_computation():
+    import random
+
+    rng = random.Random(11)
+    px = [(rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+          for _ in range(6)]
+    body = b"".join(bytes(p) for p in px)
+    ppm = b"P6\n3 2\n255\n" + body
+    w, h, r, g, b = decode_ppm(ppm)
+    n = len(px)
+    assert (w, h) == (3.0, 2.0)
+    assert abs(r - sum(p[0] for p in px) / n) < 1e-9
+    assert abs(g - sum(p[1] for p in px) / n) < 1e-9
+    assert abs(b - sum(p[2] for p in px) / n) < 1e-9

@@ -161,3 +161,31 @@ def test_cron_field_membership_model(minute, hour, step):
     assert cron_matches(f"*/{step} * * * *", ts) == (minute % step == 0)
     lo, hi = sorted((minute, (minute + 17) % 60))
     assert cron_matches(f"{lo}-{hi} * * * *", ts) == (lo <= minute <= hi)
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    n_values=st.integers(min_value=1, max_value=5),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_capped_dup_diff_is_prefix_of_parity(spark, n_rows, n_values, cap):
+    """The bounded capped plan must agree with the parity plan truncated
+    to its first `cap` other-ids, for arbitrary group shapes (including
+    hot values and singleton groups) — the invariant that lets the capped
+    form ship as the default."""
+    from dawis_spark.operators.dedup import exact_duplicate_groups
+
+    rows = [(i, f"v{i % n_values}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    parity = {
+        (r["id"], r["v"]): r["diff"].split(", ") if r["diff"] else []
+        for r in exact_duplicate_groups(df, "id", "v").collect()
+    }
+    capped = {
+        (r["id"], r["v"]): r["diff"].split(", ") if r["diff"] else []
+        for r in exact_duplicate_groups(df, "id", "v", max_diff_ids=cap).collect()
+    }
+    assert set(parity) == set(capped)
+    for key, full in parity.items():
+        assert capped[key] == full[:cap], key
