@@ -306,3 +306,38 @@ def test_stream_dedup_ttl_reemits_after_expiry(spark, tmp_path):
         wait_for([(1, "A"), (4, "A")])  # expired window -> re-emitted
     finally:
         q.stop()
+
+
+def test_neardup_index_gates_across_batches(spark, tmp_path):
+    """Cross-batch NEAR-dup admission: a near-copy of an admitted doc is
+    rejected in a later tick, a near-copy within one batch loses to the
+    lower id, and novel docs pass. State is the persisted LSH band/sig
+    index, never text."""
+    from dawis_spark.streaming.neardup import NearDupIndex
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "evening")
+    other = (
+        "completely different subject matter entirely unrelated to any "
+        "animal story with its own distinct vocabulary and phrasing"
+    )
+    third = (
+        "yet another standalone document about spark physical plans and "
+        "shuffle exchanges that shares nothing with the fox or the cat"
+    )
+    idx = NearDupIndex(spark, str(tmp_path), threshold=0.5)
+    tick1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, near)], "doc_id bigint, text string"
+    )
+    got1 = sorted(r["doc_id"] for r in idx.admit(tick1, "doc_id", "text").collect())
+    assert got1 == [1, 2]  # 3 is a near-copy of 1 within the batch
+    tick2 = spark.createDataFrame(
+        [(4, near), (5, third)], "doc_id bigint, text string"
+    )
+    got2 = sorted(r["doc_id"] for r in idx.admit(tick2, "doc_id", "text").collect())
+    assert got2 == [5]  # 4 near-dups the ADMITTED doc 1 from tick 1
+    # the index holds survivors only
+    assert sorted(r["id"] for r in idx.wh.read("neardup_sigs").collect()) == [1, 2, 5]
