@@ -740,15 +740,53 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _ngram_topk_oracle() -> str:
+def _ngram_topk_oracle(cap: int = 100) -> str:
+    """Scale-invariant replay of the blocked/capped routing: blocks up to
+    ``cap`` rows pair exactly; hot blocks replay the block-scoped
+    MinHash-LSH route (band self-join within the block), so the oracle
+    matches at ANY scale factor, not just where every block stays small
+    (sf0.1 has 250-row blocks that route through LSH)."""
     sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    sig = (
+        "["
+        + ", ".join(
+            _TXT.minhash_element("sh", a, b, "duck")
+            for a, b in _TXT.minhash_coeffs(_N_PERMS)
+        )
+        + "]"
+    )
+    band_key = " || ':' || ".join(
+        f"CAST(sig[b * {_ROWS_PER_BAND} + {r + 1}] AS VARCHAR)"
+        for r in range(_ROWS_PER_BAND)
+    )
     jac = _TXT.jaccard("a.sh", "b.sh", "duck")
     return f"""
 WITH h0 AS (SELECT source, doc_id, {sh} AS sh FROM documents),
-h AS (SELECT * FROM h0 WHERE len(sh) > 0)
-SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, ROUND({jac}, 6) AS jaccard,
-       'exact' AS pair_method
-FROM h a JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+h AS (SELECT * FROM h0 WHERE len(sh) > 0),
+sizes AS (SELECT source, COUNT(*) AS bn FROM documents GROUP BY source),
+bsigs AS (
+  SELECT h.source, h.doc_id, {sig} AS sig
+  FROM h JOIN sizes s ON s.source = h.source AND s.bn > {cap}
+),
+bbands AS (
+  SELECT source, doc_id, t.b AS band, {band_key} AS key
+  FROM bsigs, range(0, {_BANDS}) t(b)
+),
+pairs AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, 'exact' AS pair_method
+  FROM h a
+  JOIN h b ON a.source = b.source AND a.doc_id < b.doc_id
+  JOIN sizes s ON s.source = a.source AND s.bn <= {cap}
+  UNION ALL
+  SELECT DISTINCT x.source, x.doc_id AS id_a, y.doc_id AS id_b, 'lsh' AS pair_method
+  FROM bbands x
+  JOIN bbands y ON x.source = y.source AND x.band = y.band AND x.key = y.key
+              AND x.doc_id < y.doc_id
+)
+SELECT p.source AS source, p.id_a, p.id_b, ROUND({jac}, 6) AS jaccard, p.pair_method
+FROM pairs p
+JOIN h a ON a.doc_id = p.id_a
+JOIN h b ON b.doc_id = p.id_b
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT 20
 """
@@ -761,9 +799,9 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible at scale — never all-pairs the corpus — and the per-block
     pair budget (max_block_rows=100) routes hot blocks through
     block-scoped MinHash LSH instead of O(n²) all-pairs. At sf0.01 every
-    block (25 rows) stays exact, so the oracle is the exact all-pairs SQL
-    with pair_method='exact'; at sf0.1 (250-row blocks) the same query
-    exercises the approximate scale path."""
+    block (25 rows) stays exact; at sf0.1 (250-row blocks) the same query
+    exercises the approximate scale path. The oracle replays the SAME
+    size-based routing, so parity holds at either scale."""
     from dawis_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
@@ -1615,17 +1653,43 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_neardup_oracle(threshold: float) -> str:
-    # norms precomputed once per vector (same arithmetic as the Spark
-    # plan: dot / (sqrt(nsq_a) * sqrt(nsq_b)) in identical order)
+def _emb_neardup_oracle(
+    threshold: float, cap: int = 100, n_planes: int = 4, dim: int = 64
+) -> str:
+    """Scale-invariant replay of the blocked/capped routing: label blocks
+    up to ``cap`` rows pair exactly; hot blocks replay the block-scoped
+    sign-LSH route (same deterministic hyperplanes as the Spark side), so
+    the oracle matches at any scale factor. Norms precomputed once per
+    vector (same arithmetic as the Spark plan: dot / (sqrt(nsq_a) *
+    sqrt(nsq_b)) in identical order)."""
+    from dawis_spark.operators.similarity import lsh_bucket_expr
+
     dot = _VEC.dot("a.vec", "b.vec", "duck")
     nsq = _VEC.norm_sq("embedding", "duck")
+    bucket = lsh_bucket_expr(n_planes, dim, "duck")
     return f"""
-WITH v AS (SELECT vec_id, label, embedding AS vec, sqrt({nsq}) AS nrm FROM embeddings)
-SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+WITH v AS (SELECT vec_id, label, embedding AS vec, sqrt({nsq}) AS nrm FROM embeddings),
+sizes AS (SELECT label, COUNT(*) AS bn FROM v GROUP BY label),
+big AS (
+  SELECT v.label, v.vec_id, v.vec, {bucket} AS bucket
+  FROM v JOIN sizes s ON s.label = v.label AND s.bn > {cap}
+),
+pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, 'exact' AS pair_method
+  FROM v a
+  JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN sizes s ON s.label = a.label AND s.bn <= {cap}
+  UNION ALL
+  SELECT DISTINCT x.label, x.vec_id AS id_a, y.vec_id AS id_b, 'lsh' AS pair_method
+  FROM big x
+  JOIN big y ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT p.label AS label, p.id_a, p.id_b,
        ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine,
-       'exact' AS pair_method
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       p.pair_method
+FROM pairs p
+JOIN v a ON a.vec_id = p.id_a
+JOIN v b ON b.vec_id = p.id_b
 WHERE ROUND({dot} / (a.nrm * b.nrm), 6) >= {threshold}
 ORDER BY label, id_a, id_b
 """
@@ -1644,9 +1708,10 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized) and norms are hoisted so each magnitude is computed
     once. The per-block pair budget (max_block_rows=100) routes hot
     blocks through block-scoped sign-LSH instead of O(n²) all-pairs: at
-    sf0.01 every label block (44-59 rows) stays exact so the oracle is
-    the exact all-pairs SQL with pair_method='exact'; at sf0.1 (~200-row
-    blocks) the same query exercises the approximate scale path."""
+    sf0.01 every label block (44-59 rows) stays exact; at sf0.1 (~200-row
+    blocks) the same query exercises the approximate scale path. The
+    oracle replays the SAME size-based routing, so parity holds at
+    either scale."""
     from dawis_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
@@ -3515,6 +3580,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_pq",
     "embedding_ann_ivfpq",
     "ann_recall_pq",
+    "ngram_jaccard_topk",
+    "embedding_near_dups",
     # not driver-checked in round 4 (verified locally then)
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -3558,8 +3625,6 @@ DRIVER_PRIORITY: list[str] = [
     "match_enrichment",
     "comparison_checks",
     "alerts_per_line",
-    "prev_period_day",
-    "latest_event_per_user",
 ]
 
 

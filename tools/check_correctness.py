@@ -5,11 +5,13 @@ runs the matching ``oracle_sql()`` on DuckDB over the same parquet files,
 and compares row count, column names, and (order-insensitively) values.
 
 Usage:  python tools/check_correctness.py [query_name ...]
+        CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -18,7 +20,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
