@@ -276,7 +276,10 @@ def _operand_value(el, operand: str) -> str | None:
     return "".join(el.itertext())
 
 
-_PRED_POS = re.compile(r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+)$")
+_PRED_POS = re.compile(
+    r"^position\(\)\s*(<=|>=|!=|<|>|=)\s*(\d+|last\(\)(?:\s*-\s*\d+)?)$"
+)
+_LAST_MINUS = re.compile(r"^last\(\)\s*-\s*(\d+)$")
 
 
 def _pred_match(el, pred: str, pos: int, size: int) -> bool:
@@ -285,9 +288,18 @@ def _pred_match(el, pred: str, pos: int, size: int) -> bool:
         return pos == int(pred)
     if pred == "last()":
         return pos == size
+    m = _LAST_MINUS.match(pred)
+    if m:  # [last()-n]
+        return pos == size - int(m.group(1))
     m = _PRED_POS.match(pred)
     if m:
-        op, rhs = m.group(1), int(m.group(2))
+        op, rhs_s = m.group(1), m.group(2)
+        if rhs_s.isdigit():
+            rhs = int(rhs_s)
+        elif rhs_s == "last()":
+            rhs = size
+        else:
+            rhs = size - int(_LAST_MINUS.match(rhs_s).group(1))
         return {
             "=": pos == rhs,
             "!=": pos != rhs,
@@ -464,9 +476,9 @@ def html_xpath(body: str, query: str) -> list:
     "[starts-with(@attr,'v')]", "[ends-with(@attr,'v')]", 'not(...)'
     around any of those, "[contains(text(),'v')]", "[text()='v']",
     "[contains(.,'v')]" (full string value), '[tag]', "[tag='v']", '[n]',
-    '[last()]', '[position() OP n]' — plus trailing '/@attr' and
-    '/text()'. Positional predicates count within the parent group per the
-    XPath spec.
+    '[last()]', '[last()-n]', '[position() OP n]', '[position() OP
+    last()-n]' — plus trailing '/@attr' and '/text()'. Positional
+    predicates count within the parent group per the XPath spec.
 
     Element results serialize as the reference does (xpath.py:286-300):
     concatenated child-element markup, else the element's own text.

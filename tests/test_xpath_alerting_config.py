@@ -395,6 +395,11 @@ def test_html_xpath_named_axes_union_position():
         ("//c/preceding::*/text()", ["second", "first"]),
         ("//b/following::c/text()", ["third"]),
         ("//following::b/text()", ["second"]),
+        # position arithmetic over last()
+        ("//div/*[last()-1]/text()", ["second"]),
+        ("//div/*[position()=last()]/text()", ["third"]),
+        ("//div/*[position()<last()]/text()", ["first", "second"]),
+        ("//div/*[position()>=last()-1]/text()", ["second", "third"]),
         # unknown axis: match nothing, never crash
         ("//namespace::b", []),
     ]
