@@ -825,3 +825,159 @@ def ivfpq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _cent_literals(cent_rows):
+    cids = [c for c, _ in cent_rows]
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+            for _, vec in cent_rows
+        )
+        + ")"
+    )
+    cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
+    return cent_lit, cid_lit
+
+
+def _py_dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def ivfpq_residual_ann_topk(
+    corpus,
+    queries,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+):
+    """True FAISS IVFADC: PQ codes quantize the RESIDUAL (x - coarse
+    centroid of x), giving finer quantization around each centroid than
+    the non-residual variant — the codebook only has to cover a
+    bucket-radius ball, not the whole space.
+
+    Scoring decomposes exactly (subspaces are coordinate blocks):
+      <q, x^>  = <q, c> + <q, r^>            (qc term + residual LUT)
+      |x^|^2   = |c|^2 + 2<c, r^> + |r^|^2
+    so per corpus row everything but the M codes is a literal lookup:
+    |c|^2 per bucket, and a per-(bucket, subspace, code) table of
+    2<c_m, r_mj> + |r_mj|^2 built driver-side from the (config-sized)
+    centroids x codebooks. Per pair the cost is still M lookups + adds.
+
+    Plan shape is IDENTICAL to ivfpq_ann_topk (one corpus scan: coarse
+    argmax + residual encode, broadcast probed queries, equi-join on
+    cid); training adds one pass to materialize residuals. Residual
+    training means the codebooks are NOT shared with pq_topk — the trade
+    the FAISS design makes for quality.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dawis_spark.functions import vectors as V
+
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy("cid")
+            .collect()
+        )
+        cent_rows = [(r["cid"], list(r["cvec"])) for r in cent_rows]
+    else:
+        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    cent_lit, cid_lit = _cent_literals(cent_rows)
+    posci = f"cast(array_position({cid_lit}, cid) as int)"
+    my_cent = f"element_at({cent_lit}, {posci})"
+    rvec = f"zip_with(vec, {my_cent}, (x, y) -> cast(x as double) - y)"
+
+    assigned = _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1)
+    residuals = assigned.select(
+        F.col("neighbor_id").alias("id"), F.expr(rvec).alias("vec")
+    )
+    # train on NON-centroid rows: a vector that IS a centroid has a zero
+    # residual, and with deterministic lowest-id init the first-C-as-
+    # centroids default would otherwise seed every code at the origin
+    # (one live code after Lloyd, 15 empty) — degenerate codebooks
+    cid_set = ", ".join(str(c) for c, _ in cent_rows)
+    train_df = residuals.filter(F.expr(f"id NOT IN ({cid_set})"))
+    books = pq_train(train_df, "id", "vec", n_subspaces, n_codes)
+    ds = len(books[0][0][1])
+
+    # per-(bucket, subspace, code): 2<c_m, r_mj> + |r_mj|^2 ; per bucket:
+    # |c|^2 — python folds mirror the engines' left-to-right aggregates
+    resq_lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    f"cast({2.0 * _py_dot(cvec[m * ds:(m + 1) * ds], cv) + _py_norm_sq(cv)!r} as double)"
+                    for _, cv in sorted(book)
+                )
+                + ")"
+                for m, book in enumerate(books)
+            )
+            + ")"
+            for _, cvec in cent_rows
+        )
+        + ")"
+    )
+    cnorm_lit = (
+        "array("
+        + ", ".join(f"cast({_py_norm_sq(cvec)!r} as double)" for _, cvec in cent_rows)
+        + ")"
+    )
+    codes_on_resid = "array(" + ", ".join(_pq_assign_exprs("__rv", books, ds)) + ")"
+    xsq = (
+        f"element_at({cnorm_lit}, {posci}) + "
+        f"aggregate(sequence(0, {n_subspaces - 1}), cast(0 as double), "
+        f"(acc, m) -> acc + element_at(element_at(element_at({resq_lit}, {posci}), m + 1), "
+        f"element_at(codes, m + 1) + 1))"
+    )
+    enc = (
+        assigned.withColumn("__rv", F.expr(rvec))
+        .withColumn("codes", F.expr(codes_on_resid))
+        .select("neighbor_id", "cid", "codes", F.expr(xsq).alias("xsq"))
+    )
+
+    lut, qn = _pq_query_exprs(books)  # LUT of <q_m, r_mj> over raw q slices
+    qc = V.dot("vec", my_cent, "spark")
+    q = _ivf_assign(
+        queries, id_col, vec_col, cent_rows, "query_id", "vec", n_probe
+    ).select(
+        "query_id",
+        "cid",
+        F.expr(lut).alias("__lut"),
+        F.expr(qn).alias("__qn"),
+        F.expr(qc).alias("__qc"),
+    )
+    ip = f"__qc + {_pq_ip_expr(n_subspaces)}"
+    scored = (
+        F.broadcast(q)
+        .join(enc, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(ip) / F.expr("nullif(__qn * sqrt(xsq), 0)"), 6).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -3480,6 +3480,179 @@ ORDER BY query_id, rank
 """
 
 
+def _ivfadc_oracle(
+    k: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int, ds: int, ks: int
+) -> str:
+    """Full residual-IVFPQ (IVFADC) replay: coarse assignment, residual
+    computation, PQ training on NON-centroid residuals (a centroid's own
+    residual is zero — the degenerate-init guard mirrored from
+    ivfpq_residual_ann_topk), encoding, and decomposed-norm ADC scoring,
+    all in one DuckDB SQL."""
+    cos_vc = _VEC.cosine("vec", "cvec", "duck")
+    l2_init = _VEC.l2_sq("s.sv", "ini.cv", "duck")
+    l2_enc = _VEC.l2_sq("s.sv", "cb.cv", "duck")
+    nsq_cv = _VEC.norm_sq("cb.cv", "duck")
+    nsq_cent = _VEC.norm_sq("cvec", "duck")
+    dot_qc = _VEC.dot("q.sv", "cb.cv", "duck")
+    dot_qcent = _VEC.dot("qv.vec", "cn.cvec", "duck")
+    # <c_m, r_mj>: dot of the centroid's m-th slice against the sub-centroid
+    dot_ccv = _VEC.dot("cs.cvsub", "cb.cv", "duck")
+    fold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (s, acc_v) -> s + acc_v)"
+    return f"""
+WITH v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cent}),
+corpus_aff AS (
+  SELECT vec_id AS id, cid, ROUND({cos_vc}, 6) AS aff FROM v, cent
+),
+corpus_b AS (
+  SELECT id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY aff DESC, cid) AS r
+    FROM corpus_aff
+  ) WHERE r <= 1
+),
+sub AS (
+  SELECT b.id AS vec_id, sp.m AS m,
+         list_transform(range(sp.m * {ds} + 1, sp.m * {ds} + {ds} + 1),
+                        ix -> CAST(vv.vec[ix] AS DOUBLE) - CAST(cn.cvec[ix] AS DOUBLE)) AS sv
+  FROM corpus_b b
+  JOIN v vv ON vv.vec_id = b.id
+  JOIN cent cn ON cn.cid = b.cid,
+       range(0, {n_sub}) sp(m)
+),
+init AS (
+  SELECT s.m, row_number() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS code,
+         list_transform(s.sv, x -> round(x, 6)) AS cv
+  FROM sub s
+  WHERE s.vec_id IN (
+    SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT cid FROM cent)
+    ORDER BY vec_id LIMIT {ks}
+  )
+),
+a1 AS (
+  SELECT s.vec_id, s.m, s.sv,
+    (SELECT ini.code FROM init ini WHERE ini.m = s.m
+     ORDER BY round({l2_init}, 6) ASC, ini.code LIMIT 1) AS code
+  FROM sub s
+  WHERE s.vec_id NOT IN (SELECT cid FROM cent)
+),
+upd AS (
+  SELECT m, code, r.pos AS pos, round(avg(sv[r.pos]), 6) AS c
+  FROM a1, range(1, {ds + 1}) r(pos)
+  GROUP BY m, code, r.pos
+),
+cb1a AS (SELECT m, code, list(c ORDER BY pos) AS cv FROM upd GROUP BY m, code),
+cb AS (
+  SELECT ini.m, ini.code, COALESCE(u.cv, ini.cv) AS cv
+  FROM init ini LEFT JOIN cb1a u ON ini.m = u.m AND ini.code = u.code
+),
+codes AS (
+  SELECT s.vec_id, s.m,
+    (SELECT cb.code FROM cb WHERE cb.m = s.m
+     ORDER BY round({l2_enc}, 6) ASC, cb.code LIMIT 1) AS code
+  FROM sub s
+),
+centsub AS (
+  SELECT cn.cid, sp.m AS m,
+         list_transform(range(sp.m * {ds} + 1, sp.m * {ds} + {ds} + 1),
+                        ix -> CAST(cn.cvec[ix] AS DOUBLE)) AS cvsub
+  FROM cent cn, range(0, {n_sub}) sp(m)
+),
+resq AS (
+  SELECT c.vec_id, c.m, 2 * {dot_ccv} + {nsq_cv} AS rq
+  FROM codes c
+  JOIN corpus_b b ON b.id = c.vec_id
+  JOIN centsub cs ON cs.cid = b.cid AND cs.m = c.m
+  JOIN cb ON cb.m = c.m AND cb.code = c.code
+),
+recon AS (
+  SELECT r.vec_id,
+         (SELECT {nsq_cent} FROM cent WHERE cid = b.cid) +
+         {fold.format("list(rq ORDER BY m)")} AS xsq
+  FROM resq r JOIN corpus_b b ON b.id = r.vec_id
+  GROUP BY r.vec_id, b.cid
+),
+q_aff AS (
+  SELECT vec_id AS query_id, cid, ROUND({cos_vc}, 6) AS aff
+  FROM (SELECT vec_id, vec FROM v WHERE vec_id < {n_queries}) q, cent
+),
+q_b AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, cid) AS r
+    FROM q_aff
+  ) WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT q_b.query_id, b.id AS neighbor_id
+  FROM q_b JOIN corpus_b b USING (cid)
+  WHERE q_b.query_id != b.id
+),
+qsub AS (
+  SELECT vv.vec_id AS query_id, sp.m AS m,
+         list_transform(range(sp.m * {ds} + 1, sp.m * {ds} + {ds} + 1),
+                        ix -> CAST(vv.vec[ix] AS DOUBLE)) AS sv
+  FROM v vv, range(0, {n_sub}) sp(m)
+  WHERE vv.vec_id < {n_queries}
+),
+ipm AS (
+  SELECT ca.query_id, ca.neighbor_id, q.m, {dot_qc} AS ipm
+  FROM cand ca
+  JOIN qsub q ON q.query_id = ca.query_id
+  JOIN codes c ON c.vec_id = ca.neighbor_id AND c.m = q.m
+  JOIN cb ON cb.m = c.m AND cb.code = c.code
+),
+ip AS (
+  SELECT query_id, neighbor_id, {fold.format("list(ipm ORDER BY m)")} AS ipr
+  FROM ipm GROUP BY query_id, neighbor_id
+),
+qcterm AS (
+  SELECT qv.vec_id AS query_id, b.id AS neighbor_id, {dot_qcent} AS qc
+  FROM (SELECT vec_id, vec FROM v WHERE vec_id < {n_queries}) qv,
+       corpus_b b JOIN cent cn ON cn.cid = b.cid
+),
+qn AS (SELECT vec_id AS query_id, sqrt({_VEC.norm_sq("vec", "duck")}) AS qn
+       FROM v WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT ip.query_id, ip.neighbor_id,
+         round((qt.qc + ip.ipr) / nullif(qn.qn * sqrt(r.xsq), 0), 6) AS cosine
+  FROM ip
+  JOIN qcterm qt ON qt.query_id = ip.query_id AND qt.neighbor_id = ip.neighbor_id
+  JOIN qn ON qn.query_id = ip.query_id
+  JOIN recon r ON r.vec_id = ip.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_ivfadc", oracle=_ivfadc_oracle(5, 10, 16, 4, 4, 16, 16))
+def embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ — the canonical FAISS IVFADC: PQ codebooks trained
+    on (x - coarse centroid) residuals, candidates from 4 probed coarse
+    buckets, scoring from the exact decomposition <q,x^> = <q,c> +
+    <q,r^> and |x^|^2 = |c|^2 + 2<c,r^> + |r^|^2 — per corpus row the
+    non-code terms are driver-built literal lookups, so the scan still
+    reads only (id, codes). The oracle replays coarse assignment,
+    residual training (non-centroid rows — a centroid's own residual is
+    zero), encoding and decomposed scoring in one SQL."""
+    from dawis_spark.operators.similarity import ivfpq_residual_ann_topk
+
+    emb = spark.table("embeddings")
+    return ivfpq_residual_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        n_subspaces=4,
+        n_codes=16,
+    ).orderBy("query_id", "rank")
+
+
 @query("embedding_ann_ivfpq", oracle=_ivfpq_oracle(5, 10, 16, 4, 4, 16, 16))
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFPQ shape, non-residual): the
@@ -3579,6 +3752,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_pq_codes",
     "embedding_ann_pq",
     "embedding_ann_ivfpq",
+    "embedding_ann_ivfadc",
     "ann_recall_pq",
     "ngram_jaccard_topk",
     "embedding_near_dups",
@@ -3624,7 +3798,6 @@ DRIVER_PRIORITY: list[str] = [
     "q5_region_revenue",
     "match_enrichment",
     "comparison_checks",
-    "alerts_per_line",
 ]
 
 

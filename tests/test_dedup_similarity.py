@@ -423,3 +423,66 @@ def test_ivfpq_probe_all_equals_pq_linear_scan(spark):
         emb, q, "vec_id", "embedding", k=3, n_centroids=4, n_probe=4, books=books
     ).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, flat))
+
+
+def test_ivfadc_matches_numpy_reconstruction(spark):
+    """Residual IVFPQ scores must equal cos(q, c + r_hat) computed
+    independently (numpy) from the same deterministic training — pins the
+    decomposed-norm algebra (<q,c> + <q,r^>, |c|^2 + 2<c,r^> + |r^|^2)
+    against a direct reconstruction."""
+    import numpy as np
+
+    from dawis_spark.catalog import register_testdata
+    from dawis_spark.operators.similarity import (
+        _ivf_assign,
+        ivfpq_residual_ann_topk,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    cent_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    out = ivfpq_residual_ann_topk(
+        emb, emb.filter("vec_id < 2"), "vec_id", "embedding", k=3, n_centroids=16
+    ).collect()
+
+    assigned = _ivf_assign(emb, "vec_id", "embedding", cent_rows, "id", "vec", 1)
+    rows = {r["id"]: (np.array(r["vec"], dtype=np.float64), r["cid"])
+            for r in assigned.collect()}
+    cents = {c: np.array(v, dtype=np.float64) for c, v in cent_rows}
+    cid_set = ", ".join(str(c) for c, _ in cent_rows)
+    cent_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in v) + ")"
+        for _, v in cent_rows) + ")"
+    cid_lit = "array(" + ", ".join(str(c) for c, _ in cent_rows) + ")"
+    rvec = (f"zip_with(vec, element_at({cent_lit}, "
+            f"cast(array_position({cid_lit}, cid) as int)), "
+            f"(x, y) -> cast(x as double) - y)")
+    residuals = assigned.select("id", F.expr(rvec).alias("vec"))
+    books = pq_train(
+        residuals.filter(F.expr(f"id NOT IN ({cid_set})")), "id", "vec", 4, 16
+    )
+    ds = 16
+
+    def recon(i):
+        v, c = rows[i]
+        r = v - cents[c]
+        parts = []
+        for m, book in enumerate(books):
+            sub = r[m * ds : (m + 1) * ds]
+            dists = [
+                round(float(sum((sub - np.array(cv)) ** 2)), 6)
+                for _, cv in sorted(book)
+            ]
+            parts.append(np.array(sorted(book)[dists.index(min(dists))][1]))
+        return cents[c] + np.concatenate(parts)
+
+    for r in out:
+        q = rows[r["query_id"]][0]
+        xh = recon(r["neighbor_id"])
+        want = float(q @ xh / (np.linalg.norm(q) * np.linalg.norm(xh)))
+        assert abs(r["cosine"] - round(want, 6)) < 2e-6, (r, want)
