@@ -282,13 +282,14 @@ def test_stream_dedup_ttl_reemits_after_expiry(spark, tmp_path):
             (r["doc_id"], r["fp"]) for r in spark.sql("SELECT * FROM ttl_sink").collect()
         )
 
-    def wait_for(expected, seconds=60):
+    def wait_for(pred, seconds=60):
         deadline = _time.time() + seconds
         while _time.time() < deadline:
-            if rows_now() == expected:
-                return
+            if pred(rows_now()):
+                return rows_now()
             _time.sleep(0.5)
-        assert rows_now() == expected  # final, diagnostic assert
+        assert pred(rows_now()), rows_now()  # final, diagnostic assert
+        return rows_now()
 
     spark.createDataFrame([(1, "A"), (2, "A")], schema).write.mode("append").parquet(staging)
     q = (
@@ -300,10 +301,14 @@ def test_stream_dedup_ttl_reemits_after_expiry(spark, tmp_path):
         .start()
     )
     try:
-        wait_for([(1, "A")])          # in-batch duplicate suppressed
+        # in-batch duplicate suppressed: exactly ONE of the two A rows
+        # (which one wins is partition-order dependent, not part of the
+        # cross-batch contract)
+        first = wait_for(lambda rows: len(rows) == 1 and rows[0][0] in (1, 2))
         _time.sleep(3)                # TTL lapses; cleanup batch removes A
         spark.createDataFrame([(4, "A")], schema).write.mode("append").parquet(staging)
-        wait_for([(1, "A"), (4, "A")])  # expired window -> re-emitted
+        # expired window -> the same key re-emits
+        wait_for(lambda rows: rows == first + [(4, "A")])
     finally:
         q.stop()
 
