@@ -495,9 +495,18 @@ def html_xpath(body: str, query: str) -> list:
     return out
 
 
+_ATTR_AXIS_TAIL = re.compile(r"/attribute::([\w:.-]+)$")
+
+
 def _eval_branch(root, query: str) -> list:
     import xml.etree.ElementTree as ET
 
+    # attribute:: is only meaningful as the final step (attribute nodes
+    # have no children); normalize it to the abbreviated '@' form
+    query = _ATTR_AXIS_TAIL.sub(r"/@\1", query)
+    # likewise text() spelled via the self axis
+    if query.endswith("/self::text()"):
+        query = query[: -len("/self::text()")] + "/text()"
     attr = None
     want_text = False
     m = _ATTR_TAIL.search(query)

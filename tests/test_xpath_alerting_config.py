@@ -405,6 +405,16 @@ def test_html_xpath_named_axes_union_position():
     ]
     for q, want in cases:
         assert html_xpath(h, q) == want, q
+    # attribute axis as the final step (normalized to the '@' form)
+    h2 = '<div><a href="/x" id="k">link</a><b>t</b></div>'
+    attr_cases = [
+        ("//a/attribute::href", ["/x"]),
+        ("//a/attribute::id", ["k"]),
+        ("//b/attribute::href", []),
+        ("//div/a/attribute::href", ["/x"]),
+    ]
+    for q, want in attr_cases:
+        assert html_xpath(h2, q) == want, q
 
 
 def test_xpath_extract_predicate_selector_end_to_end(spark):
