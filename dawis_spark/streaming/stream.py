@@ -88,3 +88,35 @@ def windowed_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), *keys, "n")
     )
+
+
+def session_counts(
+    stream_df: DataFrame,
+    time_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked SESSION-window aggregate (``F.session_window``): a
+    session closes after ``gap`` of inactivity per key — the streaming
+    twin of the batch ``sessionization`` inventory query, but computed by
+    the engine's native session-window state instead of a lag/cumsum
+    window. Emits one row per closed session with its bounds and event
+    count once the watermark passes the session end.
+
+    Scale: state is per (key, open session) and merges on arrival;
+    late events inside the watermark extend or merge sessions, later
+    ones are dropped — the documented semantics a 100 TB clickstream
+    rollup needs."""
+    keys = keys or []
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )

@@ -346,3 +346,44 @@ def test_neardup_index_gates_across_batches(spark, tmp_path):
     assert got2 == [5]  # 4 near-dups the ADMITTED doc 1 from tick 1
     # the index holds survivors only
     assert sorted(r["id"] for r in idx.wh.read("neardup_sigs").collect()) == [1, 2, 5]
+
+
+def test_session_window_counts_two_ticks(spark, tmp_path):
+    """Native session windows under availableNow: tick 1's events form
+    one open session per user (nothing emitted); tick 2 advances the
+    watermark past the gap and the closed sessions flush with merged
+    bounds and counts."""
+    from dawis_spark.streaming.stream import run_available_now, session_counts
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user string, ts timestamp"
+    t0 = dt.datetime(2026, 5, 1, 10, 0)
+    tick1 = spark.createDataFrame(
+        [("u1", t0), ("u1", t0 + dt.timedelta(minutes=10)),
+         ("u2", t0 + dt.timedelta(minutes=5))],
+        schema,
+    )
+    tick1.write.parquet(staging)
+    transform = lambda s: session_counts(  # noqa: E731
+        s, "ts", gap="30 minutes", watermark="1 minute", keys=["user"]
+    )
+    run_available_now(staging_stream(spark, staging, tick1.schema), sink, ckpt,
+                      transform=transform)
+    assert spark.read.parquet(sink).count() == 0  # sessions still open
+
+    tick2 = spark.createDataFrame([("u3", t0 + dt.timedelta(hours=3))], schema)
+    tick2.write.mode("append").parquet(staging)
+    run_available_now(staging_stream(spark, staging, tick1.schema), sink, ckpt,
+                      transform=transform)
+    got = {
+        (r["user"]): (r["session_start"], r["session_end"], r["n"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # u1: two events 10 min apart merge into one session [10:00, 10:40)
+    assert got["u1"] == (t0, t0 + dt.timedelta(minutes=40), 2)
+    assert got["u2"] == (
+        t0 + dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=35), 1
+    )
+    assert "u3" not in got  # its session is still open
