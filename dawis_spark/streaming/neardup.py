@@ -26,6 +26,10 @@ never text; the candidate join is an equi-join on (band, key) exactly like
 the batch LSH path, and verification touches only candidate signature
 pairs. Documents with no shingles (shorter than k) have no signature and
 are admitted without near-dup protection (same as the batch operators).
+At cluster scale the index side of that join is the recurring cost: land
+the bands table bucketed on ``key`` (``Warehouse.write_bucketed``) so each
+tick shuffles only the (small) batch side instead of re-exchanging the
+whole admitted index.
 """
 
 from __future__ import annotations
