@@ -3734,6 +3734,66 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         event_id
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query("session_window_agg", oracle=_SESSION_WINDOW_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in batch (``F.session_window``, 30-minute
+    gap): one row per (user, session) with bounds and totals — the same
+    engine state machine the streaming ``session_counts`` wrapper uses,
+    oracle-checked here via the gaps-and-islands SQL equivalent. Session
+    end is last-event + gap and the boundary is EXCLUSIVE (an event at
+    exactly prev + gap starts a new session), which the oracle mirrors
+    with ``>=``.
+
+    Scale: one shuffle on user_id; the engine merges windows inside the
+    aggregation state rather than via a lag + cumsum window pair, so
+    there is no second windowing pass over the sorted partition."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -3756,6 +3816,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_pq",
     "ngram_jaccard_topk",
     "embedding_near_dups",
+    "session_window_agg",
     # not driver-checked in round 4 (verified locally then)
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -3797,7 +3858,6 @@ DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "match_enrichment",
-    "comparison_checks",
 ]
 
 
