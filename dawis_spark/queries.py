@@ -3319,8 +3319,7 @@ codes AS (
 def _pq_codes_oracle(n_sub: int, ds: int, ks: int) -> str:
     return f"""
 WITH {_pq_ctes(n_sub, ds, ks)}
-SELECT vec_id, list(code ORDER BY m) AS codes
-FROM codes GROUP BY vec_id ORDER BY vec_id
+SELECT vec_id, m, code FROM codes ORDER BY vec_id, m
 """
 
 
@@ -3331,16 +3330,18 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     init + 6-digit rounding) and compress every 64-float embedding to 4
     small codes — 256 B -> 4 B, the write path that makes a 100 TB
     embedding table scannable. Training shuffles only (m, code, pos,
-    partial-avg); encoding is pure map-side codegen. The oracle replays
-    training AND encoding in DuckDB."""
+    partial-avg); encoding is pure map-side codegen. Emitted exploded as
+    one (vec_id, m, code) row per subspace so every cell is a scalar the
+    comparison harness can sort/hash. The oracle replays training AND
+    encoding in DuckDB."""
     from dawis_spark.operators.similarity import pq_encode, pq_train
 
     emb = spark.table("embeddings")
     books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
     return (
         pq_encode(emb, "vec_id", "embedding", books)
-        .select(F.col("id").alias("vec_id"), "codes")
-        .orderBy("vec_id")
+        .select(F.col("id").alias("vec_id"), F.posexplode("codes").alias("m", "code"))
+        .orderBy("vec_id", "m")
     )
 
 
