@@ -142,6 +142,7 @@ class Warehouse:
         n_buckets: int,
         sort_cols: list[str] | None = None,
         mode: str = "overwrite",
+        catalog_name: str | None = None,
     ) -> None:
         """Write a catalog table bucketed (and optionally sorted) on the
         join key — repeated joins/aggregations on that key then run with
@@ -152,13 +153,18 @@ class Warehouse:
         write time, amortize it over every downstream join. Bucketed
         tables live in the session catalog (saveAsTable), not plain
         parquet paths — read them back with ``spark.table``.
+
+        ``catalog_name`` decouples the session-catalog table name from the
+        warehouse path ``table`` name, so two Warehouse roots can each hold
+        a table of the same name (the catalog namespace is session-global,
+        paths are per-root).
         """
         writer = df.write.mode(mode).format("parquet").bucketBy(
             n_buckets, *bucket_cols
         )
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
-        writer.option("path", self.path(table)).saveAsTable(table)
+        writer.option("path", self.path(table)).saveAsTable(catalog_name or table)
 
     def write_sorted(
         self,

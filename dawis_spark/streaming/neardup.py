@@ -15,10 +15,13 @@ Each tick (``admit``, drivable from foreachBatch):
      bucket is a candidate, verified by estimated Jaccard (fraction of
      equal signature positions, the standard MinHash estimator) against
      the admitted signature;
-  3. the same gate WITHIN the batch: a doc matching a lower-id batch
-     survivor is rejected (greedy first-wins, deterministic; like any
-     greedy pass it can over-reject relative to full clustering when
-     near-dup chains are not transitive — documented trade-off);
+  3. the same gate WITHIN the batch, with exact greedy semantics: ids are
+     processed in ascending order and a doc is rejected iff it matches a
+     lower-id doc that itself SURVIVED (both the index gate and the
+     within-batch gate) — so in a chain A~B, B~C with A not~ C, B is
+     rejected by A but C survives. The decision pass runs on the driver
+     over the (batch-bounded) candidate-pair id list; similarity itself
+     is computed distributed.
   4. survivors are emitted and their bands/sigs appended to the index.
 
 Scale: the index grows O(admitted docs x bands) rows of small strings —
@@ -26,13 +29,26 @@ never text; the candidate join is an equi-join on (band, key) exactly like
 the batch LSH path, and verification touches only candidate signature
 pairs. Documents with no shingles (shorter than k) have no signature and
 are admitted without near-dup protection (same as the batch operators).
-At cluster scale the index side of that join is the recurring cost: land
-the bands table bucketed on ``key`` (``Warehouse.write_bucketed``) so each
-tick shuffles only the (small) batch side instead of re-exchanging the
-whole admitted index.
+At cluster scale the index side of that join is the recurring cost, so the
+index lands BUCKETED (``Warehouse.write_bucketed``): bands on (band, key),
+sigs on (id). Every per-tick join against the index (candidate lookup,
+signature verify, already-indexed dedup) then shuffles ONLY the small
+batch side — the admitted corpus is never re-exchanged.
+
+Failure/re-delivery contract (foreachBatch retries): every append is
+anti-joined against the already-indexed sig ids first, so re-running a
+tick whose writes completed is a no-op. A crash BETWEEN the two appends
+(bands landed, sigs not) leaves those docs unprotected until the retry —
+their bands produce candidates but the signature verify drops them
+(fail-open, never a wrong rejection); the retry then re-appends both
+tables for the missing ids, which can duplicate that batch's band rows —
+harmless, candidates are de-duplicated before the verify.
 """
 
 from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +82,26 @@ def _est_jaccard(a: str, b: str, n_perms: int) -> str:
     )
 
 
+def greedy_reject(prev_rejected: set, sim_pairs) -> set:
+    """Sequential-greedy within-batch gate, driver-side.
+
+    ``sim_pairs`` are (lower_id, higher_id) similar pairs; a doc is
+    rejected iff it matches a lower-id doc that itself survived both the
+    index gate (``prev_rejected``) and this pass. Processing ids in
+    ascending order decides every predecessor before its dependents, so
+    chains resolve exactly (A~B, B~C, A not~C: B rejected, C kept)."""
+    rejected = set(prev_rejected)
+    preds: dict = defaultdict(list)
+    for a, b in sim_pairs:
+        preds[b].append(a)
+    for b in sorted(preds):
+        if b in rejected:
+            continue
+        if any(a not in rejected for a in preds[b]):
+            rejected.add(b)
+    return rejected
+
+
 class NearDupIndex:
     """Persistent LSH admission index over a Warehouse root."""
 
@@ -77,6 +113,7 @@ class NearDupIndex:
         bands: int = 4,
         shingle_k: int = 3,
         threshold: float = 0.5,
+        n_buckets: int = 16,
     ):
         if n_perms % bands:
             raise ValueError("n_perms must divide into bands")
@@ -87,68 +124,129 @@ class NearDupIndex:
         self.rows_per_band = n_perms // bands
         self.shingle_k = shingle_k
         self.threshold = threshold
+        self.n_buckets = n_buckets
+        # session-catalog names are global; scope them to this root so two
+        # indexes over different roots don't collide
+        self._suffix = hashlib.md5(root.encode()).hexdigest()[:10]
 
-    def _read(self, table: str, schema: str) -> DataFrame:
-        try:
+    def _catalog_name(self, table: str) -> str:
+        return f"{table}_{self._suffix}"
+
+    def _read_index(self, table: str, schema: str) -> DataFrame:
+        """Read an index table: bucketed catalog table when this session
+        wrote it (shuffle-free joins), plain parquet when only the path
+        exists (fresh session over an existing root — correct, one tick of
+        extra shuffle until the next bucketed append re-registers it),
+        empty when the index has never been written. Genuine read errors
+        (corrupt files, permission) propagate instead of silently
+        disabling near-dup protection."""
+        cat = self._catalog_name(table)
+        if self.spark.catalog.tableExists(cat):
+            return self.spark.table(cat)
+        if self.wh.exists(table):
             return self.wh.read(table)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame([], schema)
 
     def admit(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         """Return the rows of ``df`` that are NOT near-dups of anything
         admitted before (or of a lower-id batch survivor), and fold the
-        survivors into the index."""
+        survivors into the index.
+
+        The accept/reject decision is materialized ONCE per tick (the
+        rejected id set — batch-bounded, ids only — is collected to the
+        driver), so the minhash + LSH join DAG is not re-evaluated per
+        index write or when the caller acts on the returned survivors."""
         sigs = minhash_signatures(
             df, id_col, text_col, self.n_perms, self.shingle_k
         ).select(F.col(id_col).alias("id"), "sig")
-        idx_sigs = self._read("neardup_sigs", "id bigint, sig array<bigint>")
-        idx_bands = self._read("neardup_bands", "id bigint, band int, key string")
-        new_bands = _band_rows(sigs, "id", self.bands, self.rows_per_band)
+        sigs = sigs.persist()
+        try:
+            idx_sigs = self._read_index("neardup_sigs", "id bigint, sig array<bigint>")
+            idx_bands = self._read_index("neardup_bands", "id bigint, band int, key string")
+            new_bands = _band_rows(sigs, "id", self.bands, self.rows_per_band)
 
-        est = _est_jaccard("n_sig", "o_sig", self.n_perms)
-        # vs the admitted index
-        cand_prev = (
-            new_bands.join(
-                idx_bands.select(
-                    F.col("band"), F.col("key"), F.col("id").alias("old_id")
-                ),
+            est = _est_jaccard("n_sig", "o_sig", self.n_perms)
+            # vs the admitted index: candidates via shared band buckets,
+            # verified against the admitted signature
+            cand_prev = (
+                new_bands.join(
+                    idx_bands.select(
+                        F.col("band"), F.col("key"), F.col("id").alias("old_id")
+                    ),
+                    ["band", "key"],
+                )
+                # a doc whose OWN id is already indexed is a re-delivered
+                # survivor, not a near-dup of itself — keep it idempotent
+                .filter(F.col("id") != F.col("old_id"))
+                .select("id", "old_id")
+                .distinct()
+            )
+            rejected_prev = {
+                r["id"]
+                for r in (
+                    cand_prev.join(sigs.select("id", F.col("sig").alias("n_sig")), "id")
+                    .join(
+                        idx_sigs.select(
+                            F.col("id").alias("old_id"), F.col("sig").alias("o_sig")
+                        ),
+                        "old_id",
+                    )
+                    .filter(F.expr(est) >= self.threshold)
+                    .select("id")
+                    .distinct()
+                    .collect()
+                )
+            }
+            # within the batch: all similar (lower, higher) id pairs,
+            # decided by a driver-side greedy pass in ascending id order
+            left = new_bands.select("band", "key", F.col("id").alias("id_a"))
+            right = new_bands.select("band", "key", F.col("id").alias("id_b"))
+            sim_pairs = (
+                left.join(right, ["band", "key"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+                .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("n_sig")), "id_a")
+                .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("o_sig")), "id_b")
+                .filter(F.expr(est) >= self.threshold)
+                .select("id_a", "id_b")
+                .collect()
+            )
+            rejected = greedy_reject(
+                rejected_prev, [(r["id_a"], r["id_b"]) for r in sim_pairs]
+            )
+
+            rejected_df = self.spark.createDataFrame(
+                [(i,) for i in sorted(rejected)], "id bigint"
+            )
+            # idempotent re-delivery: skip ids the index already holds
+            already = idx_sigs.select("id")
+            keep_sigs = (
+                sigs.join(rejected_df, "id", "left_anti")
+                .join(already, "id", "left_anti")
+            )
+            keep_bands = (
+                new_bands.join(rejected_df, "id", "left_anti")
+                .join(already, "id", "left_anti")
+            )
+            self.wh.write_bucketed(
+                keep_bands,
+                "neardup_bands",
                 ["band", "key"],
+                self.n_buckets,
+                mode="append",
+                catalog_name=self._catalog_name("neardup_bands"),
             )
-            .select("id", "old_id")
-            .distinct()
-        )
-        rejected_prev = (
-            cand_prev.join(sigs.select("id", F.col("sig").alias("n_sig")), "id")
-            .join(
-                idx_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("o_sig")),
-                "old_id",
+            self.wh.write_bucketed(
+                keep_sigs,
+                "neardup_sigs",
+                ["id"],
+                self.n_buckets,
+                mode="append",
+                catalog_name=self._catalog_name("neardup_sigs"),
             )
-            .filter(F.expr(est) >= self.threshold)
-            .select("id")
-            .distinct()
-        )
-        # within the batch: reject any id matching a LOWER id that itself
-        # survives the index gate (greedy first-wins)
-        left = new_bands.select("band", "key", F.col("id").alias("id_a"))
-        right = new_bands.select("band", "key", F.col("id").alias("id_b"))
-        pairs = (
-            left.join(right, ["band", "key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            .join(rejected_prev.select(F.col("id").alias("id_a")), "id_a", "left_anti")
-            .join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("n_sig")), "id_a")
-            .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("o_sig")), "id_b")
-            .filter(F.expr(est) >= self.threshold)
-        )
-        rejected = rejected_prev.union(
-            pairs.select(F.col("id_b").alias("id"))
-        ).distinct()
-
-        survivors = df.join(
-            rejected.select(F.col("id").alias(id_col)), id_col, "left_anti"
-        )
-        keep_ids = survivors.select(F.col(id_col).alias("id"))
-        self.wh.write(sigs.join(keep_ids, "id", "left_semi"), "neardup_sigs")
-        self.wh.write(new_bands.join(keep_ids, "id", "left_semi"), "neardup_bands")
-        return survivors
+        finally:
+            sigs.unpersist()
+        # survivors depend only on df and the materialized decision —
+        # acting on them re-runs no LSH work
+        return df.join(rejected_df.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -24,7 +24,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType(), True)])
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.BooleanType(), True),
+        # absolute processing-time expiry deadline (ms since epoch), set
+        # once at FIRST sight; None in exact (no-TTL) mode. Kept in state
+        # because Spark clears a key's pending timeout every time its
+        # group function runs — any later call must re-arm from this.
+        T.StructField("deadline_ms", T.LongType(), True),
+    ]
+)
 
 
 def stream_dedup(
@@ -70,15 +79,26 @@ def stream_dedup(
             state.remove()  # forget the key; next sighting re-emits
             return
         if state.exists:
+            # Spark's GroupState contract: invoking the function for a key
+            # clears its pending processing-time timeout. A duplicate
+            # arriving in a LATER micro-batch lands here — re-arm the
+            # timeout to the REMAINDER of the original window, else the
+            # key would never expire (unbounded state) and never re-emit.
+            if ttl_ms is not None:
+                deadline = state.get[1]
+                remaining = deadline - state.getCurrentProcessingTimeMs()
+                state.setTimeoutDuration(max(1, remaining))
             return
         first = None
         for pdf in pdfs:
             if len(pdf) > 0:
                 first = pdf.iloc[[0]]
                 break
-        state.update((True,))
         if ttl_ms is not None:
+            state.update((True, state.getCurrentProcessingTimeMs() + ttl_ms))
             state.setTimeoutDuration(ttl_ms)
+        else:
+            state.update((True, None))
         if first is not None:
             yield first[[f.name for f in output_schema.fields]]
 

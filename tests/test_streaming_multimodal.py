@@ -387,3 +387,143 @@ def test_session_window_counts_two_ticks(spark, tmp_path):
         t0 + dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=35), 1
     )
     assert "u3" not in got  # its session is still open
+
+
+def test_stream_dedup_ttl_cross_batch_duplicate_then_expiry(spark, tmp_path):
+    """GroupState contract regression (ADVICE r5): Spark clears a key's
+    pending processing-time timeout whenever its group function runs, so a
+    duplicate arriving in a LATER micro-batch must re-arm the timeout for
+    the REMAINDER of the original window. Without the re-arm the key never
+    expires: state grows unboundedly and the key is never re-emitted."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.stateful import stream_dedup
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("fp", T.StringType())]
+    )
+
+    def rows_now():
+        return sorted(
+            (r["doc_id"], r["fp"])
+            for r in spark.sql("SELECT * FROM ttl_xbatch_sink").collect()
+        )
+
+    def wait_for(pred, seconds=60):
+        deadline = _time.time() + seconds
+        while _time.time() < deadline:
+            if pred(rows_now()):
+                return rows_now()
+            _time.sleep(0.5)
+        assert pred(rows_now()), rows_now()
+        return rows_now()
+
+    spark.createDataFrame([(1, "A")], schema).write.mode("append").parquet(staging)
+    q = (
+        stream_dedup(staging_stream(spark, staging, schema), "fp", schema, ttl_ms=3000)
+        .writeStream.format("memory")
+        .queryName("ttl_xbatch_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        wait_for(lambda rows: rows == [(1, "A")])
+        # cross-batch duplicate INSIDE the TTL window: suppressed, and the
+        # original window stays armed (fixed window, no extension)
+        spark.createDataFrame([(2, "A")], schema).write.mode("append").parquet(staging)
+        _time.sleep(1.5)
+        assert rows_now() == [(1, "A")]
+        # window lapses -> cleanup fires -> the key re-emits on next sight
+        _time.sleep(3.5)
+        spark.createDataFrame([(3, "A")], schema).write.mode("append").parquet(staging)
+        wait_for(lambda rows: rows == [(1, "A"), (3, "A")])
+    finally:
+        q.stop()
+
+
+def test_neardup_greedy_chain_semantics():
+    """Within-batch gate is exact sequential greedy: in a chain 1~2, 2~3
+    (1 not~ 3), 2 is rejected by survivor 1 but 3 survives because its
+    only similar predecessor did not survive; and an index-rejected doc
+    cannot reject batch peers."""
+    from dawis_spark.streaming.neardup import greedy_reject
+
+    assert greedy_reject(set(), [(1, 2), (2, 3)]) == {2}
+    assert greedy_reject(set(), [(1, 2), (2, 3), (1, 3)]) == {2, 3}
+    # 1 fell to the index gate -> it is not a survivor -> 2 stays
+    assert greedy_reject({1}, [(1, 2)]) == {1}
+    assert greedy_reject(set(), []) == set()
+
+
+def test_neardup_admit_idempotent_redelivery(spark, tmp_path):
+    """foreachBatch re-delivery: re-admitting the same batch is a no-op —
+    the index holds each id's rows exactly once and the survivors are
+    unchanged (every append anti-joins the already-indexed sig ids)."""
+    from dawis_spark.streaming.neardup import NearDupIndex
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    other = (
+        "completely different subject matter entirely unrelated to any "
+        "animal story with its own distinct vocabulary and phrasing"
+    )
+    idx = NearDupIndex(spark, str(tmp_path), threshold=0.5)
+    batch = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    got1 = sorted(r["doc_id"] for r in idx.admit(batch, "doc_id", "text").collect())
+    sigs1 = sorted(r["id"] for r in idx.wh.read("neardup_sigs").collect())
+    bands1 = idx.wh.read("neardup_bands").count()
+    # retry of the SAME batch (e.g. sink failure after admit returned)
+    got2 = sorted(r["doc_id"] for r in idx.admit(batch, "doc_id", "text").collect())
+    assert got1 == [1, 2]
+    assert sigs1 == [1, 2]
+    assert got2 == got1
+    assert sorted(r["id"] for r in idx.wh.read("neardup_sigs").collect()) == sigs1
+    assert idx.wh.read("neardup_bands").count() == bands1
+
+
+def test_neardup_index_join_shuffles_batch_side_only(spark, tmp_path):
+    """The 100 TB lever: the admitted index lands bucketed on the join
+    key, so the per-tick candidate join plans NO shuffle exchange on the
+    index side — only the (small) batch side is exchanged."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.streaming.neardup import NearDupIndex
+
+    docs = [
+        (i, f"document number {i} with some distinct words {i * 17} and "
+            f"unique trailing content {i * 31} plus filler {i * 13}")
+        for i in range(1, 9)
+    ]
+    idx = NearDupIndex(spark, str(tmp_path), threshold=0.5)
+    idx.admit(
+        spark.createDataFrame(docs, "doc_id bigint, text string"), "doc_id", "text"
+    )
+    bands = spark.table(idx._catalog_name("neardup_bands"))
+    batch = spark.createDataFrame(
+        [(100, 0, "k0"), (101, 1, "k1")], "id bigint, band int, key string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            batch.join(bands, ["band", "key"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exactly one shuffle: the batch side repartitioning to the index's
+    # bucketing; the index scan itself carries its bucketed layout
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan, plan
