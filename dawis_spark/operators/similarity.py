@@ -265,6 +265,97 @@ def embedding_near_dup_pairs(
 MAX_CENTROID_LITERALS = 100_000
 
 
+def _half_up_round6(x):
+    """Vectorized HALF_UP round to 6 digits — matches Spark SQL round()."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _ivf_assign_numpy(
+    df,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    id_alias: str,
+    vec_alias: str,
+    top_n: int,
+):
+    """Large-codebook coarse assignment: same contract as the literal path
+    but the codebook ships to executors as a numpy array inside an
+    Arrow-batched ``mapInPandas`` closure instead of a SQL literal — the
+    production-quantizer shape (e.g. 4096 centroids x 1024 dims = 4M
+    doubles) that would blow the codegen literal budget. Still strictly
+    map-side: no shuffle, no crossJoin row inflation, embeddings never
+    leave their partition.
+
+    Bit-parity with the literal path: the dot/norm accumulations iterate
+    dimensions in ascending order (the same left-to-right double fold as
+    functions/vectors.dot), rounding is HALF_UP like Spark's round(), and
+    ties break to the lowest codebook index — so both paths pick identical
+    cids, not just approximately-equal ones."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cents = np.array([v for _, v in cent_rows], dtype=np.float64)  # (C, dim)
+
+    def _seq_norm_sq(mat):
+        acc = np.zeros(mat.shape[0])
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d] * mat[:, d]
+        return acc
+
+    cent_norm = np.sqrt(_seq_norm_sq(cents))
+    in_schema = df.schema
+    out_schema = T.StructType(
+        [
+            T.StructField(id_alias, in_schema[id_col].dataType, True),
+            T.StructField(vec_alias, in_schema[vec_col].dataType, True),
+            T.StructField("cid", T.IntegerType(), True),
+        ]
+    )
+    sel = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_alias]])
+            # left-to-right fold over dimensions, same order as the SQL
+            # aggregate() — bit-identical doubles pre-rounding
+            acc = np.zeros((len(pdf), cents.shape[0]))
+            for d in range(cents.shape[1]):
+                acc = acc + mat[:, d, None] * cents[None, :, d]
+            denom = np.sqrt(_seq_norm_sq(mat))[:, None] * cent_norm[None, :]
+            safe = np.where(denom == 0.0, 1.0, denom)
+            aff = np.where(denom == 0.0, -2.0, _half_up_round6(acc / safe))
+            if top_n == 1:
+                pick = np.argmax(aff, axis=1)  # first max == lowest index
+                yield pd.DataFrame(
+                    {
+                        id_alias: pdf[id_alias].to_numpy(),
+                        vec_alias: pdf[vec_alias],
+                        "cid": cids[pick].astype(np.int32),
+                    }
+                )
+            else:
+                order = np.argsort(-aff, axis=1, kind="stable")[:, :top_n]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_alias: np.repeat(pdf[id_alias].to_numpy(), top_n),
+                        vec_alias: pdf[vec_alias].iloc[
+                            np.repeat(np.arange(n), top_n)
+                        ].to_numpy(),
+                        "cid": cids[order.ravel()].astype(np.int32),
+                    }
+                )
+
+    return sel.mapInPandas(assign, out_schema)
+
+
 def _ivf_assign(
     df,
     id_col: str,
@@ -283,11 +374,20 @@ def _ivf_assign(
     by zero -> NULL cosine; -2.0 sits below any valid cosine so such
     rows keep a deterministic assignment (lowest cid) instead of being
     silently dropped by a NULL array_position, and in the multi-probe
-    path null-affinity centroids sort LAST, not first."""
+    path null-affinity centroids sort LAST, not first.
+
+    Codebooks over ``MAX_CENTROID_LITERALS`` doubles (a production coarse
+    quantizer, e.g. 4096 x 1024) exceed what codegen literals tolerate and
+    automatically take the bit-identical numpy map-side path
+    (``_ivf_assign_numpy``) — same output, same no-shuffle plan shape."""
     from pyspark.sql import functions as F
 
     from dawis_spark.functions import vectors as V
 
+    if sum(len(v) for _, v in cent_rows) > MAX_CENTROID_LITERALS:
+        return _ivf_assign_numpy(
+            df, id_col, vec_col, cent_rows, id_alias, vec_alias, top_n
+        )
     cids = [c for c, _ in cent_rows]
     cent_lit = (
         "array("
@@ -351,8 +451,9 @@ def ivf_ann_topk(
 
     Plan shape at scale: the centroid set is config-sized (driver-resident,
     embedded as a literal double array — the IVF coarse quantizer is always
-    driver-resident in practice, cf. FAISS); ``MAX_CENTROID_LITERALS``
-    guards the literal-size budget. Bucket assignment is a pure map-side
+    driver-resident in practice, cf. FAISS); codebooks past
+    ``MAX_CENTROID_LITERALS`` doubles transparently switch to the numpy
+    map-side assignment. Bucket assignment is a pure map-side
     argmax over a ``transform(...)`` affinity array: NO crossJoin row
     inflation, NO window shuffle — the corpus never shuffles by vector.
     The probe search broadcasts the (small) bucketed query side, so the
@@ -381,13 +482,6 @@ def ivf_ann_topk(
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
-    n_literals = sum(len(v) for _, v in cent_rows)
-    if n_literals > MAX_CENTROID_LITERALS:
-        raise ValueError(
-            f"centroid literal budget exceeded: {n_literals} doubles "
-            f"(> {MAX_CENTROID_LITERALS}); reduce n_centroids/dim or "
-            "switch to a broadcast-join assignment"
         )
     corpus_b = _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "c_vec", 1)
     queries_b = _ivf_assign(queries, id_col, vec_col, cent_rows, "query_id", "q_vec", n_probe)
@@ -424,35 +518,11 @@ def kmeans_assign(
     over literal centroid arrays (same machinery as ivf_ann_topk's coarse
     quantizer — the centroid set is config-sized). Cosines are rounded to
     6 digits BEFORE the argmax and ties break to the lowest cid, so the
-    assignment is bit-reproducible in any engine."""
-    from pyspark.sql import functions as F
-
-    from dawis_spark.functions import vectors as V
-
+    assignment is bit-reproducible in any engine. Delegates to
+    ``_ivf_assign`` and so inherits the numpy map-side path for codebooks
+    past the literal budget."""
     cent_rows = sorted((int(c), list(v)) for c, v in centroids)
-    cids = [c for c, _ in cent_rows]
-    cent_lit = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
-            for _, vec in cent_rows
-        )
-        + ")"
-    )
-    cid_lit = "array(" + ", ".join(str(c) for c in cids) + ")"
-    aff = (
-        f"transform({cent_lit}, c -> coalesce("
-        f"round({V.cosine_null('vec', 'c', 'spark')}, 6), cast(-2.0 as double)))"
-    )
-    pick = F.expr(
-        f"element_at({cid_lit}, "
-        f"cast(array_position(__affs, array_max(__affs)) as int))"
-    )
-    return (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("__affs", F.expr(aff))
-        .select("id", "vec", pick.alias("cid"))
-    )
+    return _ivf_assign(corpus, id_col, vec_col, cent_rows, "id", "vec", 1)
 
 
 def train_kmeans(
@@ -774,22 +844,23 @@ def ivfpq_ann_topk(
     shuffle); queries -> probe explode + LUT build, broadcast; equi-join
     on cid; distinct (a neighbor can reach a query via several probed
     buckets); per-query top-k window over (query_id, neighbor_id, cosine)
-    triples. Cost ~ n_probe/C of pq_topk's linear ADC scan."""
+    triples. Cost ~ n_probe/C of pq_topk's linear ADC scan.
+
+    Coarse quantizer default: TRAINED (one k-means round via
+    ``train_kmeans``, deterministic init + 6-digit rounding, so an oracle
+    can replay it) — an untrained first-C quantizer gives lopsided buckets
+    on skewed real embeddings, and one giant probe bucket re-creates brute
+    force. Training is EAGER at call time (k-means jobs over the corpus,
+    FAISS's train-offline shape); pass ``centroids=`` to reuse a cached
+    quantizer and stay lazy."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if books is None:
         books = pq_train(corpus, id_col, vec_col)
     if centroids is None:
-        cent_rows = (
-            corpus.filter(F.col(id_col) < n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy("cid")
-            .collect()
-        )
-        cent_rows = [(r["cid"], list(r["cvec"])) for r in cent_rows]
-    else:
-        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+        centroids = train_kmeans(corpus, id_col, vec_col, k=n_centroids, iterations=1)
+    cent_rows = sorted((int(c), list(v)) for c, v in centroids)
     codes, xsq = _pq_code_exprs(books)
     enc = (
         _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1)
@@ -878,6 +949,10 @@ def ivfpq_residual_ann_topk(
     cid); training adds one pass to materialize residuals. Residual
     training means the codebooks are NOT shared with pq_topk — the trade
     the FAISS design makes for quality.
+
+    Coarse quantizer default: TRAINED one-round k-means (same rationale
+    and determinism as ivfpq_ann_topk) — eager at call time; pass
+    ``centroids=`` to reuse a cached quantizer.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -885,15 +960,8 @@ def ivfpq_residual_ann_topk(
     from dawis_spark.functions import vectors as V
 
     if centroids is None:
-        cent_rows = (
-            corpus.filter(F.col(id_col) < n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy("cid")
-            .collect()
-        )
-        cent_rows = [(r["cid"], list(r["cvec"])) for r in cent_rows]
-    else:
-        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+        centroids = train_kmeans(corpus, id_col, vec_col, k=n_centroids, iterations=1)
+    cent_rows = sorted((int(c), list(v)) for c, v in centroids)
     cent_lit, cid_lit = _cent_literals(cent_rows)
     posci = f"cast(array_position({cid_lit}, cid) as int)"
     my_cent = f"element_at({cent_lit}, {posci})"

@@ -972,37 +972,41 @@ def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _kmeans_c1_ctes(k: int, dim: int) -> str:
+def _kmeans_c1_ctes(k: int, dim: int, prefix: str = "") -> str:
     """CTE chain replaying train_kmeans(iterations=1): init = k lowest-id
     vectors (components rounded 6), one assign/update round, empty
-    clusters keep their centroid. Ends with ``c1(cid, cvec)``.
+    clusters keep their centroid. Ends with ``{prefix}c1(cid, cvec)``.
+
+    ``prefix`` namespaces every CTE so the chain composes into oracles
+    that define their own v/init/a1/upd (the PQ family).
 
     NB: alias names must avoid 'i' — the duck fragment binds a lambda
     variable i in list_transform(range(...)) and a table alias i would
     shadow it inside the correlated subquery."""
+    p = prefix
     cos_init = _VEC.cosine_null("v.vec", "ini.cvec", "duck")
     return f"""
-init AS (
+{p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
   FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
-v AS (SELECT vec_id, embedding AS vec FROM embeddings),
-a1 AS (
+{p}v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+{p}a1 AS (
   SELECT v.vec_id, v.vec,
-    (SELECT ini.cid FROM init ini
+    (SELECT ini.cid FROM {p}init ini
      ORDER BY coalesce(round({cos_init}, 6), -2.0) DESC, ini.cid LIMIT 1) AS cid
-  FROM v
+  FROM {p}v v
 ),
-upd AS (
+{p}upd AS (
   SELECT cid, r.pos AS pos, round(avg(CAST(vec[r.pos] AS DOUBLE)), 6) AS m
-  FROM a1, range(1, {dim + 1}) r(pos)
+  FROM {p}a1, range(1, {dim + 1}) r(pos)
   GROUP BY cid, r.pos
 ),
-c1a AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM upd GROUP BY cid),
-c1 AS (
+{p}c1a AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM {p}upd GROUP BY cid),
+{p}c1 AS (
   SELECT ini.cid, COALESCE(c1a.cvec, ini.cvec) AS cvec
-  FROM init ini LEFT JOIN c1a USING (cid)
+  FROM {p}init ini LEFT JOIN {p}c1a c1a USING (cid)
 )"""
 
 
@@ -3412,8 +3416,12 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(
-    k: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int, ds: int, ks: int
+    k: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int, ds: int, ks: int,
+    dim: int,
 ) -> str:
+    """IVFPQ replay with the TRAINED coarse quantizer: the ``cent`` CTE is
+    the one-round-k-means chain (km_ prefix), mirroring the library's
+    trained-by-default quantizer."""
     cos_vc = _VEC.cosine("vec", "cvec", "duck")
     nsq_cv = _VEC.norm_sq("cb.cv", "duck")
     dot_qc = _VEC.dot("q.sv", "cb.cv", "duck")
@@ -3421,7 +3429,8 @@ def _ivfpq_oracle(
     fold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (s, acc_v) -> s + acc_v)"
     return f"""
 WITH {_pq_ctes(n_sub, ds, ks)},
-cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cent}),
+{_kmeans_c1_ctes(n_cent, dim, "km_")},
+cent AS (SELECT cid, cvec FROM km_c1),
 corpus_aff AS (
   SELECT vec_id AS neighbor_id, cid, ROUND({cos_vc}, 6) AS aff FROM v, cent
 ),
@@ -3482,13 +3491,14 @@ ORDER BY query_id, rank
 
 
 def _ivfadc_oracle(
-    k: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int, ds: int, ks: int
+    k: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int, ds: int, ks: int,
+    dim: int,
 ) -> str:
-    """Full residual-IVFPQ (IVFADC) replay: coarse assignment, residual
-    computation, PQ training on NON-centroid residuals (a centroid's own
-    residual is zero — the degenerate-init guard mirrored from
-    ivfpq_residual_ann_topk), encoding, and decomposed-norm ADC scoring,
-    all in one DuckDB SQL."""
+    """Full residual-IVFPQ (IVFADC) replay with the TRAINED coarse
+    quantizer (km_ k-means chain, mirroring the library default): coarse
+    assignment, residual computation, PQ training excluding the cid label
+    set (the degenerate-init guard mirrored from ivfpq_residual_ann_topk),
+    encoding, and decomposed-norm ADC scoring, all in one DuckDB SQL."""
     cos_vc = _VEC.cosine("vec", "cvec", "duck")
     l2_init = _VEC.l2_sq("s.sv", "ini.cv", "duck")
     l2_enc = _VEC.l2_sq("s.sv", "cb.cv", "duck")
@@ -3501,7 +3511,8 @@ def _ivfadc_oracle(
     fold = "list_reduce(list_prepend(CAST(0 AS DOUBLE), {}), (s, acc_v) -> s + acc_v)"
     return f"""
 WITH v AS (SELECT vec_id, embedding AS vec FROM embeddings),
-cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cent}),
+{_kmeans_c1_ctes(n_cent, dim, "km_")},
+cent AS (SELECT cid, cvec FROM km_c1),
 corpus_aff AS (
   SELECT vec_id AS id, cid, ROUND({cos_vc}, 6) AS aff FROM v, cent
 ),
@@ -3628,16 +3639,18 @@ ORDER BY query_id, rank
 """
 
 
-@query("embedding_ann_ivfadc", oracle=_ivfadc_oracle(5, 10, 16, 4, 4, 16, 16))
+@query("embedding_ann_ivfadc", oracle=_ivfadc_oracle(5, 10, 16, 4, 4, 16, 16, 64))
 def embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVFPQ — the canonical FAISS IVFADC: PQ codebooks trained
     on (x - coarse centroid) residuals, candidates from 4 probed coarse
     buckets, scoring from the exact decomposition <q,x^> = <q,c> +
     <q,r^> and |x^|^2 = |c|^2 + 2<c,r^> + |r^|^2 — per corpus row the
     non-code terms are driver-built literal lookups, so the scan still
-    reads only (id, codes). The oracle replays coarse assignment,
-    residual training (non-centroid rows — a centroid's own residual is
-    zero), encoding and decomposed scoring in one SQL."""
+    reads only (id, codes). The coarse quantizer is the library default:
+    TRAINED one-round k-means (untrained first-C gives lopsided buckets
+    on skewed embeddings). The oracle replays k-means training, coarse
+    assignment, residual training, encoding and decomposed scoring in
+    one SQL."""
     from dawis_spark.operators.similarity import ivfpq_residual_ann_topk
 
     emb = spark.table("embeddings")
@@ -3654,7 +3667,7 @@ def embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@query("embedding_ann_ivfpq", oracle=_ivfpq_oracle(5, 10, 16, 4, 4, 16, 16))
+@query("embedding_ann_ivfpq", oracle=_ivfpq_oracle(5, 10, 16, 4, 4, 16, 16, 64))
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFPQ shape, non-residual): the
     coarse quantizer prunes candidates to 4 probed buckets, PQ asymmetric
@@ -3662,8 +3675,9 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE embedding-search plan: n_probe/C of the corpus scanned, and what
     is scanned is codes, never raw vectors. Encode + coarse assignment
     happen in one map-side scan with no shuffle; the only exchanges carry
-    id/score triples. Oracle replays coarse probing AND PQ train/encode/
-    scoring in one SQL."""
+    id/score triples. The coarse quantizer is the library default:
+    TRAINED one-round k-means. Oracle replays k-means, coarse probing
+    AND PQ train/encode/scoring in one SQL."""
     from dawis_spark.operators.similarity import ivfpq_ann_topk, pq_train
 
     emb = spark.table("embeddings")
@@ -3714,6 +3728,66 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk(
         corpus=emb, queries=queries_df, id_col="vec_id",
         vec_col="embedding", k=5, books=books,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_ivfadc_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    approx = _ivfadc_oracle(k, 10, 16, 4, 4, 16, 16, 64).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS (SELECT * FROM ({approx}))
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_ivfadc", oracle=_ann_recall_ivfadc_oracle(5))
+def ann_recall_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the full production ANN pipeline (trained-quantizer
+    residual IVFPQ) against exact brute force, per query — the self-eval
+    that proves the composed default (k-means coarse quantizer + residual
+    codes + 4-probe search) holds quality, completing the recall set
+    (LSH, multiprobe, PQ, IVFADC). Both sides reuse the production
+    operators; the comparison join is top-k-sized."""
+    from dawis_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_ann_topk,
+    )
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = ivfpq_residual_ann_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5, n_centroids=16, n_probe=4,
+        n_subspaces=4, n_codes=16,
     ).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
