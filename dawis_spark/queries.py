@@ -3881,58 +3881,59 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recently-driver-checked ones. Everything stays oracle-checked either way.
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round — must be driver-checked
-    "duplicate_detection",
-    "duplicate_detection_parity",
-    "duplicate_groups_hot_key",
-    "embedding_pq_codes",
+    "embedding_pq_codes",      # r5's only red row, reshaped to scalar rows
+    "embedding_ann_ivfpq",     # retrained coarse quantizer default
+    "embedding_ann_ivfadc",    # retrained coarse quantizer default
+    "ann_recall_ivfadc",       # new self-eval
+    "kmeans_clusters",         # quantizer the retrained family composes
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_trained",
+    # not driver-checked in round 5 (verified locally then)
+    "comparison_checks",
+    "alerts_per_line",
+    "prev_period_day",
+    "latest_event_per_user",
+    "change_detection",
+    "customers_without_orders",
+    "top_parts_per_brand",
+    "union_dedup",
+    "set_except",
+    "sql_params_date_days_ago",
+    "column_mapping_nested",
+    "sessionization",
+    "tumbling_window_agg",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "embedding_topk",
+    "embedding_ann_lsh",
+    "embedding_ann_lsh_multiprobe",
+    "language_id",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "rollup_acctbal",
+    "pivot_event_counts",
+    "percentiles_by_type",
+    "cumulative_user_value",
+    "above_brand_avg_price",
+    "distinct_users_by_type",
+    "customer_order_distribution",
+    "q7_nation_trade",
+    "q12_priority_buckets",
+    "q14_category_share",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
+    "sliding_window_agg",
+    "psi_metric_extraction",
+    # rotating tail from the round-5 driver-checked set (PQ/LSH
+    # neighbors of this round's changes)
     "embedding_ann_pq",
-    "embedding_ann_ivfpq",
-    "embedding_ann_ivfadc",
     "ann_recall_pq",
-    "ngram_jaccard_topk",
     "embedding_near_dups",
-    "session_window_agg",
-    # not driver-checked in round 4 (verified locally then)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q21_sole_blame_supplier",
-    "events_following_1h",
-    "vocab_top_tokens",
-    "doc_packing_shards",
-    "benchmark_contamination",
-    "dataset_split",
-    "stratified_sample_docs",
-    "duplicate_clusters",
-    "dedup_keep_canonical",
-    "repetition_signals",
-    "c4_line_quality",
-    "tfidf_top_terms",
-    "bm25_search",
-    "pii_redaction",
-    "asof_last_click",
-    "hypertable_rollup",
-    "incremental_rollup_2ticks",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_relationship",
-    "q20_excess_shippers",
-    "ann_recall_lsh",
-    "salted_skew_join",
-    "ann_recall_lsh_multiprobe",
-    "chunk_documents",
-    "corpus_filter_pipeline",
-    "source_quality_rollup",
-    # rotating tail from the round-4 driver-checked set
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "match_enrichment",
 ]
 
 
