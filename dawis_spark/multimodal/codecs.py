@@ -1,9 +1,11 @@
 """Pure-stdlib media codecs — the real decode step for formats that need
-no external libraries: PCM WAV (``wave``), PPM (P6/P3), and uncompressed
-24-bit BMP.
+no external libraries: PCM WAV (``wave``), PPM (P6/P3), uncompressed
+24-bit BMP, and non-interlaced 8-bit PNG (``zlib`` inflate + scanline
+unfiltering — the deflate stream is the only "codec library" PNG needs,
+and it ships in the stdlib).
 
 This closes the "codecs stubbed" gap as far as the container allows:
-compressed formats (PNG/JPEG/MP3/MP4) genuinely need codec libraries and
+transform-coded formats (JPEG/MP3/MP4) genuinely need codec libraries and
 stay behind the injectable ``decode_fn`` / NotImplementedError stub, but
 the mapInPandas pipeline is now demonstrable END-TO-END on real bytes —
 parse, per-row error isolation, feature extraction — with no fakes.
@@ -155,7 +157,134 @@ def decode_bmp(payload: bytes) -> list[float]:
     ]
 
 
-_DECODERS = {"wav": decode_wav, "ppm": decode_ppm, "bmp": decode_bmp}
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> list[bytearray]:
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over the inflated IDAT stream."""
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    pos = 0
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    for _ in range(h):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type: {ft}")
+        rows.append(row)
+        prev = row
+    return rows
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """PNG -> [width, height, mean_r, mean_g, mean_b].
+
+    Non-interlaced, 8-bit-per-sample PNGs of every color type (gray,
+    RGB, palette, gray+alpha, RGBA): chunk walk, zlib inflate of the
+    concatenated IDAT stream, scanline unfiltering, per-channel means.
+    Grayscale reports the gray mean on all three channels; alpha is
+    parsed but not premultiplied (means are over raw samples, matching
+    the other image codecs). Interlaced/16-bit files raise ValueError."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, b"", bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing PNG IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth: {depth}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type: {color_type}")
+    if color_type == 3 and not plte:
+        raise ValueError("palette PNG without PLTE")
+    n_px = w * h
+    if n_px == 0:
+        return [float(w), float(h), 0.0, 0.0, 0.0]
+    rows = _png_unfilter(zlib.decompress(bytes(idat)), h, w * channels, channels)
+    sums = [0, 0, 0]
+    for row in rows:
+        if color_type == 2:  # RGB
+            sums[0] += sum(row[0::3])
+            sums[1] += sum(row[1::3])
+            sums[2] += sum(row[2::3])
+        elif color_type == 6:  # RGBA
+            sums[0] += sum(row[0::4])
+            sums[1] += sum(row[1::4])
+            sums[2] += sum(row[2::4])
+        elif color_type == 3:  # palette indices
+            for idx in row:
+                base = 3 * idx
+                if base + 3 > len(plte):
+                    raise ValueError(f"palette index {idx} out of range")
+                sums[0] += plte[base]
+                sums[1] += plte[base + 1]
+                sums[2] += plte[base + 2]
+        else:  # gray / gray+alpha: channel 0 is the gray sample
+            g = sum(row[0::channels])
+            sums[0] += g
+            sums[1] += g
+            sums[2] += g
+    return [float(w), float(h)] + [s / n_px for s in sums]
+
+
+_DECODERS = {
+    "wav": decode_wav,
+    "ppm": decode_ppm,
+    "bmp": decode_bmp,
+    "png": decode_png,
+}
 
 
 def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
@@ -167,7 +296,7 @@ def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
     if fn is None:
         raise NotImplementedError(
             f"format {fmt!r} needs codec libraries not present here; "
-            "stdlib codecs cover wav/ppm/bmp"
+            "stdlib codecs cover wav/ppm/bmp/png"
         )
     return fn(payload)
 
@@ -188,6 +317,70 @@ def encode_wav(samples: list[int], sample_rate: int = 8000, width: int = 2) -> b
 def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     header = f"P6\n{width} {height}\n255\n".encode()
     return header + bytes(rgb) * (width * height)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    pixels: bytes | None = None,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal RGB (color type 2) PNG writer. ``pixels`` is flat RGB
+    bytes (w*h*3); ``filters`` picks the per-row filter type (default all
+    0) so tests can exercise every unfilter branch — the filter pass here
+    is the exact inverse of ``_png_unfilter``."""
+    import binascii
+    import zlib
+
+    if pixels is None:
+        pixels = bytes(rgb or (0, 0, 0)) * (width * height)
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be w*h*3 RGB bytes")
+    stride, bpp = width * 3, 3
+    filters = filters or [0] * height
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row = bytearray(pixels[y * stride : (y + 1) * stride])
+        ft = filters[y % len(filters)]
+        filtered = bytearray(row)
+        if ft == 1:
+            for x in range(bpp, stride):
+                filtered[x] = (row[x] - row[x - bpp]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                filtered[x] = (row[x] - prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                filtered[x] = (row[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                filtered[x] = (row[x] - _paeth(left, prev[x], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type: {ft}")
+        out.append(ft)
+        out += filtered
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:

@@ -77,7 +77,7 @@ def test_stdlib_decode_dispatch_and_unknown_format():
         9.0,
     ]
     with pytest.raises(NotImplementedError):
-        stdlib_decode(b"\x89PNG", {"format": "png"})
+        stdlib_decode(b"\xff\xd8\xff", {"format": "jpeg"})
     with pytest.raises(NotImplementedError):
         stdlib_decode(b"", {})
 
@@ -121,3 +121,84 @@ def test_ppm_bmp_mean_matches_direct_computation():
     assert abs(r - sum(p[0] for p in px) / n) < 1e-9
     assert abs(g - sum(p[1] for p in px) / n) < 1e-9
     assert abs(b - sum(p[2] for p in px) / n) < 1e-9
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import binascii
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_file(w, h, depth, color_type, raw, plte=b"", interlace=0):
+    import zlib
+
+    from dawis_spark.multimodal.codecs import _PNG_MAGIC
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    body = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    return body + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_every_filter_type():
+    """A deterministic RGB gradient encoded with each scanline filter
+    (None/Sub/Up/Average/Paeth) decodes to the exact per-channel means of
+    the source pixels — pins the unfilter pass, not just the happy path."""
+    from dawis_spark.multimodal.codecs import decode_png, encode_png
+
+    w, h = 8, 5
+    px = bytes(
+        (x * 37 + y * 11 + c * 71) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    n = w * h
+    want = [
+        sum(px[i] for i in range(c, len(px), 3)) / n for c in range(3)
+    ]
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        got = decode_png(encode_png(w, h, pixels=px, filters=filters))
+        assert got[0] == float(w) and got[1] == float(h)
+        for c in range(3):
+            assert abs(got[2 + c] - want[c]) < 1e-9, filters
+
+
+def test_png_gray_rgba_palette_color_types():
+    from dawis_spark.multimodal.codecs import decode_png
+
+    # gray (color type 0), 2x1: samples 10, 30 -> mean 20 on all channels
+    gray = _png_file(2, 1, 8, 0, bytes([0, 10, 30]))
+    assert decode_png(gray) == [2.0, 1.0, 20.0, 20.0, 20.0]
+    # gray+alpha (4): alpha ignored in means
+    ga = _png_file(2, 1, 8, 4, bytes([0, 10, 255, 30, 0]))
+    assert decode_png(ga) == [2.0, 1.0, 20.0, 20.0, 20.0]
+    # RGBA (6)
+    rgba = _png_file(1, 2, 8, 6, bytes([0, 1, 2, 3, 255, 0, 5, 6, 7, 0]))
+    assert decode_png(rgba) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    # palette (3): two entries, both pixels hit entry 1
+    plte = bytes([0, 0, 0, 9, 8, 7])
+    pal = _png_file(2, 1, 8, 3, bytes([0, 1, 1]), plte=plte)
+    assert decode_png(pal) == [2.0, 1.0, 9.0, 8.0, 7.0]
+
+
+def test_png_unsupported_and_corrupt_raise():
+    from dawis_spark.multimodal.codecs import decode_png, encode_png
+
+    good = encode_png(2, 2, (1, 2, 3))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + good[4:])
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_png_file(1, 1, 8, 2, bytes(4), interlace=1))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_png_file(1, 1, 16, 2, bytes(7)))
+    with pytest.raises(ValueError, match="truncated PNG pixel"):
+        decode_png(_png_file(4, 4, 8, 2, bytes(5)))  # too few scanlines
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_file(1, 1, 8, 3, bytes([0, 5]), plte=bytes(3)))

@@ -146,26 +146,32 @@ def test_foreach_batch_streaming_rollup_maintenance(spark, tmp_path):
 
 def _media(spark):
     rows = [
-        (1, {"media_type": "image", "format": "png", "width": 2, "height": 2,
+        (1, {"media_type": "image", "format": "jpeg", "width": 2, "height": 2,
              "duration_ms": None, "sample_rate": None}, bytearray(b"\x01\x02")),
-        (2, {"media_type": "image", "format": "png", "width": 1, "height": 1,
+        (2, {"media_type": "image", "format": "jpeg", "width": 1, "height": 1,
              "duration_ms": None, "sample_rate": None}, bytearray(b"\xff")),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def test_multimodal_decode_stub_raises_per_row(spark):
-    # png is compressed -> no stdlib codec; error lands per-row, not task-wide
+    # jpeg is transform-coded -> no stdlib codec; error lands per-row,
+    # not task-wide
     out = extract_features(_media(spark)).collect()
     assert all(r["feature"] is None for r in out)
     assert all("codec libraries" in r["decode_error"] for r in out)
 
 
 def test_multimodal_stdlib_codecs_end_to_end(spark):
-    """Real decode, no fakes: WAV/PPM/BMP payloads synthesized and decoded
-    through the default mapInPandas path; the unsupported format in the
-    same batch errors per-row."""
-    from dawis_spark.multimodal.codecs import encode_bmp, encode_ppm, encode_wav
+    """Real decode, no fakes: WAV/PPM/BMP/PNG payloads synthesized and
+    decoded through the default mapInPandas path; the unsupported format
+    in the same batch errors per-row."""
+    from dawis_spark.multimodal.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
 
     def meta(mt, fmt, **kw):
         base = {"media_type": mt, "format": fmt, "width": None, "height": None,
@@ -180,7 +186,9 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
          bytearray(encode_ppm(4, 2, (255, 0, 0)))),
         (3, meta("image", "bmp", width=3, height=3),
          bytearray(encode_bmp(3, 3, (0, 128, 255)))),
-        (4, meta("image", "png"), bytearray(b"\x89PNG")),
+        (4, meta("image", "jpeg"), bytearray(b"\xff\xd8\xff")),
+        (5, meta("image", "png", width=2, height=2),
+         bytearray(encode_png(2, 2, (12, 34, 56), filters=[0, 4]))),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in extract_features(df).collect()}
@@ -190,6 +198,7 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
     assert got[2]["feature"] == [4.0, 2.0, 255.0, 0.0, 0.0]
     assert got[3]["feature"] == [3.0, 3.0, 0.0, 128.0, 255.0]
     assert got[4]["feature"] is None and "codec libraries" in got[4]["decode_error"]
+    assert got[5]["feature"] == [2.0, 2.0, 12.0, 34.0, 56.0]
 
 
 def test_multimodal_fake_decoder_plumbs_batches(spark):
