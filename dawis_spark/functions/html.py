@@ -482,17 +482,30 @@ def html_xpath(body: str, query: str) -> list:
 
     Element results serialize as the reference does (xpath.py:286-300):
     concatenated child-element markup, else the element's own text.
-    Deviations documented: child serialization is compact (ET.tostring)
-    rather than lxml pretty_print, so inter-tag whitespace differs; union
-    results concatenate per-branch in branch order rather than global
-    document order.
+    Union results follow lxml node-set semantics: merged across branches,
+    DEDUPLICATED (``a | a`` yields each node once), and emitted in global
+    document order. Remaining documented deviation (pinned by fixture
+    test): child serialization is compact (ET.tostring) where lxml uses
+    pretty_print, so inter-tag whitespace/trailing newlines differ.
     """
     builder = _TreeBuilder()
     builder.feed(body or "")
-    out: list = []
-    for branch in _split_union(query):
-        out.extend(_eval_branch(builder.root, branch))
-    return out
+    branches = _split_union(query)
+    if len(branches) == 1:
+        return [value for _, value in _eval_branch(builder.root, branches[0])]
+    # lxml unions are node-SET unions: dedup identical nodes across
+    # branches and sort the merged set by document position
+    doc_order = {id(el): i for i, el in enumerate(builder.root.iter())}
+    seen: set = set()
+    merged: list = []
+    for branch in branches:
+        for key, value in _eval_branch(builder.root, branch):
+            if key in seen:
+                continue
+            seen.add(key)
+            merged.append((key, value))
+    merged.sort(key=lambda kv: doc_order.get(kv[0][1], 1 << 60))
+    return [value for _, value in merged]
 
 
 _ATTR_AXIS_TAIL = re.compile(r"/attribute::([\w:.-]+)$")
@@ -517,15 +530,17 @@ def _eval_branch(root, query: str) -> list:
         want_text = True
         query = query[: -len("/text()")]
     out: list = []
+    # results are keyed (node_kind, element_id, qualifier) so the union
+    # merge can dedup node-identically and sort by document position
     for el in _eval_steps(root, _tokenize_steps(query)):
         if attr is not None:
             value = el.get(attr)
             if value is not None:
-                out.append(value)
+                out.append((("attr", id(el), attr), value))
             continue
         if want_text:
             if el.text is not None and not el.text.isspace():
-                out.append(el.text)
+                out.append((("text", id(el), None), el.text))
             continue
         children = list(el)
         content = "".join(
@@ -533,7 +548,7 @@ def _eval_branch(root, query: str) -> list:
         )
         if content == "" and isinstance(el.text, str) and not el.text.isspace():
             content = el.text
-        out.append(content)
+        out.append((("element", id(el), None), content))
     return out
 
 

@@ -381,10 +381,14 @@ def test_html_xpath_named_axes_union_position():
         ("//div/child::b/text()", ["second"]),
         ("/descendant::c/text()", ["third"]),
         ("//div/descendant-or-self::div/a/text()", ["first"]),
-        # union (per-branch order, documented deviation from lxml)
+        # union: lxml node-set semantics — document order, deduplicated
         ("//a/text() | //c/text()", ["first", "third"]),
-        ("//c | //a", ["third", "first"]),
+        ("//c | //a", ["first", "third"]),  # doc order, not branch order
+        ("//c/text() | //a/text()", ["first", "third"]),
+        ("//a | //a", ["first"]),  # set union: same node once
         ("//a | //nope", ["first"]),
+        ("//b/text() | //div/a/text() | //c/text()",
+         ["first", "second", "third"]),
         # position() comparisons within the parent group
         ("//div/*[position()>1]/text()", ["second", "third"]),
         ("//div/*[position()<=2]/text()", ["first", "second"]),
@@ -456,3 +460,23 @@ def test_xpath_extract_then_operate_end_to_end(spark):
         (r["element"]["content"], r["element"]["result"]) for r in out.collect()
     )
     assert results == [("alpha", "5"), ("longer-headline", "15")]
+
+
+def test_html_xpath_serialization_whitespace_deviation_pinned():
+    """Accepted deviation vs the reference's lxml serialization
+    (reference xpath.py:286-300), pinned so any drift is deliberate:
+    element results concatenate each child's COMPACT markup
+    (ET.tostring), where lxml with pretty_print=True appends a trailing
+    newline per child and indents nested element-only content. Text
+    extraction and attribute values are identical in both engines; only
+    inter-tag whitespace in serialized element content differs."""
+    from dawis_spark.functions.html import html_xpath
+
+    h = "<div><ul><li>a</li><li>b</li></ul><p>tail</p></div>"
+    # ours: compact, no trailing newline; lxml pretty_print would yield
+    # "<ul>\n  <li>a</li>\n  <li>b</li>\n</ul>\n<p>tail</p>\n"
+    assert html_xpath(h, "//div") == ["<ul><li>a</li><li>b</li></ul><p>tail</p>"]
+    # leaf-element results (text fallback) carry no serialization at all,
+    # so they are whitespace-identical to lxml
+    assert html_xpath(h, "//li") == ["a", "b"]
+    assert html_xpath(h, "//p") == ["tail"]
