@@ -442,12 +442,14 @@ def ivf_ann_topk(
     probe the ``n_probe`` nearest centroids' buckets only.
 
     EAGER at construction time unless ``centroids`` is supplied: the coarse
-    quantizer (first ``n_centroids`` corpus vectors by id) is ``collect()``ed
-    when this function is CALLED — that triggers a Spark job re-executing
-    the corpus lineage, and snapshots the centroids (later corpus changes
-    do not move them). Callers that already hold the centroid list (trained
-    k-means, cached quantizer) pass ``centroids=[(cid, vector), ...]`` and
-    the function stays fully lazy.
+    quantizer is TRAINED when this function is CALLED (one k-means round
+    via ``train_kmeans`` — deterministic init + 6-digit rounding, so an
+    oracle can replay it; an untrained first-C quantizer gives lopsided
+    buckets on skewed embeddings). Training runs Spark jobs over the
+    corpus and snapshots the centroids (later corpus changes do not move
+    them). Callers that already hold the centroid list (cached quantizer)
+    pass ``centroids=[(cid, vector), ...]`` and the function stays fully
+    lazy.
 
     Plan shape at scale: the centroid set is config-sized (driver-resident,
     embedded as a literal double array — the IVF coarse quantizer is always
@@ -466,17 +468,8 @@ def ivf_ann_topk(
     from dawis_spark.functions import vectors as V
 
     if centroids is None:
-        # Deterministic first-C vectors, sorted by id so the literal array
-        # index order equals cid order (ties broke by cid asc).
-        cent_rows = (
-            corpus.filter(F.col(id_col) < n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy("cid")
-            .collect()
-        )
-        cent_rows = [(r["cid"], list(r["cvec"])) for r in cent_rows]
-    else:
-        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+        centroids = train_kmeans(corpus, id_col, vec_col, k=n_centroids, iterations=1)
+    cent_rows = sorted((int(c), list(v)) for c, v in centroids)
     if not cent_rows:
         # No quantizer -> no buckets -> empty result (typed like the output)
         spark = corpus.sparkSession
@@ -560,6 +553,8 @@ def train_kmeans(
         (cid, [round(float(x), 6) for x in row["vec"]])
         for cid, row in enumerate(init)
     ]
+    if not cents:
+        return []  # empty corpus -> no quantizer (callers emit empty)
     for _ in range(iterations):
         assigned = kmeans_assign(corpus, id_col, vec_col, cents)
         new_rows = (

@@ -1322,70 +1322,6 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(k: int, n_queries: int, n_centroids: int, n_probe: int) -> str:
-    cos_vc = _VEC.cosine("vec", "cvec", "duck")
-    cos_qc = _VEC.cosine("q_vec", "c_vec", "duck")
-    return f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}),
-corpus0 AS (SELECT vec_id, embedding AS vec FROM embeddings),
-corpus_aff AS (
-  SELECT vec_id AS neighbor_id, vec, cid, ROUND({cos_vc}, 6) AS aff
-  FROM corpus0, cent
-),
-corpus_b AS (
-  SELECT neighbor_id, vec AS c_vec, cid FROM (
-    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY aff DESC, cid) AS r
-    FROM corpus_aff
-  ) WHERE r <= 1
-),
-q_aff AS (
-  SELECT vec_id AS query_id, vec, cid, ROUND({cos_vc}, 6) AS aff
-  FROM (SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id < {n_queries}) q, cent
-),
-q_b AS (
-  SELECT query_id, vec AS q_vec, cid FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, cid) AS r
-    FROM q_aff
-  ) WHERE r <= {n_probe}
-),
-scored AS (
-  SELECT DISTINCT query_id, neighbor_id, ROUND({cos_qc}, 6) AS cosine
-  FROM q_b JOIN corpus_b USING (cid)
-  WHERE query_id != neighbor_id
-)
-SELECT query_id, neighbor_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-) WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
-
-
-@query("embedding_ann_ivf", oracle=_ivf_oracle(5, 10, 16, 4))
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (inverted-file coarse quantizer): corpus bucketed
-    by nearest centroid map-side; each query probes its 4 nearest
-    centroids' buckets only.
-
-    Scale path vs brute force: the corpus never shuffles by vector —
-    assignment is a broadcast argmin over C centroids, search is an
-    equi-join on centroid id, cost ~ n_probe/C of exact. Deterministic
-    centroids (first 16 vectors) keep it oracle-checkable; swap in k-means
-    centroids for quality without changing the plan."""
-    from dawis_spark.operators.similarity import ivf_ann_topk
-
-    emb = spark.table("embeddings")
-    return ivf_ann_topk(
-        corpus=emb,
-        queries=emb.filter(F.col("vec_id") < 10),
-        id_col="vec_id",
-        vec_col="embedding",
-        k=5,
-        n_centroids=16,
-        n_probe=4,
-    ).orderBy("query_id", "rank")
-
-
 def _ivf_trained_oracle(k: int, n_queries: int, kc: int, n_probe: int, dim: int) -> str:
     # the IVF probe chain of _ivf_oracle with `cent` replaced by the
     # k-means-trained c1 centroids (rounded per round, so both engines
@@ -1428,6 +1364,31 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+@query("embedding_ann_ivf", oracle=_ivf_trained_oracle(5, 10, 16, 4, 64))
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (inverted-file coarse quantizer): corpus bucketed
+    by nearest centroid map-side; each query probes its 4 nearest
+    centroids' buckets only.
+
+    Scale path vs brute force: the corpus never shuffles by vector —
+    assignment is a broadcast argmin over C centroids, search is an
+    equi-join on centroid id, cost ~ n_probe/C of exact. The coarse
+    quantizer is the library default: TRAINED one-round k-means (k=16),
+    deterministic so the oracle replays training and search in one SQL."""
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.table("embeddings")
+    return ivf_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    ).orderBy("query_id", "rank")
 
 
 @query("embedding_ann_ivf_trained", oracle=_ivf_trained_oracle(5, 10, 8, 3, 64))
