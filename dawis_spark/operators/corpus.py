@@ -416,3 +416,49 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    mass_col: str,
+    alpha: float = 0.5,
+    total_budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights per source/domain — the
+    sampling-ratio computation LLM pipelines run to rebalance a corpus
+    (w_g proportional to mass_g^alpha; alpha<1 upsamples the tail, the
+    standard multilingual/domain temperature trick).
+
+    Determinism across engines: the per-group mass is an integer SUM
+    (order-independent), and the normalizer Z folds the k group terms in
+    sorted order via aggregate(array_sort(collect_list(...))) — an IEEE
+    sum over doubles is order-dependent, so a plain SUM(pow(mass,alpha))
+    could differ between Spark and the oracle in the last ulp and flip
+    the 6-digit rounding. budget_docs derives from the already-rounded
+    weight (half-up), so it matches wherever weight does.
+
+    Scale shape: one shuffle on group_col carrying (group, partial-sum)
+    pairs; the normalizer is a single-row broadcast (same pattern as
+    the corpus stats sides in tfidf/bm25). Group count is domain-sized
+    (thousands at most), never corpus-sized.
+    """
+    per = df.groupBy(group_col).agg(F.sum(F.col(mass_col)).alias("mass"))
+    z = per.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(pow(mass, "
+            f"{alpha}))), cast(0 as double), (s, v) -> s + v)"
+        ).alias("z")
+    )
+    w = F.round(F.pow("mass", F.lit(alpha)) / F.col("z"), 6)
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.col("mass"),
+            w.alias("weight"),
+            F.floor(w * total_budget + F.lit(0.5))
+            .cast("bigint")
+            .alias("budget_docs"),
+        )
+    )

@@ -1044,3 +1044,57 @@ def ivfpq_residual_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    threshold: float = 0.3,
+    max_block_rows: int | None = 300,
+    iterations: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the trained k-means coarse quantizer, then
+    mark every vector whose cosine to ANY lower-id vector in the same
+    cluster reaches ``threshold`` as a duplicate (pairwise-lower-id
+    semantics — the paper keeps one representative per epsilon-ball;
+    lowest-id is the deterministic stand-in for its random choice).
+
+    Output: (id, cid, keep) for every corpus row; ``keep = false`` rows
+    are the semantic duplicates a pipeline would drop.
+
+    Scale shape: clustering IS the blocking — pairs only form within a
+    cluster, and clusters above ``max_block_rows`` route through
+    block-scoped sign-LSH (embedding_near_dup_pairs), so no cluster ever
+    goes all-pairs unbounded. The k x dim centroid matrix rides the
+    driver (config-sized); vectors never shuffle for assignment (map-side
+    argmax) and pair verification joins vectors by id via shuffle-hash.
+    At 100 TB this is exactly the FAISS-style recipe: coarse-quantize
+    once, dedup within cells.
+    """
+    asg = kmeans_assign(
+        corpus,
+        id_col,
+        vec_col,
+        train_kmeans(corpus, id_col, vec_col, k=k, iterations=iterations),
+    ).select(F.col("id").alias(id_col), "cid")
+    blocked = corpus.select(id_col, vec_col).join(asg, id_col)
+    pairs = embedding_near_dup_pairs(
+        blocked, id_col, vec_col, "cid", threshold, max_block_rows
+    )
+    dups = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        blocked.select(id_col, "cid")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.col("__dup").isNull().alias("keep"),
+        )
+    )

@@ -3831,6 +3831,230 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: data-mixing weights, URL canonicalization dedup,
+# SemDeDup semantic dedup, metadata-filtered ANN
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source
+),
+z AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list_sort(list(pow(mass, 0.5)))),
+           (s, v) -> s + v) AS z
+  FROM per
+)
+SELECT source, mass,
+       ROUND(pow(mass, 0.5) / z.z, 6) AS weight,
+       CAST(floor(ROUND(pow(mass, 0.5) / z.z, 6) * 10000 + 0.5) AS BIGINT)
+         AS budget_docs
+FROM per, z ORDER BY source
+"""
+
+
+@query("source_mixture_weights", oracle=_MIXTURE_ORACLE)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights per source (w proportional
+    to char-mass^0.5, the standard alpha<1 tail-upsampling trick), plus
+    the per-source document budget out of a 10k-doc target.
+
+    Determinism: integer char-mass sums are order-independent, and the
+    normalizer folds the k group terms in SORTED order on both engines
+    (operators/corpus.mixture_weights) — a plain double SUM could differ
+    in the last ulp between Spark and DuckDB and flip the 6-digit round.
+
+    Scale: one shuffle carrying (source, partial-sum); the normalizer is
+    a single-row broadcast. Group count is domain-sized, never
+    corpus-sized."""
+    from dawis_spark.operators.corpus import mixture_weights
+
+    return mixture_weights(
+        spark.table("documents").select("source", "n_chars"),
+        "source",
+        "n_chars",
+        alpha=0.5,
+        total_budget=10_000,
+    ).orderBy("source")
+
+
+# Deterministic URL synthesis (same text in both dialects): scheme-case,
+# www-prefix, trailing-slash, utm-param, param-order, and fragment variants
+# all collapse onto one canonical key, so the dedup has real work to do.
+_SYNTH_URL = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END, "
+    "'Site', CAST(doc_id % 7 AS STRING), '.Example.COM', "
+    "'/page/', CAST(doc_id % 50 AS STRING), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&ref=', CAST(doc_id % 10 AS STRING)) "
+    "     WHEN doc_id % 5 = 1 THEN concat('?ref=', CAST(doc_id % 10 AS STRING), '&utm_campaign=x') "
+    "     ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END)"
+)
+
+
+def _url_canonical_oracle() -> str:
+    from dawis_spark.functions.urls import canonical_url_sql
+
+    return f"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL} AS url FROM documents),
+c AS (SELECT doc_id, {canonical_url_sql('url', 'duck')} AS canonical_url FROM u)
+SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS canonical_doc_id
+FROM c GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+@query("url_canonical_dedup", oracle=_url_canonical_oracle())
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the SEO-flavored page-identity
+    operator the reference's URL model implies (utilities/url.py:4-17;
+    the canonical-tag family is A4): scheme folded to https, host
+    lowercased and de-www'd, fragment dropped, utm_* params stripped,
+    surviving params sorted, trailing slash stripped; then one group per
+    canonical page keeping the lowest doc_id (functions/urls.
+    canonical_url_sql, dual-rendered Spark/DuckDB).
+
+    Scale: canonicalization is pure map-side string/array built-ins (no
+    UDF); the dedup shuffle carries (canonical_url, id) pairs only. A
+    crawl-scale run would hash the canonical key for the exchange the
+    way exact_dedup does."""
+    from dawis_spark.functions.urls import canonical_url_sql
+
+    return (
+        spark.table("documents")
+        .select("doc_id", F.expr(_SYNTH_URL).alias("url"))
+        .select("doc_id", F.expr(canonical_url_sql("url", "spark")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int, dim: int, threshold: float, cap: int, n_planes: int = 4
+) -> str:
+    """Replay of semantic_dedup: the trained-k-means CTE chain assigns
+    every vector to a cluster, then the capped within-cluster routing
+    (exact below ``cap`` rows, block-scoped sign-LSH above) finds
+    cosine >= threshold pairs, and any vector matching a LOWER-id
+    cluster-mate is a duplicate."""
+    from dawis_spark.operators.similarity import lsh_bucket_expr
+
+    cos_final = _VEC.cosine_null("v.vec", "fc.cvec", "duck")
+    dot = _VEC.dot("a.vec", "b.vec", "duck")
+    nsq = _VEC.norm_sq("vec", "duck")
+    bucket = lsh_bucket_expr(n_planes, dim, "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(k, dim)},
+asg AS (
+  SELECT v.vec_id, v.vec,
+    (SELECT fc.cid FROM c1 fc
+     ORDER BY coalesce(round({cos_final}, 6), -2.0) DESC, fc.cid LIMIT 1) AS cid
+  FROM v
+),
+w AS (SELECT vec_id, cid, vec, sqrt({nsq}) AS nrm FROM asg),
+sizes AS (SELECT cid, COUNT(*) AS bn FROM w GROUP BY cid),
+big AS (
+  SELECT w.cid, w.vec_id, w.vec, {bucket} AS bucket
+  FROM w JOIN sizes s ON s.cid = w.cid AND s.bn > {cap}
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM w a
+  JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN sizes s ON s.cid = a.cid AND s.bn <= {cap}
+  UNION ALL
+  SELECT DISTINCT x.cid, x.vec_id AS id_a, y.vec_id AS id_b
+  FROM big x
+  JOIN big y ON x.cid = y.cid AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+dups AS (
+  SELECT DISTINCT p.id_b
+  FROM pairs p
+  JOIN w a ON a.vec_id = p.id_a
+  JOIN w b ON b.vec_id = p.id_b
+  WHERE ROUND({dot} / (a.nrm * b.nrm), 6) >= {threshold}
+)
+SELECT w.vec_id, w.cid, (d.id_b IS NULL) AS keep
+FROM w LEFT JOIN dups d ON w.vec_id = d.id_b
+ORDER BY w.vec_id
+"""
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle(8, 64, 0.3, 300))
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: trained
+    k-means clustering IS the blocking, then any vector with cosine >=
+    0.3 to a lower-id cluster-mate is marked ``keep = false`` (pairwise
+    lowest-id-wins — the deterministic stand-in for the paper's
+    one-representative-per-epsilon-ball choice).
+
+    Scale (operators/similarity.semantic_dedup): centroids ride the
+    driver, assignment is a map-side argmax (vectors never shuffle),
+    clusters above 300 rows route through block-scoped sign-LSH instead
+    of all-pairs, and pair verification joins vectors by id via
+    shuffle-hash. The FAISS-style recipe: coarse-quantize once, dedup
+    within cells — the exact shape this needs at 100 TB."""
+    from dawis_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        spark.table("embeddings"),
+        "vec_id",
+        "embedding",
+        k=8,
+        threshold=0.3,
+        max_block_rows=300,
+        iterations=1,
+    ).orderBy("vec_id")
+
+
+def _filtered_topk_oracle(k: int, n_queries: int, label: int) -> str:
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings WHERE label = {label}),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_filtered_topk", oracle=_filtered_topk_oracle(5, 10, 3))
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (the vector-DB "filtered search" shape):
+    exact cosine top-k restricted to corpus rows with ``label = 3`` —
+    pre-filter strategy, the right call when the predicate is selective.
+
+    Scale: the equality predicate pushes to the parquet scan
+    (PushedFilters), so only matching row-groups are ever read and the
+    brute-force side shrinks by the filter's selectivity BEFORE any
+    compute; queries broadcast as usual. When the filter keeps most of
+    the corpus, switch to ivf_ann_topk over the filtered scan instead —
+    same pushdown, probe-bounded compute."""
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    return brute_force_topk(
+        corpus=emb.filter(F.col("label") == 3),
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
 # The round driver records correctness for only the FIRST 50 registry
@@ -3842,13 +4066,17 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recently-driver-checked ones. Everything stays oracle-checked either way.
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round — must be driver-checked
+    "source_mixture_weights",  # new: data-mixing temperature weights
+    "url_canonical_dedup",     # new: URL canonicalization dedup
+    "semantic_dedup",          # new: SemDeDup over trained k-means cells
+    "embedding_filtered_topk", # new: metadata-filtered ANN
     "embedding_pq_codes",      # r5's only red row, reshaped to scalar rows
     "embedding_ann_ivfpq",     # retrained coarse quantizer default
     "embedding_ann_ivfadc",    # retrained coarse quantizer default
     "ann_recall_ivfadc",       # new self-eval
     "kmeans_clusters",         # quantizer the retrained family composes
-    "embedding_ann_ivf",
-    "embedding_ann_ivf_trained",
+    "embedding_ann_ivf",   # default quantizer retrained (ivf_trained is the
+                           # same code path now — it rotates to the tail)
     # not driver-checked in round 5 (verified locally then)
     "comparison_checks",
     "alerts_per_line",
@@ -3890,11 +4118,6 @@ DRIVER_PRIORITY: list[str] = [
     "weekly_retention_cohorts",
     "sliding_window_agg",
     "psi_metric_extraction",
-    # rotating tail from the round-5 driver-checked set (PQ/LSH
-    # neighbors of this round's changes)
-    "embedding_ann_pq",
-    "ann_recall_pq",
-    "embedding_near_dups",
 ]
 
 
