@@ -2,10 +2,11 @@
 no external libraries: PCM WAV (``wave``), PPM (P6/P3), uncompressed
 24-bit BMP, and non-interlaced 8-bit PNG (``zlib`` inflate + scanline
 unfiltering — the deflate stream is the only "codec library" PNG needs,
-and it ships in the stdlib).
+and it ships in the stdlib). Baseline JPEG lives in ``jpeg.py`` (stdlib
+marker/Huffman parsing + numpy 8x8 IDCT) and dispatches from here.
 
 This closes the "codecs stubbed" gap as far as the container allows:
-transform-coded formats (JPEG/MP3/MP4) genuinely need codec libraries and
+audio/video transform codecs (MP3/MP4) genuinely need codec libraries and
 stay behind the injectable ``decode_fn`` / NotImplementedError stub, but
 the mapInPandas pipeline is now demonstrable END-TO-END on real bytes —
 parse, per-row error isolation, feature extraction — with no fakes.
@@ -279,24 +280,32 @@ def decode_png(payload: bytes) -> list[float]:
     return [float(w), float(h)] + [s / n_px for s in sums]
 
 
+def _decode_jpeg(payload: bytes) -> list[float]:
+    from dawis_spark.multimodal.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 _DECODERS = {
     "wav": decode_wav,
     "ppm": decode_ppm,
     "bmp": decode_bmp,
     "png": decode_png,
+    "jpg": _decode_jpeg,
+    "jpeg": _decode_jpeg,
 }
 
 
 def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
     """Format-dispatching decode_fn for extract_features: real decoding for
-    wav/ppm/bmp, honest NotImplementedError for formats that need codec
-    libraries this container doesn't ship."""
+    wav/ppm/bmp/png/jpeg, honest NotImplementedError for formats that need
+    codec libraries this container doesn't ship (mp3/mp4)."""
     fmt = (meta or {}).get("format") or ""
     fn = _DECODERS.get(fmt.lower())
     if fn is None:
         raise NotImplementedError(
             f"format {fmt!r} needs codec libraries not present here; "
-            "stdlib codecs cover wav/ppm/bmp/png"
+            "stdlib codecs cover wav/ppm/bmp/png/jpg"
         )
     return fn(payload)
 

@@ -96,8 +96,10 @@ def benchmark_contamination(
     """(id, shared_shingles) for corpus docs sharing >= 1 word-k-gram with
     the benchmark set — the train/test leakage check.
 
-    Scale: both sides reduce to (id, shingle-hash) pairs map-side
-    (functions/text.shingle_hashes emits distinct hashes per doc); the
+    Scale: both sides reduce to (id, shingle-hash) pairs map-side — the
+    Arrow-batched numpy evaluator of functions/text.shingle_hashes (the
+    SQL rendering stays the oracle; SQL HOFs evaluate interpreted, one
+    lambda step per token, ~4x slower on whole documents); the
     benchmark hash set deduplicates to its vocabulary of n-grams; the
     collision join is ONE hash join on the 8-byte hash — the documents
     themselves never move. Benchmark sets are usually broadcast-small,
@@ -105,11 +107,11 @@ def benchmark_contamination(
     held-out split cannot OOM executors; AQE downgrades it to broadcast
     when the build side is actually tiny.
     """
-    sh = TXT.shingle_hashes(text_col, shingle_k, "spark")
-    corpus_h = corpus.select(
-        F.col(id_col), F.explode(F.expr(sh)).alias("sh")
-    )
-    bench_h = benchmark.select(F.explode(F.expr(sh)).alias("sh")).distinct()
+    from dawis_spark.operators.dedup import _shingle_hashes_col
+
+    sh_col = _shingle_hashes_col(text_col, shingle_k)
+    corpus_h = corpus.select(F.col(id_col), F.explode(sh_col).alias("sh"))
+    bench_h = benchmark.select(F.explode(sh_col).alias("sh")).distinct()
     return (
         corpus_h.join(bench_h, "sh")
         .groupBy(id_col)

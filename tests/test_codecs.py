@@ -77,7 +77,7 @@ def test_stdlib_decode_dispatch_and_unknown_format():
         9.0,
     ]
     with pytest.raises(NotImplementedError):
-        stdlib_decode(b"\xff\xd8\xff", {"format": "jpeg"})
+        stdlib_decode(b"\xff\xfb\x90", {"format": "mp3"})
     with pytest.raises(NotImplementedError):
         stdlib_decode(b"", {})
 
@@ -202,3 +202,49 @@ def test_png_unsupported_and_corrupt_raise():
         decode_png(_png_file(4, 4, 8, 2, bytes(5)))  # too few scanlines
     with pytest.raises(ValueError, match="palette index"):
         decode_png(_png_file(1, 1, 8, 3, bytes([0, 5]), plte=bytes(3)))
+
+
+def test_jpeg_roundtrip_solid_and_gradient():
+    import numpy as np
+
+    from dawis_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    px = bytes([200, 100, 50]) * (16 * 16)
+    for sub in ((1, 1), (2, 2)):
+        w, h, r, g, b = decode_jpeg(encode_jpeg(16, 16, px, subsample=sub))
+        assert (w, h) == (16.0, 16.0)
+        # lossy: quantization moves solid colors by a couple of levels
+        assert abs(r - 200) < 3 and abs(g - 100) < 3 and abs(b - 50) < 3
+
+    # gradient with non-multiple-of-8 dims exercises MCU padding + crop
+    iw, ih = 21, 13
+    arr = np.zeros((ih, iw, 3), dtype=np.uint8)
+    for y in range(ih):
+        for x in range(iw):
+            arr[y, x] = (x * 12 % 256, y * 19 % 256, (x + y) * 7 % 256)
+    out = decode_jpeg(encode_jpeg(iw, ih, arr.tobytes(), subsample=(2, 2)))
+    assert out[:2] == [float(iw), float(ih)]
+    true = [arr[..., c].mean() for c in range(3)]
+    for got, want in zip(out[2:], true):
+        assert abs(got - want) < 4  # 4:2:0 box filter + quantization
+
+
+def test_jpeg_dispatch_and_unsupported_raise():
+    import pytest as _pytest
+
+    from dawis_spark.multimodal.codecs import stdlib_decode
+    from dawis_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    j = encode_jpeg(8, 8, bytes([10, 20, 30]) * 64)
+    assert stdlib_decode(j, {"format": "jpg"})[:2] == [8.0, 8.0]
+    assert stdlib_decode(j, {"format": "JPEG"})[:2] == [8.0, 8.0]
+    with _pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"\x00\x01" + j[2:])
+    # flip SOF0 marker to SOF2 (progressive) -> explicit unsupported error
+    prog = bytearray(j)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    with _pytest.raises(NotImplementedError, match="mp3|codec"):
+        stdlib_decode(b"", {"format": "mp3"})

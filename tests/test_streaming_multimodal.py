@@ -146,16 +146,16 @@ def test_foreach_batch_streaming_rollup_maintenance(spark, tmp_path):
 
 def _media(spark):
     rows = [
-        (1, {"media_type": "image", "format": "jpeg", "width": 2, "height": 2,
-             "duration_ms": None, "sample_rate": None}, bytearray(b"\x01\x02")),
-        (2, {"media_type": "image", "format": "jpeg", "width": 1, "height": 1,
-             "duration_ms": None, "sample_rate": None}, bytearray(b"\xff")),
+        (1, {"media_type": "audio", "format": "mp3", "width": None, "height": None,
+             "duration_ms": 100, "sample_rate": 44100}, bytearray(b"\x01\x02")),
+        (2, {"media_type": "audio", "format": "mp3", "width": None, "height": None,
+             "duration_ms": 50, "sample_rate": 44100}, bytearray(b"\xff")),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def test_multimodal_decode_stub_raises_per_row(spark):
-    # jpeg is transform-coded -> no stdlib codec; error lands per-row,
+    # mp3 is transform-coded -> no stdlib codec; error lands per-row,
     # not task-wide
     out = extract_features(_media(spark)).collect()
     assert all(r["feature"] is None for r in out)
@@ -172,6 +172,7 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
         encode_ppm,
         encode_wav,
     )
+    from dawis_spark.multimodal.jpeg import encode_jpeg
 
     def meta(mt, fmt, **kw):
         base = {"media_type": mt, "format": fmt, "width": None, "height": None,
@@ -186,9 +187,11 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
          bytearray(encode_ppm(4, 2, (255, 0, 0)))),
         (3, meta("image", "bmp", width=3, height=3),
          bytearray(encode_bmp(3, 3, (0, 128, 255)))),
-        (4, meta("image", "jpeg"), bytearray(b"\xff\xd8\xff")),
+        (4, meta("audio", "mp3"), bytearray(b"\xff\xfb\x90")),
         (5, meta("image", "png", width=2, height=2),
          bytearray(encode_png(2, 2, (12, 34, 56), filters=[0, 4]))),
+        (6, meta("image", "jpg", width=8, height=8),
+         bytearray(encode_jpeg(8, 8, bytes([200, 100, 50]) * 64))),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in extract_features(df).collect()}
@@ -199,15 +202,18 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
     assert got[3]["feature"] == [3.0, 3.0, 0.0, 128.0, 255.0]
     assert got[4]["feature"] is None and "codec libraries" in got[4]["decode_error"]
     assert got[5]["feature"] == [2.0, 2.0, 12.0, 34.0, 56.0]
+    w6, h6, r6, g6, b6 = got[6]["feature"]  # lossy: within quant error
+    assert (w6, h6) == (8.0, 8.0)
+    assert abs(r6 - 200) < 3 and abs(g6 - 100) < 3 and abs(b6 - 50) < 3
 
 
 def test_multimodal_fake_decoder_plumbs_batches(spark):
     def fake(payload: bytes, meta: dict) -> list[float]:
-        return [float(len(payload)), float(meta["width"])]
+        return [float(len(payload)), float(meta["duration_ms"])]
 
     rows = {r["media_id"]: r for r in extract_features(_media(spark), fake).collect()}
-    assert rows[1]["feature"] == [2.0, 2.0]
-    assert rows[2]["feature"] == [1.0, 1.0]
+    assert rows[1]["feature"] == [2.0, 100.0]
+    assert rows[2]["feature"] == [1.0, 50.0]
     assert rows[1]["decode_error"] is None
 
 
