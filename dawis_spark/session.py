@@ -58,8 +58,15 @@ def get_spark(
         # --- python interop: Arrow batches, never pickled rows ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-        # --- joins: let AQE convert to broadcast at runtime; 64 MiB static cap
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # --- joins: a conservative STATIC broadcast cap + a generous
+        # RUNTIME one. The planner's estimate is file-size x column-prune
+        # ratio — optimistic enough that at 64 MiB it broadcast a 6M-row
+        # fact scan (sf1 q5: the whole pruned lineitem, 3.5x slower than
+        # the shuffle join). AQE re-decides with EXACT post-shuffle sizes,
+        # so the static cap only needs to catch confidently-small dims;
+        # anything else earns broadcast at runtime by measuring small.
+        "spark.sql.autoBroadcastJoinThreshold": str(16 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # quiet local runs
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
