@@ -147,8 +147,12 @@ class _BitReader:
 
     def _fill(self):
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy data")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -277,6 +281,13 @@ def decode_jpeg(payload: bytes) -> list[float]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # Legal per T.81 but we only implement the single interleaved
+                # scan; decoding a partial scan here would leave the remaining
+                # planes zero and misplace blocks — fail loudly instead.
+                raise ValueError(
+                    "non-interleaved / multi-scan baseline JPEG is unsupported"
+                )
             scan = []  # (comp_idx, dc_table, ac_table)
             comp_by_id = {c[0]: idx for idx, c in enumerate(frame[2])}
             for s in range(ns):

@@ -549,7 +549,13 @@ def _collect_train_sample(corpus, id_col: str, vec_col: str, limit: int):
     """(n, dim) float64 sample matrix: the ``limit`` lowest-id vectors.
     Deterministic (id-ordered prefix) so the DuckDB oracle can replay
     training; below the limit — every test scale factor — this is the
-    whole corpus and sampling is a no-op."""
+    whole corpus and sampling is a no-op.
+
+    Driver memory bound: limit x dim x 8 bytes float64 (plus Row
+    overhead during collect) — 262144 x 64 -> ~134 MB, 262144 x 1024 ->
+    ~2.1 GB. Lower ``sample_limit`` for high-dim corpora; FAISS guidance
+    (~256 vectors per centroid) rarely needs more than tens of
+    thousands."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -1096,6 +1102,8 @@ def semantic_dedup(
     threshold: float = 0.3,
     max_block_rows: int | None = 300,
     iterations: int = 1,
+    dim: int = 64,
+    n_planes: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with the trained k-means coarse quantizer, then
@@ -1116,15 +1124,28 @@ def semantic_dedup(
     At 100 TB this is exactly the FAISS-style recipe: coarse-quantize
     once, dedup within cells.
     """
-    asg = kmeans_assign(
-        corpus,
-        id_col,
-        vec_col,
-        train_kmeans(corpus, id_col, vec_col, k=k, iterations=iterations),
-    ).select(F.col("id").alias(id_col), "cid")
+    centroids = train_kmeans(corpus, id_col, vec_col, k=k, iterations=iterations)
+    if not centroids:
+        # Empty corpus: kmeans_assign would render an empty array() literal.
+        from pyspark.sql.types import BooleanType, IntegerType
+
+        spark = corpus.sparkSession
+        schema = corpus.select(id_col).schema
+        schema = schema.add("cid", IntegerType()).add("keep", BooleanType())
+        return spark.createDataFrame([], schema=schema)
+    asg = kmeans_assign(corpus, id_col, vec_col, centroids).select(
+        F.col("id").alias(id_col), "cid"
+    )
     blocked = corpus.select(id_col, vec_col).join(asg, id_col)
     pairs = embedding_near_dup_pairs(
-        blocked, id_col, vec_col, "cid", threshold, max_block_rows
+        blocked,
+        id_col,
+        vec_col,
+        "cid",
+        threshold,
+        max_block_rows,
+        n_planes=n_planes,
+        dim=dim,
     )
     dups = (
         pairs.select(F.col("id_b").alias(id_col))

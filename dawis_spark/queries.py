@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dawis_spark.catalog import register_testdata
+from dawis_spark.operators.similarity import TRAIN_SAMPLE_LIMIT
 from dawis_spark.plans.sql_runner import run_query
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -982,9 +983,13 @@ def _kmeans_c1_ctes(k: int, dim: int, prefix: str = "") -> str:
 
     NB: alias names must avoid 'i' — the duck fragment binds a lambda
     variable i in list_transform(range(...)) and a table alias i would
-    shadow it inside the correlated subquery."""
+    shadow it inside the correlated subquery.
+
+    Training reads only the ``TRAIN_SAMPLE_LIMIT`` lowest-id prefix
+    ({p}tr), mirroring the library's bounded driver-side sample — parity
+    holds even when the corpus outgrows the limit (ADVICE r6)."""
     p = prefix
-    cos_init = _VEC.cosine_null("v.vec", "ini.cvec", "duck")
+    cos_init = _VEC.cosine_null("tr.vec", "ini.cvec", "duck")
     return f"""
 {p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -992,11 +997,12 @@ def _kmeans_c1_ctes(k: int, dim: int, prefix: str = "") -> str:
   FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
 {p}v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+{p}tr AS (SELECT vec_id, vec FROM {p}v ORDER BY vec_id LIMIT {TRAIN_SAMPLE_LIMIT}),
 {p}a1 AS (
-  SELECT v.vec_id, v.vec,
+  SELECT tr.vec_id, tr.vec,
     (SELECT ini.cid FROM {p}init ini
      ORDER BY coalesce(round({cos_init}, 6), -2.0) DESC, ini.cid LIMIT 1) AS cid
-  FROM {p}v v
+  FROM {p}tr tr
 ),
 {p}upd AS (
   SELECT cid, r.pos AS pos, round(avg(CAST(vec[r.pos] AS DOUBLE)), 6) AS m
@@ -3240,7 +3246,11 @@ def _pq_ctes(n_sub: int, ds: int, ks: int) -> str:
     bit-for-bit: init = slices of the ks lowest-id vectors rounded to 6,
     assignment = argmin of 6-digit-rounded L2^2 with lowest-code
     tie-break, update = per-(m,code,pos) avg rounded to 6. Ends with
-    cb(m, code, cv) and codes(vec_id, m, code)."""
+    cb(m, code, cv) and codes(vec_id, m, code).
+
+    Training (a1/upd) reads only the ``TRAIN_SAMPLE_LIMIT`` lowest-id
+    prefix, mirroring pq_train's bounded driver sample (ADVICE r6);
+    encoding (codes) still covers the full corpus."""
     l2_init = _VEC.l2_sq("s.sv", "ini.cv", "duck")
     l2_enc = _VEC.l2_sq("s.sv", "cb.cv", "duck")
     return f"""
@@ -3262,6 +3272,7 @@ a1 AS (
     (SELECT ini.code FROM init ini WHERE ini.m = s.m
      ORDER BY round({l2_init}, 6) ASC, ini.code LIMIT 1) AS code
   FROM sub s
+  WHERE s.vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {TRAIN_SAMPLE_LIMIT})
 ),
 upd AS (
   SELECT m, code, r.pos AS pos, round(avg(sv[r.pos]), 6) AS c
@@ -3506,7 +3517,10 @@ a1 AS (
     (SELECT ini.code FROM init ini WHERE ini.m = s.m
      ORDER BY round({l2_init}, 6) ASC, ini.code LIMIT 1) AS code
   FROM sub s
-  WHERE s.vec_id NOT IN (SELECT cid FROM cent)
+  WHERE s.vec_id IN (
+    SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT cid FROM cent)
+    ORDER BY vec_id LIMIT {TRAIN_SAMPLE_LIMIT}
+  )
 ),
 upd AS (
   SELECT m, code, r.pos AS pos, round(avg(sv[r.pos]), 6) AS c

@@ -248,3 +248,31 @@ def test_jpeg_dispatch_and_unsupported_raise():
         decode_jpeg(bytes(prog))
     with _pytest.raises(NotImplementedError, match="mp3|codec"):
         stdlib_decode(b"", {"format": "mp3"})
+
+
+def test_jpeg_multiscan_and_truncated_entropy_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from dawis_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    j = encode_jpeg(16, 16, bytes([120, 60, 200]) * 256)
+
+    # Rewrite the SOS header to claim a single-component scan (ns=1) while
+    # the frame has 3 components -> legal multi-scan baseline per T.81,
+    # which we reject explicitly instead of decoding 1/3 of the planes.
+    sos = j.find(b"\xff\xda")
+    assert sos > 0
+    seglen = struct.unpack_from(">H", j, sos + 2)[0]
+    one_comp = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + bytes(
+        [1, j[sos + 5], j[sos + 6], 0, 63, 0]
+    )
+    multi = j[:sos] + one_comp + j[sos + 2 + seglen :]
+    with _pytest.raises(ValueError, match="non-interleaved|multi-scan"):
+        decode_jpeg(multi)
+
+    # Truncate mid-entropy-stream: ValueError, never IndexError (ADVICE r6)
+    trunc = j[: sos + 2 + seglen + 4]
+    with _pytest.raises(ValueError, match="truncated JPEG entropy"):
+        decode_jpeg(trunc)

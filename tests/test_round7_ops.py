@@ -1,0 +1,48 @@
+"""Round-7 fixes and operators: semantic_dedup dim forwarding + empty
+guard (ADVICE r6), composed filtered ANN."""
+
+from pyspark.sql import functions as F
+
+
+def test_semantic_dedup_forwards_dim_to_lsh_path(spark):
+    # ADVICE r6: with max_block_rows below the cluster size the in-cell
+    # pairs route through sign-LSH, which previously hard-coded dim=64 —
+    # every plane folded over NULL elements for a 4-d corpus and all rows
+    # collapsed into one bucket. With dim forwarded, the LSH path still
+    # separates the two tight clusters and finds the in-cluster dups.
+    from dawis_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.98, 0.0, 0.01, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.99, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df,
+            "vec_id",
+            "embedding",
+            k=2,
+            threshold=0.9,
+            max_block_rows=1,  # force the LSH overflow path
+            dim=4,
+            n_planes=2,
+        ).collect()
+    }
+    # same-direction vectors share every sign bit, so LSH buckets keep
+    # the in-cluster pairs together: later ids are still marked dups
+    assert out[1] is True and out[10] is True
+    assert out[2] is False and out[3] is False and out[11] is False
+
+
+def test_semantic_dedup_empty_corpus_returns_empty(spark):
+    from dawis_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = semantic_dedup(df, "vec_id", "embedding", k=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cid", "keep"]
