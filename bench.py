@@ -29,6 +29,56 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LINE_BUDGET = 1900  # bytes; driver tail capture is ~2000
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Fixed machine-speed probes, recorded with every bench run so
+    cross-round deltas can be normalized for sandbox drift (round 6
+    showed ~2x machine drift that read as a code regression until the
+    old snapshot was re-timed by hand).
+
+    Two probes because the two hot paths drift independently:
+    - sql_probe: whole-stage-codegen JVM arithmetic (hash + aggregate
+      over a range) — tracks JVM/CPU speed.
+    - udf_probe: an Arrow-batched pandas UDF hashing synthetic strings,
+      shaped like the shingle hashers — tracks Python worker + Arrow
+      transfer speed, the path behind the minhash/ngram family.
+
+    Both are input-deterministic and independent of SF_DIR; each is the
+    min of two warm runs (first run pays codegen / worker spin-up).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _hash_series(s):
+        import zlib
+
+        return s.map(lambda x: zlib.crc32(x.encode()))
+
+    # lambda-style registration: the module's `from __future__ import
+    # annotations` stringifies type hints, which pandas_udf can't infer
+    _probe_hash = pandas_udf(_hash_series, "long")
+
+    sql_df = spark.range(20_000_000).select(
+        F.expr("bit_xor(xxhash64(cast(id * 31 as string))) as h")
+    )
+    udf_df = (
+        spark.range(200_000)
+        .select(
+            F.concat(F.lit("calibration-probe-"), F.col("id").cast("string"))
+            .alias("s")
+        )
+        .select(F.sum(_probe_hash(F.col("s"))).alias("h"))
+    )
+    out: dict[str, float] = {}
+    for key, df in (("sql_probe", sql_df), ("udf_probe", udf_df)):
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+        out[key] = round(min(runs[1:]), 3)  # drop the cold first run
+    return out
+
+
 def _compact(payload: dict, warm: dict[str, float]) -> str:
     """Render the JSON line; if it overflows the budget, fold the fastest
     queries into a single "_other" bucket (slowest entries are the ones a
@@ -57,6 +107,7 @@ def main() -> None:
     # shouldn't be charged for 10 parquet schema-footer reads.
     spark.range(1000).count()
     register_testdata(spark, SF_DIR)
+    calibration = _calibration(spark)
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -95,6 +146,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "n_queries": len(warm),
         "sf": sf_val,
+        "calibration": calibration,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
@@ -106,6 +158,7 @@ def main() -> None:
         "sf": sf_val,
         "cold_total": detail["cold_total"],
         "n_queries": detail["n_queries"],
+        "calibration": calibration,
     }
     print(_compact(line_payload, warm))
 
