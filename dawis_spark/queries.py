@@ -973,7 +973,7 @@ def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _kmeans_c1_ctes(k: int, dim: int, prefix: str = "") -> str:
+def _kmeans_c1_ctes(k: int, dim: int, prefix: str = "", where: str = "") -> str:
     """CTE chain replaying train_kmeans(iterations=1): init = k lowest-id
     vectors (components rounded 6), one assign/update round, empty
     clusters keep their centroid. Ends with ``{prefix}c1(cid, cvec)``.
@@ -987,16 +987,21 @@ def _kmeans_c1_ctes(k: int, dim: int, prefix: str = "") -> str:
 
     Training reads only the ``TRAIN_SAMPLE_LIMIT`` lowest-id prefix
     ({p}tr), mirroring the library's bounded driver-side sample — parity
-    holds even when the corpus outgrows the limit (ADVICE r6)."""
+    holds even when the corpus outgrows the limit (ADVICE r6).
+
+    ``where``: optional predicate restricting the corpus (filtered-ANN
+    composition) — applied to init and {p}v alike, mirroring a library
+    call that trains on an already-filtered DataFrame."""
     p = prefix
+    wh = f"WHERE {where} " if where else ""
     cos_init = _VEC.cosine_null("tr.vec", "ini.cvec", "duck")
     return f"""
 {p}init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT {k}
+  FROM embeddings {wh}ORDER BY vec_id LIMIT {k}
 ),
-{p}v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+{p}v AS (SELECT vec_id, embedding AS vec FROM embeddings {wh}),
 {p}tr AS (SELECT vec_id, vec FROM {p}v ORDER BY vec_id LIMIT {TRAIN_SAMPLE_LIMIT}),
 {p}a1 AS (
   SELECT tr.vec_id, tr.vec,
@@ -4068,6 +4073,139 @@ def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _filtered_ivf_oracle(
+    k: int, n_queries: int, kc: int, n_probe: int, dim: int, label: int
+) -> str:
+    """_ivf_trained_oracle composed over a filtered corpus: training,
+    bucketing and search all read only ``label = {label}`` rows (the
+    k-means chain's ``where`` parameter), while queries still come from
+    the unfiltered table — mirroring ivf_ann_topk(corpus=filtered,
+    queries=all)."""
+    cos_vc = _VEC.cosine_null("vec", "cvec", "duck")
+    cos_qc = _VEC.cosine("q_vec", "c_vec", "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(kc, dim, where=f"label = {label}")},
+allq AS (
+  SELECT vec_id, embedding AS vec FROM embeddings WHERE vec_id < {n_queries}
+),
+corpus_aff AS (
+  SELECT vec_id AS neighbor_id, vec, cid,
+         coalesce(ROUND({cos_vc}, 6), -2.0) AS aff
+  FROM v, (SELECT cid, cvec FROM c1) cent(cid, cvec)
+),
+corpus_b AS (
+  SELECT neighbor_id, vec AS c_vec, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY aff DESC, cid) AS r
+    FROM corpus_aff
+  ) WHERE r <= 1
+),
+q_aff AS (
+  SELECT vec_id AS query_id, vec, cid,
+         coalesce(ROUND({cos_vc}, 6), -2.0) AS aff
+  FROM allq, (SELECT cid, cvec FROM c1) cent(cid, cvec)
+),
+q_b AS (
+  SELECT query_id, vec AS q_vec, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, cid) AS r
+    FROM q_aff
+  ) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, ROUND({cos_qc}, 6) AS cosine
+  FROM q_b JOIN corpus_b USING (cid)
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_filtered_ann_ivf", oracle=_filtered_ivf_oracle(5, 10, 8, 3, 64, 3))
+def embedding_filtered_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed filtered ANN — the path embedding_filtered_topk's
+    docstring points at for low-selectivity predicates: ivf_ann_topk over
+    the filter-pushed scan. The quantizer trains on (and buckets only)
+    the filtered corpus, so probe cost scales with the filtered size,
+    and the ``label = 3`` equality predicate reaches the parquet scan
+    (PushedFilters — plan-asserted in tests/test_plan_properties.py).
+
+    Scale: pre-filter + IVF composes the two savings — row-group pruning
+    shrinks the scan, probe-restriction shrinks the compute; the corpus
+    never shuffles by vector either way. This is the vector-DB
+    "filtered search" shape at its cheap end."""
+    from dawis_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.table("embeddings")
+    return ivf_ann_topk(
+        corpus=emb.filter(F.col("label") == 3),
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=8,
+        n_probe=3,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_filtered_ivf_oracle(k: int) -> str:
+    exact = _filtered_topk_oracle(k, 10, 3).strip()
+    approx = _filtered_ivf_oracle(k, 10, 8, 3, 64, 3).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS (SELECT * FROM ({approx}))
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_filtered_ivf", oracle=_ann_recall_filtered_ivf_oracle(5))
+def ann_recall_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed filtered-IVF path against the exact
+    filtered brute-force baseline, per query — proves the composition
+    (pushed filter -> trained quantizer -> probe search) holds quality,
+    not just shape. Both sides reuse the production operators and the
+    same filtered corpus; the comparison join is top-k-sized."""
+    from dawis_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    emb = spark.table("embeddings")
+    filtered = emb.filter(F.col("label") == 3)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=filtered, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = ivf_ann_topk(
+        corpus=filtered, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5, n_centroids=8, n_probe=3,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -4079,59 +4217,58 @@ def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose code changed this round come first, then a rotating tail of
 # recently-driver-checked ones. Everything stays oracle-checked either way.
 DRIVER_PRIORITY: list[str] = [
-    # changed or added this round — must be driver-checked
-    "source_mixture_weights",  # new: data-mixing temperature weights
-    "url_canonical_dedup",     # new: URL canonicalization dedup
-    "semantic_dedup",          # new: SemDeDup over trained k-means cells
-    "embedding_filtered_topk", # new: metadata-filtered ANN
-    "embedding_pq_codes",      # r5's only red row, reshaped to scalar rows
-    "embedding_ann_ivfpq",     # retrained coarse quantizer default
-    "embedding_ann_ivfadc",    # retrained coarse quantizer default
-    "ann_recall_ivfadc",       # new self-eval
-    "kmeans_clusters",         # quantizer the retrained family composes
-    "embedding_ann_ivf",   # default quantizer retrained (ivf_trained is the
-                           # same code path now — it rotates to the tail)
-    # not driver-checked in round 5 (verified locally then)
-    "comparison_checks",
-    "alerts_per_line",
-    "prev_period_day",
-    "latest_event_per_user",
-    "change_detection",
-    "customers_without_orders",
-    "top_parts_per_brand",
-    "union_dedup",
-    "set_except",
-    "sql_params_date_days_ago",
-    "column_mapping_nested",
-    "sessionization",
-    "tumbling_window_agg",
-    "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash_docs",
-    "embedding_topk",
-    "embedding_ann_lsh",
-    "embedding_ann_lsh_multiprobe",
-    "language_id",
-    "quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "rollup_acctbal",
-    "pivot_event_counts",
-    "percentiles_by_type",
-    "cumulative_user_value",
-    "above_brand_avg_price",
-    "distinct_users_by_type",
-    "customer_order_distribution",
-    "q7_nation_trade",
-    "q12_priority_buckets",
-    "q14_category_share",
-    "q19_disjunctive_filter",
-    "q22_idle_customers",
-    "funnel_view_click_purchase",
-    "weekly_retention_cohorts",
-    "sliding_window_agg",
-    "psi_metric_extraction",
+    # added or oracle-touched this round — must be driver-checked
+    "embedding_filtered_ann_ivf",  # new: composed filtered ANN (pushed filter + IVF)
+    "ann_recall_filtered_ivf",     # new: recall self-eval for the composition
+    "embedding_ann_ivf_trained",   # kmeans oracle CTE gained the training-sample prefix
+    "embedding_ann_pq",            # PQ oracle CTE gained the training-sample prefix
+    "ann_recall_pq",
+    # last driver-checked in round 5 (locally verified every round since)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q20_excess_shippers",
+    "q21_sole_blame_supplier",
+    "match_enrichment",
+    "duplicate_detection",
+    "duplicate_detection_parity",
+    "duplicate_groups_hot_key",
+    "duplicate_clusters",
+    "dedup_keep_canonical",
+    "ngram_jaccard_topk",
+    "embedding_near_dups",
+    "events_following_1h",
+    "vocab_top_tokens",
+    "doc_packing_shards",
+    "benchmark_contamination",
+    "dataset_split",
+    "stratified_sample_docs",
+    "repetition_signals",
+    "c4_line_quality",
+    "tfidf_top_terms",
+    "bm25_search",
+    "pii_redaction",
+    "asof_last_click",
+    "hypertable_rollup",
+    "incremental_rollup_2ticks",
+    "ann_recall_lsh",
+    "ann_recall_lsh_multiprobe",
+    "salted_skew_join",
+    "chunk_documents",
+    "corpus_filter_pipeline",
+    "source_quality_rollup",
+    "session_window_agg",
 ]
 
 

@@ -77,3 +77,13 @@ def test_pq_adc_scan_shapes(spark):
     assert "BroadcastHashJoin" in ivfpq
     assert "BroadcastNestedLoopJoin" not in ivfpq
     assert "SortMergeJoin" not in ivfpq
+
+
+def test_filtered_ivf_pushes_label_filter_to_scan(spark):
+    # composed filtered ANN: the label predicate must reach the parquet
+    # scan (row-group pruning BEFORE any vector compute), and the IVF
+    # probe join must stay a broadcast of the bucketed query side
+    plan = _plan(spark, "embedding_filtered_ann_ivf")
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
