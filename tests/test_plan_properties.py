@@ -87,3 +87,28 @@ def test_filtered_ivf_pushes_label_filter_to_scan(spark):
     assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_threshold_split_pinned(spark):
+    # session.py ships a conservative 16 MiB STATIC broadcast cap (the
+    # planner's file-size estimate broadcast a 6M-row pruned fact at
+    # 64 MiB — a build-side OOM at cluster scale) and a generous 64 MiB
+    # AQE runtime cap (exact post-shuffle sizes). A config edit that
+    # collapses the split regresses sf1 q5/q2/q18 3.5x — pin both values.
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == str(
+        16 * 1024 * 1024
+    )
+    assert spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ) == str(64 * 1024 * 1024)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_ngram_hydration_joins_stay_shuffle_hash(spark):
+    # the pair-id -> shingle-set hydration joins carry a corpus-sized
+    # relation on both sides: they must stay SHUFFLE_HASH (hinted in
+    # operators/dedup.py) — broadcast would ship the corpus, sort-merge
+    # would pay two wide sorts for nothing
+    plan = _plan(spark, "ngram_jaccard_topk")
+    assert "ShuffledHashJoin [id_a" in plan
+    assert "ShuffledHashJoin [id_b" in plan
