@@ -6,11 +6,13 @@ extraction / resize / frame-sampling run as Arrow-batched ``mapInPandas``
 stages so bytes stream through Python in partition-sized batches and never
 surface driver-side.
 
-Codecs: pure-stdlib decoders for PCM WAV, PPM and uncompressed BMP are
-REAL (codecs.py) and run as the default ``decode_fn`` — the mapInPandas
-path is exercised end-to-end on real bytes. Compressed formats
-(png/jpeg/mp3/mp4) still raise NotImplementedError because their codec
-libraries aren't in this container; inject ``decode_fn`` where they exist.
+Codecs: pure-stdlib decoders for PCM WAV, PPM, uncompressed BMP, PNG and
+baseline JPEG are REAL (codecs.py / jpeg.py) and run as the default
+``decode_fn`` — the mapInPandas path is exercised end-to-end on real
+bytes. MP3/MP4 get real METADATA extraction (frame-header walk / ISO-BMFF
+box walk: duration, rate, dimensions, frame counts); their full sample
+decode genuinely needs codec libraries this container doesn't ship —
+inject ``decode_fn`` where they exist.
 
 Scale: media tables are dominated by payload bytes. The iterator form of
 mapInPandas keeps peak memory at one Arrow batch; metadata-only queries
@@ -55,10 +57,10 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def default_decode(payload: bytes, meta: dict) -> list[float]:
-    """Default decode: pure-stdlib codecs for wav/ppm/bmp (codecs.py —
-    real parsing, no external libs); compressed formats (png/jpeg/mp3/...)
-    raise NotImplementedError because their codec libraries aren't in this
-    container — inject decode_fn= where they exist."""
+    """Default decode: pure-stdlib codecs for wav/ppm/bmp/png/jpeg
+    (codecs.py / jpeg.py — real parsing, no external libs) and mp3/mp4
+    container metadata; unknown formats raise NotImplementedError —
+    inject decode_fn= where real codec libraries exist."""
     from dawis_spark.multimodal.codecs import stdlib_decode
 
     return stdlib_decode(payload, meta)

@@ -6,10 +6,11 @@ and it ships in the stdlib). Baseline JPEG lives in ``jpeg.py`` (stdlib
 marker/Huffman parsing + numpy 8x8 IDCT) and dispatches from here.
 
 This closes the "codecs stubbed" gap as far as the container allows:
-audio/video transform codecs (MP3/MP4) genuinely need codec libraries and
-stay behind the injectable ``decode_fn`` / NotImplementedError stub, but
-the mapInPandas pipeline is now demonstrable END-TO-END on real bytes —
-parse, per-row error isolation, feature extraction — with no fakes.
+MP3/MP4 SAMPLE decode genuinely needs codec libraries, so those formats
+carry real metadata-only parsers (parse_mp3 / parse_mp4 below) with full
+decode behind the injectable ``decode_fn``; the mapInPandas pipeline is
+demonstrable END-TO-END on real bytes — parse, per-row error isolation,
+feature extraction — with no fakes.
 
 Features are deliberately simple, deterministic summaries (the point is
 the distributed plumbing, not signal processing):
@@ -286,6 +287,14 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     return decode_jpeg(payload)
 
 
+def _decode_mp3(payload: bytes) -> list[float]:
+    return parse_mp3(payload)
+
+
+def _decode_mp4(payload: bytes) -> list[float]:
+    return parse_mp4(payload)
+
+
 _DECODERS = {
     "wav": decode_wav,
     "ppm": decode_ppm,
@@ -293,19 +302,24 @@ _DECODERS = {
     "png": decode_png,
     "jpg": _decode_jpeg,
     "jpeg": _decode_jpeg,
+    "mp3": _decode_mp3,
+    "mp4": _decode_mp4,
 }
 
 
 def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
-    """Format-dispatching decode_fn for extract_features: real decoding for
-    wav/ppm/bmp/png/jpeg, honest NotImplementedError for formats that need
-    codec libraries this container doesn't ship (mp3/mp4)."""
+    """Format-dispatching decode_fn for extract_features: real pixel/PCM
+    decoding for wav/ppm/bmp/png/jpeg; real METADATA extraction for
+    mp3/mp4 (frame-header walk / box walk — duration, rate, dimensions,
+    frame counts), whose full sample decode genuinely needs codec
+    libraries this container doesn't ship. Unknown formats raise an
+    honest NotImplementedError."""
     fmt = (meta or {}).get("format") or ""
     fn = _DECODERS.get(fmt.lower())
     if fn is None:
         raise NotImplementedError(
             f"format {fmt!r} needs codec libraries not present here; "
-            "stdlib codecs cover wav/ppm/bmp/png/jpg"
+            "stdlib codecs cover wav/ppm/bmp/png/jpg + mp3/mp4 metadata"
         )
     return fn(payload)
 
@@ -400,3 +414,206 @@ def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
         "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
     ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     return header + pixels
+
+
+# --- MP4 / MP3: metadata-only parsing (decode stays stubbed) --------------
+#
+# Full audio/video DECODE for these formats genuinely needs codec
+# libraries this container doesn't ship; what IS achievable in stdlib —
+# and real, not fake — is the container/stream metadata a corpus pipeline
+# filters and shards on: duration, dimensions, sample rate, bitrate,
+# frame counts. parse_mp4 walks ISO BMFF boxes (ISO/IEC 14496-12);
+# parse_mp3 walks MPEG audio frame headers (ISO/IEC 11172-3). Both raise
+# ValueError on malformed bytes like every other codec here.
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 box header")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> list[float]:
+    """MP4/ISO-BMFF box walk -> [duration_ms, width, height,
+    n_video_samples, n_tracks]. Metadata only — no sample decode."""
+    if len(payload) < 8:
+        raise ValueError("truncated MP4")
+    tops = list(_mp4_boxes(payload, 0, len(payload)))
+    if not any(t[0] == b"ftyp" for t in tops):
+        raise ValueError("missing MP4 ftyp box")
+    duration_ms = 0.0
+    width = height = 0.0
+    n_video_samples = 0.0
+    n_tracks = 0.0
+    for fourcc, bs, be in tops:
+        if fourcc != b"moov":
+            continue
+        for mb, mbs, mbe in _mp4_boxes(payload, bs, be):
+            if mb == b"mvhd":
+                ver = payload[mbs]
+                if ver == 1:
+                    ts = struct.unpack_from(">I", payload, mbs + 20)[0]
+                    dur = struct.unpack_from(">Q", payload, mbs + 24)[0]
+                else:
+                    ts = struct.unpack_from(">I", payload, mbs + 12)[0]
+                    dur = struct.unpack_from(">I", payload, mbs + 16)[0]
+                if ts:
+                    duration_ms = 1000.0 * dur / ts
+            elif mb == b"trak":
+                n_tracks += 1
+                handler = b""
+                tk_w = tk_h = 0.0
+                samples = 0
+                for tb, tbs, tbe in _mp4_boxes(payload, mbs, mbe):
+                    if tb == b"tkhd":
+                        ver = payload[tbs]
+                        off = tbs + (88 if ver == 1 else 76)
+                        tk_w = struct.unpack_from(">I", payload, off)[0] / 65536.0
+                        tk_h = struct.unpack_from(">I", payload, off + 4)[0] / 65536.0
+                    elif tb == b"mdia":
+                        for db, dbs, dbe in _mp4_boxes(payload, tbs, tbe):
+                            if db == b"hdlr":
+                                handler = payload[dbs + 8 : dbs + 12]
+                            elif db == b"minf":
+                                for sb, sbs, sbe in _mp4_boxes(payload, dbs, dbe):
+                                    if sb != b"stbl":
+                                        continue
+                                    for xb, xbs, xbe in _mp4_boxes(
+                                        payload, sbs, sbe
+                                    ):
+                                        if xb == b"stsz":
+                                            samples = struct.unpack_from(
+                                                ">I", payload, xbs + 8
+                                            )[0]
+                if handler == b"vide":
+                    width, height = tk_w, tk_h
+                    n_video_samples = float(samples)
+    return [duration_ms, width, height, n_video_samples, n_tracks]
+
+
+# MPEG audio frame-header tables (Layer III only — the "mp3" in mp3)
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3(payload: bytes) -> list[float]:
+    """MP3 frame-header walk -> [duration_ms, sample_rate, n_channels,
+    avg_bitrate_kbps, n_frames]. Metadata only — no PCM decode."""
+    pos = 0
+    if payload[:3] == b"ID3":  # skip ID3v2 tag (syncsafe 28-bit size)
+        if len(payload) < 10:
+            raise ValueError("truncated ID3 tag")
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    n_frames = 0
+    total_ms = 0.0
+    kbps_sum = 0
+    rate = 0
+    channels = 2
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:  # trailing junk / ID3v1 after last frame: stop
+                break
+            raise ValueError("no MP3 frame sync")
+        version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise ValueError("unsupported MPEG audio frame (need Layer III)")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("invalid MP3 bitrate/samplerate index")
+        kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        spf = 1152 if version == 3 else 576  # samples per Layer-III frame
+        frame_len = spf * kbps * 1000 // 8 // rate + padding
+        if frame_len < 4 or pos + frame_len > len(payload):
+            break  # truncated final frame: count what we have
+        channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        total_ms += 1000.0 * spf / rate
+        kbps_sum += kbps
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no complete MP3 frames")
+    return [
+        total_ms,
+        float(rate),
+        float(channels),
+        kbps_sum / n_frames,
+        float(n_frames),
+    ]
+
+
+def encode_mp3(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    mono: bool = False, id3: bytes = b"",
+) -> bytes:
+    """Deterministic MPEG1 Layer-III frame stream (headers + zero payload)
+    for test/corpus synthesis — parseable, not playable."""
+    br_idx = _MP3_BITRATES_V1.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    frame_len = 1152 * bitrate_kbps * 1000 // 8 // sample_rate
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0 if mono else 0x00]
+    )
+    out = b""
+    if id3:
+        sz = len(id3)
+        ss = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + ss + id3
+    return out + (hdr + bytes(frame_len - 4)) * n_frames
+
+
+def _mp4_box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def encode_mp4(
+    width: int, height: int, n_frames: int, duration_ms: int,
+    timescale: int = 1000,
+) -> bytes:
+    """Deterministic minimal ISO-BMFF container (ftyp + moov with one
+    video trak) for test/corpus synthesis — parseable, not playable."""
+    dur = duration_ms * timescale // 1000
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(12) + struct.pack(">II", timescale, dur) + bytes(80),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        bytes(76) + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_box(
+        b"mdhd", bytes(12) + struct.pack(">II", timescale, dur) + bytes(4)
+    )
+    hdlr = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stsz = _mp4_box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
+    stbl = _mp4_box(b"stbl", stsz)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _mp4_box(b"mdat", b"")

@@ -76,7 +76,8 @@ def test_stdlib_decode_dispatch_and_unknown_format():
         9.0,
         9.0,
     ]
-    with pytest.raises(NotImplementedError):
+    # mp3 now routes to the frame-header metadata walk (truncated here)
+    with pytest.raises(ValueError):
         stdlib_decode(b"\xff\xfb\x90", {"format": "mp3"})
     with pytest.raises(NotImplementedError):
         stdlib_decode(b"", {})
@@ -246,8 +247,8 @@ def test_jpeg_dispatch_and_unsupported_raise():
     prog[i + 1] = 0xC2
     with _pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(prog))
-    with _pytest.raises(NotImplementedError, match="mp3|codec"):
-        stdlib_decode(b"", {"format": "mp3"})
+    with _pytest.raises(NotImplementedError, match="codec"):
+        stdlib_decode(b"", {"format": "webm"})
 
 
 def test_jpeg_multiscan_and_truncated_entropy_raise():
@@ -276,3 +277,48 @@ def test_jpeg_multiscan_and_truncated_entropy_raise():
     trunc = j[: sos + 2 + seglen + 4]
     with _pytest.raises(ValueError, match="truncated JPEG entropy"):
         decode_jpeg(trunc)
+
+
+def test_mp3_frame_walk_roundtrip():
+    import pytest as _pytest
+
+    from dawis_spark.multimodal.codecs import encode_mp3, parse_mp3, stdlib_decode
+
+    # 38 frames of MPEG1 Layer III @ 128 kbps / 44100 Hz ≈ 0.99 s
+    mp3 = encode_mp3(38)
+    dur_ms, rate, ch, kbps, n = parse_mp3(mp3)
+    assert n == 38 and rate == 44100 and ch == 2 and kbps == 128
+    assert abs(dur_ms - 38 * 1152 / 44.1) < 1e-6
+    # ID3v2 tag skipped; mono flag honored; dispatch via stdlib_decode
+    tagged = encode_mp3(5, bitrate_kbps=64, sample_rate=32000, mono=True,
+                        id3=b"\x00" * 40)
+    out = stdlib_decode(tagged, {"format": "mp3"})
+    assert out[4] == 5 and out[1] == 32000 and out[2] == 1 and out[3] == 64
+    with _pytest.raises(ValueError, match="frame sync"):
+        parse_mp3(b"\x00\x01\x02\x03" * 4)
+    with _pytest.raises(ValueError, match="no complete MP3 frames"):
+        parse_mp3(encode_mp3(1)[:100])  # truncated mid-frame
+
+
+def test_mp4_box_walk_roundtrip():
+    import pytest as _pytest
+
+    from dawis_spark.multimodal.codecs import encode_mp4, parse_mp4, stdlib_decode
+
+    mp4 = encode_mp4(640, 360, n_frames=240, duration_ms=8000)
+    dur_ms, w, h, n_samples, n_tracks = parse_mp4(mp4)
+    assert (dur_ms, w, h, n_samples, n_tracks) == (8000.0, 640.0, 360.0, 240.0, 1.0)
+    assert stdlib_decode(mp4, {"format": "MP4"})[0] == 8000.0
+    with _pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_mp4(mp4[: len(mp4) // 2])
+
+
+def test_unknown_format_still_raises_not_implemented():
+    import pytest as _pytest
+
+    from dawis_spark.multimodal.codecs import stdlib_decode
+
+    with _pytest.raises(NotImplementedError, match="codec libraries"):
+        stdlib_decode(b"", {"format": "webm"})

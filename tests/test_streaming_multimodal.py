@@ -146,28 +146,29 @@ def test_foreach_batch_streaming_rollup_maintenance(spark, tmp_path):
 
 def _media(spark):
     rows = [
-        (1, {"media_type": "audio", "format": "mp3", "width": None, "height": None,
+        (1, {"media_type": "audio", "format": "webm", "width": None, "height": None,
              "duration_ms": 100, "sample_rate": 44100}, bytearray(b"\x01\x02")),
-        (2, {"media_type": "audio", "format": "mp3", "width": None, "height": None,
+        (2, {"media_type": "audio", "format": "webm", "width": None, "height": None,
              "duration_ms": 50, "sample_rate": 44100}, bytearray(b"\xff")),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def test_multimodal_decode_stub_raises_per_row(spark):
-    # mp3 is transform-coded -> no stdlib codec; error lands per-row,
-    # not task-wide
+    # webm has no stdlib codec; error lands per-row, not task-wide
     out = extract_features(_media(spark)).collect()
     assert all(r["feature"] is None for r in out)
     assert all("codec libraries" in r["decode_error"] for r in out)
 
 
 def test_multimodal_stdlib_codecs_end_to_end(spark):
-    """Real decode, no fakes: WAV/PPM/BMP/PNG payloads synthesized and
-    decoded through the default mapInPandas path; the unsupported format
-    in the same batch errors per-row."""
+    """Real decode, no fakes: WAV/PPM/BMP/PNG/MP3/MP4 payloads synthesized
+    and decoded through the default mapInPandas path; the unsupported
+    format in the same batch errors per-row."""
     from dawis_spark.multimodal.codecs import (
         encode_bmp,
+        encode_mp3,
+        encode_mp4,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -187,11 +188,14 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
          bytearray(encode_ppm(4, 2, (255, 0, 0)))),
         (3, meta("image", "bmp", width=3, height=3),
          bytearray(encode_bmp(3, 3, (0, 128, 255)))),
-        (4, meta("audio", "mp3"), bytearray(b"\xff\xfb\x90")),
+        (4, meta("audio", "webm"), bytearray(b"\xff\xfb\x90")),
         (5, meta("image", "png", width=2, height=2),
          bytearray(encode_png(2, 2, (12, 34, 56), filters=[0, 4]))),
         (6, meta("image", "jpg", width=8, height=8),
          bytearray(encode_jpeg(8, 8, bytes([200, 100, 50]) * 64))),
+        (7, meta("audio", "mp3"), bytearray(encode_mp3(38))),
+        (8, meta("video", "mp4", width=640, height=360, duration_ms=8000),
+         bytearray(encode_mp4(640, 360, n_frames=240, duration_ms=8000))),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in extract_features(df).collect()}
@@ -205,6 +209,9 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
     w6, h6, r6, g6, b6 = got[6]["feature"]  # lossy: within quant error
     assert (w6, h6) == (8.0, 8.0)
     assert abs(r6 - 200) < 3 and abs(g6 - 100) < 3 and abs(b6 - 50) < 3
+    # mp3/mp4: real container metadata (decode-only surface stays stubbed)
+    assert got[7]["feature"][1:] == [44100.0, 2.0, 128.0, 38.0]
+    assert got[8]["feature"] == [8000.0, 640.0, 360.0, 240.0, 1.0]
 
 
 def test_multimodal_fake_decoder_plumbs_batches(spark):
