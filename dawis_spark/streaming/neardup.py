@@ -250,3 +250,136 @@ class NearDupIndex:
         # survivors depend only on df and the materialized decision —
         # acting on them re-runs no LSH work
         return df.join(rejected_df.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+class SemanticDupIndex:
+    """Persistent SEMANTIC admission index — streaming SemDeDup, the
+    embedding-cell twin of :class:`NearDupIndex` (mirrors the batch
+    ``operators/similarity.semantic_dedup`` recipe across micro-batches).
+
+    The coarse quantizer (k-means centroids) is trained OFFLINE on a
+    bootstrap corpus (``train_kmeans``) and passed in fixed — cells must
+    be stable across ticks or the whole index would need re-assignment
+    (FAISS production shape: train offline, serve online). State is ONE
+    warehouse table, ``semdup_vecs (id, cid, vec)``, bucketed on cid.
+
+    Each tick (``admit``):
+      1. batch vectors assigned to cells map-side (kmeans_assign — the
+         centroid matrix is config-sized, no shuffle);
+      2. vs the admitted index: candidates are in-cell rows (equi-join on
+         cid — bucketed, so only the batch side shuffles), verified by
+         cosine >= threshold;
+      3. within the batch: in-cell lower-id pairs with the same cosine
+         gate, resolved by the same sequential-greedy driver pass as the
+         MinHash index (chains decide exactly);
+      4. survivors are emitted and their (id, cid, vec) rows appended.
+
+    Scale: clustering IS the blocking — candidate verification touches
+    ~1/k of the index per batch row instead of all of it, and the state
+    holds embeddings (dim floats per admitted doc), never text. Per-tick
+    cost is O(batch x avg cell size) cosine folds, all JVM-side. The
+    re-delivery contract matches NearDupIndex: a doc whose own id is
+    already indexed is skipped on append (left-anti), never self-rejected.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids: list[tuple[int, list[float]]],
+        threshold: float = 0.85,
+        n_buckets: int = 16,
+    ):
+        if not centroids:
+            raise ValueError("SemanticDupIndex needs a trained quantizer")
+        self.spark = spark
+        self.wh = Warehouse(spark, root)
+        self.centroids = sorted((int(c), list(v)) for c, v in centroids)
+        self.threshold = threshold
+        self.n_buckets = n_buckets
+        self._suffix = hashlib.md5(root.encode()).hexdigest()[:10]
+
+    def _catalog_name(self) -> str:
+        return f"semdup_vecs_{self._suffix}"
+
+    def _read_index(self) -> DataFrame:
+        cat = self._catalog_name()
+        if self.spark.catalog.tableExists(cat):
+            return self.spark.table(cat)
+        if self.wh.exists("semdup_vecs"):
+            return self.wh.read("semdup_vecs")
+        return self.spark.createDataFrame([], "id bigint, cid int, vec array<float>")
+
+    def admit(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Return rows of ``df`` that are NOT semantic near-dups of
+        anything admitted before (or of a lower-id batch survivor), and
+        fold the survivors into the cell index."""
+        from dawis_spark.functions import vectors as V
+        from dawis_spark.operators.similarity import kmeans_assign
+
+        batch = kmeans_assign(df, id_col, vec_col, self.centroids).persist()
+        try:
+            idx = self._read_index()
+            cos = V.cosine_null("vec", "o_vec", "spark")
+            gate = F.coalesce(F.round(F.expr(cos), 6), F.lit(-2.0)) >= F.lit(
+                self.threshold
+            )
+            rejected_prev = {
+                r["id"]
+                for r in (
+                    batch.join(
+                        idx.select(
+                            "cid",
+                            F.col("id").alias("old_id"),
+                            F.col("vec").alias("o_vec"),
+                        ),
+                        "cid",
+                    )
+                    .filter(F.col("id") != F.col("old_id"))
+                    .filter(gate)
+                    .select("id")
+                    .distinct()
+                    .collect()
+                )
+            }
+            sim_pairs = (
+                batch.select("cid", F.col("id").alias("id_a"), "vec")
+                .join(
+                    batch.select(
+                        "cid", F.col("id").alias("id_b"), F.col("vec").alias("o_vec")
+                    ),
+                    "cid",
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(gate)
+                .select("id_a", "id_b")
+                .distinct()
+                .collect()
+            )
+            rejected = greedy_reject(
+                rejected_prev, [(r["id_a"], r["id_b"]) for r in sim_pairs]
+            )
+            rejected_df = self.spark.createDataFrame(
+                [(i,) for i in sorted(rejected)], "id bigint"
+            )
+            keep = (
+                batch.select("id", "cid", "vec")
+                .join(rejected_df, "id", "left_anti")
+                .join(idx.select("id"), "id", "left_anti")
+            )
+            self.wh.write_bucketed(
+                keep,
+                "semdup_vecs",
+                ["cid"],
+                self.n_buckets,
+                mode="append",
+                catalog_name=self._catalog_name(),
+            )
+        finally:
+            batch.unpersist()
+        rejected_ids = self.spark.createDataFrame(
+            [(i,) for i in sorted(rejected)], "id bigint"
+        )
+        return df.join(
+            rejected_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )

@@ -549,3 +549,67 @@ def test_neardup_index_join_shuffles_batch_side_only(spark, tmp_path):
     # bucketing; the index scan itself carries its bucketed layout
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_semantic_dup_index_gates_across_batches(spark, tmp_path):
+    """Streaming SemDeDup: a same-direction vector is rejected in a later
+    tick against the admitted cell index, in-batch dups lose to the lower
+    id, and novel directions pass. Quantizer trained offline and fixed."""
+    from dawis_spark.operators.similarity import train_kmeans
+    from dawis_spark.streaming.neardup import SemanticDupIndex
+
+    boot = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (101, [0.0, 1.0, 0.0, 0.0]),
+            (102, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = train_kmeans(boot, "vec_id", "embedding", k=3, iterations=1)
+    idx = SemanticDupIndex(spark, str(tmp_path), cents, threshold=0.9)
+
+    tick1 = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # in-batch dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),     # novel direction
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got1 = sorted(r["vec_id"] for r in idx.admit(tick1, "vec_id", "embedding").collect())
+    assert got1 == [1, 3]
+
+    tick2 = spark.createDataFrame(
+        [
+            (4, [0.98, 0.0, 0.01, 0.0]),   # dup of ADMITTED 1 from tick 1
+            (5, [0.0, 0.0, 1.0, 0.0]),     # novel
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got2 = sorted(r["vec_id"] for r in idx.admit(tick2, "vec_id", "embedding").collect())
+    assert got2 == [5]
+    # index holds survivors only, with their cell assignment
+    assert sorted(r["id"] for r in idx.wh.read("semdup_vecs").collect()) == [1, 3, 5]
+
+
+def test_semantic_dup_index_idempotent_redelivery(spark, tmp_path):
+    from dawis_spark.operators.similarity import train_kmeans
+    from dawis_spark.streaming.neardup import SemanticDupIndex
+
+    boot = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = train_kmeans(boot, "vec_id", "embedding", k=2, iterations=1)
+    idx = SemanticDupIndex(spark, str(tmp_path), cents, threshold=0.9)
+    tick = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got1 = sorted(r["vec_id"] for r in idx.admit(tick, "vec_id", "embedding").collect())
+    # foreachBatch re-delivery: same batch again must re-emit the same
+    # survivors (not self-reject) and not duplicate index rows
+    got2 = sorted(r["vec_id"] for r in idx.admit(tick, "vec_id", "embedding").collect())
+    assert got1 == got2 == [1, 2]
+    assert sorted(r["id"] for r in idx.wh.read("semdup_vecs").collect()) == [1, 2]
