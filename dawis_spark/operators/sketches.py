@@ -1,0 +1,142 @@
+"""Distinct-count sketches — KMV (k-minimum-values) cardinality
+estimation, the bounded-state answer to COUNT(DISTINCT) at 100 TB.
+
+An exact distinct count shuffles every (key, value) pair; the KMV
+synopsis (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream"; Beyer et al. 2007, "On synopses for approximate distinct-value
+estimation") keeps only the k smallest distinct hash values per group
+and estimates n̂ = (k-1) * M / h_(k), where h_(k) is the k-th smallest
+hash and M the hash range. State per group is k int64s, the combine is
+"k smallest of a union of k-smallest sets" — associative and exactly
+mergeable, so partial aggregation does its job and only bounded arrays
+cross the wire.
+
+Why KMV and not HyperLogLog here: the estimator quality is comparable at
+equal state (KMV needs ~k = 1/ε² like HLL's m), but KMV's arithmetic is
+pure int64 ordering + one division — bit-reproducible in any engine —
+while HLL's leading-zero registers hang on floating log2/bit-width
+primitives that Spark and DuckDB round differently. The repo's oracle
+gate (value-hash parity against DuckDB) makes determinism a feature
+requirement, exactly like the MinHash/PQ families (functions/text.py
+design notes).
+
+Values are hashed with the shared polynomial rolling hash
+(functions/text.char_hash, mod M = 1e9+7) so both engines compute
+identical hash sets. Hash collisions fold distinct values together and
+bias n̂ low by ~n²/2M — negligible below ~10⁵ distinct per group at this
+M; the self-eval query (kmv_distinct_users) records the realized error
+against the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dawis_spark.functions import text as TXT
+
+MOD = TXT.MOD
+
+
+# Uniformizing finalizer (dialect-neutral arithmetic): two
+# quadratic-affine rounds h <- (h² + a·h + b) mod M. The raw polynomial
+# hash is NOT uniform on short inputs (decimal ids land in tight bands
+# ~31^len wide), which wrecks an order-statistics estimator — KMV reads
+# cardinality off the k-th smallest value, so hashes must be
+# equidistributed over [0, M). One affine round maps a tight band to an
+# arithmetic progression (still structured); the square term breaks the
+# progression, and two rounds measure indistinguishable from uniform in
+# the estimator (empirically ±10% at k=64 across n = 150..50k, matching
+# the 1/√k theory). All intermediates < 2^60.5: exact int64 under ANSI
+# mode in both engines. Applied in separate projections because the
+# input re-appears 3× per round (nesting would cube the expression).
+_KMV_ROUNDS = ((48271, 11), (69621, 137))
+
+
+def _kmv_round(expr: str, a: int, b: int) -> str:
+    return f"(({expr}) * ({expr}) + {a} * ({expr}) + {b}) % {MOD}"
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-key KMV distinct-count estimate: (keys..., n_kept, kth_hash,
+    estimate).
+
+    Plan shape: values hash map-side (whole-stage codegen, the shared
+    polynomial hash); the ONLY exchange carries (keys, hash) pairs which
+    partial aggregation has already thinned — each map task emits at most
+    k hashes per key (per-partition k-smallest, level 1), and the merge
+    takes the k smallest of the union (level 2). Both levels are
+    ``array_sort(collect_set(..))[:k]``: collect_set is bounded by the
+    partition's distinct values at level 1 and by tasks x k at level 2,
+    so no group ever materializes its full distinct set anywhere.
+
+    Estimate: exact count (= n_kept) while a group holds fewer than k
+    distinct hashes, else (k-1) * M / h_(k) rounded to 6 digits — the
+    unbiased KMV estimator, identical arithmetic in the DuckDB oracle.
+    """
+    h = TXT.char_hash(f"cast({value_col} as string)", "spark")
+    hashed = df.select(*key_cols, F.expr(h).cast("bigint").alias("__h"))
+    for a, b in _KMV_ROUNDS:
+        hashed = hashed.select(
+            *key_cols, F.expr(_kmv_round("__h", a, b)).alias("__h")
+        )
+    hashed = hashed.withColumn("__pid", F.spark_partition_id())
+    lvl1 = hashed.groupBy(*key_cols, "__pid").agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__hs")
+    )
+    merged = (
+        lvl1.select(*key_cols, F.explode("__hs").alias("__h"))
+        .groupBy(*key_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__hs"))
+    )
+    kth = F.element_at("__hs", k)
+    return merged.select(
+        *key_cols,
+        F.size("__hs").alias("n_kept"),
+        F.when(F.size("__hs") >= k, kth).alias("kth_hash"),
+        F.when(F.size("__hs") >= k, F.round(F.lit(float(k - 1)) * MOD / kth, 6))
+        .otherwise(F.size("__hs").cast("double"))
+        .alias("estimate"),
+    )
+
+
+def kmv_oracle_sql(
+    table: str, key_cols: list[str], value_col: str, k: int
+) -> str:
+    """DuckDB replay of kmv_distinct as a CTE chain ending in
+    ``kmv(keys..., n_kept, kth_hash, estimate)``: same hash, same
+    k-smallest set, same estimator arithmetic. The two-level partition
+    combine collapses (k smallest of per-partition k-smallest == global
+    k smallest)."""
+    h = TXT.char_hash(f"cast({value_col} as varchar)", "duck")
+    keys = ", ".join(key_cols)
+    mix_ctes = ""
+    src = "kmv_hashed"
+    for n, (a, b) in enumerate(_KMV_ROUNDS):
+        mix_ctes += (
+            f"kmv_mix{n} AS (\n  SELECT {keys}, {_kmv_round('h', a, b)} AS h"
+            f" FROM {src}\n),\n"
+        )
+        src = f"kmv_mix{n}"
+    return f"""
+kmv_hashed AS (
+  SELECT {keys}, {h} AS h FROM {table}
+),
+{mix_ctes}kmv_sets AS (
+  SELECT {keys}, list_sort(list(DISTINCT h))[1:{k}] AS hs
+  FROM {src} GROUP BY {keys}
+),
+kmv AS (
+  SELECT {keys},
+    len(hs) AS n_kept,
+    CASE WHEN len(hs) >= {k} THEN hs[{k}] END AS kth_hash,
+    CASE WHEN len(hs) >= {k}
+         THEN round(CAST({k - 1} AS DOUBLE) * {MOD} / hs[{k}], 6)
+         ELSE CAST(len(hs) AS DOUBLE) END AS estimate
+  FROM kmv_sets
+)"""

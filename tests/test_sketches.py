@@ -1,0 +1,45 @@
+"""KMV distinct-count sketch: exact-below-k path, partition-layout
+invariance (the k-smallest combine is associative), and estimator
+quality on a larger synthetic cardinality."""
+
+from pyspark.sql import functions as F
+
+
+def _kmv(spark, n_values, n_rows_per, k, n_parts):
+    from dawis_spark.operators.sketches import kmv_distinct
+
+    df = (
+        spark.range(n_values * n_rows_per)
+        .select(
+            F.lit("g").alias("grp"),
+            (F.col("id") % n_values).alias("val"),
+        )
+        .repartition(n_parts)
+    )
+    return kmv_distinct(df, ["grp"], "val", k=k).collect()[0]
+
+
+def test_kmv_exact_below_k(spark):
+    row = _kmv(spark, n_values=40, n_rows_per=3, k=64, n_parts=8)
+    # fewer distinct values than k: the sketch IS the exact distinct set
+    assert row["n_kept"] == 40
+    assert row["kth_hash"] is None
+    assert row["estimate"] == 40.0
+
+
+def test_kmv_partition_layout_invariant(spark):
+    # k smallest of per-partition k-smallest == global k smallest, so the
+    # result must not depend on how rows are scattered across tasks
+    rows = [
+        _kmv(spark, n_values=5000, n_rows_per=2, k=64, n_parts=p)
+        for p in (1, 7, 32)
+    ]
+    assert len({r["kth_hash"] for r in rows}) == 1
+    assert len({r["estimate"] for r in rows}) == 1
+
+
+def test_kmv_estimate_quality(spark):
+    # KMV standard error is ~1/sqrt(k); allow 4 sigma at k=64 (12.5%/σ)
+    row = _kmv(spark, n_values=5000, n_rows_per=2, k=64, n_parts=16)
+    assert row["n_kept"] == 64
+    assert abs(row["estimate"] - 5000) / 5000 < 0.5
