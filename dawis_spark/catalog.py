@@ -191,6 +191,74 @@ class Warehouse:
             out = df.repartitionByRange(*cols)
         out.sortWithinPartitions(*cols).write.mode(mode).parquet(self.path(table))
 
+    def write_zordered(
+        self,
+        df: DataFrame,
+        table: str,
+        zorder_cols: list[str],
+        bits: int = 6,
+        mode: str = "overwrite",
+        num_files: int | None = None,
+    ) -> None:
+        """Multi-dimensional data-skipping write — Z-order clustering
+        (Morton order), the lakehouse OPTIMIZE ZORDER shape.
+
+        ``write_sorted`` skips brilliantly on its FIRST sort column and
+        not at all on the second (lexicographic order leaves every file
+        spanning the full range of col 2). Z-ordering interleaves the
+        bits of per-column quantile-bucket ranks, so files cover compact
+        HYPER-RECTANGLES: a filter on ANY z-ordered column prunes
+        ~(1/2^bits)^(1/d) of the files via the same parquet footer
+        min/max stats, no index structure.
+
+        Mechanics: per column, ``approxQuantile`` (one Greenwald-Khanna
+        pass, driver gets 2^bits boundary literals) defines the bucket
+        rank; ranks interleave into the Morton key map-side (unrolled
+        shift/mask expression, whole-stage codegen); the key drives
+        repartitionByRange + sortWithinPartitions and is dropped before
+        the write — layout metadata, never stored. At 100 TB this is one
+        extra narrow pass over the write path in exchange for pruned
+        scans on every dimension of the key.
+        """
+        from pyspark.sql import functions as F
+
+        n_buckets = 1 << bits
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        work = df
+        rank_cols = []
+        for c in zorder_cols:
+            bounds = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+                c, qs, 0.001
+            )
+            # strictly increasing boundary list (duplicates collapse when a
+            # value dominates a column); rank = count of boundaries <= value
+            uniq = sorted(set(bounds))
+            arr = "array(" + ", ".join(repr(b) for b in uniq) + ")"
+            rank = (
+                f"aggregate({arr}, 0, (acc, b) -> "
+                f"acc + if(cast({c} as double) >= b, 1, 0))"
+            )
+            rank_cols.append(F.expr(rank).alias(f"__r_{c}"))
+        work = work.select("*", *rank_cols)
+        terms = []
+        d = len(zorder_cols)
+        for j, c in enumerate(zorder_cols):
+            for i in range(bits):
+                terms.append(
+                    f"shiftleft(shiftright(__r_{c}, {i}) & 1, {i * d + j})"
+                )
+        work = work.withColumn("__z", F.expr(" + ".join(terms)))
+        if num_files:
+            out = work.repartitionByRange(num_files, F.col("__z"))
+        else:
+            out = work.repartitionByRange(F.col("__z"))
+        (
+            out.sortWithinPartitions("__z")
+            .drop("__z", *[f"__r_{c}" for c in zorder_cols])
+            .write.mode(mode)
+            .parquet(self.path(table))
+        )
+
     def replace(self, df: DataFrame, table: str) -> None:
         """Atomically replace ``table`` with ``df`` — safe even when ``df``
         READS from the table being replaced (plain overwrite would delete

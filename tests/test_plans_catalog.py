@@ -256,3 +256,50 @@ def test_load_table_events_ts_is_timezone_independent(spark):
     ).collect()[0]
     spark.conf.set("spark.sql.session.timeZone", prev)
     assert (shifted.lo, shifted.hi) == (utc.lo, utc.hi)
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic on a 2-d grid: after write_sorted([x, y])
+    every file spans the FULL y range (filtering on y skips nothing),
+    while write_zordered([x, y]) gives files compact in BOTH dimensions —
+    a selective y filter prunes most files from footer stats alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dawis_spark.catalog import Warehouse
+
+    def file_ranges(root, col_name):
+        out = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f)
+            ci = md.schema_arrow.names.index(col_name)
+            mins, maxs = [], []
+            for rg in range(md.metadata.num_row_groups):
+                st = md.metadata.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    wh = Warehouse(spark, str(tmp_path))
+    # 128x128 grid, scrambled arrival order
+    grid = spark.range(128 * 128).selectExpr(
+        "cast(id % 128 as int) as x", "cast(id div 128 as int) as y"
+    ).orderBy(F.expr("rand(11)"))
+    wh.write_sorted(grid, "lex", ["x", "y"], num_files=16)
+    wh.write_zordered(grid, "zord", ["x", "y"], bits=4, num_files=16)
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+
+    # selective filter on y (the SECOND sort column): 8/128 of the domain
+    lex_hit = overlapping(file_ranges(str(tmp_path / "lex"), "y"), 0, 7)
+    z_hit = overlapping(file_ranges(str(tmp_path / "zord"), "y"), 0, 7)
+    assert lex_hit == 16  # lexicographic: every file spans all of y
+    assert z_hit <= 8  # z-order: footer stats prune most files on y
+    # and x-pruning is preserved under z-order too
+    zx_hit = overlapping(file_ranges(str(tmp_path / "zord"), "x"), 0, 7)
+    assert zx_hit <= 8
+    # data intact
+    assert wh.read("zord").count() == 128 * 128
