@@ -140,3 +140,101 @@ kmv AS (
          ELSE CAST(len(hs) AS DOUBLE) END AS estimate
   FROM kmv_sets
 )"""
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+#
+# Bounded-state frequency estimation: d hash rows x w counter buckets.
+# Every occurrence increments one bucket per row; a point estimate is the
+# MIN of a value's d buckets — never an underestimate, overestimate
+# bounded by n/w with probability 1 - (1/2)^d. The sketch build is one
+# groupBy over (row, bucket) — d*w bounded cells regardless of input
+# cardinality, vs an exact count's value-cardinality shuffle. Same
+# deterministic dual-rendered hashing as KMV, so the DuckDB oracle
+# replays the sketch cell-for-cell.
+
+def _cm_coeffs(d: int) -> list[tuple[int, int]]:
+    """Pairwise-independent-style row coefficients (a odd, b spread) —
+    the same deterministic family as minhash_coeffs."""
+    return [(2 * i + 3, 97 * i + 13) for i in range(d)]
+
+
+def _cm_bucket(h_expr: str, a: int, b: int, w: int) -> str:
+    return f"(({a} * ({h_expr}) + {b}) % {MOD}) % {w}"
+
+
+def cm_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 512) -> DataFrame:
+    """Build the d x w counter table: (row, bucket, cnt).
+
+    Plan shape: values hash map-side (shared polynomial hash + the KMV
+    uniformizing rounds — count-min's error bound also assumes spread
+    hashes); each input row explodes to d (row, bucket) cells and ONE
+    aggregation reduces them — the exchange carries at most d*w groups.
+    """
+    h = TXT.char_hash(f"cast({value_col} as string)", "spark")
+    hashed = df.select(F.expr(h).cast("bigint").alias("__h"))
+    for a, b in _KMV_ROUNDS:
+        hashed = hashed.select(F.expr(_kmv_round("__h", a, b)).alias("__h"))
+    cells = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.expr(_cm_bucket("__h", a, b, w)).cast("int").alias("bucket"),
+        )
+        for i, (a, b) in enumerate(_cm_coeffs(d))
+    ]
+    return (
+        hashed.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, queries: DataFrame, value_col: str, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Point-estimate counts for the values in ``queries``: (value,
+    cm_estimate). The sketch is d*w rows — always broadcastable; the min
+    over a value's d cells is a tiny groupBy."""
+    h = TXT.char_hash(f"cast({value_col} as string)", "spark")
+    q = queries.select(
+        F.col(value_col), F.expr(h).cast("bigint").alias("__h")
+    )
+    for a, b in _KMV_ROUNDS:
+        q = q.select(value_col, F.expr(_kmv_round("__h", a, b)).alias("__h"))
+    cells = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.expr(_cm_bucket("__h", a, b, w)).cast("int").alias("bucket"),
+        )
+        for i, (a, b) in enumerate(_cm_coeffs(d))
+    ]
+    probes = q.select(
+        value_col, F.explode(F.array(*cells)).alias("c")
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )
+
+
+def cm_oracle_ctes(table_cte: str, value_col: str, d: int, w: int) -> str:
+    """DuckDB replay: CTE chain ending in ``cm(row, bucket, cnt)``.
+    ``table_cte`` must expose one row per occurrence with ``value_col``."""
+    h = TXT.char_hash(f"cast({value_col} as varchar)", "duck")
+    chain = [f"cm_h0 AS (SELECT {h} AS h FROM {table_cte})"]
+    src = "cm_h0"
+    for n, (a, b) in enumerate(_KMV_ROUNDS):
+        chain.append(
+            f"cm_h{n + 1} AS (SELECT {_kmv_round('h', a, b)} AS h FROM {src})"
+        )
+        src = f"cm_h{n + 1}"
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, CAST({_cm_bucket('h', a, b, w)} AS INT) AS bucket FROM {src}"
+        for i, (a, b) in enumerate(_cm_coeffs(d))
+    )
+    chain.append(f"cm_cells AS ({rows})")
+    chain.append(
+        "cm AS (SELECT row, bucket, COUNT(*) AS cnt FROM cm_cells GROUP BY row, bucket)"
+    )
+    return ",\n".join(chain)

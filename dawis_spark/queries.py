@@ -4256,6 +4256,91 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_oracle(top_n: int, d: int, w: int) -> str:
+    from dawis_spark.operators.sketches import (
+        _cm_bucket,
+        _cm_coeffs,
+        _kmv_round,
+        _KMV_ROUNDS,
+        cm_oracle_ctes,
+    )
+
+    toks = _TXT.tokens("text", "duck")
+    h = _TXT.char_hash("cast(tok as varchar)", "duck")
+    probe_chain = [f"probe_h0 AS (SELECT tok, {h} AS h FROM top)"]
+    src = "probe_h0"
+    for n, (a, b) in enumerate(_KMV_ROUNDS):
+        probe_chain.append(
+            f"probe_h{n + 1} AS (SELECT tok, {_kmv_round('h', a, b)} AS h FROM {src})"
+        )
+        src = f"probe_h{n + 1}"
+    cells = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row, CAST({_cm_bucket('h', a, b, w)} AS INT) AS bucket FROM {src}"
+        for i, (a, b) in enumerate(_cm_coeffs(d))
+    )
+    return f"""
+WITH occ AS (
+  SELECT unnest({toks}) AS tok FROM documents
+),
+{cm_oracle_ctes('occ', 'tok', d, w)},
+exact AS (SELECT tok, COUNT(*) AS exact_count FROM occ GROUP BY tok),
+top AS (
+  SELECT tok, exact_count FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_count DESC, tok) AS rn FROM exact
+  ) WHERE rn <= {top_n}
+),
+{", ".join(probe_chain)},
+probe_cells AS ({cells}),
+est AS (
+  SELECT p.tok, MIN(COALESCE(cm.cnt, 0)) AS cm_estimate
+  FROM probe_cells p LEFT JOIN cm USING (row, bucket)
+  GROUP BY p.tok
+)
+SELECT t.tok AS token, t.exact_count, e.cm_estimate,
+       e.cm_estimate - t.exact_count AS overestimate
+FROM top t JOIN est e ON e.tok = t.tok
+ORDER BY t.exact_count DESC, token
+"""
+
+
+@query("cm_heavy_hitters", oracle=_cm_oracle(20, 4, 512))
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: token frequencies for the exact top-20
+    tokens estimated from a 4x512 count-min sketch, with the realized
+    overestimate per token (count-min never undercounts). The sketch is
+    2048 cells regardless of vocabulary size — at 100 TB this replaces a
+    vocabulary-cardinality shuffle with a fixed-size counter table
+    (operators/sketches.py); the exact side here exists only to score
+    the sketch, mirroring the ANN recall self-evals."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.sketches import cm_estimate, cm_sketch
+
+    toks = _TXT.tokens("text", "spark")
+    occ = spark.table("documents").select(
+        F.explode(F.expr(toks)).alias("tok")
+    )
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    wnd = Window.orderBy(F.desc("exact_count"), F.asc("tok"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 20)
+        .select("tok", "exact_count")
+    )
+    sk = cm_sketch(occ, "tok", d=4, w=512)
+    est = cm_estimate(sk, top.select("tok"), "tok", d=4, w=512)
+    return (
+        top.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -4274,11 +4359,12 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_pq",            # PQ oracle CTE gained the training-sample prefix
     "ann_recall_pq",
     "kmv_distinct_users",  # new: KMV distinct-count sketch + self-eval
+    "cm_heavy_hitters",    # new: count-min frequency sketch + self-eval
     # last driver-checked in round 5 (locally verified every round since).
-    # q1_pricing_summary rotated out to make room for the KMV entry: it is
-    # the least-churn query in the repo (plain TPC-H SQL, unchanged since
-    # round 1) and stays in the local full-inventory sweep.
-    "q2_min_cost_supplier",
+    # q1_pricing_summary / q2_min_cost_supplier rotated out to make room
+    # for the sketch entries: they are the least-churn queries in the repo
+    # (plain TPC-H SQL, unchanged since round 1-2) and stay in the local
+    # full-inventory sweep.
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_region_revenue",
