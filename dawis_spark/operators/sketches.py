@@ -238,3 +238,79 @@ def cm_oracle_ctes(table_cte: str, value_col: str, d: int, w: int) -> str:
         "cm AS (SELECT row, bucket, COUNT(*) AS cnt FROM cm_cells GROUP BY row, bucket)"
     )
     return ",\n".join(chain)
+
+
+def kmv_sets(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 128,
+    pre_hashed: bool = False,
+) -> DataFrame:
+    """Per-key KMV synopsis as the raw k-smallest hash ARRAY: (keys...,
+    hs) — the mergeable form that set-operation estimators consume
+    (Beyer et al. 2007 §4: union/intersection/Jaccard of two sets from
+    the k smallest of their sketch union). Same two-level bounded
+    combine as kmv_distinct.
+
+    ``pre_hashed``: the value column already holds mod-M polynomial
+    hashes (e.g. shingle hashes) — skip the char hash, apply only the
+    uniformizing rounds."""
+    if pre_hashed:
+        hashed = df.select(
+            *key_cols, F.col(value_col).cast("bigint").alias("__h")
+        )
+    else:
+        h = TXT.char_hash(f"cast({value_col} as string)", "spark")
+        hashed = df.select(*key_cols, F.expr(h).cast("bigint").alias("__h"))
+    for a, b in _KMV_ROUNDS:
+        hashed = hashed.select(
+            *key_cols, F.expr(_kmv_round("__h", a, b)).alias("__h")
+        )
+    hashed = hashed.withColumn("__pid", F.spark_partition_id())
+    lvl1 = hashed.groupBy(*key_cols, "__pid").agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("hs")
+    )
+    return (
+        lvl1.select(*key_cols, F.explode("hs").alias("__h"))
+        .groupBy(*key_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("hs"))
+    )
+
+
+def kmv_set_ops(
+    pairs: DataFrame, a_col: str, b_col: str, k: int
+) -> DataFrame:
+    """Append KMV union/intersection/Jaccard estimates to a DataFrame of
+    sketch pairs (columns ``a_col``/``b_col`` holding k-smallest arrays).
+
+    merged = k smallest of the sketch union is itself the KMV sketch of
+    A ∪ B, so |A∪B| falls out of the usual estimator; the fraction ρ of
+    merged elements present in BOTH input sketches estimates Jaccard,
+    and ρ·|A∪B| the intersection (Beyer et al. 2007). When merged holds
+    fewer than k hashes both sketches were exhaustive and every figure
+    is exact."""
+    merged = f"slice(array_sort(array_distinct(concat({a_col}, {b_col}))), 1, {k})"
+    ke = f"size(__m)"
+    inter = (
+        f"size(filter(__m, x -> array_contains({a_col}, x) "
+        f"AND array_contains({b_col}, x)))"
+    )
+    return (
+        pairs.withColumn("__m", F.expr(merged))
+        .withColumn(
+            "est_union",
+            F.when(
+                F.expr(ke) >= k,
+                F.round(
+                    F.lit(float(k - 1)) * MOD / F.element_at("__m", k), 6
+                ),
+            ).otherwise(F.expr(ke).cast("double")),
+        )
+        .withColumn("__rho", F.expr(inter) / F.expr(ke))
+        .withColumn("est_jaccard", F.round("__rho", 6))
+        .withColumn(
+            "est_intersection", F.round(F.col("__rho") * F.col("est_union"), 6)
+        )
+        .drop("__m", "__rho")
+    )

@@ -4341,6 +4341,148 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_overlap_oracle(k: int, n_src: int) -> str:
+    from dawis_spark.operators.sketches import _KMV_ROUNDS, _kmv_round
+
+    sh = _TXT.shingle_hashes("text", 3, "duck")
+    srcs = ", ".join(f"'src{i}'" for i in range(n_src))
+    mix_ctes, src = "", "t"
+    col = "s"
+    for n, (a, b) in enumerate(_KMV_ROUNDS):
+        mix_ctes += (
+            f"mix{n} AS (SELECT source, {_kmv_round(col, a, b)} AS h FROM {src}),\n"
+        )
+        src, col = f"mix{n}", "h"
+    return f"""
+WITH t AS (
+  SELECT DISTINCT source, unnest({sh}) AS s
+  FROM documents WHERE source IN ({srcs})
+),
+{mix_ctes}sk AS (
+  SELECT source, list_sort(list(DISTINCT h))[1:{k}] AS hs
+  FROM {src} GROUP BY source
+),
+prs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.hs AS hs_a, b.hs AS hs_b
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+mg AS (
+  SELECT source_a, source_b, hs_a, hs_b,
+         list_sort(list_distinct(list_concat(hs_a, hs_b)))[1:{k}] AS m
+  FROM prs
+),
+ic AS (
+  SELECT source_a, source_b, len(m) AS ke,
+    len(list_filter(m, x -> list_contains(hs_a, x) AND list_contains(hs_b, x))) AS nc,
+    m FROM mg
+),
+est AS (
+  SELECT source_a, source_b,
+    CASE WHEN ke >= {k} THEN round(CAST({k - 1} AS DOUBLE) * {_TXT.MOD} / m[{k}], 6)
+         ELSE CAST(ke AS DOUBLE) END AS est_union,
+    CAST(nc AS DOUBLE) / ke AS rho
+  FROM ic
+),
+ex_inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS exact_intersection
+  FROM t a JOIN t b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM t GROUP BY source),
+ex AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+    COALESCE(i.exact_intersection, 0) AS exact_intersection,
+    sa.n + sb.n - COALESCE(i.exact_intersection, 0) AS exact_union
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+  LEFT JOIN ex_inter i ON i.source_a = sa.source AND i.source_b = sb.source
+)
+SELECT ex.source_a, ex.source_b,
+  est_union, round(rho * est_union, 6) AS est_intersection,
+  round(rho, 6) AS est_jaccard,
+  exact_union, exact_intersection,
+  round(CAST(exact_intersection AS DOUBLE) / exact_union, 6) AS exact_jaccard
+FROM est JOIN ex USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+
+@query("kmv_shingle_overlap", oracle=_kmv_overlap_oracle(128, 5))
+def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates — pairwise shingle-set union /
+    intersection / Jaccard between sources from 128-element sketches,
+    scored against the exact figures. The mergeable-sketch shape that
+    makes cross-segment overlap tractable at 100 TB: per-segment
+    synopses are k int64s, any pair (or union of segments) composes
+    driver-free from the sketches alone, no re-scan of the corpora
+    (Beyer et al. 2007; operators/sketches.py kmv_sets/kmv_set_ops).
+
+    Accuracy shape, visible in the output: the union estimate is tight
+    (±1/√k), while intersection/Jaccard variance scales like
+    1/(J·k) — at J≈0.03 and k=128 only ~4 sketch elements witness the
+    overlap, so est_intersection is an order-of-magnitude signal. That
+    is the published estimator's behavior, not an implementation
+    artifact; size k to the smallest Jaccard that must be resolved."""
+    from dawis_spark.operators.sketches import kmv_set_ops, kmv_sets
+
+    sh = _TXT.shingle_hashes("text", 3, "spark")
+    srcs = [f"src{i}" for i in range(5)]
+    t = (
+        spark.table("documents")
+        .filter(F.col("source").isin(srcs))
+        .select("source", F.explode(F.expr(sh)).alias("s"))
+        .distinct()
+    )
+    sk = kmv_sets(t, ["source"], "s", k=128, pre_hashed=True)
+    pairs = sk.select(
+        F.col("source").alias("source_a"), F.col("hs").alias("hs_a")
+    ).join(
+        sk.select(F.col("source").alias("source_b"), F.col("hs").alias("hs_b")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    est = kmv_set_ops(pairs, "hs_a", "hs_b", 128).select(
+        "source_a", "source_b", "est_union", "est_intersection", "est_jaccard"
+    )
+    sizes = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ex_inter = (
+        t.select(F.col("source").alias("source_a"), "s")
+        .join(t.select(F.col("source").alias("source_b"), "s"), "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    ex = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(ex_inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+            (F.col("na") + F.col("nb") - F.coalesce("exact_intersection", F.lit(0)))
+            .alias("exact_union"),
+        )
+    )
+    return (
+        est.join(ex, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "est_union",
+            "est_intersection",
+            "est_jaccard",
+            "exact_union",
+            "exact_intersection",
+            F.round(
+                F.col("exact_intersection").cast("double") / F.col("exact_union"), 6
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -4360,12 +4502,11 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_pq",
     "kmv_distinct_users",  # new: KMV distinct-count sketch + self-eval
     "cm_heavy_hitters",    # new: count-min frequency sketch + self-eval
+    "kmv_shingle_overlap", # new: KMV set-operation estimates + self-eval
     # last driver-checked in round 5 (locally verified every round since).
-    # q1_pricing_summary / q2_min_cost_supplier rotated out to make room
-    # for the sketch entries: they are the least-churn queries in the repo
-    # (plain TPC-H SQL, unchanged since round 1-2) and stay in the local
-    # full-inventory sweep.
-    "q3_shipping_priority",
+    # q1/q2/q3 rotated out to make room for the sketch entries: they are
+    # the least-churn queries in the repo (plain TPC-H SQL, unchanged
+    # since round 1-2) and stay in the local full-inventory sweep.
     "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",

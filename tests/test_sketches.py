@@ -43,3 +43,19 @@ def test_kmv_estimate_quality(spark):
     row = _kmv(spark, n_values=5000, n_rows_per=2, k=64, n_parts=16)
     assert row["n_kept"] == 64
     assert abs(row["estimate"] - 5000) / 5000 < 0.5
+
+
+def test_kmv_set_ops_exact_when_sets_small(spark):
+    # both sketches exhaustive (sets < k): every figure is exact
+    from dawis_spark.operators.sketches import kmv_set_ops, kmv_sets
+
+    rows = [("a", v) for v in range(10)] + [("b", v) for v in range(5, 20)]
+    df = spark.createDataFrame(rows, "grp string, val int")
+    sk = kmv_sets(df, ["grp"], "val", k=64)
+    a = sk.filter("grp = 'a'").select(F.col("hs").alias("hs_a"))
+    b = sk.filter("grp = 'b'").select(F.col("hs").alias("hs_b"))
+    out = kmv_set_ops(a.crossJoin(b), "hs_a", "hs_b", 64).collect()[0]
+    # |A|=10, |B|=15, inter {5..9} = 5, union = 20
+    assert out["est_union"] == 20.0
+    assert out["est_intersection"] == 5.0
+    assert out["est_jaccard"] == 0.25
