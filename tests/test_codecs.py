@@ -322,3 +322,40 @@ def test_unknown_format_still_raises_not_implemented():
 
     with _pytest.raises(NotImplementedError, match="codec libraries"):
         stdlib_decode(b"", {"format": "webm"})
+
+
+def test_mp3_mp4_roundtrip_property():
+    """encode->parse consistency across the parameter grid: every valid
+    MPEG1-L3 bitrate/samplerate/channel combination and a spread of MP4
+    geometries round-trip their metadata exactly."""
+    from dawis_spark.multimodal.codecs import (
+        _MP3_BITRATES_V1,
+        _MP3_RATES,
+        encode_mp3,
+        encode_mp4,
+        parse_mp3,
+        parse_mp4,
+    )
+
+    for kbps in _MP3_BITRATES_V1[1:]:
+        for rate in _MP3_RATES[3]:
+            for mono in (False, True):
+                n = 7
+                dur, got_rate, ch, got_kbps, frames = parse_mp3(
+                    encode_mp3(n, kbps, rate, mono=mono)
+                )
+                assert frames == n and got_rate == rate and got_kbps == kbps
+                assert ch == (1 if mono else 2)
+                assert abs(dur - 1000.0 * n * 1152 / rate) < 1e-9
+
+    for w, h, n, ms, ts in (
+        (1, 1, 1, 1, 1000),
+        (320, 240, 24, 1001, 90000),
+        (3840, 2160, 100000, 3600000, 600),
+    ):
+        dur, gw, gh, samples, tracks = parse_mp4(
+            encode_mp4(w, h, n_frames=n, duration_ms=ms, timescale=ts)
+        )
+        assert (gw, gh, samples, tracks) == (float(w), float(h), float(n), 1.0)
+        # duration survives the timescale conversion within one tick
+        assert abs(dur - ms) <= 1000.0 / ts + 1e-9
