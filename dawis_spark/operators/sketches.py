@@ -8,8 +8,8 @@ estimation") keeps only the k smallest distinct hash values per group
 and estimates n̂ = (k-1) * M / h_(k), where h_(k) is the k-th smallest
 hash and M the hash range. State per group is k int64s, the combine is
 "k smallest of a union of k-smallest sets" — associative and exactly
-mergeable, so partial aggregation does its job and only bounded arrays
-cross the wire.
+mergeable, and the map-side truncation stage (``_kmv_partial``) applies
+it BEFORE the exchange, so only k-bounded hash sets cross the wire.
 
 Why KMV and not HyperLogLog here: the estimator quality is comparable at
 equal state (KMV needs ~k = 1/ε² like HLL's m), but KMV's arithmetic is
@@ -57,6 +57,51 @@ def _kmv_round(expr: str, a: int, b: int) -> str:
     return f"(({expr}) * ({expr}) + {a} * ({expr}) + {b}) % {MOD}"
 
 
+def _kmv_partial(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """Map-side k-smallest truncation: emit at most k (keys, __h) rows
+    per key per TASK, so the exchange that follows is genuinely
+    k-bounded.
+
+    This is the stage declarative aggregation cannot express: Spark's
+    partial collect_set ships each task's FULL per-key distinct set to
+    the reducer (truncation in the agg expression runs post-shuffle), so
+    a naive groupBy-collect_set KMV shuffles the same volume as an exact
+    count-distinct — exactly what the sketch exists to avoid. One
+    Arrow-batched mapInPandas pass holds a per-key sorted array capped
+    at k (state ≤ keys×k per task, no worse than the partial-agg buffers
+    it replaces) and the final merge aggregates ≤ tasks×k rows per key.
+    The k-smallest combine is associative, so truncating early changes
+    nothing downstream (test: partition-layout invariance)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [df.schema[c] for c in key_cols]
+        + [T.StructField("__h", T.LongType(), True)]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for keys, grp in pdf.groupby(key_cols, sort=False, dropna=False):
+                ks = keys if isinstance(keys, tuple) else (keys,)
+                hs = grp["__h"].to_numpy()
+                cur = state.get(ks)
+                merged = np.unique(hs) if cur is None else np.union1d(cur, hs)
+                state[ks] = merged[:k]
+        if state:
+            yield pd.DataFrame(
+                [[*ks, int(h)] for ks, hs in state.items() for h in hs],
+                columns=[*key_cols, "__h"],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
 def kmv_distinct(
     df: DataFrame,
     key_cols: list[str],
@@ -67,13 +112,11 @@ def kmv_distinct(
     estimate).
 
     Plan shape: values hash map-side (whole-stage codegen, the shared
-    polynomial hash); the ONLY exchange carries (keys, hash) pairs which
-    partial aggregation has already thinned — each map task emits at most
-    k hashes per key (per-partition k-smallest, level 1), and the merge
-    takes the k smallest of the union (level 2). Both levels are
-    ``array_sort(collect_set(..))[:k]``: collect_set is bounded by the
-    partition's distinct values at level 1 and by tasks x k at level 2,
-    so no group ever materializes its full distinct set anywhere.
+    polynomial hash); ``_kmv_partial`` truncates to the k smallest
+    distinct hashes per key INSIDE each task, so the only exchange
+    carries ≤ k hashes per key per task and the final merge
+    (``array_sort(collect_set(..))[:k]``) aggregates ≤ tasks×k rows per
+    key — no group ever materializes its full distinct set anywhere.
 
     Estimate: exact count (= n_kept) while a group holds fewer than k
     distinct hashes, else (k-1) * M / h_(k) rounded to 6 digits — the
@@ -85,12 +128,8 @@ def kmv_distinct(
         hashed = hashed.select(
             *key_cols, F.expr(_kmv_round("__h", a, b)).alias("__h")
         )
-    hashed = hashed.withColumn("__pid", F.spark_partition_id())
-    lvl1 = hashed.groupBy(*key_cols, "__pid").agg(
-        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__hs")
-    )
     merged = (
-        lvl1.select(*key_cols, F.explode("__hs").alias("__h"))
+        _kmv_partial(hashed, key_cols, k)
         .groupBy(*key_cols)
         .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__hs"))
     )
@@ -250,8 +289,9 @@ def kmv_sets(
     """Per-key KMV synopsis as the raw k-smallest hash ARRAY: (keys...,
     hs) — the mergeable form that set-operation estimators consume
     (Beyer et al. 2007 §4: union/intersection/Jaccard of two sets from
-    the k smallest of their sketch union). Same two-level bounded
-    combine as kmv_distinct.
+    the k smallest of their sketch union). Same map-side-truncated
+    combine as kmv_distinct (``_kmv_partial``: ≤ k hashes per key per
+    task cross the exchange).
 
     ``pre_hashed``: the value column already holds mod-M polynomial
     hashes (e.g. shingle hashes) — skip the char hash, apply only the
@@ -267,12 +307,8 @@ def kmv_sets(
         hashed = hashed.select(
             *key_cols, F.expr(_kmv_round("__h", a, b)).alias("__h")
         )
-    hashed = hashed.withColumn("__pid", F.spark_partition_id())
-    lvl1 = hashed.groupBy(*key_cols, "__pid").agg(
-        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("hs")
-    )
     return (
-        lvl1.select(*key_cols, F.explode("hs").alias("__h"))
+        _kmv_partial(hashed, key_cols, k)
         .groupBy(*key_cols)
         .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("hs"))
     )
