@@ -112,3 +112,18 @@ def test_ngram_hydration_joins_stay_shuffle_hash(spark):
     plan = _plan(spark, "ngram_jaccard_topk")
     assert "ShuffledHashJoin [id_a" in plan
     assert "ShuffledHashJoin [id_b" in plan
+
+
+def test_kmv_single_bounded_exchange(spark):
+    # KMV's selling point: map-side k-truncation (_kmv_partial) means ONE
+    # hash exchange carrying <= k hashes per key per task — a second
+    # exchange (or a groupBy on (key, pid)) would mean the truncation
+    # regressed to post-shuffle, i.e. exact-count-distinct shuffle volume
+    from dawis_spark.catalog import register_testdata
+    from dawis_spark.operators.sketches import kmv_distinct
+
+    register_testdata(spark, SF_DIR)
+    df = kmv_distinct(spark.table("events"), ["event_type"], "user_id", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
