@@ -613,3 +613,45 @@ def test_semantic_dup_index_idempotent_redelivery(spark, tmp_path):
     got2 = sorted(r["vec_id"] for r in idx.admit(tick, "vec_id", "embedding").collect())
     assert got1 == got2 == [1, 2]
     assert sorted(r["id"] for r in idx.wh.read("semdup_vecs").collect()) == [1, 2]
+
+
+def test_semantic_dup_index_join_shuffles_batch_side_only(spark, tmp_path):
+    """Same 100 TB lever for the semantic index: semdup_vecs lands
+    bucketed on cid, so the per-tick in-cell candidate join plans no
+    exchange on the index side — only the batch side repartitions."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.operators.similarity import train_kmeans
+    from dawis_spark.streaming.neardup import SemanticDupIndex
+
+    boot = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = train_kmeans(boot, "vec_id", "embedding", k=2, iterations=1)
+    idx = SemanticDupIndex(spark, str(tmp_path), cents, threshold=0.9)
+    idx.admit(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id bigint, embedding array<float>",
+        ),
+        "vec_id",
+        "embedding",
+    )
+    vecs = spark.table(idx._catalog_name())
+    batch = spark.createDataFrame(
+        [(10, 0), (11, 1)], "id bigint, cid int"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            batch.join(vecs.select("cid", F.col("id").alias("old_id")), "cid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan, plan
