@@ -4483,6 +4483,103 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_oracle(m: int, d: int) -> str:
+    from dawis_spark.operators.bloomjoin import bloom_oracle_ctes, bloom_probe_pred
+
+    return f"""
+WITH dim_keys AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+),
+{bloom_oracle_ctes('dim_keys', 's_suppkey', m, d)},
+probe AS (
+  SELECT l_returnflag,
+         {bloom_probe_pred('l_suppkey', m, d)} AS pass,
+         l_suppkey IN (SELECT s_suppkey FROM dim_keys) AS is_match
+  FROM lineitem CROSS JOIN bloom
+),
+agg AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_exact,
+         SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass_bloom
+  FROM probe GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, n_exact, n_pass_bloom,
+       n_pass_bloom - n_exact AS n_false_pos,
+       round(CAST(n_pass_bloom - n_exact AS DOUBLE)
+             / greatest(n_rows - n_exact, 1), 6) AS fp_rate
+FROM agg ORDER BY l_returnflag
+"""
+
+
+@query("bloom_semi_join", oracle=_bloom_oracle(128, 2))
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning (operators/bloomjoin.py): build
+    the filter from the NATION_9 supplier keys, reject non-matching
+    lineitem rows map-side BEFORE any exchange, and score the realized
+    false-positive rate against the exact semi join.
+
+    Scale: this is the explicit form of Spark's runtime bloom filter /
+    DPP — at 100 TB the selective-dim semi join shuffles only the
+    matching fraction plus the deterministic FP residue instead of the
+    full fact table. The filter is a sorted position array (≤ m ints)
+    broadcast once; the probe is codegen'd array search inside the scan
+    stage. m here is measurement-sized (128 bits for ~10 keys) so the
+    self-eval exhibits a nonzero FP rate at sf0.01; deployments size
+    m ≈ 10-16 bits per expected distinct key (FPR ≈ (1-e^(-dn/m))^d).
+    """
+    from dawis_spark.operators.bloomjoin import bloom_build, bloom_probe
+
+    m, d = 128, 2
+    keys = (
+        spark.table("supplier")
+        .join(
+            spark.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name") == "NATION_9")
+        .select("s_suppkey")
+    )
+    bloom = bloom_build(keys, "s_suppkey", m=m, d=d)
+    li = spark.table("lineitem")
+    passed = (
+        bloom_probe(li, "l_suppkey", bloom, m=m, d=d)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_pass_bloom"))
+    )
+    exact = (
+        li.join(
+            keys.withColumnRenamed("s_suppkey", "l_suppkey"),
+            "l_suppkey",
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        totals.join(exact, "l_returnflag", "left")
+        .join(passed, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_pass_bloom", F.lit(0)).alias("n_pass_bloom"),
+        )
+        .withColumn("n_false_pos", F.col("n_pass_bloom") - F.col("n_exact"))
+        .withColumn(
+            "fp_rate",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.greatest(F.col("n_rows") - F.col("n_exact"), F.lit(1)),
+                6,
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------

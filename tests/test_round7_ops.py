@@ -46,3 +46,49 @@ def test_semantic_dedup_empty_corpus_returns_empty(spark):
     out = semantic_dedup(df, "vec_id", "embedding", k=4)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cid", "keep"]
+
+
+# --- Bloom-filter runtime join pruning (operators/bloomjoin.py) ----------
+
+def _bloom_parts(spark):
+    from dawis_spark.operators.bloomjoin import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(k,) for k in (3, 17, 42)], "k bigint")
+    fact = spark.createDataFrame(
+        [(i, i % 7) for i in range(500)], "id bigint, k bigint"
+    )
+    return keys, fact, bloom_build, bloom_probe
+
+
+def test_bloom_probe_has_no_false_negatives(spark):
+    # Bloom membership is one-sided: every true match must pass, for any
+    # (m, d) sizing — false positives are allowed, false negatives never.
+    keys, fact, bloom_build, bloom_probe = _bloom_parts(spark)
+    for m, d in ((16, 1), (64, 2), (8192, 3)):
+        bloom = bloom_build(keys, "k", m=m, d=d)
+        passed = {
+            r["id"] for r in bloom_probe(fact, "k", bloom, m=m, d=d).collect()
+        }
+        true_ids = {r["id"] for r in fact.where("k = 3").collect()}
+        assert true_ids <= passed, (m, d)
+
+
+def test_bloom_probe_empty_keys_rejects_everything(spark):
+    from dawis_spark.operators.bloomjoin import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([], "k bigint")
+    fact = spark.createDataFrame([(i, i) for i in range(20)], "id bigint, k bigint")
+    bloom = bloom_build(keys, "k", m=64, d=2)
+    assert bloom_probe(fact, "k", bloom, m=64, d=2).count() == 0
+
+
+def test_bloom_probe_is_deterministic_and_selective(spark):
+    # with a deployment-sized filter (many bits per key) the FP residue on
+    # this small domain is empty: the probe equals the exact semi join;
+    # and two runs agree bit-for-bit (deterministic hashing)
+    keys, fact, bloom_build, bloom_probe = _bloom_parts(spark)
+    bloom = bloom_build(keys, "k", m=8192, d=3)
+    a = sorted(r["id"] for r in bloom_probe(fact, "k", bloom, m=8192, d=3).collect())
+    b = sorted(r["id"] for r in bloom_probe(fact, "k", bloom, m=8192, d=3).collect())
+    exact = sorted(r["id"] for r in fact.where("k = 3").collect())
+    assert a == b == exact
