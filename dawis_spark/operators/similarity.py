@@ -1161,3 +1161,136 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("keep"),
         )
     )
+
+
+# --- Scalar quantization (SQ8) --------------------------------------------
+#
+# FAISS's IndexScalarQuantizer(QT_8bit) shape: per-dimension [lo, hi]
+# range, each component stored as one uint8 level q = floor((x - lo) /
+# (hi - lo) * 255 + 0.5). 4x smaller than float32 (8x vs float64) with
+# near-exact recall at moderate dim — the cheap middle ground between
+# raw-vector brute force and PQ's aggressive codebooks. Scoring is
+# asymmetric (ADC-style): the RAW query against per-dimension
+# RECONSTRUCTED corpus levels, so quantization error enters once, not
+# twice.
+#
+# Scale shape: the stats row (2 x dim doubles) is a broadcast single-row
+# relation computed with one map-side-partial min/max aggregation;
+# encode and reconstruct-and-score run inside the corpus scan's codegen
+# stage (no UDF, no shuffle); only (id, score) pairs reach the top-k
+# exchange. All arithmetic is fixed-fold-order IEEE double + exact floor
+# — bit-reproducible in the DuckDB oracle like the PQ/KMV families.
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Single-row (lo: array<double>, hi: array<double>) per-dimension
+    range — partial min/max aggregation map-side, 2*dim doubles total."""
+    lo = F.array(
+        *[F.min(F.expr(f"cast({vec_col}[{i}] as double)")) for i in range(dim)]
+    ).alias("lo")
+    hi = F.array(
+        *[F.max(F.expr(f"cast({vec_col}[{i}] as double)")) for i in range(dim)]
+    ).alias("hi")
+    return corpus.agg(lo, hi)
+
+
+def _sq8_encode_expr(vec_col: str, dim: int, dialect: str) -> str:
+    """Array of the dim uint8 levels; a degenerate dimension (hi == lo)
+    encodes to 0 and reconstructs to lo exactly."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"case when hi[i] = lo[i] then 0 else "
+            f"cast(floor((cast({vec_col}[i] as double) - lo[i]) "
+            f"/ (hi[i] - lo[i]) * 255.0 + 0.5) as int) end)"
+        )
+    return (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"case when hi[i] = lo[i] then 0 else "
+        f"cast(floor((cast({vec_col}[i] as double) - lo[i]) "
+        f"/ (hi[i] - lo[i]) * 255.0 + 0.5) as int) end)"
+    )
+
+
+def _sq8_decode_expr(codes_col: str, dim: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"lo[i] + cast({codes_col}[i] as double) * (hi[i] - lo[i]) / 255.0)"
+        )
+    return (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"lo[i] + cast({codes_col}[i] as double) * (hi[i] - lo[i]) / 255.0)"
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, stats: DataFrame, dim: int
+) -> DataFrame:
+    """(id, codes: array<int>) — the stored form. One map-side pass."""
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, F.expr(_sq8_encode_expr(vec_col, dim, "spark")).alias("codes"))
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: reconstruct each corpus vector
+    from its levels inside the scan, cosine against the raw broadcast
+    queries, window top-k. Output (query_id, neighbor_id, cosine, rank)
+    — same contract as brute_force_topk so recall self-evals compose."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    recon = (
+        codes.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_sq8_decode_expr("codes", dim, "spark")).alias("c_vec"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(recon)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(V.cosine("q_vec", "c_vec", "spark")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sq8_oracle_ctes(table: str, id_col: str, vec_col: str, dim: int) -> str:
+    """DuckDB replay: CTE chain ending in ``sq8_recon(neighbor_id,
+    c_vec)`` — stats, encode, reconstruct, identical arithmetic."""
+    lo = ", ".join(f"min(cast({vec_col}[{i + 1}] as double))" for i in range(dim))
+    hi = ", ".join(f"max(cast({vec_col}[{i + 1}] as double))" for i in range(dim))
+    return f"""sq8_stats AS (
+  SELECT [{lo}] AS lo, [{hi}] AS hi FROM {table}
+),
+sq8_codes AS (
+  SELECT {id_col}, {_sq8_encode_expr(vec_col, dim, 'duck')} AS codes
+  FROM {table} CROSS JOIN sq8_stats
+),
+sq8_recon AS (
+  SELECT {id_col} AS neighbor_id, {_sq8_decode_expr('codes', dim, 'duck')} AS c_vec
+  FROM sq8_codes CROSS JOIN sq8_stats
+)"""

@@ -4483,6 +4483,117 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_ann_oracle(k: int, n_queries: int, dim: int) -> str:
+    from dawis_spark.operators.similarity import sq8_oracle_ctes
+
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    return f"""
+WITH {sq8_oracle_ctes('embeddings', 'vec_id', 'embedding', dim)},
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q, sq8_recon WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_sq8", oracle=_sq8_ann_oracle(5, 10, 64))
+def embedding_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) search — FAISS IndexScalarQuantizer shape:
+    per-dimension [lo, hi] levels, one byte per component, asymmetric
+    reconstruct-and-score against the raw query
+    (operators/similarity.py sq8_* design notes).
+
+    Scale: the stored/scanned form is 4x smaller than float32 vectors —
+    at 100 TB that is the difference between an embedding index that
+    fits hot storage and one that doesn't — while the search plan stays
+    the exact-scan shape: stats broadcast as one row, encode and scoring
+    codegen'd inside the corpus scan, only (id, score) pairs shuffle for
+    top-k. SQ8 slots between brute force (no compression) and PQ (64x,
+    lossier) in the quantization family."""
+    from dawis_spark.operators.similarity import sq8_encode, sq8_stats, sq8_topk
+
+    emb = spark.table("embeddings")
+    stats = sq8_stats(emb, "embedding", dim=64)
+    codes = sq8_encode(emb, "vec_id", "embedding", stats, dim=64)
+    return sq8_topk(
+        codes,
+        stats,
+        emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        dim=64,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_sq8_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    approx = _sq8_ann_oracle(k, 10, 64).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS (SELECT * FROM ({approx}))
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_sq8", oracle=_ann_recall_sq8_oracle(5))
+def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ8 asymmetric scan against exact brute force —
+    the quantization family's accuracy dial (expected ≈ 1.0 at 8 bits
+    per dimension; drops appear only when [lo, hi] is stretched by
+    outlier dimensions). Completes the self-eval set: LSH, multiprobe,
+    IVF, PQ, IVFPQ, IVFADC, filtered-IVF, SQ8."""
+    from dawis_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id",
+        vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    stats = sq8_stats(emb, "embedding", dim=64)
+    codes = sq8_encode(emb, "vec_id", "embedding", stats, dim=64)
+    approx = sq8_topk(
+        codes, stats, queries_df, id_col="vec_id", vec_col="embedding",
+        k=5, dim=64,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _bloom_oracle(m: int, d: int) -> str:
     from dawis_spark.operators.bloomjoin import bloom_oracle_ctes, bloom_probe_pred
 

@@ -92,3 +92,49 @@ def test_bloom_probe_is_deterministic_and_selective(spark):
     b = sorted(r["id"] for r in bloom_probe(fact, "k", bloom, m=8192, d=3).collect())
     exact = sorted(r["id"] for r in fact.where("k = 3").collect())
     assert a == b == exact
+
+
+# --- SQ8 scalar quantization (operators/similarity.py sq8_*) --------------
+
+def test_sq8_roundtrip_error_bounded_by_half_level(spark):
+    # reconstruction error of each component is at most half a level:
+    # (hi - lo) / 255 / 2 — the defining property of uniform 8-bit SQ
+    from dawis_spark.operators.similarity import (
+        _sq8_decode_expr, sq8_encode, sq8_stats,
+    )
+
+    rows = [(i, [float(i) * 0.31 % 2.0 - 1.0, float(i * i % 17) / 17.0, 5.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    stats = sq8_stats(df, "embedding", dim=3)
+    codes = sq8_encode(df, "vec_id", "embedding", stats, dim=3)
+    recon = codes.crossJoin(stats).selectExpr(
+        "vec_id", _sq8_decode_expr("codes", 3, "spark") + " AS r"
+    )
+    joined = {r["vec_id"]: r["r"] for r in recon.collect()}
+    lohi = stats.collect()[0]
+    for vid, vec in rows:
+        for i, x in enumerate(vec):
+            span = lohi["hi"][i] - lohi["lo"][i]
+            tol = span / 255.0 / 2.0 + 1e-12
+            assert abs(joined[vid][i] - x) <= tol, (vid, i)
+
+
+def test_sq8_degenerate_dimension_reconstructs_exactly(spark):
+    # a constant dimension (hi == lo) must encode to 0 and decode to lo
+    from dawis_spark.operators.similarity import (
+        _sq8_decode_expr, sq8_encode, sq8_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 7.5]), (2, [2.0, 7.5])], "vec_id bigint, embedding array<double>"
+    )
+    stats = sq8_stats(df, "embedding", dim=2)
+    codes = sq8_encode(df, "vec_id", "embedding", stats, dim=2)
+    vals = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert vals[1][1] == 0 and vals[2][1] == 0
+    recon = codes.crossJoin(stats).selectExpr(
+        "vec_id", _sq8_decode_expr("codes", 2, "spark") + " AS r"
+    )
+    for r in recon.collect():
+        assert r["r"][1] == 7.5
