@@ -4483,6 +4483,73 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int, top_n: int) -> str:
+    from dawis_spark.operators.graph import pagerank_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+{pagerank_oracle_ctes('edges', iterations)}
+SELECT node, rank_scaled,
+       round(CAST(rank_scaled AS DOUBLE) / 1e12, 6) AS rank
+FROM pr
+ORDER BY rank_scaled DESC, node
+LIMIT {top_n}
+"""
+
+
+@query("pagerank_top_nodes", oracle=_pagerank_oracle(3, 20))
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    symmetrized customer↔supplier trade graph — the iterative-algorithm
+    shape (Pregel-style message passing as unrolled DataFrame joins)
+    the relational inventory otherwise lacks.
+
+    Scale: per iteration one edges⋈ranks shuffle join plus one
+    groupBy(dst) — edge-count-bound, with node-count-bound side tables;
+    the edge relation is persisted because every iteration re-reads it
+    (on a cluster it would also be bucketed by src so the iteration
+    joins co-locate). Exact scaled-int64 arithmetic makes the result
+    independent of partitioning and summation order — the property that
+    lets DuckDB replay all three iterations bit-for-bit."""
+    from dawis_spark.operators.graph import pagerank
+
+    pairs = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    return (
+        pagerank(edges, iterations=3)
+        .select(
+            "node",
+            "rank_scaled",
+            F.round(F.col("rank_scaled").cast("double") / 1e12, 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def _sq8_ann_oracle(k: int, n_queries: int, dim: int) -> str:
     from dawis_spark.operators.similarity import sq8_oracle_ctes
 

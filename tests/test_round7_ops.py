@@ -138,3 +138,41 @@ def test_sq8_degenerate_dimension_reconstructs_exactly(spark):
     )
     for r in recon.collect():
         assert r["r"][1] == 7.5
+
+
+# --- Fixed-iteration PageRank (operators/graph.py) ------------------------
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # a symmetrized edge list has no dangling nodes, so total mass stays
+    # SCALE up to integer-division rounding (< 1 ulp-of-SCALE per node
+    # per iteration)
+    from dawis_spark.operators.graph import SCALE, pagerank
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src bigint, dst bigint",
+    )
+    out = pagerank(edges, iterations=3).collect()
+    total = sum(r["rank_scaled"] for r in out)
+    assert abs(total - SCALE) < 3 * len(out) * 3  # n_nodes * iters slack
+    # hub (node 3, degree 3) outranks the leaf (node 5, degree 1)
+    ranks = {r["node"]: r["rank_scaled"] for r in out}
+    assert ranks[3] > ranks[5]
+
+
+def test_pagerank_is_partition_order_invariant(spark):
+    # exact integer arithmetic: any physical layout gives bit-identical
+    # ranks (the property float PageRank lacks)
+    from dawis_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 7 + 1) % 23) for i in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src bigint, dst bigint",
+    )
+    a = {r["node"]: r["rank_scaled"]
+         for r in pagerank(edges.repartition(1), iterations=2).collect()}
+    b = {r["node"]: r["rank_scaled"]
+         for r in pagerank(edges.repartition(17, "dst"), iterations=2).collect()}
+    assert a == b
