@@ -4483,6 +4483,72 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampled_quantiles_oracle(rate_ppm: int, pcts: list[int]) -> str:
+    from dawis_spark.operators.sketches import hash_sample_pred, rank_quantile_ctes
+
+    pred = hash_sample_pred(
+        "l_orderkey || '-' || l_linenumber", rate_ppm, "duck"
+    )
+    return f"""
+WITH samp AS (
+  SELECT l_returnflag, l_extendedprice FROM lineitem WHERE {pred}
+),
+{rank_quantile_ctes('samp', ['l_returnflag'], 'l_extendedprice', pcts, 'sq')},
+{rank_quantile_ctes('lineitem', ['l_returnflag'], 'l_extendedprice', pcts, 'xq')}
+SELECT s.l_returnflag, s.pct,
+       s.n AS sample_n, s.value AS est_value, x.value AS exact_value,
+       round(abs(s.value - x.value) / x.value, 6) AS rel_error
+FROM sq s JOIN xq x ON s.l_returnflag = x.l_returnflag AND s.pct = x.pct
+ORDER BY s.l_returnflag, s.pct
+"""
+
+
+@query("sampled_quantiles", oracle=_sampled_quantiles_oracle(50000, [50, 90, 99]))
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic 5% hash sample
+    (operators/sketches.py rank_quantiles design notes), scored against
+    the exact nearest-rank quantiles.
+
+    Scale: an exact per-group quantile sorts the FULL group — at 100 TB
+    that is the dominant shuffle+sort of any summary pipeline. The
+    hash-sample predicate evaluates inside the scan (codegen, no
+    shuffle), so the sort sees 5% of the rows for a rank error of
+    O(1/√(0.05·n)); membership is a pure function of the row id, making
+    the estimate reproducible across runs, partitionings, and engines
+    (the oracle replays the exact sample), and coordinated across
+    tables — the join-synopses property rand()-sampling lacks."""
+    from dawis_spark.operators.sketches import hash_sample_pred, rank_quantiles
+
+    li = spark.table("lineitem")
+    pred = hash_sample_pred("l_orderkey || '-' || l_linenumber", 50000, "spark")
+    samp = li.where(F.expr(pred))
+    est = rank_quantiles(samp, ["l_returnflag"], "l_extendedprice", [50, 90, 99])
+    exact = rank_quantiles(li, ["l_returnflag"], "l_extendedprice", [50, 90, 99])
+    return (
+        est.select(
+            "l_returnflag",
+            "pct",
+            F.col("n").alias("sample_n"),
+            F.col("value").alias("est_value"),
+        )
+        .join(
+            exact.select(
+                "l_returnflag", "pct", F.col("value").alias("exact_value")
+            ),
+            ["l_returnflag", "pct"],
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("est_value") - F.col("exact_value"))
+                / F.col("exact_value"),
+                6,
+            ),
+        )
+        .orderBy("l_returnflag", "pct")
+    )
+
+
 def _pagerank_oracle(iterations: int, top_n: int) -> str:
     from dawis_spark.operators.graph import pagerank_oracle_ctes
 

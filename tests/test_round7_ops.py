@@ -176,3 +176,29 @@ def test_pagerank_is_partition_order_invariant(spark):
     b = {r["node"]: r["rank_scaled"]
          for r in pagerank(edges.repartition(17, "dst"), iterations=2).collect()}
     assert a == b
+
+
+# --- Deterministic-sample quantiles (operators/sketches.py) ---------------
+
+def test_rank_quantiles_known_values(spark):
+    from dawis_spark.operators.sketches import rank_quantiles
+
+    # 0..100 in one group: nearest-rank(lower) p50 -> rank 51 -> value 50
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(101)], "k string, v double"
+    )
+    out = {r["pct"]: r["value"]
+           for r in rank_quantiles(df, ["k"], "v", [0, 50, 99, 100]).collect()}
+    assert out == {0: 0.0, 50: 50.0, 99: 99.0, 100: 100.0}
+
+
+def test_hash_sample_is_layout_invariant_and_close_to_rate(spark):
+    from dawis_spark.operators.sketches import hash_sample_pred
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(20000)], "id bigint")
+    pred = hash_sample_pred("id", 100000, "spark")  # 10%
+    n1 = df.where(F.expr(pred)).count()
+    n2 = df.repartition(13).where(F.expr(pred)).count()
+    assert n1 == n2  # membership is a function of the data, not layout
+    assert 0.08 < n1 / 20000 < 0.12  # realized rate near nominal
