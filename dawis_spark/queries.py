@@ -4483,6 +4483,38 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_oracle(n_features: int) -> str:
+    from dawis_spark.operators.classifier import classifier_oracle_ctes
+
+    return f"""
+WITH {classifier_oracle_ctes('documents', 'doc_id', 'text', n_features)}
+SELECT doc_id, n_tokens, score, mean_w, label
+FROM clf ORDER BY doc_id
+"""
+
+
+@query("quality_classifier_scores", oracle=_classifier_oracle(4096))
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference over the corpus
+    (operators/classifier.py) — the fasttext-shaped quality-filter pass
+    of an LLM data pipeline, with a deterministic stand-in weight
+    vector (a trained artifact drops into the same plan).
+
+    Scale: the model is ONE broadcast row; scoring is a codegen'd fold
+    inside the document scan — zero shuffle, zero UDF, vs the
+    token-explode + weights-join plan whose shuffle exceeds the corpus
+    size at 100 TB (module design notes)."""
+    from dawis_spark.operators.classifier import classify, pseudo_weights
+
+    docs = spark.table("documents")
+    w = pseudo_weights(spark, 4096)
+    return (
+        classify(docs, "doc_id", "text", w, n_features=4096)
+        .select("doc_id", "n_tokens", "score", "mean_w", "label")
+        .orderBy("doc_id")
+    )
+
+
 def _sampled_quantiles_oracle(rate_ppm: int, pcts: list[int]) -> str:
     from dawis_spark.operators.sketches import hash_sample_pred, rank_quantile_ctes
 

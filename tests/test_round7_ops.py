@@ -202,3 +202,43 @@ def test_hash_sample_is_layout_invariant_and_close_to_rate(spark):
     n2 = df.repartition(13).where(F.expr(pred)).count()
     assert n1 == n2  # membership is a function of the data, not layout
     assert 0.08 < n1 / 20000 < 0.12  # realized rate near nominal
+
+
+# --- Hashed-feature linear classifier (operators/classifier.py) -----------
+
+def test_classifier_score_is_sum_of_token_bucket_weights(spark):
+    from dawis_spark.operators.classifier import (
+        classify, pseudo_weights, _bucket, _W_GEN,
+    )
+    from pyspark.sql import functions as F
+
+    w = pseudo_weights(spark, 64)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           classify(docs, "doc_id", "text", w, n_features=64).collect()}
+    # hand-compute: bucket each token with the same exprs, index weights
+    wlist = w.collect()[0]["w"]
+    buckets = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], "t string"
+        ).select("t", F.expr(_bucket("t", 64, "spark")).alias("b")).collect()
+    }
+    assert out[1]["score"] == 2 * wlist[buckets["alpha"]] + wlist[buckets["beta"]]
+    assert out[1]["n_tokens"] == 3
+    assert out[2]["n_tokens"] == 0 and out[2]["score"] == 0
+    assert out[2]["mean_w"] is None
+    assert out[3]["label"] == (wlist[buckets["gamma"]] > 0)
+
+
+def test_classifier_weights_are_zero_mean_ish(spark):
+    # the stand-in generator must not be degenerate (all-positive would
+    # make the threshold label constant)
+    from dawis_spark.operators.classifier import pseudo_weights
+
+    wlist = pseudo_weights(spark, 4096).collect()[0]["w"]
+    assert min(wlist) < -400 and max(wlist) > 400
+    assert abs(sum(wlist)) / 4096 < 30
