@@ -4867,7 +4867,14 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose code changed this round come first, then a rotating tail of
 # recently-driver-checked ones. Everything stays oracle-checked either way.
 DRIVER_PRIORITY: list[str] = [
-    # added or oracle-touched this round — must be driver-checked
+    # added this round — must be driver-checked
+    "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
+    "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
+    "ann_recall_sq8",             # new: SQ8 recall self-eval
+    "pagerank_top_nodes",         # new: fixed-iteration integer PageRank
+    "sampled_quantiles",          # new: deterministic-sample rank quantiles
+    "quality_classifier_scores",  # new: hashed-feature linear classifier
+    # added or oracle-touched earlier this round — must be driver-checked
     "embedding_filtered_ann_ivf",  # new: composed filtered ANN (pushed filter + IVF)
     "ann_recall_filtered_ivf",     # new: recall self-eval for the composition
     "embedding_ann_ivf_trained",   # kmeans oracle CTE gained the training-sample prefix
@@ -4914,14 +4921,12 @@ DRIVER_PRIORITY: list[str] = [
     "pii_redaction",
     "asof_last_click",
     "hypertable_rollup",
-    "incremental_rollup_2ticks",
     "ann_recall_lsh",
     "ann_recall_lsh_multiprobe",
-    "salted_skew_join",
-    "chunk_documents",
-    "corpus_filter_pipeline",
-    "source_quality_rollup",
-    "session_window_agg",
+    # rotated out to keep the driver prefix at 50 after the six round-7
+    # additions (still verified by the local full-inventory sweep):
+    # salted_skew_join, chunk_documents, corpus_filter_pipeline,
+    # source_quality_rollup, session_window_agg, incremental_rollup_2ticks
 ]
 
 

@@ -127,3 +127,48 @@ def test_kmv_single_bounded_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInPandas" in plan
+
+
+def test_bloom_probe_filters_before_any_exchange(spark):
+    """The bloom probe's value is map-side pruning: the membership test
+    must sit inside the fact scan stage (a Filter with the forall
+    predicate below the first Exchange), not after a shuffle."""
+    from dawis_spark.operators.bloomjoin import bloom_build, bloom_probe
+
+    register_testdata(spark, SF_DIR)
+    keys = spark.table("supplier").select("s_suppkey").limit(5)
+    bloom = bloom_build(keys, "s_suppkey", m=128, d=2)
+    probed = bloom_probe(spark.table("lineitem"), "l_suppkey", bloom, m=128, d=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the filter references the broadcast bloom array, and the fact side
+    # reaches it without a shuffle exchange in between
+    fact_side = plan.split("Scan parquet")[0]
+    assert "forall" in plan
+    assert "Exchange hashpartitioning" not in fact_side
+
+
+def test_classifier_is_single_scan_no_shuffle(spark):
+    """Classifier inference must stay inside the document scan: one
+    parquet scan, no hash-partition exchange anywhere (the only allowed
+    exchanges are the broadcast of the model row and the final sort)."""
+    plan = _plan(spark, "quality_classifier_scores")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pagerank_broadcasts_node_count_not_edges(spark):
+    """The iteration joins shuffle edge/rank relations; the node-count
+    row must ride a broadcast, and no cartesian product may appear."""
+    plan = _plan(spark, "pagerank_top_nodes")
+    assert "BroadcastNestedLoopJoin" in plan  # the single-row crossJoins
+    assert "CartesianProduct" not in plan
+
+
+def test_sampled_quantiles_sample_predicate_inside_scan_stage(spark):
+    """The 5% hash-sample filter must evaluate before the window sort's
+    exchange — the whole point is that the sort sees only the sample."""
+    plan = _plan(spark, "sampled_quantiles")
+    # the filter appears under the scan (same stage), i.e. before the
+    # first hashpartitioning exchange in the plan text for that subtree
+    assert "% 1000000) < 50000" in plan.replace("\n", " ")
