@@ -655,3 +655,66 @@ def test_semantic_dup_index_join_shuffles_batch_side_only(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_stream_kmv_matches_batch_sketch_over_history(spark, tmp_path):
+    """The defining property of a mergeable sketch in stream state:
+    after two ticks, the running estimate equals the BATCH kmv_distinct
+    over the concatenation of both ticks' rows (same hashes, same
+    truncation, same estimator)."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.operators.sketches import kmv_distinct
+    from dawis_spark.streaming.sketch import stream_kmv_distinct
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("etype", T.StringType()),
+            T.StructField("uid", T.StringType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_kmv_distinct(
+                staging_stream(spark, staging, schema), "etype", "uid", k=8
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t1 = [("view", f"u{i}") for i in range(12)] + [("click", "u1")]
+    t2 = [("view", f"u{i}") for i in range(6, 20)] + [("click", "u2")]
+
+    def batch_rows(rows):
+        batch = spark.createDataFrame(rows, schema)
+        return {
+            r["etype"]: (r["n_kept"], round(r["estimate"], 6))
+            for r in kmv_distinct(batch, ["etype"], "uid", k=8).collect()
+        }
+
+    tick(t1)
+    tick(t2)
+    # the sink holds one emission per key per tick; the emission set must
+    # equal { batch-sketch(t1), batch-sketch(t1+t2) } per key — i.e. each
+    # tick's running figure is exactly the batch answer over the history
+    out = spark.read.parquet(sink).toPandas()
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault(r["etype"], set()).add(
+            (int(r["n_kept"]), round(float(r["estimate"]), 6))
+        )
+    after_t1 = batch_rows(t1)
+    after_t2 = batch_rows(t1 + t2)
+    for etype in ("view", "click"):
+        assert got[etype] == {after_t1[etype], after_t2[etype]}, etype
