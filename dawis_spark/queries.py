@@ -4483,6 +4483,96 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coordinated_sample_oracle(rate_ppm: int) -> str:
+    from dawis_spark.operators.sketches import hash_sample_pred
+
+    scale = 1_000_000 / rate_ppm
+    o_pred = hash_sample_pred("o_orderkey", rate_ppm, "duck")
+    l_pred = hash_sample_pred("l_orderkey", rate_ppm, "duck")
+    return f"""
+WITH o_samp AS (SELECT * FROM orders WHERE {o_pred}),
+l_samp AS (SELECT * FROM lineitem WHERE {l_pred}),
+est AS (
+  SELECT l_returnflag,
+         COUNT(*) AS sample_rows,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) * {scale}, 2) AS est_revenue
+  FROM l_samp JOIN o_samp ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS exact_revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, sample_rows, est_revenue, exact_revenue,
+       ROUND(abs(est_revenue - exact_revenue) / exact_revenue, 6) AS rel_error
+FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag
+ORDER BY e.l_returnflag
+"""
+
+
+@query("coordinated_sample_join", oracle=_coordinated_sample_oracle(50000))
+def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing join over COORDINATED hash samples
+    (Join Synopses, Acharya et al. 1999): both orders and lineitem are
+    sampled by the SAME deterministic hash of the order key, so the join
+    of the samples IS a 5% sample of the join — two independent 5%
+    samples would intersect on only 0.25% of the join and estimate
+    nothing. Revenue scales by 1/rate; rel_error is the self-eval.
+
+    Scale: both sample predicates evaluate inside their scans; the join
+    and aggregation touch 5% of each input — the standard 20-400x
+    speedup dial for exploratory aggregates over a 100 TB fact join,
+    with the hash-coordination (unlike rand()) keeping it correct and
+    reproducible. Deterministic membership is also what lets the oracle
+    replay the exact sample."""
+    from dawis_spark.operators.sketches import hash_sample_pred
+
+    rate_ppm = 50000
+    scale = 1_000_000 / rate_ppm
+    o = spark.table("orders").where(
+        F.expr(hash_sample_pred("o_orderkey", rate_ppm, "spark"))
+    )
+    li = spark.table("lineitem").where(
+        F.expr(hash_sample_pred("l_orderkey", rate_ppm, "spark"))
+    )
+    est = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("sample_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * F.lit(scale),
+                2,
+            ).alias("est_revenue"),
+        )
+    )
+    exact = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("exact_revenue")
+        )
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("est_revenue") - F.col("exact_revenue"))
+                / F.col("exact_revenue"),
+                6,
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _classifier_oracle(n_features: int) -> str:
     from dawis_spark.operators.classifier import classifier_oracle_ctes
 
@@ -4874,6 +4964,7 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_top_nodes",         # new: fixed-iteration integer PageRank
     "sampled_quantiles",          # new: deterministic-sample rank quantiles
     "quality_classifier_scores",  # new: hashed-feature linear classifier
+    "coordinated_sample_join",    # new: AQP join over coordinated hash samples
     # added or oracle-touched earlier this round — must be driver-checked
     "embedding_filtered_ann_ivf",  # new: composed filtered ANN (pushed filter + IVF)
     "ann_recall_filtered_ivf",     # new: recall self-eval for the composition
@@ -4922,11 +5013,11 @@ DRIVER_PRIORITY: list[str] = [
     "asof_last_click",
     "hypertable_rollup",
     "ann_recall_lsh",
-    "ann_recall_lsh_multiprobe",
-    # rotated out to keep the driver prefix at 50 after the six round-7
+    # rotated out to keep the driver prefix at 50 after the seven round-7
     # additions (still verified by the local full-inventory sweep):
     # salted_skew_join, chunk_documents, corpus_filter_pipeline,
-    # source_quality_rollup, session_window_agg, incremental_rollup_2ticks
+    # source_quality_rollup, session_window_agg, incremental_rollup_2ticks,
+    # ann_recall_lsh_multiprobe
 ]
 
 

@@ -242,3 +242,24 @@ def test_classifier_weights_are_zero_mean_ish(spark):
     wlist = pseudo_weights(spark, 4096).collect()[0]["w"]
     assert min(wlist) < -400 and max(wlist) > 400
     assert abs(sum(wlist)) / 4096 < 30
+
+
+def test_coordinated_sample_keeps_whole_order_groups(spark):
+    # join-synopses property: sampling BOTH sides by the same hash of the
+    # join key keeps every child row of a sampled parent — the sampled
+    # join equals the join of the full tables filtered by parent sample
+    from dawis_spark.operators.sketches import hash_sample_pred
+    from pyspark.sql import functions as F
+
+    parents = spark.createDataFrame([(i,) for i in range(500)], "ok bigint")
+    children = spark.createDataFrame(
+        [(i, j) for i in range(500) for j in range(3)], "ok bigint, ln bigint"
+    )
+    pred_p = hash_sample_pred("ok", 200000, "spark")
+    ps = parents.where(F.expr(pred_p))
+    cs = children.where(F.expr(pred_p))
+    joined = cs.join(ps, "ok")
+    # every sampled parent contributes ALL 3 children
+    per_parent = joined.groupBy("ok").count().collect()
+    assert per_parent and all(r["count"] == 3 for r in per_parent)
+    assert joined.count() == ps.count() * 3
