@@ -464,3 +464,26 @@ def mixture_weights(
             .alias("budget_docs"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame, group_col: str, id_col: str, rates: DataFrame
+) -> DataFrame:
+    """Materialize a data mixture: keep each row iff the uniformized
+    hash of its id falls under its group's sampling rate — the step that
+    turns ``mixture_weights``'s ratios into an actual rebalanced corpus.
+
+    ``rates`` is (group_col, rate_ppm) — domain-count-sized, broadcast.
+    Membership is a pure function of (id, group rate): the sample is
+    reproducible across runs/engines/layouts, composable with the
+    coordinated-sampling property of hash_sample_pred (same id ⇒ same
+    draw in every table), and REFRESH-STABLE — re-running after an
+    upstream append keeps every previously-sampled row (no resample
+    churn in downstream shards), which rand()-per-row sampling cannot
+    offer. Evaluates inside the scan after a broadcast join; no shuffle.
+    """
+    from dawis_spark.operators.sketches import _mixed_sql
+
+    h = TXT.char_hash(f"cast({id_col} as string)", "spark")
+    pred = f"({_mixed_sql(h)}) % 1000000 < rate_ppm"
+    return df.join(F.broadcast(rates), group_col).where(F.expr(pred))

@@ -263,3 +263,66 @@ def test_coordinated_sample_keeps_whole_order_groups(spark):
     per_parent = joined.groupBy("ok").count().collect()
     assert per_parent and all(r["count"] == 3 for r in per_parent)
     assert joined.count() == ps.count() * 3
+
+
+# --- SCD2 dimension maintenance (operators/scd.py) ------------------------
+
+def test_scd2_apply_close_insert_passthrough(spark):
+    from dawis_spark.operators.scd import scd2_apply
+    from pyspark.sql import functions as F
+
+    cur = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 00:00:00", None, True),
+            (1, "OLD", "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+            (2, "B", "2024-01-01 00:00:00", None, True),
+        ],
+        "k bigint, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (3, "C")], "k bigint, attr string"
+    )
+    out = scd2_apply(cur, upd, ["k"], ["attr"], "2024-06-01 00:00:00")
+    rows = sorted(
+        ((r["k"], r["attr"], r["is_current"], r["valid_to"] is None)
+         for r in out.collect())
+    )
+    assert rows == sorted([
+        (1, "OLD", False, False),     # closed history untouched
+        (1, "A", False, False),       # changed: closed at batch ts
+        (1, "A2", True, True),        # changed: new open version
+        (2, "B", True, True),         # unchanged: passes through open
+        (3, "C", True, True),         # new key: inserted open
+    ])
+    # the closed A row carries the batch timestamp
+    closed_a = [r for r in out.collect()
+                if r["k"] == 1 and r["attr"] == "A" and not r["is_current"]][0]
+    assert str(closed_a["valid_to"]).startswith("2024-06-01")
+
+
+def test_scd2_apply_is_idempotent_on_reapply(spark):
+    # re-applying the SAME update batch to the new state changes nothing
+    # (the exactly-once property foreachBatch redelivery relies on)
+    from dawis_spark.operators.scd import scd2_apply
+    from pyspark.sql import functions as F
+
+    cur = spark.createDataFrame(
+        [(1, "A", "2024-01-01 00:00:00", None, True)],
+        "k bigint, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame([(1, "A2")], "k bigint, attr string")
+    once = scd2_apply(cur, upd, ["k"], ["attr"], "2024-06-01 00:00:00")
+    twice = scd2_apply(once, upd, ["k"], ["attr"], "2024-06-01 00:00:00")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
