@@ -47,28 +47,34 @@ MOD = TXT.MOD
 _ROUNDS = ((48271, 11), (69621, 137))
 
 
-def _mixed(expr: str) -> str:
-    out = expr
-    for a, b in _ROUNDS:
-        out = f"((({out}) * ({out}) + {a} * ({out}) + {b}) % {MOD})"
-    return out
-
-
 def _coeffs(d: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 97 * i + 13) for i in range(d)]
 
 
 def _positions_sql(key_expr: str, m: int, d: int, dialect: str) -> str:
-    """Array expression of the d bit positions of ``key_expr``."""
+    """Array expression of the d bit positions of ``key_expr``.
+
+    The char hash and each mixing round are BOUND through one-element
+    transform stages: every round references its input 3x and every
+    position references the mixed value, so naive textual nesting would
+    re-evaluate the O(len) hash fold 3^rounds * d times per row — the
+    expression-blowup trap operators/sketches.py documents."""
     h = TXT.char_hash(
         f"cast({key_expr} as {'string' if dialect == 'spark' else 'varchar'})",
         dialect,
     )
-    mixed = _mixed(h)
-    pos = [f"(({a} * ({mixed}) + {b}) % {MOD}) % {m}" for a, b in _coeffs(d)]
+    pos = [
+        f"cast((({a} * __x + {b}) % {MOD}) % {m} as int)" for a, b in _coeffs(d)
+    ]
     if dialect == "spark":
-        return "array(" + ", ".join(f"cast({p} as int)" for p in pos) + ")"
-    return "[" + ", ".join(f"cast({p} as int)" for p in pos) + "]"
+        out = f"array({h})"
+        for a, b in _ROUNDS:
+            out = f"transform({out}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+        return f"(transform({out}, __x -> array({', '.join(pos)})))[0]"
+    out = f"[{h}]"
+    for a, b in _ROUNDS:
+        out = f"list_transform({out}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+    return f"(list_transform({out}, __x -> [{', '.join(pos)}]))[1]"
 
 
 def bloom_build(keys: DataFrame, key_col: str, m: int = 8192, d: int = 3) -> DataFrame:

@@ -39,13 +39,6 @@ MOD = TXT.MOD
 _ROUNDS = ((48271, 11), (69621, 137))
 
 
-def _mixed(expr: str) -> str:
-    out = expr
-    for a, b in _ROUNDS:
-        out = f"((({out}) * ({out}) + {a} * ({out}) + {b}) % {MOD})"
-    return out
-
-
 # zero-mean integer pseudo-weights: ((48271*b + 11) % 997) - 498
 _W_GEN = "((48271 * b + 11) % 997) - 498"
 
@@ -62,24 +55,42 @@ def pseudo_weights(spark: SparkSession, n_features: int) -> DataFrame:
     )
 
 
+def _buckets_expr(toks_expr: str, n_features: int, dialect: str) -> str:
+    """Array of token buckets: hash each token ONCE, then mix and
+    reduce mod n_features through chained transforms — each stage binds
+    its input, so the O(len) per-token hash fold evaluates once per
+    token instead of 3^rounds times (the expression-blowup trap
+    operators/sketches.py documents)."""
+    if dialect == "spark":
+        out = f"transform({toks_expr}, t -> {TXT.char_hash('t', dialect)})"
+        for a, b in _ROUNDS:
+            out = f"transform({out}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+        return f"transform({out}, __x -> __x % {n_features})"
+    out = f"list_transform({toks_expr}, t -> {TXT.char_hash('t', dialect)})"
+    for a, b in _ROUNDS:
+        out = f"list_transform({out}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+    return f"list_transform({out}, __x -> __x % {n_features})"
+
+
 def _bucket(tok_expr: str, n_features: int, dialect: str) -> str:
-    h = TXT.char_hash(tok_expr, dialect)
-    return f"({_mixed(h)}) % {n_features}"
+    """Single-token bucket (used by tests to hand-check scores)."""
+    wrapped = f"array({tok_expr})" if dialect == "spark" else f"[{tok_expr}]"
+    arr = _buckets_expr(wrapped, n_features, dialect)
+    return f"({arr})[{0 if dialect == 'spark' else 1}]"
 
 
 def score_expr(text_col: str, n_features: int, dialect: str) -> str:
     """int64 score: sum of bucket weights over the token bag. ``w`` must
     be in scope (the broadcast model row)."""
     toks = TXT.tokens(text_col, dialect)
+    buckets = _buckets_expr(toks, n_features, dialect)
     if dialect == "spark":
         return (
-            f"aggregate({toks}, cast(0 as bigint), "
-            f"(s, t) -> s + w[{_bucket('t', n_features, dialect)}])"
+            f"aggregate({buckets}, cast(0 as bigint), (s, b) -> s + w[b])"
         )
     return (
         f"list_reduce(list_prepend(cast(0 as bigint), "
-        f"list_transform({toks}, "
-        f"t -> cast(w[({_bucket('t', n_features, dialect)}) + 1] as bigint))), "
+        f"list_transform({buckets}, b -> cast(w[b + 1] as bigint))), "
         f"(s, v) -> s + v)"
     )
 

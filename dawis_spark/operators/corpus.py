@@ -485,5 +485,5 @@ def mixture_sample(
     from dawis_spark.operators.sketches import _mixed_sql
 
     h = TXT.char_hash(f"cast({id_col} as string)", "spark")
-    pred = f"({_mixed_sql(h)}) % 1000000 < rate_ppm"
+    pred = f"({_mixed_sql(h, 'spark')}) % 1000000 < rate_ppm"
     return df.join(F.broadcast(rates), group_col).where(F.expr(pred))

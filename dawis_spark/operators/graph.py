@@ -56,8 +56,17 @@ def pagerank(
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     nodes = src_nodes.union(dst_nodes).distinct()
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if iterations > 1:
+        # every iteration re-reads nodes (rank rebuild) and deg (contribution
+        # division); without a persist the unrolled plan recomputes the
+        # node-distinct and degree shuffles once PER ITERATION from the raw
+        # edge list — the iterative-algorithm caching GraphX applies, made
+        # explicit (node/edge-count bounded state, never larger than the
+        # relations the iterations already shuffle)
+        nodes = nodes.persist()
+        deg = deg.persist()
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", F.expr(f"cast({SCALE} as bigint) div n").alias("r")

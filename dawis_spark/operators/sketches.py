@@ -379,14 +379,26 @@ def hash_sample_pred(id_expr: str, rate_ppm: int, dialect: str) -> str:
     """Boolean SQL: row is in the deterministic sample (rate_ppm/1e6)."""
     cast_t = "string" if dialect == "spark" else "varchar"
     h = TXT.char_hash(f"cast({id_expr} as {cast_t})", dialect)
-    return f"({_mixed_sql(h)}) % 1000000 < {rate_ppm}"
+    return f"({_mixed_sql(h, dialect)}) % 1000000 < {rate_ppm}"
 
 
-def _mixed_sql(expr: str) -> str:
-    out = expr
+def _mixed_sql(expr: str, dialect: str = "spark") -> str:
+    """The KMV uniformizing rounds as ONE scalar expression with the
+    input BOUND through one-element transform stages. Each round
+    references its input 3x, so naive textual nesting would evaluate the
+    input (an O(len) char-hash fold at most call sites) 9x per row —
+    the expression-blowup lesson the _KMV_ROUNDS projections encode,
+    here for call sites that need a single predicate instead of extra
+    projections."""
+    if dialect == "spark":
+        out = f"array({expr})"
+        for a, b in _KMV_ROUNDS:
+            out = f"transform({out}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+        return f"({out})[0]"
+    out = f"[{expr}]"
     for a, b in _KMV_ROUNDS:
-        out = f"((({out}) * ({out}) + {a} * ({out}) + {b}) % {MOD})"
-    return out
+        out = f"list_transform({out}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+    return f"({out})[1]"
 
 
 def rank_quantiles(

@@ -4588,7 +4588,7 @@ rates AS (
 ),
 samp AS (
   SELECT d.source FROM documents d JOIN rates r ON d.source = r.source
-  WHERE ({_mixed_sql(h)}) % 1000000 < r.rate_ppm
+  WHERE ({_mixed_sql(h, 'duck')}) % 1000000 < r.rate_ppm
 )
 SELECT r.source, r.n_docs, r.budget_docs, r.rate_ppm,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS sampled_docs,
