@@ -189,3 +189,42 @@ def test_capped_dup_diff_is_prefix_of_parity(spark, n_rows, n_values, cap):
     assert set(parity) == set(capped)
     for key, full in parity.items():
         assert capped[key] == full[:cap], key
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_mixed_hash_dual_rendering_agrees(values):
+    """The uniformized hash (_mixed_sql) must produce identical values in
+    Spark's and DuckDB's renderings — the property every deterministic
+    sample/bloom/classifier oracle stands on."""
+    import duckdb
+
+    from dawis_spark.functions.text import char_hash
+    from dawis_spark.operators.sketches import _mixed_sql
+
+    duck_expr = _mixed_sql(char_hash("v", "duck"), "duck")
+    con = duckdb.connect()
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {duck_expr} FROM (SELECT unnest(?) AS v)", [values]
+        ).fetchall()
+    ]
+    # pure-python replay of the spark rendering's math (same integers)
+    MOD = 1_000_000_007
+    out = []
+    for v in values:
+        h = 0
+        for c in v:
+            h = (h * 31 + ord(c)) % MOD
+        for a, b in ((48271, 11), (69621, 137)):
+            h = (h * h + a * h + b) % MOD
+        out.append(h)
+    assert duck == out
