@@ -4483,6 +4483,83 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _matryoshka_oracle(k: int, n_queries: int, prefix_dim: int) -> str:
+    exact = _embedding_topk_oracle(k, n_queries).strip()
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    approx = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding[1:{prefix_dim}] AS q_vec
+           FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding[1:{prefix_dim}] AS c_vec
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+approx_r AS ({approx})
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+  ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_at_k
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_matryoshka", oracle=_matryoshka_oracle(5, 10, 16))
+def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of search over the 16-dim PREFIX of the embeddings
+    against full 64-dim exact search — the Matryoshka-representation
+    dial (Kusupati et al. 2022): when embeddings are trained
+    prefix-nested, truncation is a 4x compute/storage cut with a
+    measurable recall cost, and this query IS that measurement on the
+    corpus at hand.
+
+    Scale: dimension truncation composes with every other path in the
+    family (IVF probing, PQ codes, SQ8 levels all shrink 4x with the
+    prefix); the scan/score plan is brute_force_topk's — the truncation
+    itself is a zero-cost projection inside the scan."""
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    trunc = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    exact = brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = brute_force_topk(
+        corpus=trunc, queries=trunc.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5,
+    ).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_nid").cast("bigint").alias("hits"),
+            F.round(F.count("a_nid").cast("double") / F.lit(5), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _scd2_oracle() -> str:
     from dawis_spark.operators.scd import scd2_oracle_ctes
 
@@ -5132,6 +5209,7 @@ DRIVER_PRIORITY: list[str] = [
     "coordinated_sample_join",    # new: AQP join over coordinated hash samples
     "mixture_sampled_corpus",     # new: materialized mixture sample
     "scd2_dimension_load",        # new: SCD2 dimension maintenance
+    "ann_recall_matryoshka",      # new: truncated-prefix recall dial
     # added or oracle-touched earlier this round — must be driver-checked
     "embedding_filtered_ann_ivf",  # new: composed filtered ANN (pushed filter + IVF)
     "ann_recall_filtered_ivf",     # new: recall self-eval for the composition
@@ -5176,13 +5254,13 @@ DRIVER_PRIORITY: list[str] = [
     "c4_line_quality",
     "tfidf_top_terms",
     "bm25_search",
-    "pii_redaction",
     "asof_last_click",
     # rotated out to keep the driver prefix at 50 after the nine round-7
     # additions (still verified by the local full-inventory sweep):
     # salted_skew_join, chunk_documents, corpus_filter_pipeline,
     # source_quality_rollup, session_window_agg, incremental_rollup_2ticks,
-    # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup
+    # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
+    # pii_redaction
 ]
 
 
