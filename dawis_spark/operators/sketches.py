@@ -461,3 +461,109 @@ def rank_quantile_ctes(
          r.{value_col} AS value
   FROM {prefix}_targets t JOIN {prefix}_ranked r ON {on} AND t.t = r.rn
 )"""
+
+
+def rank_quantiles_select(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    pcts: list[int],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed selection: the same nearest-rank quantiles as
+    ``rank_quantiles`` (identical values by construction — both return
+    the t-th smallest), without its scalability flaw.
+
+    The window form partitions the sort BY GROUP KEY, so its parallelism
+    equals the group count — three return-flags means three tasks sort
+    a 100 TB table's worth of rows. Selection instead:
+
+      1. per-group min/max/count — one map-side-partial aggregate;
+      2. range-bucket every row into ``n_buckets`` equal-width buckets
+         and count per (group, bucket) — the only full-data exchange
+         carries group×bucket COUNTS, not rows;
+      3. walk the cumulative counts (group×bucket-sized, window over a
+         tiny relation) to find, for each target rank t, its bucket and
+         the residual offset within it;
+      4. re-scan ONLY the rows of chosen buckets (a broadcast semi
+         filter — a vanishing fraction for any non-degenerate value
+         distribution) and row_number within (group, bucket): the sort
+         touches bucket-sized slices with parallelism group×bucket.
+
+    Degenerate distributions (a bucket holding most of a group — e.g.
+    near-constant values) degrade toward the window form's cost but
+    never past it. This is the classic two-pass distributed selection
+    (Blum et al. selection networks adapted to range partitioning; the
+    same shape Spark's approxQuantile uses with sketches instead of an
+    exact second pass).
+    """
+    from pyspark.sql import Window
+
+    src = df.select(*key_cols, value_col)
+    stats = src.groupBy(*key_cols).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bexpr = (
+        f"case when __hi = __lo then 0 else least({n_buckets - 1}, "
+        f"cast(floor((cast({value_col} as double) - cast(__lo as double)) "
+        f"/ (cast(__hi as double) - cast(__lo as double)) * {n_buckets}) as int)) end"
+    )
+    bucketed = (
+        src.join(F.broadcast(stats), key_cols)
+        .withColumn("__b", F.expr(bexpr))
+        .select(*key_cols, value_col, "__b")
+    )
+    bcounts = bucketed.groupBy(*key_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__bc")
+    )
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bcounts.withColumn("__cum", F.sum("__bc").over(wcum))
+    targets = (
+        stats.select(
+            *key_cols,
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct"),
+        )
+        .withColumn("__t", F.expr("(pct * (n - 1)) div 100 + 1"))
+    )
+    # bucket containing rank t: smallest __b with cum >= t
+    tcond = [targets[c] == cum[c] for c in key_cols] + [
+        targets["__t"] <= cum["__cum"]
+    ]
+    chosen = (
+        targets.join(cum, tcond)
+        .groupBy(*[targets[c] for c in key_cols], "pct", "n", "__t")
+        .agg(F.min(F.struct("__b", "__cum", "__bc")).alias("__sel"))
+        .select(
+            *key_cols,
+            "pct",
+            "n",
+            "__t",
+            F.col("__sel.__b").alias("__b"),
+            (F.col("__t") - (F.col("__sel.__cum") - F.col("__sel.__bc")))
+            .alias("__off"),
+        )
+    )
+    picked_buckets = chosen.select(*key_cols, "__b").distinct()
+    wb = Window.partitionBy(*key_cols, "__b").orderBy(value_col)
+    candidates = (
+        bucketed.join(F.broadcast(picked_buckets), [*key_cols, "__b"])
+        .withColumn("__rnb", F.row_number().over(wb))
+    )
+    ch, ca = chosen.alias("__ch"), candidates.alias("__ca")
+    ccond = [F.col(f"__ch.{c}") == F.col(f"__ca.{c}") for c in key_cols] + [
+        F.col("__ch.__b") == F.col("__ca.__b"),
+        F.col("__ch.__off") == F.col("__ca.__rnb"),
+    ]
+    return ch.join(ca, ccond).select(
+        *[F.col(f"__ch.{c}") for c in key_cols],
+        F.col("__ch.pct").alias("pct"),
+        F.col("__ch.n").alias("n"),
+        F.col(f"__ca.{value_col}").alias("value"),
+    )

@@ -4881,13 +4881,24 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate reproducible across runs, partitionings, and engines
     (the oracle replays the exact sample), and coordinated across
     tables — the join-synopses property rand()-sampling lacks."""
-    from dawis_spark.operators.sketches import hash_sample_pred, rank_quantiles
+    from dawis_spark.operators.sketches import (
+        hash_sample_pred,
+        rank_quantiles,
+        rank_quantiles_select,
+    )
 
     li = spark.table("lineitem")
     pred = hash_sample_pred("l_orderkey || '-' || l_linenumber", 50000, "spark")
     samp = li.where(F.expr(pred))
     est = rank_quantiles(samp, ["l_returnflag"], "l_extendedprice", [50, 90, 99])
-    exact = rank_quantiles(li, ["l_returnflag"], "l_extendedprice", [50, 90, 99])
+    # exact baseline via distributed SELECTION, not the per-group window
+    # sort: with 3 groups the window form's parallelism is 3 at any data
+    # size; selection shuffles bucket COUNTS and sorts only the chosen
+    # buckets (values identical by construction, so the window-form
+    # oracle SQL still replays this side exactly)
+    exact = rank_quantiles_select(
+        li, ["l_returnflag"], "l_extendedprice", [50, 90, 99]
+    )
     return (
         est.select(
             "l_returnflag",

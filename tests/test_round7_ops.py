@@ -326,3 +326,24 @@ def test_scd2_apply_is_idempotent_on_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_rank_quantiles_select_equals_window_form(spark):
+    # the distributed-selection algorithm must return EXACTLY the same
+    # nearest-rank values as the window implementation, including on
+    # degenerate distributions (constant group, tiny group, heavy ties)
+    from dawis_spark.operators.sketches import rank_quantiles, rank_quantiles_select
+
+    rows = (
+        [("a", float(i % 97) * 1.5) for i in range(2000)]     # heavy ties
+        + [("b", 42.0)] * 50                                  # constant
+        + [("c", float(i) ** 1.3 - 300.0) for i in range(333)]
+        + [("d", 7.0)]                                        # single row
+    )
+    df = spark.createDataFrame(rows, "k string, v double").repartition(13)
+    for pcts in ([50], [0, 25, 50, 75, 90, 99, 100]):
+        a = sorted(map(tuple, rank_quantiles(df, ["k"], "v", pcts).collect()))
+        b = sorted(map(tuple,
+                       rank_quantiles_select(df, ["k"], "v", pcts,
+                                             n_buckets=16).collect()))
+        assert a == b, pcts
