@@ -107,3 +107,110 @@ def stream_kmv_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Streaming count-min + heavy-hitter candidates ------------------------
+#
+# The batch count-min sketch (operators/sketches.cm_sketch) estimates
+# frequencies over a finished table; the streaming form keeps the d x w
+# counter table in stream state — counters are additive, so the
+# micro-batch merge is cell-wise addition and the state equals the batch
+# sketch of the concatenated history (same equivalence property as the
+# KMV state above, same dual-rendered hashing). Because a CM sketch
+# alone cannot enumerate its heavy hitters (it answers point queries),
+# the state also carries the classic companion candidate set: the top-M
+# values by estimated count seen so far (the CM+heap construction,
+# Cormode & Muthukrishnan 2005 §4) — update a value's estimate from the
+# refreshed counters when it appears in a batch, keep the best M.
+# State per group: d*w int64 counters + M (value, estimate) pairs —
+# bounded forever.
+
+_CM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.ArrayType(T.LongType()), True),
+        T.StructField("cand_vals", T.ArrayType(T.StringType()), True),
+        T.StructField("cand_ests", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def stream_cm_heavy_hitters(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 512,
+    top_m: int = 10,
+) -> DataFrame:
+    """Running heavy hitters per key over a stream: one row per key per
+    candidate per micro-batch — (key, value, cm_estimate, rank)."""
+    import numpy as np
+
+    from dawis_spark.operators.sketches import _cm_coeffs
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(value_col, T.StringType()),
+            T.StructField("cm_estimate", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    coeffs = _cm_coeffs(d)
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch: list = []
+        for pdf in pdfs:
+            batch.extend(str(v) for v in pdf[value_col].tolist())
+        if state.exists:
+            counters_l, cand_vals, cand_ests = state.get
+            counters = np.asarray(counters_l, dtype=np.int64).reshape(d, w)
+            cands = dict(zip(cand_vals, cand_ests))
+        else:
+            counters = np.zeros((d, w), dtype=np.int64)
+            cands = {}
+        uniq = sorted(set(batch))
+        hs = _np_mix(np.asarray(np_char_hash_batch(uniq), dtype=np.int64))
+        hmap = dict(zip(uniq, (int(h) for h in hs)))
+        for v in batch:
+            h = hmap[v]
+            for i, (a, b) in enumerate(coeffs):
+                counters[i, ((a * h + b) % MOD) % w] += 1
+        # refresh estimates for every value this batch touched, then trim
+        for v in uniq:
+            h = hmap[v]
+            cands[v] = min(
+                int(counters[i, ((a * h + b) % MOD) % w])
+                for i, (a, b) in enumerate(coeffs)
+            )
+        top = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))[:top_m]
+        state.update(
+            (
+                [int(x) for x in counters.ravel()],
+                [v for v, _ in top],
+                [int(e) for _, e in top],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [str(key[0])] * len(top),
+                value_col: [v for v, _ in top],
+                "cm_estimate": [e for _, e in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=_CM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -347,3 +347,27 @@ def test_rank_quantiles_select_equals_window_form(spark):
                        rank_quantiles_select(df, ["k"], "v", pcts,
                                              n_buckets=16).collect()))
         assert a == b, pcts
+
+
+def test_scd2_apply_multi_key_multi_tracked(spark):
+    from dawis_spark.operators.scd import scd2_apply
+    from pyspark.sql import functions as F
+
+    cur = spark.createDataFrame(
+        [(1, "x", "A", 10, "2024-01-01 00:00:00", None, True),
+         (1, "y", "B", 20, "2024-01-01 00:00:00", None, True)],
+        "k1 bigint, k2 string, a string, b bigint, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k1", "k2", "a", "b",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame(
+        [(1, "x", "A", 11),   # b changed
+         (1, "y", "B", 20)],  # unchanged
+        "k1 bigint, k2 string, a string, b bigint",
+    )
+    out = scd2_apply(cur, upd, ["k1", "k2"], ["a", "b"], "2024-06-01 00:00:00")
+    got = sorted((r["k2"], r["b"], r["is_current"]) for r in out.collect())
+    assert got == [("x", 10, False), ("x", 11, True), ("y", 20, True)]

@@ -718,3 +718,72 @@ def test_stream_kmv_matches_batch_sketch_over_history(spark, tmp_path):
     after_t2 = batch_rows(t1 + t2)
     for etype in ("view", "click"):
         assert got[etype] == {after_t1[etype], after_t2[etype]}, etype
+
+
+def test_stream_cm_heavy_hitters_match_batch_sketch(spark, tmp_path):
+    """Counters are additive, so after two ticks the state equals the
+    batch cm_sketch of the concatenation: the final tick's estimates for
+    its candidates must equal batch cm_estimate over the whole history,
+    and the realized top candidate must be the true heavy hitter."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.operators.sketches import cm_estimate, cm_sketch
+    from dawis_spark.streaming.sketch import stream_cm_heavy_hitters
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("tok", T.StringType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_cm_heavy_hitters(
+                staging_stream(spark, staging, schema), "grp", "tok",
+                d=3, w=64, top_m=4,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t1 = [("g", "apple")] * 9 + [("g", f"x{i}") for i in range(6)]
+    t2 = [("g", "apple")] * 5 + [("g", "pear")] * 11 + [("g", "x1")]
+    tick(t1)
+    tick(t2)
+    out = spark.read.parquet(sink).toPandas()
+    # tick-2 emission = the rows whose estimates reflect the full history;
+    # identify it as the rows where pear appears (pear only exists in t2)
+    tick2 = out[out["tok"].isin(["pear"])]
+    assert len(tick2) == 1
+    # batch replay over the concatenated history
+    hist = spark.createDataFrame(t1 + t2, schema).select("tok")
+    sketch = cm_sketch(hist, "tok", d=3, w=64)
+    probes = spark.createDataFrame([("apple",), ("pear",)], "tok string")
+    batch_est = {
+        r["tok"]: r["cm_estimate"]
+        for r in cm_estimate(sketch, probes, "tok", d=3, w=64).collect()
+    }
+    # the final emission's estimates equal the batch sketch's
+    apple_final = max(
+        r["cm_estimate"] for _, r in out.iterrows() if r["tok"] == "apple"
+    )
+    assert apple_final == batch_est["apple"] >= 14
+    pear_rows = [r["cm_estimate"] for _, r in out.iterrows() if r["tok"] == "pear"]
+    assert pear_rows and pear_rows[0] == batch_est["pear"]
+    # true heavy hitter ranks first in the final emission
+    final_rank1 = [
+        r["tok"] for _, r in out.iterrows()
+        if r["rank"] == 1 and r["cm_estimate"] == apple_final
+    ]
+    assert "apple" in final_rank1
