@@ -79,7 +79,10 @@ def stream_kmv_distinct(
     ) -> Iterator[pd.DataFrame]:
         values: set = set()
         for pdf in pdfs:
-            values.update(str(v) for v in pdf[value_col].tolist())
+            # match the batch operator's NULL contract: cast-to-string of
+            # NULL is NULL and collect_set drops it, so nulls never enter
+            # the sketch there — drop them here too
+            values.update(str(v) for v in pdf[value_col].dropna().tolist())
         hs = np.asarray(np_char_hash_batch(sorted(values)), dtype=np.int64)
         hs = _np_mix(hs)
         if state.exists:
@@ -165,7 +168,9 @@ def stream_cm_heavy_hitters(
     ) -> Iterator[pd.DataFrame]:
         batch: list = []
         for pdf in pdfs:
-            batch.extend(str(v) for v in pdf[value_col].tolist())
+            # NULL contract as in stream_kmv_distinct: batch cm_sketch's
+            # cast-to-string keeps NULL out of the counters
+            batch.extend(str(v) for v in pdf[value_col].dropna().tolist())
         if state.exists:
             counters_l, cand_vals, cand_ests = state.get
             counters = np.asarray(counters_l, dtype=np.int64).reshape(d, w)
