@@ -550,6 +550,11 @@ def rank_quantiles_select(
             .alias("__off"),
         )
     )
+    # ``chosen`` (groups x pcts rows) feeds BOTH the picked-bucket filter
+    # and the final offset join; without materialization Spark would
+    # recompute its lineage — including the full bucket-count scan — once
+    # per branch
+    chosen = chosen.persist()
     picked_buckets = chosen.select(*key_cols, "__b").distinct()
     wb = Window.partitionBy(*key_cols, "__b").orderBy(value_col)
     candidates = (

@@ -172,3 +172,24 @@ def test_sampled_quantiles_sample_predicate_inside_scan_stage(spark):
     # the filter appears under the scan (same stage), i.e. before the
     # first hashpartitioning exchange in the plan text for that subtree
     assert "% 1000000) < 50000" in plan.replace("\n", " ")
+
+
+def test_selection_quantiles_sort_only_chosen_buckets(spark):
+    """rank_quantiles_select's big win: the full-data exchanges are the
+    bucket-count aggregation (map-side partial, group×bucket-bounded)
+    and the candidate filter join must be a broadcast (picked buckets),
+    so the row_number sort only ever sees chosen-bucket rows."""
+    from dawis_spark.operators.sketches import rank_quantiles_select
+
+    register_testdata(spark, SF_DIR)
+    df = spark.table("lineitem")
+    out = rank_quantiles_select(df, ["l_returnflag"], "l_extendedprice", [50, 99])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # picked-bucket semi filter
+    assert "CartesianProduct" not in plan
+    # one in-bucket rank window, and the twice-referenced ``chosen``
+    # relation reads from cache (its count-scan lineage prints under an
+    # InMemoryTableScan, not as a second live scan pipeline)
+    import re
+    assert len(re.findall(r"Window \[row_number", plan)) == 1
+    assert "InMemoryTableScan" in plan
