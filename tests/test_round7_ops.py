@@ -1,5 +1,8 @@
 """Round-7 fixes and operators: semantic_dedup dim forwarding + empty
-guard (ADVICE r6), composed filtered ANN."""
+guard (ADVICE r6), composed filtered ANN, Bloom runtime join pruning,
+SQ8 scalar quantization, integer PageRank, deterministic hash samples
+(rank quantiles incl. the distributed-selection exact path, coordinated
+AQP joins), hashed-feature classifier, SCD2 maintenance."""
 
 from pyspark.sql import functions as F
 
