@@ -4483,6 +4483,59 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_filter_oracle(shingle_k: int, t_num: int, t_den: int) -> str:
+    sh = _TXT.shingle_hashes("text", shingle_k, "duck")
+    jac = _TXT.jaccard("a.sh", "b.sh", "duck")
+    plen = f"len(ks) - CAST(({t_num} * len(ks) + {t_den} - 1) // {t_den} AS INT) + 1"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sh}) AS h FROM documents
+),
+dft AS (SELECT h, COUNT(*) AS df_t FROM tok GROUP BY h),
+keyed AS (
+  SELECT doc_id, d.df_t * {_TXT.MOD} + t.h AS key
+  FROM tok t JOIN dft d USING (h)
+),
+docs_k AS (SELECT doc_id, list_sort(list(key)) AS ks FROM keyed GROUP BY doc_id),
+pref AS (
+  SELECT doc_id, unnest(list_slice(ks, 1, {plen})) AS key FROM docs_k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b USING (key) WHERE a.doc_id < b.doc_id
+),
+sh_t AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT id_a, id_b, ROUND({jac}, 6) AS jaccard
+FROM cand
+JOIN sh_t a ON id_a = a.doc_id
+JOIN sh_t b ON id_b = b.doc_id
+WHERE ROUND({jac}, 6) >= CAST({t_num} AS DOUBLE) / {t_den}
+ORDER BY id_a, id_b
+"""
+
+
+@query("prefix_filter_similar", oracle=_prefix_filter_oracle(3, 3, 10))
+def prefix_filter_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join via prefix filtering (operators/
+    dedup.py prefix_filter_pairs — the AllPairs/SSJoin family): every
+    document pair with 3-gram Jaccard ≥ 0.3, no LSH recall loss, no
+    all-pairs.
+
+    Scale: the completeness-preserving alternative to the MinHash-LSH
+    route when recall must be exactly 1 — candidate volume is bounded
+    by rare-first PREFIX postings (frequent tokens never generate
+    candidates), the df-ordering needs no global sort (composite
+    ``df*MOD + h`` key), and verification joins hash arrays by pair id
+    via shuffle-hash. The LSH route stays the default for throughput;
+    this is the audit-grade path."""
+    from dawis_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        spark.table("documents"), "doc_id", "text",
+        shingle_k=3, t_num=3, t_den=10,
+    ).orderBy("id_a", "id_b")
+
+
 def _matryoshka_oracle(k: int, n_queries: int, prefix_dim: int) -> str:
     exact = _embedding_topk_oracle(k, n_queries).strip()
     cos = _VEC.cosine("q_vec", "c_vec", "duck")
@@ -5221,6 +5274,7 @@ DRIVER_PRIORITY: list[str] = [
     "mixture_sampled_corpus",     # new: materialized mixture sample
     "scd2_dimension_load",        # new: SCD2 dimension maintenance
     "ann_recall_matryoshka",      # new: truncated-prefix recall dial
+    "prefix_filter_similar",      # new: exact prefix-filtered similarity join
     # added or oracle-touched earlier this round — must be driver-checked
     "embedding_filtered_ann_ivf",  # new: composed filtered ANN (pushed filter + IVF)
     "ann_recall_filtered_ivf",     # new: recall self-eval for the composition
@@ -5263,7 +5317,6 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_docs",
     "repetition_signals",
     "c4_line_quality",
-    "tfidf_top_terms",
     "bm25_search",
     "asof_last_click",
     # rotated out to keep the driver prefix at 50 after the nine round-7
@@ -5271,7 +5324,7 @@ DRIVER_PRIORITY: list[str] = [
     # salted_skew_join, chunk_documents, corpus_filter_pipeline,
     # source_quality_rollup, session_window_agg, incremental_rollup_2ticks,
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
-    # pii_redaction
+    # pii_redaction, tfidf_top_terms
 ]
 
 

@@ -374,3 +374,41 @@ def test_scd2_apply_multi_key_multi_tracked(spark):
     out = scd2_apply(cur, upd, ["k1", "k2"], ["a", "b"], "2024-06-01 00:00:00")
     got = sorted((r["k2"], r["b"], r["is_current"]) for r in out.collect())
     assert got == [("x", 10, False), ("x", 11, True), ("y", 20, True)]
+
+
+def test_prefix_filter_is_complete_vs_all_pairs(spark):
+    # prefix filtering must find EVERY pair at/above the threshold —
+    # equivalence against the brute-force all-pairs verify
+    from dawis_spark.operators.dedup import prefix_filter_pairs
+    from dawis_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = [
+        (1, base * 3),
+        (2, base * 3 + "and then some extra tail tokens here"),
+        (3, "completely different words compose this one document body"),
+        (4, base * 2 + "half related suffix material goes here now ok"),
+        (5, "completely different words compose this one document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, "doc_id", "text", 3, 3, 10).collect()
+    }
+    # brute force over the same shingle hashes
+    sh = df.select(
+        "doc_id", F.expr(TXT.shingle_hashes("text", 3, "spark")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = TXT.jaccard("sh_a", "sh_b", "spark")
+    exact = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(F.expr(jac), 6).alias("j"))
+        .filter(F.col("j") >= 0.3)
+        .collect()
+    }
+    assert got == exact and (1, 2) in got and (3, 5) in got
