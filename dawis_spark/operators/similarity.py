@@ -1294,3 +1294,86 @@ sq8_recon AS (
   SELECT {id_col} AS neighbor_id, {_sq8_decode_expr('codes', dim, 'duck')} AS c_vec
   FROM sq8_codes CROSS JOIN sq8_stats
 )"""
+
+
+def refine_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact re-ranking of an ANN candidate set (the FAISS
+    ``IndexRefineFlat`` shape): any first-stage retriever (IVFPQ, LSH,
+    SQ8 — anything emitting (query_id, neighbor_id)) proposes a
+    candidate pool of ~k*refine_factor per query; this stage rescores
+    ONLY those pairs with exact cosine over the raw vectors and keeps
+    the true top-k. Quantization error then costs recall only when a
+    true neighbor misses the pool entirely — ordering mistakes inside
+    the pool are corrected for free.
+
+    Plan: the candidate set is queries x pool-sized (config-scale), so
+    it BROADCASTS into a single corpus scan — the corpus-side vector
+    fetch is a map-side hash probe, no exchange carries a raw vector.
+    The query vectors broadcast the same way. At 100 TB the cost over
+    the first stage is one more corpus scan projecting (id, vec) —
+    or zero extra scans when the corpus is cached/bucketed by id.
+    Output: (query_id, neighbor_id, cosine, rank), exact scores.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rer = (
+        F.broadcast(candidates.select("query_id", "neighbor_id"))
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _cosine_col().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_refine_topk(
+    corpus,
+    queries,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    refine_factor: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    books=None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+):
+    """IVFPQ retrieval + exact refinement (FAISS ``IndexRefineFlat``
+    over ``IndexIVFPQ``): stage 1 scans PQ codes in the probed buckets
+    and keeps the top k*refine_factor per query by ADC score; stage 2
+    re-scores exactly and keeps the true top-k among them. This is the
+    standard production recipe for "PQ compression with near-exact
+    quality": the code budget buys the scan, the refine pass buys back
+    the ordering. Both stages reuse the production operators unchanged.
+    """
+    cand = ivfpq_ann_topk(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=k * refine_factor,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        books=books,
+        centroids=centroids,
+    )
+    return refine_exact(cand, corpus, queries, id_col, vec_col, k=k)

@@ -5252,6 +5252,140 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_refine_oracle(
+    k: int, rf: int, n_queries: int, n_cent: int, n_probe: int, n_sub: int,
+    ds: int, ks: int, dim: int,
+) -> str:
+    """Refined-IVFPQ replay: the full IVFPQ oracle (trained coarse
+    quantizer + PQ train/encode/ADC) retains k*rf candidates, then the
+    candidate pairs re-score with exact cosine over the raw vectors and
+    the true top-k survives — the same two stages the Spark operator
+    composes."""
+    inner = _ivfpq_oracle(k * rf, n_queries, n_cent, n_probe, n_sub, ds, ks, dim).strip()
+    cos = _VEC.cosine("q.vec", "n.vec", "duck")
+    return f"""
+WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
+ev AS (SELECT vec_id, embedding AS vec FROM embeddings),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM cand c
+  JOIN ev q ON q.vec_id = c.query_id
+  JOIN ev n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_refined", oracle=_ivfpq_refine_oracle(5, 3, 10, 16, 4, 4, 16, 16, 64))
+def embedding_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ retrieval + exact re-ranking (FAISS ``IndexRefineFlat``
+    shape, operators/similarity.ivfpq_refine_topk): stage 1 scans PQ
+    codes in 4 probed buckets and keeps top-15 per query by ADC score;
+    stage 2 re-scores ONLY those 15 pairs exactly and keeps the true
+    top-5. The production recipe for compressed-index search with
+    near-exact quality: ADC ordering mistakes inside the pool are
+    corrected for free, and quantization error costs recall only when a
+    true neighbor misses the pool entirely.
+
+    Scale: the candidate set is queries x pool-sized, so the refine pass
+    broadcasts it into one more corpus (id, vec) scan — no exchange
+    carries a raw vector; at 100 TB the refine overhead is a map-side
+    hash probe per corpus row. Oracle replays both stages in one SQL."""
+    from dawis_spark.operators.similarity import ivfpq_refine_topk, pq_train
+
+    emb = spark.table("embeddings")
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
+    return ivfpq_refine_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        refine_factor=3,
+        n_centroids=16,
+        n_probe=4,
+        books=books,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_refined_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    raw = _ivfpq_oracle(k, 10, 16, 4, 4, 16, 16, 64).strip()
+    refined = _ivfpq_refine_oracle(k, 3, 10, 16, 4, 4, 16, 16, 64).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+raw_r AS (SELECT * FROM ({raw})),
+ref_r AS (SELECT * FROM ({refined}))
+SELECT e.query_id,
+  ROUND(CAST(COUNT(r1.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_ivfpq,
+  ROUND(CAST(COUNT(r2.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_refined
+FROM exact_r e
+LEFT JOIN raw_r r1
+  ON e.query_id = r1.query_id AND e.neighbor_id = r1.neighbor_id
+LEFT JOIN ref_r r2
+  ON e.query_id = r2.query_id AND e.neighbor_id = r2.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_refined", oracle=_ann_recall_refined_oracle(5))
+def ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of raw IVFPQ vs refined IVFPQ against exact brute force,
+    per query — the self-eval that justifies the refine stage's extra
+    corpus scan (refined recall must dominate raw: the refine pool is a
+    superset of the raw top-k, re-ranked exactly). One shared quantizer
+    training feeds all approximate sides; the comparison joins are
+    top-k-sized."""
+    from dawis_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_ann_topk,
+        ivfpq_refine_topk,
+        pq_train,
+        train_kmeans,
+    )
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
+    cents = train_kmeans(emb, "vec_id", "embedding", k=16, iterations=1)
+    exact = brute_force_topk(
+        corpus=emb, queries=qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    raw = ivfpq_ann_topk(
+        emb, qs, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4,
+        books=books, centroids=cents,
+    ).select(F.col("query_id").alias("r1_qid"), F.col("neighbor_id").alias("r1_nid"))
+    ref = ivfpq_refine_topk(
+        emb, qs, "vec_id", "embedding", k=5, refine_factor=3,
+        n_centroids=16, n_probe=4, books=books, centroids=cents,
+    ).select(F.col("query_id").alias("r2_qid"), F.col("neighbor_id").alias("r2_nid"))
+    joined = (
+        exact.join(
+            raw,
+            (exact["query_id"] == raw["r1_qid"])
+            & (exact["neighbor_id"] == raw["r1_nid"]),
+            "left",
+        ).join(
+            ref,
+            (F.col("query_id") == F.col("r2_qid"))
+            & (F.col("neighbor_id") == F.col("r2_nid")),
+            "left",
+        )
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.round(F.count("r1_nid").cast("double") / 5, 6).alias("recall_ivfpq"),
+            F.round(F.count("r2_nid").cast("double") / 5, 6).alias("recall_refined"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5264,6 +5398,8 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recently-driver-checked ones. Everything stays oracle-checked either way.
 DRIVER_PRIORITY: list[str] = [
     # added this round — must be driver-checked
+    "embedding_ann_refined",      # new: IVFPQ + exact refine (IndexRefineFlat)
+    "ann_recall_refined",         # new: raw-vs-refined recall self-eval
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5317,14 +5453,13 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_docs",
     "repetition_signals",
     "c4_line_quality",
-    "bm25_search",
-    "asof_last_click",
     # rotated out to keep the driver prefix at 50 after the nine round-7
     # additions (still verified by the local full-inventory sweep):
     # salted_skew_join, chunk_documents, corpus_filter_pipeline,
     # source_quality_rollup, session_window_agg, incremental_rollup_2ticks,
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
-    # pii_redaction, tfidf_top_terms
+    # pii_redaction, tfidf_top_terms; late-session, for the refine pair:
+    # bm25_search, asof_last_click
 ]
 
 

@@ -412,3 +412,40 @@ def test_prefix_filter_is_complete_vs_all_pairs(spark):
         .collect()
     }
     assert got == exact and (1, 2) in got and (3, 5) in got
+
+
+def test_refine_exact_over_full_pool_equals_brute_force(spark):
+    # IndexRefineFlat contract: when the candidate pool contains every
+    # (query, neighbor) pair, exact re-ranking IS brute force — same
+    # neighbors, same exact cosines, same ranks.
+    from dawis_spark.operators.similarity import brute_force_topk, refine_exact
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 2)
+    pool = (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(df.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    got = refine_exact(pool, df, qs, "vec_id", "embedding", k=3).collect()
+    want = brute_force_topk(df, qs, "vec_id", "embedding", k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_refine_exact_stays_inside_the_candidate_pool(spark):
+    # The refine stage may only reorder the pool, never resurrect a
+    # neighbor the first stage pruned.
+    from dawis_spark.operators.similarity import refine_exact
+
+    rows = [(i, [1.0, float(i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qs = df.filter(F.col("vec_id") == 0)
+    pool = spark.createDataFrame(
+        [(0, 3), (0, 4)], "query_id bigint, neighbor_id bigint"
+    )
+    got = refine_exact(pool, df, qs, "vec_id", "embedding", k=5).collect()
+    assert {r["neighbor_id"] for r in got} == {3, 4}
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
