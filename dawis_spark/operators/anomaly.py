@@ -1,0 +1,73 @@
+"""Robust anomaly detection — median/MAD z-scores over grouped metrics.
+
+Extends the reference's threshold alerting (SURVEY §2.5 A5/A6: fixed
+comparison checks per line / per aggregate, reference
+service/check/*) with the statistical variant a monitoring pipeline
+needs once thresholds can't be hand-set per series: flag a point when
+its ROBUST z-score — (x - median) / (1.4826 * MAD) — exceeds a cutoff.
+Median/MAD instead of mean/stddev so the baseline itself is not dragged
+by the outliers it is meant to catch (one traffic spike inflates a
+stddev enough to mask the next one; it moves a median by at most one
+rank). 1.4826 is the usual consistency constant making MAD estimate
+sigma under normality (Hampel 1974; Leys et al. 2013).
+
+Scale shape: callers aggregate the raw stream FIRST (e.g. events ->
+daily counts per series), so the per-series sample this operator sees
+is time-bounded (#days, #hours) — config-scale per group — while the
+number of series can be arbitrarily large. Both medians are exact
+per-group aggregates over those bounded samples; the three hash
+aggregations and two joins all share the series key, so AQE coalesces
+them onto one exchange footprint, and no stage ever materializes
+per-row state beyond the bounded group. The quadratic/holistic cost of
+exact medians is paid only within a bounded group — the same posture as
+the windowed operators (operators/windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MAD -> sigma consistency constant (1 / Phi^-1(3/4)), to 4 decimals as
+# commonly published — the oracle embeds the identical literal.
+MAD_SIGMA = 1.4826
+
+
+def robust_zscores(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-row robust z-score of ``value_col`` within each ``key_cols``
+    group, plus an ``is_anomaly`` flag at ``z_threshold``.
+
+    Output: the input keys and value plus (robust_z double, is_anomaly
+    boolean). A group with MAD = 0 (over half its points identical)
+    yields NULL robust_z and ``is_anomaly = false`` — a degenerate
+    baseline refuses to flag rather than dividing by zero; callers who
+    want "any deviation from a constant series is anomalous" can test
+    ``adev > 0`` themselves.
+
+    Exact two-pass shape: median per group, then median of absolute
+    deviations per group. Deterministic: exact medians (rank-averaged on
+    even counts, identically in Spark and DuckDB), 6-digit rounding on
+    the score.
+    """
+    med = df.groupBy(*key_cols).agg(F.median(value_col).alias("__med"))
+    dev = df.join(med, key_cols).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*key_cols).agg(F.median("__adev").alias("__mad"))
+    z = (F.col(value_col) - F.col("__med")) / F.expr(
+        f"nullif({MAD_SIGMA} * __mad, 0)"
+    )
+    return (
+        dev.join(mad, key_cols)
+        .withColumn("robust_z", F.round(z, 6))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("robust_z")) > z_threshold, F.lit(False)),
+        )
+        .drop("__med", "__adev", "__mad")
+    )

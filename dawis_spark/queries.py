@@ -5386,6 +5386,57 @@ def ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANOMALY_MAD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, median(cnt) AS med FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, d.cnt, d.cnt - m.med AS delta,
+         ABS(d.cnt - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1),
+scored AS (
+  SELECT dv.event_type, dv.day, dv.cnt,
+         ROUND(dv.delta / NULLIF(1.4826 * md.mad, 0), 6) AS robust_z
+  FROM dev dv JOIN mad md USING (event_type)
+)
+SELECT event_type, day, cnt, robust_z,
+       COALESCE(ABS(robust_z) > 3.0, FALSE) AS is_anomaly
+FROM scored
+ORDER BY event_type, day
+"""
+
+
+@query("anomaly_mad_daily", oracle=_ANOMALY_MAD_ORACLE)
+def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection over daily event volumes
+    (operators/anomaly.robust_zscores): per event type, score each day's
+    count by its median/MAD z-score and flag |z| > 3 — the statistical
+    escalation of the reference's fixed-threshold checks (SURVEY §2.5
+    A5/A6) for series where thresholds can't be hand-set.
+
+    Scale: the raw stream aggregates to (series, day) FIRST, so the
+    holistic medians run over time-bounded groups (#days) while the
+    series count scales freely; all three aggregations and both joins
+    share the series key — one exchange footprint under AQE. At 100 TB
+    of events this plan touches the fact table exactly once."""
+    from dawis_spark.operators.anomaly import robust_zscores
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        robust_zscores(daily, ["event_type"], "cnt", z_threshold=3.0)
+        .select("event_type", "day", "cnt", "robust_z", "is_anomaly")
+        .orderBy("event_type", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5400,6 +5451,7 @@ DRIVER_PRIORITY: list[str] = [
     # added this round — must be driver-checked
     "embedding_ann_refined",      # new: IVFPQ + exact refine (IndexRefineFlat)
     "ann_recall_refined",         # new: raw-vs-refined recall self-eval
+    "anomaly_mad_daily",          # new: median/MAD robust anomaly scoring
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5452,14 +5504,14 @@ DRIVER_PRIORITY: list[str] = [
     "dataset_split",
     "stratified_sample_docs",
     "repetition_signals",
-    "c4_line_quality",
     # rotated out to keep the driver prefix at 50 after the nine round-7
     # additions (still verified by the local full-inventory sweep):
     # salted_skew_join, chunk_documents, corpus_filter_pipeline,
     # source_quality_rollup, session_window_agg, incremental_rollup_2ticks,
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
-    # pii_redaction, tfidf_top_terms; late-session, for the refine pair:
-    # bm25_search, asof_last_click
+    # pii_redaction, tfidf_top_terms; late-session, for the refine pair
+    # and the MAD anomaly entry: bm25_search, asof_last_click,
+    # c4_line_quality
 ]
 
 

@@ -449,3 +449,32 @@ def test_refine_exact_stays_inside_the_candidate_pool(spark):
     got = refine_exact(pool, df, qs, "vec_id", "embedding", k=5).collect()
     assert {r["neighbor_id"] for r in got} == {3, 4}
     assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_robust_zscores_known_values_and_flag(spark):
+    # Series A: [10,10,10,10,100] -> median 10, adevs [0,0,0,0,90],
+    # MAD = 0 ... that's the degenerate case; use a spread series instead:
+    # [8,9,10,11,100]: median 10, adevs [2,1,0,1,90] -> MAD 1,
+    # z(100) = 90/1.4826 = 60.7041, z(8) = -2/1.4826 = -1.349,
+    # so only 100 flags at |z| > 3.
+    from dawis_spark.operators.anomaly import robust_zscores
+
+    rows = [("a", v) for v in (8, 9, 10, 11, 100)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    out = {r["v"]: r for r in robust_zscores(df, ["k"], "v").collect()}
+    assert out[100]["is_anomaly"] and not out[8]["is_anomaly"]
+    assert abs(out[100]["robust_z"] - round(90 / 1.4826, 6)) < 1e-9
+    assert abs(out[8]["robust_z"] - round(-2 / 1.4826, 6)) < 1e-9
+
+
+def test_robust_zscores_mad_zero_group_never_flags(spark):
+    # Over half the points identical -> MAD 0: z is NULL and the flag is
+    # false for every row, including the wild outlier (documented
+    # degenerate-baseline contract).
+    from dawis_spark.operators.anomaly import robust_zscores
+
+    rows = [("a", v) for v in (5, 5, 5, 5, 1000)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    out = robust_zscores(df, ["k"], "v").collect()
+    assert all(r["robust_z"] is None for r in out)
+    assert all(r["is_anomaly"] is False for r in out)
