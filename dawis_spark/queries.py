@@ -5437,6 +5437,57 @@ def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS b0, MAX(day) AS b1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(b0, b1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.day, d.total
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day, total,
+  last_value(total IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+  total IS NULL AS is_gap
+FROM j ORDER BY user_id, day
+"""
+
+
+@query("gapfill_daily_user_value", oracle=_GAPFILL_ORACLE)
+def gapfill_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily value series with gap filling
+    (operators/gapfill.gapfill_locf): generate each user's own date
+    spine over [first, last] active day, left-join the observed daily
+    totals, carry the last observation forward, and flag generated rows
+    — the TimescaleDB ``time_bucket_gapfill + locf`` shape that makes
+    downstream period joins and anomaly scoring see one row per
+    (series, day).
+
+    Scale: the spine explodes per key from a bounded per-key range (no
+    global calendar cross join); bounds agg, spine join, and the LOCF
+    window all share the user key. At 100 TB the fact table is read
+    once into the daily rollup and everything after is rollup-sized."""
+    from dawis_spark.operators.gapfill import gapfill_locf
+
+    daily = (
+        spark.table("events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return (
+        gapfill_locf(daily, ["user_id"], "day", "total", step="1 day")
+        .select("user_id", "day", "total", "filled", "is_gap")
+        .orderBy("user_id", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5452,6 +5503,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_refined",      # new: IVFPQ + exact refine (IndexRefineFlat)
     "ann_recall_refined",         # new: raw-vs-refined recall self-eval
     "anomaly_mad_daily",          # new: median/MAD robust anomaly scoring
+    "gapfill_daily_user_value",   # new: date-spine gap fill + LOCF
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5503,7 +5555,6 @@ DRIVER_PRIORITY: list[str] = [
     "benchmark_contamination",
     "dataset_split",
     "stratified_sample_docs",
-    "repetition_signals",
     # rotated out to keep the driver prefix at 50 after the nine round-7
     # additions (still verified by the local full-inventory sweep):
     # salted_skew_join, chunk_documents, corpus_filter_pipeline,
@@ -5511,7 +5562,7 @@ DRIVER_PRIORITY: list[str] = [
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
     # pii_redaction, tfidf_top_terms; late-session, for the refine pair
     # and the MAD anomaly entry: bm25_search, asof_last_click,
-    # c4_line_quality
+    # c4_line_quality; for the gap-fill entry: repetition_signals
 ]
 
 

@@ -478,3 +478,42 @@ def test_robust_zscores_mad_zero_group_never_flags(spark):
     out = robust_zscores(df, ["k"], "v").collect()
     assert all(r["robust_z"] is None for r in out)
     assert all(r["is_anomaly"] is False for r in out)
+
+
+def test_gapfill_locf_fills_and_flags_missing_buckets(spark):
+    from datetime import datetime
+
+    from dawis_spark.operators.gapfill import gapfill_locf
+
+    rows = [
+        ("a", datetime(2024, 1, 1), 10.0),
+        ("a", datetime(2024, 1, 4), 40.0),   # 2nd+3rd missing
+        ("b", datetime(2024, 1, 2), 7.0),    # single day: no gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, day timestamp, v double")
+    out = gapfill_locf(df, ["k"], "day", "v").orderBy("k", "day").collect()
+    a = [r for r in out if r["k"] == "a"]
+    assert [r["day"].day for r in a] == [1, 2, 3, 4]
+    assert [r["is_gap"] for r in a] == [False, True, True, False]
+    assert [r["filled"] for r in a] == [10.0, 10.0, 10.0, 40.0]
+    assert [r["v"] for r in a] == [10.0, None, None, 40.0]
+    b = [r for r in out if r["k"] == "b"]
+    assert len(b) == 1 and not b[0]["is_gap"] and b[0]["filled"] == 7.0
+
+
+def test_gapfill_locf_spine_is_per_key_not_global(spark):
+    # Key spans must not leak into each other: a key active only in
+    # March gets no January rows even though another key was.
+    from datetime import datetime
+
+    from dawis_spark.operators.gapfill import gapfill_locf
+
+    rows = [
+        ("jan", datetime(2024, 1, 1), 1.0),
+        ("jan", datetime(2024, 1, 2), 2.0),
+        ("mar", datetime(2024, 3, 9), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, day timestamp, v double")
+    out = gapfill_locf(df, ["k"], "day", "v").collect()
+    assert {(r["k"], r["day"].month) for r in out} == {("jan", 1), ("mar", 3)}
+    assert len(out) == 3
