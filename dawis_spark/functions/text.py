@@ -213,3 +213,43 @@ def _np_token_hash(token: str, mod: int = MOD) -> int:
     for c in token:
         h = (h * 31 + ord(c)) % mod
     return h
+
+
+def token_hash_array(col: str, dialect: str) -> str:
+    """Per-token char hashes of ``col``, in token order (no distinct)."""
+    toks = tokens(col, dialect)
+    if dialect == "spark":
+        return f"transform({toks}, t -> {char_hash('t', dialect)})"
+    return f"list_transform({toks}, t -> {char_hash('t', dialect)})"
+
+
+def window_hash_structs(h_ref: str, k: int, dialect: str) -> str:
+    """POSITIONED rolling window hashes over a token-hash array: one
+    (pos, wh) struct per k-token window, pos 0-based, wh the base-131
+    Horner combine of k consecutive token hashes — ``shingle_hashes``'s
+    inner combine WITHOUT the distinct, keeping every occurrence and its
+    offset. The exact-substring span detector (operators/dedup.
+    duplicated_spans) needs positions to merge runs of duplicated
+    windows into maximal spans; set-semantics consumers should keep
+    using ``shingle_hashes``.
+
+    ``h_ref`` must be a simple column reference (it is repeated k
+    times — bind ``token_hash_array`` in its own projection first,
+    KMV-rounds style, or the expression tree k-plicates the whole
+    token-hash fold)."""
+    if dialect == "spark":
+        combine = f"{h_ref}[i]"
+        for j in range(1, k):
+            combine = f"(({combine}) * 131 + {h_ref}[i + {j}]) % {MOD}"
+        return (
+            f"case when size({h_ref}) < {k} then array() "
+            f"else transform(sequence(0, size({h_ref}) - {k}), "
+            f"i -> struct(i as pos, ({combine}) as wh)) end"
+        )
+    combine = f"{h_ref}[i + 1]"
+    for j in range(1, k):
+        combine = f"(({combine}) * 131 + {h_ref}[i + {j + 1}]) % {MOD}"
+    return (
+        f"list_transform(range(0, greatest(len({h_ref}) - {k - 1}, 0)), "
+        f"i -> {{'pos': i, 'wh': ({combine})}})"
+    )

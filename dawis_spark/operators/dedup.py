@@ -584,3 +584,62 @@ def prefix_filter_pairs(
         .select("id_a", "id_b", F.round(F.expr(jac), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= t_num / t_den)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span whose ``window_k``-token windows ALL occur
+    at least ``min_occurrences`` times across the corpus (within-doc
+    repeats count — the paper's suffix-array semantics flags any
+    repeated substring, not only cross-document ones). The paper builds
+    a suffix array; the distributed re-expression is rolling window
+    hashes + a frequency join — the standard trade (suffix arrays don't
+    shard; window hashes shuffle 8 bytes per token).
+
+    Stages: (1) map-side positioned rolling hashes, one (doc, pos, wh)
+    row per window — bodies never leave the scan; (2) frequency count
+    per wh + semi join back (both shuffle only 8-byte hashes);
+    (3) per-doc gaps-and-islands merge of consecutive duplicated
+    positions into maximal spans (window per doc, state bounded by doc
+    length). Hash collisions (~n_windows²/2M) can bridge two spans or
+    flag a singleton; exact span verification would re-read the two
+    bodies — the standard post-filter, omitted as the FP rate at corpus
+    scale stays below shingle-MinHash's by construction.
+
+    Output: (id, span_start, span_end, n_windows) with token offsets,
+    0-based, ``span_end`` exclusive: span length = span_end -
+    span_start = n_windows + window_k - 1.
+    """
+    from pyspark.sql import Window
+
+    th = TXT.token_hash_array(text_col, "spark")
+    wh = TXT.window_hash_structs("__th", window_k, "spark")
+    windows = (
+        docs.select(F.col(id_col), F.expr(th).alias("__th"))
+        .select(id_col, F.explode(F.expr(wh)).alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    )
+    freq = windows.groupBy("wh").agg(F.count(F.lit(1)).alias("__n"))
+    dup = windows.join(
+        freq.filter(F.col("__n") >= min_occurrences).select("wh"),
+        "wh",
+        "left_semi",
+    )
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    islands = dup.withColumn("__grp", F.col("pos") - rn)
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window_k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__grp")
+    )

@@ -5488,6 +5488,51 @@ def gapfill_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_spans_oracle(k: int) -> str:
+    th = _TXT.token_hash_array("text", "duck")
+    whs = _TXT.window_hash_structs("h", k, "duck")
+    return f"""
+WITH th AS (SELECT doc_id, {th} AS h FROM documents),
+w0 AS (SELECT doc_id, unnest({whs}) AS u FROM th),
+w AS (SELECT doc_id, u.pos AS pos, u.wh AS wh FROM w0),
+freq AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+dup AS (SELECT doc_id, pos FROM w WHERE wh IN (SELECT wh FROM freq)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k} AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
+@query("duplicated_spans", oracle=_dup_spans_oracle(8))
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.duplicated_spans;
+    Lee et al. 2021 suffix-array dedup re-expressed distributed): every
+    maximal token span whose 8-token windows all repeat somewhere in the
+    corpus — the span-level complement to document-level MinHash dedup
+    (boilerplate, license headers, copied passages inside otherwise
+    unique docs).
+
+    Scale: bodies reduce to (doc, pos, 8-byte hash) in the scan; the
+    frequency count and semi join shuffle hashes only; the island merge
+    windows per doc. At 100 TB this is the only known shuffle-friendly
+    form — a suffix array would need a global sort of every suffix."""
+    from dawis_spark.operators.dedup import duplicated_spans
+
+    return (
+        duplicated_spans(
+            spark.table("documents"), "doc_id", "text", window_k=8
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5504,6 +5549,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_refined",         # new: raw-vs-refined recall self-eval
     "anomaly_mad_daily",          # new: median/MAD robust anomaly scoring
     "gapfill_daily_user_value",   # new: date-spine gap fill + LOCF
+    "duplicated_spans",           # new: exact substring-span dedup
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5551,7 +5597,6 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_near_dups",
     "events_following_1h",
     "vocab_top_tokens",
-    "doc_packing_shards",
     "benchmark_contamination",
     "dataset_split",
     "stratified_sample_docs",
@@ -5562,7 +5607,8 @@ DRIVER_PRIORITY: list[str] = [
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
     # pii_redaction, tfidf_top_terms; late-session, for the refine pair
     # and the MAD anomaly entry: bm25_search, asof_last_click,
-    # c4_line_quality; for the gap-fill entry: repetition_signals
+    # c4_line_quality; for the gap-fill + span-dedup entries:
+    # repetition_signals, doc_packing_shards
 ]
 
 

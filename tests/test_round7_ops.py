@@ -517,3 +517,44 @@ def test_gapfill_locf_spine_is_per_key_not_global(spark):
     out = gapfill_locf(df, ["k"], "day", "v").collect()
     assert {(r["k"], r["day"].month) for r in out} == {("jan", 1), ("mar", 3)}
     assert len(out) == 3
+
+
+def test_duplicated_spans_merges_maximal_run(spark):
+    # Two docs share the 6-token run "a b c d e f"; with k=3 windows the
+    # duplicated windows are positions 0..3 in doc 1 (offset 1 in doc 2)
+    # and must merge into ONE maximal span of length 6, not four 3-token
+    # spans.
+    from dawis_spark.operators.dedup import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f x y z"),
+        (2, "q a b c d e f w"),
+        (3, "totally different tokens here entirely now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(df, "doc_id", "text", window_k=3).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_windows"]) == (0, 6, 4)
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_windows"]) == (1, 7, 4)
+
+
+def test_duplicated_spans_counts_within_doc_repeats(spark):
+    # A phrase repeated inside ONE doc is a duplicated span too (the
+    # paper's suffix-array semantics), and disjoint repeats stay two
+    # separate spans.
+    from dawis_spark.operators.dedup import duplicated_spans
+
+    rows = [(1, "x one two three a b c x one two three y")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sorted(
+        duplicated_spans(df, "doc_id", "text", window_k=3).collect(),
+        key=lambda r: r["span_start"],
+    )
+    # "x one two three" repeats at offsets 0 and 7 -> windows {0,1} and
+    # {7,8} duplicated, merged into two disjoint 4-token spans.
+    assert len(out) == 2
+    assert (out[0]["span_start"], out[0]["span_end"]) == (0, 4)
+    assert (out[1]["span_start"], out[1]["span_end"]) == (7, 11)
