@@ -5533,6 +5533,57 @@ def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_oracle(m: int) -> str:
+    from dawis_spark.operators.dsir import feature_buckets_expr
+
+    feats = feature_buckets_expr("text", m, "duck")
+    return f"""
+WITH tgt AS (SELECT {feats} AS f FROM documents WHERE source = 'src0'),
+raw AS (SELECT doc_id, {feats} AS f FROM documents WHERE source != 'src0'),
+ctc AS (SELECT b, COUNT(*) AS c FROM (SELECT unnest(f) AS b FROM tgt) GROUP BY b),
+crc AS (SELECT b, COUNT(*) AS c FROM (SELECT unnest(f) AS b FROM raw) GROUP BY b),
+tots AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM ctc) AS t_tot,
+                (SELECT COALESCE(SUM(c), 0) FROM crc) AS r_tot),
+lam AS (
+  SELECT gs.b AS b,
+         ROUND(ln((COALESCE(tc.c, 0) + 1.0) / (t.t_tot + {m}))
+             - ln((COALESCE(rc.c, 0) + 1.0) / (t.r_tot + {m})), 6) AS lam
+  FROM range(0, {m}) gs(b)
+  LEFT JOIN ctc tc ON tc.b = gs.b
+  LEFT JOIN crc rc ON rc.b = gs.b
+  CROSS JOIN tots t
+),
+lamv AS (SELECT list(lam ORDER BY b) AS lv FROM lam)
+SELECT doc_id, len(f) AS n_feats,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(f, b -> lv[b + 1])), (s, v) -> s + v), 6) AS log_ir
+FROM raw, lamv
+ORDER BY doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle(1024))
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py; Xie et al. 2023): score
+    every raw document by its log importance ratio under hashed
+    unigram+bigram bag models of the target slice (source src0) vs the
+    raw corpus — the principled replacement for a hand-tuned quality
+    threshold when "quality" means "looks like this target set".
+
+    Scale: model estimation is two m-bounded bucket-count aggregations
+    (partial agg keeps the exchange at m rows per task); the fused
+    log-ratio vector is ONE driver-side literal array and scoring is a
+    codegen'd fold inside the raw scan — the classifier plan, zero
+    shuffle. Oracle replays estimation AND scoring in one SQL."""
+    from dawis_spark.operators.dsir import dsir_scores, dsir_train
+
+    docs = spark.table("documents")
+    tgt = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    lam = dsir_train(tgt, raw, "text", m=1024)
+    return dsir_scores(raw, "doc_id", "text", lam, m=1024).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5550,6 +5601,7 @@ DRIVER_PRIORITY: list[str] = [
     "anomaly_mad_daily",          # new: median/MAD robust anomaly scoring
     "gapfill_daily_user_value",   # new: date-spine gap fill + LOCF
     "duplicated_spans",           # new: exact substring-span dedup
+    "dsir_importance_weights",    # new: DSIR hashed-ngram importance scoring
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5596,7 +5648,6 @@ DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_topk",
     "embedding_near_dups",
     "events_following_1h",
-    "vocab_top_tokens",
     "benchmark_contamination",
     "dataset_split",
     "stratified_sample_docs",
@@ -5607,8 +5658,8 @@ DRIVER_PRIORITY: list[str] = [
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
     # pii_redaction, tfidf_top_terms; late-session, for the refine pair
     # and the MAD anomaly entry: bm25_search, asof_last_click,
-    # c4_line_quality; for the gap-fill + span-dedup entries:
-    # repetition_signals, doc_packing_shards
+    # c4_line_quality; for the gap-fill + span-dedup + DSIR entries:
+    # repetition_signals, doc_packing_shards, vocab_top_tokens
 ]
 
 

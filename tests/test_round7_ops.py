@@ -558,3 +558,32 @@ def test_duplicated_spans_counts_within_doc_repeats(spark):
     assert len(out) == 2
     assert (out[0]["span_start"], out[0]["span_end"]) == (0, 4)
     assert (out[1]["span_start"], out[1]["span_end"]) == (7, 11)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    # Raw docs that share the target's vocabulary must get a higher log
+    # importance ratio than docs from a disjoint vocabulary.
+    from dawis_spark.operators.dsir import dsir_scores, dsir_train
+
+    tgt = spark.createDataFrame(
+        [(100 + i, "physics quantum field theory lattice") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum field theory on the lattice"),
+            (2, "cheap pills casino bonus click here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    lam = dsir_train(tgt, raw, "text", m=256)
+    out = {r["doc_id"]: r["log_ir"] for r in dsir_scores(raw, "doc_id", "text", lam, m=256).collect()}
+    assert out[1] > out[2]
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from dawis_spark.operators.dsir import dsir_scores
+
+    raw = spark.createDataFrame([(1, "   ")], "doc_id bigint, text string")
+    out = dsir_scores(raw, "doc_id", "text", [0.5] * 64, m=64).collect()
+    assert out[0]["n_feats"] == 0 and out[0]["log_ir"] == 0.0
