@@ -787,3 +787,112 @@ def test_stream_cm_heavy_hitters_match_batch_sketch(spark, tmp_path):
         if r["rank"] == 1 and r["cm_estimate"] == apple_final
     ]
     assert "apple" in final_rank1
+
+
+def test_stream_anomaly_cross_batch_baseline_matches_batch_operator(spark, tmp_path):
+    """Tick 1 establishes a flat baseline; tick 2's spike must be flagged
+    against the COMBINED history, and the emitted scores must equal the
+    batch robust_zscores over the retained history (the module's
+    batch-equivalence contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dawis_spark.operators.anomaly import robust_zscores
+    from dawis_spark.streaming.anomaly import stream_robust_anomalies
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_robust_anomalies(
+                staging_stream(spark, staging, schema),
+                "series", "bucket", "v",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t1 = [("m", b, float(8 + b % 4)) for b in range(10)]
+    t2 = [("m", 10, 9.0), ("m", 11, 500.0)]
+    tick(t1)
+    tick(t2)
+
+    out = {
+        r["bucket"]: r
+        for r in spark.read.parquet(sink).where("bucket >= 10").collect()
+    }
+    assert out[11]["is_anomaly"] and not out[10]["is_anomaly"]
+
+    batch = robust_zscores(
+        spark.createDataFrame(t1 + t2, schema), ["series"], "v"
+    )
+    want = {r["bucket"]: r for r in batch.collect()}
+    for b in (10, 11):
+        assert out[b]["robust_z"] == want[b]["robust_z"], b
+        assert out[b]["is_anomaly"] == want[b]["is_anomaly"], b
+
+
+def test_stream_anomaly_redelivery_replaces_and_history_truncates(spark, tmp_path):
+    """At-least-once contract: redelivering a bucket REPLACES its value
+    (state holds one row per bucket), and the retained history is capped
+    at max_history newest buckets."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.anomaly import stream_robust_anomalies
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_robust_anomalies(
+                staging_stream(spark, staging, schema),
+                "series", "bucket", "v", max_history=4,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tick([("s", b, 10.0 + b) for b in range(4)])       # buckets 0..3
+    # redeliver bucket 3 with a corrected value + two new buckets:
+    # history (cap 4) must retain {2, 3, 4, 5} with v(3) = 99.0
+    tick([("s", 3, 99.0), ("s", 4, 14.0), ("s", 5, 15.0)])
+
+    rows = spark.read.parquet(sink).collect()
+    last = {r["bucket"]: r for r in rows if r["bucket"] in (3, 4, 5)}
+    assert last[3]["v"] == 99.0
+    # retained history is [12, 99, 14, 15] -> median 14.5, all four kept;
+    # bucket 3's corrected value dominates the spread and flags
+    assert last[3]["is_anomaly"]
+    assert not last[4]["is_anomaly"] and not last[5]["is_anomaly"]
