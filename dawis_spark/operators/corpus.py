@@ -487,3 +487,75 @@ def mixture_sample(
     h = TXT.char_hash(f"cast({id_col} as string)", "spark")
     pred = f"({_mixed_sql(h, 'spark')}) % 1000000 < rate_ppm"
     return df.join(F.broadcast(rates), group_col).where(F.expr(pred))
+
+
+def build_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """POSITIONAL inverted index: one (term, id, positions, tf) posting
+    per distinct term per document, positions 0-based in token order —
+    the index bm25_scores' bag-of-words form can't serve: phrase and
+    proximity queries need offsets.
+
+    Scale: index BUILD is the one legitimately token-sized shuffle in
+    the search family (each token ships its 8-byte hash + position once,
+    then aggregates into per-doc position arrays); production persists
+    the result bucketed by ``term`` (catalog.write_bucketed) so QUERIES
+    touch only the probed terms' buckets and join postings without an
+    exchange. Terms are char-hashes, never strings, on the wire.
+    """
+    th = TXT.token_hash_array(text_col, "spark")
+    return (
+        docs.select(F.col(id_col), F.expr(th).alias("__th"))
+        .select(id_col, F.posexplode("__th").alias("pos", "term"))
+        .groupBy("term", id_col)
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+    )
+
+
+def phrase_query(
+    postings: DataFrame, id_col: str, phrase_terms: list[int]
+) -> DataFrame:
+    """Exact phrase search over a positional posting index: a phrase of
+    k term hashes matches at ``base`` when term i occurs at ``base + i``
+    for ALL i — the classic positional-intersection algorithm
+    (Manning/Raghavan/Schütze IR ch. 2), expressed as position
+    normalization (pos - i) + a count-distinct-terms group.
+
+    The phrase relation is config-sized and broadcast; only the k probed
+    terms' postings leave the index scan (predicate pushdown on the
+    bucketed term column). Repeated terms in the phrase are handled (the
+    join fans out each occurrence to every phrase slot holding that
+    term; count(DISTINCT i) = k still requires every slot witnessed).
+
+    Output: (id, n_matches, first_pos) per matching document.
+    """
+    spark = postings.sparkSession
+    ph = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(phrase_terms)], "i int, term bigint"
+    )
+    k = len(phrase_terms)
+    cand = (
+        postings.join(F.broadcast(ph), "term")
+        .select(id_col, "i", F.explode("positions").alias("p"))
+        .withColumn("base", F.col("p") - F.col("i"))
+    )
+    hits = (
+        cand.groupBy(id_col, "base")
+        .agg(F.countDistinct("i").alias("__nt"))
+        .filter(F.col("__nt") == k)
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"), F.min("base").alias("first_pos")
+    )
+
+
+def phrase_term_hashes(phrase: str) -> list[int]:
+    """Driver-side term hashes of a whitespace phrase (same char-hash
+    family the index uses)."""
+    from dawis_spark.functions.text import _np_token_hash
+
+    return [
+        _np_token_hash(t) for t in phrase.lower().split() if t != ""
+    ]

@@ -5584,6 +5584,58 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(raw, "doc_id", "text", lam, m=1024).orderBy("doc_id")
 
 
+def _phrase_oracle(phrase: str) -> str:
+    from dawis_spark.operators.corpus import phrase_term_hashes
+
+    hs = phrase_term_hashes(phrase)
+    th = _TXT.token_hash_array("text", "duck")
+    vals = ", ".join(f"({i}, {h})" for i, h in enumerate(hs))
+    return f"""
+WITH th AS (SELECT doc_id, {th} AS h FROM documents),
+post AS (
+  SELECT doc_id,
+         unnest(range(0, len(h))) AS pos,
+         unnest(list_transform(range(0, len(h)), i -> h[i + 1])) AS term
+  FROM th
+),
+ph(i, term) AS (VALUES {vals}),
+cand AS (
+  SELECT p.doc_id, p.pos - ph.i AS base, ph.i
+  FROM post p JOIN ph ON p.term = ph.term
+),
+hits AS (
+  SELECT doc_id, base FROM cand
+  GROUP BY doc_id, base HAVING COUNT(DISTINCT i) = {len(hs)}
+)
+SELECT doc_id, COUNT(*) AS n_matches, MIN(base) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("phrase_search", oracle=_phrase_oracle("slow hash batch"))
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index
+    (operators/corpus.build_postings + phrase_query): documents
+    containing the token phrase "slow hash batch", with occurrence count
+    and first offset — the positional-intersection complement to
+    bm25_search's bag-of-words ranking.
+
+    Scale: the index is built once (the one token-sized shuffle, then
+    persisted bucketed by term in production) and the query touches only
+    the 3 probed terms' postings — the phrase relation broadcasts, and
+    everything on the wire is (hash, id, position) ints."""
+    from dawis_spark.operators.corpus import (
+        build_postings,
+        phrase_query,
+        phrase_term_hashes,
+    )
+
+    postings = build_postings(spark.table("documents"), "doc_id", "text")
+    return phrase_query(
+        postings, "doc_id", phrase_term_hashes("slow hash batch")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5602,6 +5654,7 @@ DRIVER_PRIORITY: list[str] = [
     "gapfill_daily_user_value",   # new: date-spine gap fill + LOCF
     "duplicated_spans",           # new: exact substring-span dedup
     "dsir_importance_weights",    # new: DSIR hashed-ngram importance scoring
+    "phrase_search",              # new: positional postings + phrase intersect
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5637,7 +5690,6 @@ DRIVER_PRIORITY: list[str] = [
     "q16_supplier_relationship",
     "q17_small_quantity",
     "q18_large_orders",
-    "q20_excess_shippers",
     "q21_sole_blame_supplier",
     "match_enrichment",
     "duplicate_detection",
@@ -5658,8 +5710,9 @@ DRIVER_PRIORITY: list[str] = [
     # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
     # pii_redaction, tfidf_top_terms; late-session, for the refine pair
     # and the MAD anomaly entry: bm25_search, asof_last_click,
-    # c4_line_quality; for the gap-fill + span-dedup + DSIR entries:
-    # repetition_signals, doc_packing_shards, vocab_top_tokens
+    # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
+    # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
+    # q20_excess_shippers
 ]
 
 

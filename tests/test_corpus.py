@@ -174,3 +174,51 @@ def test_chunk_documents_windows_and_edges(spark):
     assert len(out) == 5
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_phrase_query_positions_and_counts(spark):
+    from dawis_spark.operators.corpus import (
+        build_postings, phrase_query, phrase_term_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma x alpha beta gamma"),
+            (2, "beta alpha gamma"),          # right bag, wrong order
+            (3, "alpha beta delta"),          # prefix only
+            (4, "z alpha beta gamma"),        # one match, offset 1
+        ],
+        "doc_id bigint, text string",
+    )
+    postings = build_postings(docs, "doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in phrase_query(
+            postings, "doc_id", phrase_term_hashes("alpha beta gamma")
+        ).collect()
+    }
+    assert set(out) == {1, 4}
+    assert (out[1]["n_matches"], out[1]["first_pos"]) == (2, 0)
+    assert (out[4]["n_matches"], out[4]["first_pos"]) == (1, 1)
+
+
+def test_phrase_query_repeated_term_in_phrase(spark):
+    # "b a b" requires slot 0 and slot 2 to BOTH be witnessed by (possibly
+    # different) occurrences of "b" — the count(DISTINCT i) guard.
+    from dawis_spark.operators.corpus import (
+        build_postings, phrase_query, phrase_term_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "b a c"), (3, "x b a b y")],
+        "doc_id bigint, text string",
+    )
+    postings = build_postings(docs, "doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in phrase_query(
+            postings, "doc_id", phrase_term_hashes("b a b")
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[3]["first_pos"] == 1
