@@ -193,3 +193,50 @@ def test_selection_quantiles_sort_only_chosen_buckets(spark):
     import re
     assert len(re.findall(r"Window \[row_number", plan)) == 1
     assert "InMemoryTableScan" in plan
+
+
+def test_dsir_scoring_is_single_scan_no_shuffle(spark):
+    # DSIR scoring must stay the classifier plan: the lambda literal
+    # folds inside the raw-corpus scan; the only exchange allowed is the
+    # final presentation sort. (Training runs eagerly before the plan is
+    # built — the returned DF is scoring only.)
+    plan = _plan(spark, "dsir_importance_weights")
+    body = plan.split("Sort")[-1]  # below the orderBy: the scoring scan
+    assert body.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_refine_pool_and_queries_broadcast_into_corpus_scan(spark):
+    # IndexRefineFlat: the candidate pool and the query vectors must
+    # BROADCAST into the corpus (id, vec) fetch — a raw embedding must
+    # never cross a shuffle exchange in the refine stage.
+    plan = _plan(spark, "embedding_ann_refined")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_phrase_relation_broadcasts_into_postings(spark):
+    # the config-sized phrase relation must broadcast; the postings side
+    # must not be broadcast or sort-merge joined against it
+    plan = _plan(spark, "phrase_search")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_shares_key_partitioning_across_stages(spark):
+    # bounds agg, spine join and the LOCF window all key on user_id: the
+    # plan must not degenerate into a nested-loop/cartesian spine
+    plan = _plan(spark, "gapfill_daily_user_value")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_spans_shuffles_hashes_not_bodies(spark):
+    # the frequency semi join must stay a hash join on the 8-byte window
+    # hash; document text must be pruned out before any exchange (the
+    # exchanges carry (doc_id, pos, wh) only)
+    plan = _plan(spark, "duplicated_spans")
+    assert "SortMergeJoin" not in plan or "text" not in plan.split("SortMergeJoin")[1][:400]
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg[:200]
+        assert "text#" not in head, head

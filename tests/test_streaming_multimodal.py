@@ -896,3 +896,78 @@ def test_stream_anomaly_redelivery_replaces_and_history_truncates(spark, tmp_pat
     # bucket 3's corrected value dominates the spread and flags
     assert last[3]["is_anomaly"]
     assert not last[4]["is_anomaly"] and not last[5]["is_anomaly"]
+
+
+def test_stream_heartbeat_silent_then_recovered(spark, tmp_path):
+    """A series that stops emitting gets exactly ONE silent alert after
+    silence_ms (no re-alert storm), and its next row emits a recovered
+    alert carrying the realized gap; a continuously-active series emits
+    nothing."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.heartbeat import stream_heartbeat_alerts
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def rows_now():
+        return [
+            (r["series"], r["status"])
+            for r in spark.sql(
+                "SELECT * FROM hb_sink ORDER BY last_seen_ms"
+            ).collect()
+        ]
+
+    def wait_for(pred, seconds=60):
+        deadline = _time.time() + seconds
+        while _time.time() < deadline:
+            if pred(rows_now()):
+                return rows_now()
+            _time.sleep(0.5)
+        assert pred(rows_now()), rows_now()
+        return rows_now()
+
+    spark.createDataFrame(
+        [("api", 1.0), ("cron", 1.0)], schema
+    ).write.mode("append").parquet(staging)
+    q = (
+        stream_heartbeat_alerts(
+            staging_stream(spark, staging, schema), "series", silence_ms=1500
+        )
+        .writeStream.format("memory")
+        .queryName("hb_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        # keep "api" alive past cron's silence window; cron goes quiet
+        for _ in range(5):
+            _time.sleep(0.8)
+            spark.createDataFrame([("api", 1.0)], schema).write.mode(
+                "append"
+            ).parquet(staging)
+        rows = wait_for(lambda rows: ("cron", "silent") in rows)
+        # the still-alive series has not alerted at this point
+        assert all(s != "api" for s, _ in rows)
+        # single-shot: still exactly one cron alert after further silence
+        # (api, no longer fed, may alert now — that's correct behavior)
+        _time.sleep(2.5)
+        assert rows_now().count(("cron", "silent")) == 1
+        # recovery: cron emits again -> one recovered row
+        spark.createDataFrame([("cron", 2.0)], schema).write.mode(
+            "append"
+        ).parquet(staging)
+        wait_for(lambda rows: ("cron", "recovered") in rows)
+        assert rows_now().count(("cron", "silent")) == 1
+    finally:
+        q.stop()
