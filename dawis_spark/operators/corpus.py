@@ -559,3 +559,69 @@ def phrase_term_hashes(phrase: str) -> list[int]:
     return [
         _np_token_hash(t) for t in phrase.lower().split() if t != ""
     ]
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990; the statistic behind word2vec's phrase pass, Mikolov et
+    al. 2013): score each adjacent token pair by
+
+        pmi(w1, w2) = ln( p(w1 w2) / (p(w1) * p(w2)) )
+
+    with bigram probability over all bigram slots and unigram
+    probabilities over all token slots, keeping pairs seen at least
+    ``min_count`` times (PMI is notoriously noisy on rare pairs — the
+    classic cutoff, not a scalability cap).
+
+    Scale: three counting aggregations (unigrams, bigrams, the two
+    scalar totals) — all map-side partially aggregated, so exchanges
+    carry vocabulary-sized rows, not corpus-sized; the scoring joins key
+    on tokens (vocabulary-sized relations). Token strings ride the
+    shuffle here (unlike the hash-only dedup family) because the OUTPUT
+    is the human-readable phrase list.
+
+    Output: (bigram, c12, pmi) — counts and 6-digit-rounded PMI.
+    """
+    toks = TXT.tokens(text_col, "spark")
+    w = docs.select(F.expr(toks).alias("w"))
+    uni = w.select(F.explode("w").alias("t"))
+    unic = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    bi = w.select(
+        F.explode(
+            F.expr(
+                "case when size(w) < 2 then array() else "
+                "transform(sequence(0, size(w) - 2), "
+                "i -> struct(w[i] as t1, w[i + 1] as t2)) end"
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    bic = bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("b"))
+    )
+    u1 = unic.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = unic.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    return (
+        bic.filter(F.col("c12") >= min_count)
+        .join(u1, "t1")
+        .join(u2, "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.lit(1.0) / F.col("b"))
+                    / (
+                        (F.col("c1") * F.lit(1.0) / F.col("n"))
+                        * (F.col("c2") * F.lit(1.0) / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

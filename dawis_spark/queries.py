@@ -5636,6 +5636,50 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pmi_oracle(min_count: int, k: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH tk AS (SELECT {toks} AS w FROM documents),
+uni AS (SELECT unnest(w) AS t FROM tk),
+unic AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+bi AS (
+  SELECT w[i] AS t1, w[i + 1] AS t2
+  FROM tk, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+),
+bic AS (SELECT t1, t2, COUNT(*) AS c12 FROM bi GROUP BY t1, t2),
+tot AS (SELECT (SELECT COUNT(*) FROM uni) AS n, (SELECT COUNT(*) FROM bi) AS b)
+SELECT t1 || ' ' || t2 AS bigram, c12,
+       ROUND(ln((c12 * 1.0 / t.b) / ((u1.c * 1.0 / t.n) * (u2.c * 1.0 / t.n))), 6) AS pmi
+FROM bic
+JOIN unic u1 ON bic.t1 = u1.t
+JOIN unic u2 ON bic.t2 = u2.t
+CROSS JOIN tot t
+WHERE c12 >= {min_count}
+ORDER BY pmi DESC, bigram LIMIT {k}
+"""
+
+
+@query("pmi_collocations", oracle=_pmi_oracle(5, 50))
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information
+    (operators/corpus.pmi_collocations; Church & Hanks 1990 — the
+    word2vec phrase-pass statistic): adjacent token pairs that co-occur
+    far above chance, with the classic min-count cutoff against rare-
+    pair noise.
+
+    Scale: unigram/bigram counting partially aggregates map-side
+    (vocabulary-sized exchanges); scoring joins vocabulary-sized count
+    relations; the two scalar totals broadcast. The final top-k is a
+    TakeOrdered, not a global sort."""
+    from dawis_spark.operators.corpus import pmi_collocations
+
+    return (
+        pmi_collocations(spark.table("documents"), "text", min_count=5)
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5655,6 +5699,7 @@ DRIVER_PRIORITY: list[str] = [
     "duplicated_spans",           # new: exact substring-span dedup
     "dsir_importance_weights",    # new: DSIR hashed-ngram importance scoring
     "phrase_search",              # new: positional postings + phrase intersect
+    "pmi_collocations",           # new: PMI collocation mining
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5688,7 +5733,6 @@ DRIVER_PRIORITY: list[str] = [
     "q11_important_stock",
     "q15_top_supplier",
     "q16_supplier_relationship",
-    "q17_small_quantity",
     "q18_large_orders",
     "q21_sole_blame_supplier",
     "match_enrichment",
@@ -5712,7 +5756,7 @@ DRIVER_PRIORITY: list[str] = [
     # and the MAD anomaly entry: bm25_search, asof_last_click,
     # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
     # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers
+    # q20_excess_shippers; for the PMI entry: q17_small_quantity
 ]
 
 

@@ -222,3 +222,33 @@ def test_phrase_query_repeated_term_in_phrase(spark):
     }
     assert set(out) == {1, 3}
     assert out[3]["first_pos"] == 1
+
+
+def test_pmi_collocations_known_values(spark):
+    import math
+
+    from dawis_spark.operators.corpus import pmi_collocations
+
+    # corpus: "new york" always together (3x), "the cat" chance-level.
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"),
+            (2, "i love new york"),
+            (3, "new york wins"),
+            (4, "the cat sat"),
+            (5, "the dog ran"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["bigram"]: r
+        for r in pmi_collocations(docs, "text", min_count=2).collect()
+    }
+    assert "new york" in out
+    r = out["new york"]
+    # totals: n = 17 unigram slots, b = 12 bigram slots; c(new)=c(york)=3
+    want = math.log((3 / 12) / ((3 / 17) * (3 / 17)))
+    assert abs(r["pmi"] - round(want, 6)) < 1e-9
+    assert r["c12"] == 3
+    # pairs below min_count are cut
+    assert "the cat" not in out
