@@ -1,8 +1,9 @@
 """Pure-stdlib media codecs — the real decode step for formats that need
 no external libraries: PCM WAV (``wave``), PPM (P6/P3), uncompressed
-24-bit BMP, and non-interlaced 8-bit PNG (``zlib`` inflate + scanline
+24-bit BMP, non-interlaced 8-bit PNG (``zlib`` inflate + scanline
 unfiltering — the deflate stream is the only "codec library" PNG needs,
-and it ships in the stdlib). Baseline JPEG lives in ``jpeg.py`` (stdlib
+and it ships in the stdlib), and GIF87a/89a (pure-python LZW, global or
+local color tables, 4-pass interlace). Baseline JPEG lives in ``jpeg.py`` (stdlib
 marker/Huffman parsing + numpy 8x8 IDCT) and dispatches from here.
 
 This closes the "codecs stubbed" gap as far as the container allows:
@@ -309,7 +310,7 @@ _DECODERS = {
 
 def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
     """Format-dispatching decode_fn for extract_features: real pixel/PCM
-    decoding for wav/ppm/bmp/png/jpeg; real METADATA extraction for
+    decoding for wav/ppm/bmp/png/jpeg/gif; real METADATA extraction for
     mp3/mp4 (frame-header walk / box walk — duration, rate, dimensions,
     frame counts), whose full sample decode genuinely needs codec
     libraries this container doesn't ship. Unknown formats raise an
@@ -319,7 +320,7 @@ def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
     if fn is None:
         raise NotImplementedError(
             f"format {fmt!r} needs codec libraries not present here; "
-            "stdlib codecs cover wav/ppm/bmp/png/jpg + mp3/mp4 metadata"
+            "stdlib codecs cover wav/ppm/bmp/png/jpg/gif + mp3/mp4 metadata"
         )
     return fn(payload)
 
@@ -617,3 +618,217 @@ def encode_mp4(
     moov = _mp4_box(b"moov", mvhd + trak)
     ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     return ftyp + moov + _mp4_box(b"mdat", b"")
+
+
+# --- GIF (87a/89a, stdlib LZW) --------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/EOI codes, table
+    growth to 12 bits) -> pixel index string."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif(payload: bytes) -> list[float]:
+    """GIF87a/89a first frame -> [width, height, mean_r, mean_g, mean_b].
+
+    Full stdlib decode: logical screen descriptor, global/local color
+    tables, extension skipping, LZW decompression, 4-pass interlace
+    de-weave. Animated GIFs report the FIRST image's stats (the
+    representative-frame convention the mp4 metadata walk also uses)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: magic={payload[:6]!r}")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(min_code_size, bytes(lzw), w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        if iflags & 0x40:  # interlaced: de-weave the 4 passes
+            rows = [None] * h
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    rows[y] = idx[src * w : (src + 1) * w]
+                    src += 1
+            idx = bytearray().join(bytes(r) for r in rows)
+        n_px = w * h
+        sums = [0, 0, 0]
+        n_colors = len(ct) // 3
+        for i in range(n_px):
+            c = idx[i]
+            if c >= n_colors:
+                raise ValueError(f"GIF pixel index {c} outside color table")
+            sums[0] += ct[3 * c]
+            sums[1] += ct[3 * c + 1]
+            sums[2] += ct[3 * c + 2]
+        return [float(w), float(h)] + [s / n_px for s in sums]
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    indices: bytes,
+    interlace: bool = False,
+    real_lzw: bool = False,
+) -> bytes:
+    """Minimal GIF89a writer (test/corpus synthesis): global color table
+    padded to a power of two, one image block. Default entropy coding is
+    clear-code-per-symbol LZW (valid, bloated — constant code width by
+    design); ``real_lzw=True`` switches to greedy LZW with table growth,
+    exercising the decoder's width-bump and KwKwK paths."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be w*h bytes")
+    n = 2
+    while n < max(2, len(palette)):
+        n *= 2
+    depth = n.bit_length() - 1
+    ct = b"".join(bytes(c) for c in palette) + b"\x00" * (3 * (n - len(palette)))
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0x80 | (depth - 1), 0, 0
+    ) + ct
+    if interlace:
+        woven = bytearray()
+        for start, step in _GIF_INTERLACE_PASSES:
+            for y in range(start, height, step):
+                woven += indices[y * width : (y + 1) * width]
+        indices = bytes(woven)
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    wbits = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += wbits
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    if real_lzw:
+        table = {bytes((i,)): i for i in range(clear)}
+        next_code = eoi + 1
+        put(clear)
+        run = b""
+        for px in indices:
+            cand = run + bytes((px,))
+            if cand in table:
+                run = cand
+                continue
+            put(table[run])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                # width bumps when the ENCODER allocates code 2^w; the
+                # decoder mirrors this one allocation later
+                if next_code == (1 << wbits) + 1 and wbits < 12:
+                    wbits += 1
+            run = bytes((px,))
+        if run:
+            put(table[run])
+        put(eoi)
+    else:
+        for px in indices:
+            put(clear)  # reset table every symbol: width never grows
+            put(px)
+        put(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
+        + bytes((min_code,))
+        + blocks
+        + b"\x00"
+    )
+    return head + img + b"\x3b"
+
+
+# registered here (definition order): gif decodes fully via stdlib LZW
+_DECODERS["gif"] = decode_gif

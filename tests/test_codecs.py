@@ -359,3 +359,80 @@ def test_mp3_mp4_roundtrip_property():
         assert (gw, gh, samples, tracks) == (float(w), float(h), float(n), 1.0)
         # duration survives the timescale conversion within one tick
         assert abs(dur - ms) <= 1000.0 / ts + 1e-9
+
+
+# --- GIF ------------------------------------------------------------------
+
+def test_gif_solid_and_gradient_means():
+    from dawis_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    assert decode_gif(encode_gif(4, 3, pal, bytes([1] * 12))) == [
+        4.0, 3.0, 0.0, 255.0, 0.0,
+    ]
+    idx = bytes([y % 4 for y in range(10) for _ in range(5)])
+    out = decode_gif(encode_gif(5, 10, pal, idx))
+    n = 50
+    want = [5.0, 10.0] + [sum(pal[i][c] for i in idx) / n for c in range(3)]
+    assert out == want
+
+
+def test_gif_interlaced_equals_progressive():
+    from dawis_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = [(0, 0, 0), (80, 90, 100), (200, 10, 5), (7, 7, 7)]
+    idx = bytes([(x * 3 + y) % 4 for y in range(9) for x in range(7)])
+    a = decode_gif(encode_gif(7, 9, pal, idx))
+    b = decode_gif(encode_gif(7, 9, pal, idx, interlace=True))
+    assert a == b
+
+
+def test_gif_real_lzw_roundtrip_grows_table_past_width_bumps():
+    # greedy LZW on repetitive-but-varied data allocates hundreds of
+    # codes, crossing several code-width boundaries and hitting the
+    # KwKwK case — the decoder paths the clear-per-symbol stream never
+    # exercises
+    import random
+
+    from dawis_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = [(i, 255 - i, i // 2) for i in (0, 40, 80, 120)]
+    rng = random.Random(7)
+    idx = bytes(rng.randrange(4) for _ in range(5000))
+    out = decode_gif(encode_gif(50, 100, pal, idx, real_lzw=True))
+    want = [50.0, 100.0] + [
+        sum(pal[i][c] for i in idx) / 5000 for c in range(3)
+    ]
+    assert all(abs(x - y) < 1e-9 for x, y in zip(out, want))
+
+
+def test_gif_kwkwk_case_exact():
+    # "aaaa...": the second emitted code references the entry being
+    # defined (code == next_code) — the textbook KwKwK stream
+    from dawis_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = [(9, 9, 9), (0, 0, 0)]
+    out = decode_gif(encode_gif(8, 2, pal, bytes(16), real_lzw=True))
+    assert out == [8.0, 2.0, 9.0, 9.0, 9.0]
+
+
+def test_gif_error_contract():
+    import pytest
+
+    from dawis_spark.multimodal.codecs import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = encode_gif(4, 4, pal, bytes(16))
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        # chop the LZW data sub-blocks: keep header + descriptor only
+        decode_gif(good[: 13 + 6 + 10 + 1] + b"\x00\x3b")
+
+
+def test_gif_dispatches_through_stdlib_decode():
+    from dawis_spark.multimodal.codecs import encode_gif, stdlib_decode
+
+    pal = [(100, 150, 200), (1, 2, 3)]
+    g = encode_gif(3, 3, pal, bytes([0] * 9))
+    assert stdlib_decode(g, {"format": "gif"}) == [3.0, 3.0, 100.0, 150.0, 200.0]
