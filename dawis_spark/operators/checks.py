@@ -164,3 +164,37 @@ def _template_to_format_string(template: str) -> tuple[str, list[str]]:
 
     fmt = re.sub(r"\{([A-Za-z_][A-Za-z0-9_]*)\}", repl, template)
     return fmt.replace("%%", "%"), args
+
+
+def dq_suite(checks: list[tuple[str, "DataFrame"]]) -> "DataFrame":
+    """Warehouse data-quality suite (the dbt-tests shape, SURVEY §2.5's
+    comparison checks generalized from per-row to per-RELATION
+    invariants): each entry is (check_name, violations_df) where the
+    DataFrame's rows are the violations; the suite reduces each to ONE
+    summary row (check, n_violations, passed) and unions them — a single
+    narrow relation a scheduler can alert on, exactly like the buffered
+    check insert (K5) the reference batches per module.
+
+    Each violations_df stays lazy; the counts are independent aggregates
+    (Spark runs them as one job per branch of the union — each branch's
+    scan prunes to the checked columns). Callers compose the standard
+    invariant library from plain DataFrame ops:
+
+      - PK uniqueness:    groupBy(pk).count().filter(n > 1)
+      - FK integrity:     child.join(parent, fk, "left_anti")
+      - null rate:        df.filter(col.isNull())
+      - accepted values:  df.filter(~col.isin(domain))
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as FF
+
+    parts = [
+        df.agg(FF.count(FF.lit(1)).alias("n_violations")).select(
+            FF.lit(name).alias("check_name"),
+            "n_violations",
+            (FF.col("n_violations") == 0).alias("passed"),
+        )
+        for name, df in checks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -5680,6 +5680,91 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_ORACLE = """
+WITH v1 AS (SELECT o_orderkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+v2 AS (SELECT l_orderkey FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+v3 AS (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1),
+v4 AS (SELECT 1 AS x FROM customer WHERE c_custkey IS NULL),
+v5 AS (SELECT 1 AS x FROM orders
+       WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL),
+v6 AS (SELECT 1 AS x FROM lineitem WHERE l_quantity <= 0 OR l_extendedprice < 0)
+SELECT 'orders_custkey_fk' AS check_name, (SELECT COUNT(*) FROM v1) AS n_violations,
+       (SELECT COUNT(*) FROM v1) = 0 AS passed
+UNION ALL SELECT 'lineitem_orderkey_fk', (SELECT COUNT(*) FROM v2),
+       (SELECT COUNT(*) FROM v2) = 0
+UNION ALL SELECT 'orders_pk_unique', (SELECT COUNT(*) FROM v3),
+       (SELECT COUNT(*) FROM v3) = 0
+UNION ALL SELECT 'customer_custkey_not_null', (SELECT COUNT(*) FROM v4),
+       (SELECT COUNT(*) FROM v4) = 0
+UNION ALL SELECT 'orders_status_domain', (SELECT COUNT(*) FROM v5),
+       (SELECT COUNT(*) FROM v5) = 0
+UNION ALL SELECT 'lineitem_positive_amounts', (SELECT COUNT(*) FROM v6),
+       (SELECT COUNT(*) FROM v6) = 0
+ORDER BY check_name
+"""
+
+
+@query("dq_integrity_checks", oracle=_DQ_ORACLE)
+def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality suite (operators/checks.dq_suite — the
+    dbt-tests shape): FK integrity orders->customer and
+    lineitem->orders, PK uniqueness, not-null, accepted-values domain,
+    and range invariants, reduced to one (check_name, n_violations, passed)
+    row each and unioned into a single alertable relation.
+
+    Scale: every check is an independent count over a pruned scan —
+    anti joins for FKs (null-safe, broadcastable dims), map-side
+    predicate counts for the rest; the union carries six rows. This is
+    what a 100 TB nightly QA gate looks like: no violation ROWS move
+    unless someone asks for them."""
+    from dawis_spark.operators.checks import dq_suite
+
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    lineitem = spark.table("lineitem")
+    checks = [
+        (
+            "orders_custkey_fk",
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem_orderkey_fk",
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        (
+            "orders_pk_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        ("customer_custkey_not_null", customer.filter(F.col("c_custkey").isNull())),
+        (
+            "orders_status_domain",
+            orders.filter(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull()
+            ),
+        ),
+        (
+            "lineitem_positive_amounts",
+            lineitem.filter(
+                (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") < 0)
+            ),
+        ),
+    ]
+    return dq_suite(checks).orderBy("check_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5700,6 +5785,7 @@ DRIVER_PRIORITY: list[str] = [
     "dsir_importance_weights",    # new: DSIR hashed-ngram importance scoring
     "phrase_search",              # new: positional postings + phrase intersect
     "pmi_collocations",           # new: PMI collocation mining
+    "dq_integrity_checks",        # new: dbt-style data-quality suite
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5731,7 +5817,6 @@ DRIVER_PRIORITY: list[str] = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q15_top_supplier",
     "q16_supplier_relationship",
     "q18_large_orders",
     "q21_sole_blame_supplier",
@@ -5756,7 +5841,8 @@ DRIVER_PRIORITY: list[str] = [
     # and the MAD anomaly entry: bm25_search, asof_last_click,
     # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
     # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers; for the PMI entry: q17_small_quantity
+    # q20_excess_shippers; for the PMI + DQ entries: q17_small_quantity,
+    # q15_top_supplier
 ]
 
 

@@ -93,3 +93,23 @@ def test_aggregate_alert_counts(spark):
     df = spark.createDataFrame([{"v": 1}, {"v": 2}])
     rows = alerts_aggregate(df, ["g"], "n={resultsCount}").collect()
     assert rows[0]["message"] == "n=2"
+
+
+def test_dq_suite_counts_and_flags(spark):
+    from dawis_spark.operators.checks import dq_suite
+
+    parent = spark.createDataFrame([(1,), (2,)], "id bigint")
+    child = spark.createDataFrame([(1, 10), (3, 11), (3, 12)], "pid bigint, v bigint")
+    checks = [
+        (
+            "child_pid_fk",
+            child.join(parent.withColumnRenamed("id", "pid"), "pid", "left_anti"),
+        ),
+        ("parent_pk_unique",
+         parent.groupBy("id").count().filter("count > 1")),
+    ]
+    out = {r["check_name"]: r for r in dq_suite(checks).collect()}
+    assert out["child_pid_fk"]["n_violations"] == 2
+    assert out["child_pid_fk"]["passed"] is False
+    assert out["parent_pk_unique"]["n_violations"] == 0
+    assert out["parent_pk_unique"]["passed"] is True
