@@ -625,3 +625,62 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def source_js_divergence(docs: DataFrame, source_col: str, text_col: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-drift / source-similarity matrix a
+    mixture designer reads next to source_mixture_weights (Lin 1991;
+    the bounded, symmetric alternative to KL).
+
+    Identity that keeps the plan shuffle-light: tokens present in only
+    one source of a pair contribute exactly 0.5*ln2*p each, so
+
+      JS = 0.5 * sum_shared[ p*ln(2p/(p+q)) + q*ln(2q/(p+q)) ]
+         + 0.5 * ln2 * [ (1 - sum_shared p) + (1 - sum_shared q) ]
+
+    needs only the INNER join on shared tokens plus per-pair shared-mass
+    sums — no full-outer join materializing every (pair, token) slot.
+
+    Scale: distributions are vocabulary-sized relations; the shared-token
+    self-join keys on token (vocabulary-sized exchange), and the output
+    is S*(S-1)/2 rows. Nothing corpus-sized moves after the one counting
+    aggregation. Output: (src_a, src_b, js_div), js in [0, ln 2];
+    pairs sharing NO token are absent (their JS is exactly ln 2).
+    """
+    import math
+    toks = TXT.tokens(text_col, "spark")
+    cnt = (
+        docs.select(F.col(source_col).alias("src"), F.explode(F.expr(toks)).alias("t"))
+        .groupBy("src", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "src").select(
+        "src", "t", (F.col("c") * F.lit(1.0) / F.col("n")).alias("p")
+    )
+    a = p.select(F.col("src").alias("src_a"), "t", F.col("p").alias("pa"))
+    b = p.select(F.col("src").alias("src_b"), "t", F.col("p").alias("pb"))
+    shared = a.join(b, "t").filter(F.col("src_a") < F.col("src_b"))
+    term = F.expr(
+        "pa * ln(2.0 * pa / (pa + pb)) + pb * ln(2.0 * pb / (pa + pb))"
+    )
+    return (
+        shared.groupBy("src_a", "src_b")
+        .agg(
+            F.sum(term).alias("__sh"),
+            F.sum("pa").alias("__ma"),
+            F.sum("pb").alias("__mb"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                0.5 * F.col("__sh")
+                + 0.5
+                * F.lit(math.log(2.0))
+                * ((1.0 - F.col("__ma")) + (1.0 - F.col("__mb"))),
+                6,
+            ).alias("js_div"),
+        )
+    )

@@ -5765,6 +5765,44 @@ def dq_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_suite(checks).orderBy("check_name")
 
 
+def _js_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH tk AS (SELECT source AS src, unnest({toks}) AS t FROM documents),
+cnt AS (SELECT src, t, COUNT(*) AS c FROM tk GROUP BY src, t),
+tot AS (SELECT src, SUM(c) AS n FROM cnt GROUP BY src),
+p AS (SELECT cnt.src, t, cnt.c * 1.0 / tot.n AS p FROM cnt JOIN tot ON cnt.src = tot.src),
+sh AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         SUM(a.p * ln(2.0 * a.p / (a.p + b.p))
+           + b.p * ln(2.0 * b.p / (a.p + b.p))) AS sh_term,
+         SUM(a.p) AS ma, SUM(b.p) AS mb
+  FROM p a JOIN p b ON a.t = b.t AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT src_a, src_b,
+       ROUND(0.5 * sh_term + 0.5 * ln(2.0) * ((1.0 - ma) + (1.0 - mb)), 6) AS js_div
+FROM sh ORDER BY src_a, src_b
+"""
+
+
+@query("source_js_divergence", oracle=_js_oracle())
+def source_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/corpus.source_js_divergence) — the
+    source-similarity matrix read next to source_mixture_weights when
+    designing a training mixture.
+
+    Scale: one corpus-scan counting aggregation, then everything is
+    vocabulary-sized; the one-sided-token masses fold into shared-mass
+    sums so no full-outer (pair x token) relation ever materializes."""
+    from dawis_spark.operators.corpus import source_js_divergence
+
+    return source_js_divergence(
+        spark.table("documents"), "source", "text"
+    ).orderBy("src_a", "src_b")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5786,6 +5824,7 @@ DRIVER_PRIORITY: list[str] = [
     "phrase_search",              # new: positional postings + phrase intersect
     "pmi_collocations",           # new: PMI collocation mining
     "dq_integrity_checks",        # new: dbt-style data-quality suite
+    "source_js_divergence",       # new: pairwise JS source-drift matrix
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5816,7 +5855,6 @@ DRIVER_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q11_important_stock",
     "q16_supplier_relationship",
     "q18_large_orders",
     "q21_sole_blame_supplier",
@@ -5841,8 +5879,8 @@ DRIVER_PRIORITY: list[str] = [
     # and the MAD anomaly entry: bm25_search, asof_last_click,
     # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
     # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers; for the PMI + DQ entries: q17_small_quantity,
-    # q15_top_supplier
+    # q20_excess_shippers; for the PMI + DQ + JS entries:
+    # q17_small_quantity, q15_top_supplier, q11_important_stock
 ]
 
 

@@ -252,3 +252,45 @@ def test_pmi_collocations_known_values(spark):
     assert r["c12"] == 3
     # pairs below min_count are cut
     assert "the cat" not in out
+
+
+def test_source_js_divergence_known_values(spark):
+    import math
+
+    from dawis_spark.operators.corpus import source_js_divergence
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", 1, "a a b"),
+            ("s2", 2, "a b b"),
+            ("s3", 3, "a a b"),   # identical distribution to s1
+        ],
+        "source string, doc_id bigint, text string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["js_div"]
+        for r in source_js_divergence(docs, "source", "text").collect()
+    }
+    # identical distributions -> 0
+    assert out[("s1", "s3")] == 0.0
+    # s1 = (2/3, 1/3), s2 = (1/3, 2/3); mixtures are (1/2, 1/2):
+    # JS = 0.5*[2/3 ln(4/3) + 1/3 ln(2/3)] * 2 (symmetric in a/b terms)
+    p, q = 2 / 3, 1 / 3
+    want = 0.5 * (
+        p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))
+    ) + 0.5 * (
+        q * math.log(2 * q / (q + p)) + p * math.log(2 * p / (q + p))
+    )
+    assert abs(out[("s1", "s2")] - round(want, 6)) < 1e-9
+
+
+def test_source_js_divergence_disjoint_vocab_pair_absent(spark):
+    # documented contract: a pair with no shared token does not appear
+    # (its JS is exactly ln 2)
+    from dawis_spark.operators.corpus import source_js_divergence
+
+    docs = spark.createDataFrame(
+        [("s1", 1, "x y"), ("s2", 2, "z w")],
+        "source string, doc_id bigint, text string",
+    )
+    assert source_js_divergence(docs, "source", "text").count() == 0
