@@ -285,3 +285,91 @@ def line_quality(
             6,
         ),
     )
+
+
+def sorted_tokens_sql(text_col: str, dialect: str) -> str:
+    """Sorted token array — the run-length preprocusor for entropy."""
+    toks = TXT.tokens(text_col, dialect)
+    return (
+        f"array_sort({toks})" if dialect == "spark" else f"list_sort({toks})"
+    )
+
+
+def run_starts_sql(s_ref: str, dialect: str) -> str:
+    """0-based offsets where a new distinct token's run begins in the
+    SORTED token array ``s_ref`` (must be a simple column reference)."""
+    if dialect == "spark":
+        # empty-array guard: sequence(0, -1) counts DOWN ([0, -1]) and
+        # the lambda would index the empty array
+        return (
+            f"case when size({s_ref}) = 0 then array() else "
+            f"filter(sequence(0, size({s_ref}) - 1), "
+            f"i -> i = 0 or {s_ref}[i] != {s_ref}[i - 1]) end"
+        )
+    return (
+        f"list_filter(range(0, len({s_ref})), "
+        f"i -> i = 0 or {s_ref}[i + 1] != {s_ref}[i])"
+    )
+
+
+def entropy_from_runs_sql(st_ref: str, n_expr: str, dialect: str) -> str:
+    """Shannon entropy (nats) from run starts + total count: run lengths
+    are start-to-start gaps; H = -sum (c/n) ln(c/n). ``st_ref`` must be
+    a simple reference; empty docs yield 0.0."""
+    if dialect == "spark":
+        lens = (
+            f"transform(sequence(0, size({st_ref}) - 1), "
+            f"j -> (case when j < size({st_ref}) - 1 then {st_ref}[j + 1] "
+            f"else {n_expr} end) - {st_ref}[j])"
+        )
+        return (
+            f"case when {n_expr} = 0 then cast(0.0 as double) else "
+            f"-aggregate({lens}, cast(0.0 as double), "
+            f"(acc, c) -> acc + (c / cast({n_expr} as double)) "
+            f"* ln(c / cast({n_expr} as double))) end"
+        )
+    lens = (
+        f"list_transform(range(0, len({st_ref})), "
+        f"j -> (CASE WHEN j < len({st_ref}) - 1 THEN {st_ref}[j + 2] "
+        f"ELSE {n_expr} END) - {st_ref}[j + 1])"
+    )
+    return (
+        f"CASE WHEN {n_expr} = 0 THEN 0.0 ELSE "
+        f"-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({lens}, c -> (c / CAST({n_expr} AS DOUBLE)) "
+        f"* ln(c / CAST({n_expr} AS DOUBLE)))), (acc, v) -> acc + v) END"
+    )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_distinct, entropy, norm_entropy) per document:
+    Shannon entropy of the unigram distribution in nats, plus the
+    [0, 1]-normalized form H / ln(n_distinct) (NULL when every token is
+    identical — no spread to normalize). Low entropy at normal length
+    flags keyword-stuffed / template pages the Gopher repetition
+    signals (repetition_stats) approach from the other side: those count
+    the top token, this integrates the whole distribution.
+
+    Scale: ENTIRELY map-side — sort the doc's own token array, read run
+    lengths off the sorted array, fold; no token ever leaves the scan
+    (the explode + groupBy(doc, token) formulation ships one row per
+    distinct token per doc — a corpus-sized exchange this avoids).
+    Per-doc cost is the in-memory sort of that doc's tokens, the same
+    bound every other per-doc text operator here carries.
+    """
+    s = sorted_tokens_sql(text_col, "spark")
+    st = run_starts_sql("__s", "spark")
+    ent = entropy_from_runs_sql("__st", "size(__s)", "spark")
+    return (
+        df.select(id_col, F.expr(s).alias("__s"))
+        .withColumn("__st", F.expr(st))
+        .select(
+            id_col,
+            F.expr("size(__s)").cast("bigint").alias("n_tokens"),
+            F.expr("size(__st)").cast("bigint").alias("n_distinct"),
+            F.round(F.expr(ent), 6).alias("entropy"),
+            F.round(
+                F.expr(ent) / F.expr("nullif(ln(size(__st)), 0.0)"), 6
+            ).alias("norm_entropy"),
+        )
+    )

@@ -5803,6 +5803,39 @@ def source_js_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src_a", "src_b")
 
 
+def _entropy_oracle() -> str:
+    s = _TS.sorted_tokens_sql("text", "duck")
+    st = _TS.run_starts_sql("s", "duck")
+    ent = _TS.entropy_from_runs_sql("st", "len(s)", "duck")
+    return f"""
+WITH srt AS (SELECT doc_id, {s} AS s FROM documents),
+runs AS (SELECT doc_id, s, {st} AS st FROM srt)
+SELECT doc_id,
+       len(s) AS n_tokens,
+       len(st) AS n_distinct,
+       ROUND({ent}, 6) AS entropy,
+       ROUND(({ent}) / NULLIF(ln(len(st)), 0.0), 6) AS norm_entropy
+FROM runs ORDER BY doc_id
+"""
+
+
+@query("token_entropy", oracle=_entropy_oracle())
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution
+    (operators/textstats.token_entropy) — the distribution-wide
+    complement to the Gopher top-token repetition signals; low entropy
+    at normal length flags keyword-stuffed or template documents.
+
+    Scale: entirely map-side (sorted-run lengths inside the scan — no
+    token ever crosses an exchange, unlike the explode+groupBy
+    formulation whose shuffle is corpus-sized)."""
+    from dawis_spark.operators.textstats import token_entropy
+
+    return token_entropy(spark.table("documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5825,6 +5858,7 @@ DRIVER_PRIORITY: list[str] = [
     "pmi_collocations",           # new: PMI collocation mining
     "dq_integrity_checks",        # new: dbt-style data-quality suite
     "source_js_divergence",       # new: pairwise JS source-drift matrix
+    "token_entropy",              # new: map-side unigram entropy
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5854,7 +5888,6 @@ DRIVER_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q16_supplier_relationship",
     "q18_large_orders",
     "q21_sole_blame_supplier",
@@ -5879,8 +5912,9 @@ DRIVER_PRIORITY: list[str] = [
     # and the MAD anomaly entry: bm25_search, asof_last_click,
     # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
     # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers; for the PMI + DQ + JS entries:
-    # q17_small_quantity, q15_top_supplier, q11_important_stock
+    # q20_excess_shippers; for the PMI + DQ + JS + entropy entries:
+    # q17_small_quantity, q15_top_supplier, q11_important_stock,
+    # q10_returned_items
 ]
 
 

@@ -101,3 +101,27 @@ def test_line_quality_c4_rules(spark):
     assert row["n_unpunct_lines"] == 1
     assert row["n_kept_lines"] == 2
     assert row["kept_line_frac"] == 0.5
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from dawis_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # uniform over 4: H = ln 4, norm = 1
+            (2, "a a a a"),        # constant: H = 0, norm NULL
+            (3, "a a b"),          # H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+            (4, ""),               # empty: H = 0, distinct 0, norm NULL
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs, "doc_id", "text").collect()}
+    assert out[1]["entropy"] == round(math.log(4), 6)
+    assert out[1]["norm_entropy"] == 1.0
+    assert out[2]["entropy"] == 0.0 and out[2]["norm_entropy"] is None
+    h3 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(out[3]["entropy"] - round(h3, 6)) < 1e-9
+    assert out[3]["n_distinct"] == 2
+    assert out[4]["entropy"] == 0.0 and out[4]["n_tokens"] == 0
