@@ -1377,3 +1377,42 @@ def ivfpq_refine_topk(
         centroids=centroids,
     )
     return refine_exact(cand, corpus, queries, id_col, vec_col, k=k)
+
+
+def kmeans_cohesion(
+    corpus,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Per-cluster quality summary of a trained k-means clustering:
+    (cid, n, mean_cos, cohesion) where cohesion = sum(1 - cos(x, c)) —
+    the cosine analogue of inertia, in the SAME affinity the assignment
+    argmax uses (a Euclidean inertia would score a clustering the
+    assigner never optimized). This is the self-eval that tunes k and
+    iterations for semantic_dedup / IVF the way ann_recall_* tunes
+    n_probe: falling cohesion with rising k shows the quantizer still
+    under-fits the corpus's cluster structure.
+
+    Scale: one map-side pass (literal-centroid argmax + cosine, both
+    inside codegen) and a k-row aggregate; vectors never shuffle.
+    Zero-norm vectors score -2.0 (the assignment's NULL convention) so
+    they depress cohesion loudly instead of vanishing.
+    """
+    cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    cent_lit, cid_lit = _cent_literals(cent_rows)
+    posci = f"cast(array_position({cid_lit}, cid) as int)"
+    my_cent = f"element_at({cent_lit}, {posci})"
+    cosa = (
+        f"coalesce(round({V.cosine_null('vec', my_cent, 'spark')}, 6), -2.0)"
+    )
+    assigned = _ivf_assign(corpus, id_col, vec_col, cent_rows, "id", "vec", 1)
+    return (
+        assigned.select("cid", F.expr(cosa).alias("__cosa"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__cosa"), 6).alias("mean_cos"),
+            F.round(F.sum(1.0 - F.col("__cosa")), 6).alias("cohesion"),
+        )
+    )

@@ -5836,6 +5836,41 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cohesion_oracle(k: int, dim: int) -> str:
+    cos_final = _VEC.cosine_null("v.vec", "fc.cvec", "duck")
+    cos_own = _VEC.cosine_null("a.vec", "c.cvec", "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(k, dim)},
+asg AS (
+  SELECT v.vec_id, v.vec,
+    (SELECT fc.cid FROM c1 fc
+     ORDER BY coalesce(round({cos_final}, 6), -2.0) DESC, fc.cid LIMIT 1) AS cid
+  FROM v
+),
+sc AS (
+  SELECT a.cid, coalesce(round({cos_own}, 6), -2.0) AS cosa
+  FROM asg a JOIN c1 c ON c.cid = a.cid
+)
+SELECT cid, COUNT(*) AS n, ROUND(AVG(cosa), 6) AS mean_cos,
+       ROUND(SUM(1.0 - cosa), 6) AS cohesion
+FROM sc GROUP BY cid ORDER BY cid
+"""
+
+
+@query("kmeans_cohesion", oracle=_cohesion_oracle(8, 64))
+def kmeans_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion self-eval of the trained k=8 quantizer
+    (operators/similarity.kmeans_cohesion): size, mean cosine to own
+    centroid, and sum(1 - cos) — the metric that tunes k/iterations for
+    the IVF family and semantic_dedup the way ann_recall_* tunes
+    n_probe. One map-side pass, k-row output; vectors never shuffle."""
+    from dawis_spark.operators.similarity import kmeans_cohesion, train_kmeans
+
+    emb = spark.table("embeddings")
+    cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
+    return kmeans_cohesion(emb, "vec_id", "embedding", cents).orderBy("cid")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5859,6 +5894,7 @@ DRIVER_PRIORITY: list[str] = [
     "dq_integrity_checks",        # new: dbt-style data-quality suite
     "source_js_divergence",       # new: pairwise JS source-drift matrix
     "token_entropy",              # new: map-side unigram entropy
+    "kmeans_cohesion",            # new: quantizer cohesion self-eval
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5887,7 +5923,6 @@ DRIVER_PRIORITY: list[str] = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q8_market_share",
-    "q9_product_profit",
     "q16_supplier_relationship",
     "q18_large_orders",
     "q21_sole_blame_supplier",
@@ -5912,9 +5947,9 @@ DRIVER_PRIORITY: list[str] = [
     # and the MAD anomaly entry: bm25_search, asof_last_click,
     # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
     # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers; for the PMI + DQ + JS + entropy entries:
-    # q17_small_quantity, q15_top_supplier, q11_important_stock,
-    # q10_returned_items
+    # q20_excess_shippers; for the PMI + DQ + JS + entropy + cohesion
+    # entries: q17_small_quantity, q15_top_supplier, q11_important_stock,
+    # q10_returned_items, q9_product_profit
 ]
 
 

@@ -580,3 +580,21 @@ def test_ivfadc_trained_quantizer_beats_untrained_recall(spark):
     r_untrained = recall(centroids=untrained)
     r_trained = recall()  # the default path trains k-means
     assert r_trained > r_untrained, (r_trained, r_untrained)
+
+
+def test_kmeans_cohesion_tight_vs_spread_clusters(spark):
+    from dawis_spark.operators.similarity import kmeans_cohesion
+
+    # cluster 0: identical directions (cohesion 0); cluster 1: spread
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0]), (3, [3.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0]), (11, [0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {r["cid"]: r for r in
+           kmeans_cohesion(df, "vec_id", "embedding", cents).collect()}
+    assert out[0]["n"] == 3 and out[0]["cohesion"] == 0.0
+    assert out[0]["mean_cos"] == 1.0
+    assert out[1]["n"] == 2 and out[1]["cohesion"] > 0.0
+    assert out[1]["mean_cos"] < 1.0
