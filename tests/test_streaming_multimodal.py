@@ -162,11 +162,12 @@ def test_multimodal_decode_stub_raises_per_row(spark):
 
 
 def test_multimodal_stdlib_codecs_end_to_end(spark):
-    """Real decode, no fakes: WAV/PPM/BMP/PNG/MP3/MP4 payloads synthesized
+    """Real decode, no fakes: WAV/PPM/BMP/PNG/GIF/MP3/MP4 payloads synthesized
     and decoded through the default mapInPandas path; the unsupported
     format in the same batch errors per-row."""
     from dawis_spark.multimodal.codecs import (
         encode_bmp,
+        encode_gif,
         encode_mp3,
         encode_mp4,
         encode_png,
@@ -196,6 +197,10 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
         (7, meta("audio", "mp3"), bytearray(encode_mp3(38))),
         (8, meta("video", "mp4", width=640, height=360, duration_ms=8000),
          bytearray(encode_mp4(640, 360, n_frames=240, duration_ms=8000))),
+        (9, meta("image", "gif", width=5, height=4),
+         bytearray(encode_gif(
+             5, 4, [(7, 8, 9), (250, 0, 0)], bytes([0] * 10 + [1] * 10),
+             real_lzw=True))),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in extract_features(df).collect()}
@@ -212,6 +217,8 @@ def test_multimodal_stdlib_codecs_end_to_end(spark):
     # mp3/mp4: real container metadata (decode-only surface stays stubbed)
     assert got[7]["feature"][1:] == [44100.0, 2.0, 128.0, 38.0]
     assert got[8]["feature"] == [8000.0, 640.0, 360.0, 240.0, 1.0]
+    # gif: half (7,8,9), half (250,0,0) -> channel means are midpoints
+    assert got[9]["feature"] == [5.0, 4.0, 128.5, 4.0, 4.5]
 
 
 def test_multimodal_fake_decoder_plumbs_batches(spark):
