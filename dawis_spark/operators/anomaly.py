@@ -71,3 +71,62 @@ def robust_zscores(
         )
         .drop("__med", "__adev", "__mad")
     )
+
+
+def trend_slopes(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-series ordinary-least-squares trend: slope, intercept, and r²
+    of ``y_col`` regressed on integer ``x_col`` within each key group —
+    the "is this metric drifting" companion to robust_zscores' "did this
+    point jump" (a slow steady decline never trips a MAD threshold; a
+    slope does).
+
+    Closed-form from the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²): one partial-aggregated pass, no window, no second scan.
+    With integer x (bucket index) and integer-ish y the sums are EXACT
+    int64 arithmetic — bit-identical across engines and partitionings —
+    and only the final divisions are float (rounded 6). Groups need
+    ≥ 2 distinct x for a defined slope; others emit NULLs.
+
+    Scale: the same posture as robust_zscores — callers feed a bucketed
+    rollup, so per-group state is five int64s and the exchange carries
+    one row per series.
+    """
+    n = F.count(F.lit(1)).cast("long")
+    sx = F.sum(F.col(x_col).cast("long"))
+    sy = F.sum(F.col(y_col).cast("long"))
+    sxy = F.sum(F.col(x_col).cast("long") * F.col(y_col).cast("long"))
+    sxx = F.sum(F.col(x_col).cast("long") * F.col(x_col).cast("long"))
+    syy = F.sum(F.col(y_col).cast("long") * F.col(y_col).cast("long"))
+    agg = df.groupBy(*key_cols).agg(
+        n.alias("__n"), sx.alias("__sx"), sy.alias("__sy"),
+        sxy.alias("__sxy"), sxx.alias("__sxx"), syy.alias("__syy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = num.cast("double") / F.expr(
+        "nullif(cast(__n * __sxx - __sx * __sx as double), 0.0)"
+    )
+    # num² stays off the int64 path (double-double product): num itself is
+    # exact int64 and < 2^53, so the conversion loses nothing while the
+    # square would risk overflow
+    return agg.select(
+        *key_cols,
+        F.col("__n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("__sy").cast("double") - slope * F.col("__sx")) / F.col("__n"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            num.cast("double") * num.cast("double")
+            / F.expr(
+                "nullif(cast((__n * __sxx - __sx * __sx) as double), 0.0)"
+            )
+            / F.expr("nullif(cast(__n * __syy - __sy * __sy as double), 0.0)"),
+            6,
+        ).alias("r2"),
+    )

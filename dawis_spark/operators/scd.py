@@ -149,3 +149,26 @@ scd2 AS (
   UNION ALL SELECT * FROM scd2_closing
   UNION ALL SELECT * FROM scd2_inserts
 )"""
+
+
+def scd2_asof(
+    dim: DataFrame,
+    ts: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Time-travel read of an SCD2 dimension: the version of every key
+    that was in effect at ``ts`` (half-open validity: from <= ts < to,
+    open rows have NULL ``to``) — the query-side payoff of keeping
+    history that scd2_apply maintains; joins facts "as of" their event
+    time against it.
+
+    Map-side filter only; on a dimension bucketed by key (the load-join
+    layout) an as-of fact join stays co-located. Keys born after ``ts``
+    are naturally absent.
+    """
+    t = F.expr(f"timestamp '{ts}'")
+    return dim.where(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
+    )

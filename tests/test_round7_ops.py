@@ -587,3 +587,47 @@ def test_dsir_empty_doc_scores_zero(spark):
     raw = spark.createDataFrame([(1, "   ")], "doc_id bigint, text string")
     out = dsir_scores(raw, "doc_id", "text", [0.5] * 64, m=64).collect()
     assert out[0]["n_feats"] == 0 and out[0]["log_ir"] == 0.0
+
+
+def test_trend_slopes_known_line_and_degenerates(spark):
+    from dawis_spark.operators.anomaly import trend_slopes
+
+    rows = (
+        # exact line y = 3x + 7 -> slope 3, intercept 7, r2 = 1
+        [("lin", x, 3 * x + 7) for x in range(6)]
+        # flat series: slope 0; r2 is 0/0 -> NULL (no y variance)
+        + [("flat", x, 42) for x in range(4)]
+        # single point: slope undefined -> NULLs
+        + [("one", 5, 9)]
+    )
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    out = {r["k"]: r for r in trend_slopes(df, ["k"], "x", "y").collect()}
+    assert out["lin"]["slope"] == 3.0
+    assert out["lin"]["intercept"] == 7.0
+    assert out["lin"]["r2"] == 1.0
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["r2"] is None
+    assert out["one"]["slope"] is None and out["one"]["intercept"] is None
+
+
+def test_scd2_asof_picks_version_in_effect(spark):
+    from datetime import datetime
+
+    from dawis_spark.operators.scd import scd2_asof
+
+    rows = [
+        # key 1: v1 [jan, mar), v2 [mar, open)
+        (1, "v1", datetime(2024, 1, 1), datetime(2024, 3, 1), False),
+        (1, "v2", datetime(2024, 3, 1), None, True),
+        # key 2: born in april
+        (2, "x", datetime(2024, 4, 1), None, True),
+    ]
+    dim = spark.createDataFrame(
+        rows, "k bigint, v string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    feb = {(r["k"], r["v"]) for r in scd2_asof(dim, "2024-02-15 00:00:00").collect()}
+    assert feb == {(1, "v1")}  # key 2 not born yet; v2 not yet in effect
+    may = {(r["k"], r["v"]) for r in scd2_asof(dim, "2024-05-01 00:00:00").collect()}
+    assert may == {(1, "v2"), (2, "x")}
+    # boundary: as-of exactly at a version switch takes the NEW version
+    mar = {(r["k"], r["v"]) for r in scd2_asof(dim, "2024-03-01 00:00:00").collect()}
+    assert mar == {(1, "v2")}
