@@ -566,12 +566,30 @@ def prefix_filter_pairs(
     prefixes = (
         keyed.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("key")).alias("ks"))
-        .select(id_col, F.explode(F.expr(f"slice(ks, 1, {plen})")).alias("key"))
+        .select(
+            id_col,
+            F.size("ks").alias("sz"),
+            F.explode(F.expr(f"slice(ks, 1, {plen})")).alias("key"),
+        )
     )
+    # length filter (AllPairs): J >= t implies min|.|/max|.| >= t, so a
+    # size-mismatched candidate can be dropped BEFORE the distinct and
+    # the array hydration — integer-exact, no recall loss
     cand = (
-        prefixes.select(F.col(id_col).alias("id_a"), "key")
-        .join(prefixes.select(F.col(id_col).alias("id_b"), "key"), "key")
+        prefixes.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "key"
+        )
+        .join(
+            prefixes.select(
+                F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "key"
+            ),
+            "key",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(t_num) * F.greatest("sz_a", "sz_b")
+            <= F.lit(t_den) * F.least("sz_a", "sz_b")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
