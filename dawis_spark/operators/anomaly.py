@@ -130,3 +130,56 @@ def trend_slopes(
             6,
         ).alias("r2"),
     )
+
+
+def seasonal_residual_zscores(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    season_lag: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-naive robust anomaly scoring: difference each point
+    against the same-phase point one season earlier (x_t - x_{t-lag},
+    the seasonal-naive forecast residual), then median/MAD-score the
+    RESIDUALS per series. Catches what raw-value scoring cannot: on a
+    series with a strong weekly shape, every Sunday looks like an
+    outlier to robust_zscores, while a Tuesday outage inside a normal
+    week hides in the weekly spread — differencing removes the
+    seasonal component first (the cheap, assumption-light end of the
+    STL spectrum).
+
+    ``df`` must be one row per (key, bucket) with CONSECUTIVE integer
+    buckets per key (gap-fill first — operators/gapfill.py — so lag-k
+    really is one season back). The first ``season_lag`` points per
+    series have no reference and emit NULL residual/z, never a flag.
+
+    Scale: one lag window per series (ordered by bucket, state = lag
+    rows) + the robust_zscores aggregations, all keyed on the series —
+    one exchange footprint under AQE, same bounded-group posture as the
+    rest of this module.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(bucket_col)
+    resid = df.withColumn(
+        "residual", F.col(value_col) - F.lag(value_col, season_lag).over(w)
+    )
+    scored = robust_zscores(
+        resid.filter(F.col("residual").isNotNull()),
+        key_cols,
+        "residual",
+        z_threshold,
+    )
+    missing = resid.filter(F.col("residual").isNull()).select(
+        *key_cols,
+        bucket_col,
+        value_col,
+        "residual",
+        F.lit(None).cast("double").alias("robust_z"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    return scored.select(
+        *key_cols, bucket_col, value_col, "residual", "robust_z", "is_anomaly"
+    ).unionByName(missing)

@@ -5976,6 +5976,73 @@ def trend_slopes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bucket, cnt,
+         cnt - lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY bucket)
+           AS residual
+  FROM daily
+),
+med AS (SELECT event_type, median(residual) AS med FROM r
+        WHERE residual IS NOT NULL GROUP BY 1),
+dev AS (
+  SELECT r.event_type, bucket, cnt, residual,
+         residual - m.med AS delta, ABS(residual - m.med) AS adev
+  FROM r JOIN med m USING (event_type) WHERE residual IS NOT NULL
+),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1),
+sc AS (
+  SELECT d.event_type, bucket, cnt, residual,
+         ROUND(d.delta / NULLIF(1.4826 * m.mad, 0), 6) AS robust_z
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_type, bucket, cnt, residual, robust_z,
+       COALESCE(ABS(robust_z) > 3.0, FALSE) AS is_anomaly
+FROM sc
+UNION ALL
+SELECT event_type, bucket, cnt, NULL, NULL, FALSE FROM r WHERE residual IS NULL
+ORDER BY event_type, bucket
+"""
+
+
+@query("anomaly_seasonal_daily", oracle=_SEASONAL_ORACLE)
+def anomaly_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly scoring over daily event volumes
+    (operators/anomaly.seasonal_residual_zscores): difference against
+    the same weekday one week back, then MAD-score the residuals — the
+    weekly-shape-aware sibling of anomaly_mad_daily (a normal Sunday
+    stops looking anomalous; a broken Tuesday stops hiding in the
+    weekly spread).
+
+    Scale: one lag window + the MAD aggregations, all keyed on the
+    series; the fact table is read once into the daily rollup."""
+    from dawis_spark.operators.anomaly import seasonal_residual_zscores
+
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        seasonal_residual_zscores(
+            daily, ["event_type"], "bucket", "cnt", season_lag=7
+        )
+        .select("event_type", "bucket", "cnt", "residual", "robust_z", "is_anomaly")
+        .orderBy("event_type", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6002,6 +6069,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_cohesion",            # new: quantizer cohesion self-eval
     "trend_slopes",               # new: per-series OLS drift detection
     "scd2_asof_read",             # new: SCD2 time-travel snapshot
+    "anomaly_seasonal_daily",     # new: seasonal-residual MAD scoring
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -6026,7 +6094,6 @@ DRIVER_PRIORITY: list[str] = [
     # q1/q2/q3 rotated out to make room for the sketch entries: they are
     # the least-churn queries in the repo (plain TPC-H SQL, unchanged
     # since round 1-2) and stay in the local full-inventory sweep.
-    "q4_order_priority",
     "q6_forecast_revenue",
     "q16_supplier_relationship",
     "q18_large_orders",
@@ -6055,7 +6122,8 @@ DRIVER_PRIORITY: list[str] = [
     # q20_excess_shippers; for the PMI + DQ + JS + entropy + cohesion +
     # trend + scd2-asof entries: q17_small_quantity, q15_top_supplier,
     # q11_important_stock, q10_returned_items, q9_product_profit,
-    # q5_region_revenue, q8_market_share
+    # q5_region_revenue, q8_market_share; for the seasonal entry:
+    # q4_order_priority
 ]
 
 

@@ -631,3 +631,34 @@ def test_scd2_asof_picks_version_in_effect(spark):
     # boundary: as-of exactly at a version switch takes the NEW version
     mar = {(r["k"], r["v"]) for r in scd2_asof(dim, "2024-03-01 00:00:00").collect()}
     assert mar == {(1, "v2")}
+
+
+def test_seasonal_residual_flags_broken_phase_not_seasonal_shape(spark):
+    import statistics
+
+    from dawis_spark.operators.anomaly import seasonal_residual_zscores
+
+    # weekly pattern (weekends 100, weekdays 10) + deterministic jitter,
+    # over 4 weeks; one broken Wednesday (bucket 17: +45). Raw MAD
+    # scoring would flag every weekend; seasonal differencing flags the
+    # outage (17) and its phantom "recovery" one season later (24).
+    def val(b):
+        v = (100 if b % 7 in (5, 6) else 10) + (b * b) % 11 - 5
+        return v + 45 if b == 17 else v
+
+    rows = [("m", b, val(b)) for b in range(28)]
+    df = spark.createDataFrame(rows, "k string, bucket int, v int")
+    out = {r["bucket"]: r for r in
+           seasonal_residual_zscores(df, ["k"], "bucket", "v", 7).collect()}
+    # pure-python replica of the expected flags
+    resid = {b: val(b) - val(b - 7) for b in range(7, 28)}
+    med = statistics.median(resid.values())
+    mad = statistics.median(abs(r - med) for r in resid.values())
+    assert mad > 0  # jitter keeps the baseline non-degenerate
+    want = {b for b, r in resid.items() if abs((r - med) / (1.4826 * mad)) > 3}
+    assert {17, 24} <= want
+    flagged = {b for b, r in out.items() if r["is_anomaly"]}
+    assert flagged == want
+    # warm-up rows carry no flag and NULL scores
+    assert all(out[b]["robust_z"] is None and not out[b]["is_anomaly"]
+               for b in range(7))
