@@ -6043,6 +6043,75 @@ def anomaly_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_JOIN_ORACLE = """
+WITH dim_final AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED2'
+              WHEN c_custkey % 7 = 0 THEN 'MOVED1'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+)
+SELECT o.o_orderkey, d.c_mktsegment, o.o_totalprice
+FROM orders o JOIN dim_final d ON o.o_custkey = d.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
+@query("incremental_join_2ticks", oracle=_IVM_JOIN_ORACLE)
+def incremental_join_2ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view maintenance, oracle-proven (operators/ivm.py): the
+    orders⋈customer view starts from a third of the facts, then two
+    ticks each append a fact slice AND update a customer-segment slice
+    (custkey%7 -> MOVED1, then custkey%5 -> MOVED2, overlapping); the
+    maintained view must row-hash-match a single-shot join of ALL
+    orders against the FINAL dimension. Re-derivation pulls fact
+    columns from the view itself — the fact table is never re-joined
+    for dimension churn, the delta rule every warehouse's materialized
+    denormalization relies on.
+
+    Scale: per tick, one key-pruned pass over the view plus
+    deltas-sized joins; nothing history-sized shuffles."""
+    from dawis_spark.operators.ivm import maintain_join_view
+
+    cust = spark.table("customer")
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def dim_state(*moves: tuple[int, str]) -> DataFrame:
+        seg = F.col("c_mktsegment")
+        for mod, label in moves:  # later moves win: apply in reverse below
+            seg = F.when(F.col("c_custkey") % mod == 0, label).otherwise(seg)
+        return cust.select("c_custkey", seg.alias("c_mktsegment"))
+
+    dim0 = dim_state()
+    dim1 = dim_state((7, "MOVED1"))
+    dim2 = dim_state((7, "MOVED1"), (5, "MOVED2"))
+
+    key = ["c_custkey"]
+    fact = orders.withColumnRenamed("o_custkey", "c_custkey")
+    view = fact.filter("o_orderkey % 3 = 0").join(dim0, key)
+    view = maintain_join_view(
+        view,
+        fact.filter("o_orderkey % 3 = 1"),
+        dim1,
+        cust.filter("c_custkey % 7 = 0").select(*key),
+        key,
+        ["c_mktsegment"],
+    )
+    view = maintain_join_view(
+        view,
+        fact.filter("o_orderkey % 3 = 2"),
+        dim2,
+        cust.filter("c_custkey % 5 = 0").select(*key),
+        key,
+        ["c_mktsegment"],
+    )
+    return view.select("o_orderkey", "c_mktsegment", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6070,6 +6139,7 @@ DRIVER_PRIORITY: list[str] = [
     "trend_slopes",               # new: per-series OLS drift detection
     "scd2_asof_read",             # new: SCD2 time-travel snapshot
     "anomaly_seasonal_daily",     # new: seasonal-residual MAD scoring
+    "incremental_join_2ticks",    # new: delta-rule join-view maintenance
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -6095,7 +6165,6 @@ DRIVER_PRIORITY: list[str] = [
     # the least-churn queries in the repo (plain TPC-H SQL, unchanged
     # since round 1-2) and stay in the local full-inventory sweep.
     "q6_forecast_revenue",
-    "q16_supplier_relationship",
     "q18_large_orders",
     "q21_sole_blame_supplier",
     "match_enrichment",
@@ -6122,8 +6191,8 @@ DRIVER_PRIORITY: list[str] = [
     # q20_excess_shippers; for the PMI + DQ + JS + entropy + cohesion +
     # trend + scd2-asof entries: q17_small_quantity, q15_top_supplier,
     # q11_important_stock, q10_returned_items, q9_product_profit,
-    # q5_region_revenue, q8_market_share; for the seasonal entry:
-    # q4_order_priority
+    # q5_region_revenue, q8_market_share; for the seasonal + IVM
+    # entries: q4_order_priority, q16_supplier_relationship
 ]
 
 

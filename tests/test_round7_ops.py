@@ -662,3 +662,25 @@ def test_seasonal_residual_flags_broken_phase_not_seasonal_shape(spark):
     # warm-up rows carry no flag and NULL scores
     assert all(out[b]["robust_z"] is None and not out[b]["is_anomaly"]
                for b in range(7))
+
+
+def test_maintain_join_view_equals_full_refresh(spark):
+    from dawis_spark.operators.ivm import maintain_join_view
+
+    dim0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, attr string"
+    )
+    f0 = spark.createDataFrame([(10, 1), (11, 2)], "fid bigint, k bigint")
+    view = f0.join(dim0, "k")
+    # tick: append one fact, change dim key 2 -> "B"
+    dim1 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "k bigint, attr string"
+    )
+    delta = spark.createDataFrame([(12, 2)], "fid bigint, k bigint")
+    changed = spark.createDataFrame([(2,)], "k bigint")
+    got = maintain_join_view(view, delta, dim1, changed, ["k"], ["attr"])
+    want = f0.unionByName(delta).join(dim1, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the stale (11, 2, "b") row was retracted, not duplicated
+    rows = [tuple(r) for r in got.collect() if r["fid"] == 11]
+    assert rows == [(2, 11, "B")]
