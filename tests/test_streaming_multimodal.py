@@ -978,3 +978,50 @@ def test_stream_heartbeat_silent_then_recovered(spark, tmp_path):
         assert rows_now().count(("cron", "silent")) == 1
     finally:
         q.stop()
+
+
+def test_foreach_batch_streaming_join_view_maintenance(spark, tmp_path):
+    """Streaming denormalization: foreachBatch maintains the fact⋈dim
+    join view via the delta rule (operators/ivm.py) as fact files land;
+    a dim update between ticks rewrites ONLY the affected keys' rows.
+    After two ticks the stored view equals a full re-join."""
+    from dawis_spark.catalog import Warehouse
+    from dawis_spark.operators.ivm import maintain_join_view
+    from dawis_spark.streaming.stream import run_foreach_batch, staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "fid bigint, k bigint"
+
+    dim_state = {"cur": spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, attr string"
+    )}
+
+    def tick_fn(batch_df, batch_id):
+        view = (
+            wh.read("v")
+            if wh.exists("v")
+            else spark.createDataFrame([], "k bigint, fid bigint, attr string")
+        )
+        changed = dim_state.get("changed") or spark.createDataFrame([], "k bigint")
+        nxt = maintain_join_view(
+            view, batch_df, dim_state["cur"], changed, ["k"], ["attr"]
+        )
+        wh.replace(nxt, "v")
+
+    wave1 = spark.createDataFrame([(10, 1), (11, 2)], schema)
+    wave1.write.parquet(staging)
+    run_foreach_batch(staging_stream(spark, staging, wave1.schema), ckpt, tick_fn)
+
+    # between ticks: dim key 2 changes b -> B
+    dim_state["cur"] = spark.createDataFrame(
+        [(1, "a"), (2, "B")], "k bigint, attr string"
+    )
+    dim_state["changed"] = spark.createDataFrame([(2,)], "k bigint")
+    wave2 = spark.createDataFrame([(12, 2), (13, 1)], schema)
+    wave2.write.mode("append").parquet(staging)
+    run_foreach_batch(staging_stream(spark, staging, wave1.schema), ckpt, tick_fn)
+
+    got = sorted((r["fid"], r["k"], r["attr"]) for r in wh.read("v").collect())
+    assert got == [(10, 1, "a"), (11, 2, "B"), (12, 2, "B"), (13, 1, "a")]
