@@ -240,3 +240,28 @@ def test_duplicated_spans_shuffles_hashes_not_bodies(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg[:200]
         assert "text#" not in head, head
+
+
+def test_ivm_changed_keys_broadcast_never_sortmerge(spark):
+    # the delta rule's retract/re-derive passes must probe the view with
+    # the BROADCAST tick-sized key set; a sort-merge there would shuffle
+    # history every tick
+    plan = _plan(spark, "incremental_join_2ticks")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_trend_slopes_single_pass_no_join(spark):
+    # five sufficient statistics in one aggregation: no join, no window,
+    # one fact scan
+    plan = _plan(spark, "trend_slopes")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_token_entropy_no_exchange_before_sort(spark):
+    # sorted-run entropy is entirely map-side: the only exchange is the
+    # presentation orderBy's range partitioning
+    plan = _plan(spark, "token_entropy")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan parquet") == 1
