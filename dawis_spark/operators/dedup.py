@@ -661,3 +661,50 @@ def duplicated_spans(
         )
         .drop("__grp")
     )
+
+
+def mask_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Remove flagged duplicated spans from the token stream — the
+    REMOVAL half of Lee et al. 2021 (duplicated_spans finds repeated
+    substrings; training pipelines then cut them out rather than drop
+    whole documents). ``spans``: (id, span_start, span_end) token
+    offsets from ``duplicated_spans``.
+
+    Output: (id, n_before, n_after, clean_text) where clean_text is the
+    document's canonical token stream (lowercased, single-spaced — the
+    same normalization the span offsets were computed on) minus every
+    token covered by a span. Documents with no spans pass through with
+    n_before = n_after.
+
+    Scale: spans are collect_list'd per doc (span counts are small by
+    construction — maximal merged runs), the join keys on the doc id,
+    and masking is one map-side expression over the doc's own token
+    array; no token crosses an exchange.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = TXT.tokens(text_col, "spark")
+    keep = (
+        "case when size(__t) = 0 then array() else "
+        "filter(sequence(0, size(__t) - 1), i -> __spans is null or "
+        "not exists(__spans, s -> i >= s.span_start and i < s.span_end)) end"
+    )
+    return (
+        docs.join(sp, id_col, "left")
+        .select(id_col, F.expr(toks).alias("__t"), "__spans")
+        .withColumn("__keep", F.expr(keep))
+        .select(
+            id_col,
+            F.size("__t").cast("bigint").alias("n_before"),
+            F.size("__keep").cast("bigint").alias("n_after"),
+            F.expr(
+                "array_join(transform(__keep, i -> __t[i]), ' ')"
+            ).alias("clean_text"),
+        )
+    )

@@ -6112,6 +6112,108 @@ def incremental_join_2ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOT_IN_NULL_ORACLE = """
+WITH probe AS (
+  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_custkey % 2 = 0
+),
+clean AS (SELECT k FROM probe WHERE k IS NOT NULL)
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM probe))
+    AS n_not_in_with_null,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM clean))
+    AS n_not_in_clean,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+    AS n_not_exists
+"""
+
+
+@query("not_in_null_semantics", oracle=_NOT_IN_NULL_ORACLE)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity check: ``NOT IN`` against a subquery
+    CONTAINING a NULL must return ZERO rows (x <> NULL is unknown for
+    every x — the classic SQL trap), while the NULL-free ``NOT IN`` and
+    the ``NOT EXISTS`` rewrite count normally. One row, three counts —
+    an engine that silently rewrites NOT IN to an anti join without the
+    null guard fails this against any ANSI oracle.
+
+    Scale note: this is exactly why operators/idempotent.py and the DQ
+    suite build on left_anti/NOT EXISTS — Spark plans the null-aware
+    NOT IN as a BroadcastNestedLoopJoin when the subquery may contain
+    NULLs, which is correct and expensive; the null-free forms get the
+    cheap anti join."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+                      ELSE c_custkey END AS k
+          FROM customer WHERE c_custkey % 2 = 0
+        ),
+        clean AS (SELECT k FROM probe WHERE k IS NOT NULL)
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT k FROM probe))
+            AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT k FROM clean))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM probe p
+                             WHERE p.k = o.o_custkey))
+            AS n_not_exists
+        """
+    )
+
+
+def _mask_spans_oracle(k: int) -> str:
+    inner = _dup_spans_oracle(k).strip()
+    toks = _TXT.tokens("text", "duck")
+    keep = (
+        "list_filter(range(0, len(t)), i -> spans IS NULL OR "
+        "len(list_filter(spans, s -> i >= s.span_start AND i < s.span_end)) = 0)"
+    )
+    return f"""
+WITH spans_raw AS (SELECT * FROM ({inner})),
+sp AS (
+  SELECT doc_id,
+         list({{'span_start': span_start, 'span_end': span_end}}) AS spans
+  FROM spans_raw GROUP BY doc_id
+),
+tk AS (
+  SELECT d.doc_id, {toks} AS t, sp.spans
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+),
+kept AS (SELECT doc_id, t, {keep} AS keep FROM tk)
+SELECT doc_id,
+       len(t) AS n_before,
+       len(keep) AS n_after,
+       COALESCE(
+         list_aggregate(list_transform(keep, i -> t[i + 1]), 'string_agg', ' '),
+         '') AS clean_text
+FROM kept ORDER BY doc_id
+"""
+
+
+@query("dedup_masked_text", oracle=_mask_spans_oracle(8))
+def dedup_masked_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL — the second half of Lee et al. 2021
+    (operators/dedup.mask_duplicated_spans): every token covered by a
+    duplicated 8-gram span is cut from the canonical token stream,
+    keeping the unique remainder of each document instead of dropping
+    whole near-duplicates.
+
+    Scale: spans collect per doc (merged maximal runs — few per doc),
+    the join keys on doc id, and masking is one map-side expression
+    over each doc's own token array."""
+    from dawis_spark.operators.dedup import duplicated_spans, mask_duplicated_spans
+
+    docs = spark.table("documents")
+    spans = duplicated_spans(docs, "doc_id", "text", window_k=8)
+    return mask_duplicated_spans(docs, spans, "doc_id", "text").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
@@ -6140,6 +6242,8 @@ DRIVER_PRIORITY: list[str] = [
     "scd2_asof_read",             # new: SCD2 time-travel snapshot
     "anomaly_seasonal_daily",     # new: seasonal-residual MAD scoring
     "incremental_join_2ticks",    # new: delta-rule join-view maintenance
+    "not_in_null_semantics",      # new: three-valued-logic parity probe
+    "dedup_masked_text",          # new: duplicated-span REMOVAL
     "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
     "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
     "ann_recall_sq8",             # new: SQ8 recall self-eval
@@ -6164,9 +6268,7 @@ DRIVER_PRIORITY: list[str] = [
     # q1/q2/q3 rotated out to make room for the sketch entries: they are
     # the least-churn queries in the repo (plain TPC-H SQL, unchanged
     # since round 1-2) and stay in the local full-inventory sweep.
-    "q6_forecast_revenue",
     "q18_large_orders",
-    "q21_sole_blame_supplier",
     "match_enrichment",
     "duplicate_detection",
     "duplicate_detection_parity",
@@ -6192,7 +6294,9 @@ DRIVER_PRIORITY: list[str] = [
     # trend + scd2-asof entries: q17_small_quantity, q15_top_supplier,
     # q11_important_stock, q10_returned_items, q9_product_profit,
     # q5_region_revenue, q8_market_share; for the seasonal + IVM
-    # entries: q4_order_priority, q16_supplier_relationship
+    # entries: q4_order_priority, q16_supplier_relationship; for the
+    # NOT-IN + span-removal entries: q6_forecast_revenue,
+    # q21_sole_blame_supplier
 ]
 
 

@@ -684,3 +684,42 @@ def test_maintain_join_view_equals_full_refresh(spark):
     # the stale (11, 2, "b") row was retracted, not duplicated
     rows = [tuple(r) for r in got.collect() if r["fid"] == 11]
     assert rows == [(2, 11, "B")]
+
+
+def test_mask_duplicated_spans_cuts_only_flagged_tokens(spark):
+    from dawis_spark.operators.dedup import duplicated_spans, mask_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro a b c d e f outro one"),
+            (2, "pre a b c d e f post two"),
+            (3, "nothing shared at all here friends"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = duplicated_spans(docs, "doc_id", "text", window_k=3)
+    out = {
+        r["doc_id"]: r
+        for r in mask_duplicated_spans(docs, spans, "doc_id", "text").collect()
+    }
+    # the shared 6-token run is cut; the unique frame survives
+    assert out[1]["clean_text"] == "intro outro one"
+    assert out[2]["clean_text"] == "pre post two"
+    assert (out[1]["n_before"], out[1]["n_after"]) == (9, 3)
+    # span-free docs pass through whole
+    assert out[3]["clean_text"] == "nothing shared at all here friends"
+    assert out[3]["n_before"] == out[3]["n_after"] == 6
+
+
+def test_mask_duplicated_spans_full_duplicate_masks_to_empty(spark):
+    from dawis_spark.operators.dedup import duplicated_spans, mask_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "x y z w v u"), (2, "x y z w v u")],
+        "doc_id bigint, text string",
+    )
+    spans = duplicated_spans(docs, "doc_id", "text", window_k=3)
+    out = {r["doc_id"]: r for r in
+           mask_duplicated_spans(docs, spans, "doc_id", "text").collect()}
+    assert out[1]["n_after"] == 0 and out[1]["clean_text"] == ""
+    assert out[2]["n_after"] == 0
