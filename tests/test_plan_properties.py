@@ -265,3 +265,53 @@ def test_token_entropy_no_exchange_before_sort(spark):
     plan = _plan(spark, "token_entropy")
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_prefix_filter_candidates_join_postings_not_arrays(spark):
+    """The AllPairs candidate join must run on prefix-token POSTINGS —
+    (id, size, int64 key) rows — with the id-order and length filters
+    applied AT the join, and shingle arrays hydrated only afterwards
+    via the hinted shuffle-hash verify joins. A regression that
+    hydrates arrays before candidate generation (or broadcasts the
+    corpus) turns the exact join quadratic in bytes at 100 TB."""
+    import re
+
+    plan = _plan(spark, "prefix_filter_similar")
+    # candidate join keyed on the composite (df, hash) int64 postings key,
+    # with the AllPairs length filter inline in the join condition
+    key_join = re.search(
+        r"Join \[key#\d+L\], \[key#\d+L\], Inner, \w+, "
+        r"\(\(id_a#\d+L < id_b#\d+L\) AND .*greatest\(sz_a",
+        plan,
+    )
+    assert key_join, "candidate join on postings key (with length filter) missing"
+    # posting projections feeding it carry no shingle arrays
+    assert re.search(
+        r"Project \[doc_id#\d+L AS id_a#\d+L, size\(ks#\d+, false\) AS sz_a", plan
+    )
+    # verification hydrates by pair id via shuffle-hash, never broadcast
+    assert "ShuffledHashJoin [id_a" in plan
+    assert "ShuffledHashJoin [id_b" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mask_spans_tokens_never_cross_hash_exchange(spark):
+    """dedup_masked_text: the only hash exchanges are the window-hash
+    frequency count and the (doc_id, pos) island merge — 8-byte rows.
+    Document bodies/token arrays must never hash-partition: the span
+    relation (tiny, maximal merged runs) broadcasts into the docs scan
+    and masking is a map-side expression."""
+    import re
+
+    plan = _plan(spark, "dedup_masked_text")
+    # spans broadcast into the docs side (left outer on doc id)
+    assert re.search(r"Join \[doc_id#\d+L\], \[doc_id#\d+L\], LeftOuter", plan)
+    # island-merge window's exchange carries (doc_id, pos) only
+    assert re.search(
+        r"Exchange hashpartitioning\(doc_id#\d+L, \d+\), ENSURE_REQUIREMENTS[^\n]*\n"
+        r"\s*\+- Project \[doc_id#\d+L, pos#\d+L?\]",
+        plan,
+    )
+    # no hash exchange ever carries the text column or token arrays
+    assert not re.search(r"Exchange hashpartitioning\([^)]*(text|__t)#", plan)

@@ -35,6 +35,43 @@ def duck_connect():
     return con
 
 
+def dtype_class(col: pd.Series) -> str:
+    """Coarse dtype family, matching what a value-hash distinguishes.
+
+    The driver hashes stringified values; pandas renders int64 2003 as
+    "2003" but float64 as "2003.0", so an int-vs-float split between the
+    Spark result and the DuckDB oracle (e.g. DuckDB typing SUM(int) as
+    HUGEINT -> float64 in fetchdf) hash-mismatches even when the values
+    are numerically identical. Flag those splits here, before the local
+    %.9g normalization can mask them (VERDICT r7 ask #3).
+    """
+    if pd.api.types.is_bool_dtype(col):
+        return "bool"
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return "datetime"
+    return "object"
+
+
+def dtype_splits(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    splits = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        sk, ok = dtype_class(sdf[c]), dtype_class(odf[c])
+        if sk == ok:
+            continue
+        # int-vs-float (and bool-vs-int/float) splits change the string
+        # form of every value; object-vs-typed is usually just pandas
+        # picking object for decimals/NULL-bearing ints — only flag when
+        # both sides are concretely numeric/bool but disagree.
+        numeric = {"int", "float", "bool"}
+        if sk in numeric and ok in numeric:
+            splits.append(f"{c}: spark={sk} vs oracle={ok}")
+    return splits
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # stringify everything the way a value-hash would see it
@@ -82,6 +119,9 @@ def main(only: list[str]) -> int:
             continue
         s, o = normalize(sdf), normalize(odf)
         status = []
+        splits = dtype_splits(sdf, odf)
+        if splits:
+            status.append(f"dtype split {splits}")
         if len(s) != len(o):
             status.append(f"rowcount {len(s)} vs {len(o)}")
         if list(s.columns) != list(o.columns):
