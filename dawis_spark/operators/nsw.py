@@ -1,0 +1,202 @@
+"""Graph-based ANN: cell-partitioned navigable-small-world beam search.
+
+The graph-index family (NSW — Malkov et al. 2014; HNSW — Malkov &
+Yashunin 2016) was the one major production-ANN family the engine's
+LSH/IVF/PQ/SQ8/refine inventory lacked (the round-7 review's stretch
+item). The reference system (mindshape-GmbH/dawis) has no similarity
+search at all — this extends the engine's beyond-reference LLM-pipeline
+surface, alongside operators/similarity.py.
+
+Design — why this is NOT textbook HNSW, and why that is the point:
+
+* **Hierarchy → IVF entry points.** HNSW's upper layers exist to find a
+  good entry point in O(log n) hops; the layered graph is built by
+  SEQUENTIAL insertion, which neither shards nor replays
+  deterministically. Here the trained IVF coarse quantizer
+  (operators/similarity.py train_kmeans — deterministic init + 6-digit
+  rounding) supplies entry points instead: per cell, the member nearest
+  its centroid. A query probes its ``n_probe`` nearest cells' entries
+  and beam-searches from there — the hierarchy's job, done by a
+  structure the engine already trains, distributes, and replays in SQL.
+
+* **Construction is cell-scoped, never corpus all-pairs.** The base
+  graph connects each node to its ``m`` nearest neighbors WITHIN its
+  quantizer cell (symmetrized), so the kNN build is a self-join keyed
+  on cid — each cell an independent bounded block, the same
+  block-routing discipline as embedding_near_dup_pairs. At 100 TB each
+  cell's subgraph builds in parallel from its own partition; cross-cell
+  reachability comes from probing several cells, not from cross-cell
+  edges. (Production HNSW shards the same way: per-shard graphs +
+  fan-out search, cf. Vespa/Milvus segment indexes.)
+
+* **Search is unrolled beam expansion** (the pagerank discipline:
+  fixed iterations as deterministic DataFrame joins). Each hop joins
+  the frontier with the edge list (ids only), hydrates candidate
+  vectors by id, scores 6-digit-rounded cosine, and keeps the top
+  ``beam`` per query with id-ascending tie-break. Every intermediate is
+  therefore a pure function of (corpus, params) — the DuckDB oracle
+  replays construction AND all hops bit-for-bit.
+
+Plan shape: edge build shuffles (cid)-keyed vector pairs inside cells
+only; search exchanges carry (query_id, node_id[, cosine]) triples plus
+bounded candidate hydration (≤ beam·(m·2+1) rows per query per hop);
+the query side broadcasts. Nothing in the search path scans the corpus
+beyond the id→vector hydration joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dawis_spark.functions import vectors as V
+from dawis_spark.operators.similarity import _ivf_assign, train_kmeans
+
+
+def _cos6(a: str, b: str) -> F.Column:
+    """6-digit-rounded cosine, NULL (zero-norm) coalesced below any valid
+    score — same determinism contract as the IVF affinity path."""
+    return F.coalesce(
+        F.round(F.expr(V.cosine_null(a, b, "spark")), 6),
+        F.lit(-2.0),
+    )
+
+
+def nsw_edges(
+    assigned: DataFrame,
+    m: int,
+) -> DataFrame:
+    """Symmetrized within-cell kNN edge list from an ``_ivf_assign``
+    output ``(id, vec, cid)``: for each node, its ``m`` highest-cosine
+    cellmates (ties id-ascending), then both directions, distinct.
+
+    The self-join keys on cid — bounded blocks from the trained
+    quantizer, so the build is Σ|cell|² work sharded per cell, never
+    N². Skew note: a lopsided quantizer concentrates work; the trained
+    (not untrained-init) centroids are what keeps cells balanced, and a
+    cluster deployment would persist+bucket ``assigned`` by cid.
+    """
+    from pyspark.sql import Window
+
+    a = assigned.select(
+        F.col("id").alias("src"), F.col("vec").alias("s_vec"), "cid"
+    )
+    b = assigned.select(
+        F.col("id").alias("dst"), F.col("vec").alias("d_vec"), "cid"
+    )
+    scored = (
+        a.join(b, "cid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", _cos6("s_vec", "d_vec").alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    knn = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m)
+        .select("src", "dst")
+    )
+    return knn.union(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def nsw_entry_points(assigned: DataFrame, cent_rows) -> DataFrame:
+    """(cid, node_id): per cell, the member with the highest 6-digit
+    cosine to its centroid (ties id-ascending) — the deterministic
+    stand-in for HNSW's top-layer entry node."""
+    from pyspark.sql import Window
+
+    spark = assigned.sparkSession
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cid int, cvec array<double>",
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("aff"), F.asc("id"))
+    return (
+        assigned.join(F.broadcast(cents), "cid")
+        .select("cid", "id", _cos6("vec", "cvec").alias("aff"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 1)
+        .select("cid", F.col("id").alias("node_id"))
+    )
+
+
+def nsw_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    beam: int = 10,
+    hops: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """NSW beam search: probe ``n_probe`` cells' entry points, then
+    ``hops`` rounds of expand-neighbors → score → keep top ``beam``
+    per query; finally top-``k`` excluding self.
+
+    EAGER like ivf_ann_topk when ``centroids`` is not supplied (trains
+    the coarse quantizer on call). ``beam`` should exceed ``k`` (the
+    final self-exclusion eats one slot). Output:
+    (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    assert hops >= 1, "beam search needs at least one scored hop"
+    if centroids is None:
+        centroids = train_kmeans(
+            corpus, id_col, vec_col, k=n_centroids, iterations=1
+        )
+    cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    if not cent_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    assigned = _ivf_assign(corpus, id_col, vec_col, cent_rows, "id", "vec", 1)
+    edges = nsw_edges(assigned, m)
+    entries = nsw_entry_points(assigned, cent_rows)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    node_vecs = corpus.select(
+        F.col(id_col).alias("node_id"), F.col(vec_col).alias("n_vec")
+    )
+    q_cells = _ivf_assign(
+        queries, id_col, vec_col, cent_rows, "query_id", "q_vec", n_probe
+    ).select("query_id", "cid")
+    frontier = (
+        q_cells.join(entries, "cid").select("query_id", "node_id").distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("node_id")
+    )
+    scored = None
+    for _ in range(hops):
+        expanded = frontier.union(
+            frontier.join(edges, frontier["node_id"] == edges["src"]).select(
+                "query_id", F.col("dst").alias("node_id")
+            )
+        ).distinct()
+        scored = (
+            expanded.join(node_vecs, "node_id")
+            .join(F.broadcast(qv), "query_id")
+            .select("query_id", "node_id", _cos6("q_vec", "n_vec").alias("cosine"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= beam)
+            .select("query_id", "node_id", "cosine")
+        )
+        frontier = scored.select("query_id", "node_id")
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("query_id") != F.col("node_id"))
+        .select("query_id", F.col("node_id").alias("neighbor_id"), "cosine")
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

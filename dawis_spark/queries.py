@@ -6258,6 +6258,175 @@ def dedup_masked_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver-check rotation
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN: cell-partitioned NSW beam search (operators/nsw.py)
+# ---------------------------------------------------------------------------
+
+
+def _nsw_oracle(
+    k: int, nq: int, kc: int, n_probe: int, m: int, beam: int, hops: int, dim: int
+) -> str:
+    """Replay of nsw_ann_topk: quantizer training (shared k-means CTEs),
+    within-cell kNN edge build, per-cell entry points, then ``hops``
+    unrolled beam iterations — every cosine 6-digit-rounded with
+    id-ascending tie-breaks, so both engines walk the identical graph."""
+    cos_vc = _VEC.cosine_null("vec", "cvec", "duck")
+    cos_ab = _VEC.cosine_null("a.vec", "b.vec", "duck")
+    cos_qn = _VEC.cosine_null("q.q_vec", "a.vec", "duck")
+    hop_ctes = []
+    prev = "f0"
+    for t in range(1, hops + 1):
+        hop_ctes.append(f"""
+e{t} AS (
+  SELECT query_id, node_id FROM {prev}
+  UNION
+  SELECT f.query_id, ed.dst AS node_id
+  FROM {prev} f JOIN edges ed ON f.node_id = ed.src
+),
+s{t} AS (
+  SELECT e.query_id, e.node_id,
+         coalesce(ROUND({cos_qn}, 6), -2.0) AS cosine
+  FROM e{t} e
+  JOIN assign a ON e.node_id = a.id
+  JOIN qv q ON e.query_id = q.query_id
+),
+f{t} AS (
+  SELECT query_id, node_id, cosine FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, node_id) AS r
+    FROM s{t}) WHERE r <= {beam}
+)""")
+        prev = f"f{t}"
+    return f"""
+WITH {_kmeans_c1_ctes(kc, dim)},
+corpus_aff AS (
+  SELECT vec_id AS id, vec, cid,
+         coalesce(ROUND({cos_vc}, 6), -2.0) AS aff
+  FROM v, (SELECT cid, cvec FROM c1) cent(cid, cvec)
+),
+assign AS (
+  SELECT id, vec, cid, aff FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY aff DESC, cid) AS r
+    FROM corpus_aff) WHERE r <= 1
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT a.id AS src, b.id AS dst,
+           row_number() OVER (PARTITION BY a.id
+             ORDER BY coalesce(ROUND({cos_ab}, 6), -2.0) DESC, b.id) AS r
+    FROM assign a JOIN assign b USING (cid) WHERE a.id != b.id
+  ) WHERE r <= {m}
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)
+),
+entries AS (
+  SELECT cid, id AS node_id FROM (
+    SELECT cid, id, row_number() OVER (PARTITION BY cid ORDER BY aff DESC, id) AS r
+    FROM assign) WHERE r <= 1
+),
+qv AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id < {nq}),
+q_aff AS (
+  SELECT query_id, cid,
+         coalesce(ROUND({_VEC.cosine_null("q_vec", "cvec", "duck")}, 6), -2.0) AS aff
+  FROM qv, (SELECT cid, cvec FROM c1) cent(cid, cvec)
+),
+q_b AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, cid) AS r
+    FROM q_aff) WHERE r <= {n_probe}
+),
+f0 AS (SELECT DISTINCT query_id, node_id FROM q_b JOIN entries USING (cid)),
+{','.join(hop_ctes)}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, node_id AS neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, node_id) AS rank
+  FROM f{hops} WHERE query_id != node_id
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_nsw", oracle=_nsw_oracle(5, 10, 8, 2, 4, 10, 2, 64))
+def embedding_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (operators/nsw.py): single-layer NSW beam search
+    over a cell-partitioned kNN graph, entry points from the trained IVF
+    quantizer — the graph-index family (HNSW's) re-expressed so that
+    construction shards per cell and search unrolls deterministically.
+
+    Scale: graph build is cell-scoped self-joins (bounded blocks, never
+    corpus all-pairs); search exchanges carry id/score triples with
+    candidate hydration bounded by beam x degree per query per hop. The
+    hierarchy HNSW uses to find entry points is replaced by the coarse
+    quantizer the engine already trains and replays."""
+    from dawis_spark.operators.nsw import nsw_ann_topk
+
+    emb = spark.table("embeddings")
+    return nsw_ann_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        m=4,
+        beam=10,
+        hops=2,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_nsw_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    nsw = _nsw_oracle(k, 10, 8, 2, 4, 10, 2, 64).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+nsw_r AS (SELECT * FROM ({nsw}))
+SELECT e.query_id,
+  ROUND(CAST(COUNT(r.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_nsw
+FROM exact_r e
+LEFT JOIN nsw_r r
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_nsw", oracle=_ann_recall_nsw_oracle(5))
+def ann_recall_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the NSW beam search against exact brute force, per
+    query — the same self-eval discipline as every other ANN family
+    (one shared quantizer training feeds the approximate side)."""
+    from dawis_spark.operators.nsw import nsw_ann_topk
+    from dawis_spark.operators.similarity import brute_force_topk, train_kmeans
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
+    exact = brute_force_topk(
+        corpus=emb, queries=qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = nsw_ann_topk(
+        emb, qs, "vec_id", "embedding",
+        k=5, n_probe=2, m=4, beam=10, hops=2, centroids=cents,
+    ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"])
+        & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.round(F.count("a_nid").cast("double") / 5, 6).alias("recall_nsw"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
@@ -6266,78 +6435,77 @@ def dedup_masked_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose code changed this round come first, then a rotating tail of
 # recently-driver-checked ones. Everything stays oracle-checked either way.
 DRIVER_PRIORITY: list[str] = [
-    # added this round — must be driver-checked
-    "embedding_ann_refined",      # new: IVFPQ + exact refine (IndexRefineFlat)
-    "ann_recall_refined",         # new: raw-vs-refined recall self-eval
-    "anomaly_mad_daily",          # new: median/MAD robust anomaly scoring
-    "gapfill_daily_user_value",   # new: date-spine gap fill + LOCF
-    "duplicated_spans",           # new: exact substring-span dedup
-    "dsir_importance_weights",    # new: DSIR hashed-ngram importance scoring
-    "phrase_search",              # new: positional postings + phrase intersect
-    "pmi_collocations",           # new: PMI collocation mining
-    "dq_integrity_checks",        # new: dbt-style data-quality suite
-    "source_js_divergence",       # new: pairwise JS source-drift matrix
-    "token_entropy",              # new: map-side unigram entropy
-    "kmeans_cohesion",            # new: quantizer cohesion self-eval
-    "trend_slopes",               # new: per-series OLS drift detection
-    "scd2_asof_read",             # new: SCD2 time-travel snapshot
-    "anomaly_seasonal_daily",     # new: seasonal-residual MAD scoring
-    "incremental_join_2ticks",    # new: delta-rule join-view maintenance
-    "not_in_null_semantics",      # new: three-valued-logic parity probe
-    "dedup_masked_text",          # new: duplicated-span REMOVAL
-    "bloom_semi_join",            # new: Bloom runtime join pruning + FP self-eval
-    "embedding_ann_sq8",          # new: SQ8 scalar-quantized scan
-    "ann_recall_sq8",             # new: SQ8 recall self-eval
-    "pagerank_top_nodes",         # new: fixed-iteration integer PageRank
-    "sampled_quantiles",          # new: deterministic-sample rank quantiles
-    "quality_classifier_scores",  # new: hashed-feature linear classifier
-    "coordinated_sample_join",    # new: AQP join over coordinated hash samples
-    "mixture_sampled_corpus",     # new: materialized mixture sample
-    "scd2_dimension_load",        # new: SCD2 dimension maintenance
-    "ann_recall_matryoshka",      # new: truncated-prefix recall dial
-    "prefix_filter_similar",      # new: exact prefix-filtered similarity join
-    # added or oracle-touched earlier this round — must be driver-checked
-    "embedding_filtered_ann_ivf",  # new: composed filtered ANN (pushed filter + IVF)
-    "ann_recall_filtered_ivf",     # new: recall self-eval for the composition
-    "embedding_ann_ivf_trained",   # kmeans oracle CTE gained the training-sample prefix
-    "embedding_ann_pq",            # PQ oracle CTE gained the training-sample prefix
-    "ann_recall_pq",
-    "kmv_distinct_users",  # new: KMV distinct-count sketch + self-eval
-    "cm_heavy_hitters",    # new: count-min frequency sketch + self-eval
-    "kmv_shingle_overlap", # new: KMV set-operation estimates + self-eval
-    # last driver-checked in round 5 (locally verified every round since).
-    # q1/q2/q3 rotated out to make room for the sketch entries: they are
-    # the least-churn queries in the repo (plain TPC-H SQL, unchanged
-    # since round 1-2) and stay in the local full-inventory sweep.
-    "q18_large_orders",
-    "match_enrichment",
-    "duplicate_detection",
-    "duplicate_detection_parity",
-    "duplicate_groups_hot_key",
-    "duplicate_clusters",
-    "dedup_keep_canonical",
-    "ngram_jaccard_topk",
-    "embedding_near_dups",
-    "events_following_1h",
-    "benchmark_contamination",
-    "dataset_split",
-    "stratified_sample_docs",
-    # rotated out to keep the driver prefix at 50 after the nine round-7
-    # additions (still verified by the local full-inventory sweep):
-    # salted_skew_join, chunk_documents, corpus_filter_pipeline,
-    # source_quality_rollup, session_window_agg, incremental_rollup_2ticks,
-    # ann_recall_lsh_multiprobe, ann_recall_lsh, hypertable_rollup,
-    # pii_redaction, tfidf_top_terms; late-session, for the refine pair
-    # and the MAD anomaly entry: bm25_search, asof_last_click,
-    # c4_line_quality; for the gap-fill + span-dedup + DSIR + phrase
-    # entries: repetition_signals, doc_packing_shards, vocab_top_tokens,
-    # q20_excess_shippers; for the PMI + DQ + JS + entropy + cohesion +
-    # trend + scd2-asof entries: q17_small_quantity, q15_top_supplier,
-    # q11_important_stock, q10_returned_items, q9_product_profit,
-    # q5_region_revenue, q8_market_share; for the seasonal + IVM
-    # entries: q4_order_priority, q16_supplier_relationship; for the
-    # NOT-IN + span-removal entries: q6_forecast_revenue,
-    # q21_sole_blame_supplier
+    # changed or added this round (r8) — must be driver-checked
+    "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)
+    "sampled_quantiles",          # split: now estimate-only
+    "quantiles_error_eval",       # new: the exact-baseline self-eval half
+    "embedding_ann_nsw",          # new: graph-ANN (cell-partitioned NSW beam search)
+    "ann_recall_nsw",             # new: NSW recall self-eval
+    # driver evidence stale since r05 (the judge's rotation list — the
+    # full 32-query tail; locally swept every round in between)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q17_small_quantity",
+    "q20_excess_shippers",
+    "q21_sole_blame_supplier",
+    "vocab_top_tokens",
+    "doc_packing_shards",
+    "repetition_signals",
+    "c4_line_quality",
+    "tfidf_top_terms",
+    "bm25_search",
+    "pii_redaction",
+    "asof_last_click",
+    "hypertable_rollup",
+    "incremental_rollup_2ticks",
+    "ann_recall_lsh",
+    "ann_recall_lsh_multiprobe",
+    "salted_skew_join",
+    "chunk_documents",
+    "corpus_filter_pipeline",
+    "source_quality_rollup",
+    "session_window_agg",
+    # oldest d6 evidence, highest-churn families first (ANN + dedup +
+    # the two r6-ADVICE-touched entries)
+    "semantic_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "embedding_ann_ivf",
+    "embedding_ann_ivfpq",
+    "embedding_ann_ivfadc",
+    "ann_recall_ivfadc",
+    "embedding_ann_lsh",
+    "embedding_ann_lsh_multiprobe",
+    "psi_metric_extraction",
+    "sql_params_date_days_ago",
+    "column_mapping_nested",
+    # rotated out this round (all r7-driver-green, still in the local
+    # full-inventory sweep): the 29 r7 additions beyond the five kept
+    # above — embedding_ann_refined, ann_recall_refined, anomaly_mad_daily,
+    # gapfill_daily_user_value, duplicated_spans, dsir_importance_weights,
+    # phrase_search, pmi_collocations, dq_integrity_checks,
+    # source_js_divergence, token_entropy, kmeans_cohesion, trend_slopes,
+    # scd2_asof_read, anomaly_seasonal_daily, incremental_join_2ticks,
+    # not_in_null_semantics, dedup_masked_text, embedding_ann_sq8,
+    # ann_recall_sq8, pagerank_top_nodes, quality_classifier_scores,
+    # coordinated_sample_join, mixture_sampled_corpus, scd2_dimension_load,
+    # ann_recall_matryoshka, prefix_filter_similar, embedding_filtered_ann_ivf,
+    # ann_recall_filtered_ivf; plus the d6 sketch/dedup block
+    # (kmv_*, cm_heavy_hitters, q18_large_orders, match_enrichment,
+    # duplicate_* family, dedup_keep_canonical, ngram_jaccard_topk,
+    # embedding_near_dups, events_following_1h, benchmark_contamination,
+    # dataset_split, stratified_sample_docs)
 ]
 
 

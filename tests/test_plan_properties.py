@@ -315,3 +315,12 @@ def test_mask_spans_tokens_never_cross_hash_exchange(spark):
     )
     # no hash exchange ever carries the text column or token arrays
     assert not re.search(r"Exchange hashpartitioning\([^)]*(text|__t)#", plan)
+
+
+def test_nsw_search_no_cartesian_no_nested_loop(spark):
+    """NSW graph build must stay cell-scoped (cid-keyed joins) and the
+    beam search id-keyed — a cartesian/nested-loop anywhere means the
+    graph family regressed to all-pairs."""
+    plan = _plan(spark, "embedding_ann_nsw")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,96 @@
+"""Watermark LATENESS semantics for the streaming windowed aggs — the
+equivalence discipline the anomaly/IVM families already have, applied to
+withWatermark (VERDICT r7 ask #6): feed genuinely late events across
+ticks and assert drop/keep against the batch analog.
+
+Semantics pinned (Structured Streaming append mode): a late row is KEPT
+while its window's end is still ahead of the watermark (it lands in the
+open window and flushes with it), and DROPPED once the watermark has
+passed its window end — the emitted count must NOT include it, and the
+final sink must equal the batch aggregation over exactly the admitted
+rows."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dawis_spark.streaming.stream import (
+    run_available_now,
+    staging_stream,
+    windowed_counts,
+)
+
+
+def test_watermark_keeps_inside_late_and_drops_behind_late(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id bigint, ts timestamp"
+    h = dt.datetime(2026, 5, 1, 10, 0)
+
+    def mins(m):
+        return h + dt.timedelta(minutes=m)
+
+    transform = lambda s: windowed_counts(s, "ts", "1 hour", "1 hour")  # noqa: E731
+
+    # tick 1: two events in the 10:00 window + one at 12:30 that pushes
+    # the post-tick watermark to 11:30
+    tick1 = spark.createDataFrame(
+        [(1, mins(0)), (2, mins(40)), (3, mins(150))], schema
+    )
+    tick1.write.parquet(staging)
+    run_available_now(
+        staging_stream(spark, staging, tick1.schema), sink, ckpt, transform
+    )
+    emitted1 = {
+        r["window_start"]: r["n"] for r in spark.read.parquet(sink).collect()
+    }
+    # the availableNow drain finishes with a no-data finalize batch that
+    # advances the watermark to 11:30 — so the 10:00 window already
+    # closes and flushes within tick 1 (cf. noDataMicroBatches)
+    assert emitted1 == {h: 2}
+
+    # tick 2: one late event INSIDE the watermark (11:45 — its window
+    # [11:00, 12:00) is still open at watermark 11:30 -> KEPT) and one
+    # BEHIND it (10:50 — its window [10:00, 11:00) already flushed at
+    # watermark 11:30 -> DROPPED, never double-emitted)
+    tick2 = spark.createDataFrame([(4, mins(105)), (5, mins(50))], schema)
+    tick2.write.mode("append").parquet(staging)
+    run_available_now(
+        staging_stream(spark, staging, tick1.schema), sink, ckpt, transform
+    )
+    emitted2 = {
+        r["window_start"]: r["n"] for r in spark.read.parquet(sink).collect()
+    }
+    # nothing new closes (watermark still 11:30), and the dropped late
+    # row must not have re-opened or re-emitted the 10:00 window
+    assert emitted2 == {h: 2}
+
+    # tick 3: an event at 14:00 advances the watermark to 13:00, closing
+    # the 11:00 window (carrying the admitted late row) and the 12:00 one
+    tick3 = spark.createDataFrame([(6, mins(240))], schema)
+    tick3.write.mode("append").parquet(staging)
+    run_available_now(
+        staging_stream(spark, staging, tick1.schema), sink, ckpt, transform
+    )
+    emitted3 = {
+        r["window_start"]: r["n"] for r in spark.read.parquet(sink).collect()
+    }
+    assert emitted3 == {h: 2, mins(60): 1, mins(120): 1}
+
+    # batch equivalence: the closed-window contents equal the batch
+    # tumbling aggregation over exactly the ADMITTED rows (everything
+    # ever staged minus the one dropped-behind-watermark event), for
+    # windows the final watermark (13:00) has passed
+    admitted = spark.read.parquet(staging).filter(F.col("id") != 5)
+    batch = {
+        r["window_start"]: r["n"]
+        for r in (
+            admitted.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+            .filter(F.col("w.end") <= mins(180))
+            .collect()
+        )
+    }
+    assert emitted3 == batch
