@@ -106,3 +106,95 @@ def test_nsw_deterministic_across_partitionings(spark):
         return sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in out)
 
     assert run(1) == run(7)
+
+
+def test_perplexity_bands_training_slice_scores_best(spark):
+    from dawis_spark.operators.lm import perplexity_bands
+
+    # train on src 'ref': docs 1-3 share the reference phrasing, doc 10
+    # is gibberish relative to it, doc 20 is a single token (no bigram)
+    rows = [
+        (1, "the cat sat on the mat", "ref"),
+        (2, "the cat sat on the rug", "ref"),
+        (3, "the dog sat on the mat", "ref"),
+        (10, "zyx qwv plk mnb vcx asd", "web"),
+        (20, "solo", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["id"]: r
+        for r in perplexity_bands(
+            df, "doc_id", "text", "source = 'ref'"
+        ).collect()
+    }
+    assert len(out) == 5
+    # in-distribution docs have strictly lower NLL than the gibberish one
+    assert max(out[i]["nll_micro"] for i in (1, 2, 3)) < out[10]["nll_micro"]
+    assert out[10]["band"] == "tail"
+    # the no-bigram doc gets the typed 'na' row
+    assert out[20]["band"] == "na"
+    assert out[20]["n_trans"] == 0 and out[20]["nll_micro"] is None
+    # ppl is the documented function of the integer NLL
+    import math
+
+    r1 = out[1]
+    assert r1["ppl"] == round(math.exp(r1["nll_micro"] / 1e6), 4)
+
+
+def test_perplexity_bands_partition_order_invariant(spark):
+    from dawis_spark.operators.lm import perplexity_bands
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 5} end", f"s{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    def run(parts):
+        out = perplexity_bands(
+            df.repartition(parts), "doc_id", "text", "source = 's0'"
+        ).collect()
+        return sorted(
+            (r["id"], r["n_trans"], r["nll_micro"], r["band"]) for r in out
+        )
+
+    assert run(1) == run(13)
+
+
+def test_bq_codes_flip_under_negation_and_hamming_zero_on_self(spark):
+    from dawis_spark.operators.bq import bq_code_expr, bq_hamming_expr
+
+    vec = [0.5, -0.2, 0.3, -0.4] * 16  # 64 dims, no zeros
+    df = spark.createDataFrame([(vec, [-v for v in vec])], "a array<double>, b array<double>")
+    ca = bq_code_expr("a", 64, "spark")
+    cb = bq_code_expr("b", 64, "spark")
+    row = df.selectExpr(f"{ca} as ca", f"{cb} as cb").collect()[0]
+    # every word stays unsigned-32-range (the no-sign-bit packing contract)
+    assert all(0 <= w < 2**32 for w in row["ca"] + row["cb"])
+    scored = spark.createDataFrame(
+        [(row["ca"], row["cb"]), (row["ca"], row["ca"])],
+        "x array<bigint>, y array<bigint>",
+    ).selectExpr(bq_hamming_expr("x", "y", 64, "spark") + " as h").collect()
+    # negation flips every sign bit; self-distance is 0
+    assert scored[0]["h"] == 64
+    assert scored[1]["h"] == 0
+
+
+def test_bq_topk_exact_when_pool_is_whole_corpus(spark):
+    from dawis_spark.operators.bq import bq_topk
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.filter("vec_id < 3")
+    # refine_factor large enough that the pool is the entire corpus:
+    # the exact re-rank must then equal brute force exactly
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in bq_topk(df, qs, "vec_id", "embedding", 5, 10, 64).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(df, qs, "vec_id", "embedding", 5).collect()
+    )
+    assert got == want
