@@ -65,6 +65,7 @@ def _cos6(a: str, b: str) -> F.Column:
 def nsw_edges(
     assigned: DataFrame,
     m: int,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Symmetrized within-cell kNN edge list from an ``_ivf_assign``
     output ``(id, vec, cid)``: for each node, its ``m`` highest-cosine
@@ -72,20 +73,42 @@ def nsw_edges(
 
     The self-join keys on cid — bounded blocks from the trained
     quantizer, so the build is Σ|cell|² work sharded per cell, never
-    N². Skew note: a lopsided quantizer concentrates work; the trained
-    (not untrained-init) centroids are what keeps cells balanced, and a
-    cluster deployment would persist+bucket ``assigned`` by cid.
+    N². A bare cid join caps parallelism at the CELL COUNT (the sf1
+    rehearsal caught exactly this: 8 cells → 2 busy tasks → the scoring
+    fold serialized), so the src side is salted by ``hash(id) %
+    n_salts`` and the dst side replicated per salt — the
+    salted_skew_join recipe (operators/skew.py): pair work fans out to
+    cells × salts tasks while the replicated side ships only
+    |corpus| × n_salts (id, vec) rows. At deployment scale cells are
+    additionally SIZED to a block cap via n_centroids, like the
+    near-dup family's max_block_rows routing.
     """
     from pyspark.sql import Window
 
     a = assigned.select(
         F.col("id").alias("src"), F.col("vec").alias("s_vec"), "cid"
+    ).withColumn("__salt", F.pmod(F.hash("src"), F.lit(n_salts)))
+    b = (
+        assigned.select(
+            F.col("id").alias("dst"), F.col("vec").alias("d_vec"), "cid"
+        )
+        .crossJoin(
+            F.broadcast(
+                assigned.sparkSession.range(n_salts).select(
+                    F.col("id").cast("int").alias("__salt")
+                )
+            )
+        )
     )
-    b = assigned.select(
-        F.col("id").alias("dst"), F.col("vec").alias("d_vec"), "cid"
-    )
+    # explicit REPARTITION_BY_NUM on the join keys: AQE's size-based
+    # coalescing would collapse this exchange (the vector rows are tiny
+    # — megabytes — but each post-join row fans out into a |cell|-sized
+    # scoring fold, the classic small-input/heavy-compute mismatch AQE
+    # cannot see); BY_NUM exchanges are exempt from coalescing
+    n_parts = 8 * n_salts
     scored = (
-        a.join(b, "cid")
+        a.repartition(n_parts, "cid", "__salt")
+        .join(b.repartition(n_parts, "cid", "__salt"), ["cid", "__salt"])
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", _cos6("s_vec", "d_vec").alias("c"))
     )
@@ -156,8 +179,14 @@ def nsw_ann_topk(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    assigned = _ivf_assign(corpus, id_col, vec_col, cent_rows, "id", "vec", 1)
-    edges = nsw_edges(assigned, m)
+    # the edge list is re-read by EVERY beam hop and the assignment
+    # feeds three consumers (edges a/b sides, entries) — without a
+    # persist the unrolled search recomputes the whole cell-scoped
+    # graph build per hop (the pagerank lesson, operators/graph.py:62)
+    assigned = _ivf_assign(
+        corpus, id_col, vec_col, cent_rows, "id", "vec", 1
+    ).persist()
+    edges = nsw_edges(assigned, m).persist()
     entries = nsw_entry_points(assigned, cent_rows)
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

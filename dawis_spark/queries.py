@@ -6638,6 +6638,75 @@ def ann_recall_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Replay of bpe_train: word-type counts, then ``n_merges`` unrolled
+    rounds of pair-count -> lexicographic-tie argmax -> greedy merge via
+    the spaced-string replace (the same built-in replace semantics,
+    verified identical across engines)."""
+    toks = _TXT.tokens("text", "duck")
+    init = (
+        "concat(' ', array_to_string(list_append("
+        "list_transform(range(1, length(word) + 1), "
+        "j -> substr(word, j, 1)), '</w>'), '  '), ' ')"
+    )
+    rounds = []
+    for t in range(1, n_merges + 1):
+        rounds.append(f"""
+p{t} AS MATERIALIZED (
+  SELECT sy[i] AS p1, sy[i + 1] AS p2, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w{t - 1}),
+       unnest(range(1, len(sy))) AS u(i)
+  GROUP BY 1, 2
+),
+b{t} AS MATERIALIZED (SELECT p1, p2, pair_count FROM p{t}
+         ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+w{t} AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
+                         ' ' || b.p1 || b.p2 || ' ') AS s
+  FROM w{t - 1}, b{t} b
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, p1 AS \"left\", p2 AS \"right\", pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return f"""
+WITH wt AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
+),
+w0 AS MATERIALIZED (SELECT cnt, {init} AS s FROM wt),
+{','.join(rounds)}
+SELECT step, "left", "right", pair_count FROM (
+{finals}
+) ORDER BY step
+"""
+
+
+@query("bpe_learned_merges", oracle=_bpe_oracle(8))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py; Sennrich et
+    al. 2016): learn the first 8 merge rules over the document corpus —
+    the tokenizer-construction step upstream of every token-counting /
+    chunking operator in the pipeline.
+
+    Scale: the corpus collapses to the word-type relation first
+    (vocabulary-sized by Zipf — why the reference implementation trains
+    on word counts too); each round's pair-count exchange is vocabulary-
+    sized, the argmax broadcasts one row, and the merge applies as a
+    codegen'd replace over the spaced symbol string (no UDF anywhere).
+    Ties break to the lexicographically smallest pair, making the whole
+    training trajectory engine-replayable."""
+    from dawis_spark.operators.bpe import bpe_train
+
+    return bpe_train(spark.table("documents"), "text", n_merges=8)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
@@ -6655,6 +6724,7 @@ DRIVER_PRIORITY: list[str] = [
     "perplexity_quality_bands",   # new: CCNet perplexity LM filter
     "embedding_ann_bq",           # new: binary-quantization ANN + rescore
     "ann_recall_bq",              # new: BQ recall self-eval
+    "bpe_learned_merges",         # new: distributed BPE tokenizer training
     # driver evidence stale since r05 (the judge's rotation list — the
     # full 32-query tail; locally swept every round in between)
     "q1_pricing_summary",
@@ -6698,7 +6768,6 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_ivf",
     "embedding_ann_ivfpq",
     "embedding_ann_ivfadc",
-    "ann_recall_ivfadc",
     "embedding_ann_lsh",
     "psi_metric_extraction",
     # rotated out this round (all r7-driver-green, still in the local

@@ -317,10 +317,14 @@ def test_mask_spans_tokens_never_cross_hash_exchange(spark):
     assert not re.search(r"Exchange hashpartitioning\([^)]*(text|__t)#", plan)
 
 
-def test_nsw_search_no_cartesian_no_nested_loop(spark):
-    """NSW graph build must stay cell-scoped (cid-keyed joins) and the
-    beam search id-keyed — a cartesian/nested-loop anywhere means the
-    graph family regressed to all-pairs."""
+def test_nsw_build_salted_and_no_cartesian(spark):
+    """NSW graph build must stay cell-scoped and SALTED: the sf1
+    rehearsal caught the bare cid join capping parallelism at the cell
+    count, and then AQE's size-based coalescing collapsing the exchange
+    under the heavy scoring fold — so the edge-build inputs must arrive
+    via AQE-exempt REPARTITION_BY_NUM exchanges on (cid, salt). The
+    only nested-loop allowed is the 16-row salt fan-out broadcast
+    (the pagerank single-row-crossJoin shape); no CartesianProduct."""
     plan = _plan(spark, "embedding_ann_nsw")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "REPARTITION_BY_NUM" in plan

@@ -198,3 +198,69 @@ def test_bq_topk_exact_when_pool_is_whole_corpus(spark):
         for r in brute_force_topk(df, qs, "vec_id", "embedding", 5).collect()
     )
     assert got == want
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from collections import Counter
+
+    from dawis_spark.operators.bpe import bpe_train
+
+    text = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest"
+    )
+    docs = spark.createDataFrame([(1, text), (2, "low lower newest")],
+                                 "doc_id bigint, text string")
+    words = Counter((text + " low lower newest").split())
+
+    # straight-line reference: same counting (every adjacent position)
+    # and same greedy merge
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    want = []
+    for _ in range(6):
+        pc = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        mx = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == mx)
+        want.append((a, b, mx))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=6).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_segment_compresses_with_learned_merges(spark):
+    from dawis_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "banana banana bandana"), (2, "banana")],
+        "doc_id bigint, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", n_merges=5).collect()
+    ]
+    out = {r["id"]: r for r in bpe_segment(docs, "doc_id", "text", merges).collect()}
+    # segmentation never splits below 1 symbol per word and merges
+    # strictly reduce symbol counts vs raw chars (+ end marker)
+    assert out[1]["n_tokens"] == 3
+    raw_symbols = sum(len(w) + 1 for w in "banana banana bandana".split())
+    assert out[1]["n_subwords"] < raw_symbols
+    assert out[2]["n_tokens"] == 1
