@@ -6644,11 +6644,14 @@ def ann_recall_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Replay of bpe_train: word-type counts, then ``n_merges`` unrolled
-    rounds of pair-count -> lexicographic-tie argmax -> greedy merge via
-    the spaced-string replace (the same built-in replace semantics,
-    verified identical across engines)."""
+def _bpe_chain_ctes(n_merges: int) -> str:
+    """Shared CTE chain replaying bpe_train: word-type counts, then
+    ``n_merges`` unrolled rounds of pair-count -> lexicographic-tie
+    argmax -> greedy merge via the spaced-string replace (the same
+    built-in replace semantics, verified identical across engines).
+    Defines wt, w0..w{n}, p1..p{n}, b1..b{n}. All rounds MATERIALIZED:
+    inlining the multiply-referenced CTEs re-evaluates the chain
+    exponentially (the round-8 hang)."""
     toks = _TXT.tokens("text", "duck")
     init = (
         "concat(' ', array_to_string(list_append("
@@ -6671,20 +6674,55 @@ w{t} AS MATERIALIZED (
                          ' ' || b.p1 || b.p2 || ' ') AS s
   FROM w{t - 1}, b{t} b
 )""")
+    return f"""wt AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
+),
+w0 AS MATERIALIZED (SELECT cnt, {init} AS s FROM wt),
+{','.join(rounds)}"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
     finals = "\nUNION ALL ".join(
         f"SELECT {t} AS step, p1 AS \"left\", p2 AS \"right\", pair_count FROM b{t}"
         for t in range(1, n_merges + 1)
     )
     return f"""
-WITH wt AS (
-  SELECT word, COUNT(*) AS cnt
-  FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
-),
-w0 AS MATERIALIZED (SELECT cnt, {init} AS s FROM wt),
-{','.join(rounds)}
+WITH {_bpe_chain_ctes(n_merges)}
 SELECT step, "left", "right", pair_count FROM (
 {finals}
 ) ORDER BY step
+"""
+
+
+def _bpe_segment_oracle(n_merges: int) -> str:
+    """Replay of train + APPLY: per-document word stream re-segmented by
+    the learned merges (each round's argmax joined in as a 1-row
+    relation feeding the same spaced-string replace)."""
+    toks = _TXT.tokens("text", "duck")
+    init = (
+        "concat(' ', array_to_string(list_append("
+        "list_transform(range(1, length(word) + 1), "
+        "j -> substr(word, j, 1)), '</w>'), '  '), ' ')"
+    )
+    segs = []
+    for t in range(1, n_merges + 1):
+        segs.append(f"""
+seg{t} AS MATERIALIZED (
+  SELECT id, replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
+                        ' ' || b.p1 || b.p2 || ' ') AS s
+  FROM seg{t - 1}, b{t} b
+)""")
+    return f"""
+WITH {_bpe_chain_ctes(n_merges)},
+seg0 AS (
+  SELECT id, {init} AS s
+  FROM (SELECT doc_id AS id, unnest({toks}) AS word FROM documents)
+),
+{','.join(segs)}
+SELECT id, COUNT(*) AS n_tokens,
+       CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_subwords
+FROM seg{n_merges} GROUP BY id ORDER BY id
 """
 
 
@@ -6707,6 +6745,127 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark.table("documents"), "text", n_merges=8)
 
 
+@query("bpe_segmented_corpus", oracle=_bpe_segment_oracle(8))
+def bpe_segmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: segment every document with the 8 learned BPE
+    merges and report per-doc token vs subword counts — the end-to-end
+    tokenizer loop (learn merges.txt, then tokenize the corpus with it),
+    the shape every pretraining pipeline runs before packing.
+
+    Scale: training as in bpe_learned_merges; application is pure
+    map-side (the merge table rides the plan as literals — a shipped
+    tokenizer's merges.txt), one codegen replace per merge inside the
+    document scan, then a per-doc count aggregation."""
+    from dawis_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.table("documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", n_merges=8).collect()
+    ]
+    return bpe_segment(docs, "doc_id", "text", merges).orderBy("id")
+
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (operators/fusion.py)
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_rrf_oracle(depth: int, k_rrf: int, top_n: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    cos = _VEC.cosine("q.vec", "c.vec", "duck")
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+bscored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+bagg AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+  FROM bscored GROUP BY doc_id
+),
+sparse AS (
+  SELECT doc_id AS id, CAST(r AS INT) AS sparse_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+    FROM bagg) WHERE r <= {depth}
+),
+v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+dense AS (
+  SELECT id, CAST(r AS INT) AS dense_rank FROM (
+    SELECT c.vec_id AS id,
+           row_number() OVER (
+             ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS r
+    FROM (SELECT vec FROM v WHERE vec_id = 0) q
+    CROSS JOIN (SELECT vec_id, vec FROM v WHERE vec_id != 0) c
+  ) WHERE r <= {depth}
+)
+SELECT id, round(coalesce(1.0 / ({k_rrf} + sparse_rank), 0.0)
+              + coalesce(1.0 / ({k_rrf} + dense_rank), 0.0), 6) AS rrf_score,
+       sparse_rank, dense_rank
+FROM sparse FULL OUTER JOIN dense USING (id)
+ORDER BY rrf_score DESC, id LIMIT {top_n}
+"""
+
+
+@query("hybrid_search_rrf", oracle=_hybrid_rrf_oracle(20, 60, 10))
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 sparse top-20 fused with dense cosine
+    top-20 by reciprocal-rank fusion (operators/fusion.py; Cormack et
+    al. 2009) — the production hybrid-search recipe. The query pair here
+    is synthetic (the fixed BM25 bag + vector 0's embedding); the fused
+    operator, its rank-only determinism, and the full-outer top-k plan
+    are the point.
+
+    Scale: both retrieval legs are existing corpus-scale operators; the
+    fusion joins two top-N relations (config-sized) and takes one
+    ordered head — free next to the legs."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+    from dawis_spark.operators.fusion import rrf_fuse
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    sparse = (
+        bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS), top_n=20)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .cast("int")
+            .alias("sparse_rank"),
+        )
+    )
+    dense = brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=20,
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    return rrf_fuse(
+        sparse, dense, "sparse_rank", "dense_rank", k=60, top_n=10
+    ).orderBy(F.desc("rrf_score"), "id")
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
@@ -6725,6 +6884,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_bq",           # new: binary-quantization ANN + rescore
     "ann_recall_bq",              # new: BQ recall self-eval
     "bpe_learned_merges",         # new: distributed BPE tokenizer training
+    "bpe_segmented_corpus",       # new: train-then-apply BPE segmentation
+    "hybrid_search_rrf",          # new: BM25 + dense reciprocal-rank fusion
     # driver evidence stale since r05 (the judge's rotation list — the
     # full 32-query tail; locally swept every round in between)
     "q1_pricing_summary",
@@ -6762,10 +6923,8 @@ DRIVER_PRIORITY: list[str] = [
     # oldest d6 evidence, highest-churn families first (ANN + dedup +
     # the two r6-ADVICE-touched entries)
     "semantic_dedup",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_docs",
-    "embedding_ann_ivf",
     "embedding_ann_ivfpq",
     "embedding_ann_ivfadc",
     "embedding_ann_lsh",

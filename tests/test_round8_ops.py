@@ -264,3 +264,23 @@ def test_bpe_segment_compresses_with_learned_merges(spark):
     raw_symbols = sum(len(w) + 1 for w in "banana banana bandana".split())
     assert out[1]["n_subwords"] < raw_symbols
     assert out[2]["n_tokens"] == 1
+
+
+def test_rrf_fusion_properties(spark):
+    from dawis_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id bigint, ra int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "id bigint, rb int"
+    )
+    out = {r["id"]: r for r in rrf_fuse(a, b, "ra", "rb", k=60, top_n=10).collect()}
+    # doc 3 appears in both lists: its score is the sum of both terms
+    # and dominates every single-list doc
+    assert out[3]["rrf_score"] == round(1 / 63 + 1 / 61, 6)
+    assert out[3]["rrf_score"] > max(out[1]["rrf_score"], out[4]["rrf_score"])
+    # single-list docs keep a NULL rank on the missing side
+    assert out[1]["rb"] is None and out[4]["ra"] is None
+    # rank-only: scores depend on ranks, not on any raw score scale
+    assert out[1]["rrf_score"] == round(1 / 61, 6)
