@@ -6866,6 +6866,123 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rrf_score"), "id")
 
 
+
+# ---------------------------------------------------------------------------
+# Logistic-regression training + AUC eval (operators/logreg.py)
+# ---------------------------------------------------------------------------
+
+_LOGREG_Y_SPARK = (
+    "case when label < 5 then cast(1.0 as double) else cast(0.0 as double) end"
+)
+
+
+def _logreg_chain_ctes(dim: int, iters: int, lr: float) -> str:
+    """CTE chain replaying logreg_train: zero-init weights, per round a
+    round-6 margin fold, round-6 residual, integer-micro gradient sums,
+    and a round-6 HALF_UP weight update. Ends at w{iters}(dim, weight).
+    All MATERIALIZED (multiply-referenced CTEs inline exponentially)."""
+    d1 = dim + 1
+    dot = _VEC.dot("xs", "wl", "duck")
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+wl{t - 1} AS (SELECT list(weight ORDER BY dim) AS wl FROM w{t - 1}),
+sc{t} AS MATERIALIZED (
+  SELECT vec_id, xs,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))) - y, 6) AS r
+  FROM v, wl{t - 1}
+),
+g{t} AS MATERIALIZED (
+  SELECT u.pos - 1 AS dim,
+         CAST(SUM(CAST(round(r * xs[u.pos] * 1000000) AS BIGINT)) AS BIGINT) AS g
+  FROM sc{t}, unnest(range(1, {d1 + 1})) u(pos) GROUP BY 1
+),
+w{t} AS MATERIALIZED (
+  SELECT w.dim, round(w.weight - {lr} * (g.g / 1000000.0) / nn.n, 6) AS weight
+  FROM w{t - 1} w JOIN g{t} g USING (dim), nn
+)""")
+    return f"""v AS MATERIALIZED (
+  SELECT vec_id,
+         list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     CAST(1.0 AS DOUBLE)) AS xs,
+         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+w0 AS MATERIALIZED (
+  SELECT u.d - 1 AS dim, CAST(0.0 AS DOUBLE) AS weight
+  FROM unnest(range(1, {d1 + 1})) u(d)
+),
+{','.join(rounds)}"""
+
+
+def _logreg_weights_oracle(dim: int, iters: int, lr: float) -> str:
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr)}
+SELECT dim, weight FROM w{iters} ORDER BY dim
+"""
+
+
+def _logreg_auc_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y, round({dot}, 6) AS s FROM v, wlF
+),
+rk AS MATERIALIZED (
+  SELECT y, s, row_number() OVER (ORDER BY s) AS rn FROM scF
+),
+mr AS (SELECT s, min(rn) + max(rn) AS mr2 FROM rk GROUP BY s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       round((CAST(SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS DOUBLE)
+              - CAST(SUM(y) AS DOUBLE) * (CAST(SUM(y) AS DOUBLE) + 1))
+             / (2.0 * CAST(SUM(y) AS DOUBLE)
+                * CAST(COUNT(*) - SUM(y) AS DOUBLE)), 6) AS auc,
+       round(CAST(SUM(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM rk JOIN mr USING (s)
+"""
+
+
+@query("logreg_weights", oracle=_logreg_weights_oracle(64, 3, 1.0))
+def logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (operators/logreg.py):
+    3 rounds of full-batch GD on the labeled embeddings (y = label < 5),
+    returning the learned 65-weight vector (bias last) — the training
+    half of the fasttext-style quality gate whose inference plan
+    quality_classifier_scores already ships.
+
+    Scale: per round one margin fold inside the scan (no explode in the
+    scoring path) and one 65-key integer gradient exchange (map-side
+    partials); weights are driver state exactly as in any trainer. The
+    integer-micro gradient discipline makes the trajectory partition-
+    order invariant, which is what lets DuckDB replay all 3 rounds."""
+    from dawis_spark.operators.logreg import logreg_train
+
+    emb = spark.table("embeddings")
+    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "dim int, weight double"
+    ).orderBy("dim")
+
+
+@query("classifier_auc_eval", oracle=_logreg_auc_oracle(64, 3, 1.0))
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-eval for logreg_weights: exact tie-aware ROC AUC (midrank
+    rank-sum form — integers until the final division) and accuracy at
+    threshold 0 for the trained model on its training set. The eval
+    discipline every trained component here carries (ann_recall_*,
+    quantiles_error_eval) applied to the classifier."""
+    from dawis_spark.operators.logreg import auc_accuracy, logreg_train
+
+    emb = spark.table("embeddings")
+    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    return auc_accuracy(emb, "embedding", _LOGREG_Y_SPARK, w)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
@@ -6886,6 +7003,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_learned_merges",         # new: distributed BPE tokenizer training
     "bpe_segmented_corpus",       # new: train-then-apply BPE segmentation
     "hybrid_search_rrf",          # new: BM25 + dense reciprocal-rank fusion
+    "logreg_weights",             # new: distributed logistic-regression training
+    "classifier_auc_eval",        # new: trained-classifier AUC self-eval
     # driver evidence stale since r05 (the judge's rotation list — the
     # full 32-query tail; locally swept every round in between)
     "q1_pricing_summary",
@@ -6923,8 +7042,6 @@ DRIVER_PRIORITY: list[str] = [
     # oldest d6 evidence, highest-churn families first (ANN + dedup +
     # the two r6-ADVICE-touched entries)
     "semantic_dedup",
-    "minhash_lsh_pairs",
-    "simhash_docs",
     "embedding_ann_ivfpq",
     "embedding_ann_ivfadc",
     "embedding_ann_lsh",

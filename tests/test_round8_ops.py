@@ -284,3 +284,33 @@ def test_rrf_fusion_properties(spark):
     assert out[1]["rb"] is None and out[4]["ra"] is None
     # rank-only: scores depend on ranks, not on any raw score scale
     assert out[1]["rrf_score"] == round(1 / 61, 6)
+
+
+def test_logreg_learns_separable_toy_data(spark):
+    from dawis_spark.operators.logreg import auc_accuracy, logreg_train
+
+    # linearly separable on dim 0
+    rows = [(i, [1.0 if i % 2 else -1.0] + [0.0] * 3, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    y = "case when label = 1 then cast(1.0 as double) else cast(0.0 as double) end"
+    w = logreg_train(df, "embedding", y, dim=4, iterations=5)
+    # dim-0 weight dominates and points toward the positive class
+    assert w[0] > 0.5
+    assert all(abs(x) < 1e-6 for x in w[1:4])
+    row = auc_accuracy(df, "embedding", y, w).collect()[0]
+    assert row["auc"] == 1.0
+    assert row["accuracy"] == 1.0
+
+
+def test_logreg_training_partition_order_invariant(spark):
+    from dawis_spark.operators.logreg import logreg_train
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 9 - 4) / 4.0 for j in range(6)], i % 3)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    y = "case when label < 2 then cast(1.0 as double) else cast(0.0 as double) end"
+    w1 = logreg_train(df.repartition(1), "embedding", y, dim=6, iterations=3)
+    w2 = logreg_train(df.repartition(17), "embedding", y, dim=6, iterations=3)
+    assert w1 == w2
