@@ -328,3 +328,35 @@ def test_nsw_build_salted_and_no_cartesian(spark):
     plan = _plan(spark, "embedding_ann_nsw")
     assert "CartesianProduct" not in plan
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_logreg_iteration_shapes(spark):
+    """The trainer's two per-round jobs must keep their shapes: margin
+    scoring is a fold against LITERAL weights inside the scan (no
+    explode, no join); the gradient job's only hash exchange is the
+    (dim+1)-key integer aggregation with map-side partials."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.operators.logreg import _xs_expr, margin_expr
+
+    register_testdata(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    w = [0.01] * 65
+    scored = emb.select(F.expr(margin_expr("embedding", w)).alias("m"))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode in the scoring path
+    assert "Exchange hashpartitioning" not in plan
+
+    grad = (
+        emb.select(
+            F.expr("cast(0.1 as double)").alias("__r"),
+            F.posexplode(F.expr(_xs_expr("embedding"))).alias("__d", "__x"),
+        )
+        .select("__d", F.expr("cast(round(__r * __x * 1000000) as bigint)").alias("__g"))
+        .groupBy("__d")
+        .agg(F.sum("__g").alias("__g"))
+    )
+    gplan = grad._jdf.queryExecution().executedPlan().toString()
+    assert gplan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in gplan  # map-side combine before the 65-key exchange

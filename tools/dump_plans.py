@@ -48,7 +48,8 @@ PICKS = {
     "embedding_ann_nsw": "salted cell-scoped kNN build (AQE-exempt repartition); beam hops join ids",
     "embedding_ann_bq": "codes-only corpus projection; XOR+popcount pool; refine hydrates pool only",
     "perplexity_quality_bands": "int64 bigram-key joins; integer micro-nat NLL; selection terciles",
-    "bpe_learned_merges": "word-type relation; per-round vocab-sized pair agg + literal replace",
+    "bpe_segmented_corpus": "learned merges applied as literal replaces inside the scan; per-doc agg",
+    "hybrid_search_rrf": "two top-N legs; fusion is a tiny full-outer + ordered head",
     "quality_classifier_scores": "model row broadcast; codegen'd fold in the scan; zero hash exchange",
     "coordinated_sample_join": "both scans filtered to the coordinated 5% before the join",
     "embedding_ann_refined": "candidate pool + query vecs broadcast into the exact-refine corpus scan",
