@@ -314,3 +314,55 @@ def test_logreg_training_partition_order_invariant(spark):
     w1 = logreg_train(df.repartition(1), "embedding", y, dim=6, iterations=3)
     w2 = logreg_train(df.repartition(17), "embedding", y, dim=6, iterations=3)
     assert w1 == w2
+
+
+def test_labelprop_votes_and_tiebreaks(spark):
+    from dawis_spark.operators.labelprop import knn_label_propagation
+
+    # seed: two axis clusters with labels 3 (dim0) and 7 (dim1), plus one
+    # stray label-9 seed on dim2
+    seed_rows = [
+        (0, 3, [1.0, 0.0, 0.0, 0.0]),
+        (1, 3, [0.9, 0.1, 0.0, 0.0]),
+        (2, 7, [0.0, 1.0, 0.0, 0.0]),
+        (3, 7, [0.1, 0.9, 0.0, 0.0]),
+        (4, 9, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    targets = spark.createDataFrame(
+        [
+            (100, [1.0, 0.05, 0.0, 0.0]),   # clearly cluster 3
+            (101, [0.05, 1.0, 0.0, 0.0]),   # clearly cluster 7
+            (102, [0.0, 0.0, 0.0, 1.0]),    # orthogonal to every seed
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["target_id"]: r
+        for r in knn_label_propagation(
+            targets, seed_rows, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    assert out[100]["predicted_label"] == 3 and out[100]["votes"] == 2
+    assert out[101]["predicted_label"] == 7 and out[101]["votes"] == 2
+    # all-zero cosines: every label ties at k=3 -> 2 votes for the two
+    # 2-seed labels, tie broken to the LOWEST label
+    assert out[102]["predicted_label"] == 3
+    assert out[102]["score_micro"] == 0
+
+
+def test_labelprop_plan_zero_exchange_zero_join(spark):
+    from dawis_spark.operators.labelprop import collect_seed, knn_label_propagation
+
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    seed_rows = collect_seed(
+        emb.filter("vec_id < 50"), "vec_id", "embedding", "label"
+    )
+    preds = knn_label_propagation(
+        emb.filter("vec_id >= 50"), seed_rows, "vec_id", "embedding", k=5
+    )
+    plan = preds._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
