@@ -366,3 +366,55 @@ def test_labelprop_plan_zero_exchange_zero_join(spark):
     plan = preds._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_mmr_select_prefers_diversity():
+    from dawis_spark.operators.rerank import mmr_select
+
+    # query pool: docs 1,2 nearly identical high-relevance; doc 3 slightly
+    # less relevant but orthogonal. Plain top-2 = {1,2}; MMR must pick 3
+    # second: 7*rel - 3*maxsim => doc2: 7*990000-3*999000 = 3933000,
+    # doc3: 7*900000-3*0 = 6300000.
+    pool = [(0, 1, 1000000), (0, 2, 990000), (0, 3, 900000)]
+    pairs = [(0, 1, 2, 999000), (0, 1, 3, 0), (0, 2, 3, 0)]
+    out = mmr_select(pool, pairs, k=2)
+    assert [(r, d) for _, r, d, _ in out] == [(1, 1), (2, 3)]
+    assert out[0][3] == 7 * 1000000  # step 1: pure relevance
+    assert out[1][3] == 7 * 900000
+
+
+def test_mmr_select_tiebreak_lowest_did():
+    from dawis_spark.operators.rerank import mmr_select
+
+    pool = [(0, 9, 500000), (0, 4, 500000)]
+    out = mmr_select(pool, [], k=1)
+    assert out[0][2] == 4  # equal scores -> lowest doc id
+
+
+def test_mmr_rerank_end_to_end(spark):
+    from dawis_spark.operators.rerank import mmr_rerank
+
+    # docs 1 and 2: equally relevant (cos 0.9 to the query) and mutually
+    # near-identical; doc 3: same 0.9 relevance but on the OTHER side of
+    # the query (mutual sim to doc 1 only ~0.62). Plain top-2 by
+    # (cosine, id) is {1, 2}; MMR must swap the redundant 2 for 3:
+    # step 2 scores 7*0.9 - 3*1.0 = 3.3 (doc 2) vs 7*0.9 - 3*0.62 = 4.44.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.4359, 0.0, 0.0]),
+        (2, [0.9, 0.4359, 0.001, 0.0]),
+        (3, [0.9, -0.4359, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = mmr_rerank(
+        spark,
+        corpus,
+        corpus.filter("vec_id = 0"),
+        "vec_id",
+        "embedding",
+        k=2,
+        n_pool=4,
+    ).collect()
+    picks = [r["did"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert picks == [1, 3]
