@@ -572,3 +572,72 @@ def rank_quantiles_select(
         F.col("__ch.n").alias("n"),
         F.col(f"__ca.{value_col}").alias("value"),
     )
+
+
+# --- Probability-proportional-to-size (PPS) sampling + Horvitz-Thompson --
+#
+# Weighted sampling for training-data mixtures: each document enters the
+# sample with probability proportional to a per-ROW weight (here token
+# count — classic size-proportional "pps" design; in a quality pipeline
+# the weight is a quality/importance score, the DSIR/DoReMi move), and
+# downstream totals are recovered UNBIASEDLY from the sample with the
+# Horvitz-Thompson estimator sum(y_i / pi_i) (Horvitz & Thompson 1952).
+# PPS is the variance-optimal design for estimating totals: big (or
+# high-weight) documents are near-certain picks, the long tail is
+# thinned, and the HT reweighting undoes the tilt exactly.
+#
+# Determinism contract: inclusion is hash-defined (the hash_sample_pred
+# discipline — reproducible across runs/engines/partitionings, same-id
+# coordination across tables, refresh-stable under appends), and the
+# inclusion probability is INTEGER ppm: pi_ppm = least(1e6, w * scale).
+# HT terms are integer micro-units: round(1e12 / pi_ppm) — pick a scale
+# with a prime factor outside {2, 5} (the queries use 2100 = 2^2*3*5^2*7)
+# and the quotient can never land on an exact .5 (3/7 never divide 2e12),
+# so half-up vs half-even rounding cannot split engines, and the
+# estimator total is an order-free bigint sum.
+#
+# Scale shape: pi and the inclusion predicate evaluate inside the scan
+# (codegen, zero shuffle); the HT totals are one map-side-partial global
+# aggregate. Nothing anywhere is corpus-sized but the scan itself.
+
+
+def pps_pi_ppm(weight_expr: str, scale_ppm: int) -> str:
+    """Integer inclusion probability in ppm: least(1e6, weight*scale)."""
+    return f"least(1000000, cast({weight_expr} as bigint) * {scale_ppm})"
+
+
+def pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_expr: str,
+    scale_ppm: int,
+) -> DataFrame:
+    """Rows sampled with pi = min(1, weight*scale_ppm/1e6): input columns
+    + (pi_ppm, ht_micro) where ht_micro = round(1e12/pi_ppm) is the
+    integer micro-unit HT reweight (1e6 == weight 1.0)."""
+    pi = pps_pi_ppm(weight_expr, scale_ppm)
+    h = TXT.char_hash(f"cast({id_col} as string)", "spark")
+    pred = f"({_mixed_sql(h, 'spark')}) % 1000000 < __pi_ppm"
+    return (
+        df.withColumn("__pi_ppm", F.expr(pi))
+        .where(F.expr(pred))
+        .withColumn(
+            "ht_micro",
+            F.expr("cast(round(1000000000000.0 / __pi_ppm, 0) as bigint)"),
+        )
+        .withColumnRenamed("__pi_ppm", "pi_ppm")
+    )
+
+
+def pps_oracle_sample_sql(
+    table: str, id_col: str, weight_expr: str, scale_ppm: int
+) -> str:
+    """DuckDB replay of the sampled relation (id, weight, pi_ppm, ht_micro)."""
+    h = TXT.char_hash(f"cast({id_col} as varchar)", "duck")
+    return f"""
+SELECT {id_col}, __w AS w,
+       least(1000000, CAST(__w AS BIGINT) * {scale_ppm}) AS pi_ppm,
+       CAST(ROUND(1000000000000.0 / least(1000000, CAST(__w AS BIGINT) * {scale_ppm}), 0) AS BIGINT) AS ht_micro
+FROM (SELECT {id_col}, {weight_expr} AS __w, {_mixed_sql(h, 'duck')} AS __u FROM {table})
+WHERE __u % 1000000 < least(1000000, CAST(__w AS BIGINT) * {scale_ppm})
+"""

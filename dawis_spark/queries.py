@@ -7295,6 +7295,106 @@ def mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPS_SCALE = 2100  # ppm per token; 2100 = 2^2*3*5^2*7 — 3 and 7 never divide 2e12, so round(1e12/pi) cannot land on an exact .5
+
+
+def _pps_w(dialect: str) -> str:
+    fn = "size" if dialect == "spark" else "len"
+    return f"cast({fn}({_TXT.tokens('text', dialect)}) as bigint)"
+
+
+def _pps_sample_oracle() -> str:
+    from dawis_spark.operators.sketches import pps_oracle_sample_sql
+
+    inner = pps_oracle_sample_sql("documents", "doc_id", _pps_w("duck"), _PPS_SCALE)
+    return f"""
+SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, pi_ppm, ht_micro
+FROM ({inner}) ORDER BY doc_id
+"""
+
+
+@query("pps_weighted_sample", oracle=_pps_sample_oracle())
+def pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size document sampling (pi = token
+    count x 700ppm, capped at 1): hash-defined inclusion — reproducible,
+    coordinated, refresh-stable — with the integer-ppm pi and micro-unit
+    Horvitz-Thompson reweight computed inside the scan (zero shuffle
+    before the display sort). The weighted counterpart of the uniform
+    hash-Bernoulli sampler; in a quality pipeline the weight column is
+    the quality/importance score instead of size."""
+    from dawis_spark.operators.sketches import pps_sample
+
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_pps_w("spark")).alias("n_tokens")
+    )
+    return pps_sample(docs, "doc_id", "n_tokens", _PPS_SCALE).select(
+        "doc_id", "n_tokens", "pi_ppm", "ht_micro"
+    ).orderBy("doc_id")
+
+
+def _pps_totals_oracle() -> str:
+    from dawis_spark.operators.sketches import pps_oracle_sample_sql
+
+    inner = pps_oracle_sample_sql("documents", "doc_id", _pps_w("duck"), _PPS_SCALE)
+    return f"""
+WITH s AS ({inner}),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_pps_w('duck')}) AS BIGINT) AS total_tokens
+      FROM documents),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS sample_docs,
+             CAST(SUM(ht_micro) AS BIGINT) AS est_docs_micro,
+             CAST(SUM(w * ht_micro) AS BIGINT) AS est_tokens_micro
+      FROM s)
+SELECT e.n_docs, e.total_tokens, m.sample_docs, m.est_docs_micro, m.est_tokens_micro,
+       ROUND((m.est_docs_micro / 1000000.0 - e.n_docs) / e.n_docs, 4) AS err_docs,
+       ROUND((m.est_tokens_micro / 1000000.0 - e.total_tokens) / e.total_tokens, 4) AS err_tokens
+FROM e, m
+"""
+
+
+@query("pps_ht_totals", oracle=_pps_totals_oracle())
+def pps_ht_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-eval for pps_weighted_sample: Horvitz-Thompson estimates of
+    the document and token totals from the weighted sample, against the
+    exact full-scan totals, with realized relative errors. The token
+    total rides on the size-proportional design (big docs near-certain),
+    so err_tokens should sit well inside err_docs — the property pps
+    exists to buy."""
+    from dawis_spark.operators.sketches import pps_sample
+
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_pps_w("spark")).alias("n_tokens")
+    )
+    e = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    m = pps_sample(docs, "doc_id", "n_tokens", _PPS_SCALE).agg(
+        F.count("*").cast("bigint").alias("sample_docs"),
+        F.sum("ht_micro").cast("bigint").alias("est_docs_micro"),
+        F.sum(F.col("n_tokens") * F.col("ht_micro"))
+        .cast("bigint")
+        .alias("est_tokens_micro"),
+    )
+    return e.crossJoin(m).select(
+        "n_docs",
+        "total_tokens",
+        "sample_docs",
+        "est_docs_micro",
+        "est_tokens_micro",
+        F.round(
+            (F.col("est_docs_micro") / 1000000.0 - F.col("n_docs"))
+            / F.col("n_docs"),
+            4,
+        ).alias("err_docs"),
+        F.round(
+            (F.col("est_tokens_micro") / 1000000.0 - F.col("total_tokens"))
+            / F.col("total_tokens"),
+            4,
+        ).alias("err_tokens"),
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
@@ -7356,6 +7456,9 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_filter_pipeline",
     "source_quality_rollup",
     "session_window_agg",
+    # NOTE: the prefix is full at 50 — later r8 additions
+    # (pps_weighted_sample, pps_ht_totals, ...) are sweep-verified this
+    # round and head the r9 rotation.
     # (the former d6 tail — semantic_dedup, embedding_ann_ivfpq,
     # embedding_ann_ivfadc, embedding_ann_lsh, psi_metric_extraction —
     # rotated out mid-round to make room for the six round-8 additions;

@@ -418,3 +418,42 @@ def test_mmr_rerank_end_to_end(spark):
     ).collect()
     picks = [r["did"] for r in sorted(out, key=lambda r: r["rank"])]
     assert picks == [1, 3]
+
+
+def test_pps_sample_deterministic_and_capped(spark):
+    from dawis_spark.operators.sketches import pps_sample
+
+    rows = [(i, 1 + (i * 37) % 200) for i in range(400)] + [(1000, 10_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+
+    def run(parts):
+        return sorted(
+            (r["doc_id"], r["pi_ppm"], r["ht_micro"])
+            for r in pps_sample(df.repartition(parts), "doc_id", "w", 2100).collect()
+        )
+
+    a, b = run(1), run(11)
+    assert a == b and len(a) > 0
+    got = dict((d, (p, h)) for d, p, h in a)
+    # the huge-weight row is a certain pick with exact unit HT weight
+    assert got[1000] == (1_000_000, 1_000_000)
+    # every HT reweight is the documented function of pi
+    assert all(h == round(1e12 / p) for p, h in got.values())
+
+
+def test_pps_ht_estimator_is_weight_exact_for_certain_rows(spark):
+    from dawis_spark.operators.sketches import pps_sample
+
+    # all rows certain (w*scale >= 1e6): the HT total must equal the
+    # exact total -- the estimator's unbiasedness collapses to identity
+    rows = [(i, 500 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    s = pps_sample(df, "doc_id", "w", 2100)
+    from pyspark.sql import functions as F2
+
+    got = s.agg(
+        F2.sum(F2.col("w") * F2.col("ht_micro")).alias("est"),
+        F2.count("*").alias("n"),
+    ).collect()[0]
+    assert got["n"] == 50
+    assert got["est"] == sum(w for _, w in rows) * 1_000_000
