@@ -41,10 +41,13 @@ def char_hash(expr: str, dialect: str) -> str:
             f"aggregate(sequence(1, length({expr})), cast(0 as bigint), "
             f"(h, i) -> (h * 31 + ascii(substring({expr}, i, 1))) % {MOD})"
         )
+    # ({expr})[i]: [] binds tighter than || in DuckDB, so an unwrapped
+    # concat operand would be indexed before concatenation (and ascii()
+    # of the resulting multi-char string silently reads only char 1)
     return (
         f"list_reduce(list_prepend(cast(0 as bigint), "
         f"list_transform(range(1, length({expr}) + 1), "
-        f"i -> cast(ascii({expr}[i]) as bigint))), "
+        f"i -> cast(ascii(({expr})[i]) as bigint))), "
         f"(h, c) -> (h * 31 + c) % {MOD})"
     )
 

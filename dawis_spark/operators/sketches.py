@@ -641,3 +641,108 @@ SELECT {id_col}, __w AS w,
 FROM (SELECT {id_col}, {weight_expr} AS __w, {_mixed_sql(h, 'duck')} AS __u FROM {table})
 WHERE __u % 1000000 < least(1000000, CAST(__w AS BIGINT) * {scale_ppm})
 """
+
+
+# --- HyperLogLog (integer-exact registers) --------------------------------
+#
+# The KMV section's design note rejects HLL because leading-zero /
+# log2 primitives usually ride on floats that engines round apart. This
+# implementation removes that hazard and makes HLL replayable to the
+# bit (Flajolet et al. 2007):
+#   - register index and suffix come from two SALTED uniformized
+#     polynomial hashes (shared with KMV), j = h_j % 64 and
+#     s = h_s % 2^24 — so the suffix is near-uniform on its 24 bits
+#     (1e9+7 / 2^24 ~ 60 wraps) instead of inheriting the modulus bias
+#     a single hash split would have;
+#   - rho = leading-zero rank of s = 25 - length(bin(s)) — STRING
+#     length of the binary rendering, integer-exact and identical in
+#     Spark and DuckDB (both print minimal binary);
+#   - the harmonic denominator S = sum 2^-rho is kept as the exact
+#     integer S_scaled = sum 2^(25-rho) (dyadic rationals scaled by
+#     2^25), so the only float op in the whole estimator is the final
+#     literal/S_scaled division.
+# Raw-regime estimator only (alpha_m * m^2 / S): the small-range linear
+# counting branch (m * ln(m/V)) would reintroduce a transcendental at
+# exactly the scale where the KMV sketch is the better tool anyway —
+# documented boundary, the self-eval prices the realized error.
+#
+# Scale shape: hashes and rho evaluate inside the scan; the only
+# exchange carries (j, partial-max) for 64 register keys — max() is the
+# HLL merge, so partial aggregation IS the sketch union, the same
+# bounded-exchange property as KMV. Mergeability across shards =
+# element-wise register max (tested).
+
+HLL_M = 64
+HLL_W_BITS = 24
+HLL_B = HLL_W_BITS + 1  # max rho
+# alpha_64 * m^2 * 2^B precomputed to ONE double literal: the estimator
+# is a single division away from the integer S_scaled.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUM = float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_B))
+
+
+def _hll_j_rho(value_expr: str, dialect: str) -> tuple[str, str]:
+    cat = (
+        f"concat('j|', cast({value_expr} as string))"
+        if dialect == "spark"
+        else f"'j|' || cast({value_expr} as varchar)"
+    )
+    cat_s = (
+        f"concat('s|', cast({value_expr} as string))"
+        if dialect == "spark"
+        else f"'s|' || cast({value_expr} as varchar)"
+    )
+    hj = _mixed_sql(TXT.char_hash(cat, dialect), dialect)
+    hs = _mixed_sql(TXT.char_hash(cat_s, dialect), dialect)
+    j = f"(({hj}) % {HLL_M})"
+    s = f"(({hs}) % {1 << HLL_W_BITS})"
+    rho = (
+        f"(case when ({s}) = 0 then {HLL_B} "
+        f"else {HLL_B} - length(bin({s})) end)"
+    )
+    return j, rho
+
+
+def hll_registers(df: DataFrame, value_expr: str) -> DataFrame:
+    """(j, r): per-register max rho. The groupBy(j) partial max is the
+    sketch union — the exchange carries at most 64 rows per task."""
+    j, rho = _hll_j_rho(value_expr, "spark")
+    return (
+        df.select(F.expr(j).alias("j"), F.expr(rho).alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """One-row raw-regime HLL estimate from a (j, r) register relation:
+    (v_empty, s_scaled, est)."""
+    return regs.agg(
+        (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("v_empty"),
+        (
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_B} - r)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_B)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    ).select(
+        "v_empty",
+        "s_scaled",
+        F.round(F.lit(HLL_NUM) / F.col("s_scaled"), 4).alias("est"),
+    )
+
+
+def hll_oracle_sql(table: str, value_expr: str) -> str:
+    """DuckDB replay: registers + raw estimate from the same hashes."""
+    j, rho = _hll_j_rho(value_expr, "duck")
+    return f"""
+WITH regs AS (
+  SELECT j, MAX(rho) AS r FROM (
+    SELECT {j} AS j, {rho} AS rho FROM {table}) GROUP BY j),
+agg AS (
+  SELECT CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(SUM(1::BIGINT << ({HLL_B} - r))
+              + ({HLL_M} - COUNT(*)) * {1 << HLL_B} AS BIGINT) AS s_scaled
+  FROM regs)
+SELECT v_empty, s_scaled, ROUND({HLL_NUM!r} / s_scaled, 4) AS est FROM agg
+"""

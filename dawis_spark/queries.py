@@ -7395,6 +7395,48 @@ def pps_ht_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from dawis_spark.operators.sketches import hll_oracle_sql
+
+    inner = hll_oracle_sql("events", "event_id").strip()
+    return f"""
+WITH h AS ({inner}),
+e AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact FROM events)
+SELECT e.n_exact, h.v_empty, h.s_scaled, h.est,
+       ROUND((h.est - e.n_exact) / e.n_exact, 4) AS rel_err
+FROM e, h
+"""
+
+
+@query("hll_distinct_events", oracle=_hll_oracle())
+def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count (Flajolet et al. 2007) made
+    engine-exact: salted uniformized hashes, rho as the STRING length of
+    the minimal binary rendering (integer in both engines), the harmonic
+    denominator kept as the exact dyadic integer sum 2^(25-rho), and one
+    final literal/int division — the construction that retires the KMV
+    section's 'HLL hangs on float log2' objection. Exchange carries at
+    most 64 (register, partial-max) rows per task; partial max IS the
+    sketch union, so shard merge is free. Raw-regime estimator only; the
+    linear-counting small-range branch is the documented boundary (KMV
+    is the better tool there). Self-eval inline: exact distinct vs
+    estimate (expected |err| ~ 1.04/sqrt(64) = 13%)."""
+    from dawis_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = spark.table("events")
+    est = hll_estimate(hll_registers(ev, "event_id"))
+    exact = ev.agg(F.countDistinct("event_id").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact",
+        "v_empty",
+        "s_scaled",
+        "est",
+        F.round((F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

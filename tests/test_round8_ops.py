@@ -457,3 +457,36 @@ def test_pps_ht_estimator_is_weight_exact_for_certain_rows(spark):
     ).collect()[0]
     assert got["n"] == 50
     assert got["est"] == sum(w for _, w in rows) * 1_000_000
+
+
+def test_hll_registers_merge_is_elementwise_max(spark):
+    from dawis_spark.operators.sketches import hll_registers
+
+    df = spark.range(0, 2000).selectExpr("id AS v")
+    a = df.filter("v < 1200")
+    b = df.filter("v >= 1200")
+    full = {r["j"]: r["r"] for r in hll_registers(df, "v").collect()}
+    ra = {r["j"]: r["r"] for r in hll_registers(a, "v").collect()}
+    rb = {r["j"]: r["r"] for r in hll_registers(b, "v").collect()}
+    merged = {j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)}
+    assert merged == full
+
+
+def test_hll_estimate_within_theory(spark):
+    import math
+
+    from dawis_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(0, 50_000).selectExpr("id AS v")
+    est = hll_estimate(hll_registers(df, "v")).collect()[0]["est"]
+    # 3 sigma of the m=64 raw estimator (1.04/sqrt(64) ~ 13% per sigma)
+    assert abs(est - 50_000) / 50_000 < 3 * 1.04 / math.sqrt(64)
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    from dawis_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(0, 5000).selectExpr("id AS v")
+    e1 = hll_estimate(hll_registers(df.repartition(1), "v")).collect()[0]
+    e2 = hll_estimate(hll_registers(df.repartition(13), "v")).collect()[0]
+    assert e1 == e2
