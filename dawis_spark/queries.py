@@ -7437,6 +7437,126 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users_view,
+  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS users_click,
+  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS users_purchase,
+  ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        / (SELECT COUNT(*) FROM v), 4) AS conv_view_click,
+  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        / (SELECT COUNT(*) FROM c), 4) AS conv_click_purchase,
+  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        / (SELECT COUNT(*) FROM v), 4) AS conv_total
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_SQL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (view -> click -> purchase, each step within
+    7 days of the previous step's FIRST occurrence) — the standard
+    product-analytics sequence query the reference's marketing warehouse
+    domain lives on. Three per-user MIN aggregations chained by
+    co-partitioned user_id joins: every exchange hashes on user_id, so
+    AQE coalesces them onto one partitioning; the per-step relations
+    shrink monotonically (each join's right side is the previous step's
+    survivors). No window sort, no per-user event arrays — at 100 TB the
+    plan is 3 partial-agg scans + 2 shrinking hash joins."""
+    return spark.sql(_FUNNEL_SQL)
+
+
+def _cohort_oracle() -> str:
+    return """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events),
+cohort_size AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first_seen GROUP BY cohort_week),
+m AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+  GROUP BY 1, 2)
+SELECT m.cohort_week, m.week_offset, m.active_users, s.cohort_users,
+       ROUND(CAST(m.active_users AS DOUBLE) / s.cohort_users, 4) AS retention
+FROM m JOIN cohort_size s ON m.cohort_week = s.cohort_week
+ORDER BY m.cohort_week, m.week_offset
+"""
+
+
+@query("cohort_retention", oracle=_cohort_oracle())
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    tracked by distinct activity in each subsequent week, as a fraction
+    of the cohort. Shapes: first-seen and the distinct (user, week)
+    activity relation each shuffle once on user_id (co-partitioned for
+    the join); the retention matrix itself is weeks x weeks — tiny. The
+    count-distinct in the matrix agg is exact; at extreme user
+    cardinality the KMV/HLL sketches in operators/sketches.py are the
+    drop-in approximate form."""
+    e = spark.table("events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    m = (
+        first_seen.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+    return (
+        m.join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(F.col("active_users") / F.col("cohort_users"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
