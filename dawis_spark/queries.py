@@ -7557,6 +7557,117 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+pairs AS (
+  SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY src, dst),
+outdeg AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY src)
+SELECT p.src, p.dst, p.n, ROUND(CAST(p.n AS DOUBLE) / o.total, 4) AS prob
+FROM pairs p JOIN outdeg o ON p.src = o.src
+ORDER BY p.src, p.dst
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_SQL)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    lead() within (user_id ORDER BY ts, event_id) pairs each event with
+    its successor, then (src, dst) counts normalize by source out-degree.
+    ONE shuffle moves event rows (the user_id window — carrying only
+    (user, type, ts)); everything after is event-type-cardinality-sized.
+    The deterministic event_id tie-break makes simultaneous-timestamp
+    paths replayable. The classic clickstream/path-analysis query of the
+    reference's web-analytics domain (GA behavior flow)."""
+    from pyspark.sql import Window
+
+    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    outdeg = pairs.groupBy("src").agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        pairs.join(outdeg, "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("prob"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_GAPFILL_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS b0, MAX(day) AS b1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(b0, b1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.day, d.total
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+w AS (
+  SELECT user_id, day, total,
+    last_value(total IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN total IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+    first_value(total IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN total IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM j
+)
+SELECT user_id, day, total,
+  CASE WHEN total IS NOT NULL THEN ROUND(total, 4)
+       WHEN next_v IS NULL THEN ROUND(prev_v, 4)
+       ELSE ROUND(prev_v + (next_v - prev_v)
+                  * date_diff('day', prev_b, day)
+                  / date_diff('day', prev_b, next_b), 4)
+  END AS filled,
+  total IS NULL AS is_gap
+FROM w ORDER BY user_id, day
+"""
+
+
+@query("gapfill_interp_user_value", oracle=_GAPFILL_INTERP_ORACLE)
+def gapfill_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily spine with LINEAR interpolation across interior
+    gaps (trailing gaps carry forward) — the interpolate() companion to
+    gapfill_daily_user_value's LOCF. The fill is one fixed-order
+    multiply-divide over exact integer day offsets, rounded once:
+    engine-exact without accumulation-order hazards."""
+    from dawis_spark.operators.gapfill import gapfill_interp
+
+    daily = (
+        spark.table("events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return gapfill_interp(daily, ["user_id"], "day", "total").orderBy(
+        "user_id", "day"
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -490,3 +490,45 @@ def test_hll_deterministic_across_partitionings(spark):
     e1 = hll_estimate(hll_registers(df.repartition(1), "v")).collect()[0]
     e2 = hll_estimate(hll_registers(df.repartition(13), "v")).collect()[0]
     assert e1 == e2
+
+
+def test_gapfill_interp_interior_and_trailing(spark):
+    import datetime as dt
+
+    from dawis_spark.operators.gapfill import gapfill_interp
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 4), 40.0),   # gap days 2,3 -> 20, 30
+        ("a", d(2024, 1, 6), 20.0),   # gap day 5 -> 30
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {
+        r["day"].isoformat() if hasattr(r["day"], "isoformat") else str(r["day"]): r
+        for r in gapfill_interp(df, ["k"], "day", "v").collect()
+    }
+    assert out["2024-01-02"]["filled"] == 20.0 and out["2024-01-02"]["is_gap"]
+    assert out["2024-01-03"]["filled"] == 30.0
+    assert out["2024-01-05"]["filled"] == 30.0
+    assert out["2024-01-01"]["filled"] == 10.0 and not out["2024-01-01"]["is_gap"]
+
+
+def test_gapfill_interp_trailing_gap_carries_forward(spark):
+    import datetime as dt
+
+    from dawis_spark.operators.gapfill import gapfill_interp
+
+    # value present at min and an interior day, absent at the max-day
+    # row only when max comes from another key? spine is per-key min..max
+    # so trailing gaps need an observed later bucket with NULL value:
+    # simulate via explicit NULL row
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 3), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {str(r["day"]): r for r in gapfill_interp(df, ["k"], "day", "v").collect()}
+    assert out["2024-01-02"]["filled"] == 10.0  # no next obs -> LOCF
+    assert out["2024-01-03"]["filled"] == 10.0
