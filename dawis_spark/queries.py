@@ -7437,7 +7437,7 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_SQL = """
+_FUNNEL_STEPS_SQL = """
 WITH v AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id),
@@ -7466,7 +7466,7 @@ SELECT
 """
 
 
-@query("funnel_conversion", oracle=_FUNNEL_SQL)
+@query("funnel_conversion", oracle=_FUNNEL_STEPS_SQL)
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict ordered funnel (view -> click -> purchase, each step within
     7 days of the previous step's FIRST occurrence) — the standard
@@ -7476,8 +7476,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE coalesces them onto one partitioning; the per-step relations
     shrink monotonically (each join's right side is the previous step's
     survivors). No window sort, no per-user event arrays — at 100 TB the
-    plan is 3 partial-agg scans + 2 shrinking hash joins."""
-    return spark.sql(_FUNNEL_SQL)
+    plan is 3 partial-agg scans + 2 shrinking hash joins.
+
+    Distinct from funnel_view_click_purchase (the FIRST-TOUCH form: one
+    conditional-MIN pass, order checked by comparing first-touch times,
+    no step windows): this is the strict sequential-within-window
+    semantics product analytics defaults to — a click only counts after
+    the first view AND within its 7-day window, and the purchase clock
+    restarts from that click."""
+    return spark.sql(_FUNNEL_STEPS_SQL)
 
 
 def _cohort_oracle() -> str:
@@ -7506,9 +7513,9 @@ ORDER BY m.cohort_week, m.week_offset
 
 @query("cohort_retention", oracle=_cohort_oracle())
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention matrix: users grouped by first-seen week,
-    tracked by distinct activity in each subsequent week, as a fraction
-    of the cohort. Shapes: first-seen and the distinct (user, week)
+    """Weekly cohort retention matrix with RATE normalization — extends
+    weekly_retention_cohorts (offset x count only) with per-cohort sizes
+    and retention fractions, the form dashboards consume. Shapes: first-seen and the distinct (user, week)
     activity relation each shuffle once on user_id (co-partitioned for
     the join); the retention matrix itself is weeks x weeks — tiny. The
     count-distinct in the matrix agg is exact; at extreme user
@@ -7594,17 +7601,16 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    outdeg = pairs.groupBy("src").agg(F.sum("n").cast("bigint").alias("total"))
-    return (
-        pairs.join(outdeg, "src")
-        .select(
-            "src",
-            "dst",
-            "n",
-            F.round(F.col("n") / F.col("total"), 4).alias("prob"),
-        )
-        .orderBy("src", "dst")
-    )
+    # out-degree as a window over the (src, dst) relation itself: no join
+    # and — crucially — no second evaluation of the event-path subtree
+    # (a groupBy-then-join-back would recompute the user window at scale)
+    total = F.sum("n").over(Window.partitionBy("src"))
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / total, 4).alias("prob"),
+    ).orderBy("src", "dst")
 
 
 _GAPFILL_INTERP_ORACLE = """

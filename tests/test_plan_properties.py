@@ -360,3 +360,47 @@ def test_logreg_iteration_shapes(spark):
     gplan = grad._jdf.queryExecution().executedPlan().toString()
     assert gplan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in gplan  # map-side combine before the 65-key exchange
+
+
+def test_hll_exchange_is_partial_max_on_64_keys(spark):
+    """The HLL register build must combine map-side: the only hash
+    exchange carries (j, partial-max) pairs, never raw hashes."""
+    from dawis_spark.operators.sketches import hll_registers
+
+    register_testdata(spark, SF_DIR)
+    regs = hll_registers(spark.table("events"), "event_id")
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan
+
+
+def test_funnel_no_cartesian_and_user_copartitioned(spark):
+    """Funnel steps chain on user_id joins; nothing may degrade to a
+    nested-loop over the fact table."""
+    plan = _plan(spark, "funnel_conversion")
+    assert "CartesianProduct" not in plan
+    # every hash exchange in the step chain is on user_id
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "user_id" in m.group(1)
+
+
+def test_transitions_single_user_window_exchange(spark):
+    """The path-pairs window is the only shuffle that moves event rows;
+    later aggregations are event-type-cardinality-sized."""
+    plan = _plan(spark, "event_transitions")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pps_sample_zero_exchange_before_aggregate(spark):
+    """PPS inclusion + HT reweight evaluate inside the scan."""
+    from dawis_spark.operators.sketches import pps_sample
+
+    register_testdata(spark, SF_DIR)
+    docs = spark.table("documents").selectExpr("doc_id", "n_chars as w")
+    s = pps_sample(docs, "doc_id", "w", 2100)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

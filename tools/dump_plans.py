@@ -50,6 +50,12 @@ PICKS = {
     "perplexity_quality_bands": "int64 bigram-key joins; integer micro-nat NLL; selection terciles",
     "bpe_segmented_corpus": "learned merges applied as literal replaces inside the scan; per-doc agg",
     "hybrid_search_rrf": "two top-N legs; fusion is a tiny full-outer + ordered head",
+    "knn_label_propagation": "literal seed rides the scan: zero exchanges, zero joins",
+    "hll_distinct_events": "64-key exchange of partial maxes; the merge IS the sketch union",
+    "funnel_conversion": "user_id co-partitioned step chain; monotonically shrinking joins",
+    "event_transitions": "one user window moves events; type-matrix window after, no join",
+    "pps_weighted_sample": "pi and HT reweight inside the scan; no exchange, no join",
+    "mmr_rerank": "pool + pairwise sims distributed; greedy on the collected head",
     "quality_classifier_scores": "model row broadcast; codegen'd fold in the scan; zero hash exchange",
     "coordinated_sample_join": "both scans filtered to the coordinated 5% before the join",
     "embedding_ann_refined": "candidate pool + query vecs broadcast into the exact-refine corpus scan",
