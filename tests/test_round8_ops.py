@@ -532,3 +532,29 @@ def test_gapfill_interp_trailing_gap_carries_forward(spark):
     out = {str(r["day"]): r for r in gapfill_interp(df, ["k"], "day", "v").collect()}
     assert out["2024-01-02"]["filled"] == 10.0  # no next obs -> LOCF
     assert out["2024-01-03"]["filled"] == 10.0
+
+
+def test_labelprop_tiers_bit_identical(spark):
+    from dawis_spark.operators.labelprop import (
+        _knn_label_propagation_numpy,
+        collect_seed,
+        knn_label_propagation,
+    )
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    seed = collect_seed(emb.filter("vec_id < 40"), "vec_id", "embedding", "label")
+    targets = emb.filter("vec_id >= 40")
+    # 40 x 64 = 2560 < tier threshold -> the public path is the literal
+    lit = sorted(
+        tuple(r) for r in knn_label_propagation(
+            targets, seed, "vec_id", "embedding", k=5
+        ).collect()
+    )
+    np_ = sorted(
+        tuple(r) for r in _knn_label_propagation_numpy(
+            targets, seed, "vec_id", "embedding", k=5
+        ).collect()
+    )
+    assert lit == np_
