@@ -1,0 +1,185 @@
+"""User-journey analytics — multi-touch attribution and sequence mining.
+
+The reference's web-analytics domain (GA behavior flow, conversion
+reporting — reference google_analytics.py's segment/goal queries) stops at
+last-click attribution (asof_last_click) and single-step transitions
+(event_transitions). This module adds the two standard next steps a
+marketing warehouse ships:
+
+  - POSITION-BASED (U-shaped) multi-touch attribution: each conversion's
+    value is split 40% / 20% / 40% across the first / middle / last
+    touches of the journey that led to it (n=1 -> 100%, n=2 -> 50/50).
+  - FREQUENT EVENT SEQUENCES: support counts of length-3 event-type
+    paths (the PrefixSpan k=3 slice that answers "what do users do right
+    before X" without the exponential general miner).
+
+Exactness discipline (shared with operators/sketches.py): conversion
+values become integer cents, positional weights are integer ppm with the
+flooring remainder assigned to the FIRST touch, so every credit is an
+exact BIGINT micro-unit (cents x ppm) and the only float op is the final
+display division — Spark and DuckDB agree to the bit.
+
+Scale shape: one events-sized exchange hashed on user_id computes the
+journey index (a running purchase count); touch positions reuse the same
+(user, journey) partitioning; the purchase<->touch join is co-keyed on
+(user_id, journey) so AQE plans it as a co-partitioned join, and the
+output aggregate is event-type-cardinality-sized. Sequence mining is the
+same single user-window plus a |types|^3-key aggregate — both plans carry
+only (user, type, ts, id, value), never payloads, and nothing is
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# composite journey key = user_id * JOURNEY_STRIDE + journey; journeys per
+# user are purchase counts (~13 at sf0.01, ~130 at sf1) — the stride holds
+# through every rehearsal scale with 3 decades of headroom.
+JOURNEY_STRIDE = 1_000_000
+
+
+def with_journey_index(events: DataFrame, conversion_type: str) -> DataFrame:
+    """Events + ``journey`` = number of conversions strictly before the
+    row in the user's (ts, event_id) order — so each journey's rows are
+    its touches followed by the conversion that closes it."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = (F.col("event_type") == conversion_type).cast("int")
+    return events.select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    ).withColumn("journey", F.coalesce(F.sum(is_conv).over(w), F.lit(0)))
+
+
+def position_attribution(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """U-shaped credit per touch event_type: (touch_type, touches,
+    journeys, credit) with credit exact to the cent-ppm.
+
+    Weights in ppm: n=1 -> 1e6; n=2 -> 5e5 each; n>=3 -> 4e5 ends,
+    floor(2e5/(n-2)) middles, flooring remainder added to the first
+    touch so each journey's weights sum to exactly 1e6.
+    """
+    e = with_journey_index(events, conversion_type)
+    conv = e.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        "journey",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    touches = (
+        e.filter(F.col("event_type") != conversion_type)
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("user_id", "journey"))
+        )
+    )
+    mid = "(200000 div (n - 2))"
+    w_ppm = F.expr(
+        f"""CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 THEN 400000 + (200000 - {mid} * (n - 2))
+                 WHEN pos = n THEN 400000
+                 ELSE {mid} END"""
+    ).cast("bigint")
+    credited = touches.join(conv, ["user_id", "journey"]).select(
+        F.col("event_type").alias("touch_type"),
+        (F.col("user_id") * JOURNEY_STRIDE + F.col("journey")).alias("jkey"),
+        (F.col("v_cents") * w_ppm).alias("credit_micro"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("touches"),
+        F.countDistinct("jkey").cast("bigint").alias("journeys"),
+        F.round(F.sum("credit_micro") / F.lit(100_000_000.0), 2).alias(
+            "credit"
+        ),
+    )
+
+
+def attribution_oracle_sql(conversion_type: str = "purchase") -> str:
+    """DuckDB replay of ``position_attribution`` on the events view."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         COALESCE(SUM(CASE WHEN event_type = '{conversion_type}' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+  FROM events),
+conv AS (
+  SELECT user_id, journey, CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+  FROM e WHERE event_type = '{conversion_type}'),
+t AS (
+  SELECT user_id, journey, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, journey ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+  FROM e WHERE event_type <> '{conversion_type}'),
+c AS (
+  SELECT t.event_type AS touch_type,
+         t.user_id * {JOURNEY_STRIDE} + t.journey AS jkey,
+         conv.v_cents * (CASE
+           WHEN t.n = 1 THEN 1000000
+           WHEN t.n = 2 THEN 500000
+           WHEN t.pos = 1 THEN 400000 + (200000 - (200000 // (t.n - 2)) * (t.n - 2))
+           WHEN t.pos = t.n THEN 400000
+           ELSE 200000 // (t.n - 2) END) AS credit_micro
+  FROM t JOIN conv ON t.user_id = conv.user_id AND t.journey = conv.journey)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(COUNT(DISTINCT jkey) AS BIGINT) AS journeys,
+       ROUND(SUM(credit_micro) / 100000000.0, 2) AS credit
+FROM c GROUP BY touch_type
+"""
+
+
+def frequent_sequences(
+    events: DataFrame, length: int = 3, top: int = 25
+) -> DataFrame:
+    """Support counts of length-``length`` consecutive event-type paths
+    per user: (seq, support, share) for the ``top`` most frequent, with
+    share = support / total paths rounded to 6 (a ratio of two exact
+    BIGINTs — one ordered division, ulp-stable)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.select("user_id", "event_type", "ts", "event_id")
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, length)
+    ]
+    paths = e.select(
+        F.concat_ws(">", *steps).alias("seq"),
+        steps[-1].isNotNull().alias("complete"),
+    ).filter("complete")
+    total = Window.partitionBy()
+    counted = paths.groupBy("seq").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    return (
+        counted.withColumn(
+            "share", F.round(F.col("support") / F.sum("support").over(total), 6)
+        )
+        .orderBy(F.desc("support"), "seq")
+        .limit(top)
+    )
+
+
+def sequences_oracle_sql(length: int = 3, top: int = 25) -> str:
+    leads = ", ".join(
+        f"lead(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e{i}"
+        for i in range(1, length)
+    )
+    concat = " || '>' || ".join(["event_type"] + [f"e{i}" for i in range(1, length)])
+    last = f"e{length - 1}"
+    return f"""
+WITH p AS (
+  SELECT event_type, {leads} FROM events),
+paths AS (
+  SELECT {concat} AS seq FROM p WHERE {last} IS NOT NULL),
+counted AS (
+  SELECT seq, CAST(COUNT(*) AS BIGINT) AS support FROM paths GROUP BY seq)
+SELECT seq, support,
+       ROUND(CAST(support AS DOUBLE) / SUM(support) OVER (), 6) AS share
+FROM counted ORDER BY support DESC, seq LIMIT {top}
+"""

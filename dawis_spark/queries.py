@@ -7674,6 +7674,41 @@ def gapfill_interp_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dawis_spark.operators import journeys as _journeys  # noqa: E402
+
+
+@query(
+    "position_attribution",
+    oracle=_journeys.attribution_oracle_sql("purchase"),
+)
+def position_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: each purchase's value is split
+    40/20/40 across the first/middle/last touches of the journey that
+    closed with it (the standard position-based model in GA/attribution
+    reporting — the multi-touch extension of asof_last_click). Credits
+    are exact BIGINT cent-ppm micro-units (flooring remainder pinned to
+    the first touch), so the engines agree to the bit and the only float
+    op is the display division. One user-hashed exchange builds journey
+    indices; the purchase<->touch join is co-keyed on (user, journey);
+    the output aggregate is event-type-sized."""
+    return _journeys.position_attribution(
+        spark.table("events"), "purchase"
+    ).orderBy("touch_type")
+
+
+_SEQ_ORACLE = _journeys.sequences_oracle_sql(3, 25) + " "  # noqa: E501
+
+
+@query("frequent_event_sequences", oracle=_SEQ_ORACLE)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 consecutive event-type path mining (the PrefixSpan k=3
+    slice): per-user lead() pairs inside ONE user-hashed window exchange,
+    then a |types|^3-key support aggregate with a global-share column.
+    Deterministic (support DESC, seq) top-25. The 'what happens right
+    before an error/purchase' query of behavior-flow analytics."""
+    return _journeys.frequent_sequences(spark.table("events"), 3, 25)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

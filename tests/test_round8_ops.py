@@ -558,3 +558,72 @@ def test_labelprop_tiers_bit_identical(spark):
         ).collect()
     )
     assert lit == np_
+
+
+# --- journey analytics (operators/journeys.py) -----------------------------
+
+
+def _journey_events(spark):
+    # one user, two journeys: [view, click, signup, purchase(10.00)],
+    # then [view, purchase(5.00)], then a trailing un-converted click
+    rows = [
+        (1, "2024-01-01 00:00:01", 7, "view", 0.0),
+        (2, "2024-01-01 00:00:02", 7, "click", 0.0),
+        (3, "2024-01-01 00:00:03", 7, "signup", 0.0),
+        (4, "2024-01-01 00:00:04", 7, "purchase", 10.0),
+        (5, "2024-01-01 00:00:05", 7, "view", 0.0),
+        (6, "2024-01-01 00:00:06", 7, "purchase", 5.0),
+        (7, "2024-01-01 00:00:07", 7, "click", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_position_attribution_u_shape_and_remainder(spark):
+    from dawis_spark.operators.journeys import position_attribution
+
+    out = {
+        r["touch_type"]: r.asDict()
+        for r in position_attribution(_journey_events(spark)).collect()
+    }
+    # journey 1 (n=3): view=first 40%, click=middle 20%, signup=last 40%
+    # journey 2 (n=1): view=100%
+    assert out["click"]["credit"] == 2.0  # 20% of 10.00
+    assert out["signup"]["credit"] == 4.0  # 40% of 10.00
+    assert out["view"]["credit"] == 9.0  # 4.00 + 5.00
+    # trailing un-converted click is NOT attributed
+    assert out["click"]["touches"] == 1
+    assert out["view"]["journeys"] == 2
+
+
+def test_position_attribution_weights_sum_to_one(spark):
+    # n=4 journey: middles get floor(200000/2)=100000 each, no remainder;
+    # n=5: floor(200000/3)=66666 -> remainder 2 ppm lands on first touch
+    rows = [
+        (i, f"2024-01-01 00:00:0{i}", 1, t, v)
+        for i, (t, v) in enumerate(
+            [("view", 0.0), ("click", 0.0), ("view", 0.0), ("click", 0.0),
+             ("signup", 0.0), ("purchase", 100.0)],
+            start=1,
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from dawis_spark.operators.journeys import position_attribution
+
+    total = sum(
+        r["credit"] for r in position_attribution(df).collect()
+    )
+    assert abs(total - 100.0) < 1e-9  # exact: integer ppm sums to 1e6
+
+
+def test_frequent_sequences_counts_and_order(spark):
+    from dawis_spark.operators.journeys import frequent_sequences
+
+    out = frequent_sequences(_journey_events(spark), 3, 10).collect()
+    seqs = {r["seq"]: r["support"] for r in out}
+    assert seqs["view>click>signup"] == 1
+    assert len(out) == 5  # 7 events -> 5 complete trigrams
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-6
