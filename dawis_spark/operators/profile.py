@@ -1,0 +1,164 @@
+"""Dataset profiling — ANALYZE-style column statistics and an
+integer-exact distributed Pearson correlation matrix.
+
+Every warehouse front-end the reference feeds (its check/alerting modules
+pull aggregate health numbers per column — reference database.py's
+query-result checks) wants the same two primitives:
+
+  - COLUMN PROFILE: per column (rows, nulls, ndv, min, max, mean) in one
+    pass — the stats block ANALYZE / dbt-utils / Deequ emit, and the
+    input to data-quality rules (operators/checks.py consumes exactly
+    these shapes).
+  - CORRELATION MATRIX: pairwise Pearson r over the numeric measures —
+    feature screening for the classifier/logreg family and the standard
+    "which metrics move together" dashboard query.
+
+Exactness discipline: naive float moment sums are accumulation-order-
+dependent, so both operators first snap values to integer cents
+(ROUND(x*100) AS BIGINT). Per-row products stay inside int64 (values
+<= ~1e7 cents -> products <= ~1e14); the SUMS are carried as
+DECIMAL(38,0) on Spark and HUGEINT on DuckDB — both exact integers — so
+n*Sxy - Sx*Sy is computed exactly and the only float ops are the final
+correctly-rounded int->double conversions, one sqrt per moment (IEEE
+sqrt IS correctly rounded, unlike ln/pow), and one division. Spark and
+DuckDB agree to the bit; ROUND(.,6) is belt-and-braces.
+
+Scale shape: one full scan each, everything map-side-partial (a moment
+aggregate has no keys; the profile unpivots to (column, value) and
+aggregates per column name — |cols| keys). countDistinct is the exact
+two-phase plan; at extreme NDV the KMV/HLL sketches in
+operators/sketches.py are the drop-in approximate form (same boundary
+note as cohort_retention). Nothing is driver-side, nothing is
+row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CENT_SCALE = 100  # 2-decimal money/ratio columns -> integer cents
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * CENT_SCALE, 0).cast("bigint")
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_null, ndv, min_v, max_v, mean_v) per numeric
+    column, one unpivot + one aggregate. mean is exact cents / exact
+    count — a single ordered division."""
+    stacked = df.select(
+        F.expr(
+            "stack({n}, {args}) as (col_name, v_cents)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', cast(round({c} * {CENT_SCALE}, 0) as bigint)"
+                    for c in cols
+                ),
+            )
+        )
+    )
+    return (
+        stacked.groupBy("col_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") - F.count("v_cents")).cast("bigint").alias("n_null"),
+            F.countDistinct("v_cents").cast("bigint").alias("ndv"),
+            F.round(F.min("v_cents") / CENT_SCALE, 2).alias("min_v"),
+            F.round(F.max("v_cents") / CENT_SCALE, 2).alias("max_v"),
+            F.round(
+                F.sum(F.col("v_cents").cast("decimal(38,0)"))
+                / (F.count("v_cents") * CENT_SCALE),
+                6,
+            )
+            .cast("double")
+            .alias("mean_v"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def profile_oracle_sql(table: str, cols: list[str]) -> str:
+    parts = []
+    for c in cols:
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+       ROUND(MIN(v) / {CENT_SCALE}.0, 2) AS min_v,
+       ROUND(MAX(v) / {CENT_SCALE}.0, 2) AS max_v,
+       CAST(ROUND(SUM(v) / (COUNT(v) * {CENT_SCALE}.0), 6) AS DOUBLE) AS mean_v
+FROM (SELECT CAST(ROUND({c} * {CENT_SCALE}, 0) AS BIGINT) AS v FROM {table})"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson r for every 2-combination of ``cols`` in ONE
+    moment-aggregate scan: (col_x, col_y, n, r)."""
+    snapped = df.select(
+        *[_cents(c).alias(c) for c in cols]
+    )
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(
+                f"ss_{c}_{c}"
+            )
+        )
+    for a, b in combinations(cols, 2):
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(
+                f"ss_{a}_{b}"
+            )
+        )
+    m = snapped.agg(*aggs)
+    pairs = list(combinations(cols, 2))
+    return m.select(
+        F.expr(
+            "stack({k}, {args}) as (col_x, col_y, n, r)".format(
+                k=len(pairs),
+                args=", ".join(
+                    f"'{a}', '{b}', cast(n as bigint), "
+                    f"round(cast(n * ss_{a}_{b} - s_{a} * s_{b} as double)"
+                    f" / (sqrt(cast(n * ss_{a}_{a} - s_{a} * s_{a} as double))"
+                    f" * sqrt(cast(n * ss_{b}_{b} - s_{b} * s_{b} as double))), 6)"
+                    for a, b in pairs
+                ),
+            )
+        )
+    ).orderBy("col_x", "col_y")
+
+
+def pearson_oracle_sql(table: str, cols: list[str]) -> str:
+    snaps = ", ".join(
+        f"CAST(ROUND({c} * {CENT_SCALE}, 0) AS BIGINT) AS {c}" for c in cols
+    )
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in cols:
+        moments.append(f"SUM(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(f"SUM(CAST({c} AS HUGEINT) * {c}) AS ss_{c}_{c}")
+    for a, b in combinations(cols, 2):
+        moments.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS ss_{a}_{b}")
+    selects = []
+    for a, b in combinations(cols, 2):
+        selects.append(
+            f"""
+SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * ss_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+             / (sqrt(CAST(n * ss_{a}_{a} - s_{a} * s_{a} AS DOUBLE))
+                * sqrt(CAST(n * ss_{b}_{b} - s_{b} * s_{b} AS DOUBLE))), 6) AS r
+FROM m"""
+        )
+    return (
+        f"WITH snapped AS (SELECT {snaps} FROM {table}),\n"
+        f"m AS (SELECT {', '.join(moments)} FROM snapped)\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_x, col_y"
+    )

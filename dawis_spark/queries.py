@@ -7709,6 +7709,41 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _journeys.frequent_sequences(spark.table("events"), 3, 25)
 
 
+from dawis_spark.operators import profile as _profile  # noqa: E402
+
+_PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+@query(
+    "column_stats_profile",
+    oracle=_profile.profile_oracle_sql("lineitem", _PROFILE_COLS),
+)
+def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (rows, nulls, exact NDV, min,
+    max, mean) over the lineitem measures in one unpivot + aggregate —
+    the stats block data-quality rules and the CBO consume. Values snap
+    to integer cents so the mean is exact-int / exact-int: one ordered
+    division, bit-stable across engines. Scale: one scan, |cols| agg
+    keys; NDV is the exact two-phase plan (KMV/HLL in
+    operators/sketches.py are the sketch form at extreme cardinality)."""
+    return _profile.column_profile(spark.table("lineitem"), _PROFILE_COLS)
+
+
+@query(
+    "feature_correlations",
+    oracle=_profile.pearson_oracle_sql("lineitem", _PROFILE_COLS),
+)
+def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures in
+    ONE moment-aggregate scan (map-side partials, zero keyed shuffle) —
+    feature screening for the logreg/classifier family. Integer-cent
+    moments are carried as DECIMAL(38,0)/HUGEINT so n*Sxy - Sx*Sy is
+    EXACT; the only floats are correctly-rounded int->double casts, IEEE
+    sqrt, and one division — engines agree to the bit (contrast: naive
+    CORR() is accumulation-order-dependent)."""
+    return _profile.pearson_matrix(spark.table("lineitem"), _PROFILE_COLS)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -627,3 +627,41 @@ def test_frequent_sequences_counts_and_order(spark):
     assert seqs["view>click>signup"] == 1
     assert len(out) == 5  # 7 events -> 5 complete trigrams
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-6
+
+
+# --- profiling (operators/profile.py) ---------------------------------------
+
+
+def test_column_profile_counts_nulls_and_ndv(spark):
+    from dawis_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, None), (3.5, 2.0)], "a double, b double"
+    )
+    out = {r["col_name"]: r.asDict() for r in column_profile(df, ["a", "b"]).collect()}
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_null"] == 0
+    assert out["a"]["ndv"] == 2 and out["a"]["mean_v"] == round((1 + 1 + 3.5) / 3, 6)
+    assert out["b"]["n_null"] == 1 and out["b"]["ndv"] == 1
+    assert out["b"]["min_v"] == 2.0 and out["b"]["max_v"] == 2.0
+
+
+def test_pearson_matrix_exact_signs(spark):
+    from dawis_spark.operators.profile import pearson_matrix
+
+    # y = 2x (r=1), z = -x (r=-1 with x), w uncorrelated-ish
+    rows = [(float(i), 2.0 * i, -1.0 * i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_x"], r["col_y"]): r["r"] for r in pearson_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+
+
+def test_pearson_matrix_partitioning_invariant(spark):
+    from dawis_spark.operators.profile import pearson_matrix
+
+    rows = [(float(i % 7), float((i * 13) % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r1 = pearson_matrix(df.repartition(1), ["a", "b"]).collect()[0]["r"]
+    r32 = pearson_matrix(df.repartition(32), ["a", "b"]).collect()[0]["r"]
+    assert r1 == r32  # exact integer moments: no accumulation-order drift
