@@ -7744,6 +7744,30 @@ def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profile.pearson_matrix(spark.table("lineitem"), _PROFILE_COLS)
 
 
+from dawis_spark.operators import cooccur as _cooccur  # noqa: E402
+
+_ITEM_SPARK = "cast(get_json_object(props, '$.k') as int)"
+_ITEM_DUCK = "CAST(json_extract_string(props, '$.k') AS INT)"
+
+
+@query(
+    "item_cooccurrence_topk",
+    oracle=_cooccur.cooccurrence_oracle_sql(_ITEM_DUCK, 5, 128, 2),
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the events stream's JSON
+    item attribute (get_json_object — the §2.8 JSON surface in a data
+    plane): distinct (user, item) baskets -> within-user pairs ->
+    co-user counts -> cosine co/sqrt(n_i*n_j) -> deterministic top-5
+    neighbors per item. Oversized baskets (> 128 items) are dropped
+    before pairing — the standard quadratic-blowup guard, replayed in
+    the oracle. Cosine is exact-int / (IEEE sqrt x IEEE sqrt): bit-stable
+    across engines. Post-pairing everything is item-catalog-sized."""
+    return _cooccur.cooccurrence_topk(
+        spark.table("events"), _ITEM_SPARK, 5, 128, 2
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

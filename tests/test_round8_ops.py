@@ -665,3 +665,53 @@ def test_pearson_matrix_partitioning_invariant(spark):
     r1 = pearson_matrix(df.repartition(1), ["a", "b"]).collect()[0]["r"]
     r32 = pearson_matrix(df.repartition(32), ["a", "b"]).collect()[0]["r"]
     assert r1 == r32  # exact integer moments: no accumulation-order drift
+
+
+# --- item co-occurrence (operators/cooccur.py) -------------------------------
+
+
+def _basket_events(spark):
+    # users 1,2 share items 10,20; user 3 only item 10; user 4 is a
+    # 3-item power basket used by the cap test
+    rows = []
+    eid = 0
+    for u, items in [(1, [10, 20]), (2, [10, 20]), (3, [10]), (4, [10, 20, 30])]:
+        for it in items:
+            rows.append((eid, "2024-01-01 00:00:01", u, "click", 1.0, '{"k": %d}' % it))
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_cooccurrence_cosine_exact(spark):
+    from dawis_spark.operators.cooccur import cooccurrence_topk
+
+    out = cooccurrence_topk(
+        _basket_events(spark), "cast(get_json_object(props, '$.k') as int)",
+        k=5, max_basket=128, min_co=2,
+    ).collect()
+    by = {(r["item"], r["neighbor"]): r for r in out}
+    # co(10,20)=3 users; n_10=4, n_20=3 -> cos = 3/sqrt(12)
+    import math
+    assert by[(10, 20)]["co_users"] == 3
+    assert by[(10, 20)]["cosine"] == round(3 / math.sqrt(4 * 3), 6)
+    # symmetric orientation present
+    assert (20, 10) in by
+    # min_co=2 drops the (10,30)/(20,30) single-user pairs
+    assert (10, 30) not in by
+
+
+def test_cooccurrence_basket_cap_drops_power_users(spark):
+    from dawis_spark.operators.cooccur import cooccurrence_topk
+
+    out = cooccurrence_topk(
+        _basket_events(spark), "cast(get_json_object(props, '$.k') as int)",
+        k=5, max_basket=2, min_co=2,
+    ).collect()
+    by = {(r["item"], r["neighbor"]): r for r in out}
+    # user 4 (3 items) excluded everywhere: co(10,20) falls to 2, n_10=3
+    import math
+    assert by[(10, 20)]["co_users"] == 2
+    assert by[(10, 20)]["cosine"] == round(2 / math.sqrt(3 * 2), 6)
