@@ -708,3 +708,70 @@ def mask_duplicated_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    df_cap: int = 20,
+    min_inter: int = 5,
+    min_containment: float = 0.8,
+    top: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: containment C(A->B) = |S_A n S_B| /
+    |S_A| over the shingle space — catches a doc EMBEDDED in a larger one
+    (quote farms, wrapper boilerplate), which symmetric Jaccard misses
+    because the union washes the small side out (Broder's containment
+    sketch problem, here exact over postings).
+
+    The quadratic guard is DOCUMENT-FREQUENCY capping, not blocking:
+    shingles appearing in more than ``df_cap`` docs are dropped before
+    the postings self-join (a boilerplate shingle shared by thousands of
+    docs carries no containment specificity but df^2 join fanout — the
+    standard stop-shingle filter). Both the intersection counts AND the
+    denominators |S_A| are computed over the SAME capped space, so the
+    metric is self-consistent and the oracle replays it exactly.
+
+    Scale shape: postings (hash-only) shuffle once on the shingle key
+    with per-key fanout <= df_cap^2; the (a, b) intersection aggregate
+    and the size join are pair-/doc-keyed. Output is thresholded and
+    deterministically top-limited. No text crosses an exchange after
+    the map-side hash fold.
+    """
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col), F.explode("sh").alias("h"))
+    )
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("h")
+    )
+    p = sh.join(rare, "h")
+    fsz = p.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = p.select(F.col(id_col).alias("id_a"), "h")
+    b = p.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        a.join(b.hint("shuffle_hash"), "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        .filter(F.col("inter") >= min_inter)
+    )
+    return (
+        inter.join(fsz.withColumnRenamed(id_col, "id_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.round(F.col("inter") / F.col("sz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .orderBy(F.desc("containment"), "id_a", "id_b")
+        .limit(top)
+    )

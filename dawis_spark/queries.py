@@ -7768,6 +7768,47 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_oracle(
+    shingle_k: int, df_cap: int, min_inter: int, min_cont: float, top: int
+) -> str:
+    sh = _TXT.shingle_hashes("text", shingle_k, "duck")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST({sh}) AS h FROM documents
+  WHERE len({sh}) > 0),
+rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {df_cap}),
+p AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+fsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM p GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM p a JOIN p b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_inter})
+SELECT i.id_a, i.id_b, i.inter,
+       ROUND(CAST(i.inter AS DOUBLE) / s.sz, 6) AS containment
+FROM inter i JOIN fsz s ON i.id_a = s.doc_id
+WHERE CAST(i.inter AS DOUBLE) / s.sz >= {min_cont}
+ORDER BY containment DESC, id_a, id_b LIMIT {top}
+"""
+
+
+@query(
+    "containment_near_dups",
+    oracle=_containment_oracle(3, 20, 5, 0.6, 100),
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup C(A->B) = |S_A n S_B| / |S_A|: finds
+    docs EMBEDDED in larger ones, which symmetric Jaccard union-washes
+    out. Stop-shingles (document frequency > 20) are dropped before the
+    postings self-join — the df-cap quadratic guard, applied identically
+    to numerators and denominators and replayed in the oracle. Postings
+    carry hashes only; per-shingle join fanout is <= df_cap^2."""
+    from dawis_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        spark.table("documents"), "doc_id", "text", 3, 20, 5, 0.6, 100
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -715,3 +715,44 @@ def test_cooccurrence_basket_cap_drops_power_users(spark):
     import math
     assert by[(10, 20)]["co_users"] == 2
     assert by[(10, 20)]["cosine"] == round(2 / math.sqrt(3 * 2), 6)
+
+
+# --- containment near-dups (operators/dedup.py) ------------------------------
+
+
+def test_containment_asymmetric_subset(spark):
+    from dawis_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                          # contained in 2
+        (2, base + " lambda mu nu xi omicron pi rho sigma"),
+        (3, "completely different words entirely unrelated content here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", shingle_k=3, df_cap=10,
+            min_inter=1, min_containment=0.5, top=10,
+        ).collect()
+    }
+    # doc 1's shingles are all in doc 2 -> containment 1.0 that way only
+    assert out[(1, 2)] == 1.0
+    # reverse direction diluted by doc 2's extra shingles
+    assert (2, 1) not in out or out[(2, 1)] < 1.0
+    assert not any(3 in p for p in out)
+
+
+def test_containment_df_cap_drops_boilerplate(spark):
+    from dawis_spark.operators.dedup import containment_pairs
+
+    # the same boilerplate sentence in every doc; df_cap=2 < 3 docs kills
+    # those shingles, so no pair survives min_inter
+    rows = [(i, "common boiler plate sentence shared by every document") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = containment_pairs(
+        df, "doc_id", "text", shingle_k=3, df_cap=2,
+        min_inter=1, min_containment=0.1, top=10,
+    ).collect()
+    assert out == []
