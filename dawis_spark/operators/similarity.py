@@ -1416,3 +1416,61 @@ def kmeans_cohesion(
             F.round(F.sum(1.0 - F.col("__cosa")), 6).alias("cohesion"),
         )
     )
+
+
+def cluster_balanced_coreset(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_cells: int = 8,
+    m_per_cell: int = 40,
+    iterations: int = 1,
+) -> DataFrame:
+    """Cluster-balanced coreset selection: train the deterministic
+    k-means quantizer (bounded driver-side sample, train_kmeans), assign
+    the full corpus map-side, and keep the ``m_per_cell`` most central
+    vectors PER CELL — the stratified data-selection pattern (SemDeDup /
+    DSIR-adjacent "prototypicality" sampling) that preserves cluster
+    coverage where a global top-m would collapse onto the densest mode.
+
+    Output: (cell, vec_id, centrality, rank) — centrality is the
+    6-rounded cosine to the OWN cell centroid, rank its within-cell
+    order (centrality DESC, id ASC — replayable).
+
+    Scale shape: assignment is the shared map-side argmax over literal
+    centroids (numpy tier above MAX_CENTROID_LITERALS); the ONLY
+    exchange is the per-cell top-m window, hashed on k_cells keys whose
+    per-cell sort Spark lowers to TakeOrdered-style bounded heaps under
+    the rank filter. Output is k_cells x m_per_cell — config-sized.
+    """
+    cents = train_kmeans(corpus, id_col, vec_col, k=k_cells, iterations=iterations)
+    if not cents:
+        return corpus.sparkSession.createDataFrame(
+            [], "cell int, vec_id bigint, centrality double, rank int"
+        )
+    assigned = _ivf_assign(corpus, id_col, vec_col, cents, "vec_id", "vec", 1)
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+            for _, vec in sorted(cents)
+        )
+        + ")"
+    )
+    own = f"element_at({cent_lit}, cast(cid as int) + 1)"
+    aff = (
+        f"coalesce(round({V.cosine_null('vec', own, 'spark')}, 6), "
+        f"cast(-2.0 as double))"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(F.desc("centrality"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("centrality", F.expr(aff))
+        .select(
+            F.col("cid").cast("int").alias("cell"), "vec_id", "centrality"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m_per_cell)
+        .orderBy("cell", "rank")
+    )

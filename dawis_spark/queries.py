@@ -7809,6 +7809,43 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coreset_oracle(kc: int, m: int, dim: int) -> str:
+    cos_vc = _VEC.cosine_null("vec", "cvec", "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(kc, dim)},
+aff AS (
+  SELECT v.vec_id, cent.cid,
+         coalesce(ROUND({cos_vc}, 6), -2.0) AS aff
+  FROM v, (SELECT cid, cvec FROM c1) cent(cid, cvec)),
+best AS (
+  SELECT vec_id, cid, aff FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cid) AS r
+    FROM aff) WHERE r = 1),
+ranked AS (
+  SELECT CAST(cid AS INT) AS cell, vec_id, aff AS centrality,
+         CAST(row_number() OVER (PARTITION BY cid ORDER BY aff DESC, vec_id) AS INT) AS rank
+  FROM best)
+SELECT cell, vec_id, centrality, rank FROM ranked
+WHERE rank <= {m} ORDER BY cell, rank
+"""
+
+
+@query("coreset_cluster_balanced", oracle=_coreset_oracle(8, 40, 64))
+def coreset_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection for training-data curation:
+    k-means cells (deterministic bounded-sample training, the IVF
+    quantizer machinery) -> map-side full-corpus assignment -> top-40
+    most-central vectors PER CELL, so every mode keeps representation
+    where a global top-m collapses onto the densest cluster (SemDeDup's
+    selection step inverted: keep prototypes, not prune dupes). Only
+    exchange: the per-cell top-m window over config-sized keys."""
+    from dawis_spark.operators.similarity import cluster_balanced_coreset
+
+    return cluster_balanced_coreset(
+        spark.table("embeddings"), "vec_id", "embedding", 8, 40, 1
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

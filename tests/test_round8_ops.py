@@ -756,3 +756,32 @@ def test_containment_df_cap_drops_boilerplate(spark):
         min_inter=1, min_containment=0.1, top=10,
     ).collect()
     assert out == []
+
+
+# --- coreset selection (operators/similarity.py) ------------------------------
+
+
+def test_coreset_balanced_keeps_every_cell(spark):
+    from dawis_spark.operators.similarity import cluster_balanced_coreset
+
+    df = _toy_corpus(spark)
+    out = cluster_balanced_coreset(df, "vec_id", "embedding", k_cells=2, m_per_cell=2).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault(r["cell"], []).append(r)
+    # both cells represented, each capped at 2, rank 1 is most central
+    assert len(cells) == 2
+    for rows in cells.values():
+        assert len(rows) <= 2
+        assert rows[0]["rank"] == 1
+        assert all(
+            rows[i]["centrality"] >= rows[i + 1]["centrality"]
+            for i in range(len(rows) - 1)
+        )
+
+
+def test_coreset_empty_corpus(spark):
+    from dawis_spark.operators.similarity import cluster_balanced_coreset
+
+    df = _toy_corpus(spark).filter("vec_id < 0")
+    assert cluster_balanced_coreset(df, "vec_id", "embedding", 2, 2).collect() == []
