@@ -145,3 +145,43 @@ def pagerank_oracle_ctes(
         f"pr AS (SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {prev})"
     )
     return ",\n".join(parts)
+
+
+def triangle_counts(edges: DataFrame, node_a: str = "i", node_b: str = "j") -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED edge list —
+    the clustering/community-density primitive (cohesion of an item
+    graph, link-farm detection in the reference's SEO domain).
+
+    Input: one row per undirected edge with ``node_a < node_b`` (the
+    orientation IS the algorithm: ordering nodes by id makes every
+    triangle {a<b<c} countable exactly once as wedge (a-b, b-c) closed
+    by edge (a-c) — the standard distributed formulation that avoids
+    the 6x duplicate work and the degree^2 blowup on high-degree hubs,
+    cf. Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of
+    the Last Reducer"; production systems orient by (degree, id) — id
+    here since the co-occurrence graph's degrees are catalog-bounded).
+
+    Output: (item, triangles) for every node in >=1 triangle. Scale
+    shape: two self-joins on single node keys (edge-count-bound
+    shuffles), then an explode + count on node ids. No driver state.
+    """
+    e = edges.select(F.col(node_a).alias("a"), F.col(node_b).alias("b"))
+    ab = e.alias("ab")
+    bc = e.alias("bc")
+    ac = e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .select(
+            F.col("ab.a").alias("x"), F.col("ab.b").alias("y"), F.col("bc.b").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+        .orderBy(F.desc("triangles"), "item")
+    )

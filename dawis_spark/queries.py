@@ -7846,6 +7846,57 @@ def coreset_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_oracle(max_basket: int, min_co: int) -> str:
+    return f"""
+WITH b0 AS (
+  SELECT DISTINCT user_id, {_ITEM_DUCK} AS item FROM events
+  WHERE {_ITEM_DUCK} IS NOT NULL),
+bn AS (SELECT user_id, COUNT(*) AS n FROM b0 GROUP BY user_id),
+b AS (SELECT b0.user_id, b0.item FROM b0 JOIN bn USING (user_id)
+      WHERE bn.n <= {max_basket}),
+e AS (
+  SELECT a.item AS i, b2.item AS j
+  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.item < b2.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_co}),
+tri AS (
+  SELECT ab.i AS x, ab.j AS y, bc.j AS z
+  FROM e ab JOIN e bc ON ab.j = bc.i
+  JOIN e ac ON ac.i = ab.i AND ac.j = bc.j),
+nodes AS (
+  SELECT x AS item FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM nodes GROUP BY item ORDER BY triangles DESC, item
+"""
+
+
+@query("item_graph_triangles", oracle=_triangle_oracle(128, 6))
+def item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the item co-occurrence graph
+    (edges = item pairs co-touched by >= 6 users, baskets capped at 128)
+    — the clustering-density primitive behind community/link-farm
+    detection. Edges are ORIENTED i<j so each triangle {a<b<c} is
+    counted exactly once as a closed wedge (Suri & Vassilvitskii's
+    'last reducer' fix): two edge-keyed self-joins + one explode/count,
+    all edge-count-bound shuffles."""
+    from dawis_spark.operators.cooccur import item_baskets
+    from dawis_spark.operators.graph import triangle_counts
+
+    b = item_baskets(spark.table("events"), _ITEM_SPARK, 128)
+    edges = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 6)
+        .select("i", "j")
+    )
+    return triangle_counts(edges)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

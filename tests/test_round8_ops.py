@@ -785,3 +785,23 @@ def test_coreset_empty_corpus(spark):
 
     df = _toy_corpus(spark).filter("vec_id < 0")
     assert cluster_balanced_coreset(df, "vec_id", "embedding", 2, 2).collect() == []
+
+
+# --- triangle counting (operators/graph.py) ----------------------------------
+
+
+def test_triangle_counts_exact(spark):
+    from dawis_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, "i int, j int")
+    out = {r["item"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from dawis_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], "i int, j int")
+    assert triangle_counts(df).collect() == []
