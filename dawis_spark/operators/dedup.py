@@ -775,3 +775,67 @@ def containment_pairs(
         .orderBy(F.desc("containment"), "id_a", "id_b")
         .limit(top)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 2,
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy matching by exact Levenshtein distance — the
+    entity-resolution primitive for SHORT strings (product names, URLs,
+    author fields) where shingle/MinHash machinery has nothing to grip.
+
+    Blocking (``block_col``) bounds the quadratic pair space exactly like
+    ngram_jaccard_pairs; inside a block the LENGTH FILTER
+    ``abs(len_a - len_b) <= max_dist`` (a lower bound on edit distance)
+    prunes before any distance is computed, and the distance itself is
+    the engines' native integer levenshtein — deterministic, no floats
+    anywhere. ``max_block_rows``: oversized blocks (a mega-brand) are
+    DROPPED with the same rationale as cooccur's basket cap — documented,
+    oracle-replayable; there is no LSH fallback for edit distance at
+    these string lengths worth its constant.
+
+    Scale shape: one exchange on the block key; pair fanout <= cap^2 per
+    block; levenshtein is O(len^2) per SURVIVING pair on short strings —
+    the length filter runs inside the join condition so pruned pairs
+    never materialize.
+    """
+    cols = [
+        F.col(block_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).alias("ln"),
+    ]
+    b = df.select(*cols)
+    if max_block_rows is not None:
+        sizes = b.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
+        b = b.join(sizes, "g").filter(F.col("__bn") <= max_block_rows).drop("__bn")
+    a2 = b.select(
+        F.col("g"), F.col("id").alias("id_a"), F.col("t").alias("t_a"), F.col("ln").alias("ln_a")
+    )
+    b2 = b.select(
+        F.col("g"), F.col("id").alias("id_b"), F.col("t").alias("t_b"), F.col("ln").alias("ln_b")
+    )
+    return (
+        a2.join(
+            b2,
+            (a2["g"] == b2["g"])
+            & (a2["id_a"] < b2["id_b"])
+            & (F.abs(a2["ln_a"] - b2["ln_b"]) <= max_dist),
+        )
+        .withColumn("dist", F.levenshtein("t_a", "t_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            a2["g"].alias(block_col),
+            "id_a",
+            "id_b",
+            F.col("t_a").alias("text_a"),
+            F.col("t_b").alias("text_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .orderBy(block_col, "id_a", "id_b")
+    )

@@ -7897,6 +7897,34 @@ def item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+_FUZZY_ORACLE = """
+WITH b AS (SELECT p_brand AS g, p_partkey AS id, p_name AS t, length(p_name) AS ln FROM part)
+SELECT a.g AS p_brand, a.id AS id_a, b2.id AS id_b,
+       a.t AS text_a, b2.t AS text_b,
+       CAST(levenshtein(a.t, b2.t) AS INT) AS dist
+FROM b a JOIN b b2
+  ON a.g = b2.g AND a.id < b2.id AND abs(a.ln - b2.ln) <= 2
+WHERE levenshtein(a.t, b2.t) <= 2
+ORDER BY p_brand, id_a, id_b
+"""
+
+
+@query("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching on SHORT strings: part names
+    within brand blocks at Levenshtein distance <= 2 — the string-family
+    operator shingle/MinHash can't serve (3-gram sets of two-word names
+    are too sparse). Length filter |len_a - len_b| <= 2 (an edit-distance
+    lower bound) prunes inside the join condition; the distance is the
+    engines' native integer levenshtein — no floats anywhere. One
+    exchange on the brand block key."""
+    from dawis_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        spark.table("part"), "p_partkey", "p_name", "p_brand", 2, None
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

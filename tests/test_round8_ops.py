@@ -805,3 +805,30 @@ def test_triangle_counts_no_triangles(spark):
 
     df = spark.createDataFrame([(1, 2), (3, 4)], "i int, j int")
     assert triangle_counts(df).collect() == []
+
+
+# --- fuzzy edit-distance matching (operators/dedup.py) ------------------------
+
+
+def test_edit_distance_pairs_blocked_and_filtered(spark):
+    from dawis_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "red bolt", "A"),
+        (2, "red belt", "A"),   # dist 1 from red bolt
+        (3, "red bolt", "B"),   # same name, different block -> no pair
+        (4, "completely other", "A"),  # length filter prunes
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    out = edit_distance_pairs(df, "id", "name", "blk", max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+
+def test_edit_distance_block_cap(spark):
+    from dawis_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, "same name", "A") for i in range(5)] + [(10, "same name", "B"), (11, "same name", "B")]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    out = edit_distance_pairs(df, "id", "name", "blk", 2, max_block_rows=3).collect()
+    # block A (5 rows) dropped by the cap; block B pair kept
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(10, 11)]
