@@ -7925,6 +7925,52 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dawis_spark.operators import diff as _diff  # noqa: E402
+
+_DIFF_OLD = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0"
+_DIFF_NEW = (
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 1.1, 2) "
+    "ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 7 <> 0"
+)
+
+
+@query(
+    "snapshot_table_diff",
+    oracle=_diff.diff_oracle_sql(
+        _DIFF_OLD,
+        _DIFF_NEW,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    )
+    + " ORDER BY o_orderkey",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation: two deterministic versions of
+    orders (keys mod-10 vs mod-7 membership churn; mod-5 keys get a 10%
+    price bump) are diffed by ONE co-keyed full outer join into
+    added/removed/changed rows with the exact changed-column list under
+    null-safe equality — the change feed operators/ivm.py consumes and
+    operators/scd.py writes history from. Output is churn-sized, never
+    table-sized."""
+    orders = spark.table("orders")
+    old = orders.filter("o_orderkey % 10 <> 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter("o_orderkey % 7 <> 0").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 1.1, 2) "
+            "ELSE o_totalprice END"
+        ).alias("o_totalprice"),
+    )
+    return _diff.table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

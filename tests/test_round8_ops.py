@@ -832,3 +832,33 @@ def test_edit_distance_block_cap(spark):
     out = edit_distance_pairs(df, "id", "name", "blk", 2, max_block_rows=3).collect()
     # block A (5 rows) dropped by the cap; block B pair kept
     assert [(r["id_a"], r["id_b"]) for r in out] == [(10, 11)]
+
+
+# --- snapshot table diff (operators/diff.py) ----------------------------------
+
+
+def test_table_diff_classifies_and_lists_columns(spark):
+    from dawis_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 25.0), (4, "d", 40.0), (3, "c", None)],
+        "k bigint, s string, v double",
+    )
+    out = {r["k"]: r for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # key 1 unchanged -> absent; key 3 null==null unchanged -> absent
+    assert 1 not in out and 3 not in out
+    assert out[2]["status"] == "changed" and out[2]["changed_cols"] == "s,v"
+    assert out[4]["status"] == "added" and out[4]["changed_cols"] == ""
+
+
+def test_table_diff_null_to_value_is_change(spark):
+    from dawis_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k bigint, v double")
+    new = spark.createDataFrame([(1, 5.0)], "k bigint, v double")
+    out = table_diff(old, new, ["k"], ["v"]).collect()
+    assert out[0]["status"] == "changed" and out[0]["changed_cols"] == "v"
