@@ -162,3 +162,68 @@ FROM m"""
         + " UNION ALL ".join(selects)
         + " ORDER BY col_x, col_y"
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram with in-query bounds: (bucket, lo_v, hi_v, n).
+
+    Bucketing is INTEGER-EXACT: values snap to cents, the global
+    [min, max] cents come from one map-side-partial aggregate broadcast
+    back as a single row, and the bucket index is
+    ``least((vc - minc) * B div (maxc - minc), B - 1)`` — integer
+    multiply-then-divide, so boundary ties land identically in Spark and
+    DuckDB (a float (v-min)/width would round apart at bucket edges).
+    Bucket display bounds use the same exact arithmetic.
+
+    Scale shape: two scans (bounds, then bucket-count) — the classic
+    ANALYZE trade; the bounds row broadcasts, the count aggregate has
+    n_buckets keys, everything map-side-partial. Single-pass variants
+    (fixed bounds from metadata, or a sketch) compose by passing bounds
+    in; this operator prices the exact two-pass form.
+    """
+    vc = _cents(col)
+    bounds = df.agg(
+        F.min(vc).alias("__minc"), F.max(vc).alias("__maxc")
+    )
+    b = (
+        f"cast(least((__vc - __minc) * {n_buckets} div "
+        f"greatest(__maxc - __minc, 1), {n_buckets - 1}) as int)"
+    )
+    lo = f"__minc + (bucket * (__maxc - __minc)) div {n_buckets}"
+    hi = f"__minc + ((bucket + 1) * (__maxc - __minc)) div {n_buckets}"
+    return (
+        df.select(vc.alias("__vc"))
+        .filter(F.col("__vc").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(F.expr(b).alias("bucket"), "__minc", "__maxc")
+        .groupBy("bucket", "__minc", "__maxc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.expr(lo) / CENT_SCALE, 2).alias("lo_v"),
+            F.round(F.expr(hi) / CENT_SCALE, 2).alias("hi_v"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+def histogram_oracle_sql(table: str, col: str, n_buckets: int = 20) -> str:
+    return f"""
+WITH v AS (
+  SELECT CAST(ROUND({col} * {CENT_SCALE}, 0) AS BIGINT) AS vc FROM {table}
+  WHERE {col} IS NOT NULL),
+bounds AS (SELECT MIN(vc) AS minc, MAX(vc) AS maxc FROM v),
+bucketed AS (
+  SELECT CAST(least((vc - minc) * {n_buckets} // greatest(maxc - minc, 1),
+                    {n_buckets - 1}) AS INT) AS bucket,
+         minc, maxc
+  FROM v, bounds)
+SELECT bucket,
+       ROUND((minc + (bucket * (maxc - minc)) // {n_buckets}) / {CENT_SCALE}.0, 2) AS lo_v,
+       ROUND((minc + ((bucket + 1) * (maxc - minc)) // {n_buckets}) / {CENT_SCALE}.0, 2) AS hi_v,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM bucketed GROUP BY bucket, minc, maxc ORDER BY bucket
+"""

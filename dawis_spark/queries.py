@@ -7971,6 +7971,93 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@query(
+    "totalprice_histogram",
+    oracle=_profile.histogram_oracle_sql("orders", "o_totalprice", 20),
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals with IN-QUERY
+    bounds — the ANALYZE/optimizer-stats histogram. Bucket index is
+    integer multiply-then-divide over cents ((vc-minc)*B div range), so
+    boundary ties land identically in both engines where a float
+    (v-min)/width would round apart. Bounds row broadcasts; the count
+    aggregate has 20 keys, all map-side-partial."""
+    return _profile.equi_width_histogram(spark.table("orders"), "o_totalprice", 20)
+
+
+_BOUNCE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e),
+per_sess AS (
+  SELECT user_id, sess,
+         first(event_type ORDER BY ts, event_id) AS entry_type,
+         last(event_type ORDER BY ts, event_id) AS exit_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sess)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS bounce_rate,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events,
+       CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS same_exit
+FROM per_sess GROUP BY entry_type ORDER BY entry_type
+"""
+
+
+@query("session_entry_exit_bounce", oracle=_BOUNCE_ORACLE)
+def session_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GA-style landing-page analytics re-expressed on the events stream:
+    sessionize (30-min inactivity gap, same rule as `sessionization`),
+    take each session's ENTRY and EXIT event types, and roll up bounce
+    rate (single-event sessions), average depth, and same-entry-exit
+    counts per entry type. One user-hashed exchange carries both windows
+    (gap flag + running session id share the sort); the per-session
+    collapse rides the same key; the final rollup is type-sized. Ratios
+    are exact-int / exact-int single divisions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("new_sess", new_sess).withColumn(
+        "sess",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("exit_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    bounce = F.sum((F.col("n_events") == 1).cast("int")).cast("bigint")
+    return (
+        per_sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sessions"),
+            bounce.alias("bounces"),
+            F.round(bounce / F.count(F.lit(1)), 4).alias("bounce_rate"),
+            F.round(F.sum("n_events") / F.count(F.lit(1)), 4).alias("avg_events"),
+            F.sum((F.col("entry_type") == F.col("exit_type")).cast("int"))
+            .cast("bigint")
+            .alias("same_exit"),
+        )
+        .orderBy("entry_type")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -862,3 +862,25 @@ def test_table_diff_null_to_value_is_change(spark):
     new = spark.createDataFrame([(1, 5.0)], "k bigint, v double")
     out = table_diff(old, new, ["k"], ["v"]).collect()
     assert out[0]["status"] == "changed" and out[0]["changed_cols"] == "v"
+
+
+# --- equi-width histogram (operators/profile.py) ------------------------------
+
+
+def test_histogram_buckets_exact_boundaries(spark):
+    from dawis_spark.operators.profile import equi_width_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(0, 101)], "v double")
+    out = equi_width_histogram(df, "v", 4).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3]
+    # 0..100 cents-exact: [0,25) [25,50) [50,75) [75,100] -> 25,25,25,26
+    assert [r["n"] for r in out] == [25, 25, 25, 26]
+    assert out[0]["lo_v"] == 0.0 and out[-1]["hi_v"] == 100.0
+
+
+def test_histogram_constant_column_single_bucket(spark):
+    from dawis_spark.operators.profile import equi_width_histogram
+
+    df = spark.createDataFrame([(5.0,)] * 7, "v double")
+    out = equi_width_histogram(df, "v", 10).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 7
