@@ -8058,6 +8058,47 @@ def session_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dawis_spark.operators import drift as _drift  # noqa: E402
+
+
+@query(
+    "ks_price_drift",
+    oracle=_drift.ks_oracle_sql(
+        "orders",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+    ),
+)
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift between the URGENT and
+    LOW order-total distributions — the binless companion to the binned
+    JS source-drift monitor. The sup|F_a - F_b| argmax is decided in
+    INTEGER cross-multiplied form |c_a*n_b - c_b*n_a| so both engines
+    pick the identical location; value pre-agg makes the single global
+    cumulative window distinct-support-sized, not row-sized."""
+    o = spark.table("orders").withColumn(
+        "v_cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
+    return _drift.ks_two_sample(
+        o, "v_cents", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+@query(
+    "benford_first_digit",
+    oracle=_drift.benford_oracle_sql("orders", "o_totalprice"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals — the
+    classic fabricated-numbers data-quality check. Expected frequencies
+    are nine literals (no runtime log); output is per-digit rows so no
+    cross-row float accumulation exists; observed shares are
+    exact-int / exact-int single divisions. One scan, 9 agg keys."""
+    return _drift.benford_profile(spark.table("orders"), "o_totalprice")
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

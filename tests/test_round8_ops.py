@@ -884,3 +884,38 @@ def test_histogram_constant_column_single_bucket(spark):
     df = spark.createDataFrame([(5.0,)] * 7, "v double")
     out = equi_width_histogram(df, "v", 10).collect()
     assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 7
+
+
+# --- drift diagnostics (operators/drift.py) -----------------------------------
+
+
+def test_ks_identical_distributions_zero(spark):
+    from dawis_spark.operators.drift import ks_two_sample
+
+    rows = [(v, s) for v in [100, 200, 300] for s in ["a", "b"]]
+    df = spark.createDataFrame(rows, "v_cents bigint, side string")
+    r = ks_two_sample(df, "v_cents", "side", "a", "b").collect()[0]
+    assert r["ks"] == 0.0 and r["n_a"] == 3 and r["n_b"] == 3
+
+
+def test_ks_disjoint_distributions_one(spark):
+    from dawis_spark.operators.drift import ks_two_sample
+
+    rows = [(100, "a"), (200, "a"), (1000, "b"), (2000, "b")]
+    df = spark.createDataFrame(rows, "v_cents bigint, side string")
+    r = ks_two_sample(df, "v_cents", "side", "a", "b").collect()[0]
+    assert r["ks"] == 1.0
+    assert r["ks_at"] == 2.0  # lowest value attaining the sup (200 cents)
+
+
+def test_benford_shares_sum_to_one(spark):
+    from dawis_spark.operators.drift import benford_profile
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 12, 13, 25, 37, 41, 58, 69, 77, 92, 105]], "v double"
+    )
+    out = benford_profile(df, "v").collect()
+    assert abs(sum(r["observed"] for r in out) - 1.0) < 1e-5
+    assert all(r["digit"] in range(1, 10) for r in out)
+    one = [r for r in out if r["digit"] == 1][0]
+    assert one["n"] == 4  # 1, 12, 13, 105
