@@ -8099,6 +8099,176 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drift.benford_profile(spark.table("orders"), "o_totalprice")
 
 
+_CURRICULUM_ORACLE = f"""
+WITH q AS ({{q}}),
+b AS (
+  SELECT doc_id, quality, n_tokens,
+         ntile(10) OVER (ORDER BY quality, doc_id) AS bucket
+  FROM q)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(quality) AS min_q, MAX(quality) AS max_q,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+FROM b GROUP BY bucket ORDER BY bucket
+""".format(q=_quality_oracle().replace("ORDER BY doc_id", ""))
+
+
+@query("curriculum_buckets", oracle=_CURRICULUM_ORACLE)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning difficulty deciles: ntile(10) over the
+    composite quality score (ties broken by doc_id — replayable), then
+    per-bucket doc/token rollups — the ordering stage of quality-
+    curriculum training schedules (easy-to-hard). The global ntile is a
+    single distributed sort at this output shape; at extreme corpus
+    scale the standard substitute is bucketing by precomputed quantile
+    boundaries (rank_quantiles_select supplies exact ones)."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.textstats import quality_score
+
+    q = quality_score(spark.table("documents"), "doc_id", "text")
+    b = q.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _quota_oracle(total: int) -> str:
+    from dawis_spark.operators.sketches import _mixed_sql
+
+    h = _TXT.char_hash("cast(doc_id as varchar)", "duck")
+    return f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS nc FROM c),
+alloc0 AS (
+  SELECT source, n,
+         ({total} * n) // nc AS base,
+         ({total} * n) % nc AS rem
+  FROM c, tot),
+leftover AS (SELECT {total} - SUM(base) AS l FROM alloc0),
+alloc AS (
+  SELECT source, n,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= l
+                     THEN 1 ELSE 0 END AS quota
+  FROM alloc0, leftover),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY ({_mixed_sql(h, 'duck')}) % 1000000, doc_id) AS rk
+  FROM documents)
+SELECT r.source, CAST(a.quota AS BIGINT) AS quota, r.doc_id,
+       CAST(r.rk AS INT) AS rk
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.rk <= a.quota
+ORDER BY r.source, r.rk
+"""
+
+
+@query("stratified_quota_sample", oracle=_quota_oracle(200))
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling with LARGEST-REMAINDER seat
+    allocation: per-source quotas are floor(total*n_h/N) plus one seat
+    for the largest remainders (ties by source — the Hare quota method,
+    integer-exact so both engines allocate identically), then each
+    stratum takes its quota by deterministic uniformized-hash rank —
+    the exactly-N companion to the rate-based stratified_sample. Scale:
+    counts are one agg; the per-source top-quota is a window over the
+    source key; the allocation relation is |sources|-sized."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.sketches import _mixed_sql
+    from dawis_spark.functions import text as _T
+
+    total = 200
+    d = spark.table("documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").alias("nc"))
+    alloc0 = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({total} * n) div nc").alias("base"),
+        F.expr(f"({total} * n) % nc").alias("rem"),
+    )
+    leftover = alloc0.agg((F.lit(total) - F.sum("base")).alias("l"))
+    alloc = alloc0.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+                <= F.col("l"),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    h = _T.char_hash("cast(doc_id as string)", "spark")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.expr(f"({_mixed_sql(h, 'spark')}) % 1000000"), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "source",
+            F.col("quota").cast("bigint").alias("quota"),
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+def _loss_weights_oracle() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id, sha256(text) AS h FROM documents),
+sz AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS group_size FROM g GROUP BY h)
+SELECT g.doc_id, sz.group_size,
+       CAST(1000000 // sz.group_size AS BIGINT) AS weight_ppm
+FROM g JOIN sz USING (h) ORDER BY g.doc_id
+"""
+
+
+@query("dedup_loss_weights", oracle=_loss_weights_oracle())
+def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware loss weighting — the KEEP-but-downweight
+    alternative to dropping exact dups (each content group's total
+    gradient mass sums to ~1): weight_ppm = 1e6 div group_size over
+    sha-256 content groups, integer-exact. One content-hash aggregate
+    plus a hash-keyed join back; weights stay with rows, no row is
+    dropped — the form data loaders consume."""
+    d = spark.table("documents").withColumn("h", F.sha2(F.col("text"), 256))
+    sz = d.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    return (
+        d.join(sz, "h")
+        .select(
+            "doc_id",
+            "group_size",
+            F.expr("cast(1000000 div group_size as bigint)").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
