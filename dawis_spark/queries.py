@@ -8269,6 +8269,230 @@ def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSOC_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess,
+         {_ITEM_DUCK} AS item
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, item,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s WHERE item IS NOT NULL),
+b AS (SELECT DISTINCT user_id * 1000000 + sid AS basket, item FROM sess),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+marg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY item),
+co AS (
+  SELECT x.item AS i, y.item AS j, CAST(COUNT(*) AS BIGINT) AS n_ij
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item <> y.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT co.i, co.j, co.n_ij,
+       ROUND(CAST(co.n_ij AS DOUBLE) / nb.n_baskets, 6) AS support,
+       ROUND(CAST(co.n_ij AS DOUBLE) / mi.n, 6) AS confidence,
+       ROUND(CAST(co.n_ij AS DOUBLE) * nb.n_baskets / (mi.n * mj.n), 6) AS lift
+FROM co JOIN marg mi ON co.i = mi.item JOIN marg mj ON co.j = mj.item, nb
+ORDER BY lift DESC, i, j LIMIT 25
+"""
+
+
+@query("association_rules", oracle=_ASSOC_ORACLE)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules i->j over SESSION-scoped item
+    baskets (30-min-gap sessions, the same rule as `sessionization`):
+    support, confidence, and lift, each a single division of exact
+    BIGINT counts (lift's numerator n_ij * N stays in int64) — top-25
+    by lift, ties replayable. The directional-rules complement to
+    item_cooccurrence_topk's symmetric cosine. Shuffles: one user
+    window, one basket-keyed pair join, then item-catalog-sized joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = spark.table("events").select(
+        "user_id", "ts", "event_id", F.expr(_ITEM_SPARK).alias("item")
+    )
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    b = sess.select(
+        (F.col("user_id") * 1000000 + F.col("sid")).alias("basket"), "item"
+    ).distinct()
+    nb = b.agg(F.countDistinct("basket").cast("bigint").alias("n_baskets"))
+    marg = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    co = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.basket") == F.col("y.basket"))
+            & (F.col("x.item") != F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("i"), F.col("y.item").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+        .filter(F.col("n_ij") >= 3)
+    )
+    mi = marg.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    mj = marg.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    return (
+        co.join(mi, "i")
+        .join(mj, "j")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "i",
+            "j",
+            "n_ij",
+            F.round(F.col("n_ij") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ij") / F.col("n_i"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ij") * F.col("n_baskets") / (F.col("n_i") * F.col("n_j")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "i", "j")
+        .limit(25)
+    )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events GROUP BY 1, 2),
+expanded AS (
+  SELECT d.user_id, d.day + to_days(CAST(off.o AS INT)) AS day, d.total_cents
+  FROM daily d, range(0, 7) off(o)),
+med AS (
+  SELECT e.user_id, e.day,
+         median(e.total_cents) AS med_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM expanded e JOIN daily cur ON e.user_id = cur.user_id AND e.day = cur.day
+  GROUP BY 1, 2)
+SELECT user_id, day, med_cents, n_days
+FROM med WHERE n_days >= 4 ORDER BY user_id, day
+"""
+
+
+@query("rolling_median_7d", oracle=_ROLLING_MEDIAN_ORACLE)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day median of per-user daily totals — the robust
+    rolling statistic MAD-style monitors want where a mean window is
+    skew-fragile. No per-row re-sort of a range window: each daily total
+    EXPLODES to the <=7 future days it participates in (a fixed map-side
+    x7 fanout of hash-only rows), then one (user, day) aggregate takes
+    the exact median; days present only via the spine (no own total)
+    are dropped by the inner join back to observed days; windows with
+    fewer than 4 contributing days are suppressed (warm-up rule).
+    Medians run over integer cents (both engines interpolate midpoints
+    on .5 exactly); output is one final division."""
+    daily = (
+        spark.table("events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents")
+        )
+    )
+    expanded = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+        "total_cents",
+    ).select(
+        "user_id",
+        F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        "total_cents",
+    )
+    cur = daily.select("user_id", "day")
+    med = (
+        expanded.join(cur, ["user_id", "day"])
+        .groupBy("user_id", "day")
+        .agg(
+            F.expr("percentile(total_cents, 0.5)").alias("med_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 4)
+    )
+    # output stays in CENTS: an even-count median is x.5 cents — an exact
+    # dyadic double both engines hold bit-identically, where /100-then-
+    # round would split on the engines' half-cent display rounding
+    return med.select("user_id", "day", "med_cents", "n_days").orderBy(
+        "user_id", "day"
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r_cents
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT SUM(r_cents) AS t, CAST(COUNT(*) AS BIGINT) AS n_cust FROM rev),
+ranked AS (
+  SELECT o_custkey, r_cents,
+         SUM(r_cents) OVER (ORDER BY r_cents DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         ROW_NUMBER() OVER (ORDER BY r_cents DESC, o_custkey) AS rk
+  FROM rev)
+SELECT CAST(MIN(rk) AS BIGINT) AS top_customers,
+       n_cust,
+       ROUND(CAST(MIN(rk) AS DOUBLE) / n_cust, 6) AS customer_share,
+       ROUND(CAST(MIN(cum) AS DOUBLE) / t, 6) AS revenue_share
+FROM ranked, tot
+WHERE cum * 5 >= t * 4
+GROUP BY n_cust, t
+"""
+
+
+@query("pareto_customers", oracle=_PARETO_ORACLE)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest prefix of customers (by
+    revenue, deterministic tie-break) whose cumulative revenue crosses
+    80% of the total — the crossing test is INTEGER (cum*5 >= t*4), so
+    no float boundary ambiguity exists. One customer-keyed aggregate,
+    one global revenue-ranked window (customer-cardinality-sized), one
+    row out."""
+    from pyspark.sql import Window
+
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("r_cents")
+        )
+    )
+    tot = rev.agg(
+        F.sum("r_cents").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    w = Window.orderBy(F.desc("r_cents"), "o_custkey")
+    ranked = rev.select(
+        "o_custkey",
+        "r_cents",
+        F.sum("r_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rk"),
+    )
+    crossed = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum") * 5 >= F.col("t") * 4
+    )
+    return crossed.groupBy("n_cust", "t").agg(
+        F.min("rk").cast("bigint").alias("top_customers"),
+        F.round(F.min("rk") / F.col("n_cust"), 6).alias("customer_share"),
+        F.round(F.min("cum") / F.col("t"), 6).alias("revenue_share"),
+    ).select("top_customers", "n_cust", "customer_share", "revenue_share")
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

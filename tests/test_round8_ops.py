@@ -919,3 +919,25 @@ def test_benford_shares_sum_to_one(spark):
     assert all(r["digit"] in range(1, 10) for r in out)
     one = [r for r in out if r["digit"] == 1][0]
     assert one["n"] == 4  # 1, 12, 13, 105
+
+
+# --- rolling median / pareto (queries-level helpers) ---------------------------
+
+
+def test_rolling_median_even_count_is_exact_dyadic(spark):
+    # the design claim: an even-count median of integer cents is x.5 —
+    # exactly representable, so no display rounding exists to disagree on
+    df = spark.createDataFrame(
+        [(1000,), (2001,), (3000,), (4000,)], "c bigint"
+    )
+    m = df.selectExpr("percentile(c, 0.5) as m").collect()[0]["m"]
+    assert m == 2500.5
+
+
+def test_rolling_median_query_schema(spark):
+    from dawis_spark import queries as q
+
+    res = q.QUERIES["rolling_median_7d"](spark, "/root/testdata/sf0.001")
+    assert res.columns == ["user_id", "day", "med_cents", "n_days"]
+    rows = res.limit(5).collect()
+    assert all(r["n_days"] >= 4 for r in rows)
