@@ -789,53 +789,70 @@ def edit_distance_pairs(
     entity-resolution primitive for SHORT strings (product names, URLs,
     author fields) where shingle/MinHash machinery has nothing to grip.
 
-    Blocking (``block_col``) bounds the quadratic pair space exactly like
-    ngram_jaccard_pairs; inside a block the LENGTH FILTER
-    ``abs(len_a - len_b) <= max_dist`` (a lower bound on edit distance)
-    prunes before any distance is computed, and the distance itself is
-    the engines' native integer levenshtein — deterministic, no floats
-    anywhere. ``max_block_rows``: oversized blocks (a mega-brand) are
-    DROPPED with the same rationale as cooccur's basket cap — documented,
-    oracle-replayable; there is no LSH fallback for edit distance at
-    these string lengths worth its constant.
+    Matching runs over the DISTINCT-STRING CATALOG per block, not over
+    rows: a row-level self-join squares the ROW count (the sf1 rehearsal
+    measured an 18e9-pair enumeration on tiled parts before this
+    rewrite), while distinct names are vocabulary-sized — the catalog
+    barely grows when the data tiles 10x. Output is
+    (block, text_a, text_b, dist, n_a, n_b) with occurrence counts;
+    id-level pairs, when a caller wants them, are a map-back equi-join
+    on the matched strings (output-bound by construction, the same
+    adjudication as prefix_filter_similar).
 
-    Scale shape: one exchange on the block key; pair fanout <= cap^2 per
-    block; levenshtein is O(len^2) per SURVIVING pair on short strings —
-    the length filter runs inside the join condition so pruned pairs
-    never materialize.
+    Inside a block the LENGTH FILTER ``abs(len_a - len_b) <= max_dist``
+    (an edit-distance lower bound) prunes inside the join condition, and
+    the distance is the engines' native integer levenshtein —
+    deterministic, no floats anywhere. ``max_block_rows``: blocks whose
+    DISTINCT-name catalog still exceeds the cap are dropped (documented,
+    oracle-replayable) — the escalation path beyond that is SymSpell
+    deletion-neighborhood blocking, not a bigger cap.
+
+    Scale shape: one exchange to build the (block, name) catalog with
+    counts (map-side combine), one exchange on the block key for the
+    catalog self-join; pair fanout <= (distinct names)^2 per block.
     """
-    cols = [
-        F.col(block_col).alias("g"),
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.length(text_col).alias("ln"),
-    ]
-    b = df.select(*cols)
-    if max_block_rows is not None:
-        sizes = b.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
-        b = b.join(sizes, "g").filter(F.col("__bn") <= max_block_rows).drop("__bn")
-    a2 = b.select(
-        F.col("g"), F.col("id").alias("id_a"), F.col("t").alias("t_a"), F.col("ln").alias("ln_a")
+    names = (
+        df.select(
+            F.col(block_col).alias("g"),
+            F.col(text_col).alias("t"),
+        )
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("ln", F.length("t"))
     )
-    b2 = b.select(
-        F.col("g"), F.col("id").alias("id_b"), F.col("t").alias("t_b"), F.col("ln").alias("ln_b")
+    if max_block_rows is not None:
+        sizes = names.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
+        names = (
+            names.join(sizes, "g").filter(F.col("__bn") <= max_block_rows).drop("__bn")
+        )
+    a2 = names.select(
+        F.col("g"),
+        F.col("t").alias("t_a"),
+        F.col("n").alias("n_a"),
+        F.col("ln").alias("ln_a"),
+    )
+    b2 = names.select(
+        F.col("g"),
+        F.col("t").alias("t_b"),
+        F.col("n").alias("n_b"),
+        F.col("ln").alias("ln_b"),
     )
     return (
         a2.join(
             b2,
             (a2["g"] == b2["g"])
-            & (a2["id_a"] < b2["id_b"])
+            & (a2["t_a"] < b2["t_b"])
             & (F.abs(a2["ln_a"] - b2["ln_b"]) <= max_dist),
         )
         .withColumn("dist", F.levenshtein("t_a", "t_b"))
         .filter(F.col("dist") <= max_dist)
         .select(
             a2["g"].alias(block_col),
-            "id_a",
-            "id_b",
             F.col("t_a").alias("text_a"),
             F.col("t_b").alias("text_b"),
             F.col("dist").cast("int").alias("dist"),
+            "n_a",
+            "n_b",
         )
-        .orderBy(block_col, "id_a", "id_b")
+        .orderBy(block_col, "text_a", "text_b")
     )

@@ -7898,14 +7898,17 @@ def item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_ORACLE = """
-WITH b AS (SELECT p_brand AS g, p_partkey AS id, p_name AS t, length(p_name) AS ln FROM part)
-SELECT a.g AS p_brand, a.id AS id_a, b2.id AS id_b,
-       a.t AS text_a, b2.t AS text_b,
-       CAST(levenshtein(a.t, b2.t) AS INT) AS dist
-FROM b a JOIN b b2
-  ON a.g = b2.g AND a.id < b2.id AND abs(a.ln - b2.ln) <= 2
+WITH names AS (
+  SELECT p_brand AS g, p_name AS t, CAST(COUNT(*) AS BIGINT) AS n,
+         length(p_name) AS ln
+  FROM part GROUP BY 1, 2)
+SELECT a.g AS p_brand, a.t AS text_a, b2.t AS text_b,
+       CAST(levenshtein(a.t, b2.t) AS INT) AS dist,
+       a.n AS n_a, b2.n AS n_b
+FROM names a JOIN names b2
+  ON a.g = b2.g AND a.t < b2.t AND abs(a.ln - b2.ln) <= 2
 WHERE levenshtein(a.t, b2.t) <= 2
-ORDER BY p_brand, id_a, id_b
+ORDER BY p_brand, text_a, text_b
 """
 
 
@@ -7914,10 +7917,12 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy matching on SHORT strings: part names
     within brand blocks at Levenshtein distance <= 2 — the string-family
     operator shingle/MinHash can't serve (3-gram sets of two-word names
-    are too sparse). Length filter |len_a - len_b| <= 2 (an edit-distance
-    lower bound) prunes inside the join condition; the distance is the
-    engines' native integer levenshtein — no floats anywhere. One
-    exchange on the brand block key."""
+    are too sparse). Runs on the DISTINCT-NAME catalog with occurrence
+    counts (the sf1 rehearsal caught the row-level formulation at an
+    18e9-pair enumeration; the name catalog barely grows under tiling).
+    Length filter |len_a - len_b| <= 2 (an edit-distance lower bound)
+    prunes inside the join condition; the distance is the engines'
+    native integer levenshtein — no floats anywhere."""
     from dawis_spark.operators.dedup import edit_distance_pairs
 
     return edit_distance_pairs(

@@ -810,28 +810,33 @@ def test_triangle_counts_no_triangles(spark):
 # --- fuzzy edit-distance matching (operators/dedup.py) ------------------------
 
 
-def test_edit_distance_pairs_blocked_and_filtered(spark):
+def test_edit_distance_pairs_distinct_names_with_counts(spark):
     from dawis_spark.operators.dedup import edit_distance_pairs
 
     rows = [
         (1, "red bolt", "A"),
         (2, "red belt", "A"),   # dist 1 from red bolt
-        (3, "red bolt", "B"),   # same name, different block -> no pair
+        (5, "red bolt", "A"),   # duplicate name -> counted, not re-paired
+        (3, "red bolt", "B"),   # different block -> no cross-block pair
         (4, "completely other", "A"),  # length filter prunes
     ]
     df = spark.createDataFrame(rows, "id bigint, name string, blk string")
     out = edit_distance_pairs(df, "id", "name", "blk", max_dist=2).collect()
-    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+    assert len(out) == 1
+    r = out[0]
+    assert (r["text_a"], r["text_b"], r["dist"]) == ("red belt", "red bolt", 1)
+    assert (r["n_a"], r["n_b"]) == (1, 2)  # "red bolt" appears twice in A
 
 
-def test_edit_distance_block_cap(spark):
+def test_edit_distance_block_cap_on_distinct_names(spark):
     from dawis_spark.operators.dedup import edit_distance_pairs
 
-    rows = [(i, "same name", "A") for i in range(5)] + [(10, "same name", "B"), (11, "same name", "B")]
+    # block A has 4 DISTINCT names (over cap 3); block B has 2
+    rows = [(i, f"name {i}", "A") for i in range(4)] + [
+        (10, "same name", "B"), (11, "same namx", "B")]
     df = spark.createDataFrame(rows, "id bigint, name string, blk string")
     out = edit_distance_pairs(df, "id", "name", "blk", 2, max_block_rows=3).collect()
-    # block A (5 rows) dropped by the cap; block B pair kept
-    assert [(r["id_a"], r["id_b"]) for r in out] == [(10, 11)]
+    assert [(r["text_a"], r["text_b"]) for r in out] == [("same name", "same namx")]
 
 
 # --- snapshot table diff (operators/diff.py) ----------------------------------
