@@ -256,3 +256,57 @@ def window_hash_structs(h_ref: str, k: int, dialect: str) -> str:
         f"list_transform(range(0, greatest(len({h_ref}) - {k - 1}, 0)), "
         f"i -> {{'pos': i, 'wh': ({combine})}})"
     )
+
+
+def deletion_variants(col: str, max_del: int, dialect: str) -> str:
+    """Array of DISTINCT strings reachable from ``col`` by deleting up to
+    ``max_del`` (1 or 2) characters — the SymSpell neighborhood (Garbe's
+    symmetric-delete trick): levenshtein(a, b) <= d guarantees the
+    d-deletion neighborhoods intersect (align a and b; delete a's chars
+    at substitution/deletion slots and b's at substitution/insertion
+    slots — each side loses <= d — leaving the common subsequence), so
+    an equi-join on variants is a RECALL-COMPLETE candidate generator.
+
+    Neighborhood size is 1 + L + C(L,2) — for short entity strings
+    (names, titles <= ~30 chars) a few hundred variants, generated
+    entirely inside codegen (no UDF).
+    """
+    if max_del not in (1, 2):
+        raise ValueError("max_del must be 1 or 2")
+    if dialect == "spark":
+        d1 = (
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i - 1), substring({col}, i + 1, length({col}))))"
+        )
+        parts = [f"array({col})", d1]
+        if max_del == 2:
+            # delete positions i < j: drop j first so i stays valid
+            d2 = (
+                f"flatten(transform(sequence(1, length({col})), "
+                f"i -> transform(sequence(i + 1, greatest(length({col}), i + 1)), "
+                f"j -> case when j <= length({col}) then "
+                f"concat(substring({col}, 1, i - 1), substring({col}, i + 1, j - i - 1), "
+                f"substring({col}, j + 1, length({col}))) else null end)))"
+            )
+            parts.append(f"filter({d2}, x -> x is not null)")
+        arr = f"concat({', '.join(parts)})"
+        return f"array_distinct(case when {col} is null then array() else {arr} end)"
+    d1 = (
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> substring({col}, 1, i - 1) || substring({col}, i + 1, length({col})))"
+    )
+    parts = [f"[{col}]", d1]
+    if max_del == 2:
+        d2 = (
+            f"flatten(list_transform(range(1, length({col}) + 1), "
+            f"i -> list_transform(range(i + 1, length({col}) + 1), "
+            f"j -> substring({col}, 1, i - 1) || substring({col}, i + 1, j - i - 1) "
+            f"|| substring({col}, j + 1, length({col})))))"
+        )
+        parts.append(d2)
+    arr = parts[0]
+    for nxt in parts[1:]:
+        arr = f"list_concat({arr}, {nxt})"
+    return (
+        f"list_distinct(CASE WHEN {col} IS NULL THEN [] ELSE {arr} END)"
+    )

@@ -856,3 +856,87 @@ def edit_distance_pairs(
         )
         .orderBy(block_col, "text_a", "text_b")
     )
+
+
+def symspell_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy matching via SYMMETRIC-DELETE (SymSpell) candidate
+    generation — the scale path edit_distance_pairs' docstring points
+    at, with the SAME output contract (block, text_a, text_b, dist,
+    n_a, n_b on the distinct-name catalog).
+
+    Instead of an all-pairs catalog self-join (quadratic in distinct
+    names per block), each name emits its <= max_dist deletion
+    neighborhood (functions/text.deletion_variants — recall-COMPLETE
+    for levenshtein <= max_dist) and candidates are an EQUI-join on the
+    (block, variant-hash) key; only candidates pay the exact
+    levenshtein verification. Variant hashing keeps the exchange
+    skinny (int64, not strings); hash collisions can only ADD
+    candidates, never lose one, and verification removes them.
+
+    Scale shape: postings = names x neighborhood-size (1 + L + C(L,2)),
+    map-side codegen; ONE exchange on (block, variant-hash) whose
+    per-key fanout is the number of names sharing a variant — the
+    blocking key edit distance actually induces, instead of a size cap
+    hoping names stay few. The equality with the exhaustive result is
+    pinned by using the all-pairs SQL as this operator's oracle.
+    """
+    names = (
+        df.select(F.col(block_col).alias("g"), F.col(text_col).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("ln", F.length("t"))
+    )
+    vh = TXT.char_hash("v", "spark")
+    post = names.select(
+        "g",
+        "t",
+        "n",
+        "ln",
+        F.explode(F.expr(TXT.deletion_variants("t", max_dist, "spark"))).alias("v"),
+    ).select("g", "t", "n", "ln", F.expr(vh).alias("vh"))
+    a2 = post.select(
+        F.col("g"),
+        F.col("vh"),
+        F.col("t").alias("t_a"),
+        F.col("n").alias("n_a"),
+        F.col("ln").alias("ln_a"),
+    )
+    b2 = post.select(
+        F.col("g"),
+        F.col("vh"),
+        F.col("t").alias("t_b"),
+        F.col("n").alias("n_b"),
+        F.col("ln").alias("ln_b"),
+    )
+    cands = (
+        a2.join(
+            b2.hint("shuffle_hash"),
+            (a2["g"] == b2["g"])
+            & (a2["vh"] == b2["vh"])
+            & (a2["t_a"] < b2["t_b"])
+            & (F.abs(a2["ln_a"] - b2["ln_b"]) <= max_dist),
+        )
+        .select(
+            a2["g"].alias("g"), "t_a", "t_b", "n_a", "n_b"
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("t_a", "t_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("g").alias(block_col),
+            F.col("t_a").alias("text_a"),
+            F.col("t_b").alias("text_b"),
+            F.col("dist").cast("int").alias("dist"),
+            "n_a",
+            "n_b",
+        )
+        .orderBy(block_col, "text_a", "text_b")
+    )

@@ -8498,6 +8498,21 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("top_customers", "n_cust", "customer_share", "revenue_share")
 
 
+@query("symspell_name_matches", oracle=_FUZZY_ORACLE)
+def symspell_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell symmetric-delete fuzzy matching — the candidate-
+    generation scale path for edit distance: each distinct name emits
+    its <= 2-deletion neighborhood (recall-COMPLETE for levenshtein<=2)
+    and candidates are an EQUI-join on (block, variant-hash), replacing
+    the catalog's quadratic self-join with fanout the distance metric
+    itself induces. The oracle here is the EXHAUSTIVE all-pairs SQL
+    (same as fuzzy_name_matches) — passing it proves the approximate
+    candidate path loses nothing."""
+    from dawis_spark.operators.dedup import symspell_pairs
+
+    return symspell_pairs(spark.table("part"), "p_partkey", "p_name", "p_brand", 2)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -946,3 +946,44 @@ def test_rolling_median_query_schema(spark):
     assert res.columns == ["user_id", "day", "med_cents", "n_days"]
     rows = res.limit(5).collect()
     assert all(r["n_days"] >= 4 for r in rows)
+
+
+# --- SymSpell deletion-neighborhood matching -----------------------------------
+
+
+def test_deletion_variants_parity_and_size(spark):
+    from dawis_spark.functions.text import deletion_variants
+    import duckdb
+
+    for s in ["abc", "ab", "a", "hello"]:
+        d = duckdb.sql(
+            f"SELECT {deletion_variants('t', 2, 'duck')} AS v FROM (SELECT '{s}' AS t)"
+        ).fetchall()[0][0]
+        sp = (
+            spark.createDataFrame([(s,)], "t string")
+            .selectExpr(f"{deletion_variants('t', 2, 'spark')} as v")
+            .collect()[0]["v"]
+        )
+        assert sorted(d) == sorted(sp)
+        L = len(s)
+        assert len(set(d)) <= 1 + L + L * (L - 1) // 2
+
+
+def test_symspell_equals_exhaustive(spark):
+    from dawis_spark.operators.dedup import edit_distance_pairs, symspell_pairs
+
+    rows = [
+        (1, "red bolt", "A"), (2, "red belt", "A"), (3, "red bolts", "A"),
+        (4, "green gear", "A"), (5, "green year", "A"), (6, "red bolt", "B"),
+        (7, "rad bolt", "B"), (8, "entirely unlike", "B"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    exhaustive = sorted(
+        (r["blk"], r["text_a"], r["text_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "name", "blk", 2).collect()
+    )
+    sym = sorted(
+        (r["blk"], r["text_a"], r["text_b"], r["dist"])
+        for r in symspell_pairs(df, "id", "name", "blk", 2).collect()
+    )
+    assert sym == exhaustive and len(sym) >= 3
