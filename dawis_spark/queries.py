@@ -8513,6 +8513,48 @@ def symspell_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symspell_pairs(spark.table("part"), "p_partkey", "p_name", "p_brand", 2)
 
 
+_ROLLING_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+expanded AS (
+  SELECT d.day + to_days(CAST(off.o AS INT)) AS day, d.user_id
+  FROM du d, range(0, 7) off(o)),
+days AS (SELECT DISTINCT day FROM du)
+SELECT e.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM expanded e JOIN days ON e.day = days.day
+GROUP BY e.day ORDER BY e.day
+"""
+
+
+@query("rolling_wau_7d", oracle=_ROLLING_WAU_ORACLE)
+def rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day (daily WAU) — the
+    rolling COUNT DISTINCT a plain window cannot express (distinct isn't
+    decomposable over sliding frames). Same explode-forward shape as
+    rolling_median_7d: each (day, user) observation participates in <= 7
+    future windows (fixed map-side fanout of two-int rows), then one
+    exact two-phase distinct per day; days outside the observed spine
+    drop via the day join. The sketch form at extreme user cardinality
+    is the HLL register relation (operators/sketches.py), whose
+    register-max merge makes the window a rolling max — documented
+    boundary, this query prices the exact form."""
+    du = (
+        spark.table("events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day", "user_id"
+    ).select(F.expr("day + make_interval(0, 0, 0, o)").alias("day"), "user_id")
+    days = du.select("day").distinct()
+    return (
+        expanded.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("day")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
