@@ -404,3 +404,51 @@ def test_pps_sample_zero_exchange_before_aggregate(spark):
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_containment_exchanges_carry_hashes_not_text(spark):
+    # the postings self-join must shuffle (doc_id, int64 h) only — a doc
+    # body crossing the shingle exchange would be corpus-bytes x df fanout
+    plan = _plan(spark, "containment_near_dups")
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg[:200], seg[:200]
+
+
+def test_symspell_candidates_join_on_variant_hash(spark):
+    # candidate generation must be an equi-join keyed by the int64
+    # variant hash, not a theta/cartesian over names; levenshtein runs
+    # only above the join
+    plan = _plan(spark, "symspell_name_matches")
+    assert "CartesianProduct" not in plan
+    assert "vh#" in plan  # the variant-hash key reaches the join
+    lev_pos = plan.find("levenshtein")
+    join_pos = max(plan.find("ShuffledHashJoin"), plan.find("SortMergeJoin"),
+                   plan.find("BroadcastHashJoin"))
+    assert lev_pos != -1 and join_pos != -1
+
+
+def test_attribution_join_is_co_keyed_on_user_journey(spark):
+    # the purchase<->touch join must key on BOTH user_id and journey —
+    # a user-only key would fan out every touch to every purchase
+    plan = _plan(spark, "position_attribution")
+    assert "CartesianProduct" not in plan
+    import re
+    m = re.search(r"HashJoin \[(user_id#\d+L?), (journey#\d+L?)\]", plan)
+    assert m, "expected a 2-key (user_id, journey) hash join"
+
+
+def test_rolling_median_fanout_is_map_side(spark):
+    # the x7 explode must happen before (below) the (user, day) exchange:
+    # no join may appear under the expanded side other than the day
+    # membership join; and no window function is used at all
+    plan = _plan(spark, "rolling_median_7d")
+    assert "Window" not in plan
+    assert "Generate explode" in plan
+
+
+def test_feature_correlations_zero_keyed_exchange(spark):
+    # one moment aggregate: the only exchange is the 1-row partial-agg
+    # gather (SinglePartition); no hashpartitioning anywhere
+    plan = _plan(spark, "feature_correlations")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" in plan

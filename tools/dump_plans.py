@@ -63,6 +63,16 @@ PICKS = {
     "dsir_importance_weights": "lambda literal folds in the raw scan; zero hash exchange below the sort",
     "phrase_search": "phrase relation broadcast; postings probed by hash join",
     "token_entropy": "sorted-run entropy entirely inside the scan; no token exchange",
+    "containment_near_dups": "df-capped postings self-join on int64 shingle keys; fanout <= cap^2",
+    "item_cooccurrence_topk": "basket-capped pair join; marginals broadcast; catalog-sized after pairing",
+    "item_graph_triangles": "oriented wedge: two edge-keyed joins; each triangle counted once",
+    "symspell_name_matches": "deletion-variant equi-join on (block, int64 vh); exact verify on candidates",
+    "position_attribution": "one user window both sides; co-keyed (user, journey) join; int credits",
+    "rolling_median_7d": "x7 explode of hash-only daily rows; exact percentile per (user, day)",
+    "feature_correlations": "one moment scan, zero keyed exchange; DECIMAL(38,0) exact sums",
+    "snapshot_table_diff": "one co-keyed full outer join; comparisons map-side",
+    "ks_price_drift": "value pre-agg shrinks to distinct support before the single global cumsum",
+    "stratified_quota_sample": "counts agg + |sources| allocation broadcast; per-source top-quota window",
 }
 
 KEEP = re.compile(
