@@ -8555,6 +8555,142 @@ def rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_exprs(table: str, cols: list[str], dialect: str) -> str:
+    cast_t = "string" if dialect == "spark" else "varchar"
+    sep = "chr(31)"
+    joined = f"concat_ws({sep}, " + ", ".join(
+        f"coalesce(cast({c} as {cast_t}), '')" for c in cols
+    ) + ")"
+    h = _TXT.char_hash(joined, dialect)
+    return h
+
+
+def _fingerprint_oracle(tables: dict[str, list[str]]) -> str:
+    parts = []
+    for t, cols in tables.items():
+        h = _fingerprint_exprs(t, cols, "duck")
+        parts.append(
+            f"""
+SELECT '{t}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({h}) % 1000000007 AS BIGINT) AS fingerprint
+FROM {t}"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+_FP_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey"],
+}
+
+
+@query("table_fingerprints", oracle=_fingerprint_oracle(_FP_TABLES))
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style ORDER-INDEPENDENT table fingerprints — the replica-
+    reconciliation primitive: two copies of a table are content-equal
+    iff (n_rows, fingerprint) agree, verified WITHOUT moving rows
+    between systems (each side scans locally; only two integers travel).
+    fingerprint = SUM of per-row char-hashes mod 1e9+7 — commutative, so
+    partition order, shard layout, and insertion history are invisible;
+    SUM(bigint < 1e9+7 each) stays exact far past 1e9 rows per table
+    (DuckDB's HUGEINT sum exact always; Spark's bigint sum overflows at
+    ~9e9 rows x 1e9 — the documented boundary where the mod folds into
+    the partial aggregate). One scan per table, map-side partials, a
+    1-row exchange each."""
+    outs = []
+    for t, cols in _FP_TABLES.items():
+        h = _fingerprint_exprs(t, cols, "spark")
+        outs.append(
+            spark.table(t).select(F.expr(h).alias("__h")).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.sum("__h") % 1000000007).cast("bigint").alias("fingerprint"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("table_name")
+
+
+_IQR_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+q AS (
+  SELECT event_type,
+         quantile_cont(c, 0.25) AS q1_c,
+         quantile_cont(c, 0.75) AS q3_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY event_type),
+f AS (
+  SELECT event_type, q1_c, q3_c, n,
+         q1_c - 1.5 * (q3_c - q1_c) AS lo_c,
+         q3_c + 1.5 * (q3_c - q1_c) AS hi_c
+  FROM q)
+SELECT f.event_type, f.n,
+       f.q1_c AS q1_cents, f.q3_c AS q3_cents,
+       f.lo_c AS lo_fence_cents, f.hi_c AS hi_fence_cents,
+       CAST(SUM(CASE WHEN v.c < f.lo_c OR v.c > f.hi_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM f JOIN v ON v.event_type = f.event_type
+GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY f.event_type
+"""
+
+
+@query("iqr_outlier_fences", oracle=_IQR_ORACLE)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type — the boxplot/DQ
+    companion to the MAD anomaly family. Quartiles interpolate over
+    integer cents (a + frac*(b-a) with dyadic frac — bit-exact in both
+    engines); fences stay in exact dyadic cents (the rolling_median
+    lesson: never divide to display and re-round). Two passes over the
+    type-keyed relation (quartiles, then fence counts) — both map-side-
+    partial with |types| keys; the exact-selection rank machinery is the
+    single-pass alternative at extreme group counts."""
+    v = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    q = v.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.25)").alias("q1_c"),
+        F.expr("percentile(c, 0.75)").alias("q3_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1_c",
+        "q3_c",
+        (F.col("q1_c") - 1.5 * (F.col("q3_c") - F.col("q1_c"))).alias("lo_c"),
+        (F.col("q3_c") + 1.5 * (F.col("q3_c") - F.col("q1_c"))).alias("hi_c"),
+    )
+    return (
+        v.join(f, "event_type")
+        .groupBy("event_type", "n", "q1_c", "q3_c", "lo_c", "hi_c")
+        .agg(
+            F.sum(
+                ((F.col("c") < F.col("lo_c")) | (F.col("c") > F.col("hi_c"))).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("q1_c").alias("q1_cents"),
+            F.col("q3_c").alias("q3_cents"),
+            F.col("lo_c").alias("lo_fence_cents"),
+            F.col("hi_c").alias("hi_fence_cents"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
@@ -8616,9 +8752,20 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_filter_pipeline",
     "source_quality_rollup",
     "session_window_agg",
-    # NOTE: the prefix is full at 50 — later r8 additions
-    # (pps_weighted_sample, pps_ht_totals, ...) are sweep-verified this
-    # round and head the r9 rotation.
+    # NOTE: the prefix is full at 50 — later r8 additions (pps_weighted_
+    # sample, pps_ht_totals, hll_distinct_events, funnel_conversion,
+    # cohort_retention, event_transitions, gapfill_interp_user_value,
+    # mmr_*, logreg/classifier, knn label prop, q13, and the second-
+    # session batch: position_attribution, frequent_event_sequences,
+    # column_stats_profile, feature_correlations, item_cooccurrence_topk,
+    # containment_near_dups, coreset_cluster_balanced,
+    # item_graph_triangles, fuzzy/symspell_name_matches,
+    # snapshot_table_diff, totalprice_histogram,
+    # session_entry_exit_bounce, ks_price_drift, benford_first_digit,
+    # curriculum_buckets, stratified_quota_sample, dedup_loss_weights,
+    # association_rules, rolling_median_7d, rolling_wau_7d,
+    # pareto_customers) are sweep-verified at sf0.01 AND sf0.1 this
+    # round, sf1-rehearsed (SCALE.md), and head the r9 rotation.
     # (the former d6 tail — semantic_dedup, embedding_ann_ivfpq,
     # embedding_ann_ivfadc, embedding_ann_lsh, psi_metric_extraction —
     # rotated out mid-round to make room for the six round-8 additions;

@@ -987,3 +987,50 @@ def test_symspell_equals_exhaustive(spark):
         for r in symspell_pairs(df, "id", "name", "blk", 2).collect()
     )
     assert sym == exhaustive and len(sym) >= 3
+
+
+# --- table fingerprints / IQR fences -------------------------------------------
+
+
+def test_fingerprint_order_independent(spark):
+    from dawis_spark import queries as q
+
+    # partition layout must not change the fingerprint
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], "k bigint, s string"
+    )
+    from dawis_spark.queries import _fingerprint_exprs
+    h = _fingerprint_exprs("t", ["k", "s"], "spark")
+    f1 = df.repartition(1).selectExpr(f"{h} as h").agg(F.expr("sum(h) % 1000000007")).collect()[0][0]
+    f32 = df.repartition(32).selectExpr(f"{h} as h").agg(F.expr("sum(h) % 1000000007")).collect()[0][0]
+    assert f1 == f32
+
+
+def test_fingerprint_detects_single_cell_change(spark):
+    from dawis_spark.queries import _fingerprint_exprs
+
+    h = _fingerprint_exprs("t", ["k", "s"], "spark")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, s string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "k bigint, s string")
+    fa = a.selectExpr(f"{h} as h").agg(F.expr("sum(h) % 1000000007")).collect()[0][0]
+    fb = b.selectExpr(f"{h} as h").agg(F.expr("sum(h) % 1000000007")).collect()[0][0]
+    assert fa != fb
+
+
+def test_iqr_fences_flag_known_outlier(spark):
+    from dawis_spark import queries as q
+
+    # tight cluster + one far point: exactly one outlier above the fence
+    rows = [(i, "2024-01-01 00:00:01", 1, "t", v) for i, v in enumerate(
+        [10.0, 10.1, 10.2, 10.3, 10.4, 10.5, 10.6, 10.7, 99.0]
+    )]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.createOrReplaceTempView("events")
+    from pyspark.sql import functions as FF
+    v = df.select("event_type", FF.round(FF.col("value") * 100, 0).cast("bigint").alias("c"))
+    q1, q3 = v.selectExpr("percentile(c, 0.25) q1", "percentile(c, 0.75) q3").collect()[0]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    n_out = v.filter((FF.col("c") < lo) | (FF.col("c") > hi)).count()
+    assert n_out == 1
