@@ -8691,6 +8691,62 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SORTED_NBHD_ORACLE = """
+WITH names AS (
+  SELECT p_name AS t, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1),
+ranked AS (
+  SELECT t, n, ROW_NUMBER() OVER (ORDER BY t) AS rk FROM names),
+cand AS (
+  SELECT a.t AS text_a, b.t AS text_b, a.n AS n_a, b.n AS n_b
+  FROM ranked a JOIN ranked b
+    ON b.rk BETWEEN a.rk + 1 AND a.rk + 5)
+SELECT text_a, text_b,
+       CAST(levenshtein(text_a, text_b) AS INT) AS dist, n_a, n_b
+FROM cand WHERE levenshtein(text_a, text_b) <= 2
+ORDER BY text_a, text_b
+"""
+
+
+@query("sorted_neighborhood_matches", oracle=_SORTED_NBHD_ORACLE)
+def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernandez & Stolfo's
+    merge/purge): sort the distinct-name catalog once, pair each name
+    with its next 5 sort neighbors, verify with exact levenshtein — the
+    third classic ER blocking strategy next to attribute blocks
+    (fuzzy_name_matches) and deletion neighborhoods (symspell) —
+    LINEAR candidate count (w per name) at the price of bounded recall
+    (typo in the first character sorts far away; production runs
+    multiple sort passes). The window's rank join is expressed as an
+    offset EXPLODE so no range/theta join exists: candidates come from
+    an equi-join on rank. One global catalog sort (vocabulary-sized)."""
+    from pyspark.sql import Window
+
+    names = (
+        spark.table("part")
+        .groupBy(F.col("p_name").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ranked = names.withColumn("rk", F.row_number().over(Window.orderBy("t")))
+    probe = ranked.select(
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("o"),
+        F.col("t").alias("text_a"),
+        F.col("n").alias("n_a"),
+        "rk",
+    ).select("text_a", "n_a", (F.col("rk") + F.col("o")).alias("rk"))
+    build = ranked.select(
+        F.col("rk"), F.col("t").alias("text_b"), F.col("n").alias("n_b")
+    )
+    return (
+        probe.join(build, "rk")
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            "text_a", "text_b", F.col("dist").cast("int").alias("dist"), "n_a", "n_b"
+        )
+        .orderBy("text_a", "text_b")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
