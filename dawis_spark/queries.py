@@ -8747,6 +8747,74 @@ def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WILSON_Z = 1.96  # 95% two-sided, literal — never computed at query time
+_WILSON_ORACLE = f"""
+WITH pe AS (
+  SELECT {_ITEM_DUCK} AS item,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+  FROM events WHERE {_ITEM_DUCK} IS NOT NULL GROUP BY 1),
+s AS (
+  SELECT item, views, clicks, views + clicks AS n,
+         CAST(clicks AS DOUBLE) / (views + clicks) AS p,
+         {_WILSON_Z} * {_WILSON_Z} AS z2
+  FROM pe WHERE views + clicks >= 20)
+SELECT item, views, clicks, ROUND(p, 6) AS ctr,
+       ROUND((p + z2 / (2 * n)
+              - {_WILSON_Z} * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n), 6) AS wilson_lo
+FROM s ORDER BY wilson_lo DESC, item LIMIT 25
+"""
+
+
+@query("ctr_wilson_ranking", oracle=_WILSON_ORACLE)
+def ctr_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item ranking by the WILSON score lower bound of click-through
+    rate — the 'how not to sort by average rating' formula: a 95% lower
+    confidence bound that pulls small-sample items down instead of
+    letting 2/2 beat 180/200. Trials n = views + clicks (the two event
+    streams are independent in this feed, so p = clicks/n is the
+    bounded-in-[0,1] engagement share). Per-row arithmetic only
+    (divisions, one IEEE sqrt, fixed order — bit-stable across engines;
+    z is a literal); the data plane is one item-keyed count aggregate.
+    Minimum 20 trials replayed in the oracle."""
+    z = _WILSON_Z
+    pe = (
+        spark.table("events")
+        .select(F.expr(_ITEM_SPARK).alias("item"), "event_type")
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int"))
+            .cast("bigint")
+            .alias("views"),
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("bigint")
+            .alias("clicks"),
+        )
+        .withColumn("n", F.col("views") + F.col("clicks"))
+        .filter(F.col("n") >= 20)
+    )
+    p = F.col("clicks") / F.col("n")
+    z2 = F.lit(z * z)
+    wilson = (
+        p
+        + z2 / (2 * F.col("n"))
+        - z * F.sqrt((p * (1 - p) + z2 / (4 * F.col("n"))) / F.col("n"))
+    ) / (1 + z2 / F.col("n"))
+    return (
+        pe.select(
+            "item",
+            "views",
+            "clicks",
+            F.round(p, 6).alias("ctr"),
+            F.round(wilson, 6).alias("wilson_lo"),
+        )
+        .orderBy(F.desc("wilson_lo"), "item")
+        .limit(25)
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
