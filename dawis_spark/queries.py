@@ -8695,7 +8695,7 @@ _SORTED_NBHD_ORACLE = """
 WITH names AS (
   SELECT p_name AS t, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1),
 ranked AS (
-  SELECT t, n, ROW_NUMBER() OVER (ORDER BY t) AS rk FROM names),
+  SELECT t, n, ROW_NUMBER() OVER (ORDER BY reverse(t), t) AS rk FROM names),
 cand AS (
   SELECT a.t AS text_a, b.t AS text_b, a.n AS n_a, b.n AS n_b
   FROM ranked a JOIN ranked b
@@ -8714,11 +8714,14 @@ def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its next 5 sort neighbors, verify with exact levenshtein — the
     third classic ER blocking strategy next to attribute blocks
     (fuzzy_name_matches) and deletion neighborhoods (symspell) —
-    LINEAR candidate count (w per name) at the price of bounded recall
-    (typo in the first character sorts far away; production runs
-    multiple sort passes). The window's rank join is expressed as an
-    offset EXPLODE so no range/theta join exists: candidates come from
-    an equi-join on rank. One global catalog sort (vocabulary-sized)."""
+    LINEAR candidate count (w per name) at the price of bounded recall:
+    a forward sort found ZERO pairs on this catalog (all variation sits
+    in the first word), so this query runs the classic SECOND pass —
+    sorting by the REVERSED string, i.e. by suffix — which is where
+    merge/purge gets its recall (production composes several sort
+    keys). The window's rank join is expressed as an offset EXPLODE so
+    no range/theta join exists: candidates come from an equi-join on
+    rank. One global catalog sort (vocabulary-sized)."""
     from pyspark.sql import Window
 
     names = (
@@ -8726,7 +8729,9 @@ def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_name").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    ranked = names.withColumn("rk", F.row_number().over(Window.orderBy("t")))
+    ranked = names.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.reverse("t"), "t"))
+    )
     probe = ranked.select(
         F.explode(F.sequence(F.lit(1), F.lit(5))).alias("o"),
         F.col("t").alias("text_a"),
