@@ -8820,6 +8820,217 @@ def ctr_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+ref AS (
+  SELECT event_type,
+         CAST(SUM(v) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1),
+d AS (
+  SELECT daily.event_type, day,
+         20 * ref.nd * v - 21 * ref.tot AS x,
+         20 * ref.tot AS h
+  FROM daily JOIN ref USING (event_type)),
+c AS (
+  SELECT event_type, day, h,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+r AS (
+  SELECT event_type, day, h, cum,
+         MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+  FROM c)
+SELECT event_type, day,
+       CAST(cum - LEAST(run_min, 0) AS BIGINT) AS cusum_scaled,
+       cum - LEAST(run_min, 0) > h AS breached
+FROM r ORDER BY event_type, day
+"""
+
+
+@query("cusum_changepoints", oracle=_CUSUM_ORACLE)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-shift detection per event type over daily
+    totals — the sequential changepoint monitor (Page 1954). The textbook
+    recursion S_t = max(0, S_{t-1} + x_t - k) is not window-expressible,
+    but its CLOSED FORM is: S_t = cum_t - min(0, running_min(cum)) with
+    x centered at the series mean plus slack k = 5% of the mean. All
+    arithmetic is cross-multiplied INTEGER cents (x scaled by n_days so
+    the mean never divides) — both engines breach on identical days.
+    Shape: one daily rollup, a per-type reference row, two stacked
+    windows on the (type, day) relation; output is the full monitored
+    series with a breach flag (dashboards plot S_t, alerting filters it).
+    Scaling: x and h are cross-multiplied by 20*nd so no mean ever
+    divides — int64 end to end."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.sum("v").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    # cross-multiplied by 20*nd so mean (tot/nd) and slack (mean/20)
+    # never divide: x = 20*nd*v - 21*tot; threshold h = 20*tot (= mean
+    # at the same scale). Pure int64 end to end.
+    d = daily.join(ref, "event_type").select(
+        "event_type",
+        "day",
+        (20 * F.col("nd") * F.col("v") - 21 * F.col("tot"))
+        .cast("bigint")
+        .alias("x"),
+        (20 * F.col("tot")).cast("bigint").alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("x").over(w)).withColumn(
+        "run_min", F.min("cum").over(w)
+    )
+    return (
+        c.select(
+            "event_type",
+            "day",
+            (F.col("cum") - F.least(F.col("run_min"), F.lit(0)))
+            .cast("bigint")
+            .alias("cusum_scaled"),
+            "h",
+        )
+        .select(
+            "event_type",
+            "day",
+            "cusum_scaled",
+            (F.col("cusum_scaled") > F.col("h")).alias("breached"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_DOW_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, isodow(ts) AS dow,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3),
+per_dow AS (
+  SELECT event_type, dow, CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1, 2),
+overall AS (
+  SELECT event_type, CAST(SUM(v) AS BIGINT) AS tv, CAST(COUNT(*) AS BIGINT) AS td
+  FROM daily GROUP BY 1)
+SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.nd AS n_days,
+       ROUND((CAST(p.sv AS DOUBLE) / p.nd) / (CAST(o.tv AS DOUBLE) / o.td), 6)
+         AS seasonality_index
+FROM per_dow p JOIN overall o USING (event_type)
+ORDER BY event_type, dow
+"""
+
+
+@query("dow_seasonality_index", oracle=_DOW_ORACLE)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: (dow mean daily
+    value) / (overall mean daily value) — the multiplicative profile the
+    seasonal-MAD anomaly family consumes, here as an inspectable
+    artifact. Two exact-int ratios and one division of the two (fixed
+    order, bit-stable). Shape: daily rollup -> |types|x7 aggregate."""
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            (F.weekday("ts") + 1).alias("dow"),  # ISO: 1=Mon..7=Sun, matches duck isodow
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("v").cast("bigint").alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.sum("v").cast("bigint").alias("tv"),
+        F.count(F.lit(1)).cast("bigint").alias("td"),
+    )
+    return (
+        per_dow.join(overall, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("nd").alias("n_days"),
+            F.round(
+                (F.col("sv") / F.col("nd")) / (F.col("tv") / F.col("td")), 6
+            ).alias("seasonality_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_TTC_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+first_purchase AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+lat AS (
+  SELECT s.user_id,
+         CAST(date_diff('second', s.t0, p.t1) AS BIGINT) AS secs
+  FROM first_signup s JOIN first_purchase p USING (user_id)
+  WHERE p.t1 >= s.t0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(secs, 0.25) AS p25_s,
+       quantile_cont(secs, 0.50) AS p50_s,
+       quantile_cont(secs, 0.90) AS p90_s,
+       CAST(MAX(secs) AS BIGINT) AS max_s
+FROM lat
+"""
+
+
+@query("time_to_conversion", oracle=_TTC_ORACLE)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase latency distribution: exact interpolated
+    percentiles over INTEGER seconds (dyadic interpolation fractions —
+    bit-stable, the rolling-median discipline). Two first-event
+    aggregates co-keyed on user_id, one join, one global percentile
+    over converted users only."""
+    e = spark.table("events")
+    s = e.filter("event_type = 'signup'").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = e.filter("event_type = 'purchase'").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    lat = (
+        s.join(p, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .select(
+            (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+            .cast("bigint")
+            .alias("secs")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(secs, 0.25)").alias("p25_s"),
+        F.expr("percentile(secs, 0.50)").alias("p50_s"),
+        F.expr("percentile(secs, 0.90)").alias("p90_s"),
+        F.max("secs").cast("bigint").alias("max_s"),
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

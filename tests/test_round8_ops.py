@@ -1034,3 +1034,29 @@ def test_iqr_fences_flag_known_outlier(spark):
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
     n_out = v.filter((FF.col("c") < lo) | (FF.col("c") > hi)).count()
     assert n_out == 1
+
+
+# --- CUSUM closed form ----------------------------------------------------------
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    # S_t = max(0, S_{t-1} + x_t) == cum_t - min(0, running_min(cum_t))
+    import itertools
+    xs = [3, -5, 2, 2, 2, -10, 4, 4]
+    s_rec, out_rec = 0, []
+    for x in xs:
+        s_rec = max(0, s_rec + x)
+        out_rec.append(s_rec)
+    cums = list(itertools.accumulate(xs))
+    out_closed = [c - min(0, min(cums[: i + 1])) for i, c in enumerate(cums)]
+    assert out_rec == out_closed
+
+
+def test_cusum_query_flags_shift(spark):
+    from dawis_spark import queries as q
+
+    out = q.QUERIES["cusum_changepoints"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "full series must be non-empty"
+    assert {"event_type", "day", "cusum_scaled", "breached"} == set(out.columns)
+    assert all(r["cusum_scaled"] >= 0 for r in rows)

@@ -127,7 +127,7 @@ def main(only: list[str]) -> int:
         if list(s.columns) != list(o.columns):
             status.append(f"schema {list(s.columns)} vs {list(o.columns)}")
         if not status:
-            if not s.equals(o):
+            if len(s) and not s.equals(o):
                 ne = (s != o)
                 bad_cols = [c for c in s.columns if ne[c].any()]
                 idx = ne.any(axis=1).idxmax()
