@@ -8602,9 +8602,19 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row exchange each."""
     outs = []
     for t, cols in _FP_TABLES.items():
-        h = _fingerprint_exprs(t, cols, "spark")
+        # bind the concatenated row string ONCE per row before hashing:
+        # char_hash's fold references its operand per character, so an
+        # inline concat would be re-evaluated O(len) times per row (the
+        # _mixed_sql expression-blowup lesson; measured 6x on orders)
+        joined = "concat_ws(chr(31), " + ", ".join(
+            f"coalesce(cast({c} as string), '')" for c in cols
+        ) + ")"
+        h = _TXT.char_hash("__s", "spark")
         outs.append(
-            spark.table(t).select(F.expr(h).alias("__h")).agg(
+            spark.table(t)
+            .select(F.expr(joined).alias("__s"))
+            .select(F.expr(h).alias("__h"))
+            .agg(
                 F.lit(t).alias("table_name"),
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 (F.sum("__h") % 1000000007).cast("bigint").alias("fingerprint"),
