@@ -9041,6 +9041,215 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+rk AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS r FROM rev),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(r AS HUGEINT) * x) AS srx
+  FROM rk)
+SELECT n AS n_customers,
+       ROUND(CAST(2 * srx - (n + 1) * CAST(sx AS HUGEINT) AS DOUBLE)
+             / (CAST(n AS HUGEINT) * sx), 6) AS gini
+FROM m
+"""
+
+
+@query("gini_concentration", oracle=_GINI_ORACLE)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the summary
+    statistic behind pareto_customers' cutoff view, from the rank
+    formula G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)) over revenue
+    sorted ascending (ties by key — replayable). The numerator is exact
+    integer (DECIMAL(38,0)/HUGEINT rank-weighted sums; rank*cents
+    crosses int64 at sf1); one final division. One customer aggregate +
+    one customer-cardinality sort."""
+    from pyspark.sql import Window
+
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    rk = rev.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "o_custkey")).alias("r"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("x")).alias("srx"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx").cast("decimal(38,0)"))
+            .cast("double")
+            / (F.col("n").cast("decimal(38,0)") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+fs AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1)
+SELECT du.day,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN du.day = fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN du.day > fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       ROUND(CAST(SUM(CASE WHEN du.day > fs.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS returning_share
+FROM du JOIN fs USING (user_id)
+GROUP BY du.day ORDER BY du.day
+"""
+
+
+@query("new_vs_returning_daily", oracle=_NEW_RETURNING_ORACLE)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — the standard audience report:
+    first-seen day per user (one user-keyed aggregate) joined back to
+    the distinct (day, user) activity relation on the same key, then a
+    day-keyed rollup. Exact-int ratio, one division."""
+    du = (
+        spark.table("events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = (F.col("day") == F.col("first_day")).cast("int")
+    is_ret = (F.col("day") > F.col("first_day")).cast("int")
+    return (
+        du.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum(is_new).cast("bigint").alias("new_users"),
+            F.sum(is_ret).cast("bigint").alias("returning_users"),
+            F.round(F.sum(is_ret) / F.count(F.lit(1)), 4).alias("returning_share"),
+        )
+        .orderBy("day")
+    )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_c
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT o_custkey,
+         ntile(3) OVER (ORDER BY recency_d ASC, o_custkey) AS r,
+         ntile(3) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(3) OVER (ORDER BY monetary_c DESC, o_custkey) AS m
+  FROM base)
+SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS customers
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    terciles (ntile(3), ties broken by key so both engines cut
+    identically — best tercile is 1 on every axis), crossed into 27
+    segments with counts. One customer aggregate, three global ntile
+    sorts over the customer-cardinality relation, then a 27-key rollup."""
+    from pyspark.sql import Window
+
+    o = spark.table("orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd").cast("date"), F.col("last_order").cast("date"))
+            .cast("bigint")
+            .alias("recency_d"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    scored = base.select(
+        (
+            F.ntile(3).over(Window.orderBy(F.asc("recency_d"), "o_custkey")) * 100
+            + F.ntile(3).over(Window.orderBy(F.desc("frequency"), "o_custkey")) * 10
+            + F.ntile(3).over(Window.orderBy(F.desc("monetary_c"), "o_custkey"))
+        )
+        .cast("int")
+        .alias("segment")
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("customers"))
+        .orderBy("segment")
+    )
+
+
+_DWELL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS src, ts,
+         lead(event_type) OVER w AS dst,
+         CAST(date_diff('second', ts, lead(ts) OVER w) AS BIGINT) AS gap_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(gap_s, 0.5) AS median_gap_s,
+       quantile_cont(gap_s, 0.9) AS p90_gap_s
+FROM ordered WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+@query("transition_dwell_times", oracle=_DWELL_ORACLE)
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time profile per event transition — the timing companion to
+    event_transitions' probabilities: exact interpolated median/p90 of
+    the gap (integer seconds) between each (src -> dst) step. One user
+    window (same exchange shape as the transition matrix), then a
+    |types|^2-key percentile aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    o = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    ).filter(F.col("dst").isNotNull())
+    return (
+        o.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+            F.expr("percentile(gap_s, 0.9)").alias("p90_gap_s"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
