@@ -9250,6 +9250,40 @@ def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dawis_spark.operators import wordpiece as _wp  # noqa: E402
+
+_WP_VOCAB_ORACLE = (
+    "WITH " + _wp.vocab_oracle_ctes(48) + "\nSELECT rank, piece, freq FROM wp_vocab ORDER BY rank"
+)
+
+
+@query("wordpiece_vocab", oracle=_WP_VOCAB_ORACLE)
+def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style vocabulary training: top-48 substrings (length
+    2..5) of the word-TYPE relation weighted by corpus counts, ties
+    lexicographic — the second tokenizer family member next to BPE
+    (frequency-vocab + greedy apply instead of learned merges). The
+    substring explosion is map-side over word types (vocabulary-sized by
+    Zipf); one piece-keyed count exchange; one top-V sort."""
+    return _wp.vocab_df(spark.table("documents"), "text", 48)
+
+
+@query("wordpiece_segmented_corpus", oracle=_wp.segment_oracle_sql(48))
+def wordpiece_segmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply WordPiece segmentation: greedy LONGEST-MATCH-
+    FIRST subword counts per document under the learned 48-piece vocab
+    (single chars as fallback). The sequential per-word scan is a
+    bounded ``aggregate`` fold whose steps fire only at the current
+    position — pure codegen string ops, no UDF; the vocab rides as a
+    literal array in the scan (training is eager and driver-bounded,
+    the bpe_train/kmeans pattern). Oracle replays train AND apply."""
+    from dawis_spark.operators.wordpiece import segment_corpus, wordpiece_train
+
+    d = spark.table("documents")
+    vocab = [p for p, _ in wordpiece_train(d, "text", 48)]
+    return segment_corpus(d, "doc_id", "text", vocab)
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -1060,3 +1060,24 @@ def test_cusum_query_flags_shift(spark):
     assert rows, "full series must be non-empty"
     assert {"event_type", "day", "cusum_scaled", "breached"} == set(out.columns)
     assert all(r["cusum_scaled"] >= 0 for r in rows)
+
+
+# --- WordPiece greedy segmentation ----------------------------------------------
+
+
+def test_wordpiece_greedy_longest_match_first(spark):
+    from dawis_spark.operators.wordpiece import segment_corpus
+
+    df = spark.createDataFrame([(1, "tabletop tab le")], "doc_id bigint, text string")
+    # vocab prefers the longest piece at each position: 'table'(5) then 'top'
+    out = segment_corpus(df, "doc_id", "text", ["table", "top", "tab", "le"]).collect()[0]
+    # tabletop -> table+top (2); tab -> tab (1); le -> le (1)
+    assert out["n_words"] == 3 and out["n_subwords"] == 4
+
+
+def test_wordpiece_single_char_fallback(spark):
+    from dawis_spark.operators.wordpiece import segment_corpus
+
+    df = spark.createDataFrame([(1, "xyz")], "doc_id bigint, text string")
+    out = segment_corpus(df, "doc_id", "text", ["qq"]).collect()[0]
+    assert out["n_subwords"] == 3  # x, y, z singles
