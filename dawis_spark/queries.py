@@ -9284,6 +9284,114 @@ def wordpiece_segmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_corpus(d, "doc_id", "text", vocab)
 
 
+_HHI_ORACLE = """
+WITH qs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+agg AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(q) AS BIGINT) AS qt,
+         SUM(CAST(q AS HUGEINT) * q) AS sq2
+  FROM qs GROUP BY 1 HAVING COUNT(*) >= 3)
+SELECT l_partkey, n_suppliers,
+       ROUND(CAST(sq2 AS DOUBLE) / (CAST(qt AS HUGEINT) * qt), 6) AS hhi
+FROM agg ORDER BY hhi DESC, l_partkey LIMIT 25
+"""
+
+
+@query("part_supplier_hhi", oracle=_HHI_ORACLE)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per part: HHI =
+    sum(share^2) over each part's supplier quantity shares, computed in
+    CROSS-MULTIPLIED integer form sum(q_s^2) / (sum q_s)^2 — exact
+    integer numerator and denominator (HUGEINT/DECIMAL38 squares), ONE
+    final division. The supply-risk screen of procurement analytics.
+    Two part-keyed aggregates; top-25 most concentrated with >= 3
+    suppliers, ties replayable."""
+    qs = (
+        spark.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    agg = (
+        qs.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("q").cast("bigint").alias("qt"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sq2"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+    return (
+        agg.select(
+            "l_partkey",
+            "n_suppliers",
+            F.round(
+                F.col("sq2").cast("double")
+                / (F.col("qt").cast("decimal(38,0)") * F.col("qt")).cast("double"),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "l_partkey")
+        .limit(25)
+    )
+
+
+def _lexical_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS token FROM documents),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(f) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(f), 6) AS type_token_ratio,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapaxes,
+       ROUND(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_share
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
+@query("lexical_richness_by_source", oracle=_lexical_oracle())
+def lexical_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio and hapax-legomenon
+    share — the vocabulary-diversity screen for template/boilerplate
+    feeds (a spun-content source has low TTR; an organic one keeps
+    hapaxes). One explode -> (source, token) count relation (map-side
+    partials), then a source-keyed rollup; ratios are exact-int
+    divisions."""
+    toks = _TXT.tokens("text", "spark")
+    tf = (
+        spark.table("documents")
+        .select("source", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("f"), 6).alias("type_token_ratio"),
+            F.sum((F.col("f") == 1).cast("int")).cast("bigint").alias("hapaxes"),
+            F.round(
+                F.sum((F.col("f") == 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
