@@ -1081,3 +1081,58 @@ def test_wordpiece_single_char_fallback(spark):
     df = spark.createDataFrame([(1, "xyz")], "doc_id bigint, text string")
     out = segment_corpus(df, "doc_id", "text", ["qq"]).collect()[0]
     assert out["n_subwords"] == 3  # x, y, z singles
+
+
+# --- exact-math unit probes for the analytics tail ------------------------------
+
+
+def test_gini_known_values(spark):
+    from pyspark.sql import Window
+
+    # perfectly equal distribution -> G = 0; one-holder -> G -> (n-1)/n
+    def gini(vals):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "k int, x bigint")
+        rk = df.select("x", F.row_number().over(Window.orderBy("x", "k")).alias("r"))
+        m = rk.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("x")).alias("srx"),
+        ).collect()[0]
+        n, sx, srx = m["n"], m["sx"], int(m["srx"])
+        return (2 * srx - (n + 1) * sx) / (n * sx)
+
+    assert gini([5, 5, 5, 5]) == 0.0
+    assert abs(gini([0, 0, 0, 100]) - 0.75) < 1e-12
+
+
+def test_hhi_monopoly_is_one(spark):
+    # single supplier -> HHI 1; two equal suppliers -> 0.5
+    rows = [(1, 10, 30.0), (2, 10, 30.0), (2, 20, 30.0)]
+    df = spark.createDataFrame(rows, "l_partkey bigint, l_suppkey bigint, l_quantity double")
+    qs = df.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round("l_quantity", 0).cast("bigint")).alias("q"))
+    agg = qs.groupBy("l_partkey").agg(
+        F.sum("q").alias("qt"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sq2"))
+    out = {r["l_partkey"]: float(r["sq2"]) / (r["qt"] * r["qt"]) for r in agg.collect()}
+    assert out[1] == 1.0 and out[2] == 0.5
+
+
+def test_association_lift_identity(spark):
+    # lift(i->j) == lift(j->i); confidence(i->j) = co/n_i exactly
+    # (query-shape probe on literal baskets)
+    b = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)], "basket bigint, item int"
+    )
+    nb = b.select("basket").distinct().count()
+    marg = {r["item"]: r["n"] for r in b.groupBy("item").agg(F.count("*").alias("n")).collect()}
+    co = (
+        b.alias("x").join(b.alias("y"),
+            (F.col("x.basket") == F.col("y.basket")) & (F.col("x.item") != F.col("y.item")))
+        .groupBy(F.col("x.item").alias("i"), F.col("y.item").alias("j"))
+        .agg(F.count("*").alias("n_ij")).collect()
+    )
+    by = {(r["i"], r["j"]): r["n_ij"] for r in co}
+    lift_ij = by[(10, 20)] * nb / (marg[10] * marg[20])
+    lift_ji = by[(20, 10)] * nb / (marg[20] * marg[10])
+    assert lift_ij == lift_ji
+    assert by[(10, 20)] / marg[10] == 2 / 3  # confidence 10->20
