@@ -73,6 +73,10 @@ PICKS = {
     "snapshot_table_diff": "one co-keyed full outer join; comparisons map-side",
     "ks_price_drift": "value pre-agg shrinks to distinct support before the single global cumsum",
     "stratified_quota_sample": "counts agg + |sources| allocation broadcast; per-source top-quota window",
+    "wordpiece_segmented_corpus": "vocab literals fold inside the scan; only exchange is the per-doc agg",
+    "cusum_changepoints": "daily rollup + per-type reference join; two stacked type-keyed windows",
+    "part_supplier_hhi": "two part-keyed aggregates; exact integer squares; TakeOrdered top-25",
+    "rolling_wau_7d": "x7 map-side day fanout; exact two-phase distinct per day",
 }
 
 KEEP = re.compile(
