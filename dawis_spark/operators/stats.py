@@ -1,0 +1,172 @@
+"""Nonparametric statistical tests — the hypothesis-testing companions to
+the drift (operators/drift.py) and anomaly (operators/anomaly.py)
+families: Theil–Sen robust trend, Mann–Whitney rank-sum drift, and a
+chi-square independence screen.
+
+Exactness notes (the repo discipline, applied three ways):
+
+  - THEIL–SEN: every pairwise slope is ONE IEEE division of exact
+    integers (value cents x day offsets), identical in both engines;
+    the median over that identical multiset of doubles picks/averages
+    identical order statistics. Pair generation is per-series O(n^2) in
+    the series' OWN length (days in a window — config-bounded), never
+    in row count.
+  - MANN–WHITNEY: rank sums use AVERAGE ranks for ties = (2*min_rank +
+    ties - 1) / 2 — a .5-exact dyadic; U, its mean, and the tie-corrected
+    variance are exact integer expressions; the z-score pays one IEEE
+    sqrt + one division.
+  - CHI-SQUARE: the cell sum is an ORDERED FOLD — cells are sorted into
+    an array and reduced in (row, col) order, so the float accumulation
+    order is part of the operator's definition instead of partition
+    luck. groupBy SUM over floats would be order-nondeterministic;
+    a 35-cell contingency table folds for free.
+
+Scale shapes: all three aggregate to group-/cell-cardinality relations
+before any quadratic or global step; nothing is row-scale past the
+first keyed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def theil_sen(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """(key, n_points, slope) — median of pairwise slopes per key.
+    ``x_col`` integer-ish (e.g. day offset), ``y_col`` integer cents."""
+    a = df.select(
+        F.col(key_col).alias("k"), F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
+    )
+    b = df.select(
+        F.col(key_col).alias("k"), F.col(x_col).alias("x2"), F.col(y_col).alias("y2")
+    )
+    pairs = a.join(b, "k").filter(F.col("x1") < F.col("x2"))
+    slopes = pairs.select(
+        "k",
+        ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))).alias("s"),
+    )
+    npts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    med = slopes.groupBy("k").agg(
+        F.expr("percentile(s, 0.5)").alias("slope")
+    )
+    return (
+        npts.join(med, "k")
+        .select(F.col("k").alias(key_col), "n_points", F.round("slope", 6).alias("slope"))
+        .orderBy(key_col)
+    )
+
+
+def mann_whitney(
+    df: DataFrame, value_col: str, side_col: str, side_a: str, side_b: str
+) -> DataFrame:
+    """One row: (n_a, n_b, u_a, z) — the rank-sum test with average
+    ranks and tie-corrected variance. ``value_col`` must be exact
+    integers (cents)."""
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("na_v"),
+        F.sum("ib").cast("bigint").alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "na_v",
+        "nb_v",
+        (F.col("na_v") + F.col("nb_v")).alias("t_v"),
+        F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)).alias(
+            "before"
+        ),
+    )
+    # average rank of a tie group in .5-exact dyadic form:
+    # (2*(before+1) + (t-1)) / 2
+    avg_rank = (2 * (F.col("before") + 1) + (F.col("t_v") - 1)) / 2
+    agg = ranked.agg(
+        F.sum(F.col("na_v")).cast("bigint").alias("n_a"),
+        F.sum(F.col("nb_v")).cast("bigint").alias("n_b"),
+        F.sum(avg_rank * F.col("na_v")).alias("r_a"),
+        F.sum(
+            (F.col("t_v").cast("decimal(38,0)") * F.col("t_v") * F.col("t_v"))
+            - F.col("t_v")
+        ).alias("tie_cubes"),
+    )
+    u_a = F.col("r_a") - (F.col("n_a") * (F.col("n_a") + 1)) / 2
+    n = F.col("n_a") + F.col("n_b")
+    mu = F.col("n_a") * F.col("n_b") / 2
+    var = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_cubes").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round((u_a - mu) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """One row: (n_cells, dof, chi2) for the row x col contingency
+    table. The cell-statistic sum folds in sorted (row, col) order —
+    deterministic float accumulation by construction."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rw = Window.partitionBy("r")
+    cw = Window.partitionBy("c")
+    tot = Window.partitionBy()
+    scored = cells.select(
+        "r",
+        "c",
+        "obs",
+        F.sum("obs").over(rw).alias("row_n"),
+        F.sum("obs").over(cw).alias("col_n"),
+        F.sum("obs").over(tot).alias("n"),
+    )
+    # per-cell term (obs*n - row*col)^2 / (row*col*n): numerator exact in
+    # DECIMAL(38,0); ONE division per cell, then the ordered fold
+    num = (
+        F.col("obs").cast("decimal(38,0)") * F.col("n")
+        - F.col("row_n").cast("decimal(38,0)") * F.col("col_n")
+    )
+    den = (
+        F.col("row_n").cast("decimal(38,0)") * F.col("col_n") * F.col("n")
+    )
+    terms = scored.select(
+        "r",
+        "c",
+        ((num * num).cast("double") / den.cast("double")).alias("term"),
+        F.col("n"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            F.countDistinct("r").cast("bigint") - 1
+        ).alias("__rm1"),
+        (
+            F.countDistinct("c").cast("bigint") - 1
+        ).alias("__cm1"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, c, term))), "
+            "cast(0.0 as double), (acc, e) -> acc + e.term)"
+        ).alias("chi2_raw"),
+    )
+    return folded.select(
+        "n_cells",
+        (F.col("__rm1") * F.col("__cm1")).cast("bigint").alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+    )

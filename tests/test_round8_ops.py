@@ -1136,3 +1136,37 @@ def test_association_lift_identity(spark):
     lift_ji = by[(20, 10)] * nb / (marg[20] * marg[10])
     assert lift_ij == lift_ji
     assert by[(10, 20)] / marg[10] == 2 / 3  # confidence 10->20
+
+
+# --- statistical tests (operators/stats.py) --------------------------------------
+
+
+def test_theil_sen_exact_line(spark):
+    from dawis_spark.operators.stats import theil_sen
+
+    df = spark.createDataFrame(
+        [("a", i, 3 * i + 7) for i in range(6)] + [("a", 6, 999)],  # one outlier
+        "k string, x bigint, y bigint",
+    )
+    out = theil_sen(df, "k", "x", "y").collect()[0]
+    assert out["slope"] == 3.0  # median slope shrugs off the outlier
+
+
+def test_mann_whitney_symmetric_no_shift(spark):
+    from dawis_spark.operators.stats import mann_whitney
+
+    rows = [(v, "a") for v in [10, 20, 30, 40]] + [(v, "b") for v in [10, 20, 30, 40]]
+    df = spark.createDataFrame(rows, "v bigint, side string")
+    out = mann_whitney(df, "v", "side", "a", "b").collect()[0]
+    assert out["z"] == 0.0  # identical distributions -> U at its mean
+    assert out["u_a"] == 8.0  # n_a*n_b/2
+
+
+def test_chi2_independent_table_is_zero(spark):
+    from dawis_spark.operators.stats import chi_square_independence
+
+    # perfectly proportional table -> chi2 == 0
+    rows = [("x", 1)] * 4 + [("x", 2)] * 8 + [("y", 1)] * 2 + [("y", 2)] * 4
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert out["chi2"] == 0.0 and out["dof"] == 1
