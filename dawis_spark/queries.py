@@ -9523,6 +9523,99 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats.chi_square_independence(e, "event_type", "dow")
 
 
+def _jl_oracle(k: int, n_queries: int, dim: int, out_dim: int) -> str:
+    from dawis_spark.operators.jl import project_expr
+
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    proj = project_expr("embedding", dim, out_dim, "duck")
+    return f"""
+WITH p AS (SELECT vec_id, {proj} AS proj FROM embeddings),
+q AS (SELECT vec_id AS query_id, proj AS q_vec FROM p WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, proj AS c_vec FROM p),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_jl", oracle=_jl_oracle(5, 10, 64, 16))
+def embedding_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projected search (operators/jl.py): project
+    64 -> 16 dims with the inline deterministic +-1 matrix (Achlioptas
+    2003 database-friendly JL) and run the exact top-k IN THE SMALL
+    SPACE — every distance costs d'/d of the original; the standard
+    geometry-compressing pre-filter in front of an exact re-rank
+    (contrast the code-compressing PQ/SQ8/BQ rungs). Projection is pure
+    map-side codegen; both engines fold components in the same fixed
+    order, so the projected vectors are bit-identical."""
+    from dawis_spark.operators.jl import jl_project
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    p = jl_project(emb, "vec_id", "embedding", 64, 16)
+    return brute_force_topk(
+        corpus=p,
+        queries=p.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="proj",
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_jl_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    jl = _jl_oracle(k, 10, 64, 16).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+jl_r AS (SELECT * FROM ({jl}))
+SELECT e.query_id,
+  ROUND(CAST(COUNT(r.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_jl
+FROM exact_r e
+LEFT JOIN jl_r r
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_jl", oracle=_ann_recall_jl_oracle(5))
+def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 16-dim JL search against exact 64-dim brute
+    force, per query — prices the 4x geometry compression in recall,
+    the standing ANN self-eval discipline."""
+    from dawis_spark.operators.jl import jl_project
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=emb, queries=qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    p = jl_project(emb, "vec_id", "embedding", 64, 16)
+    approx = brute_force_topk(
+        corpus=p,
+        queries=p.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="proj",
+        k=5,
+    ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("a_nid") / 5, 6).alias("recall_jl"))
+        .orderBy("query_id")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

@@ -1170,3 +1170,29 @@ def test_chi2_independent_table_is_zero(spark):
     df = spark.createDataFrame(rows, "r string, c int")
     out = chi_square_independence(df, "r", "c").collect()[0]
     assert out["chi2"] == 0.0 and out["dof"] == 1
+
+
+# --- JL projection ----------------------------------------------------------------
+
+
+def test_jl_projection_deterministic_and_partition_invariant(spark):
+    from dawis_spark.operators.jl import jl_project
+
+    df = _toy_corpus(spark)
+    p1 = {r["vec_id"]: r["proj"] for r in jl_project(df.repartition(1), "vec_id", "embedding", 4, 2).collect()}
+    p8 = {r["vec_id"]: r["proj"] for r in jl_project(df.repartition(8), "vec_id", "embedding", 4, 2).collect()}
+    assert p1 == p8
+    # hand-check one component: s(i,0) = 1-2*((i*53)%2) = [1,-1,1,-1]
+    v = [1.0, 0.0, 0.0, 0.0]
+    assert p1[0][0] == 1.0  # only i=0 contributes, sign +1
+
+
+def test_jl_recall_reasonable_on_clusters(spark):
+    from dawis_spark.operators.jl import jl_project
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    df = _toy_corpus(spark)
+    p = jl_project(df, "vec_id", "embedding", 4, 4)  # same-dim projection: rotation-ish
+    exact = brute_force_topk(df, df, "vec_id", "embedding", k=2).collect()
+    proj = brute_force_topk(p, p, "vec_id", "proj", k=2).collect()
+    assert len(exact) == len(proj)
