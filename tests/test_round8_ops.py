@@ -1196,3 +1196,24 @@ def test_jl_recall_reasonable_on_clusters(spark):
     exact = brute_force_topk(df, df, "vec_id", "embedding", k=2).collect()
     proj = brute_force_topk(p, p, "vec_id", "proj", k=2).collect()
     assert len(exact) == len(proj)
+
+
+def test_cusum_query_matches_closed_form_helper(spark):
+    # batch SQL path == the integer helper the streaming monitor uses
+    from dawis_spark import queries as q
+    from dawis_spark.streaming.cusum import cusum_closed_form
+
+    out = q.QUERIES["cusum_changepoints"](spark, "/root/testdata/sf0.001")
+    rows = [r for r in out.collect() if r["event_type"] == "click"]
+    daily = (
+        spark.table("events")
+        .where("event_type = 'click'")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v"))
+        .orderBy("day")
+        .collect()
+    )
+    series = [(i, int(r["v"])) for i, r in enumerate(daily)]
+    want = [s for _, s, _ in cusum_closed_form(series)]
+    got = [r["cusum_scaled"] for r in sorted(rows, key=lambda r: r["day"])]
+    assert got == want

@@ -94,3 +94,102 @@ def test_watermark_keeps_inside_late_and_drops_behind_late(spark, tmp_path):
         )
     }
     assert emitted3 == batch
+
+
+def test_stream_cusum_matches_batch_closed_form(spark, tmp_path):
+    """Two ticks: a flat baseline then a sustained shift. The final
+    tick's emitted rows must equal the integer closed form over the
+    retained history (the module family's batch-equivalence contract),
+    and the shift must breach."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.cusum import cusum_closed_form, stream_cusum
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_cusum(
+                staging_stream(spark, staging, schema), "series", "bucket", "cents"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t1 = [("m", b, 100) for b in range(10)]
+    t2 = [("m", 10 + i, 1000) for i in range(5)]  # sustained upward shift
+    tick(t1)
+    tick(t2)
+
+    out = {
+        r["bucket"]: r for r in spark.read.parquet(sink).where("bucket >= 10").collect()
+    }
+    series = [(b, 100) for b in range(10)] + [(10 + i, 1000) for i in range(5)]
+    want = {b: (s, fl) for b, s, fl in cusum_closed_form(series)}
+    for b in range(10, 15):
+        assert out[b]["cusum_scaled"] == want[b][0], b
+        assert out[b]["breached"] == want[b][1], b
+    assert out[14]["breached"]  # the shift accumulates past h
+
+
+def test_stream_cusum_redelivery_replaces(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.cusum import cusum_closed_form, stream_cusum
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_cusum(
+                staging_stream(spark, staging, schema), "series", "bucket", "cents"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tick([("m", b, 100) for b in range(5)])
+    tick([("m", 4, 900)])  # redelivery of bucket 4 with a corrected value
+
+    last = [
+        r
+        for r in spark.read.parquet(sink).collect()
+        if r["bucket"] == 4
+    ]
+    # two emissions of bucket 4 (one per tick); the LATEST reflects the
+    # replaced value against the replaced history
+    series = [(b, 100) for b in range(4)] + [(4, 900)]
+    want = {b: (s, fl) for b, s, fl in cusum_closed_form(series)}
+    assert any(r["cusum_scaled"] == want[4][0] for r in last)
