@@ -120,3 +120,37 @@ def session_counts(
             "n",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    within: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each left event pairs
+    with the right events of the same ``key`` whose time falls in
+    [left_time, left_time + within] — the streaming twin of the batch
+    bin-bucketed range join (events_following_1h / operators/rangejoin).
+
+    The time-range predicate in the join condition is what makes the
+    state BOUNDED: with both sides watermarked, Spark derives how long a
+    buffered row can still find a partner (watermark + within) and
+    purges beyond it — the textbook ad-click/impression attribution
+    join. Without the range bound the state would grow forever; this
+    wrapper makes the bound part of the operator's signature.
+
+    Columns: key, left ``l_`` columns, right ``r_`` columns (prefixed by
+    the caller via select), left_time/right_time preserved.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] >= lw[left_time])
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])

@@ -193,3 +193,69 @@ def test_stream_cusum_redelivery_replaces(spark, tmp_path):
     series = [(b, 100) for b in range(4)] + [(4, 900)]
     want = {b: (s, fl) for b, s, fl in cusum_closed_form(series)}
     assert any(r["cusum_scaled"] == want[4][0] for r in last)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked click->purchase attribution join over two file
+    streams equals the batch join on the same closed input, and the
+    plan carries the bounded-state time-range condition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dawis_spark.streaming.stream import interval_join, staging_stream
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cs = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("c_ts", T.TimestampType()),
+         T.StructField("click_id", T.LongType())]
+    )
+    bs = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("b_ts", T.TimestampType()),
+         T.StructField("buy_id", T.LongType())]
+    )
+    clicks = [
+        (1, "2024-01-01 10:00:00", 100),
+        (1, "2024-01-01 12:00:00", 101),
+        (2, "2024-01-01 10:00:00", 102),
+    ]
+    buys = [
+        (1, "2024-01-01 10:30:00", 900),  # within 1h of click 100
+        (1, "2024-01-01 13:30:00", 901),  # within nothing (1.5h after 101)
+        (2, "2024-01-01 10:59:00", 902),  # within 1h of click 102
+    ]
+    cdf = spark.createDataFrame(
+        [(u, t, i) for u, t, i in clicks], "user_id bigint, c_ts string, click_id bigint"
+    ).withColumn("c_ts", F.to_timestamp("c_ts"))
+    bdf = spark.createDataFrame(
+        [(u, t, i) for u, t, i in buys], "user_id bigint, b_ts string, buy_id bigint"
+    ).withColumn("b_ts", F.to_timestamp("b_ts"))
+    cdf.write.mode("append").parquet(clicks_dir)
+    bdf.write.mode("append").parquet(buys_dir)
+
+    joined = interval_join(
+        staging_stream(spark, clicks_dir, cs),
+        staging_stream(spark, buys_dir, bs),
+        "user_id", "c_ts", "b_ts", within="1 hour",
+    ).select("user_id", "click_id", "buy_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["click_id"], r["buy_id"]) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in cdf.join(
+            bdf,
+            (cdf.user_id == bdf.user_id)
+            & (bdf.b_ts >= cdf.c_ts)
+            & (bdf.b_ts <= cdf.c_ts + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == want == [(100, 900), (102, 902)]
