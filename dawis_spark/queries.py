@@ -9616,6 +9616,49 @@ def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_confusion_oracle() -> str:
+    inner = _lang_id_oracle().strip().replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({inner}),
+j AS (
+  SELECT d.lang AS actual, p.lang_pred AS predicted
+  FROM documents d JOIN pred p USING (doc_id))
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY actual), 6) AS row_share
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("langid_confusion_matrix", oracle=_langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language-ID heuristic
+    against the corpus' ground-truth lang labels — the self-eval the
+    classifier families get (ann_recall_*, classifier_auc_eval), applied
+    to language_id: per (actual, predicted) counts and row-normalized
+    shares. Prediction is the same map-side argmax; the rollup is
+    |langs|^2-sized."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.textstats import language_id
+
+    pred = language_id(spark.table("documents"), "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    j = spark.table("documents").select("doc_id", F.col("lang").alias("actual")).join(
+        pred, "doc_id"
+    )
+    rw = Window.partitionBy("actual")
+    return (
+        j.groupBy("actual", F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "row_share", F.round(F.col("n") / F.sum("n").over(rw), 6)
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
