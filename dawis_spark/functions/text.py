@@ -37,9 +37,15 @@ def char_hash(expr: str, dialect: str) -> str:
     domain math), exact in int64: h < 1e9+7, so h*31 + 127 < 2^35.
     """
     if dialect == "spark":
+        # bind the operand ONCE via a one-element transform (the
+        # _mixed_sql lesson): the fold references its input len+1 times,
+        # so an inline concat/cast operand would be re-evaluated per
+        # CHARACTER — measured 60x on the hash-sample predicates (2.5 s
+        # -> 0.04 s on a 600k-row scan) and 2.6x on table fingerprints.
         return (
-            f"aggregate(sequence(1, length({expr})), cast(0 as bigint), "
-            f"(h, i) -> (h * 31 + ascii(substring({expr}, i, 1))) % {MOD})"
+            f"(transform(array({expr}), __ch -> "
+            f"aggregate(sequence(1, length(__ch)), cast(0 as bigint), "
+            f"(h, i) -> (h * 31 + ascii(substring(__ch, i, 1))) % {MOD})))[0]"
         )
     # ({expr})[i]: [] binds tighter than || in DuckDB, so an unwrapped
     # concat operand would be indexed before concatenation (and ascii()

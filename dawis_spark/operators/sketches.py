@@ -746,3 +746,25 @@ agg AS (
   FROM regs)
 SELECT v_empty, s_scaled, ROUND({HLL_NUM!r} / s_scaled, 4) AS est FROM agg
 """
+
+
+def int_hash_sample_pred(key_expr: str, rate_ppm: int, dialect: str) -> str:
+    """Deterministic sample predicate for INTEGER keys — the codegen
+    fast path next to hash_sample_pred's string form.
+
+    The string form pays a per-character higher-order fold that Spark
+    interprets OUTSIDE whole-stage codegen (~1.5 s per 600k-row scan);
+    integer keys don't need characters at all: reduce the key mod MOD,
+    then apply the same KMV uniformizing polynomial rounds INLINED as
+    plain arithmetic (each round references its input 3x — 27 integer
+    ops total, all codegen). Same replay guarantees: membership is a
+    pure function of the key, identical in both engines.
+    """
+    # textual nesting triples the base expression per round (9 copies
+    # after the 2 rounds) — the base is a handful of integer ops, so the
+    # blowup that forced _mixed_sql's transform-binding for CHAR hashes
+    # is harmless here and keeps everything inside codegen
+    x = f"((({key_expr}) % {MOD} + {MOD}) % {MOD})"
+    for a, b in _KMV_ROUNDS:
+        x = f"(({x}) * ({x}) + {a} * ({x}) + {b}) % {MOD}"
+    return f"({x}) % 1000000 < {rate_ppm}"
