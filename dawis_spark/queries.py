@@ -9734,8 +9734,15 @@ DRIVER_PRIORITY: list[str] = [
     # session_entry_exit_bounce, ks_price_drift, benford_first_digit,
     # curriculum_buckets, stratified_quota_sample, dedup_loss_weights,
     # association_rules, rolling_median_7d, rolling_wau_7d,
-    # pareto_customers) are sweep-verified at sf0.01 AND sf0.1 this
-    # round, sf1-rehearsed (SCALE.md), and head the r9 rotation.
+    # pareto_customers, gini_concentration, new_vs_returning_daily,
+    # rfm_segments, transition_dwell_times, wordpiece_vocab,
+    # wordpiece_segmented_corpus, part_supplier_hhi,
+    # lexical_richness_by_source, theil_sen_trends, mann_whitney_drift,
+    # chi_square_independence, embedding_ann_jl, ann_recall_jl,
+    # langid_confusion_matrix, cusum_changepoints,
+    # dow_seasonality_index, time_to_conversion) are sweep-verified at
+    # sf0.01 AND sf0.1 this round, sf1-rehearsed (SCALE.md), and head
+    # the r9 rotation.
     # (the former d6 tail — semantic_dedup, embedding_ann_ivfpq,
     # embedding_ann_ivfadc, embedding_ann_lsh, psi_metric_extraction —
     # rotated out mid-round to make room for the six round-8 additions;
