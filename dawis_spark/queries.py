@@ -9661,6 +9661,135 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROP_Z_ORACLE = """
+WITH g AS (
+  SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k2
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+SELECT n1, k1, n2, k2,
+       ROUND(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+       ROUND(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+       ROUND((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+             / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z
+FROM g
+"""
+
+
+@query("proportion_ztest", oracle=_PROP_Z_ORACLE)
+def proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test — the A/B-testing primitive
+    completing the hypothesis suite (KS location-free, Mann-Whitney
+    rank, chi-square independence, this one for binary outcomes):
+    'F'-status share URGENT vs LOW. One scan, one agg row, fixed-order
+    IEEE arithmetic over exact counts."""
+    a = F.col("o_orderpriority") == "1-URGENT"
+    b = F.col("o_orderpriority") == "5-LOW"
+    f = F.col("o_orderstatus") == "F"
+    g = (
+        spark.table("orders")
+        .filter(a | b)
+        .agg(
+            F.sum(a.cast("int")).cast("bigint").alias("n1"),
+            F.sum((a & f).cast("int")).cast("bigint").alias("k1"),
+            F.sum(b.cast("int")).cast("bigint").alias("n2"),
+            F.sum((b & f).cast("int")).cast("bigint").alias("k2"),
+        )
+    )
+    p1 = F.col("k1") / F.col("n1")
+    p2 = F.col("k2") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")) / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return g.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def _kappa_oracle() -> str:
+    inner = _lang_id_oracle().strip().replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({inner}),
+j AS (
+  SELECT d.lang AS actual, p.lang_pred AS predicted
+  FROM documents d JOIN pred p USING (doc_id)),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM j),
+marg AS (
+  SELECT SUM(CAST(a.n_a AS HUGEINT) * p.n_p) AS chance_num
+  FROM (SELECT actual AS c, CAST(COUNT(*) AS BIGINT) AS n_a FROM j GROUP BY 1) a
+  JOIN (SELECT predicted AS c, CAST(COUNT(*) AS BIGINT) AS n_p FROM j GROUP BY 1) p
+    USING (c))
+SELECT m.n, m.agree,
+       ROUND(CAST(m.agree AS DOUBLE) / m.n, 6) AS accuracy,
+       ROUND((CAST(m.agree AS DOUBLE) / m.n
+              - CAST(marg.chance_num AS DOUBLE) / (CAST(m.n AS HUGEINT) * m.n))
+             / (1 - CAST(marg.chance_num AS DOUBLE) / (CAST(m.n AS HUGEINT) * m.n)), 6)
+         AS kappa
+FROM m, marg
+"""
+
+
+@query("langid_cohens_kappa", oracle=_kappa_oracle())
+def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic against ground truth
+    — chance-corrected agreement on top of langid_confusion_matrix's raw
+    counts: kappa = (p_o - p_e) / (1 - p_e) with p_e from the exact
+    integer marginal products (HUGEINT/DECIMAL38 — n^2 crosses int64 at
+    corpus scale). One prediction scan, label-cardinality marginals."""
+    from dawis_spark.operators.textstats import language_id
+
+    pred = language_id(spark.table("documents"), "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    j = (
+        spark.table("documents")
+        .select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .select("actual", F.col("lang_pred").alias("predicted"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("actual") == F.col("predicted")).cast("int"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    a = j.groupBy(F.col("actual").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    p = j.groupBy(F.col("predicted").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    marg = a.join(p, "c").agg(
+        F.sum(F.col("n_a").cast("decimal(38,0)") * F.col("n_p")).alias("chance_num")
+    )
+    po = F.col("agree") / F.col("n")
+    pe = F.col("chance_num").cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("n")
+    ).cast("double")
+    return (
+        m.crossJoin(F.broadcast(marg))
+        .select(
+            "n",
+            "agree",
+            F.round(po, 6).alias("accuracy"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
