@@ -7400,7 +7400,7 @@ def pps_ht_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hll_oracle() -> str:
     from dawis_spark.operators.sketches import hll_oracle_sql
 
-    inner = hll_oracle_sql("events", "event_id").strip()
+    inner = hll_oracle_sql("events", "event_id", numeric=True).strip()
     return f"""
 WITH h AS ({inner}),
 e AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact FROM events)
@@ -7426,7 +7426,7 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dawis_spark.operators.sketches import hll_estimate, hll_registers
 
     ev = spark.table("events")
-    est = hll_estimate(hll_registers(ev, "event_id"))
+    est = hll_estimate(hll_registers(ev, "event_id", numeric=True))
     exact = ev.agg(F.countDistinct("event_id").cast("bigint").alias("n_exact"))
     return exact.crossJoin(est).select(
         "n_exact",
