@@ -4855,11 +4855,11 @@ def mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coordinated_sample_oracle(rate_ppm: int) -> str:
-    from dawis_spark.operators.sketches import hash_sample_pred
+    from dawis_spark.operators.sketches import int_hash_sample_pred
 
     scale = 1_000_000 / rate_ppm
-    o_pred = hash_sample_pred("o_orderkey", rate_ppm, "duck")
-    l_pred = hash_sample_pred("l_orderkey", rate_ppm, "duck")
+    o_pred = int_hash_sample_pred("o_orderkey", rate_ppm, "duck")
+    l_pred = int_hash_sample_pred("l_orderkey", rate_ppm, "duck")
     return f"""
 WITH o_samp AS (SELECT * FROM orders WHERE {o_pred}),
 l_samp AS (SELECT * FROM lineitem WHERE {l_pred}),
@@ -4898,15 +4898,15 @@ def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the hash-coordination (unlike rand()) keeping it correct and
     reproducible. Deterministic membership is also what lets the oracle
     replay the exact sample."""
-    from dawis_spark.operators.sketches import hash_sample_pred
+    from dawis_spark.operators.sketches import int_hash_sample_pred
 
     rate_ppm = 50000
     scale = 1_000_000 / rate_ppm
     o = spark.table("orders").where(
-        F.expr(hash_sample_pred("o_orderkey", rate_ppm, "spark"))
+        F.expr(int_hash_sample_pred("o_orderkey", rate_ppm, "spark"))
     )
     li = spark.table("lineitem").where(
-        F.expr(hash_sample_pred("l_orderkey", rate_ppm, "spark"))
+        F.expr(int_hash_sample_pred("l_orderkey", rate_ppm, "spark"))
     )
     est = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
