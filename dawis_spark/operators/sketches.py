@@ -616,8 +616,9 @@ def pps_sample(
     + (pi_ppm, ht_micro) where ht_micro = round(1e12/pi_ppm) is the
     integer micro-unit HT reweight (1e6 == weight 1.0)."""
     pi = pps_pi_ppm(weight_expr, scale_ppm)
-    h = TXT.char_hash(f"cast({id_col} as string)", "spark")
-    pred = f"({_mixed_sql(h, 'spark')}) % 1000000 < __pi_ppm"
+    # integer-key codegen path (id columns are int64 here; see
+    # int_hash_sample_pred for why the char fold costs 10-60x)
+    pred = f"({_int_mix(f'({id_col}) * 31 + 4001')}) % 1000000 < __pi_ppm"
     return (
         df.withColumn("__pi_ppm", F.expr(pi))
         .where(F.expr(pred))
@@ -633,12 +634,12 @@ def pps_oracle_sample_sql(
     table: str, id_col: str, weight_expr: str, scale_ppm: int
 ) -> str:
     """DuckDB replay of the sampled relation (id, weight, pi_ppm, ht_micro)."""
-    h = TXT.char_hash(f"cast({id_col} as varchar)", "duck")
+    u = _int_mix(f"({id_col}) * 31 + 4001")
     return f"""
 SELECT {id_col}, __w AS w,
        least(1000000, CAST(__w AS BIGINT) * {scale_ppm}) AS pi_ppm,
        CAST(ROUND(1000000000000.0 / least(1000000, CAST(__w AS BIGINT) * {scale_ppm}), 0) AS BIGINT) AS ht_micro
-FROM (SELECT {id_col}, {weight_expr} AS __w, {_mixed_sql(h, 'duck')} AS __u FROM {table})
+FROM (SELECT {id_col}, {weight_expr} AS __w, {u} AS __u FROM {table})
 WHERE __u % 1000000 < least(1000000, CAST(__w AS BIGINT) * {scale_ppm})
 """
 
