@@ -9790,6 +9790,96 @@ def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RBO_P = 0.9
+_RBO_D = 20
+# (1-p) p^(d-1) / (1 - p^D) snapped to 9 digits in PYTHON once — both
+# engines consume identical literals (no runtime pow)
+_RBO_W = [
+    round((1 - _RBO_P) * _RBO_P ** (d - 1) / (1 - _RBO_P**_RBO_D), 9)
+    for d in range(1, _RBO_D + 1)
+]
+
+
+def _rbo_oracle() -> str:
+    # reuse the RRF oracle's leg CTEs (base..sparse..dense) and swap the
+    # final select for the depth-wise overlap fold
+    rrf = _hybrid_rrf_oracle(_RBO_D, 60, 10)
+    legs = rrf[: rrf.index("SELECT id, round(")].rstrip().rstrip(")") + ")"
+    wvals = ", ".join(f"({d}, {w!r})" for d, w in enumerate(_RBO_W, start=1))
+    return f"""
+{legs},
+m AS (
+  SELECT greatest(s.sparse_rank, de.dense_rank) AS first_depth
+  FROM sparse s JOIN dense de USING (id)),
+w(depth, wt) AS (VALUES {wvals}),
+ov AS (
+  SELECT w.depth, w.wt,
+         CAST((SELECT COUNT(*) FROM m WHERE m.first_depth <= w.depth) AS BIGINT) AS overlap
+  FROM w)
+SELECT CAST(depth AS INT) AS depth, overlap,
+       ROUND(SUM(wt * overlap / depth) OVER (ORDER BY depth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rbo_at
+FROM ov ORDER BY depth
+"""
+
+
+@query("rank_biased_overlap", oracle=_rbo_oracle())
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the hybrid
+    pipeline's two retrieval legs (BM25 sparse vs dense cosine, the
+    exact rankings hybrid_search_rrf fuses) — the top-weighted
+    ranking-similarity diagnostic that tells you WHETHER fusion has
+    anything to add (RBO ~1 means the legs agree and fusion is a
+    no-op). Depth weights are nine-digit Python literals (no runtime
+    pow); per-depth overlaps are exact ints; the running RBO is an
+    ORDERED window cumsum, so float accumulation is part of the
+    definition (the chi-square discipline). Both legs are config-sized
+    top-20 relations — everything here is free next to retrieval."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    sparse = bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS), top_n=_RBO_D).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("sparse_rank"),
+    )
+    dense = brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_RBO_D,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("dense_rank"))
+    m = sparse.join(dense, "id").select(
+        F.greatest("sparse_rank", "dense_rank").alias("first_depth")
+    )
+    w_rows = spark.createDataFrame(
+        [(d, w) for d, w in enumerate(_RBO_W, start=1)], "depth int, wt double"
+    )
+    ov = (
+        F.broadcast(w_rows)
+        .join(m, F.col("first_depth") <= F.col("depth"), "left")
+        .groupBy("depth", "wt")
+        .agg(F.count("first_depth").cast("bigint").alias("overlap"))
+    )
+    run = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ov.withColumn(
+            "rbo_at",
+            F.round(
+                F.sum(F.col("wt") * F.col("overlap") / F.col("depth")).over(run), 6
+            ),
+        )
+        .select("depth", "overlap", "rbo_at")
+        .orderBy("depth")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
