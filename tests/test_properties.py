@@ -228,3 +228,76 @@ def test_mixed_hash_dual_rendering_agrees(values):
             h = (h * h + a * h + b) % MOD
         out.append(h)
     assert duck == out
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_equals_recursion_property(xs):
+    # S_t = max(0, S_{t-1} + x_t)  ==  cum_t - min(0, running_min(cum))
+    from itertools import accumulate
+
+    s_rec, rec = 0, []
+    for x in xs:
+        s_rec = max(0, s_rec + x)
+        rec.append(s_rec)
+    cums = list(accumulate(xs))
+    closed = [c - min(0, min(cums[: i + 1])) for i, c in enumerate(cums)]
+    assert rec == closed
+
+
+@given(
+    strings=st.lists(
+        st.text(alphabet="abcdefgh -", min_size=1, max_size=12),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_deletion_variants_dual_rendering_agrees(spark, strings):
+    import duckdb
+
+    from dawis_spark.functions.text import deletion_variants
+
+    sp = {
+        r["t"]: sorted(r["v"])
+        for r in spark.createDataFrame([(s,) for s in strings], "t string")
+        .selectExpr("t", f"{deletion_variants('t', 2, 'spark')} as v")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?)", [(x,) for x in strings])
+    du = {
+        t: sorted(v)
+        for t, v in con.execute(
+            f"SELECT t, {deletion_variants('t', 2, 'duck')} FROM s"
+        ).fetchall()
+    }
+    assert sp == du
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_int_uniformizer_dual_rendering_agrees(spark, keys):
+    import duckdb
+
+    from dawis_spark.operators.sketches import _int_mix
+
+    expr = _int_mix("k * 31 + 4001")
+    sp = {
+        r["k"]: r["u"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k bigint")
+        .selectExpr("k", f"{expr} as u")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in keys])
+    du = dict(con.execute(f"SELECT k, {expr} FROM t").fetchall())
+    assert sp == du
