@@ -9880,6 +9880,512 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oph_pairs_oracle(threshold: float) -> str:
+    from dawis_spark.operators.oph import oph_signature
+
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    sig = oph_signature("sh", _N_PERMS, "duck")
+    band_key = " || ':' || ".join(
+        f"CAST(sig[b * {_ROWS_PER_BAND} + {r + 1}] AS VARCHAR)"
+        for r in range(_ROWS_PER_BAND)
+    )
+    jac = _TXT.jaccard("a.sh", "b.sh", "duck")
+    slots = (
+        f"list_sum(list_transform(range(1, {_N_PERMS + 1}), "
+        "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH hashes AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (SELECT doc_id, {sig} AS sig FROM hashes WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, t.b AS band, {band_key} AS key
+  FROM sigs, range(0, {_BANDS}) t(b)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, ROUND({jac}, 6) AS jaccard,
+       CAST({slots} AS BIGINT) AS slots_eq,
+       ROUND(CAST({slots} AS DOUBLE) / {_N_PERMS}, 6) AS oph_est
+FROM cands JOIN hashes a ON a.doc_id = id_a JOIN hashes b ON b.doc_id = id_b
+           JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE ROUND({jac}, 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@query("oph_minhash_pairs", oracle=_oph_pairs_oracle(0.2))
+def oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing near-dup pipeline (Li/Owen/Zhang 2012 +
+    rotation densification, Shrivastava & Li 2014): each shingle hashed
+    ONCE and binned, vs K=8 permutation passes for classic MinHash — the
+    K-fold map-side saving that matters when signature hashing dominates
+    corpus dedup cost. Then the identical banded-LSH candidate join and
+    exact-Jaccard verification as minhash_lsh_pairs (threshold 0.2), so
+    the two families are directly comparable; ``slots_eq``/``oph_est``
+    carry the signature-agreement Jaccard estimate per surviving pair.
+
+    Scale: one band-bucket self-join (the only shuffle), shuffle_hash
+    verification on pair ids — corpus-sized sides never broadcast."""
+    from dawis_spark.operators.oph import oph_near_duplicates
+
+    return oph_near_duplicates(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        k_bins=_N_PERMS,
+        bands=_BANDS,
+        threshold=0.2,
+        shingle_k=_SHINGLE_K,
+    ).orderBy("id_a", "id_b")
+
+
+_LSH_CURVE_ANCHOR_MOD = 25
+_LSH_CURVE_ANCHOR_CAP = 500  # fixed 20-anchor eval at EVERY scale factor
+
+
+def _lsh_curve_oracle() -> str:
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    sig = (
+        "["
+        + ", ".join(
+            _TXT.minhash_element("sh", a, b, "duck")
+            for a, b in _TXT.minhash_coeffs(_N_PERMS)
+        )
+        + "]"
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.sig[{b * _ROWS_PER_BAND + r + 1}] = sb.sig[{b * _ROWS_PER_BAND + r + 1}]"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    inter = "len(list_intersect(a.sh, b.sh))"
+    union = "len(list_distinct(list_concat(a.sh, b.sh)))"
+    return f"""
+WITH hashes AS (SELECT doc_id, {sh} AS sh FROM documents),
+h AS (SELECT * FROM hashes WHERE len(sh) > 0),
+sigs AS (SELECT doc_id, {sig} AS sig FROM h),
+pairs AS (
+  SELECT LEAST(CAST(10 * {inter} // {union} AS INT), 9) AS bucket,
+         CASE WHEN {band_hit} THEN 1 ELSE 0 END AS hit
+  FROM h a JOIN h b ON a.doc_id != b.doc_id
+  JOIN sigs sa ON sa.doc_id = a.doc_id JOIN sigs sb ON sb.doc_id = b.doc_id
+  WHERE a.doc_id % {_LSH_CURVE_ANCHOR_MOD} = 0 AND a.doc_id < {_LSH_CURVE_ANCHOR_CAP}
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_detected,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS detect_rate
+FROM pairs GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("lsh_detection_curve", oracle=_lsh_curve_oracle())
+def lsh_detection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized LSH S-curve: for a bounded deterministic anchor set
+    (doc_id % 25 = 0, capped at id < 500 — a FIXED 20-anchor eval at
+    every corpus scale), measure the fraction of anchor-candidate pairs per
+    exact-Jaccard decile that the production banded MinHash (K=8, 4x2)
+    would surface (>= 1 band collision, read off the signatures — no
+    bucket join needed). This is the tuning diagnostic for bands/rows:
+    the empirical detection probability by true similarity, the realized
+    counterpart of 1-(1-s^r)^b. The decile is INTEGER (10*|∩| // |∪|),
+    no float bucket boundaries.
+
+    Scale: anchors broadcast against one corpus scan — linear, the
+    ann_recall_* eval pattern, never an all-pairs join."""
+    from dawis_spark.operators.dedup import _shingle_hashes_col, ensure_parallelism
+
+    docs = ensure_parallelism(spark.table("documents"))
+    h = docs.select(
+        "doc_id", _shingle_hashes_col("text", _SHINGLE_K).alias("sh")
+    ).filter(F.size("sh") > 0)
+    elems = [
+        _TXT.minhash_element("sh", a, b, "spark")
+        for a, b in _TXT.minhash_coeffs(_N_PERMS)
+    ]
+    hs = h.select(
+        "doc_id", "sh", F.expr("array(" + ", ".join(elems) + ")").alias("sig")
+    )
+    anchors = hs.filter(
+        (F.col("doc_id") % _LSH_CURVE_ANCHOR_MOD == 0)
+        & (F.col("doc_id") < _LSH_CURVE_ANCHOR_CAP)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    cands = hs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sig_a[{b * _ROWS_PER_BAND + r}] = sig_b[{b * _ROWS_PER_BAND + r}]"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(cands, F.col("id_a") != F.col("id_b"))
+        .select(
+            F.expr(
+                "least(cast((10 * size(array_intersect(sh_a, sh_b))) div "
+                "size(array_union(sh_a, sh_b)) as int), 9)"
+            ).alias("bucket"),
+            F.expr(f"case when {band_hit} then 1 else 0 end").alias("hit"),
+        )
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("hit").cast("bigint").alias("n_detected"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("detect_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to MOD=1e9+7 (nine-digit
+# literals, no runtime exp): P(X<=n) * MOD rounded, n = 0..6.
+_POIS_THRESH = [367879444, 735758887, 919698609, 981011850, 996340160, 999405822, 999916766]
+_BOOT_B = 64  # replicates
+_BOOT_A, _BOOT_C = 1103515245, 12345  # LCG-style mix (public-domain constants)
+
+
+def _bootstrap_weight_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {t} THEN {w}" for w, t in enumerate(_POIS_THRESH)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_THRESH)} END"
+
+
+def _bootstrap_oracle() -> str:
+    u = f"({_BOOT_A} * (o_orderkey * {_BOOT_B} + t.b) + {_BOOT_C}) % {_TXT.MOD}"
+    w = _bootstrap_weight_case(f"(({u}))")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+expanded AS (
+  SELECT t.b AS b, {w} AS w, cents
+  FROM base, range(0, {_BOOT_B}) t(b)),
+reps AS (
+  SELECT b, CAST(SUM(w * cents) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+  FROM expanded GROUP BY b),
+ranked AS (
+  SELECT b, num, den,
+         ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den, b) AS rk
+  FROM reps),
+point AS (
+  SELECT ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6) AS point_cents FROM base)
+SELECT point_cents,
+       ROUND(MIN(CASE WHEN rk = 2 THEN CAST(num AS DOUBLE) / den END), 6) AS ci_lo_cents,
+       ROUND(MIN(CASE WHEN rk = {_BOOT_B - 1} THEN CAST(num AS DOUBLE) / den END), 6) AS ci_hi_cents,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates
+FROM ranked, point GROUP BY point_cents
+"""
+
+
+@query("bootstrap_ci_order_value", oracle=_bootstrap_oracle())
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (the distributed bootstrap of
+    Chamandy et al. / Kleiner-style resampling): each order contributes
+    to replicate b with weight ~ Poisson(1), drawn by inverse-CDF over a
+    hash-uniform integer — fully deterministic and engine-identical, no
+    RNG state. B=64 replicate means of order value; the 95% CI is the
+    nearest-rank 2.5%/97.5% selection over the replicates (ranks 2 and
+    63), point estimate alongside.
+
+    Scale: a fixed x64 map-side fanout of (b, w, cents) rows into a
+    64-group partial aggregate — the shuffle carries 64 rows per
+    partition regardless of data size. The replicate ranking is over 64
+    rows on one reducer. This is THE cluster-friendly bootstrap: no
+    per-replicate resample materialization, no driver loop."""
+    b = spark.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    u = f"({_BOOT_A} * (o_orderkey * {_BOOT_B} + b) + {_BOOT_C}) % {_TXT.MOD}"
+    expanded = b.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        F.col("b"),
+        F.expr(_bootstrap_weight_case(f"(({u}))")).alias("w"),
+        "cents",
+    )
+    reps = expanded.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("num"),
+        F.sum("w").cast("bigint").alias("den"),
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.select(
+        "b",
+        "num",
+        "den",
+        F.row_number()
+        .over(Window.orderBy(F.col("num").cast("double") / F.col("den"), F.col("b")))
+        .alias("rk"),
+    )
+    point = b.agg(
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_cents"
+        )
+    )
+    ci = ranked.groupBy().agg(
+        F.round(
+            F.min(
+                F.when(F.col("rk") == 2, F.col("num").cast("double") / F.col("den"))
+            ),
+            6,
+        ).alias("ci_lo_cents"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rk") == _BOOT_B - 1,
+                    F.col("num").cast("double") / F.col("den"),
+                )
+            ),
+            6,
+        ).alias("ci_hi_cents"),
+    )
+    return point.crossJoin(ci).select(
+        "point_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part),
+w AS (
+  SELECT p_partkey, price_cents, p_size,
+         MAX(p_size) OVER (ORDER BY price_cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+         MAX(p_size) OVER (PARTITION BY price_cents) AS best_same_price
+  FROM p)
+SELECT p_partkey, price_cents, p_size
+FROM w
+WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+  AND p_size = best_same_price
+ORDER BY price_cents, p_partkey
+"""
+
+
+@query("pareto_frontier_parts", oracle=_SKYLINE_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — the rows no other part dominates (<= price AND
+    >= size, one strict). The textbook definition is a quadratic NOT
+    EXISTS self-join; the sort-based rewrite here is O(n log n): order
+    by price, then a part survives iff its size beats the running max
+    over all STRICTLY cheaper parts (range frame) and it attains the max
+    within its own price tie-group. tests/test_round8_ops.py cross-checks
+    this rewrite against the quadratic definition at sf0.001.
+
+    Scale: one range-partitioned global sort + two windows over the same
+    ordering — no self-join, no shuffle beyond the sort. Domination
+    tests are exact integer comparisons (price in cents)."""
+    from pyspark.sql import Window
+
+    p = spark.table("part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("price_cents")
+    w = p.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(cheaper).alias("best_cheaper"),
+        F.max("p_size").over(same).alias("best_same_price"),
+    )
+    return (
+        w.filter(
+            (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+            & (F.col("p_size") == F.col("best_same_price"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+_EWMA_W = 16  # truncation window: weights 2^(W-1-j) for lag j — exact dyadic
+
+
+def _ewma_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+ref AS (
+  SELECT event_type, CAST(SUM(v) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1),
+expanded AS (
+  SELECT event_type, day + to_days(CAST(t.o AS INT)) AS day,
+         v * (1::BIGINT << ({_EWMA_W} - 1 - t.o)) AS wv,
+         (1::BIGINT << ({_EWMA_W} - 1 - t.o)) AS w
+  FROM daily, range(0, {_EWMA_W}) t(o)),
+sm AS (
+  SELECT e.event_type, e.day,
+         CAST(SUM(e.wv) AS BIGINT) AS num, CAST(SUM(e.w) AS BIGINT) AS den
+  FROM expanded e JOIN daily d ON d.event_type = e.event_type AND d.day = e.day
+  GROUP BY e.event_type, e.day)
+SELECT sm.event_type, sm.day,
+       ROUND(CAST(num AS DOUBLE) / den, 6) AS ewma_cents,
+       num * nd * 4 > tot * den * 7 AS breached
+FROM sm JOIN ref ON ref.event_type = sm.event_type
+ORDER BY sm.event_type, sm.day
+"""
+
+
+@query("ewma_daily_smoothing", oracle=_ewma_oracle())
+def ewma_daily_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event totals — the third classic
+    SPC monitor beside the MAD band and CUSUM: lambda = 1/2 with a
+    16-term truncation, so the weights 2^(W-1-j) are EXACT dyadic
+    integers and the smoothed value is one rational num/den per day
+    (missing days shrink the denominator — the standard irregular-series
+    EWMA renormalization). The recursion is rewritten as the same
+    explode-fanout the exact rolling median uses: each daily total
+    fans out to the <= 16 future days it weights (map-side, hash-only
+    rows), then one (type, day) aggregate — window-free and exact, where
+    the textbook recursive form would need a sequential fold. Breach
+    flag (EWMA > 1.75x the per-type grand mean) is an exact integer
+    cross-multiplication, no float boundary.
+
+    Scale: fixed x16 fanout of narrow rows into a partial-aggregated
+    (type, day) groupBy — linear, no window over unbounded history."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.sum("v").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    expanded = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_W - 1))).alias("o"),
+        "day",
+        "v",
+    ).select(
+        "event_type",
+        F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        F.expr(f"v * shiftleft(cast(1 as bigint), {_EWMA_W} - 1 - o)").alias("wv"),
+        F.expr(f"shiftleft(cast(1 as bigint), {_EWMA_W} - 1 - o)").alias("w"),
+    )
+    observed = daily.select("event_type", "day")
+    sm = (
+        expanded.join(observed, ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("wv").cast("bigint").alias("num"),
+            F.sum("w").cast("bigint").alias("den"),
+        )
+    )
+    return (
+        sm.join(F.broadcast(ref), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma_cents"),
+            (F.col("num") * F.col("nd") * 4 > F.col("tot") * F.col("den") * 7).alias(
+                "breached"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_NEG_K = 4
+_NEG_ANCHOR_MOD = 25
+_NEG_A1, _NEG_A2 = 2654435761, 40503  # Knuth multiplicative constants
+
+
+def _contrastive_oracle() -> str:
+    h = f"({_NEG_A1} * a.doc_id + {_NEG_A2} * c.doc_id) % {_TXT.MOD}"
+    return f"""
+WITH ranked AS (
+  SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+         CAST({h} AS BIGINT) AS pair_hash,
+         ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY {h}, c.doc_id) AS rk
+  FROM documents a JOIN documents c
+    ON a.source != c.source AND a.doc_id % {_NEG_ANCHOR_MOD} = 0
+)
+SELECT anchor_id, neg_id, pair_hash, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_NEG_K}
+ORDER BY anchor_id, rk
+"""
+
+
+@query("contrastive_negative_pairs", oracle=_contrastive_oracle())
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor document (deterministic class doc_id % 25 = 0), pick k=4
+    pseudo-random negatives from OTHER sources, ranked by an integer
+    pair hash — reproducible across runs, engines and cluster sizes (the
+    property in-batch random negatives lack). Cross-source exclusion is
+    the cheap hard-negative hygiene filter (same-source near-dups make
+    false negatives).
+
+    Scale: anchors broadcast against one corpus scan; per-anchor top-k
+    is a window partitioned by anchor over |anchors| x n hash-only rows.
+    At 100 TB the anchor set is the bounded side by construction."""
+    from pyspark.sql import Window
+
+    docs = spark.table("documents")
+    anchors = docs.filter(F.col("doc_id") % _NEG_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("src_a")
+    )
+    cands = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("src_c"))
+    h = F.expr(f"({_NEG_A1} * anchor_id + {_NEG_A2} * neg_id) % {_TXT.MOD}")
+    ranked = (
+        F.broadcast(anchors)
+        .join(cands, F.col("src_a") != F.col("src_c"))
+        .select("anchor_id", "neg_id", h.cast("bigint").alias("pair_hash"))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("anchor_id").orderBy("pair_hash", "neg_id")
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= _NEG_K)
+    )
+    return ranked.select("anchor_id", "neg_id", "pair_hash", "rk").orderBy(
+        "anchor_id", "rk"
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion

