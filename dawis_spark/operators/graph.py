@@ -185,3 +185,222 @@ def triangle_counts(edges: DataFrame, node_a: str = "i", node_b: str = "j") -> D
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
         .orderBy(F.desc("triangles"), "item")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank (the topic-sensitive variant of Haveliwala
+    2002): identical fixed-iteration integer machinery to ``pagerank``,
+    except rank mass initializes on — and teleports back to — a SEED set
+    (column ``node``) instead of uniformly. The result ranks nodes by
+    proximity to the seeds, the primitive behind related-item discovery
+    and seed-expanded audience building.
+
+    Same exact scaled-int64 arithmetic (bit-identical under any
+    partitioning — DuckDB-replayable), same per-iteration plan shape:
+    one edges⋈ranks shuffle join + one groupBy(dst); the seed relation
+    is node-count-bounded and broadcast into the rank rebuild.
+    """
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.union(dst_nodes).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seeds = seeds.select(F.col("node"), F.lit(1).alias("is_seed")).distinct()
+    if iterations > 1:
+        nodes = nodes.persist()
+        deg = deg.persist()
+    ns_row = seeds.agg(F.count(F.lit(1)).alias("ns"))
+
+    marked = nodes.join(F.broadcast(seeds), "node", "left")
+    ranks = marked.crossJoin(F.broadcast(ns_row)).select(
+        "node",
+        F.expr(
+            f"case when is_seed = 1 then cast({SCALE} as bigint) div ns "
+            "else cast(0 as bigint) end"
+        ).alias("r"),
+    )
+    teleport = (
+        f"case when is_seed = 1 then (cast({SCALE} as bigint) * "
+        f"{damping_den - damping_num}) div ({damping_den} * ns) "
+        "else cast(0 as bigint) end"
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            marked.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(ns_row))
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport} + (coalesce(s, cast(0 as bigint))"
+                    f" * {damping_num}) div {damping_den}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def ppr_oracle_ctes(
+    edges_cte: str,
+    seeds_cte: str,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """DuckDB replay of ``personalized_pagerank``: CTE chain ending in
+    ``ppr(node, rank_scaled)``. ``seeds_cte`` must expose (node)."""
+    tele = (
+        f"CASE WHEN s.node IS NOT NULL THEN (CAST({SCALE} AS BIGINT) * "
+        f"{damping_den - damping_num}) // ({damping_den} * ns) ELSE 0 END"
+    )
+    parts = [
+        (
+            "pp_nodes AS (SELECT DISTINCT node FROM ("
+            f"SELECT src AS node FROM {edges_cte} "
+            f"UNION ALL SELECT dst FROM {edges_cte}))"
+        ),
+        f"pp_seeds AS (SELECT DISTINCT node FROM {seeds_cte})",
+        "pp_ns AS (SELECT COUNT(*) AS ns FROM pp_seeds)",
+        (
+            f"pp_outdeg AS (SELECT src, COUNT(*) AS outdeg FROM {edges_cte}"
+            " GROUP BY src)"
+        ),
+        (
+            "pp_r0 AS (SELECT p.node, CASE WHEN s.node IS NOT NULL THEN "
+            f"CAST({SCALE} AS BIGINT) // ns ELSE 0 END AS r"
+            " FROM pp_nodes p CROSS JOIN pp_ns"
+            " LEFT JOIN pp_seeds s ON p.node = s.node)"
+        ),
+    ]
+    prev = "pp_r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"pp_c{i} AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s"
+            f" FROM {edges_cte} e JOIN {prev} r ON e.src = r.node"
+            f" JOIN pp_outdeg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pp_r{i} AS (SELECT p.node, {tele}"
+            f" + (COALESCE(c.s, 0) * {damping_num}) // {damping_den} AS r"
+            f" FROM pp_nodes p CROSS JOIN pp_ns"
+            f" LEFT JOIN pp_seeds s ON p.node = s.node"
+            f" LEFT JOIN pp_c{i} c ON p.node = c.node)"
+        )
+        prev = f"pp_r{i}"
+    parts.append(
+        f"ppr AS (SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM {prev})"
+    )
+    return ",\n".join(parts)
+
+
+HITS_SCALE = 10**6
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) in exact scaled integers:
+    authority(n) = sum of hub scores over in-edges, hub(n) = sum of
+    authority scores over out-edges. The textbook L2 normalization is
+    float; the exact-replay substitute is MAX-rescaling — after each
+    half-step, scores rescale to [0, HITS_SCALE] by integer division
+    ``x * HITS_SCALE div max(x)``. Ranking (the thing HITS is for) is
+    invariant to the normalization choice; values are bit-identical in
+    any partitioning, so DuckDB replays the whole trajectory.
+
+    Overflow bounds: raw score <= edges * HITS_SCALE; the rescale
+    multiply needs edges * HITS_SCALE^2 < 2^63, i.e. < ~9e6 edges with
+    SCALE = 1e6. Callers at larger edge counts lower HITS_SCALE one
+    decade per decade of edges (the rescale keeps precision relative).
+
+    Returns (node, hub_scaled, auth_scaled) for every node.
+    """
+    hubs = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(HITS_SCALE).cast("bigint").alias("h")
+    )
+    for _ in range(iterations):
+        # each half-step's raw scores are read TWICE (the global max and
+        # the rescale) — without a persist the unrolled plan re-evaluates
+        # the entire prefix per reference, doubling work every half-step
+        # (2^(2*iterations) subtree evaluations; measured 13 s -> ~2 s at
+        # sf0.1). The persisted state is node-count-bounded, the same
+        # budget as pagerank's nodes/deg persists.
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+            .persist()
+        )
+        a_max = a_raw.agg(F.max("a").alias("am"))
+        auths = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "node", F.expr(f"(a * {HITS_SCALE}) div am").alias("a")
+        )
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+            .persist()
+        )
+        h_max = h_raw.agg(F.max("h").alias("hm"))
+        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "node", F.expr(f"(h * {HITS_SCALE}) div hm").alias("h")
+        )
+    return (
+        hubs.join(auths, "node", "full")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_scaled"),
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_scaled"),
+        )
+    )
+
+
+def hits_oracle_ctes(edges_cte: str, iterations: int = 2) -> str:
+    """DuckDB replay of ``hits``: CTE chain ending in
+    ``hits_out(node, hub_scaled, auth_scaled)``."""
+    parts = [
+        (
+            f"ht_h0 AS (SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS h"
+            f" FROM {edges_cte})"
+        )
+    ]
+    prev_h = "ht_h0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ht_ar{i} AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS a"
+            f" FROM {edges_cte} e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        parts.append(f"ht_am{i} AS (SELECT MAX(a) AS am FROM ht_ar{i})")
+        parts.append(
+            f"ht_a{i} AS (SELECT node, (a * {HITS_SCALE}) // am AS a"
+            f" FROM ht_ar{i} CROSS JOIN ht_am{i})"
+        )
+        parts.append(
+            f"ht_hr{i} AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h"
+            f" FROM {edges_cte} e JOIN ht_a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        parts.append(f"ht_hm{i} AS (SELECT MAX(h) AS hm FROM ht_hr{i})")
+        parts.append(
+            f"ht_h{i} AS (SELECT node, (h * {HITS_SCALE}) // hm AS h"
+            f" FROM ht_hr{i} CROSS JOIN ht_hm{i})"
+        )
+        prev_h = f"ht_h{i}"
+    parts.append(
+        "ht_out AS (SELECT COALESCE(h.node, a.node) AS node,"
+        " CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_scaled,"
+        " CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_scaled"
+        f" FROM {prev_h} h FULL JOIN ht_a{iterations} a ON h.node = a.node)"
+    )
+    return ",\n".join(parts)

@@ -10386,6 +10386,496 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(iterations: int, top_n: int, seed_nation: int) -> str:
+    from dawis_spark.operators.graph import ppr_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = {seed_nation}
+),
+{ppr_oracle_ctes('edges', 'seeds', iterations)}
+SELECT node, rank_scaled,
+       round(CAST(rank_scaled AS DOUBLE) / 1e12, 6) AS rank
+FROM ppr
+WHERE rank_scaled > 0
+ORDER BY rank_scaled DESC, node
+LIMIT {top_n}
+"""
+
+
+_PPR_SEED_NATION = 3
+
+
+@query("personalized_pagerank", oracle=_ppr_oracle(3, 20, _PPR_SEED_NATION))
+def personalized_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) over the symmetrized
+    customer↔supplier trade graph, seeded on one nation's customers —
+    rank mass initializes on and teleports back to the seed set, so the
+    top nodes are the suppliers (and fellow customers) CLOSEST to that
+    nation's buying activity: seed-expanded discovery, the recommender /
+    audience-expansion primitive plain PageRank can't express.
+
+    Scale: identical per-iteration shape to pagerank_top_nodes (one
+    edges⋈ranks shuffle + one groupBy(dst), edge-count-bound); the seed
+    relation is customer-count-bounded and broadcast into the rank
+    rebuild. Exact scaled-int64 arithmetic — DuckDB replays all three
+    iterations bit-for-bit (operators/graph.py:ppr_oracle_ctes)."""
+    from dawis_spark.operators.graph import personalized_pagerank
+
+    pairs = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == _PPR_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        personalized_pagerank(edges, seeds, iterations=3)
+        .filter(F.col("rank_scaled") > 0)
+        .select(
+            "node",
+            "rank_scaled",
+            F.round(F.col("rank_scaled").cast("double") / 1e12, 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _hits_oracle(iterations: int, top_n: int) -> str:
+    from dawis_spark.operators.graph import hits_oracle_ctes
+
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+{hits_oracle_ctes('edges', iterations)},
+top_a AS (
+  SELECT 'authority' AS role, node, auth_scaled AS score_scaled
+  FROM ht_out ORDER BY auth_scaled DESC, node LIMIT {top_n}),
+top_h AS (
+  SELECT 'hub' AS role, node, hub_scaled AS score_scaled
+  FROM ht_out ORDER BY hub_scaled DESC, node LIMIT {top_n})
+SELECT role, node, score_scaled FROM top_a
+UNION ALL
+SELECT role, node, score_scaled FROM top_h
+ORDER BY role, score_scaled DESC, node
+"""
+
+
+@query("hits_hub_authority", oracle=_hits_oracle(2, 15))
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) on the DIRECTED customer →
+    supplier purchase graph: suppliers score as authorities (bought by
+    the strongest hub customers), customers as hubs (buying from the
+    strongest authorities) — the mutually-reinforcing centrality pair
+    PageRank's single score conflates. L2 normalization is replaced by
+    exact integer MAX-rescaling per half-step (ranking-invariant), so
+    the whole trajectory is partition-order independent and DuckDB
+    replays it (operators/graph.py:hits_oracle_ctes). Top 15 of each
+    role, one relation out.
+
+    Scale: per half-step one edges⋈scores shuffle join + groupBy —
+    edge-count-bound, node-count side tables, max-rescale broadcasts a
+    single row. Overflow bound documented in operators/graph.py (lower
+    HITS_SCALE one decade per decade of edges past ~9e6)."""
+    from dawis_spark.operators.graph import hits
+
+    edges = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    out = hits(edges, iterations=2)
+    top_a = (
+        out.select(F.lit("authority").alias("role"), "node", F.col("auth_scaled").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "node")
+        .limit(15)
+    )
+    top_h = (
+        out.select(F.lit("hub").alias("role"), "node", F.col("hub_scaled").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "node")
+        .limit(15)
+    )
+    return top_a.unionAll(top_h).orderBy("role", F.desc("score_scaled"), "node")
+
+
+_MARKOV_TEST_DAYS = 7
+
+
+def _markov_acc_oracle() -> str:
+    return f"""
+WITH mx AS (SELECT date_trunc('day', MAX(ts)) AS max_day FROM events),
+seq AS (
+  SELECT user_id, ts, event_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+pairs AS (
+  SELECT cur, nxt,
+         date_trunc('day', ts) >= max_day - INTERVAL {_MARKOV_TEST_DAYS} DAY AS is_test
+  FROM seq, mx WHERE nxt IS NOT NULL),
+train AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM pairs
+  WHERE NOT is_test GROUP BY cur, nxt),
+pred AS (
+  SELECT cur, nxt AS predicted_next FROM (
+    SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rk
+    FROM train) t WHERE rk = 1),
+test AS (SELECT cur, nxt FROM pairs WHERE is_test)
+SELECT t.cur AS event_type, p.predicted_next,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM test t JOIN pred p ON t.cur = p.cur
+GROUP BY t.cur, p.predicted_next
+ORDER BY t.cur
+"""
+
+
+@query("markov_next_event_accuracy", oracle=_markov_acc_oracle())
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout self-eval of the first-order Markov transition
+    model (event_transitions): train argmax-next-type on all transition
+    pairs except the last 7 days, then measure top-1 next-event
+    accuracy on the held-out tail — the eval that says whether the
+    transition matrix actually predicts, per current event type. Split,
+    argmax (deterministic tie-break) and accuracy are all exact; the
+    7-day boundary is data-derived (global max day), so the query is
+    scale-portable.
+
+    Scale: one user-keyed window pass to form consecutive pairs (the
+    event_transitions shuffle), a type×type-sized training aggregate,
+    and a broadcast of the |types|-row prediction map onto the test
+    aggregate. Nothing new shuffles beyond the pair formation."""
+    from pyspark.sql import Window
+
+    ev = spark.table("events")
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.crossJoin(F.broadcast(mx)).select(
+        "cur",
+        "nxt",
+        (
+            F.date_trunc("day", F.col("ts"))
+            >= F.col("max_day") - F.expr(f"INTERVAL {_MARKOV_TEST_DAYS} DAY")
+        ).alias("is_test"),
+    )
+    train = (
+        pairs.filter(~F.col("is_test"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pw = Window.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+    pred = (
+        train.withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    test = pairs.filter(F.col("is_test")).select("cur", "nxt")
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((F.col("nxt") == F.col("predicted_next")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum((F.col("nxt") == F.col("predicted_next")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stl_oracle() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+expanded AS (
+  SELECT event_type, day + to_days(CAST(t.o AS INT)) AS day, v
+  FROM daily, range(-3, 4) t(o)),
+trend AS (
+  SELECT e.event_type, e.day,
+         CAST(SUM(e.v) AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS k
+  FROM expanded e JOIN daily d ON d.event_type = e.event_type AND d.day = e.day
+  GROUP BY e.event_type, e.day),
+det AS (
+  SELECT d.event_type, d.day, dayofweek(d.day) AS dow,
+         ROUND(CAST(t.num AS DOUBLE) / t.k, 6) AS trend_cents,
+         ROUND(d.v - CAST(t.num AS DOUBLE) / t.k, 6) AS detrended
+  FROM daily d JOIN trend t ON t.event_type = d.event_type AND t.day = d.day
+  WHERE t.k = 7),
+seas AS (
+  SELECT event_type, dow, ROUND(AVG(detrended), 6) AS seasonal_cents
+  FROM det GROUP BY 1, 2)
+SELECT det.event_type, det.day, trend_cents, seasonal_cents,
+       ROUND(detrended - seasonal_cents, 6) AS residual_cents
+FROM det JOIN seas ON seas.event_type = det.event_type AND seas.dow = det.dow
+ORDER BY det.event_type, det.day
+"""
+
+
+@query("stl_decomposition_daily", oracle=_stl_oracle())
+def stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal-trend decomposition of daily event totals:
+    trend = centered 7-day moving average (rows with all 7 neighbors
+    observed — the warm-up/cool-down rule), seasonal = per-day-of-week
+    mean of the detrended series, residual = the rest. The additive
+    classical decomposition (Cleveland's STL with loess swapped for the
+    moving-average smoother it generalizes) — what the seasonal-MAD
+    anomaly family assumes, made explicit as its own operator.
+
+    The 7-day window is the rolling-median explode-fanout (each daily
+    total fans to the ±3 days it smooths, hash-only rows, one (type,
+    day) aggregate) — no unbounded window. Sums are exact integer cents
+    up to the final divisions (ROUND..6, both engines).
+
+    Scale: fixed x7 fanout into a partial-aggregated groupBy, a
+    |types|x7-row seasonal aggregate broadcast back. Linear, two small
+    shuffles."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    expanded = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"),
+        "day",
+        "v",
+    ).select(
+        "event_type",
+        F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        "v",
+    )
+    trend = (
+        expanded.join(daily.select("event_type", "day"), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("v").cast("bigint").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+        .filter(F.col("k") == 7)
+    )
+    det = daily.join(trend, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        F.dayofweek("day").alias("dow"),
+        F.round(F.col("num").cast("double") / F.col("k"), 6).alias("trend_cents"),
+        F.round(F.col("v") - F.col("num").cast("double") / F.col("k"), 6).alias(
+            "detrended"
+        ),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.round(F.avg("detrended"), 6).alias("seasonal_cents")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "trend_cents",
+            "seasonal_cents",
+            F.round(F.col("detrended") - F.col("seasonal_cents"), 6).alias(
+                "residual_cents"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _calibration_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF)
+SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(p), 6) AS mean_predicted,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS empirical_rate
+FROM scF GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("classifier_calibration_curve", oracle=_calibration_oracle(64, 3, 1.0))
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained logistic quality classifier:
+    sigmoid scores bucketed into deciles (FLOOR both engines — no
+    truncate-vs-round cast trap), mean predicted probability vs
+    empirical positive rate per bucket — the calibration eval that AUC
+    (ranking-only) cannot see; a quality-gate threshold is only
+    meaningful if these two track. Training replays the exact
+    logreg_weights trajectory (same params), scoring is the same
+    round-6 margin fold.
+
+    Scale: training as logreg_weights (65-integer gradient exchanges);
+    the curve itself is one scan with a 10-group aggregate."""
+    from dawis_spark.operators.logreg import logreg_train, margin_expr
+
+    emb = spark.table("embeddings")
+    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    p = f"round(1.0 / (1.0 + exp(-({margin_expr('embedding', w)}))), 6)"
+    scored = emb.select(
+        F.expr(f"cast({_LOGREG_Y_SPARK} as int)").alias("y"),
+        F.expr(p).alias("p"),
+    )
+    return (
+        scored.select(
+            F.expr("least(cast(floor(p * 10) as int), 9)").alias("bucket"),
+            "y",
+            "p",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_predicted"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("empirical_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _affinity_oracle(dim: int) -> str:
+    return f"""
+WITH de AS (
+  SELECT d.source, u.pos AS dim,
+         CAST(ROUND(CAST(e.embedding[u.pos] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id,
+       unnest(range(1, {dim + 1})) u(pos)),
+cent AS (
+  SELECT source, dim,
+         CAST(SUM(xm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+  FROM de GROUP BY source, dim),
+norms AS (
+  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cent GROUP BY source),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b,
+       ROUND(dot / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+         AS cosine
+FROM dots JOIN norms na ON na.source = source_a
+          JOIN norms nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_embedding_affinity", oracle=_affinity_oracle(64))
+def source_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine affinity between per-source embedding centroids —
+    the corpus-mixture diagnostic (which sources are semantically
+    redundant, which add diversity) that drives mixture reweighting
+    decisions. Centroids are EXACT: micro-unit integer dimensions,
+    integer sums, one integer division per (source, dim); cosine is one
+    final double division (sqrt is IEEE-correctly-rounded, so both
+    engines agree bit-for-bit).
+
+    Scale: one docs⋈embeddings join, a x64 posexplode into a (source,
+    dim)-keyed partial aggregate (|sources|x64 rows out), then an
+    O(|sources|^2 x 64) centroid self-join — catalog-sized, trivial at
+    any corpus scale."""
+    de = (
+        spark.table("documents")
+        .join(
+            spark.table("embeddings"),
+            F.col("vec_id") == F.col("doc_id"),
+        )
+        .select(
+            "source",
+            F.posexplode(F.col("embedding")).alias("dim", "x"),
+        )
+        .select(
+            "source",
+            "dim",
+            F.expr("cast(round(cast(x as double) * 1000000, 0) as bigint)").alias("xm"),
+        )
+    )
+    cent = de.groupBy("source", "dim").agg(
+        F.expr("sum(xm) div count(*)").cast("bigint").alias("c")
+    )
+    norms = cent.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
+    a = cent.select(F.col("source").alias("source_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(
+        F.col("source").alias("source_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b")) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # The round driver records correctness for only the FIRST 50 registry
 # entries; the rest are verified locally (tools/check_correctness.py). To
 # keep that hard signal managed deliberately (round-4 lesson: an insertion
