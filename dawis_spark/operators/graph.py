@@ -404,3 +404,119 @@ def hits_oracle_ctes(edges_cte: str, iterations: int = 2) -> str:
         f" FROM {prev_h} h FULL JOIN ht_a{iterations} a ON h.node = a.node)"
     )
     return ",\n".join(parts)
+
+
+def kcore_peel(edges: DataFrame, k: int, iterations: int = 4) -> DataFrame:
+    """Iterative k-core peeling (Seidman 1983; the distributed peel is
+    the standard Pregel formulation): repeatedly delete nodes with
+    degree < k from an UNDIRECTED edge list (both directions present),
+    ``iterations`` rounds. At fixpoint the survivors are exactly the
+    k-core — the densest-cohesion backbone used for community seeding,
+    spam/link-farm isolation, and influence-maximization preprocessing.
+    A fixed round count keeps the whole computation one declarative
+    plan (no driver-side convergence loop); callers size ``iterations``
+    to the graph's peel depth (bipartite trade graphs collapse in 2-3).
+
+    Returns (node, degree) for every survivor, residual degree after
+    the last peel. All-integer: bit-identical under any partitioning.
+
+    Scale shape per round: one groupBy(src) degree count plus two
+    hash-semi-joins of edges against the (node-count-bounded, persisted)
+    survivor set — edge-count-bound, no driver state, no quadratic step.
+    """
+    live = edges
+    for _ in range(iterations):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        # survivors referenced by BOTH endpoint filters — persist to stop
+        # the unrolled plan re-deriving the full prefix per reference
+        # (the HITS lesson, same node-count-bounded budget)
+        keep = deg.filter(F.col("d") >= k).select("src").persist()
+        live = live.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return (
+        live.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+def kcore_oracle_ctes(edges_cte: str, k: int, iterations: int = 4) -> str:
+    """DuckDB replay of ``kcore_peel``: CTE chain ending in
+    ``kcore(node, degree)``."""
+    parts = []
+    prev = edges_cte
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"kc_keep{i} AS (SELECT src FROM {prev} GROUP BY src"
+            f" HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"kc_live{i} AS (SELECT e.src, e.dst FROM {prev} e"
+            f" WHERE e.src IN (SELECT src FROM kc_keep{i})"
+            f" AND e.dst IN (SELECT src FROM kc_keep{i}))"
+        )
+        prev = f"kc_live{i}"
+    parts.append(
+        f"kcore AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM {prev} GROUP BY src)"
+    )
+    return ",\n".join(parts)
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS over an UNDIRECTED edge list: minimum hop count
+    from the seed set (column ``node``) to every node reachable within
+    ``max_hops`` — the reachability/radius primitive behind influence
+    spheres, crawl-depth audits, and related-entity expansion when rank
+    mass (personalized_pagerank) is more machinery than the question
+    needs.
+
+    Returns (node, hops), hops in [0, max_hops]. All-integer min-agg —
+    bit-identical under any partitioning.
+
+    Scale shape per hop: one frontier⋈edges shuffle join plus one
+    min-groupBy — frontier-degree-bound, monotonically shrinking state
+    (visited is node-count-bounded and persisted per level, the
+    iterative-algorithm budget pagerank/kcore already pay).
+    """
+    dist = seeds.select("node", F.lit(0).cast("int").alias("hops")).distinct()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        dist = dist.persist()
+        reached = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").drop("hops"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(h).cast("int").alias("hops")
+        )
+        dist = dist.unionAll(frontier)
+    return dist
+
+
+def bfs_oracle_ctes(edges_cte: str, seeds_cte: str, max_hops: int = 3) -> str:
+    """DuckDB replay of ``bfs_hops``: CTE chain ending in
+    ``bfs(node, hops)``."""
+    parts = [
+        (
+            f"bf_d0 AS (SELECT DISTINCT node, CAST(0 AS INT) AS hops"
+            f" FROM {seeds_cte})"
+        )
+    ]
+    prev_dist, prev_front = "bf_d0", "bf_d0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"bf_f{h} AS (SELECT DISTINCT e.dst AS node, CAST({h} AS INT) AS hops"
+            f" FROM {edges_cte} e JOIN {prev_front} f ON e.src = f.node"
+            f" WHERE e.dst NOT IN (SELECT node FROM {prev_dist}))"
+        )
+        parts.append(
+            f"bf_d{h} AS (SELECT node, hops FROM {prev_dist}"
+            f" UNION ALL SELECT node, hops FROM bf_f{h})"
+        )
+        prev_dist, prev_front = f"bf_d{h}", f"bf_f{h}"
+    parts.append(f"bfs AS (SELECT node, hops FROM {prev_dist})")
+    return ",\n".join(parts)

@@ -170,3 +170,167 @@ def chi_square_independence(
         (F.col("__rm1") * F.col("__cm1")).cast("bigint").alias("dof"),
         F.round("chi2_raw", 6).alias("chi2"),
     )
+
+
+def _double_ranks(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """Attach DOUBLED average ranks (2*avg_rank = 2*before + ties + 1,
+    a pure integer — the dyadic .5 cleared up front) for ``value_col``.
+    Rank state is distinct-value-bounded; the join back is hash, not
+    sort."""
+    per_v = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    per_v = per_v.select(
+        "__v",
+        "__t",
+        F.coalesce(F.sum("__t").over(w), F.lit(0)).alias("__before"),
+    ).select(
+        "__v",
+        (2 * F.col("__before") + F.col("__t") + 1).cast("bigint").alias(out_col),
+    )
+    return df.join(per_v, df[value_col] == per_v["__v"]).drop("__v")
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row (n, rho_spearman): Spearman rank correlation with
+    average ranks for ties = Pearson over DOUBLED average ranks (rank
+    doubling is an affine map, so rho is unchanged and every moment is
+    an exact integer). The moment sums ride DECIMAL(38,0); the only
+    float ops are two correctly-rounded int->double conversions, two
+    IEEE sqrts, and one division — bit-stable across engines (the
+    profile.py Pearson discipline applied to ranks)."""
+    ranked = _double_ranks(
+        _double_ranks(
+            df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")),
+            "x",
+            "rx",
+        ),
+        "y",
+        "ry",
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d("rx")).alias("sx"),
+        F.sum(d("ry")).alias("sy"),
+        F.sum(d("rx") * d("ry")).alias("sxy"),
+        F.sum(d("rx") * d("rx")).alias("sxx"),
+        F.sum(d("ry") * d("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "n",
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho_spearman"),
+    )
+
+
+def kendall_tau_b(df: DataFrame, ord_col: str, x_col: str, y_col: str) -> DataFrame:
+    """One row (n, n_concordant, n_discordant, tau_b): Kendall's tau-b
+    with the full tie correction, by classifying every unordered pair
+    once (``ord_col`` strictly orders observations). All counts are
+    exact integers; tau_b pays two sqrts and one division.
+
+    Scale boundary: O(n^2) pairs in the SERIES length — sound when the
+    series is calendar-bounded (daily aggregates: n grows with days,
+    not data volume). Row-scale inputs want the O(n log n) merge-count
+    form, which is a different operator."""
+    a = df.select(
+        F.col(ord_col).alias("o1"), F.col(x_col).alias("x1"), F.col(y_col).alias("y1")
+    )
+    b = df.select(
+        F.col(ord_col).alias("o2"), F.col(x_col).alias("x2"), F.col(y_col).alias("y2")
+    )
+    pairs = a.join(b, F.col("o1") < F.col("o2"))
+    sx = F.signum((F.col("x2") - F.col("x1")).cast("double"))
+    sy = F.signum((F.col("y2") - F.col("y1")).cast("double"))
+    cls = pairs.select(
+        (sx * sy).alias("p"),
+        F.when((sx == 0) & (sy != 0), 1).otherwise(0).alias("tx"),
+        F.when((sy == 0) & (sx != 0), 1).otherwise(0).alias("ty"),
+        F.when((sx == 0) & (sy == 0), 1).otherwise(0).alias("txy"),
+    )
+    agg = cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("p") > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("p") < 0, 1).otherwise(0)).cast("bigint").alias("dd"),
+        F.sum("tx").cast("bigint").alias("ntx"),
+        F.sum("ty").cast("bigint").alias("nty"),
+        F.sum("txy").cast("bigint").alias("ntxy"),
+    )
+    den_x = (F.col("n0") - F.col("ntx") - F.col("ntxy")).cast("double")
+    den_y = (F.col("n0") - F.col("nty") - F.col("ntxy")).cast("double")
+    return agg.select(
+        F.col("c").alias("n_concordant"),
+        F.col("dd").alias("n_discordant"),
+        F.round(
+            (F.col("c") - F.col("dd")).cast("double")
+            / (F.sqrt(den_x) * F.sqrt(den_y)),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def acf(series: DataFrame, ord_col: str, value_col: str, max_lag: int) -> DataFrame:
+    """(lag, n_pairs, acf) for lag 1..max_lag over an integer-valued
+    series ordered by ``ord_col`` — the standard ACF with the GLOBAL
+    mean/variance in the denominator, cleared of the 1/n mean by
+    cross-multiplying with n^2:
+
+        acf_k * (n^2*Sxx - n*S^2) = n^2*Sxy_k - n*S*(Sh_k + St_k) + m_k*S^2
+
+    Every term is an exact DECIMAL(38,0) integer (bounded by n^2 * sum
+    of products — ~1e34 at 100 TB day-granularity, inside 38 digits);
+    both sides convert the SAME integers to double and divide once.
+
+    Scale shape: the series is an aggregate (calendar-bounded), so the
+    single global-order window is state the size of the series itself;
+    all max_lag leads ride ONE sort, the per-lag sums are one unpivoted
+    aggregate."""
+    w = Window.orderBy(ord_col)
+    leads = series.select(
+        F.col(value_col).alias("x"),
+        *[F.lead(value_col, k).over(w).alias(f"x{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_expr = ", ".join(f"{k}, x{k}" for k in range(1, max_lag + 1))
+    long = leads.select(
+        "x", F.expr(f"stack({max_lag}, {stack_expr}) as (lag, xl)")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    glob = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col(value_col).cast("decimal(38,0)")
+            * F.col(value_col).cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    per_lag = (
+        long.filter(F.col("xl").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(d("x") * d("xl")).alias("sxy"),
+            F.sum(d("x")).alias("sh"),
+            F.sum(d("xl")).alias("st"),
+        )
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    num = (
+        nn * nn * F.col("sxy")
+        - nn * F.col("s") * (F.col("sh") + F.col("st"))
+        + F.col("n_pairs").cast("decimal(38,0)") * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (nn * nn * F.col("sxx") - nn * F.col("s") * F.col("s")).cast("double")
+    return (
+        per_lag.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(num / den, 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -10883,6 +10883,304 @@ def source_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are pinned here each round: queries whose driver check is stalest or
 # whose code changed this round come first, then a rotating tail of
 # recently-driver-checked ones. Everything stays oracle-checked either way.
+def _kcore_oracle(k: int, iterations: int) -> str:
+    from dawis_spark.operators.graph import kcore_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+{kcore_oracle_ctes('edges', k, iterations)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM kcore GROUP BY 1 ORDER BY 1
+"""
+
+
+_KCORE_K = 30
+
+
+@query("kcore_trade_graph", oracle=_kcore_oracle(_KCORE_K, 3))
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983) of the symmetrized customer↔
+    supplier trade graph: peel nodes of degree < 30 for three rounds
+    and profile the surviving dense backbone per side — the cohesion
+    skeleton community detection and link-farm isolation start from
+    (the graph family's density primitive, next to pagerank's
+    centrality and triangle_counts' closure).
+
+    Scale: each peel round is one degree count plus two hash semi-joins
+    of edges against the persisted node-count-bounded survivor set —
+    edge-count-bound, no quadratic step, no driver loop (fixed rounds
+    = one declarative plan). All-integer, so DuckDB replays every peel
+    exactly (operators/graph.py:kcore_oracle_ctes)."""
+    from dawis_spark.operators.graph import kcore_peel
+
+    pairs = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    core = kcore_peel(edges, k=_KCORE_K, iterations=3)
+    return (
+        core.groupBy(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("side")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("side")
+    )
+
+
+def _bfs_oracle(max_hops: int, seed_nation: int) -> str:
+    from dawis_spark.operators.graph import bfs_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = {seed_nation}
+),
+{bfs_oracle_ctes('edges', 'seeds', max_hops)}
+SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM bfs GROUP BY hops ORDER BY hops
+"""
+
+
+@query("bfs_hop_distribution", oracle=_bfs_oracle(3, _PPR_SEED_NATION))
+def bfs_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reach profile: minimum hop distance from one
+    nation's customers across the symmetrized trade graph, histogrammed
+    per level — the reachability/expansion-sphere primitive (how fast
+    does influence saturate the graph) that complements the rank-mass
+    view personalized_pagerank gives over the SAME seed set.
+
+    Scale: per hop one frontier⋈edges shuffle join plus a min/distinct
+    — frontier-degree-bound with monotonically shrinking frontiers; the
+    visited set is node-count-bounded persisted state. All-integer:
+    DuckDB replays the level sets exactly."""
+    from dawis_spark.operators.graph import bfs_hops
+
+    pairs = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == _PPR_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        bfs_hops(edges, seeds, max_hops=3)
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("hops")
+    )
+
+
+_DAILY_REV_ORDERS_CTE = """
+daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1)
+"""
+
+_SPEARMAN_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+rk AS (
+  SELECT (2 * RANK() OVER (ORDER BY rev) + COUNT(*) OVER (PARTITION BY rev) - 1) AS rx,
+         (2 * RANK() OVER (ORDER BY cnt) + COUNT(*) OVER (PARTITION BY cnt) - 1) AS ry
+  FROM daily),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM rk)
+SELECT n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho_spearman
+FROM m
+"""
+
+
+@query("spearman_daily_rev_orders", oracle=_SPEARMAN_ORACLE)
+def spearman_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count — the monotone-association screen (robust to outliers and
+    nonlinearity) that belongs next to feature_correlations' Pearson
+    and theil_sen's robust slope. Average ranks for ties, carried as
+    DOUBLED ranks so every moment is an exact integer; the only float
+    ops are two int->double conversions, two sqrts, one division —
+    bit-stable across engines (operators/stats.py:spearman_rho).
+
+    Scale: the input is a calendar-bounded daily aggregate; rank state
+    is distinct-value-bounded; moment sums are map-side partial."""
+    from dawis_spark.operators.stats import spearman_rho
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return spearman_rho(daily, "rev", "cnt")
+
+
+_KENDALL_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+cls AS (
+  SELECT CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)
+                OR (a.rev > b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END AS con,
+         CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)
+                OR (a.rev > b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END AS dis,
+         CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev THEN 1 ELSE 0 END AS ty,
+         CASE WHEN a.rev = b.rev AND a.cnt = b.cnt THEN 1 ELSE 0 END AS txy
+  FROM daily a JOIN daily b ON a.d < b.d),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(con) AS BIGINT) AS c, CAST(SUM(dis) AS BIGINT) AS dd,
+         CAST(SUM(tx) AS BIGINT) AS ntx, CAST(SUM(ty) AS BIGINT) AS nty,
+         CAST(SUM(txy) AS BIGINT) AS ntxy
+  FROM cls)
+SELECT c AS n_concordant, dd AS n_discordant,
+       ROUND(CAST(c - dd AS DOUBLE)
+             / (SQRT(CAST(n0 - ntx - ntxy AS DOUBLE))
+                * SQRT(CAST(n0 - nty - ntxy AS DOUBLE))), 6) AS tau_b
+FROM m
+"""
+
+
+@query("kendall_daily_rev_orders", oracle=_KENDALL_ORACLE)
+def kendall_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (full tie correction) between daily revenue and
+    daily order count — the pairwise-agreement form of the monotone-
+    association question spearman_daily_rev_orders answers with ranks;
+    tau's bounded influence per pair makes it the standard cross-check
+    when rank correlations disagree with Pearson.
+
+    Scale: O(n^2) in the SERIES length only — the input is a calendar-
+    bounded daily aggregate (n grows with days, not data volume), so
+    the pair join stays a few-million-row broadcast nested loop even at
+    100 TB; all counts integer-exact (operators/stats.py:kendall_tau_b)."""
+    from dawis_spark.operators.stats import kendall_tau_b
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return kendall_tau_b(daily, "d", "rev", "cnt")
+
+
+def _acf_oracle(max_lag: int) -> str:
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, x, x{k} AS xl FROM leads WHERE x{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    lead_cols = ", ".join(
+        f"LEAD(rev, {k}) OVER (ORDER BY d) AS x{k}" for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+leads AS (SELECT rev AS x, {lead_cols} FROM daily),
+gstats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(rev AS HUGEINT)) AS s,
+         SUM(CAST(rev AS HUGEINT) * rev) AS sxx
+  FROM daily),
+long AS ({lag_selects}),
+per_lag AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT) * xl) AS sxy,
+         SUM(CAST(x AS HUGEINT)) AS sh, SUM(CAST(xl AS HUGEINT)) AS st
+  FROM long GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       ROUND(CAST(n*n*sxy - n*s*(sh + st) + n_pairs*s*s AS DOUBLE)
+             / CAST(n*n*sxx - n*s*s AS DOUBLE), 6) AS acf
+FROM per_lag CROSS JOIN gstats ORDER BY lag
+"""
+
+
+@query("acf_daily_revenue", oracle=_acf_oracle(14))
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1-14 — the
+    seasonality/persistence fingerprint (weekly structure shows as a
+    lag-7/14 ridge) that motivates the STL and seasonal-MAD operators;
+    in a feature pipeline it is the standard pre-check before fitting
+    any AR-family forecaster.
+
+    Exactness: the 1/n mean is cleared by cross-multiplying with n^2 so
+    every numerator/denominator term is an exact DECIMAL(38,0) integer;
+    both engines convert the same integers once and divide once
+    (operators/stats.py:acf). Scale: all 14 leads ride ONE window sort
+    over the calendar-bounded daily series; per-lag sums are one
+    unpivoted map-side-partial aggregate."""
+    from dawis_spark.operators.stats import acf
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    return acf(daily, "d", "rev", max_lag=14)
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

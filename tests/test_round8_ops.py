@@ -1344,3 +1344,80 @@ def test_lsh_detection_curve_bounds(spark):
         assert 0 <= r["bucket"] <= 9
         assert 0 <= r["n_detected"] <= r["n_pairs"]
         assert abs(r["detect_rate"] - round(r["n_detected"] / r["n_pairs"], 6)) < 1e-9
+
+
+def test_kcore_peel_hand_graph(spark):
+    # path a-b-c-d plus triangle e-f-g: 2-core should keep only the triangle
+    from dawis_spark.operators.graph import kcore_peel
+
+    und = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    rows = kcore_peel(edges, k=2, iterations=3).collect()
+    assert {r["node"]: r["degree"] for r in rows} == {5: 2, 6: 2, 7: 2}
+
+
+def test_bfs_hops_hand_graph(spark):
+    from dawis_spark.operators.graph import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    rows = bfs_hops(edges, seeds, max_hops=3).collect()
+    assert {r["node"]: r["hops"] for r in rows} == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_spearman_matches_scipy_free_formula(spark):
+    from dawis_spark.operators.stats import spearman_rho
+
+    # y = x^2 on positive x is a perfect monotone map -> rho exactly 1
+    data = [(i, i * i) for i in range(1, 20)]
+    df = spark.createDataFrame(data, ["x", "y"])
+    row = spearman_rho(df, "x", "y").collect()[0]
+    assert row["n"] == 19 and abs(row["rho_spearman"] - 1.0) < 1e-9
+    # reversal -> exactly -1
+    df2 = spark.createDataFrame([(i, -i * i) for i in range(1, 20)], ["x", "y"])
+    assert abs(spearman_rho(df2, "x", "y").collect()[0]["rho_spearman"] + 1.0) < 1e-9
+
+
+def test_spearman_ties_average_ranks(spark):
+    from dawis_spark.operators.stats import spearman_rho
+
+    # hand-computed: x = [1,2,2,3], y = [10,20,20,40]
+    # doubled avg ranks x: [2,5,5,8]; y: [2,5,5,8] -> rho = 1
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 40)], ["x", "y"]
+    )
+    assert abs(spearman_rho(df, "x", "y").collect()[0]["rho_spearman"] - 1.0) < 1e-9
+
+
+def test_kendall_tau_b_hand_case(spark):
+    from dawis_spark.operators.stats import kendall_tau_b
+
+    # x=[1,2,3,4], y=[1,3,2,4]: 5 concordant, 1 discordant, no ties
+    # tau = (5-1)/6
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 3), (3, 3, 2), (4, 4, 4)], ["o", "x", "y"]
+    )
+    row = kendall_tau_b(df, "o", "x", "y").collect()[0]
+    assert row["n_concordant"] == 5 and row["n_discordant"] == 1
+    assert abs(row["tau_b"] - round(4 / 6, 6)) < 1e-9
+
+
+def test_acf_constant_and_alternating(spark):
+    from dawis_spark.operators.stats import acf
+
+    # alternating +-1 around mean 0: acf(1) = -1, acf(2) = +1 (up to the
+    # truncated-overlap bias of the standard estimator)
+    n = 40
+    df = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else -100) for i in range(n)], ["t", "v"]
+    )
+    rows = {r["lag"]: r for r in acf(df, "t", "v", max_lag=2).collect()}
+    assert rows[1]["n_pairs"] == n - 1 and rows[2]["n_pairs"] == n - 2
+    # standard estimator scales by (n-k)/n through the truncated sum
+    assert abs(rows[1]["acf"] - round(-(n - 1) / n, 6)) < 1e-9
+    assert abs(rows[2]["acf"] - round((n - 2) / n, 6)) < 1e-9
