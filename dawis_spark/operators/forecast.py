@@ -1,0 +1,122 @@
+"""Holt linear (double-exponential) smoothing — the trend-aware
+forecaster between the EWMA chart (level only) and the seasonal
+STL/Holt-Winters family.
+
+The recurrence
+
+    l_t = (x_t + 3*(l_{t-1} + b_{t-1})) div 4        (alpha = 1/4)
+    b_t = ((l_t - l_{t-1}) + 7*b_{t-1}) div 8        (beta  = 1/8)
+
+is SEQUENTIAL in t — div-truncation makes it nonlinear, so there is no
+impulse-response closed form to unroll declaratively (the trick the
+EWMA chart and CUSUM operators use). The honest distributed shape is
+therefore per-series stateful iteration: ``applyInPandas`` keyed by the
+series id — Arrow-batched, one pass over a CALENDAR-BOUNDED series per
+group, state O(1). This is the repo's one batch applyInPandas operator,
+and it exists precisely because the semantics genuinely cannot be
+expressed by built-in operators (the boundary the UDF policy draws).
+
+Exactness: dyadic smoothing weights (alpha = 1/4, beta = 1/8) keep every
+state update in scaled-integer cents with TRUNCATING division — Python
+``int(a / b)``-style toward-zero semantics, matching both Spark ``div``
+and DuckDB ``//`` — so a recursive CTE replays the whole trajectory
+bit-for-bit.
+
+Scale shape (100 TB): groups = series keys (event types, metrics,
+domains — catalog-bounded); each group's rows = days (calendar-bounded).
+The shuffle is one hash exchange of (key, day, value) daily aggregates,
+never raw rows; the pandas step is O(days) per group with two ints of
+state. Forecast fan-out is h rows per key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark div / DuckDB //)."""
+    q = abs(a) // b
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def holt_linear(
+    series: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    horizon: int = 7,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+) -> DataFrame:
+    """Per-key Holt linear smoothing with alpha = 1/alpha_den,
+    beta = 1/beta_den (dyadic), init l_1 = x_1, b_1 = 0. Returns
+    (key, h, forecast, level, trend, n_points) with forecast =
+    l_n + h * b_n for h in 1..horizon. All-integer, trunc-div."""
+    out_schema = (
+        f"{key_col} string, h int, forecast bigint, "
+        "level bigint, trend bigint, n_points bigint"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col)
+        key = pdf[key_col].iloc[0]
+        vals = [int(v) for v in pdf[value_col]]
+        lvl, tr = vals[0], 0
+        for x in vals[1:]:
+            lvl_new = _tdiv(x + (alpha_den - 1) * (lvl + tr), alpha_den)
+            tr = _tdiv((lvl_new - lvl) + (beta_den - 1) * tr, beta_den)
+            lvl = lvl_new
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                "forecast": [lvl + h * tr for h in range(1, horizon + 1)],
+                "level": [lvl] * horizon,
+                "trend": [tr] * horizon,
+                "n_points": [len(vals)] * horizon,
+            }
+        )
+
+    return series.groupBy(key_col).applyInPandas(fit, out_schema)
+
+
+def holt_oracle_ctes(
+    daily_cte: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    horizon: int = 7,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+) -> str:
+    """DuckDB replay of ``holt_linear``: recursive CTE carrying (l, b)
+    per key, ending in ``holt(key, h, forecast, level, trend,
+    n_points)``. Embed under WITH RECURSIVE."""
+    a1 = alpha_den - 1
+    b1 = beta_den - 1
+    return f"""
+hl_ix AS (
+  SELECT {key_col} AS k, {value_col} AS x,
+         ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {ord_col}) AS t,
+         COUNT(*) OVER (PARTITION BY {key_col}) AS n
+  FROM {daily_cte}),
+hl_rec(k, t, n, l, b) AS (
+  SELECT k, t, n, x, CAST(0 AS BIGINT) FROM hl_ix WHERE t = 1
+  UNION ALL
+  SELECT i.k, i.t, i.n,
+         (i.x + {a1} * (r.l + r.b)) // {alpha_den},
+         (((i.x + {a1} * (r.l + r.b)) // {alpha_den}) - r.l + {b1} * r.b)
+           // {beta_den}
+  FROM hl_rec r JOIN hl_ix i ON i.k = r.k AND i.t = r.t + 1),
+hl_last AS (
+  SELECT k, l, b, n FROM hl_rec WHERE t = n),
+holt AS (
+  SELECT k, CAST(hh.h AS INT) AS h,
+         CAST(l + hh.h * b AS BIGINT) AS forecast,
+         CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+         CAST(n AS BIGINT) AS n_points
+  FROM hl_last, range(1, {horizon + 1}) hh(h))
+"""

@@ -227,3 +227,72 @@ SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM bucketed GROUP BY bucket, minc, maxc ORDER BY bucket
 """
+
+
+def k_anonymity_profile(
+    df: DataFrame, qi_cols: list[str], thresholds: list[int]
+) -> DataFrame:
+    """Re-identification risk profile: group by the quasi-identifier
+    tuple and report, per k threshold, how many equivalence classes and
+    rows fall BELOW k-anonymity (Sweeney 2002) — the release-gate
+    number privacy reviews ask for before any record-level export, and
+    the PII-redaction family's structural complement (redaction removes
+    direct identifiers; k-anonymity measures whether the REMAINING
+    quasi-identifiers still single people out).
+
+    Returns (k, n_groups, n_groups_below, n_rows_below, pct_rows_below)
+    per threshold. Exact: one count per QI tuple, integer sums, one
+    rounded division.
+
+    Scale shape: ONE groupBy over the QI tuple (the only row-scale
+    shuffle), then |thresholds| x |groups| aggregation over the
+    group-count relation — group-cardinality-bound, no driver state.
+    """
+    groups = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("gn"))
+    thr = ", ".join(str(t) for t in sorted(thresholds))
+    return (
+        groups.select(
+            F.col("gn"), F.expr(f"explode(array({thr}))").alias("k")
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("gn") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_groups_below"),
+            F.sum(F.when(F.col("gn") < F.col("k"), F.col("gn")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_below"),
+            F.sum("gn").cast("bigint").alias("__total"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_groups",
+            "n_groups_below",
+            "n_rows_below",
+            F.round(
+                F.col("n_rows_below").cast("double") * 100 / F.col("__total"), 6
+            ).alias("pct_rows_below"),
+        )
+        .orderBy("k")
+    )
+
+
+def k_anonymity_oracle_sql(
+    table_expr: str, qi_cols: list[str], thresholds: list[int]
+) -> str:
+    qi = ", ".join(qi_cols)
+    thr = ", ".join(str(t) for t in sorted(thresholds))
+    return f"""
+WITH grp AS (
+  SELECT {qi}, COUNT(*) AS gn FROM {table_expr} GROUP BY {qi}),
+fan AS (
+  SELECT gn, t.k FROM grp, (SELECT UNNEST([{thr}]) AS k) t)
+SELECT CAST(k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN gn < k THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+       CAST(SUM(CASE WHEN gn < k THEN gn ELSE 0 END) AS BIGINT) AS n_rows_below,
+       ROUND(CAST(SUM(CASE WHEN gn < k THEN gn ELSE 0 END) AS DOUBLE) * 100
+             / SUM(gn), 6) AS pct_rows_below
+FROM fan GROUP BY k ORDER BY k
+"""

@@ -11181,6 +11181,170 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf(daily, "d", "rev", max_lag=14)
 
 
+def _holt_oracle(horizon: int) -> str:
+    from dawis_spark.operators.forecast import holt_oracle_ctes
+
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+{holt_oracle_ctes('daily', 'event_type', 'day', 'v', horizon)}
+SELECT k AS event_type, h, forecast AS forecast_cents,
+       level AS level_cents, trend AS trend_cents, n_points
+FROM holt ORDER BY event_type, h
+"""
+
+
+@query("holt_linear_forecast", oracle=_holt_oracle(7))
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of daily event totals
+    with a 7-day-ahead forecast fan — the trend-aware forecaster
+    between the EWMA chart (level only) and the seasonal STL family.
+    Dyadic smoothing weights (alpha = 1/4, beta = 1/8) keep the whole
+    state trajectory in truncating integer-cent arithmetic, so a
+    recursive CTE replays it bit-for-bit.
+
+    The recurrence is sequential and div-truncation makes it nonlinear
+    — no impulse-response unroll exists (the EWMA/CUSUM closed-form
+    trick does not apply), so this is the repo's one batch
+    applyInPandas operator: Arrow-batched, keyed by series, O(1) state
+    over a calendar-bounded series per group
+    (operators/forecast.py:holt_linear documents the boundary).
+
+    Scale: the shuffle is (event_type, day, cents) daily aggregates,
+    never raw events; groups are catalog-bounded; forecast fan-out is
+    h rows per key."""
+    from dawis_spark.operators.forecast import holt_linear
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    out = holt_linear(daily, "event_type", "day", "v", horizon=7)
+    return out.select(
+        "event_type",
+        "h",
+        F.col("forecast").alias("forecast_cents"),
+        F.col("level").alias("level_cents"),
+        F.col("trend").alias("trend_cents"),
+        "n_points",
+    ).orderBy("event_type", "h")
+
+
+_KANON_QI_EXPR = (
+    "(SELECT c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer)"
+)
+
+
+def _kanon_oracle(thresholds: list[int]) -> str:
+    from dawis_spark.operators.profile import k_anonymity_oracle_sql
+
+    return k_anonymity_oracle_sql(
+        _KANON_QI_EXPR, ["c_nationkey", "c_mktsegment", "bal_band"], thresholds
+    )
+
+
+@query("k_anonymity_customers", oracle=_kanon_oracle([2, 5, 10, 20]))
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile of the customer table under the
+    (nation, market segment, account-balance band) quasi-identifier
+    tuple: per k in {2, 5, 10, 20}, the equivalence classes and row
+    fraction that would be re-identifiable below that threshold
+    (Sweeney 2002) — the release-gate number a privacy review asks for,
+    and the structural complement of pii_redaction (redaction strips
+    direct identifiers; this measures whether the remaining
+    quasi-identifiers still single records out).
+
+    Scale: one groupBy over the QI tuple is the only row-scale shuffle;
+    the threshold fan-out runs over the group-count relation
+    (operators/profile.py:k_anonymity_profile)."""
+    from dawis_spark.operators.profile import k_anonymity_profile
+
+    qi = spark.table("customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    return k_anonymity_profile(
+        qi, ["c_nationkey", "c_mktsegment", "bal_band"], [2, 5, 10, 20]
+    )
+
+
+def _nprobe_curve_oracle(k: int, nq: int, kc: int, probes: list[int]) -> str:
+    exact = _embedding_topk_oracle(k, nq).strip()
+    parts = []
+    for np_ in probes:
+        approx = _ivf_trained_oracle(k, nq, kc, np_, 64).strip()
+        parts.append(
+            f"""
+SELECT {np_} AS n_probe,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k * nq}, 6) AS mean_recall
+FROM ({exact}) e LEFT JOIN ({approx}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY n_probe"
+
+
+@query("ivf_nprobe_recall_curve", oracle=_nprobe_curve_oracle(5, 10, 16, [1, 2, 4, 8]))
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF accuracy dial measured end-to-end: recall@5 against
+    exact brute force as n_probe sweeps 1 -> 2 -> 4 -> 8 over the same
+    trained 16-centroid quantizer — the curve an operator actually uses
+    to pick the recall/cost point (probing n of C buckets costs ~n/C of
+    exact), where the single-point ann_recall_* evals only spot-check
+    one setting.
+
+    The quantizer trains ONCE (deterministic one-round k-means) and is
+    shared by all four probe runs via ivf_ann_topk's ``centroids=``
+    parameter, so the sweep isolates the n_probe effect; the oracle
+    replays training and all four searches."""
+    from dawis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        train_kmeans,
+    )
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    cents = train_kmeans(emb, "vec_id", "embedding", k=16, iterations=1)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    curves = []
+    for np_ in (1, 2, 4, 8):
+        approx = ivf_ann_topk(
+            corpus=emb,
+            queries=queries_df,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=5,
+            n_probe=np_,
+            centroids=cents,
+        ).select("query_id", "neighbor_id", F.lit(1).alias("m"))
+        curves.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("bigint").alias("hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double") / (5 * 10),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("n_probe")
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

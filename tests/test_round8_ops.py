@@ -1421,3 +1421,60 @@ def test_acf_constant_and_alternating(spark):
     # standard estimator scales by (n-k)/n through the truncated sum
     assert abs(rows[1]["acf"] - round(-(n - 1) / n, 6)) < 1e-9
     assert abs(rows[2]["acf"] - round((n - 2) / n, 6)) < 1e-9
+
+
+def test_holt_linear_hand_trace(spark):
+    from dawis_spark.operators.forecast import holt_linear, _tdiv
+
+    vals = [100, 120, 90, 150, 130]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], ["k", "t", "v"]
+    )
+    rows = holt_linear(df, "k", "t", "v", horizon=3).collect()
+    lvl, tr = vals[0], 0
+    for x in vals[1:]:
+        ln = _tdiv(x + 3 * (lvl + tr), 4)
+        tr = _tdiv((ln - lvl) + 7 * tr, 8)
+        lvl = ln
+    got = {r["h"]: r for r in rows}
+    assert sorted(got) == [1, 2, 3]
+    for h in (1, 2, 3):
+        assert got[h]["forecast"] == lvl + h * tr
+        assert got[h]["level"] == lvl and got[h]["trend"] == tr
+        assert got[h]["n_points"] == len(vals)
+
+
+def test_tdiv_matches_duckdb_trunc_semantics():
+    import duckdb
+
+    from dawis_spark.operators.forecast import _tdiv
+
+    for a in (-9, -7, -1, 0, 1, 7, 9):
+        for b in (2, 3, 8):
+            assert _tdiv(a, b) == duckdb.sql(f"SELECT {a} // {b}").fetchone()[0]
+
+
+def test_k_anonymity_hand_case(spark):
+    from dawis_spark.operators.profile import k_anonymity_profile
+
+    # groups: (a: 3 rows), (b: 1 row) -> below k=2: 1 group / 1 row
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], ["qi"]
+    )
+    rows = {r["k"]: r for r in k_anonymity_profile(df, ["qi"], [2, 4]).collect()}
+    assert rows[2]["n_groups"] == 2 and rows[2]["n_groups_below"] == 1
+    assert rows[2]["n_rows_below"] == 1
+    assert abs(rows[2]["pct_rows_below"] - 25.0) < 1e-9
+    assert rows[4]["n_groups_below"] == 2 and rows[4]["n_rows_below"] == 4
+
+
+def test_nprobe_curve_monotone(spark):
+    from dawis_spark import queries as q
+
+    rows = q.QUERIES["ivf_nprobe_recall_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["mean_recall"] for r in rows]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert all(0.0 <= r <= 1.0 for r in recalls)
