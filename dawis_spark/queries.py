@@ -11345,6 +11345,143 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("n_probe")
 
 
+_IR_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (1, ("spark", "hash")),
+    (2, ("window", "sort")),
+    (3, ("shuffle", "join")),  # zero AND-matches: exercises the rr=0 path
+]
+_IR_K = 20
+
+
+def _ir_eval_oracle(k1: float, b: float, k: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    parts = []
+    for qid, terms in _IR_QUERIES:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        rel_pred = " AND ".join(f"list_contains(__toks, '{t}')" for t in terms)
+        parts.append(
+            f"""
+SELECT * FROM (
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({term_list}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {k}
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM top
+),
+rel AS (SELECT doc_id, ({rel_pred}) AS rel FROM base),
+nrel AS (SELECT CAST(COUNT(*) FILTER (rel) AS BIGINT) AS n_relevant FROM rel),
+j AS (SELECT rk.rank, rel.rel FROM rk JOIN rel USING (doc_id)),
+m AS (
+  SELECT MIN(CASE WHEN rel THEN rank END) AS fr,
+         COALESCE(SUM(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END), 0) AS rel5,
+         COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END), 0) AS relk
+  FROM j)
+SELECT {qid} AS query_id,
+       nrel.n_relevant,
+       CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+       ROUND(CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END, 6)
+         AS reciprocal_rank,
+       ROUND(CAST(rel5 AS DOUBLE) / 5, 6) AS p_at_5,
+       ROUND(CAST(relk AS DOUBLE) / GREATEST(nrel.n_relevant, 1), 6)
+         AS recall_at_{k}
+FROM m CROSS JOIN nrel
+)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id"
+
+
+@query("search_mrr_eval", oracle=_ir_eval_oracle(1.2, 0.75, _IR_K))
+def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric self-eval for the BM25 retriever: per bag-of-words
+    query, reciprocal rank of the first AND-relevant document plus
+    precision@5 and recall@20 against exact AND-containment ground
+    truth — the MRR/P@k panel that turns bm25_search from 'returns
+    rows' into a measured retriever (query 3 has zero relevant docs by
+    construction, pinning the rr = 0 path through an EMPTY candidate
+    set — the global aggregate still emits its row). Complements the
+    dense-side recall evals (ann_recall_*) and the fusion leg
+    (hybrid_search_rrf) with the lexical leg's own quality number.
+
+    Scale: each query's candidate set is the top-k of the inverted-
+    index-shaped BM25 plan (postings filtered BEFORE any shuffle);
+    relevance flags are a map-side conjunction on the same token
+    arrays; the per-query aggregate is k-row-bounded."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+
+    docs = spark.table("documents")
+    toks = _TXT.tokens("text", "spark")
+    out = None
+    for qid, terms in _IR_QUERIES:
+        ranked = bm25_scores(
+            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_IR_K
+        ).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("rank"),
+        )
+        rel_pred = F.expr(
+            " AND ".join(f"array_contains({toks}, '{t}')" for t in terms)
+        )
+        rel = docs.select("doc_id", rel_pred.alias("rel"))
+        nrel = rel.agg(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_relevant")
+        )
+        first = F.min(F.when(F.col("rel"), F.col("rank")))
+        m = ranked.join(rel, "doc_id").agg(
+            first.alias("fr"),
+            F.coalesce(
+                F.sum(F.when(F.col("rel") & (F.col("rank") <= 5), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("rel5"),
+            F.coalesce(
+                F.sum(F.when(F.col("rel"), 1).otherwise(0)), F.lit(0)
+            ).alias("relk"),
+        )
+        row = m.crossJoin(F.broadcast(nrel)).select(
+            F.lit(qid).cast("int").alias("query_id"),
+            "n_relevant",
+            F.coalesce(F.col("fr"), F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.round(
+                F.when(F.col("fr").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("fr")
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+            F.round(F.col("rel5").cast("double") / 5, 6).alias("p_at_5"),
+            F.round(
+                F.col("relk").cast("double")
+                / F.greatest(F.col("n_relevant"), F.lit(1)),
+                6,
+            ).alias(f"recall_at_{_IR_K}"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("query_id")
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

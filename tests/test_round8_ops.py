@@ -1478,3 +1478,21 @@ def test_nprobe_curve_monotone(spark):
     recalls = [r["mean_recall"] for r in rows]
     assert all(b >= a for a, b in zip(recalls, recalls[1:]))
     assert all(0.0 <= r <= 1.0 for r in recalls)
+
+
+def test_search_mrr_eval_bounds_and_empty_query(spark):
+    from dawis_spark import queries as q
+
+    rows = {r["query_id"]: r for r in q.QUERIES["search_mrr_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    # query 3 is constructed to have zero AND-relevant docs
+    assert rows[3]["n_relevant"] == 0
+    assert rows[3]["first_rel_rank"] == 0 and rows[3]["reciprocal_rank"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["reciprocal_rank"] <= 1.0
+        assert 0.0 <= r["p_at_5"] <= 1.0
+        assert 0.0 <= r["recall_at_20"] <= 1.0
+        if r["first_rel_rank"] > 0:
+            assert abs(r["reciprocal_rank"] - round(1 / r["first_rel_rank"], 6)) < 1e-9
