@@ -795,3 +795,94 @@ def int_hash_sample_pred(key_expr: str, rate_ppm: int, dialect: str) -> str:
     for a, b in _KMV_ROUNDS:
         x = f"(({x}) * ({x}) + {a} * ({x}) + {b}) % {MOD}"
     return f"({x}) % 1000000 < {rate_ppm}"
+
+
+def weighted_median_select(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-group LOWER WEIGHTED MEDIAN — the smallest v whose cumulative
+    weight reaches half the group's total (integer weights) — via the
+    same two-pass distributed selection as ``rank_quantiles_select``,
+    with bucket COUNTS replaced by bucket WEIGHT SUMS.
+
+    The weighted median is the robust center under importance/size
+    weights (revenue-weighted typical price, token-weighted typical doc
+    score) where the plain median over rows answers a different
+    question. The selection plan keeps it scalable: the only full-data
+    exchange carries group x bucket weight totals; the second pass
+    sorts ONLY the chosen buckets' rows.
+
+    Output: (*key_cols, total_w, median_value). Deterministic: the
+    crossing VALUE is unique even when intra-tie row order is not
+    (cumulative weight at value granularity crosses inside one value
+    run), so any engine replays it.
+    """
+    from pyspark.sql import Window
+
+    src = df.select(*key_cols, value_col, F.col(weight_col).alias("__w"))
+    stats = src.groupBy(*key_cols).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.sum("__w").cast("bigint").alias("total_w"),
+    )
+    bexpr = (
+        f"case when __hi = __lo then 0 else least({n_buckets - 1}, "
+        f"cast(floor((cast({value_col} as double) - cast(__lo as double)) "
+        f"/ (cast(__hi as double) - cast(__lo as double)) * {n_buckets}) as int)) end"
+    )
+    bucketed = (
+        src.join(F.broadcast(stats), key_cols)
+        .withColumn("__b", F.expr(bexpr))
+        .select(*key_cols, value_col, "__w", "__b")
+    )
+    bweights = bucketed.groupBy(*key_cols, "__b").agg(
+        F.sum("__w").cast("bigint").alias("__bw")
+    )
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bweights.withColumn("__cum", F.sum("__bw").over(wcum))
+    targets = stats.select(
+        *key_cols, "total_w", F.expr("(total_w + 1) div 2").alias("__t")
+    )
+    tcond = [targets[c] == cum[c] for c in key_cols] + [
+        targets["__t"] <= cum["__cum"]
+    ]
+    chosen = (
+        targets.join(cum, tcond)
+        .groupBy(*[targets[c] for c in key_cols], "total_w", "__t")
+        .agg(F.min(F.struct("__b", "__cum", "__bw")).alias("__sel"))
+        .select(
+            *key_cols,
+            "total_w",
+            F.col("__sel.__b").alias("__b"),
+            (F.col("__t") - (F.col("__sel.__cum") - F.col("__sel.__bw")))
+            .alias("__off"),
+        )
+        .persist()  # feeds the bucket filter AND the offset join
+    )
+    picked = chosen.select(*key_cols, "__b").distinct()
+    wb = (
+        Window.partitionBy(*key_cols, "__b")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    candidates = bucketed.join(F.broadcast(picked), [*key_cols, "__b"]).withColumn(
+        "__cw", F.sum("__w").over(wb)
+    )
+    ch, ca = chosen.alias("__ch"), candidates.alias("__ca")
+    ccond = [F.col(f"__ch.{c}") == F.col(f"__ca.{c}") for c in key_cols] + [
+        F.col("__ch.__b") == F.col("__ca.__b"),
+        F.col("__ch.__off") <= F.col("__ca.__cw"),
+    ]
+    return (
+        ch.join(ca, ccond)
+        .groupBy(*[F.col(f"__ch.{c}") for c in key_cols], "total_w")
+        .agg(F.min(F.col(f"__ca.{value_col}")).alias("median_value"))
+    )

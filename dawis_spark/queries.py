@@ -11482,6 +11482,50 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id")
 
 
+_WMEDIAN_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem),
+g AS (SELECT k, v, SUM(w) AS wv FROM src GROUP BY k, v),
+c AS (
+  SELECT k, v,
+         SUM(wv) OVER (PARTITION BY k ORDER BY v) AS cumw,
+         SUM(wv) OVER (PARTITION BY k) AS tw
+  FROM g)
+SELECT k AS l_returnflag, CAST(tw AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN cumw >= (tw + 1) // 2 THEN v END) AS BIGINT)
+         AS median_value
+FROM c GROUP BY k, tw ORDER BY l_returnflag
+"""
+
+
+@query("weighted_median_price", oracle=_WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag — the
+    robust center under size weights (what does a TYPICAL UNIT sell
+    at), which the row-median answers incorrectly when line sizes vary.
+    Runs as the two-pass distributed selection
+    (operators/sketches.py:weighted_median_select): the only full-data
+    exchange carries group x bucket WEIGHT SUMS, the second pass sorts
+    only the chosen buckets' rows — the rank_quantiles_select shape
+    generalized from counts to weights, immune to the per-group window
+    sort that dies at 100 TB."""
+    from dawis_spark.operators.sketches import weighted_median_select
+
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("vc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return (
+        weighted_median_select(src, ["l_returnflag"], "vc", "w")
+        .select("l_returnflag", "total_w", F.col("median_value").cast("bigint").alias("median_value"))
+        .orderBy("l_returnflag")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

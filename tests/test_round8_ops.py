@@ -1496,3 +1496,26 @@ def test_search_mrr_eval_bounds_and_empty_query(spark):
         assert 0.0 <= r["recall_at_20"] <= 1.0
         if r["first_rel_rank"] > 0:
             assert abs(r["reciprocal_rank"] - round(1 / r["first_rel_rank"], 6)) < 1e-9
+
+
+def test_weighted_median_hand_case(spark):
+    from dawis_spark.operators.sketches import weighted_median_select
+
+    # values 1..4 with weights 1,1,1,10 -> total 13, T=7 -> median 4;
+    # and weights 5,1,1,1 -> total 8, T=4 -> median 1
+    df1 = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 10),
+         ("b", 1, 5), ("b", 2, 1), ("b", 3, 1), ("b", 4, 1)],
+        ["k", "v", "w"],
+    )
+    rows = {r["k"]: r for r in weighted_median_select(df1, ["k"], "v", "w").collect()}
+    assert rows["a"]["median_value"] == 4 and rows["a"]["total_w"] == 13
+    assert rows["b"]["median_value"] == 1 and rows["b"]["total_w"] == 8
+
+
+def test_weighted_median_uniform_weights_is_lower_median(spark):
+    from dawis_spark.operators.sketches import weighted_median_select
+
+    df = spark.createDataFrame([("g", v, 1) for v in [10, 20, 30, 40]], ["k", "v", "w"])
+    # even count, lower median -> 20 (cumw 2 >= T=(4+1)div 2=2)
+    assert weighted_median_select(df, ["k"], "v", "w").collect()[0]["median_value"] == 20
