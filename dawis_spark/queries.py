@@ -11598,7 +11598,14 @@ DRIVER_PRIORITY: list[str] = [
     # lexical_richness_by_source, theil_sen_trends, mann_whitney_drift,
     # chi_square_independence, embedding_ann_jl, ann_recall_jl,
     # langid_confusion_matrix, cusum_changepoints,
-    # dow_seasonality_index, time_to_conversion) are sweep-verified at
+    # dow_seasonality_index, time_to_conversion; and the third-session
+    # batch: personalized_pagerank, hits_hub_authority,
+    # markov_next_event_accuracy, stl_decomposition_daily,
+    # classifier_calibration_curve, source_embedding_affinity,
+    # kcore_trade_graph, bfs_hop_distribution, spearman/kendall_daily_
+    # rev_orders, acf_daily_revenue, holt_linear_forecast,
+    # k_anonymity_customers, ivf_nprobe_recall_curve, search_mrr_eval,
+    # weighted_median_price) are sweep-verified at
     # sf0.01 AND sf0.1 this round, sf1-rehearsed (SCALE.md), and head
     # the r9 rotation.
     # (the former d6 tail — semantic_dedup, embedding_ann_ivfpq,

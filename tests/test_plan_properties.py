@@ -452,3 +452,44 @@ def test_feature_correlations_zero_keyed_exchange(spark):
     plan = _plan(spark, "feature_correlations")
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange SinglePartition" in plan
+
+
+def test_graph_iterations_no_cartesian_and_persisted_state(spark):
+    """PPR/HITS/k-core/BFS: every iteration joins on node keys — no plan
+    may degrade to a cartesian/nested-loop over edges, and the reused
+    per-iteration state (survivors, half-step scores, edges) must come
+    from InMemoryRelation, not a recomputed prefix (the exponential-
+    re-evaluation bug the HITS persist fixed)."""
+    for name in (
+        "personalized_pagerank",
+        "hits_hub_authority",
+        "kcore_trade_graph",
+        "bfs_hop_distribution",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "InMemoryTableScan" in plan, name
+
+
+def test_weighted_median_second_pass_is_bucket_filtered(spark):
+    """weighted_median_select: the full-data exchange carries bucket
+    WEIGHT SUMS; the value sort happens only after the broadcast
+    picked-bucket semi filter (second pass touches chosen buckets)."""
+    plan = _plan(spark, "weighted_median_price")
+    assert "CartesianProduct" not in plan
+    # the chosen-bucket relation reaches the candidates scan as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_holt_shuffles_daily_aggregates_not_raw_events(spark):
+    """holt_linear: the applyInPandas group exchange must sit on TOP of
+    the daily pre-aggregate — partial_sum before the event_type hash
+    exchange — so the pandas stage receives (type, day, cents) rows,
+    never raw events."""
+    plan = _plan(spark, "holt_linear_forecast")
+    assert "FlatMapGroupsInPandas" in plan
+    # tree text prints children BELOW the pandas node: the daily
+    # aggregate (partial_sum + final HashAggregate) must feed it
+    below = plan.split("FlatMapGroupsInPandas", 1)[1]
+    assert "partial_sum" in below and "HashAggregate" in below
+    assert below.count("Scan parquet") == 1

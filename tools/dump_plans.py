@@ -58,6 +58,12 @@ PICKS = {
     "mmr_rerank": "pool + pairwise sims distributed; greedy on the collected head",
     "quality_classifier_scores": "model row broadcast; codegen'd fold in the scan; zero hash exchange",
     "coordinated_sample_join": "both scans filtered to the coordinated 5% before the join",
+    "personalized_pagerank": "seeded teleport: same unrolled edges\u22c8ranks joins; seeds broadcast",
+    "hits_hub_authority": "4 persisted half-steps; global max broadcast for each rescale",
+    "kcore_trade_graph": "3 peel rounds: degree agg + two semi-joins vs persisted survivors",
+    "weighted_median_price": "bucket weight-sums shuffle; picked buckets broadcast to 2nd pass",
+    "holt_linear_forecast": "daily pre-agg feeds FlatMapGroupsInPandas; raw events never regroup",
+    "search_mrr_eval": "3 inverted-index BM25 legs; relevance is map-side token conjunction",
     "embedding_ann_refined": "candidate pool + query vecs broadcast into the exact-refine corpus scan",
     "duplicated_spans": "exchanges carry (doc, pos, 8-byte wh); island merge windows per doc",
     "dsir_importance_weights": "lambda literal folds in the raw scan; zero hash exchange below the sort",
