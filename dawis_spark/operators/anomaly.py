@@ -183,3 +183,78 @@ def seasonal_residual_zscores(
     return scored.select(
         *key_cols, bucket_col, value_col, "residual", "robust_z", "is_anomaly"
     ).unionByName(missing)
+
+
+def hampel_outliers(
+    series: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    half_window: int = 3,
+    thresh_x10k: int = 44478,
+) -> DataFrame:
+    """Hampel filter over a daily series: flag points more than
+    3 * 1.4826 * MAD from the ROLLING median of the +-half_window-day
+    neighborhood — the windowed form of robust_zscores' global test
+    (a level shift poisons a global MAD; the rolling window localizes
+    the baseline, the standard despike filter in telemetry pipelines).
+
+    Exactness: with a 7-point window both the median and the MAD are
+    the 4th order statistic of 7 integers — sort_array + element_at,
+    exact ints; the 3-sigma-equivalent threshold compares
+    ``|dev| * 10000 > 44478 * MAD`` in pure int64 (3 * 1.4826 = 4.4478
+    carried as the integer 44478), so the flag is bit-stable without a
+    single float.
+
+    Scale shape: the rolling_median_7d explode fanout — each daily
+    total fans to the 2*half_window+1 centers it serves (hash-only
+    rows), ONE (key, center) aggregate builds the sorted 7-array,
+    windows with incomplete neighborhoods are dropped by count. No
+    unbounded window, no per-key sort of the full series.
+
+    Returns flagged rows only: (key, day, value, med, mad, dev).
+    """
+    k = 2 * half_window + 1
+    mid = half_window + 1  # 1-indexed order stat: the median of k
+    fan = series.select(
+        F.col(key_col).alias("k"),
+        F.explode(F.sequence(F.lit(-half_window), F.lit(half_window))).alias("o"),
+        F.col(day_col).alias("d"),
+        F.col(value_col).alias("v"),
+    ).select(
+        "k", F.expr("d + make_interval(0, 0, 0, o)").alias("cday"), "v"
+    )
+    wins = (
+        fan.groupBy("k", "cday")
+        .agg(
+            F.sort_array(F.collect_list("v")).alias("vals"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == k)
+        .select(
+            "k",
+            "cday",
+            F.element_at("vals", mid).alias("med"),
+            F.expr(
+                f"element_at(array_sort(transform(vals, x -> abs(x - element_at(vals, {mid})))), {mid})"
+            ).alias("mad"),
+        )
+    )
+    center = series.select(
+        F.col(key_col).alias("k"),
+        F.col(day_col).alias("cday"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        center.join(wins, ["k", "cday"])
+        .withColumn("dev", F.abs(F.col("v") - F.col("med")))
+        .filter(F.col("dev") * 10000 > thresh_x10k * F.col("mad"))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("cday").alias(day_col),
+            F.col("v").alias(value_col),
+            F.col("med").cast("bigint").alias("med"),
+            F.col("mad").cast("bigint").alias("mad"),
+            F.col("dev").cast("bigint").alias("dev"),
+        )
+    )

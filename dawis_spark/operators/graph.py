@@ -520,3 +520,82 @@ def bfs_oracle_ctes(edges_cte: str, seeds_cte: str, max_hops: int = 3) -> str:
         prev_dist, prev_front = f"bf_d{h}", f"bf_f{h}"
     parts.append(f"bfs AS (SELECT node, hops FROM {prev_dist})")
     return ",\n".join(parts)
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007):
+    labels initialize to the node's own id; each round every node
+    adopts the most frequent label among its in-neighbors, ties broken
+    by SMALLEST label — the deterministic variant (classic LPA breaks
+    ties randomly; the min-label rule makes every round exactly
+    replayable, the same determinism-over-folklore trade the repo's
+    k-means/minhash training makes).
+
+    Returns (node, label) after ``iterations`` rounds; connected dense
+    regions converge onto one label (the community id = the minimum
+    node id that won the neighborhood votes).
+
+    Scale shape per round: one edges⋈labels shuffle join, one
+    (node, label) count aggregate, one argmax window over the
+    count relation (node-x-distinct-label-bounded, far below edges),
+    and a node-count-bounded persisted label rebuild — the Pregel LPA
+    shape as unrolled DataFrame ops, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.union(dst_nodes).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        # labels feeds BOTH the message join and the keep-old fallback —
+        # persist the node-count-bounded state (the HITS lesson)
+        labels = labels.persist()
+        counts = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        winners = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return labels
+
+
+def label_propagation_oracle_ctes(edges_cte: str, iterations: int = 3) -> str:
+    """DuckDB replay of ``label_propagation``: CTE chain ending in
+    ``lpa(node, label)``."""
+    parts = [
+        (
+            "lp_nodes AS (SELECT DISTINCT node FROM ("
+            f"SELECT src AS node FROM {edges_cte} "
+            f"UNION ALL SELECT dst FROM {edges_cte}))"
+        ),
+        "lp_l0 AS (SELECT node, node AS label FROM lp_nodes)",
+    ]
+    prev = "lp_l0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"lp_c{i} AS (SELECT e.dst AS node, l.label, COUNT(*) AS c"
+            f" FROM {edges_cte} e JOIN {prev} l ON e.src = l.node"
+            f" GROUP BY e.dst, l.label)"
+        )
+        parts.append(
+            f"lp_w{i} AS (SELECT node, label AS new_label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label) AS rn FROM lp_c{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"lp_l{i} AS (SELECT p.node, COALESCE(w.new_label, p.label) AS label"
+            f" FROM {prev} p LEFT JOIN lp_w{i} w ON p.node = w.node)"
+        )
+        prev = f"lp_l{i}"
+    parts.append(f"lpa AS (SELECT node, label FROM {prev})")
+    return ",\n".join(parts)

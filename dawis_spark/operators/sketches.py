@@ -886,3 +886,78 @@ def weighted_median_select(
         .groupBy(*[F.col(f"__ch.{c}") for c in key_cols], "total_w")
         .agg(F.min(F.col(f"__ca.{value_col}")).alias("median_value"))
     )
+
+
+def trimmed_mean_select(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group trimmed mean over exact integer values WITHOUT a
+    per-group sort: the trim cutoffs are the nearest-rank percentile
+    values from ``rank_quantiles_select`` (bucket-selection, the
+    scalable path), and the trimmed SUM is recovered arithmetically —
+
+        sum(kept) = total
+                    - [sum(v < q_lo) + (t_lo - 1 - cnt(v < q_lo)) * q_lo]
+                    - [sum(v > q_hi) + (n - t_hi - cnt(v > q_hi)) * q_hi]
+
+    where t = (pct*(n-1)) div 100 + 1 is the nearest-rank target and the
+    kept range is rank [t_lo, t_hi] INCLUSIVE. The correction terms
+    account for ties AT the cutoff exactly (count(v < q) <= t - 1 by
+    definition of the t-th smallest), so the result is identical to
+    sorting and summing ranks t_lo..t_hi — tie-order-invariant because
+    tied rows carry the same value.
+
+    The robust location estimate for heavy-tailed measures (the
+    10%-trimmed revenue mean a dashboard wants when one whale order
+    moves the plain mean) at two scans + the selection machinery's
+    bucket-count exchange — no group-keyed full sort anywhere.
+
+    Returns (*key_cols, n, kept_n, trimmed_sum, trimmed_mean) with
+    trimmed_mean = round(trimmed_sum / kept_n, 6).
+    """
+    cuts = (
+        rank_quantiles_select(df, key_cols, value_col, [lo_pct, hi_pct])
+        .groupBy(*key_cols, "n")
+        .agg(
+            F.max(F.when(F.col("pct") == lo_pct, F.col("value"))).alias("q_lo"),
+            F.max(F.when(F.col("pct") == hi_pct, F.col("value"))).alias("q_hi"),
+        )
+        .withColumn("t_lo", F.expr(f"({lo_pct} * (n - 1)) div 100 + 1"))
+        .withColumn("t_hi", F.expr(f"({hi_pct} * (n - 1)) div 100 + 1"))
+    )
+    v = F.col(value_col).cast("decimal(38,0)")
+    agg = (
+        df.join(F.broadcast(cuts), key_cols)
+        .groupBy(*key_cols, "n", "q_lo", "q_hi", "t_lo", "t_hi")
+        .agg(
+            F.sum(v).alias("total"),
+            F.sum(F.when(F.col(value_col) < F.col("q_lo"), v)).alias("s_below"),
+            F.count(F.when(F.col(value_col) < F.col("q_lo"), 1)).alias("c_below"),
+            F.sum(F.when(F.col(value_col) > F.col("q_hi"), v)).alias("s_above"),
+            F.count(F.when(F.col(value_col) > F.col("q_hi"), 1)).alias("c_above"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sum_bottom = (
+        F.coalesce(F.col("s_below"), F.lit(0).cast("decimal(38,0)"))
+        + (d("t_lo") - 1 - d("c_below")) * d("q_lo")
+    )
+    sum_top = (
+        F.coalesce(F.col("s_above"), F.lit(0).cast("decimal(38,0)"))
+        + (d("n") - d("t_hi") - d("c_above")) * d("q_hi")
+    )
+    kept_n = F.col("t_hi") - F.col("t_lo") + 1
+    trimmed = F.col("total") - sum_bottom - sum_top
+    return agg.select(
+        *key_cols,
+        F.col("n").cast("bigint").alias("n"),
+        kept_n.cast("bigint").alias("kept_n"),
+        trimmed.cast("bigint").alias("trimmed_sum"),
+        F.round(trimmed.cast("double") / kept_n.cast("double"), 6).alias(
+            "trimmed_mean"
+        ),
+    )

@@ -11526,6 +11526,204 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iterations: int, top_n: int) -> str:
+    from dawis_spark.operators.graph import label_propagation_oracle_ctes
+
+    return f"""
+WITH names AS (
+  SELECT p_brand AS g, p_name AS t, length(p_name) AS ln
+  FROM part GROUP BY 1, 2),
+e0 AS (
+  SELECT a.g || '|' || a.t AS i, b2.g || '|' || b2.t AS j
+  FROM names a JOIN names b2
+    ON a.g = b2.g AND a.t < b2.t AND abs(a.ln - b2.ln) <= 2
+  WHERE levenshtein(a.t, b2.t) <= 2),
+edges AS (SELECT i AS src, j AS dst FROM e0 UNION ALL SELECT j, i FROM e0),
+{label_propagation_oracle_ctes('edges', iterations)}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lpa GROUP BY label ORDER BY n_nodes DESC, community LIMIT {top_n}
+"""
+
+
+@query("community_detection_lpa", oracle=_lpa_oracle(3, 10))
+def community_detection_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007,
+    deterministic min-label tie-break) over the fuzzy name-match graph
+    (part names within brand blocks at edit distance <= 2 — the
+    fuzzy_name_matches relation as edges): three voting rounds, then
+    the ten largest entity groups. This is LPA's production use in an
+    ER pipeline — variants cluster onto one canonical label without a
+    global transitive closure — and the unsupervised complement to
+    knn_label_propagation's seeded classifier. (The trade and item
+    co-occurrence graphs are near-cliques on this corpus; LPA needs a
+    SPARSE graph to say anything, which the blocked edit-distance
+    relation is: ~400 communities over ~800 name nodes at sf0.1.)
+
+    Scale: edge build is the blocked length-filtered name join
+    (catalog-bounded names relation); per round one edges join labels
+    shuffle + one (node, label) count + an argmax window over the count
+    relation; label state is node-count-bounded and persisted. The
+    min-label tie-break makes all rounds DuckDB-replayable
+    (operators/graph.py:label_propagation_oracle_ctes)."""
+    from dawis_spark.operators.graph import label_propagation
+
+    names = (
+        spark.table("part")
+        .select(F.col("p_brand").alias("g"), F.col("p_name").alias("t"))
+        .distinct()
+        .withColumn("ln", F.length("t"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.t") < F.col("b.t"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2),
+        )
+        .filter(F.levenshtein(F.col("a.t"), F.col("b.t")) <= 2)
+        .select(
+            F.concat_ws("|", F.col("a.g"), F.col("a.t")).alias("i"),
+            F.concat_ws("|", F.col("b.g"), F.col("b.t")).alias("j"),
+        )
+    )
+    edges = (
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+        .unionAll(pairs.select(F.col("j").alias("src"), F.col("i").alias("dst")))
+        .persist()
+    )
+    return (
+        label_propagation(edges, iterations=3)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(10)
+    )
+
+
+_HAMPEL_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+fan AS (
+  SELECT k, d + to_days(CAST(t.o AS INT)) AS cday, v
+  FROM daily, range(-3, 4) t(o)),
+wins AS (
+  SELECT k, cday, list_sort(list(v)) AS vals, COUNT(*) AS n
+  FROM fan GROUP BY k, cday),
+scored AS (
+  SELECT k, cday, vals[4] AS med,
+         list_sort(list_transform(vals, x -> abs(x - vals[4])))[4] AS mad
+  FROM wins WHERE n = 7)
+SELECT d.k AS event_type, d.d AS day, d.v AS value_cents,
+       CAST(s.med AS BIGINT) AS med, CAST(s.mad AS BIGINT) AS mad,
+       CAST(abs(d.v - s.med) AS BIGINT) AS dev
+FROM daily d JOIN scored s ON d.k = s.k AND d.d = s.cday
+WHERE abs(d.v - s.med) * 10000 > 44478 * s.mad
+ORDER BY event_type, day
+"""
+
+
+@query("hampel_outliers_daily", oracle=_HAMPEL_ORACLE)
+def hampel_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despike filter on daily event totals: points more than
+    3 x 1.4826 x MAD from their ROLLING 7-day median — the windowed
+    form of the global MAD test (anomaly_mad_daily), robust to level
+    shifts that poison a global baseline. The threshold compares
+    |dev| * 10000 > 44478 * MAD in pure int64 (median and MAD are each
+    the 4th order statistic of 7 integers), so the flag set is
+    bit-stable with zero float ops
+    (operators/anomaly.py:hampel_outliers).
+
+    Scale: the rolling-median explode fanout — x7 hash-only rows into
+    one (key, center-day) aggregate; no unbounded window, no per-key
+    full-series sort."""
+    from dawis_spark.operators.anomaly import hampel_outliers
+
+    daily = (
+        spark.table("events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return (
+        hampel_outliers(daily, "k", "day", "v", half_window=3)
+        .select(
+            F.col("k").alias("event_type"),
+            "day",
+            F.col("v").alias("value_cents"),
+            "med",
+            "mad",
+            "dev",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+  FROM lineitem),
+rk AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM src),
+t AS (
+  SELECT k, v, rn, n,
+         (5 * (n - 1)) // 100 + 1 AS t_lo,
+         (95 * (n - 1)) // 100 + 1 AS t_hi
+  FROM rk)
+SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(t_hi - t_lo + 1 AS BIGINT) AS kept_n,
+       CAST(SUM(CASE WHEN rn BETWEEN t_lo AND t_hi THEN v ELSE 0 END) AS BIGINT)
+         AS trimmed_sum,
+       ROUND(CAST(SUM(CASE WHEN rn BETWEEN t_lo AND t_hi THEN v ELSE 0 END)
+                  AS DOUBLE) / CAST(t_hi - t_lo + 1 AS DOUBLE), 6)
+         AS trimmed_mean
+FROM t GROUP BY k, n, t_lo, t_hi ORDER BY l_returnflag
+"""
+
+
+@query("trimmed_mean_price", oracle=_TRIMMED_MEAN_ORACLE)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 trimmed mean of extended price per return flag — the robust
+    location estimate for heavy-tailed measures, computed WITHOUT a
+    per-group sort: cutoffs come from the bucket-selection quantiles
+    and the trimmed sum is recovered arithmetically with exact tie
+    corrections at both cutoffs
+    (operators/sketches.py:trimmed_mean_select — identical by
+    construction to sorting and summing ranks t_lo..t_hi, which is what
+    the oracle does). Two scans plus the selection machinery's
+    bucket-count exchange; the oracle's window form is the
+    non-scalable shape the operator exists to avoid."""
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("vc"),
+    )
+    return (
+        trimmed_mean_select(src, ["k"], "vc", 5, 95)
+        .select(
+            F.col("k").alias("l_returnflag"),
+            "n",
+            "kept_n",
+            "trimmed_sum",
+            "trimmed_mean",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

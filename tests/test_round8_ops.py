@@ -1519,3 +1519,68 @@ def test_weighted_median_uniform_weights_is_lower_median(spark):
     df = spark.createDataFrame([("g", v, 1) for v in [10, 20, 30, 40]], ["k", "v", "w"])
     # even count, lower median -> 20 (cumw 2 >= T=(4+1)div 2=2)
     assert weighted_median_select(df, ["k"], "v", "w").collect()[0]["median_value"] == 20
+
+
+def test_label_propagation_two_components(spark):
+    from dawis_spark.operators.graph import label_propagation
+
+    # two disjoint triangles: each converges to its min node id
+    und = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    rows = {r["node"]: r["label"] for r in label_propagation(edges, 3).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_hampel_flags_spike_not_trend(spark):
+    import datetime
+
+    from dawis_spark.operators.anomaly import hampel_outliers
+
+    d0 = datetime.date(2024, 1, 1)
+    # smooth ramp with one spike at day 7
+    vals = [100, 102, 104, 106, 108, 110, 112, 900, 116, 118, 120, 122, 124, 126, 128]
+    rows = [("a", d0 + datetime.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "day", "v"])
+    out = hampel_outliers(df, "k", "day", "v", half_window=3).collect()
+    flagged_days = {r["day"] for r in out}
+    spike_day = d0 + datetime.timedelta(days=7)
+    assert spike_day in {d.date() if hasattr(d, "date") else d for d in flagged_days}
+    for r in out:
+        day = r["day"].date() if hasattr(r["day"], "date") else r["day"]
+        assert day == spike_day, f"false positive at {day}"
+
+
+def test_trimmed_mean_matches_sorted_definition(spark):
+    import random
+
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 10000) for _ in range(237)] + [10**9]  # one whale
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    row = trimmed_mean_select(df, ["k"], "v", 5, 95).collect()[0]
+    n = len(vals)
+    t_lo = (5 * (n - 1)) // 100 + 1
+    t_hi = (95 * (n - 1)) // 100 + 1
+    kept = sorted(vals)[t_lo - 1 : t_hi]
+    assert row["n"] == n and row["kept_n"] == len(kept)
+    assert row["trimmed_sum"] == sum(kept)
+    assert abs(row["trimmed_mean"] - round(sum(kept) / len(kept), 6)) < 1e-9
+    # the whale is trimmed: mean stays in the body's range
+    assert row["trimmed_mean"] < 10000
+
+
+def test_trimmed_mean_tie_heavy_at_cutoff(spark):
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    # many ties exactly at both cutoffs
+    vals = [1] * 30 + [2] * 40 + [3] * 30
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    row = trimmed_mean_select(df, ["k"], "v", 5, 95).collect()[0]
+    n = 100
+    t_lo = (5 * 99) // 100 + 1   # 5
+    t_hi = (95 * 99) // 100 + 1  # 95
+    kept = sorted(vals)[t_lo - 1 : t_hi]
+    assert row["trimmed_sum"] == sum(kept) and row["kept_n"] == len(kept)
