@@ -599,3 +599,68 @@ def label_propagation_oracle_ctes(edges_cte: str, iterations: int = 3) -> str:
         prev = f"lp_l{i}"
     parts.append(f"lpa AS (SELECT node, label FROM {prev})")
     return ",\n".join(parts)
+
+
+def bellman_ford(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Multi-source Bellman-Ford: minimum path WEIGHT from the seed set
+    (column ``node``) within ``iterations`` relaxation rounds, over an
+    edge list (src, dst, w) with non-negative integer weights — the
+    weighted companion to ``bfs_hops`` (hop counts) for cost-aware
+    reachability (cheapest routing hops, fastest fulfillment chains).
+    After k rounds the distance equals the true shortest path using at
+    most k edges — the standard bounded-horizon semantics of the
+    distributed relaxation (Pregel SSSP).
+
+    Returns (node, dist). All-integer min-agg: bit-identical under any
+    partitioning, every round DuckDB-replayable.
+
+    Scale shape per round: one dist⋈edges shuffle join + one
+    min-groupBy over (node) — edge-count-bound; the distance relation
+    is node-count-bounded and persisted (read by the relax join AND
+    the min-union rebuild)."""
+    dist = seeds.select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    for _ in range(iterations):
+        dist = dist.persist()
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist
+
+
+def bellman_ford_oracle_ctes(
+    edges_cte: str, seeds_cte: str, iterations: int = 3
+) -> str:
+    """DuckDB replay of ``bellman_ford``: CTE chain ending in
+    ``bf(node, dist)``. ``edges_cte`` exposes (src, dst, w)."""
+    parts = [
+        (
+            f"bfw_d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist"
+            f" FROM {seeds_cte})"
+        )
+    ]
+    prev = "bfw_d0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"bfw_d{i} AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT node, dist FROM {prev}"
+            f" UNION ALL"
+            f" SELECT e.dst AS node, d.dist + e.w AS dist"
+            f" FROM {edges_cte} e JOIN {prev} d ON e.src = d.node"
+            f") GROUP BY node)"
+        )
+        prev = f"bfw_d{i}"
+    parts.append(f"bf AS (SELECT node, dist FROM {prev})")
+    return ",\n".join(parts)

@@ -334,3 +334,85 @@ def acf(series: DataFrame, ord_col: str, value_col: str, max_lag: int) -> DataFr
         )
         .orderBy("lag")
     )
+
+
+def ccf(
+    series: DataFrame,
+    ord_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """(lag, n_pairs, ccf) for lag in [-max_lag, max_lag]: the
+    cross-correlation r_k = corr(x_t, y_{t+k}) with GLOBAL means and
+    the full-series variance product in the denominator — the
+    lead/lag-detection companion to ``acf`` (which series moves
+    FIRST), feeding the same exactness discipline: the 1/n means are
+    cleared by cross-multiplying with n^2,
+
+        num_k * n^2 = n^2*Sxy_k - n*Sy*Xh_k - n*Sx*Yt_k + m_k*Sx*Sy
+
+    every term an exact DECIMAL(38,0) integer; the denominator pays two
+    IEEE sqrts over the same exact integers on both engines.
+
+    Scale: all 2*max_lag+1 shifted pairings ride ONE window sort over
+    the calendar-bounded series; per-lag sums are one unpivoted
+    map-side-partial aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(ord_col)
+    shift_cols = []
+    for k in range(-max_lag, max_lag + 1):
+        yk = (
+            F.lead(y_col, k).over(w) if k >= 0 else F.lag(y_col, -k).over(w)
+        )
+        shift_cols.append(yk.alias(f"y_{k + max_lag}"))
+    wide = series.select(F.col(x_col).alias("x"), *shift_cols)
+    stack_expr = ", ".join(
+        f"{k}, y_{k + max_lag}" for k in range(-max_lag, max_lag + 1)
+    )
+    long = wide.select(
+        "x", F.expr(f"stack({2 * max_lag + 1}, {stack_expr}) as (lag, yl)")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    glob = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(x_col).cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col(y_col).cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col(x_col).cast("decimal(38,0)") * F.col(x_col).cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col(y_col).cast("decimal(38,0)") * F.col(y_col).cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    per_lag = (
+        long.filter(F.col("yl").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(d("x") * d("yl")).alias("sxy"),
+            F.sum(d("x")).alias("xh"),
+            F.sum(d("yl")).alias("yt"),
+        )
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    num = (
+        nn * nn * F.col("sxy")
+        - nn * F.col("sy") * F.col("xh")
+        - nn * F.col("sx") * F.col("yt")
+        + F.col("n_pairs").cast("decimal(38,0)") * F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = (
+        F.sqrt((nn * nn * F.col("sxx") - nn * F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((nn * nn * F.col("syy") - nn * F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return (
+        per_lag.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(num / den, 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

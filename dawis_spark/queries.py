@@ -11724,6 +11724,139 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bellman_oracle(iterations: int, top_n: int, seed_nation: int) -> str:
+    from dawis_spark.operators.graph import bellman_ford_oracle_ctes
+
+    return f"""
+WITH rel AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         CAST(MIN(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c AS src, s AS dst, w FROM rel
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM rel
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = {seed_nation}
+),
+{bellman_ford_oracle_ctes('edges', 'seeds', iterations)}
+SELECT node, dist FROM bf
+WHERE node % 2 = 1
+ORDER BY dist, node LIMIT {top_n}
+"""
+
+
+@query("bellman_ford_fastest_supply", oracle=_bellman_oracle(3, 15, _PPR_SEED_NATION))
+def bellman_ford_fastest_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source Bellman-Ford over the trade graph with edge weight
+    = the relationship's fastest observed ship lag (days): the 15
+    suppliers cheapest to reach from one nation's customers within 3
+    relaxation rounds — weighted shortest paths, the cost-aware
+    companion to bfs_hop_distribution's hop counts (same seed set, same
+    graph, different metric). Non-negative integer weights keep every
+    min-plus round exact; DuckDB replays all relaxations
+    (operators/graph.py:bellman_ford_oracle_ctes).
+
+    Scale: per round one dist⋈edges shuffle join + one min-groupBy —
+    edge-count-bound with node-count-bounded persisted distance state;
+    the edge build aggregates lineitem⋈orders down to one row per
+    trading relationship before any iteration."""
+    from dawis_spark.operators.graph import bellman_ford
+
+    rel = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(
+            F.min(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    edges = (
+        rel.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
+        .unionAll(rel.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+        .persist()
+    )
+    seeds = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == _PPR_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        bellman_ford(edges, seeds, iterations=3)
+        .filter(F.col("node") % 2 == 1)
+        .orderBy("dist", "node")
+        .limit(15)
+    )
+
+
+def _ccf_oracle(max_lag: int) -> str:
+    shift_selects = []
+    for k in range(-max_lag, max_lag + 1):
+        fn = f"LEAD(rev, {k})" if k >= 0 else f"LAG(rev, {-k})"
+        shift_selects.append(f"{fn} OVER (ORDER BY d) AS y_{k + max_lag}")
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, x, y_{k + max_lag} AS yl FROM wide"
+        f" WHERE y_{k + max_lag} IS NOT NULL"
+        for k in range(-max_lag, max_lag + 1)
+    )
+    return f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+wide AS (SELECT cnt AS x, {', '.join(shift_selects)} FROM daily),
+gstats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(cnt AS HUGEINT)) AS sx, SUM(CAST(rev AS HUGEINT)) AS sy,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx,
+         SUM(CAST(rev AS HUGEINT) * rev) AS syy
+  FROM daily),
+long AS ({lag_selects}),
+per_lag AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT) * yl) AS sxy,
+         SUM(CAST(x AS HUGEINT)) AS xh, SUM(CAST(yl AS HUGEINT)) AS yt
+  FROM long GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       ROUND(CAST(n*n*sxy - n*sy*xh - n*sx*yt + n_pairs*sx*sy AS DOUBLE)
+             / (SQRT(CAST(n*n*sxx - n*sx*sx AS DOUBLE))
+                * SQRT(CAST(n*n*syy - n*sy*sy AS DOUBLE))), 6) AS ccf
+FROM per_lag CROSS JOIN gstats ORDER BY lag
+"""
+
+
+@query("ccf_orders_vs_revenue", oracle=_ccf_oracle(7))
+def ccf_orders_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily order count and daily revenue at
+    lags -7..+7 — the lead/lag detector (which series moves FIRST) that
+    completes the temporal-association panel: ACF for self-structure,
+    Spearman/Kendall for contemporaneous monotone association, CCF for
+    direction. Same n^2-cross-multiplied exactness as acf: every
+    numerator term an exact DECIMAL(38,0) integer, two sqrts and one
+    division at the end (operators/stats.py:ccf).
+
+    Scale: all 15 shifted pairings ride ONE window sort over the
+    calendar-bounded daily series."""
+    from dawis_spark.operators.stats import ccf
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return ccf(daily, "d", "cnt", "rev", max_lag=7)
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

@@ -1584,3 +1584,27 @@ def test_trimmed_mean_tie_heavy_at_cutoff(spark):
     t_hi = (95 * 99) // 100 + 1  # 95
     kept = sorted(vals)[t_lo - 1 : t_hi]
     assert row["trimmed_sum"] == sum(kept) and row["kept_n"] == len(kept)
+
+
+def test_bellman_ford_hand_graph(spark):
+    from dawis_spark.operators.graph import bellman_ford
+
+    # 1 -2-> 2 -3-> 3; direct 1 -10-> 3: path through 2 wins (5 < 10)
+    e = [(1, 2, 2), (2, 3, 3), (1, 3, 10)]
+    edges = spark.createDataFrame(e, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    rows = {r["node"]: r["dist"] for r in bellman_ford(edges, seeds, 3).collect()}
+    assert rows == {1: 0, 2: 2, 3: 5}
+
+
+def test_ccf_symmetric_identity(spark):
+    from dawis_spark.operators.stats import ccf
+
+    # y == x: ccf(0) = 1 exactly; ccf(k) == ccf(-k) by symmetry of x with itself
+    vals = [(i, 100 + ((i * 37) % 50), 100 + ((i * 37) % 50)) for i in range(60)]
+    df = spark.createDataFrame(vals, ["t", "x", "y"])
+    rows = {r["lag"]: r for r in ccf(df, "t", "x", "y", max_lag=3).collect()}
+    assert abs(rows[0]["ccf"] - 1.0) < 1e-9
+    for k in (1, 2, 3):
+        assert rows[k]["n_pairs"] == 60 - k and rows[-k]["n_pairs"] == 60 - k
+        assert abs(rows[k]["ccf"] - rows[-k]["ccf"]) < 1e-9
