@@ -11857,6 +11857,34 @@ def ccf_orders_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccf(daily, "d", "cnt", "rev", max_lag=7)
 
 
+def _rake_oracle() -> str:
+    from dawis_spark.operators.rake import rake_oracle_sql
+
+    return rake_oracle_sql("documents", "doc_id", "text")
+
+
+@query("rake_keyphrases", oracle=_rake_oracle())
+def rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    top collocations by deg/freq word scores — the unsupervised
+    keyword/topic surfacer next to pmi_collocations (PMI finds
+    surprising PAIRS; RAKE ranks whole stopword-free phrases) and
+    tfidf_top_terms (per-source single tokens).
+
+    Phrase segmentation is POSITIONAL, not regex: separator flags +
+    per-doc cumulative sum define maximal stopword-free runs in
+    engine-neutral relational ops, and each phrase's float score folds
+    word scores in position order (the ordered-fold discipline), so
+    DuckDB reproduces every bit (operators/rake.py).
+
+    Scale: one tokenize/posexplode scan, a per-document window
+    (document-length-bounded, parallel across docs), a vocab-bounded
+    word-stats aggregate, one phrase re-aggregate."""
+    from dawis_spark.operators.rake import rake_keyphrases
+
+    return rake_keyphrases(spark.table("documents"), "doc_id", "text")
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

@@ -1608,3 +1608,30 @@ def test_ccf_symmetric_identity(spark):
     for k in (1, 2, 3):
         assert rows[k]["n_pairs"] == 60 - k and rows[-k]["n_pairs"] == 60 - k
         assert abs(rows[k]["ccf"] - rows[-k]["ccf"]) < 1e-9
+
+
+def test_rake_phrase_segmentation_and_scores(spark):
+    from dawis_spark.operators.rake import rake_keyphrases
+
+    # "deep learning" appears twice (deg/freq rewards the collocation);
+    # stopwords split phrases; 1-word runs are dropped by min_phrase_len
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning is the deep learning method"),
+            (2, "shallow parsing and deep learning"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = rake_keyphrases(docs, "doc_id", "text", top_n=5).collect()
+    by_phrase = {r["phrase"]: r for r in rows}
+    assert "deep learning" in by_phrase
+    dl = by_phrase["deep learning"]
+    # standalone twice (doc1 pre-'is', doc2); the third lives inside
+    # 'deep learning method', a distinct phrase
+    assert dl["n_occurrences"] == 2 and dl["n_words"] == 2
+    assert "deep learning method" in by_phrase
+    # the longer collocation outscores its prefix (deg rewards length)
+    assert by_phrase["deep learning method"]["score"] > dl["score"]
+    # segmentation check: 'is'/'the'/'and' never appear inside any phrase
+    for p in by_phrase:
+        assert not ({"is", "the", "and", "of"} & set(p.split()))
