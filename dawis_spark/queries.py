@@ -11964,7 +11964,10 @@ DRIVER_PRIORITY: list[str] = [
     # kcore_trade_graph, bfs_hop_distribution, spearman/kendall_daily_
     # rev_orders, acf_daily_revenue, holt_linear_forecast,
     # k_anonymity_customers, ivf_nprobe_recall_curve, search_mrr_eval,
-    # weighted_median_price) are sweep-verified at
+    # weighted_median_price, community_detection_lpa,
+    # hampel_outliers_daily, trimmed_mean_price,
+    # bellman_ford_fastest_supply, ccf_orders_vs_revenue,
+    # rake_keyphrases) are sweep-verified at
     # sf0.01 AND sf0.1 this round, sf1-rehearsed (SCALE.md), and head
     # the r9 rotation.
     # (the former d6 tail — semantic_dedup, embedding_ann_ivfpq,
