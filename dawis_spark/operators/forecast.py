@@ -42,6 +42,21 @@ def _tdiv(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
+def holt_fit(
+    vals: list[int], alpha_den: int = 4, beta_den: int = 8
+) -> tuple[int, int]:
+    """Fold the Holt recurrence over an ordered value list; returns the
+    final (level, trend). Shared by the batch applyInPandas operator
+    and the streaming monitor (streaming/holt.py) so batch equivalence
+    is equality of one function applied to one history."""
+    lvl, tr = vals[0], 0
+    for x in vals[1:]:
+        lvl_new = _tdiv(x + (alpha_den - 1) * (lvl + tr), alpha_den)
+        tr = _tdiv((lvl_new - lvl) + (beta_den - 1) * tr, beta_den)
+        lvl = lvl_new
+    return lvl, tr
+
+
 def holt_linear(
     series: DataFrame,
     key_col: str,
@@ -64,11 +79,7 @@ def holt_linear(
         pdf = pdf.sort_values(ord_col)
         key = pdf[key_col].iloc[0]
         vals = [int(v) for v in pdf[value_col]]
-        lvl, tr = vals[0], 0
-        for x in vals[1:]:
-            lvl_new = _tdiv(x + (alpha_den - 1) * (lvl + tr), alpha_den)
-            tr = _tdiv((lvl_new - lvl) + (beta_den - 1) * tr, beta_den)
-            lvl = lvl_new
+        lvl, tr = holt_fit(vals, alpha_den, beta_den)
         return pd.DataFrame(
             {
                 key_col: [key] * horizon,

@@ -259,3 +259,61 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want == [(100, 900), (102, 902)]
+
+
+def test_stream_holt_matches_batch_fit(spark, tmp_path):
+    """Two ticks of daily rollups; the final tick's emitted forecasts
+    must equal holt_fit over the full retained history (batch
+    equivalence via the shared fold), and a same-bucket redelivery in
+    tick 2 must REPLACE tick 1's value, not duplicate it."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.operators.forecast import holt_fit
+    from dawis_spark.streaming.holt import stream_holt
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_holt(
+                staging_stream(spark, staging, schema),
+                "series",
+                "bucket",
+                "cents",
+                horizon=3,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t1 = [("m", b, 100 + 10 * b) for b in range(6)]  # ramp
+    # tick 2: new days 6..8 plus a REDELIVERY of bucket 5 with a new value
+    t2 = [("m", 6, 400), ("m", 7, 420), ("m", 8, 440), ("m", 5, 200)]
+    tick(t1)
+    tick(t2)
+
+    out = [r for r in spark.read.parquet(sink).where("bucket = 8").collect()]
+    assert len(out) == 3
+    vals = [100 + 10 * b for b in range(5)] + [200, 400, 420, 440]
+    lvl, tr = holt_fit(vals)
+    got = {r["h"]: r for r in out}
+    for h in (1, 2, 3):
+        assert got[h]["forecast"] == lvl + h * tr
+        assert got[h]["level"] == lvl and got[h]["trend"] == tr
+        assert got[h]["n_points"] == len(vals)
