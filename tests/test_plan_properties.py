@@ -465,6 +465,8 @@ def test_graph_iterations_no_cartesian_and_persisted_state(spark):
         "hits_hub_authority",
         "kcore_trade_graph",
         "bfs_hop_distribution",
+        "community_detection_lpa",
+        "bellman_ford_fastest_supply",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
