@@ -952,6 +952,12 @@ def trimmed_mean_select(
     )
     kept_n = F.col("t_hi") - F.col("t_lo") + 1
     trimmed = F.col("total") - sum_bottom - sum_top
+    # winsorizing REPLACES the dropped extremes with the cutoff values
+    # instead of discarding them — same cutoffs, same corrections, mean
+    # over the FULL n (the robustness/efficiency trade's other leg)
+    winsor = (
+        trimmed + (d("t_lo") - 1) * d("q_lo") + (d("n") - d("t_hi")) * d("q_hi")
+    )
     return agg.select(
         *key_cols,
         F.col("n").cast("bigint").alias("n"),
@@ -959,5 +965,9 @@ def trimmed_mean_select(
         trimmed.cast("bigint").alias("trimmed_sum"),
         F.round(trimmed.cast("double") / kept_n.cast("double"), 6).alias(
             "trimmed_mean"
+        ),
+        winsor.cast("bigint").alias("winsor_sum"),
+        F.round(winsor.cast("double") / d("n").cast("double"), 6).alias(
+            "winsor_mean"
         ),
     )

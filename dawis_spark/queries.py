@@ -11885,6 +11885,66 @@ def rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(spark.table("documents"), "doc_id", "text")
 
 
+_WINSOR_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+  FROM lineitem),
+rk AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM src),
+t AS (
+  SELECT k, v, rn, n,
+         (5 * (n - 1)) // 100 + 1 AS t_lo,
+         (95 * (n - 1)) // 100 + 1 AS t_hi
+  FROM rk),
+cuts AS (
+  SELECT k,
+         MAX(CASE WHEN rn = t_lo THEN v END) AS q_lo,
+         MAX(CASE WHEN rn = t_hi THEN v END) AS q_hi
+  FROM t GROUP BY k)
+SELECT t.k AS l_returnflag, CAST(t.n AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rn < t_lo THEN c.q_lo
+                     WHEN rn > t_hi THEN c.q_hi
+                     ELSE v END) AS BIGINT) AS winsor_sum,
+       ROUND(CAST(SUM(CASE WHEN rn < t_lo THEN c.q_lo
+                           WHEN rn > t_hi THEN c.q_hi
+                           ELSE v END) AS DOUBLE) / t.n, 6) AS winsor_mean
+FROM t JOIN cuts c ON t.k = c.k
+GROUP BY t.k, t.n ORDER BY l_returnflag
+"""
+
+
+@query("winsorized_mean_price", oracle=_WINSOR_ORACLE)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean of extended price per return flag — the
+    trimmed mean's other leg: extremes are REPLACED by the cutoff
+    values rather than dropped, keeping the mean over the full n (the
+    estimator of choice when row counts must be preserved, e.g.
+    weighting downstream aggregates). Shares trimmed_mean_select's
+    bucket-selection cutoffs and exact tie corrections — the oracle's
+    per-rank CASE replay is the definitionally equivalent sorted form
+    the operator avoids at scale."""
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("vc"),
+    )
+    return (
+        trimmed_mean_select(src, ["k"], "vc", 5, 95)
+        .select(
+            F.col("k").alias("l_returnflag"),
+            "n",
+            "winsor_sum",
+            "winsor_mean",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

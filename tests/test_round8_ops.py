@@ -1635,3 +1635,25 @@ def test_rake_phrase_segmentation_and_scores(spark):
     # segmentation check: 'is'/'the'/'and' never appear inside any phrase
     for p in by_phrase:
         assert not ({"is", "the", "and", "of"} & set(p.split()))
+
+
+def test_winsorized_mean_matches_sorted_definition(spark):
+    import random
+
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    rng = random.Random(11)
+    vals = [rng.randrange(0, 10000) for _ in range(181)] + [10**9, -(10**9)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    row = trimmed_mean_select(df, ["k"], "v", 5, 95).collect()[0]
+    n = len(vals)
+    t_lo = (5 * (n - 1)) // 100 + 1
+    t_hi = (95 * (n - 1)) // 100 + 1
+    sv = sorted(vals)
+    q_lo, q_hi = sv[t_lo - 1], sv[t_hi - 1]
+    winsored = [q_lo if i < t_lo - 1 else (q_hi if i > t_hi - 1 else v)
+                for i, v in enumerate(sv)]
+    assert row["winsor_sum"] == sum(winsored)
+    assert abs(row["winsor_mean"] - round(sum(winsored) / n, 6)) < 1e-9
+    # both whales clipped: mean back in the body's range
+    assert 0 <= row["winsor_mean"] <= 10000
