@@ -64,6 +64,8 @@ PICKS = {
     "weighted_median_price": "bucket weight-sums shuffle; picked buckets broadcast to 2nd pass",
     "holt_linear_forecast": "daily pre-agg feeds FlatMapGroupsInPandas; raw events never regroup",
     "search_mrr_eval": "3 inverted-index BM25 legs; relevance is map-side token conjunction",
+    "community_detection_lpa": "3 voting rounds on the sparse name graph; labels persisted per round",
+    "bellman_ford_fastest_supply": "min-plus relaxations; relationship-aggregated edges persisted",
     "embedding_ann_refined": "candidate pool + query vecs broadcast into the exact-refine corpus scan",
     "duplicated_spans": "exchanges carry (doc, pos, 8-byte wh); island merge windows per doc",
     "dsir_importance_weights": "lambda literal folds in the raw scan; zero hash exchange below the sort",
