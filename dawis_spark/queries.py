@@ -11945,6 +11945,165 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+_NDCG_K = 10
+# 1/log2(1+r) discounts as shared decimal literals: both engines parse
+# the same decimal string to the same IEEE double, so no libm log enters
+# either plan — the cross-engine determinism trick for the one place
+# nDCG genuinely needs a logarithm.
+_NDCG_W = [round(1.0 / _math.log2(1 + r), 12) for r in range(1, _NDCG_K + 1)]
+_NDCG_CUMW = [round(sum(_NDCG_W[:j]), 12) for j in range(0, _NDCG_K + 1)]
+
+
+def _ndcg_oracle(k1: float, b: float) -> str:
+    toks = _TXT.tokens("text", "duck")
+    w_arr = ", ".join(str(w) for w in _NDCG_W)
+    cumw_arr = ", ".join(str(w) for w in _NDCG_CUMW)
+    parts = []
+    for qid, terms in _IR_QUERIES:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        grade = " + ".join(
+            f"CASE WHEN list_contains(__toks, '{t}') THEN 1 ELSE 0 END"
+            for t in terms
+        )
+        parts.append(
+            f"""
+SELECT * FROM (
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({term_list}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_NDCG_K}
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM top
+),
+gr AS (SELECT doc_id, ({grade}) AS grade FROM base),
+gc AS (
+  SELECT CAST(SUM(CASE WHEN grade = {len(terms)} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full,
+         CAST(SUM(CASE WHEN grade > 0 AND grade < {len(terms)} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_partial
+  FROM gr),
+dcg_t AS (
+  SELECT COALESCE(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+             list_sort(list(struct_pack(r := rk.rank, g := gr.grade))),
+             e -> e.g * ([{w_arr}])[e.r])),
+           (a, v) -> a + v), 0.0) AS dcg
+  FROM rk JOIN gr USING (doc_id)),
+ideal AS (
+  SELECT n_full, n_partial,
+         least(n_full * {len(terms)}, 0) AS __z,
+         ([{cumw_arr}])[CAST(least(n_full, {_NDCG_K}) AS INT) + 1] AS cw_full,
+         ([{cumw_arr}])[CAST(least(n_full + n_partial, {_NDCG_K}) AS INT) + 1]
+           AS cw_both
+  FROM gc)
+SELECT {qid} AS query_id, n_full, n_partial,
+       ROUND(dcg, 6) AS dcg,
+       ROUND({len(terms)} * cw_full + 1.0 * (cw_both - cw_full), 6) AS idcg,
+       ROUND(CASE WHEN {len(terms)} * cw_full + (cw_both - cw_full) = 0
+                  THEN 0.0
+                  ELSE dcg / ({len(terms)} * cw_full + 1.0 * (cw_both - cw_full))
+             END, 6) AS ndcg
+FROM dcg_t CROSS JOIN ideal
+)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id"
+
+
+@query("search_ndcg_eval", oracle=_ndcg_oracle(1.2, 0.75))
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 for the BM25 retriever — the ranked-quality
+    number completing the IR panel (search_mrr_eval scores the first
+    hit; nDCG scores the whole ordering): relevance grade = number of
+    query terms a document contains, discounts 1/log2(1+r) shared as
+    DECIMAL LITERALS so neither engine calls a log in the scoring path,
+    and the IDEAL DCG is CLOSED-FORM from the corpus grade counts
+    (prefix-summed discount literals indexed by min(count, k)) — no
+    corpus-wide sort or collect to build the ideal ranking, the detail
+    that keeps nDCG computable at 100 TB. The realized DCG folds the
+    10-row ranking in rank order (ordered-fold discipline)."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+
+    docs = spark.table("documents")
+    toks = _TXT.tokens("text", "spark")
+    w_arr = ", ".join(f"{w}D" for w in _NDCG_W)
+    cumw_arr = ", ".join(f"{w}D" for w in _NDCG_CUMW)
+    out = None
+    for qid, terms in _IR_QUERIES:
+        g = len(terms)
+        ranked = bm25_scores(
+            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_NDCG_K
+        ).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("rank"),
+        )
+        grade_expr = " + ".join(
+            f"CASE WHEN array_contains({toks}, '{t}') THEN 1 ELSE 0 END"
+            for t in terms
+        )
+        grades = docs.select("doc_id", F.expr(grade_expr).alias("grade"))
+        gc = grades.agg(
+            F.sum(F.when(F.col("grade") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_full"),
+            F.sum(F.when((F.col("grade") > 0) & (F.col("grade") < g), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_partial"),
+        )
+        dcg_row = ranked.join(grades, "doc_id").agg(
+            F.coalesce(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(rank, grade))), "
+                    f"cast(0.0 as double), (a, e) -> a + e.grade * element_at(array({w_arr}), e.rank))"
+                ),
+                F.lit(0.0),
+            ).alias("dcg")
+        )
+        cw_full = F.expr(
+            f"element_at(array({cumw_arr}), cast(least(n_full, {_NDCG_K}) as int) + 1)"
+        )
+        cw_both = F.expr(
+            f"element_at(array({cumw_arr}), cast(least(n_full + n_partial, {_NDCG_K}) as int) + 1)"
+        )
+        # association mirrors the oracle exactly: g*A + (B - A)
+        idcg = F.lit(float(g)) * cw_full + (cw_both - cw_full)
+        row = dcg_row.crossJoin(F.broadcast(gc)).select(
+            F.lit(qid).cast("int").alias("query_id"),
+            "n_full",
+            "n_partial",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(
+                F.when(idcg == 0, F.lit(0.0)).otherwise(F.col("dcg") / idcg), 6
+            ).alias("ndcg"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("query_id")
+
+
 DRIVER_PRIORITY: list[str] = [
     # changed or added this round (r8) — must be driver-checked
     "bloom_semi_join",            # oracle SUM typing fixed (r7's only driver-red)

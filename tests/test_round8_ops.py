@@ -1657,3 +1657,17 @@ def test_winsorized_mean_matches_sorted_definition(spark):
     assert abs(row["winsor_mean"] - round(sum(winsored) / n, 6)) < 1e-9
     # both whales clipped: mean back in the body's range
     assert 0 <= row["winsor_mean"] <= 10000
+
+
+def test_search_ndcg_bounds_and_perfect_ranking_case(spark):
+    from dawis_spark import queries as q
+
+    rows = {r["query_id"]: r for r in q.QUERIES["search_ndcg_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    for r in rows.values():
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert r["dcg"] <= r["idcg"] + 1e-9
+        if r["idcg"] > 0:
+            assert abs(r["ndcg"] - round(r["dcg"] / r["idcg"], 6)) < 1e-6
