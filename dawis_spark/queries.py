@@ -12186,7 +12186,8 @@ DRIVER_PRIORITY: list[str] = [
     # weighted_median_price, community_detection_lpa,
     # hampel_outliers_daily, trimmed_mean_price,
     # bellman_ford_fastest_supply, ccf_orders_vs_revenue,
-    # rake_keyphrases) are sweep-verified at
+    # rake_keyphrases, winsorized_mean_price, search_ndcg_eval) are
+    # sweep-verified at
     # sf0.01 AND sf0.1 this round, sf1-rehearsed (SCALE.md), and head
     # the r9 rotation.
     # (the former d6 tail — semantic_dedup, embedding_ann_ivfpq,
