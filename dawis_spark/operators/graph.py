@@ -326,7 +326,11 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     decade per decade of edges (the rescale keeps precision relative).
 
     Returns (node, hub_scaled, auth_scaled) for every node.
+    ``iterations`` must be >= 1 (the authority scores only exist after
+    the first half-step; there is no meaningful 0-iteration output).
     """
+    if iterations < 1:
+        raise ValueError(f"hits() requires iterations >= 1, got {iterations}")
     hubs = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(HITS_SCALE).cast("bigint").alias("h")
     )

@@ -10070,7 +10070,10 @@ def _bootstrap_weight_case(u_expr: str) -> str:
 
 
 def _bootstrap_oracle() -> str:
-    u = f"({_BOOT_A} * (o_orderkey * {_BOOT_B} + t.b) + {_BOOT_C}) % {_TXT.MOD}"
+    # Reduce before multiplying: (key % MOD) * A < 1e9 * 1.2e9 ~ 1.2e18 stays
+    # inside int64 even at 100 TB keys, where A * (key*64+b) would wrap in
+    # Spark and raise out-of-range in DuckDB (engine-parity break).
+    u = f"(((o_orderkey * {_BOOT_B} + t.b) % {_TXT.MOD}) * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}"
     w = _bootstrap_weight_case(f"(({u}))")
     return f"""
 WITH base AS (
@@ -10115,7 +10118,7 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    u = f"({_BOOT_A} * (o_orderkey * {_BOOT_B} + b) + {_BOOT_C}) % {_TXT.MOD}"
+    u = f"(((o_orderkey * {_BOOT_B} + b) % {_TXT.MOD}) * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}"
     expanded = b.select(
         "o_orderkey",
         "cents",
@@ -10331,7 +10334,13 @@ _NEG_A1, _NEG_A2 = 2654435761, 40503  # Knuth multiplicative constants
 
 
 def _contrastive_oracle() -> str:
-    h = f"({_NEG_A1} * a.doc_id + {_NEG_A2} * c.doc_id) % {_TXT.MOD}"
+    # doc_id is reduced mod MOD before the Knuth multiply: A1 * (MOD-1)
+    # ~ 2.7e18 < 2^63, whereas A1 * doc_id wraps for doc_id >~ 3.4e9
+    # (plausible at 100 TB) — silent in Spark, an error in DuckDB.
+    h = (
+        f"({_NEG_A1} * (a.doc_id % {_TXT.MOD}) "
+        f"+ {_NEG_A2} * (c.doc_id % {_TXT.MOD})) % {_TXT.MOD}"
+    )
     return f"""
 WITH ranked AS (
   SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
@@ -10366,7 +10375,10 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("anchor_id"), F.col("source").alias("src_a")
     )
     cands = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("src_c"))
-    h = F.expr(f"({_NEG_A1} * anchor_id + {_NEG_A2} * neg_id) % {_TXT.MOD}")
+    h = F.expr(
+        f"({_NEG_A1} * (anchor_id % {_TXT.MOD}) "
+        f"+ {_NEG_A2} * (neg_id % {_TXT.MOD})) % {_TXT.MOD}"
+    )
     ranked = (
         F.broadcast(anchors)
         .join(cands, F.col("src_a") != F.col("src_c"))
@@ -11956,6 +11968,21 @@ _NDCG_W = [round(1.0 / _math.log2(1 + r), 12) for r in range(1, _NDCG_K + 1)]
 _NDCG_CUMW = [round(sum(_NDCG_W[:j]), 12) for j in range(0, _NDCG_K + 1)]
 
 
+def _ndcg_ideal_expr(g: int, cw) -> str:
+    """Ideal-DCG expression from the per-grade-level >=counts: descending
+    grade levels fill the top of the ideal ranking, so level ``lvl``
+    contributes ``lvl * (cumw[min(n_ge_lvl, K)] - cumw[min(n_ge_lvl+1, K)])``
+    (n_ge_{g+1} = 0). ``cw`` renders the cumulative-discount lookup for
+    the target engine; the generated arithmetic string is identical for
+    both, so IEEE association matches bit-for-bit."""
+    parts = []
+    for lvl in range(1, g + 1):
+        hi = cw(f"n_ge_{lvl}")
+        lo = cw(f"n_ge_{lvl + 1}") if lvl < g else "CAST(0.0 AS DOUBLE)"
+        parts.append(f"{lvl} * ({hi} - {lo})")
+    return " + ".join(parts)
+
+
 def _ndcg_oracle(k1: float, b: float) -> str:
     toks = _TXT.tokens("text", "duck")
     w_arr = ", ".join(str(w) for w in _NDCG_W)
@@ -11966,6 +11993,22 @@ def _ndcg_oracle(k1: float, b: float) -> str:
         grade = " + ".join(
             f"CASE WHEN list_contains(__toks, '{t}') THEN 1 ELSE 0 END"
             for t in terms
+        )
+        # The ideal DCG derives from the per-grade-level count histogram
+        # (grades descend over the prefix-summed discount literals), so it
+        # stays correct for ANY number of query terms — the closed form
+        # g*cw_full + (cw_both - cw_full) is only valid when all partial
+        # matches carry grade exactly 1 (i.e. g == 2). For g == 2 this
+        # reduces to the same values, term-by-term and in the same
+        # floating-point association as the Spark rendering below.
+        g = len(terms)
+        gc_counts = ",\n         ".join(
+            f"CAST(SUM(CASE WHEN grade >= {lvl} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_ge_{lvl}"
+            for lvl in range(1, g + 1)
+        )
+        idcg_sql = _ndcg_ideal_expr(
+            g, lambda e: f"([{cumw_arr}])[CAST(least({e}, {_NDCG_K}) AS INT) + 1]"
         )
         parts.append(
             f"""
@@ -11997,10 +12040,7 @@ rk AS (
 ),
 gr AS (SELECT doc_id, ({grade}) AS grade FROM base),
 gc AS (
-  SELECT CAST(SUM(CASE WHEN grade = {len(terms)} THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_full,
-         CAST(SUM(CASE WHEN grade > 0 AND grade < {len(terms)} THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_partial
+  SELECT {gc_counts}
   FROM gr),
 dcg_t AS (
   SELECT COALESCE(list_reduce(
@@ -12010,19 +12050,13 @@ dcg_t AS (
            (a, v) -> a + v), 0.0) AS dcg
   FROM rk JOIN gr USING (doc_id)),
 ideal AS (
-  SELECT n_full, n_partial,
-         least(n_full * {len(terms)}, 0) AS __z,
-         ([{cumw_arr}])[CAST(least(n_full, {_NDCG_K}) AS INT) + 1] AS cw_full,
-         ([{cumw_arr}])[CAST(least(n_full + n_partial, {_NDCG_K}) AS INT) + 1]
-           AS cw_both
+  SELECT n_ge_1 - n_ge_{g} AS n_partial, n_ge_{g} AS n_full,
+         {idcg_sql} AS idcg
   FROM gc)
 SELECT {qid} AS query_id, n_full, n_partial,
        ROUND(dcg, 6) AS dcg,
-       ROUND({len(terms)} * cw_full + 1.0 * (cw_both - cw_full), 6) AS idcg,
-       ROUND(CASE WHEN {len(terms)} * cw_full + (cw_both - cw_full) = 0
-                  THEN 0.0
-                  ELSE dcg / ({len(terms)} * cw_full + 1.0 * (cw_both - cw_full))
-             END, 6) AS ndcg
+       ROUND(idcg, 6) AS idcg,
+       ROUND(CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END, 6) AS ndcg
 FROM dcg_t CROSS JOIN ideal
 )"""
         )
@@ -12066,12 +12100,12 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         grades = docs.select("doc_id", F.expr(grade_expr).alias("grade"))
         gc = grades.agg(
-            F.sum(F.when(F.col("grade") == g, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_full"),
-            F.sum(F.when((F.col("grade") > 0) & (F.col("grade") < g), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_partial"),
+            *[
+                F.sum(F.when(F.col("grade") >= lvl, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_ge_{lvl}")
+                for lvl in range(1, g + 1)
+            ]
         )
         dcg_row = ranked.join(grades, "doc_id").agg(
             F.coalesce(
@@ -12082,18 +12116,22 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             ).alias("dcg")
         )
-        cw_full = F.expr(
-            f"element_at(array({cumw_arr}), cast(least(n_full, {_NDCG_K}) as int) + 1)"
+        # Same per-grade-level ideal as the oracle (see _ndcg_ideal_expr):
+        # the generated arithmetic string is identical, so the IEEE
+        # association matches the DuckDB rendering exactly.
+        idcg = F.expr(
+            _ndcg_ideal_expr(
+                g,
+                lambda e: (
+                    f"element_at(array({cumw_arr}), "
+                    f"cast(least({e}, {_NDCG_K}) as int) + 1)"
+                ),
+            )
         )
-        cw_both = F.expr(
-            f"element_at(array({cumw_arr}), cast(least(n_full + n_partial, {_NDCG_K}) as int) + 1)"
-        )
-        # association mirrors the oracle exactly: g*A + (B - A)
-        idcg = F.lit(float(g)) * cw_full + (cw_both - cw_full)
         row = dcg_row.crossJoin(F.broadcast(gc)).select(
             F.lit(qid).cast("int").alias("query_id"),
-            "n_full",
-            "n_partial",
+            F.col(f"n_ge_{g}").alias("n_full"),
+            (F.col("n_ge_1") - F.col(f"n_ge_{g}")).alias("n_partial"),
             F.round("dcg", 6).alias("dcg"),
             F.round(idcg, 6).alias("idcg"),
             F.round(

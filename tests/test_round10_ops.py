@@ -1,0 +1,104 @@
+"""Round-10 additions: ADVICE hardening (int64 overflow guards, general
+per-grade nDCG ideal, hits() parameter validation)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from dawis_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        hits(edges, iterations=0)
+
+
+def test_ndcg_ideal_expr_matches_explicit_ranking(spark):
+    """The per-grade-level closed form must equal the DCG of an explicit
+    ideal ranking (descending grades, discount W[r]) for a 3-level grade
+    histogram — the case the old g*cw_full + (cw_both - cw_full) formula
+    scored wrong (it graded every partial as 1)."""
+    from dawis_spark.queries import _NDCG_CUMW, _NDCG_K, _NDCG_W, _ndcg_ideal_expr
+
+    cumw_arr = ", ".join(f"{w}D" for w in _NDCG_CUMW)
+    g = 3
+    expr = _ndcg_ideal_expr(
+        g,
+        lambda e: (
+            f"element_at(array({cumw_arr}), cast(least({e}, {_NDCG_K}) as int) + 1)"
+        ),
+    )
+    cases = [  # (n_grade3, n_grade2_exclusive, n_grade1_exclusive)
+        (2, 3, 4),
+        (0, 1, 2),
+        (5, 9, 20),  # spills past K at every level
+        (0, 0, 0),
+    ]
+    for n3, n2, n1 in cases:
+        row = spark.sql(
+            f"SELECT {expr} AS idcg FROM (SELECT CAST({n3 + n2 + n1} AS BIGINT)"
+            f" AS n_ge_1, CAST({n3 + n2} AS BIGINT) AS n_ge_2,"
+            f" CAST({n3} AS BIGINT) AS n_ge_3)"
+        ).collect()[0]
+        ideal_grades = [3] * n3 + [2] * n2 + [1] * n1
+        expected = sum(
+            gr * w for gr, w in zip(ideal_grades[:_NDCG_K], _NDCG_W)
+        )
+        assert abs(row["idcg"] - expected) < 1e-9, (n3, n2, n1)
+
+
+def test_ndcg_ideal_expr_g2_matches_legacy_form(spark):
+    """For two-term queries the histogram form must reproduce the old
+    g*cw_full + (cw_both - cw_full) values exactly (oracle stability)."""
+    from dawis_spark.queries import _NDCG_CUMW, _NDCG_K, _ndcg_ideal_expr
+
+    cumw_arr = ", ".join(f"{w}D" for w in _NDCG_CUMW)
+    expr = _ndcg_ideal_expr(
+        2,
+        lambda e: (
+            f"element_at(array({cumw_arr}), cast(least({e}, {_NDCG_K}) as int) + 1)"
+        ),
+    )
+    for n_full, n_partial in [(0, 0), (1, 0), (0, 4), (3, 2), (7, 9)]:
+        row = spark.sql(
+            f"SELECT {expr} AS idcg FROM (SELECT"
+            f" CAST({n_full + n_partial} AS BIGINT) AS n_ge_1,"
+            f" CAST({n_full} AS BIGINT) AS n_ge_2)"
+        ).collect()[0]
+        cw_full = _NDCG_CUMW[min(n_full, _NDCG_K)]
+        cw_both = _NDCG_CUMW[min(n_full + n_partial, _NDCG_K)]
+        legacy = 2 * cw_full + (cw_both - cw_full)
+        assert abs(row["idcg"] - legacy) < 1e-12
+
+
+def test_bootstrap_and_contrastive_hashes_survive_huge_keys(spark):
+    """ADVICE r8: the pre-fix expressions overflowed int64 for keys past
+    ~1.3e8 (bootstrap) / ~3.4e9 (contrastive) — silent wrap in Spark vs
+    an error in DuckDB. The reduce-before-multiply forms stay in-range
+    and non-negative for keys far beyond 100 TB scale."""
+    from dawis_spark.functions import text as _TXT
+    from dawis_spark.queries import _BOOT_A, _BOOT_B, _BOOT_C, _NEG_A1, _NEG_A2
+
+    big = 10**12  # ~1e12 orderkeys / doc_ids
+    u = (
+        f"(((o_orderkey * {_BOOT_B} + b) % {_TXT.MOD}) * {_BOOT_A}"
+        f" + {_BOOT_C}) % {_TXT.MOD}"
+    )
+    h = (
+        f"({_NEG_A1} * (anchor_id % {_TXT.MOD})"
+        f" + {_NEG_A2} * (neg_id % {_TXT.MOD})) % {_TXT.MOD}"
+    )
+    row = spark.sql(
+        f"SELECT {u} AS u, {h} AS h FROM (SELECT CAST({big} AS BIGINT)"
+        f" AS o_orderkey, CAST(63 AS BIGINT) AS b,"
+        f" CAST({big} AS BIGINT) AS anchor_id,"
+        f" CAST({big + 7} AS BIGINT) AS neg_id)"
+    ).collect()[0]
+    # python ints are unbounded: the exact values Spark MUST reproduce
+    exp_u = (((big * _BOOT_B + 63) % _TXT.MOD) * _BOOT_A + _BOOT_C) % _TXT.MOD
+    exp_h = (_NEG_A1 * (big % _TXT.MOD) + _NEG_A2 * ((big + 7) % _TXT.MOD)) % _TXT.MOD
+    assert row["u"] == exp_u and row["u"] >= 0
+    assert row["h"] == exp_h and row["h"] >= 0
+    # and the intermediate products provably fit int64
+    assert (_TXT.MOD - 1) * _BOOT_A + _BOOT_C < 2**63
+    assert _NEG_A1 * (_TXT.MOD - 1) + _NEG_A2 * (_TXT.MOD - 1) < 2**63
