@@ -574,6 +574,135 @@ def rank_quantiles_select(
     )
 
 
+def range_partitioned_ranks(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    desc: bool = False,
+    n_buckets: int = 1024,
+    out_col: str = "__rank",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Exact global dense row-numbering WITHOUT a single-partition sort.
+
+    ``row_number() OVER (ORDER BY value, ties)`` moves the whole relation
+    to one task (Spark's "No Partition Defined for Window" warning — the
+    driver-node face-plant at 100 TB). This is the distributed
+    equivalent, the two-level prefix-sum every external sort-rank uses:
+
+      1. one map-side-partial aggregate: global min/max/count (1 row,
+         broadcast);
+      2. range-bucket every row into ``n_buckets`` equal-width buckets
+         on ``value_col`` — map-side, monotone in the sort key so bucket
+         order IS rank order and ties (same value) never straddle
+         buckets;
+      3. per-bucket counts (<= n_buckets rows) -> each bucket's rank
+         offset by an ARRAY prefix-sum over the count relation gathered
+         into one row (<= n_buckets structs; O(n_buckets^2) adds on one
+         executor, trivial at 1024) — deliberately not a window, so no
+         partition-less WindowExec node exists anywhere in the plan;
+      4. row_number within each bucket (parallelism = populated
+         buckets, each sorting ~n/n_buckets rows) + broadcast offset.
+
+    Ranks are IDENTICAL to the global window's by construction. Skewed
+    value distributions degrade a hot bucket toward the single-sort cost
+    but never past it (same adjudication as rank_quantiles_select).
+
+    ``desc=True`` ranks by ``value_col`` descending (tie columns stay
+    ascending, matching ``ORDER BY v DESC, ties``). ``n_col`` optionally
+    emits the group total alongside (ntile needs it).
+    """
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    v = f"cast({value_col} as double)"
+    pos = (
+        f"(({v} - cast(__lo as double)) / (cast(__hi as double) - cast(__lo as double)))"
+    )
+    if desc:
+        pos = f"(1.0 - {pos})"
+    bexpr = (
+        f"case when __hi = __lo then 0 else least({n_buckets - 1}, "
+        f"greatest(0, cast(floor({pos} * {n_buckets}) as int))) end"
+    )
+    bucketed = df.crossJoin(F.broadcast(stats)).withColumn("__b", F.expr(bexpr))
+    bcounts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
+    offsets = (
+        bcounts.agg(
+            F.sort_array(F.collect_list(F.struct("__b", "__bc"))).alias("__a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(__a, (s, i) -> struct(s.__b AS __b, "
+                    "aggregate(slice(__a, 1, i), cast(0 as bigint), "
+                    "(acc, x) -> acc + x.__bc) AS __off))"
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.__b").alias("__b"), F.col("__s.__off").alias("__off"))
+    )
+    order = [F.desc(value_col) if desc else F.asc(value_col)] + [
+        F.asc(c) for c in tie_cols
+    ]
+    w_in = Window.partitionBy("__b").orderBy(*order)
+    keep = [c for c in df.columns]
+    if n_col is not None:
+        keep.append(F.col("__n").cast("bigint").alias(n_col))
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn("__rnb", F.row_number().over(w_in))
+        .select(
+            *keep,
+            (F.col("__off") + F.col("__rnb")).cast("bigint").alias(out_col),
+        )
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    k: int,
+    desc: bool = False,
+    out_col: str = "__ntile",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY value [DESC], ties)`` without the
+    single-partition sort: global ranks from
+    ``range_partitioned_ranks``, then the closed-form ntile bucket —
+    with n rows, base = n div k and rem = n mod k, the first ``rem``
+    tiles hold base+1 rows:
+
+        r <= rem*(base+1):  tile = (r-1) div (base+1) + 1
+        otherwise:          tile = rem + (r - rem*(base+1) - 1) div base + 1
+
+    Bit-identical to the window ntile for every (n, k) — including
+    n < k, where base = 0 makes the first branch cover all rows."""
+    ranked = range_partitioned_ranks(
+        df,
+        value_col,
+        tie_cols,
+        desc=desc,
+        n_buckets=n_buckets,
+        out_col="__r",
+        n_col="__nn",
+    )
+    tile = (
+        f"case when __r <= (__nn % {k}) * (__nn div {k} + 1) "
+        f"then (__r - 1) div (__nn div {k} + 1) + 1 "
+        f"else (__nn % {k}) + (__r - (__nn % {k}) * (__nn div {k} + 1) - 1) "
+        f"div (__nn div {k}) + 1 end"
+    )
+    return ranked.withColumn(out_col, F.expr(tile).cast("int")).drop(
+        "__r", "__nn"
+    )
+
+
 # --- Probability-proportional-to-size (PPS) sampling + Horvitz-Thompson --
 #
 # Weighted sampling for training-data mixtures: each document enters the

@@ -8126,18 +8126,17 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning difficulty deciles: ntile(10) over the
     composite quality score (ties broken by doc_id — replayable), then
     per-bucket doc/token rollups — the ordering stage of quality-
-    curriculum training schedules (easy-to-hard). The global ntile is a
-    single distributed sort at this output shape; at extreme corpus
-    scale the standard substitute is bucketing by precomputed quantile
-    boundaries (rank_quantiles_select supplies exact ones)."""
-    from pyspark.sql import Window
-
+    curriculum training schedules (easy-to-hard). The ntile is computed
+    by exact_ntile (range-bucketed two-level prefix-sum ranking,
+    operators/sketches.py), NOT a partition-less window — no
+    single-partition corpus sort exists in the plan; the only
+    whole-data exchange carries <= 1024 bucket counts. Bit-identical to
+    the window ntile, so the oracle keeps the reference form."""
+    from dawis_spark.operators.sketches import exact_ntile
     from dawis_spark.operators.textstats import quality_score
 
     q = quality_score(spark.table("documents"), "doc_id", "text")
-    b = q.withColumn(
-        "bucket", F.ntile(10).over(Window.orderBy("quality", "doc_id"))
-    )
+    b = exact_ntile(q, "quality", ["doc_id"], 10, out_col="bucket")
     return (
         b.groupBy("bucket")
         .agg(
@@ -9068,9 +9067,12 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)) over revenue
     sorted ascending (ties by key — replayable). The numerator is exact
     integer (DECIMAL(38,0)/HUGEINT rank-weighted sums; rank*cents
-    crosses int64 at sf1); one final division. One customer aggregate +
-    one customer-cardinality sort."""
-    from pyspark.sql import Window
+    crosses int64 at sf1); one final division. Ranks come from
+    range_partitioned_ranks (bucket-count exchange + per-bucket
+    windows), not a partition-less window — no single-partition
+    customer sort in the plan; ranks are identical by construction so
+    the oracle keeps the global ROW_NUMBER form."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
 
     rev = (
         spark.table("orders")
@@ -9081,9 +9083,8 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    rk = rev.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "o_custkey")).alias("r"),
+    rk = range_partitioned_ranks(rev, "x", ["o_custkey"], out_col="r").select(
+        "x", "r"
     )
     m = rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -9167,9 +9168,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency / frequency / monetary
     terciles (ntile(3), ties broken by key so both engines cut
     identically — best tercile is 1 on every axis), crossed into 27
-    segments with counts. One customer aggregate, three global ntile
-    sorts over the customer-cardinality relation, then a 27-key rollup."""
-    from pyspark.sql import Window
+    segments with counts. One customer aggregate, then three
+    exact_ntile passes (range-bucketed distributed ranking — no
+    partition-less windows, so no single-partition customer sorts; the
+    whole-relation exchanges carry only bucket counts), then a 27-key
+    rollup. Bit-identical to window ntile, oracle unchanged."""
+    from dawis_spark.operators.sketches import exact_ntile
 
     o = spark.table("orders")
     maxd = o.agg(F.max("o_orderdate").alias("maxd"))
@@ -9192,14 +9196,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c",
         )
     )
-    scored = base.select(
-        (
-            F.ntile(3).over(Window.orderBy(F.asc("recency_d"), "o_custkey")) * 100
-            + F.ntile(3).over(Window.orderBy(F.desc("frequency"), "o_custkey")) * 10
-            + F.ntile(3).over(Window.orderBy(F.desc("monetary_c"), "o_custkey"))
-        )
-        .cast("int")
-        .alias("segment")
+    scored = exact_ntile(base, "recency_d", ["o_custkey"], 3, out_col="r")
+    scored = exact_ntile(scored, "frequency", ["o_custkey"], 3, desc=True, out_col="f")
+    scored = exact_ntile(
+        scored, "monetary_c", ["o_custkey"], 3, desc=True, out_col="m"
+    )
+    scored = scored.select(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int").alias("segment")
     )
     return (
         scored.groupBy("segment")

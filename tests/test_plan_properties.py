@@ -495,3 +495,28 @@ def test_holt_shuffles_daily_aggregates_not_raw_events(spark):
     below = plan.split("FlatMapGroupsInPandas", 1)[1]
     assert "partial_sum" in below and "HashAggregate" in below
     assert below.count("Scan parquet") == 1
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Window nodes with an empty partition spec — the ones WindowExec
+    warns about and that single-partition the whole input. A partitioned
+    node prints ``Window [funcs], [partSpec], [orderSpec]`` (two ``], [``
+    separators); an unpartitioned one prints only ``[funcs], [orderSpec]``."""
+    return [
+        line
+        for line in plan.splitlines()
+        if "Window [" in line and line.count("], [") < 2
+    ]
+
+
+def test_rank_heavy_queries_have_no_partitionless_windows(spark):
+    """VERDICT r8 #1: curriculum_buckets / rfm_segments /
+    gini_concentration formerly sorted their whole input on ONE task via
+    global ntile/row_number windows. They now rank through
+    range_partitioned_ranks (bucket-count array prefix-sum + per-bucket
+    windows); every Window node left in the plan must carry a partition
+    spec, so the 'No Partition Defined for Window' WARN is impossible."""
+    for name in ("curriculum_buckets", "rfm_segments", "gini_concentration"):
+        plan = _plan(spark, name)
+        bad = _partitionless_windows(plan)
+        assert not bad, (name, bad)

@@ -102,3 +102,55 @@ def test_bootstrap_and_contrastive_hashes_survive_huge_keys(spark):
     # and the intermediate products provably fit int64
     assert (_TXT.MOD - 1) * _BOOT_A + _BOOT_C < 2**63
     assert _NEG_A1 * (_TXT.MOD - 1) + _NEG_A2 * (_TXT.MOD - 1) < 2**63
+
+
+def test_range_partitioned_ranks_match_global_row_number(spark):
+    import random
+
+    from pyspark.sql import Window
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    rng = random.Random(7)
+    # heavy ties + whales: the bucket boundaries must never split a tie
+    rows = [(i, rng.choice([1, 2, 2, 3, 5, 5, 5, 900, 10**7])) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+    for desc in (False, True):
+        got = {
+            r["k"]: r["r"]
+            for r in range_partitioned_ranks(
+                df, "v", ["k"], desc=desc, n_buckets=16, out_col="r"
+            ).collect()
+        }
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+        want = {
+            r["k"]: r["r"]
+            for r in df.select(
+                "k", F.row_number().over(Window.orderBy(*order)).alias("r")
+            ).collect()
+        }
+        assert got == want
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    import random
+
+    from pyspark.sql import Window
+    from dawis_spark.operators.sketches import exact_ntile
+
+    rng = random.Random(13)
+    for n, k in [(500, 10), (501, 10), (7, 3), (2, 5), (30, 3)]:
+        rows = [(i, rng.randrange(0, 20)) for i in range(n)]
+        df = spark.createDataFrame(rows, ["k", "v"]).repartition(5)
+        got = {
+            r["k"]: r["t"]
+            for r in exact_ntile(
+                df, "v", ["k"], k, n_buckets=8, out_col="t"
+            ).collect()
+        }
+        want = {
+            r["k"]: r["t"]
+            for r in df.select(
+                "k", F.ntile(k).over(Window.orderBy("v", "k")).alias("t")
+            ).collect()
+        }
+        assert got == want, (n, k)
