@@ -809,6 +809,19 @@ HLL_B = HLL_W_BITS + 1  # max rho
 # is a single division away from the integer S_scaled.
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 HLL_NUM = float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_B))
+# Linear-counting branch (Whang et al. 1990; the standard HLL small-range
+# correction): est = m * ln(m / v_empty) when the raw estimate falls
+# under 2.5m and empty registers exist. v_empty has the FINITE domain
+# {1..m}, so the one transcendental becomes m precomputed decimal
+# literals both engines parse to the same double — the same trick as the
+# nDCG discount table. Index v -> m*ln(m/v); index 0 unused (v_empty = 0
+# always dispatches raw).
+import math as _math  # noqa: E402
+
+HLL_LC = [0.0] + [
+    round(HLL_M * _math.log(HLL_M / v), 10) for v in range(1, HLL_M + 1)
+]
+HLL_LC_THRESHOLD = 2.5 * HLL_M
 
 
 def _int_mix(expr: str) -> str:
@@ -871,26 +884,57 @@ def hll_registers(
 
 
 def hll_estimate(regs: DataFrame) -> DataFrame:
-    """One-row raw-regime HLL estimate from a (j, r) register relation:
-    (v_empty, s_scaled, est)."""
-    return regs.agg(
-        (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("v_empty"),
-        (
-            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_B} - r)"))
-            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_B)
+    """One-row HLL estimate from a (j, r) register relation:
+    (v_empty, s_scaled, est_raw, method, est). ``method`` records the
+    regime the estimator auto-dispatched to: 'linear' (small-range
+    correction — raw estimate under 2.5m with empty registers, est from
+    the m-entry literal table HLL_LC) or 'raw' (alpha_m * m^2 / S).
+    Both branches are engine-exact: the dispatch predicate compares a
+    literal/int division against a literal, and the linear-counting
+    value is a table lookup."""
+    lc_arr = ", ".join(f"{x!r}D" for x in HLL_LC)
+    return (
+        regs.agg(
+            (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("v_empty"),
+            (
+                F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_B} - r)"))
+                + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_B)
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
         )
-        .cast("bigint")
-        .alias("s_scaled"),
-    ).select(
-        "v_empty",
-        "s_scaled",
-        F.round(F.lit(HLL_NUM) / F.col("s_scaled"), 4).alias("est"),
+        .select(
+            "v_empty",
+            "s_scaled",
+            (F.lit(HLL_NUM) / F.col("s_scaled")).alias("__raw"),
+        )
+        .select(
+            "v_empty",
+            "s_scaled",
+            F.round("__raw", 4).alias("est_raw"),
+            F.expr(
+                f"case when v_empty > 0 and __raw <= {HLL_LC_THRESHOLD!r} "
+                "then 'linear' else 'raw' end"
+            ).alias("method"),
+            F.round(
+                F.expr(
+                    f"case when v_empty > 0 and __raw <= {HLL_LC_THRESHOLD!r} "
+                    f"then element_at(array({lc_arr}), cast(v_empty as int) + 1) "
+                    "else __raw end"
+                ),
+                4,
+            ).alias("est"),
+        )
     )
 
 
 def hll_oracle_sql(table: str, value_expr: str, numeric: bool = False) -> str:
-    """DuckDB replay: registers + raw estimate from the same hashes."""
+    """DuckDB replay: registers + the same raw/linear-counting dispatch
+    from the same hashes and the same literal table."""
     j, rho = _hll_j_rho(value_expr, "duck", numeric)
+    lc_arr = ", ".join(repr(x) for x in HLL_LC)
+    lc = f"([{lc_arr}])[CAST(v_empty AS INT) + 1]"
+    pred = f"v_empty > 0 AND __raw <= {HLL_LC_THRESHOLD!r}"
     return f"""
 WITH regs AS (
   SELECT j, MAX(rho) AS r FROM (
@@ -899,8 +943,13 @@ agg AS (
   SELECT CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
          CAST(SUM(1::BIGINT << ({HLL_B} - r))
               + ({HLL_M} - COUNT(*)) * {1 << HLL_B} AS BIGINT) AS s_scaled
-  FROM regs)
-SELECT v_empty, s_scaled, ROUND({HLL_NUM!r} / s_scaled, 4) AS est FROM agg
+  FROM regs),
+raw AS (
+  SELECT v_empty, s_scaled, {HLL_NUM!r} / s_scaled AS __raw FROM agg)
+SELECT v_empty, s_scaled, ROUND(__raw, 4) AS est_raw,
+       CASE WHEN {pred} THEN 'linear' ELSE 'raw' END AS method,
+       ROUND(CASE WHEN {pred} THEN {lc} ELSE __raw END, 4) AS est
+FROM raw
 """
 
 

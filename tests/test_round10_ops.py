@@ -154,3 +154,48 @@ def test_exact_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_hll_linear_counting_branch_small_cardinality(spark):
+    import math
+
+    from dawis_spark.operators.sketches import (
+        HLL_LC,
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(0, 12).selectExpr("id AS v")
+    row = hll_estimate(hll_registers(df, "v")).collect()[0]
+    assert row["method"] == "linear"
+    assert row["v_empty"] > 0
+    # est must equal the literal-table lookup, and the table must equal
+    # m*ln(m/v) to the literal's precision
+    assert row["est"] == round(HLL_LC[row["v_empty"]], 4)
+    v = row["v_empty"]
+    assert abs(HLL_LC[v] - HLL_M * math.log(HLL_M / v)) < 1e-9
+    # linear counting is near-exact in this regime: within 30% of truth
+    assert abs(row["est"] - 12) / 12 < 0.3
+
+
+def test_hll_linear_branch_parity_with_duckdb_oracle(spark):
+    import duckdb
+
+    from dawis_spark.operators.sketches import hll_estimate, hll_registers, hll_oracle_sql
+
+    df = spark.range(0, 12).selectExpr("id AS v")
+    got = hll_estimate(hll_registers(df, "v")).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS v FROM range(0, 12)")
+    want = con.execute(hll_oracle_sql("t", "v")).fetchone()
+    assert (got["v_empty"], got["s_scaled"], got["est_raw"], got["method"], got["est"]) == want
+
+
+def test_hll_raw_branch_unchanged_at_scale(spark):
+    from dawis_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.range(0, 50_000).selectExpr("id AS v")
+    row = hll_estimate(hll_registers(df, "v")).collect()[0]
+    assert row["method"] == "raw"
+    assert row["est"] == row["est_raw"]
