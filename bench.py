@@ -148,8 +148,28 @@ def main() -> None:
         "sf": sf_val,
         "calibration": calibration,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+    # Full per-query history (VERDICT r8 #4): the driver's stdout tail is
+    # ~2000 bytes, so the JSON line can never carry all timings — the
+    # complete map for EVERY run is appended here (committed with the
+    # repo) so tail regressions are diffable round-over-round; see
+    # tools/bench_diff.py.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = ""
+    hist_entry = dict(detail, git_head=head, ts=round(time.time(), 1))
+    with open(os.path.join(repo, "BENCH_HISTORY.jsonl"), "a") as fh:
+        fh.write(json.dumps(hist_entry, separators=(",", ":")) + "\n")
     line_payload = {
         "metric": "warm wall-clock, full inventory (noop sink)",
         "value": detail["value"],
@@ -159,6 +179,7 @@ def main() -> None:
         "cold_total": detail["cold_total"],
         "n_queries": detail["n_queries"],
         "calibration": calibration,
+        "full_map": "BENCH_HISTORY.jsonl",  # all timings, every run
     }
     print(_compact(line_payload, warm))
 
