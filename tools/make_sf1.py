@@ -13,23 +13,38 @@ events.parquet must keep its TIMESTAMP(NANOS) physical type (catalog.
 load_table's nanosAsLong path expects raw int64 nanos), so that table goes
 through pyarrow with version='2.6' instead of DuckDB.
 
+--skew (VERDICT r8 #6): the plain tiling scales cardinality linearly but
+keeps keys near-uniform — real corpora have whales. The skewed variant
+additionally routes ~20% of all rows to ONE hot key on each join axis,
+FK-preserving (the hot key is an existing dimension key):
+  - orders:   o_orderkey % 5 = 0  -> o_custkey = 1   (hot customer)
+  - lineitem: l_orderkey % 5 = 0  -> l_suppkey = 1   (hot supplier)
+  - events:   event_id   % 5 = 0  -> user_id = <min> (hot user)
+This stresses customer rollups (rfm/gini/pareto), the supply graph under
+a hot node (pagerank/kcore/bellman-ford), and every user-partitioned
+journey window (20% of all events in one window partition).
+
 Output: /root/repo/.testdata/sf1 (gitignored). Usage:
-    python tools/make_sf1.py
+    python tools/make_sf1.py [--skew]
     SPARK_GRAFT_SF_DIR=/root/repo/.testdata/sf1 python bench.py
+    SPARK_GRAFT_SF_DIR=/root/repo/.testdata/sf1skew python bench.py
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.testdata/sf1"
+SKEW = "--skew" in sys.argv[1:]
+DST = "/root/repo/.testdata/sf1skew" if SKEW else "/root/repo/.testdata/sf1"
 REPLICAS = 10
 STRIDE = 100_000_000  # > any key in sf0.1
+SKEW_MOD = 5  # 1/5 of rows land on the hot key (~20% mass)
 
 # per-table key-offset columns; None = copy unchanged (fixed dims)
 OFFSETS: dict[str, list[str] | None] = {
@@ -52,9 +67,20 @@ def tile_sql(table: str, keys: list[str]) -> str:
             f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
         ).fetchall()
     ]
+    # --skew: (selector column, victim column, hot key expression)
+    skew_rule = {
+        "orders": ("o_orderkey", "o_custkey", "1"),
+        "lineitem": ("l_orderkey", "l_suppkey", "1"),
+    }.get(table) if SKEW else None
     sel = []
     for c in cols:
-        if c in keys:
+        if skew_rule and c == skew_rule[1]:
+            sent, _victim, hot = skew_rule
+            sel.append(
+                f"CASE WHEN {sent} % {SKEW_MOD} = 0 THEN {hot} "
+                f"ELSE {c} + r.r * {STRIDE} END AS {c}"
+            )
+        elif c in keys:
             sel.append(f"{c} + r.r * {STRIDE} AS {c}")
         elif table == "documents" and c == "text":
             # near-dup replicas: tiny tail perturbation, replica 0 untouched
@@ -90,6 +116,19 @@ def tile_events() -> None:
             )
         )
     out = pa.concat_tables(parts)
+    if SKEW:
+        # hot user: event_id % SKEW_MOD == 0 -> min source user_id
+        import numpy as np
+
+        ev = out["event_id"].to_numpy(zero_copy_only=False)
+        uid = out["user_id"].to_numpy(zero_copy_only=False).copy()
+        hot = int(t["user_id"].to_numpy(zero_copy_only=False).min())
+        uid[ev % SKEW_MOD == 0] = hot
+        out = out.set_column(
+            out.schema.get_field_index("user_id"),
+            pa.field("user_id", out.schema.field("user_id").type),
+            pa.array(uid, type=out.schema.field("user_id").type),
+        )
     # version 2.6 keeps timestamp[ns] as physical NANOS like the source
     pq.write_table(out, f"{DST}/events.parquet", version="2.6")
 
