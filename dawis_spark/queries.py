@@ -12152,6 +12152,297 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id")
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions: line-level corpus dedup (CCNet), KMV sketch set
+# algebra, tokenizer fertility eval
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_K = 5  # a line repeated across >= K documents is boilerplate
+
+
+def _line_dedup_oracle() -> str:
+    h = _TXT.char_hash("line", "duck")
+    return f"""
+WITH lined AS (
+  SELECT doc_id, source, trim(l) AS line
+  FROM (SELECT doc_id, source, unnest(string_split({_LINED}, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) != ''),
+lh AS (SELECT doc_id, source, {h} AS h FROM lined),
+freq AS (SELECT h, COUNT(*) AS freq FROM lh GROUP BY h)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS lines_total,
+       CAST(COUNT(DISTINCT lh.h) AS BIGINT) AS distinct_lines,
+       CAST(SUM(CASE WHEN freq >= {_LINE_DEDUP_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS boiler_instances,
+       CAST(COUNT(DISTINCT CASE WHEN freq >= {_LINE_DEDUP_K} THEN doc_id END)
+         AS BIGINT) AS docs_affected,
+       ROUND(CAST(SUM(CASE WHEN freq >= {_LINE_DEDUP_K} THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*), 6) AS removed_frac
+FROM lh JOIN freq USING (h)
+GROUP BY source ORDER BY source
+"""
+
+
+@query("line_dedup_boilerplate", oracle=_line_dedup_oracle())
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level corpus deduplication (Wenzek et al. 2020
+    §3.1: hash every line, drop lines repeated across the corpus —
+    the boilerplate killer for nav bars / cookie banners / footers that
+    document-level dedup never sees). Lines derive from the shared
+    _LINED break rules; a line repeated in >= 5 documents is
+    boilerplate; per-source report of instances removed, documents
+    touched, and removed share.
+
+    Scale: the line explode is map-side; lines hash to int64 inside the
+    scan so the ONLY data-sized exchanges carry (hash) and (hash, count)
+    — never line text (the containment-family discipline). The
+    frequency join keys on the hash; the rollup is source-keyed with
+    map-side partials. At 100 TB the freq relation is
+    distinct-line-bounded and the hot boilerplate hashes are exactly the
+    keys AQE's skew split handles."""
+    h = _TXT.char_hash("line", "spark")
+    lines_expr = (
+        f"filter(transform(split({_LINED}, '\\n'), l -> trim(l)), l -> l != '')"
+    )
+    lined = spark.table("documents").select(
+        "doc_id", "source", F.explode(F.expr(lines_expr)).alias("line")
+    )
+    lh = lined.select("doc_id", "source", F.expr(h).cast("bigint").alias("h"))
+    freq = lh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    boiler = F.when(F.col("freq") >= _LINE_DEDUP_K, 1).otherwise(0)
+    return (
+        lh.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("lines_total"),
+            F.countDistinct("h").cast("bigint").alias("distinct_lines"),
+            F.sum(boiler).cast("bigint").alias("boiler_instances"),
+            F.countDistinct(
+                F.when(F.col("freq") >= _LINE_DEDUP_K, F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("docs_affected"),
+            F.round(F.sum(boiler) / F.count(F.lit(1)), 6).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_KMV_SET_K = 128
+_KMV_SET_A, _KMV_SET_B = "view", "purchase"
+
+
+def _kmv_set_oracle() -> str:
+    from dawis_spark.operators.sketches import MOD as _SK_MOD
+    from dawis_spark.operators.sketches import kmv_arrays_oracle_ctes
+
+    src = (
+        "(SELECT event_type, user_id FROM events "
+        f"WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}'))"
+    )
+    k = _KMV_SET_K
+    return f"""
+WITH {kmv_arrays_oracle_ctes(src, ['event_type'], 'user_id', k, 'ks')},
+ab AS (SELECT
+  (SELECT hs FROM ks WHERE event_type = '{_KMV_SET_A}') AS a,
+  (SELECT hs FROM ks WHERE event_type = '{_KMV_SET_B}') AS b),
+syn AS (SELECT list_sort(list_distinct(a || b))[1:{k}] AS u, a, b FROM ab),
+m AS (SELECT len(u) AS nu, u[len(u)] AS kth,
+             len(list_filter(u, x -> list_contains(a, x)
+                                 AND list_contains(b, x))) AS ni
+      FROM syn),
+est AS (SELECT nu, ni,
+               CASE WHEN nu >= {k}
+                    THEN CAST({k - 1} AS DOUBLE) * {_SK_MOD} / kth
+                    ELSE CAST(nu AS DOUBLE) END AS eu
+        FROM m),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+              CAST(SUM(CASE WHEN ha AND hb THEN 1 ELSE 0 END) AS BIGINT)
+                AS exact_inter
+       FROM (SELECT user_id,
+                    BOOL_OR(event_type = '{_KMV_SET_A}') AS ha,
+                    BOOL_OR(event_type = '{_KMV_SET_B}') AS hb
+             FROM events
+             WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}')
+             GROUP BY user_id))
+SELECT CAST({k} AS BIGINT) AS k,
+       ROUND(eu, 6) AS est_union, exact_union,
+       ROUND((eu - exact_union) / exact_union, 4) AS err_union,
+       ROUND(CAST(ni AS DOUBLE) / nu, 6) AS est_jaccard,
+       ROUND(CAST(exact_inter AS DOUBLE) / exact_union, 6) AS exact_jaccard,
+       ROUND(ni * eu / nu, 6) AS est_intersection, exact_inter
+FROM est, ex
+"""
+
+
+@query("kmv_set_algebra", oracle=_kmv_set_oracle())
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007 §4): estimate
+    |A ∪ B|, |A ∩ B| and Jaccard between two user sets (viewers vs
+    purchasers) from their k-minimum-value synopses alone — the
+    combined sketch K = k smallest of A ∪ B, ρ = |{h ∈ K : h ∈ A ∧
+    h ∈ B}| / |K| estimates Jaccard, ρ · n̂(K) the intersection. The
+    audience-overlap primitive that works when the sets live on
+    different clusters and only k int64s can cross. Exact counts
+    computed alongside as the self-eval.
+
+    Scale: each synopsis builds with the kmv_distinct plan (map-side
+    k-truncation, k-bounded exchange); the algebra itself touches 2k
+    int64s on one row. The exact twin pays a user-cardinality exchange
+    — exactly the cost the sketch avoids."""
+    from dawis_spark.operators.sketches import MOD as _SK_MOD
+    from dawis_spark.operators.sketches import kmv_hash_arrays
+
+    k = _KMV_SET_K
+    ev = (
+        spark.table("events")
+        .filter(F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B))
+        .select("event_type", "user_id")
+    )
+    sk = kmv_hash_arrays(ev, ["event_type"], "user_id", k=k)
+    a = sk.filter(F.col("event_type") == _KMV_SET_A).select(F.col("hs").alias("a"))
+    b = sk.filter(F.col("event_type") == _KMV_SET_B).select(F.col("hs").alias("b"))
+    m = (
+        a.crossJoin(b)
+        .select(
+            F.expr(f"slice(array_sort(array_union(a, b)), 1, {k})").alias("u"),
+            "a",
+            "b",
+        )
+        .select(
+            F.expr("size(u)").alias("nu"),
+            F.expr("element_at(u, size(u))").alias("kth"),
+            F.expr(
+                "size(filter(u, x -> array_contains(a, x)"
+                " AND array_contains(b, x)))"
+            ).alias("ni"),
+        )
+        .select(
+            "nu",
+            "ni",
+            F.expr(
+                f"case when nu >= {k} then cast({k - 1} as double)"
+                f" * {_SK_MOD} / kth else cast(nu as double) end"
+            ).alias("eu"),
+        )
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == _KMV_SET_A).alias("ha"),
+            F.max(F.col("event_type") == _KMV_SET_B).alias("hb"),
+        )
+    )
+    ex = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum((F.col("ha") & F.col("hb")).cast("int"))
+        .cast("bigint")
+        .alias("exact_inter"),
+    )
+    return m.crossJoin(ex).select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.round("eu", 6).alias("est_union"),
+        "exact_union",
+        F.round((F.col("eu") - F.col("exact_union")) / F.col("exact_union"), 4)
+        .alias("err_union"),
+        F.round(F.col("ni").cast("double") / F.col("nu"), 6).alias("est_jaccard"),
+        F.round(
+            F.col("exact_inter").cast("double") / F.col("exact_union"), 6
+        ).alias("exact_jaccard"),
+        F.round(F.col("ni") * F.col("eu") / F.col("nu"), 6).alias(
+            "est_intersection"
+        ),
+        "exact_inter",
+    )
+
+
+def _fertility_oracle(n_merges: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    init = (
+        "concat(' ', array_to_string(list_append("
+        "list_transform(range(1, length(word) + 1), "
+        "j -> substr(word, j, 1)), '</w>'), '  '), ' ')"
+    )
+    segs = []
+    for t in range(1, n_merges + 1):
+        segs.append(f"""
+fseg{t} AS MATERIALIZED (
+  SELECT id, replace(s, ' ' || b.p1 || '  ' || b.p2 || ' ',
+                        ' ' || b.p1 || b.p2 || ' ') AS s
+  FROM fseg{t - 1}, b{t} b
+)""")
+    return f"""
+WITH {_bpe_chain_ctes(n_merges)},
+fseg0 AS (
+  SELECT id, {init} AS s
+  FROM (SELECT doc_id AS id, unnest({toks}) AS word FROM documents)
+),
+{','.join(segs)},
+perdoc AS (
+  SELECT id, COUNT(*) AS n_words,
+         CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_subwords
+  FROM fseg{n_merges} GROUP BY id),
+meta AS (SELECT doc_id AS id, source, strlen(text) AS nbytes
+         FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_subwords) AS BIGINT) AS subwords,
+       ROUND(CAST(SUM(n_subwords) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(nbytes) AS DOUBLE) / SUM(n_subwords), 6)
+         AS bytes_per_subword
+FROM perdoc JOIN meta USING (id)
+GROUP BY source ORDER BY source
+"""
+
+
+@query("tokenizer_fertility_eval", oracle=_fertility_oracle(8))
+def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY self-eval per source: subwords-per-word and
+    bytes-per-subword under the corpus-trained 8-merge BPE — the
+    standard tokenizer-quality report (fertility near 1 = merges cover
+    the domain; a high-fertility source costs proportionally more
+    sequence length per byte of training data, the number that sizes a
+    pretraining budget per data source).
+
+    Scale: training is the vocabulary-sized bpe_learned_merges plan;
+    application is the map-side literal-merge-table segmentation of
+    bpe_segmented_corpus; the extra work here is one broadcast-joined
+    doc-meta projection and a source-keyed rollup."""
+    from dawis_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.table("documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", n_merges=8).collect()
+    ]
+    perdoc = bpe_segment(docs, "doc_id", "text", merges)
+    meta = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.octet_length("text").alias("nbytes"),
+    )
+    return (
+        perdoc.join(meta, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("words"),
+            F.sum("n_subwords").cast("bigint").alias("subwords"),
+            F.round(F.sum("n_subwords") / F.sum("n_tokens"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("nbytes") / F.sum("n_subwords"), 6).alias(
+                "bytes_per_subword"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -12160,6 +12451,10 @@ DRIVER_PRIORITY: list[str] = [
     # profiling/drift blocks the verdict prescribed. After this round,
     # 33 queries remain without driver evidence (listed at the end).
     #
+    # -- NEW this round --
+    "line_dedup_boilerplate",      # r10: CCNet line-level corpus dedup
+    "kmv_set_algebra",             # r10: sketch union/intersection/Jaccard
+    "tokenizer_fertility_eval",    # r10: BPE fertility per source
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -12211,14 +12506,13 @@ DRIVER_PRIORITY: list[str] = [
     "pps_weighted_sample",
     "pps_ht_totals",
     "stratified_quota_sample",
-    "totalprice_histogram",
-    # -- forecast / IR / privacy --
+    # -- forecast / IR --
     "holt_linear_forecast",
     "search_mrr_eval",
-    "stl_decomposition_daily",
-    "k_anonymity_customers",
-    # NOTE: prefix full at 50. The 33 still without driver evidence —
+    # NOTE: prefix full at 50. The 36 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
+    # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram
+    # (displaced by the three r10 additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

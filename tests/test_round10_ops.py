@@ -199,3 +199,50 @@ def test_hll_raw_branch_unchanged_at_scale(spark):
     row = hll_estimate(hll_registers(df, "v")).collect()[0]
     assert row["method"] == "raw"
     assert row["est"] == row["est_raw"]
+
+
+def test_line_dedup_boilerplate_shares_consistent(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["line_dedup_boilerplate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "at least one source"
+    for r in rows:
+        assert 0 <= r["boiler_instances"] <= r["lines_total"]
+        assert r["distinct_lines"] <= r["lines_total"]
+        assert r["docs_affected"] <= r["n_docs"]
+        assert abs(r["removed_frac"] - round(r["boiler_instances"] / r["lines_total"], 6)) < 1e-9
+
+
+def test_kmv_set_algebra_bounds(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    r = q.QUERIES["kmv_set_algebra"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    assert 0.0 <= r["exact_jaccard"] <= 1.0
+    assert r["exact_inter"] <= r["exact_union"]
+    # k=128 synopsis: union estimate within 3 sigma ~ 3/sqrt(127) ~ 27%
+    assert abs(r["err_union"]) < 0.27
+    # jaccard estimate in the right neighbourhood (loose: sketch + small sf)
+    assert abs(r["est_jaccard"] - r["exact_jaccard"]) < 0.25
+
+
+def test_tokenizer_fertility_bounds(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["tokenizer_fertility_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        # every word is at least one subword; 8 merges can't exceed
+        # character-level segmentation (< ~20 subwords/word here)
+        assert 1.0 <= r["fertility"] < 20.0
+        assert r["subwords"] >= r["words"]
+        assert r["bytes_per_subword"] > 0
