@@ -12443,6 +12443,199 @@ def tokenizer_fertility_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NCC_SCALE = 1_000_000  # per-component int scaling for order-free sums
+_NCC_DIM = 64
+_NCC_TEST_MOD = 5  # vec_id % 5 == 0 -> test split (20%)
+
+
+def _ncc_oracle() -> str:
+    cos = _VEC.cosine("e.embedding", "c.cvec", "duck")
+    return f"""
+WITH train AS (
+  SELECT label, embedding FROM embeddings WHERE vec_id % {_NCC_TEST_MOD} != 0),
+comps AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_NCC_SCALE}, 0)
+              AS BIGINT) AS xs
+  FROM train),
+sums AS (
+  SELECT label, dim, CAST(SUM(xs) AS BIGINT) AS s, COUNT(*) AS n
+  FROM comps GROUP BY label, dim),
+cents AS (
+  SELECT label AS clabel,
+         list(CAST(s AS DOUBLE) / (n * {_NCC_SCALE}.0) ORDER BY dim) AS cvec
+  FROM sums GROUP BY label),
+test AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id % {_NCC_TEST_MOD} = 0),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel, ROUND({cos}, 6) AS cos
+  FROM test e CROSS JOIN cents c),
+pred AS (
+  SELECT vec_id, label,
+         (array_agg(clabel ORDER BY cos DESC, clabel))[1] AS predicted
+  FROM scored GROUP BY vec_id, label)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY label ORDER BY label
+"""
+
+
+@query("nearest_centroid_accuracy", oracle=_ncc_oracle())
+def nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid (Rocchio) classifier over the embedding
+    table with a deterministic 80/20 id-hash split: per-label centroids
+    from the train slice, cosine-argmax prediction on the test slice,
+    per-label accuracy — the 5-minute baseline every embedding-quality
+    audit starts with (if NCC can't separate the labels, the embeddings
+    won't carry a downstream classifier either). On THIS synthetic
+    corpus the audit's finding is negative: held-out accuracy sits at
+    the random baseline (~7-10%) while train-set eval reaches ~43% —
+    the labels are memorizable but not linearly generalizable, exactly
+    the signal this query exists to surface before anyone trains on it.
+
+    Engine-exactness: centroid sums are ORDER-FREE exact integers
+    (components scale by 1e6 and round to bigint before summing — the
+    logreg/graph discipline), so the centroid doubles are identical in
+    any partitioning and both engines; cosines round to 6 digits before
+    the argmax with ties to the lowest label (kmeans_assign discipline).
+
+    Scale: the centroid build explodes to (label, dim) keys — a
+    labels x dim bounded exchange of integer partial sums; the centroid
+    relation (labels x dim doubles) broadcasts; scoring is a map-side
+    cross of each test vector with k centroid rows and a per-vector
+    argmax — no vector ever shuffles."""
+    cos = _VEC.cosine("embedding", "cvec", "spark")
+    emb = spark.table("embeddings")
+    train = emb.filter(F.col("vec_id") % _NCC_TEST_MOD != 0)
+    comps = train.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * _NCC_SCALE, 0)
+        .cast("bigint")
+        .alias("xs"),
+    )
+    sums = comps.groupBy("label", "dim").agg(
+        F.sum("xs").cast("bigint").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cents = (
+        sums.select(
+            F.col("label").alias("clabel"),
+            "dim",
+            (F.col("s").cast("double") / (F.col("n") * float(_NCC_SCALE))).alias(
+                "cv"
+            ),
+        )
+        .groupBy("clabel")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, cv))), e -> e.cv)")
+            .alias("cvec")
+        )
+    )
+    test = emb.filter(F.col("vec_id") % _NCC_TEST_MOD == 0).select(
+        "vec_id", "label", "embedding"
+    )
+    scored = test.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", F.round(F.expr(cos), 6).alias("cos")
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.expr(
+            "element_at(transform(array_sort(collect_list("
+            "struct(cos * -1 AS negcos, clabel))), e -> e.clabel), 1)"
+        ).alias("predicted")
+    )
+    hit = F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+_SHUF_EPOCHS = 2
+_SHUF_SHARDS = 8
+
+
+def _epoch_shuffle_oracle() -> str:
+    from dawis_spark.operators.sketches import _int_mix
+
+    h = _int_mix(f"(doc_id * 31 + 1000003 * e)")
+    return f"""
+WITH expanded AS (
+  SELECT doc_id, e.e AS epoch, {h} AS h
+  FROM documents, range(0, {_SHUF_EPOCHS}) e(e)),
+placed AS (
+  SELECT epoch, h % {_SHUF_SHARDS} AS shard, h, doc_id FROM expanded),
+pos AS (
+  SELECT epoch, shard,
+         ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+           AS position
+  FROM placed)
+SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(position) AS BIGINT) AS max_pos,
+       (CAST(MAX(position) AS BIGINT) = COUNT(*)) AS dense_ok
+FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+
+@query("epoch_shuffle_order", oracle=_epoch_shuffle_oracle())
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE for training reproducibility: each
+    (doc, epoch) gets a uniformized integer hash; shard = h mod 8,
+    within-shard order = (h, doc_id) — so every epoch is a different
+    but fully reproducible permutation, any shard is readable
+    independently, and a crashed run resumes at an exact (epoch, shard,
+    position). This is the data-ordering contract pretraining loaders
+    (e.g. deterministic samplers over packed shards) rely on; the
+    verification rollup asserts positions are dense 1..n per shard.
+
+    Scale: the epoch fanout is a map-side x2 explode; the only exchange
+    hash-partitions by (epoch, shard) — exactly the parallelism of the
+    output shards — and the per-shard window sorts shard-sized slices
+    (corpus/16 rows each). No global sort anywhere."""
+    from dawis_spark.operators.sketches import _int_mix
+    from pyspark.sql import Window
+
+    h = _int_mix(f"(doc_id * 31 + 1000003 * e)")
+    placed = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SHUF_EPOCHS - 1))).alias("e"),
+        )
+        .select(
+            F.col("e").cast("int").alias("epoch"),
+            "doc_id",
+            F.expr(h).alias("h"),
+        )
+        .withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    pos = placed.withColumn("position", F.row_number().over(w))
+    return (
+        pos.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("position").cast("bigint").alias("max_pos"),
+            (F.max("position").cast("bigint") == F.count(F.lit(1))).alias(
+                "dense_ok"
+            ),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -12455,6 +12648,8 @@ DRIVER_PRIORITY: list[str] = [
     "line_dedup_boilerplate",      # r10: CCNet line-level corpus dedup
     "kmv_set_algebra",             # r10: sketch union/intersection/Jaccard
     "tokenizer_fertility_eval",    # r10: BPE fertility per source
+    "nearest_centroid_accuracy",   # r10: Rocchio embedding-quality baseline
+    "epoch_shuffle_order",         # r10: deterministic epoch shuffle
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -12506,13 +12701,11 @@ DRIVER_PRIORITY: list[str] = [
     "pps_weighted_sample",
     "pps_ht_totals",
     "stratified_quota_sample",
-    # -- forecast / IR --
-    "holt_linear_forecast",
-    "search_mrr_eval",
-    # NOTE: prefix full at 50. The 36 still without driver evidence —
+    # NOTE: prefix full at 50. The 38 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
-    # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram
-    # (displaced by the three r10 additions above),
+    # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
+    # holt_linear_forecast, search_mrr_eval (displaced by the five r10
+    # additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

@@ -246,3 +246,56 @@ def test_tokenizer_fertility_bounds(spark):
         assert 1.0 <= r["fertility"] < 20.0
         assert r["subwords"] >= r["words"]
         assert r["bytes_per_subword"] > 0
+
+
+def test_nearest_centroid_separates_labels(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["nearest_centroid_accuracy"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = sum(r["n_test"] for r in rows)
+    # the 20% id-hash slice is fully covered, once each
+    import duckdb
+
+    n_test = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/embeddings.parquet' "
+        "WHERE vec_id % 5 = 0"
+    ).fetchone()[0]
+    assert total == n_test
+    for r in rows:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_test"]
+    # NOTE: the synthetic labels do NOT generalize (held-out NCC ~ random
+    # even for a numpy reference — train-set eval hits 43% by centroid
+    # memorization). The query's job is to SURFACE that honestly, so no
+    # separation floor is asserted here; determinism is covered by the
+    # DuckDB oracle gate.
+
+
+def test_epoch_shuffle_dense_and_distinct_permutations(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+    from dawis_spark.queries import _SHUF_EPOCHS, _SHUF_SHARDS
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["epoch_shuffle_order"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == _SHUF_EPOCHS * _SHUF_SHARDS
+    assert all(r["dense_ok"] for r in rows)
+    per_epoch = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], 0)
+        per_epoch[r["epoch"]] += r["n_docs"]
+    # every epoch covers the full corpus exactly once
+    assert len(set(per_epoch.values())) == 1
+    # shard assignment differs between epochs (different permutation):
+    # counts per shard can't be identical across epochs for ALL shards
+    by_shard = {(r["epoch"], r["shard"]): r["n_docs"] for r in rows}
+    assert any(
+        by_shard[(0, s)] != by_shard[(1, s)] for s in range(_SHUF_SHARDS)
+    )
