@@ -85,6 +85,14 @@ PICKS = {
     "cusum_changepoints": "daily rollup + per-type reference join; two stacked type-keyed windows",
     "part_supplier_hhi": "two part-keyed aggregates; exact integer squares; TakeOrdered top-25",
     "rolling_wau_7d": "x7 map-side day fanout; exact two-phase distinct per day",
+    "curriculum_buckets": "exact_ntile: bucket-count array prefix-sum; windows partitioned by bucket",
+    "rfm_segments": "three range-partitioned ntile passes; no partition-less Window anywhere",
+    "gini_concentration": "distributed rank: bucket offsets one collected row; per-bucket windows",
+    "line_dedup_boilerplate": "lines hash inside the scan; exchanges carry (hash)/(hash,count) only",
+    "kmv_set_algebra": "two k-bounded synopses; algebra on one row; exact twin pays the user exchange",
+    "tokenizer_fertility_eval": "vocab-sized BPE train; literal-merge segmentation in the scan",
+    "nearest_centroid_accuracy": "label x dim integer partial sums; centroids broadcast; map-side argmax",
+    "epoch_shuffle_order": "x2 epoch fanout map-side; one (epoch, shard) exchange = output parallelism",
 }
 
 KEEP = re.compile(
