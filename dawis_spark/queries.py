@@ -12636,6 +12636,191 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_TOP = 200
+
+
+def _zipf_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+
+    def fold(term: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(ps, e -> {term})), (a, v) -> a + v)"
+        )
+
+    return f"""
+WITH tk AS (SELECT unnest({toks}) AS token FROM documents),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY token),
+top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token LIMIT {_ZIPF_TOP}),
+arr AS (
+  SELECT list_transform(
+           list_sort(list(struct_pack(nf := -freq, token := token))),
+           e -> ln(CAST(-e.nf AS DOUBLE))) AS ys
+  FROM top),
+pairs AS (
+  SELECT len(ys) AS n,
+         list_transform(range(1, len(ys) + 1),
+           i -> struct_pack(x := ln(CAST(i AS DOUBLE)), y := ys[i])) AS ps
+  FROM arr),
+sums AS (
+  SELECT CAST(n AS DOUBLE) AS n,
+         {fold('e.x')} AS sx, {fold('e.y')} AS sy,
+         {fold('e.x * e.x')} AS sxx, {fold('e.y * e.y')} AS syy,
+         {fold('e.x * e.y')} AS sxy
+  FROM pairs)
+SELECT CAST(n AS BIGINT) AS n_top,
+       ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS s_hat,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums
+"""
+
+
+@query("zipf_exponent_fit", oracle=_zipf_oracle())
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus token distribution: least-squares fit
+    of ln(freq) on ln(rank) over the top-200 terms — the one-number
+    summary of vocabulary health (natural text sits near s = 1;
+    markedly lower = templated/synthetic text, higher = degenerate
+    repetition). Reports s_hat, the intercept, and the fit's R².
+
+    Engine-exactness: the five regression sums fold SEQUENTIALLY over
+    the rank-sorted top-200 array gathered onto one row — the nDCG/BM25
+    ordered-fold discipline — and the closed forms render identically,
+    so both engines produce the same doubles before rounding.
+
+    Scale: one token-count aggregate (vocabulary-sized exchange), a
+    top-200 TakeOrdered, then O(200) arithmetic on a single row."""
+    toks = _TXT.tokens("text", "spark")
+    tf = (
+        spark.table("documents")
+        .select(F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "token").limit(_ZIPF_TOP)
+    arr = top.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(cast(-freq as bigint)"
+            " as nf, token))), e -> ln(cast(-e.nf as double)))"
+        ).alias("ys")
+    )
+    pairs = arr.select(
+        F.expr("size(ys)").alias("n0"),
+        F.expr(
+            "transform(sequence(1, size(ys)), i -> struct("
+            "ln(cast(i as double)) as x, element_at(ys, i) as y))"
+        ).alias("ps"),
+    )
+
+    def fold(term: str) -> str:
+        return (
+            f"aggregate(ps, cast(0.0 as double), (a, e) -> a + ({term}))"
+        )
+
+    sums = pairs.select(
+        F.col("n0").cast("double").alias("n"),
+        F.expr(fold("e.x")).alias("sx"),
+        F.expr(fold("e.y")).alias("sy"),
+        F.expr(fold("e.x * e.x")).alias("sxx"),
+        F.expr(fold("e.y * e.y")).alias("syy"),
+        F.expr(fold("e.x * e.y")).alias("sxy"),
+    )
+    b = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_top"),
+        F.round(F.expr(f"-{b}"), 6).alias("s_hat"),
+        F.round(F.expr(f"(sy - {b} * sx) / n"), 6).alias("intercept"),
+        F.round(
+            F.expr(
+                "(n * sxy - sx * sy) * (n * sxy - sx * sy)"
+                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+_BURST_TOP = 25
+
+
+def _burstiness_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tk AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+percell AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY token, doc_id),
+stats AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS docs_with,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM percell GROUP BY token)
+SELECT token, s AS total_tf, docs_with,
+       ROUND(CAST(n_docs * q - s * s AS DOUBLE) / (n_docs * s), 6)
+         AS dispersion,
+       (n_docs * q - s * s > n_docs * s) AS overdispersed
+FROM stats, nd
+ORDER BY total_tf DESC, token LIMIT {_BURST_TOP}
+"""
+
+
+@query("token_burstiness_topk", oracle=_burstiness_oracle())
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS (variance-to-mean dispersion index over per-doc
+    counts, zeros included) for the top-25 corpus terms — Church &
+    Gale's burstiness: D ~ 1 means Poisson-spread usage, D >> 1 means
+    the term clumps into few documents (keyword stuffing / boilerplate
+    / topical islands — a spam signal quality filters act on).
+
+    Exactness: D = (N·Σc² − (Σc)²) / (N·Σc) is computed entirely in
+    exact integer arithmetic with ONE final division, and the
+    overdispersion flag is a pure integer comparison — partition-order
+    invariant in both engines.
+
+    Scale: one (token, doc) aggregate (the tf relation every retrieval
+    query already builds), a vocabulary-sized stats rollup, TakeOrdered
+    top-25. The doc count broadcasts as a 1-row aggregate."""
+    toks = _TXT.tokens("text", "spark")
+    docs = spark.table("documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    percell = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = percell.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_with"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("s").alias("total_tf"),
+            "docs_with",
+            F.round(
+                (F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n_docs") * F.col("s")),
+                6,
+            ).alias("dispersion"),
+            (
+                F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")
+                > F.col("n_docs") * F.col("s")
+            ).alias("overdispersed"),
+        )
+        .orderBy(F.desc("total_tf"), "token")
+        .limit(_BURST_TOP)
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -12650,6 +12835,8 @@ DRIVER_PRIORITY: list[str] = [
     "tokenizer_fertility_eval",    # r10: BPE fertility per source
     "nearest_centroid_accuracy",   # r10: Rocchio embedding-quality baseline
     "epoch_shuffle_order",         # r10: deterministic epoch shuffle
+    "zipf_exponent_fit",           # r10: corpus Zipf slope (ordered-fold LS)
+    "token_burstiness_topk",       # r10: exact-int dispersion index
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -12699,13 +12886,12 @@ DRIVER_PRIORITY: list[str] = [
     # -- sketches / sampling --
     "hll_distinct_events",         # r10: linear-counting auto-dispatch
     "pps_weighted_sample",
-    "pps_ht_totals",
-    "stratified_quota_sample",
-    # NOTE: prefix full at 50. The 38 still without driver evidence —
+    # NOTE: prefix full at 50. The 40 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
     # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
-    # holt_linear_forecast, search_mrr_eval (displaced by the five r10
-    # additions above),
+    # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
+    # stratified_quota_sample (displaced by the seven r10 additions
+    # above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

@@ -299,3 +299,52 @@ def test_epoch_shuffle_dense_and_distinct_permutations(spark):
     assert any(
         by_shard[(0, s)] != by_shard[(1, s)] for s in range(_SHUF_SHARDS)
     )
+
+
+def test_zipf_fit_sane(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    r = q.QUERIES["zipf_exponent_fit"](spark, "/root/testdata/sf0.001").collect()[0]
+    # the sf0.001 synthetic vocabulary is tiny (~31 distinct tokens);
+    # the fit just needs enough points to be meaningful
+    assert r["n_top"] >= 10
+    # a frequency-ranked curve slopes down: s_hat positive, fit real
+    assert 0.0 < r["s_hat"] < 5.0
+    assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+
+
+def test_token_burstiness_matches_python_reference(spark):
+    import collections
+
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+    from dawis_spark.functions import text as TXT
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["token_burstiness_topk"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 25
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    ]
+    n_docs = len(docs)
+    counts: dict = collections.defaultdict(lambda: collections.Counter())
+    tok_rows = spark.table("documents").selectExpr(
+        "doc_id", TXT.tokens("text", "spark") + " AS toks"
+    ).collect()
+    for r in tok_rows:
+        for t in r["toks"]:
+            counts[t][r["doc_id"]] += 1
+    for r in rows[:5]:
+        cs = counts[r["token"]]
+        s = sum(cs.values())
+        qq = sum(c * c for c in cs.values())
+        assert r["total_tf"] == s
+        assert r["docs_with"] == len(cs)
+        expected = round((n_docs * qq - s * s) / (n_docs * s), 6)
+        assert abs(r["dispersion"] - expected) < 1e-9
+        assert r["overdispersed"] == (n_docs * qq - s * s > n_docs * s)

@@ -93,6 +93,8 @@ PICKS = {
     "tokenizer_fertility_eval": "vocab-sized BPE train; literal-merge segmentation in the scan",
     "nearest_centroid_accuracy": "label x dim integer partial sums; centroids broadcast; map-side argmax",
     "epoch_shuffle_order": "x2 epoch fanout map-side; one (epoch, shard) exchange = output parallelism",
+    "zipf_exponent_fit": "vocab-sized tf exchange; top-200 TakeOrdered; one-row ordered folds",
+    "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
 }
 
 KEEP = re.compile(
