@@ -677,7 +677,16 @@ def range_partitioned_ranks(
         f"case when __hi = __lo then 0 else least({n_buckets - 1}, "
         f"greatest(0, cast(floor({pos} * {n_buckets}) as int))) end"
     )
-    bucketed = df.crossJoin(F.broadcast(stats)).withColumn("__b", F.expr(bexpr))
+    # ``bucketed`` feeds BOTH the bucket-count relation and the final
+    # rank join; without materialization each reference re-evaluates the
+    # full input lineage — and CHAINED calls (rfm's three ntile passes)
+    # multiply that re-evaluation per pass (measured 11x on rfm at
+    # sf0.1). Same node-bounded persist budget as the graph iterations.
+    bucketed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__b", F.expr(bexpr))
+        .persist()
+    )
     bcounts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
     offsets = (
         bcounts.agg(
