@@ -181,37 +181,11 @@ kmv AS (
 )"""
 
 
-def kmv_hash_arrays(
-    df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-    k: int = 64,
-) -> DataFrame:
-    """Per-key KMV SYNOPSIS as an array: (keys..., hs) with hs = the k
-    smallest distinct uniformized hashes, sorted ascending. This is the
-    mergeable object behind kmv_distinct — exposed directly so sketch
-    SET ALGEBRA (union / intersection / Jaccard across keys, Beyer et
-    al. 2007 §4) can operate on the synopses without re-scanning data.
-    Same plan shape as kmv_distinct: map-side k-truncation
-    (_kmv_partial), k-bounded exchange, k-bounded merge."""
-    h = TXT.char_hash(f"cast({value_col} as string)", "spark")
-    hashed = df.select(*key_cols, F.expr(h).cast("bigint").alias("__h"))
-    for a, b in _KMV_ROUNDS:
-        hashed = hashed.select(
-            *key_cols, F.expr(_kmv_round("__h", a, b)).alias("__h")
-        )
-    return (
-        _kmv_partial(hashed, key_cols, k)
-        .groupBy(*key_cols)
-        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("hs"))
-    )
-
-
 def kmv_arrays_oracle_ctes(
     table: str, key_cols: list[str], value_col: str, k: int, prefix: str
 ) -> str:
-    """DuckDB replay of kmv_hash_arrays: CTE chain ending in
-    ``{prefix}(keys..., hs)``."""
+    """DuckDB replay of ``kmv_sets`` (char-hash path): CTE chain ending
+    in ``{prefix}(keys..., hs)``."""
     h = TXT.char_hash(f"cast({value_col} as varchar)", "duck")
     keys = ", ".join(key_cols)
     ctes = f"{prefix}_hashed AS (\n  SELECT {keys}, {h} AS h FROM {table}\n)"

@@ -12256,8 +12256,9 @@ m AS (SELECT len(u) AS nu, u[len(u)] AS kth,
       FROM syn),
 est AS (SELECT nu, ni,
                CASE WHEN nu >= {k}
-                    THEN CAST({k - 1} AS DOUBLE) * {_SK_MOD} / kth
-                    ELSE CAST(nu AS DOUBLE) END AS eu
+                    THEN ROUND(CAST({k - 1} AS DOUBLE) * {_SK_MOD} / kth, 6)
+                    ELSE CAST(nu AS DOUBLE) END AS est_union,
+               CAST(ni AS DOUBLE) / nu AS rho
         FROM m),
 ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
               CAST(SUM(CASE WHEN ha AND hb THEN 1 ELSE 0 END) AS BIGINT)
@@ -12269,11 +12270,11 @@ ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
              WHERE event_type IN ('{_KMV_SET_A}', '{_KMV_SET_B}')
              GROUP BY user_id))
 SELECT CAST({k} AS BIGINT) AS k,
-       ROUND(eu, 6) AS est_union, exact_union,
-       ROUND((eu - exact_union) / exact_union, 4) AS err_union,
-       ROUND(CAST(ni AS DOUBLE) / nu, 6) AS est_jaccard,
+       est_union, exact_union,
+       ROUND((est_union - exact_union) / exact_union, 4) AS err_union,
+       ROUND(rho, 6) AS est_jaccard,
        ROUND(CAST(exact_inter AS DOUBLE) / exact_union, 6) AS exact_jaccard,
-       ROUND(ni * eu / nu, 6) AS est_intersection, exact_inter
+       ROUND(rho * est_union, 6) AS est_intersection, exact_inter
 FROM est, ex
 """
 
@@ -12290,11 +12291,10 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed alongside as the self-eval.
 
     Scale: each synopsis builds with the kmv_distinct plan (map-side
-    k-truncation, k-bounded exchange); the algebra itself touches 2k
-    int64s on one row. The exact twin pays a user-cardinality exchange
-    — exactly the cost the sketch avoids."""
-    from dawis_spark.operators.sketches import MOD as _SK_MOD
-    from dawis_spark.operators.sketches import kmv_hash_arrays
+    k-truncation via kmv_sets, k-bounded exchange); the algebra itself
+    (kmv_set_ops) touches 2k int64s on one row. The exact twin pays a
+    user-cardinality exchange — exactly the cost the sketch avoids."""
+    from dawis_spark.operators.sketches import kmv_set_ops, kmv_sets
 
     k = _KMV_SET_K
     ev = (
@@ -12302,33 +12302,10 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin(_KMV_SET_A, _KMV_SET_B))
         .select("event_type", "user_id")
     )
-    sk = kmv_hash_arrays(ev, ["event_type"], "user_id", k=k)
+    sk = kmv_sets(ev, ["event_type"], "user_id", k=k)
     a = sk.filter(F.col("event_type") == _KMV_SET_A).select(F.col("hs").alias("a"))
     b = sk.filter(F.col("event_type") == _KMV_SET_B).select(F.col("hs").alias("b"))
-    m = (
-        a.crossJoin(b)
-        .select(
-            F.expr(f"slice(array_sort(array_union(a, b)), 1, {k})").alias("u"),
-            "a",
-            "b",
-        )
-        .select(
-            F.expr("size(u)").alias("nu"),
-            F.expr("element_at(u, size(u))").alias("kth"),
-            F.expr(
-                "size(filter(u, x -> array_contains(a, x)"
-                " AND array_contains(b, x)))"
-            ).alias("ni"),
-        )
-        .select(
-            "nu",
-            "ni",
-            F.expr(
-                f"case when nu >= {k} then cast({k - 1} as double)"
-                f" * {_SK_MOD} / kth else cast(nu as double) end"
-            ).alias("eu"),
-        )
-    )
+    est = kmv_set_ops(a.crossJoin(b), "a", "b", k)
     per_user = (
         ev.groupBy("user_id")
         .agg(
@@ -12342,19 +12319,18 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exact_inter"),
     )
-    return m.crossJoin(ex).select(
+    return est.crossJoin(ex).select(
         F.lit(k).cast("bigint").alias("k"),
-        F.round("eu", 6).alias("est_union"),
+        "est_union",
         "exact_union",
-        F.round((F.col("eu") - F.col("exact_union")) / F.col("exact_union"), 4)
-        .alias("err_union"),
-        F.round(F.col("ni").cast("double") / F.col("nu"), 6).alias("est_jaccard"),
+        F.round(
+            (F.col("est_union") - F.col("exact_union")) / F.col("exact_union"), 4
+        ).alias("err_union"),
+        "est_jaccard",
         F.round(
             F.col("exact_inter").cast("double") / F.col("exact_union"), 6
         ).alias("exact_jaccard"),
-        F.round(F.col("ni") * F.col("eu") / F.col("nu"), 6).alias(
-            "est_intersection"
-        ),
+        "est_intersection",
         "exact_inter",
     )
 
