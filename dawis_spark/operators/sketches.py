@@ -279,24 +279,29 @@ def cm_estimate(
     )
 
 
-def cm_oracle_ctes(table_cte: str, value_col: str, d: int, w: int) -> str:
-    """DuckDB replay: CTE chain ending in ``cm(row, bucket, cnt)``.
-    ``table_cte`` must expose one row per occurrence with ``value_col``."""
+def cm_oracle_ctes(
+    table_cte: str, value_col: str, d: int, w: int, prefix: str = "cm"
+) -> str:
+    """DuckDB replay: CTE chain ending in ``{prefix}(row, bucket, cnt)``.
+    ``table_cte`` must expose one row per occurrence with ``value_col``;
+    ``prefix`` lets two sketches coexist in one oracle (join-size
+    estimation builds one per join side)."""
     h = TXT.char_hash(f"cast({value_col} as varchar)", "duck")
-    chain = [f"cm_h0 AS (SELECT {h} AS h FROM {table_cte})"]
-    src = "cm_h0"
+    chain = [f"{prefix}_h0 AS (SELECT {h} AS h FROM {table_cte})"]
+    src = f"{prefix}_h0"
     for n, (a, b) in enumerate(_KMV_ROUNDS):
         chain.append(
-            f"cm_h{n + 1} AS (SELECT {_kmv_round('h', a, b)} AS h FROM {src})"
+            f"{prefix}_h{n + 1} AS (SELECT {_kmv_round('h', a, b)} AS h FROM {src})"
         )
-        src = f"cm_h{n + 1}"
+        src = f"{prefix}_h{n + 1}"
     rows = " UNION ALL ".join(
         f"SELECT {i} AS row, CAST({_cm_bucket('h', a, b, w)} AS INT) AS bucket FROM {src}"
         for i, (a, b) in enumerate(_cm_coeffs(d))
     )
-    chain.append(f"cm_cells AS ({rows})")
+    chain.append(f"{prefix}_cells AS ({rows})")
     chain.append(
-        "cm AS (SELECT row, bucket, COUNT(*) AS cnt FROM cm_cells GROUP BY row, bucket)"
+        f"{prefix} AS (SELECT row, bucket, COUNT(*) AS cnt"
+        f" FROM {prefix}_cells GROUP BY row, bucket)"
     )
     return ",\n".join(chain)
 

@@ -12797,6 +12797,178 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMJ_D, _CMJ_W = 4, 512
+_CMJ_A, _CMJ_B = "view", "purchase"
+
+
+def _cm_join_oracle() -> str:
+    from dawis_spark.operators.sketches import cm_oracle_ctes
+
+    side_a = f"(SELECT user_id FROM events WHERE event_type = '{_CMJ_A}')"
+    side_b = f"(SELECT user_id FROM events WHERE event_type = '{_CMJ_B}')"
+    return f"""
+WITH {cm_oracle_ctes(side_a, 'user_id', _CMJ_D, _CMJ_W, 'cma')},
+{cm_oracle_ctes(side_b, 'user_id', _CMJ_D, _CMJ_W, 'cmb')},
+per_row AS (
+  SELECT a.row, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+  FROM cma a JOIN cmb b ON a.row = b.row AND a.bucket = b.bucket
+  GROUP BY a.row),
+est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cm_join_size FROM per_row),
+ex AS (
+  SELECT CAST(SUM(fa.n * fb.n) AS BIGINT) AS exact_join_size
+  FROM (SELECT user_id, COUNT(*) AS n FROM {side_a} GROUP BY user_id) fa
+  JOIN (SELECT user_id, COUNT(*) AS n FROM {side_b} GROUP BY user_id) fb
+    ON fa.user_id = fb.user_id)
+SELECT CAST({_CMJ_D} AS BIGINT) AS d, CAST({_CMJ_W} AS BIGINT) AS w,
+       cm_join_size, exact_join_size,
+       ROUND(CAST(cm_join_size - exact_join_size AS DOUBLE)
+             / exact_join_size, 4) AS rel_overestimate
+FROM est, ex
+"""
+
+
+@query("cm_join_size_estimate", oracle=_cm_join_oracle())
+def cm_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from Count-Min sketches (the AMS/CM inner
+    product, Alon-Matias-Szegedy 1996; Cormode & Muthukrishnan 2005
+    §4.2): |R ⋈ S on key| = Σ_v f_R(v)·f_S(v), estimated per sketch row
+    as Σ_b R[i][b]·S[i][b] and taken as the MIN over the d rows — never
+    an underestimate, within ε·|R|·|S| w.h.p. The cardinality-estimation
+    primitive a cost-based optimizer (or an admission controller
+    deciding whether a join is runnable at all) consults BEFORE paying
+    the join: here viewer-stream ⋈ purchase-stream on user_id. The
+    exact twin is the realized self-eval.
+
+    Scale: each sketch build is a d×w-bounded exchange regardless of
+    input size; the estimate joins two d×w relations. The exact twin
+    pays two user-keyed aggregates + a join — the cost the sketch
+    consults without paying."""
+    from dawis_spark.operators.sketches import cm_sketch
+
+    ev = spark.table("events")
+    a = ev.filter(F.col("event_type") == _CMJ_A).select("user_id")
+    b = ev.filter(F.col("event_type") == _CMJ_B).select("user_id")
+    ska = cm_sketch(a, "user_id", d=_CMJ_D, w=_CMJ_W)
+    skb = cm_sketch(b, "user_id", d=_CMJ_D, w=_CMJ_W)
+    per_row = (
+        ska.alias("a")
+        .join(
+            skb.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.row"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").cast("bigint").alias("cm_join_size"))
+    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_a"))
+    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_b"))
+    ex = (
+        fa.join(fb, "user_id")
+        .agg(
+            F.sum(F.col("n_a") * F.col("n_b"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(ex).select(
+        F.lit(_CMJ_D).cast("bigint").alias("d"),
+        F.lit(_CMJ_W).cast("bigint").alias("w"),
+        "cm_join_size",
+        "exact_join_size",
+        F.round(
+            (F.col("cm_join_size") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size"),
+            4,
+        ).alias("rel_overestimate"),
+    )
+
+
+_AES_K = 100
+
+
+def _aes_oracle() -> str:
+    from dawis_spark.operators.sketches import _int_mix
+
+    toks = _TXT.tokens("text", "duck")
+    u = f"(({_int_mix('doc_id * 13 + 7')}) % 1000000 + 1) / 1000001.0"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len({toks}) AS BIGINT) AS w_tokens,
+         {u} AS u
+  FROM documents),
+keyed AS (
+  SELECT doc_id, source, w_tokens,
+         ROUND(exp(ln(u) / w_tokens), 6) AS key_r
+  FROM base WHERE w_tokens > 0)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_r DESC, doc_id) AS BIGINT) AS rk,
+       doc_id, source, w_tokens, key_r
+FROM keyed ORDER BY key_r DESC, doc_id LIMIT {_AES_K}
+"""
+
+
+@query("weighted_sample_without_replacement", oracle=_aes_oracle())
+def weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): every document draws key = u^(1/w) from a
+    hash-uniform u and its token-count weight; the global top-k by key
+    IS a weighted sample without replacement — the one-pass,
+    merge-friendly design for 'give me exactly 100 documents, long ones
+    proportionally more often' (PPS/Poisson sampling only bounds the
+    EXPECTED size; A-ES hits k exactly). Deterministic: u is the
+    uniformized id hash (reproducible across runs/engines/partitions),
+    keys round to 6 digits before ranking with doc_id tie-breaks.
+
+    Scale: key evaluation rides the scan; the only reduction is a top-k
+    (TakeOrdered — per-partition heaps, no global sort). The k-th key
+    threshold makes the sample mergeable across shards: union the
+    per-shard top-k and re-take k."""
+    from dawis_spark.operators.sketches import _int_mix
+
+    toks = _TXT.tokens("text", "spark")
+    u = f"(({_int_mix('doc_id * 13 + 7')}) % 1000000 + 1) / 1000001.0"
+    keyed = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"cast(size({toks}) as bigint)").alias("w_tokens"),
+            F.expr(u).alias("u"),
+        )
+        .filter(F.col("w_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "w_tokens",
+            F.round(F.expr("exp(ln(u) / w_tokens)"), 6).alias("key_r"),
+        )
+    )
+    top = keyed.orderBy(F.desc("key_r"), "doc_id").limit(_AES_K)
+    # rank the k-bounded head via a sorted-array posexplode, NOT a
+    # partition-less row_number window (the round-10 no-WindowExec-WARN
+    # discipline; k = 100 structs on one row)
+    arr = top.agg(
+        F.expr(
+            "array_sort(collect_list(struct(-key_r AS nk, doc_id, source,"
+            " w_tokens, key_r)))"
+        ).alias("a")
+    )
+    return (
+        arr.select(F.posexplode("a").alias("p", "s"))
+        .select(
+            (F.col("p") + 1).cast("bigint").alias("rk"),
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.source").alias("source"),
+            F.col("s.w_tokens").alias("w_tokens"),
+            F.col("s.key_r").alias("key_r"),
+        )
+        .orderBy("rk")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -12813,6 +12985,8 @@ DRIVER_PRIORITY: list[str] = [
     "epoch_shuffle_order",         # r10: deterministic epoch shuffle
     "zipf_exponent_fit",           # r10: corpus Zipf slope (ordered-fold LS)
     "token_burstiness_topk",       # r10: exact-int dispersion index
+    "cm_join_size_estimate",       # r10: CM inner-product join cardinality
+    "weighted_sample_without_replacement",  # r10: A-ES priority sample
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -12857,17 +13031,15 @@ DRIVER_PRIORITY: list[str] = [
     "benford_first_digit",
     "table_fingerprints",
     "column_stats_profile",
-    "cusum_changepoints",
-    "snapshot_table_diff",
     # -- sketches / sampling --
     "hll_distinct_events",         # r10: linear-counting auto-dispatch
     "pps_weighted_sample",
-    # NOTE: prefix full at 50. The 40 still without driver evidence —
+    # NOTE: prefix full at 50. The 42 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
     # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
     # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
-    # stratified_quota_sample (displaced by the seven r10 additions
-    # above),
+    # stratified_quota_sample, cusum_changepoints, snapshot_table_diff
+    # (displaced by the nine r10 additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

@@ -348,3 +348,37 @@ def test_token_burstiness_matches_python_reference(spark):
         expected = round((n_docs * qq - s * s) / (n_docs * s), 6)
         assert abs(r["dispersion"] - expected) < 1e-9
         assert r["overdispersed"] == (n_docs * qq - s * s > n_docs * s)
+
+
+def test_cm_join_size_never_underestimates(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    r = q.QUERIES["cm_join_size_estimate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    # CM inner product is a one-sided estimator
+    assert r["cm_join_size"] >= r["exact_join_size"]
+    assert r["rel_overestimate"] >= 0
+    # w=512 buckets on a few hundred users: estimate in the right decade
+    assert r["cm_join_size"] <= 3 * max(r["exact_join_size"], 1)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["weighted_sample_without_replacement"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 100
+    assert [r["rk"] for r in rows] == list(range(1, 101))
+    assert all(0.0 < r["key_r"] <= 1.0 for r in rows)
+    # size-biased inclusion: sampled docs are longer than average
+    sample_mean = sum(r["w_tokens"] for r in rows) / len(rows)
+    pop = spark.table("documents").selectExpr(
+        "avg(size(split(lower(text), '[^a-z0-9]+'))) AS m"
+    ).collect()[0]["m"]
+    assert sample_mean > pop * 0.9  # loose: must not be size-blind-low

@@ -95,6 +95,8 @@ PICKS = {
     "epoch_shuffle_order": "x2 epoch fanout map-side; one (epoch, shard) exchange = output parallelism",
     "zipf_exponent_fit": "vocab-sized tf exchange; top-200 TakeOrdered; one-row ordered folds",
     "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
+    "cm_join_size_estimate": "two d x w sketch builds; estimate joins d x w relations only",
+    "weighted_sample_without_replacement": "A-ES keys inside the scan; TakeOrdered top-k; posexplode rank",
 }
 
 KEEP = re.compile(
