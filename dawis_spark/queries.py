@@ -12969,6 +12969,195 @@ def weighted_sample_without_replacement(
     )
 
 
+_MASE_H = 7  # test horizon: the trailing week
+
+
+_MASE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT MAX(day) AS maxd FROM daily),
+test AS (
+  SELECT t.event_type, CAST(ABS(t.v - p.v) AS BIGINT) AS ae
+  FROM daily t JOIN daily p
+    ON t.event_type = p.event_type AND p.day = t.day - INTERVAL 7 DAY
+  CROSS JOIN mx WHERE t.day > mx.maxd - INTERVAL {_MASE_H} DAY),
+train AS (
+  SELECT t.event_type, CAST(ABS(t.v - p.v) AS BIGINT) AS ae
+  FROM daily t JOIN daily p
+    ON t.event_type = p.event_type AND p.day = t.day - INTERVAL 1 DAY
+  CROSS JOIN mx WHERE t.day <= mx.maxd - INTERVAL {_MASE_H} DAY),
+te AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+              CAST(SUM(ae) AS BIGINT) AS sae_test FROM test GROUP BY 1),
+tr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+              CAST(SUM(ae) AS BIGINT) AS sae_train FROM train GROUP BY 1)
+SELECT event_type, n_train, n_test,
+       ROUND(CAST(sae_test AS DOUBLE) / n_test, 4) AS mae_naive_cents,
+       ROUND(CAST(sae_train AS DOUBLE) / n_train, 4) AS mae_insample_cents,
+       ROUND((CAST(sae_test AS DOUBLE) / n_test)
+             / (CAST(sae_train AS DOUBLE) / n_train), 6) AS mase
+FROM te JOIN tr USING (event_type) ORDER BY event_type
+"""
+
+
+@query("seasonal_naive_mase", oracle=_MASE_ORACLE)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) of the SEASONAL-NAIVE forecast
+    (y_hat(d) = y(d-7)) over the trailing week, scaled by the in-sample
+    one-step naive MAE — the scale-free forecast-accuracy yardstick the
+    Holt/STL family should be judged against: MASE < 1 beats the naive
+    random walk; a seasonal-naive MASE near 1 says the series has no
+    exploitable weekly structure beyond level persistence. Absolute
+    errors are exact integer cents; date-JOINED lags (day = day - 7),
+    not row lags, so calendar gaps can't silently misalign the
+    comparison — two final divisions per row.
+
+    Scale: one daily rollup (the exchange every forecast query already
+    pays), two self-joins on (type, day) over the calendar-bounded daily
+    relation, and a |types|-keyed aggregate."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    mx = daily.agg(F.max("day").alias("maxd"))
+    d = daily.crossJoin(F.broadcast(mx))
+    t7 = d.alias("t").join(
+        daily.alias("p"),
+        (F.col("t.event_type") == F.col("p.event_type"))
+        & (F.col("p.day") == F.expr("t.day - INTERVAL 7 DAY")),
+    )
+    test = t7.filter(
+        F.expr(f"t.day > maxd - INTERVAL {_MASE_H} DAY")
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.abs(F.col("t.v") - F.col("p.v")).cast("bigint").alias("ae"),
+    )
+    t1 = d.alias("t").join(
+        daily.alias("p"),
+        (F.col("t.event_type") == F.col("p.event_type"))
+        & (F.col("p.day") == F.expr("t.day - INTERVAL 1 DAY")),
+    )
+    train = t1.filter(
+        F.expr(f"t.day <= maxd - INTERVAL {_MASE_H} DAY")
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.abs(F.col("t.v") - F.col("p.v")).cast("bigint").alias("ae"),
+    )
+    te = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("ae").cast("bigint").alias("sae_test"),
+    )
+    tr = train.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.sum("ae").cast("bigint").alias("sae_train"),
+    )
+    return (
+        te.join(tr, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            "n_test",
+            F.round(F.col("sae_test").cast("double") / F.col("n_test"), 4).alias(
+                "mae_naive_cents"
+            ),
+            F.round(
+                F.col("sae_train").cast("double") / F.col("n_train"), 4
+            ).alias("mae_insample_cents"),
+            F.round(
+                (F.col("sae_test").cast("double") / F.col("n_test"))
+                / (F.col("sae_train").cast("double") / F.col("n_train")),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LDIV_THRESHOLDS = [2, 3, 5]
+
+
+_LDIV_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l
+  FROM qi GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM classes)
+SELECT t.l AS l_threshold,
+       CAST(SUM(CASE WHEN c.l < t.l THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below,
+       CAST(SUM(CASE WHEN c.l < t.l THEN c.n_rows ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN c.l < t.l THEN c.n_rows ELSE 0 END)
+             AS DOUBLE) / MIN(tot.n), 6) AS risk_frac
+FROM classes c CROSS JOIN (SELECT unnest([{', '.join(map(str, _LDIV_THRESHOLDS))}]) AS l) t
+CROSS JOIN tot
+GROUP BY t.l ORDER BY t.l
+"""
+
+
+@query("l_diversity_profile", oracle=_LDIV_ORACLE)
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity risk profile (Machanavajjhala et al. 2007) — the
+    k-anonymity companion: a class of identical quasi-identifiers
+    (nation, market segment) is safe only if its SENSITIVE attribute
+    (balance band) takes at least l distinct values; k-anonymity alone
+    passes a class of 1000 rows that all share one salary band, and
+    this is the query that catches it. Per l in {2, 3, 5}: classes
+    below l and the row fraction exposed to homogeneity attacks.
+
+    Scale: one groupBy over the QI tuple (count + count-distinct of the
+    sensitive attribute) is the only row-scale shuffle; the threshold
+    fan-out runs over the class-count relation."""
+    classes = (
+        spark.table("customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("bal_band").cast("bigint").alias("l"),
+        )
+    )
+    tot = classes.agg(F.sum("n_rows").cast("bigint").alias("n"))
+    fan = classes.crossJoin(F.broadcast(tot)).select(
+        "n_rows",
+        "l",
+        "n",
+        F.explode(
+            F.array(*[F.lit(t) for t in _LDIV_THRESHOLDS])
+        ).alias("l_threshold"),
+    )
+    below = F.when(F.col("l") < F.col("l_threshold"), 1).otherwise(0)
+    rows_below = F.when(
+        F.col("l") < F.col("l_threshold"), F.col("n_rows")
+    ).otherwise(0)
+    return (
+        fan.groupBy("l_threshold")
+        .agg(
+            F.sum(below).cast("bigint").alias("classes_below"),
+            F.sum(rows_below).cast("bigint").alias("rows_at_risk"),
+            F.round(F.sum(rows_below).cast("double") / F.min("n"), 6).alias(
+                "risk_frac"
+            ),
+        )
+        .orderBy("l_threshold")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -12987,6 +13176,8 @@ DRIVER_PRIORITY: list[str] = [
     "token_burstiness_topk",       # r10: exact-int dispersion index
     "cm_join_size_estimate",       # r10: CM inner-product join cardinality
     "weighted_sample_without_replacement",  # r10: A-ES priority sample
+    "seasonal_naive_mase",         # r10: scale-free forecast yardstick
+    "l_diversity_profile",         # r10: k-anonymity homogeneity companion
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -13014,7 +13205,6 @@ DRIVER_PRIORITY: list[str] = [
     "theil_sen_trends",
     "mann_whitney_drift",
     "chi_square_independence",
-    "iqr_outlier_fences",
     # -- journey analytics --
     "position_attribution",
     "funnel_conversion",
@@ -13029,17 +13219,17 @@ DRIVER_PRIORITY: list[str] = [
     # -- profiling / drift --
     "ks_price_drift",
     "benford_first_digit",
-    "table_fingerprints",
     "column_stats_profile",
     # -- sketches / sampling --
     "hll_distinct_events",         # r10: linear-counting auto-dispatch
     "pps_weighted_sample",
-    # NOTE: prefix full at 50. The 42 still without driver evidence —
+    # NOTE: prefix full at 50. The 44 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
     # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
     # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
-    # stratified_quota_sample, cusum_changepoints, snapshot_table_diff
-    # (displaced by the nine r10 additions above),
+    # stratified_quota_sample, cusum_changepoints, snapshot_table_diff,
+    # table_fingerprints, iqr_outlier_fences (displaced by the eleven
+    # r10 additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

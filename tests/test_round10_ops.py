@@ -382,3 +382,42 @@ def test_weighted_sample_prefers_heavy_docs(spark):
         "avg(size(split(lower(text), '[^a-z0-9]+'))) AS m"
     ).collect()[0]["m"]
     assert sample_mean > pop * 0.9  # loose: must not be size-blind-low
+
+
+def test_seasonal_naive_mase_positive_and_finite(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["seasonal_naive_mase"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_test"] <= 7
+        assert r["n_train"] > r["n_test"]
+        assert r["mae_naive_cents"] >= 0
+        assert r["mae_insample_cents"] > 0
+        # mase recombines from the two reported MAEs (to rounding slack)
+        assert abs(
+            r["mase"] - r["mae_naive_cents"] / r["mae_insample_cents"]
+        ) < 1e-3
+        assert 0 <= r["mase"] < 100
+
+
+def test_l_diversity_monotone_in_threshold(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["l_diversity_profile"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["l_threshold"] for r in rows] == [2, 3, 5]
+    # raising l can only expose more classes/rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["classes_below"] >= a["classes_below"]
+        assert b["rows_at_risk"] >= a["rows_at_risk"]
+        assert b["risk_frac"] >= a["risk_frac"]
+    for r in rows:
+        assert 0.0 <= r["risk_frac"] <= 1.0

@@ -97,6 +97,8 @@ PICKS = {
     "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
     "cm_join_size_estimate": "two d x w sketch builds; estimate joins d x w relations only",
     "weighted_sample_without_replacement": "A-ES keys inside the scan; TakeOrdered top-k; posexplode rank",
+    "seasonal_naive_mase": "one daily rollup; date-joined lags on the calendar-bounded relation",
+    "l_diversity_profile": "one QI-tuple groupBy; threshold fanout over the class-count relation",
 }
 
 KEEP = re.compile(
