@@ -13158,6 +13158,137 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FD_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang),
+per_det AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS n_majority,
+         CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM cells GROUP BY source)
+SELECT source, n_rows, n_values, n_majority,
+       CAST(n_rows - n_majority AS BIGINT) AS violations,
+       ROUND(CAST(n_majority AS DOUBLE) / n_rows, 6) AS fd_confidence
+FROM per_det ORDER BY source
+"""
+
+
+@query("fd_confidence_profile", oracle=_FD_ORACLE)
+def fd_confidence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the g3-error of
+    Kivinen & Mannila 1995, the measure FD profilers like Metanome's
+    TANE report): does source -> lang hold? Per determinant value: the
+    majority dependent's share (fd_confidence = 1 means the FD holds
+    exactly there; violations counts the rows a repair would touch).
+    The data-profiling primitive that turns 'we think every source is
+    monolingual' into a measured, alertable number.
+
+    Scale: one (source, lang) cell aggregate — the exchange is bounded
+    by the attribute-pair cardinality, never rows — then a
+    determinant-keyed rollup of the cell relation."""
+    cells = (
+        spark.table("documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.max("n").cast("bigint").alias("n_majority"),
+        )
+        .select(
+            "source",
+            "n_rows",
+            "n_values",
+            "n_majority",
+            (F.col("n_rows") - F.col("n_majority"))
+            .cast("bigint")
+            .alias("violations"),
+            F.round(
+                F.col("n_majority").cast("double") / F.col("n_rows"), 6
+            ).alias("fd_confidence"),
+        )
+        .orderBy("source")
+    )
+
+
+_GAP_THRESHOLDS_S = [600, 1800, 3600]
+
+
+_GAP_CURVE_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id,
+         CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+t AS (SELECT unnest([{', '.join(map(str, _GAP_THRESHOLDS_S))}]) AS gap_limit_s)
+SELECT t.gap_limit_s,
+       CAST(u.n_users + SUM(CASE WHEN o.gap_s > t.gap_limit_s THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_sessions,
+       ROUND(CAST(u.n_users + SUM(CASE WHEN o.gap_s > t.gap_limit_s
+             THEN 1 ELSE 0 END) AS DOUBLE) / u.n_users, 4)
+         AS sessions_per_user
+FROM ordered o CROSS JOIN t CROSS JOIN users u
+WHERE o.gap_s IS NOT NULL
+GROUP BY t.gap_limit_s, u.n_users ORDER BY t.gap_limit_s
+"""
+
+
+@query("session_gap_curve", oracle=_GAP_CURVE_ORACLE)
+def session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session count as a function of the inactivity threshold (10/30/60
+    minutes) — the evidence behind choosing a session timeout: sessions
+    = users + gaps exceeding the threshold, so ONE user-ordered window
+    pass prices every candidate simultaneously (each threshold is a
+    map-side CASE over the same gap column; no per-threshold re-window).
+    The elbow of this curve is where the 30-minute industry default
+    comes from — or doesn't, for this corpus.
+
+    Scale: the single (user) window exchange the journey family already
+    pays, then a 3-key rollup; thresholds fan out map-side."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        spark.table("events")
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    users = spark.table("events").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    fan = gaps.crossJoin(F.broadcast(users)).select(
+        "gap_s",
+        "n_users",
+        F.explode(
+            F.array(*[F.lit(t) for t in _GAP_THRESHOLDS_S])
+        ).alias("gap_limit_s"),
+    )
+    breaks = F.when(F.col("gap_s") > F.col("gap_limit_s"), 1).otherwise(0)
+    return (
+        fan.groupBy("gap_limit_s", "n_users")
+        .agg(F.sum(breaks).alias("nb"))
+        .select(
+            "gap_limit_s",
+            (F.col("n_users") + F.col("nb")).cast("bigint").alias("n_sessions"),
+            F.round(
+                (F.col("n_users") + F.col("nb")).cast("double")
+                / F.col("n_users"),
+                4,
+            ).alias("sessions_per_user"),
+        )
+        .orderBy("gap_limit_s")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -13178,6 +13309,8 @@ DRIVER_PRIORITY: list[str] = [
     "weighted_sample_without_replacement",  # r10: A-ES priority sample
     "seasonal_naive_mase",         # r10: scale-free forecast yardstick
     "l_diversity_profile",         # r10: k-anonymity homogeneity companion
+    "fd_confidence_profile",       # r10: FD-discovery g3 error
+    "session_gap_curve",           # r10: session-timeout evidence curve
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -13217,19 +13350,17 @@ DRIVER_PRIORITY: list[str] = [
     "frequent_event_sequences",
     "markov_next_event_accuracy",
     # -- profiling / drift --
-    "ks_price_drift",
-    "benford_first_digit",
     "column_stats_profile",
     # -- sketches / sampling --
     "hll_distinct_events",         # r10: linear-counting auto-dispatch
     "pps_weighted_sample",
-    # NOTE: prefix full at 50. The 44 still without driver evidence —
+    # NOTE: prefix full at 50. The 46 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
     # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
     # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
     # stratified_quota_sample, cusum_changepoints, snapshot_table_diff,
-    # table_fingerprints, iqr_outlier_fences (displaced by the eleven
-    # r10 additions above),
+    # table_fingerprints, iqr_outlier_fences, benford_first_digit,
+    # ks_price_drift (displaced by the thirteen r10 additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

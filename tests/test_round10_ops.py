@@ -421,3 +421,41 @@ def test_l_diversity_monotone_in_threshold(spark):
         assert b["risk_frac"] >= a["risk_frac"]
     for r in rows:
         assert 0.0 <= r["risk_frac"] <= 1.0
+
+
+def test_fd_confidence_bounds_and_violations(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["fd_confidence_profile"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_values"]
+        assert r["n_majority"] <= r["n_rows"]
+        assert r["violations"] == r["n_rows"] - r["n_majority"]
+        assert 0.0 < r["fd_confidence"] <= 1.0
+        if r["n_values"] == 1:
+            assert r["fd_confidence"] == 1.0 and r["violations"] == 0
+
+
+def test_session_gap_curve_monotone(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    rows = q.QUERIES["session_gap_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["gap_limit_s"] for r in rows] == [600, 1800, 3600]
+    # a larger timeout can only merge sessions, never create them
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_sessions"] <= a["n_sessions"]
+    n_users = spark.table("events").selectExpr(
+        "count(distinct user_id) AS n"
+    ).collect()[0]["n"]
+    for r in rows:
+        assert r["n_sessions"] >= n_users
+        assert r["sessions_per_user"] >= 1.0

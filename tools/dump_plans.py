@@ -99,6 +99,8 @@ PICKS = {
     "weighted_sample_without_replacement": "A-ES keys inside the scan; TakeOrdered top-k; posexplode rank",
     "seasonal_naive_mase": "one daily rollup; date-joined lags on the calendar-bounded relation",
     "l_diversity_profile": "one QI-tuple groupBy; threshold fanout over the class-count relation",
+    "fd_confidence_profile": "attribute-pair cell aggregate; determinant rollup of cells only",
+    "session_gap_curve": "ONE user window prices all thresholds; map-side CASE fanout",
 }
 
 KEEP = re.compile(
