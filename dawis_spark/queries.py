@@ -13289,6 +13289,69 @@ def session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_leakage_oracle(threshold: float) -> str:
+    pairs = _lsh_pairs_oracle(threshold).strip().rstrip()
+    # strip the trailing ORDER BY so the pair relation composes as a CTE
+    pairs = pairs[: pairs.rindex("ORDER BY")]
+    h = _TXT.char_hash("concat('split', cast(doc_id as varchar))", "duck")
+    return f"""
+WITH pairs AS ({pairs}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ({h}) % 100 < 90 THEN 'train'
+              WHEN ({h}) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+             JOIN sp sb ON p.id_b = sb.doc_id
+WHERE sa.split != sb.split
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@query("split_leakage_neardups", oracle=_split_leakage_oracle(0.2))
+def split_leakage_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SPLIT LEAKAGE audit: near-duplicate pairs (the
+    MinHash+LSH pipeline, Jaccard >= 0.2) that STRADDLE the 90/5/5
+    hash-split boundaries — each one is an eval document whose
+    near-copy sits in training, i.e. a measured leak that inflates eval
+    metrics (the within-corpus complement of benchmark_contamination,
+    which only checks against an external benchmark). The canonical
+    fix ordering — dedup BEFORE splitting — is exactly what this query
+    verifies or indicts.
+
+    Scale: the near-dup relation is the banded minhash_lsh_pairs plan
+    (band-bucket self-join, candidates-only verify); split labels
+    evaluate map-side from the id hash (zero extra exchange — the join
+    back to splits keys on doc_id)."""
+    from dawis_spark.operators.corpus import hash_split
+    from dawis_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.table("documents")
+    pairs = minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        n_perms=_N_PERMS,
+        bands=_BANDS,
+        threshold=0.2,
+        shingle_k=_SHINGLE_K,
+    )
+    sp = hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -13311,6 +13374,7 @@ DRIVER_PRIORITY: list[str] = [
     "l_diversity_profile",         # r10: k-anonymity homogeneity companion
     "fd_confidence_profile",       # r10: FD-discovery g3 error
     "session_gap_curve",           # r10: session-timeout evidence curve
+    "split_leakage_neardups",      # r10: train/eval leakage audit
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -13350,17 +13414,17 @@ DRIVER_PRIORITY: list[str] = [
     "frequent_event_sequences",
     "markov_next_event_accuracy",
     # -- profiling / drift --
-    "column_stats_profile",
     # -- sketches / sampling --
     "hll_distinct_events",         # r10: linear-counting auto-dispatch
     "pps_weighted_sample",
-    # NOTE: prefix full at 50. The 46 still without driver evidence —
+    # NOTE: prefix full at 50. The 47 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
     # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
     # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
     # stratified_quota_sample, cusum_changepoints, snapshot_table_diff,
     # table_fingerprints, iqr_outlier_fences, benford_first_digit,
-    # ks_price_drift (displaced by the thirteen r10 additions above),
+    # ks_price_drift, column_stats_profile (displaced by the fourteen
+    # r10 additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

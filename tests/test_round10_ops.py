@@ -459,3 +459,23 @@ def test_session_gap_curve_monotone(spark):
     for r in rows:
         assert r["n_sessions"] >= n_users
         assert r["sessions_per_user"] >= 1.0
+
+
+def test_split_leakage_pairs_straddle_and_subset(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    leaks = q.QUERIES["split_leakage_neardups"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in q.QUERIES["minhash_lsh_pairs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for r in leaks:
+        assert r["split_a"] != r["split_b"]
+        assert (r["id_a"], r["id_b"]) in all_pairs
+        assert r["jaccard"] >= 0.2

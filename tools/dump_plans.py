@@ -101,6 +101,7 @@ PICKS = {
     "l_diversity_profile": "one QI-tuple groupBy; threshold fanout over the class-count relation",
     "fd_confidence_profile": "attribute-pair cell aggregate; determinant rollup of cells only",
     "session_gap_curve": "ONE user window prices all thresholds; map-side CASE fanout",
+    "split_leakage_neardups": "banded LSH pair plan + map-side split labels; doc_id joins only",
 }
 
 KEEP = re.compile(
