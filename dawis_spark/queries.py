@@ -13352,6 +13352,133 @@ def split_leakage_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_union_oracle() -> str:
+    from dawis_spark.operators.sketches import (
+        HLL_B,
+        HLL_LC,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        HLL_NUM,
+        _hll_j_rho,
+    )
+
+    j, rho = _hll_j_rho("user_id", "duck", numeric=True)
+
+    def regs(src: str, prefix: str) -> str:
+        return (
+            f"{prefix} AS (SELECT j, MAX(rho) AS r FROM ("
+            f"SELECT {j} AS j, {rho} AS rho FROM {src}) GROUP BY j)"
+        )
+
+    lc_arr = ", ".join(repr(x) for x in HLL_LC)
+
+    def est(regs_cte: str, prefix: str) -> str:
+        return f"""{prefix}_agg AS (
+  SELECT CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(SUM(1::BIGINT << ({HLL_B} - r))
+              + ({HLL_M} - COUNT(*)) * {1 << HLL_B} AS BIGINT) AS s_scaled
+  FROM {regs_cte}),
+{prefix} AS (
+  SELECT ROUND(CASE WHEN v_empty > 0
+                     AND {HLL_NUM!r} / s_scaled <= {HLL_LC_THRESHOLD!r}
+               THEN ([{lc_arr}])[CAST(v_empty AS INT) + 1]
+               ELSE {HLL_NUM!r} / s_scaled END, 4) AS est
+  FROM {prefix}_agg)"""
+
+    a = "(SELECT user_id FROM events WHERE event_type = 'view')"
+    b = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
+    return f"""
+WITH {regs(a, 'ra')},
+{regs(b, 'rb')},
+ru AS (SELECT j, MAX(r) AS r FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+       GROUP BY j),
+{est('ra', 'ea')},
+{est('rb', 'eb')},
+{est('ru', 'eu')},
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+              CAST(SUM(CASE WHEN ha AND hb THEN 1 ELSE 0 END) AS BIGINT)
+                AS exact_inter
+       FROM (SELECT user_id, BOOL_OR(event_type = 'view') AS ha,
+                    BOOL_OR(event_type = 'purchase') AS hb
+             FROM events WHERE event_type IN ('view', 'purchase')
+             GROUP BY user_id))
+SELECT ea.est AS est_view, eb.est AS est_purchase, eu.est AS est_union,
+       ROUND(GREATEST(ea.est + eb.est - eu.est, 0.0), 4) AS est_inter,
+       exact_union, exact_inter,
+       ROUND((eu.est - exact_union) / exact_union, 4) AS err_union
+FROM ea, eb, eu, ex
+"""
+
+
+@query("hll_union_events", oracle=_hll_union_oracle())
+def hll_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET MERGEABILITY as a first-class operation: the union of two
+    audiences is the ELEMENT-WISE MAX of their register vectors (the
+    property that makes HLL the warehouse sketch — per-segment sketches
+    roll up to any grouping without rescanning), and the intersection
+    falls out by inclusion-exclusion (clamped at 0 — the estimator's
+    known weakness for small overlaps, which the exact twin prices).
+    The KMV flavor of this algebra is kmv_set_algebra; HLL trades its
+    per-element arrays for 64 fixed registers.
+
+    Scale: each register build is the 64-key partial-max exchange; the
+    merge is a 128-row union + 64-key max; estimates are one row each."""
+    from dawis_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = spark.table("events")
+    ra = hll_registers(
+        ev.filter(F.col("event_type") == "view").select("user_id"),
+        "user_id",
+        numeric=True,
+    )
+    rb = hll_registers(
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        numeric=True,
+    )
+    ru = ra.unionAll(rb).groupBy("j").agg(F.max("r").alias("r"))
+    ea = hll_estimate(ra).select(F.col("est").alias("est_view"))
+    eb = hll_estimate(rb).select(F.col("est").alias("est_purchase"))
+    eu = hll_estimate(ru).select(F.col("est").alias("est_union"))
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("ha"),
+            F.max(F.col("event_type") == "purchase").alias("hb"),
+        )
+    )
+    ex = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum((F.col("ha") & F.col("hb")).cast("int"))
+        .cast("bigint")
+        .alias("exact_inter"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(ex)
+        .select(
+            "est_view",
+            "est_purchase",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_view") + F.col("est_purchase") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+            F.round(
+                (F.col("est_union") - F.col("exact_union")) / F.col("exact_union"),
+                4,
+            ).alias("err_union"),
+        )
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
     # queries that have never had a driver-side hash (r1-r8 union of
@@ -13375,6 +13502,7 @@ DRIVER_PRIORITY: list[str] = [
     "fd_confidence_profile",       # r10: FD-discovery g3 error
     "session_gap_curve",           # r10: session-timeout evidence curve
     "split_leakage_neardups",      # r10: train/eval leakage audit
+    "hll_union_events",            # r10: HLL register-max set algebra
     # -- changed this round, never driver-checked --
     "curriculum_buckets",          # r10: exact_ntile (no global window)
     "rfm_segments",                # r10: three exact_ntile passes
@@ -13411,20 +13539,19 @@ DRIVER_PRIORITY: list[str] = [
     "transition_dwell_times",
     "session_entry_exit_bounce",
     "new_vs_returning_daily",
-    "frequent_event_sequences",
     "markov_next_event_accuracy",
     # -- profiling / drift --
     # -- sketches / sampling --
     "hll_distinct_events",         # r10: linear-counting auto-dispatch
     "pps_weighted_sample",
-    # NOTE: prefix full at 50. The 47 still without driver evidence —
+    # NOTE: prefix full at 50. The 48 still without driver evidence —
     # all sweep-green locally every round — queue for r11:
     # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
     # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
     # stratified_quota_sample, cusum_changepoints, snapshot_table_diff,
     # table_fingerprints, iqr_outlier_fences, benford_first_digit,
-    # ks_price_drift, column_stats_profile (displaced by the fourteen
-    # r10 additions above),
+    # ks_price_drift, column_stats_profile, frequent_event_sequences
+    # (displaced by the fifteen r10 additions above),
     # gapfill_interp_user_value, feature_correlations,
     # item_cooccurrence_topk, containment_near_dups,
     # coreset_cluster_balanced, fuzzy_name_matches,

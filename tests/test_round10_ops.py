@@ -479,3 +479,17 @@ def test_split_leakage_pairs_straddle_and_subset(spark):
         assert r["split_a"] != r["split_b"]
         assert (r["id_a"], r["id_b"]) in all_pairs
         assert r["jaccard"] >= 0.2
+
+
+def test_hll_union_inclusion_exclusion(spark):
+    from dawis_spark import queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    r = q.QUERIES["hll_union_events"](spark, "/root/testdata/sf0.001").collect()[0]
+    # union of sets can't be smaller than either input estimate
+    assert r["est_union"] >= max(r["est_view"], r["est_purchase"]) - 1e-9
+    assert r["est_inter"] >= 0
+    assert r["exact_inter"] <= r["exact_union"]
+    # m=64 raw estimator: union within ~3 sigma (39%)
+    assert abs(r["err_union"]) < 0.4

@@ -102,6 +102,7 @@ PICKS = {
     "fd_confidence_profile": "attribute-pair cell aggregate; determinant rollup of cells only",
     "session_gap_curve": "ONE user window prices all thresholds; map-side CASE fanout",
     "split_leakage_neardups": "banded LSH pair plan + map-side split labels; doc_id joins only",
+    "hll_union_events": "two 64-key register builds; merge is a 64-key max; one-row algebra",
 }
 
 KEEP = re.compile(
