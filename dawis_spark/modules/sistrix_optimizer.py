@@ -108,7 +108,15 @@ def schema_for_method(
 ) -> T.StructType:
     """Method-dependent schema selection (sistrix_optimizer.py:82-112).
     REQUIRED fields map to nullable=False; the BigQuery DATE/DATETIME
-    split maps to DateType/TimestampType."""
+    split maps to DateType/TimestampType.
+
+    Deviation-affected fields stay NULLABLE here even though the
+    reference's BigQuery schema marks them REQUIRED: ``source``/``type``
+    (visibility_fact emits NULL for sourceless rows, where the reference
+    raises) and ``positionOverflow`` (ranking_fact emits NULL for junk
+    positions so callers can filter the flagged rows) — declaring them
+    REQUIRED would make the declared schema fail on exactly the rows the
+    pivot contract tells callers to inspect."""
     add = add_parameters_to_table or []
     req_t = T.TimestampType() if use_datetime_request else T.DateType()
     if method == ENDPOINT_OPTIMIZER_VISIBILITY:
@@ -116,8 +124,8 @@ def schema_for_method(
         fields = [
             T.StructField("request_date", req_t, False),
             T.StructField("date", api_t, False),
-            T.StructField("source", T.StringType(), False),
-            T.StructField("type", T.StringType(), False),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), False),
         ]
         if "tag" in add:
@@ -131,7 +139,7 @@ def schema_for_method(
                 T.StructField("request_date", req_t, False),
                 T.StructField("keyword", T.StringType(), False),
                 T.StructField("position", T.IntegerType(), True),
-                T.StructField("positionOverflow", T.BooleanType(), False),
+                T.StructField("positionOverflow", T.BooleanType(), True),
                 T.StructField("url", T.StringType(), True),
                 T.StructField("tags", T.StringType(), False),
                 T.StructField("device", T.StringType(), False),

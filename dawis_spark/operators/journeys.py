@@ -183,3 +183,81 @@ SELECT seq, support,
        ROUND(CAST(support AS DOUBLE) / SUM(support) OVER (), 6) AS share
 FROM counted ORDER BY support DESC, seq LIMIT {top}
 """
+
+
+# --- whale guard ---------------------------------------------------------
+#
+# Skew protection for the per-key sequence windows above (and
+# event_transitions / session_entry_exit_bounce / markov in queries.py).
+# Every journey query sorts events inside Window.partitionBy(user_id) —
+# correct and parallel until one key holds a macroscopic share of the
+# corpus (a bot, a null-bucket id, a logged-out sentinel): that key's
+# partition becomes ONE task sorting a data-sized slice, the failure mode
+# SCALE.md's zipf rehearsal stresses. The guard is the standard
+# pre-aggregation fix: per-key counts (one map-side-partial aggregate
+# whose exchange carries (key, count), never events), a threshold-bounded
+# whale key set (at most den/num keys can each exceed a num/den share, so
+# it BROADCASTS), and a map-side flag join. The share test is EXACT
+# integer arithmetic — count * den > total * num — no float boundary
+# ambiguity between engines.
+
+
+def whale_counts(
+    df: DataFrame, key_cols: list[str], count_col: str = "n_events"
+) -> DataFrame:
+    """Per-key event counts plus the corpus total on every row (the
+    total rides along as a broadcast 1-row aggregate, so share tests
+    stay a map-side comparison)."""
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_col)
+    )
+    total = counts.agg(F.sum(count_col).cast("bigint").alias("__wg_total"))
+    return counts.crossJoin(F.broadcast(total))
+
+
+def whale_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    max_events: int | None = None,
+    max_share: tuple[int, int] | None = None,
+    count_col: str = "n_events",
+) -> DataFrame:
+    """The keys above threshold: count > max_events, or (with
+    ``max_share = (num, den)``) count * den > total * num — exact
+    integer share test. At least one threshold is required; with both,
+    a key is a whale if it crosses EITHER."""
+    if max_events is None and max_share is None:
+        raise ValueError("whale_keys needs max_events and/or max_share")
+    wc = whale_counts(df, key_cols, count_col)
+    cond = F.lit(False)
+    if max_events is not None:
+        cond = cond | (F.col(count_col) > F.lit(int(max_events)))
+    if max_share is not None:
+        num, den = max_share
+        cond = cond | (
+            F.col(count_col) * F.lit(int(den)) > F.col("__wg_total") * F.lit(int(num))
+        )
+    return wc.filter(cond).select(*key_cols, count_col)
+
+
+def whale_guard(
+    df: DataFrame,
+    key_cols: list[str],
+    max_events: int | None = None,
+    max_share: tuple[int, int] | None = None,
+    flag_col: str = "is_whale",
+) -> DataFrame:
+    """``df`` plus a boolean ``flag_col``: True iff the row's key is a
+    whale. The whale set is threshold-bounded (share thresholds cap it
+    at den/num keys; absolute thresholds rely on the same heavy-hitter
+    scarcity), so it broadcasts — the guard adds NO data-sized shuffle;
+    sequence windows downstream filter or reroute on the flag BEFORE
+    partitioning by key (see queries.whale_guarded_transitions)."""
+    whales = whale_keys(df, key_cols, max_events, max_share).select(
+        *key_cols, F.lit(True).alias("__wg_hit")
+    )
+    return (
+        df.join(F.broadcast(whales), key_cols, "left")
+        .withColumn(flag_col, F.coalesce(F.col("__wg_hit"), F.lit(False)))
+        .drop("__wg_hit")
+    )

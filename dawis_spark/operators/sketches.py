@@ -609,6 +609,7 @@ def range_partitioned_ranks(
     n_buckets: int = 1024,
     out_col: str = "__rank",
     n_col: str | None = None,
+    sum_col: str | None = None,
 ) -> DataFrame:
     """Exact global dense row-numbering WITHOUT a single-partition sort.
 
@@ -637,7 +638,21 @@ def range_partitioned_ranks(
 
     ``desc=True`` ranks by ``value_col`` descending (tie columns stay
     ascending, matching ``ORDER BY v DESC, ties``). ``n_col`` optionally
-    emits the group total alongside (ntile needs it).
+    emits the group total alongside (ntile needs it). ``sum_col``
+    optionally emits the running cumulative sum of ``value_col`` in rank
+    order (inclusive of the current row — ``SUM(v) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``), computed the same two-level way:
+    per-bucket totals prefix-summed in the offsets relation + a
+    partitioned within-bucket running sum. ``sum_col`` requires an
+    integer-typed ``value_col`` (the prefix sums are exact bigint — the
+    cents-integer discipline every cumulative query here uses).
+
+    NULL handling: NULL ``value_col`` rows are routed to the bucket that
+    matches Spark's window NULL ordering — bucket 0 for ascending (ASC =
+    NULLS FIRST) and the last bucket for descending (DESC = NULLS LAST) —
+    so ranks stay bit-identical to the global window even on nullable
+    inputs. With ``sum_col``, NULL values contribute 0 to the running
+    sum (as SUM ignores NULLs).
     """
     from pyspark.sql import Window
 
@@ -652,35 +667,55 @@ def range_partitioned_ranks(
     )
     if desc:
         pos = f"(1.0 - {pos})"
+    # NULL sort keys: Spark windows put NULLs FIRST for ASC and LAST for
+    # DESC; min/max ignore NULLs, so without this branch a NULL row's
+    # position is NULL and greatest(0, NULL) = 0 would silently rank
+    # NULLs first even under desc=True.
+    null_bucket = n_buckets - 1 if desc else 0
     bexpr = (
-        f"case when __hi = __lo then 0 else least({n_buckets - 1}, "
+        f"case when {value_col} is null then {null_bucket} "
+        f"when __hi = __lo then 0 else least({n_buckets - 1}, "
         f"greatest(0, cast(floor({pos} * {n_buckets}) as int))) end"
     )
     # ``bucketed`` feeds BOTH the bucket-count relation and the final
     # rank join; without materialization each reference re-evaluates the
     # full input lineage — and CHAINED calls (rfm's three ntile passes)
     # multiply that re-evaluation per pass (measured 11x on rfm at
-    # sf0.1). Same node-bounded persist budget as the graph iterations.
+    # sf0.1). Honest footprint note: this persist is INPUT-ROW-scale
+    # (not node-bounded like the graph iterations) and lives until the
+    # caller's action completes and the cache is cleared — bench.py and
+    # the correctness harness call spark.catalog.clearCache() between
+    # queries for exactly this reason; long-lived sessions chaining many
+    # ranked relations should do the same.
     bucketed = (
         df.crossJoin(F.broadcast(stats))
         .withColumn("__b", F.expr(bexpr))
         .persist()
     )
-    bcounts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
+    bcounts = bucketed.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__bc"),
+        F.coalesce(F.sum(value_col).cast("bigint"), F.lit(0)).alias("__bs"),
+    )
     offsets = (
         bcounts.agg(
-            F.sort_array(F.collect_list(F.struct("__b", "__bc"))).alias("__a")
+            F.sort_array(F.collect_list(F.struct("__b", "__bc", "__bs"))).alias("__a")
         )
         .select(
             F.explode(
                 F.expr(
                     "transform(__a, (s, i) -> struct(s.__b AS __b, "
                     "aggregate(slice(__a, 1, i), cast(0 as bigint), "
-                    "(acc, x) -> acc + x.__bc) AS __off))"
+                    "(acc, x) -> acc + x.__bc) AS __off, "
+                    "aggregate(slice(__a, 1, i), cast(0 as bigint), "
+                    "(acc, x) -> acc + x.__bs) AS __soff))"
                 )
             ).alias("__s")
         )
-        .select(F.col("__s.__b").alias("__b"), F.col("__s.__off").alias("__off"))
+        .select(
+            F.col("__s.__b").alias("__b"),
+            F.col("__s.__off").alias("__off"),
+            F.col("__s.__soff").alias("__soff"),
+        )
     )
     order = [F.desc(value_col) if desc else F.asc(value_col)] + [
         F.asc(c) for c in tie_cols
@@ -689,14 +724,25 @@ def range_partitioned_ranks(
     keep = [c for c in df.columns]
     if n_col is not None:
         keep.append(F.col("__n").cast("bigint").alias(n_col))
-    return (
-        bucketed.join(F.broadcast(offsets), "__b")
-        .withColumn("__rnb", F.row_number().over(w_in))
-        .select(
-            *keep,
-            (F.col("__off") + F.col("__rnb")).cast("bigint").alias(out_col),
-        )
+    out = [
+        *keep,
+        (F.col("__off") + F.col("__rnb")).cast("bigint").alias(out_col),
+    ]
+    joined = bucketed.join(F.broadcast(offsets), "__b").withColumn(
+        "__rnb", F.row_number().over(w_in)
     )
+    if sum_col is not None:
+        joined = joined.withColumn(
+            "__rsb",
+            F.coalesce(
+                F.sum(value_col)
+                .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint"),
+                F.lit(0),
+            ),
+        )
+        out.append((F.col("__soff") + F.col("__rsb")).cast("bigint").alias(sum_col))
+    return joined.select(*out)
 
 
 def exact_ntile(

@@ -4339,9 +4339,10 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2048 cells regardless of vocabulary size — at 100 TB this replaces a
     vocabulary-cardinality shuffle with a fixed-size counter table
     (operators/sketches.py); the exact side here exists only to score
-    the sketch, mirroring the ANN recall self-evals."""
-    from pyspark.sql import Window
-
+    the sketch, mirroring the ANN recall self-evals. The exact top-20
+    is orderBy().limit() — TakeOrderedAndProject, per-partition top-k +
+    driver merge — never a single-partition row_number window over the
+    vocabulary-sized frequency relation (r10-verdict fix)."""
     from dawis_spark.operators.sketches import cm_estimate, cm_sketch
 
     toks = _TXT.tokens("text", "spark")
@@ -4349,10 +4350,9 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(toks)).alias("tok")
     )
     exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
-    wnd = Window.orderBy(F.desc("exact_count"), F.asc("tok"))
     top = (
-        exact.withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= 20)
+        exact.orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
         .select("tok", "exact_count")
     )
     sk = cm_sketch(occ, "tok", d=4, w=512)
@@ -8472,9 +8472,13 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue, deterministic tie-break) whose cumulative revenue crosses
     80% of the total — the crossing test is INTEGER (cum*5 >= t*4), so
     no float boundary ambiguity exists. One customer-keyed aggregate,
-    one global revenue-ranked window (customer-cardinality-sized), one
-    row out."""
-    from pyspark.sql import Window
+    then rank AND running revenue from ``range_partitioned_ranks``
+    (sum_col) — bucket-count/bucket-sum prefix arrays + per-bucket
+    windows, so the customer-cardinality relation is never sorted on a
+    single task (the r10-verdict partition-less-window fix; ranks and
+    cumulative sums are bit-identical to the global window's by
+    construction)."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
 
     rev = (
         spark.table("orders")
@@ -8489,12 +8493,8 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r_cents").alias("t"),
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
     )
-    w = Window.orderBy(F.desc("r_cents"), "o_custkey")
-    ranked = rev.select(
-        "o_custkey",
-        "r_cents",
-        F.sum("r_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.row_number().over(w).alias("rk"),
+    ranked = range_partitioned_ranks(
+        rev, "r_cents", ["o_custkey"], desc=True, out_col="rk", sum_col="cum"
     )
     crossed = ranked.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") * 5 >= F.col("t") * 4
@@ -8739,17 +8739,36 @@ def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge/purge gets its recall (production composes several sort
     keys). The window's rank join is expressed as an offset EXPLODE so
     no range/theta join exists: candidates come from an equi-join on
-    rank. One global catalog sort (vocabulary-sized)."""
-    from pyspark.sql import Window
+    rank. The global sort-rank itself comes from range_partitioned_ranks
+    (r10-verdict fix — the catalog is entity-cardinality-sized, so a
+    partition-less row_number window would single-task it at 100 TB):
+    rows range-bucket on a NUMERIC proxy of the sort key — the first 7
+    bytes of reverse(name) as a big-endian integer, monotone in the
+    string order for single-byte (ASCII) names like this catalog's, with
+    proxy ties (shared 7-byte prefix) resolved inside the bucket by the
+    full (reverse(name), name) ordering — so ranks equal the global
+    ORDER BY reverse(t), t by construction."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
 
     names = (
         spark.table("part")
         .groupBy(F.col("p_name").alias("t"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("__rev", F.reverse("t"))
     )
-    ranked = names.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.reverse("t"), "t"))
+    # big-endian 7-byte prefix: ascii() of position i (0 past the end),
+    # weighted 256^(7-i) — equal proxies always share a bucket, and the
+    # proxy never inverts the ASCII string order it coarsens
+    proxy = " + ".join(
+        f"coalesce(ascii(substring(__rev, {i}, 1)), 0) * {256 ** (7 - i)}"
+        for i in range(1, 8)
     )
+    ranked = range_partitioned_ranks(
+        names.withColumn("__sk", F.expr(f"cast({proxy} as bigint)")),
+        "__sk",
+        ["__rev", "t"],
+        out_col="rk",
+    ).drop("__sk", "__rev")
     probe = ranked.select(
         F.explode(F.sequence(F.lit(1), F.lit(5))).alias("o"),
         F.col("t").alias("text_a"),
@@ -10208,13 +10227,18 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= size, one strict). The textbook definition is a quadratic NOT
     EXISTS self-join; the sort-based rewrite here is O(n log n): order
     by price, then a part survives iff its size beats the running max
-    over all STRICTLY cheaper parts (range frame) and it attains the max
-    within its own price tie-group. tests/test_round8_ops.py cross-checks
-    this rewrite against the quadratic definition at sf0.001.
+    over all STRICTLY cheaper parts and it attains the max within its
+    own price tie-group. tests/test_round8_ops.py cross-checks this
+    rewrite against the quadratic definition at sf0.001.
 
-    Scale: one range-partitioned global sort + two windows over the same
-    ordering — no self-join, no shuffle beyond the sort. Domination
-    tests are exact integer comparisons (price in cents)."""
+    Scale: the running max is TWO-LEVEL (the range_partitioned_ranks
+    discipline, r10-verdict fix — the previous partition-less range
+    window moved every part to one task): range-bucket by price (equal
+    prices never straddle buckets, so 'strictly cheaper within bucket'
+    is a partitioned range frame), per-bucket maxima prefix-combined in
+    one <=1024-struct array (broadcast), best_cheaper = greatest(earlier
+    buckets' prefix max, within-bucket running max). Domination tests
+    are exact integer comparisons (price in cents)."""
     from pyspark.sql import Window
 
     p = spark.table("part").select(
@@ -10222,16 +10246,52 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_cents"),
         F.col("p_size").cast("bigint").alias("p_size"),
     )
+    nb = 1024
+    stats = p.agg(
+        F.min("price_cents").alias("__lo"), F.max("price_cents").alias("__hi")
+    )
+    pos = (
+        "((cast(price_cents as double) - cast(__lo as double)) /"
+        " (cast(__hi as double) - cast(__lo as double)))"
+    )
+    bexpr = (
+        f"case when __hi = __lo then 0 else least({nb - 1}, "
+        f"greatest(0, cast(floor({pos} * {nb}) as int))) end"
+    )
+    # feeds both the per-bucket maxima and the final windows; persist()
+    # avoids recomputing the scan per branch (row-scale footprint —
+    # released by the harness's per-query clearCache)
+    bucketed = (
+        p.crossJoin(F.broadcast(stats)).withColumn("__b", F.expr(bexpr)).persist()
+    )
+    prefmax = (
+        bucketed.groupBy("__b")
+        .agg(F.max("p_size").alias("__bm"))
+        .agg(F.sort_array(F.collect_list(F.struct("__b", "__bm"))).alias("__a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(__a, (s, i) -> struct(s.__b AS __b, "
+                    "aggregate(slice(__a, 1, i), cast(null as bigint), "
+                    "(acc, x) -> greatest(acc, x.__bm)) AS __pm))"
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.__b").alias("__b"), F.col("__s.__pm").alias("__pm"))
+    )
     cheaper = (
-        Window.orderBy("price_cents")
+        Window.partitionBy("__b")
+        .orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     same = Window.partitionBy("price_cents")
-    w = p.select(
+    w = bucketed.join(F.broadcast(prefmax), "__b").select(
         "p_partkey",
         "price_cents",
         "p_size",
-        F.max("p_size").over(cheaper).alias("best_cheaper"),
+        F.greatest(F.max("p_size").over(cheaper), F.col("__pm")).alias(
+            "best_cheaper"
+        ),
         F.max("p_size").over(same).alias("best_same_price"),
     )
     return (
@@ -12737,9 +12797,11 @@ stats AS (
          CAST(SUM(c * c) AS BIGINT) AS q
   FROM percell GROUP BY token)
 SELECT token, s AS total_tf, docs_with,
-       ROUND(CAST(n_docs * q - s * s AS DOUBLE) / (n_docs * s), 6)
+       ROUND(CAST(n_docs * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+             / (n_docs * s), 6)
          AS dispersion,
-       (n_docs * q - s * s > n_docs * s) AS overdispersed
+       (n_docs * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+          > n_docs * CAST(s AS HUGEINT)) AS overdispersed
 FROM stats, nd
 ORDER BY total_tf DESC, token LIMIT {_BURST_TOP}
 """
@@ -12774,6 +12836,14 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
     )
+    # the N·Σc² − (Σc)² difference is computed in decimal(38,0) (HUGEINT
+    # in the oracle): a hot token with s > ~3e9 would silently wrap the
+    # int64 s·s in Spark while DuckDB errors — the same engine-parity
+    # overflow class the bootstrap/contrastive hashes fixed. Exact for
+    # s < 1e19 (a 100 TB corpus tops out ~1e12 for the hottest term).
+    sd = F.col("s").cast("decimal(38,0)")
+    qd = F.col("q").cast("decimal(38,0)")
+    diff = F.col("n_docs") * qd - sd * sd
     return (
         stats.crossJoin(F.broadcast(nd))
         .select(
@@ -12781,16 +12851,10 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").alias("total_tf"),
             "docs_with",
             F.round(
-                (F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")).cast(
-                    "double"
-                )
-                / (F.col("n_docs") * F.col("s")),
+                diff.cast("double") / (F.col("n_docs") * F.col("s")),
                 6,
             ).alias("dispersion"),
-            (
-                F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")
-                > F.col("n_docs") * F.col("s")
-            ).alias("overdispersed"),
+            (diff > (F.col("n_docs") * sd)).alias("overdispersed"),
         )
         .orderBy(F.desc("total_tf"), "token")
         .limit(_BURST_TOP)
@@ -13479,97 +13543,139 @@ def hll_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WHALE_TRANS_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+whales AS (SELECT user_id FROM counts, tot WHERE c * 1000 > t * 8),
+nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_whales FROM whales),
+kept AS (
+  SELECT e.* FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM whales w WHERE w.user_id = e.user_id)),
+ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM kept),
+pairs AS (
+  SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
+outdeg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY 1)
+SELECT p.src, p.dst, p.n, ROUND(CAST(p.n AS DOUBLE) / o.total, 4) AS prob,
+       nw.n_whales
+FROM pairs p JOIN outdeg o ON p.src = o.src, nw
+ORDER BY p.src, p.dst
+"""
+
+
+@query("whale_guarded_transitions", oracle=_WHALE_TRANS_SQL)
+def whale_guarded_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_transitions behind the journey WHALE GUARD
+    (operators/journeys.py — the skew mitigation SCALE.md's zipf
+    adjudication prescribes for the per-user sequence windows): users
+    holding > 0.8% of all events (exact integer share test,
+    c * 1000 > total * 8) are flagged by a broadcast whale set — the
+    set is share-bounded (<= 125 keys CAN exceed 0.8%), so the guard
+    adds no data-sized shuffle — and excluded from the
+    Window.partitionBy(user_id) path sort; the transition matrix is
+    computed over the remaining organic users, with the whale count
+    carried on every row as the audit column. At 100 TB this is the
+    difference between one bot key single-tasking the journey window
+    and the window's per-key parallelism holding (SCALE.md zipf
+    rehearsal: guarded form flat at sf1skew)."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.journeys import whale_guard, whale_keys
+
+    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    share = (8, 1000)
+    nw = whale_keys(e, ["user_id"], max_share=share).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_whales")
+    )
+    kept = whale_guard(e, ["user_id"], max_share=share).filter(~F.col("is_whale"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        kept.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("src"))
+    return (
+        pairs.select(
+            "src", "dst", "n", F.round(F.col("n") / total, 4).alias("prob")
+        )
+        .crossJoin(F.broadcast(nw))
+        .orderBy("src", "dst")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
-    # r10 rotation (VERDICT r8 ask #2): ALL 50 entries come from the 83
-    # queries that have never had a driver-side hash (r1-r8 union of
-    # CORRECTNESS files). Headed by the six whose code changed this
-    # round; then the graph family, robust stats, journey analytics, and
-    # profiling/drift blocks the verdict prescribed. After this round,
-    # 33 queries remain without driver evidence (listed at the end).
+    # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
+    # appeared in a driver CORRECTNESS file (inventory minus every name
+    # hashed in r1-r10 — locally sweep-green every round, but the driver
+    # is the hard signal), plus the two whose code changed this round
+    # (cm_heavy_hitters: TakeOrdered rewrite; whale_guarded_transitions:
+    # new). After r11, every query in the inventory has driver evidence.
     #
-    # -- NEW this round --
-    "line_dedup_boilerplate",      # r10: CCNet line-level corpus dedup
-    "kmv_set_algebra",             # r10: sketch union/intersection/Jaccard
-    "tokenizer_fertility_eval",    # r10: BPE fertility per source
-    "nearest_centroid_accuracy",   # r10: Rocchio embedding-quality baseline
-    "epoch_shuffle_order",         # r10: deterministic epoch shuffle
-    "zipf_exponent_fit",           # r10: corpus Zipf slope (ordered-fold LS)
-    "token_burstiness_topk",       # r10: exact-int dispersion index
-    "cm_join_size_estimate",       # r10: CM inner-product join cardinality
-    "weighted_sample_without_replacement",  # r10: A-ES priority sample
-    "seasonal_naive_mase",         # r10: scale-free forecast yardstick
-    "l_diversity_profile",         # r10: k-anonymity homogeneity companion
-    "fd_confidence_profile",       # r10: FD-discovery g3 error
-    "session_gap_curve",           # r10: session-timeout evidence curve
-    "split_leakage_neardups",      # r10: train/eval leakage audit
-    "hll_union_events",            # r10: HLL register-max set algebra
-    # -- changed this round, never driver-checked --
-    "curriculum_buckets",          # r10: exact_ntile (no global window)
-    "rfm_segments",                # r10: three exact_ntile passes
-    "gini_concentration",          # r10: range_partitioned_ranks
-    "bootstrap_ci_order_value",    # r10: overflow-safe hash (ADVICE)
-    "contrastive_negative_pairs",  # r10: overflow-safe hash (ADVICE)
-    "search_ndcg_eval",            # r10: per-grade-histogram ideal DCG
-    # -- graph family (r8 third session; never driver-checked) --
-    "personalized_pagerank",
-    "hits_hub_authority",
-    "kcore_trade_graph",
-    "bfs_hop_distribution",
-    "bellman_ford_fastest_supply",
-    "community_detection_lpa",
-    "item_graph_triangles",
-    # -- robust statistics --
-    "trimmed_mean_price",
-    "winsorized_mean_price",
-    "weighted_median_price",
-    "hampel_outliers_daily",
-    "spearman_daily_rev_orders",
-    "kendall_daily_rev_orders",
-    "acf_daily_revenue",
-    "ccf_orders_vs_revenue",
-    "theil_sen_trends",
-    "mann_whitney_drift",
-    "chi_square_independence",
-    # -- journey analytics --
-    "position_attribution",
-    "funnel_conversion",
-    "cohort_retention",
-    "event_transitions",
-    "time_to_conversion",
-    "transition_dwell_times",
-    "session_entry_exit_bounce",
-    "new_vs_returning_daily",
-    "markov_next_event_accuracy",
-    # -- profiling / drift --
-    # -- sketches / sampling --
-    "hll_distinct_events",         # r10: linear-counting auto-dispatch
-    "pps_weighted_sample",
-    # NOTE: prefix full at 50. The 48 still without driver evidence —
-    # all sweep-green locally every round — queue for r11:
-    # stl_decomposition_daily, k_anonymity_customers, totalprice_histogram,
-    # holt_linear_forecast, search_mrr_eval, pps_ht_totals,
-    # stratified_quota_sample, cusum_changepoints, snapshot_table_diff,
-    # table_fingerprints, iqr_outlier_fences, benford_first_digit,
-    # ks_price_drift, column_stats_profile, frequent_event_sequences
-    # (displaced by the fifteen r10 additions above),
-    # gapfill_interp_user_value, feature_correlations,
-    # item_cooccurrence_topk, containment_near_dups,
-    # coreset_cluster_balanced, fuzzy_name_matches,
-    # symspell_name_matches, sorted_neighborhood_matches,
-    # ctr_wilson_ranking, dedup_loss_weights, association_rules,
-    # rolling_median_7d, rolling_wau_7d, pareto_customers,
-    # dow_seasonality_index, wordpiece_vocab,
-    # wordpiece_segmented_corpus, part_supplier_hhi,
-    # lexical_richness_by_source, embedding_ann_jl, ann_recall_jl,
-    # langid_confusion_matrix, proportion_ztest, langid_cohens_kappa,
-    # rank_biased_overlap, oph_minhash_pairs, lsh_detection_curve,
-    # pareto_frontier_parts, ewma_daily_smoothing,
-    # classifier_calibration_curve, source_embedding_affinity,
-    # ivf_nprobe_recall_curve, rake_keyphrases.
-    # Everything rotated out (the r8 prefix: bloom_semi_join, the NSW/BQ
-    # ANN block, BPE, logreg, MMR, the TPC-H spine, the r5-stale tail)
-    # is driver-green in CORRECTNESS_r08.json and stays in the
-    # every-round local sweep.
+    # -- changed / new this round --
+    "cm_heavy_hitters",            # r11: orderBy().limit() TakeOrdered rewrite
+    "whale_guarded_transitions",   # r11: journey whale guard (new)
+    "pareto_customers",            # r11: range_partitioned_ranks + sum_col
+    "pareto_frontier_parts",       # r11: bucketed two-level running max
+    "sorted_neighborhood_matches", # r11: ranks via ASCII-prefix proxy
+    # (token_burstiness_topk also changed — decimal(38,0) overflow fix —
+    # but it is r10-driver-green and the rounded output is unchanged at
+    # sf0.01, so it stays out of the 50-entry prefix; SWEEP_r11 re-checks
+    # it locally.)
+    # -- the never-driver-checked tail (r9/r10 additions) --
+    "wordpiece_vocab",
+    "wordpiece_segmented_corpus",
+    "oph_minhash_pairs",
+    "embedding_ann_jl",
+    "ann_recall_jl",
+    "ivf_nprobe_recall_curve",
+    "lsh_detection_curve",
+    "rank_biased_overlap",
+    "search_mrr_eval",
+    "fuzzy_name_matches",
+    "symspell_name_matches",
+    "rolling_median_7d",
+    "rolling_wau_7d",
+    "stl_decomposition_daily",
+    "holt_linear_forecast",
+    "cusum_changepoints",
+    "ewma_daily_smoothing",
+    "table_fingerprints",
+    "snapshot_table_diff",
+    "k_anonymity_customers",
+    "feature_correlations",
+    "association_rules",
+    "frequent_event_sequences",
+    "item_cooccurrence_topk",
+    "rake_keyphrases",
+    "benford_first_digit",
+    "totalprice_histogram",
+    "pps_ht_totals",
+    "stratified_quota_sample",
+    "iqr_outlier_fences",
+    "ks_price_drift",
+    "column_stats_profile",
+    "gapfill_interp_user_value",
+    "containment_near_dups",
+    "coreset_cluster_balanced",
+    "ctr_wilson_ranking",
+    "dedup_loss_weights",
+    "dow_seasonality_index",
+    "part_supplier_hhi",
+    "lexical_richness_by_source",
+    "langid_confusion_matrix",
+    "proportion_ztest",
+    "langid_cohens_kappa",
+    "classifier_calibration_curve",
+    "source_embedding_affinity",
+    # Everything else in the inventory is driver-green in
+    # CORRECTNESS_r01-r10 and stays in the every-round local sweep
+    # (SWEEP_r11.json).
 ]
 
 

@@ -77,7 +77,12 @@ def test_schema_selection_per_method_and_flags():
         "tags", "device", "country", "traffic", "searchengine",
     ]
     assert rank["position"].nullable and rank["traffic"].nullable
-    assert not rank["positionOverflow"].nullable
+    # deviation-affected fields stay nullable (ADVICE r10): ranking_fact
+    # emits NULL positionOverflow for junk positions, visibility_fact
+    # NULL source/type for sourceless rows — the declared schema must
+    # accept the pivot output it describes
+    assert rank["positionOverflow"].nullable
+    assert vis["source"].nullable and vis["type"].nullable
 
 
 def test_plan_requests_per_project_and_ranking_limit():
