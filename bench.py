@@ -127,6 +127,18 @@ def main() -> None:
             t0 = time.time()
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
+        # noise guard (VERDICT r10 #5: a GC hiccup hit BOTH warm passes of
+        # corpus_filter_pipeline in BENCH_r10 and shipped a 4.4x phantom):
+        # when the two warm passes disagree >1.5x, or the best warm pass
+        # is slower than the cold run (warm <= cold by construction —
+        # cold includes plan compilation), take a third pass and keep the
+        # min. Bounded cost: only noisy queries pay it.
+        if (min(runs) > 0.3 and max(runs) / min(runs) > 1.5) or min(
+            runs
+        ) > cold[name] * 1.2:
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
         warm[name] = round(min(runs), 3)
         # drop any persist() an operator took out (minhash/ngram hash
         # relations): storage-memory hygiene between queries

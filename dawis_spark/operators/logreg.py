@@ -113,45 +113,62 @@ def auc_accuracy(
 ) -> DataFrame:
     """Exact tie-aware ROC AUC (midrank rank-sum form — integers until
     the final division) + accuracy at threshold 0, one row:
-    (n, n_pos, auc, accuracy)."""
-    from pyspark.sql import Window
+    (n, n_pos, auc, accuracy).
+
+    Midranks WITHOUT the data-sized partition-less row_number window the
+    r10 formulation used: per-distinct-score counts (one hash
+    aggregate), then a running count over the score order from
+    range_partitioned_ranks(sum_of) — for a score s with cnt_less rows
+    strictly below and cnt tied rows, min+max rank = 2*cnt_less + cnt +
+    1, so the positive-class rank-sum needs only the (s, cnt, pos)
+    relation, never per-row ranks. Exchanges carry distinct scores with
+    counts; every window in the plan is bucket-partitioned."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
 
     scored = data.select(
         F.expr(f"cast({y_expr} as int)").alias("y"),
         F.expr(margin_expr(vec_col, w)).alias("s"),
     )
-    rk = scored.withColumn(
-        "rn", F.row_number().over(Window.orderBy("s"))
+    per_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
     )
-    mr = rk.groupBy("s").agg(
-        (F.min("rn") + F.max("rn")).alias("mr2")
+    ranked = range_partitioned_ranks(
+        per_s, "s", [], out_col="__r", sum_col="cum_cnt", sum_of="cnt"
     )
-    j = rk.join(mr, "s")
-    return j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").cast("bigint").alias("n_pos"),
+    # mr2 = min_rank + max_rank of the tie group; rank-sum over the
+    # positive class = sum(pos * mr2) / 2 (kept doubled: integers)
+    rs = ranked.select(
+        "pos",
+        "cnt",
+        (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1).alias("mr2"),
+        ((F.col("s") > 0).cast("int")).alias("pred_pos"),
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("pos") * F.col("mr2")).cast("bigint").alias("possum2"),
+        F.sum(
+            F.when(F.col("pred_pos") == 1, F.col("pos")).otherwise(
+                F.col("cnt") - F.col("pos")
+            )
+        )
+        .cast("bigint")
+        .alias("correct"),
+    )
+    return rs.select(
+        "n",
+        "n_pos",
         F.round(
             (
-                F.sum(F.when(F.col("y") == 1, F.col("mr2")).otherwise(0)).cast(
-                    "double"
-                )
-                - F.sum("y").cast("double")
-                * (F.sum("y").cast("double") + 1)
+                F.col("possum2").cast("double")
+                - F.col("n_pos").cast("double") * (F.col("n_pos").cast("double") + 1)
             )
             / (
                 2.0
-                * F.sum("y").cast("double")
-                * (F.count(F.lit(1)) - F.sum("y")).cast("double")
+                * F.col("n_pos").cast("double")
+                * (F.col("n") - F.col("n_pos")).cast("double")
             ),
             6,
         ).alias("auc"),
-        F.round(
-            F.sum(
-                F.when(
-                    (F.col("s") > 0) == (F.col("y") == 1), F.lit(1)
-                ).otherwise(0)
-            ).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("accuracy"),
+        F.round(F.col("correct").cast("double") / F.col("n"), 6).alias("accuracy"),
     )

@@ -610,6 +610,7 @@ def range_partitioned_ranks(
     out_col: str = "__rank",
     n_col: str | None = None,
     sum_col: str | None = None,
+    sum_of: str | None = None,
 ) -> DataFrame:
     """Exact global dense row-numbering WITHOUT a single-partition sort.
 
@@ -643,9 +644,12 @@ def range_partitioned_ranks(
     order (inclusive of the current row — ``SUM(v) OVER (ORDER BY ...
     ROWS UNBOUNDED PRECEDING)``), computed the same two-level way:
     per-bucket totals prefix-summed in the offsets relation + a
-    partitioned within-bucket running sum. ``sum_col`` requires an
-    integer-typed ``value_col`` (the prefix sums are exact bigint — the
-    cents-integer discipline every cumulative query here uses).
+    partitioned within-bucket running sum. ``sum_of`` names a DIFFERENT
+    column to accumulate (default: ``value_col`` itself) — e.g. a
+    per-distinct-value count relation ranked by value with a running
+    count (the midrank/CDF shape). The summed column must be
+    integer-typed (the prefix sums are exact bigint — the cents-integer
+    discipline every cumulative query here uses).
 
     NULL handling: NULL ``value_col`` rows are routed to the bucket that
     matches Spark's window NULL ordering — bucket 0 for ascending (ASC =
@@ -692,30 +696,40 @@ def range_partitioned_ranks(
         .withColumn("__b", F.expr(bexpr))
         .persist()
     )
-    bcounts = bucketed.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__bc"),
-        F.coalesce(F.sum(value_col).cast("bigint"), F.lit(0)).alias("__bs"),
+    sum_src = sum_of if sum_of is not None else value_col
+    baggs = [F.count(F.lit(1)).alias("__bc")]
+    if sum_col is not None:
+        baggs.append(
+            F.coalesce(F.sum(sum_src).cast("bigint"), F.lit(0)).alias("__bs")
+        )
+    bcounts = bucketed.groupBy("__b").agg(*baggs)
+    struct_cols = ["__b", "__bc"] + (["__bs"] if sum_col is not None else [])
+    soff_expr = (
+        ", aggregate(slice(__a, 1, i), cast(0 as bigint), "
+        "(acc, x) -> acc + x.__bs) AS __soff"
+        if sum_col is not None
+        else ""
     )
+    out_cols = [
+        F.col("__s.__b").alias("__b"),
+        F.col("__s.__off").alias("__off"),
+    ]
+    if sum_col is not None:
+        out_cols.append(F.col("__s.__soff").alias("__soff"))
     offsets = (
         bcounts.agg(
-            F.sort_array(F.collect_list(F.struct("__b", "__bc", "__bs"))).alias("__a")
+            F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("__a")
         )
         .select(
             F.explode(
                 F.expr(
                     "transform(__a, (s, i) -> struct(s.__b AS __b, "
                     "aggregate(slice(__a, 1, i), cast(0 as bigint), "
-                    "(acc, x) -> acc + x.__bc) AS __off, "
-                    "aggregate(slice(__a, 1, i), cast(0 as bigint), "
-                    "(acc, x) -> acc + x.__bs) AS __soff))"
+                    f"(acc, x) -> acc + x.__bc) AS __off{soff_expr}))"
                 )
             ).alias("__s")
         )
-        .select(
-            F.col("__s.__b").alias("__b"),
-            F.col("__s.__off").alias("__off"),
-            F.col("__s.__soff").alias("__soff"),
-        )
+        .select(*out_cols)
     )
     order = [F.desc(value_col) if desc else F.asc(value_col)] + [
         F.asc(c) for c in tie_cols
@@ -735,7 +749,7 @@ def range_partitioned_ranks(
         joined = joined.withColumn(
             "__rsb",
             F.coalesce(
-                F.sum(value_col)
+                F.sum(sum_src)
                 .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
                 .cast("bigint"),
                 F.lit(0),

@@ -72,18 +72,25 @@ def wordpiece_train(df: DataFrame, text_col: str, v: int = 48) -> list[tuple[str
 
 
 def vocab_df(df: DataFrame, text_col: str, v: int = 48) -> DataFrame:
-    """The vocabulary as a relation: (rank, piece, freq)."""
+    """The vocabulary as a relation: (rank, piece, freq).
+
+    Top-``v`` selection FIRST (orderBy().limit() compiles to
+    TakeOrderedAndProject — distributed per-partition top-k), so the
+    rank-assigning window runs over a ``v``-row relation, never the
+    vocabulary-sized candidate set (r11: the cm_heavy_hitters fix
+    applied here)."""
     from pyspark.sql import Window
 
     return (
         substring_candidates(df, text_col)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(v)
         .withColumn(
             "rank",
             F.row_number()
             .over(Window.orderBy(F.desc("freq"), F.asc("piece")))
             .cast("int"),
         )
-        .filter(F.col("rank") <= v)
         .select("rank", "piece", "freq")
         .orderBy("rank")
     )

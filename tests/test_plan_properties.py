@@ -500,23 +500,74 @@ def test_holt_shuffles_daily_aggregates_not_raw_events(spark):
 def _partitionless_windows(plan: str) -> list[str]:
     """Window nodes with an empty partition spec — the ones WindowExec
     warns about and that single-partition the whole input. A partitioned
-    node prints ``Window [funcs], [partSpec], [orderSpec]`` (two ``], [``
-    separators); an unpartitioned one prints only ``[funcs], [orderSpec]``."""
-    return [
-        line
-        for line in plan.splitlines()
-        if "Window [" in line and line.count("], [") < 2
-    ]
+    node prints ``Window [funcs], [partSpec], [orderSpec]`` (three
+    bracket groups); an unpartitioned-with-order one prints only
+    ``[funcs], [orderSpec]`` — distinguished from partitionBy-without-
+    orderBy (``[funcs], [partSpec]``) by the ASC/DESC markers only sort
+    specs carry."""
+    out = []
+    for line in plan.splitlines():
+        s = line.strip()
+        i = s.find("Window [")
+        if i < 0:
+            continue
+        segs = s[i:].split("], [")
+        if len(segs) >= 3:
+            continue
+        if len(segs) == 2 and not (" ASC" in segs[1] or " DESC" in segs[1]):
+            continue
+        out.append(s[i : i + 110])
+    return out
 
 
-def test_rank_heavy_queries_have_no_partitionless_windows(spark):
-    """VERDICT r8 #1: curriculum_buckets / rfm_segments /
-    gini_concentration formerly sorted their whole input on ONE task via
-    global ntile/row_number windows. They now rank through
-    range_partitioned_ranks (bucket-count array prefix-sum + per-bucket
-    windows); every Window node left in the plan must carry a partition
-    spec, so the 'No Partition Defined for Window' WARN is impossible."""
-    for name in ("curriculum_buckets", "rfm_segments", "gini_concentration"):
+# Partition-less windows ADJUDICATED as scale-safe: their window input is
+# bounded by something other than data size (distinct VALUES of a bounded
+# domain, a candidate pool, a top-k/limit result, a time spine) — a 100x
+# data scale-up grows the windowed relation sublinearly or not at all.
+# Anything NOT in this dict that plans a partition-less window over a
+# data-sized relation is the r8/r10 failure class and fails the pin.
+_PARTITIONLESS_WINDOW_WHITELIST = {
+    "perplexity_quality_bands": "prefix-sum over the <=1024-row bucket-count relation",
+    "hybrid_search_rrf": "rank over the fused candidate pool (two top-N legs)",
+    "frequent_event_sequences": "share over the |event_types|^3 sequence relation",
+    "ks_price_drift": "CDF walk over distinct price cents (value-bounded domain)",
+    "benford_first_digit": "share over 9 leading digits",
+    "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
+    "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
+    "mann_whitney_drift": "rank-sum over distinct values (value-bounded domain)",
+    "chi_square_independence": "margins over the contingency table (types x groups)",
+    "rank_biased_overlap": "depth walk over the two bounded ranking pools",
+    "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
+    "spearman_daily_rev_orders": "rank over the day-bounded daily series",
+    "acf_daily_revenue": "lags over the day-bounded daily series",
+    "ccf_orders_vs_revenue": "lags over the day-bounded daily series",
+    "search_mrr_eval": "rank over per-query BM25 candidate pools",
+    "search_ndcg_eval": "rank over per-query BM25 candidate pools",
+}
+
+
+def test_whole_inventory_has_no_unadjudicated_partitionless_windows(spark):
+    """The r8/r10 verdict class, pinned INVENTORY-WIDE: a Window with no
+    partition spec moves its whole input to one task (WindowExec's 'No
+    Partition Defined' WARN) — the single-sort face-plant at 100 TB.
+    curriculum_buckets / rfm_segments / gini_concentration (r10) and
+    pareto_customers / pareto_frontier_parts / sorted_neighborhood_matches
+    / cm_heavy_hitters / classifier_auc_eval (r11) were rewritten onto
+    range_partitioned_ranks / TakeOrdered; this test compiles EVERY
+    inventory query and fails on any partition-less window outside the
+    adjudicated bounded-input whitelist, so the class cannot regrow."""
+    flagged = {}
+    for name in q.QUERIES:
         plan = _plan(spark, name)
         bad = _partitionless_windows(plan)
-        assert not bad, (name, bad)
+        if bad:
+            flagged[name] = bad[0]
+        spark.catalog.clearCache()
+    unadjudicated = {
+        n: h for n, h in flagged.items() if n not in _PARTITIONLESS_WINDOW_WHITELIST
+    }
+    assert not unadjudicated, unadjudicated
+    # keep the whitelist honest: entries whose queries no longer plan a
+    # partition-less window should be removed, not accumulate
+    stale = set(_PARTITIONLESS_WINDOW_WHITELIST) - set(flagged)
+    assert not stale, f"whitelist entries no longer needed: {stale}"

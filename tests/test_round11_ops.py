@@ -57,3 +57,49 @@ def test_range_partitioned_ranks_null_values_match_window_null_order(spark):
             ).collect()
         }
         assert got == want, desc
+
+
+def test_whale_guard_flags_by_share_and_count(spark):
+    from dawis_spark.operators.journeys import whale_guard, whale_keys
+
+    # key 1 holds 12/20 events (60%); key 2 holds 5; keys 3..5 one each
+    rows = [(1,)] * 12 + [(2,)] * 5 + [(3,), (4,), (5,)]
+    df = spark.createDataFrame(
+        [(k, i) for i, (k,) in enumerate(rows)], "user_id int, event_id int"
+    )
+    # share threshold 25% -> only key 1; exact boundary: key 2 at 25%
+    # exactly is NOT a whale (strict >)
+    ks = {
+        r["user_id"]: r["n_events"]
+        for r in whale_keys(df, ["user_id"], max_share=(25, 100)).collect()
+    }
+    assert ks == {1: 12}
+    # absolute threshold 4 -> keys 1 and 2
+    ks2 = {
+        r["user_id"]
+        for r in whale_keys(df, ["user_id"], max_events=4).collect()
+    }
+    assert ks2 == {1, 2}
+    flagged = whale_guard(df, ["user_id"], max_share=(25, 100))
+    got = {
+        (r["user_id"], r["is_whale"]) for r in flagged.select("user_id", "is_whale").distinct().collect()
+    }
+    assert got == {(1, True), (2, False), (3, False), (4, False), (5, False)}
+    # row count preserved
+    assert flagged.count() == 20
+
+
+def test_whale_guard_broadcasts_whale_set(spark):
+    from dawis_spark.operators.journeys import whale_guard
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "user_id int, event_id int"
+    )
+    plan = (
+        whale_guard(df, ["user_id"], max_share=(1, 5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
