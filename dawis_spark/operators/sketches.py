@@ -611,6 +611,7 @@ def range_partitioned_ranks(
     n_col: str | None = None,
     sum_col: str | None = None,
     sum_of: str | None = None,
+    log_scale: bool = False,
 ) -> DataFrame:
     """Exact global dense row-numbering WITHOUT a single-partition sort.
 
@@ -651,6 +652,19 @@ def range_partitioned_ranks(
     integer-typed (the prefix sums are exact bigint — the cents-integer
     discipline every cumulative query here uses).
 
+    ``log_scale=True`` assigns buckets on the signed-log transform
+    sign(v)*ln(1+|v|) instead of v itself — STRICTLY MONOTONE, so bucket
+    order still equals rank order and ties still share a bucket; ranks
+    are bit-identical either way (the transform only re-draws the COARSE
+    bucket boundaries). Use it for heavy-tailed value distributions
+    (revenue, counts): with equal-width linear buckets a single whale
+    value stretches [lo, hi] until every other row lands in bucket 0 and
+    the within-bucket sort degrades toward the single-task cost (the
+    r11 zipf rehearsal measured pareto_customers at 2.2x under a
+    20%-mass customer; log-scale buckets restore ~1x). Keep the linear
+    default for roughly-uniform domains (scores, percent ranks), where
+    log buckets would concentrate the top of the range instead.
+
     NULL handling: NULL ``value_col`` rows are routed to the bucket that
     matches Spark's window NULL ordering — bucket 0 for ascending (ASC =
     NULLS FIRST) and the last bucket for descending (DESC = NULLS LAST) —
@@ -665,10 +679,17 @@ def range_partitioned_ranks(
         F.max(value_col).alias("__hi"),
         F.count(F.lit(1)).alias("__n"),
     )
-    v = f"cast({value_col} as double)"
-    pos = (
-        f"(({v} - cast(__lo as double)) / (cast(__hi as double) - cast(__lo as double)))"
-    )
+    if log_scale:
+        # sign(v)*ln(1+|v|): strictly monotone over all reals, so
+        # sl(min)=min(sl) and sl(max)=max(sl) — lo/hi transform in place
+        def _sl(x: str) -> str:
+            return f"(sign({x}) * ln(1.0 + abs(cast({x} as double))))"
+
+        v, lo, hi = _sl(value_col), _sl("__lo"), _sl("__hi")
+    else:
+        v = f"cast({value_col} as double)"
+        lo, hi = "cast(__lo as double)", "cast(__hi as double)"
+    pos = f"(({v} - {lo}) / ({hi} - {lo}))"
     if desc:
         pos = f"(1.0 - {pos})"
     # NULL sort keys: Spark windows put NULLs FIRST for ASC and LAST for

@@ -8494,7 +8494,14 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
     )
     ranked = range_partitioned_ranks(
-        rev, "r_cents", ["o_custkey"], desc=True, out_col="rk", sum_col="cum"
+        rev,
+        "r_cents",
+        ["o_custkey"],
+        desc=True,
+        out_col="rk",
+        sum_col="cum",
+        log_scale=True,  # revenue is heavy-tailed: linear buckets collapse
+        # under a whale customer (r11 zipf rehearsal: 2.2x -> ~1x)
     )
     crossed = ranked.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") * 5 >= F.col("t") * 4
@@ -9109,9 +9116,9 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    rk = range_partitioned_ranks(rev, "x", ["o_custkey"], out_col="r").select(
-        "x", "r"
-    )
+    rk = range_partitioned_ranks(
+        rev, "x", ["o_custkey"], out_col="r", log_scale=True
+    ).select("x", "r")
     m = rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),

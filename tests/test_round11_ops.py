@@ -103,3 +103,38 @@ def test_whale_guard_broadcasts_whale_set(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_range_partitioned_ranks_log_scale_identical_ranks(spark):
+    """log_scale only re-draws bucket boundaries (strictly monotone
+    transform): ranks and running sums stay bit-identical to the global
+    window, including under a whale value that collapses linear buckets."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(1, 1000)) for i in range(400)] + [
+        (400, 10**12),  # the whale
+        (401, 0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(7)
+    for desc in (False, True):
+        got = {
+            r["k"]: (r["r"], r["cum"])
+            for r in range_partitioned_ranks(
+                df, "v", ["k"], desc=desc, n_buckets=16,
+                out_col="r", sum_col="cum", log_scale=True,
+            ).collect()
+        }
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+        w = Window.orderBy(*order)
+        want = {
+            r["k"]: (r["r"], r["cum"])
+            for r in df.select(
+                "k",
+                F.row_number().over(w).alias("r"),
+                F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+            ).collect()
+        }
+        assert got == want, desc
