@@ -306,6 +306,117 @@ def cm_oracle_ctes(
     return ",\n".join(chain)
 
 
+def _cs_sign_coeffs(d: int) -> list[tuple[int, int]]:
+    """Sign-hash row coefficients — a DISTINCT deterministic family from
+    the bucket coefficients (independence of bucket and sign hashes is
+    what makes count-sketch unbiased)."""
+    return [(2 * i + 5, 131 * i + 29) for i in range(d)]
+
+
+def _cs_sign(h_expr: str, a: int, b: int) -> str:
+    """+1/-1 from the low bit of an affine rehash."""
+    return f"(1 - 2 * (((({a} * ({h_expr}) + {b}) % {MOD}) % 2)))"
+
+
+def cs_sketch(df: DataFrame, value_col: str, d: int = 5, w: int = 512) -> DataFrame:
+    """COUNT-SKETCH (Charikar, Chen & Farach-Colton 2002): the SIGNED
+    d x w table (row, bucket, ssum) where each occurrence adds its row's
+    +-1 sign — the two-sided companion to cm_sketch: colliding values
+    cancel in expectation instead of stacking, so the median estimator
+    is UNBIASED (count-min never undercounts but always overcounts).
+
+    Same plan shape as cm_sketch: hash map-side, explode to d cells,
+    ONE aggregation whose exchange carries at most d*w groups."""
+    if d % 2 == 0:
+        raise ValueError("cs_sketch needs odd d (exact median)")
+    h = TXT.char_hash(f"cast({value_col} as string)", "spark")
+    hashed = df.select(F.expr(h).cast("bigint").alias("__h"))
+    for a, b in _KMV_ROUNDS:
+        hashed = hashed.select(F.expr(_kmv_round("__h", a, b)).alias("__h"))
+    signs = _cs_sign_coeffs(d)
+    cells = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.expr(_cm_bucket("__h", a, b, w)).cast("int").alias("bucket"),
+            F.expr(_cs_sign("__h", sa, sb)).cast("bigint").alias("s"),
+        )
+        for i, ((a, b), (sa, sb)) in enumerate(zip(_cm_coeffs(d), signs))
+    ]
+    return (
+        hashed.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("c.s").cast("bigint").alias("ssum"))
+    )
+
+
+def cs_estimate(
+    sketch: DataFrame, queries: DataFrame, value_col: str, d: int = 5, w: int = 512
+) -> DataFrame:
+    """Unbiased point estimates: (value, cs_estimate) with cs_estimate =
+    median over rows i of sign_i(v) * cell(i, bucket_i(v)) — the exact
+    (d+1)/2-th order statistic of d values via a sorted d-array, never a
+    percentile approximation. The sketch broadcasts (d*w rows)."""
+    if d % 2 == 0:
+        raise ValueError("cs_estimate needs odd d (exact median)")
+    h = TXT.char_hash(f"cast({value_col} as string)", "spark")
+    q = queries.select(F.col(value_col), F.expr(h).cast("bigint").alias("__h"))
+    for a, b in _KMV_ROUNDS:
+        q = q.select(value_col, F.expr(_kmv_round("__h", a, b)).alias("__h"))
+    signs = _cs_sign_coeffs(d)
+    cells = [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.expr(_cm_bucket("__h", a, b, w)).cast("int").alias("bucket"),
+            F.expr(_cs_sign("__h", sa, sb)).cast("bigint").alias("s"),
+        )
+        for i, ((a, b), (sa, sb)) in enumerate(zip(_cm_coeffs(d), signs))
+    ]
+    probes = q.select(value_col, F.explode(F.array(*cells)).alias("c")).select(
+        value_col,
+        F.col("c.row").alias("row"),
+        F.col("c.bucket").alias("bucket"),
+        F.col("c.s").alias("s"),
+    )
+    mid = (d + 1) // 2
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .withColumn("__e", F.col("s") * F.coalesce(F.col("ssum"), F.lit(0)))
+        .groupBy(value_col)
+        .agg(
+            F.element_at(F.array_sort(F.collect_list("__e")), mid)
+            .cast("bigint")
+            .alias("cs_estimate")
+        )
+    )
+
+
+def cs_oracle_ctes(
+    table_cte: str, value_col: str, d: int, w: int, prefix: str = "cs"
+) -> str:
+    """DuckDB replay: CTE chain ending in ``{prefix}(row, bucket, ssum)``."""
+    h = TXT.char_hash(f"cast({value_col} as varchar)", "duck")
+    chain = [f"{prefix}_h0 AS (SELECT {h} AS h FROM {table_cte})"]
+    src = f"{prefix}_h0"
+    for n, (a, b) in enumerate(_KMV_ROUNDS):
+        chain.append(
+            f"{prefix}_h{n + 1} AS (SELECT {_kmv_round('h', a, b)} AS h FROM {src})"
+        )
+        src = f"{prefix}_h{n + 1}"
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, CAST({_cm_bucket('h', a, b, w)} AS INT) AS bucket,"
+        f" CAST({_cs_sign('h', sa, sb)} AS BIGINT) AS s FROM {src}"
+        for i, ((a, b), (sa, sb)) in enumerate(
+            zip(_cm_coeffs(d), _cs_sign_coeffs(d))
+        )
+    )
+    chain.append(f"{prefix}_cells AS ({rows})")
+    chain.append(
+        f"{prefix} AS (SELECT row, bucket, CAST(SUM(s) AS BIGINT) AS ssum"
+        f" FROM {prefix}_cells GROUP BY row, bucket)"
+    )
+    return ",\n".join(chain)
+
+
 def kmv_sets(
     df: DataFrame,
     key_cols: list[str],

@@ -13550,6 +13550,363 @@ def hll_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter field weights in integer MILLI-BITS, literal at
+# authoring time (like _WILSON_Z — never computed at query time, so both
+# engines sum identical bigints). agree = round(1000*log2(m/u)),
+# disagree = round(1000*log2((1-m)/(1-u))) for per-field (m, u):
+#   name_sim (lev<=2):     m=0.90 u=0.05 ->  +4170 / -3248
+#   type_eq:               m=0.80 u=0.10 ->  +3000 / -2170
+#   price_sim (<=100 ct):  m=0.85 u=0.05 ->  +4087 / -2663
+_FS_W = {
+    "name": (4170, -3248),
+    "type": (3000, -2170),
+    "price": (4087, -2663),
+}
+_FS_LINK, _FS_POSSIBLE = 5000, 0  # milli-bit thresholds
+
+
+def _fs_weight_sql(field: str, agree_expr: str) -> str:
+    a, d = _FS_W[field]
+    return f"CASE WHEN {agree_expr} THEN {a} ELSE {d} END"
+
+
+def _fs_oracle() -> str:
+    pat = {
+        "name": "levenshtein(a.p_name, b.p_name) <= 2",
+        "type": "a.p_type = b.p_type",
+        "price": (
+            "abs(CAST(ROUND(a.p_retailprice * 100, 0) AS BIGINT)"
+            " - CAST(ROUND(b.p_retailprice * 100, 0) AS BIGINT)) <= 100"
+        ),
+    }
+    agree_cols = ", ".join(
+        f"CAST({expr} AS BOOLEAN) AS {f}_agree" for f, expr in pat.items()
+    )
+    wsum = " + ".join(_fs_weight_sql(f, f"{f}_agree") for f in _FS_W)
+    return f"""
+WITH pairs AS (
+  SELECT {agree_cols}
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey),
+scored AS (
+  SELECT *, CAST({wsum} AS BIGINT) AS weight_milli FROM pairs)
+SELECT name_agree, type_agree, price_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       weight_milli,
+       CASE WHEN weight_milli >= {_FS_LINK} THEN 'link'
+            WHEN weight_milli >= {_FS_POSSIBLE} THEN 'possible'
+            ELSE 'non-match' END AS decision
+FROM scored
+GROUP BY name_agree, type_agree, price_agree, weight_milli
+ORDER BY weight_milli DESC, name_agree, type_agree, price_agree
+"""
+
+
+@query("fellegi_sunter_patterns", oracle=_fs_oracle())
+def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER probabilistic record linkage (Fellegi & Sunter
+    1969) — the scoring layer on top of this repo's blocking operators
+    (attribute blocks, symspell deletions, sorted neighborhoods): every
+    within-block candidate pair gets an agreement VECTOR over three
+    comparison fields and a match weight Σ log2(m_f/u_f) (agreements)
+    + Σ log2((1-m_f)/(1-u_f)) (disagreements); pairs classify into
+    link / possible / non-match by thresholds. Output is the classic
+    agreement-PATTERN frequency table (<= 2^3 x weights rows — what the
+    EM step of a production linker consumes to re-estimate m/u), not
+    the raw pair list.
+
+    Exactness: weights are literal integer milli-bits summed as
+    bigints; decisions are integer threshold compares — no float
+    anywhere (the m/u logs are authoring-time constants, like the
+    Wilson z).
+
+    Scale: pairs come from (brand, size) equi-join BLOCKS — the
+    blocking discipline of the fuzzy family, quadratic only within a
+    block (~16 rows/block at sf0.1); the pattern rollup's exchange
+    carries <= 8 x |distinct weights| groups."""
+    p = spark.table("part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        (F.levenshtein("a.p_name", "b.p_name") <= 2).alias("name_agree"),
+        (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
+        (F.abs(F.col("a.pc") - F.col("b.pc")) <= 100).alias("price_agree"),
+    )
+    w = None
+    for f in _FS_W:
+        ag, dg = _FS_W[f]
+        term = F.when(F.col(f"{f}_agree"), F.lit(ag)).otherwise(F.lit(dg))
+        w = term if w is None else w + term
+    scored = pairs.withColumn("weight_milli", w.cast("bigint"))
+    return (
+        scored.groupBy("name_agree", "type_agree", "price_agree", "weight_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "name_agree",
+            "type_agree",
+            "price_agree",
+            "n_pairs",
+            "weight_milli",
+            F.when(F.col("weight_milli") >= _FS_LINK, F.lit("link"))
+            .when(F.col("weight_milli") >= _FS_POSSIBLE, F.lit("possible"))
+            .otherwise(F.lit("non-match"))
+            .alias("decision"),
+        )
+        .orderBy(F.desc("weight_milli"), "name_agree", "type_agree", "price_agree")
+    )
+
+
+def _cs_oracle(top_n: int, d: int, w: int) -> str:
+    from dawis_spark.operators.sketches import (
+        _cm_bucket,
+        _cm_coeffs,
+        _cs_sign,
+        _cs_sign_coeffs,
+        _kmv_round,
+        _KMV_ROUNDS,
+        cs_oracle_ctes,
+    )
+
+    toks = _TXT.tokens("text", "duck")
+    h = _TXT.char_hash("cast(tok as varchar)", "duck")
+    probe_chain = [f"probe_h0 AS (SELECT tok, {h} AS h FROM top)"]
+    src = "probe_h0"
+    for n, (a, b) in enumerate(_KMV_ROUNDS):
+        probe_chain.append(
+            f"probe_h{n + 1} AS (SELECT tok, {_kmv_round('h', a, b)} AS h FROM {src})"
+        )
+        src = f"probe_h{n + 1}"
+    cells = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row, CAST({_cm_bucket('h', a, b, w)} AS INT) AS bucket,"
+        f" CAST({_cs_sign('h', sa, sb)} AS BIGINT) AS s FROM {src}"
+        for i, ((a, b), (sa, sb)) in enumerate(
+            zip(_cm_coeffs(d), _cs_sign_coeffs(d))
+        )
+    )
+    mid = (d + 1) // 2
+    return f"""
+WITH occ AS (
+  SELECT unnest({toks}) AS tok FROM documents
+),
+{cs_oracle_ctes('occ', 'tok', d, w)},
+exact AS (SELECT tok, COUNT(*) AS exact_count FROM occ GROUP BY tok),
+top AS (
+  SELECT tok, exact_count FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_count DESC, tok) AS rn FROM exact
+  ) WHERE rn <= {top_n}
+),
+{", ".join(probe_chain)},
+probe_cells AS ({cells}),
+est AS (
+  SELECT p.tok,
+         CAST(list_sort(list(p.s * COALESCE(cs.ssum, 0)))[{mid}] AS BIGINT)
+           AS cs_estimate
+  FROM probe_cells p LEFT JOIN cs USING (row, bucket)
+  GROUP BY p.tok
+)
+SELECT t.tok AS token, CAST(t.exact_count AS BIGINT) AS exact_count,
+       e.cs_estimate,
+       e.cs_estimate - t.exact_count AS signed_err
+FROM top t JOIN est e ON e.tok = t.tok
+ORDER BY t.exact_count DESC, token
+"""
+
+
+@query("cs_heavy_hitters", oracle=_cs_oracle(20, 5, 512))
+def cs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-SKETCH heavy hitters (Charikar et al. 2002) — the UNBIASED
+    companion to cm_heavy_hitters: colliding tokens add +-1 signs
+    instead of stacking, so the per-row estimates scatter around the
+    truth and the exact d-value median (never a percentile
+    approximation) recovers it; signed_err shows the two-sided error
+    count-min structurally cannot produce (its overestimate column is
+    always >= 0). Same fixed 5x512-cell footprint regardless of
+    vocabulary size; the exact side exists only to score the sketch.
+
+    Scale: the only row-scale exchange carries d*w = 2560 signed-count
+    groups; the top-20 is TakeOrderedAndProject; the sketch broadcasts
+    into the probe join."""
+    from dawis_spark.operators.sketches import cs_estimate, cs_sketch
+
+    toks = _TXT.tokens("text", "spark")
+    occ = spark.table("documents").select(F.explode(F.expr(toks)).alias("tok"))
+    exact = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = (
+        exact.orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
+        .select("tok", "exact_count")
+    )
+    sk = cs_sketch(occ, "tok", d=5, w=512)
+    est = cs_estimate(sk, top.select("tok"), "tok", d=5, w=512)
+    return (
+        top.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            "cs_estimate",
+            (F.col("cs_estimate") - F.col("exact_count")).alias("signed_err"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
+_TCLOSE_TOP = 20
+_TCLOSE_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM qi GROUP BY 1, 2),
+cb AS (
+  SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS c
+  FROM qi GROUP BY 1, 2, 3),
+g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gc FROM qi GROUP BY 1),
+gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(gc) AS BIGINT) AS n FROM g),
+gcum AS (
+  SELECT band, CAST(SUM(gc) OVER (ORDER BY band
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g,
+    ROW_NUMBER() OVER (ORDER BY band) AS bi
+  FROM g),
+grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_rows,
+         gcum.band, gcum.cum_g, gcum.bi
+  FROM cls CROSS JOIN gcum),
+cum AS (
+  SELECT grid.*, COALESCE(cb.c, 0) AS c,
+         CAST(SUM(COALESCE(cb.c, 0)) OVER (
+           PARTITION BY grid.c_nationkey, grid.c_mktsegment
+           ORDER BY grid.band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+  FROM grid LEFT JOIN cb
+    ON cb.c_nationkey = grid.c_nationkey
+   AND cb.c_mktsegment = grid.c_mktsegment
+   AND cb.band = grid.band),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, n_rows,
+         CAST(SUM(CASE WHEN bi < (SELECT m FROM gm)
+                  THEN ABS(cum_c * (SELECT n FROM gm) - cum_g * n_rows)
+                  ELSE 0 END) AS BIGINT) AS num
+  FROM cum GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment, n_rows,
+       ROUND(CASE WHEN gm.m <= 1 THEN 0.0
+             ELSE CAST(num AS DOUBLE) / ((gm.m - 1) * n_rows * gm.n) END, 6)
+         AS t_closeness
+FROM emd, gm
+ORDER BY t_closeness DESC, c_nationkey, c_mktsegment
+LIMIT {_TCLOSE_TOP}
+"""
+
+
+@query("t_closeness_profile", oracle=_TCLOSE_ORACLE)
+def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007) — the third leg of
+    the privacy trio beside k_anonymity_customers and
+    l_diversity_profile: a QI class leaks even when diverse if its
+    SENSITIVE-attribute distribution differs from the corpus-wide one
+    (skewness attack); t is the Earth Mover's Distance between the
+    class's ordinal balance-band distribution and the global one —
+    EMD over an ordered domain = mean |cumulative difference|
+    (Σ_{i<m} |P_cum(i) - Q_cum(i)| / (m-1)).
+
+    Exactness: each cumulative difference is the INTEGER
+    cum_c*N - cum_g*n_class over a common denominator (n_class*N), so
+    the whole EMD is one bigint sum and ONE final division — exact for
+    N < 3e9 (|cum_c*N| <= N^2 < 2^63). The top-|t| classes surface
+    first (skewed-but-diverse classes l-diversity passes).
+
+    Scale: one row-scale shuffle (the QI x band aggregate); the grid is
+    classes x bands (QI-cardinality x a VALUE-BOUNDED ~11-band domain);
+    the per-class cumulative window partitions by class; the global
+    band cumulative uses the sorted-array prefix trick over <= m structs
+    — no partition-less window anywhere."""
+    from pyspark.sql import Window
+
+    qi = spark.table("customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    cls = qi.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    cb = qi.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g = qi.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("gc"))
+    # global band cumulative + (m, N) via the sorted-array prefix trick
+    # (bounded: <= m structs on one row; no partition-less window)
+    gcum = (
+        g.agg(F.sort_array(F.collect_list(F.struct("band", "gc"))).alias("__a"))
+        .select(
+            F.expr("size(__a)").alias("m"),
+            F.expr("aggregate(__a, cast(0 as bigint), (acc, x) -> acc + x.gc)").alias(
+                "n"
+            ),
+            F.explode(
+                F.expr(
+                    "transform(__a, (s, i) -> struct(s.band AS band, "
+                    "cast(i + 1 as bigint) AS bi, "
+                    "aggregate(slice(__a, 1, i + 1), cast(0 as bigint), "
+                    "(acc, x) -> acc + x.gc) AS cum_g))"
+                )
+            ).alias("__s"),
+        )
+        .select("m", "n", "__s.band", "__s.bi", "__s.cum_g")
+    )
+    grid = cls.crossJoin(F.broadcast(gcum))
+    joined = grid.join(
+        cb, ["c_nationkey", "c_mktsegment", "band"], "left"
+    ).withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = joined.withColumn("cum_c", F.sum("c").over(wc).cast("bigint"))
+    emd = cum.groupBy("c_nationkey", "c_mktsegment", "n_rows", "m", "n").agg(
+        F.sum(
+            F.when(
+                F.col("bi") < F.col("m"),
+                F.abs(F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("n_rows")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("num")
+    )
+    return (
+        emd.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_rows",
+            F.round(
+                F.when(F.col("m") <= 1, F.lit(0.0)).otherwise(
+                    F.col("num")
+                    / ((F.col("m") - 1) * F.col("n_rows") * F.col("n"))
+                ),
+                6,
+            ).alias("t_closeness"),
+        )
+        .orderBy(F.desc("t_closeness"), "c_nationkey", "c_mktsegment")
+        .limit(_TCLOSE_TOP)
+    )
+
+
 _WHALE_TRANS_SQL = """
 WITH counts AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
@@ -13682,7 +14039,9 @@ DRIVER_PRIORITY: list[str] = [
     "source_embedding_affinity",
     # Everything else in the inventory is driver-green in
     # CORRECTNESS_r01-r10 and stays in the every-round local sweep
-    # (SWEEP_r11.json).
+    # (SWEEP_r11.json). t_closeness_profile landed after the prefix
+    # filled — it queues for the r12 rotation; SWEEP_r11 carries its
+    # oracle evidence this round.
 ]
 
 

@@ -138,3 +138,56 @@ def test_range_partitioned_ranks_log_scale_identical_ranks(spark):
             ).collect()
         }
         assert got == want, desc
+
+
+def test_stream_whale_alerts_cross_batch_and_batch_equivalence(spark, tmp_path):
+    """Single-shot crossing alerts accumulate across micro-batches, and
+    (no TTL) the alerted key set equals the batch whale_keys(max_events)
+    over the union of delivered rows — the guard's batch-equivalence
+    discipline."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.operators.journeys import whale_keys
+    from dawis_spark.streaming.stream import staging_stream
+    from dawis_spark.streaming.whales import stream_whale_alerts
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+        ]
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_whale_alerts(
+                staging_stream(spark, staging, schema), "user_id", max_events=3
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # tick 1: u1 x3 (at threshold, NOT over), u2 x1
+    tick([(i, "u1") for i in range(3)] + [(100, "u2")])
+    assert spark.read.parquet(sink).count() == 0  # 3 > 3 is false
+    # tick 2: u1 one more (crosses, alerts once), u2 x3 (crosses at 4)
+    tick([(4, "u1")] + [(101 + i, "u2") for i in range(3)])
+    rows = {r["user_id"]: r["n_events"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {"u1": 4, "u2": 4}
+    # tick 3: both keys keep flowing — latched, no re-alerts
+    tick([(200, "u1"), (201, "u2"), (202, "u3")])
+    assert spark.read.parquet(sink).count() == 2
+    # batch equivalence on the union of all delivered rows
+    all_rows = spark.read.parquet(staging)
+    batch = {
+        r["user_id"] for r in whale_keys(all_rows, ["user_id"], max_events=3).collect()
+    }
+    assert batch == set(rows)

@@ -93,6 +93,13 @@ PICKS = {
     "tokenizer_fertility_eval": "vocab-sized BPE train; literal-merge segmentation in the scan",
     "nearest_centroid_accuracy": "label x dim integer partial sums; centroids broadcast; map-side argmax",
     "epoch_shuffle_order": "x2 epoch fanout map-side; one (epoch, shard) exchange = output parallelism",
+    "pareto_customers": "rank+cumsum via log-scale bucketed prefix arrays; no partition-less Window",
+    "pareto_frontier_parts": "two-level running max: bucket prefix maxima broadcast; partitioned range frame",
+    "sorted_neighborhood_matches": "ASCII-prefix proxy ranks; rank+offset equi-join, no theta join",
+    "cm_heavy_hitters": "exact top-20 via TakeOrderedAndProject; CM table fixed 4x512",
+    "classifier_auc_eval": "midranks from per-score counts; bucket-partitioned running count",
+    "whale_guarded_transitions": "broadcast whale set filters before the user window",
+    "t_closeness_profile": "class x band grid (value-bounded); per-class cumulative window",
     "zipf_exponent_fit": "vocab-sized tf exchange; top-200 TakeOrdered; one-row ordered folds",
     "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
     "cm_join_size_estimate": "two d x w sketch builds; estimate joins d x w relations only",
