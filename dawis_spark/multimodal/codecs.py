@@ -2,8 +2,9 @@
 no external libraries: PCM WAV (``wave``), PPM (P6/P3), uncompressed
 24-bit BMP, non-interlaced 8-bit PNG (``zlib`` inflate + scanline
 unfiltering — the deflate stream is the only "codec library" PNG needs,
-and it ships in the stdlib), and GIF87a/89a (pure-python LZW, global or
-local color tables, 4-pass interlace). Baseline JPEG lives in ``jpeg.py`` (stdlib
+and it ships in the stdlib), GIF87a/89a (pure-python LZW, global or
+local color tables, 4-pass interlace), and baseline TIFF 6.0
+(uncompressed strips, II/MM byte orders, gray + RGB). Baseline JPEG lives in ``jpeg.py`` (stdlib
 marker/Huffman parsing + numpy 8x8 IDCT) and dispatches from here.
 
 This closes the "codecs stubbed" gap as far as the container allows:
@@ -296,6 +297,87 @@ def _decode_mp4(payload: bytes) -> list[float]:
     return parse_mp4(payload)
 
 
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_values(payload: bytes, endian: str, type_: int, count: int, raw: bytes):
+    """Entry values: inline when they fit the 4-byte slot, else at the
+    LONG offset the slot holds."""
+    size = _TIFF_TYPE_SIZE.get(type_)
+    if size is None:
+        raise ValueError(f"unsupported TIFF entry type: {type_}")
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        off = struct.unpack(endian + "I", raw)[0]
+        buf = payload[off : off + total]
+        if len(buf) < total:
+            raise ValueError("truncated TIFF value block")
+    fmt = {1: "B", 3: "H", 4: "I"}[type_]
+    return list(struct.unpack(endian + fmt * count, buf))
+
+
+def decode_tiff(payload: bytes) -> list[float]:
+    """Baseline TIFF 6.0, uncompressed strips -> [width, height, mean_r,
+    mean_g, mean_b].
+
+    Both byte orders (II/MM), 8-bit grayscale (Photometric 0/1) and RGB,
+    multi-strip via StripOffsets/StripByteCounts (RowsPerStrip default =
+    whole image). Compression 1 (none) only — LZW/deflate TIFFs raise
+    honestly like every other unsupported variant here.
+    """
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    ifd_off = struct.unpack_from(endian + "I", payload, 4)[0]
+    n = struct.unpack_from(endian + "H", payload, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, type_, count = struct.unpack_from(endian + "HHI", payload, base)
+        tags[tag] = _tiff_values(
+            payload, endian, type_, count, payload[base + 8 : base + 12]
+        )
+    w, h = tags[256][0], tags[257][0]
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise ValueError(f"unsupported TIFF compression: {compression}")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF: bits={bps} samples={spp}")
+    photometric = tags.get(262, [1])[0]
+    strips = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    pixels = b"".join(
+        payload[off : off + cnt] for off, cnt in zip(strips, counts)
+    )
+    need = w * h * spp
+    if len(pixels) < need:
+        raise ValueError("truncated TIFF strip data")
+    pixels = pixels[:need]
+    n_px = w * h
+    if n_px == 0:
+        return [float(w), float(h), 0.0, 0.0, 0.0]
+    if spp == 1:
+        s = sum(pixels)
+        if photometric == 0:  # WhiteIsZero: invert to reflectance-style
+            s = 255 * n_px - s
+        mean = s / n_px
+        return [float(w), float(h), mean, mean, mean]
+    return [
+        float(w),
+        float(h),
+        sum(pixels[0::3]) / n_px,
+        sum(pixels[1::3]) / n_px,
+        sum(pixels[2::3]) / n_px,
+    ]
+
+
 _DECODERS = {
     "wav": decode_wav,
     "ppm": decode_ppm,
@@ -305,12 +387,14 @@ _DECODERS = {
     "jpeg": _decode_jpeg,
     "mp3": _decode_mp3,
     "mp4": _decode_mp4,
+    "tif": decode_tiff,
+    "tiff": decode_tiff,
 }
 
 
 def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
     """Format-dispatching decode_fn for extract_features: real pixel/PCM
-    decoding for wav/ppm/bmp/png/jpeg/gif; real METADATA extraction for
+    decoding for wav/ppm/bmp/png/jpeg/gif/tiff; real METADATA extraction for
     mp3/mp4 (frame-header walk / box walk — duration, rate, dimensions,
     frame counts), whose full sample decode genuinely needs codec
     libraries this container doesn't ship. Unknown formats raise an
@@ -320,9 +404,83 @@ def stdlib_decode(payload: bytes, meta: dict) -> list[float]:
     if fn is None:
         raise NotImplementedError(
             f"format {fmt!r} needs codec libraries not present here; "
-            "stdlib codecs cover wav/ppm/bmp/png/jpg/gif + mp3/mp4 metadata"
+            "stdlib codecs cover wav/ppm/bmp/png/jpg/gif/tiff + mp3/mp4 metadata"
         )
     return fn(payload)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int],
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal baseline uncompressed RGB TIFF (single color; optional
+    multi-strip layout and byte order for decoder coverage)."""
+    endian = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    n_strips = (height + rps - 1) // rps if height else 1
+    row = bytes(rgb) * width
+    strips = []
+    for s in range(max(n_strips, 1)):
+        rows = min(rps, height - s * rps) if height else 0
+        strips.append(row * rows)
+    entries = []  # (tag, type, count, values)
+    # entry block first to compute offsets: header(8) + IFD
+    n_entries = 8
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    aux_off = ifd_off + ifd_size  # strip offset/count arrays if needed
+    aux = b""
+    if n_strips > 1:
+        so_off = aux_off
+        sc_off = aux_off + 4 * n_strips
+        data_off = sc_off + 4 * n_strips
+    else:
+        so_off = sc_off = 0
+        data_off = aux_off
+    offs, cnts, pos = [], [], data_off
+    for sdata in strips:
+        offs.append(pos)
+        cnts.append(len(sdata))
+        pos += len(sdata)
+    if n_strips > 1:
+        aux = struct.pack(endian + "I" * n_strips, *offs) + struct.pack(
+            endian + "I" * n_strips, *cnts
+        )
+    def entry(tag, type_, count, value):
+        return struct.pack(endian + "HHI", tag, type_, count) + value
+    def short_val(v):
+        return (
+            struct.pack(endian + "HH", v, 0)
+            if endian == "<"
+            else struct.pack(endian + "HH", v, 0)
+        )
+    def long_val(v):
+        return struct.pack(endian + "I", v)
+    bps_off = data_off + sum(cnts)
+    ifd = struct.pack(endian + "H", n_entries)
+    ifd += entry(256, 4, 1, long_val(width))              # ImageWidth
+    ifd += entry(257, 4, 1, long_val(height))             # ImageLength
+    ifd += entry(258, 3, 3, long_val(bps_off))            # BitsPerSample -> aux
+    ifd += entry(259, 3, 1, short_val(1))                 # Compression: none
+    ifd += entry(262, 3, 1, short_val(2))                 # Photometric: RGB
+    ifd += entry(
+        273, 4, n_strips,
+        long_val(offs[0] if n_strips == 1 else so_off),
+    )                                                      # StripOffsets
+    ifd += entry(277, 3, 1, short_val(3))                 # SamplesPerPixel
+    ifd += entry(
+        279, 4, n_strips,
+        long_val(cnts[0] if n_strips == 1 else sc_off),
+    )                                                      # StripByteCounts
+    ifd += struct.pack(endian + "I", 0)                   # next IFD
+    header = (b"II*\x00" if endian == "<" else b"MM\x00*") + struct.pack(
+        endian + "I", ifd_off
+    )
+    bps = struct.pack(endian + "HHH", 8, 8, 8)
+    return header + ifd + aux + b"".join(strips) + bps
 
 
 # --- tiny encoders (test/corpus synthesis; deterministic) -----------------

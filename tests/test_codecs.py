@@ -436,3 +436,39 @@ def test_gif_dispatches_through_stdlib_decode():
     pal = [(100, 150, 200), (1, 2, 3)]
     g = encode_gif(3, 3, pal, bytes([0] * 9))
     assert stdlib_decode(g, {"format": "gif"}) == [3.0, 3.0, 100.0, 150.0, 200.0]
+
+
+def test_tiff_solid_roundtrip_both_endians_and_strips():
+    from dawis_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    for be in (False, True):
+        for rps in (None, 3):
+            t = encode_tiff(5, 7, (10, 200, 30), big_endian=be, rows_per_strip=rps)
+            assert decode_tiff(t) == [5.0, 7.0, 10.0, 200.0, 30.0], (be, rps)
+
+
+def test_tiff_error_contract():
+    import pytest
+
+    from dawis_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"NOTTIFF" + b"\x00" * 20)
+    good = encode_tiff(4, 4, (1, 2, 3))
+    # flip Compression (tag 259) value to 5 (LZW): entry 4 of the IFD,
+    # value at header(8) + count(2) + 3*12 + 8
+    mut = bytearray(good)
+    off = 8 + 2 + 3 * 12 + 8
+    mut[off] = 5
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(mut))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff(good[: len(good) - 20])
+
+
+def test_tiff_dispatches_through_stdlib_decode():
+    from dawis_spark.multimodal.codecs import encode_tiff, stdlib_decode
+
+    t = encode_tiff(3, 3, (100, 150, 200))
+    assert stdlib_decode(t, {"format": "tiff"}) == [3.0, 3.0, 100.0, 150.0, 200.0]
+    assert stdlib_decode(t, {"format": "tif"}) == [3.0, 3.0, 100.0, 150.0, 200.0]

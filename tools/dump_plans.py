@@ -100,6 +100,8 @@ PICKS = {
     "classifier_auc_eval": "midranks from per-score counts; bucket-partitioned running count",
     "whale_guarded_transitions": "broadcast whale set filters before the user window",
     "t_closeness_profile": "class x band grid (value-bounded); per-class cumulative window",
+    "cs_heavy_hitters": "signed d*w=2560-group exchange; exact 5-value median; sketch broadcast",
+    "fellegi_sunter_patterns": "(brand,size) block self-join; pattern rollup <= 8 x weights groups",
     "zipf_exponent_fit": "vocab-sized tf exchange; top-200 TakeOrdered; one-row ordered folds",
     "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
     "cm_join_size_estimate": "two d x w sketch builds; estimate joins d x w relations only",
