@@ -13574,25 +13574,33 @@ def _fs_oracle() -> str:
     pat = {
         "name": "levenshtein(a.p_name, b.p_name) <= 2",
         "type": "a.p_type = b.p_type",
-        "price": (
-            "abs(CAST(ROUND(a.p_retailprice * 100, 0) AS BIGINT)"
-            " - CAST(ROUND(b.p_retailprice * 100, 0) AS BIGINT)) <= 100"
-        ),
+        "price": "abs(a.pc - b.pc) <= 100",
     }
     agree_cols = ", ".join(
         f"CAST({expr} AS BOOLEAN) AS {f}_agree" for f, expr in pat.items()
     )
     wsum = " + ".join(_fs_weight_sql(f, f"{f}_agree") for f in _FS_W)
+    all_w = sum(_FS_W[f][0] for f in _FS_W)
     return f"""
-WITH pairs AS (
-  SELECT {agree_cols}
-  FROM part a JOIN part b
+WITH recs AS (
+  SELECT p_name, p_brand, p_type, p_size,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS pc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2, 3, 4, 5),
+cross_pairs AS (
+  SELECT {agree_cols}, a.n * b.n AS mult
+  FROM recs a JOIN recs b
     ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-   AND a.p_partkey < b.p_partkey),
+   AND (a.p_name, a.p_type, a.pc) < (b.p_name, b.p_type, b.pc)),
+same_pairs AS (
+  SELECT TRUE AS name_agree, TRUE AS type_agree, TRUE AS price_agree,
+         n * (n - 1) / 2 AS mult
+  FROM recs WHERE n > 1),
+pairs AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs),
 scored AS (
   SELECT *, CAST({wsum} AS BIGINT) AS weight_milli FROM pairs)
 SELECT name_agree, type_agree, price_agree,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(mult) AS BIGINT) AS n_pairs,
        weight_milli,
        CASE WHEN weight_milli >= {_FS_LINK} THEN 'link'
             WHEN weight_milli >= {_FS_POSSIBLE} THEN 'possible'
@@ -13621,29 +13629,47 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (the m/u logs are authoring-time constants, like the
     Wilson z).
 
-    Scale: pairs come from (brand, size) equi-join BLOCKS — the
-    blocking discipline of the fuzzy family, quadratic only within a
-    block (~16 rows/block at sf0.1); the pattern rollup's exchange
-    carries <= 8 x |distinct weights| groups."""
-    p = spark.table("part").select(
-        "p_partkey",
-        "p_name",
-        "p_brand",
-        "p_type",
-        "p_size",
-        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("pc"),
+    Scale: pairs come from (brand, size) equi-join BLOCKS over the
+    DISTINCT-RECORD catalog with multiplicities (the fuzzy family's
+    discipline — identical records collapse to one row carrying n, so
+    pair counts weight by n_a*n_b and identical-record pairs are the
+    closed form n*(n-1)/2, never enumerated): within-block work is
+    quadratic in distinct-ENTITY diversity, not row count — the sf1
+    tiling rehearsal is ~1x where the row-level form was 40x. The
+    pattern rollup's exchange carries <= 8 x |distinct weights|
+    groups."""
+    recs = (
+        spark.table("part")
+        .groupBy(
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("pc"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = a.join(
+    a, b = recs.alias("a"), recs.alias("b")
+    tup_a = F.struct(F.col("a.p_name"), F.col("a.p_type"), F.col("a.pc"))
+    tup_b = F.struct(F.col("b.p_name"), F.col("b.p_type"), F.col("b.pc"))
+    cross_pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (tup_a < tup_b),
     ).select(
         (F.levenshtein("a.p_name", "b.p_name") <= 2).alias("name_agree"),
         (F.col("a.p_type") == F.col("b.p_type")).alias("type_agree"),
         (F.abs(F.col("a.pc") - F.col("b.pc")) <= 100).alias("price_agree"),
+        (F.col("a.n") * F.col("b.n")).alias("mult"),
     )
+    same_pairs = recs.filter(F.col("n") > 1).select(
+        F.lit(True).alias("name_agree"),
+        F.lit(True).alias("type_agree"),
+        F.lit(True).alias("price_agree"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("mult"),
+    )
+    pairs = cross_pairs.unionByName(same_pairs)
     w = None
     for f in _FS_W:
         ag, dg = _FS_W[f]
@@ -13652,7 +13678,7 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.withColumn("weight_milli", w.cast("bigint"))
     return (
         scored.groupBy("name_agree", "type_agree", "price_agree", "weight_milli")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .agg(F.sum("mult").cast("bigint").alias("n_pairs"))
         .select(
             "name_agree",
             "type_agree",
