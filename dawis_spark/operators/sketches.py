@@ -899,6 +899,7 @@ def exact_ntile(
     desc: bool = False,
     out_col: str = "__ntile",
     n_buckets: int = 1024,
+    log_scale: bool = False,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY value [DESC], ties)`` without the
     single-partition sort: global ranks from
@@ -919,6 +920,7 @@ def exact_ntile(
         n_buckets=n_buckets,
         out_col="__r",
         n_col="__nn",
+        log_scale=log_scale,
     )
     tile = (
         f"case when __r <= (__nn % {k}) * (__nn div {k} + 1) "

@@ -191,3 +191,22 @@ def test_stream_whale_alerts_cross_batch_and_batch_equivalence(spark, tmp_path):
         r["user_id"] for r in whale_keys(all_rows, ["user_id"], max_events=3).collect()
     }
     assert batch == set(rows)
+
+
+def test_count_sketch_exact_when_collision_free(spark):
+    """With w large relative to the distinct-value count, no two values
+    share a cell in any row, so every per-row estimate (and hence the
+    median) equals the true count exactly — and the sketch is UNBIASED
+    where count-min in the same regime is merely tight."""
+    from dawis_spark.operators.sketches import cs_estimate, cs_sketch
+
+    rows = [(f"v{i % 20}",) for i in range(200) for _ in range(i % 20 + 1)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(5)
+    truth = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()
+    }
+    sk = cs_sketch(df, "v", d=5, w=4096)
+    est = cs_estimate(sk, df.select("v").distinct(), "v", d=5, w=4096)
+    got = {r["v"]: r["cs_estimate"] for r in est.collect()}
+    assert got == truth
