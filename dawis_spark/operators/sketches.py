@@ -1158,6 +1158,89 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     )
 
 
+def hll_registers_by(
+    df: DataFrame, key_cols: list[str], value_expr: str, numeric: bool = False
+) -> DataFrame:
+    """(keys..., j, r): PER-KEY register relations — the grouped form of
+    hll_registers. The exchange carries at most |keys| x 64 rows (one
+    partial max per key x register per task), replacing a per-key
+    COUNT(DISTINCT)'s value-cardinality shuffle with a fixed 64-register
+    synopsis per group — the GROUP BY companion the dashboard rollups
+    want at 100 TB."""
+    j, rho = _hll_j_rho(value_expr, "spark", numeric)
+    return (
+        df.select(*key_cols, F.expr(j).alias("j"), F.expr(rho).alias("rho"))
+        .groupBy(*key_cols, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate_by(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key HLL estimates from a grouped (keys..., j, r) register
+    relation: (keys..., v_empty, method, est) — same raw/linear-counting
+    auto-dispatch as hll_estimate, applied per group (small groups take
+    the linear-counting branch, big ones the raw estimator — both
+    engine-exact)."""
+    lc_arr = ", ".join(f"{x!r}D" for x in HLL_LC)
+    pred = f"case when v_empty > 0 and __raw <= {HLL_LC_THRESHOLD!r} "
+    return (
+        regs.groupBy(*key_cols)
+        .agg(
+            (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("v_empty"),
+            (
+                F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_B} - r)"))
+                + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_B)
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
+        )
+        .select(
+            *key_cols,
+            "v_empty",
+            (F.lit(HLL_NUM) / F.col("s_scaled")).alias("__raw"),
+        )
+        .select(
+            *key_cols,
+            "v_empty",
+            F.expr(f"{pred}then 'linear' else 'raw' end").alias("method"),
+            F.round(
+                F.expr(
+                    f"{pred}then element_at(array({lc_arr}), "
+                    "cast(v_empty as int) + 1) else __raw end"
+                ),
+                4,
+            ).alias("est"),
+        )
+    )
+
+
+def hll_oracle_sql_by(
+    table: str, key_cols: list[str], value_expr: str, numeric: bool = False
+) -> str:
+    """DuckDB replay of the grouped registers + per-key estimates,
+    ending in a CTE ``hll_by(keys..., v_empty, method, est)``."""
+    j, rho = _hll_j_rho(value_expr, "duck", numeric)
+    keys = ", ".join(key_cols)
+    lc_arr = ", ".join(repr(x) for x in HLL_LC)
+    lc = f"([{lc_arr}])[CAST(v_empty AS INT) + 1]"
+    pred = f"v_empty > 0 AND __raw <= {HLL_LC_THRESHOLD!r}"
+    return f"""regs_by AS (
+  SELECT {keys}, j, MAX(rho) AS r FROM (
+    SELECT {keys}, {j} AS j, {rho} AS rho FROM {table}) GROUP BY {keys}, j),
+agg_by AS (
+  SELECT {keys}, CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(SUM(1::BIGINT << ({HLL_B} - r))
+              + ({HLL_M} - COUNT(*)) * {1 << HLL_B} AS BIGINT) AS s_scaled
+  FROM regs_by GROUP BY {keys}),
+raw_by AS (
+  SELECT {keys}, v_empty, {HLL_NUM!r} / s_scaled AS __raw FROM agg_by),
+hll_by AS (
+  SELECT {keys}, v_empty,
+         CASE WHEN {pred} THEN 'linear' ELSE 'raw' END AS method,
+         ROUND(CASE WHEN {pred} THEN {lc} ELSE __raw END, 4) AS est
+  FROM raw_by)"""
+
+
 def hll_oracle_sql(table: str, value_expr: str, numeric: bool = False) -> str:
     """DuckDB replay: registers + the same raw/linear-counting dispatch
     from the same hashes and the same literal table."""

@@ -13790,6 +13790,56 @@ def cs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_by_oracle() -> str:
+    from dawis_spark.operators.sketches import hll_oracle_sql_by
+
+    return f"""
+WITH {hll_oracle_sql_by("events", ["event_type"], "user_id", numeric=True)},
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1)
+SELECT e.event_type, h.method, h.est, e.exact_users,
+       ROUND((h.est - e.exact_users) / e.exact_users, 4) AS rel_err
+FROM hll_by h JOIN exact e USING (event_type)
+ORDER BY e.event_type
+"""
+
+
+@query("hll_distinct_users_by_type", oracle=_hll_by_oracle())
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: distinct users PER EVENT TYPE from per-key
+    64-register synopses (operators/sketches.hll_registers_by) — the
+    GROUP BY companion to hll_distinct_events. At 100 TB this replaces
+    a per-group COUNT(DISTINCT)'s (group, user)-cardinality exchange
+    with |groups| x 64 partial-max rows; the per-group estimator
+    auto-dispatches linear-counting vs raw exactly like the global form
+    (small groups take 'linear'). The exact side exists only to score
+    the sketch per group (expected |err| ~ 1.04/sqrt(64))."""
+    from dawis_spark.operators.sketches import hll_estimate_by, hll_registers_by
+
+    ev = spark.table("events")
+    est = hll_estimate_by(
+        hll_registers_by(ev, ["event_type"], "user_id", numeric=True),
+        ["event_type"],
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "method",
+            "est",
+            "exact_users",
+            F.round(
+                (F.col("est") - F.col("exact_users")) / F.col("exact_users"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _TCLOSE_TOP = 20
 _TCLOSE_ORACLE = f"""
 WITH qi AS (

@@ -301,3 +301,45 @@ def test_int_uniformizer_dual_rendering_agrees(spark, keys):
     con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in keys])
     du = dict(con.execute(f"SELECT k, {expr} FROM t").fetchall())
     assert sp == du
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=30
+    ),
+    desc=st.booleans(),
+    log_scale=st.booleans(),
+    nb=st.sampled_from([1, 2, 7, 64]),
+)
+def test_range_partitioned_ranks_property(spark, vals, desc, log_scale, nb):
+    """For ANY integer multiset (ties, negatives, whale magnitudes),
+    bucket counts, and flag combination, ranks AND running sums equal
+    the global-window form bit-for-bit — the 'identical by construction'
+    contract under hypothesis instead of fixed seeds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v long"
+    ).repartition(3)
+    got = {
+        r["k"]: (r["r"], r["cum"])
+        for r in range_partitioned_ranks(
+            df, "v", ["k"], desc=desc, n_buckets=nb,
+            out_col="r", sum_col="cum", log_scale=log_scale,
+        ).collect()
+    }
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+    w = Window.orderBy(*order)
+    want = {
+        r["k"]: (r["r"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("r"),
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        ).collect()
+    }
+    assert got == want
