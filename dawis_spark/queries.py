@@ -14115,9 +14115,10 @@ DRIVER_PRIORITY: list[str] = [
     "source_embedding_affinity",
     # Everything else in the inventory is driver-green in
     # CORRECTNESS_r01-r10 and stays in the every-round local sweep
-    # (SWEEP_r11.json). t_closeness_profile landed after the prefix
-    # filled — it queues for the r12 rotation; SWEEP_r11 carries its
-    # oracle evidence this round.
+    # (SWEEP_r11.json). Landed after the prefix filled — queue for the
+    # r12 rotation (SWEEP_r11 carries their oracle evidence this round):
+    # t_closeness_profile, cs_heavy_hitters, fellegi_sunter_patterns,
+    # hll_distinct_users_by_type.
 ]
 
 

@@ -571,3 +571,33 @@ def test_whole_inventory_has_no_unadjudicated_partitionless_windows(spark):
     # partition-less window should be removed, not accumulate
     stale = set(_PARTITIONLESS_WINDOW_WHITELIST) - set(flagged)
     assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_whale_guard_broadcasts_whale_set_in_query(spark):
+    # the guard's whole point: the hot-key set reaches the events scan
+    # as a broadcast, never a data-sized shuffle join
+    plan = _plan(spark, "whale_guarded_transitions")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cs_heavy_hitters_take_ordered_and_broadcast_sketch(spark):
+    plan = _plan(spark, "cs_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fellegi_sunter_no_cartesian_product(spark):
+    # (brand, size) equi-block join over the distinct-record catalog —
+    # a cartesian/BNLJ here would be the quadratic face-plant the sf1
+    # rehearsal caught in the row-level form
+    plan = _plan(spark, "fellegi_sunter_patterns")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_customers_offsets_broadcast(spark):
+    # the bucket-offset relation (<= 1024 rows) must broadcast into the
+    # rank join; a shuffle there would defeat the two-level design
+    plan = _plan(spark, "pareto_customers")
+    assert "BroadcastHashJoin" in plan
