@@ -13611,33 +13611,11 @@ ORDER BY weight_milli DESC, name_agree, type_agree, price_agree
 """
 
 
-@query("fellegi_sunter_patterns", oracle=_fs_oracle())
-def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FELLEGI-SUNTER probabilistic record linkage (Fellegi & Sunter
-    1969) — the scoring layer on top of this repo's blocking operators
-    (attribute blocks, symspell deletions, sorted neighborhoods): every
-    within-block candidate pair gets an agreement VECTOR over three
-    comparison fields and a match weight Σ log2(m_f/u_f) (agreements)
-    + Σ log2((1-m_f)/(1-u_f)) (disagreements); pairs classify into
-    link / possible / non-match by thresholds. Output is the classic
-    agreement-PATTERN frequency table (<= 2^3 x weights rows — what the
-    EM step of a production linker consumes to re-estimate m/u), not
-    the raw pair list.
-
-    Exactness: weights are literal integer milli-bits summed as
-    bigints; decisions are integer threshold compares — no float
-    anywhere (the m/u logs are authoring-time constants, like the
-    Wilson z).
-
-    Scale: pairs come from (brand, size) equi-join BLOCKS over the
-    DISTINCT-RECORD catalog with multiplicities (the fuzzy family's
-    discipline — identical records collapse to one row carrying n, so
-    pair counts weight by n_a*n_b and identical-record pairs are the
-    closed form n*(n-1)/2, never enumerated): within-block work is
-    quadratic in distinct-ENTITY diversity, not row count — the sf1
-    tiling rehearsal is ~1x where the row-level form was 40x. The
-    pattern rollup's exchange carries <= 8 x |distinct weights|
-    groups."""
+def _fs_pairs_df(spark: SparkSession) -> DataFrame:
+    """Blocked candidate pairs over the DISTINCT-RECORD part catalog:
+    (name_agree, type_agree, price_agree, mult) — cross-record pairs
+    weight n_a*n_b, identical-record pairs the closed form n*(n-1)/2
+    (see fellegi_sunter_patterns for the scale adjudication)."""
     recs = (
         spark.table("part")
         .groupBy(
@@ -13669,7 +13647,37 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("price_agree"),
         (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("mult"),
     )
-    pairs = cross_pairs.unionByName(same_pairs)
+    return cross_pairs.unionByName(same_pairs)
+
+
+@query("fellegi_sunter_patterns", oracle=_fs_oracle())
+def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER probabilistic record linkage (Fellegi & Sunter
+    1969) — the scoring layer on top of this repo's blocking operators
+    (attribute blocks, symspell deletions, sorted neighborhoods): every
+    within-block candidate pair gets an agreement VECTOR over three
+    comparison fields and a match weight Σ log2(m_f/u_f) (agreements)
+    + Σ log2((1-m_f)/(1-u_f)) (disagreements); pairs classify into
+    link / possible / non-match by thresholds. Output is the classic
+    agreement-PATTERN frequency table (<= 2^3 x weights rows — what the
+    EM step of a production linker consumes to re-estimate m/u), not
+    the raw pair list.
+
+    Exactness: weights are literal integer milli-bits summed as
+    bigints; decisions are integer threshold compares — no float
+    anywhere (the m/u logs are authoring-time constants, like the
+    Wilson z).
+
+    Scale: pairs come from (brand, size) equi-join BLOCKS over the
+    DISTINCT-RECORD catalog with multiplicities (the fuzzy family's
+    discipline — identical records collapse to one row carrying n, so
+    pair counts weight by n_a*n_b and identical-record pairs are the
+    closed form n*(n-1)/2, never enumerated): within-block work is
+    quadratic in distinct-ENTITY diversity, not row count — the sf1
+    tiling rehearsal is ~1x where the row-level form was 40x. The
+    pattern rollup's exchange carries <= 8 x |distinct weights|
+    groups."""
+    pairs = _fs_pairs_df(spark)
     w = None
     for f in _FS_W:
         ag, dg = _FS_W[f]
@@ -13692,6 +13700,229 @@ def fellegi_sunter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("weight_milli"), "name_agree", "type_agree", "price_agree")
     )
+
+
+_FS_EM_ITERS = 8
+_FS_EM_INIT = {"p": 0.1, "m": 0.8, "u": 0.2}
+_FS_FIELDS = ("name", "type", "price")
+
+
+def _fs_pair_ctes() -> str:
+    """The distinct-record blocked pair CTEs shared by the FS oracles,
+    ending in ``pairs(name_agree, type_agree, price_agree, mult)``."""
+    pat = {
+        "name": "levenshtein(a.p_name, b.p_name) <= 2",
+        "type": "a.p_type = b.p_type",
+        "price": "abs(a.pc - b.pc) <= 100",
+    }
+    agree_cols = ", ".join(
+        f"CAST({expr} AS BOOLEAN) AS {f}_agree" for f, expr in pat.items()
+    )
+    return f"""recs AS (
+  SELECT p_name, p_brand, p_type, p_size,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS pc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2, 3, 4, 5),
+cross_pairs AS (
+  SELECT {agree_cols}, a.n * b.n AS mult
+  FROM recs a JOIN recs b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND (a.p_name, a.p_type, a.pc) < (b.p_name, b.p_type, b.pc)),
+same_pairs AS (
+  SELECT TRUE AS name_agree, TRUE AS type_agree, TRUE AS price_agree,
+         n * (n - 1) / 2 AS mult
+  FROM recs WHERE n > 1),
+pairs AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)"""
+
+
+def _fs_em_oracle() -> str:
+    """Unrolled EM replay: per-iteration E-step weight CTE + ordered-fold
+    M-step CTE, ending with the post-training E-step posteriors joined to
+    the learned parameter row."""
+    order = "name_agree, type_agree, price_agree"
+
+    def a_expr(it: str, which: str) -> str:
+        # which: 'm' (match class, scaled by p) or 'u' (scaled by 1-p)
+        lead = f"{it}.p" if which == "m" else f"(1.0 - {it}.p)"
+        terms = [
+            f"CASE WHEN {f}_agree THEN {it}.{which}_{f} "
+            f"ELSE 1.0 - {it}.{which}_{f} END"
+            for f in _FS_FIELDS
+        ]
+        e = lead
+        for t in terms:
+            e = f"({e} * {t})"
+        return e
+
+    def fold(term: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list({term} ORDER BY {order})), (acc, e) -> acc + e)"
+        )
+
+    init_cols = ", ".join(
+        [f"CAST({_FS_EM_INIT['p']!r} AS DOUBLE) AS p"]
+        + [f"CAST({_FS_EM_INIT['m']!r} AS DOUBLE) AS m_{f}" for f in _FS_FIELDS]
+        + [f"CAST({_FS_EM_INIT['u']!r} AS DOUBLE) AS u_{f}" for f in _FS_FIELDS]
+    )
+    ctes = [
+        _fs_pair_ctes(),
+        f"""pat AS (
+  SELECT name_agree, type_agree, price_agree, CAST(SUM(mult) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2, 3)""",
+        f"it0 AS (SELECT {init_cols})",
+    ]
+    for k in range(1, _FS_EM_ITERS + 1):
+        prev = f"it{k - 1}"
+        a = a_expr("it", "m")
+        b = a_expr("it", "u")
+        ctes.append(
+            f"""w{k} AS (
+  SELECT pat.*, ROUND({a} / ({a} + {b}), 9) AS w
+  FROM pat, {prev} it)"""
+        )
+        agg_cols = [
+            f"{fold('CAST(n AS DOUBLE) * w')} AS W",
+            f"{fold('CAST(n AS DOUBLE) * (1.0 - w)')} AS L",
+        ]
+        for f in _FS_FIELDS:
+            agg_cols.append(
+                f"{fold(f'CASE WHEN {f}_agree THEN CAST(n AS DOUBLE) * w ELSE 0.0 END')} AS Wm_{f}"
+            )
+            agg_cols.append(
+                f"{fold(f'CASE WHEN {f}_agree THEN CAST(n AS DOUBLE) * (1.0 - w) ELSE 0.0 END')} AS Lu_{f}"
+            )
+        out_cols = ["ROUND(W / (W + L), 9) AS p"]
+        out_cols += [f"ROUND(Wm_{f} / W, 9) AS m_{f}" for f in _FS_FIELDS]
+        out_cols += [f"ROUND(Lu_{f} / L, 9) AS u_{f}" for f in _FS_FIELDS]
+        ctes.append(
+            f"""it{k} AS (
+  SELECT {', '.join(out_cols)}
+  FROM (SELECT {', '.join(agg_cols)} FROM w{k}) agg)"""
+        )
+    # post-training E-step: posteriors under the learned params
+    a = a_expr("it", "m")
+    b = a_expr("it", "u")
+    last = f"it{_FS_EM_ITERS}"
+    params = ", ".join(
+        ["it.p AS p_match"]
+        + [f"it.m_{f} AS m_{f}" for f in _FS_FIELDS]
+        + [f"it.u_{f} AS u_{f}" for f in _FS_FIELDS]
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT pat.name_agree, pat.type_agree, pat.price_agree, pat.n AS n_pairs,
+       ROUND({a} / ({a} + {b}), 9) AS posterior,
+       {params}
+FROM pat, {last} it
+ORDER BY pat.name_agree, pat.type_agree, pat.price_agree
+"""
+
+
+@query("fellegi_sunter_em", oracle=_fs_em_oracle())
+def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter m/u/p parameters (Winkler
+    1988) — the learning step the fellegi_sunter_patterns docstring
+    points at: the agreement-PATTERN frequency table is EM's sufficient
+    statistic, so after the distributed pair/pattern aggregation the
+    whole fit runs over <= 2^3 rows of config-sized state (the
+    logreg/kmeans trainer discipline: the heavy pass is distributed,
+    the parameter updates are driver state replayed exactly).
+
+    Determinism: every E-step weight and every updated parameter is
+    ROUND(x, 9) HALF_UP; products are fixed left-associated; M-step
+    sums are ORDERED FOLDS over the (name, type, price)-sorted pattern
+    list — float accumulation order is part of the definition, so the
+    DuckDB replay (unrolled per-iteration CTEs) is bit-identical.
+    Output: per-pattern posterior match probability under the learned
+    parameters + the learned (p, m_f, u_f) on every row."""
+    import math
+
+    pat_rows = (
+        _fs_pairs_df(spark)
+        .groupBy("name_agree", "type_agree", "price_agree")
+        .agg(F.sum("mult").cast("bigint").alias("n"))
+        .collect()
+    )
+    pats = sorted(
+        (bool(r["name_agree"]), bool(r["type_agree"]), bool(r["price_agree"]), int(r["n"]))
+        for r in pat_rows
+    )
+
+    def r9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    p = _FS_EM_INIT["p"]
+    m = {f: _FS_EM_INIT["m"] for f in _FS_FIELDS}
+    u = {f: _FS_EM_INIT["u"] for f in _FS_FIELDS}
+
+    def e_step():
+        ws = []
+        for gn, gt, gp, n in pats:
+            g = {"name": gn, "type": gt, "price": gp}
+            a = p
+            for f in _FS_FIELDS:
+                a = a * (m[f] if g[f] else 1.0 - m[f])
+            b = 1.0 - p
+            for f in _FS_FIELDS:
+                b = b * (u[f] if g[f] else 1.0 - u[f])
+            ws.append(r9(a / (a + b)))
+        return ws
+
+    def fold(terms):
+        acc = 0.0
+        for t in terms:
+            acc += t
+        return acc
+
+    for _ in range(_FS_EM_ITERS):
+        ws = e_step()
+        W = fold(float(n) * w for (_, _, _, n), w in zip(pats, ws))
+        L = fold(float(n) * (1.0 - w) for (_, _, _, n), w in zip(pats, ws))
+        new_m, new_u = {}, {}
+        for i, f in enumerate(_FS_FIELDS):
+            gsel = [pt[i] for pt in pats]
+            new_m[f] = r9(
+                fold(
+                    float(n) * w if g else 0.0
+                    for (_, _, _, n), w, g in zip(pats, ws, gsel)
+                )
+                / W
+            )
+            new_u[f] = r9(
+                fold(
+                    float(n) * (1.0 - w) if g else 0.0
+                    for (_, _, _, n), w, g in zip(pats, ws, gsel)
+                )
+                / L
+            )
+        p, m, u = r9(W / (W + L)), new_m, new_u
+    posterior = e_step()
+    rows = [
+        (
+            gn,
+            gt,
+            gp,
+            n,
+            w,
+            p,
+            m["name"],
+            m["type"],
+            m["price"],
+            u["name"],
+            u["type"],
+            u["price"],
+        )
+        for (gn, gt, gp, n), w in zip(pats, posterior)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "name_agree boolean, type_agree boolean, price_agree boolean, "
+        "n_pairs bigint, posterior double, p_match double, "
+        "m_name double, m_type double, m_price double, "
+        "u_name double, u_type double, u_price double",
+    ).orderBy("name_agree", "type_agree", "price_agree")
 
 
 def _cs_oracle(top_n: int, d: int, w: int) -> str:
