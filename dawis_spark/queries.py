@@ -14071,6 +14071,107 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_ORACLE = """
+WITH du AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld FROM du GROUP BY 1),
+hz AS (SELECT MAX(day) AS h FROM du),
+dur AS (
+  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS duration,
+         (ld <= h - INTERVAL 7 DAY) AS churn
+  FROM pu, hz),
+g AS (
+  SELECT duration, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM dur GROUP BY 1),
+arr AS (
+  SELECT list(struct_pack(duration := duration, c := c, d := d)
+              ORDER BY duration) AS a,
+         CAST(SUM(c) AS BIGINT) AS N
+  FROM g),
+idx AS (SELECT UNNEST(range(1, len(a) + 1)) AS i, a, N FROM arr)
+SELECT CAST(a[i].duration AS BIGINT) AS duration,
+       N - list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(a[1:i-1], x -> x.c)), (p, q) -> p + q) AS at_risk,
+       a[i].d AS churned, a[i].c - a[i].d AS censored,
+       ROUND(list_reduce(
+         list_prepend(struct_pack(seen := CAST(0 AS BIGINT),
+                                  s := CAST(1.0 AS DOUBLE)),
+                      list_transform(a[1:i],
+                        x -> struct_pack(seen := x.c, s := CAST(x.d AS DOUBLE)))),
+         (acc, x) -> struct_pack(seen := acc.seen + x.seen,
+           s := acc.s * (1.0 - x.s / CAST(N - acc.seen AS DOUBLE)))).s, 9)
+         AS survival
+FROM idx
+ORDER BY duration
+"""
+
+
+@query("kaplan_meier_retention", oracle=_KM_ORACLE)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve over user lifetimes (Kaplan & Meier
+    1958) — right-censored retention, the survival-analysis member of
+    the time-series family: a user's lifetime is first-to-last active
+    day; users still active within 7 days of the corpus horizon are
+    CENSORED (their true lifetime is unknown — dropping them is the
+    classic retention-bias mistake this estimator exists to fix).
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times, with
+    censored users leaving the risk set without contributing a death.
+
+    Exactness: d_i, n_i are exact bigints; each factor is ONE division;
+    the running product is a LEFT FOLD over the duration-sorted array
+    with a (seen, s) struct accumulator — float multiplication order is
+    part of the definition (the chi-square ordered-fold discipline), so
+    both engines walk the identical sequence; ROUND(,9) only on output.
+
+    Scale: one user-keyed aggregate (the only row-scale exchange); the
+    curve itself lives on the duration-bounded relation (<= observation
+    window in days), folded through one <= |durations|-struct array —
+    no partition-less window, no quadratic anything."""
+    e = spark.table("events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("fd"), F.max("day").alias("ld")
+    )
+    hz = e.agg(F.max("day").alias("h"))
+    dur = pu.crossJoin(F.broadcast(hz)).select(
+        F.datediff("ld", "fd").cast("bigint").alias("duration"),
+        F.expr("ld <= h - interval 7 days").alias("churn"),
+    )
+    g = dur.groupBy("duration").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("churn"), 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    arr = g.agg(
+        F.sort_array(F.collect_list(F.struct("duration", "c", "d"))).alias("a"),
+        F.sum("c").cast("bigint").alias("N"),
+    )
+    rows = arr.select(
+        F.explode(
+            F.expr(
+                "transform(a, (x, i) -> struct("
+                "x.duration AS duration, "
+                "N - aggregate(slice(a, 1, i), cast(0 as bigint), "
+                "(p, y) -> p + y.c) AS at_risk, "
+                "x.d AS churned, x.c - x.d AS censored, "
+                "round(aggregate(slice(a, 1, i + 1), "
+                "named_struct('seen', cast(0 as bigint), 's', cast(1.0 as double)), "
+                "(acc, y) -> named_struct('seen', acc.seen + y.c, "
+                "'s', acc.s * (1.0 - y.d / cast(N - acc.seen as double)))).s, 9) "
+                "AS survival))"
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.duration").alias("duration"),
+        F.col("r.at_risk").alias("at_risk"),
+        F.col("r.churned").alias("churned"),
+        F.col("r.censored").alias("censored"),
+        F.col("r.survival").alias("survival"),
+    ).orderBy("duration")
+
+
 _TCLOSE_TOP = 20
 _TCLOSE_ORACLE = f"""
 WITH qi AS (
