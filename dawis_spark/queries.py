@@ -14078,7 +14078,7 @@ pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld FROM du GROUP BY 1),
 hz AS (SELECT MAX(day) AS h FROM du),
 dur AS (
   SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS duration,
-         (ld <= h - INTERVAL 7 DAY) AS churn
+         (ld <= h - INTERVAL 1 DAY) AS churn
   FROM pu, hz),
 g AS (
   SELECT duration, CAST(COUNT(*) AS BIGINT) AS c,
@@ -14095,12 +14095,13 @@ SELECT CAST(a[i].duration AS BIGINT) AS duration,
              list_transform(a[1:i-1], x -> x.c)), (p, q) -> p + q) AS at_risk,
        a[i].d AS churned, a[i].c - a[i].d AS censored,
        ROUND(list_reduce(
-         list_prepend(struct_pack(seen := CAST(0 AS BIGINT),
-                                  s := CAST(1.0 AS DOUBLE)),
+         list_prepend(struct_pack(s := CAST(1.0 AS DOUBLE),
+                                  seen := CAST(0 AS BIGINT)),
                       list_transform(a[1:i],
-                        x -> struct_pack(seen := x.c, s := CAST(x.d AS DOUBLE)))),
-         (acc, x) -> struct_pack(seen := acc.seen + x.seen,
-           s := acc.s * (1.0 - x.s / CAST(N - acc.seen AS DOUBLE)))).s, 9)
+                        x -> struct_pack(s := CAST(x.d AS DOUBLE), seen := x.c))),
+         (acc, x) -> struct_pack(
+           s := acc.s * (1.0 - x.s / CAST(N - acc.seen AS DOUBLE)),
+           seen := acc.seen + x.seen)).s, 9)
          AS survival
 FROM idx
 ORDER BY duration
@@ -14112,9 +14113,17 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER survival curve over user lifetimes (Kaplan & Meier
     1958) — right-censored retention, the survival-analysis member of
     the time-series family: a user's lifetime is first-to-last active
-    day; users still active within 7 days of the corpus horizon are
+    day; users still active within 1 day of the corpus horizon are
     CENSORED (their true lifetime is unknown — dropping them is the
-    classic retention-bias mistake this estimator exists to fix).
+    classic retention-bias mistake this estimator exists to fix; the
+    1-day window fits this synthetic feed's density — every user is
+    active almost daily — production retention uses weeks).
+
+    DuckDB-replay note: the oracle's running-product fold keeps the
+    DERIVED field first and the counter last in its struct accumulator —
+    DuckDB 1.0's list_reduce mis-evaluates struct fields that read an
+    EARLIER-updated field (verified: (seen, s) order diverges from the
+    left fold at >= 3 elements; (s, seen) matches exactly).
     S(t) = prod_{t_i <= t} (1 - d_i / n_i) over event times, with
     censored users leaving the risk set without contributing a death.
 
@@ -14137,7 +14146,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     hz = e.agg(F.max("day").alias("h"))
     dur = pu.crossJoin(F.broadcast(hz)).select(
         F.datediff("ld", "fd").cast("bigint").alias("duration"),
-        F.expr("ld <= h - interval 7 days").alias("churn"),
+        F.expr("ld <= h - interval 1 days").alias("churn"),
     )
     g = dur.groupBy("duration").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"),
@@ -14170,6 +14179,163 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.censored").alias("censored"),
         F.col("r.survival").alias("survival"),
     ).orderBy("duration")
+
+
+_LOGRANK_ORACLE = """
+WITH du AS (
+  SELECT user_id, ts, event_id, event_type, date_trunc('day', ts) AS day
+  FROM events),
+first_ev AS (
+  SELECT user_id, event_type AS fe FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM du) WHERE rn = 1),
+pu AS (
+  SELECT du.user_id, MIN(day) AS fd, MAX(day) AS ld,
+         BOOL_OR(f.fe = 'view') AS g1
+  FROM du JOIN first_ev f ON f.user_id = du.user_id
+  GROUP BY du.user_id),
+hz AS (SELECT MAX(day) AS h FROM du),
+dur AS (
+  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS duration,
+         (ld <= h - INTERVAL 1 DAY) AS churn, g1
+  FROM pu, hz),
+g AS (
+  SELECT duration,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN churn AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+  FROM dur GROUP BY 1),
+arr AS (
+  SELECT list(struct_pack(e := CAST(d AS DOUBLE), v := CAST(d1 AS DOUBLE),
+                          seen := c, seen1 := c1) ORDER BY duration) AS a,
+         CAST(SUM(c) AS BIGINT) AS N, CAST(SUM(c1) AS BIGINT) AS N1,
+         CAST(SUM(d1) AS BIGINT) AS O1
+  FROM g),
+folded AS (
+  SELECT N, N1, O1,
+         list_reduce(
+           list_prepend(struct_pack(e := CAST(0.0 AS DOUBLE),
+                                    v := CAST(0.0 AS DOUBLE),
+                                    seen := CAST(0 AS BIGINT),
+                                    seen1 := CAST(0 AS BIGINT)), a),
+           (acc, x) -> struct_pack(
+             e := acc.e + x.e * (CAST(N1 - acc.seen1 AS DOUBLE)
+                                 / CAST(N - acc.seen AS DOUBLE)),
+             v := acc.v + CASE WHEN (N - acc.seen) > 1 THEN
+               ((x.e * (CAST(N1 - acc.seen1 AS DOUBLE)
+                        / CAST(N - acc.seen AS DOUBLE)))
+                * (1.0 - CAST(N1 - acc.seen1 AS DOUBLE)
+                         / CAST(N - acc.seen AS DOUBLE)))
+               * (CAST((N - acc.seen) - CAST(x.e AS BIGINT) AS DOUBLE)
+                  / CAST((N - acc.seen) - 1 AS DOUBLE))
+               ELSE 0.0 END,
+             seen := acc.seen + x.seen,
+             seen1 := acc.seen1 + x.seen1)) AS f
+  FROM arr)
+SELECT N AS n_users, N1 AS n_group1, O1 AS observed1,
+       ROUND(f.e, 6) AS expected1,
+       ROUND(f.v, 6) AS variance,
+       ROUND(CASE WHEN f.v > 0.0
+             THEN (CAST(O1 AS DOUBLE) - f.e) * (CAST(O1 AS DOUBLE) - f.e) / f.v
+             ELSE 0.0 END, 6) AS chi2
+FROM folded
+"""
+
+
+@query("logrank_first_event_groups", oracle=_LOGRANK_ORACLE)
+def logrank_first_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test (Mantel 1966) — do two user cohorts churn at the
+    same rate? The hypothesis-test companion to kaplan_meier_retention:
+    group 1 = users whose deterministic FIRST event (ts, event_id
+    order) is a 'view'; at each pooled lifetime the observed group-1
+    churns compare against the hypergeometric expectation d_t*n1_t/n_t,
+    variance d_t*(n1/n)*(1-n1/n)*(n-d)/(n-1); chi2 = (O-E)^2/V with
+    1 dof.
+
+    Exactness: all counts and risk sets are exact bigints maintained as
+    prefix sums inside ONE left fold over the duration-sorted array
+    (the Kaplan-Meier accumulator extended with the group dimension);
+    per-duration E and V terms are fixed-order float expressions of
+    those integers, accumulated in fold order — both engines walk the
+    identical sequence; ROUND(,6) only on output.
+
+    Scale: one user window for the first event + one user-keyed
+    aggregate (the row-scale exchanges); the test statistic folds over
+    the duration-bounded relation. Same 1-day censor window and DuckDB
+    list_reduce field-order note as kaplan_meier_retention (derived
+    accumulations first, counters last)."""
+    from pyspark.sql import Window
+
+    e = spark.table("events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("fd"),
+        F.max("day").alias("ld"),
+        (
+            F.min(F.struct("ts", "event_id", "event_type")).getField("event_type")
+            == "view"
+        ).alias("g1"),
+    )
+    hz = e.agg(F.max("day").alias("h"))
+    dur = pu.crossJoin(F.broadcast(hz)).select(
+        F.datediff("ld", "fd").cast("bigint").alias("duration"),
+        F.expr("ld <= h - interval 1 days").alias("churn"),
+        "g1",
+    )
+    g = dur.groupBy("duration").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("churn"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("churn") & F.col("g1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+    )
+    arr = g.agg(
+        F.sort_array(
+            F.collect_list(F.struct("duration", "c", "d", "c1", "d1"))
+        ).alias("a"),
+        F.sum("c").cast("bigint").alias("N"),
+        F.sum("c1").cast("bigint").alias("N1"),
+        F.sum("d1").cast("bigint").alias("O1"),
+    )
+    fold = (
+        "aggregate(a, named_struct("
+        "'seen', cast(0 as bigint), 'seen1', cast(0 as bigint), "
+        "'e', cast(0.0 as double), 'v', cast(0.0 as double)), "
+        "(acc, y) -> named_struct("
+        "'seen', acc.seen + y.c, "
+        "'seen1', acc.seen1 + y.c1, "
+        "'e', acc.e + cast(y.d as double) * (cast(N1 - acc.seen1 as double) "
+        "/ cast(N - acc.seen as double)), "
+        "'v', acc.v + case when (N - acc.seen) > 1 then "
+        "((cast(y.d as double) * (cast(N1 - acc.seen1 as double) "
+        "/ cast(N - acc.seen as double))) "
+        "* (1.0 - cast(N1 - acc.seen1 as double) "
+        "/ cast(N - acc.seen as double))) "
+        "* (cast((N - acc.seen) - y.d as double) "
+        "/ cast((N - acc.seen) - 1 as double)) "
+        "else 0.0 end))"
+    )
+    return arr.select(
+        F.col("N").alias("n_users"),
+        F.col("N1").alias("n_group1"),
+        F.col("O1").alias("observed1"),
+        F.expr(f"round(({fold}).e, 6)").alias("expected1"),
+        F.expr(f"round(({fold}).v, 6)").alias("variance"),
+        F.expr(
+            f"round(case when ({fold}).v > 0.0 then "
+            f"(cast(O1 as double) - ({fold}).e) "
+            f"* (cast(O1 as double) - ({fold}).e) / ({fold}).v "
+            "else 0.0 end, 6)"
+        ).alias("chi2"),
+    )
 
 
 _TCLOSE_TOP = 20

@@ -102,6 +102,9 @@ PICKS = {
     "t_closeness_profile": "class x band grid (value-bounded); per-class cumulative window",
     "cs_heavy_hitters": "signed d*w=2560-group exchange; exact 5-value median; sketch broadcast",
     "fellegi_sunter_patterns": "(brand,size) block self-join; pattern rollup <= 8 x weights groups",
+    "fellegi_sunter_em": "distributed pattern agg; EM over <= 8 rows of driver state",
+    "kaplan_meier_retention": "one user-keyed agg; curve folded on the duration-bounded array",
+    "hll_distinct_users_by_type": "|types| x 64 partial-max exchange; per-group regime dispatch",
     "zipf_exponent_fit": "vocab-sized tf exchange; top-200 TakeOrdered; one-row ordered folds",
     "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
     "cm_join_size_estimate": "two d x w sketch builds; estimate joins d x w relations only",
