@@ -14338,6 +14338,123 @@ def logrank_first_event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHAP_BITS = {"click": 1, "error": 2, "signup": 4, "view": 8}
+_SHAP_W24 = [6, 2, 2, 6]  # s!(k-1-s)!/k! * 24 for |S| = 0..3, k = 4
+
+
+def _shapley_oracle() -> str:
+    bit_expr = " + ".join(
+        f"CASE WHEN BOOL_OR(event_type = '{t}') THEN {b} ELSE 0 END"
+        for t, b in _SHAP_BITS.items()
+    )
+    w_arr = ", ".join(str(w) for w in _SHAP_W24)
+    chans = ", ".join(f"('{t}', {b})" for t, b in _SHAP_BITS.items())
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+  FROM events),
+j AS (
+  SELECT user_id, journey,
+         CAST({bit_expr} AS INT) AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM e GROUP BY user_id, journey),
+m AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS conv
+  FROM j GROUP BY mask),
+vm AS (
+  SELECT MAP(list(mask ORDER BY mask),
+             list(CAST(conv AS DOUBLE) / n ORDER BY mask)) AS v,
+         CAST(SUM(n) AS BIGINT) AS n_journeys,
+         CAST(SUM(conv) AS BIGINT) AS n_conversions
+  FROM m),
+ch(channel, bit) AS (VALUES {chans})
+SELECT ch.channel,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(0, 16), s -> CASE WHEN (s & ch.bit) = 0 THEN
+           CAST(([{w_arr}])[bit_count(CAST(s AS BIGINT)) + 1] AS DOUBLE)
+           * (COALESCE(map_extract(vm.v, s | ch.bit)[1], 0.0)
+              - COALESCE(map_extract(vm.v, s)[1], 0.0))
+           ELSE 0.0 END)), (a, b) -> a + b) / 24.0, 6) AS shapley,
+       vm.n_journeys, vm.n_conversions
+FROM ch, vm
+ORDER BY ch.channel
+"""
+
+
+@query("shapley_channel_attribution", oracle=_shapley_oracle())
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE multi-touch attribution (Shapley 1953 applied to
+    marketing journeys) — the game-theoretic companion to the U-shaped
+    position_attribution: journeys (purchase-delimited via the journey
+    index of operators/journeys.py) become coalitions of the channels
+    they touched; v(S) is the empirical conversion rate of journeys
+    whose touch-set is EXACTLY S; each channel's credit is the exact
+    Shapley sum over the 2^4 = 16 subsets with the classic
+    s!(k-1-s)!/k! weights carried as INTEGER 24ths ([6,2,2,6]) and ONE
+    final /24 — the weights are exact, every v is one division, and
+    the subset sum is an ordered fold over the fixed literal mask
+    sequence, so both engines walk identical float sequences.
+
+    Scale: one user-window pass (the journey index) + one
+    (user, journey)-keyed aggregate are the row-scale exchanges; the
+    value function lives on a 16-row mask relation that collapses to a
+    single broadcast map — the Shapley evaluation is constant work
+    regardless of data size."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.journeys import with_journey_index
+
+    e = with_journey_index(spark.table("events"), "purchase")
+    bit = None
+    for t, b in _SHAP_BITS.items():
+        term = F.when(F.max((F.col("event_type") == t).cast("int")) == 1, b).otherwise(0)
+        bit = term if bit is None else bit + term
+    j = e.groupBy("user_id", "journey").agg(
+        bit.cast("int").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    m = j.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("conv"),
+    )
+    vm = m.agg(
+        F.expr(
+            "map_from_arrays(array_sort(collect_list(mask)), "
+            "transform(array_sort(collect_list(struct(mask, "
+            "cast(conv as double) / n AS v))), x -> x.v))"
+        ).alias("v"),
+        F.sum("n").cast("bigint").alias("n_journeys"),
+        F.sum("conv").cast("bigint").alias("n_conversions"),
+    )
+    chans = spark.createDataFrame(
+        sorted(_SHAP_BITS.items()), "channel string, bit int"
+    )
+    w_arr = ", ".join(str(w) for w in _SHAP_W24)
+    fold = (
+        "aggregate(sequence(0, 15), cast(0.0 as double), (acc, s) -> acc + "
+        "case when (s & bit) = 0 then "
+        f"cast(element_at(array({w_arr}), bit_count(cast(s as bigint)) + 1) as double) "
+        "* (coalesce(element_at(v, s | bit), 0.0) "
+        "- coalesce(element_at(v, s), 0.0)) else 0.0 end)"
+    )
+    return (
+        chans.crossJoin(F.broadcast(vm))
+        .select(
+            "channel",
+            F.round(F.expr(fold) / 24.0, 6).alias("shapley"),
+            "n_journeys",
+            "n_conversions",
+        )
+        .orderBy("channel")
+    )
+
+
 _TCLOSE_TOP = 20
 _TCLOSE_ORACLE = f"""
 WITH qi AS (
