@@ -105,6 +105,8 @@ PICKS = {
     "fellegi_sunter_em": "distributed pattern agg; EM over <= 8 rows of driver state",
     "kaplan_meier_retention": "one user-keyed agg; curve folded on the duration-bounded array",
     "hll_distinct_users_by_type": "|types| x 64 partial-max exchange; per-group regime dispatch",
+    "logrank_first_event_groups": "one user window + duration-bounded ordered fold",
+    "shapley_channel_attribution": "journey window + 16-mask broadcast map; constant-work game eval",
     "zipf_exponent_fit": "vocab-sized tf exchange; top-200 TakeOrdered; one-row ordered folds",
     "token_burstiness_topk": "(token, doc) tf relation; exact-int dispersion; TakeOrdered top-25",
     "cm_join_size_estimate": "two d x w sketch builds; estimate joins d x w relations only",
