@@ -290,6 +290,19 @@ def acf(series: DataFrame, ord_col: str, value_col: str, max_lag: int) -> DataFr
     single global-order window is state the size of the series itself;
     all max_lag leads ride ONE sort, the per-lag sums are one unpivoted
     aggregate."""
+    terms = _acf_terms(series, ord_col, value_col, max_lag)
+    return terms.select(
+        "lag", "n_pairs", F.round(F.col("rho"), 6).alias("acf")
+    ).orderBy("lag")
+
+
+def _acf_terms(
+    series: DataFrame, ord_col: str, value_col: str, max_lag: int
+) -> DataFrame:
+    """Unrounded ACF terms (lag, n_pairs, n, rho) shared by :func:`acf`
+    and :func:`ljung_box` — same exact-integer construction, rho left
+    at full double precision so downstream statistics (Ljung-Box Q)
+    square it before any rounding."""
     w = Window.orderBy(ord_col)
     leads = series.select(
         F.col(value_col).alias("x"),
@@ -325,14 +338,55 @@ def acf(series: DataFrame, ord_col: str, value_col: str, max_lag: int) -> DataFr
         + F.col("n_pairs").cast("decimal(38,0)") * F.col("s") * F.col("s")
     ).cast("double")
     den = (nn * nn * F.col("sxx") - nn * F.col("s") * F.col("s")).cast("double")
-    return (
-        per_lag.crossJoin(F.broadcast(glob))
-        .select(
-            F.col("lag").cast("int").alias("lag"),
-            "n_pairs",
-            F.round(num / den, 6).alias("acf"),
-        )
-        .orderBy("lag")
+    return per_lag.crossJoin(F.broadcast(glob)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        "n",
+        (num / den).alias("rho"),
+    )
+
+
+def ljung_box(
+    series: DataFrame, ord_col: str, value_col: str, max_lag: int
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test over an integer-valued
+    series: Q = n(n+2) * sum_{k=1..m} rho_k^2 / (n-k), chi-square(m)
+    under the white-noise null. The standard "is there ANY serial
+    structure" gate run before trusting i.i.d.-assuming statistics
+    (bootstrap CIs, z-tests) on a time-ordered metric.
+
+    Exactness: rho_k comes from :func:`_acf_terms`'s exact DECIMAL(38,0)
+    integers (one double conversion + one division per lag); the m-term
+    sum is an ORDERED FOLD over the lag-sorted terms — the chi-square
+    discipline (module docstring) — so float accumulation order is part
+    of the definition, not partition luck, and a DuckDB twin folding in
+    the same lag order reproduces it bit-for-bit.
+
+    Scale: everything after the calendar-bounded daily aggregate is a
+    max_lag-row relation; Q is one fold over m doubles."""
+    terms = _acf_terms(series, ord_col, value_col, max_lag)
+    folded = terms.agg(
+        F.max("n").alias("n"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("lag"),
+                    (
+                        F.col("rho")
+                        * F.col("rho")
+                        / (F.col("n") - F.col("lag")).cast("double")
+                    ).alias("term"),
+                )
+            )
+        ).alias("ts"),
+    )
+    q_stat = F.col("n").cast("double") * (F.col("n") + 2).cast("double") * F.aggregate(
+        "ts", F.lit(0.0), lambda acc, t: acc + t["term"]
+    )
+    return folded.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(max_lag).cast("int").alias("m"),
+        F.round(q_stat, 6).alias("q_stat"),
     )
 
 

@@ -14664,6 +14664,616 @@ def whale_guarded_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ljung_box_oracle(max_lag: int) -> str:
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, x, x{k} AS xl FROM leads WHERE x{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    lead_cols = ", ".join(
+        f"LEAD(rev, {k}) OVER (ORDER BY d) AS x{k}" for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+leads AS (SELECT rev AS x, {lead_cols} FROM daily),
+gstats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(rev AS HUGEINT)) AS s,
+         SUM(CAST(rev AS HUGEINT) * rev) AS sxx
+  FROM daily),
+long AS ({lag_selects}),
+per_lag AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT) * xl) AS sxy,
+         SUM(CAST(x AS HUGEINT)) AS sh, SUM(CAST(xl AS HUGEINT)) AS st
+  FROM long GROUP BY lag),
+rhos AS (
+  SELECT lag, n,
+         CAST(n*n*sxy - n*s*(sh + st) + n_pairs*s*s AS DOUBLE)
+           / CAST(n*n*sxx - n*s*s AS DOUBLE) AS rho
+  FROM per_lag CROSS JOIN gstats)
+SELECT CAST(MAX(n) AS BIGINT) AS n, CAST({max_lag} AS INT) AS m,
+       ROUND((CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE))
+             * list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list(rho * rho / CAST(n - lag AS DOUBLE) ORDER BY lag)),
+                 (s, t) -> s + t), 6) AS q_stat
+FROM rhos
+"""
+
+
+@query("ljung_box_daily_revenue", oracle=_ljung_box_oracle(10))
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (m=10) on daily revenue — the 'is
+    there ANY serial structure' gate that decides whether the
+    i.i.d.-assuming members of the hypothesis suite (bootstrap CIs,
+    proportion z-tests) may be applied to a time-ordered metric, and
+    the standard residual-whiteness check after fitting the Holt/STL
+    forecasters: Q = n(n+2) * sum_k rho_k^2/(n-k) ~ chi2(m) under the
+    white-noise null.
+
+    Exactness: rho_k from acf's exact DECIMAL(38,0) integers; the
+    m-term sum is an ordered lag-sorted fold (the chi-square
+    discipline), so both engines accumulate in the same order.
+
+    Scale: one calendar-bounded daily aggregate; the lead window and
+    everything after ride the day-bounded series (whitelisted class);
+    Q itself is a fold over m=10 doubles
+    (operators/stats.py:ljung_box)."""
+    from dawis_spark.operators.stats import ljung_box
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    return ljung_box(daily, "d", "rev", max_lag=10)
+
+
+# Closed-form two-feature OLS (normal equations, Cramer's rule), written
+# ONCE as SQL expression strings evaluated by BOTH engines (F.expr on the
+# Spark side) over identical exact-integer sufficient statistics — same
+# expression tree + same IEEE doubles in = bit-identical coefficients out.
+_OLS2_DET = "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+_OLS2_B0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+    f" / {_OLS2_DET}"
+)
+_OLS2_B1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+    f" / {_OLS2_DET}"
+)
+_OLS2_B2 = (
+    "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+    f" / {_OLS2_DET}"
+)
+_OLS2_SSE = (
+    "(syy - 2*(b0*sy + b1*s1y + b2*s2y)"
+    " + (b0*b0*n + b1*b1*s11 + b2*b2*s22"
+    " + 2*(b0*b1*s1 + b0*b2*s2 + b1*b2*s12)))"
+)
+_OLS2_R2 = f"(1 - {_OLS2_SSE} / (syy - sy*sy/n))"
+
+_OLS2_STAT_CASTS = (
+    "CAST(n0 AS DOUBLE) AS n, CAST(s1_i AS DOUBLE) AS s1,"
+    " CAST(s2_i AS DOUBLE) AS s2, CAST(s11_i AS DOUBLE) AS s11,"
+    " CAST(s22_i AS DOUBLE) AS s22, CAST(s12_i AS DOUBLE) AS s12,"
+    " CAST(sy_i AS DOUBLE) AS sy, CAST(syy_i AS DOUBLE) AS syy,"
+    " CAST(s1y_i AS DOUBLE) AS s1y, CAST(s2y_i AS DOUBLE) AS s2y"
+)
+
+_OLS2_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS HUGEINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT) AS y
+  FROM lineitem),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n0,
+         SUM(x1) AS s1_i, SUM(x2) AS s2_i,
+         SUM(x1*x1) AS s11_i, SUM(x2*x2) AS s22_i, SUM(x1*x2) AS s12_i,
+         SUM(y) AS sy_i, SUM(y*y) AS syy_i,
+         SUM(x1*y) AS s1y_i, SUM(x2*y) AS s2y_i
+  FROM obs),
+d AS (SELECT {_OLS2_STAT_CASTS} FROM stats),
+coef AS (
+  SELECT n, s1, s2, s11, s22, s12, sy, syy, s1y, s2y,
+         {_OLS2_B0} AS b0, {_OLS2_B1} AS b1, {_OLS2_B2} AS b2
+  FROM d)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND(b0, 6) AS intercept_cents,
+       ROUND(b1, 6) AS cents_per_qty,
+       ROUND(b2, 6) AS cents_per_disc_pt,
+       ROUND({_OLS2_R2}, 6) AS r2
+FROM coef
+"""
+
+
+@query("ols_price_regression", oracle=_OLS2_ORACLE)
+def ols_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS via normal equations — extendedprice_cents ~
+    quantity + discount_pct over lineitem, solved closed-form with
+    Cramer's rule from ten sufficient statistics. The multiple-
+    regression counterpart to theil_sen (robust single-slope): the
+    workhorse 'fit a plane to a fact table' primitive a feature
+    pipeline runs per segment.
+
+    Exactness: every sufficient statistic is an exact integer sum
+    (cents x quantity x discount-points in DECIMAL(38,0)/HUGEINT —
+    syy ~ 1e26 at 1e12 rows, inside 38 digits); both engines convert
+    the SAME integers to double once and then evaluate the SAME
+    expression strings (_OLS2_B0/..., F.expr here, plain SQL there),
+    so the coefficient doubles are bit-identical — no tolerance.
+
+    Scale: ONE map-side-combined aggregate over the fact scan collapses
+    any data volume to a single 10-number row; the solve is O(1) on
+    that row. No shuffle wider than one row ever happens."""
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x1 = d(F.col("l_quantity"))
+    x2 = d(F.round(F.col("l_discount") * 100, 0))
+    y = d(F.round(F.col("l_extendedprice") * 100, 0))
+    stats = spark.table("lineitem").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n0"),
+        F.sum(x1).alias("s1_i"),
+        F.sum(x2).alias("s2_i"),
+        F.sum(x1 * x1).alias("s11_i"),
+        F.sum(x2 * x2).alias("s22_i"),
+        F.sum(x1 * x2).alias("s12_i"),
+        F.sum(y).alias("sy_i"),
+        F.sum(y * y).alias("syy_i"),
+        F.sum(x1 * y).alias("s1y_i"),
+        F.sum(x2 * y).alias("s2y_i"),
+    )
+    doubles = stats.selectExpr(*_OLS2_STAT_CASTS.split(", "))
+    coef = doubles.select(
+        "*",
+        F.expr(_OLS2_B0).alias("b0"),
+        F.expr(_OLS2_B1).alias("b1"),
+        F.expr(_OLS2_B2).alias("b2"),
+    )
+    return coef.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("b0"), 6).alias("intercept_cents"),
+        F.round(F.col("b1"), 6).alias("cents_per_qty"),
+        F.round(F.col("b2"), 6).alias("cents_per_disc_pt"),
+        F.expr(f"ROUND({_OLS2_R2}, 6)").alias("r2"),
+    )
+
+
+_KDE_G = "mn + i * (mx - mn) / 20"
+_KDE_H = "(mx - mn) / 10"
+_KDE_U = "(x - g) / h"
+_KDE_K = f"0.75 * (1 - ({_KDE_U}) * ({_KDE_U}))"
+
+_KDE_ORACLE = f"""
+WITH o AS (SELECT o_totalprice AS x FROM orders),
+ext AS (SELECT MIN(x) AS mn, MAX(x) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM o),
+grid AS (
+  SELECT CAST(i AS INT) AS i, {_KDE_G} AS g, {_KDE_H} AS h, n
+  FROM ext, range(0, 21) t(i)),
+hits AS (
+  SELECT grid.i, grid.g, grid.h, grid.n, {_KDE_K} AS k
+  FROM o JOIN grid ON abs({_KDE_U}) < 1)
+SELECT i, ROUND(g, 6) AS grid_x, CAST(COUNT(*) AS BIGINT) AS n_win,
+       ROUND(SUM(k), 3) AS kernel_mass,
+       ROUND(1000000 * SUM(k) / (n * h), 6) AS density_ppm
+FROM hits GROUP BY i, g, h, n ORDER BY i
+"""
+
+
+@query("kde_totalprice_density", oracle=_KDE_ORACLE)
+def kde_totalprice_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov kernel density estimate of order totalprice at a
+    21-point grid — the smooth-density companion to
+    totalprice_histogram (hard bins) and kde-free iqr_outlier_fences:
+    what a profiling UI plots as the distribution curve. Bandwidth
+    h = range/10, kernel K(u) = 0.75(1-u^2) on |u| < 1.
+
+    Exactness: grid points, bandwidth, and every per-row kernel term
+    come from ONE shared expression string per quantity (_KDE_G/_H/_K,
+    F.expr here = oracle text there) over the same parquet doubles, so
+    per-row terms are bit-identical; only the summation order differs
+    (error ~n*eps*mass ~ 3e-7 at sf0.1 against a 5e-4 rounding margin).
+
+    Scale: the grid is a broadcast 21-row relation; the scan streams
+    once through a broadcast nested-loop membership filter (each row
+    hits <= 3 grid windows at h = range/10) and collapses map-side to
+    a 21-group aggregate — the exchange carries 21 rows regardless of
+    data volume."""
+    o = spark.table("orders").select(F.col("o_totalprice").alias("x"))
+    ext = o.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    grid = ext.select(
+        F.explode(F.sequence(F.lit(0), F.lit(20))).alias("i"), "mn", "mx", "n"
+    ).selectExpr(
+        "CAST(i AS INT) AS i", f"{_KDE_G} AS g", f"{_KDE_H} AS h", "n"
+    )
+    hits = (
+        o.crossJoin(F.broadcast(grid))
+        .filter(F.expr(f"abs({_KDE_U}) < 1"))
+        .selectExpr("i", "g", "h", "n", f"{_KDE_K} AS k")
+    )
+    return (
+        hits.groupBy("i", "g", "h", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_win"),
+            F.sum("k").alias("mass"),
+        )
+        .selectExpr(
+            "i",
+            "ROUND(g, 6) AS grid_x",
+            "n_win",
+            "ROUND(mass, 3) AS kernel_mass",
+            "ROUND(1000000 * mass / (n * h), 6) AS density_ppm",
+        )
+        .orderBy("i")
+    )
+
+
+def _stump_h(p: str) -> str:
+    """Binary entropy with the 0*ln(0) guard, as a shared expression
+    string (same text evaluated by both engines)."""
+    return (
+        f"CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0.0 "
+        f"ELSE -(({p}) * ln({p}) + (1 - ({p})) * ln(1 - ({p}))) END"
+    )
+
+
+_STUMP_PP = "(CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+_STUMP_PL = "(CAST(plft AS DOUBLE) / CAST(nlft AS DOUBLE))"
+_STUMP_PR = "(CAST(p_tot - plft AS DOUBLE) / CAST(n_tot - nlft AS DOUBLE))"
+_STUMP_WL = "(CAST(nlft AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+_STUMP_WR = "(CAST(n_tot - nlft AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+_STUMP_GAIN = (
+    f"{_stump_h(_STUMP_PP)} - {_STUMP_WL} * ({_stump_h(_STUMP_PL)})"
+    f" - {_STUMP_WR} * ({_stump_h(_STUMP_PR)})"
+)
+
+_STUMP_ORACLE = f"""
+WITH per_v AS (
+  SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos_v
+  FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot,
+         CAST(SUM(pos_v) AS BIGINT) AS p_tot
+  FROM per_v),
+lefts AS (
+  SELECT t.v AS t,
+         CAST(SUM(p.n_v) AS BIGINT) AS nlft,
+         CAST(SUM(p.pos_v) AS BIGINT) AS plft
+  FROM per_v t JOIN per_v p ON p.v <= t.v GROUP BY 1)
+SELECT t AS disc_pt_threshold, nlft AS n_left, plft AS pos_left,
+       ROUND({_STUMP_GAIN}, 6) AS info_gain
+FROM lefts CROSS JOIN tot WHERE nlft < n_tot ORDER BY t
+"""
+
+
+@query("decision_stump_discount", oracle=_STUMP_ORACLE)
+def decision_stump_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision tree (stump) over l_discount predicting the
+    'R' returnflag: information gain of every candidate split
+    x <= t vs x > t — the greedy-split primitive inside any
+    tree/boosting trainer and the feature-importance screen a data
+    pipeline runs before committing a column to a model.
+
+    Exactness: all split counts are exact integers from one
+    value-keyed aggregate + an 11x11 bounded self-join (no window, no
+    prefix-sum over data); the entropy/gain arithmetic is a shared
+    expression string (_STUMP_GAIN) both engines evaluate over the
+    same doubles — only ln's last-ulp may differ, absorbed by
+    round 6.
+
+    Scale: the fact scan collapses map-side to |distinct values| rows
+    (11 here; any real feature is binned to O(100) first); everything
+    after is value-bounded. This is the stump the curriculum/quality
+    families would call per feature."""
+    per_v = (
+        spark.table("lineitem")
+        .groupBy(
+            F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("v")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v"),
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            .cast("bigint")
+            .alias("pos_v"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("n_v").cast("bigint").alias("n_tot"),
+        F.sum("pos_v").cast("bigint").alias("p_tot"),
+    )
+    t_side = per_v.select(F.col("v").alias("t"))
+    lefts = (
+        t_side.join(F.broadcast(per_v), per_v.v <= t_side.t)
+        .groupBy("t")
+        .agg(
+            F.sum("n_v").cast("bigint").alias("nlft"),
+            F.sum("pos_v").cast("bigint").alias("plft"),
+        )
+    )
+    return (
+        lefts.crossJoin(F.broadcast(tot))
+        .filter(F.col("nlft") < F.col("n_tot"))
+        .selectExpr(
+            "t AS disc_pt_threshold",
+            "nlft AS n_left",
+            "plft AS pos_left",
+            f"ROUND({_STUMP_GAIN}, 6) AS info_gain",
+        )
+        .orderBy("disc_pt_threshold")
+    )
+
+
+# Per-(doc, lang) log-posterior, written once and evaluated by both
+# engines over identically-named columns. Unseen tokens contribute
+# exactly 0 to the seen-sum (ln(0+1)=0 would anyway), so the only
+# per-lang correction is the -TF(d)*ln(T_l+V) smoothing denominator.
+_NB_SCORE = (
+    "ln(d_l) - ln(d) + COALESCE(seen_s, CAST(0 AS DOUBLE))"
+    " - tf_tot * ln(t_l + v)"
+)
+
+_NB_ORACLE = f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+ev AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+ttok AS (
+  SELECT lang, t FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS t FROM train)
+  WHERE t <> ''),
+ct AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM ct GROUP BY 1),
+vt AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM ct),
+pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_l FROM train GROUP BY 1),
+dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM train),
+langs AS (
+  SELECT pri.lang, d_l, t_l, v, d
+  FROM pri JOIN tl USING (lang) CROSS JOIN vt CROSS JOIN dtot),
+etok AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM ev)
+  WHERE t <> '' GROUP BY 1, 2),
+etot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_tot FROM etok GROUP BY 1),
+seen AS (
+  SELECT e.doc_id, ct.lang, SUM(e.tf * ln(ct.c + 1)) AS seen_s
+  FROM etok e JOIN ct ON e.t = ct.t GROUP BY 1, 2),
+scored AS (
+  SELECT etot.doc_id, l.lang, {_NB_SCORE} AS score
+  FROM etot CROSS JOIN langs l
+  LEFT JOIN seen s ON s.doc_id = etot.doc_id AND s.lang = l.lang),
+pred AS (
+  SELECT doc_id, lang AS predicted FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT d.lang AS actual, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM ev d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("naive_bayes_langid", oracle=_NB_ORACLE)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained on 3/4 of the corpus (Laplace
+    smoothing) and evaluated as a confusion matrix on the held-out
+    quarter — a LEARNED language classifier next to the fixed
+    stopword-ratio heuristic (langid_confusion_matrix): the full
+    train/apply/eval ML loop expressed relationally.
+
+    Determinism: both engines tokenize with the same split, build the
+    same exact-integer count model, and evaluate the same score string
+    (_NB_SCORE); the per-(doc,lang) seen-token sum is the one
+    order-nondeterministic float reduce, and it only matters at exact
+    argmax ties, which the (score DESC, lang ASC) tiebreak resolves
+    identically for any difference above ulp noise.
+
+    Scale: the model is a (lang x vocab) relation — sublinear in corpus
+    size; the eval-token/model join shuffles int-hashable (token) keys;
+    the doc x lang fan-out is a |langs|-constant broadcast cross join;
+    the argmax window is partitioned BY doc. Nothing single-partitions
+    and no text crosses an exchange after tokenization."""
+    from pyspark.sql import Window
+
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    ev = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def tok(df, keep):
+        return (
+            df.select(*keep, F.explode(F.split(F.lower("text"), " ")).alias("t"))
+            .filter(F.col("t") != "")
+        )
+
+    ct = (
+        tok(train, ["lang"])
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tl = ct.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+    vt = ct.agg(F.countDistinct("t").cast("bigint").alias("v"))
+    pri = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_l")
+    )
+    dtot = train.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    langs = (
+        pri.join(tl, "lang").crossJoin(F.broadcast(vt)).crossJoin(F.broadcast(dtot))
+    )
+
+    etok = (
+        tok(ev, ["doc_id"])
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    etot = etok.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("tf_tot"))
+    seen = (
+        etok.join(ct, "t")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.log(F.col("c") + 1)).alias("seen_s"))
+    )
+    scored = (
+        etot.crossJoin(F.broadcast(langs))
+        .join(seen, ["doc_id", "lang"], "left")
+        .selectExpr("doc_id", "lang", f"{_NB_SCORE} AS score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        ev.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+# Two-proportion pooled z (nation vs rest-of-world), then the two-sided
+# p-value via the Abramowitz-Stegun 7.1.26 erf polynomial — a closed
+# form both engines evaluate from the SAME expression strings, since
+# neither Spark SQL nor a portable oracle has a builtin normal CDF.
+# For a two-sided test, p = 2*(1 - Phi(|z|)) = 1 - erf(|z|/sqrt(2)),
+# and with the A&S form erf(x) = 1 - poly(t)*exp(-x^2), that collapses
+# to p = poly(t)*exp(-x^2), t = 1/(1 + 0.3275911*x) (|error| < 1.5e-7).
+_BH_Z = (
+    "(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1 / CAST(n1 AS DOUBLE) + 1 / CAST(n2 AS DOUBLE)))"
+)
+_BH_AZ = "abs(z) / sqrt(2)"
+_BH_TT = "1 / (1 + 0.3275911 * az)"
+_BH_P = (
+    "((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
+    " - 0.284496736) * tt + 0.254829592) * tt * exp(-(az * az))"
+)
+_BH_CRIT = "CAST(rn AS DOUBLE) / CAST(m AS DOUBLE) * 0.05"
+
+_BH_ORACLE = f"""
+WITH per_nation AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k1
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS nn, CAST(SUM(k1) AS BIGINT) AS kk,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM per_nation),
+base AS (
+  SELECT n_name, n1, k1, nn - n1 AS n2, kk - k1 AS k2, m
+  FROM per_nation CROSS JOIN tot
+  JOIN nation ON n_nationkey = c_nationkey),
+zs AS (SELECT n_name, n1, k1, m, {_BH_Z} AS z FROM base),
+ps AS (
+  SELECT n_name, n1, k1, m, z, {_BH_P} AS p
+  FROM (SELECT *, {_BH_TT} AS tt
+        FROM (SELECT *, {_BH_AZ} AS az FROM zs))),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p, n_name) AS rn FROM ps),
+flagged AS (
+  SELECT *, CASE WHEN p <= {_BH_CRIT} THEN 1 ELSE 0 END AS pass_i
+  FROM ranked)
+SELECT n_name, n1 AS n_orders, k1 AS n_urgent,
+       ROUND(z, 6) AS z_score, ROUND(p, 6) AS p_value,
+       CAST(rn AS INT) AS p_rank,
+       CAST(MAX(pass_i) OVER (ORDER BY rn
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS INT)
+         AS rejected
+FROM flagged ORDER BY p_rank
+"""
+
+
+@query("fdr_bh_nation_urgency", oracle=_BH_ORACLE)
+def fdr_bh_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous hypothesis
+    tests — per-nation urgent-order share vs the rest of the world,
+    two-proportion pooled z each, then the step-up procedure (reject
+    all ranks <= max{i : p_(i) <= i/m * alpha}, alpha=0.05). The
+    multiple-comparisons discipline every per-segment screening query
+    in the suite (proportion_ztest run per group) actually requires.
+
+    Determinism: counts are exact integers off one fact-dim join; z,
+    the A&S-7.1.26 p-value, and the BH threshold are shared expression
+    strings (_BH_Z/_BH_P/_BH_CRIT) — bit-identical modulo exp()'s last
+    ulp, absorbed by round 6 and irrelevant to the step-up comparisons
+    at any realistic margin.
+
+    Scale: the orders-customer join is the canonical co-partitioned
+    fact-dim shuffle; everything after is a 25-row relation, so the
+    rank/step-up windows are nation-bounded (whitelisted class)."""
+    from pyspark.sql import Window
+
+    per_nation = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+            .cast("bigint")
+            .alias("k1"),
+        )
+    )
+    tot = per_nation.agg(
+        F.sum("n1").cast("bigint").alias("nn"),
+        F.sum("k1").cast("bigint").alias("kk"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    base = (
+        per_nation.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(spark.table("nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .selectExpr(
+            "n_name", "n1", "k1", "nn - n1 AS n2", "kk - k1 AS k2", "m"
+        )
+    )
+    ps = (
+        base.selectExpr("n_name", "n1", "k1", "m", f"{_BH_Z} AS z")
+        .selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr("n_name", "n1", "k1", "m", "z", f"{_BH_P} AS p")
+    )
+    ranked = ps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("p", "n_name"))
+    ).withColumn(
+        "pass_i",
+        F.expr(f"CASE WHEN p <= {_BH_CRIT} THEN 1 ELSE 0 END"),
+    )
+    wrej = (
+        Window.orderBy("rn").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ranked.select(
+        "n_name",
+        F.col("n1").alias("n_orders"),
+        F.col("k1").alias("n_urgent"),
+        F.round("z", 6).alias("z_score"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rn").cast("int").alias("p_rank"),
+        F.max("pass_i").over(wrej).cast("int").alias("rejected"),
+    ).orderBy("p_rank")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
