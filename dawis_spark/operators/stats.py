@@ -470,3 +470,250 @@ def ccf(
         )
         .orderBy("lag")
     )
+
+
+def normal_sf2(z: str) -> str:
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) as ONE self-contained
+    expression string, via the Abramowitz–Stegun 7.1.26 erf polynomial
+    (|error| < 1.5e-7): with erf(x) = 1 - poly(t)*exp(-x^2),
+    t = 1/(1 + 0.3275911 x), the two-sided p collapses to
+    poly(t)*exp(-x^2) at x = |z|/sqrt(2). Neither Spark SQL nor a
+    portable oracle has a builtin normal CDF, so the SAME string is
+    evaluated by both engines — bit-identical modulo exp()'s last ulp."""
+    az = f"(abs({z}) / sqrt(2))"
+    tt = f"(1 / (1 + 0.3275911 * {az}))"
+    poly = (
+        f"((((1.061405429 * {tt} - 1.453152027) * {tt} + 1.421413741) * {tt}"
+        f" - 0.284496736) * {tt} + 0.254829592) * {tt}"
+    )
+    return f"({poly} * exp(-({az} * {az})))"
+
+
+# Welch statistics as shared expression strings over the one-row stats
+# relation (n1, n2, s1, s2, nv1, nv2 — all DOUBLE, where nv_i is the
+# exact-integer variance numerator n_i*q_i - s_i^2 cast once): the same
+# text is evaluated by Spark's F.expr and the DuckDB oracle, so both
+# engines walk the same IEEE expression tree.
+WELCH_V1 = "(nv1 / (n1 * (n1 - 1)))"
+WELCH_V2 = "(nv2 / (n2 * (n2 - 1)))"
+WELCH_SE2 = f"({WELCH_V1} / n1 + {WELCH_V2} / n2)"
+WELCH_T = f"((s1 / n1 - s2 / n2) / sqrt({WELCH_SE2}))"
+WELCH_DF = (
+    f"(({WELCH_SE2}) * ({WELCH_SE2})"
+    f" / (({WELCH_V1} / n1) * ({WELCH_V1} / n1) / (n1 - 1)"
+    f" + ({WELCH_V2} / n2) * ({WELCH_V2} / n2) / (n2 - 1)))"
+)
+WELCH_P = normal_sf2(WELCH_T)
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str, g1, g2
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between groups ``g1``
+    and ``g2`` of an INTEGER-valued column (the cents discipline): one
+    row (n1, n2, mean1, mean2, t_stat, df_welch, p_value). p is the
+    normal approximation to the t distribution (:func:`normal_sf2`) —
+    indistinguishable at the df this engine targets (thousands+; at
+    df=50 the approximation is already inside the round-6 margin for
+    |t| < 4).
+
+    Exactness: n/sum/sum-of-squares per group are exact DECIMAL(38,0)
+    integers off ONE conditional aggregate (single scan, map-side
+    combine); the variance numerators n*q - s^2 stay exact integers and
+    pay one double cast; every downstream quantity is a shared
+    expression string (WELCH_T/_DF/_P) both engines evaluate over the
+    same doubles.
+
+    Scale: one scan collapsing to a single 6-number row — no shuffle
+    wider than one row at any data volume."""
+    flag1 = F.col(group_col) == F.lit(g1)
+    flag2 = F.col(group_col) == F.lit(g2)
+    v = F.col(value_col).cast("decimal(38,0)")
+    one = df.filter(flag1 | flag2).agg(
+        F.count(F.when(flag1, 1)).cast("decimal(38,0)").alias("n1_i"),
+        F.count(F.when(flag2, 1)).cast("decimal(38,0)").alias("n2_i"),
+        F.sum(F.when(flag1, v)).alias("s1_i"),
+        F.sum(F.when(flag2, v)).alias("s2_i"),
+        F.sum(F.when(flag1, v * v)).alias("q1_i"),
+        F.sum(F.when(flag2, v * v)).alias("q2_i"),
+    )
+    doubles = one.selectExpr(
+        "CAST(n1_i AS DOUBLE) AS n1",
+        "CAST(n2_i AS DOUBLE) AS n2",
+        "CAST(s1_i AS DOUBLE) AS s1",
+        "CAST(s2_i AS DOUBLE) AS s2",
+        "CAST(n1_i * q1_i - s1_i * s1_i AS DOUBLE) AS nv1",
+        "CAST(n2_i * q2_i - s2_i * s2_i AS DOUBLE) AS nv2",
+    )
+    return doubles.selectExpr(
+        "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n2 AS BIGINT) AS n2",
+        "ROUND(s1 / n1, 4) AS mean1",
+        "ROUND(s2 / n2, 4) AS mean2",
+        f"ROUND({WELCH_T}, 6) AS t_stat",
+        f"ROUND({WELCH_DF}, 4) AS df_welch",
+        f"ROUND({WELCH_P}, 6) AS p_value",
+    )
+
+
+# One-way ANOVA from the folded sufficient statistics (k, n, q,
+# ss_over_n, sum_tg — all DOUBLE): SSB = sum_g s_g^2/n_g - S^2/N,
+# SSW = Q - sum_g s_g^2/n_g, F = (SSB/(k-1)) / (SSW/(N-k)),
+# eta^2 = SSB/SST. Shared strings, same discipline as WELCH_*.
+ANOVA_SSB = "(sum_tg - ss_over_n)"
+ANOVA_SSW = "(q - sum_tg)"
+ANOVA_F = f"(({ANOVA_SSB} / (k - 1)) / ({ANOVA_SSW} / (n - k)))"
+ANOVA_ETA2 = f"({ANOVA_SSB} / (q - ss_over_n))"
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F over an INTEGER-valued column across the groups
+    of ``group_col``: one row (k_groups, n_rows, ssb, ssw, f_stat,
+    eta_squared). The 'does the mean differ across ANY of k segments'
+    screen that precedes k*(k-1)/2 pairwise tests (and the effect-size
+    companion eta^2 that a significance-only report omits).
+
+    Exactness: per-group (n_g, s_g, q_g) are exact DECIMAL(38,0)
+    integers; each group's s_g^2/n_g pays one double division computed
+    identically in both engines, and the k-term sum is an ORDERED FOLD
+    over group-sorted terms (the chi-square discipline). Grand S^2/N
+    and Q stay exact until one final cast.
+
+    Scale: one keyed aggregate collapses the scan to k rows; the fold
+    gathers k structs into one row — group-cardinality-bounded
+    everywhere after the first exchange."""
+    v = F.col(value_col).cast("decimal(38,0)")
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("q_g"),
+    )
+    terms = per.selectExpr(
+        "g",
+        "n_g",
+        "s_g",
+        "q_g",
+        "CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS t_g",
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_i"),
+        F.sum("n_g").alias("n_i"),
+        F.sum("s_g").alias("s_i"),
+        F.sum("q_g").alias("q_i"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(g, t_g))), "
+            "cast(0.0 as double), (acc, e) -> acc + e.t_g)"
+        ).alias("sum_tg"),
+    )
+    doubles = folded.selectExpr(
+        "k_i",
+        "n_i",
+        "CAST(k_i AS DOUBLE) AS k",
+        "CAST(n_i AS DOUBLE) AS n",
+        "CAST(q_i AS DOUBLE) AS q",
+        "CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS ss_over_n",
+        "sum_tg",
+    )
+    return doubles.selectExpr(
+        "CAST(k_i AS INT) AS k_groups",
+        "CAST(n_i AS BIGINT) AS n_rows",
+        f"ROUND({ANOVA_SSB}, 4) AS ssb",
+        f"ROUND({ANOVA_SSW}, 4) AS ssw",
+        f"ROUND({ANOVA_F}, 6) AS f_stat",
+        f"ROUND({ANOVA_ETA2}, 6) AS eta_squared",
+    )
+
+
+def categorical_association(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Full categorical-association profile for a row x col contingency
+    table: one row (n_rows, n_cells, dof, chi2, cramers_v, mi_nats,
+    nmi). Chi-square answers 'is there ANY dependence'; Cramér's V
+    (sqrt(chi2 / (n * min(r-1, c-1)))) and normalized mutual
+    information (MI / sqrt(H_row * H_col)) put it on the [0, 1]
+    effect-size scale a feature-selection pass actually ranks by.
+
+    Exactness: same construction as :func:`chi_square_independence` —
+    exact-integer cell/marginal counts, per-cell statistics paying one
+    double division (+ one ln for MI) evaluated identically in both
+    engines, every sum an ORDERED FOLD over (row, col)- or
+    marginal-sorted terms.
+
+    Scale: one keyed aggregate to the cell relation; the marginal
+    windows and folds run over cell-/category-cardinality rows only."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rw = Window.partitionBy("r")
+    cw = Window.partitionBy("c")
+    tot = Window.partitionBy()
+    scored = cells.select(
+        "r",
+        "c",
+        "obs",
+        F.sum("obs").over(rw).alias("row_n"),
+        F.sum("obs").over(cw).alias("col_n"),
+        F.sum("obs").over(tot).alias("n"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    chi_num = d38("obs") * F.col("n") - d38("row_n") * F.col("col_n")
+    chi_den = (d38("row_n") * F.col("col_n") * F.col("n")).cast("double")
+    terms = scored.select(
+        "r",
+        "c",
+        "n",
+        ((chi_num * chi_num).cast("double") / chi_den).alias("chi_term"),
+        (
+            (F.col("obs").cast("double") / F.col("n").cast("double"))
+            * F.log(
+                (d38("obs") * F.col("n")).cast("double")
+                / (d38("row_n") * F.col("col_n")).cast("double")
+            )
+        ).alias("mi_term"),
+    )
+    cell_fold = terms.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.countDistinct("r").cast("bigint") - 1).alias("rm1"),
+        (F.countDistinct("c").cast("bigint") - 1).alias("cm1"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, c, chi_term))), "
+            "cast(0.0 as double), (acc, e) -> acc + e.chi_term)"
+        ).alias("chi2_raw"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, c, mi_term))), "
+            "cast(0.0 as double), (acc, e) -> acc + e.mi_term)"
+        ).alias("mi_raw"),
+    )
+
+    def _entropy(key: str, marg: str) -> DataFrame:
+        m = scored.select(key, marg, "n").distinct()
+        t = m.select(
+            F.col(key).alias("g"),
+            (
+                -(F.col(marg).cast("double") / F.col("n").cast("double"))
+                * F.log(F.col(marg).cast("double") / F.col("n").cast("double"))
+            ).alias("h_term"),
+        )
+        return t.agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(g, h_term))), "
+                "cast(0.0 as double), (acc, e) -> acc + e.h_term)"
+            ).alias(f"h_{key}")
+        )
+
+    combined = (
+        cell_fold.crossJoin(F.broadcast(_entropy("r", "row_n")))
+        .crossJoin(F.broadcast(_entropy("c", "col_n")))
+    )
+    return combined.selectExpr(
+        "n_rows",
+        "n_cells",
+        "CAST(rm1 * cm1 AS BIGINT) AS dof",
+        "ROUND(chi2_raw, 6) AS chi2",
+        "ROUND(sqrt(chi2_raw / (CAST(n_rows AS DOUBLE)"
+        " * least(rm1, cm1))), 6) AS cramers_v",
+        "ROUND(mi_raw, 6) AS mi_nats",
+        "ROUND(mi_raw / sqrt(h_r * h_c), 6) AS nmi",
+    )

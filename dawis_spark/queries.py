@@ -15274,6 +15274,192 @@ def fdr_bh_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_rank")
 
 
+from dawis_spark.operators.stats import (
+    ANOVA_ETA2 as _ANOVA_ETA2,
+    ANOVA_F as _ANOVA_F,
+    ANOVA_SSB as _ANOVA_SSB,
+    ANOVA_SSW as _ANOVA_SSW,
+    WELCH_DF as _WELCH_DF,
+    WELCH_P as _WELCH_P,
+    WELCH_T as _WELCH_T,
+)
+
+_CENTS_O = "CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)"
+
+_WELCH_ORACLE = f"""
+WITH one AS (
+  SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS HUGEINT) AS n1_i,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS HUGEINT) AS n2_i,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN {_CENTS_O} END) AS s1_i,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN {_CENTS_O} END) AS s2_i,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN {_CENTS_O} * {_CENTS_O} END) AS q1_i,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN {_CENTS_O} * {_CENTS_O} END) AS q2_i
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+d AS (
+  SELECT CAST(n1_i AS DOUBLE) AS n1, CAST(n2_i AS DOUBLE) AS n2,
+         CAST(s1_i AS DOUBLE) AS s1, CAST(s2_i AS DOUBLE) AS s2,
+         CAST(n1_i * q1_i - s1_i * s1_i AS DOUBLE) AS nv1,
+         CAST(n2_i * q2_i - s2_i * s2_i AS DOUBLE) AS nv2
+  FROM one)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(s1 / n1, 4) AS mean1, ROUND(s2 / n2, 4) AS mean2,
+       ROUND({_WELCH_T}, 6) AS t_stat,
+       ROUND({_WELCH_DF}, 4) AS df_welch,
+       ROUND({_WELCH_P}, 6) AS p_value
+FROM d
+"""
+
+
+@query("welch_ttest_order_value", oracle=_WELCH_ORACLE)
+def welch_ttest_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: do finished ('F') and open
+    ('O') orders differ in mean value? The two-sample mean-comparison
+    companion to proportion_ztest (shares) and mann_whitney_drift
+    (distribution shift) — Welch rather than pooled Student because
+    segment variances are never equal in practice.
+
+    Exactness: one conditional exact-integer aggregate (cents
+    discipline); t, the Welch-Satterthwaite df, and the A&S-7.1.26
+    normal p-value are shared expression strings evaluated by both
+    engines over the same doubles (operators/stats.py:welch_ttest).
+
+    Scale: single scan collapsing map-side to one 6-number row — no
+    exchange wider than one row."""
+    from dawis_spark.operators.stats import welch_ttest
+
+    o = spark.table("orders").select(
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return welch_ttest(o, "o_orderstatus", "cents", "F", "O")
+
+
+_ANOVA_ORACLE = f"""
+WITH per AS (
+  SELECT o_orderpriority AS g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+         SUM({_CENTS_O}) AS s_g,
+         SUM({_CENTS_O} * {_CENTS_O}) AS q_g
+  FROM orders GROUP BY 1),
+terms AS (
+  SELECT g, n_g, s_g, q_g,
+         CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS t_g
+  FROM per),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_i,
+         SUM(n_g) AS n_i, SUM(s_g) AS s_i, SUM(q_g) AS q_i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(t_g ORDER BY g)), (acc, e) -> acc + e) AS sum_tg
+  FROM terms),
+d AS (
+  SELECT k_i, n_i, CAST(k_i AS DOUBLE) AS k, CAST(n_i AS DOUBLE) AS n,
+         CAST(q_i AS DOUBLE) AS q,
+         CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS ss_over_n,
+         sum_tg
+  FROM folded)
+SELECT CAST(k_i AS INT) AS k_groups, CAST(n_i AS BIGINT) AS n_rows,
+       ROUND({_ANOVA_SSB}, 4) AS ssb, ROUND({_ANOVA_SSW}, 4) AS ssw,
+       ROUND({_ANOVA_F}, 6) AS f_stat,
+       ROUND({_ANOVA_ETA2}, 6) AS eta_squared
+FROM d
+"""
+
+
+@query("anova_order_value_priority", oracle=_ANOVA_ORACLE)
+def anova_order_value_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the five
+    order priorities? The k-group generalization of
+    welch_ttest_order_value — the screen run BEFORE k*(k-1)/2 pairwise
+    tests (which fdr_bh_nation_urgency then corrects), with eta^2 as
+    the effect size a significance-only report omits.
+
+    Exactness: per-group exact-integer sufficient statistics; each
+    group's s^2/n pays one identical double division and the k-term
+    sum is an ordered group-sorted fold; F/eta^2 are shared expression
+    strings (operators/stats.py:anova_oneway).
+
+    Scale: one keyed aggregate to k=5 rows; everything after is
+    group-cardinality-bounded."""
+    from dawis_spark.operators.stats import anova_oneway
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return anova_oneway(o, "o_orderpriority", "cents")
+
+
+_ASSOC_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS r, l_linestatus AS c, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM lineitem GROUP BY 1, 2),
+scored AS (
+  SELECT r, c, obs,
+         SUM(obs) OVER (PARTITION BY r) AS row_n,
+         SUM(obs) OVER (PARTITION BY c) AS col_n,
+         SUM(obs) OVER () AS n
+  FROM cells),
+terms AS (
+  SELECT r, c, n,
+         CAST((CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+              * (CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n) AS DOUBLE)
+           / CAST(CAST(row_n AS HUGEINT) * col_n * n AS DOUBLE) AS chi_term,
+         (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(CAST(obs AS HUGEINT) * n AS DOUBLE)
+                / CAST(CAST(row_n AS HUGEINT) * col_n AS DOUBLE)) AS mi_term
+  FROM scored),
+cell_fold AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COUNT(DISTINCT r) - 1 AS BIGINT) AS rm1,
+         CAST(COUNT(DISTINCT c) - 1 AS BIGINT) AS cm1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(chi_term ORDER BY r, c)), (acc, e) -> acc + e) AS chi2_raw,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(mi_term ORDER BY r, c)), (acc, e) -> acc + e) AS mi_raw
+  FROM terms),
+hr AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(-(CAST(row_n AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(row_n AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY r)),
+         (acc, e) -> acc + e) AS h_r
+  FROM (SELECT DISTINCT r, row_n, n FROM scored)),
+hc AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(-(CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY c)),
+         (acc, e) -> acc + e) AS h_c
+  FROM (SELECT DISTINCT c, col_n, n FROM scored))
+SELECT n_rows, n_cells, CAST(rm1 * cm1 AS BIGINT) AS dof,
+       ROUND(chi2_raw, 6) AS chi2,
+       ROUND(sqrt(chi2_raw / (CAST(n_rows AS DOUBLE) * least(rm1, cm1))), 6)
+         AS cramers_v,
+       ROUND(mi_raw, 6) AS mi_nats,
+       ROUND(mi_raw / sqrt(h_r * h_c), 6) AS nmi
+FROM cell_fold CROSS JOIN hr CROSS JOIN hc
+"""
+
+
+@query("categorical_association_profile", oracle=_ASSOC_ORACLE)
+def categorical_association_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size profile for the returnflag x linestatus association:
+    chi-square (is there ANY dependence), Cramér's V and normalized
+    mutual information (how MUCH, on [0, 1]) in one pass — what a
+    feature-selection/profiling sweep ranks categorical column pairs
+    by, complementing feature_correlations (numeric) and
+    chi_square_independence (significance only).
+
+    Exactness: exact-integer cells/marginals; per-cell chi/MI terms pay
+    one double division (+ln) evaluated identically in both engines;
+    every sum is an ordered fold (operators/stats.py:
+    categorical_association).
+
+    Scale: one keyed aggregate to the 6-cell contingency relation;
+    marginal windows and folds are cell-/category-bounded."""
+    from dawis_spark.operators.stats import categorical_association
+
+    li = spark.table("lineitem").select("l_returnflag", "l_linestatus")
+    return categorical_association(li, "l_returnflag", "l_linestatus")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
