@@ -15460,6 +15460,395 @@ def categorical_association_profile(spark: SparkSession, sf_dir: str) -> DataFra
     return categorical_association(li, "l_returnflag", "l_linestatus")
 
 
+# Per-(doc, lang) log-posterior for the fold model — same shape as
+# _NB_SCORE but over the LEAVE-ONE-FOLD-OUT parameters (t_l, v, d_l, d
+# are per-fold). Written once, evaluated by both engines.
+_NBCV_SCORE = (
+    "ln(d_l) - ln(d) + COALESCE(seen_s, CAST(0 AS DOUBLE))"
+    " - tf_tot * ln(t_l + v)"
+)
+
+_NBCV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS fold, lang, t FROM (
+    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+ctf AS (
+  SELECT fold, lang, t, CAST(COUNT(*) AS BIGINT) AS c_f
+  FROM toks GROUP BY 1, 2, 3),
+ct_tot AS (
+  SELECT lang, t, CAST(SUM(c_f) AS BIGINT) AS c_tot FROM ctf GROUP BY 1, 2),
+fold_l AS (
+  SELECT fold, lang, CAST(SUM(c_f) AS BIGINT) AS f_l FROM ctf GROUP BY 1, 2),
+tot_l AS (SELECT lang, CAST(SUM(c_tot) AS BIGINT) AS tl_all FROM ct_tot GROUP BY 1),
+tok_tot AS (SELECT t, CAST(SUM(c_tot) AS BIGINT) AS tt FROM ct_tot GROUP BY 1),
+tok_f AS (
+  SELECT fold, t, CAST(SUM(c_f) AS BIGINT) AS tf_cnt FROM ctf GROUP BY 1, 2),
+v_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS va FROM tok_tot),
+v_only AS (
+  SELECT f.fold, CAST(COUNT(*) AS BIGINT) AS vo
+  FROM tok_f f JOIN tok_tot USING (t) WHERE f.tf_cnt = tok_tot.tt
+  GROUP BY 1),
+folds AS (SELECT DISTINCT CAST(doc_id % 4 AS INT) AS fold FROM documents),
+v_f AS (
+  SELECT folds.fold, va - COALESCE(vo, 0) AS v
+  FROM folds CROSS JOIN v_all LEFT JOIN v_only ON v_only.fold = folds.fold),
+d_fold AS (
+  SELECT CAST(doc_id % 4 AS INT) AS fold, lang,
+         CAST(COUNT(*) AS BIGINT) AS df_l
+  FROM documents GROUP BY 1, 2),
+d_tot AS (SELECT lang, CAST(SUM(df_l) AS BIGINT) AS dt_l FROM d_fold GROUP BY 1),
+langs AS (
+  SELECT folds.fold, d_tot.lang,
+         dt_l - COALESCE(df_l, 0) AS d_l,
+         tl_all - COALESCE(f_l, 0) AS t_l,
+         v
+  FROM folds CROSS JOIN d_tot
+  JOIN tot_l ON tot_l.lang = d_tot.lang
+  JOIN v_f ON v_f.fold = folds.fold
+  LEFT JOIN d_fold ON d_fold.fold = folds.fold AND d_fold.lang = d_tot.lang
+  LEFT JOIN fold_l ON fold_l.fold = folds.fold AND fold_l.lang = d_tot.lang),
+d_train AS (
+  SELECT fold, CAST(SUM(d_l) AS BIGINT) AS d FROM langs GROUP BY 1),
+etok AS (
+  SELECT doc_id, fold, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, fold, t FROM toks) GROUP BY 1, 2, 3),
+etot AS (
+  SELECT doc_id, fold, CAST(SUM(tf) AS BIGINT) AS tf_tot
+  FROM etok GROUP BY 1, 2),
+seen AS (
+  SELECT e.doc_id, ct_tot.lang,
+         SUM(e.tf * ln(ct_tot.c_tot - COALESCE(ctf.c_f, 0) + 1)) AS seen_s
+  FROM etok e
+  JOIN ct_tot ON ct_tot.t = e.t
+  LEFT JOIN ctf ON ctf.fold = e.fold AND ctf.lang = ct_tot.lang
+                AND ctf.t = e.t
+  WHERE ct_tot.c_tot - COALESCE(ctf.c_f, 0) > 0
+  GROUP BY 1, 2),
+scored AS (
+  SELECT etot.doc_id, etot.fold, l.lang, {_NBCV_SCORE} AS score
+  FROM etot
+  JOIN langs l ON l.fold = etot.fold
+  JOIN d_train ON d_train.fold = etot.fold
+  LEFT JOIN seen s ON s.doc_id = etot.doc_id AND s.lang = l.lang),
+pred AS (
+  SELECT doc_id, fold, lang AS predicted FROM (
+    SELECT doc_id, fold, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT p.fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.lang = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN d.lang = p.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("naive_bayes_cv_folds", oracle=_NBCV_ORACLE)
+def naive_bayes_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validated naive Bayes language ID — per-fold
+    held-out accuracy, the variance-aware upgrade of the single-split
+    naive_bayes_langid eval. The k models are NEVER trained
+    separately: one tokenization pass builds per-(fold, lang, token)
+    counts, and fold f's training counts are the TOTALS MINUS fold f's
+    (the leave-one-out subtraction trick) — per-fold vocabulary size
+    and priors likewise by subtraction, so k-fold CV costs one corpus
+    scan plus vocabulary-sized arithmetic instead of k scans.
+
+    Determinism: same discipline as naive_bayes_langid — exact-integer
+    count models, shared score string (_NBCV_SCORE), (score DESC, lang
+    ASC) argmax tiebreak; the per-(doc,lang) seen-sum is the one float
+    reduce and only matters at exact argmax ties.
+
+    Scale: model relations are folds x vocabulary-sized (4x the langid
+    model), never corpus-sized; the eval-token/model join shuffles
+    token keys; the doc x lang fan-out is |langs|-bounded; the argmax
+    window is partitioned by doc."""
+    from pyspark.sql import Window
+
+    docs = spark.table("documents").withColumn(
+        "fold", (F.col("doc_id") % 4).cast("int")
+    )
+    toks = docs.select(
+        "doc_id",
+        "fold",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+
+    ctf = toks.groupBy("fold", "lang", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_f")
+    )
+    ct_tot = ctf.groupBy("lang", "t").agg(
+        F.sum("c_f").cast("bigint").alias("c_tot")
+    )
+    fold_l = ctf.groupBy("fold", "lang").agg(
+        F.sum("c_f").cast("bigint").alias("f_l")
+    )
+    tot_l = ct_tot.groupBy("lang").agg(
+        F.sum("c_tot").cast("bigint").alias("tl_all")
+    )
+    tok_tot = ct_tot.groupBy("t").agg(F.sum("c_tot").cast("bigint").alias("tt"))
+    tok_f = ctf.groupBy("fold", "t").agg(
+        F.sum("c_f").cast("bigint").alias("tf_cnt")
+    )
+    v_all = tok_tot.agg(F.count(F.lit(1)).cast("bigint").alias("va"))
+    v_only = (
+        tok_f.join(tok_tot, "t")
+        .filter(F.col("tf_cnt") == F.col("tt"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vo"))
+    )
+    folds = docs.select("fold").distinct()
+    v_f = (
+        folds.crossJoin(F.broadcast(v_all))
+        .join(F.broadcast(v_only), "fold", "left")
+        .select(
+            "fold",
+            (F.col("va") - F.coalesce(F.col("vo"), F.lit(0))).alias("v"),
+        )
+    )
+    d_fold = docs.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_l")
+    )
+    d_tot = d_fold.groupBy("lang").agg(F.sum("df_l").cast("bigint").alias("dt_l"))
+    langs = (
+        folds.crossJoin(F.broadcast(d_tot))
+        .join(F.broadcast(tot_l), "lang")
+        .join(F.broadcast(v_f), "fold")
+        .join(F.broadcast(d_fold), ["fold", "lang"], "left")
+        .join(F.broadcast(fold_l), ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("dt_l") - F.coalesce(F.col("df_l"), F.lit(0))).alias("d_l"),
+            (F.col("tl_all") - F.coalesce(F.col("f_l"), F.lit(0))).alias("t_l"),
+            "v",
+        )
+    )
+    d_train = langs.groupBy("fold").agg(F.sum("d_l").cast("bigint").alias("d"))
+
+    etok = toks.groupBy("doc_id", "fold", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    etot = etok.groupBy("doc_id", "fold").agg(
+        F.sum("tf").cast("bigint").alias("tf_tot")
+    )
+    c_train = (
+        etok.join(ct_tot, "t")
+        .join(ctf, ["fold", "lang", "t"], "left")
+        .select(
+            "doc_id",
+            "fold",
+            "lang",
+            "tf",
+            (F.col("c_tot") - F.coalesce(F.col("c_f"), F.lit(0))).alias("c_tr"),
+        )
+        .filter(F.col("c_tr") > 0)
+    )
+    seen = c_train.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("tf") * F.log(F.col("c_tr") + 1)).alias("seen_s")
+    )
+    scored = (
+        etot.join(F.broadcast(langs), "fold")
+        .join(F.broadcast(d_train), "fold")
+        .join(seen, ["doc_id", "lang"], "left")
+        .selectExpr("doc_id", "fold", "lang", f"{_NBCV_SCORE} AS score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fold", F.col("lang").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("actual") == F.col("predicted")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
+
+
+_PCA_SCALE = 1_000_000
+_PCA_ITERS = 12
+
+# Covariance entry from the exact-integer moments (shared string shape):
+# C_ij = (n*S_ij - m_i*m_j) / (n^2 * scale^2), the integer numerator cast
+# to double ONCE in both engines.
+_PCA_C = (
+    "CAST(n_i * s_ij - m_i * m_j AS DOUBLE)"
+    " / (CAST(n_i AS DOUBLE) * CAST(n_i AS DOUBLE)"
+    f" * {_PCA_SCALE}.0 * {_PCA_SCALE}.0)"
+)
+
+
+def _pca_oracle() -> str:
+    its = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        its.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT m.i AS i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(m.c * v.v ORDER BY m.j)), (a, b) -> a + b) AS w
+  FROM mat m JOIN {prev} v ON v.i = m.j GROUP BY m.i),
+n{t} AS (
+  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(w * w ORDER BY i)), (a, b) -> a + b)) AS nr
+  FROM w{t}),
+v{t} AS (SELECT i, w / nr AS v FROM w{t} CROSS JOIN n{t})"""
+        )
+        prev = f"v{t}"
+    iter_ctes = ",\n".join(its)
+    return f"""
+WITH comps AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_PCA_SCALE}, 0)
+              AS HUGEINT) AS q
+  FROM embeddings),
+moms AS (
+  SELECT i, SUM(q) AS m_i, CAST(COUNT(*) AS HUGEINT) AS n_i
+  FROM comps GROUP BY i),
+sij AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s_ij
+  FROM comps a JOIN comps b USING (vec_id) GROUP BY 1, 2),
+mat AS MATERIALIZED (
+  SELECT s.i, s.j, {_PCA_C} AS c
+  FROM (SELECT i, j, s_ij FROM sij) s
+  JOIN (SELECT i, m_i, n_i FROM moms) mm ON mm.i = s.i
+  JOIN (SELECT i AS ji, m_i AS m_j FROM moms) mj ON mj.ji = s.j),
+v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM moms),
+{iter_ctes},
+ref AS (
+  SELECT (list(CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END
+               ORDER BY abs(v) DESC, i))[1] AS sgn
+  FROM v{_PCA_ITERS})
+SELECT CAST(v.i AS INT) AS component,
+       ROUND(v.v * sgn, 6) AS loading,
+       ROUND(nr, 6) AS eigenvalue
+FROM v{_PCA_ITERS} v CROSS JOIN n{_PCA_ITERS} CROSS JOIN ref
+ORDER BY component
+"""
+
+
+@query("pca_top_component", oracle=_pca_oracle())
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by 12
+    relational power iterations: per-dimension loading + the dominant
+    eigenvalue. The spectral profile an embedding pipeline checks
+    before trusting cosine geometry (anisotropy = one direction
+    hogging variance degrades every ANN family upstream), and the
+    whitening/JL companion to embedding_ann_jl.
+
+    Exactness — iterative float linear algebra made bit-identical:
+    components quantize to ints (x * 1e6, the nearest_centroid
+    discipline) so the 64x64 covariance comes from EXACT integer
+    moments paying one double cast per entry; every matvec and norm in
+    the 12 unrolled iterations is an ORDERED FOLD (by j within row,
+    by i across rows), so both engines accumulate in the same order
+    and the loadings agree bit-for-bit regardless of convergence
+    state. Sign is fixed by the max-|loading| component (ties by
+    smallest index).
+
+    Scale: the Gram pass explodes each vector to its 64x64 component
+    pairs map-side and collapses immediately to a 4,096-group partial
+    aggregate — exchange is matrix-sized, not data-sized (a fused
+    mapInPandas int-accumulator would cut the 64x inflation constant
+    but not the shape). Iterations run on 64-row relations with
+    64-row persisted half-steps (the graph-family pattern); nothing
+    downstream of the first aggregate sees data volume."""
+    emb = spark.table("embeddings")
+    qexpr = (
+        f"CAST(ROUND(CAST(xq AS DOUBLE) * {_PCA_SCALE}, 0) AS DECIMAL(38,0))"
+    )
+    ex1 = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i", "xq")
+    ).select("vec_id", "embedding", "i", F.expr(qexpr).alias("qi"))
+    moms = ex1.groupBy("i").agg(
+        F.sum("qi").alias("m_i"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+    )
+    pairs = ex1.select(
+        "vec_id", "i", "qi", F.posexplode("embedding").alias("j", "xq")
+    ).select("i", "j", (F.col("qi") * F.expr(qexpr)).alias("qq"))
+    sij = pairs.groupBy("i", "j").agg(F.sum("qq").alias("s_ij"))
+    mat = (
+        sij.join(F.broadcast(moms), "i")
+        .join(
+            F.broadcast(moms.select(F.col("i").alias("j"), F.col("m_i").alias("m_j"))),
+            "j",
+        )
+        .selectExpr("i", "j", f"{_PCA_C} AS c")
+        # 4,096-row matrix referenced by all 12 iterations: localCheckpoint
+        # truncates the Gram lineage out of every per-iteration plan (the
+        # dedup.py:458 discipline — without it the doubly-referenced
+        # half-steps compound the LOGICAL plan ~3x per iteration).
+        .localCheckpoint(eager=False)
+    )
+    v = moms.select("i", F.lit(0.125).alias("v"))
+    nr = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            mat.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .select("i", (F.col("c") * F.col("v")).alias("cv"), "j")
+            .groupBy("i")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(j, cv))), "
+                    "cast(0.0 as double), (a, e) -> a + e.cv)"
+                ).alias("w")
+            )
+            # 64 rows; reused by the norm AND the next v — truncate here
+            .localCheckpoint(eager=False)
+        )
+        nr = w.select("i", (F.col("w") * F.col("w")).alias("ww")).agg(
+            F.expr(
+                "sqrt(aggregate(array_sort(collect_list(struct(i, ww))), "
+                "cast(0.0 as double), (a, e) -> a + e.ww))"
+            ).alias("nr")
+        )
+        v = w.crossJoin(F.broadcast(nr)).select(
+            "i", (F.col("w") / F.col("nr")).alias("v")
+        )
+    ref = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.col("i").asc())
+        .limit(1)
+        .selectExpr("CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn")
+    )
+    return (
+        v.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            F.col("i").cast("int").alias("component"),
+            F.round(F.col("v") * F.col("sgn"), 6).alias("loading"),
+            F.round("nr", 6).alias("eigenvalue"),
+        )
+        .orderBy("component")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
