@@ -15849,6 +15849,474 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Equal-width value bins shared by the isotonic fit (same string both
+# engines; mn/mx/x are columns in scope).
+_ISO_B = "least(CAST(floor((x - mn) / (mx - mn) * 20) AS INT), 19)"
+
+_ISO_ORACLE = f"""
+WITH o AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders),
+ext AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM o),
+bins AS (
+  SELECT {_ISO_B} AS b, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS k_b
+  FROM o CROSS JOIN ext GROUP BY 1),
+ivals AS (
+  SELECT j.b AS j, k.b AS k,
+         CAST(SUM(p.n_b) AS BIGINT) AS sn, CAST(SUM(p.k_b) AS BIGINT) AS sk
+  FROM bins j JOIN bins k ON j.b <= k.b
+  JOIN bins p ON p.b BETWEEN j.b AND k.b
+  GROUP BY 1, 2),
+inner_min AS (
+  SELECT i.b AS i, v.j,
+         MIN(CAST(v.sk AS DOUBLE) / CAST(v.sn AS DOUBLE)) AS min_mean
+  FROM bins i JOIN ivals v ON v.j <= i.b AND v.k >= i.b
+  GROUP BY 1, 2),
+iso AS (SELECT i, MAX(min_mean) AS iso_rate FROM inner_min GROUP BY 1)
+SELECT b AS bin, n_b, k_b,
+       ROUND(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS raw_rate,
+       ROUND(iso_rate, 6) AS iso_rate
+FROM bins JOIN iso ON iso.i = bins.b ORDER BY bin
+"""
+
+
+@query("isotonic_urgency_by_value", oracle=_ISO_ORACLE)
+def isotonic_urgency_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the urgent-order
+    share on order value, over 20 equal-width value bins — the
+    shape-constrained dose-response fit (and the calibration method
+    behind isotonic score recalibration, the step up from
+    classifier_calibration_curve's raw reliability diagram). Computed
+    by the minimax characterization iso(i) = max_{j<=i} min_{k>=i}
+    mean(y[j..k]) instead of the sequential pool-adjacent-violators
+    stack — pure relational algebra, no order-dependent state.
+
+    Exactness: interval sums are exact integers off a bin-bounded
+    triple join; each interval mean pays one identical double
+    division; min/max over identical double multisets are
+    order-insensitive, so no fold discipline is even needed.
+
+    Scale: one scan collapses to <= 20 bins; intervals are <= 210
+    rows and the minimax joins are bin-bounded — constant beyond the
+    first aggregate."""
+    o = spark.table("orders").select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    ext = o.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    bins = (
+        o.crossJoin(F.broadcast(ext))
+        .selectExpr(f"{_ISO_B} AS b", "y")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("y").cast("bigint").alias("k_b"),
+        )
+    )
+    j = bins.select(F.col("b").alias("j"))
+    k = bins.select(F.col("b").alias("k"))
+    p = bins.select(F.col("b").alias("pb"), "n_b", "k_b")
+    ivals = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(p),
+            (F.col("pb") >= F.col("j")) & (F.col("pb") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("sn"),
+            F.sum("k_b").cast("bigint").alias("sk"),
+        )
+    )
+    i_side = bins.select(F.col("b").alias("i"))
+    inner_min = (
+        i_side.join(
+            F.broadcast(ivals),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.min(F.col("sk").cast("double") / F.col("sn").cast("double")).alias(
+                "min_mean"
+            )
+        )
+    )
+    iso = inner_min.groupBy("i").agg(F.max("min_mean").alias("iso_rate"))
+    return (
+        bins.join(F.broadcast(iso), bins.b == iso.i)
+        .select(
+            F.col("b").alias("bin"),
+            "n_b",
+            "k_b",
+            F.round(
+                F.col("k_b").cast("double") / F.col("n_b").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_CUPED_CUTOFF = "1999-01-01 00:00:00"
+
+# CUPED statistics over the pooled exact-integer moments (cnum/cden are
+# the covariance/variance numerators n*Sxy - Sx*Sy and n*Sxx - Sx^2 cast
+# to double once) and the per-arm exact sums (n_a, sx_a, sy_a doubles).
+_CUPED_THETA = "(cnum / cden)"
+_CUPED_ADJ = f"(sy_a / n_a - {_CUPED_THETA} * (sx_a / n_a - sx / n))"
+_CUPED_CORR2 = "(cnum * cnum / (cden * vyn))"
+
+_CUPED_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(o_custkey % 2 AS INT) AS arm,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_CUTOFF}'
+             THEN CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_CUTOFF}'
+             THEN CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT) ELSE 0 END) AS y
+  FROM orders GROUP BY 1, 2),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n_a_i,
+         SUM(x) AS sx_a_i, SUM(y) AS sy_a_i,
+         SUM(x*x) AS sxx_a_i, SUM(x*y) AS sxy_a_i, SUM(y*y) AS syy_a_i
+  FROM per_cust GROUP BY 1),
+pooled AS (
+  SELECT CAST(SUM(n_a_i) AS HUGEINT) AS n_i,
+         SUM(sx_a_i) AS sx_i, SUM(sy_a_i) AS sy_i,
+         SUM(sxx_a_i) AS sxx_i, SUM(sxy_a_i) AS sxy_i, SUM(syy_a_i) AS syy_i
+  FROM arms),
+d AS (
+  SELECT arm, CAST(n_a_i AS DOUBLE) AS n_a, CAST(sx_a_i AS DOUBLE) AS sx_a,
+         CAST(sy_a_i AS DOUBLE) AS sy_a,
+         CAST(n_i AS DOUBLE) AS n, CAST(sx_i AS DOUBLE) AS sx,
+         CAST(n_i * sxy_i - sx_i * sy_i AS DOUBLE) AS cnum,
+         CAST(n_i * sxx_i - sx_i * sx_i AS DOUBLE) AS cden,
+         CAST(n_i * syy_i - sy_i * sy_i AS DOUBLE) AS vyn
+  FROM arms CROSS JOIN pooled)
+SELECT arm, CAST(n_a AS BIGINT) AS n_units,
+       ROUND(sy_a / n_a, 4) AS mean_post_cents,
+       ROUND({_CUPED_ADJ}, 4) AS mean_adjusted_cents,
+       ROUND({_CUPED_THETA}, 6) AS theta,
+       ROUND({_CUPED_CORR2}, 6) AS variance_reduction
+FROM d ORDER BY arm
+"""
+
+
+@query("cuped_adjusted_arm_means", oracle=_CUPED_ORACLE)
+def cuped_adjusted_arm_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: per-customer
+    post-period revenue adjusted by pre-period revenue
+    (y' = y - theta*(x - mean(x)), theta = cov(x,y)/var(x) pooled),
+    arms assigned by the deterministic custkey hash split. The
+    experimentation-platform primitive that shrinks metric variance by
+    corr(x,y)^2 — reported alongside the adjustment so the readout
+    shows WHY the adjusted CI is tighter.
+
+    Exactness: per-customer period sums and all cross-moments are
+    exact integers (cents discipline); theta, the adjusted means, and
+    the variance-reduction ratio are shared expression strings over
+    one-time double casts of those integers — bit-identical engines.
+
+    Scale: one keyed aggregate to customer grain (the canonical
+    pre-aggregation), one conditional aggregate to 2 arm rows, pooled
+    moments by exact-integer arm sums — nothing wider than 2 rows
+    after the customer rollup."""
+    cents = F.expr("CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_CUTOFF).cast("timestamp")
+    per_cust = (
+        spark.table("orders")
+        .groupBy(
+            "o_custkey", (F.col("o_custkey") % 2).cast("int").alias("arm")
+        )
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias("y"),
+        )
+    )
+    arms = per_cust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_a_i"),
+        F.sum("x").alias("sx_a_i"),
+        F.sum("y").alias("sy_a_i"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_a_i"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_a_i"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_a_i"),
+    )
+    pooled = arms.agg(
+        F.sum("n_a_i").alias("n_i"),
+        F.sum("sx_a_i").alias("sx_i"),
+        F.sum("sy_a_i").alias("sy_i"),
+        F.sum("sxx_a_i").alias("sxx_i"),
+        F.sum("sxy_a_i").alias("sxy_i"),
+        F.sum("syy_a_i").alias("syy_i"),
+    )
+    d = arms.crossJoin(F.broadcast(pooled)).selectExpr(
+        "arm",
+        "CAST(n_a_i AS DOUBLE) AS n_a",
+        "CAST(sx_a_i AS DOUBLE) AS sx_a",
+        "CAST(sy_a_i AS DOUBLE) AS sy_a",
+        "CAST(n_i AS DOUBLE) AS n",
+        "CAST(sx_i AS DOUBLE) AS sx",
+        "CAST(n_i * sxy_i - sx_i * sy_i AS DOUBLE) AS cnum",
+        "CAST(n_i * sxx_i - sx_i * sx_i AS DOUBLE) AS cden",
+        "CAST(n_i * syy_i - sy_i * sy_i AS DOUBLE) AS vyn",
+    )
+    return d.selectExpr(
+        "arm",
+        "CAST(n_a AS BIGINT) AS n_units",
+        "ROUND(sy_a / n_a, 4) AS mean_post_cents",
+        f"ROUND({_CUPED_ADJ}, 4) AS mean_adjusted_cents",
+        f"ROUND({_CUPED_THETA}, 6) AS theta",
+        f"ROUND({_CUPED_CORR2}, 6) AS variance_reduction",
+    ).orderBy("arm")
+
+
+# 2x2 DiD cell names: t = in-region (treated), p = post-period. The
+# one-row relation carries per-cell doubles (nTP, sTP, nvTP) with
+# nv = n*q - s^2 exact-int variance numerators.
+_DID_EST = "((s11/n11 - s10/n10) - (s01/n01 - s00/n00))"
+_DID_SE = (
+    "sqrt(nv00/(n00*(n00-1))/n00 + nv01/(n01*(n01-1))/n01"
+    " + nv10/(n10*(n10-1))/n10 + nv11/(n11*(n11-1))/n11)"
+)
+_DID_Z = f"({_DID_EST} / {_DID_SE})"
+
+_DID_ORACLE = f"""
+WITH base AS (
+  SELECT CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_CUTOFF}' THEN 1 ELSE 0 END AS p,
+         CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey),
+cells AS (
+  SELECT t, p, CAST(COUNT(*) AS HUGEINT) AS n_i, SUM(v) AS s_i,
+         SUM(v*v) AS q_i
+  FROM base GROUP BY 1, 2),
+one AS (
+  SELECT
+    MAX(CASE WHEN t=0 AND p=0 THEN CAST(n_i AS DOUBLE) END) AS n00,
+    MAX(CASE WHEN t=0 AND p=1 THEN CAST(n_i AS DOUBLE) END) AS n01,
+    MAX(CASE WHEN t=1 AND p=0 THEN CAST(n_i AS DOUBLE) END) AS n10,
+    MAX(CASE WHEN t=1 AND p=1 THEN CAST(n_i AS DOUBLE) END) AS n11,
+    MAX(CASE WHEN t=0 AND p=0 THEN CAST(s_i AS DOUBLE) END) AS s00,
+    MAX(CASE WHEN t=0 AND p=1 THEN CAST(s_i AS DOUBLE) END) AS s01,
+    MAX(CASE WHEN t=1 AND p=0 THEN CAST(s_i AS DOUBLE) END) AS s10,
+    MAX(CASE WHEN t=1 AND p=1 THEN CAST(s_i AS DOUBLE) END) AS s11,
+    MAX(CASE WHEN t=0 AND p=0 THEN CAST(n_i*q_i - s_i*s_i AS DOUBLE) END) AS nv00,
+    MAX(CASE WHEN t=0 AND p=1 THEN CAST(n_i*q_i - s_i*s_i AS DOUBLE) END) AS nv01,
+    MAX(CASE WHEN t=1 AND p=0 THEN CAST(n_i*q_i - s_i*s_i AS DOUBLE) END) AS nv10,
+    MAX(CASE WHEN t=1 AND p=1 THEN CAST(n_i*q_i - s_i*s_i AS DOUBLE) END) AS nv11
+  FROM cells),
+zs AS (
+  SELECT CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n_orders,
+         ROUND(s00/n00, 4) AS mean_ctrl_pre, ROUND(s01/n01, 4) AS mean_ctrl_post,
+         ROUND(s10/n10, 4) AS mean_treat_pre, ROUND(s11/n11, 4) AS mean_treat_post,
+         ROUND({_DID_EST}, 4) AS did_cents, ROUND({_DID_SE}, 4) AS se_cents,
+         {_DID_Z} AS z
+  FROM one)
+SELECT n_orders, mean_ctrl_pre, mean_ctrl_post, mean_treat_pre, mean_treat_post,
+       did_cents, se_cents, ROUND(z, 6) AS z_score,
+       ROUND({{P}}, 6) AS p_value
+FROM (SELECT *, {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM zs))
+"""
+
+
+def _did_oracle() -> str:
+    return _DID_ORACLE.replace("{P}", _BH_P).replace("{TT}", _BH_TT).replace(
+        "{AZ}", _BH_AZ
+    )
+
+
+@query("diff_in_diff_region_value", oracle=_did_oracle())
+def diff_in_diff_region_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the ASIA-region order-value
+    shift across the 1999 period boundary: (treat_post - treat_pre) -
+    (ctrl_post - ctrl_pre), with the large-sample SE from the four
+    cell variances and the A&S normal p — the panel-data causal
+    companion to cuped_adjusted_arm_means (which handles randomized
+    splits; DiD handles the observational region 'rollout').
+
+    Exactness: the 2x2 cells carry exact-integer (n, s, q) off one
+    fact-dim join; means, the DiD contrast, its SE, z, and p are
+    shared expression strings over one-time double casts — identical
+    engines.
+
+    Scale: the orders->customer->nation->region join broadcasts the
+    dims; one conditional aggregate collapses to a single row."""
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            (F.col("r_name") == "ASIA").cast("int").alias("t"),
+            (F.col("o_orderdate") >= cutoff).cast("int").alias("p"),
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))").alias(
+                "v"
+            ),
+        )
+    )
+    cells = base.groupBy("t", "p").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+        F.sum("v").alias("s_i"),
+        F.sum(F.col("v") * F.col("v")).alias("q_i"),
+    )
+    picks = []
+    for t in (0, 1):
+        for p in (0, 1):
+            cond = f"t = {t} AND p = {p}"
+            picks += [
+                F.expr(f"MAX(CASE WHEN {cond} THEN CAST(n_i AS DOUBLE) END)")
+                .alias(f"n{t}{p}"),
+                F.expr(f"MAX(CASE WHEN {cond} THEN CAST(s_i AS DOUBLE) END)")
+                .alias(f"s{t}{p}"),
+                F.expr(
+                    f"MAX(CASE WHEN {cond} THEN"
+                    " CAST(n_i*q_i - s_i*s_i AS DOUBLE) END)"
+                ).alias(f"nv{t}{p}"),
+            ]
+    one = cells.agg(*picks)
+    zs = one.selectExpr(
+        "CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n_orders",
+        "ROUND(s00/n00, 4) AS mean_ctrl_pre",
+        "ROUND(s01/n01, 4) AS mean_ctrl_post",
+        "ROUND(s10/n10, 4) AS mean_treat_pre",
+        "ROUND(s11/n11, 4) AS mean_treat_post",
+        f"ROUND({_DID_EST}, 4) AS did_cents",
+        f"ROUND({_DID_SE}, 4) AS se_cents",
+        f"{_DID_Z} AS z",
+    )
+    return (
+        zs.selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "n_orders",
+            "mean_ctrl_pre",
+            "mean_ctrl_post",
+            "mean_treat_pre",
+            "mean_treat_post",
+            "did_cents",
+            "se_cents",
+            "ROUND(z, 6) AS z_score",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+    )
+
+
+# Beta-binomial method-of-moments prior over the per-group rates
+# (mu/s2 from ordered folds; shared strings over k, sum_p, sum_p2).
+_EB_MU = "(sum_p / k)"
+_EB_S2 = "((sum_p2 - sum_p * sum_p / k) / (k - 1))"
+_EB_COMMON = f"({_EB_MU} * (1 - {_EB_MU}) / {_EB_S2} - 1)"
+_EB_ALPHA = f"({_EB_MU} * {_EB_COMMON})"
+_EB_BETA = f"((1 - {_EB_MU}) * {_EB_COMMON})"
+
+_EB_ORACLE = f"""
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k1
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1),
+rates AS (
+  SELECT n_name, n1, k1, CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p_i
+  FROM per_nation),
+prior AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(p_i ORDER BY n_name)), (a, b) -> a + b) AS sum_p,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(p_i * p_i ORDER BY n_name)), (a, b) -> a + b) AS sum_p2
+  FROM rates)
+SELECT n_name, n1 AS n_orders, k1 AS n_urgent,
+       ROUND(p_i, 6) AS raw_rate,
+       ROUND((CAST(k1 AS DOUBLE) + {_EB_ALPHA})
+             / (CAST(n1 AS DOUBLE) + {_EB_ALPHA} + {_EB_BETA}), 6)
+         AS shrunk_rate,
+       ROUND({_EB_ALPHA}, 4) AS alpha, ROUND({_EB_BETA}, 4) AS beta
+FROM rates CROSS JOIN prior ORDER BY n_name
+"""
+
+
+@query("eb_shrunk_urgent_rates", oracle=_EB_ORACLE)
+def eb_shrunk_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation urgent-order rates under
+    a beta-binomial prior fitted by method of moments across the 25
+    nations — the 'rank small-sample segments honestly' primitive
+    (raw rates overrank tiny-n segments; shrunk rates pull them
+    toward the prior mean in proportion to their evidence), the
+    estimation companion to fdr_bh_nation_urgency's testing.
+
+    Exactness: per-nation counts are exact integers; each rate pays
+    one identical double division; the prior's mean/variance come
+    from name-sorted ordered folds and alpha/beta/shrinkage are
+    shared expression strings — identical engines.
+
+    Scale: one co-partitioned fact-dim join to a 25-row relation;
+    the prior fold and the broadcast-back are nation-bounded."""
+    per_nation = (
+        spark.table("orders")
+        .join(
+            F.broadcast(spark.table("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(spark.table("nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+            .cast("bigint")
+            .alias("k1"),
+        )
+    )
+    rates = per_nation.select(
+        "n_name",
+        "n1",
+        "k1",
+        (F.col("k1").cast("double") / F.col("n1").cast("double")).alias("p_i"),
+    )
+    prior = rates.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(n_name, p_i))), "
+            "cast(0.0 as double), (a, e) -> a + e.p_i)"
+        ).alias("sum_p"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(n_name, p_i * p_i as pp))), "
+            "cast(0.0 as double), (a, e) -> a + e.pp)"
+        ).alias("sum_p2"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(prior))
+        .selectExpr(
+            "n_name",
+            "n1 AS n_orders",
+            "k1 AS n_urgent",
+            "ROUND(p_i, 6) AS raw_rate",
+            f"ROUND((CAST(k1 AS DOUBLE) + {_EB_ALPHA})"
+            f" / (CAST(n1 AS DOUBLE) + {_EB_ALPHA} + {_EB_BETA}), 6)"
+            " AS shrunk_rate",
+            f"ROUND({_EB_ALPHA}, 4) AS alpha",
+            f"ROUND({_EB_BETA}, 4) AS beta",
+        )
+        .orderBy("n_name")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
