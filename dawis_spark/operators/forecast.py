@@ -131,3 +131,150 @@ holt AS (
          CAST(n AS BIGINT) AS n_points
   FROM hl_last, range(1, {horizon + 1}) hh(h))
 """
+
+
+def holt_winters_fit(
+    vals: list[int],
+    m: int = 7,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+    gamma_den: int = 4,
+) -> tuple[int, int, list[int]]:
+    """Fold the additive Holt-Winters recurrence (period m) over an
+    ordered value list; returns the final (level, trend, seasonals)
+    where seasonals[p] is the latest state for phase p = (t-1) mod m.
+    Init from the first season: l = trunc-mean of vals[:m], b = 0,
+    s_p = vals[p] - l. Same all-integer trunc-div discipline as
+    :func:`holt_fit` (matching Spark ``div`` and DuckDB ``//``)."""
+    l = _tdiv(sum(vals[:m]), m)
+    s = [v - l for v in vals[:m]]
+    b = 0
+    for i in range(m, len(vals)):
+        p = i % m
+        sold = s[p]
+        lnew = _tdiv((vals[i] - sold) + (alpha_den - 1) * (l + b), alpha_den)
+        b = _tdiv((lnew - l) + (beta_den - 1) * b, beta_den)
+        s[p] = _tdiv((vals[i] - lnew) + (gamma_den - 1) * sold, gamma_den)
+        l = lnew
+    return l, b, s
+
+
+def holt_winters(
+    series: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    m: int = 7,
+    horizon: int = 7,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+    gamma_den: int = 4,
+) -> DataFrame:
+    """Per-key additive Holt-Winters smoothing (period m) — the
+    seasonal extension of :func:`holt_linear`: forecast(h) =
+    l_n + h*b_n + s_{phase(n+h)}. Returns (key, h, forecast, level,
+    trend, seasonal, n_points). Same applyInPandas shape and the same
+    honest boundary: the trunc-div recurrence is sequential per
+    series, so this stays the one stateful-iteration batch operator
+    family; series are calendar-bounded, state is O(m)."""
+    out_schema = (
+        f"{key_col} string, h int, forecast bigint, level bigint, "
+        "trend bigint, seasonal bigint, n_points bigint"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col)
+        key = pdf[key_col].iloc[0]
+        vals = [int(v) for v in pdf[value_col]]
+        l, b, s = holt_winters_fit(vals, m, alpha_den, beta_den, gamma_den)
+        n = len(vals)
+        seas = [s[(n + h - 1) % m] for h in range(1, horizon + 1)]
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                "forecast": [
+                    l + h * b + seas[h - 1] for h in range(1, horizon + 1)
+                ],
+                "level": [l] * horizon,
+                "trend": [b] * horizon,
+                "seasonal": seas,
+                "n_points": [n] * horizon,
+            }
+        )
+
+    return series.groupBy(key_col).applyInPandas(fit, out_schema)
+
+
+def holt_winters_oracle_ctes(
+    daily_cte: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    m: int = 7,
+    horizon: int = 7,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+    gamma_den: int = 4,
+) -> str:
+    """DuckDB replay of :func:`holt_winters`: recursive CTE carrying
+    (l, b, s1..sm) per key — the phase-p seasonal updates via CASE on
+    ((t-1) % m) + 1, everything else carried. The lnew/sold
+    expressions are inlined per column (recursive CTEs cannot
+    reference sibling computed columns), generated mechanically here
+    so both engines replay the identical trunc-div trajectory. Ends in
+    ``hw(key, h, forecast, level, trend, seasonal, n_points)``; embed
+    under WITH RECURSIVE."""
+    a1, b1, g1 = alpha_den - 1, beta_den - 1, gamma_den - 1
+    s_cols = ", ".join(f"s{j}" for j in range(1, m + 1))
+    init_s = ",\n         ".join(
+        f"MAX(CASE WHEN t = {j} THEN x END)"
+        f" - (SUM(CASE WHEN t <= {m} THEN x END) // {m}) AS s{j}"
+        for j in range(1, m + 1)
+    )
+    sold = (
+        "(CASE ((i.t - 1) % " + str(m) + ") + 1 "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(1, m + 1))
+        + " END)"
+    )
+    lnew = f"(((i.x - {sold}) + {a1} * (r.l + r.b)) // {alpha_den})"
+    s_updates = ",\n         ".join(
+        f"CASE WHEN ((i.t - 1) % {m}) + 1 = {j} THEN "
+        f"(((i.x - {lnew}) + {g1} * {sold}) // {gamma_den}) "
+        f"ELSE r.s{j} END"
+        for j in range(1, m + 1)
+    )
+    fc_seas = (
+        "(CASE ((n + hh.h - 1) % " + str(m) + ") + 1 "
+        + " ".join(f"WHEN {j} THEN s{j}" for j in range(1, m + 1))
+        + " END)"
+    )
+    return f"""
+hw_ix AS (
+  SELECT {key_col} AS k, {value_col} AS x,
+         ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {ord_col}) AS t,
+         COUNT(*) OVER (PARTITION BY {key_col}) AS n
+  FROM {daily_cte}),
+hw_init AS (
+  SELECT k, MAX(n) AS n,
+         SUM(CASE WHEN t <= {m} THEN x END) // {m} AS l0,
+         {init_s}
+  FROM hw_ix GROUP BY k),
+hw_rec(k, t, n, l, b, {s_cols}) AS (
+  SELECT k, {m}, n, l0, CAST(0 AS BIGINT), {s_cols} FROM hw_init
+  UNION ALL
+  SELECT i.k, i.t, i.n,
+         {lnew},
+         ((({lnew}) - r.l + {b1} * r.b) // {beta_den}),
+         {s_updates}
+  FROM hw_rec r JOIN hw_ix i ON i.k = r.k AND i.t = r.t + 1),
+hw_last AS (
+  SELECT k, n, l, b, {s_cols} FROM hw_rec WHERE t = n),
+hw AS (
+  SELECT k, CAST(hh.h AS INT) AS h,
+         CAST(l + hh.h * b + {fc_seas} AS BIGINT) AS forecast,
+         CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+         CAST({fc_seas} AS BIGINT) AS seasonal,
+         CAST(n AS BIGINT) AS n_points
+  FROM hw_last, range(1, {horizon + 1}) hh(h))
+"""

@@ -16317,6 +16317,230 @@ def eb_shrunk_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_oracle(horizon: int) -> str:
+    from dawis_spark.operators.forecast import holt_winters_oracle_ctes
+
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+{holt_winters_oracle_ctes('daily', 'event_type', 'day', 'v', 7, horizon)}
+SELECT k AS event_type, h, forecast AS forecast_cents,
+       level AS level_cents, trend AS trend_cents,
+       seasonal AS seasonal_cents, n_points
+FROM hw ORDER BY event_type, h
+"""
+
+
+@query("holt_winters_forecast", oracle=_hw_oracle(7))
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple-exponential, weekly period) on
+    daily event totals with a 7-day forecast fan — the seasonal step up
+    from holt_linear_forecast: forecast(h) = level + h*trend +
+    seasonal(phase of n+h), so the day-of-week shape the DOW
+    seasonality index measures descriptively is carried into the
+    forecast. Dyadic weights (alpha 1/4, beta 1/8, gamma 1/4) keep the
+    whole (level, trend, 7-slot seasonal) state in truncating integer
+    cents, replayed bit-for-bit by a recursive CTE carrying the
+    seasonal slots as columns.
+
+    Scale: same honest applyInPandas boundary as holt_linear_forecast
+    — the trunc-div recurrence is sequential per series; the shuffle
+    carries (event_type, day, cents) daily aggregates, groups are
+    catalog-bounded, per-group state is O(m=7)
+    (operators/forecast.py:holt_winters)."""
+    from dawis_spark.operators.forecast import holt_winters
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    out = holt_winters(daily, "event_type", "day", "v", m=7, horizon=7)
+    return out.select(
+        "event_type",
+        "h",
+        F.col("forecast").alias("forecast_cents"),
+        F.col("level").alias("level_cents"),
+        F.col("trend").alias("trend_cents"),
+        F.col("seasonal").alias("seasonal_cents"),
+        "n_points",
+    ).orderBy("event_type", "h")
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, flag, status
+"""
+
+
+@query("cube_revenue_flag_status", oracle=_CUBE_ORACLE)
+def cube_revenue_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup of lineitem revenue over (returnflag, linestatus):
+    all four grouping-set levels (detail, each single-dim margin, grand
+    total) in ONE pass, disambiguated by grouping_id — the
+    multi-margin companion to rollup_acctbal (hierarchical ROLLUP).
+    NULL placeholder rows are coalesced to 'ALL' so the margin rows
+    are self-describing (gid keeps them distinct from any literal).
+
+    Exactness: pure exact-integer counting/summing — no float paths.
+
+    Scale: Spark expands the cube map-side into 4 grouping sets and
+    partial-aggregates before the single hash exchange keyed by
+    (gid, keys); margin rows add 3 groups per (flag, status) partition
+    — the exchange stays group-bounded (max 6*4 rows here)."""
+    li = spark.table("lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n_items",
+            "revenue_cents",
+        )
+        .orderBy("gid", "flag", "status")
+    )
+
+
+_HBT_ORIGINS = 3  # rolling origins, one week apart
+
+
+def _hbt_oracle(horizon: int) -> str:
+    from dawis_spark.operators.forecast import holt_oracle_ctes
+
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+origins AS (
+  SELECT o.o AS origin, MAX(day) - INTERVAL (7 * o.o) DAY AS cutoff
+  FROM daily, range(1, {_HBT_ORIGINS + 1}) o(o) GROUP BY o.o),
+hb_daily AS (
+  SELECT event_type || '|' || CAST(origin AS VARCHAR) AS ck, day, v
+  FROM daily JOIN origins ON day <= cutoff),
+{holt_oracle_ctes('hb_daily', 'ck', 'day', 'v', horizon)},
+fc AS (
+  SELECT CAST(string_split(k, '|')[1] AS VARCHAR) AS event_type,
+         CAST(string_split(k, '|')[2] AS INT) AS origin, h, forecast
+  FROM holt),
+joined AS (
+  SELECT f.origin, f.h, abs(f.forecast - d.v) AS abs_err
+  FROM fc f
+  JOIN origins o ON o.origin = f.origin
+  JOIN daily d ON d.event_type = f.event_type
+              AND d.day = o.cutoff + INTERVAL (f.h) DAY)
+SELECT origin, h, CAST(COUNT(*) AS BIGINT) AS n_series,
+       ROUND(CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS mae_cents
+FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("holt_backtest_mae", oracle=_hbt_oracle(7))
+def holt_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt linear forecaster: re-fit on
+    the series truncated one/two/three weeks before the end, forecast
+    the next 7 days, and score MAE against the actuals per (origin,
+    horizon) — the time-series cross-validation that turns
+    holt_linear_forecast from 'a forecast' into 'a forecaster with a
+    measured error curve' (and the honest input to choosing it over
+    seasonal_naive_mase's yardstick).
+
+    Mechanics: all origins refit in ONE applyInPandas pass by crossing
+    the daily series with the 3-row origin relation and compositing
+    (event_type, origin) into the series key — k x |origins| small
+    groups, no per-origin job. The oracle replays the same composite
+    keys through the shared recursive-CTE generator.
+
+    Exactness: forecasts and actuals are exact integer cents, |err|
+    exact; MAE pays one double division per output row.
+
+    Scale: the crossed series multiplies the day-bounded daily
+    relation by a 3-row broadcast — still calendar-bounded; the
+    forecast/actual join is keyed on (event_type, day)."""
+    from dawis_spark.operators.forecast import holt_linear
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    origins = (
+        daily.agg(F.max("day").alias("mx"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(_HBT_ORIGINS))).alias("origin"),
+            "mx",
+        )
+        .select(
+            "origin",
+            F.expr("mx - make_interval(0, 0, 0, 7 * origin)").alias("cutoff"),
+        )
+    )
+    hb_daily = (
+        daily.crossJoin(F.broadcast(origins))
+        .filter(F.col("day") <= F.col("cutoff"))
+        .select(
+            F.concat_ws("|", "event_type", F.col("origin").cast("string")).alias(
+                "ck"
+            ),
+            "day",
+            "v",
+        )
+    )
+    fc = holt_linear(hb_daily, "ck", "day", "v", horizon=7).select(
+        F.split("ck", "\\|").getItem(0).alias("event_type"),
+        F.split("ck", "\\|").getItem(1).cast("int").alias("origin"),
+        "h",
+        "forecast",
+    )
+    joined = (
+        fc.join(F.broadcast(origins), "origin")
+        .join(
+            daily,
+            (F.col("day") == F.expr("cutoff + make_interval(0, 0, 0, h)"))
+            & (daily.event_type == fc.event_type),
+        )
+        .select("origin", "h", F.abs(F.col("forecast") - F.col("v")).alias("abs_err"))
+    )
+    return (
+        joined.groupBy("origin", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_series"),
+            F.round(
+                F.sum("abs_err").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mae_cents"),
+        )
+        .orderBy("origin", "h")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
