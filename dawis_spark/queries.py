@@ -16541,6 +16541,408 @@ def holt_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mann-Kendall statistics over (s BIGINT, var_s DOUBLE) columns —
+# shared strings; z applies the standard continuity correction.
+_MK_Z = (
+    "(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s)"
+    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s)"
+    " ELSE 0.0 END)"
+)
+
+_MK_ORACLE = f"""
+WITH {{DAILY}},
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.d < b.d),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM daily),
+ties AS (
+  SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS HUGEINT), 0) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM daily GROUP BY rev)
+  WHERE t > 1),
+vs AS (
+  SELECT s, CAST(n AS BIGINT) AS n_days,
+         CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18 AS var_s
+  FROM pairs CROSS JOIN nn CROSS JOIN ties),
+zs AS (SELECT n_days, s, var_s, {_MK_Z} AS z FROM vs)
+SELECT n_days, s AS s_stat, ROUND(var_s, 4) AS var_s,
+       ROUND(z, 6) AS z_score, ROUND({{P}}, 6) AS p_value
+FROM (SELECT *, {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM zs))
+"""
+
+
+def _mk_oracle() -> str:
+    return (
+        _MK_ORACLE.replace("{DAILY}", _DAILY_REV_ORDERS_CTE)
+        .replace("{P}", _BH_P)
+        .replace("{TT}", _BH_TT)
+        .replace("{AZ}", _BH_AZ)
+    )
+
+
+@query("mann_kendall_daily_revenue", oracle=_mk_oracle())
+def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue — the
+    nonparametric significance companion to theil_sen_trends (which
+    estimates the slope this test decides is real): S = sum of
+    pairwise sign comparisons, tie-corrected variance
+    [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18, continuity-corrected z, and
+    the A&S normal p.
+
+    Exactness: S and both variance terms are exact integers (the sign
+    sum off a day-bounded pair join, the tie term off a value-keyed
+    count); var pays one double cast, z/p are shared expression
+    strings — identical engines.
+
+    Scale: the O(days^2) pair join is calendar-bounded (the theil_sen
+    adjudication), never row-scale; everything else is one row."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("rb") > F.col("ra"), 1)
+                .when(F.col("rb") < F.col("ra"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie_term")
+        )
+    )
+    vs = (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "s",
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18 AS var_s",
+        )
+    )
+    return (
+        vs.selectExpr("n_days", "s", "var_s", f"{_MK_Z} AS z")
+        .selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "n_days",
+            "s AS s_stat",
+            "ROUND(var_s, 4) AS var_s",
+            "ROUND(z, 6) AS z_score",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+    )
+
+
+# Restricted (single-lag) OLS strings over the same sufficient-statistic
+# column names the _OLS2_* strings use; b1r/b0r are staged columns.
+_OLS1_B1 = "((n * s1y - s1 * sy) / (n * s11 - s1 * s1))"
+_OLS1_B0 = "((sy - b1r * s1) / n)"
+_OLS1_SSE = (
+    "(syy - 2 * (b0r * sy + b1r * s1y)"
+    " + (b0r * b0r * n + b1r * b1r * s11 + 2 * b0r * b1r * s1))"
+)
+_GRANGER_F = "(((sse_r - sse_u) * (n - 3)) / sse_u)"
+
+_GRANGER_ORACLE = f"""
+WITH {{DAILY}},
+lagged AS (
+  SELECT CAST(rev AS HUGEINT) AS y,
+         CAST(LAG(rev) OVER (ORDER BY d) AS HUGEINT) AS y1,
+         CAST(LAG(cnt) OVER (ORDER BY d) AS HUGEINT) AS x1
+  FROM daily),
+obs AS (SELECT y, y1, x1 FROM lagged WHERE y1 IS NOT NULL),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n0,
+         SUM(y1) AS s1_i, SUM(x1) AS s2_i,
+         SUM(y1*y1) AS s11_i, SUM(x1*x1) AS s22_i, SUM(y1*x1) AS s12_i,
+         SUM(y) AS sy_i, SUM(y*y) AS syy_i,
+         SUM(y1*y) AS s1y_i, SUM(x1*y) AS s2y_i
+  FROM obs),
+d AS (SELECT {{CASTS}} FROM stats),
+coef AS (
+  SELECT *, {{B0}} AS b0, {{B1}} AS b1, {{B2}} AS b2, {_OLS1_B1} AS b1r
+  FROM d),
+coef2 AS (SELECT *, {_OLS1_B0} AS b0r FROM coef),
+sses AS (
+  SELECT n, b1, b2, {{SSE_U}} AS sse_u, {_OLS1_SSE} AS sse_r FROM coef2),
+fs AS (
+  SELECT CAST(n AS BIGINT) AS n_obs,
+         ROUND(b1, 6) AS coef_rev_lag1, ROUND(b2, 6) AS coef_orders_lag1,
+         ROUND(sse_u, 4) AS sse_unrestricted, ROUND(sse_r, 4) AS sse_restricted,
+         {_GRANGER_F} AS f, sqrt({_GRANGER_F}) AS z
+  FROM sses)
+SELECT n_obs, coef_rev_lag1, coef_orders_lag1, sse_unrestricted,
+       sse_restricted, ROUND(f, 6) AS f_stat, ROUND({{P}}, 6) AS p_value
+FROM (SELECT * , {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM fs))
+"""
+
+
+def _granger_oracle() -> str:
+    return (
+        _GRANGER_ORACLE.replace("{DAILY}", _DAILY_REV_ORDERS_CTE)
+        .replace("{CASTS}", _OLS2_STAT_CASTS)
+        .replace("{B0}", _OLS2_B0)
+        .replace("{B1}", _OLS2_B1)
+        .replace("{B2}", _OLS2_B2)
+        .replace("{SSE_U}", _OLS2_SSE)
+        .replace("{P}", _BH_P)
+        .replace("{TT}", _BH_TT)
+        .replace("{AZ}", _BH_AZ)
+    )
+
+
+@query("granger_orders_to_revenue", oracle=_granger_oracle())
+def granger_orders_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality screen (one lag): does yesterday's ORDER COUNT
+    improve today's revenue prediction beyond yesterday's revenue?
+    Compares the two-feature OLS y_t ~ y_{t-1} + x_{t-1} against the
+    restricted y_t ~ y_{t-1}; F = (SSE_r - SSE_u)(n-3)/SSE_u with 1
+    numerator dof, p via the F(1,df) = t^2 identity and the A&S
+    normal approximation (df in the hundreds+ here — same
+    approximation discipline as welch_ttest). The lead/lag companion
+    to ccf_orders_vs_revenue that answers 'is the lead PREDICTIVE'.
+
+    Exactness: the ten sufficient statistics are exact DECIMAL(38,0)
+    integers off ONE aggregate of the lagged day-bounded series; both
+    regressions' coefficients and SSEs reuse the ols_price_regression
+    expression strings (_OLS2_*/_OLS1_*) over the same doubles —
+    bit-identical engines.
+
+    Scale: the lag window rides the calendar-bounded daily series
+    (whitelisted class); everything after is one 10-number row."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    w = Window.orderBy("d")
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    obs = (
+        daily.select(
+            F.col("rev").alias("y0"),
+            F.lag("rev").over(w).alias("y1_0"),
+            F.lag("cnt").over(w).alias("x1_0"),
+        )
+        .filter(F.col("y1_0").isNotNull())
+        .select(
+            dd("y0").alias("y"), dd("y1_0").alias("y1"), dd("x1_0").alias("x1")
+        )
+    )
+    stats = obs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n0"),
+        F.sum("y1").alias("s1_i"),
+        F.sum("x1").alias("s2_i"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11_i"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22_i"),
+        F.sum(F.col("y1") * F.col("x1")).alias("s12_i"),
+        F.sum("y").alias("sy_i"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_i"),
+        F.sum(F.col("y1") * F.col("y")).alias("s1y_i"),
+        F.sum(F.col("x1") * F.col("y")).alias("s2y_i"),
+    )
+    d = stats.selectExpr(*_OLS2_STAT_CASTS.split(", "))
+    coef = d.select(
+        "*",
+        F.expr(_OLS2_B0).alias("b0"),
+        F.expr(_OLS2_B1).alias("b1"),
+        F.expr(_OLS2_B2).alias("b2"),
+        F.expr(_OLS1_B1).alias("b1r"),
+    ).withColumn("b0r", F.expr(_OLS1_B0))
+    sses = coef.select(
+        "n",
+        "b1",
+        "b2",
+        F.expr(_OLS2_SSE).alias("sse_u"),
+        F.expr(_OLS1_SSE).alias("sse_r"),
+    )
+    fs = sses.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "ROUND(b1, 6) AS coef_rev_lag1",
+        "ROUND(b2, 6) AS coef_orders_lag1",
+        "ROUND(sse_u, 4) AS sse_unrestricted",
+        "ROUND(sse_r, 4) AS sse_restricted",
+        f"{_GRANGER_F} AS f",
+        f"sqrt({_GRANGER_F}) AS z",
+    )
+    return (
+        fs.selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "n_obs",
+            "coef_rev_lag1",
+            "coef_orders_lag1",
+            "sse_unrestricted",
+            "sse_restricted",
+            "ROUND(f, 6) AS f_stat",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+    )
+
+
+# Single-feature log-log OLS over (n, sx, sy, sxx, sxy) doubles from
+# ordered folds — Heaps' law V = k * N^beta linearized as
+# ln V = ln k + beta ln N.
+_HEAPS_BETA = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_HEAPS_K = f"exp((sy - {_HEAPS_BETA} * sx) / n)"
+
+_HEAPS_ORACLE = f"""
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+toks AS (
+  SELECT CAST(doc_id * 10 // (m + 1) AS INT) AS b, t FROM (
+    SELECT doc_id, m, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents CROSS JOIN mx)
+  WHERE t <> ''),
+per_bt AS (SELECT b, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+tok_first AS (SELECT t, MIN(b) AS fb FROM per_bt GROUP BY 1),
+bucket_new AS (
+  SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS new_vocab
+  FROM tok_first GROUP BY 1),
+bucket_tok AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n_tok FROM per_bt GROUP BY 1),
+cum AS (
+  SELECT a.b,
+         CAST(SUM(bt.n_tok) AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(bn.new_vocab, 0)) AS BIGINT) AS cum_vocab
+  FROM bucket_tok a
+  JOIN bucket_tok bt ON bt.b <= a.b
+  LEFT JOIN bucket_new bn ON bn.b = bt.b
+  GROUP BY 1),
+pts AS (
+  SELECT b, cum_tokens, cum_vocab,
+         ln(CAST(cum_tokens AS DOUBLE)) AS lx,
+         ln(CAST(cum_vocab AS DOUBLE)) AS ly
+  FROM cum),
+fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(lx ORDER BY b)), (a, e) -> a + e) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(ly ORDER BY b)), (a, e) -> a + e) AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(lx * lx ORDER BY b)), (a, e) -> a + e) AS sxx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(lx * ly ORDER BY b)), (a, e) -> a + e) AS sxy
+  FROM pts)
+SELECT b AS bucket, cum_tokens, cum_vocab,
+       ROUND({_HEAPS_K}, 4) AS heaps_k,
+       ROUND({_HEAPS_BETA}, 6) AS heaps_beta
+FROM pts CROSS JOIN fit ORDER BY bucket
+"""
+
+
+@query("heaps_law_vocab_growth", oracle=_HEAPS_ORACLE)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) = k*N^beta over ten
+    cumulative corpus prefixes (doc_id order) — the companion to
+    zipf_exponent_fit (they are two views of the same heavy tail) and
+    the capacity-planning curve a tokenizer/dedup pipeline consults
+    ('how much NEW vocabulary will the next 10 TB bring').
+
+    The cumulative-distinct trick: cumulative vocabulary at prefix b =
+    count of tokens whose FIRST-occurrence bucket <= b — one min-bucket
+    aggregate per token instead of a distinct-count per prefix, so the
+    10 prefixes cost one pass.
+
+    Exactness: prefix token/vocab counts are exact integers off
+    bucket-bounded joins; the log-log OLS uses bucket-sorted ordered
+    folds and shared expression strings for k/beta — identical engines.
+
+    Scale: token relations are vocabulary-sized (the tokenizer-family
+    discipline); the prefix self-join is 10x10; the fit folds 10
+    doubles."""
+    mx = spark.table("documents").agg(F.max("doc_id").alias("m"))
+    toks = (
+        spark.table("documents")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(doc_id * 10 div (m + 1) AS INT)").alias("b"),
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    per_bt = toks.groupBy("b", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tok_first = per_bt.groupBy("t").agg(F.min("b").alias("fb"))
+    bucket_new = tok_first.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_vocab")
+    )
+    bucket_tok = per_bt.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("n_tok")
+    )
+    a = bucket_tok.select(F.col("b").alias("ab"))
+    cum = (
+        a.join(F.broadcast(bucket_tok), F.col("b") <= F.col("ab"))
+        .join(F.broadcast(bucket_new), "b", "left")
+        .groupBy("ab")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+        .select(F.col("ab").alias("b"), "cum_tokens", "cum_vocab")
+    )
+    pts = cum.select(
+        "b",
+        "cum_tokens",
+        "cum_vocab",
+        F.log(F.col("cum_tokens").cast("double")).alias("lx"),
+        F.log(F.col("cum_vocab").cast("double")).alias("ly"),
+    )
+    fold = (
+        "aggregate(array_sort(collect_list(struct(b, {v} as vv))), "
+        "cast(0.0 as double), (a, e) -> a + e.vv)"
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr(fold.format(v="lx")).alias("sx"),
+        F.expr(fold.format(v="ly")).alias("sy"),
+        F.expr(fold.format(v="lx * lx")).alias("sxx"),
+        F.expr(fold.format(v="lx * ly")).alias("sxy"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .selectExpr(
+            "b AS bucket",
+            "cum_tokens",
+            "cum_vocab",
+            f"ROUND({_HEAPS_K}, 4) AS heaps_k",
+            f"ROUND({_HEAPS_BETA}, 6) AS heaps_beta",
+        )
+        .orderBy("bucket")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
