@@ -16943,6 +16943,289 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Simplified silhouette per point over (a, b) distance columns — the
+# centroid-distance variant (a = distance to own centroid, b = nearest
+# OTHER centroid), shared string.
+_SIL_S = "(CASE WHEN greatest(a, b) <= 0 THEN 0.0 ELSE (b - a) / greatest(a, b) END)"
+
+
+def _silhouette_oracle(k: int, dim: int) -> str:
+    cos = _VEC.cosine_null("v.vec", "fc.cvec", "duck")
+    return f"""
+WITH {_kmeans_c1_ctes(k, dim)},
+scored AS (
+  SELECT v.vec_id, fc.cid,
+         coalesce(round({cos}, 6), -2.0) AS cos6
+  FROM v CROSS JOIN c1 fc),
+own AS (
+  SELECT vec_id, cid AS own_cid, 1 - cos6 AS a FROM (
+    SELECT vec_id, cid, cos6,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos6 DESC, cid) AS rn
+    FROM scored)
+  WHERE rn = 1),
+bs AS (
+  SELECT s.vec_id, MIN(1 - s.cos6) AS b
+  FROM scored s JOIN own o ON o.vec_id = s.vec_id AND s.cid <> o.own_cid
+  GROUP BY 1),
+sil AS (
+  SELECT own.own_cid AS cid, {_SIL_S} AS s
+  FROM own JOIN bs ON bs.vec_id = own.vec_id)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(s), 6) AS mean_silhouette
+FROM sil GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("kmeans_silhouette_simplified", oracle=_silhouette_oracle(8, 64))
+def kmeans_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-distance) silhouette per k-means cluster —
+    the cluster-quality readout kmeans_cohesion (within-SSE only)
+    cannot give: s = (b - a)/max(a, b) with a = cosine distance to the
+    own centroid and b = to the nearest OTHER centroid, so clusters
+    that are tight but not separated score low. The O(n*k)
+    centroid-distance form replaces the O(n^2) pairwise silhouette —
+    the only variant that exists at corpus scale.
+
+    Determinism: the same trained round-6 centroids as kmeans_clusters
+    (oracle replays training); per-point cosines round to 6 before the
+    argmax/min, so a/b/s are identical doubles; the per-cluster mean
+    is the one order-dependent float reduce — error ~n*eps against the
+    round-6 margin (the KDE adjudication; at 1e9-point clusters move
+    the rounding to 4).
+
+    Scale: one map-side k-fan-out against literal centroids, collapsed
+    by vec_id then by cid — exchanges carry (point, 2 doubles) and the
+    k-row result."""
+    from dawis_spark.operators.similarity import train_kmeans
+
+    emb = spark.table("embeddings")
+    cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in cents],
+        "cid int, cvec array<double>",
+    )
+    cos = _VEC.cosine_null("vec", "cvec", "spark")
+    scored = (
+        emb.select("vec_id", F.col("embedding").alias("vec"))
+        .crossJoin(F.broadcast(cent_df))
+        .selectExpr(
+            "vec_id", "cid", f"coalesce(round({cos}, 6), -2.0) AS cos6"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos6").desc(), F.col("cid"))
+    own = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("own_cid"),
+            (F.lit(1) - F.col("cos6")).alias("a"),
+        )
+    )
+    bs = (
+        scored.join(own, "vec_id")
+        .filter(F.col("cid") != F.col("own_cid"))
+        .groupBy("vec_id")
+        .agg(F.min(F.lit(1) - F.col("cos6")).alias("b"))
+    )
+    sil = own.join(bs, "vec_id").selectExpr("own_cid AS cid", f"{_SIL_S} AS s")
+    return (
+        sil.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("cid")
+    )
+
+
+# Dispersion statistics over per-group (n, s, q) exact integers:
+# D = var/mean = (n*q - s^2) / ((n-1) * n * mean) ... written against the
+# one-cast doubles (n, s, nv) with nv = n*q - s^2.
+_OD_MEAN = "(s / n)"
+_OD_VAR = "(nv / (n * (n - 1)))"
+_OD_D = f"({_OD_VAR} / {_OD_MEAN})"
+_OD_CHI2 = f"((n - 1) * {_OD_D})"
+_OD_Z = f"(({_OD_CHI2} - (n - 1)) / sqrt(2 * (n - 1)))"
+
+_OD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_i,
+         SUM(CAST(c AS HUGEINT)) AS s_i,
+         SUM(CAST(c AS HUGEINT) * c) AS q_i
+  FROM daily GROUP BY 1),
+d AS (
+  SELECT event_type, CAST(n_i AS DOUBLE) AS n, CAST(s_i AS DOUBLE) AS s,
+         CAST(n_i * q_i - s_i * s_i AS DOUBLE) AS nv
+  FROM per),
+zs AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         ROUND({_OD_MEAN}, 4) AS mean_daily, ROUND({_OD_VAR}, 4) AS var_daily,
+         ROUND({_OD_D}, 6) AS dispersion, {_OD_Z} AS z
+  FROM d)
+SELECT event_type, n_days, mean_daily, var_daily, dispersion,
+       ROUND(z, 6) AS z_score, ROUND({{P}}, 6) AS p_value
+FROM (SELECT *, {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM zs))
+ORDER BY event_type
+"""
+
+
+def _od_oracle() -> str:
+    return (
+        _OD_ORACLE.replace("{P}", _BH_P)
+        .replace("{TT}", _BH_TT)
+        .replace("{AZ}", _BH_AZ)
+    )
+
+
+@query("overdispersion_event_counts", oracle=_od_oracle())
+def overdispersion_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion screen on daily event counts per type:
+    dispersion index D = var/mean, the chi-square dispersion statistic
+    (n-1)*D, and its normal-approximation p — the 'is a Poisson model
+    even admissible' gate before rate-based alerting (a bursty type
+    with D >> 1 needs negative-binomial thresholds, which is exactly
+    what anomaly_mad_daily's robust bands approximate).
+
+    Exactness: daily counts and the (n, s, q) sufficient statistics
+    are exact integers; D/chi2/z/p are shared expression strings over
+    one-time double casts — identical engines.
+
+    Scale: one keyed day-rollup (the exchange carries daily counts),
+    then a type-keyed aggregate to |types| rows."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dd = F.col("c").cast("decimal(38,0)")
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+        F.sum(dd).alias("s_i"),
+        F.sum(dd * dd).alias("q_i"),
+    )
+    d = per.selectExpr(
+        "event_type",
+        "CAST(n_i AS DOUBLE) AS n",
+        "CAST(s_i AS DOUBLE) AS s",
+        "CAST(n_i * q_i - s_i * s_i AS DOUBLE) AS nv",
+    )
+    return (
+        d.selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_days",
+            f"ROUND({_OD_MEAN}, 4) AS mean_daily",
+            f"ROUND({_OD_VAR}, 4) AS var_daily",
+            f"ROUND({_OD_D}, 6) AS dispersion",
+            f"{_OD_Z} AS z",
+        )
+        .selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "mean_daily",
+            "var_daily",
+            "dispersion",
+            "ROUND(z, 6) AS z_score",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+# Order-statistic ranks for the distribution-free median CI (normal
+# approximation to Binomial(n, 1/2), z = 1.959964): shared strings over
+# the one-row n.
+_MCI_LO = "CAST(floor((n + 1) / 2.0 - 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2) AS BIGINT)"
+_MCI_MED = "CAST(floor((n + 1) / 2.0) AS BIGINT)"
+_MCI_HI = "CAST(ceil((n + 1) / 2.0 + 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2) AS BIGINT)"
+
+_MCI_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+ranks AS (
+  SELECT 'lo' AS which, {_MCI_LO} AS r FROM nn
+  UNION ALL SELECT 'median', {_MCI_MED} FROM nn
+  UNION ALL SELECT 'hi', {_MCI_HI} FROM nn),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vals),
+sel AS (
+  SELECT which, r, MIN(v) AS val
+  FROM ranks JOIN cum ON cum.cum >= ranks.r
+  GROUP BY 1, 2)
+SELECT (SELECT n FROM nn) AS n_orders,
+       MAX(CASE WHEN which = 'median' THEN val END) AS median_cents,
+       MAX(CASE WHEN which = 'lo' THEN val END) AS ci_lo_cents,
+       MAX(CASE WHEN which = 'hi' THEN val END) AS ci_hi_cents,
+       MAX(CASE WHEN which = 'lo' THEN r END) AS rank_lo,
+       MAX(CASE WHEN which = 'hi' THEN r END) AS rank_hi
+FROM sel
+"""
+
+
+@query("median_ci_order_value", oracle=_MCI_ORACLE)
+def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN order
+    value by binomial order statistics: the CI endpoints are the
+    sample values at ranks (n+1)/2 -/+ 1.96*sqrt(n)/2 — exact-rank
+    selection, no resampling, so it costs one value rollup instead of
+    bootstrap_ci_order_value's B replicates (its cross-check: the two
+    intervals should agree).
+
+    Exactness: rank targets come from one shared sqrt expression over
+    the exact count; selection walks exact-integer cumulative counts
+    over the distinct-value relation — no other float paths.
+
+    Scale: the value rollup is distinct-cents-bounded (the
+    weighted_median adjudication); the cumulative window runs over
+    that value relation, not rows, and the rank probe is a 3-row
+    broadcast join."""
+    vals = (
+        spark.table("orders")
+        .groupBy(
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nn = vals.agg(F.sum("c").cast("bigint").alias("n"))
+    ranks = nn.selectExpr(
+        f"stack(3, 'lo', {_MCI_LO}, 'median', {_MCI_MED}, 'hi', {_MCI_HI})"
+        " AS (which, r)"
+    )
+    from pyspark.sql import Window
+
+    cum = vals.select(
+        "v", F.sum("c").over(Window.orderBy("v")).alias("cum")
+    )
+    sel = (
+        F.broadcast(ranks)
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("which", "r")
+        .agg(F.min("v").alias("val"))
+    )
+    return sel.crossJoin(F.broadcast(nn)).agg(
+        F.max("n").alias("n_orders"),
+        F.max(F.when(F.col("which") == "median", F.col("val"))).alias(
+            "median_cents"
+        ),
+        F.max(F.when(F.col("which") == "lo", F.col("val"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("which") == "hi", F.col("val"))).alias("ci_hi_cents"),
+        F.max(F.when(F.col("which") == "lo", F.col("r"))).alias("rank_lo"),
+        F.max(F.when(F.col("which") == "hi", F.col("r"))).alias("rank_hi"),
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -17007,13 +17290,47 @@ DRIVER_PRIORITY: list[str] = [
     "langid_cohens_kappa",
     "classifier_calibration_curve",
     "source_embedding_affinity",
-    # Everything else in the inventory is driver-green in
-    # CORRECTNESS_r01-r10 and stays in the every-round local sweep
-    # (SWEEP_r11.json). Landed after the prefix filled — queue for the
-    # r12 rotation (SWEEP_r11 carries their oracle evidence this round):
-    # t_closeness_profile, cs_heavy_hitters, fellegi_sunter_patterns,
-    # hll_distinct_users_by_type.
 ]
+
+# Added in round 11 AFTER the 50-entry driver rotation above was frozen
+# (the driver hashes only the first 50 registry names). The r12 rotation
+# should replace DRIVER_PRIORITY's head with these so no query waits more
+# than one round for driver evidence.
+NEXT_ROTATION: list[str] = [
+    "fellegi_sunter_patterns",
+    "fellegi_sunter_em",
+    "kaplan_meier_retention",
+    "logrank_first_event_groups",
+    "shapley_channel_attribution",
+    "cs_heavy_hitters",
+    "t_closeness_profile",
+    "hll_distinct_users_by_type",
+    "ljung_box_daily_revenue",
+    "ols_price_regression",
+    "kde_totalprice_density",
+    "decision_stump_discount",
+    "naive_bayes_langid",
+    "naive_bayes_cv_folds",
+    "fdr_bh_nation_urgency",
+    "welch_ttest_order_value",
+    "anova_order_value_priority",
+    "categorical_association_profile",
+    "pca_top_component",
+    "isotonic_urgency_by_value",
+    "cuped_adjusted_arm_means",
+    "diff_in_diff_region_value",
+    "eb_shrunk_urgent_rates",
+    "holt_winters_forecast",
+    "holt_backtest_mae",
+    "cube_revenue_flag_status",
+    "mann_kendall_daily_revenue",
+    "granger_orders_to_revenue",
+    "heaps_law_vocab_growth",
+    "kmeans_silhouette_simplified",
+    "overdispersion_event_counts",
+    "median_ci_order_value",
+]
+
 
 
 def ordered_queries() -> dict:
