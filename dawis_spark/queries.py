@@ -15772,28 +15772,61 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. Sign is fixed by the max-|loading| component (ties by
     smallest index).
 
-    Scale: the Gram pass explodes each vector to its 64x64 component
-    pairs map-side and collapses immediately to a 4,096-group partial
-    aggregate — exchange is matrix-sized, not data-sized (a fused
-    mapInPandas int-accumulator would cut the 64x inflation constant
-    but not the shape). Iterations run on 64-row relations with
-    64-row persisted half-steps (the graph-family pattern); nothing
-    downstream of the first aggregate sees data volume."""
+    Scale: the Gram pass is a mapInPandas integer accumulator — each
+    Arrow batch contributes one exact int64 Q^T Q (values fit: q <=
+    ~1e6 scaled, so a 10k-row batch partial is <= ~3e15 << 2^63) plus
+    the moment vector, and the exchange carries batches x 4,161 rows of
+    partial integers, never vectors (the quantizer stays JVM-side so no
+    Python rounding can diverge from the oracle's). The earlier
+    explode-to-pairs formulation was 64x the scan volume — measured 7x
+    for 10x data at sf1; the accumulator's linear part is just the
+    batch matmul. Iterations run on 64-row relations with 64-row
+    persisted half-steps (the graph-family pattern); nothing downstream
+    of the first aggregate sees data volume."""
+    import pandas as pd
+
     emb = spark.table("embeddings")
-    qexpr = (
-        f"CAST(ROUND(CAST(xq AS DOUBLE) * {_PCA_SCALE}, 0) AS DECIMAL(38,0))"
+    qvec = emb.select(
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+            f" * {_PCA_SCALE}, 0) AS BIGINT))"
+        ).alias("q")
     )
-    ex1 = emb.select(
-        "vec_id", "embedding", F.posexplode("embedding").alias("i", "xq")
-    ).select("vec_id", "embedding", "i", F.expr(qexpr).alias("qi"))
-    moms = ex1.groupBy("i").agg(
-        F.sum("qi").alias("m_i"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+
+    def gram_partials(it):
+        import numpy as np
+
+        for pdf in it:
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            if Q.size == 0:
+                continue
+            G = Q.T @ Q
+            s = Q.sum(axis=0)
+            dim = Q.shape[1]
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.full(dim, -1), [-1]]
+                    ),
+                    "v": np.concatenate([G.ravel(), s, [Q.shape[0]]]),
+                }
+            )
+
+    partials = qvec.mapInPandas(gram_partials, "i int, j int, v long")
+    sums = partials.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("v")
     )
-    pairs = ex1.select(
-        "vec_id", "i", "qi", F.posexplode("embedding").alias("j", "xq")
-    ).select("i", "j", (F.col("qi") * F.expr(qexpr)).alias("qq"))
-    sij = pairs.groupBy("i", "j").agg(F.sum("qq").alias("s_ij"))
+    n_row = sums.filter("i = -1 AND j = -1").select(F.col("v").alias("n_i"))
+    moms = (
+        sums.filter("i >= 0 AND j = -1")
+        .select("i", F.col("v").alias("m_i"))
+        .crossJoin(F.broadcast(n_row))
+    )
+    sij = sums.filter("i >= 0 AND j >= 0").select(
+        "i", "j", F.col("v").alias("s_ij")
+    )
     mat = (
         sij.join(F.broadcast(moms), "i")
         .join(
