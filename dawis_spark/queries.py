@@ -17259,6 +17259,423 @@ def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sample mean difference over the one-row conditional sums (all
+# doubles cast once from exact ints) — shared by the observed statistic
+# and every permutation replicate.
+_PERM_DIFF = "(s1 / n1 - s2 / n2)"
+
+_PERM_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderstatus AS g
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(SUM(CASE WHEN g = 'F' THEN cents ELSE 0 END) AS DOUBLE) AS s1,
+         CAST(SUM(CASE WHEN g = 'O' THEN cents ELSE 0 END) AS DOUBLE) AS s2
+  FROM base),
+expanded AS (
+  SELECT t.b AS b,
+         CASE WHEN ((((o_orderkey * {{B}} + t.b) % {{MOD}}) * {{A}} + {{C}}) % {{MOD}}) < {{HALF}} THEN 0 ELSE 1 END AS pg,
+         cents
+  FROM base, range(0, {{B}}) t(b)),
+reps AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN pg = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN pg = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(SUM(CASE WHEN pg = 0 THEN cents ELSE 0 END) AS DOUBLE) AS s1,
+         CAST(SUM(CASE WHEN pg = 1 THEN cents ELSE 0 END) AS DOUBLE) AS s2
+  FROM expanded GROUP BY b),
+extreme AS (
+  SELECT CAST(SUM(CASE WHEN abs({_PERM_DIFF})
+                       >= abs((SELECT {_PERM_DIFF} FROM obs))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM reps)
+SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+       ROUND({_PERM_DIFF}, 4) AS observed_diff_cents,
+       CAST({{B}} AS INT) AS n_replicates, n_extreme,
+       ROUND(CAST(n_extreme + 1 AS DOUBLE) / ({{B}} + 1), 6) AS p_value
+FROM obs CROSS JOIN extreme
+"""
+
+
+def _perm_oracle() -> str:
+    return (
+        _PERM_ORACLE.replace("{B}", str(_BOOT_B))
+        .replace("{MOD}", str(_TXT.MOD))
+        .replace("{HALF}", str(_TXT.MOD // 2))
+        .replace("{A}", str(_BOOT_A))
+        .replace("{C}", str(_BOOT_C))
+    )
+
+
+@query("permutation_test_order_value", oracle=_perm_oracle())
+def permutation_test_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation (random-relabeling) test for the F-vs-O order-value
+    mean difference — the resampling cross-check of
+    welch_ttest_order_value that needs NO normality or variance
+    assumptions: 64 deterministic hash relabelings (the Poisson-
+    bootstrap LCG discipline, reduced-before-multiplied so keys never
+    wrap), p = (#replicates at least as extreme + 1)/(B + 1).
+
+    Exactness: every replicate's group sums are exact integers off one
+    map-side x64 fanout; the mean-difference string (_PERM_DIFF) is
+    shared, so the >= comparisons run over identical doubles.
+
+    Scale: fixed x64 fanout into a 64-group partial aggregate — the
+    shuffle carries 128 rows per partition regardless of data size
+    (the bootstrap_ci shape)."""
+    base = (
+        spark.table("orders")
+        .filter(F.col("o_orderstatus").isin(["F", "O"]))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+            F.col("o_orderstatus").alias("g"),
+        )
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(F.col("g") == "F", F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("g") == "O", F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("s2"),
+    )
+    # NB: the LCG's LOW BIT is parity(o_orderkey*64 + b) — per replicate
+    # that is constant, which would empty one group in every replicate
+    # (% 2 keeps none of the multiplier's mixing). Split the full-range
+    # mixed value against MOD/2 instead.
+    pg = (
+        f"CASE WHEN ((((o_orderkey * {_BOOT_B} + b) % {_TXT.MOD})"
+        f" * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}) < {_TXT.MOD // 2}"
+        " THEN 0 ELSE 1 END"
+    )
+    expanded = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).selectExpr("b", f"{pg} AS pg", "cents")
+    reps = expanded.groupBy("b").agg(
+        F.sum(F.when(F.col("pg") == 0, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("pg") == 1, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(F.col("pg") == 0, F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("pg") == 1, F.col("cents")).otherwise(0))
+        .cast("double")
+        .alias("s2"),
+    )
+    obs_d = obs.selectExpr(
+        "n1 AS on1", "n2 AS on2", f"{_PERM_DIFF} AS obs_diff"
+    )
+    extreme = (
+        reps.crossJoin(F.broadcast(obs_d))
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN abs({_PERM_DIFF}) >= abs(obs_diff)"
+                       " THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+    )
+    return (
+        obs_d.crossJoin(F.broadcast(extreme))
+        .selectExpr(
+            "CAST(on1 AS BIGINT) AS n_f",
+            "CAST(on2 AS BIGINT) AS n_o",
+            "ROUND(obs_diff, 4) AS observed_diff_cents",
+            f"CAST({_BOOT_B} AS INT) AS n_replicates",
+            "n_extreme",
+            f"ROUND(CAST(n_extreme + 1 AS DOUBLE) / ({_BOOT_B} + 1), 6)"
+            " AS p_value",
+        )
+    )
+
+
+_MSTAT_ITERS = 15
+
+
+def _mstat_oracle() -> str:
+    its = []
+    prev = "sv0"
+    for t in range(1, _MSTAT_ITERS + 1):
+        its.append(
+            f"""sw{t} AS MATERIALIZED (
+  SELECT m.t AS s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(m.p * v.v ORDER BY m.f)), (a, b) -> a + b) AS w
+  FROM pm m JOIN {prev} v ON v.s = m.f GROUP BY m.t),
+sn{t} AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(w ORDER BY s)), (a, b) -> a + b) AS z
+  FROM sw{t}),
+sv{t} AS (SELECT s, w / z AS v FROM sw{t} CROSS JOIN sn{t})"""
+        )
+        prev = f"sv{t}"
+    iter_ctes = ",\n".join(its)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+cnt AS (
+  SELECT event_type AS f, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+rowt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS rt FROM cnt GROUP BY 1),
+pm AS MATERIALIZED (
+  SELECT cnt.f, cnt.t, CAST(c AS DOUBLE) / CAST(rt AS DOUBLE) AS p
+  FROM cnt JOIN rowt USING (f)),
+states AS MATERIALIZED (SELECT DISTINCT f AS s FROM pm),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk FROM states),
+sv0 AS (SELECT s, 1.0 / kk AS v FROM states CROSS JOIN k),
+{iter_ctes}
+SELECT s AS event_type, ROUND(v, 6) AS stationary_prob
+FROM sv{_MSTAT_ITERS} ORDER BY event_type
+"""
+
+
+@query("markov_stationary_distribution", oracle=_mstat_oracle())
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — where
+    the event_transitions matrix says user attention settles in the
+    long run (the equilibrium complement to markov_next_event_accuracy's
+    one-step prediction), by 15 power iterations v <- P^T v with
+    per-iteration renormalization.
+
+    Exactness: transition probabilities are one identical double
+    division of exact counts; every matvec and the normalizer are
+    ORDERED FOLDS (by from-state within target, by state across), so
+    both engines walk the same float sequence — the PCA power-iteration
+    discipline applied to a |types| x |types| stochastic matrix.
+
+    Scale: the per-user sequence window and the (from, to) count
+    aggregate are the only row-scale stages (same shape as
+    event_transitions; the whale guard applies upstream when key mass
+    demands it); iterations run on state-count-sized relations with
+    localCheckpoint half-steps."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = spark.table("events").select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    cnt = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("f"), F.col("nxt").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rowt = cnt.groupBy("f").agg(F.sum("c").cast("bigint").alias("rt"))
+    pm = (
+        cnt.join(F.broadcast(rowt), "f")
+        .select(
+            "f",
+            "t",
+            (F.col("c").cast("double") / F.col("rt").cast("double")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    states = pm.select(F.col("f").alias("s")).distinct()
+    k = states.agg(F.count(F.lit(1)).cast("double").alias("kk"))
+    v = states.crossJoin(F.broadcast(k)).select(
+        "s", (F.lit(1.0) / F.col("kk")).alias("v")
+    )
+    for _ in range(_MSTAT_ITERS):
+        w_df = (
+            pm.join(v.select(F.col("s").alias("f"), "v"), "f")
+            .select(F.col("t").alias("s"), "f", (F.col("p") * F.col("v")).alias("pv"))
+            .groupBy("s")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(f, pv))), "
+                    "cast(0.0 as double), (a, e) -> a + e.pv)"
+                ).alias("w")
+            )
+            .localCheckpoint(eager=False)
+        )
+        z = w_df.agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(s, w as ww))), "
+                "cast(0.0 as double), (a, e) -> a + e.ww)"
+            ).alias("z")
+        )
+        v = w_df.crossJoin(F.broadcast(z)).select(
+            "s", (F.col("w") / F.col("z")).alias("v")
+        )
+    return v.select(
+        F.col("s").alias("event_type"),
+        F.round("v", 6).alias("stationary_prob"),
+    ).orderBy("event_type")
+
+
+# Delete-one-group jackknife over (g, r_i doubles): SE from the
+# group-sorted folds of pseudo-value moments.
+_JK_SE = "sqrt((g - 1) / g * (sr2 - sr * sr / g))"
+
+_JK_ORACLE = f"""
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k1
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS nn, CAST(SUM(k1) AS BIGINT) AS kk
+  FROM per_nation),
+pseudo AS (
+  SELECT n_name,
+         CAST(kk - k1 AS DOUBLE) / CAST(nn - n1 AS DOUBLE) AS r_i
+  FROM per_nation CROSS JOIN tot),
+folds AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS g,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(r_i ORDER BY n_name)), (a, b) -> a + b) AS sr,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(r_i * r_i ORDER BY n_name)), (a, b) -> a + b) AS sr2
+  FROM pseudo)
+SELECT CAST(g AS INT) AS n_groups,
+       ROUND(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS urgent_ratio,
+       ROUND(sr / g, 6) AS jackknife_mean,
+       ROUND({_JK_SE}, 6) AS jackknife_se
+FROM folds CROSS JOIN tot
+"""
+
+
+@query("jackknife_urgent_ratio", oracle=_JK_ORACLE)
+def jackknife_urgent_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the global
+    urgent-order ratio, deleting one nation at a time — the
+    cluster-robust uncertainty a plain binomial SE understates when
+    observations are correlated within groups (the companion caveat to
+    proportion_ztest's i.i.d. assumption, and the cheap-deterministic
+    alternative to the bootstrap for ratio statistics).
+
+    Exactness: all 25 leave-one-out ratios are one identical double
+    division of exact integer complements (totals minus the group);
+    the pseudo-value moments come from name-sorted ordered folds and
+    the SE is a shared expression string.
+
+    Scale: one fact-dim join to 25 nation rows; everything after is
+    nation-bounded."""
+    per_nation = (
+        spark.table("orders")
+        .join(
+            F.broadcast(spark.table("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(spark.table("nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n1"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+            .cast("bigint")
+            .alias("k1"),
+        )
+    )
+    tot = per_nation.agg(
+        F.sum("n1").cast("bigint").alias("nn"),
+        F.sum("k1").cast("bigint").alias("kk"),
+    )
+    pseudo = per_nation.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "nn",
+        "kk",
+        (
+            (F.col("kk") - F.col("k1")).cast("double")
+            / (F.col("nn") - F.col("n1")).cast("double")
+        ).alias("r_i"),
+    )
+    folds = pseudo.agg(
+        F.count(F.lit(1)).cast("double").alias("g"),
+        F.max("nn").alias("nn"),
+        F.max("kk").alias("kk"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(n_name, r_i))), "
+            "cast(0.0 as double), (a, e) -> a + e.r_i)"
+        ).alias("sr"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(n_name, r_i * r_i as rr))), "
+            "cast(0.0 as double), (a, e) -> a + e.rr)"
+        ).alias("sr2"),
+    )
+    return folds.selectExpr(
+        "CAST(g AS INT) AS n_groups",
+        "ROUND(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS urgent_ratio",
+        "ROUND(sr / g, 6) AS jackknife_mean",
+        f"ROUND({_JK_SE}, 6) AS jackknife_se",
+    )
+
+
+# Chao1 (bias-corrected) and Good-Turing unseen mass over the exact
+# frequency-of-frequencies integers.
+_CHAO1 = (
+    "(CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1)"
+    " / (2 * (CAST(f2 AS DOUBLE) + 1)))"
+)
+
+_CHAO1_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+ct AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE t <> '' GROUP BY 1),
+fof AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM ct)
+SELECT n_tokens, v_obs, f1, f2,
+       ROUND({_CHAO1}, 4) AS chao1_estimate,
+       ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass
+FROM fof
+"""
+
+
+@query("chao1_vocab_estimate", oracle=_CHAO1_ORACLE)
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good-Turing unseen probability
+    mass from the token frequency-of-frequencies — 'how much vocabulary
+    does the corpus NOT show yet', the nonparametric cross-check of
+    heaps_law_vocab_growth's extrapolation (and the classic smoothing
+    mass the bigram LM family discounts by). Bias-corrected form
+    V + f1(f1-1)/(2(f2+1)), defined even with no doubletons.
+
+    Exactness: the frequency-of-frequencies relation is exact integers;
+    the estimates pay one shared-string double expression each.
+
+    Scale: one tokenization into a vocabulary-sized count relation,
+    then a 4-number aggregate."""
+    toks = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    ct = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    fof = ct.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_obs"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+    )
+    return fof.selectExpr(
+        "n_tokens",
+        "v_obs",
+        "f1",
+        "f2",
+        f"ROUND({_CHAO1}, 4) AS chao1_estimate",
+        "ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass",
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -17362,6 +17779,10 @@ NEXT_ROTATION: list[str] = [
     "kmeans_silhouette_simplified",
     "overdispersion_event_counts",
     "median_ci_order_value",
+    "permutation_test_order_value",
+    "markov_stationary_distribution",
+    "jackknife_urgent_ratio",
+    "chao1_vocab_estimate",
 ]
 
 
