@@ -117,26 +117,43 @@ def mann_whitney(
     )
 
 
-def chi_square_independence(
-    df: DataFrame, row_col: str, col_col: str
-) -> DataFrame:
-    """One row: (n_cells, dof, chi2) for the row x col contingency
-    table. The cell-statistic sum folds in sorted (row, col) order —
-    deterministic float accumulation by construction."""
+def _full_contingency(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """COMPLETE row x col contingency relation (r, c, obs, row_n, col_n,
+    n) INCLUDING zero cells: observed cells from one keyed aggregate,
+    completed by crossing the category-bounded margins. A zero cell
+    still contributes (row_n*col_n/n) to chi-square — dropping
+    unobserved combinations silently understates the statistic on any
+    sparse table (caught by test_round11_stats on a diagonal table)."""
     cells = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
-    rw = Window.partitionBy("r")
-    cw = Window.partitionBy("c")
-    tot = Window.partitionBy()
-    scored = cells.select(
-        "r",
-        "c",
-        "obs",
-        F.sum("obs").over(rw).alias("row_n"),
-        F.sum("obs").over(cw).alias("col_n"),
-        F.sum("obs").over(tot).alias("n"),
+    rows_m = cells.groupBy("r").agg(F.sum("obs").cast("bigint").alias("row_n"))
+    cols_m = cells.groupBy("c").agg(F.sum("obs").cast("bigint").alias("col_n"))
+    tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    return (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(cells, ["r", "c"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            F.coalesce("obs", F.lit(0)).cast("bigint").alias("obs"),
+            "row_n",
+            "col_n",
+            "n",
+        )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """One row: (n_cells, dof, chi2) for the COMPLETE row x col
+    contingency table (zero cells included — see
+    :func:`_full_contingency`). The cell-statistic sum folds in sorted
+    (row, col) order — deterministic float accumulation by
+    construction."""
+    scored = _full_contingency(df, row_col, col_col)
     # per-cell term (obs*n - row*col)^2 / (row*col*n): numerator exact in
     # DECIMAL(38,0); ONE division per cell, then the ordered fold
     num = (
@@ -562,8 +579,11 @@ def welch_ttest(
 # eta^2 = SSB/SST. Shared strings, same discipline as WELCH_*.
 ANOVA_SSB = "(sum_tg - ss_over_n)"
 ANOVA_SSW = "(q - sum_tg)"
-ANOVA_F = f"(({ANOVA_SSB} / (k - 1)) / ({ANOVA_SSW} / (n - k)))"
-ANOVA_ETA2 = f"({ANOVA_SSB} / (q - ss_over_n))"
+# nullif guards: SSW = 0 (perfect separation) makes F infinite -> NULL,
+# SST = 0 (constant input) makes eta^2 undefined -> NULL; Spark's ANSI
+# mode would otherwise raise DIVIDE_BY_ZERO where DuckDB returns inf.
+ANOVA_F = f"(({ANOVA_SSB} / (k - 1)) / nullif(({ANOVA_SSW} / (n - k)), 0))"
+ANOVA_ETA2 = f"({ANOVA_SSB} / nullif((q - ss_over_n), 0))"
 
 
 def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -635,27 +655,16 @@ def categorical_association(
     effect-size scale a feature-selection pass actually ranks by.
 
     Exactness: same construction as :func:`chi_square_independence` —
-    exact-integer cell/marginal counts, per-cell statistics paying one
-    double division (+ one ln for MI) evaluated identically in both
-    engines, every sum an ORDERED FOLD over (row, col)- or
+    exact-integer cell/marginal counts over the COMPLETE table (zero
+    cells included — their chi contribution is row*col/n; their MI
+    contribution is the 0*ln(0) = 0 convention), per-cell statistics
+    paying one double division (+ one ln for MI) evaluated identically
+    in both engines, every sum an ORDERED FOLD over (row, col)- or
     marginal-sorted terms.
 
-    Scale: one keyed aggregate to the cell relation; the marginal
-    windows and folds run over cell-/category-cardinality rows only."""
-    cells = df.groupBy(
-        F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
-    rw = Window.partitionBy("r")
-    cw = Window.partitionBy("c")
-    tot = Window.partitionBy()
-    scored = cells.select(
-        "r",
-        "c",
-        "obs",
-        F.sum("obs").over(rw).alias("row_n"),
-        F.sum("obs").over(cw).alias("col_n"),
-        F.sum("obs").over(tot).alias("n"),
-    )
+    Scale: one keyed aggregate to the cell relation; the margin
+    completion and folds run over category-cardinality rows only."""
+    scored = _full_contingency(df, row_col, col_col)
     d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     chi_num = d38("obs") * F.col("n") - d38("row_n") * F.col("col_n")
     chi_den = (d38("row_n") * F.col("col_n") * F.col("n")).cast("double")
@@ -664,13 +673,13 @@ def categorical_association(
         "c",
         "n",
         ((chi_num * chi_num).cast("double") / chi_den).alias("chi_term"),
-        (
+        F.when(F.col("obs") > 0,
             (F.col("obs").cast("double") / F.col("n").cast("double"))
             * F.log(
                 (d38("obs") * F.col("n")).cast("double")
                 / (d38("row_n") * F.col("col_n")).cast("double")
             )
-        ).alias("mi_term"),
+        ).otherwise(F.lit(0.0)).alias("mi_term"),
     )
     cell_fold = terms.agg(
         F.max("n").cast("bigint").alias("n_rows"),

@@ -9525,12 +9525,14 @@ _CHI2_ORACLE = """
 WITH cells AS (
   SELECT event_type AS r, isodow(ts) AS c, CAST(COUNT(*) AS BIGINT) AS obs
   FROM events GROUP BY 1, 2),
+rows_m AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
 scored AS (
-  SELECT r, c, obs,
-         SUM(obs) OVER (PARTITION BY r) AS row_n,
-         SUM(obs) OVER (PARTITION BY c) AS col_n,
-         SUM(obs) OVER () AS n
-  FROM cells),
+  SELECT rm.r, cm.c, CAST(COALESCE(obs, 0) AS BIGINT) AS obs, row_n, col_n, n
+  FROM rows_m rm CROSS JOIN cols_m cm
+  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+  CROSS JOIN tot),
 terms AS (
   SELECT r, c,
          CAST((CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
@@ -15392,20 +15394,24 @@ _ASSOC_ORACLE = """
 WITH cells AS (
   SELECT l_returnflag AS r, l_linestatus AS c, CAST(COUNT(*) AS BIGINT) AS obs
   FROM lineitem GROUP BY 1, 2),
+rows_m AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
 scored AS (
-  SELECT r, c, obs,
-         SUM(obs) OVER (PARTITION BY r) AS row_n,
-         SUM(obs) OVER (PARTITION BY c) AS col_n,
-         SUM(obs) OVER () AS n
-  FROM cells),
+  SELECT rm.r, cm.c, CAST(COALESCE(obs, 0) AS BIGINT) AS obs, row_n, col_n, n
+  FROM rows_m rm CROSS JOIN cols_m cm
+  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+  CROSS JOIN tot),
 terms AS (
   SELECT r, c, n,
          CAST((CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
               * (CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n) AS DOUBLE)
            / CAST(CAST(row_n AS HUGEINT) * col_n * n AS DOUBLE) AS chi_term,
-         (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+         CASE WHEN obs > 0 THEN
+           (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
            * ln(CAST(CAST(obs AS HUGEINT) * n AS DOUBLE)
-                / CAST(CAST(row_n AS HUGEINT) * col_n AS DOUBLE)) AS mi_term
+                / CAST(CAST(row_n AS HUGEINT) * col_n AS DOUBLE))
+         ELSE 0.0 END AS mi_term
   FROM scored),
 cell_fold AS (
   SELECT CAST(MAX(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_cells,
@@ -17676,6 +17682,207 @@ def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PSI terms over per-bin (p, q) doubles cast once from exact counts;
+# empty-side bins take the standard 1e-6 floor (same constant both
+# engines, so the branch is deterministic).
+_PSI_P = "greatest(CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)"
+_PSI_Q = "greatest(CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE), 1e-6)"
+_PSI_TERM = f"(({_PSI_Q} - {_PSI_P}) * ln({_PSI_Q} / {_PSI_P}))"
+
+_PSI_ORACLE = f"""
+WITH o AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderdate >= TIMESTAMP '{{CUT}}' THEN 1 ELSE 0 END AS cur
+  FROM orders),
+ext AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM o WHERE cur = 0),
+binned AS (
+  SELECT least(greatest(CAST(floor((x - mn) / (mx - mn) * 10) AS INT), 0), 9)
+           AS b, cur
+  FROM o CROSS JOIN ext),
+cells AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref, CAST(SUM(c_cur) AS BIGINT) AS n_cur
+  FROM cells),
+terms AS (
+  SELECT b, c_ref, c_cur, n_ref, n_cur, {_PSI_TERM} AS term
+  FROM cells CROSS JOIN tot)
+SELECT b AS bin, c_ref, c_cur, ROUND(term, 6) AS psi_term,
+       ROUND((SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(term ORDER BY b)), (a, e) -> a + e) FROM terms), 6)
+         AS psi_total
+FROM terms ORDER BY bin
+"""
+
+
+def _psi_oracle() -> str:
+    return _PSI_ORACLE.replace("{CUT}", _CUPED_CUTOFF)
+
+
+@query("psi_value_drift", oracle=_psi_oracle())
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution across
+    the 1999 period boundary — THE model-monitoring drift number
+    (PSI < 0.1 stable, > 0.25 retrain): reference-period deciles of the
+    value range, (q - p) * ln(q / p) per bin, with the standard 1e-6
+    floor for empty bins. The actionable-scalar companion to
+    ks_price_drift (a p-value) and source_js_divergence (symmetric,
+    source axis).
+
+    Exactness: bin counts are exact integers off one scan (bin edges
+    from the reference extrema, shared expression); each term pays
+    identical double divisions + one ln; the total is a bin-sorted
+    ordered fold.
+
+    Scale: one scan into a 10-bin x 2-period cell relation; everything
+    after is bin-bounded."""
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    o = spark.table("orders").select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderdate") >= cutoff).cast("int").alias("cur"),
+    )
+    ext = o.filter("cur = 0").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    binned = o.crossJoin(F.broadcast(ext)).selectExpr(
+        "least(greatest(CAST(floor((x - mn) / (mx - mn) * 10) AS INT), 0), 9)"
+        " AS b",
+        "cur",
+    )
+    cells = binned.groupBy("b").agg(
+        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_ref"),
+        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_cur"),
+    )
+    tot = cells.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "b", "c_ref", "c_cur", f"{_PSI_TERM} AS term"
+    )
+    total = terms.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, term))), "
+            "cast(0.0 as double), (a, e) -> a + e.term)"
+        ).alias("psi_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            F.col("b").alias("bin"),
+            "c_ref",
+            "c_cur",
+            F.round("term", 6).alias("psi_term"),
+            F.round("psi_total", 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+# Cochran-Armitage trend z over the one-row folded statistics: with
+# integer scores s_i, T = sum k_i*s_i, E[T] = K/N * sum n_i*s_i,
+# Var = K(N-K)/(N(N-1)) * (sum n_i*s_i^2 - (sum n_i*s_i)^2 / N) — all
+# exact integers until the final casts.
+_CA_Z = (
+    "((t - CAST(kk AS DOUBLE) / nn * s1)"
+    " / sqrt(CAST(kk AS DOUBLE) * (nn - kk) / (nn * (nn - 1))"
+    " * (s2 - s1 * s1 / nn)))"
+)
+
+_CA_ORACLE = f"""
+WITH rows_ AS (
+  SELECT CAST(ROUND(l_discount * 100, 0) AS HUGEINT) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+per AS (
+  SELECT s, CAST(COUNT(*) AS HUGEINT) AS n_i,
+         CAST(SUM(y) AS HUGEINT) AS k_i
+  FROM rows_ GROUP BY 1),
+folded AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS nn_i, CAST(SUM(k_i) AS HUGEINT) AS kk_i,
+         CAST(SUM(k_i * s) AS HUGEINT) AS t_i,
+         CAST(SUM(n_i * s) AS HUGEINT) AS s1_i,
+         CAST(SUM(n_i * s * s) AS HUGEINT) AS s2_i,
+         CAST(COUNT(*) AS INT) AS n_levels
+  FROM per),
+d AS (
+  SELECT n_levels, CAST(nn_i AS BIGINT) AS n_rows, kk_i AS kk,
+         CAST(nn_i AS DOUBLE) AS nn, CAST(t_i AS DOUBLE) AS t,
+         CAST(s1_i AS DOUBLE) AS s1, CAST(s2_i AS DOUBLE) AS s2
+  FROM folded),
+zs AS (SELECT n_levels, n_rows, {_CA_Z} AS z FROM d)
+SELECT n_levels, n_rows, ROUND(z, 6) AS z_score,
+       ROUND({{P}}, 6) AS p_value
+FROM (SELECT *, {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM zs))
+"""
+
+
+def _ca_oracle() -> str:
+    return (
+        _CA_ORACLE.replace("{P}", _BH_P)
+        .replace("{TT}", _BH_TT)
+        .replace("{AZ}", _BH_AZ)
+    )
+
+
+@query("cochran_armitage_trend", oracle=_ca_oracle())
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend-in-proportions test: does the return rate
+    rise MONOTONICALLY with the discount level? The dose-response
+    significance test that chi-square independence dilutes (chi2 sees
+    any deviation; CA concentrates power on the ordered trend the
+    discount levels actually carry) — the hypothesis companion to
+    decision_stump_discount (which finds the best CUT) and
+    isotonic_urgency_by_value (which fits the SHAPE).
+
+    Exactness: T, its expectation, and the variance are exact HUGEINT/
+    DECIMAL(38,0) sums over the 11 discount levels (integer scores =
+    discount points); one double cast each, shared z/p strings.
+
+    Scale: one value-keyed aggregate to 11 rows, then a one-row fold."""
+    rows_ = spark.table("lineitem").select(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS DECIMAL(38,0))").alias("s"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    per = rows_.groupBy("s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+        F.sum("y").cast("decimal(38,0)").alias("k_i"),
+    )
+    folded = per.agg(
+        F.sum("n_i").alias("nn_i"),
+        F.sum("k_i").alias("kk_i"),
+        F.sum(F.col("k_i") * F.col("s")).alias("t_i"),
+        F.sum(F.col("n_i") * F.col("s")).alias("s1_i"),
+        F.sum(F.col("n_i") * F.col("s") * F.col("s")).alias("s2_i"),
+        F.count(F.lit(1)).cast("int").alias("n_levels"),
+    )
+    d = folded.selectExpr(
+        "n_levels",
+        "CAST(nn_i AS BIGINT) AS n_rows",
+        "kk_i AS kk",
+        "CAST(nn_i AS DOUBLE) AS nn",
+        "CAST(t_i AS DOUBLE) AS t",
+        "CAST(s1_i AS DOUBLE) AS s1",
+        "CAST(s2_i AS DOUBLE) AS s2",
+    )
+    return (
+        d.selectExpr("n_levels", "n_rows", f"{_CA_Z} AS z")
+        .selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "n_levels",
+            "n_rows",
+            "ROUND(z, 6) AS z_score",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -17783,6 +17990,8 @@ NEXT_ROTATION: list[str] = [
     "markov_stationary_distribution",
     "jackknife_urgent_ratio",
     "chao1_vocab_estimate",
+    "psi_value_drift",
+    "cochran_armitage_trend",
 ]
 
 

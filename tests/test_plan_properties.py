@@ -535,8 +535,6 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
     "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
     "mann_whitney_drift": "rank-sum over distinct values (value-bounded domain)",
-    "chi_square_independence": "margins over the contingency table (types x groups)",
-    "categorical_association_profile": "margins over the 6-cell contingency table",
     "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
     "spearman_daily_rev_orders": "rank over the day-bounded daily series",

