@@ -17883,6 +17883,221 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRE_ITERS = 25
+_MRE_CHANNELS = ["click", "error", "signup", "view"]  # non-conversion types
+
+
+def _mre_oracle() -> str:
+    ch_list = ", ".join(f"('{c}')" for c in _MRE_CHANNELS)
+    its = []
+    prev = "mp0"
+    for t in range(1, _MRE_ITERS + 1):
+        its.append(
+            f"""mp{t} AS MATERIALIZED (
+  SELECT tv.v AS v, tv.frm AS s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(tv.p * x.pv ORDER BY tv.tgt)), (a, b) -> a + b) AS pv
+  FROM tv JOIN (
+    SELECT v, s AS tgt, pv FROM {prev}
+    UNION ALL SELECT v, 'CONV', CAST(1.0 AS DOUBLE) FROM variants
+    UNION ALL SELECT v, 'DROP', CAST(0.0 AS DOUBLE) FROM variants
+  ) x ON x.v = tv.v AND x.tgt = tv.tgt
+  GROUP BY 1, 2)"""
+        )
+        prev = f"mp{t}"
+    iter_ctes = ",\n".join(its)
+    return f"""
+WITH firstp AS (
+  SELECT user_id, MIN(ROW(ts, event_id)) AS fp
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+kept AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type
+  FROM events e LEFT JOIN firstp f USING (user_id)
+  WHERE f.fp IS NULL OR ROW(e.ts, e.event_id) <= f.fp),
+seq AS (
+  SELECT user_id, event_type AS frm,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM kept),
+trans AS (
+  SELECT 'START' AS frm, frm AS tgt FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT frm, CASE WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END
+  FROM seq WHERE frm <> 'purchase' AND nxt IS NOT NULL
+  UNION ALL
+  SELECT frm, 'DROP' FROM seq WHERE frm <> 'purchase' AND nxt IS NULL),
+cnt AS (SELECT frm, tgt, CAST(COUNT(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2),
+rowt AS (SELECT frm, CAST(SUM(c) AS BIGINT) AS rt FROM cnt GROUP BY 1),
+pm AS (
+  SELECT cnt.frm, cnt.tgt, CAST(c AS DOUBLE) / CAST(rt AS DOUBLE) AS p
+  FROM cnt JOIN rowt USING (frm)),
+variants AS (SELECT v FROM (VALUES ('base'), {ch_list}) t(v)),
+tv AS MATERIALIZED (
+  SELECT v, frm,
+         CASE WHEN tgt = v THEN 'DROP' ELSE tgt END AS tgt,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(p ORDER BY tgt)), (a, b) -> a + b) AS p
+  FROM pm CROSS JOIN variants
+  WHERE frm <> v
+  GROUP BY 1, 2, 3),
+mp0 AS (SELECT DISTINCT v, frm AS s, CAST(0.0 AS DOUBLE) AS pv FROM tv),
+{iter_ctes},
+cvr AS (SELECT v, pv FROM mp{_MRE_ITERS} WHERE s = 'START'),
+base AS (SELECT pv AS base_cvr FROM cvr WHERE v = 'base'),
+re AS (
+  SELECT v AS channel, 1 - pv / base_cvr AS removal_effect, base_cvr
+  FROM cvr CROSS JOIN base WHERE v <> 'base'),
+tot AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(removal_effect ORDER BY channel)), (a, b) -> a + b) AS sre
+  FROM re)
+SELECT channel, ROUND(base_cvr, 6) AS base_cvr,
+       ROUND(removal_effect, 6) AS removal_effect,
+       ROUND(removal_effect / sre, 6) AS attribution_share
+FROM re CROSS JOIN tot ORDER BY channel
+"""
+
+
+@query("markov_removal_attribution", oracle=_mre_oracle())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution — the third member
+    of the MTA trio (position_attribution: heuristic;
+    shapley_channel_attribution: cooperative-game): absorb journeys at
+    the first purchase, estimate P(conversion) from the journey Markov
+    chain, re-estimate with each channel's inbound edges redirected to
+    the DROP absorber and its outbound rows removed, and attribute by
+    normalized removal effect 1 - P_minus_c/P_base.
+
+    Mechanics: all five chains (base + four removals) are built TOGETHER
+    — the transition matrix is crossed with a 5-row variant relation and
+    modified map-side per variant; the 25 absorption iterations then run
+    driver-side on the COLLECTED matrix (bounded model state, the
+    kmeans-quantizer discipline — relational iterations over a 30-row
+    relation are pure job overhead) with CONV=1/DROP=0 boundaries.
+
+    Exactness: transition probabilities are identical double divisions
+    of exact counts; the per-variant edge merge and every iteration
+    matvec are ordered folds (by target within state) — the stationary-
+    distribution discipline extended to absorbing chains.
+
+    Scale: the per-user sequence window and the (frm, tgt) count
+    aggregate are the only row-scale stages; everything after is
+    (variants x states)-bounded."""
+    from pyspark.sql import Window
+
+    e = spark.table("events")
+    firstp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    kept = (
+        e.join(firstp, "user_id", "left")
+        .filter(
+            F.col("fp").isNull()
+            | (F.struct("ts", "event_id") <= F.col("fp"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = kept.select(
+        F.col("event_type").alias("frm"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.filter("rn = 1").select(F.lit("START").alias("frm"), F.col("frm").alias("tgt"))
+        .unionByName(
+            seq.filter("frm <> 'purchase' AND nxt IS NOT NULL").select(
+                "frm",
+                F.when(F.col("nxt") == "purchase", "CONV")
+                .otherwise(F.col("nxt"))
+                .alias("tgt"),
+            )
+        )
+        .unionByName(
+            seq.filter("frm <> 'purchase' AND nxt IS NULL").select(
+                "frm", F.lit("DROP").alias("tgt")
+            )
+        )
+    )
+    cnt = trans.groupBy("frm", "tgt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rowt = cnt.groupBy("frm").agg(F.sum("c").cast("bigint").alias("rt"))
+    pm = cnt.join(F.broadcast(rowt), "frm").select(
+        "frm",
+        "tgt",
+        (F.col("c").cast("double") / F.col("rt").cast("double")).alias("p"),
+    )
+    variants = spark.createDataFrame(
+        [("base",)] + [(c,) for c in _MRE_CHANNELS], "v string"
+    )
+    tv = (
+        pm.crossJoin(F.broadcast(variants))
+        .filter(F.col("frm") != F.col("v"))
+        .select(
+            "v",
+            "frm",
+            F.when(F.col("tgt") == F.col("v"), "DROP")
+            .otherwise(F.col("tgt"))
+            .alias("tgt2"),
+            "tgt",
+            "p",
+        )
+        .groupBy("v", "frm", F.col("tgt2").alias("tgt"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(tgt, p))), "
+                "cast(0.0 as double), (a, e) -> a + e.p)"
+            ).alias("p")
+        )
+    )
+    # Absorption iterations run DRIVER-SIDE on the collected matrix —
+    # bounded model state (variants x states^2 <= ~150 doubles, the
+    # kmeans-quantizer collect discipline): 25 relational iterations
+    # over a 30-row relation cost ~25 shuffle jobs of pure overhead
+    # (measured 21 s at sf0.01); the same folds in Python are
+    # microseconds and BIT-IDENTICAL (sorted-by-target left folds =
+    # the oracle's list_reduce ORDER BY tgt).
+    rows = tv.collect()
+    by_vs: dict = {}
+    for r in rows:
+        by_vs.setdefault((r["v"], r["frm"]), []).append((r["tgt"], r["p"]))
+    pv = {k: 0.0 for k in by_vs}
+    for _ in range(_MRE_ITERS):
+        new_pv = {}
+        for (v, s), edges in by_vs.items():
+            acc = 0.0
+            for tgt, p in sorted(edges):
+                x = (
+                    1.0
+                    if tgt == "CONV"
+                    else 0.0 if tgt == "DROP" else pv.get((v, tgt), 0.0)
+                )
+                acc += p * x
+            new_pv[(v, s)] = acc
+        pv = new_pv
+    base_cvr = pv[("base", "START")]
+    res = []
+    for c in _MRE_CHANNELS:
+        res.append((c, 1.0 - pv[(c, "START")] / base_cvr))
+    sre = 0.0
+    for c, re_c in sorted(res):
+        sre += re_c
+    out = [
+        (c, round(base_cvr, 6), round(re_c, 6), round(re_c / sre, 6))
+        for c, re_c in sorted(res)
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, base_cvr double, removal_effect double,"
+        " attribution_share double",
+    ).orderBy("channel")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -17992,6 +18207,7 @@ NEXT_ROTATION: list[str] = [
     "chao1_vocab_estimate",
     "psi_value_drift",
     "cochran_armitage_trend",
+    "markov_removal_attribution",
 ]
 
 
