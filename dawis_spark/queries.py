@@ -18098,6 +18098,135 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("channel")
 
 
+_CONF_YHAT = "(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))"
+_CONF_R = f"CAST(ROUND(abs(CAST(y AS DOUBLE) - {_CONF_YHAT}), 0) AS BIGINT)"
+
+_CONF_ORACLE = f"""
+WITH obs AS (
+  SELECT l_orderkey % 4 = 0 AS cal,
+         CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS HUGEINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS HUGEINT) AS y
+  FROM lineitem),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n0,
+         SUM(x1) AS s1_i, SUM(x2) AS s2_i,
+         SUM(x1*x1) AS s11_i, SUM(x2*x2) AS s22_i, SUM(x1*x2) AS s12_i,
+         SUM(y) AS sy_i, SUM(y*y) AS syy_i,
+         SUM(x1*y) AS s1y_i, SUM(x2*y) AS s2y_i
+  FROM obs WHERE NOT cal),
+d AS (SELECT {{CASTS}} FROM stats),
+coef AS (SELECT n AS n_train, {{B0}} AS b0, {{B1}} AS b1, {{B2}} AS b2 FROM d),
+resid AS (
+  SELECT {_CONF_R} AS r_cents
+  FROM obs CROSS JOIN coef WHERE cal),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM resid),
+ranked AS (
+  SELECT r_cents, ROW_NUMBER() OVER (ORDER BY r_cents) AS rk FROM resid),
+q AS (
+  SELECT r_cents AS q90_cents
+  FROM ranked CROSS JOIN nn
+  WHERE rk = (90 * (n_cal - 1)) // 100 + 1),
+cov AS (
+  SELECT CAST(SUM(CASE WHEN r_cents <= q90_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in
+  FROM resid CROSS JOIN q)
+SELECT CAST(n_train AS BIGINT) AS n_train, n_cal,
+       ROUND(b1, 6) AS cents_per_qty, ROUND(b2, 6) AS cents_per_disc_pt,
+       q90_cents,
+       ROUND(CAST(n_in AS DOUBLE) / CAST(n_cal AS DOUBLE), 6) AS coverage
+FROM coef CROSS JOIN nn CROSS JOIN q CROSS JOIN cov
+"""
+
+
+def _conformal_oracle() -> str:
+    return (
+        _CONF_ORACLE.replace("{CASTS}", _OLS2_STAT_CASTS)
+        .replace("{B0}", _OLS2_B0)
+        .replace("{B1}", _OLS2_B1)
+        .replace("{B2}", _OLS2_B2)
+    )
+
+
+@query("conformal_interval_price", oracle=_conformal_oracle())
+def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price regression:
+    train the two-feature OLS on 3/4 of lineitem (hash split), take the
+    nearest-rank 90th percentile of absolute calibration residuals as
+    the interval half-width, and report the realized calibration
+    coverage — the distribution-free 'how wrong can this model be'
+    guarantee (~90% of future rows fall within +/- q90 under
+    exchangeability) that the OLS point fit alone cannot give.
+
+    Exactness: coefficients reuse the ols_price_regression strings
+    (bit-identical doubles from exact-integer sufficient statistics);
+    residuals quantize to cents BEFORE ranking, so the quantile
+    selection and the coverage comparisons are pure integer work.
+
+    Scale: two scans (train moments; calibration residuals) that each
+    collapse map-side; the residual quantile uses the bucketed
+    two-pass selection (rank_quantiles_select), never a single-task
+    sort; coverage is one more map-side aggregate."""
+    from dawis_spark.operators.sketches import rank_quantiles_select
+
+    obs = spark.table("lineitem").select(
+        (F.col("l_orderkey") % 4 == 0).alias("cal"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    train = obs.filter(~F.col("cal"))
+    stats = train.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n0"),
+        F.sum("x1").alias("s1_i"),
+        F.sum("x2").alias("s2_i"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11_i"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22_i"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12_i"),
+        F.sum("y").alias("sy_i"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_i"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y_i"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y_i"),
+    )
+    coef = stats.selectExpr(*_OLS2_STAT_CASTS.split(", ")).selectExpr(
+        "n AS n_train",
+        f"{_OLS2_B0} AS b0",
+        f"{_OLS2_B1} AS b1",
+        f"{_OLS2_B2} AS b2",
+    )
+    resid = (
+        obs.filter("cal")
+        .crossJoin(F.broadcast(coef))
+        .selectExpr(f"{_CONF_R} AS r_cents", "n_train", "b1", "b2")
+    )
+    q = rank_quantiles_select(
+        resid.select(F.lit(1).alias("k"), "r_cents"), ["k"], "r_cents", [90]
+    ).select(F.col("value").alias("q90_cents"), F.col("n").alias("n_cal"))
+    cov = (
+        resid.crossJoin(F.broadcast(q))
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("b1").alias("b1"),
+            F.max("b2").alias("b2"),
+            F.max("q90_cents").alias("q90_cents"),
+            F.max("n_cal").alias("n_cal"),
+            F.sum((F.col("r_cents") <= F.col("q90_cents")).cast("int"))
+            .cast("bigint")
+            .alias("n_in"),
+        )
+    )
+    return cov.selectExpr(
+        "CAST(n_train AS BIGINT) AS n_train",
+        "CAST(n_cal AS BIGINT) AS n_cal",
+        "ROUND(b1, 6) AS cents_per_qty",
+        "ROUND(b2, 6) AS cents_per_disc_pt",
+        "q90_cents",
+        "ROUND(CAST(n_in AS DOUBLE) / CAST(n_cal AS DOUBLE), 6) AS coverage",
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -18208,6 +18337,7 @@ NEXT_ROTATION: list[str] = [
     "psi_value_drift",
     "cochran_armitage_trend",
     "markov_removal_attribution",
+    "conformal_interval_price",
 ]
 
 

@@ -175,3 +175,26 @@ def test_pca_loading_is_unit_norm_and_sign_fixed(spark):
     top = max(rows, key=lambda r: (abs(r["loading"]), -r["component"]))
     assert top["loading"] > 0  # sign convention
     assert rows[0]["eigenvalue"] > 0
+
+
+def test_conformal_coverage_at_least_nominal(spark):
+    from dawis_spark.queries import conformal_interval_price
+
+    out = conformal_interval_price(spark, "/root/testdata/sf0.001").collect()[0]
+    # the repo's nearest-rank convention t = (90*(n-1)) div 100 + 1
+    # guarantees coverage >= t/n — a hair under 0.9 at small n (ties
+    # only push it up); assert the exact rank-based floor
+    t = (90 * (out["n_cal"] - 1)) // 100 + 1
+    assert out["coverage"] >= t / out["n_cal"] - 1e-6  # round-6 output
+    assert out["q90_cents"] >= 0
+    assert out["n_train"] > out["n_cal"]
+
+
+def test_markov_removal_attribution_shares_sum_to_one(spark):
+    from dawis_spark.queries import markov_removal_attribution
+
+    rows = markov_removal_attribution(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["attribution_share"] for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    assert all(0 <= r["base_cvr"] <= 1 for r in rows)
