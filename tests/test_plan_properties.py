@@ -542,6 +542,10 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "ljung_box_daily_revenue": "lags over the day-bounded daily series",
     "granger_orders_to_revenue": "lag over the day-bounded daily series",
     "median_ci_order_value": "cumulative counts over the distinct-cents value relation",
+    "conformal_interval_price": (
+        "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"
+        " constant group key is constant-folded out of the window spec"
+    ),
     "fdr_bh_nation_urgency": "rank/step-up over the 25-row nation test relation",
     "ccf_orders_vs_revenue": "lags over the day-bounded daily series",
     "search_mrr_eval": "rank over per-query BM25 candidate pools",
