@@ -18227,6 +18227,191 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ece_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS k_b,
+         AVG(p) AS mp
+  FROM scF GROUP BY 1),
+ntot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bins),
+gaps AS (
+  SELECT b, CAST(n_b AS DOUBLE) / n * abs(mp - CAST(k_b AS DOUBLE) / n_b)
+           AS wgap,
+         abs(mp - CAST(k_b AS DOUBLE) / n_b) AS gap
+  FROM bins CROSS JOIN ntot),
+brier AS (SELECT AVG((p - y) * (p - y)) AS bs FROM scF)
+SELECT (SELECT n FROM ntot) AS n_docs,
+       ROUND(bs, 6) AS brier_score,
+       ROUND((SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(wgap ORDER BY b)), (a, e) -> a + e) FROM gaps), 6)
+         AS ece,
+       ROUND((SELECT MAX(gap) FROM gaps), 6) AS mce
+FROM brier
+"""
+
+
+@query("ece_classifier_calibration", oracle=_ece_oracle(64, 3, 1.0))
+def ece_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar calibration metrics for the trained quality classifier —
+    Brier score, Expected Calibration Error (decile-binned, count-
+    weighted |confidence - accuracy|), and Maximum Calibration Error:
+    the one-number summaries of what classifier_calibration_curve shows
+    as a picture (ECE is what a retraining gate thresholds on).
+
+    Determinism: scores replay the exact logreg trajectory and round to
+    6 before binning (the calibration-curve discipline), so bins and
+    per-bin gaps are identical; the ECE sum is a bucket-sorted ordered
+    fold; Brier's AVG over per-row identical doubles differs only in
+    summation order (~n*eps against the round-6 margin).
+
+    Scale: training as logreg_weights; one more scan collapsing to 10
+    bins plus a 1-row Brier aggregate."""
+    from dawis_spark.operators.logreg import logreg_train, margin_expr
+
+    emb = spark.table("embeddings")
+    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
+    scored = emb.selectExpr(
+        f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p"
+    )
+    bins = scored.selectExpr(
+        "LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b", "y", "p"
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("k_b"),
+        F.avg("p").alias("mp"),
+    )
+    nn = bins.agg(F.sum("n_b").cast("bigint").alias("n"))
+    gaps = bins.crossJoin(F.broadcast(nn)).selectExpr(
+        "b",
+        "CAST(n_b AS DOUBLE) / n * abs(mp - CAST(k_b AS DOUBLE) / n_b) AS wgap",
+        "abs(mp - CAST(k_b AS DOUBLE) / n_b) AS gap",
+        "n",
+    )
+    agg = gaps.agg(
+        F.max("n").alias("n_docs"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, wgap))), "
+            "cast(0.0 as double), (a, e) -> a + e.wgap)"
+        ).alias("ece"),
+        F.max("gap").alias("mce"),
+    )
+    brier = scored.agg(
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("bs")
+    )
+    return agg.crossJoin(F.broadcast(brier)).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("bs", 6).alias("brier_score"),
+        F.round("ece", 6).alias("ece"),
+        F.round("mce", 6).alias("mce"),
+    )
+
+
+def _gains_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS k_b
+  FROM scF GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(k_b) AS BIGINT) AS k
+  FROM bins),
+cum AS (
+  SELECT a.b, a.n_b, a.k_b,
+         CAST(SUM(x.n_b) AS BIGINT) AS cum_n,
+         CAST(SUM(x.k_b) AS BIGINT) AS cum_k
+  FROM bins a JOIN bins x ON x.b >= a.b
+  GROUP BY 1, 2, 3)
+SELECT b AS score_decile, n_b, k_b,
+       ROUND(CAST(cum_k AS DOUBLE) / k, 6) AS cum_capture,
+       ROUND((CAST(cum_k AS DOUBLE) / k) / (CAST(cum_n AS DOUBLE) / n), 6)
+         AS lift
+FROM cum CROSS JOIN tot ORDER BY b DESC
+"""
+
+
+@query("gains_lift_deciles", oracle=_gains_oracle(64, 3, 1.0))
+def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table for the trained quality classifier:
+    walking score bins from the most-confident down, what fraction of
+    all positives is captured (gain) and at what multiple of random
+    targeting (lift) — the 'how deep do I have to go' curve a triage or
+    labeling-budget decision reads, complementing AUC (rank quality)
+    and ECE (probability quality).
+
+    Determinism: same round-6 scores and FLOOR bins as the calibration
+    family; cumulative counts are exact integers off a 10x10
+    bucket-bounded self-join — no ordered float folds needed.
+
+    Scale: training as logreg_weights; one scoring scan collapsing to
+    10 bins; everything after is bin-bounded."""
+    from dawis_spark.operators.logreg import logreg_train, margin_expr
+
+    emb = spark.table("embeddings")
+    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
+    bins = (
+        emb.selectExpr(f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p")
+        .selectExpr("LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b", "y")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("y").cast("bigint").alias("k_b"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum("k_b").cast("bigint").alias("k"),
+    )
+    a = bins.select(
+        F.col("b").alias("ab"),
+        F.col("n_b").alias("a_n"),
+        F.col("k_b").alias("a_k"),
+    )
+    cum = (
+        a.join(F.broadcast(bins), F.col("b") >= F.col("ab"))
+        .groupBy("ab", "a_n", "a_k")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("cum_n"),
+            F.sum("k_b").cast("bigint").alias("cum_k"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ab").alias("score_decile"),
+            F.col("a_n").alias("n_b"),
+            F.col("a_k").alias("k_b"),
+            F.round(F.col("cum_k").cast("double") / F.col("k"), 6).alias(
+                "cum_capture"
+            ),
+            F.round(
+                (F.col("cum_k").cast("double") / F.col("k"))
+                / (F.col("cum_n").cast("double") / F.col("n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("score_decile").desc())
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -18338,6 +18523,8 @@ NEXT_ROTATION: list[str] = [
     "cochran_armitage_trend",
     "markov_removal_attribution",
     "conformal_interval_price",
+    "ece_classifier_calibration",
+    "gains_lift_deciles",
 ]
 
 
