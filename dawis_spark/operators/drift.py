@@ -164,3 +164,32 @@ SELECT digit, n,
        ROUND(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) - CASE digit {whens} END, 6) AS deviation
 FROM base ORDER BY digit
 """
+
+
+def psi_from_counts(ref_counts: list[int], cur_counts: list[int]) -> float:
+    """PSI over aligned bin-count vectors with the standard 1e-6 floor
+    on empty-side bins — the SAME formula the psi_value_drift oracle
+    evaluates in SQL ((q - p) * ln(q / p) summed in bin order), shared
+    by the batch query's semantics and the streaming monitor
+    (streaming/drift.py) so batch equivalence is equality of one
+    function applied to one pair of histograms."""
+    import math
+
+    n_ref = sum(ref_counts)
+    n_cur = sum(cur_counts)
+    acc = 0.0
+    for r, c in zip(ref_counts, cur_counts):
+        p = max(r / n_ref, 1e-6)
+        q = max(c / n_cur, 1e-6)
+        acc += (q - p) * math.log(q / p)
+    return acc
+
+
+def bin_index(x: float, lo: float, hi: float, n_bins: int) -> int:
+    """The batch query's bin rule: least(greatest(floor((x - lo) /
+    (hi - lo) * n_bins), 0), n_bins - 1) — clamped equal-width bins on
+    the REFERENCE extrema, shared by the streaming monitor."""
+    import math
+
+    b = int(math.floor((x - lo) / (hi - lo) * n_bins))
+    return min(max(b, 0), n_bins - 1)

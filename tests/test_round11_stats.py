@@ -198,3 +198,62 @@ def test_markov_removal_attribution_shares_sum_to_one(spark):
         1.0, abs=1e-4
     )
     assert all(0 <= r["base_cvr"] <= 1 for r in rows)
+
+
+def test_stream_psi_drift_cross_batch_and_batch_equivalence(spark, tmp_path):
+    """The running PSI after each micro-batch equals psi_from_counts over
+    the histogram of ALL delivered rows (whale-alert discipline), and it
+    moves toward zero as the stream converges to the reference mix."""
+    from pyspark.sql import types as T
+
+    from dawis_spark.operators.drift import bin_index, psi_from_counts
+    from dawis_spark.streaming.drift import stream_psi_drift
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    ref = [5, 5, 5, 5]  # uniform reference over [0, 100), 4 bins
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
+        q = (
+            stream_psi_drift(
+                staging_stream(spark, staging, schema),
+                "metric",
+                "v",
+                ref_lo=0.0,
+                ref_hi=100.0,
+                ref_counts=ref,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # tick 1: everything lands in bin 0 — severe drift
+    tick([("m", float(x)) for x in (1, 2, 3, 4)])
+    first = {
+        (r["metric"], r["n_rows"]): r["psi"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert first[("m", 4)] > 1.0
+    # tick 2: fill the other bins — drift should shrink
+    tick([("m", float(x)) for x in (30, 55, 80, 30, 55, 80, 5, 99)])
+    rows = {r["n_rows"]: r["psi"] for r in spark.read.parquet(sink).collect()}
+    assert rows[12] < first[("m", 4)]
+    # batch equivalence on the union of all delivered rows
+    all_vals = [r["v"] for r in spark.read.parquet(staging).collect()]
+    counts = [0] * 4
+    for x in all_vals:
+        counts[bin_index(x, 0.0, 100.0, 4)] += 1
+    assert rows[12] == pytest.approx(psi_from_counts(ref, counts), abs=1e-12)
