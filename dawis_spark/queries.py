@@ -18412,6 +18412,118 @@ def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wald-Wolfowitz runs statistics over one-row exact integers (r = runs,
+# n1 = ups, n2 = downs): mu = 2 n1 n2/(n1+n2) + 1,
+# var = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2-1)).
+_RUNS_MU = "(2.0 * n1 * n2 / (n1 + n2) + 1)"
+_RUNS_VAR = (
+    "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+    " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))"
+)
+_RUNS_Z = f"((r - {_RUNS_MU}) / sqrt({_RUNS_VAR}))"
+
+_RUNS_ORACLE = f"""
+WITH {{DAILY}},
+moves AS (
+  SELECT d, CASE WHEN rev > LAG(rev) OVER (ORDER BY d) THEN 1
+                 WHEN rev < LAG(rev) OVER (ORDER BY d) THEN -1 END AS s
+  FROM daily),
+signs AS (
+  SELECT d, s, LAG(s) OVER (ORDER BY d) AS prev
+  FROM (SELECT d, s FROM moves WHERE s IS NOT NULL)),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+              AS DOUBLE) AS r
+  FROM signs),
+zs AS (
+  SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+         CAST(r AS BIGINT) AS n_runs,
+         ROUND({_RUNS_MU}, 4) AS expected_runs, {_RUNS_Z} AS z
+  FROM agg)
+SELECT n_up, n_down, n_runs, expected_runs,
+       ROUND(z, 6) AS z_score, ROUND({{P}}, 6) AS p_value
+FROM (SELECT *, {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM zs))
+"""
+
+
+def _runs_oracle() -> str:
+    return (
+        _RUNS_ORACLE.replace("{DAILY}", _DAILY_REV_ORDERS_CTE)
+        .replace("{P}", _BH_P)
+        .replace("{TT}", _BH_TT)
+        .replace("{AZ}", _BH_AZ)
+    )
+
+
+@query("runs_test_daily_revenue", oracle=_runs_oracle())
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down moves of daily revenue —
+    'are the daily directions RANDOM': too few runs = sticky momentum,
+    too many = mean-reverting oscillation. The direction-randomness
+    companion to Ljung-Box (magnitude autocorrelation) and Mann-Kendall
+    (monotone trend): together the three cover level, direction, and
+    memory of a series.
+
+    Exactness: ups, downs, and run count are exact integers off the
+    day-ordered lag windows; mu/var/z/p are shared expression strings
+    over one-time double casts — identical engines.
+
+    Scale: the lag windows ride the calendar-bounded daily series
+    (whitelisted class); everything after is one row."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("d")
+    moves = daily.select(
+        "d",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1)
+        .when(F.col("rev") < F.lag("rev").over(w), -1)
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    signs = moves.select("d", "s", F.lag("s").over(w).alias("prev"))
+    agg = signs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("r"),
+    )
+    return (
+        agg.selectExpr(
+            "CAST(n1 AS BIGINT) AS n_up",
+            "CAST(n2 AS BIGINT) AS n_down",
+            "CAST(r AS BIGINT) AS n_runs",
+            f"ROUND({_RUNS_MU}, 4) AS expected_runs",
+            f"{_RUNS_Z} AS z",
+        )
+        .selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "n_up",
+            "n_down",
+            "n_runs",
+            "expected_runs",
+            "ROUND(z, 6) AS z_score",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -18525,6 +18637,7 @@ NEXT_ROTATION: list[str] = [
     "conformal_interval_price",
     "ece_classifier_calibration",
     "gains_lift_deciles",
+    "runs_test_daily_revenue",
 ]
 
 

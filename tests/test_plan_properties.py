@@ -541,6 +541,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "acf_daily_revenue": "lags over the day-bounded daily series",
     "ljung_box_daily_revenue": "lags over the day-bounded daily series",
     "granger_orders_to_revenue": "lag over the day-bounded daily series",
+    "runs_test_daily_revenue": "lags over the day-bounded daily series",
     "median_ci_order_value": "cumulative counts over the distinct-cents value relation",
     "conformal_interval_price": (
         "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"
