@@ -257,3 +257,45 @@ def test_stream_psi_drift_cross_batch_and_batch_equivalence(spark, tmp_path):
     for x in all_vals:
         counts[bin_index(x, 0.0, 100.0, 4)] += 1
     assert rows[12] == pytest.approx(psi_from_counts(ref, counts), abs=1e-12)
+
+
+def test_psi_zero_for_identical_distributions():
+    from dawis_spark.operators.drift import psi_from_counts
+
+    assert psi_from_counts([5, 5, 5, 5], [10, 10, 10, 10]) == pytest.approx(
+        0.0, abs=1e-12
+    )
+    # any mismatch is strictly positive (PSI is an f-divergence)
+    assert psi_from_counts([5, 5, 5, 5], [20, 10, 5, 5]) > 0
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark):
+    from dawis_spark.queries import eb_shrunk_urgent_rates
+
+    rows = eb_shrunk_urgent_rates(spark, "/root/testdata/sf0.001").collect()
+    mu = sum(r["raw_rate"] for r in rows) / len(rows)
+    for r in rows:
+        raw, shrunk = r["raw_rate"], r["shrunk_rate"]
+        # shrunk estimate lies between the raw rate and the prior mean
+        lo, hi = sorted((raw, mu))
+        assert lo - 1e-6 <= shrunk <= hi + 1e-6, (r["n_name"], raw, shrunk, mu)
+
+
+def test_cuped_variance_reduction_bounds(spark):
+    from dawis_spark.queries import cuped_adjusted_arm_means
+
+    rows = cuped_adjusted_arm_means(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert 0.0 <= r["variance_reduction"] <= 1.0  # it's corr^2
+
+
+def test_gains_capture_monotone_and_ends_at_one(spark):
+    from dawis_spark.queries import gains_lift_deciles
+
+    rows = gains_lift_deciles(spark, "/root/testdata/sf0.001").collect()
+    # rows come ordered by decile DESC; capture accumulates to 1
+    caps = [r["cum_capture"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(caps, caps[1:]))
+    assert caps[-1] == pytest.approx(1.0, abs=1e-9)
+    # lift of the full population is exactly 1
+    assert rows[-1]["lift"] == pytest.approx(1.0, abs=1e-9)
