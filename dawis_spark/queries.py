@@ -15023,8 +15023,9 @@ _NB_SCORE = (
     " - tf_tot * ln(t_l + v)"
 )
 
-_NB_ORACLE = f"""
-WITH train AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+# CTE chain ending in ev(actual docs) + pred(doc_id, predicted) — shared
+# by the confusion-matrix oracle and the McNemar paired-comparison oracle.
+_NB_CTES = f"""train AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
 ev AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
 ttok AS (
   SELECT lang, t FROM (
@@ -15056,7 +15057,10 @@ pred AS (
            ROW_NUMBER() OVER (PARTITION BY doc_id
                               ORDER BY score DESC, lang ASC) AS rn
     FROM scored)
-  WHERE rn = 1)
+  WHERE rn = 1)"""
+
+_NB_ORACLE = f"""
+WITH {_NB_CTES}
 SELECT d.lang AS actual, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
 FROM ev d JOIN pred p USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -18524,6 +18528,173 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mcnemar_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    scores = _TS.language_scores_sql("text", "duck")
+    score_sel = ", ".join(
+        f"ROUND({e}, 6) AS {name}" for name, e in scores.items()
+    )
+    langs = list(_TS.STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    hpred = "CASE WHEN " + greatest + " <= 0 THEN 'und' "
+    hpred += " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    )
+    hpred += " ELSE 'und' END"
+    z = "((abs(b - c) - 1) / sqrt(nullif(CAST(b + c AS DOUBLE), 0)))"
+    return f"""
+WITH {_NB_CTES},
+ht AS (SELECT doc_id, {toks} AS __toks FROM ev),
+hp AS (
+  SELECT doc_id, {hpred} AS h_pred
+  FROM (SELECT doc_id, {score_sel} FROM ht) x),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb_correct,
+         CAST(SUM(CASE WHEN h.h_pred = d.lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS heur_correct,
+         CAST(SUM(CASE WHEN h.h_pred = d.lang AND p.predicted <> d.lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN h.h_pred <> d.lang AND p.predicted = d.lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM ev d JOIN pred p USING (doc_id) JOIN hp h USING (doc_id)),
+zs AS (
+  SELECT n_docs, nb_correct, heur_correct, b AS heur_only, c AS nb_only,
+         {z} AS z
+  FROM cells)
+SELECT n_docs, nb_correct, heur_correct, heur_only, nb_only,
+       ROUND(z, 6) AS z_score, ROUND({{P}}, 6) AS p_value
+FROM (SELECT *, {{TT}} AS tt FROM (SELECT *, {{AZ}} AS az FROM zs))
+""".replace("{P}", _BH_P).replace("{TT}", _BH_TT).replace("{AZ}", _BH_AZ)
+
+
+@query("mcnemar_langid_vs_nb", oracle=_mcnemar_oracle())
+def mcnemar_langid_vs_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: is the LEARNED naive-Bayes language
+    classifier actually better than the stopword heuristic ON THE SAME
+    held-out documents? Accuracy deltas alone ignore pairing; McNemar
+    compares only the DISCORDANT documents (heuristic-right/NB-wrong vs
+    the converse), chi-square with continuity correction — THE paired
+    model-comparison primitive every 'replace the heuristic with a
+    model' decision needs.
+
+    Determinism: both classifiers are the existing deterministic
+    pipelines (round-6 heuristic scores with fixed tie-break order; the
+    NB argmax with the (score DESC, lang ASC) tiebreak); the discordant
+    counts are exact integers and z/p are shared expression strings.
+
+    Scale: the NB model relations are vocabulary-sized, the heuristic
+    is map-side, and the paired join is keyed by doc_id — everything
+    after the predictions is one row."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.textstats import language_id
+
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    ev = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def tok(df, keep):
+        return (
+            df.select(*keep, F.explode(F.split(F.lower("text"), " ")).alias("t"))
+            .filter(F.col("t") != "")
+        )
+
+    ct = (
+        tok(train, ["lang"])
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tl = ct.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+    vt = ct.agg(F.countDistinct("t").cast("bigint").alias("v"))
+    pri = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_l")
+    )
+    dtot = train.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    langs = (
+        pri.join(tl, "lang").crossJoin(F.broadcast(vt)).crossJoin(F.broadcast(dtot))
+    )
+    etok = (
+        tok(ev, ["doc_id"])
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    etot = etok.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("tf_tot"))
+    seen = (
+        etok.join(ct, "t")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.log(F.col("c") + 1)).alias("seen_s"))
+    )
+    scored = (
+        etot.crossJoin(F.broadcast(langs))
+        .join(seen, ["doc_id", "lang"], "left")
+        .selectExpr("doc_id", "lang", f"{_NB_SCORE} AS score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    nb_pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    hp = language_id(ev, "doc_id", "text").select(
+        "doc_id", F.col("lang_pred").alias("h_pred")
+    )
+    cells = (
+        ev.select("doc_id", F.col("lang").alias("actual"))
+        .join(nb_pred, "doc_id")
+        .join(hp, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("predicted") == F.col("actual")).cast("int"))
+            .cast("bigint")
+            .alias("nb_correct"),
+            F.sum((F.col("h_pred") == F.col("actual")).cast("int"))
+            .cast("bigint")
+            .alias("heur_correct"),
+            F.sum(
+                (
+                    (F.col("h_pred") == F.col("actual"))
+                    & (F.col("predicted") != F.col("actual"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("b"),
+            F.sum(
+                (
+                    (F.col("h_pred") != F.col("actual"))
+                    & (F.col("predicted") == F.col("actual"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    return (
+        cells.selectExpr(
+            "n_docs",
+            "nb_correct",
+            "heur_correct",
+            "b AS heur_only",
+            "c AS nb_only",
+            "((abs(b - c) - 1) / sqrt(nullif(CAST(b + c AS DOUBLE), 0))) AS z",
+        )
+        .selectExpr("*", f"{_BH_AZ} AS az")
+        .selectExpr("*", f"{_BH_TT} AS tt")
+        .selectExpr(
+            "n_docs",
+            "nb_correct",
+            "heur_correct",
+            "heur_only",
+            "nb_only",
+            "ROUND(z, 6) AS z_score",
+            f"ROUND({_BH_P}, 6) AS p_value",
+        )
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
     # appeared in a driver CORRECTNESS file (inventory minus every name
@@ -18638,6 +18809,7 @@ NEXT_ROTATION: list[str] = [
     "ece_classifier_calibration",
     "gains_lift_deciles",
     "runs_test_daily_revenue",
+    "mcnemar_langid_vs_nb",
 ]
 
 
