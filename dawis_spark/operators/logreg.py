@@ -64,6 +64,72 @@ def margin_expr(vec_col: str, w: list[float]) -> str:
     return f"round({V.dot(xs, _w_literal(w), 'spark')}, 6)"
 
 
+def _np_half_up6(a):
+    """Vectorized HALF_UP round to 6 digits — the numpy twin of
+    ``_half_up6`` (same floor(abs*1e6 + 0.5) formulation, so the sampled
+    driver-side trajectory is bit-equal to the distributed one)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
+
+
+def _np_half_up_int64(a):
+    """Vectorized HALF_UP round to integer (SQL ``round(x)`` + bigint
+    cast), as exact int64."""
+    import numpy as np
+
+    return (np.copysign(np.floor(np.abs(a) + 0.5), a)).astype(np.int64)
+
+
+def _collect_train_sample(
+    data: DataFrame, id_col: str, vec_col: str, y_expr: str, limit: int
+):
+    """(X, y) numpy training sample: the ``limit`` lowest-id examples,
+    X = (n, dim+1) float64 with the bias feature appended (the same
+    ``_xs_expr`` the distributed path scores with), y = (n,) float64.
+    Deterministic (id-ordered prefix — the train_kmeans discipline,
+    similarity.py) so the DuckDB oracle replays the identical
+    trajectory; below the limit this is the whole input. One TakeOrdered
+    job; driver memory is limit x (dim+2) x 8 bytes."""
+    import numpy as np
+
+    rows = (
+        data.select(
+            F.col(id_col).alias("__id"),
+            F.expr(_xs_expr(vec_col)).alias("__xs"),
+            F.expr(f"cast({y_expr} as double)").alias("__y"),
+        )
+        .orderBy("__id")
+        .limit(limit)
+        .collect()
+    )
+    if not rows:
+        return None, None
+    X = np.array([r["__xs"] for r in rows], dtype=np.float64)
+    y = np.array([r["__y"] for r in rows], dtype=np.float64)
+    return X, y
+
+
+def _train_numpy(X, y, iterations: int, lr: float) -> list[float]:
+    """Full-batch GD on a driver-side sample, mirroring the distributed
+    trajectory op for op: dim-sequential left-fold margins from 0.0,
+    HALF_UP round-6 margin and residual, per-dimension integer-micro
+    gradient sums in exact int64, HALF_UP round-6 weight update."""
+    import numpy as np
+
+    n, d1 = X.shape
+    w = [0.0] * d1
+    for _ in range(iterations):
+        margin = np.zeros(n, dtype=np.float64)
+        for d in range(d1):
+            margin += X[:, d] * w[d]
+        margin = _np_half_up6(margin)
+        r = _np_half_up6(1.0 / (1.0 + np.exp(-margin)) - y)
+        g = [int(_np_half_up_int64((r * X[:, d]) * 1000000.0).sum()) for d in range(d1)]
+        w = [_half_up6(w[j] - lr * (g[j] / 1e6) / n) for j in range(d1)]
+    return w
+
+
 def logreg_train(
     data: DataFrame,
     vec_col: str,
@@ -71,10 +137,29 @@ def logreg_train(
     dim: int,
     iterations: int = 3,
     lr: float = 1.0,
+    id_col: str | None = None,
+    sample_limit: int | None = None,
 ) -> list[float]:
     """Learn ``dim + 1`` weights (bias last) by ``iterations`` rounds of
     full-batch GD from zero init. ``y_expr``: SQL expr yielding the 0/1
-    double label. Returns the weight list (driver-side, config-sized)."""
+    double label. Returns the weight list (driver-side, config-sized).
+
+    With ``sample_limit`` (requires ``id_col``): train on the
+    ``sample_limit`` lowest-id examples, collected once and iterated
+    driver-side in numpy — the train_kmeans sample discipline
+    (similarity.py ``sample_limit``). This is the 100 TB path: one
+    bounded TakeOrdered collect instead of ``iterations`` full-input
+    scans, then score the full corpus distributed with the returned
+    weights. The numpy loop replays the exact integer-micro trajectory,
+    so when the sample covers the input the two paths are bit-equal
+    (pinned by test_logreg_sampled_path_matches_distributed)."""
+    if sample_limit is not None:
+        if id_col is None:
+            raise ValueError("sample_limit requires id_col")
+        X, y = _collect_train_sample(data, id_col, vec_col, y_expr, sample_limit)
+        if X is None:
+            return [0.0] * (dim + 1)
+        return _train_numpy(X, y, iterations, lr)
     n = data.count()
     w = [0.0] * (dim + 1)
     for _ in range(iterations):

@@ -6905,12 +6905,51 @@ _LOGREG_Y_SPARK = (
     "case when label < 5 then cast(1.0 as double) else cast(0.0 as double) end"
 )
 
+# Training-sample cap for the logreg quality-classifier family (the
+# train_kmeans sample discipline): train on the _LOGREG_SAMPLE_LIMIT
+# lowest-vec_id embeddings, score the full corpus distributed. 4096 is
+# generous for a 65-parameter linear model; it is a no-op at sf0.01/0.1
+# (500/2000 rows) and binds at sf1+ (20000+), which is the point — at
+# 100 TB training cost is constant while scoring stays one scan.
+_LOGREG_SAMPLE_LIMIT = 4096
 
-def _logreg_chain_ctes(dim: int, iters: int, lr: float) -> str:
+# One trained weight vector shared by the five classifier queries
+# (logreg_weights, classifier_auc_eval, classifier_calibration_curve,
+# ece_classifier_calibration, gains_lift_deciles) — keyed on the data
+# directory + hyperparameters, NOT the session: testdata at a given
+# sf_dir is immutable, and the weights are plain floats.
+_LOGREG_W_CACHE: dict[tuple, list[float]] = {}
+
+
+def _trained_logreg_w(
+    spark: SparkSession, sf_dir: str, dim: int = 64, iters: int = 3, lr: float = 1.0
+) -> list[float]:
+    from dawis_spark.operators.logreg import logreg_train
+
+    key = (sf_dir, dim, iters, lr, _LOGREG_SAMPLE_LIMIT)
+    if key not in _LOGREG_W_CACHE:
+        _LOGREG_W_CACHE[key] = logreg_train(
+            spark.table("embeddings"),
+            "embedding",
+            _LOGREG_Y_SPARK,
+            dim=dim,
+            iterations=iters,
+            lr=lr,
+            id_col="vec_id",
+            sample_limit=_LOGREG_SAMPLE_LIMIT,
+        )
+    return _LOGREG_W_CACHE[key]
+
+
+def _logreg_chain_ctes(dim: int, iters: int, lr: float, sample_limit: int) -> str:
     """CTE chain replaying logreg_train: zero-init weights, per round a
     round-6 margin fold, round-6 residual, integer-micro gradient sums,
     and a round-6 HALF_UP weight update. Ends at w{iters}(dim, weight).
-    All MATERIALIZED (multiply-referenced CTEs inline exponentially)."""
+    All MATERIALIZED (multiply-referenced CTEs inline exponentially).
+
+    ``v`` is the FULL corpus (downstream scoring CTEs read it); training
+    rounds read ``vt``, the ``sample_limit`` lowest-vec_id prefix — the
+    exact sample logreg_train(sample_limit=...) collects."""
     d1 = dim + 1
     dot = _VEC.dot("xs", "wl", "duck")
     rounds = []
@@ -6920,7 +6959,7 @@ wl{t - 1} AS (SELECT list(weight ORDER BY dim) AS wl FROM w{t - 1}),
 sc{t} AS MATERIALIZED (
   SELECT vec_id, xs,
          round(1.0 / (1.0 + exp(-(round({dot}, 6)))) - y, 6) AS r
-  FROM v, wl{t - 1}
+  FROM vt, wl{t - 1}
 ),
 g{t} AS MATERIALIZED (
   SELECT u.pos - 1 AS dim,
@@ -6938,7 +6977,10 @@ w{t} AS MATERIALIZED (
          CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
   FROM embeddings
 ),
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+vt AS MATERIALIZED (
+  SELECT * FROM v ORDER BY vec_id LIMIT {sample_limit}
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vt),
 w0 AS MATERIALIZED (
   SELECT u.d - 1 AS dim, CAST(0.0 AS DOUBLE) AS weight
   FROM unnest(range(1, {d1 + 1})) u(d)
@@ -6948,7 +6990,7 @@ w0 AS MATERIALIZED (
 
 def _logreg_weights_oracle(dim: int, iters: int, lr: float) -> str:
     return f"""
-WITH {_logreg_chain_ctes(dim, iters, lr)}
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)}
 SELECT dim, weight FROM w{iters} ORDER BY dim
 """
 
@@ -6956,7 +6998,7 @@ SELECT dim, weight FROM w{iters} ORDER BY dim
 def _logreg_auc_oracle(dim: int, iters: int, lr: float) -> str:
     dot = _VEC.dot("xs", "wl", "duck")
     return f"""
-WITH {_logreg_chain_ctes(dim, iters, lr)},
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
 wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
 scF AS MATERIALIZED (
   SELECT CAST(v.y AS INT) AS y, round({dot}, 6) AS s FROM v, wlF
@@ -6985,15 +7027,15 @@ def logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the fasttext-style quality gate whose inference plan
     quality_classifier_scores already ships.
 
-    Scale: per round one margin fold inside the scan (no explode in the
-    scoring path) and one 65-key integer gradient exchange (map-side
-    partials); weights are driver state exactly as in any trainer. The
-    integer-micro gradient discipline makes the trajectory partition-
-    order invariant, which is what lets DuckDB replay all 3 rounds."""
-    from dawis_spark.operators.logreg import logreg_train
-
-    emb = spark.table("embeddings")
-    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    Scale: training runs driver-side on the _LOGREG_SAMPLE_LIMIT
+    lowest-vec_id examples (one bounded TakeOrdered collect — the
+    train_kmeans sample discipline), so cost is CONSTANT in corpus
+    size; the trained vector is memoized and shared by the whole
+    classifier family (_trained_logreg_w). The integer-micro gradient
+    discipline makes the numpy trajectory bit-equal to the distributed
+    full-batch path on the same rows, which is what lets DuckDB replay
+    all 3 rounds (vt CTE = the same id-ordered prefix)."""
+    w = _trained_logreg_w(spark, sf_dir)
     return spark.createDataFrame(
         [(j, wj) for j, wj in enumerate(w)], "dim int, weight double"
     ).orderBy("dim")
@@ -7003,13 +7045,14 @@ def logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-eval for logreg_weights: exact tie-aware ROC AUC (midrank
     rank-sum form — integers until the final division) and accuracy at
-    threshold 0 for the trained model on its training set. The eval
-    discipline every trained component here carries (ann_recall_*,
+    threshold 0 for the trained model on the FULL corpus (training
+    itself sees only the bounded lowest-id sample). The eval discipline
+    every trained component here carries (ann_recall_*,
     quantiles_error_eval) applied to the classifier."""
-    from dawis_spark.operators.logreg import auc_accuracy, logreg_train
+    from dawis_spark.operators.logreg import auc_accuracy
 
     emb = spark.table("embeddings")
-    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    w = _trained_logreg_w(spark, sf_dir)
     return auc_accuracy(emb, "embedding", _LOGREG_Y_SPARK, w)
 
 
@@ -10819,7 +10862,7 @@ def stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _calibration_oracle(dim: int, iters: int, lr: float) -> str:
     dot = _VEC.dot("xs", "wl", "duck")
     return f"""
-WITH {_logreg_chain_ctes(dim, iters, lr)},
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
 wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
 scF AS MATERIALIZED (
   SELECT CAST(v.y AS INT) AS y,
@@ -10844,12 +10887,13 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     logreg_weights trajectory (same params), scoring is the same
     round-6 margin fold.
 
-    Scale: training as logreg_weights (65-integer gradient exchanges);
-    the curve itself is one scan with a 10-group aggregate."""
-    from dawis_spark.operators.logreg import logreg_train, margin_expr
+    Scale: training shared via _trained_logreg_w (bounded-sample,
+    memoized — no retrain); the curve itself is one scan with a
+    10-group aggregate."""
+    from dawis_spark.operators.logreg import margin_expr
 
     emb = spark.table("embeddings")
-    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    w = _trained_logreg_w(spark, sf_dir)
     p = f"round(1.0 / (1.0 + exp(-({margin_expr('embedding', w)}))), 6)"
     scored = emb.select(
         F.expr(f"cast({_LOGREG_Y_SPARK} as int)").alias("y"),
@@ -18234,7 +18278,7 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ece_oracle(dim: int, iters: int, lr: float) -> str:
     dot = _VEC.dot("xs", "wl", "duck")
     return f"""
-WITH {_logreg_chain_ctes(dim, iters, lr)},
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
 wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
 scF AS MATERIALIZED (
   SELECT CAST(v.y AS INT) AS y,
@@ -18277,12 +18321,13 @@ def ece_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold; Brier's AVG over per-row identical doubles differs only in
     summation order (~n*eps against the round-6 margin).
 
-    Scale: training as logreg_weights; one more scan collapsing to 10
-    bins plus a 1-row Brier aggregate."""
-    from dawis_spark.operators.logreg import logreg_train, margin_expr
+    Scale: training shared via _trained_logreg_w (bounded-sample,
+    memoized — no retrain); one more scan collapsing to 10 bins plus a
+    1-row Brier aggregate."""
+    from dawis_spark.operators.logreg import margin_expr
 
     emb = spark.table("embeddings")
-    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    w = _trained_logreg_w(spark, sf_dir)
     p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
     scored = emb.selectExpr(
         f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p"
@@ -18323,7 +18368,7 @@ def ece_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gains_oracle(dim: int, iters: int, lr: float) -> str:
     dot = _VEC.dot("xs", "wl", "duck")
     return f"""
-WITH {_logreg_chain_ctes(dim, iters, lr)},
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
 wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
 scF AS MATERIALIZED (
   SELECT CAST(v.y AS INT) AS y,
@@ -18364,12 +18409,13 @@ def gains_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     family; cumulative counts are exact integers off a 10x10
     bucket-bounded self-join — no ordered float folds needed.
 
-    Scale: training as logreg_weights; one scoring scan collapsing to
-    10 bins; everything after is bin-bounded."""
-    from dawis_spark.operators.logreg import logreg_train, margin_expr
+    Scale: training shared via _trained_logreg_w (bounded-sample,
+    memoized — no retrain); one scoring scan collapsing to 10 bins;
+    everything after is bin-bounded."""
+    from dawis_spark.operators.logreg import margin_expr
 
     emb = spark.table("embeddings")
-    w = logreg_train(emb, "embedding", _LOGREG_Y_SPARK, dim=64, iterations=3)
+    w = _trained_logreg_w(spark, sf_dir)
     p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
     bins = (
         emb.selectExpr(f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p")
@@ -18696,76 +18742,22 @@ def mcnemar_langid_vs_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # r11 rotation (VERDICT r10 ask #2): the 48 queries that have NEVER
-    # appeared in a driver CORRECTNESS file (inventory minus every name
-    # hashed in r1-r10 — locally sweep-green every round, but the driver
-    # is the hard signal), plus the two whose code changed this round
-    # (cm_heavy_hitters: TakeOrdered rewrite; whale_guarded_transitions:
-    # new). After r11, every query in the inventory has driver evidence.
+    # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
+    # have NEVER appeared in a driver CORRECTNESS file (locally
+    # sweep-green — SWEEP_r11 291/291 — but the driver is the hard
+    # signal), plus the 6 queries whose OUTPUT changes this round:
+    # the logreg classifier family (bounded-sample shared training,
+    # _trained_logreg_w) and the whale-guarded journey queries. After
+    # r12, every query in the inventory has driver evidence again.
     #
-    # -- changed / new this round --
-    "cm_heavy_hitters",            # r11: orderBy().limit() TakeOrdered rewrite
-    "whale_guarded_transitions",   # r11: journey whale guard (new)
-    "pareto_customers",            # r11: range_partitioned_ranks + sum_col
-    "pareto_frontier_parts",       # r11: bucketed two-level running max
-    "sorted_neighborhood_matches", # r11: ranks via ASCII-prefix proxy
-    # (token_burstiness_topk also changed — decimal(38,0) overflow fix —
-    # but it is r10-driver-green and the rounded output is unchanged at
-    # sf0.01, so it stays out of the 50-entry prefix; SWEEP_r11 re-checks
-    # it locally.)
-    # -- the never-driver-checked tail (r9/r10 additions) --
-    "wordpiece_vocab",
-    "wordpiece_segmented_corpus",
-    "oph_minhash_pairs",
-    "embedding_ann_jl",
-    "ann_recall_jl",
-    "ivf_nprobe_recall_curve",
-    "lsh_detection_curve",
-    "rank_biased_overlap",
-    "search_mrr_eval",
-    "fuzzy_name_matches",
-    "symspell_name_matches",
-    "rolling_median_7d",
-    "rolling_wau_7d",
-    "stl_decomposition_daily",
-    "holt_linear_forecast",
-    "cusum_changepoints",
-    "ewma_daily_smoothing",
-    "table_fingerprints",
-    "snapshot_table_diff",
-    "k_anonymity_customers",
-    "feature_correlations",
-    "association_rules",
-    "frequent_event_sequences",
-    "item_cooccurrence_topk",
-    "rake_keyphrases",
-    "benford_first_digit",
-    "totalprice_histogram",
-    "pps_ht_totals",
-    "stratified_quota_sample",
-    "iqr_outlier_fences",
-    "ks_price_drift",
-    "column_stats_profile",
-    "gapfill_interp_user_value",
-    "containment_near_dups",
-    "coreset_cluster_balanced",
-    "ctr_wilson_ranking",
-    "dedup_loss_weights",
-    "dow_seasonality_index",
-    "part_supplier_hhi",
-    "lexical_richness_by_source",
-    "langid_confusion_matrix",
-    "proportion_ztest",
-    "langid_cohens_kappa",
-    "classifier_calibration_curve",
-    "source_embedding_affinity",
-]
-
-# Added in round 11 AFTER the 50-entry driver rotation above was frozen
-# (the driver hashes only the first 50 registry names). The r12 rotation
-# should replace DRIVER_PRIORITY's head with these so no query waits more
-# than one round for driver evidence.
-NEXT_ROTATION: list[str] = [
+    # -- output changed this round --
+    "logreg_weights",               # r12: bounded-sample numpy training
+    "classifier_auc_eval",          # r12: shared trained vector
+    "classifier_calibration_curve", # r12: shared trained vector
+    "markov_next_event_accuracy",   # r12: whale guard adopted
+    "session_entry_exit_bounce",    # r12: whale guard adopted
+    "event_transitions",            # r12: whale guard adopted
+    # -- the never-driver-checked r11 tail --
     "fellegi_sunter_patterns",
     "fellegi_sunter_em",
     "kaplan_meier_retention",
@@ -18806,10 +18798,19 @@ NEXT_ROTATION: list[str] = [
     "cochran_armitage_trend",
     "markov_removal_attribution",
     "conformal_interval_price",
-    "ece_classifier_calibration",
-    "gains_lift_deciles",
+    "ece_classifier_calibration",   # r12: also output-changed (shared training)
+    "gains_lift_deciles",           # r12: also output-changed (shared training)
     "runs_test_daily_revenue",
     "mcnemar_langid_vs_nb",
+]
+
+# Changed or added AFTER the 50-entry driver rotation above was frozen
+# (the driver hashes only the first 50 registry names). The r13 rotation
+# should put these at the DRIVER_PRIORITY head so no changed query waits
+# more than one round for fresh driver evidence.
+NEXT_ROTATION: list[str] = [
+    "frequent_event_sequences",   # r12: whale guard adopted (r11-driver-green before)
+    "whale_guarded_transitions",  # r12: all-whale audit-row fix (r11-driver-green before)
 ]
 
 

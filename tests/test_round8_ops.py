@@ -316,6 +316,67 @@ def test_logreg_training_partition_order_invariant(spark):
     assert w1 == w2
 
 
+def test_logreg_sampled_path_matches_distributed(spark):
+    """The driver-side numpy sampled trainer (sample_limit — the
+    train_kmeans discipline) replays the distributed integer-micro
+    trajectory BIT-EQUAL: covering sample == full-batch path, and a
+    binding cap == the full-batch path run on exactly the id-ordered
+    prefix. This is what lets the DuckDB oracle's vt CTE stay a simple
+    ORDER BY vec_id LIMIT n."""
+    from dawis_spark.operators.logreg import logreg_train
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 9 - 4) / 4.0 for j in range(6)], i % 3)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    y = "case when label < 2 then cast(1.0 as double) else cast(0.0 as double) end"
+    full = logreg_train(df, "embedding", y, dim=6, iterations=3)
+    covering = logreg_train(
+        df, "embedding", y, dim=6, iterations=3, id_col="vec_id", sample_limit=500
+    )
+    assert covering == full
+    capped = logreg_train(
+        df, "embedding", y, dim=6, iterations=3, id_col="vec_id", sample_limit=30
+    )
+    prefix = logreg_train(
+        df.filter("vec_id < 30"), "embedding", y, dim=6, iterations=3
+    )
+    assert capped == prefix
+    assert capped != full  # the cap actually binds on this input
+
+
+def test_logreg_classifier_family_trains_once(spark):
+    """The five classifier queries share ONE trained weight vector via
+    the _trained_logreg_w memo — a second query (or a second call to
+    the same query) must not retrain. Pins the bounded sample cap too:
+    every training call the family makes passes sample_limit."""
+    import dawis_spark.queries as q
+    from dawis_spark.catalog import register_testdata
+    from dawis_spark.operators import logreg as lr_mod
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    q._LOGREG_W_CACHE.clear()
+    calls = []
+    orig = lr_mod.logreg_train
+
+    def counting(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    lr_mod.logreg_train = counting
+    try:
+        q.QUERIES["logreg_weights"](spark, "/root/testdata/sf0.001").collect()
+        q.QUERIES["gains_lift_deciles"](spark, "/root/testdata/sf0.001").collect()
+        q.QUERIES["ece_classifier_calibration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    finally:
+        lr_mod.logreg_train = orig
+    assert len(calls) == 1
+    assert calls[0]["sample_limit"] == q._LOGREG_SAMPLE_LIMIT
+
+
 def test_labelprop_votes_and_tiebreaks(spark):
     from dawis_spark.operators.labelprop import knn_label_propagation
 
