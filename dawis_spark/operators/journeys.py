@@ -165,16 +165,22 @@ def frequent_sequences(
     )
 
 
-def sequences_oracle_sql(length: int = 3, top: int = 25) -> str:
+def sequences_oracle_sql(
+    length: int = 3, top: int = 25, source: str = "events", prelude: str = ""
+) -> str:
+    """DuckDB replay of ``frequent_sequences``. ``source``/``prelude``
+    let callers point the path mining at a guarded relation (e.g. the
+    whale-filtered ``kept_events`` CTE — see queries._WG_CTES)."""
     leads = ", ".join(
         f"lead(event_type, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e{i}"
         for i in range(1, length)
     )
     concat = " || '>' || ".join(["event_type"] + [f"e{i}" for i in range(1, length)])
     last = f"e{length - 1}"
+    pre = f"{prelude},\n" if prelude else ""
     return f"""
-WITH p AS (
-  SELECT event_type, {leads} FROM events),
+WITH {pre}p AS (
+  SELECT event_type, {leads} FROM {source}),
 paths AS (
   SELECT {concat} AS seq FROM p WHERE {last} IS NOT NULL),
 counted AS (
@@ -246,16 +252,22 @@ def whale_guard(
     max_events: int | None = None,
     max_share: tuple[int, int] | None = None,
     flag_col: str = "is_whale",
+    whales: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` plus a boolean ``flag_col``: True iff the row's key is a
     whale. The whale set is threshold-bounded (share thresholds cap it
     at den/num keys; absolute thresholds rely on the same heavy-hitter
     scarcity), so it broadcasts — the guard adds NO data-sized shuffle;
     sequence windows downstream filter or reroute on the flag BEFORE
-    partitioning by key (see queries.whale_guarded_transitions)."""
-    whales = whale_keys(df, key_cols, max_events, max_share).select(
-        *key_cols, F.lit(True).alias("__wg_hit")
-    )
+    partitioning by key (see queries.whale_guarded_transitions).
+
+    Pass a precomputed (ideally persisted) ``whales`` relation to share
+    one counting scan between the guard and its audit aggregate (the
+    queries._guarded_events pattern — at 100 TB the per-key count scan
+    should run once, not once per consumer)."""
+    if whales is None:
+        whales = whale_keys(df, key_cols, max_events, max_share)
+    whales = whales.select(*key_cols, F.lit(True).alias("__wg_hit"))
     return (
         df.join(F.broadcast(whales), key_cols, "left")
         .withColumn(flag_col, F.coalesce(F.col("__wg_hit"), F.lit(False)))

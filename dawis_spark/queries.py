@@ -7616,20 +7616,75 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRANSITIONS_SQL = """
-WITH ordered AS (
+# --- journey whale policy (operators/journeys.py whale guard) -------------
+#
+# Every per-user sequence window below (event_transitions,
+# frequent_event_sequences, session_entry_exit_bounce,
+# markov_next_event_accuracy) routes through the whale guard: users
+# holding > 0.8% of ALL events (exact integer share test,
+# c * 1000 > total * 8) are flagged by a broadcast whale set — bounded
+# at 125 keys by the share itself — and EXCLUDED from the
+# Window.partitionBy(user_id) path sort; every guarded query carries
+# the excluded-key count as an ``n_whales`` audit column so the
+# exclusion is observable. At 100 TB this keeps one bot/sentinel key
+# from single-tasking the journey window (SCALE.md zipf rehearsal).
+_WHALE_SHARE = (8, 1000)
+
+_WG_CTES = f"""wg_counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+wg_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wg_counts),
+wg_whales AS (SELECT user_id FROM wg_counts, wg_tot
+              WHERE c * {_WHALE_SHARE[1]} > t * {_WHALE_SHARE[0]}),
+wg_nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_whales FROM wg_whales),
+kept_events AS (
+  SELECT e.* FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM wg_whales w WHERE w.user_id = e.user_id))"""
+
+
+def _guarded_events(spark: SparkSession):
+    """(kept, nw): events minus whale users, plus the 1-row n_whales
+    audit relation — the Spark twin of _WG_CTES. The whale set (≤ 125
+    keys by the share bound) is computed in ONE counting scan and
+    persisted, so the guard costs exactly one map-side count aggregate
+    + one broadcast anti-join on top of whatever the consumer does."""
+    from dawis_spark.operators.journeys import whale_guard, whale_keys
+
+    e = spark.table("events")
+    whales = whale_keys(e, ["user_id"], max_share=_WHALE_SHARE).persist()
+    nw = whales.agg(F.count(F.lit(1)).cast("bigint").alias("n_whales"))
+    kept = whale_guard(e, ["user_id"], whales=whales).filter(~F.col("is_whale"))
+    return kept, nw
+
+
+def _with_whale_audit(result: DataFrame, nw: DataFrame) -> DataFrame:
+    """``result`` with ``n_whales`` on every row — via a LEFT join FROM
+    the 1-row audit relation, so an all-whale corpus (result empty)
+    still yields ONE row of NULL measures + the whale count instead of
+    an empty relation (the audit must not vanish exactly when the guard
+    filtered everything). ``result`` is always a type-cardinality-
+    bounded aggregate here, so broadcasting it is free."""
+    return nw.join(F.broadcast(result), F.lit(True), "left").select(
+        *result.columns, "n_whales"
+    )
+
+
+_TRANSITIONS_SQL = f"""
+WITH {_WG_CTES},
+ordered AS (
   SELECT user_id, event_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-  FROM events),
+  FROM kept_events),
 pairs AS (
   SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
   FROM ordered WHERE next_type IS NOT NULL
   GROUP BY src, dst),
 outdeg AS (
   SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY src)
-SELECT p.src, p.dst, p.n, ROUND(CAST(p.n AS DOUBLE) / o.total, 4) AS prob
-FROM pairs p JOIN outdeg o ON p.src = o.src
-ORDER BY p.src, p.dst
+SELECT q.src, q.dst, q.n, q.prob, wg_nw.n_whales
+FROM wg_nw LEFT JOIN (
+  SELECT p.src, p.dst, p.n, ROUND(CAST(p.n AS DOUBLE) / o.total, 4) AS prob
+  FROM pairs p JOIN outdeg o ON p.src = o.src) q ON TRUE
+ORDER BY q.src, q.dst
 """
 
 
@@ -7642,10 +7697,15 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, type, ts)); everything after is event-type-cardinality-sized.
     The deterministic event_id tie-break makes simultaneous-timestamp
     paths replayable. The classic clickstream/path-analysis query of the
-    reference's web-analytics domain (GA behavior flow)."""
+    reference's web-analytics domain (GA behavior flow).
+
+    Guarded: whale users (> 0.8% of all events) are excluded from the
+    path sort by the broadcast whale guard and reported via the
+    n_whales audit column — see _WHALE_SHARE above."""
     from pyspark.sql import Window
 
-    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    kept, nw = _guarded_events(spark)
+    e = kept.select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         e.withColumn("next_type", F.lead("event_type").over(w))
@@ -7657,12 +7717,13 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and — crucially — no second evaluation of the event-path subtree
     # (a groupBy-then-join-back would recompute the user window at scale)
     total = F.sum("n").over(Window.partitionBy("src"))
-    return pairs.select(
+    trans = pairs.select(
         "src",
         "dst",
         "n",
         F.round(F.col("n") / total, 4).alias("prob"),
-    ).orderBy("src", "dst")
+    )
+    return _with_whale_audit(trans, nw).orderBy("src", "dst")
 
 
 _GAPFILL_INTERP_ORACLE = """
@@ -7748,7 +7809,18 @@ def position_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("touch_type")
 
 
-_SEQ_ORACLE = _journeys.sequences_oracle_sql(3, 25) + " "  # noqa: E501
+_SEQ_GUARDED = _journeys.sequences_oracle_sql(
+    3, 25, source="kept_events", prelude=_WG_CTES
+)
+# wrap: top-25 relation x the whale audit (all-whale corpus -> one
+# NULL-measure row carrying n_whales, same as the other guarded queries)
+_SEQ_ORACLE = f"""
+WITH q AS ({_SEQ_GUARDED}),
+{_WG_CTES}
+SELECT q.seq, q.support, q.share, wg_nw.n_whales
+FROM wg_nw LEFT JOIN q ON TRUE
+ORDER BY q.support DESC, q.seq
+"""
 
 
 @query("frequent_event_sequences", oracle=_SEQ_ORACLE)
@@ -7757,8 +7829,13 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice): per-user lead() pairs inside ONE user-hashed window exchange,
     then a |types|^3-key support aggregate with a global-share column.
     Deterministic (support DESC, seq) top-25. The 'what happens right
-    before an error/purchase' query of behavior-flow analytics."""
-    return _journeys.frequent_sequences(spark.table("events"), 3, 25)
+    before an error/purchase' query of behavior-flow analytics.
+
+    Guarded: whale users (> 0.8% of all events, _WHALE_SHARE) are
+    excluded from the path window; n_whales audits the exclusion."""
+    kept, nw = _guarded_events(spark)
+    seqs = _journeys.frequent_sequences(kept, 3, 25)
+    return _with_whale_audit(seqs, nw).orderBy(F.desc("support"), "seq")
 
 
 from dawis_spark.operators import profile as _profile  # noqa: E402
@@ -8042,13 +8119,14 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profile.equi_width_histogram(spark.table("orders"), "o_totalprice", 20)
 
 
-_BOUNCE_ORACLE = """
-WITH e AS (
+_BOUNCE_ORACLE = f"""
+WITH {_WG_CTES},
+e AS (
   SELECT user_id, event_type, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM kept_events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
@@ -8058,16 +8136,21 @@ per_sess AS (
          first(event_type ORDER BY ts, event_id) AS entry_type,
          last(event_type ORDER BY ts, event_id) AS exit_type,
          CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM s GROUP BY user_id, sess)
-SELECT entry_type,
-       CAST(COUNT(*) AS BIGINT) AS sessions,
-       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
-       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 4) AS bounce_rate,
-       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events,
-       CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END) AS BIGINT)
-         AS same_exit
-FROM per_sess GROUP BY entry_type ORDER BY entry_type
+  FROM s GROUP BY user_id, sess),
+per_entry AS (
+  SELECT entry_type,
+         CAST(COUNT(*) AS BIGINT) AS sessions,
+         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+         ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 4) AS bounce_rate,
+         ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events,
+         CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END) AS BIGINT)
+           AS same_exit
+  FROM per_sess GROUP BY entry_type)
+SELECT q.entry_type, q.sessions, q.bounces, q.bounce_rate, q.avg_events,
+       q.same_exit, wg_nw.n_whales
+FROM wg_nw LEFT JOIN per_entry q ON TRUE
+ORDER BY q.entry_type
 """
 
 
@@ -8080,11 +8163,16 @@ def session_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per entry type. One user-hashed exchange carries both windows
     (gap flag + running session id share the sort); the per-session
     collapse rides the same key; the final rollup is type-sized. Ratios
-    are exact-int / exact-int single divisions."""
+    are exact-int / exact-int single divisions.
+
+    Guarded: whale users (> 0.8% of all events, _WHALE_SHARE) are
+    excluded from the sessionization window; n_whales audits the
+    exclusion."""
     from pyspark.sql import Window
 
+    kept, nw = _guarded_events(spark)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    e = kept.select("user_id", "event_type", "ts", "event_id")
     new_sess = F.when(
         F.lag("ts").over(w).isNull()
         | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
@@ -8100,19 +8188,16 @@ def session_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
     bounce = F.sum((F.col("n_events") == 1).cast("int")).cast("bigint")
-    return (
-        per_sess.groupBy("entry_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("sessions"),
-            bounce.alias("bounces"),
-            F.round(bounce / F.count(F.lit(1)), 4).alias("bounce_rate"),
-            F.round(F.sum("n_events") / F.count(F.lit(1)), 4).alias("avg_events"),
-            F.sum((F.col("entry_type") == F.col("exit_type")).cast("int"))
-            .cast("bigint")
-            .alias("same_exit"),
-        )
-        .orderBy("entry_type")
+    per_entry = per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sessions"),
+        bounce.alias("bounces"),
+        F.round(bounce / F.count(F.lit(1)), 4).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 4).alias("avg_events"),
+        F.sum((F.col("entry_type") == F.col("exit_type")).cast("int"))
+        .cast("bigint")
+        .alias("same_exit"),
     )
+    return _with_whale_audit(per_entry, nw).orderBy("entry_type")
 
 
 from dawis_spark.operators import drift as _drift  # noqa: E402
@@ -10663,11 +10748,12 @@ _MARKOV_TEST_DAYS = 7
 
 def _markov_acc_oracle() -> str:
     return f"""
-WITH mx AS (SELECT date_trunc('day', MAX(ts)) AS max_day FROM events),
+WITH {_WG_CTES},
+mx AS (SELECT date_trunc('day', MAX(ts)) AS max_day FROM kept_events),
 seq AS (
   SELECT user_id, ts, event_id, event_type AS cur,
          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-  FROM events),
+  FROM kept_events),
 pairs AS (
   SELECT cur, nxt,
          date_trunc('day', ts) >= max_day - INTERVAL {_MARKOV_TEST_DAYS} DAY AS is_test
@@ -10679,15 +10765,19 @@ pred AS (
   SELECT cur, nxt AS predicted_next FROM (
     SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rk
     FROM train) t WHERE rk = 1),
-test AS (SELECT cur, nxt FROM pairs WHERE is_test)
-SELECT t.cur AS event_type, p.predicted_next,
-       CAST(COUNT(*) AS BIGINT) AS n_test,
-       CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       ROUND(CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS accuracy
-FROM test t JOIN pred p ON t.cur = p.cur
-GROUP BY t.cur, p.predicted_next
-ORDER BY t.cur
+test AS (SELECT cur, nxt FROM pairs WHERE is_test),
+acc AS (
+  SELECT t.cur AS event_type, p.predicted_next,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         ROUND(CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS accuracy
+  FROM test t JOIN pred p ON t.cur = p.cur
+  GROUP BY t.cur, p.predicted_next)
+SELECT q.event_type, q.predicted_next, q.n_test, q.n_correct, q.accuracy,
+       wg_nw.n_whales
+FROM wg_nw LEFT JOIN acc q ON TRUE
+ORDER BY q.event_type
 """
 
 
@@ -10705,10 +10795,14 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-keyed window pass to form consecutive pairs (the
     event_transitions shuffle), a type×type-sized training aggregate,
     and a broadcast of the |types|-row prediction map onto the test
-    aggregate. Nothing new shuffles beyond the pair formation."""
+    aggregate. Nothing new shuffles beyond the pair formation.
+
+    Guarded: whale users (> 0.8% of all events, _WHALE_SHARE) are
+    excluded before the pair window (and from the holdout boundary);
+    n_whales audits the exclusion."""
     from pyspark.sql import Window
 
-    ev = spark.table("events")
+    ev, nw = _guarded_events(spark)
     mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("max_day"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -10738,7 +10832,7 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cur", F.col("nxt").alias("predicted_next"))
     )
     test = pairs.filter(F.col("is_test")).select("cur", "nxt")
-    return (
+    acc = (
         test.join(F.broadcast(pred), "cur")
         .groupBy(F.col("cur").alias("event_type"), "predicted_next")
         .agg(
@@ -10752,8 +10846,8 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("accuracy"),
         )
-        .orderBy("event_type")
     )
+    return _with_whale_audit(acc, nw).orderBy("event_type")
 
 
 def _stl_oracle() -> str:
@@ -14661,10 +14755,11 @@ pairs AS (
   SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
   FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
 outdeg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS total FROM pairs GROUP BY 1)
-SELECT p.src, p.dst, p.n, ROUND(CAST(p.n AS DOUBLE) / o.total, 4) AS prob,
-       nw.n_whales
-FROM pairs p JOIN outdeg o ON p.src = o.src, nw
-ORDER BY p.src, p.dst
+SELECT q.src, q.dst, q.n, q.prob, nw.n_whales
+FROM nw LEFT JOIN (
+  SELECT p.src, p.dst, p.n, ROUND(CAST(p.n AS DOUBLE) / o.total, 4) AS prob
+  FROM pairs p JOIN outdeg o ON p.src = o.src) q ON TRUE
+ORDER BY q.src, q.dst
 """
 
 
@@ -14679,10 +14774,13 @@ def whale_guarded_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds no data-sized shuffle — and excluded from the
     Window.partitionBy(user_id) path sort; the transition matrix is
     computed over the remaining organic users, with the whale count
-    carried on every row as the audit column. At 100 TB this is the
-    difference between one bot key single-tasking the journey window
-    and the window's per-key parallelism holding (SCALE.md zipf
-    rehearsal: guarded form flat at sf1skew)."""
+    carried on every row as the audit column (LEFT-joined FROM the
+    audit relation, so an ALL-whale corpus — observed at sf0.001 —
+    still reports one NULL-measure row with n_whales instead of an
+    empty relation). At 100 TB this is the difference between one bot
+    key single-tasking the journey window and the window's per-key
+    parallelism holding (SCALE.md zipf rehearsal: guarded form flat at
+    sf1skew)."""
     from pyspark.sql import Window
 
     from dawis_spark.operators.journeys import whale_guard, whale_keys
@@ -14701,13 +14799,10 @@ def whale_guarded_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     total = F.sum("n").over(Window.partitionBy("src"))
-    return (
-        pairs.select(
-            "src", "dst", "n", F.round(F.col("n") / total, 4).alias("prob")
-        )
-        .crossJoin(F.broadcast(nw))
-        .orderBy("src", "dst")
+    trans = pairs.select(
+        "src", "dst", "n", F.round(F.col("n") / total, 4).alias("prob")
     )
+    return _with_whale_audit(trans, nw).orderBy("src", "dst")
 
 
 def _ljung_box_oracle(max_lag: int) -> str:

@@ -387,10 +387,16 @@ def test_funnel_no_cartesian_and_user_copartitioned(spark):
 
 
 def test_transitions_single_user_window_exchange(spark):
-    """The path-pairs window is the only shuffle that moves event rows;
-    later aggregations are event-type-cardinality-sized."""
+    """The path-pairs window is the only shuffle that moves EVENT ROWS;
+    the whale guard's exchanges carry (user_id, count) pairs only, and
+    later aggregations are event-type-cardinality-sized. Asserted by
+    payload: exactly one user_id exchange segment carries ts/event_type
+    columns."""
     plan = _plan(spark, "event_transitions")
-    assert plan.count("hashpartitioning(user_id") == 1
+    segs = plan.split("Exchange hashpartitioning(user_id")[1:]
+    assert segs, "expected a user_id-keyed window exchange"
+    row_moving = [s for s in segs if "ts#" in s[:400] or "event_type#" in s[:400]]
+    assert len(row_moving) == 1, f"{len(row_moving)} event-row exchanges"
     assert "CartesianProduct" not in plan
 
 

@@ -89,6 +89,31 @@ def test_whale_guard_flags_by_share_and_count(spark):
     assert flagged.count() == 20
 
 
+def test_guarded_journey_queries_audit_survives_all_whale_corpus(spark):
+    """The four production journey queries + the guard demo all route
+    through the whale guard with the n_whales audit column; on a corpus
+    where EVERY user is a whale (sf0.001: 15 users, all > 0.8%), each
+    must return exactly one NULL-measure row still carrying n_whales —
+    the audit cannot vanish when the guard filtered everything
+    (round-11 ADVICE fix, generalized to the whole family)."""
+    import dawis_spark.queries as q
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    for name in [
+        "event_transitions",
+        "frequent_event_sequences",
+        "session_entry_exit_bounce",
+        "markov_next_event_accuracy",
+        "whale_guarded_transitions",
+    ]:
+        rows = q.QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 1, name
+        d = rows[0].asDict()
+        assert d.pop("n_whales") == 15, name
+        assert all(v is None for v in d.values()), name
+
+
 def test_whale_guard_broadcasts_whale_set(spark):
     from dawis_spark.operators.journeys import whale_guard
 
