@@ -350,6 +350,11 @@ def decode_tiff(payload: bytes) -> list[float]:
     bps = tags.get(258, [8])
     if any(b != 8 for b in bps) or spp not in (1, 3):
         raise ValueError(f"unsupported TIFF: bits={bps} samples={spp}")
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        # PlanarConfiguration 2 stores channels in separate planes; the
+        # chunky (interleaved) stride math below would silently mix them
+        raise ValueError(f"unsupported TIFF planar configuration: {planar}")
     photometric = tags.get(262, [1])[0]
     strips = tags[273]
     counts = tags.get(279, [w * h * spp])

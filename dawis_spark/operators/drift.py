@@ -188,8 +188,17 @@ def psi_from_counts(ref_counts: list[int], cur_counts: list[int]) -> float:
 def bin_index(x: float, lo: float, hi: float, n_bins: int) -> int:
     """The batch query's bin rule: least(greatest(floor((x - lo) /
     (hi - lo) * n_bins), 0), n_bins - 1) — clamped equal-width bins on
-    the REFERENCE extrema, shared by the streaming monitor."""
+    the REFERENCE extrema, shared by the streaming monitor.
+
+    A degenerate reference histogram (hi == lo: a constant-valued
+    reference window) is routed explicitly instead of raising
+    ZeroDivisionError per row in the streaming monitor: x <= lo -> bin
+    0, x > lo -> the top bin — exactly where the batch expression's
+    float division lands them (-inf/NaN floor-casts clamp to 0, +inf
+    clamps to n_bins - 1)."""
     import math
 
+    if hi == lo:
+        return 0 if x <= lo else n_bins - 1
     b = int(math.floor((x - lo) / (hi - lo) * n_bins))
     return min(max(b, 0), n_bins - 1)

@@ -145,7 +145,11 @@ def holt_winters_fit(
     where seasonals[p] is the latest state for phase p = (t-1) mod m.
     Init from the first season: l = trunc-mean of vals[:m], b = 0,
     s_p = vals[p] - l. Same all-integer trunc-div discipline as
-    :func:`holt_fit` (matching Spark ``div`` and DuckDB ``//``)."""
+    :func:`holt_fit` (matching Spark ``div`` and DuckDB ``//``).
+    Requires at least one full season (len(vals) >= m); callers with
+    shorter series must drop the key (see :func:`holt_winters`)."""
+    if len(vals) < m:
+        raise ValueError(f"holt_winters_fit needs >= {m} points, got {len(vals)}")
     l = _tdiv(sum(vals[:m]), m)
     s = [v - l for v in vals[:m]]
     b = 0
@@ -186,6 +190,22 @@ def holt_winters(
         pdf = pdf.sort_values(ord_col)
         key = pdf[key_col].iloc[0]
         vals = [int(v) for v in pdf[value_col]]
+        if len(vals) < m:
+            # a series shorter than one season has no seasonal state;
+            # DROP the key — the oracle's recursive CTE (anchored at
+            # t = m) never reaches such a key either, so both engines
+            # agree instead of IndexError-vs-empty divergence
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    "h": pd.Series([], dtype="int32"),
+                    "forecast": pd.Series([], dtype="int64"),
+                    "level": pd.Series([], dtype="int64"),
+                    "trend": pd.Series([], dtype="int64"),
+                    "seasonal": pd.Series([], dtype="int64"),
+                    "n_points": pd.Series([], dtype="int64"),
+                }
+            )
         l, b, s = holt_winters_fit(vals, m, alpha_den, beta_den, gamma_den)
         n = len(vals)
         seas = [s[(n + h - 1) % m] for h in range(1, horizon + 1)]

@@ -299,3 +299,69 @@ def test_gains_capture_monotone_and_ends_at_one(spark):
     assert caps[-1] == pytest.approx(1.0, abs=1e-9)
     # lift of the full population is exactly 1
     assert rows[-1]["lift"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_holt_winters_short_series_dropped_not_crashed(spark):
+    """A key with fewer than one season (n < m) must be DROPPED — the
+    oracle's recursive CTE never reaches it — instead of IndexError in
+    the pandas fit (r11 ADVICE fix). Direct holt_winters_fit misuse
+    raises an explicit ValueError."""
+    import pytest as _pytest
+
+    from dawis_spark.operators.forecast import holt_winters, holt_winters_fit
+
+    with _pytest.raises(ValueError, match="needs >= 7"):
+        holt_winters_fit([1, 2, 3], m=7)
+    rows = [("short", i, 100 + i) for i in range(3)] + [
+        ("long", i, 200 + 10 * (i % 7)) for i in range(14)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    out = holt_winters(df, "k", "t", "x", m=7, horizon=2).collect()
+    assert {r["k"] for r in out} == {"long"}
+    assert len(out) == 2
+
+
+def test_bin_index_degenerate_reference_histogram():
+    """hi == lo (constant reference window) must not ZeroDivisionError:
+    x <= lo lands in bin 0, x > lo in the top bin — where the batch
+    expression's inf/NaN clamp puts them (r11 ADVICE fix)."""
+    from dawis_spark.operators.drift import bin_index
+
+    assert bin_index(5.0, 5.0, 5.0, 10) == 0
+    assert bin_index(4.0, 5.0, 5.0, 10) == 0
+    assert bin_index(6.0, 5.0, 5.0, 10) == 9
+    # non-degenerate path unchanged
+    assert bin_index(5.0, 0.0, 10.0, 10) == 5
+
+
+def test_tiff_planar_configuration_rejected():
+    """PlanarConfiguration 2 (separate channel planes) must raise, not
+    silently decode plane bytes as interleaved RGB (r11 ADVICE fix)."""
+    import struct
+
+    import pytest as _pytest
+
+    from dawis_spark.multimodal.codecs import decode_tiff
+
+    n = 5
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+
+    def entry(tag, type_, count, val4):
+        return struct.pack("<HHI", tag, type_, count) + val4
+
+    ifd = struct.pack("<H", n)
+    ifd += entry(256, 4, 1, struct.pack("<I", 2))  # width
+    ifd += entry(257, 4, 1, struct.pack("<I", 1))  # height
+    ifd += entry(273, 4, 1, struct.pack("<I", data_off))  # strip offset
+    ifd += entry(277, 3, 1, struct.pack("<HH", 3, 0))  # spp = 3
+    ifd += entry(284, 3, 1, struct.pack("<HH", 2, 0))  # planar = 2
+    payload = (
+        b"II*\x00"
+        + struct.pack("<I", ifd_off)
+        + ifd
+        + struct.pack("<I", 0)
+        + bytes(6)
+    )
+    with _pytest.raises(ValueError, match="planar"):
+        decode_tiff(payload)
