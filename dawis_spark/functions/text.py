@@ -76,8 +76,10 @@ def shingles(tokens_expr: str, k: int, dialect: str) -> str:
     )
 
 
-def shingle_hashes(col: str, k: int, dialect: str) -> str:
-    """Distinct hashes of the word k-shingles of ``col``.
+def shingle_hashes(col: str, k: int, dialect: str, distinct: bool = True) -> str:
+    """Hashes of the word k-shingles of ``col`` (distinct per doc by
+    default; ``distinct=False`` keeps every occurrence — frequency
+    consumers like Good-Turing need the multiset).
 
     Two-level construction: each TOKEN is char-hashed once, then a shingle
     hash combines its k token hashes polynomially (base 131 mod MOD). This
@@ -96,10 +98,11 @@ def shingle_hashes(col: str, k: int, dialect: str) -> str:
             f"else transform(sequence(0, size(h) - {k}), i -> ({combine})) end"
         )
         # bind tokens (x) then token-hashes (h) once each via 1-element wrappers
-        return (
-            f"array_distinct(flatten(transform(array({toks}), "
-            f"x -> flatten(transform(array({th}), h -> {sh})))))"
+        inner = (
+            f"flatten(transform(array({toks}), "
+            f"x -> flatten(transform(array({th}), h -> {sh}))))"
         )
+        return f"array_distinct({inner})" if distinct else inner
     th = f"list_transform(x, t -> {char_hash('t', dialect)})"
     combine = "h[i]"
     for j in range(1, k):
@@ -108,10 +111,11 @@ def shingle_hashes(col: str, k: int, dialect: str) -> str:
         f"list_transform(range(1, greatest(len(h) - {k - 1}, 0) + 1), "
         f"i -> ({combine}))"
     )
-    return (
-        f"list_distinct(flatten(list_transform([{toks}], "
-        f"x -> flatten(list_transform([{th}], h -> {sh})))))"
+    inner = (
+        f"flatten(list_transform([{toks}], "
+        f"x -> flatten(list_transform([{th}], h -> {sh}))))"
     )
+    return f"list_distinct({inner})" if distinct else inner
 
 
 def minhash_coeffs(n_perms: int) -> list[tuple[int, int]]:

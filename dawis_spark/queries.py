@@ -10537,6 +10537,7 @@ def ewma_daily_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEG_K = 4
 _NEG_ANCHOR_MOD = 25
+_NEG_POOL = 256  # global candidate pool size (the bounded side)
 _NEG_A1, _NEG_A2 = 2654435761, 40503  # Knuth multiplicative constants
 
 
@@ -10544,17 +10545,21 @@ def _contrastive_oracle() -> str:
     # doc_id is reduced mod MOD before the Knuth multiply: A1 * (MOD-1)
     # ~ 2.7e18 < 2^63, whereas A1 * doc_id wraps for doc_id >~ 3.4e9
     # (plausible at 100 TB) — silent in Spark, an error in DuckDB.
+    g = f"({_NEG_A2} * (doc_id % {_TXT.MOD})) % {_TXT.MOD}"
     h = (
         f"({_NEG_A1} * (a.doc_id % {_TXT.MOD}) "
-        f"+ {_NEG_A2} * (c.doc_id % {_TXT.MOD})) % {_TXT.MOD}"
+        f"+ {_NEG_A2} * (c.neg_id % {_TXT.MOD})) % {_TXT.MOD}"
     )
     return f"""
-WITH ranked AS (
-  SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+WITH pool AS (
+  SELECT doc_id AS neg_id, source AS src_c
+  FROM documents ORDER BY {g}, doc_id LIMIT {_NEG_POOL}),
+ranked AS (
+  SELECT a.doc_id AS anchor_id, c.neg_id,
          CAST({h} AS BIGINT) AS pair_hash,
-         ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY {h}, c.doc_id) AS rk
-  FROM documents a JOIN documents c
-    ON a.source != c.source AND a.doc_id % {_NEG_ANCHOR_MOD} = 0
+         ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY {h}, c.neg_id) AS rk
+  FROM documents a JOIN pool c
+    ON a.source != c.src_c AND a.doc_id % {_NEG_ANCHOR_MOD} = 0
 )
 SELECT anchor_id, neg_id, pair_hash, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {_NEG_K}
@@ -10568,27 +10573,40 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor document (deterministic class doc_id % 25 = 0), pick k=4
     pseudo-random negatives from OTHER sources, ranked by an integer
     pair hash — reproducible across runs, engines and cluster sizes (the
-    property in-batch random negatives lack). Cross-source exclusion is
-    the cheap hard-negative hygiene filter (same-source near-dups make
-    false negatives).
+    property in-batch random negatives lack). Negatives come from a
+    GLOBAL 256-candidate pool (the shared negative-pool pattern of
+    in-batch contrastive training), itself picked deterministically by
+    a candidate hash; cross-source exclusion is the cheap hard-negative
+    hygiene filter (same-source near-dups make false negatives).
 
-    Scale: anchors broadcast against one corpus scan; per-anchor top-k
-    is a window partitioned by anchor over |anchors| x n hash-only rows.
-    At 100 TB the anchor set is the bounded side by construction."""
+    Scale: the pool is TakeOrdered-bounded (256 rows — r12 fix: the
+    earlier anchors x ALL-cross-source join was quadratic, 126x for 10x
+    data in the full-inventory sf1 bench), so the anchor x pool fanout
+    is a broadcast-fed 256x map-side expansion and the per-anchor top-k
+    window is anchor-partitioned. Linear in the corpus at any scale."""
     from pyspark.sql import Window
 
     docs = spark.table("documents")
     anchors = docs.filter(F.col("doc_id") % _NEG_ANCHOR_MOD == 0).select(
         F.col("doc_id").alias("anchor_id"), F.col("source").alias("src_a")
     )
-    cands = docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("src_c"))
+    g = F.expr(f"({_NEG_A2} * (doc_id % {_TXT.MOD})) % {_TXT.MOD}")
+    pool = (
+        docs.select(
+            F.col("doc_id").alias("neg_id"),
+            F.col("source").alias("src_c"),
+            g.alias("__g"),
+        )
+        .orderBy("__g", "neg_id")
+        .limit(_NEG_POOL)
+        .drop("__g")
+    )
     h = F.expr(
         f"({_NEG_A1} * (anchor_id % {_TXT.MOD}) "
         f"+ {_NEG_A2} * (neg_id % {_TXT.MOD})) % {_TXT.MOD}"
     )
     ranked = (
-        F.broadcast(anchors)
-        .join(cands, F.col("src_a") != F.col("src_c"))
+        anchors.join(F.broadcast(pool), F.col("src_a") != F.col("src_c"))
         .select("anchor_id", "neg_id", h.cast("bigint").alias("pair_hash"))
         .withColumn(
             "rk",
@@ -18836,6 +18854,244 @@ def mcnemar_langid_vs_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-12 additions: sequential drift (Page-Hinkley), Good-Turing unseen
+# mass, and train/eval n-gram novelty
+# ---------------------------------------------------------------------------
+
+_PH_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+ix AS (
+  SELECT d, rev,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(rev) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily),
+dev AS (SELECT d, rev, t, cum, rev - (cum // t) AS dv FROM ix),
+m AS (
+  SELECT d, t, cum, (cum // t) AS xbar,
+         SUM(dv) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+  FROM dev),
+st AS (
+  SELECT d, cum, xbar, mt,
+         mt - MIN(mt) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM m)
+SELECT d AS day, CAST(ph AS BIGINT) AS ph_stat_cents,
+       CAST(xbar AS BIGINT) AS cum_mean_cents,
+       ph * 50 > cum AS alarm
+FROM st ORDER BY ph DESC, d LIMIT 10
+"""
+
+
+@query("page_hinkley_drift", oracle=_PH_ORACLE)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential change detection on daily revenue — the
+    online-monitoring classic beside CUSUM (cusum_changepoints) and PSI
+    (psi_value_drift): m_t accumulates deviations from the RUNNING mean
+    and the PH statistic m_t - min m_i spikes when the level shifts up.
+    The alarm thresholds the statistic against 2% of cumulative revenue
+    (exact integer cross-multiplication ph*50 > cum — scale-free, no
+    tuned absolute lambda). Top-10 days by statistic.
+
+    Exactness: running mean is exact trunc-div (Spark div == DuckDB //),
+    deviations/cumulative sums are exact bigint cents; no floats
+    anywhere.
+
+    Scale: the running windows ride the calendar-bounded daily relation
+    (whitelisted class); output is TakeOrdered top-10."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    wo = Window.orderBy("d")
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    ix = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(wo).alias("t"),
+        F.sum("rev").over(wc).alias("cum"),
+    )
+    dev = ix.selectExpr("d", "t", "cum", "rev - (cum div t) AS dv")
+    m = dev.select(
+        "d",
+        "cum",
+        F.expr("cum div t").alias("xbar"),
+        F.sum("dv").over(wc).alias("mt"),
+    )
+    st = m.select(
+        "d",
+        "cum",
+        "xbar",
+        (F.col("mt") - F.min("mt").over(wc)).alias("ph"),
+    )
+    return (
+        st.select(
+            F.col("d").alias("day"),
+            F.col("ph").cast("bigint").alias("ph_stat_cents"),
+            F.col("xbar").cast("bigint").alias("cum_mean_cents"),
+            (F.col("ph") * 50 > F.col("cum")).alias("alarm"),
+        )
+        .orderBy(F.desc("ph_stat_cents"), "day")
+        .limit(10)
+    )
+
+
+# Frequency-of-frequencies over word TRIGRAM types (non-distinct two-level
+# hashes): the synthetic corpus's unigram vocabulary is dense (31 types,
+# min count 26 at sf0.01 — no rare band), while trigram types have the
+# long tail Good-Turing is about (9k+ hapaxes at sf0.01).
+_GT_TOK_SPARK = _TXT.shingle_hashes("text", 3, "spark", distinct=False)
+_GT_TOK_DUCK = _TXT.shingle_hashes("text", 3, "duck", distinct=False)
+
+_GT_ORACLE = f"""
+WITH tf AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest({_GT_TOK_DUCK}) AS t FROM documents) GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tf),
+nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_types
+       FROM tf WHERE c <= 6 GROUP BY 1),
+body AS (
+  SELECT a.r, a.n_types,
+         CAST((a.r * a.n_types * 1000000) // tot.n AS BIGINT) AS mass_ppm,
+         ROUND((a.r + 1.0) * b.n_types / a.n_types, 6) AS r_star
+  FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tot
+  WHERE a.r <= 5),
+unseen AS (
+  SELECT CAST(0 AS BIGINT) AS r, CAST(NULL AS BIGINT) AS n_types,
+         CAST((nr.n_types * 1000000) // tot.n AS BIGINT) AS mass_ppm,
+         CAST(NULL AS DOUBLE) AS r_star
+  FROM nr, tot WHERE nr.r = 1)
+SELECT * FROM unseen UNION ALL SELECT * FROM body ORDER BY r
+"""
+
+
+@query("good_turing_unseen_mass", oracle=_GT_ORACLE)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing frequency estimation over the corpus's word
+    TRIGRAM types (Good 1953; Gale & Sampson 1995): the frequency-of-
+    frequencies table N_r for r <= 5, the GT-smoothed adjusted count
+    r* = (r+1) N_{r+1} / N_r, and — as the r = 0 row — the MISSING MASS
+    N_1/N, the probability the next trigram is an unseen type. The
+    companion to chao1_vocab_estimate (how many types are missing) and
+    heaps_law_vocab_growth (how fast they arrive): this one prices how
+    much probability a LM should reserve for them. Trigrams rather than
+    unigrams because GT lives on the rare band (N_1, N_2, ...) and this
+    corpus's unigram vocabulary has none.
+
+    Exactness: trigram identity is the dual-rendered NON-distinct
+    two-level polynomial hash (multiset — occurrence counts, not doc
+    frequency); counts and mass_ppm are exact integers (ppm via trunc
+    div); r_star pays one rounded division.
+
+    Scale: one trigram-type-count exchange carrying int64 hashes, then
+    everything is the <= 6-row frequency-of-frequencies relation."""
+    tf = (
+        spark.table("documents")
+        .select(F.explode(F.expr(_GT_TOK_SPARK)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tf.agg(F.sum("c").cast("bigint").alias("n"))
+    nr = (
+        tf.filter(F.col("c") <= 6)
+        .groupBy(F.col("c").alias("r"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("n_next"))
+    body = (
+        nr.filter(F.col("r") <= 5)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "r",
+            "n_types",
+            "CAST((r * n_types * 1000000) div n AS BIGINT) AS mass_ppm",
+            "ROUND((r + 1.0) * n_next / n_types, 6) AS r_star",
+        )
+    )
+    unseen = (
+        nr.filter(F.col("r") == 1)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(0 AS BIGINT) AS r",
+            "CAST(NULL AS BIGINT) AS n_types",
+            "CAST((n_types * 1000000) div n AS BIGINT) AS mass_ppm",
+            "CAST(NULL AS DOUBLE) AS r_star",
+        )
+    )
+    return unseen.unionByName(body).orderBy("r")
+
+
+_NOV_SH_SPARK = _TXT.shingle_hashes("text", 3, "spark")
+_NOV_SH_DUCK = _TXT.shingle_hashes("text", 3, "duck")
+
+_NOVELTY_ORACLE = f"""
+WITH tg AS (
+  SELECT DISTINCT unnest({_NOV_SH_DUCK}) AS g
+  FROM documents WHERE doc_id % 4 <> 0),
+eg AS (
+  SELECT source, unnest({_NOV_SH_DUCK}) AS g
+  FROM documents WHERE doc_id % 4 = 0),
+j AS (
+  SELECT eg.source, CASE WHEN tg.g IS NULL THEN 1 ELSE 0 END AS novel
+  FROM eg LEFT JOIN tg ON eg.g = tg.g)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS novel_grams,
+       ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+@query("ngram_novelty_rate", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 3-gram NOVELTY per source: what fraction of the
+    held-out quarter's distinct word trigrams (per doc) never occur in
+    the training 3/4 — the memorization/novelty audit next to
+    benchmark_contamination (same machinery, opposite question: overlap
+    you WANT low there, novelty you want HIGH here) and a standard
+    eval-set hygiene check for LLM data splits.
+
+    Determinism: trigram identity is the dual-rendered two-level
+    polynomial hash (functions/text.shingle_hashes — each char hashed
+    once, int64 exact in both engines); counts are exact integers.
+
+    Scale: exchanges carry int64 gram hashes only (never text); the
+    train side collapses to DISTINCT grams before the join; the
+    eval-vs-train probe is a hash-keyed shuffle join; output is
+    |sources| rows."""
+    docs = spark.table("documents")
+    tg = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(F.explode(F.expr(_NOV_SH_SPARK)).alias("g"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    eg = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "source", F.explode(F.expr(_NOV_SH_SPARK)).alias("g")
+    )
+    j = eg.join(tg.hint("shuffle_hash"), "g", "left")
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("novel_grams"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 6).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -18906,6 +19162,9 @@ DRIVER_PRIORITY: list[str] = [
 NEXT_ROTATION: list[str] = [
     "frequent_event_sequences",   # r12: whale guard adopted (r11-driver-green before)
     "whale_guarded_transitions",  # r12: all-whale audit-row fix (r11-driver-green before)
+    "page_hinkley_drift",         # r12: new
+    "good_turing_unseen_mass",    # r12: new
+    "ngram_novelty_rate",         # r12: new
 ]
 
 

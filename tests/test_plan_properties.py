@@ -548,6 +548,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "ljung_box_daily_revenue": "lags over the day-bounded daily series",
     "granger_orders_to_revenue": "lag over the day-bounded daily series",
     "runs_test_daily_revenue": "lags over the day-bounded daily series",
+    "page_hinkley_drift": "running mean/min over the day-bounded daily series",
     "median_ci_order_value": "cumulative counts over the distinct-cents value relation",
     "conformal_interval_price": (
         "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"
@@ -615,3 +616,54 @@ def test_pareto_customers_offsets_broadcast(spark):
     # rank join; a shuffle there would defeat the two-level design
     plan = _plan(spark, "pareto_customers")
     assert "BroadcastHashJoin" in plan
+
+
+def test_nb_chain_single_tokenization_and_no_text_in_exchanges(spark):
+    """The naive-Bayes train tokenization feeds ONE materialized count
+    exchange that its multiple consumers (tl/vt/seen) REUSE — the plan
+    must show exchange reuse after execution, not re-tokenize per
+    consumer — and no raw ``text`` column may cross a hash exchange
+    (text stays map-side; only (lang, token, count) shuffles)."""
+    register_testdata(spark, SF_DIR)
+    df = q.QUERIES["naive_bayes_langid"](spark, SF_DIR)
+    df.collect()  # adaptive-final plan shows ReusedExchange only post-run
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg[:300], seg[:300]
+
+
+def test_mcnemar_paired_join_is_doc_keyed_equi_join(spark):
+    """McNemar pairs the two classifiers' predictions per document: the
+    pairing must be doc_id equi-joins (hash/broadcast), never a theta
+    or cartesian pairing, and text stays out of every exchange."""
+    plan = _plan(spark, "mcnemar_langid_vs_nb")
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(doc_id") >= 1
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg[:300], seg[:300]
+
+
+def test_logreg_training_collect_is_sample_bounded(spark):
+    """The classifier family's training collect must be the bounded
+    TakeOrdered of the lowest-id sample — the plan form of the
+    sample_limit discipline (a full-input collect here is the r11
+    scale-killer)."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.operators.logreg import _xs_expr
+
+    register_testdata(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    sample = (
+        emb.select(
+            F.col("vec_id").alias("__id"),
+            F.expr(_xs_expr("embedding")).alias("__xs"),
+            F.expr("cast(label as double)").alias("__y"),
+        )
+        .orderBy("__id")
+        .limit(q._LOGREG_SAMPLE_LIMIT)
+    )
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan

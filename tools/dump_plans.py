@@ -53,7 +53,7 @@ PICKS = {
     "knn_label_propagation": "literal seed rides the scan: zero exchanges, zero joins",
     "hll_distinct_events": "64-key exchange of partial maxes; the merge IS the sketch union",
     "funnel_conversion": "user_id co-partitioned step chain; monotonically shrinking joins",
-    "event_transitions": "one user window moves events; type-matrix window after, no join",
+    "event_transitions": "whale guard (broadcast anti) before the ONE user window; type-matrix window after",
     "pps_weighted_sample": "pi and HT reweight inside the scan; no exchange, no join",
     "mmr_rerank": "pool + pairwise sims distributed; greedy on the collected head",
     "quality_classifier_scores": "model row broadcast; codegen'd fold in the scan; zero hash exchange",
@@ -120,6 +120,15 @@ PICKS = {
     "pca_top_component": "mapInPandas int Gram partials -> 4,161-group agg; 64-row iteration relations",
     "naive_bayes_cv_folds": "one tokenization; fold models by count subtraction; doc-partitioned argmax",
     "isotonic_urgency_by_value": "bin-bounded minimax joins; no sequential PAV state",
+    "runs_test_daily_revenue": "day-bounded median + lag window; one-row runs statistics",
+    "mcnemar_langid_vs_nb": "doc_id-keyed paired equi-joins; discordant cells one row",
+    "ece_classifier_calibration": "shared bounded-sample training; one scoring scan into 10 bins",
+    "gains_lift_deciles": "shared trained vector; 10x10 bucket self-join after one scan",
+    "conformal_interval_price": "two map-side scans; bucketed residual-quantile selection",
+    "logreg_weights": "training = ONE TakeOrdered sample collect; numpy GD driver-side",
+    "markov_next_event_accuracy": "whale-guarded user window; |types|-row prediction broadcast",
+    "frequent_event_sequences": "whale guard before the path window; |types|^3 support agg",
+    "session_entry_exit_bounce": "guarded sessionization: gap flag + session id share one sort",
 }
 
 KEEP = re.compile(
