@@ -19092,6 +19092,251 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_curve_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * 20) AS INT), 19) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS k_b
+  FROM scF GROUP BY 1),
+tot AS (SELECT CAST(SUM(k_b) AS BIGINT) AS k FROM bins),
+cum AS (
+  SELECT a.b,
+         CAST(SUM(x.n_b) AS BIGINT) AS n_ge,
+         CAST(SUM(x.k_b) AS BIGINT) AS tp
+  FROM bins a JOIN bins x ON x.b >= a.b GROUP BY 1),
+pr AS (
+  SELECT b, n_ge, tp,
+         CAST(tp AS DOUBLE) / n_ge AS prec,
+         CAST(tp AS DOUBLE) / k AS rec
+  FROM cum CROSS JOIN tot)
+SELECT ROUND(CAST(b AS DOUBLE) / 20.0, 2) AS threshold, n_ge, tp,
+       ROUND(prec, 6) AS precision_,
+       ROUND(rec, 6) AS recall_,
+       ROUND(2 * prec * rec / nullif(prec + rec, 0), 6) AS f1
+FROM pr ORDER BY b
+"""
+
+
+@query("pr_curve_classifier", oracle=_pr_curve_oracle(64, 3, 1.0))
+def pr_curve_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for the trained quality
+    classifier — 20 score thresholds, each row scoring 'gate at p >=
+    threshold': the operating-point picker that completes the
+    classifier eval family (AUC = ranking, calibration/ECE =
+    probability quality, gains/lift = budget depth, THIS = the actual
+    cut a production quality gate ships).
+
+    Determinism: same round-6 scores and shared trained vector
+    (_trained_logreg_w — no retrain) as the calibration family; bins
+    and cumulative counts are exact integers off the 20x20
+    bucket-bounded self-join; ratios are single rounded divisions with
+    a nullif(0) F1 guard.
+
+    Scale: one scoring scan into 20 bins; everything after is
+    bin-bounded."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    emb = spark.table("embeddings")
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-({margin_expr('embedding', w)}))), 6)"
+    bins = (
+        emb.selectExpr(f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p")
+        .selectExpr("LEAST(CAST(FLOOR(p * 20) AS INT), 19) AS b", "y")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("y").cast("bigint").alias("k_b"),
+        )
+    )
+    tot = bins.agg(F.sum("k_b").cast("bigint").alias("k"))
+    a = bins.select(F.col("b").alias("ab"))
+    cum = (
+        a.join(F.broadcast(bins), F.col("b") >= F.col("ab"))
+        .groupBy("ab")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_ge"),
+            F.sum("k_b").cast("bigint").alias("tp"),
+        )
+    )
+    pr = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "ab AS b",
+        "n_ge",
+        "tp",
+        "CAST(tp AS DOUBLE) / n_ge AS prec",
+        "CAST(tp AS DOUBLE) / k AS rec",
+    )
+    return pr.selectExpr(
+        "ROUND(CAST(b AS DOUBLE) / 20.0, 2) AS threshold",
+        "n_ge",
+        "tp",
+        "ROUND(prec, 6) AS precision_",
+        "ROUND(rec, 6) AS recall_",
+        "ROUND(2 * prec * rec / nullif(prec + rec, 0), 6) AS f1",
+    ).orderBy("threshold")
+
+
+# Hurst R/S: per-(w, block) rescaled range uses EXACT-integer numerators:
+# cumdev*w = w*cs - pos*s (bigint), D = w*sxx - s^2 (decimal38/HUGEINT),
+# so rs = (max-min cumdev*w) / sqrt(D) pays exactly one double division
+# + IEEE sqrt per block — identical in both engines.
+_HURST_WS = (8, 16, 32)
+
+_HURST_SLOPE = (
+    "round((np * sxy - sx * sy) / nullif(np * sxx2 - sx * sx, 0), 6)"
+)
+
+_HURST_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+ix AS (
+  SELECT rev AS x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily),
+blk AS (
+  SELECT w.w, (t - 1) // w.w AS block, ((t - 1) % w.w) + 1 AS pos, x
+  FROM ix, (SELECT unnest([{", ".join(str(w) for w in _HURST_WS)}]) AS w) w),
+bstat AS (
+  SELECT w, block, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM blk GROUP BY 1, 2),
+full_b AS (SELECT * FROM bstat WHERE cnt = w),
+dev AS (
+  SELECT b.w, b.block,
+         b.w * SUM(r.x) OVER (PARTITION BY b.w, b.block ORDER BY r.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - r.pos * b.s AS cd
+  FROM blk r JOIN full_b b ON r.w = b.w AND r.block = b.block),
+rng AS (
+  SELECT w, block, CAST(MAX(cd) - MIN(cd) AS BIGINT) AS r_scaled
+  FROM dev GROUP BY 1, 2),
+rs AS (
+  SELECT g.w, g.block,
+         round(r.r_scaled / sqrt(CAST(nullif(g.w * g.sxx - CAST(g.s AS HUGEINT) * g.s, 0) AS DOUBLE)), 6) AS rs
+  FROM full_b g JOIN rng r ON g.w = r.w AND g.block = r.block),
+per_w AS (
+  SELECT w, CAST(COUNT(rs) AS BIGINT) AS n_blocks,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(rs ORDER BY block)), (a, e) -> a + e) / COUNT(rs), 6)
+           AS rs_mean
+  FROM rs WHERE rs IS NOT NULL GROUP BY 1),
+pts AS (SELECT w, n_blocks, rs_mean, ln(CAST(w AS DOUBLE)) AS lx,
+               ln(rs_mean) AS ly FROM per_w),
+fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lx ORDER BY w)), (a, e) -> a + e) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ly ORDER BY w)), (a, e) -> a + e) AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lx * ly ORDER BY w)), (a, e) -> a + e) AS sxy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lx * lx ORDER BY w)), (a, e) -> a + e) AS sxx2
+  FROM pts)
+SELECT p.w, p.n_blocks, p.rs_mean, {_HURST_SLOPE} AS hurst
+FROM pts p CROSS JOIN fit ORDER BY p.w
+"""
+
+
+@query("hurst_rescaled_range", oracle=_HURST_ORACLE)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis over
+    daily revenue (Hurst 1951; Mandelbrot & Wallis 1969): split the
+    series into full blocks of w in {8, 16, 32} days, per block compute
+    the range of cumulative mean-deviations over the block's std, and
+    fit ln(mean R/S) against ln(w) — H ~ 0.5 is a memoryless walk,
+    H > 0.5 long-range persistence, H < 0.5 mean reversion. The
+    long-memory diagnostic beside Ljung-Box (short-lag autocorrelation)
+    and Mann-Kendall (monotone trend).
+
+    Exactness: per-block cumulative deviations are EXACT bigints
+    (w*cumsum - pos*sum), the variance numerator w*sxx - s^2 is exact
+    DECIMAL(38,0)/HUGEINT; each block pays ONE double division + IEEE
+    sqrt, rounded to 6 before the block-ordered mean fold; the 3-point
+    log-log OLS runs on ordered folds — bit-identical engines.
+
+    Scale: the day-index window rides the calendar-bounded daily
+    relation (whitelisted class); blocks are (w, block)-keyed; the fit
+    is a 3-row relation."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    ix = daily.select("x", F.row_number().over(Window.orderBy("d")).alias("t"))
+    ws = ", ".join(str(w) for w in _HURST_WS)
+    blk = ix.selectExpr(
+        f"explode(array({ws})) AS w", "t", "x"
+    ).selectExpr("w", "(t - 1) div w AS block", "((t - 1) % w) + 1 AS pos", "x")
+    bstat = blk.groupBy("w", "block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(
+            F.expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))")
+        ).alias("sxx"),
+    )
+    full_b = bstat.filter(F.col("cnt") == F.col("w"))
+    wb = Window.partitionBy("w", "block").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = (
+        blk.join(full_b.select("w", "block", "s", "sxx"), ["w", "block"])
+        .withColumn("cs", F.sum("x").over(wb))
+        .selectExpr("w", "block", "s", "sxx", "w * cs - pos * s AS cd")
+    )
+    rng = dev.groupBy("w", "block", "s", "sxx").agg(
+        (F.max("cd") - F.min("cd")).cast("bigint").alias("r_scaled")
+    )
+    rs = rng.selectExpr(
+        "w",
+        "block",
+        "round(r_scaled / sqrt(cast(nullif("
+        "w * sxx - cast(s as decimal(38,0)) * s, 0) as double)), 6) AS rs",
+    ).filter(F.col("rs").isNotNull())
+    per_w = rs.groupBy("w").agg(
+        F.count("rs").cast("bigint").alias("n_blocks"),
+        F.expr(
+            "round(aggregate(array_sort(collect_list(struct(block, rs))), "
+            "cast(0.0 as double), (a, e) -> a + e.rs) / count(rs), 6)"
+        ).alias("rs_mean"),
+    )
+    pts = per_w.selectExpr(
+        "w", "n_blocks", "rs_mean",
+        "ln(cast(w as double)) AS lx", "ln(rs_mean) AS ly",
+    )
+    fit = pts.agg(
+        F.expr("cast(count(*) as double)").alias("np"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(w, lx))), "
+            "cast(0.0 as double), (a, e) -> a + e.lx)"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(w, ly))), "
+            "cast(0.0 as double), (a, e) -> a + e.ly)"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(w, lx * ly as v))), "
+            "cast(0.0 as double), (a, e) -> a + e.v)"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(w, lx * lx as v))), "
+            "cast(0.0 as double), (a, e) -> a + e.v)"
+        ).alias("sxx2"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .selectExpr("w", "n_blocks", "rs_mean", f"{_HURST_SLOPE} AS hurst")
+        .orderBy("w")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -19165,6 +19410,9 @@ NEXT_ROTATION: list[str] = [
     "page_hinkley_drift",         # r12: new
     "good_turing_unseen_mass",    # r12: new
     "ngram_novelty_rate",         # r12: new
+    "pr_curve_classifier",        # r12: new
+    "hurst_rescaled_range",       # r12: new
+    "contrastive_negative_pairs", # r12: quadratic fix -> bounded pool (output changed)
 ]
 
 

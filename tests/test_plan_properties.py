@@ -549,6 +549,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "granger_orders_to_revenue": "lag over the day-bounded daily series",
     "runs_test_daily_revenue": "lags over the day-bounded daily series",
     "page_hinkley_drift": "running mean/min over the day-bounded daily series",
+    "hurst_rescaled_range": "day index over the day-bounded daily series",
     "median_ci_order_value": "cumulative counts over the distinct-cents value relation",
     "conformal_interval_price": (
         "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"

@@ -129,6 +129,12 @@ PICKS = {
     "markov_next_event_accuracy": "whale-guarded user window; |types|-row prediction broadcast",
     "frequent_event_sequences": "whale guard before the path window; |types|^3 support agg",
     "session_entry_exit_bounce": "guarded sessionization: gap flag + session id share one sort",
+    "page_hinkley_drift": "exact trunc-div running mean; TakeOrdered top-10",
+    "good_turing_unseen_mass": "one trigram-hash count exchange; 6-row N_r relation after",
+    "ngram_novelty_rate": "int64 gram hashes only; DISTINCT train side before the probe join",
+    "pr_curve_classifier": "shared trained vector; 20-bin scan + bin-bounded cumulative",
+    "hurst_rescaled_range": "(w, block)-keyed exact-int deviations; 3-row log-log fit",
+    "contrastive_negative_pairs": "256-pool TakeOrdered broadcast; anchor-partitioned top-k",
 }
 
 KEEP = re.compile(
