@@ -273,3 +273,176 @@ def whale_guard(
         .withColumn(flag_col, F.coalesce(F.col("__wg_hit"), F.lit(False)))
         .drop("__wg_hit")
     )
+
+
+def linear_attribution(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """EVEN-SPLIT multi-touch attribution: each conversion's value is
+    divided equally across every touch of its journey (the 'linear'
+    model in GA/attribution reporting — the maximum-entropy baseline
+    the position/time-decay/Shapley models are judged against).
+
+    Exactness: weights are integer ppm = 1e6 div n with the flooring
+    remainder pinned to the FIRST touch (so each journey's weights sum
+    to exactly 1e6); credits are exact BIGINT cent-ppm micro-units.
+    Scale shape: identical to position_attribution — one user-hashed
+    journey-index exchange, co-keyed touch<->conversion join,
+    event-type-sized output."""
+    e = with_journey_index(events, conversion_type)
+    conv = e.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        "journey",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    touches = (
+        e.filter(F.col("event_type") != conversion_type)
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("user_id", "journey"))
+        )
+    )
+    w_ppm = F.expr(
+        """CASE WHEN pos = 1
+                THEN 1000000 - (1000000 div n) * (n - 1)
+                ELSE 1000000 div n END"""
+    ).cast("bigint")
+    credited = touches.join(conv, ["user_id", "journey"]).select(
+        F.col("event_type").alias("touch_type"),
+        (F.col("user_id") * JOURNEY_STRIDE + F.col("journey")).alias("jkey"),
+        (F.col("v_cents") * w_ppm).alias("credit_micro"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("touches"),
+        F.countDistinct("jkey").cast("bigint").alias("journeys"),
+        F.round(F.sum("credit_micro") / F.lit(100_000_000.0), 2).alias(
+            "credit"
+        ),
+    )
+
+
+def linear_attribution_oracle_sql(conversion_type: str = "purchase") -> str:
+    """DuckDB replay of ``linear_attribution`` on the events view."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         COALESCE(SUM(CASE WHEN event_type = '{conversion_type}' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+  FROM events),
+conv AS (
+  SELECT user_id, journey, CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+  FROM e WHERE event_type = '{conversion_type}'),
+t AS (
+  SELECT user_id, journey, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, journey ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+  FROM e WHERE event_type <> '{conversion_type}'),
+c AS (
+  SELECT t.event_type AS touch_type,
+         t.user_id * {JOURNEY_STRIDE} + t.journey AS jkey,
+         conv.v_cents * (CASE WHEN t.pos = 1
+                              THEN 1000000 - (1000000 // t.n) * (t.n - 1)
+                              ELSE 1000000 // t.n END) AS credit_micro
+  FROM t JOIN conv ON t.user_id = conv.user_id AND t.journey = conv.journey)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(COUNT(DISTINCT jkey) AS BIGINT) AS journeys,
+       ROUND(SUM(credit_micro) / 100000000.0, 2) AS credit
+FROM c GROUP BY touch_type
+"""
+
+
+# time-decay attribution: DISCRETE half-life decay — a touch's raw
+# weight halves for every full half-life period between it and the
+# conversion (w = 1e6 >> (days_before // half_life)). The discrete form
+# keeps every weight an exact integer (continuous 2^(-dt/hl) would pay
+# an engine-specific pow ulp exactly where a round() boundary can flip);
+# the per-journey normalization is ONE exact integer floor-division per
+# touch (sub-cent remainders are dropped, documented).
+DECAY_CAP_PERIODS = 30  # 1 << 30 fits int32; weights are 0 past period 20
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: touches closer to the
+    conversion earn exponentially more credit (discrete ``half_life_days``
+    halving). Output (touch_type, touches, journeys, credit)."""
+    e = with_journey_index(events, conversion_type)
+    conv = e.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        "journey",
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    touches = e.filter(F.col("event_type") != conversion_type).select(
+        "user_id", "journey", "event_type", "ts"
+    )
+    joined = touches.join(conv, ["user_id", "journey"]).withColumn(
+        "w_raw",
+        F.expr(
+            f"""1000000 div shiftleft(1, cast(least(greatest(
+                datediff(conv_ts, ts), 0) div {half_life_days},
+                {DECAY_CAP_PERIODS}) as int))"""
+        ).cast("bigint"),
+    )
+    tot = Window.partitionBy("user_id", "journey")
+    credited = joined.withColumn(
+        "tot_raw", F.sum("w_raw").over(tot)
+    ).select(
+        F.col("event_type").alias("touch_type"),
+        (F.col("user_id") * JOURNEY_STRIDE + F.col("journey")).alias("jkey"),
+        F.expr(
+            "CASE WHEN tot_raw > 0"
+            "     THEN (v_cents * w_raw) div tot_raw ELSE 0 END"
+        ).cast("bigint").alias("credit_cents"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("touches"),
+        F.countDistinct("jkey").cast("bigint").alias("journeys"),
+        F.round(F.sum("credit_cents") / F.lit(100.0), 2).alias("credit"),
+    )
+
+
+def time_decay_oracle_sql(
+    conversion_type: str = "purchase", half_life_days: int = 7
+) -> str:
+    """DuckDB replay of ``time_decay_attribution`` on the events view."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         COALESCE(SUM(CASE WHEN event_type = '{conversion_type}' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+  FROM events),
+conv AS (
+  SELECT user_id, journey, ts AS conv_ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+  FROM e WHERE event_type = '{conversion_type}'),
+t AS (
+  SELECT user_id, journey, event_type, ts
+  FROM e WHERE event_type <> '{conversion_type}'),
+j AS (
+  SELECT t.user_id, t.journey, t.event_type, conv.v_cents,
+         1000000 // (1 << CAST(LEAST(GREATEST(
+           date_diff('day', CAST(t.ts AS DATE), CAST(conv.conv_ts AS DATE)), 0)
+           // {half_life_days}, {DECAY_CAP_PERIODS}) AS INT)) AS w_raw
+  FROM t JOIN conv ON t.user_id = conv.user_id AND t.journey = conv.journey),
+c AS (
+  SELECT event_type AS touch_type,
+         user_id * {JOURNEY_STRIDE} + journey AS jkey,
+         CASE WHEN SUM(w_raw) OVER (PARTITION BY user_id, journey) > 0
+              THEN (v_cents * w_raw)
+                   // SUM(w_raw) OVER (PARTITION BY user_id, journey)
+              ELSE 0 END AS credit_cents
+  FROM j)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(COUNT(DISTINCT jkey) AS BIGINT) AS journeys,
+       ROUND(SUM(credit_cents) / 100.0, 2) AS credit
+FROM c GROUP BY touch_type
+"""

@@ -726,3 +726,234 @@ def categorical_association(
         "ROUND(mi_raw, 6) AS mi_nats",
         "ROUND(mi_raw / sqrt(h_r * h_c), 6) AS nmi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H (rank-based one-way ANOVA) — the k-group extension of
+# mann_whitney: H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), with the
+# tie correction C = 1 - sum_v(t_v^3 - t_v)/(N^3 - N).  Average tie
+# ranks are .5-exact dyadics (the mann_whitney machinery); rank sums
+# R_g are exact sums of dyadic*int terms (< 2^52 up to ~6e10 rows); the
+# per-group R_g^2/n_g terms are ONE double multiply + divide folded in
+# group-sorted order (the chi-square discipline).
+KW_H = "(12.0 / (n * (n + 1.0)) * sum_t - 3.0 * (n + 1.0))"
+KW_HC = f"({KW_H} / nullif(1.0 - tie_cubes_d / (n * n * n - n), 0))"
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One row (k_groups, n_rows, h, h_tie_corrected) over an
+    exact-integer value column. Scale: one (group, value)-keyed
+    aggregate, then everything lives on the distinct-value relation
+    (value-bounded domain — the mann_whitney adjudication) and a
+    k-row fold."""
+    gv = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gv"))
+    per_v = gv.groupBy("v").agg(F.sum("n_gv").cast("bigint").alias("t_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("before"),
+    )
+    avg_rank = (2 * (F.col("before") + 1) + (F.col("t_v") - 1)) / 2
+    per_g = (
+        gv.join(ranked.select("v", "t_v", "before"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+            F.sum(avg_rank * F.col("n_gv")).alias("r_g"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum("t_v").cast("bigint").alias("n_i"),
+        F.sum(
+            F.col("t_v").cast("decimal(38,0)") * F.col("t_v") * F.col("t_v")
+            - F.col("t_v")
+        ).alias("tie_cubes"),
+    )
+    terms = per_g.select(
+        "g", "n_g", (F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("t_g")
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_i"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(g, t_g))), "
+            "cast(0.0 as double), (acc, e) -> acc + e.t_g)"
+        ).alias("sum_t"),
+    )
+    doubles = folded.crossJoin(F.broadcast(ties)).selectExpr(
+        "k_i",
+        "n_i",
+        "CAST(n_i AS DOUBLE) AS n",
+        "sum_t",
+        "CAST(tie_cubes AS DOUBLE) AS tie_cubes_d",
+    )
+    return doubles.selectExpr(
+        "CAST(k_i AS INT) AS k_groups",
+        "CAST(n_i AS BIGINT) AS n_rows",
+        f"ROUND({KW_H}, 6) AS h",
+        f"ROUND({KW_HC}, 6) AS h_tie_corrected",
+    )
+
+
+def group_median2(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(g, m2) — DOUBLED exact median (lo + hi order statistics) of an
+    integer value per group, so an even-count median stays an exact
+    integer. One (group, value) aggregate; the order-statistic walk
+    runs on the group-partitioned distinct-value relation."""
+    gv = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = gv.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("before"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n_g"),
+    ).selectExpr("*", "(n_g + 1) div 2 AS lo", "n_g div 2 + 1 AS hi")
+    vlo = (
+        cum.filter("before < lo AND lo <= before + c")
+        .groupBy("g")
+        .agg(F.min("v").alias("vlo"))
+    )
+    vhi = (
+        cum.filter("before < hi AND hi <= before + c")
+        .groupBy("g")
+        .agg(F.min("v").alias("vhi"))
+    )
+    return vlo.join(vhi, "g").select(
+        "g", (F.col("vlo") + F.col("vhi")).cast("bigint").alias("m2")
+    )
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test: one-way ANOVA over
+    |2x - 2*median_g| — the median-centred Levene variant (robust to
+    non-normality; the reason BF replaced the mean-centred original).
+    Deviations are exact integers (doubled-median trick), so the ANOVA
+    runs its usual exact-moment fold. Output = anova_oneway's row.
+
+    Scale: the median walk is distinct-value-bounded per group; medians
+    broadcast back (k rows); then one exact-moment aggregate."""
+    med = group_median2(df, group_col, value_col).select(
+        F.col("g").alias("__bf_med_g"), "m2"
+    )
+    dev = df.join(
+        F.broadcast(med), df[group_col] == F.col("__bf_med_g")
+    ).select(
+        F.col(group_col).alias("__bf_g"),
+        F.abs(2 * F.col(value_col) - F.col("m2")).cast("bigint").alias("__bf_d"),
+    )
+    return anova_oneway(dev, "__bf_g", "__bf_d")
+
+
+# Two-sample effect sizes over exact moments: Cohen's d on the pooled
+# sd, the Hedges small-sample correction g = d * (1 - 3/(4N - 9)), and
+# Cliff's delta = (#{a > b} - #{a < b}) / (n_a * n_b) from exact pair
+# counts (no sampling, no quadratic pass — counted via the rank trick).
+ES_VAR_A = "(CAST(na_i * qa_i - sa_i * sa_i AS DOUBLE) / (CAST(na_i AS DOUBLE) * (na_i - 1.0)))"
+ES_VAR_B = "(CAST(nb_i * qb_i - sb_i * sb_i AS DOUBLE) / (CAST(nb_i AS DOUBLE) * (nb_i - 1.0)))"
+ES_SP2 = f"(((na_i - 1.0) * {ES_VAR_A} + (nb_i - 1.0) * {ES_VAR_B}) / (na_i + nb_i - 2.0))"
+ES_D = f"((CAST(sa_i AS DOUBLE) / na_i - CAST(sb_i AS DOUBLE) / nb_i) / sqrt({ES_SP2}))"
+ES_G = f"({ES_D} * (1.0 - 3.0 / (4.0 * (na_i + nb_i) - 9.0)))"
+
+
+def two_sample_effect_sizes(
+    df: DataFrame, value_col: str, side_col: str, side_a: str, side_b: str
+) -> DataFrame:
+    """One row (n_a, n_b, mean_diff, cohens_d, hedges_g, cliffs_delta)
+    for an exact-integer value column split by ``side_col`` — the
+    effect-size companion the significance tests (welch, mann_whitney)
+    omit: HOW BIG is the difference, on the standardized (d, g) and
+    ordinal-dominance (delta) scales.
+
+    Exactness: moments and pair counts are exact integers; d/g pay a
+    fixed double expression; delta is one division of exact counts.
+    Scale: one conditional aggregate + the distinct-value rank walk
+    (value-bounded domain); nothing row-scale past the first exchange."""
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    v38 = F.col("v").cast("decimal(38,0)")
+    moments = tagged.agg(
+        F.sum("ia").cast("decimal(38,0)").alias("na_i"),
+        F.sum("ib").cast("decimal(38,0)").alias("nb_i"),
+        F.sum(v38 * F.col("ia")).alias("sa_i"),
+        F.sum(v38 * F.col("ib")).alias("sb_i"),
+        F.sum(v38 * v38 * F.col("ia")).alias("qa_i"),
+        F.sum(v38 * v38 * F.col("ib")).alias("qb_i"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("na_v"),
+        F.sum("ib").cast("bigint").alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    walked = per_v.select(
+        "na_v",
+        "nb_v",
+        F.coalesce(F.sum("nb_v").over(w), F.lit(0)).alias("b_before"),
+    )
+    pairs = walked.agg(
+        F.sum(F.col("na_v").cast("decimal(38,0)") * F.col("b_before")).alias(
+            "gt_pairs"
+        ),
+        F.sum(F.col("na_v").cast("decimal(38,0)") * F.col("nb_v")).alias(
+            "eq_pairs"
+        ),
+    )
+    both = moments.crossJoin(F.broadcast(pairs))
+    return both.selectExpr(
+        "CAST(na_i AS BIGINT) AS n_a",
+        "CAST(nb_i AS BIGINT) AS n_b",
+        "ROUND(CAST(sa_i AS DOUBLE) / na_i - CAST(sb_i AS DOUBLE) / nb_i, 4)"
+        " AS mean_diff",
+        f"ROUND({ES_D}, 6) AS cohens_d",
+        f"ROUND({ES_G}, 6) AS hedges_g",
+        "ROUND(CAST(gt_pairs - (na_i * nb_i - gt_pairs - eq_pairs) AS DOUBLE)"
+        " / CAST(na_i * nb_i AS DOUBLE), 6) AS cliffs_delta",
+    )
+
+
+def g_test_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Likelihood-ratio G-test over the COMPLETE contingency table:
+    G = 2 * sum_cells obs * ln(obs * n / (row_n * col_n)) — the
+    log-likelihood sibling of chi_square_independence (better-behaved
+    for sparse tables; additive across table partitions). Zero cells
+    contribute 0 (the 0*ln(0) convention). One row (n_cells, dof, g2).
+
+    Exactness: counts exact; each cell pays one ln of an exact-integer
+    ratio; the sum is an ordered (row, col) fold. Scale: identical to
+    the chi-square shape — cell-cardinality everywhere after the first
+    keyed aggregate."""
+    scored = _full_contingency(df, row_col, col_col)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    term = F.when(
+        F.col("obs") > 0,
+        2.0
+        * F.col("obs").cast("double")
+        * F.log(
+            (d38("obs") * F.col("n")).cast("double")
+            / (d38("row_n") * F.col("col_n")).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    terms = scored.select("r", "c", term.alias("g_term"))
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.countDistinct("r").cast("bigint") - 1).alias("__rm1"),
+        (F.countDistinct("c").cast("bigint") - 1).alias("__cm1"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, c, g_term))), "
+            "cast(0.0 as double), (acc, e) -> acc + e.g_term)"
+        ).alias("g_raw"),
+    )
+    return folded.select(
+        "n_cells",
+        (F.col("__rm1") * F.col("__cm1")).cast("bigint").alias("dof"),
+        F.round("g_raw", 6).alias("g2"),
+    )

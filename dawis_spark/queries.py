@@ -19337,6 +19337,410 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dawis_spark.operators.stats import (  # noqa: E402
+    ANOVA_ETA2 as _BF_ETA2,
+    ANOVA_F as _BF_F,
+    ANOVA_SSB as _BF_SSB,
+    ANOVA_SSW as _BF_SSW,
+    ES_D as _ES_D,
+    ES_G as _ES_G,
+    KW_H as _KW_H,
+    KW_HC as _KW_HC,
+)
+
+_KW_ORACLE = f"""
+WITH gv AS (
+  SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_gv
+  FROM orders GROUP BY 1, 2),
+per_v AS (SELECT v, CAST(SUM(n_gv) AS BIGINT) AS t_v FROM gv GROUP BY 1),
+ranked AS (
+  SELECT v, t_v,
+         COALESCE(SUM(t_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_v),
+per_g AS (
+  SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+         SUM((2 * (r.before + 1) + (r.t_v - 1)) / 2.0 * n_gv) AS r_g
+  FROM gv JOIN ranked r USING (v) GROUP BY 1),
+ties AS (
+  SELECT CAST(SUM(t_v) AS BIGINT) AS n_i,
+         SUM(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS tie_cubes
+  FROM ranked),
+terms AS (SELECT g, r_g * r_g / n_g AS t_g FROM per_g),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t_g ORDER BY g)),
+                     (acc, e) -> acc + e) AS sum_t
+  FROM terms),
+d AS (
+  SELECT k_i, n_i, CAST(n_i AS DOUBLE) AS n, sum_t,
+         CAST(tie_cubes AS DOUBLE) AS tie_cubes_d
+  FROM folded, ties)
+SELECT CAST(k_i AS INT) AS k_groups, CAST(n_i AS BIGINT) AS n_rows,
+       ROUND({_KW_H}, 6) AS h, ROUND({_KW_HC}, 6) AS h_tie_corrected
+FROM d
+"""
+
+
+@query("kruskal_wallis_priority", oracle=_KW_ORACLE)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL FIVE order priorities — the k-group
+    rank test that sits between mann_whitney_drift (2 groups, ranks)
+    and anova_order_value_priority (k groups, means): 'does order value
+    differ across ANY priority' without normality assumptions.
+
+    Exactness: average tie ranks are .5-exact dyadics, rank sums exact
+    dyadic*int accumulations, tie cubes exact HUGEINT/DECIMAL38; H and
+    its tie correction are shared expression strings over the same
+    doubles (operators/stats.py:KW_H/KW_HC).
+
+    Scale: one (group, value) aggregate, then the distinct-cents rank
+    walk (value-bounded domain — the mann_whitney adjudication) and a
+    5-row ordered fold."""
+    from dawis_spark.operators.stats import kruskal_wallis
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return kruskal_wallis(o, "cents", "o_orderpriority")
+
+
+_BF_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders),
+gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         SUM(c) OVER (PARTITION BY g) AS n_g
+  FROM gv),
+pos AS (SELECT *, (n_g + 1) // 2 AS lo, n_g // 2 + 1 AS hi FROM cum),
+vlo AS (SELECT g, MIN(v) AS vlo FROM pos
+        WHERE before < lo AND lo <= before + c GROUP BY 1),
+vhi AS (SELECT g, MIN(v) AS vhi FROM pos
+        WHERE before < hi AND hi <= before + c GROUP BY 1),
+med AS (SELECT g, CAST(vlo + vhi AS BIGINT) AS m2
+        FROM vlo JOIN vhi USING (g)),
+dev AS (
+  SELECT base.g AS g, CAST(ABS(2 * base.v - med.m2) AS HUGEINT) AS d
+  FROM base JOIN med USING (g)),
+per AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g, SUM(d) AS s_g,
+         SUM(d * d) AS q_g
+  FROM dev GROUP BY 1),
+terms AS (
+  SELECT g, n_g, s_g, q_g,
+         CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS t_g
+  FROM per),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_i, SUM(n_g) AS n_i, SUM(s_g) AS s_i,
+         SUM(q_g) AS q_i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t_g ORDER BY g)),
+                     (acc, e) -> acc + e) AS sum_tg
+  FROM terms),
+d2 AS (
+  SELECT k_i, n_i, CAST(k_i AS DOUBLE) AS k, CAST(n_i AS DOUBLE) AS n,
+         CAST(q_i AS DOUBLE) AS q,
+         CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS ss_over_n,
+         sum_tg
+  FROM folded)
+SELECT CAST(k_i AS INT) AS k_groups, CAST(n_i AS BIGINT) AS n_rows,
+       ROUND({_BF_SSB}, 4) AS ssb, ROUND({_BF_SSW}, 4) AS ssw,
+       ROUND({_BF_F}, 6) AS f_stat, ROUND({_BF_ETA2}, 6) AS eta_squared
+FROM d2
+"""
+
+
+@query("brown_forsythe_priority", oracle=_BF_ORACLE)
+def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance: does order-value SPREAD
+    differ across priorities? ANOVA's equal-variance assumption gets
+    its own test (the median-centred Levene variant — robust to the
+    heavy-tailed price distribution); run it before trusting
+    anova_order_value_priority's F.
+
+    Exactness: per-group medians are exact order statistics on the
+    doubled-median trick (|2x - 2m| stays integer, even-count medians
+    included); the deviation ANOVA reuses anova_oneway's exact-moment
+    ordered fold verbatim.
+
+    Scale: the median walk is group-partitioned over distinct cents
+    (value-bounded); medians broadcast back; one exact-moment
+    aggregate ends it."""
+    from dawis_spark.operators.stats import brown_forsythe
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return brown_forsythe(o, "o_orderpriority", "cents")
+
+
+_ES_ORACLE = f"""
+WITH tagged AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+moments AS (
+  SELECT CAST(SUM(ia) AS HUGEINT) AS na_i, CAST(SUM(ib) AS HUGEINT) AS nb_i,
+         SUM(CAST(v AS HUGEINT) * ia) AS sa_i,
+         SUM(CAST(v AS HUGEINT) * ib) AS sb_i,
+         SUM(CAST(v AS HUGEINT) * v * ia) AS qa_i,
+         SUM(CAST(v AS HUGEINT) * v * ib) AS qb_i
+  FROM tagged),
+per_v AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS na_v, CAST(SUM(ib) AS BIGINT) AS nb_v
+  FROM tagged GROUP BY 1),
+walked AS (
+  SELECT na_v, nb_v,
+         COALESCE(SUM(nb_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_before
+  FROM per_v),
+pairs AS (
+  SELECT SUM(CAST(na_v AS HUGEINT) * b_before) AS gt_pairs,
+         SUM(CAST(na_v AS HUGEINT) * nb_v) AS eq_pairs
+  FROM walked)
+SELECT CAST(na_i AS BIGINT) AS n_a, CAST(nb_i AS BIGINT) AS n_b,
+       ROUND(CAST(sa_i AS DOUBLE) / na_i - CAST(sb_i AS DOUBLE) / nb_i, 4)
+         AS mean_diff,
+       ROUND({_ES_D}, 6) AS cohens_d,
+       ROUND({_ES_G}, 6) AS hedges_g,
+       ROUND(CAST(gt_pairs - (na_i * nb_i - gt_pairs - eq_pairs) AS DOUBLE)
+             / CAST(na_i * nb_i AS DOUBLE), 6) AS cliffs_delta
+FROM moments, pairs
+"""
+
+
+@query("effect_sizes_urgent_vs_low", oracle=_ES_ORACLE)
+def effect_sizes_urgent_vs_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample EFFECT SIZES for URGENT vs LOW order values: Cohen's
+    d (pooled-sd standardized mean difference), Hedges' g (the
+    small-sample correction), and Cliff's delta (ordinal dominance,
+    the effect-size twin of mann_whitney_drift's U). Significance
+    tests say 'is there a difference'; at warehouse n everything is
+    significant — these say HOW BIG.
+
+    Exactness: moments and dominance pair counts are exact
+    HUGEINT/DECIMAL38 integers (the rank trick counts a>b pairs with
+    no quadratic pass); d and g are shared fixed expressions
+    (operators/stats.py:ES_D/ES_G); delta is one division.
+
+    Scale: one conditional-moment scan + the distinct-cents walk
+    (value-bounded domain); output is one row."""
+    from dawis_spark.operators.stats import two_sample_effect_sizes
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return two_sample_effect_sizes(
+        o, "cents", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+_GTEST_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS r, isodow(ts) AS c, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+rows_m AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+scored AS (
+  SELECT rm.r, cm.c, CAST(COALESCE(obs, 0) AS BIGINT) AS obs, row_n, col_n, n
+  FROM rows_m rm CROSS JOIN cols_m cm
+  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+  CROSS JOIN tot),
+terms AS (
+  SELECT r, c,
+         CASE WHEN obs > 0 THEN
+           2.0 * CAST(obs AS DOUBLE)
+               * ln(CAST(CAST(obs AS HUGEINT) * n AS DOUBLE)
+                    / CAST(CAST(row_n AS HUGEINT) * col_n AS DOUBLE))
+         ELSE 0.0 END AS g_term
+  FROM scored)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(g_term ORDER BY r, c)), (acc, e) -> acc + e), 6) AS g2
+FROM terms
+"""
+
+
+@query("g_test_independence_dow", oracle=_GTEST_ORACLE)
+def g_test_independence_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test for event_type x ISO-weekday — the
+    log-likelihood sibling of chi_square_independence on the same
+    table: G = 2*sum obs*ln(obs/expected) behaves better on sparse
+    tables and is ADDITIVE across table partitions (so a per-shard
+    G-test sums to the global one — the property that matters for a
+    distributed monitoring rollup; Pearson chi-square has no such
+    decomposition).
+
+    Exactness/scale: identical construction to the chi-square query —
+    exact-integer complete contingency (zero cells contribute 0 via
+    the 0*ln(0) convention), one ln per cell, ordered (row, col) fold;
+    |types| x 7 cells end-to-end."""
+    from dawis_spark.operators.stats import g_test_independence
+
+    e = spark.table("events").select(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    )
+    return g_test_independence(e, "event_type", "dow")
+
+
+@query(
+    "linear_attribution",
+    oracle=_journeys.linear_attribution_oracle_sql("purchase"),
+)
+def linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (even-split) multi-touch attribution — the maximum-
+    entropy baseline of the MTA family (asof_last_click = last-touch,
+    position_attribution = U-shaped, time_decay_attribution = recency,
+    shapley/markov = data-driven): every touch of a converting journey
+    earns value/n. Integer-ppm weights with the flooring remainder on
+    the first touch keep every credit an exact BIGINT micro-unit.
+    Scale: one user-hashed journey-index exchange; co-keyed
+    touch<->conversion join; event-type-sized output."""
+    return _journeys.linear_attribution(
+        spark.table("events"), "purchase"
+    ).orderBy("touch_type")
+
+
+@query(
+    "time_decay_attribution",
+    oracle=_journeys.time_decay_oracle_sql("purchase", 7),
+)
+def time_decay_attribution_credit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decay multi-touch attribution with a 7-day DISCRETE
+    half-life: a touch's weight halves for every full week between it
+    and the conversion it feeds — the recency-weighted model between
+    last-click (all recency) and linear (none). Discrete halving keeps
+    weights exact integers (continuous 2^(-dt/hl) pays an
+    engine-specific pow ulp exactly where a rounding boundary can
+    flip); per-journey normalization is one exact floor-division per
+    touch, sub-cent remainders dropped (documented in
+    operators/journeys.py).
+
+    Scale: same shape as the other MTA models — one user-hashed
+    exchange, co-keyed join, per-journey window on the co-partitioned
+    key, event-type-sized output."""
+    return _journeys.time_decay_attribution(
+        spark.table("events"), "purchase", half_life_days=7
+    ).orderBy("touch_type")
+
+
+_NA_ORACLE = """
+WITH du AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+pu AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld FROM du GROUP BY 1),
+hz AS (SELECT MAX(day) AS h FROM du),
+dur AS (
+  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS duration,
+         (ld <= h - INTERVAL 1 DAY) AS churn
+  FROM pu, hz),
+g AS (
+  SELECT duration, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM dur GROUP BY 1),
+arr AS (
+  SELECT list(struct_pack(duration := duration, c := c, d := d)
+              ORDER BY duration) AS a,
+         CAST(SUM(c) AS BIGINT) AS N
+  FROM g),
+idx AS (SELECT UNNEST(range(1, len(a) + 1)) AS i, a, N FROM arr),
+folded AS (
+  SELECT CAST(a[i].duration AS BIGINT) AS duration,
+         N - list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(a[1:i-1], x -> x.c)), (p, q) -> p + q) AS at_risk,
+         a[i].d AS churned, a[i].c - a[i].d AS censored,
+         list_reduce(
+           list_prepend(struct_pack(h := CAST(0.0 AS DOUBLE),
+                                    seen := CAST(0 AS BIGINT)),
+                        list_transform(a[1:i],
+                          x -> struct_pack(h := CAST(x.d AS DOUBLE), seen := x.c))),
+           (acc, x) -> struct_pack(
+             h := acc.h + x.h / CAST(N - acc.seen AS DOUBLE),
+             seen := acc.seen + x.seen)).h AS h_raw
+  FROM idx)
+SELECT duration, at_risk, churned, censored,
+       ROUND(h_raw, 9) AS cum_hazard,
+       ROUND(exp(-h_raw), 9) AS survival_na
+FROM folded
+ORDER BY duration
+"""
+
+
+@query("nelson_aalen_hazard", oracle=_NA_ORACLE)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard over user lifetimes (Nelson 1972;
+    Aalen 1978) — the additive twin of kaplan_meier_retention on the
+    same right-censored duration relation: H(t) = sum_{t_i <= t}
+    d_i/n_i, with the Fleming-Harrington survival transform
+    exp(-H(t)) alongside (the better small-risk-set estimator of the
+    same curve KM estimates by products).
+
+    Exactness: identical censoring/duration machinery to KM (exact
+    bigint d_i, n_i); the hazard is a LEFT FOLD of one-division terms
+    over the duration-sorted array with the (derived-first, counter-
+    last) struct-accumulator field order the KM oracle pinned for
+    DuckDB's list_reduce; ROUND(,9) on output; exp is evaluated on the
+    identical folded double in both engines (the kde precedent).
+
+    Scale: one user-keyed aggregate, then the duration-bounded fold —
+    no partition-less window, nothing row-scale past the first
+    exchange."""
+    e = spark.table("events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    pu = e.groupBy("user_id").agg(
+        F.min("day").alias("fd"), F.max("day").alias("ld")
+    )
+    hz = e.agg(F.max("day").alias("h"))
+    dur = pu.crossJoin(F.broadcast(hz)).select(
+        F.datediff("ld", "fd").cast("bigint").alias("duration"),
+        F.expr("ld <= h - interval 1 days").alias("churn"),
+    )
+    g = dur.groupBy("duration").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("churn"), 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    arr = g.agg(
+        F.sort_array(F.collect_list(F.struct("duration", "c", "d"))).alias("a"),
+        F.sum("c").cast("bigint").alias("N"),
+    )
+    rows = arr.select(
+        F.explode(
+            F.expr(
+                "transform(a, (x, i) -> struct("
+                "x.duration AS duration, "
+                "N - aggregate(slice(a, 1, i), cast(0 as bigint), "
+                "(p, y) -> p + y.c) AS at_risk, "
+                "x.d AS churned, x.c - x.d AS censored, "
+                "aggregate(slice(a, 1, i + 1), "
+                "named_struct('seen', cast(0 as bigint), 'h', cast(0.0 as double)), "
+                "(acc, y) -> named_struct('seen', acc.seen + y.c, "
+                "'h', acc.h + y.d / cast(N - acc.seen as double))).h "
+                "AS h_raw))"
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.duration").alias("duration"),
+        F.col("r.at_risk").alias("at_risk"),
+        F.col("r.churned").alias("churned"),
+        F.col("r.censored").alias("censored"),
+        F.round("r.h_raw", 9).alias("cum_hazard"),
+        F.round(F.exp(-F.col("r.h_raw")), 9).alias("survival_na"),
+    ).orderBy("duration")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally

@@ -541,6 +541,8 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
     "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
     "mann_whitney_drift": "rank-sum over distinct values (value-bounded domain)",
+    "kruskal_wallis_priority": "rank walk over distinct cents (value-bounded domain)",
+    "effect_sizes_urgent_vs_low": "dominance-pair walk over distinct cents (value-bounded domain)",
     "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
     "spearman_daily_rev_orders": "rank over the day-bounded daily series",

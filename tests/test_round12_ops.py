@@ -129,3 +129,169 @@ def test_psi_alerts_flow_into_alert_queue(spark, tmp_path):
     # commit-after-send: consumed once, second fetch drains nothing
     queue.commit(queue.fetch(["drift"]))
     assert queue.fetch(["drift"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-12 second session: nonparametric/effect-size stats + MTA additions
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_exact_small_case(spark):
+    """A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7 ->
+    H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4 exactly (no ties)."""
+    from dawis_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], ["g", "v"]
+    )
+    row = kruskal_wallis(df, "v", "g").first()
+    assert row.k_groups == 2 and row.n_rows == 4
+    assert abs(row.h - 2.4) < 1e-9
+    assert abs(row.h_tie_corrected - 2.4) < 1e-9  # no ties -> C = 1
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    from dawis_spark.operators.stats import kruskal_wallis
+
+    rows = [(g, v) for g in "abc" for v in range(1, 21)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = kruskal_wallis(df, "v", "g").first()
+    assert abs(row.h_tie_corrected) < 1e-6  # identical distributions
+
+
+def test_brown_forsythe_separates_spread_not_location(spark):
+    from dawis_spark.operators.stats import brown_forsythe
+
+    # same spread, shifted location -> F == 0 (deviations identical)
+    same = spark.createDataFrame(
+        [("a", 0), ("a", 10), ("a", 20), ("b", 100), ("b", 110), ("b", 120)],
+        ["g", "v"],
+    )
+    r0 = brown_forsythe(same, "g", "v").first()
+    assert r0.f_stat is not None and abs(r0.f_stat) < 1e-9
+    # 10x spread difference -> large F
+    spread = spark.createDataFrame(
+        [("a", 0), ("a", 100), ("a", 200), ("b", 95), ("b", 100), ("b", 105)],
+        ["g", "v"],
+    )
+    r1 = brown_forsythe(spread, "g", "v").first()
+    assert r1.f_stat > 3  # n=3 per group: mean |dev| 133.3 vs 6.7
+
+
+def test_group_median2_even_and_odd(spark):
+    from dawis_spark.operators.stats import group_median2
+
+    df = spark.createDataFrame(
+        [("odd", v) for v in (1, 5, 9)] + [("even", v) for v in (2, 4, 6, 8)],
+        ["g", "v"],
+    )
+    m = {r.g: r.m2 for r in group_median2(df, "g", "v").collect()}
+    assert m["odd"] == 10  # 2 * 5
+    assert m["even"] == 10  # 4 + 6
+
+
+def test_two_sample_effect_sizes_hand_case(spark):
+    """A=[3,4], B=[1,2]: d = 2/sqrt(0.5), g = d*(1 - 3/7), delta = 1."""
+    from dawis_spark.operators.stats import two_sample_effect_sizes
+
+    df = spark.createDataFrame(
+        [("A", 3), ("A", 4), ("B", 1), ("B", 2)], ["side", "v"]
+    )
+    r = two_sample_effect_sizes(df, "v", "side", "A", "B").first()
+    assert r.n_a == 2 and r.n_b == 2
+    assert abs(r.mean_diff - 2.0) < 1e-9
+    assert abs(r.cohens_d - 2.828427) < 1e-6
+    assert abs(r.hedges_g - 2.828427 * (1 - 3.0 / 7.0)) < 1e-5
+    assert r.cliffs_delta == 1.0
+
+
+def test_g_test_zero_on_exact_independence(spark):
+    from dawis_spark.operators.stats import g_test_independence
+
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 40
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    row = g_test_independence(df, "r", "c").first()
+    assert row.dof == 1 and row.n_cells == 4
+    assert abs(row.g2) < 1e-12
+
+
+def _mta_events(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_linear_attribution_even_split_with_remainder_to_first(spark):
+    import datetime as dt
+
+    from dawis_spark.operators.journeys import linear_attribution
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    ev = _mta_events(
+        spark,
+        [
+            (1, t(1), 7, "click", 0.0),
+            (2, t(2), 7, "view", 0.0),
+            (3, t(3), 7, "email", 0.0),
+            (4, t(4), 7, "purchase", 1.0),
+        ],
+    )
+    out = {r.touch_type: r.credit for r in linear_attribution(ev).collect()}
+    # 100 cents over 3 touches: ppm 333334/333333/333333 -> credits
+    # 33.3334/33.3333/33.3333 cents -> all round to 0.33
+    assert out == {"click": 0.33, "view": 0.33, "email": 0.33}
+
+
+def test_time_decay_attribution_halves_per_week(spark):
+    import datetime as dt
+
+    from dawis_spark.operators.journeys import time_decay_attribution
+
+    ev = _mta_events(
+        spark,
+        [
+            (1, dt.datetime(2024, 1, 1), 7, "email", 0.0),  # 8 days out
+            (2, dt.datetime(2024, 1, 9), 7, "click", 0.0),  # same day
+            (3, dt.datetime(2024, 1, 9, 12), 7, "purchase", 1.0),
+        ],
+    )
+    out = {
+        r.touch_type: r.credit
+        for r in time_decay_attribution(ev, half_life_days=7).collect()
+    }
+    # weights: email 1e6>>1=5e5, click 1e6 -> 100*5e5//15e5=33, 100*1e6//15e5=66
+    assert out == {"email": 0.33, "click": 0.66}
+
+
+def test_nelson_aalen_matches_kaplan_meier_relation(spark):
+    """exp(-H_NA(t)) >= S_KM(t) everywhere (1-x <= e^-x per factor),
+    and the cumulative hazard is nondecreasing."""
+    from dawis_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    na = (
+        q.QUERIES["nelson_aalen_hazard"](spark, sf)
+        .orderBy("duration")
+        .collect()
+    )
+    km = {
+        r.duration: r.survival
+        for r in q.QUERIES["kaplan_meier_retention"](spark, sf).collect()
+    }
+    prev = -1.0
+    for r in na:
+        assert r.cum_hazard >= prev - 1e-12
+        prev = r.cum_hazard
+        assert r.survival_na >= km[r.duration] - 1e-9
