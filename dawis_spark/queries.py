@@ -19741,6 +19741,739 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("duration")
 
 
+def _hl_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS o_b,
+         CAST(SUM(CAST(ROUND(p * 1000000, 0) AS BIGINT)) AS BIGINT) AS e_micro
+  FROM scF GROUP BY 1),
+terms AS (
+  SELECT b, n_b, o_b, e_micro,
+         CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS e,
+         (o_b - CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
+           * (o_b - CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))
+           / nullif(CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                    * (1.0 - CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                             / n_b), 0) AS t
+  FROM bins),
+hl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) - 2 AS dof,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY b)),
+                     (a, e) -> a + e) AS hl_raw
+  FROM terms)
+SELECT ROUND(CAST(b AS DOUBLE) / 10.0, 1) AS bin_lo, n_b,
+       o_b AS observed, ROUND(e, 4) AS expected,
+       ROUND(hl_raw, 6) AS hl_stat, dof
+FROM terms CROSS JOIN hl ORDER BY b
+"""
+
+
+@query("hosmer_lemeshow_classifier", oracle=_hl_oracle(64, 3, 1.0))
+def hosmer_lemeshow_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit for the trained quality
+    classifier: per probability bin, observed positives vs the sum of
+    predicted probabilities, with HL chi-square = sum (O-E)^2/(E(1-E/n))
+    over bins (dof = bins-2). ECE asks 'how FAR off is the calibration
+    on average'; HL asks 'is the miscalibration STATISTICALLY
+    significant' — the pair a model-validation report prints together.
+    Fixed-width decile bins (the ECE/gains discipline) rather than the
+    classical equal-count deciles, so the bin edges are score-defined
+    constants, not data-order artifacts — documented variant.
+
+    Determinism: shared trained vector (_trained_logreg_w — no
+    retrain); expected counts are EXACT integer micro-sums
+    (round(p*1e6) per row — p is already round-6 so the micro value is
+    exact), so E carries no float-accumulation order; the HL sum is a
+    bin-ordered fold.
+
+    Scale: one scoring scan into 10 bins; bin-bounded after."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    emb = spark.table("embeddings")
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
+    bins = (
+        emb.selectExpr(f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p")
+        .selectExpr("LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b", "y", "p")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("y").cast("bigint").alias("o_b"),
+            F.sum(F.expr("CAST(ROUND(p * 1000000, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("e_micro"),
+        )
+    )
+    terms = bins.selectExpr(
+        "b",
+        "n_b",
+        "o_b",
+        "CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS e",
+        "(o_b - CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " * (o_b - CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " / nullif(CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        "          * (1.0 - CAST(e_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        "                   / n_b), 0) AS t",
+    )
+    hl = terms.agg(
+        (F.count(F.lit(1)).cast("bigint") - 2).alias("dof"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, t))), "
+            "cast(0.0 as double), (a, e) -> a + e.t)"
+        ).alias("hl_raw"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(hl))
+        .selectExpr(
+            "ROUND(CAST(b AS DOUBLE) / 10.0, 1) AS bin_lo",
+            "n_b",
+            "o_b AS observed",
+            "ROUND(e, 4) AS expected",
+            "ROUND(hl_raw, 6) AS hl_stat",
+            "dof",
+        )
+        .orderBy("bin_lo")
+    )
+
+
+def _ks_clf_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+per_p AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p, CAST(SUM(y) AS BIGINT) AS k_p
+  FROM scF GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_p) AS BIGINT) AS nn, CAST(SUM(k_p) AS BIGINT) AS pp
+  FROM per_p),
+walk AS (
+  SELECT p,
+         SUM(k_p) OVER (ORDER BY p DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_k,
+         SUM(n_p) OVER (ORDER BY p DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM per_p),
+scored AS (
+  SELECT p, CAST(cum_k AS DOUBLE) / pp
+            - CAST(cum_n - cum_k AS DOUBLE) / (nn - pp) AS diff,
+         nn, pp
+  FROM walk CROSS JOIN tot)
+SELECT nn AS n_docs, pp AS positives,
+       ROUND(diff, 6) AS ks_stat, p AS at_threshold
+FROM scored ORDER BY diff DESC, p DESC LIMIT 1
+"""
+
+
+@query("ks_statistic_classifier", oracle=_ks_clf_oracle(64, 3, 1.0))
+def ks_statistic_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation statistic for the trained quality
+    classifier: max over thresholds of TPR - FPR — the credit-scoring
+    industry's standard single-number separation measure, read off the
+    same score distribution AUC integrates (AUC = average separation,
+    KS = worst-case-best separation; pr_curve = the operating points
+    between). Returns the statistic AND the score threshold achieving
+    it.
+
+    Determinism: shared trained vector, round-6 scores; cumulative
+    positive/negative counts are exact integers over the distinct-score
+    walk; TPR/FPR pay one division each; the argmax orders identical
+    doubles with a (diff, p) tie-break.
+
+    Scale: one scoring scan collapses to the distinct rounded-score
+    relation (value-bounded [0,1] at the 1e-6 grid); the walk and the
+    TakeOrdered(1) live there."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.logreg import margin_expr
+
+    emb = spark.table("embeddings")
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
+    per_p = (
+        emb.selectExpr(f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_p"),
+            F.sum("y").cast("bigint").alias("k_p"),
+        )
+    )
+    tot = per_p.agg(
+        F.sum("n_p").cast("bigint").alias("nn"),
+        F.sum("k_p").cast("bigint").alias("pp"),
+    )
+    wd = Window.orderBy(F.desc("p")).rowsBetween(Window.unboundedPreceding, 0)
+    walk = per_p.select(
+        "p",
+        F.sum("k_p").over(wd).alias("cum_k"),
+        F.sum("n_p").over(wd).alias("cum_n"),
+    )
+    scored = walk.crossJoin(F.broadcast(tot)).selectExpr(
+        "p",
+        "CAST(cum_k AS DOUBLE) / pp"
+        " - CAST(cum_n - cum_k AS DOUBLE) / (nn - pp) AS diff",
+        "nn",
+        "pp",
+    )
+    return (
+        scored.orderBy(F.desc("diff"), F.desc("p"))
+        .limit(1)
+        .selectExpr(
+            "nn AS n_docs",
+            "pp AS positives",
+            "ROUND(diff, 6) AS ks_stat",
+            "p AS at_threshold",
+        )
+    )
+
+
+_MI_FEATURES_SPARK = [
+    ("status", "o_orderstatus"),
+    ("month", "CAST(MONTH(o_orderdate) AS STRING)"),
+    ("price_band", "CAST(LEAST(CAST(o_totalprice AS BIGINT) div 50000, 5) AS STRING)"),
+]
+_MI_FEATURES_DUCK = [
+    ("status", "o_orderstatus"),
+    ("month", "CAST(MONTH(o_orderdate) AS VARCHAR)"),
+    ("price_band", "CAST(LEAST(CAST(o_totalprice AS BIGINT) // 50000, 5) AS VARCHAR)"),
+]
+_MI_Y = "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+
+_MI_ORACLE = f"""
+WITH long AS (
+  {" UNION ALL ".join(
+      f"SELECT '{name}' AS feature, {expr} AS level, {_MI_Y} AS y FROM orders"
+      for name, expr in _MI_FEATURES_DUCK
+  )}),
+cells AS (
+  SELECT feature, level, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM long GROUP BY 1, 2, 3),
+lv AS (SELECT feature, level, CAST(SUM(c) AS BIGINT) AS c_lv
+       FROM cells GROUP BY 1, 2),
+ym AS (SELECT feature, y, CAST(SUM(c) AS BIGINT) AS c_y
+       FROM cells GROUP BY 1, 2),
+nm AS (SELECT feature, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+terms AS (
+  SELECT c.feature, c.level, c.y,
+         CAST(c.c AS DOUBLE) / nm.n
+           * ln(CAST(CAST(c.c AS HUGEINT) * nm.n AS DOUBLE)
+                / CAST(CAST(lv.c_lv AS HUGEINT) * ym.c_y AS DOUBLE)) AS mi_t
+  FROM cells c
+  JOIN lv USING (feature, level) JOIN ym USING (feature, y)
+  JOIN nm USING (feature)),
+hy AS (
+  SELECT feature,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(-(CAST(c_y AS DOUBLE) / n) * ln(CAST(c_y AS DOUBLE) / n)
+                ORDER BY y)), (a, e) -> a + e) AS h_y
+  FROM ym JOIN nm USING (feature) GROUP BY 1),
+mi AS (
+  SELECT feature,
+         CAST(COUNT(DISTINCT level) AS BIGINT) AS n_levels,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(mi_t ORDER BY level, y)), (a, e) -> a + e) AS mi_raw
+  FROM terms GROUP BY 1)
+SELECT mi.feature, mi.n_levels, ROUND(mi_raw, 6) AS mi_nats,
+       ROUND(mi_raw / nullif(h_y, 0), 6) AS info_gain_ratio
+FROM mi JOIN hy USING (feature)
+ORDER BY mi_nats DESC, feature
+"""
+
+
+@query("mutual_info_feature_rank", oracle=_MI_ORACLE)
+def mutual_info_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information FEATURE RANKING against the urgency label:
+    which of (order status, order month, price band) carries the most
+    information about '1-URGENT'? The filter-method feature-selection
+    pass a classifier pipeline runs before training — MI in nats plus
+    the label-entropy-normalized gain ratio (comparable across
+    features with different level counts). categorical_association
+    profiles ONE pair in depth; this ranks MANY features on one scan
+    each.
+
+    Exactness: all cell/margin counts exact integers (zero cells
+    contribute 0 to MI by the 0*ln(0) convention — no completion
+    needed, unlike chi-square); each term pays one ln of an
+    exact-integer ratio; per-feature sums are (level, y)-ordered folds;
+    the final ranking orders identical doubles with a feature
+    tie-break.
+
+    Scale: one union scan per feature (3 scans of one column each,
+    map-side collapsed to category-bounded cells); margins join
+    feature-keyed bounded relations; output is |features| rows."""
+    e = spark.table("orders")
+    long = None
+    for name, expr in _MI_FEATURES_SPARK:
+        part = e.selectExpr(
+            f"'{name}' AS feature", f"{expr} AS level", f"{_MI_Y} AS y"
+        )
+        long = part if long is None else long.unionAll(part)
+    cells = long.groupBy("feature", "level", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lv = cells.groupBy("feature", "level").agg(
+        F.sum("c").cast("bigint").alias("c_lv")
+    )
+    ym = cells.groupBy("feature", "y").agg(
+        F.sum("c").cast("bigint").alias("c_y")
+    )
+    nm = cells.groupBy("feature").agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        cells.join(lv, ["feature", "level"])
+        .join(ym, ["feature", "y"])
+        .join(F.broadcast(nm), "feature")
+        .selectExpr(
+            "feature",
+            "level",
+            "y",
+            "CAST(c AS DOUBLE) / n"
+            " * ln(CAST(CAST(c AS DECIMAL(38,0)) * n AS DOUBLE)"
+            "      / CAST(CAST(c_lv AS DECIMAL(38,0)) * c_y AS DOUBLE)) AS mi_t",
+        )
+    )
+    hy = (
+        ym.join(F.broadcast(nm), "feature")
+        .selectExpr(
+            "feature",
+            "y",
+            "-(CAST(c_y AS DOUBLE) / n) * ln(CAST(c_y AS DOUBLE) / n) AS h_t",
+        )
+        .groupBy("feature")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(y, h_t))), "
+                "cast(0.0 as double), (a, e) -> a + e.h_t)"
+            ).alias("h_y")
+        )
+    )
+    mi = terms.groupBy("feature").agg(
+        F.countDistinct("level").cast("bigint").alias("n_levels"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(level, y, mi_t))), "
+            "cast(0.0 as double), (a, e) -> a + e.mi_t)"
+        ).alias("mi_raw"),
+    )
+    return (
+        mi.join(hy, "feature")
+        .selectExpr(
+            "feature",
+            "n_levels",
+            "ROUND(mi_raw, 6) AS mi_nats",
+            "ROUND(mi_raw / nullif(h_y, 0), 6) AS info_gain_ratio",
+        )
+        .orderBy(F.desc("mi_nats"), "feature")
+    )
+
+
+# AR(2) normal equations solved by Cramer's rule: rows of the design
+# moment matrix are (m, su, sv | sy), (su, suu, suv | suy),
+# (sv, suv, svv | svy). Shared det-expression strings evaluated by both
+# engines over the SAME doubles cast once from exact-integer moments.
+_AR2_DET = "(m*(suu*svv - suv*suv) - su*(su*svv - suv*sv) + sv*(su*suv - suu*sv))"
+_AR2_C = "(sy*(suu*svv - suv*suv) - su*(suy*svv - suv*svy) + sv*(suy*suv - suu*svy))"
+_AR2_P1 = "(m*(suy*svv - suv*svy) - sy*(su*svv - suv*sv) + sv*(su*svy - suy*sv))"
+_AR2_P2 = "(m*(suu*svy - suy*suv) - su*(su*svy - suy*sv) + sy*(su*suv - suu*sv))"
+_AR2_H = 7
+
+
+def _ar2_oracle() -> str:
+    steps = ["s1 AS (SELECT c0, p1, p2, c0 + p1*xn + p2*xnm1 AS f, xn AS fp FROM coef)"]
+    for h in range(2, _AR2_H + 1):
+        steps.append(
+            f"s{h} AS (SELECT c0, p1, p2, c0 + p1*f + p2*fp AS f, f AS fp FROM s{h-1})"
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT {h} AS h, ROUND(f / 100, 2) AS forecast, ROUND(p1, 6) AS phi1,"
+        f" ROUND(p2, 6) AS phi2, ROUND(c0, 4) AS intercept_cents FROM s{h}"
+        for h in range(1, _AR2_H + 1)
+    )
+    return f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+ix AS (
+  SELECT rev AS x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily),
+lagged AS (
+  SELECT x AS y,
+         lag(x, 1) OVER (ORDER BY t) AS u,
+         lag(x, 2) OVER (ORDER BY t) AS v
+  FROM ix),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m_i,
+         SUM(CAST(u AS HUGEINT)) AS su_i, SUM(CAST(v AS HUGEINT)) AS sv_i,
+         SUM(CAST(y AS HUGEINT)) AS sy_i,
+         SUM(CAST(u AS HUGEINT) * u) AS suu_i,
+         SUM(CAST(v AS HUGEINT) * v) AS svv_i,
+         SUM(CAST(u AS HUGEINT) * v) AS suv_i,
+         SUM(CAST(u AS HUGEINT) * y) AS suy_i,
+         SUM(CAST(v AS HUGEINT) * y) AS svy_i
+  FROM lagged WHERE u IS NOT NULL AND v IS NOT NULL),
+seeds AS (
+  SELECT CAST(MAX(CASE WHEN t = (SELECT MAX(t) FROM ix) THEN x END) AS DOUBLE) AS xn,
+         CAST(MAX(CASE WHEN t = (SELECT MAX(t) FROM ix) - 1 THEN x END) AS DOUBLE) AS xnm1
+  FROM ix),
+md AS (
+  SELECT CAST(m_i AS DOUBLE) AS m, CAST(su_i AS DOUBLE) AS su,
+         CAST(sv_i AS DOUBLE) AS sv, CAST(sy_i AS DOUBLE) AS sy,
+         CAST(suu_i AS DOUBLE) AS suu, CAST(svv_i AS DOUBLE) AS svv,
+         CAST(suv_i AS DOUBLE) AS suv, CAST(suy_i AS DOUBLE) AS suy,
+         CAST(svy_i AS DOUBLE) AS svy
+  FROM mom),
+coef AS (
+  SELECT {_AR2_C} / nullif({_AR2_DET}, 0) AS c0,
+         {_AR2_P1} / nullif({_AR2_DET}, 0) AS p1,
+         {_AR2_P2} / nullif({_AR2_DET}, 0) AS p2,
+         xn, xnm1
+  FROM md, seeds),
+{", ".join(steps)}
+SELECT * FROM ({outs}) ORDER BY h
+"""
+
+
+@query("ar2_forecast_daily", oracle=_ar2_oracle())
+def ar2_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) autoregressive fit + 7-day recursive forecast over daily
+    revenue — the classical Box-Jenkins member of the forecast family
+    (holt_linear = trend smoothing, holt_winters = seasonal smoothing,
+    THIS = lag regression: tomorrow as a linear function of the last
+    two days). Coefficients come from the exact normal equations
+    (OLS with intercept on x_{{t-1}}, x_{{t-2}}), solved by Cramer's
+    rule.
+
+    Determinism: all nine moments are exact HUGEINT/DECIMAL38
+    integers; the three 3x3 determinants are SHARED expression strings
+    over doubles cast once (_AR2_DET/_AR2_C/_AR2_P1/_AR2_P2); the
+    recursive forecast is SEVEN UNROLLED SELECT steps (not a fold —
+    sidestepping DuckDB's list_reduce struct-update hazard entirely),
+    each one fixed multiply-add chain.
+
+    Scale: the lag windows ride the calendar-bounded daily relation
+    (whitelisted class); the moment aggregate is one row; the unrolled
+    forecast is 7 one-row selects."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    wt = Window.orderBy("d")
+    ix = daily.select("x", F.row_number().over(wt).alias("t"))
+    wl = Window.orderBy("t")
+    lagged = ix.select(
+        F.col("x").alias("y"),
+        F.lag("x", 1).over(wl).alias("u"),
+        F.lag("x", 2).over(wl).alias("v"),
+    ).filter("u IS NOT NULL AND v IS NOT NULL")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m_i"),
+        F.sum(d38("u")).alias("su_i"),
+        F.sum(d38("v")).alias("sv_i"),
+        F.sum(d38("y")).alias("sy_i"),
+        F.sum(d38("u") * F.col("u")).alias("suu_i"),
+        F.sum(d38("v") * F.col("v")).alias("svv_i"),
+        F.sum(d38("u") * F.col("v")).alias("suv_i"),
+        F.sum(d38("u") * F.col("y")).alias("suy_i"),
+        F.sum(d38("v") * F.col("y")).alias("svy_i"),
+    )
+    tmax = ix.agg(F.max("t").alias("tmax"))
+    seeds = (
+        ix.crossJoin(F.broadcast(tmax))
+        .filter(F.col("t") >= F.col("tmax") - 1)
+        .agg(
+            F.max(
+                F.when(F.col("t") == F.col("tmax"), F.col("x"))
+            ).cast("double").alias("xn"),
+            F.max(
+                F.when(F.col("t") == F.col("tmax") - 1, F.col("x"))
+            ).cast("double").alias("xnm1"),
+        )
+    )
+    md = mom.selectExpr(
+        "CAST(m_i AS DOUBLE) AS m",
+        "CAST(su_i AS DOUBLE) AS su",
+        "CAST(sv_i AS DOUBLE) AS sv",
+        "CAST(sy_i AS DOUBLE) AS sy",
+        "CAST(suu_i AS DOUBLE) AS suu",
+        "CAST(svv_i AS DOUBLE) AS svv",
+        "CAST(suv_i AS DOUBLE) AS suv",
+        "CAST(suy_i AS DOUBLE) AS suy",
+        "CAST(svy_i AS DOUBLE) AS svy",
+    )
+    coef = md.crossJoin(F.broadcast(seeds)).selectExpr(
+        f"{_AR2_C} / nullif({_AR2_DET}, 0) AS c0",
+        f"{_AR2_P1} / nullif({_AR2_DET}, 0) AS p1",
+        f"{_AR2_P2} / nullif({_AR2_DET}, 0) AS p2",
+        "xn",
+        "xnm1",
+    )
+    step = coef.selectExpr(
+        "c0", "p1", "p2", "c0 + p1*xn + p2*xnm1 AS f", "xn AS fp"
+    )
+    out = None
+    for h in range(1, _AR2_H + 1):
+        if h > 1:
+            step = step.selectExpr(
+                "c0", "p1", "p2", "c0 + p1*f + p2*fp AS f", "f AS fp"
+            )
+        row = step.selectExpr(
+            f"{h} AS h",
+            "ROUND(f / 100, 2) AS forecast",
+            "ROUND(p1, 6) AS phi1",
+            "ROUND(p2, 6) AS phi2",
+            "ROUND(c0, 4) AS intercept_cents",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("h")
+
+
+# generalized-ESD studentized deviate over the remaining set's exact
+# moments: R = |x - s/m| / sqrt((m*q - s*s) / (m*(m-1))) — shared
+# string, all operands doubles cast once from exact integers.
+_ESD_R = "(abs(x - s / m) / sqrt((m * q - s * s) / (m * (m - 1.0))))"
+_ESD_K = 5
+
+
+def _esd_oracle() -> str:
+    parts = [f"WITH {_DAILY_REV_ORDERS_CTE}", "rem0 AS (SELECT d, rev AS x FROM daily)"]
+    outs = []
+    for r in range(1, _ESD_K + 1):
+        parts.append(
+            f"""st{r} AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS q
+  FROM rem{r-1})"""
+        )
+        parts.append(
+            f"""out{r} AS (
+  SELECT d, x, {_ESD_R} AS r_stat
+  FROM rem{r-1}, st{r}
+  ORDER BY {_ESD_R} DESC, d LIMIT 1)"""
+        )
+        parts.append(
+            f"rem{r} AS (SELECT * FROM rem{r-1} "
+            f"WHERE d NOT IN (SELECT d FROM out{r}))"
+        )
+        outs.append(
+            f"SELECT {r} AS round, d AS day, x AS rev_cents,"
+            f" ROUND(r_stat, 6) AS r_stat FROM out{r}"
+        )
+    return ",\n".join(parts) + "\nSELECT * FROM (" + " UNION ALL ".join(outs) + ") ORDER BY round"
+
+
+@query("esd_outliers_daily", oracle=_esd_oracle())
+def esd_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner 1983) top-5 outlier walk over daily
+    revenue: iteratively remove the most extreme studentized deviate
+    and RECOMPUTE mean/sd on what remains — the masking-proof
+    multi-outlier procedure (a single z/MAD pass underestimates spread
+    when several outliers inflate it together; anomaly_mad_daily and
+    hampel_outliers_daily are the single-pass members). Emits each
+    round's day and its R statistic; the consumer thresholds against
+    lambda(alpha, n) offline (no t-quantile inverse in either engine —
+    documented boundary).
+
+    Determinism: per-round moments are exact HUGEINT/DECIMAL38; R is a
+    shared expression string over once-cast doubles; the per-round
+    argmax orders identical doubles with a day tie-break.
+
+    Scale: all five rounds chain anti-joins on the calendar-bounded
+    daily relation — one declarative plan, no driver loop, nothing
+    row-scale after the first aggregate."""
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    remaining = daily
+    out = None
+    for r in range(1, _ESD_K + 1):
+        st = remaining.agg(
+            F.count(F.lit(1)).cast("double").alias("m"),
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("double")
+            .alias("q"),
+        )
+        cand = remaining.crossJoin(F.broadcast(st)).selectExpr(
+            "d", "x", f"{_ESD_R} AS r_stat"
+        )
+        picked = cand.orderBy(F.desc("r_stat"), "d").limit(1)
+        row = picked.selectExpr(
+            f"{r} AS round",
+            "d AS day",
+            "x AS rev_cents",
+            "ROUND(r_stat, 6) AS r_stat",
+        )
+        out = row if out is None else out.unionAll(row)
+        remaining = remaining.join(
+            picked.select("d"), "d", "left_anti"
+        )
+    return out.orderBy("round")
+
+
+# binary-segmentation between-segment SS gain for a split after local
+# position td of a segment with nd points / sd total: the one-step
+# k-means objective drop. All operands doubles cast once from exact
+# integer cumulative sums; identical expression both engines.
+_BS_GAIN = "((csd * nd - sd * td) * (csd * nd - sd * td) / (nd * td * (nd - td)))"
+
+_BINSEG_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+ix AS (
+  SELECT d, rev AS x, ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(rev) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM daily),
+tot AS (SELECT CAST(MAX(t) AS BIGINT) AS n, CAST(MAX(cs) AS HUGEINT) AS s FROM ix),
+g1 AS (
+  SELECT d, t,
+         CAST(cs AS DOUBLE) AS csd, CAST(t AS DOUBLE) AS td,
+         CAST(s AS DOUBLE) AS sd, CAST(n AS DOUBLE) AS nd
+  FROM ix CROSS JOIN tot WHERE t < n),
+pick1 AS (
+  SELECT d, t, {_BS_GAIN} AS gain FROM g1
+  ORDER BY {_BS_GAIN} DESC, t LIMIT 1),
+seg AS (
+  SELECT ix.d, ix.x, ix.t, (ix.t <= pick1.t) AS left_seg
+  FROM ix CROSS JOIN pick1),
+seg_ix AS (
+  SELECT d, left_seg,
+         ROW_NUMBER() OVER (PARTITION BY left_seg ORDER BY t) AS tl,
+         SUM(x) OVER (PARTITION BY left_seg ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         COUNT(*) OVER (PARTITION BY left_seg) AS n_seg,
+         SUM(x) OVER (PARTITION BY left_seg) AS s_seg
+  FROM seg),
+g2 AS (
+  SELECT d, tl,
+         CAST(cs AS DOUBLE) AS csd, CAST(tl AS DOUBLE) AS td,
+         CAST(s_seg AS DOUBLE) AS sd, CAST(n_seg AS DOUBLE) AS nd
+  FROM seg_ix WHERE tl < n_seg),
+pick2 AS (
+  SELECT d, {_BS_GAIN} AS gain FROM g2
+  ORDER BY {_BS_GAIN} DESC, d LIMIT 1)
+SELECT * FROM (
+  SELECT 1 AS level, d AS split_day, ROUND(gain, 4) AS gain FROM pick1
+  UNION ALL
+  SELECT 2 AS level, d AS split_day, ROUND(gain, 4) AS gain FROM pick2
+) ORDER BY level
+"""
+
+
+@query("binseg_changepoints_daily", oracle=_BINSEG_ORACLE)
+def binseg_changepoints_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection (top 2 splits) on
+    daily revenue: level 1 picks the split maximizing the
+    between-segment sum-of-squares gain over the whole series; level 2
+    re-runs the same criterion inside the two halves and reports the
+    better — the offline changepoint complement to cusum_changepoints'
+    sequential detector and page_hinkley_drift's online one (binseg is
+    what PELT/ruptures reduce to at depth 1-2).
+
+    Determinism: cumulative sums and totals are exact integers; the
+    gain is a shared expression string over once-cast doubles
+    (_BS_GAIN); argmaxes order identical doubles with positional
+    tie-breaks.
+
+    Scale: the level-1 prefix-sum window rides the calendar-bounded
+    daily relation (whitelisted class); level 2 windows are
+    PARTITIONED by segment; both argmaxes are TakeOrdered(1)."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    wt = Window.orderBy("d")
+    ix = daily.select(
+        "d",
+        "x",
+        F.row_number().over(wt).alias("t"),
+        F.sum("x").over(wt.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+    )
+    tot = ix.agg(
+        F.max("t").cast("bigint").alias("n"),
+        F.max("cs").cast("decimal(38,0)").alias("s"),
+    )
+    g1 = (
+        ix.crossJoin(F.broadcast(tot))
+        .filter("t < n")
+        .selectExpr(
+            "d",
+            "t",
+            "CAST(cs AS DOUBLE) AS csd",
+            "CAST(t AS DOUBLE) AS td",
+            "CAST(s AS DOUBLE) AS sd",
+            "CAST(n AS DOUBLE) AS nd",
+        )
+    )
+    pick1 = (
+        g1.selectExpr("d", "t", f"{_BS_GAIN} AS gain")
+        .orderBy(F.desc("gain"), "t")
+        .limit(1)
+    )
+    seg = ix.crossJoin(
+        F.broadcast(pick1.select(F.col("t").alias("t1")))
+    ).select("d", "x", "t", (F.col("t") <= F.col("t1")).alias("left_seg"))
+    ws = Window.partitionBy("left_seg").orderBy("t")
+    wsa = Window.partitionBy("left_seg")
+    seg_ix = seg.select(
+        "d",
+        "left_seg",
+        F.row_number().over(ws).alias("tl"),
+        F.sum("x").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        F.count(F.lit(1)).over(wsa).alias("n_seg"),
+        F.sum("x").over(wsa).alias("s_seg"),
+    )
+    g2 = seg_ix.filter("tl < n_seg").selectExpr(
+        "d",
+        "tl",
+        "CAST(cs AS DOUBLE) AS csd",
+        "CAST(tl AS DOUBLE) AS td",
+        "CAST(s_seg AS DOUBLE) AS sd",
+        "CAST(n_seg AS DOUBLE) AS nd",
+    )
+    pick2 = (
+        g2.selectExpr("d", f"{_BS_GAIN} AS gain")
+        .orderBy(F.desc("gain"), "d")
+        .limit(1)
+    )
+    lvl1 = pick1.selectExpr(
+        "1 AS level", "d AS split_day", "ROUND(gain, 4) AS gain"
+    )
+    lvl2 = pick2.selectExpr(
+        "2 AS level", "d AS split_day", "ROUND(gain, 4) AS gain"
+    )
+    return lvl1.unionAll(lvl2).orderBy("level")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally

