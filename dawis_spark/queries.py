@@ -20628,6 +20628,215 @@ def leave_one_source_out_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _map_eval_oracle(k1: float, b: float, k: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    parts = []
+    for qid, terms in _IR_QUERIES:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        rel_pred = " AND ".join(f"list_contains(__toks, '{t}')" for t in terms)
+        parts.append(
+            f"""
+SELECT * FROM (
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({term_list}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {k}
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM top
+),
+rel AS (SELECT doc_id, ({rel_pred}) AS rel FROM base),
+nrel AS (SELECT CAST(COUNT(*) FILTER (rel) AS BIGINT) AS n_relevant FROM rel),
+walk AS (
+  SELECT rk.rank, rel.rel,
+         SUM(CASE WHEN rel.rel THEN 1 ELSE 0 END)
+           OVER (ORDER BY rk.rank) AS cumrel
+  FROM rk JOIN rel USING (doc_id)),
+apn AS (
+  SELECT COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           COALESCE(list(CAST(cumrel AS DOUBLE) / rank ORDER BY rank), [])),
+           (a, e) -> a + e), 0.0) AS ap_num
+  FROM walk WHERE rel)
+SELECT {qid} AS query_id, nrel.n_relevant,
+       ROUND(ap_num / GREATEST(LEAST(nrel.n_relevant, {k}), 1), 6)
+         AS ap_at_{k}
+FROM apn CROSS JOIN nrel
+)"""
+        )
+    u = " UNION ALL ".join(parts)
+    return f"""
+WITH u AS ({u}),
+m AS (
+  SELECT ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(ap_at_{k} ORDER BY query_id)), (a, e) -> a + e)
+           / COUNT(*), 6) AS map_at_{k}
+  FROM u)
+SELECT u.query_id, u.n_relevant, u.ap_at_{k}, m.map_at_{k}
+FROM u CROSS JOIN m ORDER BY u.query_id
+"""
+
+
+@query("search_map_eval", oracle=_map_eval_oracle(1.2, 0.75, _IR_K))
+def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision for the BM25 retriever: per query,
+    AP@20 = (sum over relevant hits of precision-at-that-rank) /
+    min(R, 20) against exact AND-containment ground truth, plus the
+    across-query MAP — the rank-quality summary that rewards putting
+    ALL relevant documents early, where MRR only scores the first
+    (search_mrr_eval) and nDCG needs graded labels (search_ndcg_eval).
+    Query 3 has zero relevant docs and pins the AP = 0 empty-fold path.
+
+    Determinism: precision terms cumrel/rank are single divisions of
+    exact integers; the AP sum is a rank-ordered fold over the
+    bounded candidate pool; per-query APs round to 6 BEFORE the MAP
+    mean (a query_id-ordered fold over 3 values).
+
+    Scale: identical plan shape to the MRR eval — postings-filtered
+    BM25 top-k, map-side relevance conjunction, k-row-bounded
+    aggregates; MAP is a 3-row fold."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+
+    docs = spark.table("documents")
+    toks = _TXT.tokens("text", "spark")
+    out = None
+    for qid, terms in _IR_QUERIES:
+        ranked = bm25_scores(
+            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_IR_K
+        ).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("rank"),
+        )
+        rel_pred = F.expr(
+            " AND ".join(f"array_contains({toks}, '{t}')" for t in terms)
+        )
+        rel = docs.select("doc_id", rel_pred.alias("rel"))
+        nrel = rel.agg(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_relevant")
+        )
+        walk = (
+            ranked.join(rel, "doc_id")
+            .withColumn(
+                "cumrel",
+                F.sum(F.when(F.col("rel"), 1).otherwise(0)).over(
+                    Window.orderBy("rank")
+                ),
+            )
+            .filter("rel")
+        )
+        apn = walk.agg(
+            F.coalesce(
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "struct(rank, CAST(cumrel AS DOUBLE) / rank AS p))), "
+                    "cast(0.0 as double), (a, e) -> a + e.p)"
+                ),
+                F.lit(0.0),
+            ).alias("ap_num")
+        )
+        row = apn.crossJoin(F.broadcast(nrel)).selectExpr(
+            f"{qid} AS query_id",
+            "n_relevant",
+            f"ROUND(ap_num / GREATEST(LEAST(n_relevant, {_IR_K}), 1), 6)"
+            f" AS ap_at_{_IR_K}",
+        )
+        out = row if out is None else out.unionAll(row)
+    m = out.agg(
+        F.expr(
+            f"ROUND(aggregate(array_sort(collect_list("
+            f"struct(query_id, ap_at_{_IR_K} AS ap))), "
+            f"cast(0.0 as double), (a, e) -> a + e.ap) / COUNT(*), 6)"
+        ).alias(f"map_at_{_IR_K}")
+    )
+    return out.crossJoin(F.broadcast(m)).orderBy("query_id")
+
+
+_TEMP_ALPHA_SQRT = True  # alpha = 0.5 rendered as sqrt (IEEE-exact)
+
+_TEMP_MIX_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+p AS (
+  SELECT source, n_docs, CAST(n_docs AS DOUBLE) / n AS p_raw
+  FROM per CROSS JOIN tot),
+z AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(sqrt(p_raw) ORDER BY source)), (a, e) -> a + e) AS denom
+  FROM p)
+SELECT source, n_docs,
+       ROUND(p_raw, 6) AS p_natural,
+       ROUND(sqrt(p_raw) / denom, 6) AS w_temperature,
+       ROUND(sqrt(p_raw) / denom / p_raw, 4) AS upsample_factor
+FROM p CROSS JOIN z ORDER BY source
+"""
+
+
+@query("mixture_temperature_weights", oracle=_TEMP_MIX_ORACLE)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (alpha = 0.5) for the source
+    mix: w_s = p_s^alpha / sum p^alpha — the standard multilingual/
+    multi-source rebalancing rule (alpha < 1 upsamples the tail so
+    small sources are seen, without the uniform mix's heavy repetition
+    of tiny ones). source_mixture_weights reports the NATURAL mix;
+    this computes the TRAINING mix and each source's upsample factor —
+    the number a data loader actually consumes.
+
+    Determinism: alpha = 0.5 is rendered as sqrt (IEEE correctly-
+    rounded, engine-identical — a pow(x, 0.5) could differ in ulp);
+    the partition function is a source-ordered fold; each weight pays
+    fixed divisions of identical doubles.
+
+    Scale: one map-side count rollup to |sources| rows; everything
+    after is source-cardinality-bounded."""
+    per = spark.table("documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    p = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source", "n_docs", "CAST(n_docs AS DOUBLE) / n AS p_raw"
+    )
+    z = p.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, sqrt(p_raw) AS s))), "
+            "cast(0.0 as double), (a, e) -> a + e.s)"
+        ).alias("denom")
+    )
+    return (
+        p.crossJoin(F.broadcast(z))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "ROUND(p_raw, 6) AS p_natural",
+            "ROUND(sqrt(p_raw) / denom, 6) AS w_temperature",
+            "ROUND(sqrt(p_raw) / denom / p_raw, 4) AS upsample_factor",
+        )
+        .orderBy("source")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally

@@ -564,6 +564,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "ccf_orders_vs_revenue": "lags over the day-bounded daily series",
     "search_mrr_eval": "rank over per-query BM25 candidate pools",
     "search_ndcg_eval": "rank over per-query BM25 candidate pools",
+    "search_map_eval": "rank over per-query BM25 candidate pools",
 }
 
 
