@@ -20837,6 +20837,359 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mcc_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+conf AS (
+  SELECT CAST(SUM(CASE WHEN p >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN p >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN p < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN p < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scF)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+       ROUND(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_,
+       ROUND(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_,
+       ROUND(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1,
+       ROUND(CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+             / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                         * (tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc
+FROM conf
+"""
+
+
+@query("mcc_classifier_confusion", oracle=_mcc_oracle(64, 3, 1.0))
+def mcc_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion panel at the p >= 0.5 operating point for the trained
+    quality classifier: tp/fp/fn/tn, accuracy/precision/recall/F1, and
+    MATTHEWS CORRELATION — the confusion-matrix correlation that stays
+    honest under class imbalance where accuracy and F1 both inflate
+    (the single number a gate comparison should rank by; pr_curve
+    sweeps the thresholds, THIS reads the default one in depth).
+
+    Determinism: shared trained vector; the four cells are exact
+    integers off one scan; every ratio pays one division; the MCC
+    numerator/denominator are exact DECIMAL38/HUGEINT products cast
+    once. Scale: one scoring scan to a single 4-cell row."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    emb = spark.table("embeddings")
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
+    conf = emb.selectExpr(
+        f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p"
+    ).agg(
+        F.expr("CAST(SUM(CASE WHEN p >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("tp"),
+        F.expr("CAST(SUM(CASE WHEN p >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("fp"),
+        F.expr("CAST(SUM(CASE WHEN p < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("fn"),
+        F.expr("CAST(SUM(CASE WHEN p < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("tn"),
+    )
+    return conf.selectExpr(
+        "tp", "fp", "fn", "tn",
+        "ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy",
+        "ROUND(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision_",
+        "ROUND(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall_",
+        "ROUND(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1",
+        "ROUND(CAST(CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)"
+        " / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+        "             * (tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc",
+    )
+
+
+_DUP_RATE_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("dup_rate_by_source", oracle=_DUP_RATE_ORACLE)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate RATE per source — the per-feed dedup health
+    report (which sources are syndication/mirror-heavy?) that
+    dedup_exact's global pass doesn't break out. The ranking a mix
+    designer reads next to mixture weights: a 30%-dup source
+    contributes less unique signal than its row count claims.
+
+    Scale: Spark dedups on sha2-256 of the text so the distinct
+    exchange carries 32-byte hashes, never documents (the oracle
+    counts DISTINCT text directly — equal up to hash collision,
+    i.e. exactly at any realistic corpus size)."""
+    return (
+        spark.table("documents")
+        .select("source", F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate",
+        )
+        .orderBy("source")
+    )
+
+
+# shared item-graph edge CTE (the item_graph_triangles construction):
+# baskets capped at 128 items, co-occurrence threshold >= 6, oriented i<j
+_ITEM_EDGE_CTE = f"""
+b0 AS (
+  SELECT DISTINCT user_id, {_ITEM_DUCK} AS item FROM events
+  WHERE {_ITEM_DUCK} IS NOT NULL),
+bn AS (SELECT user_id, COUNT(*) AS n FROM b0 GROUP BY user_id),
+b AS (SELECT b0.user_id, b0.item FROM b0 JOIN bn USING (user_id)
+      WHERE bn.n <= 128),
+e AS (
+  SELECT a.item AS i, b2.item AS j
+  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.item < b2.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 6)
+"""
+
+_GCC_ORACLE = f"""
+WITH {_ITEM_EDGE_CTE},
+tri AS (
+  SELECT ab.i AS x, ab.j AS y, bc.j AS z
+  FROM e ab JOIN e bc ON ab.j = bc.i
+  JOIN e ac ON ac.i = ab.i AND ac.j = bc.j),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT i AS node FROM e UNION ALL SELECT j FROM e) GROUP BY 1),
+w AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(CAST(d AS HUGEINT) * (d - 1)) / 2 AS BIGINT) AS wedges
+  FROM deg),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles FROM tri),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, triangles, wedges,
+       ROUND(CAST(3 * triangles AS DOUBLE) / nullif(wedges, 0), 6) AS global_cc
+FROM w, t, m
+"""
+
+
+@query("global_clustering_coefficient", oracle=_GCC_ORACLE)
+def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the item
+    co-occurrence graph: 3*triangles / wedges — what fraction of
+    connected triples close. item_graph_triangles counts PER-NODE
+    closure; this is the one-number graph-cohesion summary next to it
+    (high transitivity = community structure; low = hub-and-spoke),
+    on the same oriented-edge construction so each triangle is
+    counted once.
+
+    Exactness: triangle and wedge counts are exact integers (wedges =
+    sum d(d-1)/2 over the symmetrized degree relation — d(d-1) is
+    even, so the halving is exact); one division. Scale: the standard
+    oriented two-join triangle plan (edge-count-bound) plus a
+    node-keyed degree aggregate."""
+    from dawis_spark.operators.cooccur import item_baskets
+
+    bsk = item_baskets(spark.table("events"), _ITEM_SPARK, 128)
+    edges = (
+        bsk.alias("a")
+        .join(
+            bsk.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 6)
+        .select("i", "j")
+        .persist()
+    )
+    ab = edges.select(F.col("i").alias("x"), F.col("j").alias("y"))
+    bc = edges.select(F.col("i").alias("y"), F.col("j").alias("z"))
+    ac = edges.select(F.col("i").alias("x"), F.col("j").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    deg = (
+        edges.select(F.col("i").alias("node"))
+        .unionAll(edges.select(F.col("j").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    w = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (
+            F.sum(F.col("d").cast("decimal(38,0)") * (F.col("d") - 1)) / 2
+        ).cast("bigint").alias("wedges"),
+    )
+    t = tri.agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "triangles",
+            "wedges",
+            "ROUND(CAST(3 * triangles AS DOUBLE) / nullif(wedges, 0), 6)"
+            " AS global_cc",
+        )
+    )
+
+
+_ASSORT_ORACLE = f"""
+WITH {_ITEM_EDGE_CTE},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT i AS node FROM e UNION ALL SELECT j FROM e) GROUP BY 1),
+de AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM (SELECT i, j FROM e UNION ALL SELECT j, i FROM e) ed(i, j)
+  JOIN deg du ON du.node = ed.i JOIN deg dv ON dv.node = ed.j),
+mo AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy
+  FROM de)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+         AS assortativity
+FROM mo
+"""
+
+
+@query("degree_assortativity_items", oracle=_ASSORT_ORACLE)
+def degree_assortativity_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the item co-occurrence
+    graph: the Pearson correlation of endpoint degrees over the
+    symmetrized edge list — positive = hubs link hubs (assortative
+    social shape), negative = hubs link leaves (disassortative
+    catalog/web shape). The structural summary next to transitivity
+    and the k-core profile on the same graph.
+
+    Exactness: degree moments over edge ends are exact
+    HUGEINT/DECIMAL38 integers; r pays the standard two-sqrt one-
+    division Pearson expression (the spearman machinery's shape).
+
+    Scale: degree aggregate + two node-keyed joins of the edge list
+    against the degree relation — edge-count-bound exchanges carrying
+    ints only."""
+    from dawis_spark.operators.cooccur import item_baskets
+
+    bsk = item_baskets(spark.table("events"), _ITEM_SPARK, 128)
+    edges = (
+        bsk.alias("a")
+        .join(
+            bsk.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 6)
+        .select("i", "j")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("i").alias("node"))
+        .unionAll(edges.select(F.col("j").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ed = edges.unionAll(edges.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    de = (
+        ed.join(deg.withColumnRenamed("node", "i").withColumnRenamed("d", "dx"), "i")
+        .join(deg.withColumnRenamed("node", "j").withColumnRenamed("d", "dy"), "j")
+        .select("dx", "dy")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = de.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("dx")).alias("sx"),
+        F.sum(d38("dy")).alias("sy"),
+        F.sum(d38("dx") * F.col("dy")).alias("sxy"),
+        F.sum(d38("dx") * F.col("dx")).alias("sxx"),
+        F.sum(d38("dy") * F.col("dy")).alias("syy"),
+    )
+    return mo.selectExpr(
+        "CAST(n AS BIGINT) AS n_edge_ends",
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / nullif(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)"
+        " AS assortativity",
+    )
+
+
+_NORM_MICRO_SPARK = (
+    "aggregate(transform(embedding, v ->"
+    " CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)),"
+    " CAST(0 AS DECIMAL(38,0)), (a, e) -> a + CAST(e AS DECIMAL(38,0)) * e)"
+)
+_NORM_MICRO_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+    " list_transform(embedding, v ->"
+    " CAST(CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS HUGEINT)"
+    " * CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))),"
+    " (a, e) -> a + e)"
+)
+
+_NORM_PROFILE_ORACLE = f"""
+WITH per AS (
+  SELECT label, {_NORM_MICRO_DUCK} AS sq FROM embeddings),
+agg AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(sq) AS s, MIN(sq) AS lo, MAX(sq) AS hi
+  FROM per GROUP BY 1)
+SELECT label, n,
+       ROUND(CAST(s AS DOUBLE) / n / 1000000000000.0, 6) AS mean_sq_norm,
+       ROUND(sqrt(CAST(lo AS DOUBLE) / 1000000000000.0), 6) AS min_norm,
+       ROUND(sqrt(CAST(hi AS DOUBLE) / 1000000000000.0), 6) AS max_norm
+FROM agg ORDER BY label
+"""
+
+
+@query("embedding_norm_profile", oracle=_NORM_PROFILE_ORACLE)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding NORM profile: mean squared L2 norm plus the
+    min/max norm — the first sanity check on any ingested vector
+    column (unnormalized mixtures break cosine ANN; a zero-norm row
+    breaks everything) and the drift probe when an upstream encoder
+    changes. Complements the ANN recall evals, which all ASSUME norms
+    are sane.
+
+    Determinism: each vector's squared norm is an EXACT integer in
+    micro^2 units (round(v * 1e6) per coordinate, fixed left-to-right
+    fold over the array — no float accumulation across rows); the
+    per-label sum/min/max are exact; display pays one division (+
+    sqrt for the extremes).
+
+    Scale: one map-side scan collapsing to |labels| rows."""
+    per = spark.table("embeddings").selectExpr(
+        "label", f"{_NORM_MICRO_SPARK} AS sq"
+    )
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq").alias("s"),
+        F.min("sq").alias("lo"),
+        F.max("sq").alias("hi"),
+    )
+    return agg.selectExpr(
+        "label",
+        "n",
+        "ROUND(CAST(s AS DOUBLE) / n / 1000000000000.0, 6) AS mean_sq_norm",
+        "ROUND(sqrt(CAST(lo AS DOUBLE) / 1000000000000.0), 6) AS min_norm",
+        "ROUND(sqrt(CAST(hi AS DOUBLE) / 1000000000000.0), 6) AS max_norm",
+    ).orderBy("label")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally

@@ -109,3 +109,128 @@ def stream_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+_ALERT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType()), True),
+        T.StructField("values", T.ArrayType(T.LongType()), True),
+        T.StructField("alerted", T.BooleanType(), True),
+    ]
+)
+
+
+def stream_cusum_alerts(
+    stream_df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cents_col: str,
+    max_history: int = 90,
+) -> DataFrame:
+    """Single-shot CUSUM BREACH ALERTS — the stream_psi_alerts
+    discipline applied to the shift detector: same retained-series
+    state plus an ``alerted`` latch; the FIRST micro-batch whose
+    recomputed integer CUSUM breaches (S > 20*tot at any retained
+    bucket) emits one (key, bucket, cusum_scaled, n_buckets,
+    crossed_ms) row for the FIRST breaching bucket, then the latch
+    stops the re-alerting storm while the shift persists. Together
+    with ``cusum_alerts_to_queue`` this closes the monitoring loop for
+    the second detector family: PSI alerts on DISTRIBUTION drift,
+    CUSUM alerts on LEVEL shift — both land in the same reference
+    queue -> Dispatcher path.
+
+    Batch equivalence (tested): with the same rollup rows delivered in
+    any tick split, the alerted key set equals the keys whose
+    cusum_closed_form over the retained series breaches — same-bucket
+    redelivery replaces (idempotent), and the closed form is one
+    shared function of the final series.
+
+    Scale: state per key = the retained (bucket, value) series capped
+    at ``max_history`` + a bool; monitored keys are catalog-bounded;
+    the alert stream is at most |keys| rows EVER."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(bucket_col, T.LongType()),
+            T.StructField("cusum_scaled", T.LongType()),
+            T.StructField("n_buckets", T.LongType()),
+            T.StructField("crossed_ms", T.LongType()),
+        ]
+    )
+
+    def fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        fresh: dict = {}
+        for pdf in pdfs:
+            for b, v in zip(pdf[bucket_col].tolist(), pdf[cents_col].tolist()):
+                fresh[int(b)] = int(v)
+        hist: dict = {}
+        alerted = False
+        if state.exists:
+            prev_b, prev_v, alerted = state.get
+            hist = dict(zip(prev_b, prev_v))
+            alerted = bool(alerted)
+        hist.update(fresh)
+        kept = sorted(hist.items())[-max_history:]
+
+        if not alerted:
+            breach = next(
+                ((b, s) for b, s, fl in cusum_closed_form(kept) if fl), None
+            )
+            if breach is not None:
+                alerted = True
+                yield pd.DataFrame(
+                    {
+                        key_col: [str(key[0])],
+                        bucket_col: [breach[0]],
+                        "cusum_scaled": [breach[1]],
+                        "n_buckets": [len(kept)],
+                        "crossed_ms": [state.getCurrentProcessingTimeMs()],
+                    }
+                )
+        state.update(
+            ([b for b, _ in kept], [v for _, v in kept], alerted)
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cusum_alerts_to_queue(alert_stream: DataFrame, queue, group: str = "shift"):
+    """Wire the CUSUM alert stream into the alert QUEUE — the
+    psi_alerts_to_queue twin for the level-shift detector: each alert
+    row becomes one ALERT_SCHEMA row (message carries key + breach
+    bucket, data = the JSON context). Returns the foreachBatch
+    ``DataStreamWriter``; delivery inherits the queue's at-least-once
+    commit-after-send contract."""
+    from pyspark.sql import functions as F
+
+    key_col, bucket_col, *_ = alert_stream.columns
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        queue.add(
+            batch_df.select(
+                F.timestamp_millis(F.col("crossed_ms")).alias("date"),
+                F.lit(group).alias("group"),
+                F.concat(
+                    F.lit("CUSUM level shift on "),
+                    F.col(key_col),
+                    F.lit(" at bucket "),
+                    F.col(bucket_col).cast("string"),
+                ).alias("message"),
+                F.to_json(
+                    F.struct(key_col, bucket_col, "cusum_scaled", "n_buckets")
+                ).alias("data"),
+            )
+        )
+
+    return alert_stream.writeStream.foreachBatch(sink)

@@ -348,3 +348,114 @@ def test_binseg_level2_gain_not_above_level1(spark):
     }
     assert rows[1].gain > 0 and rows[2].gain > 0
     assert rows[1].split_day != rows[2].split_day
+
+
+# ---------------------------------------------------------------------------
+# CUSUM alert wiring (the stream_psi_alerts discipline for the second
+# detector family: PSI = distribution drift, CUSUM = level shift)
+# ---------------------------------------------------------------------------
+
+_CU_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+_CU_FLAT = [("ok", i, 100) for i in range(16)]
+
+
+def test_stream_cusum_alerts_single_shot_and_batch_equivalence(spark, tmp_path):
+    """One alert per shifted series at first breach, none for the flat
+    one, no re-alerting; the alerted set equals cusum_closed_form over
+    the union of delivered rollups."""
+    from dawis_spark.streaming.cusum import cusum_closed_form, stream_cusum_alerts
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            stream_cusum_alerts(
+                staging_stream(spark, staging, _CU_SCHEMA),
+                "series",
+                "bucket",
+                "cents",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # tick 1: both series flat -> no alerts
+    _tick(spark, staging,
+          [("bad", i, 100) for i in range(10)] + _CU_FLAT[:10], _CU_SCHEMA, start)
+    import os
+    produced = (
+        spark.read.parquet(sink).collect()
+        if any(f.endswith(".parquet") for f in os.listdir(sink))
+        else []
+    )
+    assert produced == []
+    # tick 2: "bad" jumps to 300 -> single alert at the first breach bucket
+    _tick(spark, staging,
+          [("bad", i, 300) for i in range(10, 16)] + _CU_FLAT[10:], _CU_SCHEMA, start)
+    alerts = spark.read.parquet(sink).collect()
+    assert [(r["series"], r["bucket"]) for r in alerts] == [("bad", 11)]
+    # tick 3: shift persists -> the latch must hold (no second alert)
+    _tick(spark, staging, [("bad", 16, 300), ("ok", 16, 100)], _CU_SCHEMA, start)
+    assert spark.read.parquet(sink).count() == 1
+    # batch twin: alerted set == keys whose closed form over the union breaches
+    by_key = {}
+    for r in spark.read.parquet(staging).collect():
+        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
+    batch_alerted = {
+        k
+        for k, hist in by_key.items()
+        if any(fl for _, _, fl in cusum_closed_form(sorted(hist.items())))
+    }
+    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
+
+
+def test_cusum_alerts_flow_into_alert_queue(spark, tmp_path):
+    import json
+
+    from dawis_spark.streaming.alerts import AlertQueue
+    from dawis_spark.streaming.cusum import cusum_alerts_to_queue, stream_cusum_alerts
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    queue = AlertQueue(spark, str(tmp_path / "q"))
+
+    def start():
+        alerts = stream_cusum_alerts(
+            staging_stream(spark, staging, _CU_SCHEMA),
+            "series",
+            "bucket",
+            "cents",
+        )
+        return (
+            cusum_alerts_to_queue(alerts, queue, group="shift")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rows = [("bad", i, 100) for i in range(10)] + [
+        ("bad", i, 300) for i in range(10, 16)
+    ]
+    _tick(spark, staging, rows, _CU_SCHEMA, start)
+    fetched = queue.fetch(["shift"]).collect()
+    assert len(fetched) == 1
+    row = fetched[0]
+    assert row["group"] == "shift"
+    assert "CUSUM level shift on bad at bucket 11" in row["message"]
+    ctx = json.loads(row["data"])
+    assert ctx["series"] == "bad" and ctx["bucket"] == 11 and ctx["n_buckets"] == 16
+    queue.commit(queue.fetch(["shift"]))
+    assert queue.fetch(["shift"]).count() == 0

@@ -133,6 +133,21 @@ PICKS = {
     "good_turing_unseen_mass": "one trigram-hash count exchange; 6-row N_r relation after",
     "ngram_novelty_rate": "int64 gram hashes only; DISTINCT train side before the probe join",
     "pr_curve_classifier": "shared trained vector; 20-bin scan + bin-bounded cumulative",
+    "kruskal_wallis_priority": "distinct-cents rank walk; 5-row ordered fold; one-row H",
+    "brown_forsythe_priority": "group-partitioned median walk; medians broadcast; exact-moment ANOVA",
+    "effect_sizes_urgent_vs_low": "one conditional-moment scan + dominance-pair walk; one row",
+    "time_decay_attribution": "co-keyed (user, journey) join; per-journey weight window; int credits",
+    "nelson_aalen_hazard": "one user-keyed agg; hazard folded on the duration-bounded array",
+    "hosmer_lemeshow_classifier": "exact micro-int expected sums; 10-bin ordered fold",
+    "ks_statistic_classifier": "distinct-score CDF walk; TakeOrdered(1) argmax",
+    "mutual_info_feature_rank": "3 map-side category rollups; bounded margin joins; ordered folds",
+    "ar2_forecast_daily": "day-bounded lag windows; one-row exact moments; 7 unrolled steps",
+    "esd_outliers_daily": "5 chained TakeOrdered(1) + anti-join rounds on the daily relation",
+    "binseg_changepoints_daily": "day-bounded prefix sums; segment-partitioned level 2; TakeOrdered argmaxes",
+    "flesch_reading_ease": "regexp counts inside the scan; |sources| rollup, no explode",
+    "leave_one_source_out_vocab": "DISTINCT (source, token); token-hash spread join carries ints only",
+    "search_map_eval": "3 postings-filtered BM25 legs; AP folds on bounded pools",
+    "mixture_temperature_weights": "|sources| count rollup; sqrt-rendered temperature; one-row partition fn",
     "hurst_rescaled_range": "(w, block)-keyed exact-int deviations; 3-row log-log fit",
     "contrastive_negative_pairs": "256-pool TakeOrdered broadcast; anchor-partitioned top-k",
 }
