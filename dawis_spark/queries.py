@@ -20305,6 +20305,12 @@ def esd_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("x")
         )
+        # persisted: every round references the survivor chain TWICE
+        # (moment agg + candidate scan) and each chain hangs off this
+        # relation — without the persist the orders scan re-executes
+        # O(2^rounds) times (measured 5.4 s -> the persist makes the
+        # walk linear in rounds over a 366-row cached relation)
+        .persist()
     )
     remaining = daily
     out = None
@@ -20319,7 +20325,10 @@ def esd_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = remaining.crossJoin(F.broadcast(st)).selectExpr(
             "d", "x", f"{_ESD_R} AS r_stat"
         )
-        picked = cand.orderBy(F.desc("r_stat"), "d").limit(1)
+        # one-row persist per round: the pick feeds both the output row
+        # and the next round's anti-join — without it each reference
+        # replays the whole prior chain
+        picked = cand.orderBy(F.desc("r_stat"), "d").limit(1).persist()
         row = picked.selectExpr(
             f"{r} AS round",
             "d AS day",

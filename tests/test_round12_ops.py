@@ -459,3 +459,28 @@ def test_cusum_alerts_flow_into_alert_queue(spark, tmp_path):
     assert ctx["series"] == "bad" and ctx["bucket"] == 11 and ctx["n_buckets"] == 16
     queue.commit(queue.fetch(["shift"]))
     assert queue.fetch(["shift"]).count() == 0
+
+
+def test_classifier_diagnostics_ranges(spark):
+    """HL stat >= 0 with dof = bins-2; KS in [0, 1]; MCC in [-1, 1] and
+    consistent with its own confusion cells."""
+    import math
+
+    from dawis_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    hl = q.QUERIES["hosmer_lemeshow_classifier"](spark, sf).collect()
+    assert all(r.hl_stat >= 0 for r in hl)
+    assert all(r.dof == len(hl) - 2 for r in hl)
+    assert all(abs(r.expected - r.n_b * (r.bin_lo + 0.05)) < r.n_b * 0.05 + 1
+               for r in hl)  # expected falls inside its own bin's range
+    ks = q.QUERIES["ks_statistic_classifier"](spark, sf).first()
+    assert 0.0 <= ks.ks_stat <= 1.0
+    assert 0.0 <= ks.at_threshold <= 1.0
+    m = q.QUERIES["mcc_classifier_confusion"](spark, sf).first()
+    assert -1.0 <= m.mcc <= 1.0
+    num = m.tp * m.tn - m.fp * m.fn
+    den = math.sqrt(
+        (m.tp + m.fp) * (m.tp + m.fn) * (m.tn + m.fp) * (m.tn + m.fn)
+    )
+    assert abs(m.mcc - num / den) < 1e-6

@@ -148,6 +148,11 @@ PICKS = {
     "leave_one_source_out_vocab": "DISTINCT (source, token); token-hash spread join carries ints only",
     "search_map_eval": "3 postings-filtered BM25 legs; AP folds on bounded pools",
     "mixture_temperature_weights": "|sources| count rollup; sqrt-rendered temperature; one-row partition fn",
+    "mcc_classifier_confusion": "one scoring scan to a 4-cell confusion row; exact int MCC products",
+    "dup_rate_by_source": "sha2 in the scan; distinct exchange carries 32-byte hashes",
+    "global_clustering_coefficient": "oriented 2-join triangles + degree agg; exact wedge halving",
+    "degree_assortativity_items": "degree relation joined twice on int keys; exact Pearson moments",
+    "embedding_norm_profile": "exact micro^2 fold inside the scan; |labels| rollup",
     "hurst_rescaled_range": "(w, block)-keyed exact-int deviations; 3-row log-log fit",
     "contrastive_negative_pairs": "256-pool TakeOrdered broadcast; anchor-partitioned top-k",
 }
