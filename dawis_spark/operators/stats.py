@@ -957,3 +957,221 @@ def g_test_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         (F.col("__rm1") * F.col("__cm1")).cast("bigint").alias("dof"),
         F.round("g_raw", 6).alias("g2"),
     )
+
+
+def cramer_von_mises(
+    df: DataFrame, value_col: str, side_col: str, side_a: str, side_b: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic in the tie-adapted EDF
+    form: T = sum_v t_v * (F_a(v) - F_b(v))^2 * n*m / N^2 — the
+    INTEGRATED squared EDF gap, where ks_* takes the supremum (CvM sees
+    distributed small gaps KS misses; the pair is the standard drift
+    panel). One row (n_a, n_b, t_cvm).
+
+    Exactness: the per-value gap numerator cum_a*n_b - cum_b*n_a and
+    every squared/weighted term stay exact DECIMAL(38,0) through the
+    full sum (bound: fits to ~1e7 rows per side; the mann_whitney
+    family's standing integer-width caveat); ONE double division at
+    the end. Scale: the distinct-value walk (value-bounded domain)."""
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("na_v"),
+        F.sum("ib").cast("bigint").alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    walked = per_v.select(
+        "na_v",
+        "nb_v",
+        F.sum("na_v").over(w).alias("cum_a"),
+        F.sum("nb_v").over(w).alias("cum_b"),
+    )
+    # the exact term needs n_a/n_b inside the walk: two-phase — totals
+    # first (broadcast), then the weighted fold
+    tot = per_v.agg(
+        F.sum("na_v").cast("bigint").alias("n_a_i"),
+        F.sum("nb_v").cast("bigint").alias("n_b_i"),
+    )
+    terms = walked.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("na_v") + F.col("nb_v")).cast("decimal(38,0)")
+            * (
+                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b_i")
+                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a_i")
+            )
+            * (
+                F.col("cum_a").cast("decimal(38,0)") * F.col("n_b_i")
+                - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a_i")
+            )
+        ).alias("term"),
+        "n_a_i",
+        "n_b_i",
+    )
+    out = terms.groupBy("n_a_i", "n_b_i").agg(F.sum("term").alias("s"))
+    return out.selectExpr(
+        "CAST(n_a_i AS BIGINT) AS n_a",
+        "CAST(n_b_i AS BIGINT) AS n_b",
+        "ROUND(CAST(s AS DOUBLE)"
+        " / (CAST(n_a_i + n_b_i AS DOUBLE) * (n_a_i + n_b_i)"
+        "    * n_a_i * n_b_i), 6) AS t_cvm",
+    )
+
+
+def anderson_darling_k(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """k-sample Anderson–Darling A2_akN (Scholz & Stephens 1987,
+    version without continuity correction): tail-weighted integrated
+    EDF discrepancy across ALL groups — the heavy-tail-sensitive member
+    of the drift panel (KS = supremum, CvM = integrated, AD = tail-
+    weighted integrated). One row (k_groups, n_rows, a2_akn).
+
+    Exactness: per (group, pooled-value) numerators (N*M_gv - n_g*B_v)
+    are exact DECIMAL(38,0); each grid cell pays one double division
+    (denominator B(N-B) exact); the sum is a (g, v)-ordered fold.
+
+    Scale: the grid is distinct-values x k (value-bounded domain times
+    a bounded group count); per-group cumulative windows are
+    group-PARTITIONED over that grid."""
+    gv = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_v = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t_v"))
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = per_v.select("v", "t_v", F.sum("t_v").over(wp).alias("b"))
+    groups = gv.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
+    grid = pooled.crossJoin(F.broadcast(groups)).join(
+        gv, ["g", "v"], "left"
+    ).select(
+        "g",
+        "v",
+        "t_v",
+        "b",
+        "n_g",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = pooled.agg(F.max("b").cast("bigint").alias("n"))
+    scored = grid.withColumn("m", F.sum("c").over(wg)).crossJoin(
+        F.broadcast(tot)
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("m")
+        - F.col("n_g").cast("decimal(38,0)") * F.col("b")
+    )
+    terms = scored.filter(F.col("b") < F.col("n")).select(
+        "g",
+        "v",
+        "n",
+        (
+            (F.col("t_v").cast("decimal(38,0)") * num * num).cast("double")
+            / (
+                F.col("b").cast("decimal(38,0)") * (F.col("n") - F.col("b"))
+            ).cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("t_term"),
+    )
+    folded = terms.agg(
+        F.countDistinct("g").cast("int").alias("k_groups"),
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(g, v, t_term))), "
+            "cast(0.0 as double), (a, e) -> a + e.t_term)"
+        ).alias("s"),
+    )
+    return folded.selectExpr(
+        "k_groups",
+        "n_rows",
+        "ROUND(s / CAST(n_rows AS DOUBLE), 6) AS a2_akn",
+    )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treat_col: str, value_col: str
+) -> DataFrame:
+    """Friedman rank test over COMPLETE blocks: does the treatment's
+    value distribution differ when each block (e.g. each day) ranks
+    the k treatments internally? The nonparametric repeated-measures
+    ANOVA (kruskal_wallis treats rows as independent; THIS blocks out
+    the per-day level so only the within-day ORDERING matters).
+    Incomplete blocks (a day missing a treatment) are dropped — the
+    classical complete-block requirement, documented. One row
+    (k_treatments, n_blocks, q_stat) with the tie-corrected
+    denominator A - C.
+
+    Exactness: within-block average ranks are DOUBLED dyadics; Q's
+    numerator/denominator are exact integers in doubled-rank units
+    (Q = (k-1) * sum_j (R2_j - n(k+1))^2 / (A4 - n k (k+1)^2), all
+    int), ONE division. Scale: everything after the (block, treatment)
+    rollup is block-count x k bounded; rank windows are PARTITIONED by
+    block."""
+    cell = df.groupBy(
+        F.col(block_col).alias("blk"), F.col(treat_col).alias("tr")
+    ).agg(F.sum(F.col(value_col)).cast("bigint").alias("x"))
+    k_tot = cell.select("tr").distinct().count()
+    complete = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_tr"))
+        .filter(F.col("n_tr") == k_tot)
+        .select("blk")
+    )
+    cells = cell.join(complete.hint("broadcast"), "blk")
+    # RANGE (not ROWS) frame: with tied x a ROWS frame counts an
+    # arbitrary subset of the tie group — RANGE ... 1 PRECEDING counts
+    # exactly the strictly-smaller rows, deterministic under ties
+    wb = Window.partitionBy("blk").orderBy("x").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    wt = Window.partitionBy("blk", "x")
+    ranked = cells.select(
+        "blk",
+        "tr",
+        (
+            2 * (F.coalesce(F.count(F.lit(1)).over(wb), F.lit(0)) + 1)
+            + (F.count(F.lit(1)).over(wt) - 1)
+        ).cast("bigint").alias("r2"),
+    )
+    per_tr = ranked.groupBy("tr").agg(
+        F.sum("r2").cast("decimal(38,0)").alias("r2_j"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    a4 = ranked.agg(
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias("a4")
+    )
+    # two-phase: need k and n before S2 — compute k/n first, then fold
+    kn = per_tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n_blocks").cast("bigint").alias("n"),
+    )
+    s2 = (
+        per_tr.crossJoin(F.broadcast(kn))
+        .select(
+            (
+                (
+                    F.col("r2_j")
+                    - F.col("n").cast("decimal(38,0)") * (F.col("k") + 1)
+                )
+                * (
+                    F.col("r2_j")
+                    - F.col("n").cast("decimal(38,0)") * (F.col("k") + 1)
+                )
+            ).alias("d2"),
+            "k",
+            "n",
+        )
+        .groupBy("k", "n")
+        .agg(F.sum("d2").alias("s2"))
+    )
+    out = s2.crossJoin(F.broadcast(a4))
+    return out.selectExpr(
+        "CAST(k AS INT) AS k_treatments",
+        "CAST(n AS BIGINT) AS n_blocks",
+        "ROUND(CAST((k - 1) * s2 AS DOUBLE)"
+        " / nullif(CAST(a4 - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)"
+        "               AS DOUBLE), 0), 6) AS q_stat",
+    )

@@ -21199,6 +21199,195 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+_CVM_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+per_v AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS na_v, CAST(SUM(ib) AS BIGINT) AS nb_v
+  FROM tagged GROUP BY 1),
+walked AS (
+  SELECT na_v, nb_v,
+         SUM(na_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(nb_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM per_v),
+tot AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a_i, CAST(SUM(nb_v) AS BIGINT) AS n_b_i
+  FROM per_v),
+terms AS (
+  SELECT CAST(na_v + nb_v AS HUGEINT)
+           * (CAST(cum_a AS HUGEINT) * n_b_i - CAST(cum_b AS HUGEINT) * n_a_i)
+           * (CAST(cum_a AS HUGEINT) * n_b_i - CAST(cum_b AS HUGEINT) * n_a_i)
+           AS term,
+         n_a_i, n_b_i
+  FROM walked CROSS JOIN tot)
+SELECT CAST(n_a_i AS BIGINT) AS n_a, CAST(n_b_i AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(term) AS DOUBLE)
+             / (CAST(n_a_i + n_b_i AS DOUBLE) * (n_a_i + n_b_i)
+                * n_a_i * n_b_i), 6) AS t_cvm
+FROM terms GROUP BY n_a_i, n_b_i
+"""
+
+
+@query("cramer_von_mises_drift", oracle=_CVM_ORACLE)
+def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between the URGENT and
+    LOW order-value distributions — the INTEGRATED squared EDF gap
+    that completes the drift panel: ks_price_drift takes the supremum
+    (sensitive to one big local gap), mann_whitney tests location,
+    THIS accumulates many small gaps across the whole support (the
+    shape-change detector the supremum misses). Tie-adapted EDF form
+    over the distinct-cents walk.
+
+    Exactness: all terms exact DECIMAL38/HUGEINT through the full sum;
+    ONE double division (operators/stats.py:cramer_von_mises).
+    Scale: the value-bounded distinct-cents walk."""
+    from dawis_spark.operators.stats import cramer_von_mises
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return cramer_von_mises(o, "cents", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+_ADK_ORACLE = """
+WITH gv AS (
+  SELECT o_orderpriority AS g, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+per_v AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t_v FROM gv GROUP BY 1),
+pooled AS (
+  SELECT v, t_v,
+         SUM(t_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+  FROM per_v),
+groups AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM gv GROUP BY 1),
+grid AS (
+  SELECT groups.g, pooled.v, pooled.t_v, pooled.b, groups.n_g,
+         COALESCE(gv.c, 0) AS c
+  FROM pooled CROSS JOIN groups
+  LEFT JOIN gv ON gv.g = groups.g AND gv.v = pooled.v),
+tot AS (SELECT CAST(MAX(b) AS BIGINT) AS n FROM pooled),
+scored AS (
+  SELECT g, v, t_v, b, n_g,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM grid),
+terms AS (
+  SELECT g, v, n,
+         CAST(CAST(t_v AS HUGEINT)
+              * (CAST(n AS HUGEINT) * m - CAST(n_g AS HUGEINT) * b)
+              * (CAST(n AS HUGEINT) * m - CAST(n_g AS HUGEINT) * b) AS DOUBLE)
+           / CAST(CAST(b AS HUGEINT) * (n - b) AS DOUBLE)
+           / CAST(n_g AS DOUBLE) AS t_term
+  FROM scored CROSS JOIN tot WHERE b < n),
+folded AS (
+  SELECT CAST(COUNT(DISTINCT g) AS INT) AS k_groups,
+         CAST(MAX(n) AS BIGINT) AS n_rows,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(t_term ORDER BY g, v)), (a, e) -> a + e) AS s
+  FROM terms)
+SELECT k_groups, n_rows, ROUND(s / CAST(n_rows AS DOUBLE), 6) AS a2_akn
+FROM folded
+"""
+
+
+@query("anderson_darling_priorities", oracle=_ADK_ORACLE)
+def anderson_darling_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson–Darling A2_akN across ALL FIVE order
+    priorities (Scholz & Stephens 1987, no continuity correction) —
+    the tail-weighted member that completes the EDF panel: KS =
+    supremum, CvM = integrated, AD = integrated with 1/(H(1-H))
+    weighting that amplifies TAIL discrepancies (exactly where price
+    distributions drift first), generalized to k groups in one pass.
+
+    Exactness: grid numerators exact DECIMAL38/HUGEINT; one division
+    per grid cell; (g, v)-ordered fold (operators/stats.py:
+    anderson_darling_k).
+
+    Scale: the grid is distinct-cents x 5; per-group cumulative
+    windows are group-PARTITIONED over it."""
+    from dawis_spark.operators.stats import anderson_darling_k
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return anderson_darling_k(o, "cents", "o_orderpriority")
+
+
+_FRIEDMAN_ORACLE = """
+WITH cell AS (
+  SELECT date_trunc('day', ts) AS blk, event_type AS tr,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+ktot AS (SELECT COUNT(DISTINCT tr) AS k0 FROM cell),
+complete AS (
+  SELECT blk FROM cell GROUP BY blk
+  HAVING COUNT(*) = (SELECT k0 FROM ktot)),
+cells AS (SELECT cell.* FROM cell JOIN complete USING (blk)),
+ranked AS (
+  SELECT blk, tr,
+         CAST(2 * (COALESCE(COUNT(*) OVER (PARTITION BY blk ORDER BY x
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+              + (COUNT(*) OVER (PARTITION BY blk, x) - 1) AS BIGINT) AS r2
+  FROM cells),
+per_tr AS (
+  SELECT tr, CAST(SUM(r2) AS HUGEINT) AS r2_j,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY 1),
+a4t AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a4 FROM ranked),
+kn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(MAX(n_blocks) AS BIGINT) AS n
+  FROM per_tr),
+s2t AS (
+  SELECT k, n,
+         SUM((r2_j - CAST(n AS HUGEINT) * (k + 1))
+             * (r2_j - CAST(n AS HUGEINT) * (k + 1))) AS s2
+  FROM per_tr CROSS JOIN kn GROUP BY k, n)
+SELECT CAST(k AS INT) AS k_treatments, CAST(n AS BIGINT) AS n_blocks,
+       ROUND(CAST((k - 1) * s2 AS DOUBLE)
+             / nullif(CAST(a4 - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1)
+                           AS DOUBLE), 0), 6) AS q_stat
+FROM s2t CROSS JOIN a4t
+"""
+
+
+@query("friedman_event_types", oracle=_FRIEDMAN_ORACLE)
+def friedman_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types differ in daily revenue
+    when each DAY ranks the types internally? The blocked
+    nonparametric ANOVA — kruskal_wallis treats rows as independent
+    and would confuse a global weekday/seasonal level with a
+    between-type difference; Friedman blocks the per-day level out so
+    only the within-day ordering counts (the repeated-measures test a
+    dashboard comparison of per-type daily series actually needs).
+    Incomplete days (missing a type) are dropped — the classical
+    complete-block requirement.
+
+    Exactness: within-day average ranks are doubled dyadics via a
+    RANGE-frame strictly-smaller count (deterministic under ties); Q's
+    numerator and tie-corrected denominator are exact integers in
+    doubled-rank units; ONE division
+    (operators/stats.py:friedman_test).
+
+    Scale: one (day, type) rollup; rank windows PARTITIONED by day;
+    everything after is |days| x |types| bounded."""
+    from dawis_spark.operators.stats import friedman_test
+
+    e = spark.table("events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return friedman_test(e, "day", "event_type", "cents")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally

@@ -543,6 +543,8 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "mann_whitney_drift": "rank-sum over distinct values (value-bounded domain)",
     "kruskal_wallis_priority": "rank walk over distinct cents (value-bounded domain)",
     "ks_statistic_classifier": "CDF walk over distinct round-6 scores (value-bounded [0,1] grid)",
+    "cramer_von_mises_drift": "EDF walk over distinct cents (value-bounded domain)",
+    "anderson_darling_priorities": "pooled EDF walk over distinct cents (value-bounded domain)",
     "effect_sizes_urgent_vs_low": "dominance-pair walk over distinct cents (value-bounded domain)",
     "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",

@@ -484,3 +484,172 @@ def test_classifier_diagnostics_ranges(spark):
         (m.tp + m.fp) * (m.tp + m.fn) * (m.tn + m.fp) * (m.tn + m.fn)
     )
     assert abs(m.mcc - num / den) < 1e-6
+
+
+def test_cramer_von_mises_hand_case_and_null(spark):
+    """A=[1,2] vs B=[3,4]: T = 24/64 = 0.375 exactly; identical
+    samples give T = 0."""
+    from dawis_spark.operators.stats import cramer_von_mises
+
+    sep = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3), ("B", 4)], ["side", "v"]
+    )
+    r = cramer_von_mises(sep, "v", "side", "A", "B").first()
+    assert r.n_a == 2 and r.n_b == 2
+    assert abs(r.t_cvm - 0.375) < 1e-9
+    same = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2)], ["side", "v"]
+    )
+    assert cramer_von_mises(same, "v", "side", "A", "B").first().t_cvm == 0.0
+
+
+def test_anderson_darling_orders_separation(spark):
+    from dawis_spark.operators.stats import anderson_darling_k
+
+    same = spark.createDataFrame(
+        [(g, v) for g in "ab" for v in range(1, 11)], ["g", "v"]
+    )
+    sep = spark.createDataFrame(
+        [("a", v) for v in range(1, 11)] + [("b", v) for v in range(11, 21)],
+        ["g", "v"],
+    )
+    a_same = anderson_darling_k(same, "v", "g").first().a2_akn
+    a_sep = anderson_darling_k(sep, "v", "g").first().a2_akn
+    assert a_sep > a_same
+
+
+def test_friedman_perfect_ordering_hits_maximum(spark):
+    """3 complete blocks, 3 treatments, identical ordering in every
+    block -> Q = n(k-1) = 6, the statistic's maximum."""
+    from dawis_spark.operators.stats import friedman_test
+
+    rows = [
+        (blk, tr, base + off)
+        for blk, base in (("d1", 10), ("d2", 20), ("d3", 30))
+        for tr, off in (("a", 1), ("b", 2), ("c", 3))
+    ]
+    df = spark.createDataFrame(rows, ["blk", "tr", "v"])
+    r = friedman_test(df, "blk", "tr", "v").first()
+    assert r.k_treatments == 3 and r.n_blocks == 3
+    assert abs(r.q_stat - 6.0) < 1e-9
+
+
+def test_friedman_drops_incomplete_blocks(spark):
+    from dawis_spark.operators.stats import friedman_test
+
+    rows = [
+        ("d1", "a", 1), ("d1", "b", 2),
+        ("d2", "a", 1), ("d2", "b", 2),
+        ("d3", "a", 1),  # incomplete: no 'b'
+    ]
+    df = spark.createDataFrame(rows, ["blk", "tr", "v"])
+    r = friedman_test(df, "blk", "tr", "v").first()
+    assert r.n_blocks == 2  # d3 dropped
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley alert wiring — third detector into the same queue
+# ---------------------------------------------------------------------------
+
+
+def test_stream_page_hinkley_alerts_single_shot_and_batch_equivalence(
+    spark, tmp_path
+):
+    from dawis_spark.streaming.pagehinkley import (
+        ph_closed_form,
+        stream_page_hinkley_alerts,
+    )
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            stream_page_hinkley_alerts(
+                staging_stream(spark, staging, _CU_SCHEMA),
+                "series",
+                "bucket",
+                "cents",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import os
+
+    # tick 1: both flat -> no alerts
+    _tick(spark, staging,
+          [("bad", i, 100) for i in range(12)]
+          + [("ok", i, 100) for i in range(12)], _CU_SCHEMA, start)
+    produced = (
+        spark.read.parquet(sink).collect()
+        if any(f.endswith(".parquet") for f in os.listdir(sink))
+        else []
+    )
+    assert produced == []
+    # tick 2: "bad" drifts up 60% -> single alert at the first alarm bucket
+    _tick(spark, staging,
+          [("bad", i, 160) for i in range(12, 24)]
+          + [("ok", i, 100) for i in range(12, 24)], _CU_SCHEMA, start)
+    alerts = spark.read.parquet(sink).collect()
+    assert [(r["series"], r["bucket"]) for r in alerts] == [("bad", 12)]
+    # tick 3: drift persists -> latch holds
+    _tick(spark, staging, [("bad", 24, 160), ("ok", 24, 100)], _CU_SCHEMA, start)
+    assert spark.read.parquet(sink).count() == 1
+    # batch twin over the union of all delivered rollups
+    by_key = {}
+    for r in spark.read.parquet(staging).collect():
+        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
+    batch_alerted = {
+        k
+        for k, hist in by_key.items()
+        if any(fl for _, _, fl in ph_closed_form(sorted(hist.items())))
+    }
+    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
+
+
+def test_ph_alerts_flow_into_alert_queue(spark, tmp_path):
+    import json
+
+    from dawis_spark.streaming.alerts import AlertQueue
+    from dawis_spark.streaming.pagehinkley import (
+        ph_alerts_to_queue,
+        stream_page_hinkley_alerts,
+    )
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    queue = AlertQueue(spark, str(tmp_path / "q"))
+
+    def start():
+        alerts = stream_page_hinkley_alerts(
+            staging_stream(spark, staging, _CU_SCHEMA),
+            "series",
+            "bucket",
+            "cents",
+        )
+        return (
+            ph_alerts_to_queue(alerts, queue, group="mean-drift")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rows = [("bad", i, 100) for i in range(12)] + [
+        ("bad", i, 160) for i in range(12, 24)
+    ]
+    _tick(spark, staging, rows, _CU_SCHEMA, start)
+    fetched = queue.fetch(["mean-drift"]).collect()
+    assert len(fetched) == 1
+    row = fetched[0]
+    assert "Page-Hinkley mean drift on bad at bucket 12" in row["message"]
+    ctx = json.loads(row["data"])
+    assert ctx["series"] == "bad" and ctx["n_buckets"] == 24
+    queue.commit(queue.fetch(["mean-drift"]))
+    assert queue.fetch(["mean-drift"]).count() == 0
