@@ -21388,6 +21388,409 @@ def friedman_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return friedman_test(e, "day", "event_type", "cents")
 
 
+# ---------------------------------------------------------------------------
+# Statistical process control: individuals chart + Western Electric rules
+# ---------------------------------------------------------------------------
+
+# Individuals (X) chart limits from the moving range: sigma_hat =
+# mean(|x_t - x_{t-1}|) / d2 with d2(n=2) = 1.128 (the classical
+# Shewhart individuals-chart estimator). mu and sigma are ONE-ROW
+# doubles computed from exact integer cent sums; every zone comparison
+# is the same expression string on both engines so the booleans are
+# bit-identical.
+_SPC_X = "CAST(rev AS DOUBLE)"
+_SPC_SIDE = (
+    f"CASE WHEN {_SPC_X} > mu THEN 1 WHEN {_SPC_X} < mu THEN -1 ELSE 0 END"
+)
+_SPC_B3 = (
+    f"CASE WHEN {_SPC_X} > mu + 3 * sigma OR {_SPC_X} < mu - 3 * sigma"
+    " THEN 1 ELSE 0 END"
+)
+_SPC_A2 = f"CASE WHEN {_SPC_X} > mu + 2 * sigma THEN 1 ELSE 0 END"
+_SPC_U2 = f"CASE WHEN {_SPC_X} < mu - 2 * sigma THEN 1 ELSE 0 END"
+_SPC_A1 = f"CASE WHEN {_SPC_X} > mu + sigma THEN 1 ELSE 0 END"
+_SPC_U1 = f"CASE WHEN {_SPC_X} < mu - sigma THEN 1 ELSE 0 END"
+_SPC_UNITS = f"ROUND(({_SPC_X} - mu) / sigma, 4)"
+
+_SPC_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+lagd AS (
+  SELECT d, rev, LAG(rev) OVER (ORDER BY d) AS prev FROM daily),
+lim AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         CAST(SUM(ABS(rev - prev)) AS DOUBLE)
+           / CAST(COUNT(prev) AS DOUBLE) / 1.128 AS sigma
+  FROM lagd),
+zoned AS (
+  SELECT d, rev,
+         {_SPC_SIDE} AS side, {_SPC_B3} AS b3, {_SPC_A2} AS a2,
+         {_SPC_U2} AS u2, {_SPC_A1} AS a1, {_SPC_U1} AS u1,
+         {_SPC_UNITS} AS sigma_units
+  FROM daily CROSS JOIN lim),
+ruled AS (
+  SELECT d, rev, sigma_units, b3 AS rule1,
+         CASE WHEN COUNT(*) OVER w9 = 9 AND ABS(SUM(side) OVER w9) = 9
+              THEN 1 ELSE 0 END AS rule2,
+         CASE WHEN SUM(a2) OVER w3 >= 2 OR SUM(u2) OVER w3 >= 2
+              THEN 1 ELSE 0 END AS rule3,
+         CASE WHEN SUM(a1) OVER w5 >= 4 OR SUM(u1) OVER w5 >= 4
+              THEN 1 ELSE 0 END AS rule4
+  FROM zoned
+  WINDOW w9 AS (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT d AS day, rev AS rev_cents, sigma_units, rule1, rule2, rule3, rule4
+FROM ruled
+WHERE rule1 + rule2 + rule3 + rule4 > 0
+ORDER BY day
+"""
+
+
+@query("spc_xbar_breaches", oracle=_SPC_ORACLE)
+def spc_xbar_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals control chart on daily revenue with the four
+    Western Electric run rules: (1) a point beyond 3 sigma, (2) nine
+    consecutive points on one side of the center line, (3) two of three
+    consecutive beyond 2 sigma on the same side, (4) four of five
+    consecutive beyond 1 sigma on the same side. Control limits use the
+    moving-range estimator sigma = mean|x_t - x_{t-1}| / 1.128, the
+    standard individuals-chart calibration that survives slow drift
+    better than the global stddev. The SPC complement to CUSUM (small
+    persistent shifts) and Page-Hinkley (streaming drift): WE rules are
+    what a human reads off the chart on a monitoring dashboard.
+
+    Exactness: daily revenue is exact cents; mu/sigma are one-row
+    doubles from exact integer sums; every zone flag and run-rule count
+    is a shared expression string over those doubles, then exact
+    integer window sums — bit-identical engines.
+
+    Scale: one fact-table rollup to the calendar-bounded daily series
+    (whitelisted window class); limits are a broadcast one-row
+    relation; rules are constant-width (<= 9 row) frames over |days|
+    rows."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    wd = Window.orderBy("d")
+    lagd = daily.select("d", "rev", F.lag("rev").over(wd).alias("prev"))
+    lim = lagd.agg(
+        F.expr("CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)").alias(
+            "mu"
+        ),
+        F.expr(
+            "CAST(SUM(ABS(rev - prev)) AS DOUBLE)"
+            " / CAST(COUNT(prev) AS DOUBLE) / 1.128"
+        ).alias("sigma"),
+    )
+    zoned = daily.crossJoin(F.broadcast(lim)).selectExpr(
+        "d",
+        "rev",
+        f"{_SPC_SIDE} AS side",
+        f"{_SPC_B3} AS b3",
+        f"{_SPC_A2} AS a2",
+        f"{_SPC_U2} AS u2",
+        f"{_SPC_A1} AS a1",
+        f"{_SPC_U1} AS u1",
+        f"{_SPC_UNITS} AS sigma_units",
+    )
+    w9 = wd.rowsBetween(-8, 0)
+    w3 = wd.rowsBetween(-2, 0)
+    w5 = wd.rowsBetween(-4, 0)
+    ruled = zoned.select(
+        F.col("d").alias("day"),
+        F.col("rev").alias("rev_cents"),
+        "sigma_units",
+        F.col("b3").alias("rule1"),
+        F.when(
+            (F.count(F.lit(1)).over(w9) == 9)
+            & (F.abs(F.sum("side").over(w9)) == 9),
+            1,
+        )
+        .otherwise(0)
+        .alias("rule2"),
+        F.when(
+            (F.sum("a2").over(w3) >= 2) | (F.sum("u2").over(w3) >= 2), 1
+        )
+        .otherwise(0)
+        .alias("rule3"),
+        F.when(
+            (F.sum("a1").over(w5) >= 4) | (F.sum("u1").over(w5) >= 4), 1
+        )
+        .otherwise(0)
+        .alias("rule4"),
+    )
+    return ruled.filter(
+        F.col("rule1") + F.col("rule2") + F.col("rule3") + F.col("rule4") > 0
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential testing (mSPRT) + frequentist power planning
+# ---------------------------------------------------------------------------
+
+# Mixture SPRT for a two-sample mean difference under a normal mixture
+# prior on the effect (tau^2 = s2/100): at cumulative arm sizes n0/n1,
+# V = s2*(1/n0 + 1/n1) and the log e-value is
+#   ln L = 0.5*ln(V/(V+tau^2)) + dm^2*tau^2 / (2*V*(V+tau^2)).
+# The always-valid p-value is min over time of 1/L, i.e.
+# exp(-running_max(ln L)) clamped to 1 — monitoring it continuously
+# never inflates alpha (the optional-stopping guarantee the fixed-n
+# z-test lacks).
+_MSPRT_V = "(s2 * (1.0 / n0 + 1.0 / n1))"
+_MSPRT_T2 = "(s2 / 100)"
+_MSPRT_LNL = (
+    f"(0.5 * ln({_MSPRT_V} / ({_MSPRT_V} + {_MSPRT_T2}))"
+    f" + dm * dm * {_MSPRT_T2}"
+    f" / (2 * {_MSPRT_V} * ({_MSPRT_V} + {_MSPRT_T2})))"
+)
+_MSPRT_DM = (
+    "(CAST(cs1 AS DOUBLE) / CAST(cn1 AS DOUBLE)"
+    " - CAST(cs0 AS DOUBLE) / CAST(cn0 AS DOUBLE))"
+)
+_MSPRT_S2 = (
+    "(CAST(nn * sxx - sx * sx AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))"
+)
+
+_MSPRT_ORACLE = f"""
+WITH darm AS (
+  SELECT o_orderdate AS d, CAST(o_custkey % 2 AS INT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS s_i
+  FROM orders GROUP BY 1, 2),
+s2t AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS sx,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)
+             * CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS sxx
+  FROM orders),
+byday AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN arm = 0 THEN n_i ELSE 0 END) AS BIGINT) AS dn0,
+         SUM(CASE WHEN arm = 0 THEN s_i ELSE 0 END) AS ds0,
+         CAST(SUM(CASE WHEN arm = 1 THEN n_i ELSE 0 END) AS BIGINT) AS dn1,
+         SUM(CASE WHEN arm = 1 THEN s_i ELSE 0 END) AS ds1
+  FROM darm GROUP BY 1),
+cum AS (
+  SELECT d,
+         SUM(dn0) OVER w AS cn0, SUM(ds0) OVER w AS cs0,
+         SUM(dn1) OVER w AS cn1, SUM(ds1) OVER w AS cs1
+  FROM byday
+  WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+lnl AS (
+  SELECT d, cn0, cn1, dm, {_MSPRT_LNL} AS ln_l
+  FROM (
+    SELECT d, cn0, cn1, CAST(cn0 AS DOUBLE) AS n0, CAST(cn1 AS DOUBLE) AS n1,
+           {_MSPRT_DM} AS dm, {_MSPRT_S2} AS s2
+    FROM cum CROSS JOIN s2t
+    WHERE cn0 > 0 AND cn1 > 0))
+SELECT d AS day, CAST(cn0 AS BIGINT) AS n_ctrl, CAST(cn1 AS BIGINT) AS n_treat,
+       ROUND(dm, 4) AS mean_diff_cents,
+       ROUND(ln_l, 6) AS log_e_value,
+       ROUND(LEAST(1.0, exp(-MAX(ln_l) OVER
+             (ORDER BY d ROWS UNBOUNDED PRECEDING))), 6) AS p_always_valid
+FROM lnl ORDER BY day
+"""
+
+
+@query("msprt_sequential_monitor", oracle=_MSPRT_ORACLE)
+def msprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitor: a mixture SPRT (normal
+    mixture prior on the effect, tau^2 = s2/100) over the daily
+    cumulative per-arm order-value sums, reporting the log e-value and
+    the running always-valid p-value exp(-max ln L). This is the
+    'peeking-safe' companion to the fixed-horizon z-test: a dashboard
+    can read p_always_valid every day and stop the moment it crosses
+    alpha without inflating the false-positive rate, which the
+    classical test family (welch_ttest_order_value etc.) cannot offer.
+
+    Exactness: per-day per-arm counts/sums and the pooled second moment
+    are exact integers (HUGEINT/decimal cents); cumulative sums are
+    exact integer window sums; V, tau^2, ln L are shared expression
+    strings over one-time double casts; the running max of ln L is
+    order-independent — bit-identical engines.
+
+    Scale: one (day, arm) fact rollup, pivoted to |days| rows;
+    cumulative and running-max windows ride the calendar-bounded daily
+    series (whitelisted class); the second-moment relation is one
+    broadcast row."""
+    from pyspark.sql import Window
+
+    cents = "CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))"
+    darm = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderdate").alias("d"),
+            F.expr("CAST(o_custkey % 2 AS INT)").alias("arm"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.expr(cents)).alias("s_i"),
+        )
+    )
+    s2t = spark.table("orders").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+        F.sum(F.expr(cents)).alias("sx"),
+        F.sum(F.expr(f"{cents} * {cents}")).alias("sxx"),
+    )
+    byday = darm.groupBy("d").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_i")).otherwise(0))
+        .cast("bigint")
+        .alias("dn0"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("s_i")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("ds0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_i")).otherwise(0))
+        .cast("bigint")
+        .alias("dn1"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("s_i")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("ds1"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byday.select(
+        "d",
+        F.sum("dn0").over(w).alias("cn0"),
+        F.sum("ds0").over(w).alias("cs0"),
+        F.sum("dn1").over(w).alias("cn1"),
+        F.sum("ds1").over(w).alias("cs1"),
+    )
+    lnl = (
+        cum.crossJoin(F.broadcast(s2t))
+        .filter((F.col("cn0") > 0) & (F.col("cn1") > 0))
+        .selectExpr(
+            "d",
+            "cn0",
+            "cn1",
+            "CAST(cn0 AS DOUBLE) AS n0",
+            "CAST(cn1 AS DOUBLE) AS n1",
+            f"{_MSPRT_DM} AS dm",
+            f"{_MSPRT_S2} AS s2",
+        )
+        .selectExpr("d", "cn0", "cn1", "dm", f"{_MSPRT_LNL} AS ln_l")
+    )
+    return lnl.select(
+        F.col("d").alias("day"),
+        F.col("cn0").alias("n_ctrl"),
+        F.col("cn1").alias("n_treat"),
+        F.round("dm", 4).alias("mean_diff_cents"),
+        F.round("ln_l", 6).alias("log_e_value"),
+        F.round(
+            F.least(F.lit(1.0), F.exp(-F.max("ln_l").over(w))), 6
+        ).alias("p_always_valid"),
+    ).orderBy("day")
+
+
+# Power planning off the observed metric moments: at per-arm size n,
+# se = sqrt(2*s2/n), z = mde/se, power = Phi(z - z_crit). Phi comes from
+# the same A&S 7.1.26 erfc polynomial as the p-value helpers
+# (1 - Phi(|x|) = 0.5*poly(tt)*exp(-az^2), az = |x|/sqrt(2)) with an
+# explicit sign branch so negative arguments are exact mirrors.
+_POW_X = "(mde / sqrt(2 * s2 / CAST(n_per_arm AS DOUBLE)) - 1.959963985)"
+_POW_E = (
+    "(((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt"
+    " - 0.284496736) * tt + 0.254829592) * tt * exp(-(az * az)))"
+)
+_POW_PHI = f"(CASE WHEN x >= 0 THEN 1 - {_POW_E} / 2 ELSE {_POW_E} / 2 END)"
+
+_POWER_ORACLE = f"""
+WITH s2t AS (
+  SELECT CAST(nn AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE) AS mean_cents,
+         CAST(nn * sxx - sx * sx AS DOUBLE)
+           / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)) AS s2
+  FROM (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS sx,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)
+               * CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS sxx
+    FROM orders)),
+grid AS (
+  SELECT CAST(n_per_arm AS BIGINT) AS n_per_arm
+  FROM (VALUES (1000), (2000), (5000), (10000), (20000), (50000),
+               (100000), (200000)) AS g(n_per_arm)),
+xs AS (
+  SELECT n_per_arm, mean_cents, s2, 0.02 * mean_cents AS mde
+  FROM grid CROSS JOIN s2t),
+zz AS (SELECT n_per_arm, mean_cents, mde, s2, {_POW_X} AS x FROM xs),
+az1 AS (SELECT *, abs(x) / sqrt(2) AS az FROM zz),
+tt1 AS (SELECT *, 1 / (1 + 0.3275911 * az) AS tt FROM az1)
+SELECT n_per_arm,
+       ROUND(mde, 4) AS mde_cents,
+       ROUND(sqrt(2 * s2 / CAST(n_per_arm AS DOUBLE)), 4) AS se_cents,
+       ROUND({_POW_PHI}, 6) AS power
+FROM tt1 ORDER BY n_per_arm
+"""
+
+
+@query("ab_power_curve", oracle=_POWER_ORACLE)
+def ab_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning from observed moments: for a 2% relative
+    MDE on mean order value, the two-sample z-test power at a grid of
+    per-arm sample sizes (se = sqrt(2*s2/n), power = Phi(mde/se -
+    z_0.975)). The design-time companion to the readout queries: CUPED
+    tells you how much variance you removed, this tells you how many
+    units the NEXT experiment needs.
+
+    Exactness: the metric moments are one-row exact integers; the grid
+    is a literal relation; se/z/Phi are shared expression strings with
+    the A&S erfc polynomial and an explicit sign branch — bit-identical
+    engines.
+
+    Scale: one fact-table moment scan; everything after is the 8-row
+    literal grid cross-joined with a broadcast one-row relation."""
+    s2t = (
+        spark.table("orders")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))")
+            ).alias("sx"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))"
+                    " * CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))"
+                )
+            ).alias("sxx"),
+        )
+        .selectExpr(
+            "CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE) AS mean_cents",
+            "CAST(nn * sxx - sx * sx AS DOUBLE)"
+            " / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)) AS s2",
+        )
+    )
+    grid = spark.createDataFrame(
+        [(n,) for n in (1000, 2000, 5000, 10000, 20000, 50000, 100000, 200000)],
+        "n_per_arm bigint",
+    )
+    return (
+        grid.crossJoin(F.broadcast(s2t))
+        .selectExpr("n_per_arm", "mean_cents", "s2", "0.02 * mean_cents AS mde")
+        .selectExpr("n_per_arm", "mean_cents", "mde", "s2", f"{_POW_X} AS x")
+        .selectExpr("*", "abs(x) / sqrt(2) AS az")
+        .selectExpr("*", "1 / (1 + 0.3275911 * az) AS tt")
+        .selectExpr(
+            "n_per_arm",
+            "ROUND(mde, 4) AS mde_cents",
+            "ROUND(sqrt(2 * s2 / CAST(n_per_arm AS DOUBLE)), 4) AS se_cents",
+            f"ROUND({_POW_PHI}, 6) AS power",
+        )
+        .orderBy("n_per_arm")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -21464,6 +21867,12 @@ NEXT_ROTATION: list[str] = [
     "pr_curve_classifier",        # r12: new
     "hurst_rescaled_range",       # r12: new
     "contrastive_negative_pairs", # r12: quadratic fix -> bounded pool (output changed)
+    "cramer_von_mises_drift",     # r12: new (EDF drift panel)
+    "anderson_darling_priorities",# r12: new (EDF drift panel)
+    "friedman_event_types",       # r12: new (blocked rank test)
+    "spc_xbar_breaches",          # r12: new (WE-rule control chart)
+    "msprt_sequential_monitor",   # r12: new (always-valid sequential test)
+    "ab_power_curve",             # r12: new (power planning)
 ]
 
 

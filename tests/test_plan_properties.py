@@ -567,6 +567,10 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "search_mrr_eval": "rank over per-query BM25 candidate pools",
     "search_ndcg_eval": "rank over per-query BM25 candidate pools",
     "search_map_eval": "rank over per-query BM25 candidate pools",
+    "spc_xbar_breaches": "WE-rule frames over the day-bounded daily series",
+    "msprt_sequential_monitor": (
+        "cumulative/running-max over the day-bounded daily series"
+    ),
 }
 
 
