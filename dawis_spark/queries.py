@@ -21791,6 +21791,237 @@ def ab_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Inclusion-dependency (foreign-key) discovery across the warehouse schema
+# ---------------------------------------------------------------------------
+
+# Candidate (child, parent) column pairs: the declared TPC-H-ish keys plus
+# the behavioral/corpus links a profiler should PROVE rather than assume,
+# and one deliberate reverse direction (does every part appear in
+# lineitem?) so the output shows a non-trivial containment < 1 case.
+_IND_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+]
+
+
+def _ind_oracle() -> str:
+    legs = []
+    for ct, cc, pt, pc in _IND_PAIRS:
+        legs.append(f"""
+SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+       n_child_values, n_contained,
+       ROUND(CAST(n_contained AS DOUBLE) / CAST(n_child_values AS DOUBLE), 6)
+         AS containment,
+       CASE WHEN n_contained = n_child_values THEN 1 ELSE 0 END AS is_inclusion
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child_values,
+         CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contained
+  FROM (SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt} WHERE {pc} IS NOT NULL) p
+    ON c.k = p.k)""")
+    return (
+        "\nUNION ALL\n".join(legs) + "\nORDER BY child_col, parent_col"
+    )
+
+
+@query("inclusion_dependency_profile", oracle=_ind_oracle())
+def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (FK profiling): for each candidate
+    (child, parent) column pair, the distinct-value containment
+    |child ∩ parent| / |child| and an is_inclusion verdict. The
+    schema-profiling primitive behind referential-integrity checks and
+    join-graph inference — dq_integrity_checks asserts the declared
+    keys, this one MEASURES candidate keys, including behavioral links
+    (events.user_id -> customer) and a deliberate reverse direction
+    (part -> lineitem) whose containment < 1 is informative, not a bug.
+
+    Exactness: distinct counts and containment counts are exact
+    integers off hash aggregates; the ratio is one shared double
+    division rounded at 6.
+
+    Scale: per pair, two distinct aggregates (map-side partial) and one
+    hash join on an integer key; small parents (nation/region) broadcast
+    under AQE; the union output is |pairs| rows. No pair materializes
+    anything wider than the distinct key sets — at 100 TB the heavy
+    pairs are the fact-table keys, which is a single shuffle each on an
+    already-compact int64 column."""
+    results = None
+    for ct, cc, pt, pc in _IND_PAIRS:
+        child = (
+            spark.table(ct)
+            .filter(F.col(cc).isNotNull())
+            .select(F.col(cc).alias("k"))
+            .distinct()
+        )
+        parent = (
+            spark.table(pt)
+            .filter(F.col(pc).isNotNull())
+            .select(F.col(pc).alias("k"), F.lit(1).alias("hit"))
+            .distinct()
+        )
+        leg = (
+            child.join(parent, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_values"),
+                F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_contained"),
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                "n_child_values",
+                "n_contained",
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_values").cast("double"),
+                    6,
+                ).alias("containment"),
+                F.when(
+                    F.col("n_contained") == F.col("n_child_values"), 1
+                )
+                .otherwise(0)
+                .alias("is_inclusion"),
+            )
+        )
+        results = leg if results is None else results.unionByName(leg)
+    return results.orderBy("child_col", "parent_col")
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted treatment effect (observational causal readout)
+# ---------------------------------------------------------------------------
+
+# Hajek (self-normalized) IPW means with propensities from the SHARED
+# trained logistic model (treatment = the label the classifier family
+# already predicts, covariates = the embedding). Weighted contributions
+# are integer-scaled (milli-units for y/p, micro-units for 1/p) so the
+# sums are exact and order-independent; clipping at [0.05, 0.95] is the
+# standard positivity guard.
+_IPW_PC = "CASE WHEN p < 0.05 THEN 0.05 WHEN p > 0.95 THEN 0.95 ELSE p END"
+_IPW_TWY = "CAST(round(yv / pc * 1000) AS BIGINT)"
+_IPW_TW = "CAST(round(1.0 / pc * 1000000) AS BIGINT)"
+_IPW_CWY = "CAST(round(yv / (1 - pc) * 1000) AS BIGINT)"
+_IPW_CW = "CAST(round(1.0 / (1 - pc) * 1000000) AS BIGINT)"
+_IPW_MU1 = "(CAST(s_twy AS DOUBLE) * 1000 / CAST(s_tw AS DOUBLE))"
+_IPW_MU0 = "(CAST(s_cwy AS DOUBLE) * 1000 / CAST(s_cw AS DOUBLE))"
+
+
+def _ipw_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT v.vec_id, CAST(v.y AS INT) AS t,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+jo AS (
+  SELECT t, CAST(d.n_chars AS DOUBLE) AS yv, {_IPW_PC} AS pc
+  FROM scF JOIN documents d ON d.doc_id = scF.vec_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS n_treat,
+         CAST(SUM(CASE WHEN t = 1 THEN {_IPW_TWY} ELSE 0 END) AS BIGINT) AS s_twy,
+         CAST(SUM(CASE WHEN t = 1 THEN {_IPW_TW} ELSE 0 END) AS BIGINT) AS s_tw,
+         CAST(SUM(CASE WHEN t = 0 THEN {_IPW_CWY} ELSE 0 END) AS BIGINT) AS s_cwy,
+         CAST(SUM(CASE WHEN t = 0 THEN {_IPW_CW} ELSE 0 END) AS BIGINT) AS s_cw,
+         CAST(SUM(CASE WHEN t = 1 THEN CAST(yv AS BIGINT) ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(SUM(CASE WHEN t = 0 THEN CAST(yv AS BIGINT) ELSE 0 END) AS BIGINT) AS sy0
+  FROM jo)
+SELECT n, n_treat,
+       ROUND({_IPW_MU1}, 4) AS mu_treat_ipw,
+       ROUND({_IPW_MU0}, 4) AS mu_ctrl_ipw,
+       ROUND({_IPW_MU1} - {_IPW_MU0}, 4) AS ate_ipw,
+       ROUND(CAST(sy1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+             - CAST(sy0 AS DOUBLE) / CAST(n - n_treat AS DOUBLE), 4) AS ate_naive
+FROM agg
+"""
+
+
+@query("ipw_treatment_effect", oracle=_ipw_oracle(64, 3, 1.0))
+def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect of the
+    binary document label on document length, with propensities from
+    the SHARED trained logistic model (embedding covariates). Reports
+    the Hajek self-normalized IPW arm means, the IPW ATE, and the naive
+    difference-in-means for contrast — the observational-causal
+    companion to cuped (randomized) and diff_in_diff (parallel trends):
+    IPW is what you reach for when assignment was NOT randomized but
+    the confounders are measured.
+
+    Exactness: propensity scoring replays the oracle's round-6 margin
+    fold against the shared bounded-sample weights; clipped weights and
+    weighted contributions are integer-scaled (milli/micro units) so
+    every sum is exact and order-independent; the two Hajek ratios and
+    the naive difference are shared expression strings — bit-identical
+    engines.
+
+    Scale: training is memoized and bounded (_LOGREG_SAMPLE_LIMIT);
+    scoring + weighting is ONE scan of embeddings joined to documents
+    on the key (broadcast-or-shuffle on int64); the output is one row
+    of exact integer sums."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-({margin_expr('embedding', w)}))), 6)"
+    scored = spark.table("embeddings").select(
+        "vec_id",
+        F.expr(f"cast({_LOGREG_Y_SPARK} as int)").alias("t"),
+        F.expr(p).alias("p"),
+    )
+    jo = (
+        scored.join(
+            spark.table("documents").select("doc_id", "n_chars"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .selectExpr("t", "CAST(n_chars AS DOUBLE) AS yv", f"{_IPW_PC} AS pc")
+    )
+    agg = jo.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(t) AS BIGINT)").alias("n_treat"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN t = 1 THEN {_IPW_TWY} ELSE 0 END) AS BIGINT)"
+        ).alias("s_twy"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN t = 1 THEN {_IPW_TW} ELSE 0 END) AS BIGINT)"
+        ).alias("s_tw"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN t = 0 THEN {_IPW_CWY} ELSE 0 END) AS BIGINT)"
+        ).alias("s_cwy"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN t = 0 THEN {_IPW_CW} ELSE 0 END) AS BIGINT)"
+        ).alias("s_cw"),
+        F.expr(
+            "CAST(SUM(CASE WHEN t = 1 THEN CAST(yv AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sy1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN t = 0 THEN CAST(yv AS BIGINT) ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sy0"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n_treat",
+        f"ROUND({_IPW_MU1}, 4) AS mu_treat_ipw",
+        f"ROUND({_IPW_MU0}, 4) AS mu_ctrl_ipw",
+        f"ROUND({_IPW_MU1} - {_IPW_MU0}, 4) AS ate_ipw",
+        "ROUND(CAST(sy1 AS DOUBLE) / CAST(n_treat AS DOUBLE)"
+        " - CAST(sy0 AS DOUBLE) / CAST(n - n_treat AS DOUBLE), 4) AS ate_naive",
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -21873,6 +22104,8 @@ NEXT_ROTATION: list[str] = [
     "spc_xbar_breaches",          # r12: new (WE-rule control chart)
     "msprt_sequential_monitor",   # r12: new (always-valid sequential test)
     "ab_power_curve",             # r12: new (power planning)
+    "inclusion_dependency_profile",  # r12: new (FK discovery)
+    "ipw_treatment_effect",       # r12: new (observational causal)
 ]
 
 
