@@ -22022,6 +22022,386 @@ def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Offline bandit policy replay: UCB1 over daily event-type rewards
+# ---------------------------------------------------------------------------
+
+_UCB_K = 5  # arm slots: the K alphabetically-first event types
+
+
+def _ucb_uj(j: int) -> str:
+    """UCB index of arm j at selection time (r.t plays done): round-6
+    of exact-int mean + gmax-scaled exploration. The round-6 fold
+    absorbs last-ulp libm ln/sqrt differences between engines."""
+    return (
+        f"round(CAST(r.cs{j} AS DOUBLE) / r.n{j}"
+        f" + CAST(i.gmax AS DOUBLE)"
+        f" * sqrt(2 * ln(CAST(r.t AS DOUBLE)) / r.n{j}), 6)"
+    )
+
+
+def _ucb_oracle() -> str:
+    k = _UCB_K
+    # lowest-index argmax over the K UCB indexes, as a CASE chain
+    branches = []
+    for j in range(1, k):
+        conds = " AND ".join(
+            f"{_ucb_uj(j)} >= {_ucb_uj(m)}" for m in range(j + 1, k + 1)
+        )
+        branches.append(f"WHEN {conds} THEN {j}")
+    argmax = f"CASE {' '.join(branches)} ELSE {k} END"
+    ch = f"(CASE WHEN i.t <= {k} THEN CAST(i.t AS INT) ELSE ({argmax}) END)"
+    rw = (
+        f"(CASE {ch} "
+        + " ".join(f"WHEN {j} THEN i.r{j}" for j in range(1, k + 1))
+        + " END)"
+    )
+    n_updates = ",\n         ".join(
+        f"r.n{j} + CASE WHEN {ch} = {j} THEN 1 ELSE 0 END" for j in range(1, k + 1)
+    )
+    cs_updates = ",\n         ".join(
+        f"r.cs{j} + CASE WHEN {ch} = {j} THEN i.r{j} ELSE CAST(0 AS BIGINT) END"
+        for j in range(1, k + 1)
+    )
+    n_cols = ", ".join(f"n{j}" for j in range(1, k + 1))
+    cs_cols = ", ".join(f"cs{j}" for j in range(1, k + 1))
+    zeros_n = ", ".join("CAST(0 AS BIGINT)" for _ in range(k))
+    piv = ",\n         ".join(
+        f"MAX(CASE WHEN j = {j} THEN rmu END) AS r{j}" for j in range(1, k + 1)
+    )
+    cb = ", ".join(
+        f"SUM(r{j}) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)"
+        for j in range(1, k + 1)
+    )
+    return f"""
+WITH RECURSIVE ar AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+arms AS (
+  SELECT event_type, j FROM (
+    SELECT event_type,
+           CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS INT) AS j
+    FROM (SELECT DISTINCT event_type FROM ar))
+  WHERE j <= {k}),
+piv AS (
+  SELECT d,
+         {piv}
+  FROM (SELECT d, j, (s * 1000000) // c AS rmu
+        FROM ar JOIN arms USING (event_type))
+  GROUP BY d HAVING COUNT(*) = {k}),
+gm AS (SELECT CAST(MAX(GREATEST(r1, r2, r3, r4, r5)) AS BIGINT) AS gmax
+       FROM piv),
+ix AS (
+  SELECT d, r1, r2, r3, r4, r5, gmax,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(GREATEST({cb}) AS BIGINT) AS best
+  FROM piv CROSS JOIN gm),
+rec(t, ch, {n_cols}, {cs_cols}, rw, cum) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS INT), {zeros_n}, {zeros_n},
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT i.t, {ch},
+         {n_updates},
+         {cs_updates},
+         {rw},
+         r.cum + {rw}
+  FROM rec r JOIN ix i ON i.t = r.t + 1)
+SELECT r.t AS step, i.d AS day, a.event_type AS chosen_arm,
+       r.rw AS reward_micro, r.cum AS cum_reward_micro,
+       i.best AS best_fixed_micro, i.best - r.cum AS regret_micro
+FROM rec r JOIN ix i ON i.t = r.t JOIN arms a ON a.j = r.ch
+WHERE r.t >= 1 ORDER BY step
+"""
+
+
+@query("ucb1_replay_daily", oracle=_ucb_oracle())
+def ucb1_replay_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline UCB1 bandit replay: each day the policy picks one
+    event-type 'arm' by the UCB1 index (exact-integer mean reward in
+    micro-cents + a gmax-scaled exploration bonus), observes that arm's
+    daily mean value, and updates its state; reported against the
+    best-fixed-arm-in-hindsight cumulative so the last column IS the
+    regret curve. The offline policy-evaluation primitive behind
+    'would an adaptive allocator have beaten our static mix' — the
+    sequential counterpart of the one-shot mixture_temperature_weights.
+
+    Exactness: daily rewards are floor-div integer micro-cents (Python
+    // == DuckDB //); the replay state (plays, reward sums, cumulative)
+    is exact integers; only the UCB index is a double, computed by the
+    SAME round-6 expression both engines so the argmax trajectory is
+    identical (the holt_winters recursive-state discipline).
+
+    Scale: the distributed part is one (event_type, day) fact rollup;
+    the replay walks the collected |days| x K matrix — calendar x
+    catalog bounded (the markov_removal bounded-collect precedent), so
+    constant in corpus size; the oracle replays it as a recursive CTE
+    carrying the K-arm state as columns."""
+    import math
+
+    k = _UCB_K
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    arms = sorted({r["event_type"] for r in daily})[:k]
+    aidx = {a: j for j, a in enumerate(arms)}
+    by_day: dict = {}
+    for r in daily:
+        if r["event_type"] in aidx:
+            by_day.setdefault(r["d"], {})[r["event_type"]] = (
+                r["s"] * 1000000
+            ) // r["c"]
+    days = sorted(d for d, m in by_day.items() if len(m) == k)
+    mat = [[by_day[d][a] for a in arms] for d in days]
+    gmax = max(x for row in mat for x in row)
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n = [0] * k
+    cs = [0] * k
+    cum = 0
+    cb = [0] * k
+    rows = []
+    for t, (d, rs) in enumerate(zip(days, mat), 1):
+        if t <= k:
+            ch = t
+        else:
+            us = [
+                _r6(cs[j] / n[j] + gmax * math.sqrt(2 * math.log(t - 1) / n[j]))
+                for j in range(k)
+            ]
+            ch = us.index(max(us)) + 1
+        rw = rs[ch - 1]
+        n[ch - 1] += 1
+        cs[ch - 1] += rw
+        cum += rw
+        for j in range(k):
+            cb[j] += rs[j]
+        best = max(cb)
+        rows.append((t, d, arms[ch - 1], rw, cum, best, best - cum))
+    return spark.createDataFrame(
+        rows,
+        "step bigint, day timestamp, chosen_arm string, reward_micro bigint,"
+        " cum_reward_micro bigint, best_fixed_micro bigint, regret_micro bigint",
+    ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# LexRank-style extractive salience: top sentence per document
+# ---------------------------------------------------------------------------
+
+_LEX_SCALE = 10**12  # fixed-point score unit (the PageRank scaled-int trick)
+
+
+_LEX_ORACLE = f"""
+WITH sarr AS (
+  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS sa FROM documents),
+sents AS (
+  SELECT doc_id, CAST(u.pos AS INT) AS sidx, sa[u.pos] AS sent
+  FROM sarr, unnest(range(1, len(sa) + 1)) u(pos)
+  WHERE trim(sa[u.pos]) <> ''),
+ns AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_s FROM sents GROUP BY 1),
+tok AS (
+  SELECT DISTINCT doc_id, sidx, w.w AS w
+  FROM sents, unnest(regexp_extract_all(lower(sent), '[a-z]+')) w(w)),
+edges AS (
+  SELECT a.doc_id, a.sidx AS sf, b.sidx AS st,
+         CAST(COUNT(*) AS BIGINT) AS ov
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w = b.w
+                        AND a.sidx <> b.sidx
+  GROUP BY 1, 2, 3),
+rs AS (
+  SELECT doc_id, sf, CAST(SUM(ov) AS BIGINT) AS rowsum
+  FROM edges GROUP BY 1, 2),
+s0 AS (
+  SELECT s.doc_id, s.sidx, {_LEX_SCALE} // n.n_s AS score, n.n_s
+  FROM sents s JOIN ns n USING (doc_id)),
+it1 AS (
+  SELECT s.doc_id, s.sidx,
+         (15 * {_LEX_SCALE}) // (100 * s.n_s)
+           + COALESCE(c.csum, CAST(0 AS BIGINT)) AS score, s.n_s
+  FROM s0 s LEFT JOIN (
+    SELECT e.doc_id, e.st,
+           CAST(SUM((85 * p.score * e.ov) // (100 * r.rowsum)) AS BIGINT)
+             AS csum
+    FROM edges e
+    JOIN s0 p ON p.doc_id = e.doc_id AND p.sidx = e.sf
+    JOIN rs r ON r.doc_id = e.doc_id AND r.sf = e.sf
+    GROUP BY 1, 2) c ON c.doc_id = s.doc_id AND c.st = s.sidx),
+it2 AS (
+  SELECT s.doc_id, s.sidx,
+         (15 * {_LEX_SCALE}) // (100 * s.n_s)
+           + COALESCE(c.csum, CAST(0 AS BIGINT)) AS score, s.n_s
+  FROM it1 s LEFT JOIN (
+    SELECT e.doc_id, e.st,
+           CAST(SUM((85 * p.score * e.ov) // (100 * r.rowsum)) AS BIGINT)
+             AS csum
+    FROM edges e
+    JOIN it1 p ON p.doc_id = e.doc_id AND p.sidx = e.sf
+    JOIN rs r ON r.doc_id = e.doc_id AND r.sf = e.sf
+    GROUP BY 1, 2) c ON c.doc_id = s.doc_id AND c.st = s.sidx),
+ranked AS (
+  SELECT doc_id, sidx, n_s, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, sidx) AS rk
+  FROM it2)
+SELECT doc_id, CAST(n_s AS BIGINT) AS n_sentences,
+       sidx AS top_sentence_idx, score AS top_score_scaled
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+@query("lexrank_top_sentences", oracle=_LEX_ORACLE)
+def lexrank_top_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LexRank-style extractive salience: per document, sentences form a
+    graph weighted by distinct-word overlap; two damped power-iteration
+    steps (d = 0.85) from a uniform vector rank them, and the top
+    sentence per doc is reported — the extractive-summarization
+    primitive (pick the sentence most central to its own document)
+    that complements rake_keyphrases (term-level) with sentence-level
+    salience.
+
+    Exactness: overlap counts, row sums, and scores are exact integers
+    — scores in 1e-12 fixed point with floor-div transitions (the
+    PageRank scaled-int discipline), so both engines walk the identical
+    trajectory and the final ROW_NUMBER tie-break (score DESC, sidx) is
+    deterministic.
+
+    Scale: sentence split and tokenization are map-side; the overlap
+    self-join shuffles on (doc_id, word) and every relation after is
+    per-doc bounded (sentence pairs within one document); the ranking
+    window is PARTITIONED by doc_id. Nothing global, nothing
+    quadratic across documents."""
+    docs = spark.table("documents")
+    sents = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias(
+                "pos0", "sent"
+            ),
+        )
+        .filter(F.trim(F.col("sent")) != "")
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("int").alias("sidx"), "sent"
+        )
+    )
+    ns = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    tok = (
+        sents.select(
+            "doc_id",
+            "sidx",
+            F.explode(
+                F.expr("regexp_extract_all(lower(sent), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.sidx") != F.col("b.sidx")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sidx").alias("sf"),
+            F.col("b.sidx").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ov"))
+    )
+    rs = edges.groupBy("doc_id", "sf").agg(
+        F.sum("ov").cast("bigint").alias("rowsum")
+    )
+
+    def _iterate(prev: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(
+                prev.select(
+                    F.col("doc_id").alias("p_doc"),
+                    F.col("sidx").alias("p_sidx"),
+                    F.col("score").alias("p_score"),
+                ),
+                (F.col("p_doc") == F.col("doc_id"))
+                & (F.col("p_sidx") == F.col("sf")),
+            )
+            .join(
+                rs.select(
+                    F.col("doc_id").alias("r_doc"),
+                    F.col("sf").alias("r_sf"),
+                    "rowsum",
+                ),
+                (F.col("r_doc") == F.col("doc_id"))
+                & (F.col("r_sf") == F.col("sf")),
+            )
+            .groupBy("doc_id", "st")
+            .agg(
+                F.sum(
+                    F.expr("(85 * p_score * ov) DIV (100 * rowsum)")
+                )
+                .cast("bigint")
+                .alias("csum")
+            )
+        )
+        return prev.join(
+            contrib.select(
+                F.col("doc_id").alias("c_doc"),
+                F.col("st").alias("c_st"),
+                "csum",
+            ),
+            (F.col("c_doc") == F.col("doc_id"))
+            & (F.col("c_st") == F.col("sidx")),
+            "left",
+        ).select(
+            "doc_id",
+            "sidx",
+            F.expr(
+                f"(15 * {_LEX_SCALE}) DIV (100 * n_s)"
+                " + COALESCE(csum, CAST(0 AS BIGINT))"
+            ).alias("score"),
+            "n_s",
+        )
+
+    s0 = sents.join(ns, "doc_id").select(
+        "doc_id",
+        "sidx",
+        F.expr(f"{_LEX_SCALE} DIV n_s").alias("score"),
+        "n_s",
+    )
+    it2 = _iterate(_iterate(s0))
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("sidx")
+    )
+    return (
+        it2.withColumn("rk", F.row_number().over(wdoc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("n_s").alias("n_sentences"),
+            F.col("sidx").alias("top_sentence_idx"),
+            F.col("score").alias("top_score_scaled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -22106,6 +22486,8 @@ NEXT_ROTATION: list[str] = [
     "ab_power_curve",             # r12: new (power planning)
     "inclusion_dependency_profile",  # r12: new (FK discovery)
     "ipw_treatment_effect",       # r12: new (observational causal)
+    "ucb1_replay_daily",          # r12: new (offline bandit replay)
+    "lexrank_top_sentences",      # r12: new (extractive salience)
 ]
 
 
