@@ -22402,6 +22402,318 @@ def lexrank_top_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BCa bootstrap CI (bias-corrected + accelerated) for the mean order value
+# ---------------------------------------------------------------------------
+
+# Jackknife acceleration for the MEAN has a closed form: with
+# u_i = n*x_i - S the leave-one-out deviations are u_i / (n(n-1)), and
+# the n(n-1) factor cancels in a = sum(u^3) / (6*sum(u^2)^1.5) — so the
+# acceleration needs only per-row integer-scaled v = round(u/1e6)
+# moments, no second pass. z0 uses the A&S 26.2.23 inverse-normal
+# rational approximation; the adjusted alphas go through the same
+# A&S 7.1.26 erfc polynomial as the p-value helpers.
+_BCA_SCALE = 1000000.0
+
+
+def _phi_from(x: str, az: str, tt: str) -> str:
+    e = (
+        f"(((((1.061405429 * {tt} - 1.453152027) * {tt} + 1.421413741) * {tt}"
+        f" - 0.284496736) * {tt} + 0.254829592) * {tt} * exp(-({az} * {az})))"
+    )
+    return f"(CASE WHEN {x} >= 0 THEN 1 - {e} / 2 ELSE {e} / 2 END)"
+
+
+_BCA_STAGES = [
+    ("p0", "CAST(cb AS DOUBLE) / {B}"),
+    (
+        "pp",
+        "CASE WHEN p0 < 1.0 / {B} THEN 1.0 / {B}"
+        " WHEN p0 > ({B} - 1.0) / {B} THEN ({B} - 1.0) / {B} ELSE p0 END",
+    ),
+    ("pl", "least(pp, 1 - pp)"),
+    ("tq", "sqrt(-2 * ln(pl))"),
+    (
+        "zq",
+        "tq - (2.515517 + 0.802853 * tq + 0.010328 * tq * tq)"
+        " / (1 + 1.432788 * tq + 0.189269 * tq * tq"
+        " + 0.001308 * tq * tq * tq)",
+    ),
+    ("z0", "CASE WHEN pp < 0.5 THEN -zq ELSE zq END"),
+    (
+        "acc",
+        "CAST(sv3 AS DOUBLE) / (6 * power(CAST(sv2 AS DOUBLE), 1.5))",
+    ),
+    (
+        "xl",
+        "z0 + (z0 - 1.959963985) / (1 - acc * (z0 - 1.959963985))",
+    ),
+    (
+        "xh",
+        "z0 + (z0 + 1.959963985) / (1 - acc * (z0 + 1.959963985))",
+    ),
+    ("azl", "abs(xl) / sqrt(2)"),
+    ("azh", "abs(xh) / sqrt(2)"),
+    ("ttl", "1 / (1 + 0.3275911 * azl)"),
+    ("tth", "1 / (1 + 0.3275911 * azh)"),
+    ("al", _phi_from("xl", "azl", "ttl")),
+    ("ah", _phi_from("xh", "azh", "tth")),
+    ("rlo", "greatest(1, least({B}, CAST(floor(al * {B}) AS INT) + 1))"),
+    ("rhi", "greatest(1, least({B}, CAST(floor(ah * {B}) AS INT) + 1))"),
+]
+
+
+def _bca_oracle() -> str:
+    u = f"(((o_orderkey * {_BOOT_B} + t.b) % {_TXT.MOD}) * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}"
+    w = _bootstrap_weight_case(f"(({u}))")
+    chain = "onerow0"
+    stages_sql = []
+    for i, (col, expr) in enumerate(_BCA_STAGES):
+        nxt = f"onerow{i + 1}"
+        stages_sql.append(
+            f"{nxt} AS (SELECT *, {expr.format(B=_BOOT_B)} AS {col}"
+            f" FROM {chain})"
+        )
+        chain = nxt
+    stages_joined = ",\n".join(stages_sql)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM base),
+vm AS (
+  SELECT CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sv2,
+         CAST(SUM(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS sv3
+  FROM (
+    SELECT CAST(round(CAST(n * cents - s AS DOUBLE) / {_BCA_SCALE})
+                AS BIGINT) AS v
+    FROM base CROSS JOIN mom)),
+expanded AS (
+  SELECT t.b AS b, {w} AS w, cents
+  FROM base, range(0, {_BOOT_B}) t(b)),
+reps AS (
+  SELECT b, CAST(SUM(w * cents) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+  FROM expanded GROUP BY b),
+ranked AS (
+  SELECT b, num, den,
+         ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den, b) AS rk
+  FROM reps),
+onerow0 AS (
+  SELECT n, s, sv2, sv3,
+         CAST(SUM(CASE WHEN CAST(num AS DOUBLE) / den
+                            < CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ranked CROSS JOIN mom CROSS JOIN vm
+  GROUP BY n, s, sv2, sv3),
+{stages_joined}
+SELECT ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_cents,
+       ROUND(z0, 6) + 0 AS z0,
+       ROUND(acc, 6) + 0 AS acceleration,
+       ROUND(al, 6) AS alpha_lo,
+       ROUND(ah, 6) AS alpha_hi,
+       ROUND(MIN(CASE WHEN rk = rlo THEN CAST(num AS DOUBLE) / den END), 6)
+         AS ci_lo_cents,
+       ROUND(MIN(CASE WHEN rk = rhi THEN CAST(num AS DOUBLE) / den END), 6)
+         AS ci_hi_cents,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates
+FROM ranked CROSS JOIN {chain}
+GROUP BY s, n, z0, acc, al, ah, rlo, rhi
+"""
+
+
+@query("bca_ci_order_value", oracle=_bca_oracle())
+def bca_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCa (bias-corrected, accelerated) bootstrap CI for mean order
+    value — the second-order-accurate upgrade of the percentile CI in
+    bootstrap_ci_order_value: z0 corrects median bias of the replicate
+    distribution (share of replicates below the point estimate through
+    the inverse normal), and the jackknife acceleration 'a' corrects
+    for skewness of the influence values; the adjusted alpha levels
+    then index the SAME deterministic Poisson-bootstrap replicates.
+
+    Exactness: replicate sums are exact integers (shared Poisson
+    weights); the closed-form jackknife uses integer-scaled deviation
+    moments (the n(n-1) factor cancels, so only v = round(u/1e6)
+    matters); every double step — inverse normal, acceleration, Phi,
+    rank selection — is a shared expression string; the final
+    endpoints are exact-rank picks over the B=64 replicates.
+
+    Scale: identical to the Poisson bootstrap — one x64 map-side
+    fanout into a 64-group aggregate plus one moment scan; everything
+    past that is a one-row expression chain and a 64-row rank
+    selection."""
+    from pyspark.sql import Window
+
+    base = spark.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    vm = (
+        base.crossJoin(F.broadcast(mom))
+        .selectExpr(
+            f"CAST(round(CAST(n * cents - s AS DOUBLE) / {_BCA_SCALE})"
+            " AS BIGINT) AS v"
+        )
+        .agg(
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("sv2"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v * v")).alias("sv3"),
+        )
+    )
+    u = f"(((o_orderkey * {_BOOT_B} + b) % {_TXT.MOD}) * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}"
+    expanded = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        F.expr(_bootstrap_weight_case(f"(({u}))")).alias("w"),
+        "cents",
+    )
+    reps = expanded.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("num"),
+        F.sum("w").cast("bigint").alias("den"),
+    )
+    ranked = reps.select(
+        "b",
+        "num",
+        "den",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("num").cast("double") / F.col("den"), F.col("b")
+            )
+        )
+        .alias("rk"),
+    )
+    onerow = (
+        ranked.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(vm))
+        .groupBy("n", "s", "sv2", "sv3")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(num AS DOUBLE) / den"
+                    " < CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("cb")
+        )
+    )
+    for col, expr in _BCA_STAGES:
+        onerow = onerow.selectExpr(
+            "*", f"{expr.format(B=_BOOT_B)} AS {col}"
+        )
+    return (
+        ranked.crossJoin(F.broadcast(onerow))
+        .groupBy("s", "n", "z0", "acc", "al", "ah", "rlo", "rhi")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("rk") == F.col("rlo"),
+                        F.col("num").cast("double") / F.col("den"),
+                    )
+                ),
+                6,
+            ).alias("ci_lo_cents"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("rk") == F.col("rhi"),
+                        F.col("num").cast("double") / F.col("den"),
+                    )
+                ),
+                6,
+            ).alias("ci_hi_cents"),
+        )
+        .selectExpr(
+            "ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_cents",
+            "ROUND(z0, 6) + 0 AS z0",
+            "ROUND(acc, 6) + 0 AS acceleration",
+            "ROUND(al, 6) AS alpha_lo",
+            "ROUND(ah, 6) AS alpha_hi",
+            "ci_lo_cents",
+            "ci_hi_cents",
+            f"CAST({_BOOT_B} AS BIGINT) AS n_replicates",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects across the experiment arms
+# ---------------------------------------------------------------------------
+
+_QTE_GRID = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+_QTE_ORACLE = f"""
+WITH per AS (
+  SELECT quantile_cont(CASE WHEN o_custkey % 2 = 0 THEN o_totalprice END,
+                       {_QTE_GRID}) AS q0,
+         quantile_cont(CASE WHEN o_custkey % 2 = 1 THEN o_totalprice END,
+                       {_QTE_GRID}) AS q1
+  FROM orders)
+SELECT ROUND(0.1 * u.pos, 1) AS quantile,
+       ROUND(q0[u.pos], 6) AS q_ctrl,
+       ROUND(q1[u.pos], 6) AS q_treat,
+       ROUND(q1[u.pos] - q0[u.pos], 6) AS qte
+FROM per, unnest(range(1, 10)) u(pos)
+ORDER BY quantile
+"""
+
+
+@query("quantile_treatment_effects", oracle=_QTE_ORACLE)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-decile difference between the
+    treatment and control order-value distributions (arms by the same
+    deterministic custkey split as CUPED/mSPRT). The distributional
+    readout the mean-based family can't see — a treatment that helps
+    the p20 while hurting the p90 has ATE ~ 0 but a strongly
+    non-constant QTE curve.
+
+    Exactness: Spark ``percentile`` and DuckDB ``quantile_cont`` use
+    the same linear interpolation on the sorted values (the
+    percentiles_by_type precedent); deciles, endpoints, and effects are
+    rounded at the same precision.
+
+    Scale: one aggregate with two exact interpolated percentile
+    evaluations — at 100 TB swap percentile -> percentile_approx
+    (t-digest, mergeable, bounded memory), same plan shape; the exact
+    form is the oracle-checkable baseline. Everything after is a 9-row
+    literal expansion."""
+    per = spark.table("orders").agg(
+        F.expr(
+            "percentile(CASE WHEN o_custkey % 2 = 0 THEN o_totalprice END,"
+            f" array{_QTE_GRID.replace('[', '(').replace(']', ')')})"
+        ).alias("q0"),
+        F.expr(
+            "percentile(CASE WHEN o_custkey % 2 = 1 THEN o_totalprice END,"
+            f" array{_QTE_GRID.replace('[', '(').replace(']', ')')})"
+        ).alias("q1"),
+    )
+    return (
+        per.select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("pos"),
+            "q0",
+            "q1",
+        )
+        .selectExpr(
+            "ROUND(0.1 * pos, 1) AS quantile",
+            "ROUND(element_at(q0, pos), 6) AS q_ctrl",
+            "ROUND(element_at(q1, pos), 6) AS q_treat",
+            "ROUND(element_at(q1, pos) - element_at(q0, pos), 6) AS qte",
+        )
+        .orderBy("quantile")
+    )
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -22488,6 +22800,8 @@ NEXT_ROTATION: list[str] = [
     "ipw_treatment_effect",       # r12: new (observational causal)
     "ucb1_replay_daily",          # r12: new (offline bandit replay)
     "lexrank_top_sentences",      # r12: new (extractive salience)
+    "bca_ci_order_value",         # r12: new (BCa bootstrap CI)
+    "quantile_treatment_effects", # r12: new (distributional effect)
 ]
 
 
