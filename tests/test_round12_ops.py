@@ -653,3 +653,150 @@ def test_ph_alerts_flow_into_alert_queue(spark, tmp_path):
     assert ctx["series"] == "bad" and ctx["n_buckets"] == 24
     queue.commit(queue.fetch(["mean-drift"]))
     assert queue.fetch(["mean-drift"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SPC / Western-Electric alert wiring (fourth detector family: PSI =
+# distribution drift, CUSUM = level shift, Page-Hinkley = mean drift,
+# SPC/WE = the chart rules a human reads)
+# ---------------------------------------------------------------------------
+
+# noisy-but-in-control base series, then a 4x spike at bucket 10
+_SPC_BASE = [100, 103, 97, 101, 99, 104, 96, 100, 102, 98]
+
+
+def test_spc_closed_form_flags_spike_and_guards_flat():
+    from dawis_spark.streaming.spc import spc_closed_form
+
+    flat = [(i, 100) for i in range(12)]
+    assert all(m == 0 for _, _, m in spc_closed_form(flat))
+
+    series = [(i, v) for i, v in enumerate(_SPC_BASE + [400])]
+    scored = spc_closed_form(series)
+    # the spike must fire rule 1 (beyond 3 sigma) at bucket 10
+    b, units, mask = scored[-1]
+    assert b == 10 and (mask & 1) == 1 and units > 3000
+    # and nothing before the spike fires rule 1
+    assert all((m & 1) == 0 for _, _, m in scored[:-1])
+
+
+def test_stream_spc_alerts_single_shot_and_batch_equivalence(spark, tmp_path):
+    """One alert for the spiking series at the first breaching bucket,
+    none for the flat one, latch holds; alerted set equals
+    spc_closed_form over the union of delivered rollups."""
+    import os
+
+    from dawis_spark.streaming.spc import spc_closed_form, stream_spc_alerts
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            stream_spc_alerts(
+                staging_stream(spark, staging, _CU_SCHEMA),
+                "series",
+                "bucket",
+                "cents",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # tick 1: both series in control -> no alerts
+    _tick(
+        spark,
+        staging,
+        [("bad", i, v) for i, v in enumerate(_SPC_BASE)]
+        + [("ok", i, 100) for i in range(10)],
+        _CU_SCHEMA,
+        start,
+    )
+    produced = (
+        spark.read.parquet(sink).collect()
+        if any(f.endswith(".parquet") for f in os.listdir(sink))
+        else []
+    )
+    assert produced == []
+    # tick 2: "bad" spikes -> single alert with rule 1 in the mask
+    _tick(
+        spark,
+        staging,
+        [("bad", 10, 400), ("ok", 10, 100)],
+        _CU_SCHEMA,
+        start,
+    )
+    alerts = spark.read.parquet(sink).collect()
+    # with the spike folded into the limits, mu shifts above the whole
+    # base series, so rule 2 (9 consecutive below center) fires at
+    # bucket 8 BEFORE the spike's own rule-1 breach at bucket 10 —
+    # assert against the closed form, not a hand-picked bucket
+    expected = next(
+        (b, m)
+        for b, _, m in spc_closed_form(
+            [(i, v) for i, v in enumerate(_SPC_BASE + [400])]
+        )
+        if m > 0
+    )
+    assert [(r["series"], r["bucket"]) for r in alerts] == [
+        ("bad", expected[0])
+    ]
+    assert alerts[0]["rule_mask"] == expected[1]
+    # tick 3: spike persists -> the latch must hold
+    _tick(spark, staging, [("bad", 11, 400), ("ok", 11, 100)], _CU_SCHEMA, start)
+    assert spark.read.parquet(sink).count() == 1
+    # batch twin: alerted set == keys whose closed form over the union fires
+    by_key = {}
+    for r in spark.read.parquet(staging).collect():
+        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
+    batch_alerted = {
+        k
+        for k, hist in by_key.items()
+        if any(m > 0 for _, _, m in spc_closed_form(sorted(hist.items())))
+    }
+    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
+
+
+def test_spc_alerts_flow_into_alert_queue(spark, tmp_path):
+    import json
+
+    from dawis_spark.streaming.alerts import AlertQueue
+    from dawis_spark.streaming.spc import spc_alerts_to_queue, stream_spc_alerts
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    queue = AlertQueue(spark, str(tmp_path / "q"))
+
+    def start():
+        alerts = stream_spc_alerts(
+            staging_stream(spark, staging, _CU_SCHEMA),
+            "series",
+            "bucket",
+            "cents",
+        )
+        return (
+            spc_alerts_to_queue(alerts, queue, group="spc")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rows = [("bad", i, v) for i, v in enumerate(_SPC_BASE + [400])]
+    _tick(spark, staging, rows, _CU_SCHEMA, start)
+    fetched = queue.fetch(["spc"]).collect()
+    assert len(fetched) == 1
+    row = fetched[0]
+    # first breach over the full series is rule 2 at bucket 8 (see the
+    # single-shot test) — the message names the fired rule(s)
+    assert "SPC rule breach (WE2) on bad at bucket 8" in row["message"]
+    ctx = json.loads(row["data"])
+    assert ctx["series"] == "bad" and ctx["bucket"] == 8
+    assert ctx["rule_mask"] == 2 and ctx["n_buckets"] == 11
+    queue.commit(queue.fetch(["spc"]))
+    assert queue.fetch(["spc"]).count() == 0
