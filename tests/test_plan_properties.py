@@ -571,6 +571,8 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "msprt_sequential_monitor": (
         "cumulative/running-max over the day-bounded daily series"
     ),
+    "bca_ci_order_value": "percentile rank over the B=64 replicate relation",
+    "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
 }
 
 
