@@ -22949,6 +22949,333 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cohort LTV projection from pooled retention x ARPU
+# ---------------------------------------------------------------------------
+
+# Month index = year*12 + month (exact ints both engines); a cohort is a
+# customer's first-order month; age = months since cohort. Pooled over
+# all cohorts OBSERVABLE at each age (cohort + age <= max month) so late
+# cohorts don't bias the tail downward.
+_LTV_RET = "(CAST(act AS DOUBLE) / CAST(den AS DOUBLE))"
+_LTV_ARPU = "(CAST(rev AS DOUBLE) / 100.0 / CAST(act AS DOUBLE))"
+
+_LTV_ORACLE = f"""
+WITH om AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx
+  FROM orders),
+first AS (
+  SELECT o_custkey, MIN(midx) AS m0 FROM om GROUP BY 1),
+mx AS (SELECT MAX(midx) AS maxm FROM om),
+coh AS (
+  SELECT m0, CAST(COUNT(*) AS BIGINT) AS sz FROM first GROUP BY 1),
+aged AS (
+  SELECT om.o_custkey, f.m0, om.midx - f.m0 AS age, om.cents
+  FROM om JOIN first f USING (o_custkey)),
+act_rev AS (
+  SELECT age, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS act,
+         CAST(SUM(cents) AS BIGINT) AS rev
+  FROM aged GROUP BY 1),
+denom AS (
+  SELECT a.age, CAST(SUM(c.sz) AS BIGINT) AS den
+  FROM (SELECT DISTINCT age FROM aged) a
+  JOIN coh c ON c.m0 + a.age <= (SELECT maxm FROM mx)
+  GROUP BY 1),
+curve AS (
+  SELECT age, act, den,
+         ROUND({_LTV_RET}, 6) AS retention,
+         ROUND({_LTV_ARPU}, 4) AS arpu,
+         {_LTV_RET} * {_LTV_ARPU} AS inc
+  FROM act_rev JOIN denom USING (age))
+SELECT age, act AS n_active, den AS n_observable,
+       retention, arpu,
+       ROUND(inc, 4) AS incremental_ltv,
+       ROUND(SUM(inc) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING), 4)
+         AS cumulative_ltv
+FROM curve ORDER BY age
+"""
+
+
+@query("ltv_projection_curve", oracle=_LTV_ORACLE)
+def ltv_projection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve from pooled cohort retention and
+    ARPU: per month-of-age, the share of observable cohort customers
+    still ordering, their average revenue, and the cumulative expected
+    value per acquired customer (sum of retention x ARPU over age).
+    The projection layer on top of cohort_retention /
+    weekly_retention_cohorts: those describe each cohort, this pools
+    them into the per-customer value curve an acquisition decision
+    actually uses, with the observability guard (cohort + age <= max
+    month) so young cohorts don't drag the tail.
+
+    Exactness: month indexes, active counts, observable denominators,
+    and revenue are exact integers; retention/ARPU/increments are
+    shared expression strings; the cumulative sum runs in explicit age
+    order (ROWS frame) so both engines accumulate identically.
+
+    Scale: one customer-keyed first-order aggregate, one age rollup,
+    and a months x months observability join — everything after the
+    fact scans is calendar-bounded (|ages| <= |months| rows); the
+    cumulative window rides that bounded relation (whitelisted
+    class)."""
+    from pyspark.sql import Window
+
+    om = spark.table("orders").selectExpr(
+        "o_custkey",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+        "CAST(EXTRACT(year FROM o_orderdate) * 12"
+        " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx",
+    )
+    first = om.groupBy("o_custkey").agg(F.min("midx").alias("m0"))
+    mx = om.agg(F.max("midx").alias("maxm"))
+    coh = first.groupBy("m0").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    aged = om.join(first, "o_custkey").select(
+        "o_custkey", "m0", (F.col("midx") - F.col("m0")).alias("age"), "cents"
+    )
+    act_rev = aged.groupBy("age").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("act"),
+        F.sum("cents").cast("bigint").alias("rev"),
+    )
+    denom = (
+        aged.select("age")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .join(
+            F.broadcast(coh),
+            F.col("m0") + F.col("age") <= F.col("maxm"),
+        )
+        .groupBy("age")
+        .agg(F.sum("sz").cast("bigint").alias("den"))
+    )
+    curve = act_rev.join(denom, "age").selectExpr(
+        "age",
+        "act",
+        "den",
+        f"ROUND({_LTV_RET}, 6) AS retention",
+        f"ROUND({_LTV_ARPU}, 4) AS arpu",
+        f"{_LTV_RET} * {_LTV_ARPU} AS inc",
+    )
+    w = Window.orderBy("age").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        curve.select(
+            "age",
+            F.col("act").alias("n_active"),
+            F.col("den").alias("n_observable"),
+            "retention",
+            "arpu",
+            F.round("inc", 4).alias("incremental_ltv"),
+            F.round(F.sum("inc").over(w), 4).alias("cumulative_ltv"),
+        )
+        .orderBy("age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram release (deterministic Laplace replay)
+# ---------------------------------------------------------------------------
+
+# Laplace(b = 1/eps) noise by inverse CDF over a hash-uniform
+# u in (0, 1): v = u - 0.5, noise = -b * sign(v) * ln(1 - 2|v|).
+# Deterministic by design so the release pipeline is TESTABLE — a
+# production run swaps the hash for a real RNG; everything else
+# (sensitivity, clamping, accounting) is what this query verifies.
+_DP_EPS = 0.5
+_DP_U = (
+    f"(CAST((CAST(n_nationkey AS BIGINT) * {_BOOT_A} + {_BOOT_C})"
+    f" % {_TXT.MOD} + 1 AS DOUBLE) / ({_TXT.MOD} + 1))"
+)
+_DP_NOISE = (
+    f"(-(1.0 / {_DP_EPS}) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END"
+    " * ln(1 - 2 * abs(u - 0.5)))"
+)
+
+_DP_ORACLE = f"""
+WITH cnts AS (
+  SELECT n_nationkey, n_name, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2),
+noised AS (
+  SELECT n_name, true_count, {_DP_NOISE} AS noise
+  FROM (SELECT n_nationkey, n_name, true_count, {_DP_U} AS u FROM cnts))
+SELECT n_name, true_count,
+       ROUND(noise, 6) AS noise,
+       CAST(GREATEST(0, CAST(round(CAST(true_count AS DOUBLE) + noise)
+                             AS BIGINT)) AS BIGINT) AS released_count,
+       {_DP_EPS} AS epsilon
+FROM noised ORDER BY n_name
+"""
+
+
+@query("dp_noisy_histogram", oracle=_DP_ORACLE)
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release simulation: the per-nation order
+    histogram with Laplace(1/eps) noise (count sensitivity 1), rounded
+    and clamped at zero, with the epsilon accounting column — the
+    release side of the privacy family (k_anonymity / l_diversity /
+    t_closeness measure the RAW table's risk; this is the noised
+    publication path). Noise is drawn by inverse CDF over a
+    hash-uniform so the whole release replays deterministically — the
+    testability property a DP pipeline needs in CI; production swaps
+    the hash for a real RNG and keeps every other step.
+
+    Exactness: counts exact; u, the Laplace inverse CDF, rounding, and
+    clamping are shared expression strings — bit-identical engines.
+
+    Scale: one three-table join into a |nations|-row aggregate; the
+    noise is a map-side expression on 25 rows."""
+    cnts = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(spark.table("nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    return (
+        cnts.selectExpr(
+            "n_nationkey", "n_name", "true_count", f"{_DP_U} AS u"
+        )
+        .selectExpr("n_name", "true_count", f"{_DP_NOISE} AS noise")
+        .selectExpr(
+            "n_name",
+            "true_count",
+            "ROUND(noise, 6) AS noise",
+            "CAST(GREATEST(0, CAST(round(CAST(true_count AS DOUBLE) + noise)"
+            " AS BIGINT)) AS BIGINT) AS released_count",
+            f"{_DP_EPS} AS epsilon",
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source perplexity matrix (unigram LM of each source scoring each)
+# ---------------------------------------------------------------------------
+
+# Laplace-smoothed unigram model per source: p(term | m) =
+# (cnt_m + 1) / (tot_m + V). Per-term log contributions are
+# integer-scaled micro-nats (round(-ln p * 1e6)) so the corpus sums are
+# exact and order-independent; perplexity exponentiates the exact mean.
+_XPPL_P = "((CAST(cnt_m AS DOUBLE) + 1) / (CAST(tot_m AS DOUBLE) + vv))"
+_XPPL_C = f"CAST(round(-ln({_XPPL_P}) * 1000000) AS BIGINT)"
+
+_XPPL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, w.w AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) w(w)),
+cnts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2),
+tots AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+vv AS (
+  SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vv FROM cnts),
+pairs AS (
+  SELECT e.source AS eval_source, m.source AS model_source,
+         e.term, e.cnt AS cnt_e,
+         COALESCE(cm.cnt, 0) AS cnt_m, m.tot AS tot_m, vv.vv AS vv
+  FROM cnts e
+  CROSS JOIN tots m
+  CROSS JOIN vv
+  LEFT JOIN cnts cm ON cm.source = m.source AND cm.term = e.term),
+ce AS (
+  SELECT eval_source, model_source,
+         CAST(SUM(cnt_e) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt_e * {_XPPL_C}) AS BIGINT) AS ce_micro
+  FROM pairs GROUP BY 1, 2)
+SELECT eval_source, model_source, n_tokens, ce_micro,
+       ROUND(exp(CAST(ce_micro AS DOUBLE) / 1000000.0
+                 / CAST(n_tokens AS DOUBLE)), 4) AS perplexity
+FROM ce ORDER BY eval_source, model_source
+"""
+
+
+@query("cross_source_perplexity", oracle=_XPPL_ORACLE)
+def cross_source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source perplexity matrix: a Laplace-smoothed unigram LM per
+    source scores every source's text (including its own), giving the
+    |sources|^2 matrix whose diagonal is self-perplexity and whose
+    off-diagonal asymmetries say which sources are 'surprising' to
+    which — the LM-eval companion to source_js_divergence (symmetric,
+    distribution-level) for mixture decisions: a source with high
+    perplexity under every OTHER model adds diversity; one with low
+    cross-perplexity everywhere is redundant.
+
+    Exactness: term counts and totals are exact; each term's
+    -ln p is integer-scaled to micro-nats by a shared round expression,
+    so the corpus-level sums are exact and order-independent; only the
+    final exp/ROUND is a float, from identical inputs.
+
+    Scale: tokenization map-side; the model relation is (source, term)
+    — vocab x |sources| bounded; the matrix join is a term-keyed left
+    join fanned out over |sources| models (small constant), no row
+    explosion beyond nnz x |sources|."""
+    tok = spark.table("documents").select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    cnts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tots = cnts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    vv = cnts.agg(F.countDistinct("term").cast("double").alias("vv"))
+    e = cnts.select(
+        F.col("source").alias("eval_source"),
+        "term",
+        F.col("cnt").alias("cnt_e"),
+    )
+    m = tots.select(
+        F.col("source").alias("model_source"), F.col("tot").alias("tot_m")
+    )
+    cm = cnts.select(
+        F.col("source").alias("cm_source"),
+        F.col("term").alias("cm_term"),
+        F.col("cnt").alias("cnt_m_raw"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(vv))
+        .join(
+            cm,
+            (F.col("cm_source") == F.col("model_source"))
+            & (F.col("cm_term") == F.col("term")),
+            "left",
+        )
+        .selectExpr(
+            "eval_source",
+            "model_source",
+            "cnt_e",
+            "COALESCE(cnt_m_raw, 0) AS cnt_m",
+            "tot_m",
+            "vv",
+        )
+    )
+    ce = pairs.groupBy("eval_source", "model_source").agg(
+        F.sum("cnt_e").cast("bigint").alias("n_tokens"),
+        F.sum(F.expr(f"cnt_e * {_XPPL_C}")).cast("bigint").alias("ce_micro"),
+    )
+    return ce.selectExpr(
+        "eval_source",
+        "model_source",
+        "n_tokens",
+        "ce_micro",
+        "ROUND(exp(CAST(ce_micro AS DOUBLE) / 1000000.0"
+        " / CAST(n_tokens AS DOUBLE)), 4) AS perplexity",
+    ).orderBy("eval_source", "model_source")
+
+
 DRIVER_PRIORITY: list[str] = [
     # r12 rotation (VERDICT r11 ask #2): the 44 r11-added queries that
     # have NEVER appeared in a driver CORRECTNESS file (locally
@@ -23038,6 +23365,9 @@ NEXT_ROTATION: list[str] = [
     "bca_ci_order_value",         # r12: new (BCa bootstrap CI)
     "quantile_treatment_effects", # r12: new (distributional effect)
     "plsa_topic_terms",           # r12: new (topic modeling)
+    "ltv_projection_curve",       # r12: new (cohort LTV)
+    "dp_noisy_histogram",         # r12: new (DP release)
+    "cross_source_perplexity",    # r12: new (LM eval matrix)
 ]
 
 
