@@ -1175,3 +1175,156 @@ def friedman_test(
         " / nullif(CAST(a4 - CAST(n AS DECIMAL(38,0)) * k * (k + 1) * (k + 1)"
         "               AS DOUBLE), 0), 6) AS q_stat",
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    unit_div: int = 1,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 (earth-mover) distance in the
+    distinct-value EDF form: W1 = sum_i (v_{i+1} - v_i) * |F_a(v_i) -
+    F_b(v_i)| — the MAGNITUDE-weighted member of the drift panel. KS
+    takes the worst EDF gap, CvM integrates squared gaps, W1 integrates
+    the gap against the VALUE axis, so it reads in the value's own
+    units ("average transport of cents") — the number a cost model can
+    threshold on. One row (n_a, n_b, w1).
+
+    Exactness: per distinct value the gap numerator |cum_a*n_b -
+    cum_b*n_a| and the step width (next_v - v) are exact
+    DECIMAL(38,0); the full sum is exact and divided ONCE by
+    n_a*n_b*unit_div (unit_div converts e.g. cents back to currency).
+    Scale: the same distinct-value walk as cramer_von_mises — the
+    ordered prefix walk is value-bounded, not row-bounded."""
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("na_v"),
+        F.sum("ib").cast("bigint").alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("v")
+    walked = per_v.select(
+        "v",
+        F.sum("na_v").over(w).alias("cum_a"),
+        F.sum("nb_v").over(w).alias("cum_b"),
+        F.lead("v", 1).over(wn).alias("v_next"),
+    )
+    tot = per_v.agg(
+        F.sum("na_v").cast("bigint").alias("n_a_i"),
+        F.sum("nb_v").cast("bigint").alias("n_b_i"),
+    )
+    terms = (
+        walked.filter(F.col("v_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("v_next") - F.col("v")).cast("decimal(38,0)")
+                * F.abs(
+                    F.col("cum_a").cast("decimal(38,0)") * F.col("n_b_i")
+                    - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a_i")
+                )
+            ).alias("term"),
+            "n_a_i",
+            "n_b_i",
+        )
+    )
+    out = terms.groupBy("n_a_i", "n_b_i").agg(F.sum("term").alias("s"))
+    return out.selectExpr(
+        "CAST(n_a_i AS BIGINT) AS n_a",
+        "CAST(n_b_i AS BIGINT) AS n_b",
+        "ROUND(CAST(s AS DOUBLE)"
+        f" / (CAST(n_a_i AS DOUBLE) * n_b_i * {unit_div}), 6) AS w1",
+    )
+
+
+def hellinger_tvd(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+    n_bins: int,
+) -> DataFrame:
+    """Histogram-space divergence pair between two samples over shared
+    equal-width bins: total variation distance (the largest possible
+    difference in probability any event can see — the certificate
+    bound) and Hellinger distance (the bounded, symmetric f-divergence
+    that, unlike KL/PSI, never blows up on empty bins). One row
+    (n_a, n_b, n_bins_occupied, tvd, bhattacharyya, hellinger).
+
+    Exactness: the bin edges come from the pooled exact integer
+    min/max (two-phase: 1-row bounds aggregate broadcast back); bin
+    counts are exact; TVD = sum|na_i*n_b - nb_i*n_a| / (2*n_a*n_b) is
+    exact until ONE division. The Bhattacharyya coefficient needs a
+    per-bin sqrt(na_i*nb_i) — doubles of exact integer products,
+    summed in an ORDERED fold by bin id (the chi-square discipline),
+    then divided once by sqrt(n_a)*sqrt(n_b).
+    Scale: two scans (bounds, then bin counts) collapsing to n_bins
+    rows; everything after is constant-size."""
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
+    ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    bounds = tagged.agg(
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+    )
+    binned = tagged.crossJoin(F.broadcast(bounds)).selectExpr(
+        "ia",
+        "ib",
+        # explicit integral division (Spark `div` / DuckDB `//`) — plain
+        # `/` is float division in DuckDB and its double->int cast ROUNDS,
+        # so the two engines would bin boundary values differently
+        "CASE WHEN hi = lo THEN 0 ELSE"
+        f" LEAST(CAST((CAST(v AS DECIMAL(38,0)) - lo) * {n_bins}"
+        f"            div (CAST(hi AS DECIMAL(38,0)) - lo) AS INT),"
+        f" {n_bins - 1}) END AS b",
+    )
+    per_b = binned.groupBy("b").agg(
+        F.sum("ia").cast("bigint").alias("na_b"),
+        F.sum("ib").cast("bigint").alias("nb_b"),
+    )
+    tot = per_b.agg(
+        F.sum("na_b").cast("bigint").alias("n_a_i"),
+        F.sum("nb_b").cast("bigint").alias("n_b_i"),
+    )
+    terms = per_b.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "n_a_i",
+        "n_b_i",
+        F.abs(
+            F.col("na_b").cast("decimal(38,0)") * F.col("n_b_i")
+            - F.col("nb_b").cast("decimal(38,0)") * F.col("n_a_i")
+        ).alias("tvd_num"),
+        F.sqrt(
+            (F.col("na_b").cast("decimal(38,0)") * F.col("nb_b"))
+            .cast("double")
+        ).alias("bc_term"),
+    )
+    agg = terms.groupBy("n_a_i", "n_b_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.sum("tvd_num").alias("tvd_s"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, bc_term))),"
+            " cast(0.0 as double), (a, e) -> a + e.bc_term)"
+        ).alias("bc_s"),
+    )
+    return agg.selectExpr(
+        "CAST(n_a_i AS BIGINT) AS n_a",
+        "CAST(n_b_i AS BIGINT) AS n_b",
+        "n_occ AS n_bins_occupied",
+        "ROUND(CAST(tvd_s AS DOUBLE)"
+        " / (2.0 * CAST(n_a_i AS DOUBLE) * n_b_i), 6) AS tvd",
+        "ROUND(bc_s / (SQRT(CAST(n_a_i AS DOUBLE)) * SQRT(CAST(n_b_i"
+        " AS DOUBLE))), 6) AS bhattacharyya",
+        "ROUND(SQRT(GREATEST(1.0 - bc_s / (SQRT(CAST(n_a_i AS DOUBLE))"
+        " * SQRT(CAST(n_b_i AS DOUBLE))), 0.0)), 6) AS hellinger",
+    )

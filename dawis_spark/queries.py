@@ -21321,6 +21321,148 @@ def anderson_darling_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anderson_darling_k(o, "cents", "o_orderpriority")
 
 
+_W1_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+per_v AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS na_v, CAST(SUM(ib) AS BIGINT) AS nb_v
+  FROM tagged GROUP BY 1),
+walked AS (
+  SELECT v,
+         SUM(na_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(nb_v) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         LEAD(v, 1) OVER (ORDER BY v) AS v_next
+  FROM per_v),
+tot AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a_i, CAST(SUM(nb_v) AS BIGINT) AS n_b_i
+  FROM per_v),
+terms AS (
+  SELECT CAST(v_next - v AS HUGEINT)
+           * abs(CAST(cum_a AS HUGEINT) * n_b_i - CAST(cum_b AS HUGEINT) * n_a_i)
+           AS term,
+         n_a_i, n_b_i
+  FROM walked CROSS JOIN tot WHERE v_next IS NOT NULL)
+SELECT CAST(n_a_i AS BIGINT) AS n_a, CAST(n_b_i AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(term) AS DOUBLE)
+             / (CAST(n_a_i AS DOUBLE) * n_b_i * 100), 6) AS w1
+FROM terms GROUP BY n_a_i, n_b_i
+"""
+
+
+@query("wasserstein_price_drift", oracle=_W1_ORACLE)
+def wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the URGENT and
+    LOW order-value distributions — the magnitude-weighted member that
+    completes the EDF drift panel: ks_price_drift reports the WORST
+    EDF gap, cramer_von_mises_drift the integrated SQUARED gap, this
+    query the integrated gap against the VALUE axis, so the statistic
+    reads in currency units ("how many dollars of transport separate
+    the two distributions") — the one a cost-aware drift gate can
+    threshold directly.
+
+    Exactness: per distinct cent value the EDF-gap numerator
+    |cum_a*n_b - cum_b*n_a| and the step width are exact
+    DECIMAL38/HUGEINT; one final division (by n_a*n_b*100, folding the
+    cents->currency conversion into the same division)
+    (operators/stats.py:wasserstein_1d).
+
+    Scale: the same distinct-value ordered walk as the CvM/KS legs —
+    value-bounded, not row-bounded; everything before it is a map-side
+    keyed aggregate."""
+    from dawis_spark.operators.stats import wasserstein_1d
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return wasserstein_1d(
+        o, "cents", "o_orderpriority", "1-URGENT", "5-LOW", unit_div=100
+    )
+
+
+_HELL_BINS = 20
+_HELL_ORACLE = f"""
+WITH tagged AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+bounds AS (
+  SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+  FROM tagged),
+binned AS (
+  SELECT ia, ib,
+         CASE WHEN hi = lo THEN 0 ELSE
+           LEAST(CAST((CAST(v AS HUGEINT) - lo) * {_HELL_BINS}
+                      // (CAST(hi AS HUGEINT) - lo) AS INT),
+                 {_HELL_BINS - 1}) END AS b
+  FROM tagged CROSS JOIN bounds),
+per_b AS (
+  SELECT b, CAST(SUM(ia) AS BIGINT) AS na_b, CAST(SUM(ib) AS BIGINT) AS nb_b
+  FROM binned GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(na_b) AS BIGINT) AS n_a_i, CAST(SUM(nb_b) AS BIGINT) AS n_b_i
+  FROM per_b),
+terms AS (
+  SELECT b, n_a_i, n_b_i,
+         abs(CAST(na_b AS HUGEINT) * n_b_i - CAST(nb_b AS HUGEINT) * n_a_i)
+           AS tvd_num,
+         sqrt(CAST(CAST(na_b AS HUGEINT) * nb_b AS DOUBLE)) AS bc_term
+  FROM per_b CROSS JOIN tot),
+agg AS (
+  SELECT n_a_i, n_b_i,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         SUM(tvd_num) AS tvd_s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(bc_term ORDER BY b)), (a, e) -> a + e) AS bc_s
+  FROM terms GROUP BY 1, 2)
+SELECT CAST(n_a_i AS BIGINT) AS n_a, CAST(n_b_i AS BIGINT) AS n_b,
+       n_occ AS n_bins_occupied,
+       ROUND(CAST(tvd_s AS DOUBLE)
+             / (2.0 * CAST(n_a_i AS DOUBLE) * n_b_i), 6) AS tvd,
+       ROUND(bc_s / (SQRT(CAST(n_a_i AS DOUBLE))
+                     * SQRT(CAST(n_b_i AS DOUBLE))), 6) AS bhattacharyya,
+       ROUND(SQRT(GREATEST(1.0 - bc_s / (SQRT(CAST(n_a_i AS DOUBLE))
+                     * SQRT(CAST(n_b_i AS DOUBLE))), 0.0)), 6) AS hellinger
+FROM agg
+"""
+
+
+@query("hellinger_tvd_drift", oracle=_HELL_ORACLE)
+def hellinger_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-space divergence pair between the URGENT and LOW order
+    value distributions over 20 shared equal-width bins: total
+    variation distance (the tightest bound on how much ANY event's
+    probability can differ — the certificate number) and Hellinger
+    distance (the bounded symmetric f-divergence that, unlike the KL
+    family behind psi_value_drift, never diverges on empty bins). The
+    binned complement to the EDF panel (KS/CvM/AD/W1): EDF statistics
+    answer "did it drift", the histogram pair answers "by how much, in
+    probability mass".
+
+    Exactness: bin edges from the pooled exact integer min/max
+    (two-phase broadcast); TVD exact until one division; Bhattacharyya
+    pays one sqrt per occupied bin over exact integer products, summed
+    in a bin-ordered fold (operators/stats.py:hellinger_tvd).
+
+    Scale: two scans (1-row bounds, then bin counts) collapsing to 20
+    rows; constant-size tail."""
+    from dawis_spark.operators.stats import hellinger_tvd
+
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return hellinger_tvd(
+        o, "cents", "o_orderpriority", "1-URGENT", "5-LOW", n_bins=_HELL_BINS
+    )
+
+
 _FRIEDMAN_ORACLE = """
 WITH cell AS (
   SELECT date_trunc('day', ts) AS blk, event_type AS tr,
@@ -23368,6 +23510,8 @@ NEXT_ROTATION: list[str] = [
     "ltv_projection_curve",       # r12: new (cohort LTV)
     "dp_noisy_histogram",         # r12: new (DP release)
     "cross_source_perplexity",    # r12: new (LM eval matrix)
+    "wasserstein_price_drift",    # r12: new (EDF drift panel, W1)
+    "hellinger_tvd_drift",        # r12: new (histogram divergence pair)
 ]
 
 

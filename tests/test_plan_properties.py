@@ -574,6 +574,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "bca_ci_order_value": "percentile rank over the B=64 replicate relation",
     "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
     "ltv_projection_curve": "cumulative LTV over the month-bounded age curve",
+    "wasserstein_price_drift": "EDF walk over distinct cents (value-bounded domain)",
 }
 
 

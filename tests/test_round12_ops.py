@@ -800,3 +800,40 @@ def test_spc_alerts_flow_into_alert_queue(spark, tmp_path):
     assert ctx["rule_mask"] == 2 and ctx["n_buckets"] == 11
     queue.commit(queue.fetch(["spc"]))
     assert queue.fetch(["spc"]).count() == 0
+
+
+def test_wasserstein_1d_self_zero_and_shift(spark):
+    """W1(X, X) = 0; W1 of a constant +delta shift = delta (the metric's
+    defining translation property — KS/CvM can't see magnitude)."""
+    from dawis_spark.operators.stats import wasserstein_1d
+
+    rows = [(v, "a") for v in (100, 200, 300, 400)] + [
+        (v, "b") for v in (100, 200, 300, 400)
+    ]
+    df = spark.createDataFrame(rows, "v long, side string")
+    out = wasserstein_1d(df, "v", "side", "a", "b").collect()[0]
+    assert out["w1"] == 0.0 and out["n_a"] == 4
+
+    rows = [(v, "a") for v in (100, 200, 300, 400)] + [
+        (v + 50, "b") for v in (100, 200, 300, 400)
+    ]
+    df = spark.createDataFrame(rows, "v long, side string")
+    out = wasserstein_1d(df, "v", "side", "a", "b").collect()[0]
+    assert out["w1"] == 50.0
+
+
+def test_hellinger_tvd_bounds_and_disjoint(spark):
+    """Self-distance 0; fully disjoint supports give TVD = 1 and
+    Hellinger = 1 (both metrics saturate at their upper bound)."""
+    from dawis_spark.operators.stats import hellinger_tvd
+
+    same = [(v, s) for v in (10, 20, 30, 90) for s in ("a", "b")]
+    df = spark.createDataFrame(same, "v long, side string")
+    out = hellinger_tvd(df, "v", "side", "a", "b", n_bins=4).collect()[0]
+    assert out["tvd"] == 0.0 and out["hellinger"] == 0.0
+    assert out["bhattacharyya"] == 1.0
+
+    rows = [(v, "a") for v in (10, 11, 12)] + [(v, "b") for v in (90, 91, 92)]
+    df = spark.createDataFrame(rows, "v long, side string")
+    out = hellinger_tvd(df, "v", "side", "a", "b", n_bins=4).collect()[0]
+    assert out["tvd"] == 1.0 and out["hellinger"] == 1.0
