@@ -22165,6 +22165,311 @@ def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AIPW doubly-robust treatment effect (propensity + outcome model)
+# ---------------------------------------------------------------------------
+
+# Per-arm outcome models are closed-form simple OLS of y = n_chars on the
+# micro-scaled first embedding coordinate; slope/intercept come from exact
+# integer moment sums (round-12 slope: the micro x-axis shrinks the unit
+# slope by 1e6, so 12 decimals keep ~8 significant digits), and every
+# per-row DR contribution is rounded to milli-units before the exact sum.
+_AIPW_B = (
+    "ROUND(CAST(n{t} * sxy{t} - sx{t} * sy{t} AS DOUBLE)"
+    " / CAST(n{t} * sxx{t} - sx{t} * sx{t} AS DOUBLE), 12)"
+)
+_AIPW_A = "ROUND((CAST(sy{t} AS DOUBLE) - b{t} * CAST(sx{t} AS DOUBLE)) / n{t}, 6)"
+_AIPW_M = "ROUND(a{t} + b{t} * x, 6)"
+_AIPW_T1 = "CAST(round((m1 + t * (yv - m1) / pc) * 1000) AS BIGINT)"
+_AIPW_T0 = "CAST(round((m0 + (1 - t) * (yv - m0) / (1 - pc)) * 1000) AS BIGINT)"
+_AIPW_SUMS = """
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t = 1 THEN x ELSE 0 END) AS {BIG}) AS sx1,
+         CAST(SUM(CASE WHEN t = 1 THEN CAST(yv AS BIGINT) ELSE 0 END) AS {BIG}) AS sy1,
+         CAST(SUM(CASE WHEN t = 1 THEN x * CAST(yv AS BIGINT) ELSE 0 END) AS {BIG}) AS sxy1,
+         CAST(SUM(CASE WHEN t = 1 THEN x * x ELSE 0 END) AS {BIG}) AS sxx1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN t = 0 THEN x ELSE 0 END) AS {BIG}) AS sx0,
+         CAST(SUM(CASE WHEN t = 0 THEN CAST(yv AS BIGINT) ELSE 0 END) AS {BIG}) AS sy0,
+         CAST(SUM(CASE WHEN t = 0 THEN x * CAST(yv AS BIGINT) ELSE 0 END) AS {BIG}) AS sxy0,
+         CAST(SUM(CASE WHEN t = 0 THEN x * x ELSE 0 END) AS {BIG}) AS sxx0
+"""
+
+
+def _aipw_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT v.vec_id, CAST(v.y AS INT) AS t,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p,
+         CAST(ROUND(CAST(v.xs[1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM v, wlF),
+jo AS MATERIALIZED (
+  SELECT t, CAST(d.n_chars AS DOUBLE) AS yv, {_IPW_PC} AS pc, x
+  FROM scF JOIN documents d ON d.doc_id = scF.vec_id),
+moments AS (
+  SELECT {_AIPW_SUMS.format(BIG='HUGEINT')}
+  FROM jo),
+coefs AS (
+  SELECT n_all, n_t, b1, b0,
+         {_AIPW_A.format(t='1')} AS a1,
+         {_AIPW_A.format(t='0')} AS a0
+  FROM (SELECT *, {_AIPW_B.format(t='1')} AS b1, {_AIPW_B.format(t='0')} AS b0
+        FROM moments)),
+scored AS (
+  SELECT jo.t, jo.yv, jo.pc, c.n_all, c.n_t, c.b1, c.b0, m1, m0
+  FROM (SELECT jo.*, {_AIPW_M.format(t='1')} AS m1, {_AIPW_M.format(t='0')} AS m0
+        FROM jo CROSS JOIN coefs c) jo CROSS JOIN coefs c),
+agg AS (
+  SELECT MAX(n_all) AS n, MAX(n_t) AS n_treat,
+         MAX(b1) AS slope_treat, MAX(b0) AS slope_ctrl,
+         CAST(SUM({_AIPW_T1}) AS BIGINT) AS s1,
+         CAST(SUM({_AIPW_T0}) AS BIGINT) AS s0
+  FROM scored)
+SELECT n, n_treat,
+       ROUND(slope_treat * 1000000, 6) AS slope_treat_per_unit,
+       ROUND(slope_ctrl * 1000000, 6) AS slope_ctrl_per_unit,
+       ROUND(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000), 4) AS mu_treat_dr,
+       ROUND(CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000), 4) AS mu_ctrl_dr,
+       ROUND(CAST(s1 - s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000), 4) AS ate_aipw
+FROM agg
+"""
+
+
+@query("aipw_doubly_robust", oracle=_aipw_oracle(64, 3, 1.0))
+def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented IPW (doubly-robust) average treatment effect of the
+    binary document label on document length: the SHARED trained
+    logistic propensity (ipw_treatment_effect's) AUGMENTED with
+    per-arm outcome regressions (closed-form simple OLS of n_chars on
+    the first embedding coordinate). AIPW is consistent if EITHER
+    model is right and has strictly lower asymptotic variance than IPW
+    when both are — the estimator a production causal pipeline
+    actually ships once it has both a propensity and an outcome model.
+
+    Exactness: propensities replay the shared round-6 margin fold; the
+    OLS moments are exact HUGEINT/DECIMAL38 sums of micro-scaled
+    integers, collapsed to round-12 slopes / round-6 intercepts
+    (identical IEEE chains both engines); every per-row DR term is
+    rounded to milli-units before the exact integer sum; three final
+    divisions.
+
+    Scale: training memoized + bounded (_LOGREG_SAMPLE_LIMIT); the
+    moment pass and the scoring pass are each ONE scan of the
+    embeddings-documents equi-join (the 1-row coefficient relation
+    broadcasts back); output is one row of exact sums."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-({margin_expr('embedding', w)}))), 6)"
+    scored = spark.table("embeddings").select(
+        "vec_id",
+        F.expr(f"cast({_LOGREG_Y_SPARK} as int)").alias("t"),
+        F.expr(p).alias("p"),
+        F.expr(
+            "CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000)"
+            " AS BIGINT)"
+        ).alias("x"),
+    )
+    jo = (
+        scored.join(
+            spark.table("documents").select("doc_id", "n_chars"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .selectExpr(
+            "t", "CAST(n_chars AS DOUBLE) AS yv", f"{_IPW_PC} AS pc", "x"
+        )
+    )
+    moments = jo.selectExpr("*").agg(
+        *[
+            F.expr(e.strip().rstrip(","))
+            for e in _AIPW_SUMS.format(BIG="DECIMAL(38,0)").split(",\n")
+            if e.strip()
+        ]
+    )
+    coefs = moments.selectExpr(
+        "n_all",
+        "n_t",
+        f"{_AIPW_B.format(t='1')} AS b1",
+        f"{_AIPW_B.format(t='0')} AS b0",
+        "sx1", "sy1", "n1", "sx0", "sy0", "n0",
+    ).selectExpr(
+        "n_all",
+        "n_t",
+        "b1",
+        "b0",
+        f"{_AIPW_A.format(t='1')} AS a1",
+        f"{_AIPW_A.format(t='0')} AS a0",
+    )
+    scored2 = jo.crossJoin(F.broadcast(coefs)).selectExpr(
+        "t",
+        "yv",
+        "pc",
+        "n_all",
+        "n_t",
+        "b1",
+        "b0",
+        f"{_AIPW_M.format(t='1')} AS m1",
+        f"{_AIPW_M.format(t='0')} AS m0",
+    )
+    agg = scored2.agg(
+        F.max("n_all").alias("n"),
+        F.max("n_t").alias("n_treat"),
+        F.max("b1").alias("slope_treat"),
+        F.max("b0").alias("slope_ctrl"),
+        F.expr(f"CAST(SUM({_AIPW_T1}) AS BIGINT)").alias("s1"),
+        F.expr(f"CAST(SUM({_AIPW_T0}) AS BIGINT)").alias("s0"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n_treat",
+        "ROUND(slope_treat * 1000000, 6) AS slope_treat_per_unit",
+        "ROUND(slope_ctrl * 1000000, 6) AS slope_ctrl_per_unit",
+        "ROUND(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000), 4)"
+        " AS mu_treat_dr",
+        "ROUND(CAST(s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000), 4)"
+        " AS mu_ctrl_dr",
+        "ROUND(CAST(s1 - s0 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000), 4)"
+        " AS ate_aipw",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity: local linear fit on both sides of a cutoff
+# ---------------------------------------------------------------------------
+
+_RD_CUT = 450000  # acctbal cutoff, cents
+_RD_BW = 200000  # local bandwidth, cents
+# side-parameterized closed-form OLS of y (order-spend cents) on the
+# centered running variable z = acctbal_cents - cutoff, within the window
+_RD_B = (
+    "ROUND(CAST(n{s} * szy{s} - sz{s} * sy{s} AS DOUBLE)"
+    " / CAST(n{s} * szz{s} - sz{s} * sz{s} AS DOUBLE), 9)"
+)
+_RD_A = "ROUND((CAST(sy{s} AS DOUBLE) - b{s} * CAST(sz{s} AS DOUBLE)) / n{s}, 4)"
+_RD_SUMS = """
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(SUM(CASE WHEN s = 1 THEN z ELSE 0 END) AS {BIG}) AS szr,
+         CAST(SUM(CASE WHEN s = 1 THEN y ELSE 0 END) AS {BIG}) AS syr,
+         CAST(SUM(CASE WHEN s = 1 THEN z * y ELSE 0 END) AS {BIG}) AS szyr,
+         CAST(SUM(CASE WHEN s = 1 THEN z * z ELSE 0 END) AS {BIG}) AS szzr,
+         CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN s = 0 THEN z ELSE 0 END) AS {BIG}) AS szl,
+         CAST(SUM(CASE WHEN s = 0 THEN y ELSE 0 END) AS {BIG}) AS syl,
+         CAST(SUM(CASE WHEN s = 0 THEN z * y ELSE 0 END) AS {BIG}) AS szyl,
+         CAST(SUM(CASE WHEN s = 0 THEN z * z ELSE 0 END) AS {BIG}) AS szzl
+"""
+
+_RD_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) - {_RD_CUT} AS z,
+         COALESCE(s.y, 0) AS y,
+         CASE WHEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) >= {_RD_CUT}
+              THEN 1 ELSE 0 END AS s
+  FROM customer c LEFT JOIN spend s ON s.k = c.c_custkey
+  WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+        BETWEEN {_RD_CUT - _RD_BW} AND {_RD_CUT + _RD_BW - 1}),
+moments AS (
+  SELECT {_RD_SUMS.format(BIG='HUGEINT')}
+  FROM win),
+coefs AS (
+  SELECT nl, nr, bl, br,
+         {_RD_A.format(s='l')} AS al,
+         {_RD_A.format(s='r')} AS ar
+  FROM (SELECT *, {_RD_B.format(s='l')} AS bl, {_RD_B.format(s='r')} AS br
+        FROM moments))
+SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       ROUND(al / 100, 4) AS intercept_left,
+       ROUND(ar / 100, 4) AS intercept_right,
+       ROUND(bl, 9) AS slope_left, ROUND(br, 9) AS slope_right,
+       ROUND((ar - al) / 100, 4) AS rd_estimate
+FROM coefs
+"""
+
+
+@query("regression_discontinuity_spend", oracle=_RD_ORACLE)
+def regression_discontinuity_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate of the jump in customer
+    order spend at an account-balance cutoff (4500.00, +/- 2000.00
+    bandwidth): separate local LINEAR fits on each side of the cutoff,
+    RD estimate = the difference of the two intercepts AT the cutoff —
+    the quasi-experimental design for threshold-assigned treatments
+    (credit limits, eligibility scores) where neither randomization
+    (cuped), parallel trends (diff_in_diff), nor measured confounding
+    (ipw/aipw) applies. Slopes are reported so the reader can see the
+    counterfactual trend lines.
+
+    Exactness: the running variable and outcome are exact integer
+    cents; all five OLS moments per side are exact HUGEINT/DECIMAL38
+    conditional sums from ONE pass; slopes round-9, intercepts round-4
+    (identical IEEE chains both engines). Window membership uses
+    integer-cent bounds, so both engines cut identically.
+
+    Scale: the spend rollup is one custkey-shuffled aggregate of the
+    fact table; the bandwidth filter prunes the dimension scan before
+    the (broadcastable) join; moments collapse map-side to one row."""
+    spend = spark.table("orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("y")
+    )
+    cents = "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"
+    win = (
+        spark.table("customer")
+        .filter(
+            F.expr(
+                f"{cents} BETWEEN {_RD_CUT - _RD_BW} AND {_RD_CUT + _RD_BW - 1}"
+            )
+        )
+        .join(spend, F.col("k") == F.col("c_custkey"), "left")
+        .selectExpr(
+            f"{cents} - {_RD_CUT} AS z",
+            "COALESCE(y, 0) AS y",
+            f"CASE WHEN {cents} >= {_RD_CUT} THEN 1 ELSE 0 END AS s",
+        )
+    )
+    moments = win.agg(
+        *[
+            F.expr(e.strip().rstrip(","))
+            for e in _RD_SUMS.format(BIG="DECIMAL(38,0)").split(",\n")
+            if e.strip()
+        ]
+    )
+    coefs = moments.selectExpr(
+        "nl",
+        "nr",
+        f"{_RD_B.format(s='l')} AS bl",
+        f"{_RD_B.format(s='r')} AS br",
+        "szl", "syl", "szr", "syr",
+    ).selectExpr(
+        "nl",
+        "nr",
+        "bl",
+        "br",
+        f"{_RD_A.format(s='l')} AS al",
+        f"{_RD_A.format(s='r')} AS ar",
+    )
+    return coefs.selectExpr(
+        "CAST(nl AS BIGINT) AS n_left",
+        "CAST(nr AS BIGINT) AS n_right",
+        "ROUND(al / 100, 4) AS intercept_left",
+        "ROUND(ar / 100, 4) AS intercept_right",
+        "ROUND(bl, 9) AS slope_left",
+        "ROUND(br, 9) AS slope_right",
+        "ROUND((ar - al) / 100, 4) AS rd_estimate",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Offline bandit policy replay: UCB1 over daily event-type rewards
 # ---------------------------------------------------------------------------
 
@@ -23512,6 +23817,8 @@ NEXT_ROTATION: list[str] = [
     "cross_source_perplexity",    # r12: new (LM eval matrix)
     "wasserstein_price_drift",    # r12: new (EDF drift panel, W1)
     "hellinger_tvd_drift",        # r12: new (histogram divergence pair)
+    "aipw_doubly_robust",         # r12: new (doubly-robust causal)
+    "regression_discontinuity_spend",  # r12: new (RD design)
 ]
 
 
