@@ -22338,6 +22338,138 @@ def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking) of survey-style cell weights
+# ---------------------------------------------------------------------------
+
+_RAKE_ITERS = 4
+# one raking half-step: rescale every cell weight so the WEIGHTED margin
+# along `dim` hits the uniform target; W is the micro-scaled weight, S the
+# current weighted margin sum — one double multiply + divide, then back to
+# an exact integer (the shared-expression discipline: identical chain both
+# engines)
+_RAKE_STEP = (
+    "CAST(ROUND(CAST({W} AS DOUBLE)"
+    " * (CAST(n_tot AS DOUBLE) * 1000000 / {k})"
+    " / CAST({S} AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _rake_oracle(iters: int) -> str:
+    steps = []
+    prev = "w0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+r{t} AS (
+  SELECT r, p, c, n_tot, n_r, n_p,
+         {_RAKE_STEP.format(W='w', S=f'SUM(c * w) OVER (PARTITION BY r)', k='n_r')} AS w
+  FROM {prev}),
+c{t} AS (
+  SELECT r, p, c, n_tot, n_r, n_p,
+         {_RAKE_STEP.format(W='w', S=f'SUM(c * w) OVER (PARTITION BY p)', k='n_p')} AS w
+  FROM r{t})""")
+        prev = f"c{t}"
+    return f"""
+WITH cells AS (
+  SELECT r_name AS r, o_orderpriority AS p,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  GROUP BY 1, 2),
+dims AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tot,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS n_r,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p
+  FROM cells),
+w0 AS (
+  SELECT r, p, c, n_tot, n_r, n_p, CAST(1000000 AS BIGINT) AS w
+  FROM cells CROSS JOIN dims),
+{','.join(steps)}
+SELECT r AS region, p AS priority, c AS n_cell,
+       ROUND(CAST(w AS DOUBLE) / 1000000, 6) AS weight,
+       ROUND(CAST(c AS DOUBLE) * w / 1000000, 2) AS weighted_count
+FROM {prev}
+ORDER BY region, priority
+"""
+
+
+def _rake_spark_steps(df: DataFrame, iters: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        for dim_col, k in (("r", "n_r"), ("p", "n_p")):
+            win = Window.partitionBy(dim_col)
+            df = (
+                df.withColumn(
+                    "s_margin", F.sum(F.col("c") * F.col("w")).over(win)
+                )
+                .withColumn(
+                    "w", F.expr(_RAKE_STEP.format(W="w", S="s_margin", k=k))
+                )
+                .drop("s_margin")
+            )
+    return df
+
+
+@query("raking_ipf_weights", oracle=_rake_oracle(_RAKE_ITERS))
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of region x priority cell
+    weights toward UNIFORM marginal targets — the survey/panel
+    reweighting primitive (and the training-data mixing companion to
+    mixture_sampled_corpus: raking answers 'what per-cell weights make
+    this corpus look like the target marginals' without flattening the
+    joint structure the cells carry). 4 full iterations = 8 alternating
+    row/column half-steps; IPF converges geometrically, and the fixed
+    iteration count makes the trajectory replayable.
+
+    Exactness: cell counts exact; weights live as micro-scaled integers
+    and each half-step is the SAME shared expression string both
+    engines — one double multiply + divide + round back to integer —
+    so the whole 8-step trajectory is bit-identical; display pays two
+    final divisions.
+
+    Scale: the star join to build cells is fact-sized (dims broadcast);
+    everything after runs on the |regions| x |priorities| = 25-row cell
+    relation — partitioned windows over a constant-size table."""
+    cells = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            spark.table("nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            spark.table("region"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("r"), F.col("o_orderpriority").alias("p")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dims = cells.agg(
+        F.sum("c").cast("bigint").alias("n_tot"),
+        F.countDistinct("r").cast("bigint").alias("n_r"),
+        F.countDistinct("p").cast("bigint").alias("n_p"),
+    )
+    w0 = cells.crossJoin(F.broadcast(dims)).withColumn(
+        "w", F.expr("CAST(1000000 AS BIGINT)")
+    )
+    out = _rake_spark_steps(w0, _RAKE_ITERS)
+    return out.selectExpr(
+        "r AS region",
+        "p AS priority",
+        "c AS n_cell",
+        "ROUND(CAST(w AS DOUBLE) / 1000000, 6) AS weight",
+        "ROUND(CAST(c AS DOUBLE) * w / 1000000, 2) AS weighted_count",
+    ).orderBy("region", "priority")
+
+
+# ---------------------------------------------------------------------------
 # Regression discontinuity: local linear fit on both sides of a cutoff
 # ---------------------------------------------------------------------------
 
@@ -23819,6 +23951,7 @@ NEXT_ROTATION: list[str] = [
     "hellinger_tvd_drift",        # r12: new (histogram divergence pair)
     "aipw_doubly_robust",         # r12: new (doubly-robust causal)
     "regression_discontinuity_spend",  # r12: new (RD design)
+    "raking_ipf_weights",         # r12: new (IPF survey reweighting)
 ]
 
 
