@@ -298,3 +298,220 @@ hw AS (
          CAST(n AS BIGINT) AS n_points
   FROM hw_last, range(1, {horizon + 1}) hh(h))
 """
+
+
+def ses_theta_fit(
+    vals: list[int], alpha_den: int = 4
+) -> tuple[int, int, int]:
+    """Simple exponential smoothing fold (the Holt recurrence without
+    the trend line): l_t = (x_t + (alpha_den-1)*l_{t-1}) div alpha_den,
+    init l_1 = x_1. Returns (level, slope_num, slope_den) where
+    slope_num/slope_den is the EXACT rational OLS slope of x on t —
+    the two ingredients of the additive Theta(0,2) forecaster."""
+    lvl = vals[0]
+    for x in vals[1:]:
+        lvl = _tdiv(x + (alpha_den - 1) * lvl, alpha_den)
+    n = len(vals)
+    st = n * (n + 1) // 2
+    stt = n * (n + 1) * (2 * n + 1) // 6
+    sx = sum(vals)
+    stx = sum(t * x for t, x in enumerate(vals, start=1))
+    num = n * stx - st * sx
+    den = n * stt - st * st
+    return lvl, num, den
+
+
+def theta_forecast(
+    series: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    horizon: int = 7,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Additive Theta(0,2) forecaster per key: SES (dyadic alpha =
+    1/alpha_den, truncating integer state — the holt_linear discipline)
+    plus half the OLS drift, f_h = l_n + round(b1/2 * (h - 1 +
+    alpha_den)). The standard M3-winning decomposition: the theta=0
+    line contributes the long-run trend, the theta=2 line (whose SES
+    equals SES of the original series) the local level.
+
+    Returns (key, h, forecast, level, slope, n_points); slope is the
+    per-step OLS drift rounded to 6. The drift term is computed from
+    the EXACT rational slope numerator/denominator so both engines
+    round the same quantity.
+
+    Scale: identical to holt_linear — one hash exchange of daily
+    aggregates, O(days) per key, h-row fan-out."""
+    out_schema = (
+        f"{key_col} string, h int, forecast bigint, "
+        "level bigint, slope double, n_points bigint"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col)
+        key = pdf[key_col].iloc[0]
+        vals = [int(v) for v in pdf[value_col]]
+        lvl, num, den = ses_theta_fit(vals, alpha_den)
+        rows = []
+        for h in range(1, horizon + 1):
+            # round-half-up on the double quotient — the same shared
+            # expression the oracle uses (num/den exact ints)
+            drift = float(num) * (h - 1 + alpha_den) / (2.0 * den)
+            rows.append(lvl + int(drift + 0.5) if drift >= 0
+                        else lvl - int(-drift + 0.5))
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                "forecast": rows,
+                "level": [lvl] * horizon,
+                "slope": [round(float(num) / den, 6)] * horizon,
+                "n_points": [len(vals)] * horizon,
+            }
+        )
+
+    return series.groupBy(key_col).applyInPandas(fit, out_schema)
+
+
+def theta_oracle_ctes(
+    daily_cte: str,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    horizon: int = 7,
+    alpha_den: int = 4,
+) -> str:
+    """DuckDB replay of ``theta_forecast``: recursive SES CTE + exact
+    integer OLS moments, ending in ``theta(k, h, forecast, level,
+    slope, n_points)``. Embed under WITH RECURSIVE."""
+    a1 = alpha_den - 1
+    return f"""
+th_ix AS (
+  SELECT {key_col} AS k, {value_col} AS x,
+         ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {ord_col}) AS t,
+         COUNT(*) OVER (PARTITION BY {key_col}) AS n
+  FROM {daily_cte}),
+th_rec(k, t, n, l) AS (
+  SELECT k, t, n, x FROM th_ix WHERE t = 1
+  UNION ALL
+  SELECT i.k, i.t, i.n, (i.x + {a1} * r.l) // {alpha_den}
+  FROM th_rec r JOIN th_ix i ON i.k = r.k AND i.t = r.t + 1),
+th_last AS (SELECT k, l, n FROM th_rec WHERE t = n),
+th_mom AS (
+  SELECT k,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(t AS HUGEINT)) AS st,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(t AS HUGEINT) * x) AS stx
+  FROM th_ix GROUP BY 1),
+th_slope AS (
+  SELECT k, n * stx - st * sx AS num, n * stt - st * st AS den
+  FROM th_mom),
+theta AS (
+  SELECT l.k, CAST(hh.h AS INT) AS h,
+         CAST(l.l + CAST(ROUND(CAST(s.num AS DOUBLE) * (hh.h - 1 + {alpha_den})
+                    / (2.0 * CAST(s.den AS DOUBLE))) AS BIGINT) AS BIGINT)
+           AS forecast,
+         CAST(l.l AS BIGINT) AS level,
+         ROUND(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE), 6) AS slope,
+         CAST(l.n AS BIGINT) AS n_points
+  FROM th_last l JOIN th_slope s ON s.k = l.k,
+       range(1, {horizon + 1}) hh(h))
+"""
+
+
+def croston_fit(
+    days: list[int], sizes: list[int], alpha_den: int = 4
+) -> tuple[int, int, int]:
+    """Croston's method fold over the NONZERO demand points of an
+    intermittent series: SES (dyadic alpha, truncating integer state)
+    of demand SIZES and of inter-arrival INTERVALS, both micro-scaled.
+    ``days`` are integer day offsets of the demand points (ascending),
+    ``sizes`` the positive demands. Init z = sizes[0], q = 1 interval
+    unit; intervals enter from the second point on. Returns
+    (z_micro, q_micro, n_points)."""
+    z = sizes[0] * 1000000
+    q = 1000000
+    a1 = alpha_den - 1
+    for j in range(1, len(sizes)):
+        iv = (days[j] - days[j - 1]) * 1000000
+        z = _tdiv(sizes[j] * 1000000 + a1 * z, alpha_den)
+        q = _tdiv(iv + a1 * q, alpha_den)
+    return z, q, len(sizes)
+
+
+def croston(
+    demand: DataFrame,
+    key_col: str,
+    day_col: str,
+    size_col: str,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Croston intermittent-demand forecaster per key over the nonzero
+    demand points: (key, n_points, size_hat, interval_hat, rate) with
+    rate = size_hat / interval_hat (expected demand per day — the
+    quantity a replenishment plan consumes; plain SES biases it low on
+    sparse series, which is Croston's whole reason to exist).
+
+    ``day_col`` must be an integer day offset. Same honest sequential
+    boundary as holt_linear: applyInPandas keyed by series; state is
+    two micro-scaled integers, replayable by a recursive CTE."""
+    out_schema = (
+        f"{key_col} string, n_points bigint, size_hat double, "
+        "interval_hat double, rate double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        key = pdf[key_col].iloc[0]
+        days = [int(v) for v in pdf[day_col]]
+        sizes = [int(v) for v in pdf[size_col]]
+        z, q, m = croston_fit(days, sizes, alpha_den)
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_points": [m],
+                "size_hat": [round(z / 1000000.0, 6)],
+                "interval_hat": [round(q / 1000000.0, 6)],
+                "rate": [round(float(z) / q, 6)],
+            }
+        )
+
+    return demand.groupBy(key_col).applyInPandas(fit, out_schema)
+
+
+def croston_oracle_ctes(
+    demand_cte: str,
+    key_col: str,
+    day_col: str,
+    size_col: str,
+    alpha_den: int = 4,
+) -> str:
+    """DuckDB replay of ``croston``, ending in ``croston_out(k,
+    n_points, size_hat, interval_hat, rate)``. Embed under WITH
+    RECURSIVE."""
+    a1 = alpha_den - 1
+    return f"""
+cr_ix AS (
+  SELECT {key_col} AS k, CAST({day_col} AS BIGINT) AS d,
+         CAST({size_col} AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY {day_col}) AS t,
+         COUNT(*) OVER (PARTITION BY {key_col}) AS n
+  FROM {demand_cte}),
+cr_rec(k, t, n, d, z, q) AS (
+  SELECT k, t, n, d, x * 1000000, CAST(1000000 AS BIGINT)
+  FROM cr_ix WHERE t = 1
+  UNION ALL
+  SELECT i.k, i.t, i.n, i.d,
+         (i.x * 1000000 + {a1} * r.z) // {alpha_den},
+         ((i.d - r.d) * 1000000 + {a1} * r.q) // {alpha_den}
+  FROM cr_rec r JOIN cr_ix i ON i.k = r.k AND i.t = r.t + 1),
+croston_out AS (
+  SELECT k, CAST(n AS BIGINT) AS n_points,
+         ROUND(z / 1000000.0, 6) AS size_hat,
+         ROUND(q / 1000000.0, 6) AS interval_hat,
+         ROUND(CAST(z AS DOUBLE) / q, 6) AS rate
+  FROM cr_rec WHERE t = n)
+"""

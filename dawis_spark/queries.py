@@ -16741,6 +16741,223 @@ def holt_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THETA_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+{{CTES}}
+SELECT k AS event_type, h, forecast AS forecast_cents,
+       level AS ses_level_cents, slope AS slope_cents_per_day, n_points
+FROM theta ORDER BY event_type, h
+"""
+
+
+def _theta_oracle() -> str:
+    from dawis_spark.operators.forecast import theta_oracle_ctes
+
+    return _THETA_ORACLE.format(
+        CTES=theta_oracle_ctes("daily", "event_type", "day", "v", 7)
+    )
+
+
+@query("theta_method_forecast", oracle=_theta_oracle())
+def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Theta(0,2) forecast of daily event totals, 7 days ahead
+    per event type — the M3-competition-winning simple combination that
+    sits between holt_linear_forecast (recursive trend) and
+    seasonal_naive: SES supplies the local level, HALF the global OLS
+    drift supplies the trend, which empirically damps Holt's tendency
+    to over-extrapolate.
+
+    Exactness: the SES state is the holt_linear dyadic truncating
+    integer recursion (alpha = 1/4); the drift adds round(num * (h - 1
+    + 4) / (2 * den)) computed from the EXACT rational OLS slope, the
+    same expression in the pandas fit and the recursive-CTE twin
+    (operators/forecast.py:theta_forecast).
+
+    Scale: one hash exchange of calendar-bounded daily aggregates;
+    O(days) integer state per key inside the honest applyInPandas
+    boundary; h-row fan-out per key."""
+    from dawis_spark.operators.forecast import theta_forecast
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return (
+        theta_forecast(daily, "event_type", "day", "v", horizon=7)
+        .select(
+            "event_type",
+            "h",
+            F.col("forecast").alias("forecast_cents"),
+            F.col("level").alias("ses_level_cents"),
+            F.col("slope").alias("slope_cents_per_day"),
+            "n_points",
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+_CROSTON_THR = 200.0
+_CROSTON_ORACLE = f"""
+WITH RECURSIVE dm AS (
+  SELECT event_type,
+         date_diff('day',
+                   (SELECT MIN(date_trunc('day', ts)) FROM events),
+                   date_trunc('day', ts)) AS d0,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value >= {_CROSTON_THR} GROUP BY 1, 2),
+{{CTES}}
+SELECT k AS event_type, n_points, size_hat, interval_hat, rate
+FROM croston_out ORDER BY event_type
+"""
+
+
+def _croston_oracle() -> str:
+    from dawis_spark.operators.forecast import croston_oracle_ctes
+
+    return _CROSTON_ORACLE.format(
+        CTES=croston_oracle_ctes("dm", "event_type", "d0", "c")
+    )
+
+
+@query("croston_intermittent_demand", oracle=_croston_oracle())
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast over the SPARSE daily
+    series of high-value events (value >= 200) per event type: SES of
+    the nonzero demand sizes and SES of the inter-arrival intervals,
+    rate = size_hat / interval_hat. For series that are mostly zero
+    (spare parts, rare conversions, incident counts) plain SES decays
+    toward zero between demands and systematically under-forecasts;
+    Croston's split estimator is the standard fix — this is the
+    forecaster the holt/theta family hands over to when the series
+    goes sparse.
+
+    Exactness: both SES states are micro-scaled integers under the
+    dyadic truncating recursion; day offsets are exact integer
+    date-diffs from the global first event day; two final divisions
+    (operators/forecast.py:croston).
+
+    Scale: the demand relation is (key x demand-days) — SPARSER than
+    the calendar; one hash exchange, O(points) per key, 1-row output
+    per key."""
+    from dawis_spark.operators.forecast import croston
+
+    ev = spark.table("events")
+    first_day = ev.agg(
+        F.date_trunc("day", F.min(F.date_trunc("day", "ts"))).alias("d_first")
+    )
+    dm = (
+        ev.filter(F.col("value") >= F.lit(_CROSTON_THR))
+        .crossJoin(F.broadcast(first_day))
+        .groupBy(
+            "event_type",
+            F.expr("datediff(date_trunc('day', ts), d_first)").alias("d0"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        croston(dm, "event_type", "d0", "c")
+        .orderBy("event_type")
+    )
+
+
+_PGRAM_K = 14
+_PGRAM_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate) - 1 AS t,
+         COUNT(*) OVER () AS n
+  FROM orders GROUP BY o_orderdate),
+grid AS (
+  SELECT kk.k, d.rev, d.n,
+         CAST(ROUND(cos(2 * pi() * kk.k * d.t / d.n) * 1000000) AS BIGINT) AS c6,
+         CAST(ROUND(sin(2 * pi() * kk.k * d.t / d.n) * 1000000) AS BIGINT) AS s6
+  FROM daily d CROSS JOIN range(1, {_PGRAM_K + 1}) kk(k)),
+sums AS (
+  SELECT k, CAST(MAX(n) AS BIGINT) AS n_days,
+         SUM(CAST(rev AS HUGEINT) * c6) AS sc,
+         SUM(CAST(rev AS HUGEINT) * s6) AS ss
+  FROM grid GROUP BY 1)
+SELECT CAST(k AS INT) AS k, n_days,
+       ROUND(CAST(n_days AS DOUBLE) / k, 2) AS period_days,
+       ROUND((CAST(sc AS DOUBLE) / 100000000.0 / n_days)
+             * (CAST(sc AS DOUBLE) / 100000000.0 / n_days)
+             + (CAST(ss AS DOUBLE) / 100000000.0 / n_days)
+             * (CAST(ss AS DOUBLE) / 100000000.0 / n_days), 4) AS power
+FROM sums ORDER BY k
+"""
+
+
+@query("periodogram_daily_revenue", oracle=_PGRAM_ORACLE)
+def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of daily revenue at integer
+    frequencies k = 1..14: power_k = |n^-1 * sum_t x_t e^(-2pi i k
+    t/n)|^2 in squared currency units — the frequency-domain
+    complement to acf_daily_revenue (a weekly cycle shows as a ridge
+    at period ~7, i.e. k ~ n/7) and the principled input to choosing
+    holt_winters' season length m.
+
+    Determinism: the trig basis is rounded to micro units per (t, k)
+    cell BEFORE the sums, so both engines sum exact HUGEINT/DECIMAL38
+    products (revenue cents x micro-cos) — summation order vanishes;
+    the two squares and divisions are identical double chains.
+    (Math.cos vs libm cos can differ by ~1 ulp, which only matters if
+    a cell lands within 1e-10 of a .5 micro boundary — the standing
+    round-6 transcendental discipline used by the perplexity family.)
+
+    Scale: the daily series is calendar-bounded; the k-grid multiplies
+    it by a CONSTANT 14 — one map-side expand + one 14-group exact
+    aggregate; no shuffle wider than 14 rows."""
+    daily = (
+        spark.table("orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    indexed = daily.select(
+        "rev",
+        (F.row_number().over(_W.orderBy("o_orderdate")) - 1).alias("t"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("n"),
+    )
+    grid = indexed.crossJoin(
+        F.broadcast(
+            spark.range(1, _PGRAM_K + 1).select(F.col("id").cast("int").alias("k"))
+        )
+    ).selectExpr(
+        "k",
+        "rev",
+        "n",
+        "CAST(ROUND(cos(2 * pi() * k * t / n) * 1000000) AS BIGINT) AS c6",
+        "CAST(ROUND(sin(2 * pi() * k * t / n) * 1000000) AS BIGINT) AS s6",
+    )
+    sums = grid.groupBy("k").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("c6")).alias("sc"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("s6")).alias("ss"),
+    )
+    return sums.selectExpr(
+        "CAST(k AS INT) AS k",
+        "n_days",
+        "ROUND(CAST(n_days AS DOUBLE) / k, 2) AS period_days",
+        "ROUND((CAST(sc AS DOUBLE) / 100000000.0 / n_days)"
+        " * (CAST(sc AS DOUBLE) / 100000000.0 / n_days)"
+        " + (CAST(ss AS DOUBLE) / 100000000.0 / n_days)"
+        " * (CAST(ss AS DOUBLE) / 100000000.0 / n_days), 4) AS power",
+    ).orderBy("k")
+
+
 # Mann-Kendall statistics over (s BIGINT, var_s DOUBLE) columns —
 # shared strings; z applies the standard continuity correction.
 _MK_Z = (
@@ -23952,6 +24169,9 @@ NEXT_ROTATION: list[str] = [
     "aipw_doubly_robust",         # r12: new (doubly-robust causal)
     "regression_discontinuity_spend",  # r12: new (RD design)
     "raking_ipf_weights",         # r12: new (IPF survey reweighting)
+    "theta_method_forecast",      # r12: new (Theta(0,2) forecaster)
+    "croston_intermittent_demand",  # r12: new (intermittent demand)
+    "periodogram_daily_revenue",  # r12: new (DFT periodogram)
 ]
 
 

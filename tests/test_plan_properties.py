@@ -575,6 +575,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
     "ltv_projection_curve": "cumulative LTV over the month-bounded age curve",
     "wasserstein_price_drift": "EDF walk over distinct cents (value-bounded domain)",
+    "periodogram_daily_revenue": "t-index over the day-bounded daily series",
 }
 
 

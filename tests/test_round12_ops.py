@@ -837,3 +837,30 @@ def test_hellinger_tvd_bounds_and_disjoint(spark):
     df = spark.createDataFrame(rows, "v long, side string")
     out = hellinger_tvd(df, "v", "side", "a", "b", n_bins=4).collect()[0]
     assert out["tvd"] == 1.0 and out["hellinger"] == 1.0
+
+
+def test_ses_theta_fit_constant_and_trend():
+    """A constant series smooths to itself with zero slope; a perfect
+    linear ramp recovers the exact slope (num/den = step)."""
+    from dawis_spark.operators.forecast import ses_theta_fit
+
+    lvl, num, den = ses_theta_fit([500, 500, 500, 500])
+    assert lvl == 500 and num == 0
+
+    ramp = [100 * t for t in range(1, 9)]
+    lvl, num, den = ses_theta_fit(ramp)
+    assert num / den == 100.0
+    assert lvl < ramp[-1]  # SES lags a rising ramp
+
+
+def test_croston_fit_regular_and_gapped():
+    """Dense demand (interval 1) keeps interval_hat at 1 so rate ==
+    size_hat; doubling every gap halves the rate estimate's
+    denominator direction (interval_hat grows toward 2)."""
+    from dawis_spark.operators.forecast import croston_fit
+
+    z, q, m = croston_fit([0, 1, 2, 3], [8, 8, 8, 8])
+    assert q == 1000000 and z == 8000000 and m == 4
+
+    z2, q2, _ = croston_fit([0, 2, 4, 6], [8, 8, 8, 8])
+    assert z2 == 8000000 and q2 > 1500000  # converging toward 2.0
