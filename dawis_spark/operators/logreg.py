@@ -257,3 +257,36 @@ def auc_accuracy(
         ).alias("auc"),
         F.round(F.col("correct").cast("double") / F.col("n"), 6).alias("accuracy"),
     )
+
+
+def platt_fit(
+    margins, y, iterations: int = 3, lr: float = 0.5
+) -> tuple[float, float]:
+    """Platt scaling on a driver-side sample: fit (a, b) so that
+    sigmoid(a*m + b) calibrates the round-6 margins ``m`` against the
+    0/1 labels ``y`` — full-batch GD from (1, 0) with the exact
+    integer-micro gradient discipline of ``_train_numpy``, so a DuckDB
+    CTE chain replays the identical (a, b) trajectory:
+
+        z  = round6(a*m + b)
+        r  = round6(sigmoid(z) - y)
+        ga = sum(int64(round(r * m * 1e6)));  gb = sum(int64(round(r * 1e6)))
+        a' = round6(a - lr * (ga/1e6) / n);   b' likewise
+
+    Two parameters, so the sample that bounds logreg training bounds
+    this a fortiori; scoring with (a, b) stays a one-scan distributed
+    expression."""
+    import numpy as np
+
+    m = np.asarray(margins, dtype=np.float64)
+    yv = np.asarray(y, dtype=np.float64)
+    n = len(m)
+    a, b = 1.0, 0.0
+    for _ in range(iterations):
+        z = _np_half_up6(a * m + b)
+        r = _np_half_up6(1.0 / (1.0 + np.exp(-z)) - yv)
+        ga = int(_np_half_up_int64(r * m * 1000000.0).sum())
+        gb = int(_np_half_up_int64(r * 1000000.0).sum())
+        a = _half_up6(a - lr * (ga / 1e6) / n)
+        b = _half_up6(b - lr * (gb / 1e6) / n)
+    return a, b

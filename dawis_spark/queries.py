@@ -6941,6 +6941,65 @@ def _trained_logreg_w(
     return _LOGREG_W_CACHE[key]
 
 
+_PLATT_ITERS = 3
+_PLATT_LR = 0.5
+_PLATT_CACHE: dict[tuple, tuple[float, float]] = {}
+
+
+def _trained_platt_ab(spark: SparkSession, sf_dir: str) -> tuple[float, float]:
+    """Platt (a, b) fitted on the SAME bounded lowest-vec_id sample the
+    logreg family trains on, against the shared trained margins —
+    memoized per data directory like _trained_logreg_w."""
+    from dawis_spark.operators.logreg import margin_expr, platt_fit
+
+    key = (sf_dir, _PLATT_ITERS, _PLATT_LR, _LOGREG_SAMPLE_LIMIT)
+    if key not in _PLATT_CACHE:
+        w = _trained_logreg_w(spark, sf_dir)
+        rows = (
+            spark.table("embeddings")
+            .select(
+                F.col("vec_id"),
+                F.expr(margin_expr("embedding", w)).alias("m"),
+                F.expr(f"cast({_LOGREG_Y_SPARK} as double)").alias("y"),
+            )
+            .orderBy("vec_id")
+            .limit(_LOGREG_SAMPLE_LIMIT)
+            .collect()
+        )
+        _PLATT_CACHE[key] = platt_fit(
+            [r["m"] for r in rows],
+            [r["y"] for r in rows],
+            iterations=_PLATT_ITERS,
+            lr=_PLATT_LR,
+        )
+    return _PLATT_CACHE[key]
+
+
+def _platt_chain_ctes(iters: int, lr: float) -> str:
+    """CTE chain replaying platt_fit over ``mt`` (the sampled round-6
+    margins): per round a round-6 affine margin, round-6 residual,
+    integer-micro gradient pair, round-6 (a, b) update. Ends at
+    p{iters}(a, b). Requires the logreg chain's ``nn`` CTE."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+pg{t} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(round(r * m * 1000000) AS BIGINT)) AS BIGINT) AS ga,
+         CAST(SUM(CAST(round(r * 1000000) AS BIGINT)) AS BIGINT) AS gb
+  FROM (SELECT mt.m,
+               round(1.0 / (1.0 + exp(-(round(p.a * mt.m + p.b, 6)))) - mt.y,
+                     6) AS r
+        FROM mt, p{t - 1} p)),
+p{t} AS (
+  SELECT round(p.a - {lr} * (g.ga / 1000000.0) / nn.n, 6) AS a,
+         round(p.b - {lr} * (g.gb / 1000000.0) / nn.n, 6) AS b
+  FROM p{t - 1} p, pg{t} g, nn)""")
+    return (
+        "p0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),"
+        + ",".join(rounds)
+    )
+
+
 def _logreg_chain_ctes(dim: int, iters: int, lr: float, sample_limit: int) -> str:
     """CTE chain replaying logreg_train: zero-init weights, per round a
     round-6 margin fold, round-6 residual, integer-micro gradient sums,
@@ -9556,6 +9615,138 @@ def lexical_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Burrows' Delta stylometry: 16 English function words (the classic
+# most-frequent-word channel — topic-free, so rate differences reflect
+# STYLE), per-mille rates micro-scaled to exact integers.
+_DELTA_WORDS = (
+    "the of and a to in is it that for on with as was at by".split()
+)
+# z-score of a micro-rate r against the k-source population, in exact
+# cleared-denominator form: z = (r - S/k) / (sqrt(k*Sxx - S^2)/k)
+# = (k*r - S) / sqrt(k*Sxx - S^2) — exact integer numerator, one sqrt,
+# one division, round 6; zero-variance words contribute z = 0 on both
+# engines. Re-scaled to micro integers so pair sums are exact.
+_DELTA_Z6 = (
+    "CAST(ROUND(COALESCE("
+    "  ROUND(CAST(k * r - s_r AS DOUBLE)"
+    "        / nullif(SQRT(CAST(k * s_rr - s_r * s_r AS DOUBLE)), 0),"
+    "        6), 0.0) * 1000000) AS BIGINT)"
+)
+
+
+def _delta_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    words = ", ".join(f"'{w}'" for w in _DELTA_WORDS)
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS token FROM documents),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS tot FROM tok GROUP BY 1),
+fw AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok WHERE token IN ({words}) GROUP BY 1, 2),
+grid AS (
+  SELECT t.source, w.token,
+         CAST(ROUND(COALESCE(fw.cnt, 0) * 1000000000.0 / t.tot) AS BIGINT) AS r
+  FROM totals t CROSS JOIN (SELECT unnest([{words}]) AS token) w
+  LEFT JOIN fw ON fw.source = t.source AND fw.token = w.token),
+wstats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(r AS HUGEINT)) AS s_r,
+         SUM(CAST(r AS HUGEINT) * r) AS s_rr
+  FROM grid GROUP BY 1),
+zs AS (
+  SELECT source, token, {_DELTA_Z6} AS z6
+  FROM (SELECT g.source, g.token, g.r, w.k, w.s_r, w.s_rr
+        FROM grid g JOIN wstats w USING (token))),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(abs(a.z6 - b.z6)) AS BIGINT) AS s_abs
+  FROM zs a JOIN zs b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_words,
+       ROUND(CAST(s_abs AS DOUBLE) / (n_words * 1000000.0), 6) AS delta
+FROM pairs ORDER BY source_a, source_b
+"""
+
+
+@query("burrows_delta_sources", oracle=_delta_oracle())
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair:
+    per-mille rates of 16 topic-free English function words, z-scored
+    across the source population per word, delta = mean |z_a - z_b| —
+    the standard authorship/template-attribution measure (two feeds
+    syndicating the same generator show near-zero delta even when
+    their topics differ; MinHash only catches verbatim overlap).
+
+    Exactness: rates are micro-scaled integers (one rounded division
+    of exact counts); z-scores use the exact integer numerator
+    k*r - S with one sqrt + one division, round 6, then re-scaled to
+    exact micro integers so the pairwise |z_a - z_b| sums are exact;
+    one final division per pair. Zero-variance words contribute 0 on
+    both engines (COALESCE over the nullif'd sigma).
+
+    Scale: ONE token explode (filtered to the 16-word channel before
+    the shuffle) + a total-count rollup; everything downstream runs on
+    the |sources| x 16 grid and its |sources|^2/2 pair join —
+    catalog-bounded, broadcastable."""
+    toks = _TXT.tokens("text", "spark")
+    words_arr = ", ".join(f"'{w}'" for w in _DELTA_WORDS)
+    tok = spark.table("documents").select(
+        "source", F.explode(F.expr(toks)).alias("token")
+    )
+    totals = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot")
+    )
+    fw = (
+        tok.filter(F.col("token").isin(_DELTA_WORDS))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wordrel = spark.sql(
+        f"SELECT explode(array({words_arr})) AS token"
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(wordrel))
+        .join(fw, ["source", "token"], "left")
+        .selectExpr(
+            "source",
+            "token",
+            "CAST(ROUND(COALESCE(cnt, 0) * 1000000000.0 / tot) AS BIGINT) AS r",
+        )
+    )
+    wstats = grid.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("s_r"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("s_rr"),
+    )
+    zs = grid.join(wstats, "token").selectExpr(
+        "source", "token", f"{_DELTA_Z6} AS z6"
+    )
+    pairs = (
+        zs.alias("a")
+        .join(
+            zs.alias("b"),
+            (F.expr("a.token = b.token")) & (F.expr("a.source < b.source")),
+        )
+        .groupBy(
+            F.expr("a.source").alias("source_a"),
+            F.expr("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.expr("abs(a.z6 - b.z6)")).cast("bigint").alias("s_abs"),
+        )
+    )
+    return pairs.selectExpr(
+        "source_a",
+        "source_b",
+        "n_words",
+        "ROUND(CAST(s_abs AS DOUBLE) / (n_words * 1000000.0), 6) AS delta",
+    ).orderBy("source_a", "source_b")
 
 
 from dawis_spark.operators import stats as _stats  # noqa: E402
@@ -18695,6 +18886,123 @@ def ece_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# decile-binned ECE legs over a named round-6 score column, shared by the
+# before/after sides of the Platt query (the _ece_oracle shape)
+_ECE_BINS = """
+bins_{tag} AS (
+  SELECT LEAST(CAST(FLOOR({score} * 10) AS INT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS k_b,
+         AVG({score}) AS mp
+  FROM {rel} GROUP BY 1),
+ece_{tag} AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(n_b AS DOUBLE) / nt.n
+                * abs(mp - CAST(k_b AS DOUBLE) / n_b) ORDER BY b)),
+         (a, e) -> a + e) AS ece
+  FROM bins_{tag}, (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bins_{tag}) nt
+  GROUP BY nt.n)
+"""
+
+
+def _platt_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+mt AS MATERIALIZED (
+  SELECT round({dot}, 6) AS m, vt.y
+  FROM vt, wlF),
+{_platt_chain_ctes(_PLATT_ITERS, _PLATT_LR)},
+mF AS MATERIALIZED (
+  SELECT round({dot}, 6) AS m, CAST(v.y AS INT) AS y
+  FROM v, wlF),
+scored AS MATERIALIZED (
+  SELECT y,
+         round(1.0 / (1.0 + exp(-m)), 6) AS p_raw,
+         round(1.0 / (1.0 + exp(-(round(pf.a * m + pf.b, 6)))), 6) AS p_cal
+  FROM mF, p{_PLATT_ITERS} pf),
+{_ECE_BINS.format(tag='raw', score='p_raw', rel='scored')},
+{_ECE_BINS.format(tag='cal', score='p_cal', rel='scored')}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_docs,
+       (SELECT round(a, 6) FROM p{_PLATT_ITERS}) AS a_platt,
+       (SELECT round(b, 6) FROM p{_PLATT_ITERS}) AS b_platt,
+       ROUND((SELECT ece FROM ece_raw), 6) AS ece_before,
+       ROUND((SELECT ece FROM ece_cal), 6) AS ece_after
+"""
+
+
+@query("platt_recalibrated_ece", oracle=_platt_oracle(64, 3, 1.0))
+def platt_recalibrated_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-scaling recalibration of the shared quality classifier:
+    fit sigmoid(a*m + b) over the trained margins on the SAME bounded
+    lowest-id sample the classifier trains on (3 GD rounds from
+    (1, 0)), then report decile-binned ECE before vs after over the
+    full corpus — the standard post-hoc calibration repair
+    (ece_classifier_calibration MEASURES miscalibration; this query
+    FIXES it and quantifies the gain, which is what a serving gate
+    actually deploys).
+
+    Exactness: margins replay the shared round-6 fold; the (a, b)
+    trajectory is the logreg integer-micro gradient discipline in two
+    dimensions (operators/logreg.py:platt_fit = the CTE chain
+    _platt_chain_ctes, bit-equal); both scores round to 6 before
+    binning; ECE sums are bin-ordered folds.
+
+    Scale: both fits are memoized, bounded-sample, driver-side
+    (constant cost at any corpus size); the full-corpus pass is ONE
+    scan scoring two expressions and collapsing to 2 x 10 bins."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    w = _trained_logreg_w(spark, sf_dir)
+    a, b = _trained_platt_ab(spark, sf_dir)
+    m = margin_expr("embedding", w)
+    scored = spark.table("embeddings").selectExpr(
+        f"cast({_LOGREG_Y_SPARK} as int) AS y",
+        f"round(1.0 / (1.0 + exp(-({m}))), 6) AS p_raw",
+        f"round(1.0 / (1.0 + exp(-(round({a!r} * ({m}) + {b!r}, 6)))), 6)"
+        " AS p_cal",
+    )
+
+    def ece_of(col: str) -> DataFrame:
+        bins = scored.selectExpr(
+            f"LEAST(CAST(FLOOR({col} * 10) AS INT), 9) AS b",
+            "y",
+            f"{col} AS p",
+        ).groupBy("b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("y").cast("bigint").alias("k_b"),
+            F.avg("p").alias("mp"),
+        )
+        nn = bins.agg(F.sum("n_b").cast("bigint").alias("n"))
+        gaps = bins.crossJoin(F.broadcast(nn)).selectExpr(
+            "b",
+            "CAST(n_b AS DOUBLE) / n * abs(mp - CAST(k_b AS DOUBLE) / n_b)"
+            " AS wgap",
+            "n",
+        )
+        return gaps.agg(
+            F.max("n").alias("n_docs"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(b, wgap))), "
+                "cast(0.0 as double), (a, e) -> a + e.wgap)"
+            ).alias("ece"),
+        )
+
+    before = ece_of("p_raw").selectExpr("n_docs", "ece AS ece_b")
+    after = ece_of("p_cal").selectExpr("ece AS ece_a")
+    return (
+        before.crossJoin(F.broadcast(after))
+        .selectExpr(
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            f"ROUND({a!r}, 6) AS a_platt",
+            f"ROUND({b!r}, 6) AS b_platt",
+            "ROUND(ece_b, 6) AS ece_before",
+            "ROUND(ece_a, 6) AS ece_after",
+        )
+    )
+
+
 def _gains_oracle(dim: int, iters: int, lr: float) -> str:
     dot = _VEC.dot("xs", "wl", "duck")
     return f"""
@@ -24172,6 +24480,8 @@ NEXT_ROTATION: list[str] = [
     "theta_method_forecast",      # r12: new (Theta(0,2) forecaster)
     "croston_intermittent_demand",  # r12: new (intermittent demand)
     "periodogram_daily_revenue",  # r12: new (DFT periodogram)
+    "burrows_delta_sources",      # r12: new (stylometric attribution)
+    "platt_recalibrated_ece",     # r12: new (post-hoc calibration)
 ]
 
 

@@ -864,3 +864,18 @@ def test_croston_fit_regular_and_gapped():
 
     z2, q2, _ = croston_fit([0, 2, 4, 6], [8, 8, 8, 8])
     assert z2 == 8000000 and q2 > 1500000  # converging toward 2.0
+
+
+def test_platt_fit_identity_on_calibrated_input():
+    """Margins that already produce perfectly-calibrated hard labels
+    leave (a, b) essentially at the (1, 0) init — the no-op fixpoint;
+    a uniform positive residual pushes b down."""
+    from dawis_spark.operators.logreg import platt_fit
+
+    # sigmoid(+/-10) leaves a round-6 residual of ~+/-4.5e-5, so the
+    # trajectory drifts by O(1e-3), not zero
+    a, b = platt_fit([10.0, 10.0, -10.0, -10.0], [1.0, 1.0, 0.0, 0.0])
+    assert abs(a - 1.0) < 1e-2 and abs(b) < 1e-2
+
+    a2, b2 = platt_fit([2.0, 2.0, 2.0, 2.0], [0.0, 0.0, 0.0, 0.0])
+    assert b2 < 0  # all-negative labels drag the intercept down
