@@ -879,3 +879,125 @@ def test_platt_fit_identity_on_calibrated_input():
 
     a2, b2 = platt_fit([2.0, 2.0, 2.0, 2.0], [0.0, 0.0, 0.0, 0.0])
     assert b2 < 0  # all-negative labels drag the intercept down
+
+
+_MSPRT_SCHEMA = T.StructType(
+    [
+        T.StructField("exp", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n0", T.LongType()),
+        T.StructField("s0", T.LongType()),
+        T.StructField("ss0", T.LongType()),
+        T.StructField("n1", T.LongType()),
+        T.StructField("s1", T.LongType()),
+        T.StructField("ss1", T.LongType()),
+    ]
+)
+
+
+def _msprt_rollup(bucket, mean0, mean1, n=20, jitter=5):
+    """Arm rollups with +/-jitter alternating around each mean so the
+    pooled variance is nonzero (and exact integers)."""
+    vals0 = [mean0 + (jitter if i % 2 else -jitter) for i in range(n)]
+    vals1 = [mean1 + (jitter if i % 2 else -jitter) for i in range(n)]
+    return (
+        bucket,
+        n,
+        sum(vals0),
+        sum(v * v for v in vals0),
+        n,
+        sum(vals1),
+        sum(v * v for v in vals1),
+    )
+
+
+def test_stream_msprt_single_shot_and_batch_equivalence(spark, tmp_path):
+    """A real effect alerts exactly once at its first crossing bucket;
+    a null effect never alerts; the alerted key set equals the closed
+    form over the union of all delivered rollups."""
+    from dawis_spark.streaming.msprt import (
+        msprt_closed_form,
+        stream_msprt_alerts,
+    )
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            stream_msprt_alerts(
+                staging_stream(spark, staging, _MSPRT_SCHEMA), "exp", "bucket"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    eff = [("lift",) + _msprt_rollup(b, 100, 140) for b in range(4)]
+    nul = [("flat",) + _msprt_rollup(b, 100, 100) for b in range(4)]
+
+    # tick 1: first two buckets of each
+    _tick(spark, staging, eff[:2] + nul[:2], _MSPRT_SCHEMA, start)
+    got1 = spark.read.parquet(sink).collect()
+    # tick 2: the rest — the latch must not re-alert
+    _tick(spark, staging, eff[2:] + nul[2:], _MSPRT_SCHEMA, start)
+    got2 = spark.read.parquet(sink).collect()
+
+    lifted = [r for r in got2 if r["exp"] == "lift"]
+    assert len(lifted) == 1
+    assert not [r for r in got2 if r["exp"] == "flat"]
+
+    # batch equivalence: closed form over the union crosses for lift at
+    # the same bucket the stream alerted on, never for flat
+    walk = msprt_closed_form([r[1:] for r in eff])
+    crossings = [b for b, _, _, _, p in walk if p <= 0.05]
+    assert crossings and lifted[0]["bucket"] == crossings[0]
+    assert lifted[0]["p_milli"] <= 50
+    null_walk = msprt_closed_form([r[1:] for r in nul])
+    assert all(p > 0.05 for *_, p in null_walk)
+    # single-shot: tick 1's output already contains the alert iff the
+    # first two buckets crossed (consistency between ticks)
+    walk2 = msprt_closed_form([r[1:] for r in eff[:2]])
+    assert (len(got1) > 0) == any(p <= 0.05 for *_, p in walk2)
+
+
+def test_msprt_alerts_flow_into_alert_queue(spark, tmp_path):
+    import json
+
+    from dawis_spark.streaming.alerts import AlertQueue
+    from dawis_spark.streaming.msprt import (
+        msprt_alerts_to_queue,
+        stream_msprt_alerts,
+    )
+    from dawis_spark.streaming.stream import staging_stream
+
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    queue = AlertQueue(spark, str(tmp_path / "q"))
+
+    def start():
+        alerts = stream_msprt_alerts(
+            staging_stream(spark, staging, _MSPRT_SCHEMA), "exp", "bucket"
+        )
+        return (
+            msprt_alerts_to_queue(alerts, queue)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rows = [("lift",) + _msprt_rollup(b, 100, 140) for b in range(4)]
+    _tick(spark, staging, rows, _MSPRT_SCHEMA, start)
+    fetched = queue.fetch(["msprt"]).collect()
+    assert len(fetched) == 1
+    row = fetched[0]
+    assert "mSPRT significance on lift at bucket" in row["message"]
+    ctx = json.loads(row["data"])
+    assert ctx["exp"] == "lift" and ctx["p_milli"] <= 50
+    assert ctx["n_ctrl"] == ctx["n_treat"]
+    queue.commit(queue.fetch(["msprt"]))
+    assert queue.fetch(["msprt"]).count() == 0
