@@ -21690,6 +21690,152 @@ FROM agg ORDER BY label
 """
 
 
+_CAPREC_ORACLE = """
+WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_overlap
+      FROM a JOIN b USING (text)),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+         (SELECT m_overlap FROM m) AS m_overlap,
+         (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents)
+           AS n_distinct_true)
+SELECT n_a, n_b, m_overlap, n_distinct_true,
+       ROUND(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / (m_overlap + 1) - 1, 2)
+         AS n_hat_chapman,
+       ROUND(abs(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / (m_overlap + 1) - 1
+                 - n_distinct_true) / n_distinct_true, 6) AS rel_err
+FROM counts
+"""
+
+
+@query("capture_recapture_distinct", oracle=_CAPREC_ORACLE)
+def capture_recapture_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the DISTINCT-document
+    population from two deterministic overlapping samples (doc_id % 2
+    and % 3 strata): N_hat = (n_a+1)(n_b+1)/(m+1) - 1 — the ecology
+    estimator repurposed for data engineering: when two independently
+    collected crawls/feeds overlap, the overlap rate alone bounds how
+    much of the underlying corpus either has seen, WITHOUT scanning a
+    third time. Sits beside the sketch family (kmv/hll estimate
+    distincts of what you HAVE; capture-recapture extrapolates to what
+    you HAVEN'T), with the true distinct count and relative error
+    reported for calibration.
+
+    Exactness: sample membership and all four counts are exact
+    integers; one double division (+1 Chapman correction keeps it
+    finite when the overlap is empty).
+
+    Scale: two hash-distinct passes and one equi-join on the text key
+    — at 100 TB the text key would be its 128-bit hash (the dedup
+    family's standing reduction), making every exchange hash-width."""
+    docs = spark.table("documents")
+    a = docs.filter(F.expr("doc_id % 2 = 0")).select("text").distinct()
+    b = docs.filter(F.expr("doc_id % 3 = 0")).select("text").distinct()
+    m = a.join(b, "text").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_overlap")
+    )
+    counts = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(
+            F.broadcast(
+                docs.agg(
+                    F.countDistinct("text").cast("bigint").alias(
+                        "n_distinct_true"
+                    )
+                )
+            )
+        )
+    )
+    return counts.selectExpr(
+        "n_a",
+        "n_b",
+        "m_overlap",
+        "n_distinct_true",
+        "ROUND(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / (m_overlap + 1) - 1, 2)"
+        " AS n_hat_chapman",
+        "ROUND(abs(CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / (m_overlap + 1) - 1"
+        " - n_distinct_true) / n_distinct_true, 6) AS rel_err",
+    )
+
+
+_ISO_SV_DUCK = (
+    "list_transform(range(1, 65), i ->"
+    " CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))"
+)
+_ISO_ORACLE = f"""
+WITH per AS (
+  SELECT label, {_ISO_SV_DUCK} AS sv, {_NORM_MICRO_DUCK} AS sq
+  FROM embeddings),
+dims AS (
+  SELECT label, u.i AS dim, CAST(SUM(sv[u.i]) AS HUGEINT) AS s_d
+  FROM per, unnest(range(1, 65)) u(i) GROUP BY 1, 2),
+meanvec AS (
+  SELECT label, SUM(s_d * s_d) AS msq FROM dims GROUP BY 1),
+norms AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n, SUM(sq) AS ssq
+  FROM per GROUP BY 1)
+SELECT n.label, n.n,
+       ROUND(CAST(m.msq AS DOUBLE) / (CAST(n.n AS DOUBLE) * CAST(n.ssq AS DOUBLE)),
+             6) AS isotropy
+FROM norms n JOIN meanvec m USING (label)
+ORDER BY n.label
+"""
+
+
+@query("embedding_isotropy_profile", oracle=_ISO_ORACLE)
+def embedding_isotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding (an)isotropy: ||sum v||^2 / (n * sum ||v||^2)
+    — the expected cosine between the mean direction and the cloud, ~0
+    for a well-spread (isotropic) embedding space and -> 1 when all
+    vectors collapse onto one direction. The standard representation-
+    collapse diagnostic (anisotropic spaces break cosine ANN recall
+    and similarity thresholds calibrated on isotropic assumptions);
+    reads beside embedding_norm_profile as the second vector-column
+    sanity gate.
+
+    Exactness: per-dimension sums and per-vector squared norms are
+    exact integers in micro^2 units (the norm-profile discipline);
+    ||sum v||^2 is an exact sum of squared HUGEINTs; ONE double
+    division per label.
+
+    Scale: one scan; the exchange carries 64 per-dimension partial
+    sums per label — constant width; output |labels| rows."""
+    per = spark.table("embeddings").selectExpr(
+        "label",
+        "transform(embedding, x ->"
+        " CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS sv",
+        f"{_NORM_MICRO_SPARK} AS sq",
+    )
+    dims = (
+        per.select(
+            "label", F.posexplode("sv").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s_d"))
+    )
+    meanvec = dims.groupBy("label").agg(
+        F.sum(F.col("s_d") * F.col("s_d")).alias("msq")
+    )
+    norms = per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq").alias("ssq"),
+    )
+    return (
+        norms.join(meanvec, "label")
+        .selectExpr(
+            "label",
+            "n",
+            "ROUND(CAST(msq AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE)), 6) AS isotropy",
+        )
+        .orderBy("label")
+    )
+
+
 @query("embedding_norm_profile", oracle=_NORM_PROFILE_ORACLE)
 def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding NORM profile: mean squared L2 norm plus the
@@ -24482,6 +24628,8 @@ NEXT_ROTATION: list[str] = [
     "periodogram_daily_revenue",  # r12: new (DFT periodogram)
     "burrows_delta_sources",      # r12: new (stylometric attribution)
     "platt_recalibrated_ece",     # r12: new (post-hoc calibration)
+    "capture_recapture_distinct",  # r12: new (Chapman estimator)
+    "embedding_isotropy_profile",  # r12: new (collapse diagnostic)
 ]
 
 
