@@ -21836,6 +21836,148 @@ def embedding_isotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DB_G = 16  # grid resolution per axis
+# core-cell rule: density >= _DB_DENS x the mean cell density (scale-free
+# — an absolute count threshold degenerates to all-core as data grows)
+_DB_DENS = 2
+# shared integral-division bin expression (the hellinger discipline):
+# Spark `div` / DuckDB `//`
+_DB_BIN = (
+    "CASE WHEN hi{ax} = lo{ax} THEN 0 ELSE"
+    " LEAST(CAST(({v} - lo{ax}) * {g} {divop} (hi{ax} - lo{ax}) AS INT),"
+    f" {_DB_G - 1}) END"
+)
+
+
+def _dbscan_oracle() -> str:
+    binx = _DB_BIN.format(ax="x", v="x", g=_DB_G, divop="//")
+    biny = _DB_BIN.format(ax="y", v="y", g=_DB_G, divop="//")
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS y
+  FROM embeddings),
+bounds AS (
+  SELECT CAST(MIN(x) AS HUGEINT) AS lox, CAST(MAX(x) AS HUGEINT) AS hix,
+         CAST(MIN(y) AS HUGEINT) AS loy, CAST(MAX(y) AS HUGEINT) AS hiy
+  FROM pts),
+binned AS (
+  SELECT {binx} AS cx, {biny} AS cy
+  FROM pts CROSS JOIN bounds),
+cells AS (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_pts
+  FROM binned GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n_pts) AS HUGEINT) AS n_total FROM cells),
+core AS (
+  SELECT cx, cy, n_pts, CAST(cx * {_DB_G} + cy AS BIGINT) AS lbl
+  FROM cells CROSS JOIN tot
+  WHERE CAST(n_pts AS HUGEINT) * {_DB_G * _DB_G} >= {_DB_DENS} * n_total),
+reach(cx, cy, lbl) AS (
+  SELECT cx, cy, lbl FROM core
+  UNION
+  SELECT a.cx, a.cy, r.lbl
+  FROM core a JOIN reach r
+    ON abs(a.cx - r.cx) <= 1 AND abs(a.cy - r.cy) <= 1),
+labeled AS (
+  SELECT c.cx, c.cy, c.n_pts, MIN(r.lbl) AS lbl
+  FROM core c JOIN reach r ON r.cx = c.cx AND r.cy = c.cy
+  GROUP BY 1, 2, 3)
+SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_pts) AS BIGINT) AS n_points
+FROM labeled GROUP BY 1 ORDER BY cluster
+"""
+
+
+@query("grid_dbscan_clusters", oracle=_dbscan_oracle())
+def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN density clustering of the embedding cloud projected
+    onto its first two coordinates: micro-integer points binned into a
+    16x16 grid, cells at >= 2x the mean cell density are CORE (a
+    scale-free rule — an absolute count degenerates to all-core as the
+    corpus grows), and core cells merge
+    into clusters as 8-neighborhood CONNECTED COMPONENTS (cluster id =
+    the component's minimum cell id) — the density-based, k-free
+    complement to kmeans_clusters: DBSCAN finds arbitrarily-shaped
+    dense regions and leaves sparse cells as noise instead of forcing
+    them into the nearest centroid.
+
+    Exactness: bin edges from exact integer min/max with shared
+    integral division (the hellinger discipline); components are exact
+    (driver-side union-find over the cell relation == the oracle's
+    transitive-closure recursive CTE — both reach the true fixpoint,
+    unlike a fixed-round label walk); no floats anywhere.
+
+    Scale: ONE data-sized pass (project + bin + count); the classic
+    cell-based DBSCAN reduction means everything after runs on the
+    <= 256-cell grid relation — a DOCUMENTED BOUNDED COLLECT (the
+    fellegi_sunter/markov_removal class: constant-size model state,
+    never data-sized) followed by driver union-find; noise cells
+    simply never enter the core relation."""
+    binx = _DB_BIN.format(ax="x", v="x", g=_DB_G, divop="div")
+    biny = _DB_BIN.format(ax="y", v="y", g=_DB_G, divop="div")
+    pts = spark.table("embeddings").selectExpr(
+        "CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS x",
+        "CAST(ROUND(CAST(element_at(embedding, 2) AS DOUBLE) * 1000000)"
+        " AS BIGINT) AS y",
+    )
+    bounds = pts.agg(
+        F.expr("CAST(MIN(x) AS DECIMAL(38,0))").alias("lox"),
+        F.expr("CAST(MAX(x) AS DECIMAL(38,0))").alias("hix"),
+        F.expr("CAST(MIN(y) AS DECIMAL(38,0))").alias("loy"),
+        F.expr("CAST(MAX(y) AS DECIMAL(38,0))").alias("hiy"),
+    )
+    cells = (
+        pts.crossJoin(F.broadcast(bounds))
+        .selectExpr(f"{binx} AS cx", f"{biny} AS cy")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pts"))
+    )
+    tot = cells.agg(
+        F.expr("CAST(SUM(n_pts) AS DECIMAL(38,0))").alias("n_total")
+    )
+    # bounded collect: <= _DB_G^2 = 256 grid cells by construction
+    core = [
+        (r["cx"], r["cy"], r["n_pts"])
+        for r in cells.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(
+                f"CAST(n_pts AS DECIMAL(38,0)) * {_DB_G * _DB_G}"
+                f" >= {_DB_DENS} * n_total"
+            )
+        )
+        .collect()
+    ]
+    parent: dict[tuple, tuple] = {(cx, cy): (cx, cy) for cx, cy, _ in core}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    idx = {(cx, cy) for cx, cy, _ in core}
+    for cx, cy, _ in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in idx:
+                    ra, rb = find((cx, cy)), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[tuple, list] = {}
+    for cx, cy, n in core:
+        comp.setdefault(find((cx, cy)), []).append(n)
+    rows = [
+        (int(rcx * _DB_G + rcy), len(ns), int(sum(ns)))
+        for (rcx, rcy), ns in comp.items()
+    ]
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "cluster bigint, n_cells bigint, n_points bigint",
+    ).filter(F.col("cluster").isNotNull()).orderBy("cluster")
+
+
 @query("embedding_norm_profile", oracle=_NORM_PROFILE_ORACLE)
 def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding NORM profile: mean squared L2 norm plus the
@@ -24630,6 +24772,7 @@ NEXT_ROTATION: list[str] = [
     "platt_recalibrated_ece",     # r12: new (post-hoc calibration)
     "capture_recapture_distinct",  # r12: new (Chapman estimator)
     "embedding_isotropy_profile",  # r12: new (collapse diagnostic)
+    "grid_dbscan_clusters",       # r12: new (density clustering)
 ]
 
 
