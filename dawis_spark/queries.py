@@ -17149,6 +17149,153 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+_MP_M = 7  # subsequence length (one week)
+_MP_TOPK = 5
+
+_MP_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+ix AS (
+  SELECT d, rev, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM daily),
+win AS (
+  SELECT t, d, {', '.join(f'w{k}' for k in range(_MP_M))}
+  FROM (SELECT t, d,
+               {', '.join(f'LEAD(rev, {k}) OVER (ORDER BY t) AS w{k}'
+                          for k in range(_MP_M))}
+        FROM ix)
+  WHERE w{_MP_M - 1} IS NOT NULL),
+halfpairs AS (
+  SELECT a.t AS ta, b.t AS tb,
+         ({' + '.join(f'CAST(a.w{k} - b.w{k} AS HUGEINT) * (a.w{k} - b.w{k})'
+                      for k in range(_MP_M))}) AS dist
+  FROM win a JOIN win b ON b.t >= a.t + {_MP_M}),
+dists AS (
+  SELECT w.t, w.d, MIN(p.dist) AS mp
+  FROM (SELECT ta AS t, dist FROM halfpairs
+        UNION ALL SELECT tb AS t, dist FROM halfpairs) p
+  JOIN win w ON w.t = p.t
+  GROUP BY 1, 2),
+discords AS (
+  SELECT 'discord' AS kind,
+         CAST(ROW_NUMBER() OVER (ORDER BY mp DESC, t) AS INT) AS rank,
+         t, d, mp
+  FROM dists ORDER BY mp DESC, t LIMIT {_MP_TOPK}),
+motifs AS (
+  SELECT 'motif' AS kind,
+         CAST(ROW_NUMBER() OVER (ORDER BY mp ASC, t) AS INT) AS rank,
+         t, d, mp
+  FROM dists ORDER BY mp ASC, t LIMIT {_MP_TOPK})
+SELECT kind, rank, CAST(t AS BIGINT) AS t, d AS day,
+       CAST(mp AS DOUBLE) AS mp_dist
+FROM (SELECT * FROM discords UNION ALL SELECT * FROM motifs)
+ORDER BY kind, rank
+"""
+
+
+@query("matrix_profile_daily", oracle=_MP_ORACLE)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily revenue series with week-long (m=7)
+    subsequences under exact integer Euclidean distance: per window,
+    the squared distance to its NEAREST non-overlapping neighbor; the
+    top-5 DISCORDS (largest profile — the week least like any other,
+    the strongest anomaly primitive in the UCR lineage) and top-5
+    MOTIFS (smallest — the most repeated weekly pattern). Complements
+    the pointwise detectors (MAD/ESD/CUSUM flag single days; the
+    matrix profile flags anomalous SHAPES).
+
+    Exactness: distances are exact HUGEINT/DECIMAL38 sums of squared
+    cent differences — min/rank over exact integers, no floats until
+    the display cast.
+
+    Scale: the all-pairs join is O(days^2) in the CALENDAR-bounded
+    series (the kendall_tau adjudication: ~5.7M pairs for 2400 days,
+    constant in row count at 100 TB); windows ride one ordered walk."""
+    from pyspark.sql import Window as _W
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    ix = daily.select(
+        "d", "rev", (F.row_number().over(_W.orderBy("d")) - 1).alias("t")
+    )
+    lead_w = _W.orderBy("t")
+    win = ix.select(
+        "t",
+        "d",
+        *[F.lead("rev", k).over(lead_w).alias(f"w{k}") for k in range(_MP_M)],
+    ).filter(F.col(f"w{_MP_M - 1}").isNotNull())
+    dist_expr = " + ".join(
+        f"CAST(a.w{k} - b.w{k} AS DECIMAL(38,0)) * (a.w{k} - b.w{k})"
+        for k in range(_MP_M)
+    )
+    # the ordered-walk output is ONE partition; spread the probe side so
+    # the nested-loop pair scan parallelizes across cores
+    a = win.repartition(32, "t").alias("a")
+    b = win.selectExpr(
+        "t AS tb", *[f"w{k}" for k in range(_MP_M)]
+    ).alias("b")
+    halfpairs = a.join(F.broadcast(b), F.expr(f"b.tb >= a.t + {_MP_M}")).select(
+        F.expr("a.t").alias("ta"),
+        F.col("tb"),
+        F.expr(dist_expr).alias("dist"),
+    )
+    both = halfpairs.selectExpr("ta AS t", "dist").unionByName(
+        halfpairs.selectExpr("tb AS t", "dist")
+    )
+    dists = (
+        both.groupBy("t")
+        .agg(F.min("dist").alias("mp"))
+        .join(win.select("t", "d"), "t")
+    )
+    discords = (
+        dists.orderBy(F.desc("mp"), "t")
+        .limit(_MP_TOPK)
+        .select(
+            F.lit("discord").alias("kind"),
+            F.row_number()
+            .over(_W.orderBy(F.desc("mp"), "t"))
+            .cast("int")
+            .alias("rank"),
+            "t",
+            "d",
+            "mp",
+        )
+    )
+    motifs = (
+        dists.orderBy(F.asc("mp"), "t")
+        .limit(_MP_TOPK)
+        .select(
+            F.lit("motif").alias("kind"),
+            F.row_number()
+            .over(_W.orderBy(F.asc("mp"), "t"))
+            .cast("int")
+            .alias("rank"),
+            "t",
+            "d",
+            "mp",
+        )
+    )
+    return (
+        discords.unionByName(motifs)
+        .selectExpr(
+            "kind",
+            "rank",
+            "CAST(t AS BIGINT) AS t",
+            "d AS day",
+            "CAST(mp AS DOUBLE) AS mp_dist",
+        )
+        .orderBy("kind", "rank")
+    )
+
+
 # Mann-Kendall statistics over (s BIGINT, var_s DOUBLE) columns —
 # shared strings; z applies the standard continuity correction.
 _MK_Z = (
@@ -24773,6 +24920,7 @@ NEXT_ROTATION: list[str] = [
     "capture_recapture_distinct",  # r12: new (Chapman estimator)
     "embedding_isotropy_profile",  # r12: new (collapse diagnostic)
     "grid_dbscan_clusters",       # r12: new (density clustering)
+    "matrix_profile_daily",       # r12: new (discord/motif shapes)
 ]
 
 

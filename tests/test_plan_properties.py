@@ -576,6 +576,7 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "ltv_projection_curve": "cumulative LTV over the month-bounded age curve",
     "wasserstein_price_drift": "EDF walk over distinct cents (value-bounded domain)",
     "periodogram_daily_revenue": "t-index over the day-bounded daily series",
+    "matrix_profile_daily": "leads + top-k ranks over the day-bounded daily series",
 }
 
 
