@@ -5096,6 +5096,87 @@ def quantiles_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _textrank_oracle(iterations: int, top_n: int) -> str:
+    from dawis_spark.operators.graph import pagerank_oracle_ctes
+
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, tok, p FROM (
+    SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p
+    FROM (SELECT doc_id, {toks} AS ts FROM documents))
+  WHERE length(tok) >= 4),
+adj AS (
+  SELECT DISTINCT a.tok AS src, b.tok AS dst
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+   AND a.tok <> b.tok),
+edges AS (
+  SELECT src, dst FROM adj UNION SELECT dst, src FROM adj),
+{pagerank_oracle_ctes('edges', iterations)}
+SELECT node AS token, rank_scaled,
+       round(CAST(rank_scaled AS DOUBLE) / 1e12, 6) AS rank
+FROM pr
+ORDER BY rank_scaled DESC, token
+LIMIT {top_n}
+"""
+
+
+@query("textrank_keywords", oracle=_textrank_oracle(3, 20))
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank (3 fixed iterations, exact
+    scaled-int64) over the corpus-level token co-occurrence graph —
+    content tokens (length >= 4) adjacent within a 2-token window,
+    symmetrized and deduplicated. The graph-centrality member of the
+    keyword family: rake_keyphrases scores phrases by degree/frequency
+    inside stopword-delimited chunks, lexrank_top_sentences ranks
+    SENTENCES — TextRank ranks TOKENS by global graph importance,
+    which surfaces terms that bridge many contexts even at moderate
+    frequency.
+
+    Exactness: edge construction is exact (positions from ordinality);
+    the rank trajectory is the shared integer-division PageRank
+    (operators/graph.py), replayed bit-for-bit by the oracle chain;
+    top-20 with (rank, token) tie order.
+
+    Scale: the position self-join shuffles on doc_id (positional pairs
+    are corpus-linear with a x2 window constant); the DISTINCT
+    collapses to the vocab-x-vocab adjacency, so the three rank
+    iterations join vocab-bounded relations — the pagerank_top_nodes
+    posture with tokens for nodes."""
+    from dawis_spark.operators.graph import pagerank
+
+    toks = _TXT.tokens("text", "spark")
+    tok = (
+        spark.table("documents")
+        .select("doc_id", F.posexplode(F.expr(toks)).alias("p", "tok"))
+        .filter(F.length("tok") >= 4)
+    )
+    a = tok.selectExpr("doc_id", "p AS pa", "tok AS src")
+    b = tok.selectExpr("doc_id", "p AS pb", "tok AS dst")
+    adj = (
+        a.join(b, "doc_id")
+        .filter(F.expr("pb - pa BETWEEN 1 AND 2 AND src <> dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        adj.unionAll(adj.selectExpr("dst AS src", "src AS dst"))
+        .distinct()
+        .persist()
+    )
+    return (
+        pagerank(edges, iterations=3)
+        .selectExpr(
+            "node AS token",
+            "rank_scaled",
+            "round(CAST(rank_scaled AS DOUBLE) / 1e12, 6) AS rank",
+        )
+        .orderBy(F.desc("rank_scaled"), "token")
+        .limit(20)
+    )
+
+
 def _pagerank_oracle(iterations: int, top_n: int) -> str:
     from dawis_spark.operators.graph import pagerank_oracle_ctes
 
@@ -24921,6 +25002,7 @@ NEXT_ROTATION: list[str] = [
     "embedding_isotropy_profile",  # r12: new (collapse diagnostic)
     "grid_dbscan_clusters",       # r12: new (density clustering)
     "matrix_profile_daily",       # r12: new (discord/motif shapes)
+    "textrank_keywords",          # r12: new (graph keyword extraction)
 ]
 
 
