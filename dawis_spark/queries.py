@@ -2974,6 +2974,74 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# skew profile legs: (key name, table, key column) — the three join keys
+# the relational spine actually shuffles on
+_SKEW_LEGS = (
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+def _skew_leg_sql(name: str, table: str, col: str) -> str:
+    return f"""
+SELECT '{name}' AS join_key,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4)
+         AS max_over_mean,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share
+FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1)"""
+
+
+_SKEW_PROFILE_ORACLE = (
+    "\nUNION ALL\n".join(_skew_leg_sql(*leg) for leg in _SKEW_LEGS)
+    + "\nORDER BY join_key"
+)
+
+
+@query("join_key_skew_profile", oracle=_SKEW_PROFILE_ORACLE)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for the three join keys the relational
+    spine actually exchanges on: per key, the distinct-key count, row
+    count, heaviest key's row count, its ratio over the mean key size
+    (the number AQE's skew-join threshold reasons about), and its share
+    of all rows. The planning input for the salting/whale-guard
+    machinery — you measure skew BEFORE choosing between a plain
+    shuffle join, a broadcast, or salted_skew_join, and at 100 TB this
+    profile is the difference between a plan that finishes and one
+    straggler task that doesn't.
+
+    Exactness: all counts exact integers from one keyed aggregate per
+    leg; two display divisions. Scale: each leg is one map-partial
+    groupBy collapsing to a 1-row summary — the profile costs a
+    fraction of any join it informs."""
+    out = None
+    for name, table, col in _SKEW_LEGS:
+        per_key = (
+            spark.table(table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        leg = per_key.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+        ).selectExpr(
+            f"'{name}' AS join_key",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            "ROUND(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 4)"
+            " AS max_over_mean",
+            "ROUND(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top1_share",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("join_key")
+
+
 _SALTED_JOIN_ORACLE = """
 WITH dim(event_type, weight) AS (
   VALUES ('click', 2), ('error', 5), ('purchase', 4), ('signup', 3), ('view', 1)
@@ -25003,6 +25071,7 @@ NEXT_ROTATION: list[str] = [
     "grid_dbscan_clusters",       # r12: new (density clustering)
     "matrix_profile_daily",       # r12: new (discord/motif shapes)
     "textrank_keywords",          # r12: new (graph keyword extraction)
+    "join_key_skew_profile",      # r12: new (shuffle-skew planning input)
 ]
 
 
