@@ -155,6 +155,22 @@ PICKS = {
     "embedding_norm_profile": "exact micro^2 fold inside the scan; |labels| rollup",
     "hurst_rescaled_range": "(w, block)-keyed exact-int deviations; 3-row log-log fit",
     "contrastive_negative_pairs": "256-pool TakeOrdered broadcast; anchor-partitioned top-k",
+    "wasserstein_price_drift": "distinct-cents EDF walk; exact gap x step sums; one row",
+    "hellinger_tvd_drift": "1-row bounds broadcast; 20-bin exact counts; ordered BC fold",
+    "aipw_doubly_robust": "memoized propensity + 1-row OLS coefs broadcast; two scans total",
+    "regression_discontinuity_spend": "bandwidth filter prunes the dim scan; one conditional-moment row",
+    "raking_ipf_weights": "star join to 25 cells; 8 partitioned-window half-steps on constants",
+    "theta_method_forecast": "daily pre-agg feeds FlatMapGroupsInPandas; SES + exact OLS drift",
+    "croston_intermittent_demand": "sparse demand relation only; per-key O(points) integer state",
+    "periodogram_daily_revenue": "day-bounded t-index; x14 k-grid broadcast; exact HUGEINT sums",
+    "burrows_delta_sources": "one filtered explode; |sources| x 16 z-grid; pair join on words",
+    "platt_recalibrated_ece": "bounded-sample (a,b) fit; ONE scan scores both calibrations",
+    "capture_recapture_distinct": "two hash-distinct passes; overlap equi-join; 1-row Chapman",
+    "embedding_isotropy_profile": "64-dim partial sums per label; exact micro^2; one division",
+    "grid_dbscan_clusters": "one bin+count pass; <=256-cell bounded collect; driver union-find",
+    "matrix_profile_daily": "calendar-bounded half-pair BNLJ, repartitioned probe; exact int dists",
+    "textrank_keywords": "doc-keyed positional pairs; vocab-bounded 3-iteration rank joins",
+    "join_key_skew_profile": "three keyed aggregates collapsing to 1-row skew summaries",
 }
 
 KEEP = re.compile(
