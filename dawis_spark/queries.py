@@ -2614,6 +2614,211 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_K = 4  # rolling-window width (tokens) for the boundary test
+_CDC_MOD = 16  # boundary when window hash % 16 == 0 -> ~16-token chunks
+
+
+def _cdc_cuts_expr(th: str, dialect: str) -> str:
+    """Content-defined cut-point array over a BOUND token-hash array
+    column ``th``: positions where the k-token rolling hash hits 0 mod
+    _CDC_MOD, with 0 and len appended — bind this in its own projection
+    (the _mixed_sql lesson: the chunk fold references it ~6 times)."""
+    whs = _TXT.window_hash_structs(th, _CDC_K, dialect)
+    if dialect == "spark":
+        return (
+            f"array_sort(array_distinct(concat(array(0),"
+            f" transform(filter({whs}, s -> s.wh % {_CDC_MOD} = 0),"
+            f" s -> s.pos + {_CDC_K}), array(size({th})))))"
+        )
+    return (
+        f"list_sort(list_distinct(list_concat(list_concat([0],"
+        f" list_transform(list_filter({whs}, s -> s.wh % {_CDC_MOD} = 0),"
+        f" s -> s.pos + {_CDC_K})), [len({th})])))"
+    )
+
+
+def _cdc_chunks_expr(th: str, cuts: str, dialect: str) -> str:
+    """Per-document CDC chunk array over BOUND ``th`` (token hashes)
+    and ``cuts`` (cut points) columns: each chunk a struct (len, ch)
+    with ch = the Horner-131 fold of its token hashes. The
+    insertion-robust chunking (a one-token edit moves ONE boundary,
+    so every other chunk hash survives — the property fixed-width
+    chunking lacks and the reason storage dedup uses CDC)."""
+    if dialect == "spark":
+        return (
+            f"case when size({th}) = 0 then"
+            " array()"
+            f" else transform(sequence(1, size({cuts}) - 1), i -> struct("
+            f"{cuts}[i] - {cuts}[i - 1] as len,"
+            f" aggregate(slice({th}, {cuts}[i - 1] + 1,"
+            f" {cuts}[i] - {cuts}[i - 1]), cast(0 as bigint),"
+            f" (h, x) -> (h * 131 + x) % {_TXT.MOD}) as ch)) end"
+        )
+    return (
+        f"CASE WHEN len({th}) = 0 THEN [] ELSE"
+        f" list_transform(range(1, len({cuts})), i -> {{"
+        f"'len': {cuts}[i + 1] - {cuts}[i],"
+        f" 'ch': list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" {th}[{cuts}[i] + 1:{cuts}[i + 1]]),"
+        f" (h, x) -> (h * 131 + x) % {_TXT.MOD})}}) END"
+    )
+
+
+def _cdc_oracle() -> str:
+    th = _TXT.token_hash_array("text", "duck")
+    cuts = _cdc_cuts_expr("__th", "duck")
+    chunks = _cdc_chunks_expr("__th", "__cuts", "duck")
+    return f"""
+WITH th0 AS (SELECT doc_id, source, {th} AS __th FROM documents),
+th AS (SELECT doc_id, source, __th, {cuts} AS __cuts FROM th0),
+ck AS (SELECT source, unnest({chunks}) AS c FROM th),
+flat AS (SELECT source, c.len AS l, c.ch AS ch FROM ck)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+       ROUND(1.0 - CAST(COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*), 6)
+         AS chunk_dup_ratio,
+       ROUND(CAST(SUM(l) AS DOUBLE) / COUNT(*), 4) AS avg_chunk_tokens
+FROM flat GROUP BY source ORDER BY source
+"""
+
+
+@query("cdc_chunk_dedup", oracle=_cdc_oracle())
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile per source: documents cut
+    where a 4-token rolling hash hits 0 mod 16 (~16-token expected
+    chunks), chunk identity = the exact Horner fold of its token
+    hashes; reports chunk counts, the cross-document duplicate-chunk
+    ratio, and mean chunk size. CDC is the insertion-robust half of
+    the dedup family: line_dedup catches exact LINES and
+    duplicated_spans fixed-width windows, but a one-token edit shifts
+    every downstream fixed window while moving only ONE content-
+    defined boundary — so the CDC dup ratio is the honest measure of
+    template reuse across a source.
+
+    Exactness: token hashes, window hashes, cut points, and chunk
+    folds are all exact int64 mod-1e9+7 arithmetic (functions/text.py
+    primitives) — identical both engines; two display divisions.
+
+    Scale: everything up to the explode is per-row array math inside
+    the scan (O(tokens x k) per doc); the only exchange carries
+    (source, len, chunk-hash int64) — never text."""
+    th = _TXT.token_hash_array("text", "spark")
+    cuts = _cdc_cuts_expr("__th", "spark")
+    chunks = _cdc_chunks_expr("__th", "__cuts", "spark")
+    flat = (
+        spark.table("documents")
+        .selectExpr("doc_id", "source", f"{th} AS __th")
+        .selectExpr("source", "__th", f"{cuts} AS __cuts")
+        .selectExpr("source", f"explode({chunks}) AS c")
+        .selectExpr("source", "c.len AS l", "c.ch AS ch")
+    )
+    return (
+        flat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("ch").cast("bigint").alias("n_distinct_chunks"),
+            F.expr(
+                "ROUND(1.0 - CAST(COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("chunk_dup_ratio"),
+            F.expr(
+                "ROUND(CAST(SUM(l) AS DOUBLE) / COUNT(*), 4)"
+            ).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_QLM_MU = 2000  # Dirichlet smoothing mass (Zhai & Lafferty's standard)
+# per-(doc, term) log-likelihood contribution, micro-scaled to an exact
+# integer before the per-doc sum — tf/cf/dl/ctot are exact integers, so
+# the ln argument is one identical double chain in both engines
+_QLM_TERM = (
+    "CAST(ROUND(ln((tf + {mu} * (CAST(cf AS DOUBLE) / ctot))"
+    " / (dl + {mu})) * 1000000) AS BIGINT)"
+)
+
+
+def _qlm_oracle(top_n: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    term = _QLM_TERM.format(mu=_QLM_MU)
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS BIGINT) AS dl FROM base),
+ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS ctot FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk
+  WHERE token IN ({terms}) GROUP BY doc_id, token),
+cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY token),
+grid AS (
+  SELECT dl.doc_id, cf.token, cf.cf, dl.dl, ctot.ctot,
+         COALESCE(tf.tf, 0) AS tf
+  FROM dl CROSS JOIN cf CROSS JOIN ctot
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.token = cf.token),
+scored AS (
+  SELECT doc_id, CAST(SUM({term}) AS BIGINT) AS s6
+  FROM grid GROUP BY doc_id)
+SELECT doc_id, ROUND(CAST(s6 AS DOUBLE) / 1000000, 6) AS qlm_loglik
+FROM scored ORDER BY s6 DESC, doc_id LIMIT {top_n}
+"""
+
+
+@query("qlm_dirichlet_search", oracle=_qlm_oracle(10))
+def qlm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing (mu = 2000) for the shared 3-term query: score(d) =
+    sum_t ln((tf_td + mu * cf_t/|C|) / (|d| + mu)) — the third classic
+    ranking family beside tf-idf (vector space) and bm25
+    (probabilistic): the LM view scores how likely the DOCUMENT's
+    language model is to emit the query, and its smoothing term means
+    documents missing a term are still comparable (no zero-knockout).
+    Top-10 with (score, doc_id) tie order.
+
+    Exactness: tf/cf/dl/|C| are exact integers; each (doc, term)
+    contribution pays one ln over an identical double chain and rounds
+    to micro units BEFORE the per-doc sum, so ordering is exact
+    (ties broken on exact integers).
+
+    Scale: the explode is term-filtered before any shuffle (inverted-
+    index posture); the grid is |docs| x |terms| with the 3-row term
+    stats broadcast — one scan, one doc-keyed aggregate, TakeOrdered
+    top-10."""
+    toks = _TXT.tokens("text", "spark")
+    term = _QLM_TERM.format(mu=_QLM_MU)
+    base = spark.table("documents").select(
+        "doc_id", F.expr(toks).alias("__toks")
+    )
+    dl = base.select(
+        "doc_id", F.expr("CAST(size(__toks) AS BIGINT)").alias("dl")
+    )
+    ctot = dl.agg(F.sum("dl").cast("bigint").alias("ctot"))
+    tf = (
+        base.select("doc_id", F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    cf = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("cf"))
+    grid = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(ctot))
+        .join(tf, ["doc_id", "token"], "left")
+        .selectExpr("doc_id", "cf", "dl", "ctot", "COALESCE(tf, 0) AS tf")
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.expr(f"CAST(SUM({term}) AS BIGINT)").alias("s6")
+    )
+    return (
+        scored.orderBy(F.desc("s6"), "doc_id")
+        .limit(10)
+        .selectExpr(
+            "doc_id", "ROUND(CAST(s6 AS DOUBLE) / 1000000, 6) AS qlm_loglik"
+        )
+    )
+
+
 from dawis_spark.functions import pii as _PII
 
 
@@ -25072,6 +25277,8 @@ NEXT_ROTATION: list[str] = [
     "matrix_profile_daily",       # r12: new (discord/motif shapes)
     "textrank_keywords",          # r12: new (graph keyword extraction)
     "join_key_skew_profile",      # r12: new (shuffle-skew planning input)
+    "qlm_dirichlet_search",       # r12: new (LM retrieval family)
+    "cdc_chunk_dedup",            # r12: new (content-defined chunking)
 ]
 
 
