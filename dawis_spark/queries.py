@@ -24966,6 +24966,151 @@ def ltv_projection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Randomized response (Warner forced-choice) — local-privacy estimator
+# ---------------------------------------------------------------------------
+
+# two deterministic hash-uniform draws per respondent (the DP-histogram
+# replay convention: swap for a real RNG in production; the estimator,
+# inversion, and error accounting are what the query verifies)
+_RR_U1 = (
+    "((c_custkey * 1103515245 + 12345) % 1000000007)"
+)
+_RR_U2 = (
+    "((c_custkey * 69069 + 1) % 1000000007)"
+)
+_RR_TRUTH = "(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)"
+# with prob 1/2 answer truthfully, else answer a fair coin
+_RR_REPORT = (
+    f"(CASE WHEN {_RR_U1} * 2 < 1000000007 THEN {_RR_TRUTH}"
+    f" WHEN {_RR_U2} * 2 < 1000000007 THEN 1 ELSE 0 END)"
+)
+
+_RR_ORACLE = f"""
+WITH rep AS (
+  SELECT {_RR_TRUTH} AS truth, {_RR_REPORT} AS report
+  FROM customer),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(report) AS BIGINT) AS n_yes,
+         CAST(SUM(truth) AS BIGINT) AS n_true
+  FROM rep)
+SELECT n, n_yes,
+       ROUND(CAST(n_yes AS DOUBLE) / n, 6) AS p_observed,
+       ROUND(2.0 * n_yes / n - 0.5, 6) AS pi_hat_rr,
+       ROUND(CAST(n_true AS DOUBLE) / n, 6) AS pi_true,
+       ROUND(abs(2.0 * n_yes / n - 0.5 - CAST(n_true AS DOUBLE) / n), 6)
+         AS abs_err
+FROM agg
+"""
+
+
+@query("randomized_response_estimate", oracle=_RR_ORACLE)
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner forced-choice randomized response over a sensitive
+    customer attribute (acctbal > 5000): each respondent answers
+    truthfully with probability 1/2, otherwise flips a fair coin; the
+    population rate is recovered by inverting the mechanism, pi_hat =
+    2*p_obs - 1/2. The LOCAL-privacy member of the privacy family
+    (k_anonymity/l_diversity/t_closeness audit a released table;
+    dp_noisy_histogram perturbs aggregates; RR perturbs at the SOURCE
+    so the raw data is never sensitive), with the true rate and
+    estimator error reported for calibration.
+
+    Determinism: both coin flips are hash-uniform integer draws (the
+    dp_noisy_histogram replay convention — a production run swaps in a
+    real RNG; the inversion algebra is what this verifies); counts are
+    exact, three display divisions.
+
+    Scale: one scan collapsing to a single row."""
+    rep = spark.table("customer").selectExpr(
+        f"{_RR_TRUTH} AS truth", f"{_RR_REPORT} AS report"
+    )
+    agg = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("report").cast("bigint").alias("n_yes"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n_yes",
+        "ROUND(CAST(n_yes AS DOUBLE) / n, 6) AS p_observed",
+        "ROUND(2.0 * n_yes / n - 0.5, 6) AS pi_hat_rr",
+        "ROUND(CAST(n_true AS DOUBLE) / n, 6) AS pi_true",
+        "ROUND(abs(2.0 * n_yes / n - 0.5 - CAST(n_true AS DOUBLE) / n), 6)"
+        " AS abs_err",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial method-of-moments fit for overdispersed counts
+# ---------------------------------------------------------------------------
+
+_NB_M = "(CAST(s AS DOUBLE) / n)"
+_NB_V = "(CAST(n * s2 - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"
+
+_NBFIT_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s,
+         CAST(SUM(c * c) AS HUGEINT) AS s2
+  FROM daily GROUP BY 1)
+SELECT event_type, n AS n_days,
+       ROUND({_NB_M}, 4) AS mean_daily,
+       ROUND({_NB_V}, 4) AS var_daily,
+       CASE WHEN {_NB_V} > {_NB_M} THEN 1 ELSE 0 END AS overdispersed,
+       CASE WHEN {_NB_V} > {_NB_M}
+            THEN ROUND({_NB_M} * {_NB_M} / ({_NB_V} - {_NB_M}), 4) END AS r_nb,
+       CASE WHEN {_NB_V} > {_NB_M}
+            THEN ROUND({_NB_M} / {_NB_V}, 6) END AS p_nb
+FROM mom ORDER BY event_type
+"""
+
+
+@query("negative_binomial_fit", oracle=_NBFIT_ORACLE)
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of daily event counts
+    per type: r = m^2/(v - m), p = m/v when variance exceeds the mean
+    — the MODEL the overdispersion_event_counts screen says you need
+    (a Poisson rate under-states the tail of bursty counts; NB's r
+    parameter quantifies the burstiness, and a capacity plan sized off
+    the fitted NB tail is the standard fix). Under-dispersed types
+    report NULL parameters rather than a nonsense fit.
+
+    Exactness: moments are exact HUGEINT/DECIMAL38 sums; mean/variance
+    and both parameters are shared cleared-denominator double chains;
+    round-4/6 display.
+
+    Scale: one daily rollup (calendar x types) then a types-sized
+    moment aggregate."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    return mom.selectExpr(
+        "event_type",
+        "n AS n_days",
+        f"ROUND({_NB_M}, 4) AS mean_daily",
+        f"ROUND({_NB_V}, 4) AS var_daily",
+        f"CASE WHEN {_NB_V} > {_NB_M} THEN 1 ELSE 0 END AS overdispersed",
+        f"CASE WHEN {_NB_V} > {_NB_M}"
+        f" THEN ROUND({_NB_M} * {_NB_M} / ({_NB_V} - {_NB_M}), 4) END AS r_nb",
+        f"CASE WHEN {_NB_V} > {_NB_M}"
+        f" THEN ROUND({_NB_M} / {_NB_V}, 6) END AS p_nb",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Differentially-private histogram release (deterministic Laplace replay)
 # ---------------------------------------------------------------------------
 
@@ -25279,6 +25424,8 @@ NEXT_ROTATION: list[str] = [
     "join_key_skew_profile",      # r12: new (shuffle-skew planning input)
     "qlm_dirichlet_search",       # r12: new (LM retrieval family)
     "cdc_chunk_dedup",            # r12: new (content-defined chunking)
+    "randomized_response_estimate",  # r12: new (local privacy)
+    "negative_binomial_fit",      # r12: new (overdispersed count model)
 ]
 
 
