@@ -17650,6 +17650,175 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mase_oracle() -> str:
+    from dawis_spark.operators.forecast import (
+        holt_oracle_ctes,
+        theta_oracle_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE alldaily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+cut AS (SELECT MAX(day) - INTERVAL 7 DAY AS cutoff FROM alldaily),
+train AS (
+  SELECT a.* FROM alldaily a CROSS JOIN cut WHERE a.day <= cutoff),
+test AS (
+  SELECT a.event_type, CAST(date_diff('day', cutoff, a.day) AS INT) AS h, a.v
+  FROM alldaily a CROSS JOIN cut WHERE a.day > cutoff),
+{holt_oracle_ctes('train', 'event_type', 'day', 'v', 7)},
+{theta_oracle_ctes('train', 'event_type', 'day', 'v', 7)},
+lastv AS (
+  SELECT event_type, v AS lv
+  FROM (SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day DESC) AS rn
+        FROM train) WHERE rn = 1),
+snv AS (
+  SELECT event_type, CAST(8 - rn AS INT) AS h, v AS sv
+  FROM (SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day DESC) AS rn
+        FROM train) WHERE rn <= 7),
+scale AS (
+  SELECT event_type,
+         CAST(SUM(abs(v - pv)) AS DOUBLE) / COUNT(*) AS sc
+  FROM (SELECT event_type, v,
+               LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+        FROM train)
+  WHERE pv IS NOT NULL GROUP BY 1),
+fc AS (
+  SELECT t.event_type, t.h, 'naive1' AS model,
+         CAST(l.lv AS DOUBLE) AS f, t.v
+  FROM test t JOIN lastv l USING (event_type)
+  UNION ALL
+  SELECT t.event_type, t.h, 'snaive7', CAST(s.sv AS DOUBLE), t.v
+  FROM test t JOIN snv s ON s.event_type = t.event_type AND s.h = t.h
+  UNION ALL
+  SELECT t.event_type, t.h, 'holt', CAST(hl.forecast AS DOUBLE), t.v
+  FROM test t JOIN holt hl ON hl.k = t.event_type AND hl.h = t.h
+  UNION ALL
+  SELECT t.event_type, t.h, 'theta', CAST(th.forecast AS DOUBLE), t.v
+  FROM test t JOIN theta th ON th.k = t.event_type AND th.h = t.h),
+mae AS (
+  SELECT event_type, model,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         SUM(abs(f - v)) / COUNT(*) AS mae
+  FROM fc GROUP BY 1, 2)
+SELECT m.event_type, m.model, m.n_test,
+       ROUND(m.mae, 4) AS mae_cents,
+       ROUND(m.mae / s.sc, 6) AS mase
+FROM mae m JOIN scale s USING (event_type)
+ORDER BY m.event_type, m.model
+"""
+
+
+@query("forecast_model_mase", oracle=_mase_oracle())
+def forecast_model_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-model leaderboard on a 7-day holdout: naive-1 (last
+    value), seasonal-naive-7, Holt linear, and Theta(0,2) all forecast
+    the final week of daily event totals per type; scored by MAE and
+    MASE (MAE over the in-sample naive-1 MAE — Hyndman's scale-free
+    skill score, < 1 = beats naive). The model-SELECTION readout the
+    forecaster family was missing: holt_backtest_mae diagnoses one
+    model across origins, this ranks the four models against each
+    other on the same holdout.
+
+    Exactness: all four forecasts are exact integers (the holt/theta
+    shared trajectories; naive legs are selections); MAE sums |int -
+    int| values exactly per (type, model) group before two divisions.
+
+    Scale: one daily rollup; holt/theta run on calendar-bounded
+    applyInPandas groups; naive legs are two window selections; all
+    joins are |types| x 7 relations."""
+    from dawis_spark.operators.forecast import holt_linear, theta_forecast
+    from pyspark.sql import Window as _W
+
+    alldaily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    cut = alldaily.agg(
+        F.expr("MAX(day) - INTERVAL 7 DAY").alias("cutoff")
+    )
+    wcut = alldaily.crossJoin(F.broadcast(cut))
+    train = wcut.filter(F.col("day") <= F.col("cutoff")).select(
+        "event_type", "day", "v"
+    )
+    test = wcut.filter(F.col("day") > F.col("cutoff")).selectExpr(
+        "event_type", "CAST(datediff(day, cutoff) AS INT) AS h", "v"
+    )
+    holt = holt_linear(train, "event_type", "day", "v", horizon=7).selectExpr(
+        "event_type", "h", "CAST(forecast AS DOUBLE) AS f", "'holt' AS model"
+    )
+    theta = theta_forecast(
+        train, "event_type", "day", "v", horizon=7
+    ).selectExpr(
+        "event_type", "h", "CAST(forecast AS DOUBLE) AS f", "'theta' AS model"
+    )
+    rn = _W.partitionBy("event_type").orderBy(F.desc("day"))
+    ranked = train.select(
+        "event_type", "v", F.row_number().over(rn).alias("rn")
+    )
+    naive1 = (
+        ranked.filter(F.col("rn") == 1)
+        .crossJoin(
+            F.broadcast(spark.range(1, 8).selectExpr("CAST(id AS INT) AS h"))
+        )
+        .selectExpr(
+            "event_type", "h", "CAST(v AS DOUBLE) AS f", "'naive1' AS model"
+        )
+    )
+    snaive = ranked.filter(F.col("rn") <= 7).selectExpr(
+        "event_type",
+        "CAST(8 - rn AS INT) AS h",
+        "CAST(v AS DOUBLE) AS f",
+        "'snaive7' AS model",
+    )
+    fc = holt.unionByName(theta).unionByName(naive1).unionByName(snaive)
+    lagw = _W.partitionBy("event_type").orderBy("day")
+    scale = (
+        train.select(
+            "event_type", "v", F.lag("v").over(lagw).alias("pv")
+        )
+        .filter(F.col("pv").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.abs(F.col("v") - F.col("pv"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("sc")
+        )
+    )
+    mae = (
+        fc.join(test, ["event_type", "h"])
+        .groupBy("event_type", "model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            (
+                F.sum(F.abs(F.col("f") - F.col("v"))) / F.count(F.lit(1))
+            ).alias("mae"),
+        )
+    )
+    return (
+        mae.join(F.broadcast(scale), "event_type")
+        .selectExpr(
+            "event_type",
+            "model",
+            "n_test",
+            "ROUND(mae, 4) AS mae_cents",
+            "ROUND(mae / sc, 6) AS mase",
+        )
+        .orderBy("event_type", "model")
+    )
+
+
 # Mann-Kendall statistics over (s BIGINT, var_s DOUBLE) columns —
 # shared strings; z applies the standard continuity correction.
 _MK_Z = (
@@ -25426,6 +25595,7 @@ NEXT_ROTATION: list[str] = [
     "cdc_chunk_dedup",            # r12: new (content-defined chunking)
     "randomized_response_estimate",  # r12: new (local privacy)
     "negative_binomial_fit",      # r12: new (overdispersed count model)
+    "forecast_model_mase",        # r12: new (model-selection leaderboard)
 ]
 
 
