@@ -1328,3 +1328,57 @@ def hellinger_tvd(
         "ROUND(SQRT(GREATEST(1.0 - bc_s / (SQRT(CAST(n_a_i AS DOUBLE))"
         " * SQRT(CAST(n_b_i AS DOUBLE))), 0.0)), 6) AS hellinger",
     )
+
+
+def huber_irls_fit(
+    xs: list[int],
+    ys: list[int],
+    iterations: int = 3,
+    k: int = 20_000_000,
+) -> tuple[float, float]:
+    """Huber-weighted IRLS line fit on a driver-side sample with the
+    exact-replay discipline (the logreg_train trajectory rules): start
+    from OLS, then per round compute round-6 residuals against the
+    current (a, b), micro-scale the Huber weights w = min(1, k/|r|) to
+    exact integers, rebuild the weighted moments as exact integer
+    sums, and solve the weighted normal equations with one shared
+    double chain (b round-6, a round-4). ``k`` is a FIXED threshold in
+    the y unit (documented variant: production Huber re-estimates
+    scale via MADN; a fixed k keeps the trajectory replayable by a
+    plain CTE chain). Returns (a, b)."""
+    import math
+
+    def hu(v: float, digits: int) -> float:
+        # SQL ROUND (half away from zero) — Python round() is banker's
+        s = 10.0 ** digits
+        return math.copysign(math.floor(abs(v) * s + 0.5) / s, v)
+
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    b = hu(float(n * sxy - sx * sy) / float(n * sxx - sx * sx), 6)
+    a = hu((float(sy) - b * float(sx)) / n, 4)
+    for _ in range(iterations):
+        w6 = []
+        for x, y in zip(xs, ys):
+            r = hu(y - (a + b * x), 6)
+            if r == 0:
+                w6.append(1000000)
+            else:
+                w6.append(
+                    min(1000000, int(math.floor(k * 1000000.0 / abs(r) + 0.5)))
+                )
+        nw = sum(w6)
+        sxw = sum(w * x for w, x in zip(w6, xs))
+        syw = sum(w * y for w, y in zip(w6, ys))
+        sxxw = sum(w * x * x for w, x in zip(w6, xs))
+        sxyw = sum(w * x * y for w, x, y in zip(w6, xs, ys))
+        b = hu(
+            (float(nw) * sxyw - float(sxw) * syw)
+            / (float(nw) * sxxw - float(sxw) * sxw),
+            6,
+        )
+        a = hu((float(syw) - b * float(sxw)) / nw, 4)
+    return a, b
