@@ -171,6 +171,17 @@ PICKS = {
     "matrix_profile_daily": "calendar-bounded half-pair BNLJ, repartitioned probe; exact int dists",
     "textrank_keywords": "doc-keyed positional pairs; vocab-bounded 3-iteration rank joins",
     "join_key_skew_profile": "three keyed aggregates collapsing to 1-row skew summaries",
+    "qlm_dirichlet_search": "term-filtered postings; 3-row term stats broadcast; TakeOrdered",
+    "cdc_chunk_dedup": "chunking entirely inside the scan; exchange carries (source, len, hash)",
+    "forecast_model_mase": "two FlatMapGroupsInPandas fits + two window selections; |types|x7 joins",
+    "mediation_baron_kenny": "one equi-join scan to a single exact-moment row",
+    "iv_wald_estimate": "spend rollup + dim scan; 1-row Wald algebra",
+    "huber_irls_regression": "bounded TakeOrdered sample collect; one residual scan",
+    "ppmi_top_axis": "positional pair shuffle -> <=48x48 cells; bounded collect iteration",
+    "pass_at_k_estimate": "one user-keyed aggregate; 3-row estimator summary",
+    "self_bleu_diversity": "shingle explode; reference hashes broadcast; micro-int means",
+    "randomized_response_estimate": "one scan, hash-uniform coins inside it, 1-row inversion",
+    "negative_binomial_fit": "daily rollup -> |types| exact-moment rows",
 }
 
 KEEP = re.compile(
