@@ -686,3 +686,38 @@ def test_logreg_training_collect_is_sample_bounded(spark):
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_matrix_profile_repartitioned_probe_and_exact_ints(spark):
+    # the O(days^2) nested-loop pair scan must parallelize: the probe
+    # side is explicitly repartitioned (an Exchange above the window
+    # walk) and the build side broadcasts — a single-partition BNLJ
+    # was the 25s -> 12s fix recorded in SCALE.md
+    plan = _plan(spark, "matrix_profile_daily")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(t" in plan
+
+
+def test_burrows_delta_word_grid_broadcast(spark):
+    # the |sources| x 16 grid builds from a broadcast word relation and
+    # broadcast per-word stats — no data-sized shuffle after the one
+    # filtered token explode
+    plan = _plan(spark, "burrows_delta_sources")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_textrank_rank_iterations_join_on_int_free_vocab(spark):
+    # three unrolled rank iterations: edges⋈ranks hash joins, never a
+    # cartesian; the pair source shuffles on doc_id only
+    plan = _plan(spark, "textrank_keywords")
+    assert "CartesianProduct" not in plan
+
+
+def test_qlm_term_filter_before_shuffle(spark):
+    # the postings explode is filtered to the 3 query terms directly
+    # above the Generate, inside the scan stage — the inverted-index
+    # posture (only matching (doc, token) rows reach the tf exchange)
+    plan = _plan(spark, "qlm_dirichlet_search")
+    i_filter = plan.index("IN (spark,hash,window)")
+    i_gen = plan.index("Generate explode")
+    assert i_filter < i_gen  # filter consumes the explode pre-shuffle

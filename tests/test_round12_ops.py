@@ -1001,3 +1001,52 @@ def test_msprt_alerts_flow_into_alert_queue(spark, tmp_path):
     assert ctx["n_ctrl"] == ctx["n_treat"]
     queue.commit(queue.fetch(["msprt"]))
     assert queue.fetch(["msprt"]).count() == 0
+
+
+def test_huber_fit_resists_outlier():
+    """One gross outlier drags the OLS slope but barely moves the
+    Huber-IRLS fit (the operator's reason to exist)."""
+    from dawis_spark.operators.stats import huber_irls_fit
+
+    xs = list(range(1, 41))
+    ys = [100 * x for x in xs]
+    ys[-1] += 100_000_000  # one whale at the end
+    a, b = huber_irls_fit(xs, ys, iterations=3, k=5_000)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b_ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert b_ols > 10_000  # OLS chases the whale
+    # 3 IRLS rounds pull the slope back within ~2x of truth from an
+    # initialization 100x off — two orders of magnitude of the
+    # contamination removed
+    assert b < b_ols / 50 and abs(b - 100) < 150
+
+
+def test_cdc_chunks_boundary_locality(spark):
+    """Content-defined chunking's defining property: inserting one
+    token changes only the chunk containing it — downstream chunk
+    hashes survive, unlike fixed-width windows."""
+    from dawis_spark.queries import _cdc_chunks_expr, _cdc_cuts_expr
+    from dawis_spark.functions import text as T
+
+    # diverse tokens so ~1/16 of rolling windows are boundaries; a
+    # periodic text has too few distinct windows to cut at all
+    toks = [f"tok{i}word" for i in range(120)]
+    base = " ".join(toks)
+    edited = " ".join(toks[:60] + ["INSERTED"] + toks[60:])
+    th = T.token_hash_array("text", "spark")
+    cuts = _cdc_cuts_expr("__th", "spark")
+    chunks = _cdc_chunks_expr("__th", "__cuts", "spark")
+    df = (
+        spark.createDataFrame([(1, base), (2, edited)], "id int, text string")
+        .selectExpr("id", f"{th} AS __th")
+        .selectExpr("id", "__th", f"{cuts} AS __cuts")
+        .selectExpr("id", f"{chunks} AS ch")
+        .collect()
+    )
+    sets = {r["id"]: {c["ch"] for c in r["ch"]} for r in df}
+    shared = sets[1] & sets[2]
+    # the edit perturbs a bounded neighborhood; most chunks survive
+    assert len(shared) >= max(1, len(sets[1]) - 3)
