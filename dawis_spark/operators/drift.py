@@ -66,14 +66,22 @@ def ks_two_sample(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    cum = per_v.select(
-        "v",
-        F.sum("na_v").over(w).alias("ca"),
-        F.sum("nb_v").over(w).alias("cb"),
-        F.sum("na_v").over(tot).alias("n_a"),
-        F.sum("nb_v").over(tot).alias("n_b"),
+    from dawis_spark.operators.stats import value_cum_walk
+
+    tot = per_v.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        F.sum("nb_v").cast("bigint").alias("n_b"),
+    )
+    cum = (
+        value_cum_walk(per_v, "v", ["na_v", "nb_v"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            F.col("cum_na_v").alias("ca"),
+            F.col("cum_nb_v").alias("cb"),
+            "n_a",
+            "n_b",
+        )
     )
     scored = cum.select(
         "v",

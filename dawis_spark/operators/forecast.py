@@ -35,6 +35,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from dawis_spark.operators.logreg import _half_up6
+
 
 def _tdiv(a: int, b: int) -> int:
     """Integer division truncating toward zero (Spark div / DuckDB //)."""
@@ -366,7 +368,9 @@ def theta_forecast(
                 "h": list(range(1, horizon + 1)),
                 "forecast": rows,
                 "level": [lvl] * horizon,
-                "slope": [round(float(num) / den, 6)] * horizon,
+                # HALF_UP like the oracle's ROUND() — builtin round()
+                # is banker's and would diverge on a 7th-digit tie
+                "slope": [_half_up6(float(num) / den)] * horizon,
                 "n_points": [len(vals)] * horizon,
             }
         )
@@ -475,7 +479,10 @@ def croston(
                 "n_points": [m],
                 "size_hat": [round(z / 1000000.0, 6)],
                 "interval_hat": [round(q / 1000000.0, 6)],
-                "rate": [round(float(z) / q, 6)],
+                # HALF_UP: see theta's slope note (z/1e6 and q/1e6 are
+                # exact 6-decimal micro-units, so their round() calls
+                # can never land on a true tie; this quotient can)
+                "rate": [_half_up6(float(z) / q)],
             }
         )
 

@@ -723,6 +723,7 @@ def range_partitioned_ranks(
     sum_col: str | None = None,
     sum_of: str | None = None,
     log_scale: bool = False,
+    sum_cols: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Exact global dense row-numbering WITHOUT a single-partition sort.
 
@@ -761,7 +762,12 @@ def range_partitioned_ranks(
     per-distinct-value count relation ranked by value with a running
     count (the midrank/CDF shape). The summed column must be
     integer-typed (the prefix sums are exact bigint — the cents-integer
-    discipline every cumulative query here uses).
+    discipline every cumulative query here uses). ``sum_cols`` is the
+    many-at-once form: a list of ``(out_col, src_col)`` pairs, each an
+    independent running cumulative sum over the SAME rank order, all
+    carried through the one bucket-count exchange (the EDF drift panel
+    needs two — cum_a and cum_b — per walk; two calls would pay the
+    bucket machinery twice).
 
     ``log_scale=True`` assigns buckets on the signed-log transform
     sign(v)*ln(1+|v|) instead of v itself — STRICTLY MONOTONE, so bucket
@@ -828,26 +834,27 @@ def range_partitioned_ranks(
         .withColumn("__b", F.expr(bexpr))
         .persist()
     )
-    sum_src = sum_of if sum_of is not None else value_col
-    baggs = [F.count(F.lit(1)).alias("__bc")]
+    pairs: list[tuple[str, str]] = list(sum_cols) if sum_cols else []
     if sum_col is not None:
+        pairs.append((sum_col, sum_of if sum_of is not None else value_col))
+    baggs = [F.count(F.lit(1)).alias("__bc")]
+    for i, (_, src) in enumerate(pairs):
         baggs.append(
-            F.coalesce(F.sum(sum_src).cast("bigint"), F.lit(0)).alias("__bs")
+            F.coalesce(F.sum(src).cast("bigint"), F.lit(0)).alias(f"__bs{i}")
         )
     bcounts = bucketed.groupBy("__b").agg(*baggs)
-    struct_cols = ["__b", "__bc"] + (["__bs"] if sum_col is not None else [])
-    soff_expr = (
-        ", aggregate(slice(__a, 1, i), cast(0 as bigint), "
-        "(acc, x) -> acc + x.__bs) AS __soff"
-        if sum_col is not None
-        else ""
+    struct_cols = ["__b", "__bc"] + [f"__bs{i}" for i in range(len(pairs))]
+    soff_expr = "".join(
+        f", aggregate(slice(__a, 1, i), cast(0 as bigint), "
+        f"(acc, x) -> acc + x.__bs{i2}) AS __soff{i2}"
+        for i2 in range(len(pairs))
     )
     out_cols = [
         F.col("__s.__b").alias("__b"),
         F.col("__s.__off").alias("__off"),
     ]
-    if sum_col is not None:
-        out_cols.append(F.col("__s.__soff").alias("__soff"))
+    for i in range(len(pairs)):
+        out_cols.append(F.col(f"__s.__soff{i}").alias(f"__soff{i}"))
     offsets = (
         bcounts.agg(
             F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("__a")
@@ -877,17 +884,19 @@ def range_partitioned_ranks(
     joined = bucketed.join(F.broadcast(offsets), "__b").withColumn(
         "__rnb", F.row_number().over(w_in)
     )
-    if sum_col is not None:
+    for i, (out_name, src) in enumerate(pairs):
         joined = joined.withColumn(
-            "__rsb",
+            f"__rsb{i}",
             F.coalesce(
-                F.sum(sum_src)
+                F.sum(src)
                 .over(w_in.rowsBetween(Window.unboundedPreceding, 0))
                 .cast("bigint"),
                 F.lit(0),
             ),
         )
-        out.append((F.col("__soff") + F.col("__rsb")).cast("bigint").alias(sum_col))
+        out.append(
+            (F.col(f"__soff{i}") + F.col(f"__rsb{i}")).cast("bigint").alias(out_name)
+        )
     return joined.select(*out)
 
 

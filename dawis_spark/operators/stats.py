@@ -32,6 +32,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def value_cum_walk(
+    per_v: DataFrame,
+    value_col: str,
+    count_cols: list[str],
+    n_buckets: int = 1024,
+    rank_col: str = "__r",
+) -> DataFrame:
+    """Distributed EDF walk over a distinct-value relation: inclusive
+    running sums ``cum_<c>`` of each integer count column in
+    ``value_col`` order, plus the dense value rank ``rank_col`` — all
+    via range_partitioned_ranks' two-level prefix-sum, so NO
+    partition-less window exists anywhere in the plan (the r12 verdict's
+    "distinct cents" whitelist class, retired structurally: the walk's
+    only whole-data exchange carries <= n_buckets bucket counts, and the
+    per-bucket sorts are partitioned by bucket). Ranks and sums are
+    bit-identical to ``SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING
+    ... CURRENT ROW)`` by construction. Exclusive ("before") forms are
+    one subtraction: ``cum_c - c``."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    return range_partitioned_ranks(
+        per_v,
+        value_col,
+        [],
+        n_buckets=n_buckets,
+        out_col=rank_col,
+        sum_cols=[(f"cum_{c}", c) for c in count_cols],
+    )
+
+
 def theil_sen(
     df: DataFrame, key_col: str, x_col: str, y_col: str
 ) -> DataFrame:
@@ -75,16 +105,13 @@ def mann_whitney(
     per_v = tagged.groupBy("v").agg(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
+    ).withColumn("t_v", (F.col("na_v") + F.col("nb_v")).cast("bigint"))
+    ranked = value_cum_walk(per_v, "v", ["t_v"]).select(
         "v",
         "na_v",
         "nb_v",
-        (F.col("na_v") + F.col("nb_v")).alias("t_v"),
-        F.coalesce(F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)).alias(
-            "before"
-        ),
+        "t_v",
+        (F.col("cum_t_v") - F.col("t_v")).alias("before"),
     )
     # average rank of a tie group in .5-exact dyadic form:
     # (2*(before+1) + (t-1)) / 2
@@ -750,11 +777,8 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gv"))
     per_v = gv.groupBy("v").agg(F.sum("n_gv").cast("bigint").alias("t_v"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
-        "v",
-        "t_v",
-        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("before"),
+    ranked = value_cum_walk(per_v, "v", ["t_v"]).select(
+        "v", "t_v", (F.col("cum_t_v") - F.col("t_v")).alias("before")
     )
     avg_rank = (2 * (F.col("before") + 1) + (F.col("t_v") - 1)) / 2
     per_g = (
@@ -893,11 +917,10 @@ def two_sample_effect_sizes(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    walked = per_v.select(
+    walked = value_cum_walk(per_v, "v", ["nb_v"]).select(
         "na_v",
         "nb_v",
-        F.coalesce(F.sum("nb_v").over(w), F.lit(0)).alias("b_before"),
+        (F.col("cum_nb_v") - F.col("nb_v")).alias("b_before"),
     )
     pairs = walked.agg(
         F.sum(F.col("na_v").cast("decimal(38,0)") * F.col("b_before")).alias(
@@ -982,12 +1005,11 @@ def cramer_von_mises(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    walked = per_v.select(
+    walked = value_cum_walk(per_v, "v", ["na_v", "nb_v"]).select(
         "na_v",
         "nb_v",
-        F.sum("na_v").over(w).alias("cum_a"),
-        F.sum("nb_v").over(w).alias("cum_b"),
+        F.col("cum_na_v").alias("cum_a"),
+        F.col("cum_nb_v").alias("cum_b"),
     )
     # the exact term needs n_a/n_b inside the walk: two-phase — totals
     # first (broadcast), then the weighted fold
@@ -1040,8 +1062,9 @@ def anderson_darling_k(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     per_v = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t_v"))
-    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    pooled = per_v.select("v", "t_v", F.sum("t_v").over(wp).alias("b"))
+    pooled = value_cum_walk(per_v, "v", ["t_v"]).select(
+        "v", "t_v", F.col("cum_t_v").alias("b")
+    )
     groups = gv.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
     grid = pooled.crossJoin(F.broadcast(groups)).join(
         gv, ["g", "v"], "left"
@@ -1208,20 +1231,27 @@ def wasserstein_1d(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy("v")
-    walked = per_v.select(
+    cum = value_cum_walk(per_v, "v", ["na_v", "nb_v"])
+    # lead(v) without a global window: the walk's dense value rank makes
+    # "next distinct value" an equi-join on rank+1 — a hash exchange of
+    # the distinct-value relation, never a single-task sort. The inner
+    # join drops the last value (no successor), exactly lead()'s
+    # null-filtered rows.
+    nxt = cum.select(
+        (F.col("__r") - F.lit(1)).alias("__rp"), F.col("v").alias("v_next")
+    )
+    walked = cum.join(nxt, F.col("__r") == F.col("__rp")).select(
         "v",
-        F.sum("na_v").over(w).alias("cum_a"),
-        F.sum("nb_v").over(w).alias("cum_b"),
-        F.lead("v", 1).over(wn).alias("v_next"),
+        F.col("cum_na_v").alias("cum_a"),
+        F.col("cum_nb_v").alias("cum_b"),
+        "v_next",
     )
     tot = per_v.agg(
         F.sum("na_v").cast("bigint").alias("n_a_i"),
         F.sum("nb_v").cast("bigint").alias("n_b_i"),
     )
     terms = (
-        walked.filter(F.col("v_next").isNotNull())
+        walked
         .crossJoin(F.broadcast(tot))
         .select(
             (

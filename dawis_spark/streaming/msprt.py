@@ -110,11 +110,17 @@ def stream_msprt_alerts(
     n_ctrl, n_treat, crossed_ms) row for the FIRST crossing bucket,
     then the latch holds.
 
-    Batch equivalence (tested): under any tick split of the same
-    rollups, the alerted key set equals the keys whose
-    ``msprt_closed_form`` over the retained union crosses alpha —
-    same-bucket redelivery replaces, and the closed form is one shared
-    function of the final series."""
+    Per-tick consistency (tested): at every tick the decision is
+    ``msprt_closed_form`` over the rollups RETAINED SO FAR (same-bucket
+    redelivery replaces; one shared closed form) — so a split that
+    delivers buckets in order reproduces the batch alert exactly.
+    NOT claimed: full split-invariance. The plug-in s2 at a tick is
+    estimated from the data retained at that tick, so a key can cross
+    alpha under a partial-data s2 where the end-of-stream replay would
+    not (or at a different bucket), and the single-shot latch keeps
+    that earlier decision — the standard always-valid-inference
+    behavior (any stopping time is valid; WHICH stopping time you hit
+    depends on delivery order)."""
     out_schema = T.StructType(
         [
             T.StructField(key_col, T.StringType()),

@@ -536,16 +536,10 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "perplexity_quality_bands": "prefix-sum over the <=1024-row bucket-count relation",
     "hybrid_search_rrf": "rank over the fused candidate pool (two top-N legs)",
     "frequent_event_sequences": "share over the |event_types|^3 sequence relation",
-    "ks_price_drift": "CDF walk over distinct price cents (value-bounded domain)",
     "benford_first_digit": "share over 9 leading digits",
     "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
     "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
-    "mann_whitney_drift": "rank-sum over distinct values (value-bounded domain)",
-    "kruskal_wallis_priority": "rank walk over distinct cents (value-bounded domain)",
     "ks_statistic_classifier": "CDF walk over distinct round-6 scores (value-bounded [0,1] grid)",
-    "cramer_von_mises_drift": "EDF walk over distinct cents (value-bounded domain)",
-    "anderson_darling_priorities": "pooled EDF walk over distinct cents (value-bounded domain)",
-    "effect_sizes_urgent_vs_low": "dominance-pair walk over distinct cents (value-bounded domain)",
     "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
     "spearman_daily_rev_orders": "rank over the day-bounded daily series",
@@ -557,7 +551,6 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "hurst_rescaled_range": "day index over the day-bounded daily series",
     "ar2_forecast_daily": "lags over the day-bounded daily series",
     "binseg_changepoints_daily": "prefix sums over the day-bounded daily series",
-    "median_ci_order_value": "cumulative counts over the distinct-cents value relation",
     "conformal_interval_price": (
         "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"
         " constant group key is constant-folded out of the window spec"
@@ -574,7 +567,6 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "bca_ci_order_value": "percentile rank over the B=64 replicate relation",
     "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
     "ltv_projection_curve": "cumulative LTV over the month-bounded age curve",
-    "wasserstein_price_drift": "EDF walk over distinct cents (value-bounded domain)",
     "periodogram_daily_revenue": "t-index over the day-bounded daily series",
     "matrix_profile_daily": "leads + top-k ranks over the day-bounded daily series",
 }
@@ -590,6 +582,8 @@ def test_whole_inventory_has_no_unadjudicated_partitionless_windows(spark):
     range_partitioned_ranks / TakeOrdered; this test compiles EVERY
     inventory query and fails on any partition-less window outside the
     adjudicated bounded-input whitelist, so the class cannot regrow."""
+    from dawis_spark.plans.bounded import BOUNDED_WINDOW_REGISTRY
+
     flagged = {}
     for name in q.QUERIES:
         plan = _plan(spark, name)
@@ -597,14 +591,95 @@ def test_whole_inventory_has_no_unadjudicated_partitionless_windows(spark):
         if bad:
             flagged[name] = bad[0]
         spark.catalog.clearCache()
-    unadjudicated = {
-        n: h for n, h in flagged.items() if n not in _PARTITIONLESS_WINDOW_WHITELIST
-    }
+    # plan-build-time adjudications (dawis_spark/plans/bounded.py) union
+    # with the FROZEN legacy prose list — new queries must use the former
+    adjudicated = set(_PARTITIONLESS_WINDOW_WHITELIST) | set(
+        BOUNDED_WINDOW_REGISTRY
+    )
+    unadjudicated = {n: h for n, h in flagged.items() if n not in adjudicated}
     assert not unadjudicated, unadjudicated
     # keep the whitelist honest: entries whose queries no longer plan a
     # partition-less window should be removed, not accumulate
     stale = set(_PARTITIONLESS_WINDOW_WHITELIST) - set(flagged)
     assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+# The legacy prose whitelist as of round 13, after the eight
+# "distinct cents (value-bounded domain)" EDF-walk entries were migrated
+# onto range_partitioned_ranks (stats.value_cum_walk). FROZEN: the prose
+# dict may only SHRINK from here — a new query needing a bounded global
+# window must route through plans/bounded.py's bounded_window(), which
+# registers the adjudication at plan-build time. This pin is what makes
+# the r12 verdict's "stop the whitelist's growth structurally" ask
+# enforceable rather than aspirational.
+_WHITELIST_FROZEN_R13: frozenset = frozenset(
+    {
+        "perplexity_quality_bands",
+        "hybrid_search_rrf",
+        "frequent_event_sequences",
+        "benford_first_digit",
+        "stratified_quota_sample",
+        "wordpiece_vocab",
+        "ks_statistic_classifier",
+        "rank_biased_overlap",
+        "bootstrap_ci_order_value",
+        "spearman_daily_rev_orders",
+        "acf_daily_revenue",
+        "ljung_box_daily_revenue",
+        "granger_orders_to_revenue",
+        "runs_test_daily_revenue",
+        "page_hinkley_drift",
+        "hurst_rescaled_range",
+        "ar2_forecast_daily",
+        "binseg_changepoints_daily",
+        "conformal_interval_price",
+        "fdr_bh_nation_urgency",
+        "ccf_orders_vs_revenue",
+        "search_mrr_eval",
+        "search_ndcg_eval",
+        "search_map_eval",
+        "spc_xbar_breaches",
+        "msprt_sequential_monitor",
+        "bca_ci_order_value",
+        "plsa_topic_terms",
+        "ltv_projection_curve",
+        "periodogram_daily_revenue",
+        "matrix_profile_daily",
+    }
+)
+
+
+def test_partitionless_whitelist_is_frozen():
+    """Monotone non-increase, enforced: no name may ever be ADDED to the
+    prose whitelist again (removals are fine — that's the goal). New
+    bounded-window queries carry their adjudication in code via
+    bounded_window() instead."""
+    extras = set(_PARTITIONLESS_WINDOW_WHITELIST) - _WHITELIST_FROZEN_R13
+    assert not extras, (
+        f"prose whitelist grew: {sorted(extras)} — route new bounded"
+        " global windows through dawis_spark.plans.bounded.bounded_window"
+    )
+
+
+def test_bounded_window_rejects_unknown_class_and_empty_reason():
+    import pytest as _pytest
+
+    from dawis_spark.plans.bounded import (
+        BOUNDED_WINDOW_REGISTRY,
+        bounded_window,
+    )
+
+    with _pytest.raises(ValueError, match="unknown bound class"):
+        bounded_window("some_query", "it-is-fine-trust-me", "reason", "c")
+    with _pytest.raises(ValueError, match="explicit reason"):
+        bounded_window("some_query", "day-spine", "  ", "c")
+    spec = bounded_window(
+        "__test_probe__", "day-spine", "one row per day in the window", "c"
+    )
+    assert BOUNDED_WINDOW_REGISTRY["__test_probe__"][0] == "day-spine"
+    del BOUNDED_WINDOW_REGISTRY["__test_probe__"]
+    # the returned spec chains like any WindowSpec
+    spec.rowsBetween(-1, 0)
 
 
 def test_whale_guard_broadcasts_whale_set_in_query(spark):
