@@ -59,6 +59,57 @@ def holt_fit(
     return lvl, tr
 
 
+def holt_residual_walk(
+    series: list[tuple[int, int]], alpha_den: int = 4, beta_den: int = 8
+) -> list[tuple[int, int, int, int, int]]:
+    """One-step-ahead Holt residuals over a sorted (bucket, value)
+    series: [(bucket, forecast, resid, n_prior, sum_abs_prior)] for
+    every bucket after the first (which only initializes the state).
+    ``forecast`` is the PRE-update l + b — what the model predicted for
+    this bucket before seeing it — so ``resid`` is the honest
+    out-of-sample one-step error; ``n_prior``/``sum_abs_prior`` carry
+    the count and L1 mass of the residuals BEFORE this bucket, the
+    exact-integer sufficient statistics of the trailing mean-absolute-
+    residual threshold (see :func:`first_holt_residual_breach`). One
+    pass, all-integer — shared by the streaming monitor
+    (streaming/forecastmon.py), the batch query, and the oracle replay
+    (same trunc-div recurrence as :func:`holt_fit`)."""
+    out: list[tuple[int, int, int, int, int]] = []
+    lvl, tr = series[0][1], 0
+    n_prior, sum_abs = 0, 0
+    for b, x in series[1:]:
+        f = lvl + tr
+        r = x - f
+        out.append((b, f, r, n_prior, sum_abs))
+        n_prior += 1
+        sum_abs += abs(r)
+        lvl_new = _tdiv(x + (alpha_den - 1) * (lvl + tr), alpha_den)
+        tr = _tdiv((lvl_new - lvl) + (beta_den - 1) * tr, beta_den)
+        lvl = lvl_new
+    return out
+
+
+def first_holt_residual_breach(
+    series: list[tuple[int, int]],
+    k_milli: int = 3000,
+    min_resid: int = 8,
+    alpha_den: int = 4,
+    beta_den: int = 8,
+) -> tuple[int, int, int, int, int] | None:
+    """First (bucket, forecast, resid, n_prior, sum_abs_prior) whose
+    one-step residual exceeds k x the trailing mean absolute residual,
+    or None. The comparison is EXACT integer cross-multiplication —
+    |resid| * n_prior * 1000 > k_milli * sum_abs_prior — with at least
+    ``min_resid`` prior residuals (the warmup below which the trailing
+    mean is noise). A dead-flat history (sum_abs_prior == 0) alerts on
+    ANY nonzero residual after warmup — deliberate: a first wiggle on a
+    constant series is exactly the surprise a monitor exists for."""
+    for b, f, r, n, s in holt_residual_walk(series, alpha_den, beta_den):
+        if n >= min_resid and abs(r) * n * 1000 > k_milli * s:
+            return (b, f, r, n, s)
+    return None
+
+
 def holt_linear(
     series: DataFrame,
     key_col: str,

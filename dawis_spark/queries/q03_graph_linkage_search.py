@@ -1,0 +1,4593 @@
+"""Query inventory, part 3/6 (definition order preserved from the pre-split queries.py; see _registry.REGISTRY_ORDER).
+
+Graph analytics (PageRank/HITS/triangles), record linkage, histograms/profiles, retrieval evals (nDCG/MRR), attribution.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dawis_spark.queries._registry import query
+from dawis_spark.queries.q01_spine_dedup_ann import (
+    _BANDS,
+    _BM25_TERMS,
+    _N_PERMS,
+    _ROWS_PER_BAND,
+    _SHINGLE_K,
+    _TXT,
+    _VEC,
+    _embedding_topk_oracle,
+    _ivf_trained_oracle,
+    _lang_id_oracle,
+    _quality_oracle,
+)
+from dawis_spark.queries.q02_corpus_quality_classifiers import (
+    _ITEM_DUCK,
+    _ITEM_SPARK,
+    _LOGREG_SAMPLE_LIMIT,
+    _LOGREG_Y_SPARK,
+    _WG_CTES,
+    _coreset_oracle,
+    _guarded_events,
+    _hybrid_rrf_oracle,
+    _logreg_chain_ctes,
+    _profile,
+    _trained_logreg_w,
+    _with_whale_audit,
+)
+
+@query("coreset_cluster_balanced", oracle=_coreset_oracle(8, 40, 64))
+def coreset_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection for training-data curation:
+    k-means cells (deterministic bounded-sample training, the IVF
+    quantizer machinery) -> map-side full-corpus assignment -> top-40
+    most-central vectors PER CELL, so every mode keeps representation
+    where a global top-m collapses onto the densest cluster (SemDeDup's
+    selection step inverted: keep prototypes, not prune dupes). Only
+    exchange: the per-cell top-m window over config-sized keys."""
+    from dawis_spark.operators.similarity import cluster_balanced_coreset
+
+    return cluster_balanced_coreset(
+        spark.table("embeddings"), "vec_id", "embedding", 8, 40, 1
+    )
+
+
+def _triangle_oracle(max_basket: int, min_co: int) -> str:
+    return f"""
+WITH b0 AS (
+  SELECT DISTINCT user_id, {_ITEM_DUCK} AS item FROM events
+  WHERE {_ITEM_DUCK} IS NOT NULL),
+bn AS (SELECT user_id, COUNT(*) AS n FROM b0 GROUP BY user_id),
+b AS (SELECT b0.user_id, b0.item FROM b0 JOIN bn USING (user_id)
+      WHERE bn.n <= {max_basket}),
+e AS (
+  SELECT a.item AS i, b2.item AS j
+  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.item < b2.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_co}),
+tri AS (
+  SELECT ab.i AS x, ab.j AS y, bc.j AS z
+  FROM e ab JOIN e bc ON ab.j = bc.i
+  JOIN e ac ON ac.i = ab.i AND ac.j = bc.j),
+nodes AS (
+  SELECT x AS item FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM nodes GROUP BY item ORDER BY triangles DESC, item
+"""
+
+
+@query("item_graph_triangles", oracle=_triangle_oracle(128, 6))
+def item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the item co-occurrence graph
+    (edges = item pairs co-touched by >= 6 users, baskets capped at 128)
+    — the clustering-density primitive behind community/link-farm
+    detection. Edges are ORIENTED i<j so each triangle {a<b<c} is
+    counted exactly once as a closed wedge (Suri & Vassilvitskii's
+    'last reducer' fix): two edge-keyed self-joins + one explode/count,
+    all edge-count-bound shuffles."""
+    from dawis_spark.operators.cooccur import item_baskets
+    from dawis_spark.operators.graph import triangle_counts
+
+    b = item_baskets(spark.table("events"), _ITEM_SPARK, 128)
+    edges = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 6)
+        .select("i", "j")
+    )
+    return triangle_counts(edges)
+
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT p_brand AS g, p_name AS t, CAST(COUNT(*) AS BIGINT) AS n,
+         length(p_name) AS ln
+  FROM part GROUP BY 1, 2)
+SELECT a.g AS p_brand, a.t AS text_a, b2.t AS text_b,
+       CAST(levenshtein(a.t, b2.t) AS INT) AS dist,
+       a.n AS n_a, b2.n AS n_b
+FROM names a JOIN names b2
+  ON a.g = b2.g AND a.t < b2.t AND abs(a.ln - b2.ln) <= 2
+WHERE levenshtein(a.t, b2.t) <= 2
+ORDER BY p_brand, text_a, text_b
+"""
+
+
+@query("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching on SHORT strings: part names
+    within brand blocks at Levenshtein distance <= 2 — the string-family
+    operator shingle/MinHash can't serve (3-gram sets of two-word names
+    are too sparse). Runs on the DISTINCT-NAME catalog with occurrence
+    counts (the sf1 rehearsal caught the row-level formulation at an
+    18e9-pair enumeration; the name catalog barely grows under tiling).
+    Length filter |len_a - len_b| <= 2 (an edit-distance lower bound)
+    prunes inside the join condition; the distance is the engines'
+    native integer levenshtein — no floats anywhere."""
+    from dawis_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        spark.table("part"), "p_partkey", "p_name", "p_brand", 2, None
+    )
+
+
+from dawis_spark.operators import diff as _diff  # noqa: E402
+
+_DIFF_OLD = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0"
+_DIFF_NEW = (
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 1.1, 2) "
+    "ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 7 <> 0"
+)
+
+
+@query(
+    "snapshot_table_diff",
+    oracle=_diff.diff_oracle_sql(
+        _DIFF_OLD,
+        _DIFF_NEW,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    )
+    + " ORDER BY o_orderkey",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation: two deterministic versions of
+    orders (keys mod-10 vs mod-7 membership churn; mod-5 keys get a 10%
+    price bump) are diffed by ONE co-keyed full outer join into
+    added/removed/changed rows with the exact changed-column list under
+    null-safe equality — the change feed operators/ivm.py consumes and
+    operators/scd.py writes history from. Output is churn-sized, never
+    table-sized."""
+    orders = spark.table("orders")
+    old = orders.filter("o_orderkey % 10 <> 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter("o_orderkey % 7 <> 0").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 1.1, 2) "
+            "ELSE o_totalprice END"
+        ).alias("o_totalprice"),
+    )
+    return _diff.table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "totalprice_histogram",
+    oracle=_profile.histogram_oracle_sql("orders", "o_totalprice", 20),
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals with IN-QUERY
+    bounds — the ANALYZE/optimizer-stats histogram. Bucket index is
+    integer multiply-then-divide over cents ((vc-minc)*B div range), so
+    boundary ties land identically in both engines where a float
+    (v-min)/width would round apart. Bounds row broadcasts; the count
+    aggregate has 20 keys, all map-side-partial."""
+    return _profile.equi_width_histogram(spark.table("orders"), "o_totalprice", 20)
+
+
+_BOUNCE_ORACLE = f"""
+WITH {_WG_CTES},
+e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM kept_events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e),
+per_sess AS (
+  SELECT user_id, sess,
+         first(event_type ORDER BY ts, event_id) AS entry_type,
+         last(event_type ORDER BY ts, event_id) AS exit_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sess),
+per_entry AS (
+  SELECT entry_type,
+         CAST(COUNT(*) AS BIGINT) AS sessions,
+         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+         ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 4) AS bounce_rate,
+         ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events,
+         CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END) AS BIGINT)
+           AS same_exit
+  FROM per_sess GROUP BY entry_type)
+SELECT q.entry_type, q.sessions, q.bounces, q.bounce_rate, q.avg_events,
+       q.same_exit, wg_nw.n_whales
+FROM wg_nw LEFT JOIN per_entry q ON TRUE
+ORDER BY q.entry_type
+"""
+
+
+@query("session_entry_exit_bounce", oracle=_BOUNCE_ORACLE)
+def session_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GA-style landing-page analytics re-expressed on the events stream:
+    sessionize (30-min inactivity gap, same rule as `sessionization`),
+    take each session's ENTRY and EXIT event types, and roll up bounce
+    rate (single-event sessions), average depth, and same-entry-exit
+    counts per entry type. One user-hashed exchange carries both windows
+    (gap flag + running session id share the sort); the per-session
+    collapse rides the same key; the final rollup is type-sized. Ratios
+    are exact-int / exact-int single divisions.
+
+    Guarded: whale users (> 0.8% of all events, _WHALE_SHARE) are
+    excluded from the sessionization window; n_whales audits the
+    exclusion."""
+    from pyspark.sql import Window
+
+    kept, nw = _guarded_events(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = kept.select("user_id", "event_type", "ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("new_sess", new_sess).withColumn(
+        "sess",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("exit_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    bounce = F.sum((F.col("n_events") == 1).cast("int")).cast("bigint")
+    per_entry = per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sessions"),
+        bounce.alias("bounces"),
+        F.round(bounce / F.count(F.lit(1)), 4).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 4).alias("avg_events"),
+        F.sum((F.col("entry_type") == F.col("exit_type")).cast("int"))
+        .cast("bigint")
+        .alias("same_exit"),
+    )
+    return _with_whale_audit(per_entry, nw).orderBy("entry_type")
+
+
+from dawis_spark.operators import drift as _drift  # noqa: E402
+
+
+@query(
+    "ks_price_drift",
+    oracle=_drift.ks_oracle_sql(
+        "orders",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+    ),
+)
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift between the URGENT and
+    LOW order-total distributions — the binless companion to the binned
+    JS source-drift monitor. The sup|F_a - F_b| argmax is decided in
+    INTEGER cross-multiplied form |c_a*n_b - c_b*n_a| so both engines
+    pick the identical location; value pre-agg makes the single global
+    cumulative window distinct-support-sized, not row-sized."""
+    o = spark.table("orders").withColumn(
+        "v_cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
+    return _drift.ks_two_sample(
+        o, "v_cents", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+@query(
+    "benford_first_digit",
+    oracle=_drift.benford_oracle_sql("orders", "o_totalprice"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals — the
+    classic fabricated-numbers data-quality check. Expected frequencies
+    are nine literals (no runtime log); output is per-digit rows so no
+    cross-row float accumulation exists; observed shares are
+    exact-int / exact-int single divisions. One scan, 9 agg keys."""
+    return _drift.benford_profile(spark.table("orders"), "o_totalprice")
+
+
+_CURRICULUM_ORACLE = f"""
+WITH q AS ({{q}}),
+b AS (
+  SELECT doc_id, quality, n_tokens,
+         ntile(10) OVER (ORDER BY quality, doc_id) AS bucket
+  FROM q)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(quality) AS min_q, MAX(quality) AS max_q,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+FROM b GROUP BY bucket ORDER BY bucket
+""".format(q=_quality_oracle().replace("ORDER BY doc_id", ""))
+
+
+@query("curriculum_buckets", oracle=_CURRICULUM_ORACLE)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning difficulty deciles: ntile(10) over the
+    composite quality score (ties broken by doc_id — replayable), then
+    per-bucket doc/token rollups — the ordering stage of quality-
+    curriculum training schedules (easy-to-hard). The ntile is computed
+    by exact_ntile (range-bucketed two-level prefix-sum ranking,
+    operators/sketches.py), NOT a partition-less window — no
+    single-partition corpus sort exists in the plan; the only
+    whole-data exchange carries <= 1024 bucket counts. Bit-identical to
+    the window ntile, so the oracle keeps the reference form."""
+    from dawis_spark.operators.sketches import exact_ntile
+    from dawis_spark.operators.textstats import quality_score
+
+    q = quality_score(spark.table("documents"), "doc_id", "text")
+    b = exact_ntile(q, "quality", ["doc_id"], 10, out_col="bucket")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _quota_oracle(total: int) -> str:
+    from dawis_spark.operators.sketches import _mixed_sql
+
+    h = _TXT.char_hash("cast(doc_id as varchar)", "duck")
+    return f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS nc FROM c),
+alloc0 AS (
+  SELECT source, n,
+         ({total} * n) // nc AS base,
+         ({total} * n) % nc AS rem
+  FROM c, tot),
+leftover AS (SELECT {total} - SUM(base) AS l FROM alloc0),
+alloc AS (
+  SELECT source, n,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= l
+                     THEN 1 ELSE 0 END AS quota
+  FROM alloc0, leftover),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY ({_mixed_sql(h, 'duck')}) % 1000000, doc_id) AS rk
+  FROM documents)
+SELECT r.source, CAST(a.quota AS BIGINT) AS quota, r.doc_id,
+       CAST(r.rk AS INT) AS rk
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.rk <= a.quota
+ORDER BY r.source, r.rk
+"""
+
+
+@query("stratified_quota_sample", oracle=_quota_oracle(200))
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling with LARGEST-REMAINDER seat
+    allocation: per-source quotas are floor(total*n_h/N) plus one seat
+    for the largest remainders (ties by source — the Hare quota method,
+    integer-exact so both engines allocate identically), then each
+    stratum takes its quota by deterministic uniformized-hash rank —
+    the exactly-N companion to the rate-based stratified_sample. Scale:
+    counts are one agg; the per-source top-quota is a window over the
+    source key; the allocation relation is |sources|-sized."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.sketches import _mixed_sql
+    from dawis_spark.functions import text as _T
+
+    total = 200
+    d = spark.table("documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").alias("nc"))
+    alloc0 = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({total} * n) div nc").alias("base"),
+        F.expr(f"({total} * n) % nc").alias("rem"),
+    )
+    leftover = alloc0.agg((F.lit(total) - F.sum("base")).alias("l"))
+    alloc = alloc0.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+                <= F.col("l"),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    h = _T.char_hash("cast(doc_id as string)", "spark")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.expr(f"({_mixed_sql(h, 'spark')}) % 1000000"), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "source",
+            F.col("quota").cast("bigint").alias("quota"),
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+def _loss_weights_oracle() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id, sha256(text) AS h FROM documents),
+sz AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS group_size FROM g GROUP BY h)
+SELECT g.doc_id, sz.group_size,
+       CAST(1000000 // sz.group_size AS BIGINT) AS weight_ppm
+FROM g JOIN sz USING (h) ORDER BY g.doc_id
+"""
+
+
+@query("dedup_loss_weights", oracle=_loss_weights_oracle())
+def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware loss weighting — the KEEP-but-downweight
+    alternative to dropping exact dups (each content group's total
+    gradient mass sums to ~1): weight_ppm = 1e6 div group_size over
+    sha-256 content groups, integer-exact. One content-hash aggregate
+    plus a hash-keyed join back; weights stay with rows, no row is
+    dropped — the form data loaders consume."""
+    d = spark.table("documents").withColumn("h", F.sha2(F.col("text"), 256))
+    sz = d.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    return (
+        d.join(sz, "h")
+        .select(
+            "doc_id",
+            "group_size",
+            F.expr("cast(1000000 div group_size as bigint)").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ASSOC_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess,
+         {_ITEM_DUCK} AS item
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, item,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s WHERE item IS NOT NULL),
+b AS (SELECT DISTINCT user_id * 1000000 + sid AS basket, item FROM sess),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+marg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY item),
+co AS (
+  SELECT x.item AS i, y.item AS j, CAST(COUNT(*) AS BIGINT) AS n_ij
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item <> y.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT co.i, co.j, co.n_ij,
+       ROUND(CAST(co.n_ij AS DOUBLE) / nb.n_baskets, 6) AS support,
+       ROUND(CAST(co.n_ij AS DOUBLE) / mi.n, 6) AS confidence,
+       ROUND(CAST(co.n_ij AS DOUBLE) * nb.n_baskets / (mi.n * mj.n), 6) AS lift
+FROM co JOIN marg mi ON co.i = mi.item JOIN marg mj ON co.j = mj.item, nb
+ORDER BY lift DESC, i, j LIMIT 25
+"""
+
+
+@query("association_rules", oracle=_ASSOC_ORACLE)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules i->j over SESSION-scoped item
+    baskets (30-min-gap sessions, the same rule as `sessionization`):
+    support, confidence, and lift, each a single division of exact
+    BIGINT counts (lift's numerator n_ij * N stays in int64) — top-25
+    by lift, ties replayable. The directional-rules complement to
+    item_cooccurrence_topk's symmetric cosine. Shuffles: one user
+    window, one basket-keyed pair join, then item-catalog-sized joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = spark.table("events").select(
+        "user_id", "ts", "event_id", F.expr(_ITEM_SPARK).alias("item")
+    )
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    b = sess.select(
+        (F.col("user_id") * 1000000 + F.col("sid")).alias("basket"), "item"
+    ).distinct()
+    nb = b.agg(F.countDistinct("basket").cast("bigint").alias("n_baskets"))
+    marg = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    co = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.basket") == F.col("y.basket"))
+            & (F.col("x.item") != F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("i"), F.col("y.item").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij"))
+        .filter(F.col("n_ij") >= 3)
+    )
+    mi = marg.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    mj = marg.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    return (
+        co.join(mi, "i")
+        .join(mj, "j")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "i",
+            "j",
+            "n_ij",
+            F.round(F.col("n_ij") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ij") / F.col("n_i"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ij") * F.col("n_baskets") / (F.col("n_i") * F.col("n_j")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "i", "j")
+        .limit(25)
+    )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events GROUP BY 1, 2),
+expanded AS (
+  SELECT d.user_id, d.day + to_days(CAST(off.o AS INT)) AS day, d.total_cents
+  FROM daily d, range(0, 7) off(o)),
+med AS (
+  SELECT e.user_id, e.day,
+         median(e.total_cents) AS med_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM expanded e JOIN daily cur ON e.user_id = cur.user_id AND e.day = cur.day
+  GROUP BY 1, 2)
+SELECT user_id, day, med_cents, n_days
+FROM med WHERE n_days >= 4 ORDER BY user_id, day
+"""
+
+
+@query("rolling_median_7d", oracle=_ROLLING_MEDIAN_ORACLE)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day median of per-user daily totals — the robust
+    rolling statistic MAD-style monitors want where a mean window is
+    skew-fragile. No per-row re-sort of a range window: each daily total
+    EXPLODES to the <=7 future days it participates in (a fixed map-side
+    x7 fanout of hash-only rows), then one (user, day) aggregate takes
+    the exact median; days present only via the spine (no own total)
+    are dropped by the inner join back to observed days; windows with
+    fewer than 4 contributing days are suppressed (warm-up rule).
+    Medians run over integer cents (both engines interpolate midpoints
+    on .5 exactly); output is one final division."""
+    daily = (
+        spark.table("events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents")
+        )
+    )
+    expanded = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+        "total_cents",
+    ).select(
+        "user_id",
+        F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        "total_cents",
+    )
+    cur = daily.select("user_id", "day")
+    med = (
+        expanded.join(cur, ["user_id", "day"])
+        .groupBy("user_id", "day")
+        .agg(
+            F.expr("percentile(total_cents, 0.5)").alias("med_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 4)
+    )
+    # output stays in CENTS: an even-count median is x.5 cents — an exact
+    # dyadic double both engines hold bit-identically, where /100-then-
+    # round would split on the engines' half-cent display rounding
+    return med.select("user_id", "day", "med_cents", "n_days").orderBy(
+        "user_id", "day"
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r_cents
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT SUM(r_cents) AS t, CAST(COUNT(*) AS BIGINT) AS n_cust FROM rev),
+ranked AS (
+  SELECT o_custkey, r_cents,
+         SUM(r_cents) OVER (ORDER BY r_cents DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         ROW_NUMBER() OVER (ORDER BY r_cents DESC, o_custkey) AS rk
+  FROM rev)
+SELECT CAST(MIN(rk) AS BIGINT) AS top_customers,
+       n_cust,
+       ROUND(CAST(MIN(rk) AS DOUBLE) / n_cust, 6) AS customer_share,
+       ROUND(CAST(MIN(cum) AS DOUBLE) / t, 6) AS revenue_share
+FROM ranked, tot
+WHERE cum * 5 >= t * 4
+GROUP BY n_cust, t
+"""
+
+
+@query("pareto_customers", oracle=_PARETO_ORACLE)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest prefix of customers (by
+    revenue, deterministic tie-break) whose cumulative revenue crosses
+    80% of the total — the crossing test is INTEGER (cum*5 >= t*4), so
+    no float boundary ambiguity exists. One customer-keyed aggregate,
+    then rank AND running revenue from ``range_partitioned_ranks``
+    (sum_col) — bucket-count/bucket-sum prefix arrays + per-bucket
+    windows, so the customer-cardinality relation is never sorted on a
+    single task (the r10-verdict partition-less-window fix; ranks and
+    cumulative sums are bit-identical to the global window's by
+    construction)."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("r_cents")
+        )
+    )
+    tot = rev.agg(
+        F.sum("r_cents").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    ranked = range_partitioned_ranks(
+        rev,
+        "r_cents",
+        ["o_custkey"],
+        desc=True,
+        out_col="rk",
+        sum_col="cum",
+        log_scale=True,  # revenue is heavy-tailed: linear buckets collapse
+        # under a whale customer (r11 zipf rehearsal: 2.2x -> ~1x)
+    )
+    crossed = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum") * 5 >= F.col("t") * 4
+    )
+    return crossed.groupBy("n_cust", "t").agg(
+        F.min("rk").cast("bigint").alias("top_customers"),
+        F.round(F.min("rk") / F.col("n_cust"), 6).alias("customer_share"),
+        F.round(F.min("cum") / F.col("t"), 6).alias("revenue_share"),
+    ).select("top_customers", "n_cust", "customer_share", "revenue_share")
+
+
+@query("symspell_name_matches", oracle=_FUZZY_ORACLE)
+def symspell_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell symmetric-delete fuzzy matching — the candidate-
+    generation scale path for edit distance: each distinct name emits
+    its <= 2-deletion neighborhood (recall-COMPLETE for levenshtein<=2)
+    and candidates are an EQUI-join on (block, variant-hash), replacing
+    the catalog's quadratic self-join with fanout the distance metric
+    itself induces. The oracle here is the EXHAUSTIVE all-pairs SQL
+    (same as fuzzy_name_matches) — passing it proves the approximate
+    candidate path loses nothing."""
+    from dawis_spark.operators.dedup import symspell_pairs
+
+    return symspell_pairs(spark.table("part"), "p_partkey", "p_name", "p_brand", 2)
+
+
+_ROLLING_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+expanded AS (
+  SELECT d.day + to_days(CAST(off.o AS INT)) AS day, d.user_id
+  FROM du d, range(0, 7) off(o)),
+days AS (SELECT DISTINCT day FROM du)
+SELECT e.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM expanded e JOIN days ON e.day = days.day
+GROUP BY e.day ORDER BY e.day
+"""
+
+
+@query("rolling_wau_7d", oracle=_ROLLING_WAU_ORACLE)
+def rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day (daily WAU) — the
+    rolling COUNT DISTINCT a plain window cannot express (distinct isn't
+    decomposable over sliding frames). Same explode-forward shape as
+    rolling_median_7d: each (day, user) observation participates in <= 7
+    future windows (fixed map-side fanout of two-int rows), then one
+    exact two-phase distinct per day; days outside the observed spine
+    drop via the day join. The sketch form at extreme user cardinality
+    is the HLL register relation (operators/sketches.py), whose
+    register-max merge makes the window a rolling max — documented
+    boundary, this query prices the exact form."""
+    du = (
+        spark.table("events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day", "user_id"
+    ).select(F.expr("day + make_interval(0, 0, 0, o)").alias("day"), "user_id")
+    days = du.select("day").distinct()
+    return (
+        expanded.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("day")
+    )
+
+
+def _fingerprint_exprs(table: str, cols: list[str], dialect: str) -> str:
+    cast_t = "string" if dialect == "spark" else "varchar"
+    sep = "chr(31)"
+    joined = f"concat_ws({sep}, " + ", ".join(
+        f"coalesce(cast({c} as {cast_t}), '')" for c in cols
+    ) + ")"
+    h = _TXT.char_hash(joined, dialect)
+    return h
+
+
+def _fingerprint_oracle(tables: dict[str, list[str]]) -> str:
+    parts = []
+    for t, cols in tables.items():
+        h = _fingerprint_exprs(t, cols, "duck")
+        parts.append(
+            f"""
+SELECT '{t}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({h}) % 1000000007 AS BIGINT) AS fingerprint
+FROM {t}"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+_FP_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey"],
+}
+
+
+@query("table_fingerprints", oracle=_fingerprint_oracle(_FP_TABLES))
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style ORDER-INDEPENDENT table fingerprints — the replica-
+    reconciliation primitive: two copies of a table are content-equal
+    iff (n_rows, fingerprint) agree, verified WITHOUT moving rows
+    between systems (each side scans locally; only two integers travel).
+    fingerprint = SUM of per-row char-hashes mod 1e9+7 — commutative, so
+    partition order, shard layout, and insertion history are invisible;
+    SUM(bigint < 1e9+7 each) stays exact far past 1e9 rows per table
+    (DuckDB's HUGEINT sum exact always; Spark's bigint sum overflows at
+    ~9e9 rows x 1e9 — the documented boundary where the mod folds into
+    the partial aggregate). One scan per table, map-side partials, a
+    1-row exchange each."""
+    outs = []
+    for t, cols in _FP_TABLES.items():
+        # bind the concatenated row string ONCE per row before hashing:
+        # char_hash's fold references its operand per character, so an
+        # inline concat would be re-evaluated O(len) times per row (the
+        # _mixed_sql expression-blowup lesson; measured 6x on orders)
+        joined = "concat_ws(chr(31), " + ", ".join(
+            f"coalesce(cast({c} as string), '')" for c in cols
+        ) + ")"
+        h = _TXT.char_hash("__s", "spark")
+        outs.append(
+            spark.table(t)
+            .select(F.expr(joined).alias("__s"))
+            .select(F.expr(h).alias("__h"))
+            .agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.sum("__h") % 1000000007).cast("bigint").alias("fingerprint"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("table_name")
+
+
+_IQR_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+q AS (
+  SELECT event_type,
+         quantile_cont(c, 0.25) AS q1_c,
+         quantile_cont(c, 0.75) AS q3_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY event_type),
+f AS (
+  SELECT event_type, q1_c, q3_c, n,
+         q1_c - 1.5 * (q3_c - q1_c) AS lo_c,
+         q3_c + 1.5 * (q3_c - q1_c) AS hi_c
+  FROM q)
+SELECT f.event_type, f.n,
+       f.q1_c AS q1_cents, f.q3_c AS q3_cents,
+       f.lo_c AS lo_fence_cents, f.hi_c AS hi_fence_cents,
+       CAST(SUM(CASE WHEN v.c < f.lo_c OR v.c > f.hi_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM f JOIN v ON v.event_type = f.event_type
+GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY f.event_type
+"""
+
+
+@query("iqr_outlier_fences", oracle=_IQR_ORACLE)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per event type — the boxplot/DQ
+    companion to the MAD anomaly family. Quartiles interpolate over
+    integer cents (a + frac*(b-a) with dyadic frac — bit-exact in both
+    engines); fences stay in exact dyadic cents (the rolling_median
+    lesson: never divide to display and re-round). Two passes over the
+    type-keyed relation (quartiles, then fence counts) — both map-side-
+    partial with |types| keys; the exact-selection rank machinery is the
+    single-pass alternative at extreme group counts."""
+    v = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    q = v.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.25)").alias("q1_c"),
+        F.expr("percentile(c, 0.75)").alias("q3_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1_c",
+        "q3_c",
+        (F.col("q1_c") - 1.5 * (F.col("q3_c") - F.col("q1_c"))).alias("lo_c"),
+        (F.col("q3_c") + 1.5 * (F.col("q3_c") - F.col("q1_c"))).alias("hi_c"),
+    )
+    return (
+        v.join(f, "event_type")
+        .groupBy("event_type", "n", "q1_c", "q3_c", "lo_c", "hi_c")
+        .agg(
+            F.sum(
+                ((F.col("c") < F.col("lo_c")) | (F.col("c") > F.col("hi_c"))).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("q1_c").alias("q1_cents"),
+            F.col("q3_c").alias("q3_cents"),
+            F.col("lo_c").alias("lo_fence_cents"),
+            F.col("hi_c").alias("hi_fence_cents"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+_SORTED_NBHD_ORACLE = """
+WITH names AS (
+  SELECT p_name AS t, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1),
+ranked AS (
+  SELECT t, n, ROW_NUMBER() OVER (ORDER BY reverse(t), t) AS rk FROM names),
+cand AS (
+  SELECT a.t AS text_a, b.t AS text_b, a.n AS n_a, b.n AS n_b
+  FROM ranked a JOIN ranked b
+    ON b.rk BETWEEN a.rk + 1 AND a.rk + 5)
+SELECT text_a, text_b,
+       CAST(levenshtein(text_a, text_b) AS INT) AS dist, n_a, n_b
+FROM cand WHERE levenshtein(text_a, text_b) <= 2
+ORDER BY text_a, text_b
+"""
+
+
+@query("sorted_neighborhood_matches", oracle=_SORTED_NBHD_ORACLE)
+def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernandez & Stolfo's
+    merge/purge): sort the distinct-name catalog once, pair each name
+    with its next 5 sort neighbors, verify with exact levenshtein — the
+    third classic ER blocking strategy next to attribute blocks
+    (fuzzy_name_matches) and deletion neighborhoods (symspell) —
+    LINEAR candidate count (w per name) at the price of bounded recall:
+    a forward sort found ZERO pairs on this catalog (all variation sits
+    in the first word), so this query runs the classic SECOND pass —
+    sorting by the REVERSED string, i.e. by suffix — which is where
+    merge/purge gets its recall (production composes several sort
+    keys). The window's rank join is expressed as an offset EXPLODE so
+    no range/theta join exists: candidates come from an equi-join on
+    rank. The global sort-rank itself comes from range_partitioned_ranks
+    (r10-verdict fix — the catalog is entity-cardinality-sized, so a
+    partition-less row_number window would single-task it at 100 TB):
+    rows range-bucket on a NUMERIC proxy of the sort key — the first 7
+    bytes of reverse(name) as a big-endian integer, monotone in the
+    string order for single-byte (ASCII) names like this catalog's, with
+    proxy ties (shared 7-byte prefix) resolved inside the bucket by the
+    full (reverse(name), name) ordering — so ranks equal the global
+    ORDER BY reverse(t), t by construction."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    names = (
+        spark.table("part")
+        .groupBy(F.col("p_name").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("__rev", F.reverse("t"))
+    )
+    # big-endian 7-byte prefix: ascii() of position i (0 past the end),
+    # weighted 256^(7-i) — equal proxies always share a bucket, and the
+    # proxy never inverts the ASCII string order it coarsens
+    proxy = " + ".join(
+        f"coalesce(ascii(substring(__rev, {i}, 1)), 0) * {256 ** (7 - i)}"
+        for i in range(1, 8)
+    )
+    ranked = range_partitioned_ranks(
+        names.withColumn("__sk", F.expr(f"cast({proxy} as bigint)")),
+        "__sk",
+        ["__rev", "t"],
+        out_col="rk",
+    ).drop("__sk", "__rev")
+    probe = ranked.select(
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("o"),
+        F.col("t").alias("text_a"),
+        F.col("n").alias("n_a"),
+        "rk",
+    ).select("text_a", "n_a", (F.col("rk") + F.col("o")).alias("rk"))
+    build = ranked.select(
+        F.col("rk"), F.col("t").alias("text_b"), F.col("n").alias("n_b")
+    )
+    return (
+        probe.join(build, "rk")
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            "text_a", "text_b", F.col("dist").cast("int").alias("dist"), "n_a", "n_b"
+        )
+        .orderBy("text_a", "text_b")
+    )
+
+
+_WILSON_Z = 1.96  # 95% two-sided, literal — never computed at query time
+_WILSON_ORACLE = f"""
+WITH pe AS (
+  SELECT {_ITEM_DUCK} AS item,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+  FROM events WHERE {_ITEM_DUCK} IS NOT NULL GROUP BY 1),
+s AS (
+  SELECT item, views, clicks, views + clicks AS n,
+         CAST(clicks AS DOUBLE) / (views + clicks) AS p,
+         {_WILSON_Z} * {_WILSON_Z} AS z2
+  FROM pe WHERE views + clicks >= 20)
+SELECT item, views, clicks, ROUND(p, 6) AS ctr,
+       ROUND((p + z2 / (2 * n)
+              - {_WILSON_Z} * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n), 6) AS wilson_lo
+FROM s ORDER BY wilson_lo DESC, item LIMIT 25
+"""
+
+
+@query("ctr_wilson_ranking", oracle=_WILSON_ORACLE)
+def ctr_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item ranking by the WILSON score lower bound of click-through
+    rate — the 'how not to sort by average rating' formula: a 95% lower
+    confidence bound that pulls small-sample items down instead of
+    letting 2/2 beat 180/200. Trials n = views + clicks (the two event
+    streams are independent in this feed, so p = clicks/n is the
+    bounded-in-[0,1] engagement share). Per-row arithmetic only
+    (divisions, one IEEE sqrt, fixed order — bit-stable across engines;
+    z is a literal); the data plane is one item-keyed count aggregate.
+    Minimum 20 trials replayed in the oracle."""
+    z = _WILSON_Z
+    pe = (
+        spark.table("events")
+        .select(F.expr(_ITEM_SPARK).alias("item"), "event_type")
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int"))
+            .cast("bigint")
+            .alias("views"),
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("bigint")
+            .alias("clicks"),
+        )
+        .withColumn("n", F.col("views") + F.col("clicks"))
+        .filter(F.col("n") >= 20)
+    )
+    p = F.col("clicks") / F.col("n")
+    z2 = F.lit(z * z)
+    wilson = (
+        p
+        + z2 / (2 * F.col("n"))
+        - z * F.sqrt((p * (1 - p) + z2 / (4 * F.col("n"))) / F.col("n"))
+    ) / (1 + z2 / F.col("n"))
+    return (
+        pe.select(
+            "item",
+            "views",
+            "clicks",
+            F.round(p, 6).alias("ctr"),
+            F.round(wilson, 6).alias("wilson_lo"),
+        )
+        .orderBy(F.desc("wilson_lo"), "item")
+        .limit(25)
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+ref AS (
+  SELECT event_type,
+         CAST(SUM(v) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1),
+d AS (
+  SELECT daily.event_type, day,
+         20 * ref.nd * v - 21 * ref.tot AS x,
+         20 * ref.tot AS h
+  FROM daily JOIN ref USING (event_type)),
+c AS (
+  SELECT event_type, day, h,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+r AS (
+  SELECT event_type, day, h, cum,
+         MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+  FROM c)
+SELECT event_type, day,
+       CAST(cum - LEAST(run_min, 0) AS BIGINT) AS cusum_scaled,
+       cum - LEAST(run_min, 0) > h AS breached
+FROM r ORDER BY event_type, day
+"""
+
+
+@query("cusum_changepoints", oracle=_CUSUM_ORACLE)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-shift detection per event type over daily
+    totals — the sequential changepoint monitor (Page 1954). The textbook
+    recursion S_t = max(0, S_{t-1} + x_t - k) is not window-expressible,
+    but its CLOSED FORM is: S_t = cum_t - min(0, running_min(cum)) with
+    x centered at the series mean plus slack k = 5% of the mean. All
+    arithmetic is cross-multiplied INTEGER cents (x scaled by n_days so
+    the mean never divides) — both engines breach on identical days.
+    Shape: one daily rollup, a per-type reference row, two stacked
+    windows on the (type, day) relation; output is the full monitored
+    series with a breach flag (dashboards plot S_t, alerting filters it).
+    Scaling: x and h are cross-multiplied by 20*nd so no mean ever
+    divides — int64 end to end."""
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.sum("v").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    # cross-multiplied by 20*nd so mean (tot/nd) and slack (mean/20)
+    # never divide: x = 20*nd*v - 21*tot; threshold h = 20*tot (= mean
+    # at the same scale). Pure int64 end to end.
+    d = daily.join(ref, "event_type").select(
+        "event_type",
+        "day",
+        (20 * F.col("nd") * F.col("v") - 21 * F.col("tot"))
+        .cast("bigint")
+        .alias("x"),
+        (20 * F.col("tot")).cast("bigint").alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("x").over(w)).withColumn(
+        "run_min", F.min("cum").over(w)
+    )
+    return (
+        c.select(
+            "event_type",
+            "day",
+            (F.col("cum") - F.least(F.col("run_min"), F.lit(0)))
+            .cast("bigint")
+            .alias("cusum_scaled"),
+            "h",
+        )
+        .select(
+            "event_type",
+            "day",
+            "cusum_scaled",
+            (F.col("cusum_scaled") > F.col("h")).alias("breached"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_DOW_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, isodow(ts) AS dow,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3),
+per_dow AS (
+  SELECT event_type, dow, CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1, 2),
+overall AS (
+  SELECT event_type, CAST(SUM(v) AS BIGINT) AS tv, CAST(COUNT(*) AS BIGINT) AS td
+  FROM daily GROUP BY 1)
+SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.nd AS n_days,
+       ROUND((CAST(p.sv AS DOUBLE) / p.nd) / (CAST(o.tv AS DOUBLE) / o.td), 6)
+         AS seasonality_index
+FROM per_dow p JOIN overall o USING (event_type)
+ORDER BY event_type, dow
+"""
+
+
+@query("dow_seasonality_index", oracle=_DOW_ORACLE)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: (dow mean daily
+    value) / (overall mean daily value) — the multiplicative profile the
+    seasonal-MAD anomaly family consumes, here as an inspectable
+    artifact. Two exact-int ratios and one division of the two (fixed
+    order, bit-stable). Shape: daily rollup -> |types|x7 aggregate."""
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            (F.weekday("ts") + 1).alias("dow"),  # ISO: 1=Mon..7=Sun, matches duck isodow
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("v").cast("bigint").alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.sum("v").cast("bigint").alias("tv"),
+        F.count(F.lit(1)).cast("bigint").alias("td"),
+    )
+    return (
+        per_dow.join(overall, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("nd").alias("n_days"),
+            F.round(
+                (F.col("sv") / F.col("nd")) / (F.col("tv") / F.col("td")), 6
+            ).alias("seasonality_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_TTC_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+first_purchase AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+lat AS (
+  SELECT s.user_id,
+         CAST(date_diff('second', s.t0, p.t1) AS BIGINT) AS secs
+  FROM first_signup s JOIN first_purchase p USING (user_id)
+  WHERE p.t1 >= s.t0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(secs, 0.25) AS p25_s,
+       quantile_cont(secs, 0.50) AS p50_s,
+       quantile_cont(secs, 0.90) AS p90_s,
+       CAST(MAX(secs) AS BIGINT) AS max_s
+FROM lat
+"""
+
+
+@query("time_to_conversion", oracle=_TTC_ORACLE)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase latency distribution: exact interpolated
+    percentiles over INTEGER seconds (dyadic interpolation fractions —
+    bit-stable, the rolling-median discipline). Two first-event
+    aggregates co-keyed on user_id, one join, one global percentile
+    over converted users only."""
+    e = spark.table("events")
+    s = e.filter("event_type = 'signup'").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = e.filter("event_type = 'purchase'").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    lat = (
+        s.join(p, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .select(
+            (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+            .cast("bigint")
+            .alias("secs")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(secs, 0.25)").alias("p25_s"),
+        F.expr("percentile(secs, 0.50)").alias("p50_s"),
+        F.expr("percentile(secs, 0.90)").alias("p90_s"),
+        F.max("secs").cast("bigint").alias("max_s"),
+    )
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+rk AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS r FROM rev),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(r AS HUGEINT) * x) AS srx
+  FROM rk)
+SELECT n AS n_customers,
+       ROUND(CAST(2 * srx - (n + 1) * CAST(sx AS HUGEINT) AS DOUBLE)
+             / (CAST(n AS HUGEINT) * sx), 6) AS gini
+FROM m
+"""
+
+
+@query("gini_concentration", oracle=_GINI_ORACLE)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the summary
+    statistic behind pareto_customers' cutoff view, from the rank
+    formula G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)) over revenue
+    sorted ascending (ties by key — replayable). The numerator is exact
+    integer (DECIMAL(38,0)/HUGEINT rank-weighted sums; rank*cents
+    crosses int64 at sf1); one final division. Ranks come from
+    range_partitioned_ranks (bucket-count exchange + per-bucket
+    windows), not a partition-less window — no single-partition
+    customer sort in the plan; ranks are identical by construction so
+    the oracle keeps the global ROW_NUMBER form."""
+    from dawis_spark.operators.sketches import range_partitioned_ranks
+
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    rk = range_partitioned_ranks(
+        rev, "x", ["o_custkey"], out_col="r", log_scale=True
+    ).select("x", "r")
+    m = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("x")).alias("srx"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx").cast("decimal(38,0)"))
+            .cast("double")
+            / (F.col("n").cast("decimal(38,0)") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+fs AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1)
+SELECT du.day,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN du.day = fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN du.day > fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+       ROUND(CAST(SUM(CASE WHEN du.day > fs.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS returning_share
+FROM du JOIN fs USING (user_id)
+GROUP BY du.day ORDER BY du.day
+"""
+
+
+@query("new_vs_returning_daily", oracle=_NEW_RETURNING_ORACLE)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — the standard audience report:
+    first-seen day per user (one user-keyed aggregate) joined back to
+    the distinct (day, user) activity relation on the same key, then a
+    day-keyed rollup. Exact-int ratio, one division."""
+    du = (
+        spark.table("events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    fs = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = (F.col("day") == F.col("first_day")).cast("int")
+    is_ret = (F.col("day") > F.col("first_day")).cast("int")
+    return (
+        du.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum(is_new).cast("bigint").alias("new_users"),
+            F.sum(is_ret).cast("bigint").alias("returning_users"),
+            F.round(F.sum(is_ret) / F.count(F.lit(1)), 4).alias("returning_share"),
+        )
+        .orderBy("day")
+    )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_c
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT o_custkey,
+         ntile(3) OVER (ORDER BY recency_d ASC, o_custkey) AS r,
+         ntile(3) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(3) OVER (ORDER BY monetary_c DESC, o_custkey) AS m
+  FROM base)
+SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS customers
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    terciles (ntile(3), ties broken by key so both engines cut
+    identically — best tercile is 1 on every axis), crossed into 27
+    segments with counts. One customer aggregate, then three
+    exact_ntile passes (range-bucketed distributed ranking — no
+    partition-less windows, so no single-partition customer sorts; the
+    whole-relation exchanges carry only bucket counts), then a 27-key
+    rollup. Bit-identical to window ntile, oracle unchanged."""
+    from dawis_spark.operators.sketches import exact_ntile
+
+    o = spark.table("orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd").cast("date"), F.col("last_order").cast("date"))
+            .cast("bigint")
+            .alias("recency_d"),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    scored = exact_ntile(base, "recency_d", ["o_custkey"], 3, out_col="r")
+    scored = exact_ntile(scored, "frequency", ["o_custkey"], 3, desc=True, out_col="f")
+    scored = exact_ntile(
+        scored, "monetary_c", ["o_custkey"], 3, desc=True, out_col="m"
+    )
+    scored = scored.select(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int").alias("segment")
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("customers"))
+        .orderBy("segment")
+    )
+
+
+_DWELL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type AS src, ts,
+         lead(event_type) OVER w AS dst,
+         CAST(date_diff('second', ts, lead(ts) OVER w) AS BIGINT) AS gap_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT src, dst,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(gap_s, 0.5) AS median_gap_s,
+       quantile_cont(gap_s, 0.9) AS p90_gap_s
+FROM ordered WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
+@query("transition_dwell_times", oracle=_DWELL_ORACLE)
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time profile per event transition — the timing companion to
+    event_transitions' probabilities: exact interpolated median/p90 of
+    the gap (integer seconds) between each (src -> dst) step. One user
+    window (same exchange shape as the transition matrix), then a
+    |types|^2-key percentile aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = spark.table("events").select("user_id", "event_type", "ts", "event_id")
+    o = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    ).filter(F.col("dst").isNotNull())
+    return (
+        o.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+            F.expr("percentile(gap_s, 0.9)").alias("p90_gap_s"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+from dawis_spark.operators import wordpiece as _wp  # noqa: E402
+
+_WP_VOCAB_ORACLE = (
+    "WITH " + _wp.vocab_oracle_ctes(48) + "\nSELECT rank, piece, freq FROM wp_vocab ORDER BY rank"
+)
+
+
+@query("wordpiece_vocab", oracle=_WP_VOCAB_ORACLE)
+def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style vocabulary training: top-48 substrings (length
+    2..5) of the word-TYPE relation weighted by corpus counts, ties
+    lexicographic — the second tokenizer family member next to BPE
+    (frequency-vocab + greedy apply instead of learned merges). The
+    substring explosion is map-side over word types (vocabulary-sized by
+    Zipf); one piece-keyed count exchange; one top-V sort."""
+    return _wp.vocab_df(spark.table("documents"), "text", 48)
+
+
+@query("wordpiece_segmented_corpus", oracle=_wp.segment_oracle_sql(48))
+def wordpiece_segmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply WordPiece segmentation: greedy LONGEST-MATCH-
+    FIRST subword counts per document under the learned 48-piece vocab
+    (single chars as fallback). The sequential per-word scan is a
+    bounded ``aggregate`` fold whose steps fire only at the current
+    position — pure codegen string ops, no UDF; the vocab rides as a
+    literal array in the scan (training is eager and driver-bounded,
+    the bpe_train/kmeans pattern). Oracle replays train AND apply."""
+    from dawis_spark.operators.wordpiece import segment_corpus, wordpiece_train
+
+    d = spark.table("documents")
+    vocab = [p for p, _ in wordpiece_train(d, "text", 48)]
+    return segment_corpus(d, "doc_id", "text", vocab)
+
+
+_HHI_ORACLE = """
+WITH qs AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+agg AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(q) AS BIGINT) AS qt,
+         SUM(CAST(q AS HUGEINT) * q) AS sq2
+  FROM qs GROUP BY 1 HAVING COUNT(*) >= 3)
+SELECT l_partkey, n_suppliers,
+       ROUND(CAST(sq2 AS DOUBLE) / (CAST(qt AS HUGEINT) * qt), 6) AS hhi
+FROM agg ORDER BY hhi DESC, l_partkey LIMIT 25
+"""
+
+
+@query("part_supplier_hhi", oracle=_HHI_ORACLE)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per part: HHI =
+    sum(share^2) over each part's supplier quantity shares, computed in
+    CROSS-MULTIPLIED integer form sum(q_s^2) / (sum q_s)^2 — exact
+    integer numerator and denominator (HUGEINT/DECIMAL38 squares), ONE
+    final division. The supply-risk screen of procurement analytics.
+    Two part-keyed aggregates; top-25 most concentrated with >= 3
+    suppliers, ties replayable."""
+    qs = (
+        spark.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    agg = (
+        qs.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("q").cast("bigint").alias("qt"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sq2"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+    return (
+        agg.select(
+            "l_partkey",
+            "n_suppliers",
+            F.round(
+                F.col("sq2").cast("double")
+                / (F.col("qt").cast("decimal(38,0)") * F.col("qt")).cast("double"),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "l_partkey")
+        .limit(25)
+    )
+
+
+def _lexical_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS token FROM documents),
+tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(f) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(f), 6) AS type_token_ratio,
+       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapaxes,
+       ROUND(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_share
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
+@query("lexical_richness_by_source", oracle=_lexical_oracle())
+def lexical_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio and hapax-legomenon
+    share — the vocabulary-diversity screen for template/boilerplate
+    feeds (a spun-content source has low TTR; an organic one keeps
+    hapaxes). One explode -> (source, token) count relation (map-side
+    partials), then a source-keyed rollup; ratios are exact-int
+    divisions."""
+    toks = _TXT.tokens("text", "spark")
+    tf = (
+        spark.table("documents")
+        .select("source", F.explode(F.expr(toks)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(F.count(F.lit(1)) / F.sum("f"), 6).alias("type_token_ratio"),
+            F.sum((F.col("f") == 1).cast("int")).cast("bigint").alias("hapaxes"),
+            F.round(
+                F.sum((F.col("f") == 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# Burrows' Delta stylometry: 16 English function words (the classic
+# most-frequent-word channel — topic-free, so rate differences reflect
+# STYLE), per-mille rates micro-scaled to exact integers.
+_DELTA_WORDS = (
+    "the of and a to in is it that for on with as was at by".split()
+)
+# z-score of a micro-rate r against the k-source population, in exact
+# cleared-denominator form: z = (r - S/k) / (sqrt(k*Sxx - S^2)/k)
+# = (k*r - S) / sqrt(k*Sxx - S^2) — exact integer numerator, one sqrt,
+# one division, round 6; zero-variance words contribute z = 0 on both
+# engines. Re-scaled to micro integers so pair sums are exact.
+_DELTA_Z6 = (
+    "CAST(ROUND(COALESCE("
+    "  ROUND(CAST(k * r - s_r AS DOUBLE)"
+    "        / nullif(SQRT(CAST(k * s_rr - s_r * s_r AS DOUBLE)), 0),"
+    "        6), 0.0) * 1000000) AS BIGINT)"
+)
+
+
+def _delta_oracle() -> str:
+    toks = _TXT.tokens("text", "duck")
+    words = ", ".join(f"'{w}'" for w in _DELTA_WORDS)
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({toks}) AS token FROM documents),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS tot FROM tok GROUP BY 1),
+fw AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok WHERE token IN ({words}) GROUP BY 1, 2),
+grid AS (
+  SELECT t.source, w.token,
+         CAST(ROUND(COALESCE(fw.cnt, 0) * 1000000000.0 / t.tot) AS BIGINT) AS r
+  FROM totals t CROSS JOIN (SELECT unnest([{words}]) AS token) w
+  LEFT JOIN fw ON fw.source = t.source AND fw.token = w.token),
+wstats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(r AS HUGEINT)) AS s_r,
+         SUM(CAST(r AS HUGEINT) * r) AS s_rr
+  FROM grid GROUP BY 1),
+zs AS (
+  SELECT source, token, {_DELTA_Z6} AS z6
+  FROM (SELECT g.source, g.token, g.r, w.k, w.s_r, w.s_rr
+        FROM grid g JOIN wstats w USING (token))),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(abs(a.z6 - b.z6)) AS BIGINT) AS s_abs
+  FROM zs a JOIN zs b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_words,
+       ROUND(CAST(s_abs AS DOUBLE) / (n_words * 1000000.0), 6) AS delta
+FROM pairs ORDER BY source_a, source_b
+"""
+
+
+@query("burrows_delta_sources", oracle=_delta_oracle())
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair:
+    per-mille rates of 16 topic-free English function words, z-scored
+    across the source population per word, delta = mean |z_a - z_b| —
+    the standard authorship/template-attribution measure (two feeds
+    syndicating the same generator show near-zero delta even when
+    their topics differ; MinHash only catches verbatim overlap).
+
+    Exactness: rates are micro-scaled integers (one rounded division
+    of exact counts); z-scores use the exact integer numerator
+    k*r - S with one sqrt + one division, round 6, then re-scaled to
+    exact micro integers so the pairwise |z_a - z_b| sums are exact;
+    one final division per pair. Zero-variance words contribute 0 on
+    both engines (COALESCE over the nullif'd sigma).
+
+    Scale: ONE token explode (filtered to the 16-word channel before
+    the shuffle) + a total-count rollup; everything downstream runs on
+    the |sources| x 16 grid and its |sources|^2/2 pair join —
+    catalog-bounded, broadcastable."""
+    toks = _TXT.tokens("text", "spark")
+    words_arr = ", ".join(f"'{w}'" for w in _DELTA_WORDS)
+    tok = spark.table("documents").select(
+        "source", F.explode(F.expr(toks)).alias("token")
+    )
+    totals = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot")
+    )
+    fw = (
+        tok.filter(F.col("token").isin(_DELTA_WORDS))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wordrel = spark.sql(
+        f"SELECT explode(array({words_arr})) AS token"
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(wordrel))
+        .join(fw, ["source", "token"], "left")
+        .selectExpr(
+            "source",
+            "token",
+            "CAST(ROUND(COALESCE(cnt, 0) * 1000000000.0 / tot) AS BIGINT) AS r",
+        )
+    )
+    wstats = grid.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("s_r"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("s_rr"),
+    )
+    zs = grid.join(wstats, "token").selectExpr(
+        "source", "token", f"{_DELTA_Z6} AS z6"
+    )
+    pairs = (
+        zs.alias("a")
+        .join(
+            zs.alias("b"),
+            (F.expr("a.token = b.token")) & (F.expr("a.source < b.source")),
+        )
+        .groupBy(
+            F.expr("a.source").alias("source_a"),
+            F.expr("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.expr("abs(a.z6 - b.z6)")).cast("bigint").alias("s_abs"),
+        )
+    )
+    return pairs.selectExpr(
+        "source_a",
+        "source_b",
+        "n_words",
+        "ROUND(CAST(s_abs AS DOUBLE) / (n_words * 1000000.0), 6) AS delta",
+    ).orderBy("source_a", "source_b")
+
+
+from dawis_spark.operators import stats as _stats  # noqa: E402
+
+_THEIL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x),
+npts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points FROM daily GROUP BY 1)
+SELECT n.event_type, n.n_points, ROUND(quantile_cont(p.s, 0.5), 6) AS slope
+FROM pairs p JOIN npts n USING (event_type)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@query("theil_sen_trends", oracle=_THEIL_ORACLE)
+def theil_sen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the median-of-pairwise-
+    slopes estimator (breakdown point 29%) next to trend_slopes' OLS.
+    Each slope is ONE IEEE division of exact integers (cents / day
+    offset) so both engines hold the identical slope multiset; the
+    median picks identical order statistics. Pairing is per-series
+    O(days^2) — window-bounded, never row-scale."""
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    return _stats.theil_sen(daily, "event_type", "x", "y")
+
+
+_MW_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+per_v AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS na_v, CAST(SUM(ib) AS BIGINT) AS nb_v
+  FROM tagged GROUP BY v),
+ranked AS (
+  SELECT v, na_v, nb_v, na_v + nb_v AS t_v,
+         COALESCE(SUM(na_v + nb_v) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_v),
+agg AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a, CAST(SUM(nb_v) AS BIGINT) AS n_b,
+         SUM((2 * (before + 1) + (t_v - 1)) / 2.0 * na_v) AS r_a,
+         SUM(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS tie_cubes
+  FROM ranked)
+SELECT n_a, n_b,
+       ROUND(r_a - (n_a * (n_a + 1)) / 2.0, 1) AS u_a,
+       ROUND((r_a - (n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                    * (CAST(n_a + n_b + 1 AS DOUBLE)
+                       - CAST(tie_cubes AS DOUBLE)
+                         / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
+FROM agg
+"""
+
+
+@query("mann_whitney_drift", oracle=_MW_ORACLE)
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum drift between the URGENT and LOW order-
+    total populations — the nonparametric location test next to
+    ks_price_drift's sup-distance. Average tie ranks are .5-exact
+    dyadics (sums stay exact in double below 2^52), the tie-corrected
+    variance is exact-integer until one sqrt — both engines produce the
+    identical z. Value pre-agg first: everything past it is
+    distinct-support-sized."""
+    o = spark.table("orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v_cents"),
+        "o_orderpriority",
+    )
+    return _stats.mann_whitney(o, "v_cents", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS r, isodow(ts) AS c, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+rows_m AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+scored AS (
+  SELECT rm.r, cm.c, CAST(COALESCE(obs, 0) AS BIGINT) AS obs, row_n, col_n, n
+  FROM rows_m rm CROSS JOIN cols_m cm
+  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+  CROSS JOIN tot),
+terms AS (
+  SELECT r, c,
+         CAST((CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+              * (CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n) AS DOUBLE)
+         / CAST(CAST(row_n AS HUGEINT) * col_n * n AS DOUBLE) AS term
+  FROM scored)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY r, c)), (acc, e) -> acc + e), 6) AS chi2
+FROM terms
+"""
+
+
+@query("chi_square_independence", oracle=_CHI2_ORACLE)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for event_type x ISO-weekday —
+    'does activity mix depend on the day'. Per-cell statistic is an
+    exact-integer numerator (HUGEINT/DECIMAL38 cross products) paying
+    ONE division; the cell sum is an ORDERED FOLD over (row, col)-sorted
+    cells, so float accumulation order is part of the definition, not
+    partition luck (a groupBy SUM of doubles would be). Contingency
+    table is |types| x 7 — everything past the first rollup is
+    cell-cardinality-sized."""
+    e = spark.table("events").select(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    )
+    return _stats.chi_square_independence(e, "event_type", "dow")
+
+
+def _jl_oracle(k: int, n_queries: int, dim: int, out_dim: int) -> str:
+    from dawis_spark.operators.jl import project_expr
+
+    cos = _VEC.cosine("q_vec", "c_vec", "duck")
+    proj = project_expr("embedding", dim, out_dim, "duck")
+    return f"""
+WITH p AS (SELECT vec_id, {proj} AS proj FROM embeddings),
+q AS (SELECT vec_id AS query_id, proj AS q_vec FROM p WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, proj AS c_vec FROM p),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@query("embedding_ann_jl", oracle=_jl_oracle(5, 10, 64, 16))
+def embedding_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projected search (operators/jl.py): project
+    64 -> 16 dims with the inline deterministic +-1 matrix (Achlioptas
+    2003 database-friendly JL) and run the exact top-k IN THE SMALL
+    SPACE — every distance costs d'/d of the original; the standard
+    geometry-compressing pre-filter in front of an exact re-rank
+    (contrast the code-compressing PQ/SQ8/BQ rungs). Projection is pure
+    map-side codegen; both engines fold components in the same fixed
+    order, so the projected vectors are bit-identical."""
+    from dawis_spark.operators.jl import jl_project
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    p = jl_project(emb, "vec_id", "embedding", 64, 16)
+    return brute_force_topk(
+        corpus=p,
+        queries=p.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="proj",
+        k=5,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_jl_oracle(k: int) -> str:
+    exact = _embedding_topk_oracle(k, 10).strip()
+    jl = _jl_oracle(k, 10, 64, 16).strip()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({exact})),
+jl_r AS (SELECT * FROM ({jl}))
+SELECT e.query_id,
+  ROUND(CAST(COUNT(r.neighbor_id) AS DOUBLE) / {k}, 6) AS recall_jl
+FROM exact_r e
+LEFT JOIN jl_r r
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_jl", oracle=_ann_recall_jl_oracle(5))
+def ann_recall_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 16-dim JL search against exact 64-dim brute
+    force, per query — prices the 4x geometry compression in recall,
+    the standing ANN self-eval discipline."""
+    from dawis_spark.operators.jl import jl_project
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        corpus=emb, queries=qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    p = jl_project(emb, "vec_id", "embedding", 64, 16)
+    approx = brute_force_topk(
+        corpus=p,
+        queries=p.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="proj",
+        k=5,
+    ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.count("a_nid") / 5, 6).alias("recall_jl"))
+        .orderBy("query_id")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    inner = _lang_id_oracle().strip().replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({inner}),
+j AS (
+  SELECT d.lang AS actual, p.lang_pred AS predicted
+  FROM documents d JOIN pred p USING (doc_id))
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY actual), 6) AS row_share
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("langid_confusion_matrix", oracle=_langid_confusion_oracle())
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language-ID heuristic
+    against the corpus' ground-truth lang labels — the self-eval the
+    classifier families get (ann_recall_*, classifier_auc_eval), applied
+    to language_id: per (actual, predicted) counts and row-normalized
+    shares. Prediction is the same map-side argmax; the rollup is
+    |langs|^2-sized."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.textstats import language_id
+
+    pred = language_id(spark.table("documents"), "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    j = spark.table("documents").select("doc_id", F.col("lang").alias("actual")).join(
+        pred, "doc_id"
+    )
+    rw = Window.partitionBy("actual")
+    return (
+        j.groupBy("actual", F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "row_share", F.round(F.col("n") / F.sum("n").over(rw), 6)
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+_PROP_Z_ORACLE = """
+WITH g AS (
+  SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k2
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+SELECT n1, k1, n2, k2,
+       ROUND(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+       ROUND(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+       ROUND((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+             / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z
+FROM g
+"""
+
+
+@query("proportion_ztest", oracle=_PROP_Z_ORACLE)
+def proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test — the A/B-testing primitive
+    completing the hypothesis suite (KS location-free, Mann-Whitney
+    rank, chi-square independence, this one for binary outcomes):
+    'F'-status share URGENT vs LOW. One scan, one agg row, fixed-order
+    IEEE arithmetic over exact counts."""
+    a = F.col("o_orderpriority") == "1-URGENT"
+    b = F.col("o_orderpriority") == "5-LOW"
+    f = F.col("o_orderstatus") == "F"
+    g = (
+        spark.table("orders")
+        .filter(a | b)
+        .agg(
+            F.sum(a.cast("int")).cast("bigint").alias("n1"),
+            F.sum((a & f).cast("int")).cast("bigint").alias("k1"),
+            F.sum(b.cast("int")).cast("bigint").alias("n2"),
+            F.sum((b & f).cast("int")).cast("bigint").alias("k2"),
+        )
+    )
+    p1 = F.col("k1") / F.col("n1")
+    p2 = F.col("k2") / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")) / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return g.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def _kappa_oracle() -> str:
+    inner = _lang_id_oracle().strip().replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({inner}),
+j AS (
+  SELECT d.lang AS actual, p.lang_pred AS predicted
+  FROM documents d JOIN pred p USING (doc_id)),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM j),
+marg AS (
+  SELECT SUM(CAST(a.n_a AS HUGEINT) * p.n_p) AS chance_num
+  FROM (SELECT actual AS c, CAST(COUNT(*) AS BIGINT) AS n_a FROM j GROUP BY 1) a
+  JOIN (SELECT predicted AS c, CAST(COUNT(*) AS BIGINT) AS n_p FROM j GROUP BY 1) p
+    USING (c))
+SELECT m.n, m.agree,
+       ROUND(CAST(m.agree AS DOUBLE) / m.n, 6) AS accuracy,
+       ROUND((CAST(m.agree AS DOUBLE) / m.n
+              - CAST(marg.chance_num AS DOUBLE) / (CAST(m.n AS HUGEINT) * m.n))
+             / (1 - CAST(marg.chance_num AS DOUBLE) / (CAST(m.n AS HUGEINT) * m.n)), 6)
+         AS kappa
+FROM m, marg
+"""
+
+
+@query("langid_cohens_kappa", oracle=_kappa_oracle())
+def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic against ground truth
+    — chance-corrected agreement on top of langid_confusion_matrix's raw
+    counts: kappa = (p_o - p_e) / (1 - p_e) with p_e from the exact
+    integer marginal products (HUGEINT/DECIMAL38 — n^2 crosses int64 at
+    corpus scale). One prediction scan, label-cardinality marginals."""
+    from dawis_spark.operators.textstats import language_id
+
+    pred = language_id(spark.table("documents"), "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    j = (
+        spark.table("documents")
+        .select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .select("actual", F.col("lang_pred").alias("predicted"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("actual") == F.col("predicted")).cast("int"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    a = j.groupBy(F.col("actual").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    p = j.groupBy(F.col("predicted").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    marg = a.join(p, "c").agg(
+        F.sum(F.col("n_a").cast("decimal(38,0)") * F.col("n_p")).alias("chance_num")
+    )
+    po = F.col("agree") / F.col("n")
+    pe = F.col("chance_num").cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("n")
+    ).cast("double")
+    return (
+        m.crossJoin(F.broadcast(marg))
+        .select(
+            "n",
+            "agree",
+            F.round(po, 6).alias("accuracy"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )
+
+
+_RBO_P = 0.9
+_RBO_D = 20
+# (1-p) p^(d-1) / (1 - p^D) snapped to 9 digits in PYTHON once — both
+# engines consume identical literals (no runtime pow)
+_RBO_W = [
+    round((1 - _RBO_P) * _RBO_P ** (d - 1) / (1 - _RBO_P**_RBO_D), 9)
+    for d in range(1, _RBO_D + 1)
+]
+
+
+def _rbo_oracle() -> str:
+    # reuse the RRF oracle's leg CTEs (base..sparse..dense) and swap the
+    # final select for the depth-wise overlap fold
+    rrf = _hybrid_rrf_oracle(_RBO_D, 60, 10)
+    legs = rrf[: rrf.index("SELECT id, round(")].rstrip().rstrip(")") + ")"
+    wvals = ", ".join(f"({d}, {w!r})" for d, w in enumerate(_RBO_W, start=1))
+    return f"""
+{legs},
+m AS (
+  SELECT greatest(s.sparse_rank, de.dense_rank) AS first_depth
+  FROM sparse s JOIN dense de USING (id)),
+w(depth, wt) AS (VALUES {wvals}),
+ov AS (
+  SELECT w.depth, w.wt,
+         CAST((SELECT COUNT(*) FROM m WHERE m.first_depth <= w.depth) AS BIGINT) AS overlap
+  FROM w)
+SELECT CAST(depth AS INT) AS depth, overlap,
+       ROUND(SUM(wt * overlap / depth) OVER (ORDER BY depth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS rbo_at
+FROM ov ORDER BY depth
+"""
+
+
+@query("rank_biased_overlap", oracle=_rbo_oracle())
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the hybrid
+    pipeline's two retrieval legs (BM25 sparse vs dense cosine, the
+    exact rankings hybrid_search_rrf fuses) — the top-weighted
+    ranking-similarity diagnostic that tells you WHETHER fusion has
+    anything to add (RBO ~1 means the legs agree and fusion is a
+    no-op). Depth weights are nine-digit Python literals (no runtime
+    pow); per-depth overlaps are exact ints; the running RBO is an
+    ORDERED window cumsum, so float accumulation is part of the
+    definition (the chi-square discipline). Both legs are config-sized
+    top-20 relations — everything here is free next to retrieval."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+    from dawis_spark.operators.similarity import brute_force_topk
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    sparse = bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS), top_n=_RBO_D).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("sparse_rank"),
+    )
+    dense = brute_force_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_RBO_D,
+    ).select(F.col("neighbor_id").alias("id"), F.col("rank").alias("dense_rank"))
+    m = sparse.join(dense, "id").select(
+        F.greatest("sparse_rank", "dense_rank").alias("first_depth")
+    )
+    w_rows = spark.createDataFrame(
+        [(d, w) for d, w in enumerate(_RBO_W, start=1)], "depth int, wt double"
+    )
+    ov = (
+        F.broadcast(w_rows)
+        .join(m, F.col("first_depth") <= F.col("depth"), "left")
+        .groupBy("depth", "wt")
+        .agg(F.count("first_depth").cast("bigint").alias("overlap"))
+    )
+    run = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ov.withColumn(
+            "rbo_at",
+            F.round(
+                F.sum(F.col("wt") * F.col("overlap") / F.col("depth")).over(run), 6
+            ),
+        )
+        .select("depth", "overlap", "rbo_at")
+        .orderBy("depth")
+    )
+
+
+def _oph_pairs_oracle(threshold: float) -> str:
+    from dawis_spark.operators.oph import oph_signature
+
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    sig = oph_signature("sh", _N_PERMS, "duck")
+    band_key = " || ':' || ".join(
+        f"CAST(sig[b * {_ROWS_PER_BAND} + {r + 1}] AS VARCHAR)"
+        for r in range(_ROWS_PER_BAND)
+    )
+    jac = _TXT.jaccard("a.sh", "b.sh", "duck")
+    slots = (
+        f"list_sum(list_transform(range(1, {_N_PERMS + 1}), "
+        "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH hashes AS (SELECT doc_id, {sh} AS sh FROM documents),
+sigs AS (SELECT doc_id, {sig} AS sig FROM hashes WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, t.b AS band, {band_key} AS key
+  FROM sigs, range(0, {_BANDS}) t(b)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, ROUND({jac}, 6) AS jaccard,
+       CAST({slots} AS BIGINT) AS slots_eq,
+       ROUND(CAST({slots} AS DOUBLE) / {_N_PERMS}, 6) AS oph_est
+FROM cands JOIN hashes a ON a.doc_id = id_a JOIN hashes b ON b.doc_id = id_b
+           JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE ROUND({jac}, 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@query("oph_minhash_pairs", oracle=_oph_pairs_oracle(0.2))
+def oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing near-dup pipeline (Li/Owen/Zhang 2012 +
+    rotation densification, Shrivastava & Li 2014): each shingle hashed
+    ONCE and binned, vs K=8 permutation passes for classic MinHash — the
+    K-fold map-side saving that matters when signature hashing dominates
+    corpus dedup cost. Then the identical banded-LSH candidate join and
+    exact-Jaccard verification as minhash_lsh_pairs (threshold 0.2), so
+    the two families are directly comparable; ``slots_eq``/``oph_est``
+    carry the signature-agreement Jaccard estimate per surviving pair.
+
+    Scale: one band-bucket self-join (the only shuffle), shuffle_hash
+    verification on pair ids — corpus-sized sides never broadcast."""
+    from dawis_spark.operators.oph import oph_near_duplicates
+
+    return oph_near_duplicates(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        k_bins=_N_PERMS,
+        bands=_BANDS,
+        threshold=0.2,
+        shingle_k=_SHINGLE_K,
+    ).orderBy("id_a", "id_b")
+
+
+_LSH_CURVE_ANCHOR_MOD = 25
+_LSH_CURVE_ANCHOR_CAP = 500  # fixed 20-anchor eval at EVERY scale factor
+
+
+def _lsh_curve_oracle() -> str:
+    sh = _TXT.shingle_hashes("text", _SHINGLE_K, "duck")
+    sig = (
+        "["
+        + ", ".join(
+            _TXT.minhash_element("sh", a, b, "duck")
+            for a, b in _TXT.minhash_coeffs(_N_PERMS)
+        )
+        + "]"
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sa.sig[{b * _ROWS_PER_BAND + r + 1}] = sb.sig[{b * _ROWS_PER_BAND + r + 1}]"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    inter = "len(list_intersect(a.sh, b.sh))"
+    union = "len(list_distinct(list_concat(a.sh, b.sh)))"
+    return f"""
+WITH hashes AS (SELECT doc_id, {sh} AS sh FROM documents),
+h AS (SELECT * FROM hashes WHERE len(sh) > 0),
+sigs AS (SELECT doc_id, {sig} AS sig FROM h),
+pairs AS (
+  SELECT LEAST(CAST(10 * {inter} // {union} AS INT), 9) AS bucket,
+         CASE WHEN {band_hit} THEN 1 ELSE 0 END AS hit
+  FROM h a JOIN h b ON a.doc_id != b.doc_id
+  JOIN sigs sa ON sa.doc_id = a.doc_id JOIN sigs sb ON sb.doc_id = b.doc_id
+  WHERE a.doc_id % {_LSH_CURVE_ANCHOR_MOD} = 0 AND a.doc_id < {_LSH_CURVE_ANCHOR_CAP}
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_detected,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS detect_rate
+FROM pairs GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("lsh_detection_curve", oracle=_lsh_curve_oracle())
+def lsh_detection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized LSH S-curve: for a bounded deterministic anchor set
+    (doc_id % 25 = 0, capped at id < 500 — a FIXED 20-anchor eval at
+    every corpus scale), measure the fraction of anchor-candidate pairs per
+    exact-Jaccard decile that the production banded MinHash (K=8, 4x2)
+    would surface (>= 1 band collision, read off the signatures — no
+    bucket join needed). This is the tuning diagnostic for bands/rows:
+    the empirical detection probability by true similarity, the realized
+    counterpart of 1-(1-s^r)^b. The decile is INTEGER (10*|∩| // |∪|),
+    no float bucket boundaries.
+
+    Scale: anchors broadcast against one corpus scan — linear, the
+    ann_recall_* eval pattern, never an all-pairs join."""
+    from dawis_spark.operators.dedup import _shingle_hashes_col, ensure_parallelism
+
+    docs = ensure_parallelism(spark.table("documents"))
+    h = docs.select(
+        "doc_id", _shingle_hashes_col("text", _SHINGLE_K).alias("sh")
+    ).filter(F.size("sh") > 0)
+    elems = [
+        _TXT.minhash_element("sh", a, b, "spark")
+        for a, b in _TXT.minhash_coeffs(_N_PERMS)
+    ]
+    hs = h.select(
+        "doc_id", "sh", F.expr("array(" + ", ".join(elems) + ")").alias("sig")
+    )
+    anchors = hs.filter(
+        (F.col("doc_id") % _LSH_CURVE_ANCHOR_MOD == 0)
+        & (F.col("doc_id") < _LSH_CURVE_ANCHOR_CAP)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    cands = hs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    band_hit = " OR ".join(
+        "("
+        + " AND ".join(
+            f"sig_a[{b * _ROWS_PER_BAND + r}] = sig_b[{b * _ROWS_PER_BAND + r}]"
+            for r in range(_ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(_BANDS)
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(cands, F.col("id_a") != F.col("id_b"))
+        .select(
+            F.expr(
+                "least(cast((10 * size(array_intersect(sh_a, sh_b))) div "
+                "size(array_union(sh_a, sh_b)) as int), 9)"
+            ).alias("bucket"),
+            F.expr(f"case when {band_hit} then 1 else 0 end").alias("hit"),
+        )
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("hit").cast("bigint").alias("n_detected"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("detect_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to MOD=1e9+7 (nine-digit
+# literals, no runtime exp): P(X<=n) * MOD rounded, n = 0..6.
+_POIS_THRESH = [367879444, 735758887, 919698609, 981011850, 996340160, 999405822, 999916766]
+_BOOT_B = 64  # replicates
+_BOOT_A, _BOOT_C = 1103515245, 12345  # LCG-style mix (public-domain constants)
+
+
+def _bootstrap_weight_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {t} THEN {w}" for w, t in enumerate(_POIS_THRESH)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_THRESH)} END"
+
+
+def _bootstrap_oracle() -> str:
+    # Reduce before multiplying: (key % MOD) * A < 1e9 * 1.2e9 ~ 1.2e18 stays
+    # inside int64 even at 100 TB keys, where A * (key*64+b) would wrap in
+    # Spark and raise out-of-range in DuckDB (engine-parity break).
+    u = f"(((o_orderkey * {_BOOT_B} + t.b) % {_TXT.MOD}) * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}"
+    w = _bootstrap_weight_case(f"(({u}))")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+expanded AS (
+  SELECT t.b AS b, {w} AS w, cents
+  FROM base, range(0, {_BOOT_B}) t(b)),
+reps AS (
+  SELECT b, CAST(SUM(w * cents) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+  FROM expanded GROUP BY b),
+ranked AS (
+  SELECT b, num, den,
+         ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den, b) AS rk
+  FROM reps),
+point AS (
+  SELECT ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6) AS point_cents FROM base)
+SELECT point_cents,
+       ROUND(MIN(CASE WHEN rk = 2 THEN CAST(num AS DOUBLE) / den END), 6) AS ci_lo_cents,
+       ROUND(MIN(CASE WHEN rk = {_BOOT_B - 1} THEN CAST(num AS DOUBLE) / den END), 6) AS ci_hi_cents,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates
+FROM ranked, point GROUP BY point_cents
+"""
+
+
+@query("bootstrap_ci_order_value", oracle=_bootstrap_oracle())
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (the distributed bootstrap of
+    Chamandy et al. / Kleiner-style resampling): each order contributes
+    to replicate b with weight ~ Poisson(1), drawn by inverse-CDF over a
+    hash-uniform integer — fully deterministic and engine-identical, no
+    RNG state. B=64 replicate means of order value; the 95% CI is the
+    nearest-rank 2.5%/97.5% selection over the replicates (ranks 2 and
+    63), point estimate alongside.
+
+    Scale: a fixed x64 map-side fanout of (b, w, cents) rows into a
+    64-group partial aggregate — the shuffle carries 64 rows per
+    partition regardless of data size. The replicate ranking is over 64
+    rows on one reducer. This is THE cluster-friendly bootstrap: no
+    per-replicate resample materialization, no driver loop."""
+    b = spark.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    u = f"(((o_orderkey * {_BOOT_B} + b) % {_TXT.MOD}) * {_BOOT_A} + {_BOOT_C}) % {_TXT.MOD}"
+    expanded = b.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        F.col("b"),
+        F.expr(_bootstrap_weight_case(f"(({u}))")).alias("w"),
+        "cents",
+    )
+    reps = expanded.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("num"),
+        F.sum("w").cast("bigint").alias("den"),
+    )
+    from pyspark.sql import Window
+
+    ranked = reps.select(
+        "b",
+        "num",
+        "den",
+        F.row_number()
+        .over(Window.orderBy(F.col("num").cast("double") / F.col("den"), F.col("b")))
+        .alias("rk"),
+    )
+    point = b.agg(
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_cents"
+        )
+    )
+    ci = ranked.groupBy().agg(
+        F.round(
+            F.min(
+                F.when(F.col("rk") == 2, F.col("num").cast("double") / F.col("den"))
+            ),
+            6,
+        ).alias("ci_lo_cents"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rk") == _BOOT_B - 1,
+                    F.col("num").cast("double") / F.col("den"),
+                )
+            ),
+            6,
+        ).alias("ci_hi_cents"),
+    )
+    return point.crossJoin(ci).select(
+        "point_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+    )
+
+
+_SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part),
+w AS (
+  SELECT p_partkey, price_cents, p_size,
+         MAX(p_size) OVER (ORDER BY price_cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+         MAX(p_size) OVER (PARTITION BY price_cents) AS best_same_price
+  FROM p)
+SELECT p_partkey, price_cents, p_size
+FROM w
+WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+  AND p_size = best_same_price
+ORDER BY price_cents, p_partkey
+"""
+
+
+@query("pareto_frontier_parts", oracle=_SKYLINE_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — the rows no other part dominates (<= price AND
+    >= size, one strict). The textbook definition is a quadratic NOT
+    EXISTS self-join; the sort-based rewrite here is O(n log n): order
+    by price, then a part survives iff its size beats the running max
+    over all STRICTLY cheaper parts and it attains the max within its
+    own price tie-group. tests/test_round8_ops.py cross-checks this
+    rewrite against the quadratic definition at sf0.001.
+
+    Scale: the running max is TWO-LEVEL (the range_partitioned_ranks
+    discipline, r10-verdict fix — the previous partition-less range
+    window moved every part to one task): range-bucket by price (equal
+    prices never straddle buckets, so 'strictly cheaper within bucket'
+    is a partitioned range frame), per-bucket maxima prefix-combined in
+    one <=1024-struct array (broadcast), best_cheaper = greatest(earlier
+    buckets' prefix max, within-bucket running max). Domination tests
+    are exact integer comparisons (price in cents)."""
+    from pyspark.sql import Window
+
+    p = spark.table("part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    nb = 1024
+    stats = p.agg(
+        F.min("price_cents").alias("__lo"), F.max("price_cents").alias("__hi")
+    )
+    pos = (
+        "((cast(price_cents as double) - cast(__lo as double)) /"
+        " (cast(__hi as double) - cast(__lo as double)))"
+    )
+    bexpr = (
+        f"case when __hi = __lo then 0 else least({nb - 1}, "
+        f"greatest(0, cast(floor({pos} * {nb}) as int))) end"
+    )
+    # feeds both the per-bucket maxima and the final windows; persist()
+    # avoids recomputing the scan per branch (row-scale footprint —
+    # released by the harness's per-query clearCache)
+    bucketed = (
+        p.crossJoin(F.broadcast(stats)).withColumn("__b", F.expr(bexpr)).persist()
+    )
+    prefmax = (
+        bucketed.groupBy("__b")
+        .agg(F.max("p_size").alias("__bm"))
+        .agg(F.sort_array(F.collect_list(F.struct("__b", "__bm"))).alias("__a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(__a, (s, i) -> struct(s.__b AS __b, "
+                    "aggregate(slice(__a, 1, i), cast(null as bigint), "
+                    "(acc, x) -> greatest(acc, x.__bm)) AS __pm))"
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.__b").alias("__b"), F.col("__s.__pm").alias("__pm"))
+    )
+    cheaper = (
+        Window.partitionBy("__b")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy("price_cents")
+    w = bucketed.join(F.broadcast(prefmax), "__b").select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.greatest(F.max("p_size").over(cheaper), F.col("__pm")).alias(
+            "best_cheaper"
+        ),
+        F.max("p_size").over(same).alias("best_same_price"),
+    )
+    return (
+        w.filter(
+            (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+            & (F.col("p_size") == F.col("best_same_price"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+_EWMA_W = 16  # truncation window: weights 2^(W-1-j) for lag j — exact dyadic
+
+
+def _ewma_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+ref AS (
+  SELECT event_type, CAST(SUM(v) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY 1),
+expanded AS (
+  SELECT event_type, day + to_days(CAST(t.o AS INT)) AS day,
+         v * (1::BIGINT << ({_EWMA_W} - 1 - t.o)) AS wv,
+         (1::BIGINT << ({_EWMA_W} - 1 - t.o)) AS w
+  FROM daily, range(0, {_EWMA_W}) t(o)),
+sm AS (
+  SELECT e.event_type, e.day,
+         CAST(SUM(e.wv) AS BIGINT) AS num, CAST(SUM(e.w) AS BIGINT) AS den
+  FROM expanded e JOIN daily d ON d.event_type = e.event_type AND d.day = e.day
+  GROUP BY e.event_type, e.day)
+SELECT sm.event_type, sm.day,
+       ROUND(CAST(num AS DOUBLE) / den, 6) AS ewma_cents,
+       num * nd * 4 > tot * den * 7 AS breached
+FROM sm JOIN ref ON ref.event_type = sm.event_type
+ORDER BY sm.event_type, sm.day
+"""
+
+
+@query("ewma_daily_smoothing", oracle=_ewma_oracle())
+def ewma_daily_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event totals — the third classic
+    SPC monitor beside the MAD band and CUSUM: lambda = 1/2 with a
+    16-term truncation, so the weights 2^(W-1-j) are EXACT dyadic
+    integers and the smoothed value is one rational num/den per day
+    (missing days shrink the denominator — the standard irregular-series
+    EWMA renormalization). The recursion is rewritten as the same
+    explode-fanout the exact rolling median uses: each daily total
+    fans out to the <= 16 future days it weights (map-side, hash-only
+    rows), then one (type, day) aggregate — window-free and exact, where
+    the textbook recursive form would need a sequential fold. Breach
+    flag (EWMA > 1.75x the per-type grand mean) is an exact integer
+    cross-multiplication, no float boundary.
+
+    Scale: fixed x16 fanout of narrow rows into a partial-aggregated
+    (type, day) groupBy — linear, no window over unbounded history."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.sum("v").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    expanded = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_W - 1))).alias("o"),
+        "day",
+        "v",
+    ).select(
+        "event_type",
+        F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        F.expr(f"v * shiftleft(cast(1 as bigint), {_EWMA_W} - 1 - o)").alias("wv"),
+        F.expr(f"shiftleft(cast(1 as bigint), {_EWMA_W} - 1 - o)").alias("w"),
+    )
+    observed = daily.select("event_type", "day")
+    sm = (
+        expanded.join(observed, ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("wv").cast("bigint").alias("num"),
+            F.sum("w").cast("bigint").alias("den"),
+        )
+    )
+    return (
+        sm.join(F.broadcast(ref), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma_cents"),
+            (F.col("num") * F.col("nd") * 4 > F.col("tot") * F.col("den") * 7).alias(
+                "breached"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_NEG_K = 4
+_NEG_ANCHOR_MOD = 25
+_NEG_POOL = 256  # global candidate pool size (the bounded side)
+_NEG_A1, _NEG_A2 = 2654435761, 40503  # Knuth multiplicative constants
+
+
+def _contrastive_oracle() -> str:
+    # doc_id is reduced mod MOD before the Knuth multiply: A1 * (MOD-1)
+    # ~ 2.7e18 < 2^63, whereas A1 * doc_id wraps for doc_id >~ 3.4e9
+    # (plausible at 100 TB) — silent in Spark, an error in DuckDB.
+    g = f"({_NEG_A2} * (doc_id % {_TXT.MOD})) % {_TXT.MOD}"
+    h = (
+        f"({_NEG_A1} * (a.doc_id % {_TXT.MOD}) "
+        f"+ {_NEG_A2} * (c.neg_id % {_TXT.MOD})) % {_TXT.MOD}"
+    )
+    return f"""
+WITH pool AS (
+  SELECT doc_id AS neg_id, source AS src_c
+  FROM documents ORDER BY {g}, doc_id LIMIT {_NEG_POOL}),
+ranked AS (
+  SELECT a.doc_id AS anchor_id, c.neg_id,
+         CAST({h} AS BIGINT) AS pair_hash,
+         ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY {h}, c.neg_id) AS rk
+  FROM documents a JOIN pool c
+    ON a.source != c.src_c AND a.doc_id % {_NEG_ANCHOR_MOD} = 0
+)
+SELECT anchor_id, neg_id, pair_hash, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_NEG_K}
+ORDER BY anchor_id, rk
+"""
+
+
+@query("contrastive_negative_pairs", oracle=_contrastive_oracle())
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor document (deterministic class doc_id % 25 = 0), pick k=4
+    pseudo-random negatives from OTHER sources, ranked by an integer
+    pair hash — reproducible across runs, engines and cluster sizes (the
+    property in-batch random negatives lack). Negatives come from a
+    GLOBAL 256-candidate pool (the shared negative-pool pattern of
+    in-batch contrastive training), itself picked deterministically by
+    a candidate hash; cross-source exclusion is the cheap hard-negative
+    hygiene filter (same-source near-dups make false negatives).
+
+    Scale: the pool is TakeOrdered-bounded (256 rows — r12 fix: the
+    earlier anchors x ALL-cross-source join was quadratic, 126x for 10x
+    data in the full-inventory sf1 bench), so the anchor x pool fanout
+    is a broadcast-fed 256x map-side expansion and the per-anchor top-k
+    window is anchor-partitioned. Linear in the corpus at any scale."""
+    from pyspark.sql import Window
+
+    docs = spark.table("documents")
+    anchors = docs.filter(F.col("doc_id") % _NEG_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("src_a")
+    )
+    g = F.expr(f"({_NEG_A2} * (doc_id % {_TXT.MOD})) % {_TXT.MOD}")
+    pool = (
+        docs.select(
+            F.col("doc_id").alias("neg_id"),
+            F.col("source").alias("src_c"),
+            g.alias("__g"),
+        )
+        .orderBy("__g", "neg_id")
+        .limit(_NEG_POOL)
+        .drop("__g")
+    )
+    h = F.expr(
+        f"({_NEG_A1} * (anchor_id % {_TXT.MOD}) "
+        f"+ {_NEG_A2} * (neg_id % {_TXT.MOD})) % {_TXT.MOD}"
+    )
+    ranked = (
+        anchors.join(F.broadcast(pool), F.col("src_a") != F.col("src_c"))
+        .select("anchor_id", "neg_id", h.cast("bigint").alias("pair_hash"))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("anchor_id").orderBy("pair_hash", "neg_id")
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= _NEG_K)
+    )
+    return ranked.select("anchor_id", "neg_id", "pair_hash", "rk").orderBy(
+        "anchor_id", "rk"
+    )
+
+
+def _ppr_oracle(iterations: int, top_n: int, seed_nation: int) -> str:
+    from dawis_spark.operators.graph import ppr_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = {seed_nation}
+),
+{ppr_oracle_ctes('edges', 'seeds', iterations)}
+SELECT node, rank_scaled,
+       round(CAST(rank_scaled AS DOUBLE) / 1e12, 6) AS rank
+FROM ppr
+WHERE rank_scaled > 0
+ORDER BY rank_scaled DESC, node
+LIMIT {top_n}
+"""
+
+
+_PPR_SEED_NATION = 3
+
+
+@query("personalized_pagerank", oracle=_ppr_oracle(3, 20, _PPR_SEED_NATION))
+def personalized_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002) over the symmetrized
+    customer↔supplier trade graph, seeded on one nation's customers —
+    rank mass initializes on and teleports back to the seed set, so the
+    top nodes are the suppliers (and fellow customers) CLOSEST to that
+    nation's buying activity: seed-expanded discovery, the recommender /
+    audience-expansion primitive plain PageRank can't express.
+
+    Scale: identical per-iteration shape to pagerank_top_nodes (one
+    edges⋈ranks shuffle + one groupBy(dst), edge-count-bound); the seed
+    relation is customer-count-bounded and broadcast into the rank
+    rebuild. Exact scaled-int64 arithmetic — DuckDB replays all three
+    iterations bit-for-bit (operators/graph.py:ppr_oracle_ctes)."""
+    from dawis_spark.operators.graph import personalized_pagerank
+
+    pairs = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == _PPR_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        personalized_pagerank(edges, seeds, iterations=3)
+        .filter(F.col("rank_scaled") > 0)
+        .select(
+            "node",
+            "rank_scaled",
+            F.round(F.col("rank_scaled").cast("double") / 1e12, 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _hits_oracle(iterations: int, top_n: int) -> str:
+    from dawis_spark.operators.graph import hits_oracle_ctes
+
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+{hits_oracle_ctes('edges', iterations)},
+top_a AS (
+  SELECT 'authority' AS role, node, auth_scaled AS score_scaled
+  FROM ht_out ORDER BY auth_scaled DESC, node LIMIT {top_n}),
+top_h AS (
+  SELECT 'hub' AS role, node, hub_scaled AS score_scaled
+  FROM ht_out ORDER BY hub_scaled DESC, node LIMIT {top_n})
+SELECT role, node, score_scaled FROM top_a
+UNION ALL
+SELECT role, node, score_scaled FROM top_h
+ORDER BY role, score_scaled DESC, node
+"""
+
+
+@query("hits_hub_authority", oracle=_hits_oracle(2, 15))
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) on the DIRECTED customer →
+    supplier purchase graph: suppliers score as authorities (bought by
+    the strongest hub customers), customers as hubs (buying from the
+    strongest authorities) — the mutually-reinforcing centrality pair
+    PageRank's single score conflates. L2 normalization is replaced by
+    exact integer MAX-rescaling per half-step (ranking-invariant), so
+    the whole trajectory is partition-order independent and DuckDB
+    replays it (operators/graph.py:hits_oracle_ctes). Top 15 of each
+    role, one relation out.
+
+    Scale: per half-step one edges⋈scores shuffle join + groupBy —
+    edge-count-bound, node-count side tables, max-rescale broadcasts a
+    single row. Overflow bound documented in operators/graph.py (lower
+    HITS_SCALE one decade per decade of edges past ~9e6)."""
+    from dawis_spark.operators.graph import hits
+
+    edges = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    out = hits(edges, iterations=2)
+    top_a = (
+        out.select(F.lit("authority").alias("role"), "node", F.col("auth_scaled").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "node")
+        .limit(15)
+    )
+    top_h = (
+        out.select(F.lit("hub").alias("role"), "node", F.col("hub_scaled").alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "node")
+        .limit(15)
+    )
+    return top_a.unionAll(top_h).orderBy("role", F.desc("score_scaled"), "node")
+
+
+_MARKOV_TEST_DAYS = 7
+
+
+def _markov_acc_oracle() -> str:
+    return f"""
+WITH {_WG_CTES},
+mx AS (SELECT date_trunc('day', MAX(ts)) AS max_day FROM kept_events),
+seq AS (
+  SELECT user_id, ts, event_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM kept_events),
+pairs AS (
+  SELECT cur, nxt,
+         date_trunc('day', ts) >= max_day - INTERVAL {_MARKOV_TEST_DAYS} DAY AS is_test
+  FROM seq, mx WHERE nxt IS NOT NULL),
+train AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM pairs
+  WHERE NOT is_test GROUP BY cur, nxt),
+pred AS (
+  SELECT cur, nxt AS predicted_next FROM (
+    SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rk
+    FROM train) t WHERE rk = 1),
+test AS (SELECT cur, nxt FROM pairs WHERE is_test),
+acc AS (
+  SELECT t.cur AS event_type, p.predicted_next,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         ROUND(CAST(SUM(CASE WHEN t.nxt = p.predicted_next THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS accuracy
+  FROM test t JOIN pred p ON t.cur = p.cur
+  GROUP BY t.cur, p.predicted_next)
+SELECT q.event_type, q.predicted_next, q.n_test, q.n_correct, q.accuracy,
+       wg_nw.n_whales
+FROM wg_nw LEFT JOIN acc q ON TRUE
+ORDER BY q.event_type
+"""
+
+
+@query("markov_next_event_accuracy", oracle=_markov_acc_oracle())
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout self-eval of the first-order Markov transition
+    model (event_transitions): train argmax-next-type on all transition
+    pairs except the last 7 days, then measure top-1 next-event
+    accuracy on the held-out tail — the eval that says whether the
+    transition matrix actually predicts, per current event type. Split,
+    argmax (deterministic tie-break) and accuracy are all exact; the
+    7-day boundary is data-derived (global max day), so the query is
+    scale-portable.
+
+    Scale: one user-keyed window pass to form consecutive pairs (the
+    event_transitions shuffle), a type×type-sized training aggregate,
+    and a broadcast of the |types|-row prediction map onto the test
+    aggregate. Nothing new shuffles beyond the pair formation.
+
+    Guarded: whale users (> 0.8% of all events, _WHALE_SHARE) are
+    excluded before the pair window (and from the holdout boundary);
+    n_whales audits the exclusion."""
+    from pyspark.sql import Window
+
+    ev, nw = _guarded_events(spark)
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.crossJoin(F.broadcast(mx)).select(
+        "cur",
+        "nxt",
+        (
+            F.date_trunc("day", F.col("ts"))
+            >= F.col("max_day") - F.expr(f"INTERVAL {_MARKOV_TEST_DAYS} DAY")
+        ).alias("is_test"),
+    )
+    train = (
+        pairs.filter(~F.col("is_test"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pw = Window.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+    pred = (
+        train.withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    test = pairs.filter(F.col("is_test")).select("cur", "nxt")
+    acc = (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((F.col("nxt") == F.col("predicted_next")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum((F.col("nxt") == F.col("predicted_next")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+    return _with_whale_audit(acc, nw).orderBy("event_type")
+
+
+def _stl_oracle() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+expanded AS (
+  SELECT event_type, day + to_days(CAST(t.o AS INT)) AS day, v
+  FROM daily, range(-3, 4) t(o)),
+trend AS (
+  SELECT e.event_type, e.day,
+         CAST(SUM(e.v) AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS k
+  FROM expanded e JOIN daily d ON d.event_type = e.event_type AND d.day = e.day
+  GROUP BY e.event_type, e.day),
+det AS (
+  SELECT d.event_type, d.day, dayofweek(d.day) AS dow,
+         ROUND(CAST(t.num AS DOUBLE) / t.k, 6) AS trend_cents,
+         ROUND(d.v - CAST(t.num AS DOUBLE) / t.k, 6) AS detrended
+  FROM daily d JOIN trend t ON t.event_type = d.event_type AND t.day = d.day
+  WHERE t.k = 7),
+seas AS (
+  SELECT event_type, dow, ROUND(AVG(detrended), 6) AS seasonal_cents
+  FROM det GROUP BY 1, 2)
+SELECT det.event_type, det.day, trend_cents, seasonal_cents,
+       ROUND(detrended - seasonal_cents, 6) AS residual_cents
+FROM det JOIN seas ON seas.event_type = det.event_type AND seas.dow = det.dow
+ORDER BY det.event_type, det.day
+"""
+
+
+@query("stl_decomposition_daily", oracle=_stl_oracle())
+def stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal-trend decomposition of daily event totals:
+    trend = centered 7-day moving average (rows with all 7 neighbors
+    observed — the warm-up/cool-down rule), seasonal = per-day-of-week
+    mean of the detrended series, residual = the rest. The additive
+    classical decomposition (Cleveland's STL with loess swapped for the
+    moving-average smoother it generalizes) — what the seasonal-MAD
+    anomaly family assumes, made explicit as its own operator.
+
+    The 7-day window is the rolling-median explode-fanout (each daily
+    total fans to the ±3 days it smooths, hash-only rows, one (type,
+    day) aggregate) — no unbounded window. Sums are exact integer cents
+    up to the final divisions (ROUND..6, both engines).
+
+    Scale: fixed x7 fanout into a partial-aggregated groupBy, a
+    |types|x7-row seasonal aggregate broadcast back. Linear, two small
+    shuffles."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    expanded = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"),
+        "day",
+        "v",
+    ).select(
+        "event_type",
+        F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        "v",
+    )
+    trend = (
+        expanded.join(daily.select("event_type", "day"), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("v").cast("bigint").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+        .filter(F.col("k") == 7)
+    )
+    det = daily.join(trend, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        F.dayofweek("day").alias("dow"),
+        F.round(F.col("num").cast("double") / F.col("k"), 6).alias("trend_cents"),
+        F.round(F.col("v") - F.col("num").cast("double") / F.col("k"), 6).alias(
+            "detrended"
+        ),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.round(F.avg("detrended"), 6).alias("seasonal_cents")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "trend_cents",
+            "seasonal_cents",
+            F.round(F.col("detrended") - F.col("seasonal_cents"), 6).alias(
+                "residual_cents"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _calibration_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF)
+SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(p), 6) AS mean_predicted,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS empirical_rate
+FROM scF GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("classifier_calibration_curve", oracle=_calibration_oracle(64, 3, 1.0))
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained logistic quality classifier:
+    sigmoid scores bucketed into deciles (FLOOR both engines — no
+    truncate-vs-round cast trap), mean predicted probability vs
+    empirical positive rate per bucket — the calibration eval that AUC
+    (ranking-only) cannot see; a quality-gate threshold is only
+    meaningful if these two track. Training replays the exact
+    logreg_weights trajectory (same params), scoring is the same
+    round-6 margin fold.
+
+    Scale: training shared via _trained_logreg_w (bounded-sample,
+    memoized — no retrain); the curve itself is one scan with a
+    10-group aggregate."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    emb = spark.table("embeddings")
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-({margin_expr('embedding', w)}))), 6)"
+    scored = emb.select(
+        F.expr(f"cast({_LOGREG_Y_SPARK} as int)").alias("y"),
+        F.expr(p).alias("p"),
+    )
+    return (
+        scored.select(
+            F.expr("least(cast(floor(p * 10) as int), 9)").alias("bucket"),
+            "y",
+            "p",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_predicted"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("empirical_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _affinity_oracle(dim: int) -> str:
+    return f"""
+WITH de AS (
+  SELECT d.source, u.pos AS dim,
+         CAST(ROUND(CAST(e.embedding[u.pos] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id,
+       unnest(range(1, {dim + 1})) u(pos)),
+cent AS (
+  SELECT source, dim,
+         CAST(SUM(xm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+  FROM de GROUP BY source, dim),
+norms AS (
+  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cent GROUP BY source),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b,
+       ROUND(dot / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+         AS cosine
+FROM dots JOIN norms na ON na.source = source_a
+          JOIN norms nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_embedding_affinity", oracle=_affinity_oracle(64))
+def source_embedding_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine affinity between per-source embedding centroids —
+    the corpus-mixture diagnostic (which sources are semantically
+    redundant, which add diversity) that drives mixture reweighting
+    decisions. Centroids are EXACT: micro-unit integer dimensions,
+    integer sums, one integer division per (source, dim); cosine is one
+    final double division (sqrt is IEEE-correctly-rounded, so both
+    engines agree bit-for-bit).
+
+    Scale: one docs⋈embeddings join, a x64 posexplode into a (source,
+    dim)-keyed partial aggregate (|sources|x64 rows out), then an
+    O(|sources|^2 x 64) centroid self-join — catalog-sized, trivial at
+    any corpus scale."""
+    de = (
+        spark.table("documents")
+        .join(
+            spark.table("embeddings"),
+            F.col("vec_id") == F.col("doc_id"),
+        )
+        .select(
+            "source",
+            F.posexplode(F.col("embedding")).alias("dim", "x"),
+        )
+        .select(
+            "source",
+            "dim",
+            F.expr("cast(round(cast(x as double) * 1000000, 0) as bigint)").alias("xm"),
+        )
+    )
+    cent = de.groupBy("source", "dim").agg(
+        F.expr("sum(xm) div count(*)").cast("bigint").alias("c")
+    )
+    norms = cent.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2"))
+    a = cent.select(F.col("source").alias("source_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(
+        F.col("source").alias("source_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b")) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# The round driver records correctness for only the FIRST 50 registry
+# entries; the rest are verified locally (tools/check_correctness.py). To
+# keep that hard signal managed deliberately (round-4 lesson: an insertion
+# silently rotated q4/q6/q8 out of the driver-checked set), the first 50
+# are pinned here each round: queries whose driver check is stalest or
+# whose code changed this round come first, then a rotating tail of
+# recently-driver-checked ones. Everything stays oracle-checked either way.
+def _kcore_oracle(k: int, iterations: int) -> str:
+    from dawis_spark.operators.graph import kcore_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+{kcore_oracle_ctes('edges', k, iterations)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM kcore GROUP BY 1 ORDER BY 1
+"""
+
+
+_KCORE_K = 30
+
+
+@query("kcore_trade_graph", oracle=_kcore_oracle(_KCORE_K, 3))
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983) of the symmetrized customer↔
+    supplier trade graph: peel nodes of degree < 30 for three rounds
+    and profile the surviving dense backbone per side — the cohesion
+    skeleton community detection and link-farm isolation start from
+    (the graph family's density primitive, next to pagerank's
+    centrality and triangle_counts' closure).
+
+    Scale: each peel round is one degree count plus two hash semi-joins
+    of edges against the persisted node-count-bounded survivor set —
+    edge-count-bound, no quadratic step, no driver loop (fixed rounds
+    = one declarative plan). All-integer, so DuckDB replays every peel
+    exactly (operators/graph.py:kcore_oracle_ctes)."""
+    from dawis_spark.operators.graph import kcore_peel
+
+    pairs = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    core = kcore_peel(edges, k=_KCORE_K, iterations=3)
+    return (
+        core.groupBy(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("side")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("side")
+    )
+
+
+def _bfs_oracle(max_hops: int, seed_nation: int) -> str:
+    from dawis_spark.operators.graph import bfs_oracle_ctes
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = {seed_nation}
+),
+{bfs_oracle_ctes('edges', 'seeds', max_hops)}
+SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM bfs GROUP BY hops ORDER BY hops
+"""
+
+
+@query("bfs_hop_distribution", oracle=_bfs_oracle(3, _PPR_SEED_NATION))
+def bfs_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reach profile: minimum hop distance from one
+    nation's customers across the symmetrized trade graph, histogrammed
+    per level — the reachability/expansion-sphere primitive (how fast
+    does influence saturate the graph) that complements the rank-mass
+    view personalized_pagerank gives over the SAME seed set.
+
+    Scale: per hop one frontier⋈edges shuffle join plus a min/distinct
+    — frontier-degree-bound with monotonically shrinking frontiers; the
+    visited set is node-count-bounded persisted state. All-integer:
+    DuckDB replays the level sets exactly."""
+    from dawis_spark.operators.graph import bfs_hops
+
+    pairs = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    seeds = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == _PPR_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        bfs_hops(edges, seeds, max_hops=3)
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("hops")
+    )
+
+
+_DAILY_REV_ORDERS_CTE = """
+daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1)
+"""
+
+_SPEARMAN_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+rk AS (
+  SELECT (2 * RANK() OVER (ORDER BY rev) + COUNT(*) OVER (PARTITION BY rev) - 1) AS rx,
+         (2 * RANK() OVER (ORDER BY cnt) + COUNT(*) OVER (PARTITION BY cnt) - 1) AS ry
+  FROM daily),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM rk)
+SELECT n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho_spearman
+FROM m
+"""
+
+
+@query("spearman_daily_rev_orders", oracle=_SPEARMAN_ORACLE)
+def spearman_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily revenue and daily order
+    count — the monotone-association screen (robust to outliers and
+    nonlinearity) that belongs next to feature_correlations' Pearson
+    and theil_sen's robust slope. Average ranks for ties, carried as
+    DOUBLED ranks so every moment is an exact integer; the only float
+    ops are two int->double conversions, two sqrts, one division —
+    bit-stable across engines (operators/stats.py:spearman_rho).
+
+    Scale: the input is a calendar-bounded daily aggregate; rank state
+    is distinct-value-bounded; moment sums are map-side partial."""
+    from dawis_spark.operators.stats import spearman_rho
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return spearman_rho(daily, "rev", "cnt")
+
+
+_KENDALL_ORACLE = f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+cls AS (
+  SELECT CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)
+                OR (a.rev > b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END AS con,
+         CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)
+                OR (a.rev > b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END AS dis,
+         CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt THEN 1 ELSE 0 END AS tx,
+         CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev THEN 1 ELSE 0 END AS ty,
+         CASE WHEN a.rev = b.rev AND a.cnt = b.cnt THEN 1 ELSE 0 END AS txy
+  FROM daily a JOIN daily b ON a.d < b.d),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(con) AS BIGINT) AS c, CAST(SUM(dis) AS BIGINT) AS dd,
+         CAST(SUM(tx) AS BIGINT) AS ntx, CAST(SUM(ty) AS BIGINT) AS nty,
+         CAST(SUM(txy) AS BIGINT) AS ntxy
+  FROM cls)
+SELECT c AS n_concordant, dd AS n_discordant,
+       ROUND(CAST(c - dd AS DOUBLE)
+             / (SQRT(CAST(n0 - ntx - ntxy AS DOUBLE))
+                * SQRT(CAST(n0 - nty - ntxy AS DOUBLE))), 6) AS tau_b
+FROM m
+"""
+
+
+@query("kendall_daily_rev_orders", oracle=_KENDALL_ORACLE)
+def kendall_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (full tie correction) between daily revenue and
+    daily order count — the pairwise-agreement form of the monotone-
+    association question spearman_daily_rev_orders answers with ranks;
+    tau's bounded influence per pair makes it the standard cross-check
+    when rank correlations disagree with Pearson.
+
+    Scale: O(n^2) in the SERIES length only — the input is a calendar-
+    bounded daily aggregate (n grows with days, not data volume), so
+    the pair join stays a few-million-row broadcast nested loop even at
+    100 TB; all counts integer-exact (operators/stats.py:kendall_tau_b)."""
+    from dawis_spark.operators.stats import kendall_tau_b
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return kendall_tau_b(daily, "d", "rev", "cnt")
+
+
+def _acf_oracle(max_lag: int) -> str:
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, x, x{k} AS xl FROM leads WHERE x{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    lead_cols = ", ".join(
+        f"LEAD(rev, {k}) OVER (ORDER BY d) AS x{k}" for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+leads AS (SELECT rev AS x, {lead_cols} FROM daily),
+gstats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(rev AS HUGEINT)) AS s,
+         SUM(CAST(rev AS HUGEINT) * rev) AS sxx
+  FROM daily),
+long AS ({lag_selects}),
+per_lag AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT) * xl) AS sxy,
+         SUM(CAST(x AS HUGEINT)) AS sh, SUM(CAST(xl AS HUGEINT)) AS st
+  FROM long GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       ROUND(CAST(n*n*sxy - n*s*(sh + st) + n_pairs*s*s AS DOUBLE)
+             / CAST(n*n*sxx - n*s*s AS DOUBLE), 6) AS acf
+FROM per_lag CROSS JOIN gstats ORDER BY lag
+"""
+
+
+@query("acf_daily_revenue", oracle=_acf_oracle(14))
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1-14 — the
+    seasonality/persistence fingerprint (weekly structure shows as a
+    lag-7/14 ridge) that motivates the STL and seasonal-MAD operators;
+    in a feature pipeline it is the standard pre-check before fitting
+    any AR-family forecaster.
+
+    Exactness: the 1/n mean is cleared by cross-multiplying with n^2 so
+    every numerator/denominator term is an exact DECIMAL(38,0) integer;
+    both engines convert the same integers once and divide once
+    (operators/stats.py:acf). Scale: all 14 leads ride ONE window sort
+    over the calendar-bounded daily series; per-lag sums are one
+    unpivoted map-side-partial aggregate."""
+    from dawis_spark.operators.stats import acf
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    return acf(daily, "d", "rev", max_lag=14)
+
+
+def _holt_oracle(horizon: int) -> str:
+    from dawis_spark.operators.forecast import holt_oracle_ctes
+
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+{holt_oracle_ctes('daily', 'event_type', 'day', 'v', horizon)}
+SELECT k AS event_type, h, forecast AS forecast_cents,
+       level AS level_cents, trend AS trend_cents, n_points
+FROM holt ORDER BY event_type, h
+"""
+
+
+@query("holt_linear_forecast", oracle=_holt_oracle(7))
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of daily event totals
+    with a 7-day-ahead forecast fan — the trend-aware forecaster
+    between the EWMA chart (level only) and the seasonal STL family.
+    Dyadic smoothing weights (alpha = 1/4, beta = 1/8) keep the whole
+    state trajectory in truncating integer-cent arithmetic, so a
+    recursive CTE replays it bit-for-bit.
+
+    The recurrence is sequential and div-truncation makes it nonlinear
+    — no impulse-response unroll exists (the EWMA/CUSUM closed-form
+    trick does not apply), so this is the repo's one batch
+    applyInPandas operator: Arrow-batched, keyed by series, O(1) state
+    over a calendar-bounded series per group
+    (operators/forecast.py:holt_linear documents the boundary).
+
+    Scale: the shuffle is (event_type, day, cents) daily aggregates,
+    never raw events; groups are catalog-bounded; forecast fan-out is
+    h rows per key."""
+    from dawis_spark.operators.forecast import holt_linear
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    out = holt_linear(daily, "event_type", "day", "v", horizon=7)
+    return out.select(
+        "event_type",
+        "h",
+        F.col("forecast").alias("forecast_cents"),
+        F.col("level").alias("level_cents"),
+        F.col("trend").alias("trend_cents"),
+        "n_points",
+    ).orderBy("event_type", "h")
+
+
+_KANON_QI_EXPR = (
+    "(SELECT c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer)"
+)
+
+
+def _kanon_oracle(thresholds: list[int]) -> str:
+    from dawis_spark.operators.profile import k_anonymity_oracle_sql
+
+    return k_anonymity_oracle_sql(
+        _KANON_QI_EXPR, ["c_nationkey", "c_mktsegment", "bal_band"], thresholds
+    )
+
+
+@query("k_anonymity_customers", oracle=_kanon_oracle([2, 5, 10, 20]))
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile of the customer table under the
+    (nation, market segment, account-balance band) quasi-identifier
+    tuple: per k in {2, 5, 10, 20}, the equivalence classes and row
+    fraction that would be re-identifiable below that threshold
+    (Sweeney 2002) — the release-gate number a privacy review asks for,
+    and the structural complement of pii_redaction (redaction strips
+    direct identifiers; this measures whether the remaining
+    quasi-identifiers still single records out).
+
+    Scale: one groupBy over the QI tuple is the only row-scale shuffle;
+    the threshold fan-out runs over the group-count relation
+    (operators/profile.py:k_anonymity_profile)."""
+    from dawis_spark.operators.profile import k_anonymity_profile
+
+    qi = spark.table("customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    return k_anonymity_profile(
+        qi, ["c_nationkey", "c_mktsegment", "bal_band"], [2, 5, 10, 20]
+    )
+
+
+def _nprobe_curve_oracle(k: int, nq: int, kc: int, probes: list[int]) -> str:
+    exact = _embedding_topk_oracle(k, nq).strip()
+    parts = []
+    for np_ in probes:
+        approx = _ivf_trained_oracle(k, nq, kc, np_, 64).strip()
+        parts.append(
+            f"""
+SELECT {np_} AS n_probe,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+       ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {k * nq}, 6) AS mean_recall
+FROM ({exact}) e LEFT JOIN ({approx}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY n_probe"
+
+
+@query("ivf_nprobe_recall_curve", oracle=_nprobe_curve_oracle(5, 10, 16, [1, 2, 4, 8]))
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF accuracy dial measured end-to-end: recall@5 against
+    exact brute force as n_probe sweeps 1 -> 2 -> 4 -> 8 over the same
+    trained 16-centroid quantizer — the curve an operator actually uses
+    to pick the recall/cost point (probing n of C buckets costs ~n/C of
+    exact), where the single-point ann_recall_* evals only spot-check
+    one setting.
+
+    The quantizer trains ONCE (deterministic one-round k-means) and is
+    shared by all four probe runs via ivf_ann_topk's ``centroids=``
+    parameter, so the sweep isolates the n_probe effect; the oracle
+    replays training and all four searches."""
+    from dawis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        train_kmeans,
+    )
+
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    cents = train_kmeans(emb, "vec_id", "embedding", k=16, iterations=1)
+    exact = brute_force_topk(
+        corpus=emb, queries=queries_df, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    curves = []
+    for np_ in (1, 2, 4, 8):
+        approx = ivf_ann_topk(
+            corpus=emb,
+            queries=queries_df,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=5,
+            n_probe=np_,
+            centroids=cents,
+        ).select("query_id", "neighbor_id", F.lit(1).alias("m"))
+        curves.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("bigint").alias("hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double") / (5 * 10),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("n_probe")
+
+
+_IR_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (1, ("spark", "hash")),
+    (2, ("window", "sort")),
+    (3, ("shuffle", "join")),  # zero AND-matches: exercises the rr=0 path
+]
+_IR_K = 20
+
+
+def _ir_eval_oracle(k1: float, b: float, k: int) -> str:
+    toks = _TXT.tokens("text", "duck")
+    parts = []
+    for qid, terms in _IR_QUERIES:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        rel_pred = " AND ".join(f"list_contains(__toks, '{t}')" for t in terms)
+        parts.append(
+            f"""
+SELECT * FROM (
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({term_list}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {k}
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM top
+),
+rel AS (SELECT doc_id, ({rel_pred}) AS rel FROM base),
+nrel AS (SELECT CAST(COUNT(*) FILTER (rel) AS BIGINT) AS n_relevant FROM rel),
+j AS (SELECT rk.rank, rel.rel FROM rk JOIN rel USING (doc_id)),
+m AS (
+  SELECT MIN(CASE WHEN rel THEN rank END) AS fr,
+         COALESCE(SUM(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END), 0) AS rel5,
+         COALESCE(SUM(CASE WHEN rel THEN 1 ELSE 0 END), 0) AS relk
+  FROM j)
+SELECT {qid} AS query_id,
+       nrel.n_relevant,
+       CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+       ROUND(CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END, 6)
+         AS reciprocal_rank,
+       ROUND(CAST(rel5 AS DOUBLE) / 5, 6) AS p_at_5,
+       ROUND(CAST(relk AS DOUBLE) / GREATEST(nrel.n_relevant, 1), 6)
+         AS recall_at_{k}
+FROM m CROSS JOIN nrel
+)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id"
+
+
+@query("search_mrr_eval", oracle=_ir_eval_oracle(1.2, 0.75, _IR_K))
+def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric self-eval for the BM25 retriever: per bag-of-words
+    query, reciprocal rank of the first AND-relevant document plus
+    precision@5 and recall@20 against exact AND-containment ground
+    truth — the MRR/P@k panel that turns bm25_search from 'returns
+    rows' into a measured retriever (query 3 has zero relevant docs by
+    construction, pinning the rr = 0 path through an EMPTY candidate
+    set — the global aggregate still emits its row). Complements the
+    dense-side recall evals (ann_recall_*) and the fusion leg
+    (hybrid_search_rrf) with the lexical leg's own quality number.
+
+    Scale: each query's candidate set is the top-k of the inverted-
+    index-shaped BM25 plan (postings filtered BEFORE any shuffle);
+    relevance flags are a map-side conjunction on the same token
+    arrays; the per-query aggregate is k-row-bounded."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+
+    docs = spark.table("documents")
+    toks = _TXT.tokens("text", "spark")
+    out = None
+    for qid, terms in _IR_QUERIES:
+        ranked = bm25_scores(
+            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_IR_K
+        ).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("rank"),
+        )
+        rel_pred = F.expr(
+            " AND ".join(f"array_contains({toks}, '{t}')" for t in terms)
+        )
+        rel = docs.select("doc_id", rel_pred.alias("rel"))
+        nrel = rel.agg(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_relevant")
+        )
+        first = F.min(F.when(F.col("rel"), F.col("rank")))
+        m = ranked.join(rel, "doc_id").agg(
+            first.alias("fr"),
+            F.coalesce(
+                F.sum(F.when(F.col("rel") & (F.col("rank") <= 5), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("rel5"),
+            F.coalesce(
+                F.sum(F.when(F.col("rel"), 1).otherwise(0)), F.lit(0)
+            ).alias("relk"),
+        )
+        row = m.crossJoin(F.broadcast(nrel)).select(
+            F.lit(qid).cast("int").alias("query_id"),
+            "n_relevant",
+            F.coalesce(F.col("fr"), F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.round(
+                F.when(F.col("fr").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("fr")
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+            F.round(F.col("rel5").cast("double") / 5, 6).alias("p_at_5"),
+            F.round(
+                F.col("relk").cast("double")
+                / F.greatest(F.col("n_relevant"), F.lit(1)),
+                6,
+            ).alias(f"recall_at_{_IR_K}"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("query_id")
+
+
+_WMEDIAN_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem),
+g AS (SELECT k, v, SUM(w) AS wv FROM src GROUP BY k, v),
+c AS (
+  SELECT k, v,
+         SUM(wv) OVER (PARTITION BY k ORDER BY v) AS cumw,
+         SUM(wv) OVER (PARTITION BY k) AS tw
+  FROM g)
+SELECT k AS l_returnflag, CAST(tw AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN cumw >= (tw + 1) // 2 THEN v END) AS BIGINT)
+         AS median_value
+FROM c GROUP BY k, tw ORDER BY l_returnflag
+"""
+
+
+@query("weighted_median_price", oracle=_WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag — the
+    robust center under size weights (what does a TYPICAL UNIT sell
+    at), which the row-median answers incorrectly when line sizes vary.
+    Runs as the two-pass distributed selection
+    (operators/sketches.py:weighted_median_select): the only full-data
+    exchange carries group x bucket WEIGHT SUMS, the second pass sorts
+    only the chosen buckets' rows — the rank_quantiles_select shape
+    generalized from counts to weights, immune to the per-group window
+    sort that dies at 100 TB."""
+    from dawis_spark.operators.sketches import weighted_median_select
+
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("vc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return (
+        weighted_median_select(src, ["l_returnflag"], "vc", "w")
+        .select("l_returnflag", "total_w", F.col("median_value").cast("bigint").alias("median_value"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _lpa_oracle(iterations: int, top_n: int) -> str:
+    from dawis_spark.operators.graph import label_propagation_oracle_ctes
+
+    return f"""
+WITH names AS (
+  SELECT p_brand AS g, p_name AS t, length(p_name) AS ln
+  FROM part GROUP BY 1, 2),
+e0 AS (
+  SELECT a.g || '|' || a.t AS i, b2.g || '|' || b2.t AS j
+  FROM names a JOIN names b2
+    ON a.g = b2.g AND a.t < b2.t AND abs(a.ln - b2.ln) <= 2
+  WHERE levenshtein(a.t, b2.t) <= 2),
+edges AS (SELECT i AS src, j AS dst FROM e0 UNION ALL SELECT j, i FROM e0),
+{label_propagation_oracle_ctes('edges', iterations)}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lpa GROUP BY label ORDER BY n_nodes DESC, community LIMIT {top_n}
+"""
+
+
+@query("community_detection_lpa", oracle=_lpa_oracle(3, 10))
+def community_detection_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007,
+    deterministic min-label tie-break) over the fuzzy name-match graph
+    (part names within brand blocks at edit distance <= 2 — the
+    fuzzy_name_matches relation as edges): three voting rounds, then
+    the ten largest entity groups. This is LPA's production use in an
+    ER pipeline — variants cluster onto one canonical label without a
+    global transitive closure — and the unsupervised complement to
+    knn_label_propagation's seeded classifier. (The trade and item
+    co-occurrence graphs are near-cliques on this corpus; LPA needs a
+    SPARSE graph to say anything, which the blocked edit-distance
+    relation is: ~400 communities over ~800 name nodes at sf0.1.)
+
+    Scale: edge build is the blocked length-filtered name join
+    (catalog-bounded names relation); per round one edges join labels
+    shuffle + one (node, label) count + an argmax window over the count
+    relation; label state is node-count-bounded and persisted. The
+    min-label tie-break makes all rounds DuckDB-replayable
+    (operators/graph.py:label_propagation_oracle_ctes)."""
+    from dawis_spark.operators.graph import label_propagation
+
+    names = (
+        spark.table("part")
+        .select(F.col("p_brand").alias("g"), F.col("p_name").alias("t"))
+        .distinct()
+        .withColumn("ln", F.length("t"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.t") < F.col("b.t"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2),
+        )
+        .filter(F.levenshtein(F.col("a.t"), F.col("b.t")) <= 2)
+        .select(
+            F.concat_ws("|", F.col("a.g"), F.col("a.t")).alias("i"),
+            F.concat_ws("|", F.col("b.g"), F.col("b.t")).alias("j"),
+        )
+    )
+    edges = (
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+        .unionAll(pairs.select(F.col("j").alias("src"), F.col("i").alias("dst")))
+        .persist()
+    )
+    return (
+        label_propagation(edges, iterations=3)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(10)
+    )
+
+
+_HAMPEL_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS k, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+fan AS (
+  SELECT k, d + to_days(CAST(t.o AS INT)) AS cday, v
+  FROM daily, range(-3, 4) t(o)),
+wins AS (
+  SELECT k, cday, list_sort(list(v)) AS vals, COUNT(*) AS n
+  FROM fan GROUP BY k, cday),
+scored AS (
+  SELECT k, cday, vals[4] AS med,
+         list_sort(list_transform(vals, x -> abs(x - vals[4])))[4] AS mad
+  FROM wins WHERE n = 7)
+SELECT d.k AS event_type, d.d AS day, d.v AS value_cents,
+       CAST(s.med AS BIGINT) AS med, CAST(s.mad AS BIGINT) AS mad,
+       CAST(abs(d.v - s.med) AS BIGINT) AS dev
+FROM daily d JOIN scored s ON d.k = s.k AND d.d = s.cday
+WHERE abs(d.v - s.med) * 10000 > 44478 * s.mad
+ORDER BY event_type, day
+"""
+
+
+@query("hampel_outliers_daily", oracle=_HAMPEL_ORACLE)
+def hampel_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despike filter on daily event totals: points more than
+    3 x 1.4826 x MAD from their ROLLING 7-day median — the windowed
+    form of the global MAD test (anomaly_mad_daily), robust to level
+    shifts that poison a global baseline. The threshold compares
+    |dev| * 10000 > 44478 * MAD in pure int64 (median and MAD are each
+    the 4th order statistic of 7 integers), so the flag set is
+    bit-stable with zero float ops
+    (operators/anomaly.py:hampel_outliers).
+
+    Scale: the rolling-median explode fanout — x7 hash-only rows into
+    one (key, center-day) aggregate; no unbounded window, no per-key
+    full-series sort."""
+    from dawis_spark.operators.anomaly import hampel_outliers
+
+    daily = (
+        spark.table("events")
+        .groupBy(
+            F.col("event_type").alias("k"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    return (
+        hampel_outliers(daily, "k", "day", "v", half_window=3)
+        .select(
+            F.col("k").alias("event_type"),
+            "day",
+            F.col("v").alias("value_cents"),
+            "med",
+            "mad",
+            "dev",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+  FROM lineitem),
+rk AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM src),
+t AS (
+  SELECT k, v, rn, n,
+         (5 * (n - 1)) // 100 + 1 AS t_lo,
+         (95 * (n - 1)) // 100 + 1 AS t_hi
+  FROM rk)
+SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(t_hi - t_lo + 1 AS BIGINT) AS kept_n,
+       CAST(SUM(CASE WHEN rn BETWEEN t_lo AND t_hi THEN v ELSE 0 END) AS BIGINT)
+         AS trimmed_sum,
+       ROUND(CAST(SUM(CASE WHEN rn BETWEEN t_lo AND t_hi THEN v ELSE 0 END)
+                  AS DOUBLE) / CAST(t_hi - t_lo + 1 AS DOUBLE), 6)
+         AS trimmed_mean
+FROM t GROUP BY k, n, t_lo, t_hi ORDER BY l_returnflag
+"""
+
+
+@query("trimmed_mean_price", oracle=_TRIMMED_MEAN_ORACLE)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 trimmed mean of extended price per return flag — the robust
+    location estimate for heavy-tailed measures, computed WITHOUT a
+    per-group sort: cutoffs come from the bucket-selection quantiles
+    and the trimmed sum is recovered arithmetically with exact tie
+    corrections at both cutoffs
+    (operators/sketches.py:trimmed_mean_select — identical by
+    construction to sorting and summing ranks t_lo..t_hi, which is what
+    the oracle does). Two scans plus the selection machinery's
+    bucket-count exchange; the oracle's window form is the
+    non-scalable shape the operator exists to avoid."""
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("vc"),
+    )
+    return (
+        trimmed_mean_select(src, ["k"], "vc", 5, 95)
+        .select(
+            F.col("k").alias("l_returnflag"),
+            "n",
+            "kept_n",
+            "trimmed_sum",
+            "trimmed_mean",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _bellman_oracle(iterations: int, top_n: int, seed_nation: int) -> str:
+    from dawis_spark.operators.graph import bellman_ford_oracle_ctes
+
+    return f"""
+WITH rel AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         CAST(MIN(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c AS src, s AS dst, w FROM rel
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM rel
+),
+seeds AS (
+  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = {seed_nation}
+),
+{bellman_ford_oracle_ctes('edges', 'seeds', iterations)}
+SELECT node, dist FROM bf
+WHERE node % 2 = 1
+ORDER BY dist, node LIMIT {top_n}
+"""
+
+
+@query("bellman_ford_fastest_supply", oracle=_bellman_oracle(3, 15, _PPR_SEED_NATION))
+def bellman_ford_fastest_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source Bellman-Ford over the trade graph with edge weight
+    = the relationship's fastest observed ship lag (days): the 15
+    suppliers cheapest to reach from one nation's customers within 3
+    relaxation rounds — weighted shortest paths, the cost-aware
+    companion to bfs_hop_distribution's hop counts (same seed set, same
+    graph, different metric). Non-negative integer weights keep every
+    min-plus round exact; DuckDB replays all relaxations
+    (operators/graph.py:bellman_ford_oracle_ctes).
+
+    Scale: per round one dist⋈edges shuffle join + one min-groupBy —
+    edge-count-bound with node-count-bounded persisted distance state;
+    the edge build aggregates lineitem⋈orders down to one row per
+    trading relationship before any iteration."""
+    from dawis_spark.operators.graph import bellman_ford
+
+    rel = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(
+            F.min(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    edges = (
+        rel.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
+        .unionAll(rel.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+        .persist()
+    )
+    seeds = (
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == _PPR_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    return (
+        bellman_ford(edges, seeds, iterations=3)
+        .filter(F.col("node") % 2 == 1)
+        .orderBy("dist", "node")
+        .limit(15)
+    )
+
+
+def _ccf_oracle(max_lag: int) -> str:
+    shift_selects = []
+    for k in range(-max_lag, max_lag + 1):
+        fn = f"LEAD(rev, {k})" if k >= 0 else f"LAG(rev, {-k})"
+        shift_selects.append(f"{fn} OVER (ORDER BY d) AS y_{k + max_lag}")
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT {k} AS lag, x, y_{k + max_lag} AS yl FROM wide"
+        f" WHERE y_{k + max_lag} IS NOT NULL"
+        for k in range(-max_lag, max_lag + 1)
+    )
+    return f"""
+WITH {_DAILY_REV_ORDERS_CTE},
+wide AS (SELECT cnt AS x, {', '.join(shift_selects)} FROM daily),
+gstats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(cnt AS HUGEINT)) AS sx, SUM(CAST(rev AS HUGEINT)) AS sy,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx,
+         SUM(CAST(rev AS HUGEINT) * rev) AS syy
+  FROM daily),
+long AS ({lag_selects}),
+per_lag AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT) * yl) AS sxy,
+         SUM(CAST(x AS HUGEINT)) AS xh, SUM(CAST(yl AS HUGEINT)) AS yt
+  FROM long GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       ROUND(CAST(n*n*sxy - n*sy*xh - n*sx*yt + n_pairs*sx*sy AS DOUBLE)
+             / (SQRT(CAST(n*n*sxx - n*sx*sx AS DOUBLE))
+                * SQRT(CAST(n*n*syy - n*sy*sy AS DOUBLE))), 6) AS ccf
+FROM per_lag CROSS JOIN gstats ORDER BY lag
+"""
+
+
+@query("ccf_orders_vs_revenue", oracle=_ccf_oracle(7))
+def ccf_orders_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between daily order count and daily revenue at
+    lags -7..+7 — the lead/lag detector (which series moves FIRST) that
+    completes the temporal-association panel: ACF for self-structure,
+    Spearman/Kendall for contemporaneous monotone association, CCF for
+    direction. Same n^2-cross-multiplied exactness as acf: every
+    numerator term an exact DECIMAL(38,0) integer, two sqrts and one
+    division at the end (operators/stats.py:ccf).
+
+    Scale: all 15 shifted pairings ride ONE window sort over the
+    calendar-bounded daily series."""
+    from dawis_spark.operators.stats import ccf
+
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return ccf(daily, "d", "cnt", "rev", max_lag=7)
+
+
+def _rake_oracle() -> str:
+    from dawis_spark.operators.rake import rake_oracle_sql
+
+    return rake_oracle_sql("documents", "doc_id", "text")
+
+
+@query("rake_keyphrases", oracle=_rake_oracle())
+def rake_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    top collocations by deg/freq word scores — the unsupervised
+    keyword/topic surfacer next to pmi_collocations (PMI finds
+    surprising PAIRS; RAKE ranks whole stopword-free phrases) and
+    tfidf_top_terms (per-source single tokens).
+
+    Phrase segmentation is POSITIONAL, not regex: separator flags +
+    per-doc cumulative sum define maximal stopword-free runs in
+    engine-neutral relational ops, and each phrase's float score folds
+    word scores in position order (the ordered-fold discipline), so
+    DuckDB reproduces every bit (operators/rake.py).
+
+    Scale: one tokenize/posexplode scan, a per-document window
+    (document-length-bounded, parallel across docs), a vocab-bounded
+    word-stats aggregate, one phrase re-aggregate."""
+    from dawis_spark.operators.rake import rake_keyphrases
+
+    return rake_keyphrases(spark.table("documents"), "doc_id", "text")
+
+
+_WINSOR_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag AS k,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+  FROM lineitem),
+rk AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM src),
+t AS (
+  SELECT k, v, rn, n,
+         (5 * (n - 1)) // 100 + 1 AS t_lo,
+         (95 * (n - 1)) // 100 + 1 AS t_hi
+  FROM rk),
+cuts AS (
+  SELECT k,
+         MAX(CASE WHEN rn = t_lo THEN v END) AS q_lo,
+         MAX(CASE WHEN rn = t_hi THEN v END) AS q_hi
+  FROM t GROUP BY k)
+SELECT t.k AS l_returnflag, CAST(t.n AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rn < t_lo THEN c.q_lo
+                     WHEN rn > t_hi THEN c.q_hi
+                     ELSE v END) AS BIGINT) AS winsor_sum,
+       ROUND(CAST(SUM(CASE WHEN rn < t_lo THEN c.q_lo
+                           WHEN rn > t_hi THEN c.q_hi
+                           ELSE v END) AS DOUBLE) / t.n, 6) AS winsor_mean
+FROM t JOIN cuts c ON t.k = c.k
+GROUP BY t.k, t.n ORDER BY l_returnflag
+"""
+
+
+@query("winsorized_mean_price", oracle=_WINSOR_ORACLE)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean of extended price per return flag — the
+    trimmed mean's other leg: extremes are REPLACED by the cutoff
+    values rather than dropped, keeping the mean over the full n (the
+    estimator of choice when row counts must be preserved, e.g.
+    weighting downstream aggregates). Shares trimmed_mean_select's
+    bucket-selection cutoffs and exact tie corrections — the oracle's
+    per-rank CASE replay is the definitionally equivalent sorted form
+    the operator avoids at scale."""
+    from dawis_spark.operators.sketches import trimmed_mean_select
+
+    src = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("vc"),
+    )
+    return (
+        trimmed_mean_select(src, ["k"], "vc", 5, 95)
+        .select(
+            F.col("k").alias("l_returnflag"),
+            "n",
+            "winsor_sum",
+            "winsor_mean",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+import math as _math
+
+_NDCG_K = 10
+# 1/log2(1+r) discounts as shared decimal literals: both engines parse
+# the same decimal string to the same IEEE double, so no libm log enters
+# either plan — the cross-engine determinism trick for the one place
+# nDCG genuinely needs a logarithm.
+_NDCG_W = [round(1.0 / _math.log2(1 + r), 12) for r in range(1, _NDCG_K + 1)]
+_NDCG_CUMW = [round(sum(_NDCG_W[:j]), 12) for j in range(0, _NDCG_K + 1)]
+
+
+def _ndcg_ideal_expr(g: int, cw) -> str:
+    """Ideal-DCG expression from the per-grade-level >=counts: descending
+    grade levels fill the top of the ideal ranking, so level ``lvl``
+    contributes ``lvl * (cumw[min(n_ge_lvl, K)] - cumw[min(n_ge_lvl+1, K)])``
+    (n_ge_{g+1} = 0). ``cw`` renders the cumulative-discount lookup for
+    the target engine; the generated arithmetic string is identical for
+    both, so IEEE association matches bit-for-bit."""
+    parts = []
+    for lvl in range(1, g + 1):
+        hi = cw(f"n_ge_{lvl}")
+        lo = cw(f"n_ge_{lvl + 1}") if lvl < g else "CAST(0.0 AS DOUBLE)"
+        parts.append(f"{lvl} * ({hi} - {lo})")
+    return " + ".join(parts)
+
+
+def _ndcg_oracle(k1: float, b: float) -> str:
+    toks = _TXT.tokens("text", "duck")
+    w_arr = ", ".join(str(w) for w in _NDCG_W)
+    cumw_arr = ", ".join(str(w) for w in _NDCG_CUMW)
+    parts = []
+    for qid, terms in _IR_QUERIES:
+        term_list = ", ".join(f"'{t}'" for t in terms)
+        grade = " + ".join(
+            f"CASE WHEN list_contains(__toks, '{t}') THEN 1 ELSE 0 END"
+            for t in terms
+        )
+        # The ideal DCG derives from the per-grade-level count histogram
+        # (grades descend over the prefix-summed discount literals), so it
+        # stays correct for ANY number of query terms — the closed form
+        # g*cw_full + (cw_both - cw_full) is only valid when all partial
+        # matches carry grade exactly 1 (i.e. g == 2). For g == 2 this
+        # reduces to the same values, term-by-term and in the same
+        # floating-point association as the Spark rendering below.
+        g = len(terms)
+        gc_counts = ",\n         ".join(
+            f"CAST(SUM(CASE WHEN grade >= {lvl} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_ge_{lvl}"
+            for lvl in range(1, g + 1)
+        )
+        idcg_sql = _ndcg_ideal_expr(
+            g, lambda e: f"([{cumw_arr}])[CAST(least({e}, {_NDCG_K}) AS INT) + 1]"
+        )
+        parts.append(
+            f"""
+SELECT * FROM (
+WITH base AS (SELECT doc_id, {toks} AS __toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(__toks) AS DOUBLE) AS dl FROM base),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tk AS (SELECT doc_id, unnest(__toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tk
+  WHERE token IN ({term_list}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * ({k1} + 1))
+           / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN dfq USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_NDCG_K}
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM top
+),
+gr AS (SELECT doc_id, ({grade}) AS grade FROM base),
+gc AS (
+  SELECT {gc_counts}
+  FROM gr),
+dcg_t AS (
+  SELECT COALESCE(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+             list_sort(list(struct_pack(r := rk.rank, g := gr.grade))),
+             e -> e.g * ([{w_arr}])[e.r])),
+           (a, v) -> a + v), 0.0) AS dcg
+  FROM rk JOIN gr USING (doc_id)),
+ideal AS (
+  SELECT n_ge_1 - n_ge_{g} AS n_partial, n_ge_{g} AS n_full,
+         {idcg_sql} AS idcg
+  FROM gc)
+SELECT {qid} AS query_id, n_full, n_partial,
+       ROUND(dcg, 6) AS dcg,
+       ROUND(idcg, 6) AS idcg,
+       ROUND(CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END, 6) AS ndcg
+FROM dcg_t CROSS JOIN ideal
+)"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id"
+
+
+@query("search_ndcg_eval", oracle=_ndcg_oracle(1.2, 0.75))
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 for the BM25 retriever — the ranked-quality
+    number completing the IR panel (search_mrr_eval scores the first
+    hit; nDCG scores the whole ordering): relevance grade = number of
+    query terms a document contains, discounts 1/log2(1+r) shared as
+    DECIMAL LITERALS so neither engine calls a log in the scoring path,
+    and the IDEAL DCG is CLOSED-FORM from the corpus grade counts
+    (prefix-summed discount literals indexed by min(count, k)) — no
+    corpus-wide sort or collect to build the ideal ranking, the detail
+    that keeps nDCG computable at 100 TB. The realized DCG folds the
+    10-row ranking in rank order (ordered-fold discipline)."""
+    from pyspark.sql import Window
+
+    from dawis_spark.operators.corpus import bm25_scores
+
+    docs = spark.table("documents")
+    toks = _TXT.tokens("text", "spark")
+    w_arr = ", ".join(f"{w}D" for w in _NDCG_W)
+    cumw_arr = ", ".join(f"{w}D" for w in _NDCG_CUMW)
+    out = None
+    for qid, terms in _IR_QUERIES:
+        g = len(terms)
+        ranked = bm25_scores(
+            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_NDCG_K
+        ).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("rank"),
+        )
+        grade_expr = " + ".join(
+            f"CASE WHEN array_contains({toks}, '{t}') THEN 1 ELSE 0 END"
+            for t in terms
+        )
+        grades = docs.select("doc_id", F.expr(grade_expr).alias("grade"))
+        gc = grades.agg(
+            *[
+                F.sum(F.when(F.col("grade") >= lvl, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_ge_{lvl}")
+                for lvl in range(1, g + 1)
+            ]
+        )
+        dcg_row = ranked.join(grades, "doc_id").agg(
+            F.coalesce(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(rank, grade))), "
+                    f"cast(0.0 as double), (a, e) -> a + e.grade * element_at(array({w_arr}), e.rank))"
+                ),
+                F.lit(0.0),
+            ).alias("dcg")
+        )
+        # Same per-grade-level ideal as the oracle (see _ndcg_ideal_expr):
+        # the generated arithmetic string is identical, so the IEEE
+        # association matches the DuckDB rendering exactly.
+        idcg = F.expr(
+            _ndcg_ideal_expr(
+                g,
+                lambda e: (
+                    f"element_at(array({cumw_arr}), "
+                    f"cast(least({e}, {_NDCG_K}) as int) + 1)"
+                ),
+            )
+        )
+        row = dcg_row.crossJoin(F.broadcast(gc)).select(
+            F.lit(qid).cast("int").alias("query_id"),
+            F.col(f"n_ge_{g}").alias("n_full"),
+            (F.col("n_ge_1") - F.col(f"n_ge_{g}")).alias("n_partial"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(
+                F.when(idcg == 0, F.lit(0.0)).otherwise(F.col("dcg") / idcg), 6
+            ).alias("ndcg"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: line-level corpus dedup (CCNet), KMV sketch set
+# algebra, tokenizer fertility eval
+# ---------------------------------------------------------------------------
+

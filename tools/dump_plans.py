@@ -182,6 +182,20 @@ PICKS = {
     "self_bleu_diversity": "shingle explode; reference hashes broadcast; micro-int means",
     "randomized_response_estimate": "one scan, hash-uniform coins inside it, 1-row inversion",
     "negative_binomial_fit": "daily rollup -> |types| exact-moment rows",
+    "plsa_topic_terms": (
+        "ONE tokenization feeding doc totals + sparse counts; 64-row "
+        "P(w|z) broadcast per EM round; topics as columns, no explode"
+    ),
+    "propensity_stratified_ate": "one customer scan -> 5 stratum rows; 1-row ATE fold",
+    "cronbach_alpha_embedding": "per-dim moment aggregate; 64-item variance fold, one row",
+    "mann_whitney_drift": (
+        "r13 EDF rewrite: distinct-cents walk via range-bucketed prefix "
+        "sums — bucket-partitioned Window, no partition-less sort"
+    ),
+    "holt_residual_breaches": (
+        "one keyed day-rollup exchange; per-key integer residual walk in "
+        "applyInPandas; |types| rows out (streaming monitor's batch twin)"
+    ),
 }
 
 KEEP = re.compile(
