@@ -38,6 +38,7 @@ def value_cum_walk(
     count_cols: list[str],
     n_buckets: int = 1024,
     rank_col: str = "__r",
+    desc: bool = False,
 ) -> DataFrame:
     """Distributed EDF walk over a distinct-value relation: inclusive
     running sums ``cum_<c>`` of each integer count column in
@@ -56,6 +57,7 @@ def value_cum_walk(
         per_v,
         value_col,
         [],
+        desc=desc,
         n_buckets=n_buckets,
         out_col=rank_col,
         sum_cols=[(f"cum_{c}", c) for c in count_cols],

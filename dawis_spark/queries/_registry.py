@@ -116,8 +116,6 @@ REGISTRY_ORDER: list[str] = [
     "tfidf_top_terms",
     "bm25_search",
     "cdc_chunk_dedup",
-    "pass_at_k_estimate",
-    "self_bleu_diversity",
     "qlm_dirichlet_search",
     "pii_redaction",
     "asof_last_click",
@@ -350,11 +348,6 @@ REGISTRY_ORDER: list[str] = [
     "gains_lift_deciles",
     "runs_test_daily_revenue",
     "mcnemar_langid_vs_nb",
-    "page_hinkley_drift",
-    "good_turing_unseen_mass",
-    "ngram_novelty_rate",
-    "pr_curve_classifier",
-    "hurst_rescaled_range",
     "kruskal_wallis_priority",
     "brown_forsythe_priority",
     "effect_sizes_urgent_vs_low",
@@ -376,7 +369,6 @@ REGISTRY_ORDER: list[str] = [
     "dup_rate_by_source",
     "global_clustering_coefficient",
     "degree_assortativity_items",
-    "capture_recapture_distinct",
     "embedding_isotropy_profile",
     "grid_dbscan_clusters",
     "embedding_norm_profile",
@@ -404,9 +396,6 @@ REGISTRY_ORDER: list[str] = [
     "quantile_treatment_effects",
     "plsa_topic_terms",
     "ltv_projection_curve",
-    "randomized_response_estimate",
-    "negative_binomial_fit",
-    "dp_noisy_histogram",
     "cross_source_perplexity",
 ]
 
@@ -432,27 +421,35 @@ def validate_order(queries: dict) -> None:
 
 DRIVER_PRIORITY: list[str] = [
     # r13 rotation (VERDICT r12 ask #1): NEXT_ROTATION held 55 entries
-    # for 50 driver slots. Head = this round's new/output-affected
-    # queries (holt_residual_breaches is new; contrastive_negative_pairs'
-    # r12 output change was never driver-hashed; theta/croston's display
-    # rounding moved to the shared half-up helper this round), then the
-    # 46 highest-value never-driver-checked r12 additions (heavy new
-    # shapes + the causal-design family first-class, per the ask). The
-    # 6-entry overflow lives in NEXT_ROTATION below with its committed
-    # same-round evidence (SWEEP_r13.json, the judge-style full-inventory
-    # artifact) so every query still has fresh round-13 evidence.
+    # for 50 driver slots, and this round adds 10 new queries. Head =
+    # this round's new/output-affected queries (10 new r13 entries +
+    # the ks_statistic_classifier descending-walk plan rewrite;
+    # contrastive_negative_pairs' r12 output change was never
+    # driver-hashed; theta/croston's display rounding moved to the
+    # shared half-up helper), then 42 of the never-driver-checked r12
+    # additions (heavy new shapes + the causal-design family first, per
+    # the ask). The 16-entry overflow lives in NEXT_ROTATION below with
+    # its committed same-round evidence (SWEEP_r13.json, the judge-style
+    # full-inventory artifact) so every query still has fresh round-13
+    # evidence.
     #
     # -- new or output-affected this round --
     "holt_residual_breaches",  # r13: new (streaming forecast monitor's batch twin)
+    "dedup_cluster_sizes",  # r13: new (duplicate-cluster shape report)
+    "interarrival_exponential_fit",  # r13: new (per-user Poisson diagnostic)
+    "srm_check",  # r13: new (sample-ratio-mismatch guardrail)
+    "event_study_did",  # r13: new (dynamic DiD / parallel-trends diagnostic)
+    "obf_group_sequential",  # r13: new (fixed-horizon sequential pair of msprt)
+    "page_hinkley_drift",  # r12: never driver-checked (reseated)
+    "brier_decomposition",  # r13: new (Murphy calibration decomposition)
+    "gumbel_block_maxima",  # r13: new (EVT block maxima + return level)
+    "mean_excess_pot",  # r13: new (EVT peaks-over-threshold diagnostic)
+    "last_digit_uniformity",  # r13: new (fraud/data-quality tail screen)
+    "ks_statistic_classifier",  # r13: descending walk moved onto value_cum_walk
     "contrastive_negative_pairs",  # r12 quadratic fix output change, never driver-hashed
     "theta_method_forecast",  # r13: half-up display rounding
     "croston_intermittent_demand",  # r13: half-up display rounding
-    # -- the never-driver-checked r12 tail (49 of 55; 6 overflow below) --
-    "page_hinkley_drift",
-    "good_turing_unseen_mass",
-    "ngram_novelty_rate",
-    "pr_curve_classifier",
-    "hurst_rescaled_range",
+    # -- the never-driver-checked r12 tail (36 of 55; overflow below) --
     "cramer_von_mises_drift",
     "anderson_darling_priorities",
     "friedman_event_types",
@@ -465,7 +462,6 @@ DRIVER_PRIORITY: list[str] = [
     "bca_ci_order_value",
     "quantile_treatment_effects",
     "plsa_topic_terms",
-    "dp_noisy_histogram",
     "cross_source_perplexity",
     "wasserstein_price_drift",
     "hellinger_tvd_drift",
@@ -475,7 +471,6 @@ DRIVER_PRIORITY: list[str] = [
     "periodogram_daily_revenue",
     "burrows_delta_sources",
     "platt_recalibrated_ece",
-    "capture_recapture_distinct",
     "embedding_isotropy_profile",
     "grid_dbscan_clusters",
     "matrix_profile_daily",
@@ -483,11 +478,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_key_skew_profile",
     "qlm_dirichlet_search",
     "cdc_chunk_dedup",
-    "randomized_response_estimate",
-    "negative_binomial_fit",
     "forecast_model_mase",
-    "pass_at_k_estimate",
-    "self_bleu_diversity",
     "mediation_baron_kenny",
     "iv_wald_estimate",
     "huber_irls_regression",
@@ -496,11 +487,11 @@ DRIVER_PRIORITY: list[str] = [
     "cronbach_alpha_embedding",
 ]
 
-# Overflow from the r13 rotation (55 candidates + 1 new for 50 slots):
-# these six carry committed same-round sweep evidence instead of a
-# driver slot — SWEEP_r13.json records their sf0.01 oracle hashes; the
-# first two were additionally driver-green in r11 before their r12
-# audit-column change. Next round's rotation should seat them first.
+# Overflow from the r13 rotation (55 r12 candidates + 10 new r13 queries
+# for 50 slots): these sixteen carry committed same-round sweep evidence
+# instead of a driver slot — SWEEP_r13.json records their sf0.01 oracle
+# hashes; the first two were additionally driver-green in r11 before
+# their r12 audit-column change. Next round's rotation seats them FIRST.
 NEXT_ROTATION: list[str] = [
     "frequent_event_sequences",  # r12 whale-guard adoption; r11-driver-green, SWEEP_r12+r13 PASS
     "whale_guarded_transitions",  # r12 audit-row fix; r11-driver-green, SWEEP_r12+r13 PASS
@@ -508,6 +499,16 @@ NEXT_ROTATION: list[str] = [
     "unpivot_metric_long",  # wide-to-long reshape; SWEEP_r12+r13 PASS
     "ab_power_curve",  # closed-form power planning; SWEEP_r12+r13 PASS
     "ltv_projection_curve",  # month-bounded cohort curve; SWEEP_r12+r13 PASS
+    "randomized_response_estimate",  # 1-row inversion; SWEEP_r12+r13 PASS
+    "negative_binomial_fit",  # |types| moment rows; SWEEP_r12+r13 PASS
+    "pass_at_k_estimate",  # 3-row estimator; SWEEP_r12+r13 PASS
+    "self_bleu_diversity",  # linear shingle scan; SWEEP_r12+r13 PASS
+    "capture_recapture_distinct",  # 1-row Chapman estimate; SWEEP_r12+r13 PASS
+    "dp_noisy_histogram",  # bounded histogram release; SWEEP_r12+r13 PASS
+    "good_turing_unseen_mass",  # linear gram counters; SWEEP_r12+r13 PASS
+    "ngram_novelty_rate",  # linear gram counters; SWEEP_r12+r13 PASS
+    "pr_curve_classifier",  # shared-trained-vector family; SWEEP_r12+r13 PASS
+    "hurst_rescaled_range",  # day-bounded series; SWEEP_r12+r13 PASS
 ]
 
 

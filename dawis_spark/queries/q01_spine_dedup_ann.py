@@ -4274,3 +4274,60 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup semantic dedup, metadata-filtered ANN
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size histogram (r13)
+# ---------------------------------------------------------------------------
+
+_DCS_ORACLE = """
+WITH clusters AS (
+  SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(cluster_size) AS BIGINT) AS n_total FROM clusters)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(cluster_size) AS DOUBLE) / MAX(n_total), 6) AS doc_share
+FROM clusters CROSS JOIN tot
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_sizes", oracle=_DCS_ORACLE)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the shape report behind
+    every dedup decision: dedup_exact says WHICH doc survives,
+    dup_rate_by_source says HOW MUCH is duplicated per source, this
+    says HOW duplication is organized (a corpus with one 10k-doc
+    boilerplate cluster needs different handling than 10k pairs). The
+    histogram is also the exact input to the 'keep one per cluster'
+    token-savings forecast: savings = sum((size-1) x avg_tokens).
+
+    Exactness: clusters keyed on the full sha2-256 digest (the
+    dedup_exact convention — DuckDB sha256 mirrors it), counts exact;
+    doc_share pays one division against the 1-row total.
+
+    Scale: the first exchange carries (digest, 1) pairs — never text;
+    the second rolls <= |distinct sizes| keys. Both are map-side
+    partial-aggregated; output is tiny (sizes are Zipf-few)."""
+    clusters = (
+        spark.table("documents")
+        .groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    tot = clusters.agg(
+        F.sum("cluster_size").cast("bigint").alias("n_total")
+    )
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("cluster_size").cast("double") / F.max("n_total"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -3763,11 +3763,11 @@ def ks_statistic_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles with a (diff, p) tie-break.
 
     Scale: one scoring scan collapses to the distinct rounded-score
-    relation (value-bounded [0,1] at the 1e-6 grid); the walk and the
-    TakeOrdered(1) live there."""
-    from pyspark.sql import Window
-
+    relation; the descending cumulative walk rides value_cum_walk's
+    range-bucketed prefix sums (r13 — no partition-less window, the
+    same rewrite as the EDF drift family) and ends in TakeOrdered(1)."""
     from dawis_spark.operators.logreg import margin_expr
+    from dawis_spark.operators.stats import value_cum_walk
 
     emb = spark.table("embeddings")
     w = _trained_logreg_w(spark, sf_dir)
@@ -3784,11 +3784,10 @@ def ks_statistic_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_p").cast("bigint").alias("nn"),
         F.sum("k_p").cast("bigint").alias("pp"),
     )
-    wd = Window.orderBy(F.desc("p")).rowsBetween(Window.unboundedPreceding, 0)
-    walk = per_p.select(
+    walk = value_cum_walk(per_p, "p", ["k_p", "n_p"], desc=True).select(
         "p",
-        F.sum("k_p").over(wd).alias("cum_k"),
-        F.sum("n_p").over(wd).alias("cum_n"),
+        F.col("cum_k_p").alias("cum_k"),
+        F.col("cum_n_p").alias("cum_n"),
     )
     scored = walk.crossJoin(F.broadcast(tot)).selectExpr(
         "p",
@@ -4454,3 +4453,318 @@ GROUP BY source, vocab_all ORDER BY source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-arrival exponential fit (r13)
+# ---------------------------------------------------------------------------
+
+_IAF_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts, event_id) AS g
+  FROM events),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(g AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS q
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+       ROUND(CAST(s AS DOUBLE) / (n_gaps * 1000000.0), 4) AS mean_gap_s,
+       ROUND(3600.0 * 1000000.0 * n_gaps / CAST(s AS DOUBLE), 6)
+         AS lambda_per_hour,
+       ROUND(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / CAST(s AS DOUBLE), 6)
+         AS cv
+FROM mom ORDER BY event_type
+"""
+
+
+@query("interarrival_exponential_fit", oracle=_IAF_ORACLE)
+def interarrival_exponential_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile with the exponential-fit
+    diagnostics: the MLE rate (lambda = 1/mean gap, in events/hour) and
+    the coefficient of variation — CV = 1 exactly for a Poisson
+    process, > 1 for bursty arrivals, < 1 for regular ones. The CV is
+    the one-number 'is per-user activity memoryless' screen a capacity
+    model or a bot detector thresholds on BEFORE trusting any
+    Poisson-based anomaly rule (anomaly_seasonal_daily assumes one).
+
+    Exactness: gaps are exact microsecond integers (unix_micros both
+    engines); the (n, s, q) moments stay exact DECIMAL/HUGEINT; mean,
+    lambda, and CV = sqrt(n*q - s^2)/s each pay one double op at the
+    end — shared formulations, bit-identical engines.
+
+    Scale: the lag window is partitioned by (event_type, user_id) —
+    millions of small partitions, never a hot global sort; the moment
+    rollup is map-side partial to |types| rows. One exchange of
+    (type, user)-keyed rows end-to-end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gaps = (
+        spark.table("events")
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    g38 = F.col("g").cast("decimal(38,0)")
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(g38).alias("s"),
+        F.sum(g38 * g38).alias("q"),
+    )
+    return mom.selectExpr(
+        "event_type",
+        "n_gaps",
+        "ROUND(CAST(s AS DOUBLE) / (n_gaps * 1000000.0), 4) AS mean_gap_s",
+        "ROUND(3600.0 * 1000000.0 * n_gaps / CAST(s AS DOUBLE), 6)"
+        " AS lambda_per_hour",
+        "ROUND(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / CAST(s AS DOUBLE),"
+        " 6) AS cv",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value pair: Gumbel block maxima + mean-excess plot (r13)
+# ---------------------------------------------------------------------------
+
+_GBM_BLOCK_DAYS = 5
+_GBM_RET_T = 12  # return period, in blocks
+_GBM_GAMMA = 0.5772156649  # Euler-Mascheroni
+
+# method-of-moments Gumbel over the one-row (n, m, sd) doubles
+_GBM_BETA = "(sd * sqrt(6.0) / pi())"
+_GBM_MU = f"(m - {_GBM_GAMMA} * {_GBM_BETA})"
+# 1e0 (not 1.0): Spark parses a bare 1.0 literal as DECIMAL, so
+# 1.0 - 1.0/12 would be decimal arithmetic there and double in DuckDB —
+# a 6th-decimal divergence that ROUND(,4) amplifies through the rl chain
+_GBM_RL = (
+    f"({_GBM_MU} - {_GBM_BETA}"
+    f" * ln(-ln(1e0 - 1e0 / {_GBM_RET_T})))"
+)
+
+_GBM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d0,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+blocks AS (
+  SELECT event_type, d0 // {_GBM_BLOCK_DAYS} AS blk,
+         CAST(MAX(v) AS BIGINT) AS mx
+  FROM daily GROUP BY 1, 2),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(mx AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS q
+  FROM blocks GROUP BY 1),
+d AS (
+  SELECT event_type, n_blocks, CAST(n_blocks AS DOUBLE) AS n,
+         CAST(s AS DOUBLE) / n_blocks AS m,
+         sqrt(CAST(n_blocks * q - s * s AS DOUBLE)
+              / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))) AS sd
+  FROM mom)
+SELECT event_type, n_blocks,
+       ROUND(m, 4) AS mean_max_cents,
+       ROUND(sd, 4) AS sd_max_cents,
+       ROUND({_GBM_MU}, 4) AS gumbel_mu,
+       ROUND({_GBM_BETA}, 4) AS gumbel_beta,
+       ROUND({_GBM_RL}, 4) AS return_level_{_GBM_RET_T}
+FROM d ORDER BY event_type
+"""
+
+
+@query("gumbel_block_maxima", oracle=_GBM_ORACLE)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit over 5-day block maxima of daily revenue per
+    event type, by method of moments (beta = sd*sqrt(6)/pi, mu = mean -
+    gamma*beta), plus the 12-block return level mu - beta*
+    ln(-ln(1 - 1/T)) — 'the daily revenue spike to expect once per T
+    blocks'. Extreme-value theory is the capacity-
+    planning member of the forecasting family: Holt/theta predict the
+    CENTER of tomorrow, this bounds the TAIL (what the peak day will
+    cost), which is what batch sizing and alert thresholds actually
+    need. The classical caveat is documented, not hidden: MoM on few
+    blocks is a point estimate, not an interval.
+
+    Exactness: block maxima and (n, s, q) are exact HUGEINT/DECIMAL38
+    integers; mean/sd and the mu/beta/return-level chain are SHARED
+    expression strings over one-time double casts — identical engines.
+
+    Scale: one (type, day) rollup, one (type, block) max, one moment
+    aggregate — everything after the first exchange is calendar-
+    bounded."""
+    daily = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d0"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    blocks = daily.groupBy(
+        "event_type", F.expr(f"d0 div {_GBM_BLOCK_DAYS}").alias("blk")
+    ).agg(F.max("v").cast("bigint").alias("mx"))
+    mx38 = F.col("mx").cast("decimal(38,0)")
+    mom = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(mx38).alias("s"),
+        F.sum(mx38 * mx38).alias("q"),
+    )
+    d = mom.selectExpr(
+        "event_type",
+        "n_blocks",
+        "CAST(n_blocks AS DOUBLE) AS n",
+        "CAST(s AS DOUBLE) / n_blocks AS m",
+        "sqrt(CAST(n_blocks * q - s * s AS DOUBLE)"
+        " / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))) AS sd",
+    )
+    return d.selectExpr(
+        "event_type",
+        "n_blocks",
+        "ROUND(m, 4) AS mean_max_cents",
+        "ROUND(sd, 4) AS sd_max_cents",
+        f"ROUND({_GBM_MU}, 4) AS gumbel_mu",
+        f"ROUND({_GBM_BETA}, 4) AS gumbel_beta",
+        f"ROUND({_GBM_RL}, 4) AS return_level_{_GBM_RET_T}",
+    ).orderBy("event_type")
+
+
+_MEP_THRESHOLDS = [10_000_000, 20_000_000, 30_000_000, 40_000_000, 50_000_000]
+
+_MEP_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+u AS (SELECT UNNEST(ARRAY{_MEP_THRESHOLDS}) AS u_cents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+ex AS (
+  SELECT u_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_exceed,
+         CAST(SUM(CAST(cents - u_cents AS HUGEINT)) AS HUGEINT) AS s_excess
+  FROM u JOIN v ON v.cents > u.u_cents
+  GROUP BY 1)
+SELECT u_cents, n_exceed,
+       ROUND(CAST(s_excess AS DOUBLE) / n_exceed, 4) AS mean_excess_cents,
+       ROUND(CAST(n_exceed AS DOUBLE) / MAX(n), 6) AS exceed_rate
+FROM ex CROSS JOIN tot
+GROUP BY u_cents, n_exceed, s_excess ORDER BY u_cents
+"""
+
+
+@query("mean_excess_pot", oracle=_MEP_ORACLE)
+def mean_excess_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold mean-excess plot over order values: for
+    each threshold u, E[X - u | X > u] and the exceedance rate — THE
+    diagnostic of extreme-value theory's other half (gumbel_block_maxima
+    fits maxima; POT fits exceedances): a mean-excess curve that rises
+    linearly in u indicates a heavy (Pareto-type) tail whose slope maps
+    to the GPD shape parameter, a flat curve an exponential tail, a
+    falling curve a bounded one. Read it before trusting any revenue
+    tail extrapolation.
+
+    Exactness: thresholds are shared literals; excess sums are exact
+    HUGEINT/DECIMAL38; one division per row.
+
+    Scale: the threshold relation (5 rows) broadcasts into ONE fact
+    scan (a theta-join on a literal grid — never a shuffle); output is
+    |thresholds| rows."""
+    v = spark.table("orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents")
+    )
+    u = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("bigint") for t in _MEP_THRESHOLDS])
+        ).alias("u_cents")
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ex = (
+        F.broadcast(u)
+        .join(v, v.cents > F.col("u_cents"))
+        .groupBy("u_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+            F.sum(
+                (F.col("cents") - F.col("u_cents")).cast("decimal(38,0)")
+            ).alias("s_excess"),
+        )
+    )
+    return (
+        ex.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "u_cents",
+            "n_exceed",
+            "ROUND(CAST(s_excess AS DOUBLE) / n_exceed, 4) AS mean_excess_cents",
+            "ROUND(CAST(n_exceed AS DOUBLE) / n, 6) AS exceed_rate",
+        )
+        .orderBy("u_cents")
+    )
+
+
+_LDU_ORACLE = """
+WITH base AS (
+  SELECT CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 10 AS INT)
+           AS digit
+  FROM orders),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed,
+       0.1 AS expected,
+       ROUND(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) - 0.1, 6)
+         AS deviation
+FROM counts ORDER BY digit
+"""
+
+
+@query("last_digit_uniformity", oracle=_LDU_ORACLE)
+def last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity screen over order-value cents — the tail
+    companion of benford_first_digit: leading digits follow Benford on
+    organically-scaled data, but TRAILING digits of genuine fine-
+    grained amounts should be UNIFORM (0.1 each); spikes at 0/5 betray
+    rounding, binning, or fabricated values. Same per-digit row shape
+    as the Benford screen so the two read side by side.
+
+    Exactness: digits are exact integer mod; observed shares are
+    exact-int/exact-int single divisions; no cross-row float paths
+    (the benford adjudication: the share window is over 10 rows).
+
+    Scale: one scan, 10 aggregate keys; the total-share window runs on
+    the 10-row digit relation."""
+    base = spark.table("orders").select(
+        F.expr(
+            "CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 10 AS INT)"
+        ).alias("digit")
+    )
+    counts = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("nn"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "n",
+            "ROUND(CAST(n AS DOUBLE) / nn, 6) AS observed",
+            "0.1 AS expected",
+            "ROUND(ROUND(CAST(n AS DOUBLE) / nn, 6) - 0.1, 6) AS deviation",
+        )
+        .orderBy("digit")
+    )

@@ -4335,3 +4335,438 @@ def cross_source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("eval_source", "model_source")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail (r13)
+# ---------------------------------------------------------------------------
+
+# chi-square(1) critical value at alpha = 0.05 — the industry SRM gate
+_SRM_CRIT = 3.841459
+
+_SRM_ORACLE = f"""
+WITH enroll AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         MIN(date_trunc('day', ts)) AS day
+  FROM events GROUP BY 1, 2),
+counts AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM enroll GROUP BY 1)
+SELECT day, n_a, n_b,
+       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+         AS chi2,
+       CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+            > {_SRM_CRIT} AS INT) AS srm_flag
+FROM counts ORDER BY day
+"""
+
+
+@query("srm_check", oracle=_SRM_ORACLE)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch guardrail — the FIRST check every
+    experimentation platform runs before reading any metric: per
+    enrollment day (a user's first event day), do the deterministic
+    hash arms hold the designed 50/50 split? chi2 = (n_a - n_b)^2 / n
+    (the two-cell goodness-of-fit collapses to this exactly); a flagged
+    day means assignment, logging, or bot traffic is broken and every
+    downstream readout (cuped, mSPRT, power) is void — which is why
+    this belongs beside them in the inventory rather than inside one.
+
+    Exactness: enrollment day is an exact MIN; counts exact; chi2 is
+    exact-int/exact-int with ONE division; the flag compares that one
+    quotient to a shared literal — bit-identical engines.
+
+    Scale: one user-keyed aggregate (the exchange carries user ids),
+    one day-keyed rollup to calendar-bounded rows. Nothing else."""
+    enroll = (
+        spark.table("events")
+        .groupBy(
+            "user_id", (F.col("user_id") % 2).cast("int").alias("arm")
+        )
+        .agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    )
+    counts = enroll.groupBy("day").agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("bigint").alias("n_b"),
+    )
+    chi2 = "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)"
+    return counts.selectExpr(
+        "day",
+        "n_a",
+        "n_b",
+        f"ROUND({chi2}, 6) AS chi2",
+        f"CAST({chi2} > {_SRM_CRIT} AS INT) AS srm_flag",
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Event-study (dynamic DiD) coefficients (r13)
+# ---------------------------------------------------------------------------
+
+_ESD_CUT = 1999  # the diff_in_diff_region_value period boundary, as a year
+
+_ESD_CELLS = """
+  SELECT CAST(year(o_orderdate) - {cut} AS BIGINT) AS rel_year,
+         CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(o_totalprice * 100, 0) AS {big}) AS v
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+"""
+
+_ESD_ORACLE = f"""
+WITH base AS ({_ESD_CELLS.format(cut=_ESD_CUT, big='HUGEINT')}),
+cells AS (
+  SELECT rel_year,
+         CAST(SUM(t) AS BIGINT) AS n_treat,
+         CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+         SUM(v * t) AS s_t, SUM(v * (1 - t)) AS s_c
+  FROM base GROUP BY 1),
+gaps AS (
+  SELECT rel_year, n_treat, n_ctrl,
+         CAST(s_t AS DOUBLE) / n_treat - CAST(s_c AS DOUBLE) / n_ctrl AS gap
+  FROM cells),
+baseline AS (SELECT gap AS g0 FROM gaps WHERE rel_year = -1)
+SELECT rel_year, n_treat, n_ctrl,
+       ROUND(gap, 4) AS gap_cents,
+       ROUND(gap - g0, 4) AS coef_cents
+FROM gaps CROSS JOIN baseline ORDER BY rel_year
+"""
+
+
+@query("event_study_did", oracle=_ESD_ORACLE)
+def event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study (dynamic DiD) around the 1999 'rollout' that
+    diff_in_diff_region_value collapses to a single contrast: per
+    relative year k, the treated-minus-control order-value gap
+    normalized to the k = -1 baseline (the standard event-study
+    normalization). The PRE-period coefficients are the parallel-trends
+    diagnostic the single-number DiD silently assumes — flat pre-coefs
+    license the design; a pre-trend voids it. Dynamic post-coefs show
+    whether the effect builds, jumps, or decays.
+
+    Exactness: per-(rel_year, arm) sums are exact HUGEINT/DECIMAL38
+    cents; each gap pays two divisions of exact ints; the baseline is
+    subtracted as the identical double both engines computed.
+
+    Scale: dims broadcast into the one fact scan; the cell rollup is
+    map-side partial to |years| x 2; the baseline joins back as a
+    broadcast single row."""
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            (F.year("o_orderdate") - F.lit(_ESD_CUT))
+            .cast("bigint")
+            .alias("rel_year"),
+            (F.col("r_name") == "ASIA").cast("int").alias("t"),
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))").alias(
+                "v"
+            ),
+        )
+    )
+    cells = base.groupBy("rel_year").agg(
+        F.sum("t").cast("bigint").alias("n_treat"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_ctrl"),
+        F.sum(F.col("v") * F.col("t")).alias("s_t"),
+        F.sum(F.col("v") * (1 - F.col("t"))).alias("s_c"),
+    )
+    gaps = cells.selectExpr(
+        "rel_year",
+        "n_treat",
+        "n_ctrl",
+        "CAST(s_t AS DOUBLE) / n_treat - CAST(s_c AS DOUBLE) / n_ctrl AS gap",
+    )
+    baseline = gaps.filter(F.col("rel_year") == -1).select(
+        F.col("gap").alias("g0")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(baseline))
+        .selectExpr(
+            "rel_year",
+            "n_treat",
+            "n_ctrl",
+            "ROUND(gap, 4) AS gap_cents",
+            "ROUND(gap - g0, 4) AS coef_cents",
+        )
+        .orderBy("rel_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O'Brien-Fleming group-sequential boundary replay (r13)
+# ---------------------------------------------------------------------------
+
+# Continuous-monitoring OBF constant for two-sided alpha ~= 0.05: the
+# z-scale boundary is C * sqrt(K / k) at look k of K. C = 2.24 is the
+# standard large-K approximation (Lan-DeMets alpha-spending literature);
+# exact per-K calibration is a numerical-integration table, out of scope
+# — the OPERATOR is the boundary replay, the constant is a config knob.
+_OBF_C = 2.24
+
+# shared z expression over the one-time double casts of the cumulative
+# exact-integer moments (population variances; Welch-style SE)
+_OBF_Z = (
+    "(sa / na - sb / nb) / sqrt("
+    " (qa / na - (sa / na) * (sa / na)) / na"
+    " + (qb / nb - (sb / nb) * (sb / nb)) / nb)"
+)
+
+_OBF_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(user_id % 2 AS INT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)) AS HUGEINT) AS s_d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)
+                  * CAST(ROUND(value * 100, 0) AS HUGEINT)) AS HUGEINT) AS q_d
+  FROM events GROUP BY 1, 2),
+wide AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN arm = 0 THEN n_d END) AS BIGINT) AS na_d,
+         SUM(CASE WHEN arm = 0 THEN s_d END) AS sa_d,
+         SUM(CASE WHEN arm = 0 THEN q_d END) AS qa_d,
+         CAST(SUM(CASE WHEN arm = 1 THEN n_d END) AS BIGINT) AS nb_d,
+         SUM(CASE WHEN arm = 1 THEN s_d END) AS sb_d,
+         SUM(CASE WHEN arm = 1 THEN q_d END) AS qb_d
+  FROM daily GROUP BY 1),
+cum AS (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         CAST(SUM(na_d) OVER w AS DOUBLE) AS na,
+         CAST(SUM(sa_d) OVER w AS DOUBLE) AS sa,
+         CAST(SUM(qa_d) OVER w AS DOUBLE) AS qa,
+         CAST(SUM(nb_d) OVER w AS DOUBLE) AS nb,
+         CAST(SUM(sb_d) OVER w AS DOUBLE) AS sb,
+         CAST(SUM(qb_d) OVER w AS DOUBLE) AS qb
+  FROM wide
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM wide)
+SELECT day, k,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND({_OBF_Z}, 6) AS z,
+       ROUND({_OBF_C} * sqrt(CAST(kk AS DOUBLE) / k), 6) AS boundary,
+       CAST(abs({_OBF_Z}) > {_OBF_C} * sqrt(CAST(kk AS DOUBLE) / k) AS INT)
+         AS crossed
+FROM cum CROSS JOIN tot ORDER BY day
+"""
+
+
+@query("obf_group_sequential", oracle=_OBF_ORACLE)
+def obf_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential boundary replay over the hash-
+    split arms' event values: per day k of K, the accumulated-data z
+    against the OBF boundary C*sqrt(K/k) — conservative early, nominal
+    late. The FIXED-HORIZON member of the sequential-testing pair
+    (msprt_sequential_monitor is the always-valid anytime member): OBF
+    needs K up front and spends alpha along a schedule; mSPRT never
+    does. Running both against the same arms is the standard platform
+    cross-check.
+
+    Exactness: daily and cumulative per-arm (n, s, q) are exact
+    HUGEINT/DECIMAL38 cents; z and the boundary are shared expression
+    strings over one-time double casts — bit-identical engines.
+
+    Scale: one (day, arm) keyed rollup is the only row-scale exchange;
+    the cumulative walk runs on the day-bounded daily relation through
+    bounded_window (plans/bounded.py — the r13 plan-build-time
+    adjudication: 'day-spine', one row per observation day)."""
+    from pyspark.sql import Window
+
+    from dawis_spark.plans.bounded import bounded_window
+
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS DECIMAL(38,0))")
+    daily = (
+        spark.table("events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_d"),
+            F.sum(cents).alias("s_d"),
+            F.sum(cents * cents).alias("q_d"),
+        )
+    )
+    wide = daily.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_d"))).cast("bigint").alias("na_d"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s_d"))).alias("sa_d"),
+        F.sum(F.when(F.col("arm") == 0, F.col("q_d"))).alias("qa_d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_d"))).cast("bigint").alias("nb_d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s_d"))).alias("sb_d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("q_d"))).alias("qb_d"),
+    )
+    w = bounded_window(
+        "obf_group_sequential",
+        "day-spine",
+        "one row per observation day (~30 here; years at most)",
+        "day",
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = wide.select(
+        "day",
+        F.row_number()
+        .over(
+            bounded_window(
+                "obf_group_sequential",
+                "day-spine",
+                "one row per observation day (~30 here; years at most)",
+                "day",
+            )
+        )
+        .cast("bigint")
+        .alias("k"),
+        F.sum("na_d").over(w).cast("double").alias("na"),
+        F.sum("sa_d").over(w).cast("double").alias("sa"),
+        F.sum("qa_d").over(w).cast("double").alias("qa"),
+        F.sum("nb_d").over(w).cast("double").alias("nb"),
+        F.sum("sb_d").over(w).cast("double").alias("sb"),
+        F.sum("qb_d").over(w).cast("double").alias("qb"),
+    )
+    tot = wide.agg(F.count(F.lit(1)).cast("bigint").alias("kk"))
+    bexpr = f"{_OBF_C} * sqrt(CAST(kk AS DOUBLE) / k)"
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "day",
+            "k",
+            "CAST(na AS BIGINT) AS n_a",
+            "CAST(nb AS BIGINT) AS n_b",
+            f"ROUND({_OBF_Z}, 6) AS z",
+            f"ROUND({bexpr}, 6) AS boundary",
+            f"CAST(abs({_OBF_Z}) > {bexpr} AS INT) AS crossed",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (r13 — classifier calibration family)
+# ---------------------------------------------------------------------------
+
+
+def _brier_decomp_oracle(dim: int, iters: int, lr: float) -> str:
+    dot = _VEC.dot("xs", "wl", "duck")
+    return f"""
+WITH {_logreg_chain_ctes(dim, iters, lr, _LOGREG_SAMPLE_LIMIT)},
+wlF AS (SELECT list(weight ORDER BY dim) AS wl FROM w{iters}),
+scF AS MATERIALIZED (
+  SELECT CAST(v.y AS INT) AS y,
+         round(1.0 / (1.0 + exp(-(round({dot}, 6)))), 6) AS p
+  FROM v, wlF),
+bins AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(y) AS BIGINT) AS k_b,
+         AVG(p) AS mp
+  FROM scF GROUP BY 1),
+ntot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(k_b) AS BIGINT) AS k
+  FROM bins),
+terms AS (
+  SELECT b,
+         CAST(n_b AS DOUBLE) / n
+           * (mp - CAST(k_b AS DOUBLE) / n_b)
+           * (mp - CAST(k_b AS DOUBLE) / n_b) AS rel_t,
+         CAST(n_b AS DOUBLE) / n
+           * (CAST(k_b AS DOUBLE) / n_b - CAST(k AS DOUBLE) / n)
+           * (CAST(k_b AS DOUBLE) / n_b - CAST(k AS DOUBLE) / n) AS res_t,
+         n, k
+  FROM bins CROSS JOIN ntot),
+folded AS (
+  SELECT n, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(rel_t ORDER BY b)), (a, e) -> a + e) AS rel,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(res_t ORDER BY b)), (a, e) -> a + e) AS res
+  FROM terms GROUP BY n, k),
+brier AS (SELECT AVG((p - y) * (p - y)) AS bs FROM scF)
+SELECT n AS n_docs,
+       ROUND(bs, 6) AS brier_score,
+       ROUND(rel, 6) AS reliability,
+       ROUND(res, 6) AS resolution,
+       ROUND(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n), 6)
+         AS uncertainty,
+       ROUND(rel - res + CAST(k AS DOUBLE) / n
+             * (1.0 - CAST(k AS DOUBLE) / n), 6) AS binned_brier
+FROM folded CROSS JOIN brier
+"""
+
+
+@query("brier_decomposition", oracle=_brier_decomp_oracle(64, 3, 1.0))
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the trained
+    quality classifier: brier = RELIABILITY - RESOLUTION + UNCERTAINTY
+    over the decile bins (exactly, for bin-mean forecasts — the
+    binned_brier column carries the identity so the readout is
+    self-checking; the raw brier differs only by within-bin variance).
+    This answers WHY a Brier score is bad where
+    ece_classifier_calibration only says THAT calibration is off:
+    reliability isolates miscalibration (fixable by Platt — see
+    platt_recalibrated_ece), resolution is the discrimination the model
+    actually has, uncertainty is the base-rate floor no model beats.
+
+    Determinism: the ECE discipline verbatim — round-6 scores from the
+    shared trained vector (no retrain), exact bin counts, per-bin means
+    of identical doubles, both decomposition sums folded in bin order.
+
+    Scale: one scoring scan collapsing to 10 bins + a 1-row Brier
+    aggregate; training memoized and sample-bounded."""
+    from dawis_spark.operators.logreg import margin_expr
+
+    emb = spark.table("embeddings")
+    w = _trained_logreg_w(spark, sf_dir)
+    p = f"round(1.0 / (1.0 + exp(-(round({margin_expr('embedding', w)}, 6)))), 6)"
+    scored = emb.selectExpr(
+        f"cast({_LOGREG_Y_SPARK} as int) AS y", f"{p} AS p"
+    )
+    bins = scored.selectExpr(
+        "LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS b", "y", "p"
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("k_b"),
+        F.avg("p").alias("mp"),
+    )
+    nn = bins.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum("k_b").cast("bigint").alias("k"),
+    )
+    terms = bins.crossJoin(F.broadcast(nn)).selectExpr(
+        "b",
+        "CAST(n_b AS DOUBLE) / n * (mp - CAST(k_b AS DOUBLE) / n_b)"
+        " * (mp - CAST(k_b AS DOUBLE) / n_b) AS rel_t",
+        "CAST(n_b AS DOUBLE) / n"
+        " * (CAST(k_b AS DOUBLE) / n_b - CAST(k AS DOUBLE) / n)"
+        " * (CAST(k_b AS DOUBLE) / n_b - CAST(k AS DOUBLE) / n) AS res_t",
+        "n",
+        "k",
+    )
+    folded = terms.groupBy("n", "k").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, rel_t))), "
+            "cast(0.0 as double), (a, e) -> a + e.rel_t)"
+        ).alias("rel"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(b, res_t))), "
+            "cast(0.0 as double), (a, e) -> a + e.res_t)"
+        ).alias("res"),
+    )
+    brier = scored.agg(
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("bs")
+    )
+    unc = "CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)"
+    return folded.crossJoin(F.broadcast(brier)).selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "ROUND(bs, 6) AS brier_score",
+        "ROUND(rel, 6) AS reliability",
+        "ROUND(res, 6) AS resolution",
+        f"ROUND({unc}, 6) AS uncertainty",
+        f"ROUND(rel - res + {unc}, 6) AS binned_brier",
+    )

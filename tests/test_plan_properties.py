@@ -539,7 +539,6 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "benford_first_digit": "share over 9 leading digits",
     "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
     "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
-    "ks_statistic_classifier": "CDF walk over distinct round-6 scores (value-bounded [0,1] grid)",
     "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
     "spearman_daily_rev_orders": "rank over the day-bounded daily series",

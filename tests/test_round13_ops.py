@@ -188,3 +188,48 @@ def test_forecast_alerts_flow_into_alert_queue(spark, tmp_path):
     assert ctx["series"] == "bad" and ctx["bucket"] == 16
     assert ctx["resid_cents"] == 4000 - ctx["forecast_cents"]
     assert ctx["n_resid"] == 15
+
+
+def test_value_cum_walk_matches_global_window_twin(spark):
+    """The r13 EDF-migration primitive, pinned against the semantics it
+    replaced: inclusive running sums + dense rank from value_cum_walk
+    must be BIT-IDENTICAL to SUM(c) OVER (ORDER BY v ROWS UNBOUNDED
+    PRECEDING..CURRENT ROW) / row_number, ascending and descending,
+    including multi-sum one-call form and a NULL-free skewed domain."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dawis_spark.operators.stats import value_cum_walk
+
+    rnd = random.Random(13)
+    rows = [
+        (rnd.randrange(-500, 10_000), rnd.randrange(0, 7), rnd.randrange(0, 5))
+        for _ in range(400)
+    ]
+    per_v = (
+        spark.createDataFrame(rows, "v long, a long, b long")
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("bigint").alias("ca"),
+            F.sum("b").cast("bigint").alias("cb"),
+        )
+    )
+    for desc in (False, True):
+        order = F.desc("v") if desc else F.asc("v")
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        twin = per_v.select(
+            "v",
+            F.row_number().over(Window.orderBy(order)).cast("bigint").alias("r"),
+            F.sum("ca").over(w).cast("bigint").alias("xa"),
+            F.sum("cb").over(w).cast("bigint").alias("xb"),
+        )
+        got = value_cum_walk(per_v, "v", ["ca", "cb"], n_buckets=16, desc=desc)
+        exp = {row["v"]: (row["r"], row["xa"], row["xb"]) for row in twin.collect()}
+        for row in got.collect():
+            assert (row["__r"], row["cum_ca"], row["cum_cb"]) == exp[row["v"]], (
+                desc,
+                row,
+            )
+        spark.catalog.clearCache()

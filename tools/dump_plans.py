@@ -196,6 +196,17 @@ PICKS = {
         "one keyed day-rollup exchange; per-key integer residual walk in "
         "applyInPandas; |types| rows out (streaming monitor's batch twin)"
     ),
+    "dedup_cluster_sizes": "digest-keyed exchange (never text); two map-side partial rollups",
+    "interarrival_exponential_fit": (
+        "(type,user)-partitioned lag window — millions of small "
+        "partitions, no hot sort; map-side moments to |types| rows"
+    ),
+    "srm_check": "user-keyed enrollment aggregate; day rollup; one exact division",
+    "obf_group_sequential": "day-bounded cumulative moments via bounded_window; 1-row K broadcast",
+    "brier_decomposition": "one scoring scan -> 10 bins; ordered two-sum fold; 1-row output",
+    "gumbel_block_maxima": "(type,day) rollup -> (type,block) max -> |types| moment rows",
+    "mean_excess_pot": "5-row literal threshold grid broadcast into one fact scan",
+    "event_study_did": "dims broadcast into one fact scan; |years|x2 cells; 1-row baseline broadcast",
 }
 
 KEEP = re.compile(
