@@ -39,6 +39,7 @@ def value_cum_walk(
     n_buckets: int = 1024,
     rank_col: str = "__r",
     desc: bool = False,
+    log_scale: bool = False,
 ) -> DataFrame:
     """Distributed EDF walk over a distinct-value relation: inclusive
     running sums ``cum_<c>`` of each integer count column in
@@ -50,7 +51,13 @@ def value_cum_walk(
     per-bucket sorts are partitioned by bucket). Ranks and sums are
     bit-identical to ``SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING
     ... CURRENT ROW)`` by construction. Exclusive ("before") forms are
-    one subtraction: ``cum_c - c``."""
+    one subtraction: ``cum_c - c``. ``log_scale`` passes through to the
+    bucket assignment (signed-log boundaries, bit-identical results) —
+    use it when the VALUE domain is heavy-tailed: one whale value
+    stretches the linear [lo, hi] until every other distinct value
+    lands in bucket 0 and the walk degrades toward (never past) the
+    pre-r13 single-task cost (measured: SCALE.md round-13 value-whale
+    stress)."""
     from dawis_spark.operators.sketches import range_partitioned_ranks
 
     return range_partitioned_ranks(
@@ -60,6 +67,7 @@ def value_cum_walk(
         desc=desc,
         n_buckets=n_buckets,
         out_col=rank_col,
+        log_scale=log_scale,
         sum_cols=[(f"cum_{c}", c) for c in count_cols],
     )
 
