@@ -233,3 +233,59 @@ def test_value_cum_walk_matches_global_window_twin(spark):
                 row,
             )
         spark.catalog.clearCache()
+
+
+def _plan13(spark, name):
+    import dawis_spark.queries as q
+    import io
+    from contextlib import redirect_stdout
+
+    df = q.QUERIES[name](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    spark.catalog.clearCache()
+    return buf.getvalue()
+
+
+def test_r13_new_query_plan_shapes(spark):
+    """Pin the scale-critical shapes of the round-13 additions so the
+    SCALE.md adjudications are enforced, not prose."""
+    # mean_excess_pot: the literal threshold grid must broadcast into the
+    # fact scan — a SortMergeJoin here would shuffle the facts for a
+    # 5-row relation
+    p = _plan13(spark, "mean_excess_pot")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # event_study_did: every dim joins broadcast; the fact table never
+    # shuffles for a dimension
+    p = _plan13(spark, "event_study_did")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    # holt_residual_breaches: exactly one row-scale exchange feeds the
+    # per-key pandas walk (the day-rollup), and the walk itself is a
+    # FlatMapGroupsInPandas over that rollup
+    p = _plan13(spark, "holt_residual_breaches")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("+- Scan parquet") == 1  # ONE source feeds the walk
+    # dedup_cluster_sizes: the first exchange carries digests, never text
+    # (ReadSchema of the scan feeding the hash agg includes only text ->
+    # projected to the digest before the exchange); cheap proxy: no sort
+    # joins anywhere and two hash aggregates around each exchange
+    p = _plan13(spark, "dedup_cluster_sizes")
+    assert "SortMergeJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_obf_group_sequential_registers_bounded_window(spark):
+    """The first bounded_window consumer actually registers its
+    adjudication at plan-build time (what the inventory-wide window pin
+    unions in)."""
+    import dawis_spark.queries as q
+    from dawis_spark.plans.bounded import BOUNDED_WINDOW_REGISTRY
+
+    BOUNDED_WINDOW_REGISTRY.pop("obf_group_sequential", None)
+    q.QUERIES["obf_group_sequential"](spark, "/root/testdata/sf0.001")
+    cls, reason = BOUNDED_WINDOW_REGISTRY["obf_group_sequential"]
+    assert cls == "day-spine" and "day" in reason
+    spark.catalog.clearCache()
