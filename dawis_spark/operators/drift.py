@@ -62,10 +62,15 @@ def ks_two_sample(
         F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
         F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
     ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    # per_v feeds BOTH the walk and the totals agg: persist it so the
+    # tagged groupBy lineage is evaluated once (the walk's internal
+    # bucketed persist caches its own crossJoined relation, not this
+    # input) — same discipline as range_partitioned_ranks; the harness
+    # clearCache between queries reclaims it
     per_v = tagged.groupBy("v").agg(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
-    )
+    ).persist()
     from dawis_spark.operators.stats import value_cum_walk
 
     tot = per_v.agg(

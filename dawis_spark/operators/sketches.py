@@ -732,12 +732,12 @@ def range_partitioned_ranks(
     driver-node face-plant at 100 TB). This is the distributed
     equivalent, the two-level prefix-sum every external sort-rank uses:
 
-      1. one map-side-partial aggregate: global min/max/count (1 row,
-         broadcast);
-      2. range-bucket every row into ``n_buckets`` equal-width buckets
-         on ``value_col`` — map-side, monotone in the sort key so bucket
-         order IS rank order and ties (same value) never straddle
-         buckets;
+      1. one map-side-partial aggregate: global count + the i/n_buckets
+         ``percentile_approx`` boundary quantiles (1 row, broadcast);
+      2. range-bucket every row into ``n_buckets`` EQUI-DEPTH buckets
+         on ``value_col`` (binary search over the broadcast boundary
+         array) — map-side, monotone in the sort key so bucket order IS
+         rank order and ties (same value) never straddle buckets;
       3. per-bucket counts (<= n_buckets rows) -> each bucket's rank
          offset by an ARRAY prefix-sum over the count relation gathered
          into one row (<= n_buckets structs; O(n_buckets^2) adds on one
@@ -746,9 +746,10 @@ def range_partitioned_ranks(
       4. row_number within each bucket (parallelism = populated
          buckets, each sorting ~n/n_buckets rows) + broadcast offset.
 
-    Ranks are IDENTICAL to the global window's by construction. Skewed
-    value distributions degrade a hot bucket toward the single-sort cost
-    but never past it (same adjudication as rank_quantiles_select).
+    Ranks are IDENTICAL to the global window's by construction. The one
+    residual hot-bucket shape is TIE MASS: a single value holding x% of
+    all rows puts that x% in one bucket, which no monotone bucketing can
+    split (standing adjudication, same as rank_quantiles_select).
 
     ``desc=True`` ranks by ``value_col`` descending (tie columns stay
     ascending, matching ``ORDER BY v DESC, ties``). ``n_col`` optionally
@@ -769,56 +770,51 @@ def range_partitioned_ranks(
     needs two — cum_a and cum_b — per walk; two calls would pay the
     bucket machinery twice).
 
-    ``log_scale=True`` assigns buckets on the signed-log transform
-    sign(v)*ln(1+|v|) instead of v itself — STRICTLY MONOTONE, so bucket
-    order still equals rank order and ties still share a bucket; ranks
-    are bit-identical either way (the transform only re-draws the COARSE
-    bucket boundaries). Use it for heavy-tailed value distributions
-    (revenue, counts): with equal-width linear buckets a single whale
-    value stretches [lo, hi] until every other row lands in bucket 0 and
-    the within-bucket sort degrades toward the single-task cost (the
-    r11 zipf rehearsal measured pareto_customers at 2.2x under a
-    20%-mass customer; log-scale buckets restore ~1x). Keep the linear
-    default for roughly-uniform domains (scores, percent ranks), where
-    log buckets would concentrate the top of the range instead.
+    Buckets are EQUI-DEPTH (round 14): boundaries are the in-plan
+    ``percentile_approx`` quantiles of ``value_col`` at i/n_buckets,
+    computed in the SAME single-pass stats aggregate that already
+    gathers the row count — no extra scan, no driver-side action, and
+    the 1-row result broadcasts exactly as before. Each bucket then
+    holds ~n/n_buckets rows (± the sketch's 1/accuracy rank error and
+    tie mass — ties can never straddle a monotone bucketing) for ANY
+    value distribution: a whale value six decades beyond the body, a
+    zipf tail, a shifted tight cluster — the r13 equal-width plan's
+    measured whale collapse (SCALE.md: one 1e6x value pushed the whole
+    body into bucket 0 and the walk back to the single-task cost)
+    cannot happen by construction. Row assignment is a 10-step unrolled
+    binary search (chained projections, ``try_element_at`` on the
+    broadcast boundary array — O(log n_buckets) per row, no O(n_buckets)
+    array scan in the hot path). Quantile sketch error only moves COARSE
+    boundaries; ranks/sums stay bit-identical to the global window.
+
+    ``log_scale`` is retained for API compatibility and is now a no-op:
+    equi-depth boundaries are invariant under any strictly monotone
+    transform of the value axis, so the signed-log re-draw it used to
+    request no longer changes the plan (it was the r13 opt-in remedy
+    for exactly the whale collapse the quantile boundaries retire).
 
     NULL handling: NULL ``value_col`` rows are routed to the bucket that
     matches Spark's window NULL ordering — bucket 0 for ascending (ASC =
-    NULLS FIRST) and the last bucket for descending (DESC = NULLS LAST) —
-    so ranks stay bit-identical to the global window even on nullable
-    inputs. With ``sum_col``, NULL values contribute 0 to the running
-    sum (as SUM ignores NULLs).
+    NULLS FIRST) and the last bucket for descending (DESC = NULLS LAST).
+    This falls out of the search itself: a NULL value never satisfies a
+    boundary comparison, so its ascending boundary count is 0 (bucket 0
+    ascending, n_buckets-1 after the descending flip). With ``sum_col``,
+    NULL values contribute 0 to the running sum (as SUM ignores NULLs).
     """
     from pyspark.sql import Window
 
-    stats = df.agg(
-        F.min(value_col).alias("__lo"),
-        F.max(value_col).alias("__hi"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    if log_scale:
-        # sign(v)*ln(1+|v|): strictly monotone over all reals, so
-        # sl(min)=min(sl) and sl(max)=max(sl) — lo/hi transform in place
-        def _sl(x: str) -> str:
-            return f"(sign({x}) * ln(1.0 + abs(cast({x} as double))))"
-
-        v, lo, hi = _sl(value_col), _sl("__lo"), _sl("__hi")
-    else:
-        v = f"cast({value_col} as double)"
-        lo, hi = "cast(__lo as double)", "cast(__hi as double)"
-    pos = f"(({v} - {lo}) / ({hi} - {lo}))"
-    if desc:
-        pos = f"(1.0 - {pos})"
-    # NULL sort keys: Spark windows put NULLs FIRST for ASC and LAST for
-    # DESC; min/max ignore NULLs, so without this branch a NULL row's
-    # position is NULL and greatest(0, NULL) = 0 would silently rank
-    # NULLs first even under desc=True.
-    null_bucket = n_buckets - 1 if desc else 0
-    bexpr = (
-        f"case when {value_col} is null then {null_bucket} "
-        f"when __hi = __lo then 0 else least({n_buckets - 1}, "
-        f"greatest(0, cast(floor({pos} * {n_buckets}) as int))) end"
-    )
+    del log_scale  # no-op since the r14 equi-depth boundaries (see doc)
+    n_bnd = n_buckets - 1
+    stats_aggs = [F.count(F.lit(1)).alias("__n")]
+    if n_bnd > 0:
+        stats_aggs.append(
+            F.percentile_approx(
+                F.col(value_col).cast("double"),
+                [i / n_buckets for i in range(1, n_buckets)],
+                10000,
+            ).alias("__bnd")
+        )
+    stats = df.agg(*stats_aggs)
     # ``bucketed`` feeds BOTH the bucket-count relation and the final
     # rank join; without materialization each reference re-evaluates the
     # full input lineage — and CHAINED calls (rfm's three ntile passes)
@@ -829,9 +825,36 @@ def range_partitioned_ranks(
     # the correctness harness call spark.catalog.clearCache() between
     # queries for exactly this reason; long-lived sessions chaining many
     # ranked relations should do the same.
+    joined_stats = df.crossJoin(F.broadcast(stats))
+    if n_bnd > 0:
+        # __bs = |{boundaries <= v}| via unrolled binary search: each
+        # step is its own projection (withColumn) so the expression tree
+        # stays LINEAR in step count — nesting the accumulator inline
+        # would triple it per level. try_element_at returns NULL past
+        # the array end (and for a NULL __bnd on an empty input), and a
+        # NULL comparison never increments, which also gives NULL values
+        # the window's NULL ordering for free (see docstring).
+        vd = F.col(value_col).cast("double")
+        joined_stats = joined_stats.withColumn("__bs", F.lit(0))
+        step = 1 << (n_bnd.bit_length() - 1)
+        while step >= 1:
+            hit = F.try_element_at(F.col("__bnd"), F.col("__bs") + step) <= vd
+            joined_stats = joined_stats.withColumn(
+                "__bs",
+                F.when(hit, F.col("__bs") + step).otherwise(F.col("__bs")),
+            )
+            step >>= 1
+        bcol = (n_bnd - F.col("__bs")) if desc else F.col("__bs")
+    else:
+        bcol = F.lit(0)
+    # drop the boundary array (and search accumulator) BEFORE the
+    # persist: the crossJoin materializes stats columns per row, and an
+    # n_buckets-1 double array cached per row would multiply the cache
+    # footprint ~1000x; only the scalar __n (when n_col needs it) and
+    # the int __b ride through
     bucketed = (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn("__b", F.expr(bexpr))
+        joined_stats.withColumn("__b", bcol.cast("int"))
+        .drop("__bs", "__bnd")
         .persist()
     )
     pairs: list[tuple[str, str]] = list(sum_cols) if sum_cols else []

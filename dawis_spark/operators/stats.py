@@ -51,13 +51,15 @@ def value_cum_walk(
     per-bucket sorts are partitioned by bucket). Ranks and sums are
     bit-identical to ``SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING
     ... CURRENT ROW)`` by construction. Exclusive ("before") forms are
-    one subtraction: ``cum_c - c``. ``log_scale`` passes through to the
-    bucket assignment (signed-log boundaries, bit-identical results) —
-    use it when the VALUE domain is heavy-tailed: one whale value
-    stretches the linear [lo, hi] until every other distinct value
-    lands in bucket 0 and the walk degrades toward (never past) the
-    pre-r13 single-task cost (measured: SCALE.md round-13 value-whale
-    stress)."""
+    one subtraction: ``cum_c - c``. Since round 14 the buckets are
+    EQUI-DEPTH (percentile_approx boundaries in the same 1-row stats
+    pass), so the walk is whale-proof BY DEFAULT: the r13-measured
+    collapse (one 1e6x value pushed every other distinct value into
+    linear bucket 0 and the walk back to the single-task cost, 15.6 s)
+    re-measures at ~the uniform cost with no caller opt-in (SCALE.md
+    round-14 row). ``log_scale`` is retained as a no-op for API
+    compatibility — equi-depth boundaries are invariant under monotone
+    transforms of the value axis."""
     from dawis_spark.operators.sketches import range_partitioned_ranks
 
     return range_partitioned_ranks(
@@ -1011,10 +1013,12 @@ def cramer_von_mises(
         F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
         F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
     ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    # per_v feeds the walk AND the totals agg below — persist (the
+    # ks_two_sample/wasserstein discipline)
     per_v = tagged.groupBy("v").agg(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
-    )
+    ).persist()
     walked = value_cum_walk(per_v, "v", ["na_v", "nb_v"]).select(
         "na_v",
         "nb_v",
@@ -1237,11 +1241,15 @@ def wasserstein_1d(
         F.when(F.col(side_col) == side_a, 1).otherwise(0).alias("ia"),
         F.when(F.col(side_col) == side_b, 1).otherwise(0).alias("ib"),
     ).filter((F.col("ia") == 1) | (F.col("ib") == 1))
+    # per_v feeds the walk AND the totals agg; the walk output feeds
+    # BOTH sides of the rank-successor self-join — persist each so the
+    # input lineage and the walk's window/join stages evaluate once
+    # (the clearCache-between-queries discipline reclaims both)
     per_v = tagged.groupBy("v").agg(
         F.sum("ia").cast("bigint").alias("na_v"),
         F.sum("ib").cast("bigint").alias("nb_v"),
-    )
-    cum = value_cum_walk(per_v, "v", ["na_v", "nb_v"])
+    ).persist()
+    cum = value_cum_walk(per_v, "v", ["na_v", "nb_v"]).persist()
     # lead(v) without a global window: the walk's dense value rank makes
     # "next distinct value" an equi-join on rank+1 — a hash exchange of
     # the distinct-value relation, never a single-task sort. The inner

@@ -705,8 +705,10 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         desc=True,
         out_col="rk",
         sum_col="cum",
-        log_scale=True,  # revenue is heavy-tailed: linear buckets collapse
-        # under a whale customer (r11 zipf rehearsal: 2.2x -> ~1x)
+        # r14: no log_scale flag needed — equi-depth boundaries absorb
+        # the heavy-tailed revenue domain by construction (the r11 zipf
+        # rehearsal's 2.2x whale collapse can't recur under quantile
+        # buckets)
     )
     crossed = ranked.crossJoin(F.broadcast(tot)).filter(
         F.col("cum") * 5 >= F.col("t") * 4
@@ -1322,7 +1324,9 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rk = range_partitioned_ranks(
-        rev, "x", ["o_custkey"], out_col="r", log_scale=True
+        # r14: equi-depth boundaries make the former log_scale opt-in
+        # (heavy-tailed revenue) the default behavior
+        rev, "x", ["o_custkey"], out_col="r"
     ).select("x", "r")
     m = rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
