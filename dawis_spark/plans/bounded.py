@@ -51,8 +51,43 @@ BOUND_CLASSES: frozenset[str] = frozenset(
     }
 )
 
-# query name -> (bound_class, reason); populated at plan-build time.
-BOUNDED_WINDOW_REGISTRY: dict[str, tuple[str, str]] = {}
+# query name -> {(bound_class, reason): n_windows}; populated at
+# plan-build time. Keyed by (class, reason) so a rebuilt plan
+# re-registers idempotently; DISTINCT windows in one query need
+# distinct reasons (or one registration with n_windows > 1), because
+# the plan pin compares the query's partition-less Window NODE count
+# against the SUM of registered n_windows — a later unregistered
+# window added to an already-adjudicated query fails the pin instead
+# of riding its neighbor's adjudication (the r13 query-granular hole).
+BOUNDED_WINDOW_REGISTRY: dict[str, dict[tuple[str, str], int]] = {}
+
+
+def _register(
+    query_name: str, bound_class: str, reason: str, n_windows: int
+) -> None:
+    if bound_class not in BOUND_CLASSES:
+        raise ValueError(
+            f"bounded_window({query_name!r}): unknown bound class"
+            f" {bound_class!r}; pick one of {sorted(BOUND_CLASSES)}"
+            " or redesign the query onto range_partitioned_ranks"
+        )
+    if not reason or not reason.strip():
+        raise ValueError(
+            f"bounded_window({query_name!r}): an explicit reason naming"
+            " the row bound is required"
+        )
+    if n_windows < 1:
+        raise ValueError(
+            f"bounded_window({query_name!r}): n_windows must be >= 1"
+        )
+    BOUNDED_WINDOW_REGISTRY.setdefault(query_name, {})[
+        (bound_class, reason.strip())
+    ] = n_windows
+
+
+def registered_window_count(query_name: str) -> int:
+    """Total partition-less Window nodes this query has adjudicated."""
+    return sum(BOUNDED_WINDOW_REGISTRY.get(query_name, {}).values())
 
 
 def bounded_window(
@@ -66,16 +101,18 @@ def bounded_window(
 
     Raises at plan-build time — not in a test, not at runtime — if the
     claimed bound class is not one of :data:`BOUND_CLASSES`."""
-    if bound_class not in BOUND_CLASSES:
-        raise ValueError(
-            f"bounded_window({query_name!r}): unknown bound class"
-            f" {bound_class!r}; pick one of {sorted(BOUND_CLASSES)}"
-            " or redesign the query onto range_partitioned_ranks"
-        )
-    if not reason or not reason.strip():
-        raise ValueError(
-            f"bounded_window({query_name!r}): an explicit reason naming"
-            " the row bound is required"
-        )
-    BOUNDED_WINDOW_REGISTRY[query_name] = (bound_class, reason.strip())
+    _register(query_name, bound_class, reason, 1)
     return Window.orderBy(*order_cols)
+
+
+def register_bounded(
+    query_name: str, bound_class: str, reason: str, n_windows: int = 1
+) -> None:
+    """Assertion-only form of :func:`bounded_window` for queries whose
+    partition-less windows are built inside a SHARED operator (acf,
+    rrf_fuse, ...): the operator's window spec is generic, but whether
+    its input relation is bounded is a property of THIS query's input —
+    so the query function makes the claim, at plan-build time, naming
+    how many such window nodes its plan is entitled to
+    (``n_windows``)."""
+    _register(query_name, bound_class, reason, n_windows)

@@ -3353,6 +3353,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both retrieval legs are existing corpus-scale operators; the
     fusion joins two top-N relations (config-sized) and takes one
     ordered head — free next to the legs."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "hybrid_search_rrf",
+        "candidate-pool",
+        "ranks over the fused candidate pool (two top-N legs)",
+        n_windows=2,
+    )
     from pyspark.sql import Window
 
     from dawis_spark.operators.corpus import bm25_scores

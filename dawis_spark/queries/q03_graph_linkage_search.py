@@ -2214,6 +2214,14 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDERED window cumsum, so float accumulation is part of the
     definition (the chi-square discipline). Both legs are config-sized
     top-20 relations — everything here is free next to retrieval."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "rank_biased_overlap",
+        "candidate-pool",
+        "depth walk + rank over the two bounded ranking pools",
+        n_windows=2,
+    )
     from pyspark.sql import Window
 
     from dawis_spark.operators.corpus import bm25_scores
@@ -3518,6 +3526,14 @@ def spearman_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the input is a calendar-bounded daily aggregate; rank state
     is distinct-value-bounded; moment sums are map-side partial."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "spearman_daily_rev_orders",
+        "day-spine",
+        "two rank walks over distinct values of the day-bounded daily (revenue, orders) series",
+        n_windows=2,
+    )
     from dawis_spark.operators.stats import spearman_rho
 
     daily = (
@@ -3627,6 +3643,14 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.py:acf). Scale: all 14 leads ride ONE window sort
     over the calendar-bounded daily series; per-lag sums are one
     unpivoted map-side-partial aggregate."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "acf_daily_revenue",
+        "day-spine",
+        "lags over the day-bounded daily series",
+        n_windows=1,
+    )
     from dawis_spark.operators.stats import acf
 
     daily = (
@@ -3885,6 +3909,14 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-shaped BM25 plan (postings filtered BEFORE any shuffle);
     relevance flags are a map-side conjunction on the same token
     arrays; the per-query aggregate is k-row-bounded."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "search_mrr_eval",
+        "candidate-pool",
+        "ranks over the three per-query BM25 candidate pools",
+        n_windows=3,
+    )
     from pyspark.sql import Window
 
     from dawis_spark.operators.corpus import bm25_scores
@@ -4302,6 +4334,14 @@ def ccf_orders_vs_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: all 15 shifted pairings ride ONE window sort over the
     calendar-bounded daily series."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "ccf_orders_vs_revenue",
+        "day-spine",
+        "lags over the day-bounded daily series",
+        n_windows=1,
+    )
     from dawis_spark.operators.stats import ccf
 
     daily = (
@@ -4523,6 +4563,14 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide sort or collect to build the ideal ranking, the detail
     that keeps nDCG computable at 100 TB. The realized DCG folds the
     10-row ranking in rank order (ordered-fold discipline)."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "search_ndcg_eval",
+        "candidate-pool",
+        "ranks over the three per-query BM25 candidate pools",
+        n_windows=3,
+    )
     from pyspark.sql import Window
 
     from dawis_spark.operators.corpus import bm25_scores

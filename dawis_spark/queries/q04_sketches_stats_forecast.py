@@ -2520,6 +2520,14 @@ def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after ride the day-bounded series (whitelisted class);
     Q itself is a fold over m=10 doubles
     (operators/stats.py:ljung_box)."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "ljung_box_daily_revenue",
+        "day-spine",
+        "lags over the day-bounded daily series",
+        n_windows=1,
+    )
     from dawis_spark.operators.stats import ljung_box
 
     daily = (

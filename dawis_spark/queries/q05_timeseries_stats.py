@@ -136,6 +136,14 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the daily series is calendar-bounded; the k-grid multiplies
     it by a CONSTANT 14 — one map-side expand + one 14-group exact
     aggregate; no shuffle wider than 14 rows."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "periodogram_daily_revenue",
+        "day-spine",
+        "t-index + n over the day-bounded daily series",
+        n_windows=2,
+    )
     daily = (
         spark.table("orders")
         .groupBy("o_orderdate")
@@ -687,6 +695,14 @@ def granger_orders_to_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the lag window rides the calendar-bounded daily series
     (whitelisted class); everything after is one 10-number row."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "granger_orders_to_revenue",
+        "day-spine",
+        "lag over the day-bounded daily series",
+        n_windows=1,
+    )
     from pyspark.sql import Window
 
     daily = (
@@ -2504,6 +2520,14 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the lag windows ride the calendar-bounded daily series
     (whitelisted class); everything after is one row."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "runs_test_daily_revenue",
+        "day-spine",
+        "sign + value lags over the day-bounded daily series",
+        n_windows=2,
+    )
     from pyspark.sql import Window
 
     daily = (
@@ -2770,6 +2794,14 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the running windows ride the calendar-bounded daily relation
     (whitelisted class); output is TakeOrdered top-10."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "page_hinkley_drift",
+        "day-spine",
+        "running mean/min/index over the day-bounded daily series",
+        n_windows=3,
+    )
     from pyspark.sql import Window
 
     daily = (
@@ -3128,6 +3160,14 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the day-index window rides the calendar-bounded daily
     relation (whitelisted class); blocks are (w, block)-keyed; the fit
     is a 3-row relation."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "hurst_rescaled_range",
+        "day-spine",
+        "per-scale day indexes over the day-bounded daily series",
+        n_windows=4,
+    )
     from pyspark.sql import Window
 
     daily = (
@@ -4029,6 +4069,14 @@ def ar2_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the lag windows ride the calendar-bounded daily relation
     (whitelisted class); the moment aggregate is one row; the unrolled
     forecast is 7 one-row selects."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "ar2_forecast_daily",
+        "day-spine",
+        "8 backtest folds x (t-index, lag legs) over the day-bounded daily series",
+        n_windows=28,
+    )
     from pyspark.sql import Window
 
     daily = (
@@ -4277,6 +4325,14 @@ def binseg_changepoints_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the level-1 prefix-sum window rides the calendar-bounded
     daily relation (whitelisted class); level 2 windows are
     PARTITIONED by segment; both argmaxes are TakeOrdered(1)."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "binseg_changepoints_daily",
+        "day-spine",
+        "prefix sums per split level over the day-bounded daily series",
+        n_windows=5,
+    )
     from pyspark.sql import Window
 
     daily = (

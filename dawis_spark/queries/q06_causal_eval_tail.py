@@ -168,6 +168,14 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical plan shape to the MRR eval — postings-filtered
     BM25 top-k, map-side relevance conjunction, k-row-bounded
     aggregates; MAP is a 3-row fold."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "search_map_eval",
+        "candidate-pool",
+        "rank + cumulative-precision pairs over six per-query BM25 candidate pools",
+        n_windows=12,
+    )
     from pyspark.sql import Window
 
     from dawis_spark.operators.corpus import bm25_scores

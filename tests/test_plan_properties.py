@@ -534,31 +534,16 @@ def _partitionless_windows(plan: str) -> list[str]:
 # data-sized relation is the r8/r10 failure class and fails the pin.
 _PARTITIONLESS_WINDOW_WHITELIST = {
     "perplexity_quality_bands": "prefix-sum over the <=1024-row bucket-count relation",
-    "hybrid_search_rrf": "rank over the fused candidate pool (two top-N legs)",
     "frequent_event_sequences": "share over the |event_types|^3 sequence relation",
     "benford_first_digit": "share over 9 leading digits",
     "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
     "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
-    "rank_biased_overlap": "depth walk over the two bounded ranking pools",
     "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
-    "spearman_daily_rev_orders": "rank over the day-bounded daily series",
-    "acf_daily_revenue": "lags over the day-bounded daily series",
-    "ljung_box_daily_revenue": "lags over the day-bounded daily series",
-    "granger_orders_to_revenue": "lag over the day-bounded daily series",
-    "runs_test_daily_revenue": "lags over the day-bounded daily series",
-    "page_hinkley_drift": "running mean/min over the day-bounded daily series",
-    "hurst_rescaled_range": "day index over the day-bounded daily series",
-    "ar2_forecast_daily": "lags over the day-bounded daily series",
-    "binseg_changepoints_daily": "prefix sums over the day-bounded daily series",
     "conformal_interval_price": (
         "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"
         " constant group key is constant-folded out of the window spec"
     ),
     "fdr_bh_nation_urgency": "rank/step-up over the 25-row nation test relation",
-    "ccf_orders_vs_revenue": "lags over the day-bounded daily series",
-    "search_mrr_eval": "rank over per-query BM25 candidate pools",
-    "search_ndcg_eval": "rank over per-query BM25 candidate pools",
-    "search_map_eval": "rank over per-query BM25 candidate pools",
     "spc_xbar_breaches": "WE-rule frames over the day-bounded daily series",
     "msprt_sequential_monitor": (
         "cumulative/running-max over the day-bounded daily series"
@@ -566,7 +551,6 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
     "bca_ci_order_value": "percentile rank over the B=64 replicate relation",
     "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
     "ltv_projection_curve": "cumulative LTV over the month-bounded age curve",
-    "periodogram_daily_revenue": "t-index over the day-bounded daily series",
     "matrix_profile_daily": "leads + top-k ranks over the day-bounded daily series",
 }
 
@@ -581,21 +565,38 @@ def test_whole_inventory_has_no_unadjudicated_partitionless_windows(spark):
     range_partitioned_ranks / TakeOrdered; this test compiles EVERY
     inventory query and fails on any partition-less window outside the
     adjudicated bounded-input whitelist, so the class cannot regrow."""
-    from dawis_spark.plans.bounded import BOUNDED_WINDOW_REGISTRY
+    from dawis_spark.plans.bounded import (
+        BOUNDED_WINDOW_REGISTRY,
+        registered_window_count,
+    )
 
     flagged = {}
     for name in q.QUERIES:
         plan = _plan(spark, name)
         bad = _partitionless_windows(plan)
         if bad:
-            flagged[name] = bad[0]
+            flagged[name] = bad
         spark.catalog.clearCache()
     # plan-build-time adjudications (dawis_spark/plans/bounded.py) union
-    # with the FROZEN legacy prose list — new queries must use the former
-    adjudicated = set(_PARTITIONLESS_WINDOW_WHITELIST) | set(
-        BOUNDED_WINDOW_REGISTRY
-    )
-    unadjudicated = {n: h for n, h in flagged.items() if n not in adjudicated}
+    # with the FROZEN legacy prose list — new queries must use the former.
+    # Registry adjudications are COUNT-aware (r14, closes the r13
+    # query-granular hole): a query may plan at most as many
+    # partition-less Window nodes as it registered, so a later
+    # unregistered window can't ride an earlier adjudication. The prose
+    # whitelist stays query-granular — one more reason it must shrink.
+    unadjudicated = {}
+    for n, hits in flagged.items():
+        if n in _PARTITIONLESS_WINDOW_WHITELIST:
+            continue
+        if n in BOUNDED_WINDOW_REGISTRY:
+            if len(hits) <= registered_window_count(n):
+                continue
+            unadjudicated[n] = (
+                f"{len(hits)} partition-less windows, only"
+                f" {registered_window_count(n)} registered: {hits[0]}"
+            )
+            continue
+        unadjudicated[n] = hits[0]
     assert not unadjudicated, unadjudicated
     # keep the whitelist honest: entries whose queries no longer plan a
     # partition-less window should be removed, not accumulate
@@ -660,7 +661,10 @@ def test_partitionless_whitelist_is_frozen():
     )
 
 
-def test_bounded_window_rejects_unknown_class_and_empty_reason():
+def test_bounded_window_rejects_unknown_class_and_empty_reason(spark):
+    # the spark fixture makes the test order-independent: Window.orderBy
+    # inside bounded_window needs an active SparkContext, which a
+    # standalone run of this test would otherwise not have (ADVICE r13)
     import pytest as _pytest
 
     from dawis_spark.plans.bounded import (
@@ -675,7 +679,24 @@ def test_bounded_window_rejects_unknown_class_and_empty_reason():
     spec = bounded_window(
         "__test_probe__", "day-spine", "one row per day in the window", "c"
     )
-    assert BOUNDED_WINDOW_REGISTRY["__test_probe__"][0] == "day-spine"
+    # rebuild-idempotent: the same (class, reason) re-registers into the
+    # same slot; a SECOND distinct window needs its own reason (or
+    # register_bounded n_windows) and raises the adjudicated node count
+    bounded_window(
+        "__test_probe__", "day-spine", "one row per day in the window", "c"
+    )
+    from dawis_spark.plans.bounded import (
+        register_bounded,
+        registered_window_count,
+    )
+
+    assert registered_window_count("__test_probe__") == 1
+    register_bounded(
+        "__test_probe__", "candidate-pool", "top-k fused pool", n_windows=2
+    )
+    assert registered_window_count("__test_probe__") == 3
+    ((cls, _), _) = BOUNDED_WINDOW_REGISTRY["__test_probe__"]
+    assert cls == "day-spine"
     del BOUNDED_WINDOW_REGISTRY["__test_probe__"]
     # the returned spec chains like any WindowSpec
     spec.rowsBetween(-1, 0)

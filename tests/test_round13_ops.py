@@ -286,6 +286,6 @@ def test_obf_group_sequential_registers_bounded_window(spark):
 
     BOUNDED_WINDOW_REGISTRY.pop("obf_group_sequential", None)
     q.QUERIES["obf_group_sequential"](spark, "/root/testdata/sf0.001")
-    cls, reason = BOUNDED_WINDOW_REGISTRY["obf_group_sequential"]
+    ((cls, reason),) = BOUNDED_WINDOW_REGISTRY["obf_group_sequential"]
     assert cls == "day-spine" and "day" in reason
     spark.catalog.clearCache()
