@@ -22,11 +22,20 @@ emits ONE alert row, then the latch holds.
 
 Per-tick consistency (tested, the msprt.py discipline): at every tick
 the decision is the closed form over the rollups retained so far, so
-in-order delivery reproduces the batch twin's first breach exactly.
-The trailing-mean threshold at a tick sees only retained residuals —
-WHICH tick first crosses can depend on delivery order (the always-
-valid-monitoring caveat), but whether the final retained series
-breaches does not.
+in-order delivery reproduces the batch twin's first breach exactly
+FOR SERIES OF AT MOST ``max_history`` BUCKETS. Beyond the cap the
+retained window slides: the oldest rollups are dropped and the Holt
+level/trend re-seed from the first RETAINED bucket, so a key whose
+series outgrows the cap decides over the trailing ``max_history``
+window while the batch twin (holt_residual_breaches) walks the FULL
+series — a deliberate bounded-state trade, not an oversight: unbounded
+per-key state is the thing this module exists to avoid. Callers who
+need full-series parity on long series must raise ``max_history`` to
+cover the monitored horizon (state stays
+O(max_history) per key either way). The trailing-mean threshold at a
+tick sees only retained residuals — WHICH tick first crosses can
+depend on delivery order (the always-valid-monitoring caveat), but
+whether the final retained series breaches does not.
 """
 
 from __future__ import annotations
@@ -63,6 +72,10 @@ def stream_forecast_residual_alerts(
     trailing mean absolute residual emits one (key, bucket,
     forecast_cents, resid_cents, n_resid, crossed_ms) row for the FIRST
     breaching bucket, then the latch holds.
+
+    Batch-twin parity: exact while a key's series fits in
+    ``max_history`` buckets; past the cap the decision covers the
+    trailing window only (module docstring has the full contract).
 
     Scale: state per key = the capped (bucket, value) series + a bool;
     monitored keys are catalog-bounded; the alert stream is at most
