@@ -2875,26 +2875,18 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-@query("naive_bayes_langid", oracle=_NB_ORACLE)
-def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive Bayes trained on 3/4 of the corpus (Laplace
-    smoothing) and evaluated as a confusion matrix on the held-out
-    quarter — a LEARNED language classifier next to the fixed
-    stopword-ratio heuristic (langid_confusion_matrix): the full
-    train/apply/eval ML loop expressed relationally.
+def nb_langid_predictions(spark: SparkSession):
+    """Shared naive-Bayes language-ID derivation: (held-out docs,
+    per-doc argmax predictions). naive_bayes_langid consumes it as a
+    confusion matrix; q05's mcnemar_langid_vs_nb pairs the SAME
+    predictions against the stopword heuristic — extracting it keeps
+    the two queries' model relations definitionally identical instead
+    of copy-synchronized (the r13 registry-split leftover).
 
-    Determinism: both engines tokenize with the same split, build the
-    same exact-integer count model, and evaluate the same score string
-    (_NB_SCORE); the per-(doc,lang) seen-token sum is the one
-    order-nondeterministic float reduce, and it only matters at exact
-    argmax ties, which the (score DESC, lang ASC) tiebreak resolves
-    identically for any difference above ulp noise.
-
-    Scale: the model is a (lang x vocab) relation — sublinear in corpus
-    size; the eval-token/model join shuffles int-hashable (token) keys;
-    the doc x lang fan-out is a |langs|-constant broadcast cross join;
-    the argmax window is partitioned BY doc. Nothing single-partitions
-    and no text crosses an exchange after tokenization."""
+    Plan shape (the part both callers inherit): the model is a
+    (lang x vocab) relation, the eval join shuffles token keys, the
+    doc x lang fan-out broadcasts |langs| rows, and the argmax window
+    is partitioned BY doc."""
     from pyspark.sql import Window
 
     docs = spark.table("documents")
@@ -2921,7 +2913,6 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = (
         pri.join(tl, "lang").crossJoin(F.broadcast(vt)).crossJoin(F.broadcast(dtot))
     )
-
     etok = (
         tok(ev, ["doc_id"])
         .groupBy("doc_id", "t")
@@ -2946,6 +2937,30 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("predicted"))
     )
+    return ev, pred
+
+
+@query("naive_bayes_langid", oracle=_NB_ORACLE)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained on 3/4 of the corpus (Laplace
+    smoothing) and evaluated as a confusion matrix on the held-out
+    quarter — a LEARNED language classifier next to the fixed
+    stopword-ratio heuristic (langid_confusion_matrix): the full
+    train/apply/eval ML loop expressed relationally.
+
+    Determinism: both engines tokenize with the same split, build the
+    same exact-integer count model, and evaluate the same score string
+    (_NB_SCORE); the per-(doc,lang) seen-token sum is the one
+    order-nondeterministic float reduce, and it only matters at exact
+    argmax ties, which the (score DESC, lang ASC) tiebreak resolves
+    identically for any difference above ulp noise.
+
+    Scale: the model is a (lang x vocab) relation — sublinear in corpus
+    size; the eval-token/model join shuffles int-hashable (token) keys;
+    the doc x lang fan-out is a |langs|-constant broadcast cross join;
+    the argmax window is partitioned BY doc. Nothing single-partitions
+    and no text crosses an exchange after tokenization."""
+    ev, pred = nb_langid_predictions(spark)
     return (
         ev.select("doc_id", F.col("lang").alias("actual"))
         .join(pred, "doc_id")

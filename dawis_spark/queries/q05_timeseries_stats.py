@@ -39,7 +39,6 @@ from dawis_spark.queries.q04_sketches_stats_forecast import (
     _CROSTON_THR,
     _CUPED_CUTOFF,
     _NB_CTES,
-    _NB_SCORE,
     _OLS2_B0,
     _OLS2_B1,
     _OLS2_B2,
@@ -2639,58 +2638,12 @@ def mcnemar_langid_vs_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the NB model relations are vocabulary-sized, the heuristic
     is map-side, and the paired join is keyed by doc_id — everything
     after the predictions is one row."""
-    from pyspark.sql import Window
-
     from dawis_spark.operators.textstats import language_id
+    from dawis_spark.queries.q04_sketches_stats_forecast import (
+        nb_langid_predictions,
+    )
 
-    docs = spark.table("documents")
-    train = docs.filter(F.col("doc_id") % 4 != 0)
-    ev = docs.filter(F.col("doc_id") % 4 == 0)
-
-    def tok(df, keep):
-        return (
-            df.select(*keep, F.explode(F.split(F.lower("text"), " ")).alias("t"))
-            .filter(F.col("t") != "")
-        )
-
-    ct = (
-        tok(train, ["lang"])
-        .groupBy("lang", "t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    tl = ct.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
-    vt = ct.agg(F.countDistinct("t").cast("bigint").alias("v"))
-    pri = train.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d_l")
-    )
-    dtot = train.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    langs = (
-        pri.join(tl, "lang").crossJoin(F.broadcast(vt)).crossJoin(F.broadcast(dtot))
-    )
-    etok = (
-        tok(ev, ["doc_id"])
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    etot = etok.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("tf_tot"))
-    seen = (
-        etok.join(ct, "t")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum(F.col("tf") * F.log(F.col("c") + 1)).alias("seen_s"))
-    )
-    scored = (
-        etot.crossJoin(F.broadcast(langs))
-        .join(seen, ["doc_id", "lang"], "left")
-        .selectExpr("doc_id", "lang", f"{_NB_SCORE} AS score")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("lang").asc()
-    )
-    nb_pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("predicted"))
-    )
+    ev, nb_pred = nb_langid_predictions(spark)
     hp = language_id(ev, "doc_id", "text").select(
         "doc_id", F.col("lang_pred").alias("h_pred")
     )
