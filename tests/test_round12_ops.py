@@ -1,134 +1,8 @@
-"""Round-12 additions: PSI drift -> alert wiring (single-shot crossing
-alerts + delivery into the alert queue), closing the monitoring loop
-end-to-end — measure (psi_value_drift) -> decide (stream_psi_alerts) ->
-deliver (AlertQueue -> Dispatcher)."""
-
-import pytest
-from pyspark.sql import types as T
-
-
-def _tick(spark, staging, rows, schema, build_query):
-    """Append rows to the staging dir and drain one availableNow pass."""
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
-    q = build_query()
-    q.awaitTermination()
-
-
-_SCHEMA = T.StructType(
-    [
-        T.StructField("metric", T.StringType()),
-        T.StructField("v", T.DoubleType()),
-    ]
-)
-_REF = [5, 5, 5, 5]  # uniform reference over [0, 100), 4 bins
-
-
-def test_stream_psi_alerts_single_shot_and_batch_equivalence(spark, tmp_path):
-    """One alert per drifting key at first threshold crossing, none for
-    a key matching the reference, no re-alerting storm; the alerted key
-    set equals the batch twin (psi_from_counts over the union of all
-    delivered rows, thresholded)."""
-    from dawis_spark.operators.drift import bin_index, psi_from_counts
-    from dawis_spark.streaming.drift import stream_psi_alerts
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    sink = str(tmp_path / "sink")
-    ckpt = str(tmp_path / "ckpt")
-
-    def start():
-        return (
-            stream_psi_alerts(
-                staging_stream(spark, staging, _SCHEMA),
-                "metric",
-                "v",
-                ref_lo=0.0,
-                ref_hi=100.0,
-                ref_counts=_REF,
-                threshold=0.25,
-                min_rows=4,
-            )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    healthy = [("ok", float(x)) for x in (10, 35, 60, 85)]
-    # tick 1: "bad" piles into bin 0 but is below min_rows after 2 rows?
-    # no — 4 rows >= min_rows, severe drift -> alert fires here
-    _tick(spark, staging, [("bad", float(x)) for x in (1, 2, 3, 4)] + healthy,
-          _SCHEMA, start)
-    alerts = spark.read.parquet(sink).collect()
-    assert {(r["metric"], r["n_rows"]) for r in alerts} == {("bad", 4)}
-    assert alerts[0]["psi"] > 0.25
-    # tick 2: drift persists — the latch must prevent a second alert;
-    # the healthy key stays healthy
-    _tick(spark, staging, [("bad", float(x)) for x in (5, 6)] + healthy,
-          _SCHEMA, start)
-    alerts = spark.read.parquet(sink).collect()
-    assert len(alerts) == 1  # still the single-shot row
-    # batch twin: alerted set == keys whose union-histogram PSI > thr
-    by_key = {}
-    for r in spark.read.parquet(staging).collect():
-        by_key.setdefault(r["metric"], []).append(r["v"])
-    batch_alerted = set()
-    for k, vals in by_key.items():
-        counts = [0] * 4
-        for x in vals:
-            counts[bin_index(x, 0.0, 100.0, 4)] += 1
-        if psi_from_counts(_REF, counts) > 0.25:
-            batch_alerted.add(k)
-    assert batch_alerted == {r["metric"] for r in alerts} == {"bad"}
-
-
-def test_psi_alerts_flow_into_alert_queue(spark, tmp_path):
-    """End-to-end monitoring loop: the PSI alert stream lands in the
-    AlertQueue as ALERT_SCHEMA rows, is fetchable by group, and the
-    watermark commit consumes it exactly once (at-least-once contract
-    of the reference's queue -> Dispatcher path)."""
-    import json
-
-    from dawis_spark.streaming.alerts import AlertQueue
-    from dawis_spark.streaming.drift import psi_alerts_to_queue, stream_psi_alerts
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    ckpt = str(tmp_path / "ckpt")
-    queue = AlertQueue(spark, str(tmp_path / "q"))
-
-    def start():
-        alerts = stream_psi_alerts(
-            staging_stream(spark, staging, _SCHEMA),
-            "metric",
-            "v",
-            ref_lo=0.0,
-            ref_hi=100.0,
-            ref_counts=_REF,
-            threshold=0.25,
-            min_rows=4,
-        )
-        return (
-            psi_alerts_to_queue(alerts, queue, group="drift")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    _tick(spark, staging, [("bad", float(x)) for x in (1, 2, 3, 4)], _SCHEMA, start)
-    fetched = queue.fetch(["drift"]).collect()
-    assert len(fetched) == 1
-    row = fetched[0]
-    assert row["group"] == "drift"
-    assert "PSI drift on bad" in row["message"]
-    ctx = json.loads(row["data"])
-    assert ctx["metric"] == "bad" and ctx["n_rows"] == 4 and ctx["psi"] > 0.25
-    # group filtering
-    assert queue.fetch(["other"]).count() == 0
-    # commit-after-send: consumed once, second fetch drains nothing
-    queue.commit(queue.fetch(["drift"]))
-    assert queue.fetch(["drift"]).count() == 0
+"""Round-12 additions: nonparametric/effect-size stats, MTA, and the
+detector closed forms. The streaming detector->queue loop tests
+(single-shot latch + batch equivalence + queue delivery, one trio per
+detector) moved to the shared contract harness in
+test_detector_contract.py (VERDICT r13 #5)."""
 
 
 # ---------------------------------------------------------------------------
@@ -355,112 +229,6 @@ def test_binseg_level2_gain_not_above_level1(spark):
 # detector family: PSI = distribution drift, CUSUM = level shift)
 # ---------------------------------------------------------------------------
 
-_CU_SCHEMA = T.StructType(
-    [
-        T.StructField("series", T.StringType()),
-        T.StructField("bucket", T.LongType()),
-        T.StructField("cents", T.LongType()),
-    ]
-)
-_CU_FLAT = [("ok", i, 100) for i in range(16)]
-
-
-def test_stream_cusum_alerts_single_shot_and_batch_equivalence(spark, tmp_path):
-    """One alert per shifted series at first breach, none for the flat
-    one, no re-alerting; the alerted set equals cusum_closed_form over
-    the union of delivered rollups."""
-    from dawis_spark.streaming.cusum import cusum_closed_form, stream_cusum_alerts
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    sink = str(tmp_path / "sink")
-    ckpt = str(tmp_path / "ckpt")
-
-    def start():
-        return (
-            stream_cusum_alerts(
-                staging_stream(spark, staging, _CU_SCHEMA),
-                "series",
-                "bucket",
-                "cents",
-            )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    # tick 1: both series flat -> no alerts
-    _tick(spark, staging,
-          [("bad", i, 100) for i in range(10)] + _CU_FLAT[:10], _CU_SCHEMA, start)
-    import os
-    produced = (
-        spark.read.parquet(sink).collect()
-        if any(f.endswith(".parquet") for f in os.listdir(sink))
-        else []
-    )
-    assert produced == []
-    # tick 2: "bad" jumps to 300 -> single alert at the first breach bucket
-    _tick(spark, staging,
-          [("bad", i, 300) for i in range(10, 16)] + _CU_FLAT[10:], _CU_SCHEMA, start)
-    alerts = spark.read.parquet(sink).collect()
-    assert [(r["series"], r["bucket"]) for r in alerts] == [("bad", 11)]
-    # tick 3: shift persists -> the latch must hold (no second alert)
-    _tick(spark, staging, [("bad", 16, 300), ("ok", 16, 100)], _CU_SCHEMA, start)
-    assert spark.read.parquet(sink).count() == 1
-    # batch twin: alerted set == keys whose closed form over the union breaches
-    by_key = {}
-    for r in spark.read.parquet(staging).collect():
-        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
-    batch_alerted = {
-        k
-        for k, hist in by_key.items()
-        if any(fl for _, _, fl in cusum_closed_form(sorted(hist.items())))
-    }
-    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
-
-
-def test_cusum_alerts_flow_into_alert_queue(spark, tmp_path):
-    import json
-
-    from dawis_spark.streaming.alerts import AlertQueue
-    from dawis_spark.streaming.cusum import cusum_alerts_to_queue, stream_cusum_alerts
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    ckpt = str(tmp_path / "ckpt")
-    queue = AlertQueue(spark, str(tmp_path / "q"))
-
-    def start():
-        alerts = stream_cusum_alerts(
-            staging_stream(spark, staging, _CU_SCHEMA),
-            "series",
-            "bucket",
-            "cents",
-        )
-        return (
-            cusum_alerts_to_queue(alerts, queue, group="shift")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    rows = [("bad", i, 100) for i in range(10)] + [
-        ("bad", i, 300) for i in range(10, 16)
-    ]
-    _tick(spark, staging, rows, _CU_SCHEMA, start)
-    fetched = queue.fetch(["shift"]).collect()
-    assert len(fetched) == 1
-    row = fetched[0]
-    assert row["group"] == "shift"
-    assert "CUSUM level shift on bad at bucket 11" in row["message"]
-    ctx = json.loads(row["data"])
-    assert ctx["series"] == "bad" and ctx["bucket"] == 11 and ctx["n_buckets"] == 16
-    queue.commit(queue.fetch(["shift"]))
-    assert queue.fetch(["shift"]).count() == 0
-
-
 def test_classifier_diagnostics_ranges(spark):
     """HL stat >= 0 with dof = bins-2; KS in [0, 1]; MCC in [-1, 1] and
     consistent with its own confusion cells."""
@@ -552,109 +320,6 @@ def test_friedman_drops_incomplete_blocks(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_stream_page_hinkley_alerts_single_shot_and_batch_equivalence(
-    spark, tmp_path
-):
-    from dawis_spark.streaming.pagehinkley import (
-        ph_closed_form,
-        stream_page_hinkley_alerts,
-    )
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    sink = str(tmp_path / "sink")
-    ckpt = str(tmp_path / "ckpt")
-
-    def start():
-        return (
-            stream_page_hinkley_alerts(
-                staging_stream(spark, staging, _CU_SCHEMA),
-                "series",
-                "bucket",
-                "cents",
-            )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    import os
-
-    # tick 1: both flat -> no alerts
-    _tick(spark, staging,
-          [("bad", i, 100) for i in range(12)]
-          + [("ok", i, 100) for i in range(12)], _CU_SCHEMA, start)
-    produced = (
-        spark.read.parquet(sink).collect()
-        if any(f.endswith(".parquet") for f in os.listdir(sink))
-        else []
-    )
-    assert produced == []
-    # tick 2: "bad" drifts up 60% -> single alert at the first alarm bucket
-    _tick(spark, staging,
-          [("bad", i, 160) for i in range(12, 24)]
-          + [("ok", i, 100) for i in range(12, 24)], _CU_SCHEMA, start)
-    alerts = spark.read.parquet(sink).collect()
-    assert [(r["series"], r["bucket"]) for r in alerts] == [("bad", 12)]
-    # tick 3: drift persists -> latch holds
-    _tick(spark, staging, [("bad", 24, 160), ("ok", 24, 100)], _CU_SCHEMA, start)
-    assert spark.read.parquet(sink).count() == 1
-    # batch twin over the union of all delivered rollups
-    by_key = {}
-    for r in spark.read.parquet(staging).collect():
-        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
-    batch_alerted = {
-        k
-        for k, hist in by_key.items()
-        if any(fl for _, _, fl in ph_closed_form(sorted(hist.items())))
-    }
-    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
-
-
-def test_ph_alerts_flow_into_alert_queue(spark, tmp_path):
-    import json
-
-    from dawis_spark.streaming.alerts import AlertQueue
-    from dawis_spark.streaming.pagehinkley import (
-        ph_alerts_to_queue,
-        stream_page_hinkley_alerts,
-    )
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    ckpt = str(tmp_path / "ckpt")
-    queue = AlertQueue(spark, str(tmp_path / "q"))
-
-    def start():
-        alerts = stream_page_hinkley_alerts(
-            staging_stream(spark, staging, _CU_SCHEMA),
-            "series",
-            "bucket",
-            "cents",
-        )
-        return (
-            ph_alerts_to_queue(alerts, queue, group="mean-drift")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    rows = [("bad", i, 100) for i in range(12)] + [
-        ("bad", i, 160) for i in range(12, 24)
-    ]
-    _tick(spark, staging, rows, _CU_SCHEMA, start)
-    fetched = queue.fetch(["mean-drift"]).collect()
-    assert len(fetched) == 1
-    row = fetched[0]
-    assert "Page-Hinkley mean drift on bad at bucket 12" in row["message"]
-    ctx = json.loads(row["data"])
-    assert ctx["series"] == "bad" and ctx["n_buckets"] == 24
-    queue.commit(queue.fetch(["mean-drift"]))
-    assert queue.fetch(["mean-drift"]).count() == 0
-
-
 # ---------------------------------------------------------------------------
 # SPC / Western-Electric alert wiring (fourth detector family: PSI =
 # distribution drift, CUSUM = level shift, Page-Hinkley = mean drift,
@@ -678,128 +343,6 @@ def test_spc_closed_form_flags_spike_and_guards_flat():
     assert b == 10 and (mask & 1) == 1 and units > 3000
     # and nothing before the spike fires rule 1
     assert all((m & 1) == 0 for _, _, m in scored[:-1])
-
-
-def test_stream_spc_alerts_single_shot_and_batch_equivalence(spark, tmp_path):
-    """One alert for the spiking series at the first breaching bucket,
-    none for the flat one, latch holds; alerted set equals
-    spc_closed_form over the union of delivered rollups."""
-    import os
-
-    from dawis_spark.streaming.spc import spc_closed_form, stream_spc_alerts
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    sink = str(tmp_path / "sink")
-    ckpt = str(tmp_path / "ckpt")
-
-    def start():
-        return (
-            stream_spc_alerts(
-                staging_stream(spark, staging, _CU_SCHEMA),
-                "series",
-                "bucket",
-                "cents",
-            )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    # tick 1: both series in control -> no alerts
-    _tick(
-        spark,
-        staging,
-        [("bad", i, v) for i, v in enumerate(_SPC_BASE)]
-        + [("ok", i, 100) for i in range(10)],
-        _CU_SCHEMA,
-        start,
-    )
-    produced = (
-        spark.read.parquet(sink).collect()
-        if any(f.endswith(".parquet") for f in os.listdir(sink))
-        else []
-    )
-    assert produced == []
-    # tick 2: "bad" spikes -> single alert with rule 1 in the mask
-    _tick(
-        spark,
-        staging,
-        [("bad", 10, 400), ("ok", 10, 100)],
-        _CU_SCHEMA,
-        start,
-    )
-    alerts = spark.read.parquet(sink).collect()
-    # with the spike folded into the limits, mu shifts above the whole
-    # base series, so rule 2 (9 consecutive below center) fires at
-    # bucket 8 BEFORE the spike's own rule-1 breach at bucket 10 —
-    # assert against the closed form, not a hand-picked bucket
-    expected = next(
-        (b, m)
-        for b, _, m in spc_closed_form(
-            [(i, v) for i, v in enumerate(_SPC_BASE + [400])]
-        )
-        if m > 0
-    )
-    assert [(r["series"], r["bucket"]) for r in alerts] == [
-        ("bad", expected[0])
-    ]
-    assert alerts[0]["rule_mask"] == expected[1]
-    # tick 3: spike persists -> the latch must hold
-    _tick(spark, staging, [("bad", 11, 400), ("ok", 11, 100)], _CU_SCHEMA, start)
-    assert spark.read.parquet(sink).count() == 1
-    # batch twin: alerted set == keys whose closed form over the union fires
-    by_key = {}
-    for r in spark.read.parquet(staging).collect():
-        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
-    batch_alerted = {
-        k
-        for k, hist in by_key.items()
-        if any(m > 0 for _, _, m in spc_closed_form(sorted(hist.items())))
-    }
-    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
-
-
-def test_spc_alerts_flow_into_alert_queue(spark, tmp_path):
-    import json
-
-    from dawis_spark.streaming.alerts import AlertQueue
-    from dawis_spark.streaming.spc import spc_alerts_to_queue, stream_spc_alerts
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    ckpt = str(tmp_path / "ckpt")
-    queue = AlertQueue(spark, str(tmp_path / "q"))
-
-    def start():
-        alerts = stream_spc_alerts(
-            staging_stream(spark, staging, _CU_SCHEMA),
-            "series",
-            "bucket",
-            "cents",
-        )
-        return (
-            spc_alerts_to_queue(alerts, queue, group="spc")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    rows = [("bad", i, v) for i, v in enumerate(_SPC_BASE + [400])]
-    _tick(spark, staging, rows, _CU_SCHEMA, start)
-    fetched = queue.fetch(["spc"]).collect()
-    assert len(fetched) == 1
-    row = fetched[0]
-    # first breach over the full series is rule 2 at bucket 8 (see the
-    # single-shot test) — the message names the fired rule(s)
-    assert "SPC rule breach (WE2) on bad at bucket 8" in row["message"]
-    ctx = json.loads(row["data"])
-    assert ctx["series"] == "bad" and ctx["bucket"] == 8
-    assert ctx["rule_mask"] == 2 and ctx["n_buckets"] == 11
-    queue.commit(queue.fetch(["spc"]))
-    assert queue.fetch(["spc"]).count() == 0
 
 
 def test_wasserstein_1d_self_zero_and_shift(spark):
@@ -879,128 +422,6 @@ def test_platt_fit_identity_on_calibrated_input():
 
     a2, b2 = platt_fit([2.0, 2.0, 2.0, 2.0], [0.0, 0.0, 0.0, 0.0])
     assert b2 < 0  # all-negative labels drag the intercept down
-
-
-_MSPRT_SCHEMA = T.StructType(
-    [
-        T.StructField("exp", T.StringType()),
-        T.StructField("bucket", T.LongType()),
-        T.StructField("n0", T.LongType()),
-        T.StructField("s0", T.LongType()),
-        T.StructField("ss0", T.LongType()),
-        T.StructField("n1", T.LongType()),
-        T.StructField("s1", T.LongType()),
-        T.StructField("ss1", T.LongType()),
-    ]
-)
-
-
-def _msprt_rollup(bucket, mean0, mean1, n=20, jitter=5):
-    """Arm rollups with +/-jitter alternating around each mean so the
-    pooled variance is nonzero (and exact integers)."""
-    vals0 = [mean0 + (jitter if i % 2 else -jitter) for i in range(n)]
-    vals1 = [mean1 + (jitter if i % 2 else -jitter) for i in range(n)]
-    return (
-        bucket,
-        n,
-        sum(vals0),
-        sum(v * v for v in vals0),
-        n,
-        sum(vals1),
-        sum(v * v for v in vals1),
-    )
-
-
-def test_stream_msprt_single_shot_and_batch_equivalence(spark, tmp_path):
-    """A real effect alerts exactly once at its first crossing bucket;
-    a null effect never alerts; the alerted key set equals the closed
-    form over the union of all delivered rollups."""
-    from dawis_spark.streaming.msprt import (
-        msprt_closed_form,
-        stream_msprt_alerts,
-    )
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    sink = str(tmp_path / "sink")
-    ckpt = str(tmp_path / "ckpt")
-
-    def start():
-        return (
-            stream_msprt_alerts(
-                staging_stream(spark, staging, _MSPRT_SCHEMA), "exp", "bucket"
-            )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    eff = [("lift",) + _msprt_rollup(b, 100, 140) for b in range(4)]
-    nul = [("flat",) + _msprt_rollup(b, 100, 100) for b in range(4)]
-
-    # tick 1: first two buckets of each
-    _tick(spark, staging, eff[:2] + nul[:2], _MSPRT_SCHEMA, start)
-    got1 = spark.read.parquet(sink).collect()
-    # tick 2: the rest — the latch must not re-alert
-    _tick(spark, staging, eff[2:] + nul[2:], _MSPRT_SCHEMA, start)
-    got2 = spark.read.parquet(sink).collect()
-
-    lifted = [r for r in got2 if r["exp"] == "lift"]
-    assert len(lifted) == 1
-    assert not [r for r in got2 if r["exp"] == "flat"]
-
-    # batch equivalence: closed form over the union crosses for lift at
-    # the same bucket the stream alerted on, never for flat
-    walk = msprt_closed_form([r[1:] for r in eff])
-    crossings = [b for b, _, _, _, p in walk if p <= 0.05]
-    assert crossings and lifted[0]["bucket"] == crossings[0]
-    assert lifted[0]["p_milli"] <= 50
-    null_walk = msprt_closed_form([r[1:] for r in nul])
-    assert all(p > 0.05 for *_, p in null_walk)
-    # single-shot: tick 1's output already contains the alert iff the
-    # first two buckets crossed (consistency between ticks)
-    walk2 = msprt_closed_form([r[1:] for r in eff[:2]])
-    assert (len(got1) > 0) == any(p <= 0.05 for *_, p in walk2)
-
-
-def test_msprt_alerts_flow_into_alert_queue(spark, tmp_path):
-    import json
-
-    from dawis_spark.streaming.alerts import AlertQueue
-    from dawis_spark.streaming.msprt import (
-        msprt_alerts_to_queue,
-        stream_msprt_alerts,
-    )
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    ckpt = str(tmp_path / "ckpt")
-    queue = AlertQueue(spark, str(tmp_path / "q"))
-
-    def start():
-        alerts = stream_msprt_alerts(
-            staging_stream(spark, staging, _MSPRT_SCHEMA), "exp", "bucket"
-        )
-        return (
-            msprt_alerts_to_queue(alerts, queue)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    rows = [("lift",) + _msprt_rollup(b, 100, 140) for b in range(4)]
-    _tick(spark, staging, rows, _MSPRT_SCHEMA, start)
-    fetched = queue.fetch(["msprt"]).collect()
-    assert len(fetched) == 1
-    row = fetched[0]
-    assert "mSPRT significance on lift at bucket" in row["message"]
-    ctx = json.loads(row["data"])
-    assert ctx["exp"] == "lift" and ctx["p_milli"] <= 50
-    assert ctx["n_ctrl"] == ctx["n_treat"]
-    queue.commit(queue.fetch(["msprt"]))
-    assert queue.fetch(["msprt"]).count() == 0
 
 
 def test_huber_fit_resists_outlier():

@@ -1,25 +1,9 @@
 """Round-13 additions: the forecast-residual streaming monitor (the
 model-based member of the detector family, streaming/forecastmon.py),
-its shared closed form, and its batch twin query."""
+its shared closed form, and its batch twin query. The streaming
+single-shot/batch-twin/queue trio moved to the shared contract harness
+in test_detector_contract.py (VERDICT r13 #5)."""
 
-import pandas as pd  # noqa: F401  (streaming folds return pandas)
-from pyspark.sql import types as T
-
-
-def _tick(spark, staging, rows, schema, build_query):
-    """Append rows to the staging dir and drain one availableNow pass."""
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(staging)
-    q = build_query()
-    q.awaitTermination()
-
-
-_SERIES_SCHEMA = T.StructType(
-    [
-        T.StructField("series", T.StringType()),
-        T.StructField("bucket", T.LongType()),
-        T.StructField("cents", T.LongType()),
-    ]
-)
 
 # a clean linear ramp: Holt follows the trend, residuals shrink — the
 # monitor must stay quiet even though every point is far from the MEAN
@@ -58,136 +42,6 @@ def test_holt_residual_walk_exactness_and_breach_rule():
     flat = [(i, 500) for i in range(12)]
     assert first_holt_residual_breach(flat) is None
     assert first_holt_residual_breach(flat + [(12, 520)])[0] == 12
-
-
-def test_stream_forecast_residual_alerts_single_shot_and_batch_twin(
-    spark, tmp_path
-):
-    """One alert for the trend-breaking series at the closed form's
-    first breaching bucket, none for the trend-following one; latch
-    holds; alerted set equals the batch twin (the SAME
-    first_holt_residual_breach over the union of delivered rollups)."""
-    import os
-
-    from dawis_spark.operators.forecast import first_holt_residual_breach
-    from dawis_spark.streaming.forecastmon import (
-        stream_forecast_residual_alerts,
-    )
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    sink = str(tmp_path / "sink")
-    ckpt = str(tmp_path / "ckpt")
-
-    def start():
-        return (
-            stream_forecast_residual_alerts(
-                staging_stream(spark, staging, _SERIES_SCHEMA),
-                "series",
-                "bucket",
-                "cents",
-            )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    # tick 1: both series ride their trend -> no alerts
-    _tick(
-        spark,
-        staging,
-        [("bad", b, v) for b, v in _RAMP] + [("ok", b, v) for b, v in _RAMP],
-        _SERIES_SCHEMA,
-        start,
-    )
-    produced = (
-        spark.read.parquet(sink).collect()
-        if any(f.endswith(".parquet") for f in os.listdir(sink))
-        else []
-    )
-    assert produced == []
-    # tick 2: "ok" keeps the trend; "bad" breaks it
-    _tick(
-        spark,
-        staging,
-        [("ok", 14, 2400), ("ok", 15, 2500), ("ok", 16, 2600)]
-        + [("bad", 14, 2400), ("bad", 15, 2500), ("bad", 16, 4000)],
-        _SERIES_SCHEMA,
-        start,
-    )
-    alerts = spark.read.parquet(sink).collect()
-    expected = first_holt_residual_breach(
-        _RAMP + [(14, 2400), (15, 2500), (16, 4000)]
-    )
-    assert [(r["series"], r["bucket"], r["resid_cents"]) for r in alerts] == [
-        ("bad", expected[0], expected[2])
-    ]
-    assert alerts[0]["forecast_cents"] == expected[1]
-    # tick 3: the break persists -> the latch must hold
-    _tick(
-        spark,
-        staging,
-        [("bad", 17, 4100), ("ok", 17, 2700)],
-        _SERIES_SCHEMA,
-        start,
-    )
-    assert spark.read.parquet(sink).count() == 1
-    # batch twin: alerted set == keys whose closed form over the union
-    # of ALL delivered rollups breaches
-    by_key = {}
-    for r in spark.read.parquet(staging).collect():
-        by_key.setdefault(r["series"], {})[r["bucket"]] = r["cents"]
-    batch_alerted = {
-        k
-        for k, hist in by_key.items()
-        if first_holt_residual_breach(sorted(hist.items())) is not None
-    }
-    assert batch_alerted == {r["series"] for r in alerts} == {"bad"}
-
-
-def test_forecast_alerts_flow_into_alert_queue(spark, tmp_path):
-    import json
-
-    from dawis_spark.streaming.alerts import AlertQueue
-    from dawis_spark.streaming.forecastmon import (
-        forecast_alerts_to_queue,
-        stream_forecast_residual_alerts,
-    )
-    from dawis_spark.streaming.stream import staging_stream
-
-    staging = str(tmp_path / "staging")
-    ckpt = str(tmp_path / "ckpt")
-    queue = AlertQueue(spark, str(tmp_path / "q"))
-
-    def start():
-        alerts = stream_forecast_residual_alerts(
-            staging_stream(spark, staging, _SERIES_SCHEMA),
-            "series",
-            "bucket",
-            "cents",
-        )
-        return (
-            forecast_alerts_to_queue(alerts, queue, group="forecast")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    rows = [
-        ("bad", b, v)
-        for b, v in _RAMP + [(14, 2400), (15, 2500), (16, 4000)]
-    ]
-    _tick(spark, staging, rows, _SERIES_SCHEMA, start)
-    fetched = queue.fetch(["forecast"]).collect()
-    assert len(fetched) == 1
-    row = fetched[0]
-    assert "Forecast surprise on bad at bucket 16" in row["message"]
-    ctx = json.loads(row["data"])
-    assert ctx["series"] == "bad" and ctx["bucket"] == 16
-    assert ctx["resid_cents"] == 4000 - ctx["forecast_cents"]
-    assert ctx["n_resid"] == 15
 
 
 def test_value_cum_walk_matches_global_window_twin(spark):
