@@ -34,6 +34,7 @@ from dawis_spark.queries import q03_graph_linkage_search as _p3
 from dawis_spark.queries import q04_sketches_stats_forecast as _p4
 from dawis_spark.queries import q05_timeseries_stats as _p5
 from dawis_spark.queries import q06_causal_eval_tail as _p6
+from dawis_spark.queries import q07_round14_tail as _p7
 
 _registry.validate_order(QUERIES)
 
@@ -41,7 +42,7 @@ _registry.validate_order(QUERIES)
 # and query functions by name from dawis_spark.queries, exactly as they
 # did from the single-module layout). Later parts win on name collisions,
 # matching the old module's last-definition-wins semantics.
-for _m in (_p1, _p2, _p3, _p4, _p5, _p6):
+for _m in (_p1, _p2, _p3, _p4, _p5, _p6, _p7):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__"):
             globals()[_k] = _v

@@ -420,96 +420,76 @@ def validate_order(queries: dict) -> None:
 
 
 DRIVER_PRIORITY: list[str] = [
-    # r13 rotation (VERDICT r12 ask #1): NEXT_ROTATION held 55 entries
-    # for 50 driver slots, and this round adds 10 new queries. Head =
-    # this round's new/output-affected queries (10 new r13 entries +
-    # the ks_statistic_classifier descending-walk plan rewrite;
-    # contrastive_negative_pairs' r12 output change was never
-    # driver-hashed; theta/croston's display rounding moved to the
-    # shared half-up helper), then 42 of the never-driver-checked r12
-    # additions (heavy new shapes + the causal-design family first, per
-    # the ask). The 16-entry overflow lives in NEXT_ROTATION below with
-    # its committed same-round evidence (SWEEP_r13.json, the judge-style
-    # full-inventory artifact) so every query still has fresh round-13
-    # evidence.
+    # r14 rotation (VERDICT r13 ask #1: drive the never-driver-checked
+    # set to ZERO). Seated in order: (a) the 16 r13 NEXT_ROTATION
+    # entries, FIRST, as promised there; (b) the 21 r12 second-session
+    # queries no CORRECTNESS file has ever hashed; (c) the 12 new r14
+    # queries; (d) anderson_darling_priorities — already driver-green in
+    # r13, re-seated as the heaviest value_cum_walk consumer to put
+    # driver evidence on the r14 equi-depth bucket change (bit-identical
+    # by construction; this is the witness). 16+21+12+1 = 50 slots; the
+    # union of CORRECTNESS_r01..r14 then covers the whole inventory.
     #
-    # -- new or output-affected this round --
-    "holt_residual_breaches",  # r13: new (streaming forecast monitor's batch twin)
-    "dedup_cluster_sizes",  # r13: new (duplicate-cluster shape report)
-    "interarrival_exponential_fit",  # r13: new (per-user Poisson diagnostic)
-    "srm_check",  # r13: new (sample-ratio-mismatch guardrail)
-    "event_study_did",  # r13: new (dynamic DiD / parallel-trends diagnostic)
-    "obf_group_sequential",  # r13: new (fixed-horizon sequential pair of msprt)
-    "page_hinkley_drift",  # r12: never driver-checked (reseated)
-    "brier_decomposition",  # r13: new (Murphy calibration decomposition)
-    "gumbel_block_maxima",  # r13: new (EVT block maxima + return level)
-    "mean_excess_pot",  # r13: new (EVT peaks-over-threshold diagnostic)
-    "last_digit_uniformity",  # r13: new (fraud/data-quality tail screen)
-    "ks_statistic_classifier",  # r13: descending walk moved onto value_cum_walk
-    "contrastive_negative_pairs",  # r12 quadratic fix output change, never driver-hashed
-    "theta_method_forecast",  # r13: half-up display rounding
-    "croston_intermittent_demand",  # r13: half-up display rounding
-    # -- the never-driver-checked r12 tail (36 of 55; overflow below) --
-    "cramer_von_mises_drift",
+    # -- (a) the r13 NEXT_ROTATION sixteen --
+    "frequent_event_sequences",  # r11-driver-green; r12 output change never hashed
+    "whale_guarded_transitions",  # r11-driver-green; r12 audit-row fix never hashed
+    "null_safe_join_semantics",
+    "unpivot_metric_long",
+    "ab_power_curve",
+    "ltv_projection_curve",
+    "randomized_response_estimate",
+    "negative_binomial_fit",
+    "pass_at_k_estimate",
+    "self_bleu_diversity",
+    "capture_recapture_distinct",
+    "dp_noisy_histogram",
+    "good_turing_unseen_mass",
+    "ngram_novelty_rate",
+    "pr_curve_classifier",
+    "hurst_rescaled_range",
+    # -- (b) the never-driver-checked r12 tail --
+    "ar2_forecast_daily",
+    "binseg_changepoints_daily",
+    "brown_forsythe_priority",
+    "kruskal_wallis_priority",
+    "effect_sizes_urgent_vs_low",
+    "hosmer_lemeshow_classifier",
+    "mcc_classifier_confusion",
+    "search_map_eval",
+    "linear_attribution",
+    "time_decay_attribution",
+    "nelson_aalen_hazard",
+    "flesch_reading_ease",
+    "leave_one_source_out_vocab",
+    "mixture_temperature_weights",
+    "mutual_info_feature_rank",
+    "g_test_independence_dow",
+    "dup_rate_by_source",
+    "esd_outliers_daily",
+    "embedding_norm_profile",
+    "degree_assortativity_items",
+    "global_clustering_coefficient",
+    # -- (c) new in r14 (queries/q07_round14_tail.py) --
+    "jonckheere_terpstra_priority",
+    "hill_tail_index",
+    "turning_points_test",
+    "adf_unit_root_daily",
+    "pacf_daily_revenue",
+    "spectral_entropy_daily",
+    "tost_equivalence_value",
+    "delta_method_ratio_ci",
+    "aa_calibration_fpr",
+    "context_truncation_loss",
+    "region_trade_modularity",
+    "classifier_fairness_gaps",
+    # -- (d) equi-depth bucketing witness --
     "anderson_darling_priorities",
-    "friedman_event_types",
-    "spc_xbar_breaches",
-    "msprt_sequential_monitor",
-    "inclusion_dependency_profile",
-    "ipw_treatment_effect",
-    "ucb1_replay_daily",
-    "lexrank_top_sentences",
-    "bca_ci_order_value",
-    "quantile_treatment_effects",
-    "plsa_topic_terms",
-    "cross_source_perplexity",
-    "wasserstein_price_drift",
-    "hellinger_tvd_drift",
-    "aipw_doubly_robust",
-    "regression_discontinuity_spend",
-    "raking_ipf_weights",
-    "periodogram_daily_revenue",
-    "burrows_delta_sources",
-    "platt_recalibrated_ece",
-    "embedding_isotropy_profile",
-    "grid_dbscan_clusters",
-    "matrix_profile_daily",
-    "textrank_keywords",
-    "join_key_skew_profile",
-    "qlm_dirichlet_search",
-    "cdc_chunk_dedup",
-    "forecast_model_mase",
-    "mediation_baron_kenny",
-    "iv_wald_estimate",
-    "huber_irls_regression",
-    "ppmi_top_axis",
-    "propensity_stratified_ate",
-    "cronbach_alpha_embedding",
 ]
 
-# Overflow from the r13 rotation (55 r12 candidates + 10 new r13 queries
-# for 50 slots): these sixteen carry committed same-round sweep evidence
-# instead of a driver slot — SWEEP_r13.json records their sf0.01 oracle
-# hashes; the first two were additionally driver-green in r11 before
-# their r12 audit-column change. Next round's rotation seats them FIRST.
-NEXT_ROTATION: list[str] = [
-    "frequent_event_sequences",  # r12 whale-guard adoption; r11-driver-green, SWEEP_r12+r13 PASS
-    "whale_guarded_transitions",  # r12 audit-row fix; r11-driver-green, SWEEP_r12+r13 PASS
-    "null_safe_join_semantics",  # SQL-semantics corner; SWEEP_r12+r13 PASS
-    "unpivot_metric_long",  # wide-to-long reshape; SWEEP_r12+r13 PASS
-    "ab_power_curve",  # closed-form power planning; SWEEP_r12+r13 PASS
-    "ltv_projection_curve",  # month-bounded cohort curve; SWEEP_r12+r13 PASS
-    "randomized_response_estimate",  # 1-row inversion; SWEEP_r12+r13 PASS
-    "negative_binomial_fit",  # |types| moment rows; SWEEP_r12+r13 PASS
-    "pass_at_k_estimate",  # 3-row estimator; SWEEP_r12+r13 PASS
-    "self_bleu_diversity",  # linear shingle scan; SWEEP_r12+r13 PASS
-    "capture_recapture_distinct",  # 1-row Chapman estimate; SWEEP_r12+r13 PASS
-    "dp_noisy_histogram",  # bounded histogram release; SWEEP_r12+r13 PASS
-    "good_turing_unseen_mass",  # linear gram counters; SWEEP_r12+r13 PASS
-    "ngram_novelty_rate",  # linear gram counters; SWEEP_r12+r13 PASS
-    "pr_curve_classifier",  # shared-trained-vector family; SWEEP_r12+r13 PASS
-    "hurst_rescaled_range",  # day-bounded series; SWEEP_r12+r13 PASS
-]
+# r14 leaves no overflow: every query the driver has never hashed fits
+# in this round's 50 slots (the whole-inventory SWEEP_r14.json is the
+# same-round full-coverage artifact as always).
+NEXT_ROTATION: list[str] = []
 
 
 def ordered_queries() -> dict:
