@@ -249,6 +249,15 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the all-pairs join is O(days^2) in the CALENDAR-bounded
     series (the kendall_tau adjudication: ~5.7M pairs for 2400 days,
     constant in row count at 100 TB); windows ride one ordered walk."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "matrix_profile_daily",
+        "day-spine",
+        "per-branch leads + top-k ranks over the day-bounded daily series (the O(days^2) BNLJ probe re-plans the spine per branch)",
+        n_windows=22,
+    )
+
     from pyspark.sql import Window as _W
 
     daily = (

@@ -1354,6 +1354,15 @@ def spc_xbar_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whitelisted window class); limits are a broadcast one-row
     relation; rules are constant-width (<= 9 row) frames over |days|
     rows."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "spc_xbar_breaches",
+        "day-spine",
+        "WE-rule frames over the day-bounded daily series",
+        n_windows=2,
+    )
+
     from pyspark.sql import Window
 
     daily = (
@@ -1508,6 +1517,15 @@ def msprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative and running-max windows ride the calendar-bounded daily
     series (whitelisted class); the second-moment relation is one
     broadcast row."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "msprt_sequential_monitor",
+        "day-spine",
+        "cumulative/running-max over the day-bounded daily series",
+        n_windows=2,
+    )
+
     from pyspark.sql import Window
 
     cents = "CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0))"
@@ -3942,6 +3960,15 @@ def ltv_projection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scans is calendar-bounded (|ages| <= |months| rows); the
     cumulative window rides that bounded relation (whitelisted
     class)."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "ltv_projection_curve",
+        "day-spine",
+        "cumulative LTV over the month-bounded age curve",
+        n_windows=1,
+    )
+
     from pyspark.sql import Window
 
     om = spark.table("orders").selectExpr(

@@ -544,14 +544,8 @@ _PARTITIONLESS_WINDOW_WHITELIST = {
         " constant group key is constant-folded out of the window spec"
     ),
     "fdr_bh_nation_urgency": "rank/step-up over the 25-row nation test relation",
-    "spc_xbar_breaches": "WE-rule frames over the day-bounded daily series",
-    "msprt_sequential_monitor": (
-        "cumulative/running-max over the day-bounded daily series"
-    ),
     "bca_ci_order_value": "percentile rank over the B=64 replicate relation",
     "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
-    "ltv_projection_curve": "cumulative LTV over the month-bounded age curve",
-    "matrix_profile_daily": "leads + top-k ranks over the day-bounded daily series",
 }
 
 
