@@ -937,17 +937,22 @@ _AA_Z = (
 
 def _aa_calibration_oracle() -> str:
     return f"""
-WITH grid AS (
-  SELECT s.s, {_AA_ARM} AS arm, {_CENTS} AS v
-  FROM orders CROSS JOIN (SELECT unnest(range({_AA_K})) AS s) s),
+WITH per_c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(CAST({_CENTS} AS HUGEINT)) AS cs,
+         SUM(CAST({_CENTS} AS HUGEINT) * {_CENTS}) AS css
+  FROM orders GROUP BY 1),
+grid AS (
+  SELECT s.s, {_AA_ARM} AS arm, cn, cs, css
+  FROM per_c CROSS JOIN (SELECT unnest(range({_AA_K})) AS s) s),
 mom AS (
   SELECT s,
-         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-         SUM(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0,
-         SUM(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS ss0,
-         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
-         SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS ss1
+         CAST(SUM(CASE WHEN arm = 0 THEN cn ELSE 0 END) AS BIGINT) AS n0,
+         SUM(CASE WHEN arm = 0 THEN cs ELSE 0 END) AS s0,
+         SUM(CASE WHEN arm = 0 THEN css ELSE 0 END) AS ss0,
+         CAST(SUM(CASE WHEN arm = 1 THEN cn ELSE 0 END) AS BIGINT) AS n1,
+         SUM(CASE WHEN arm = 1 THEN cs ELSE 0 END) AS s1,
+         SUM(CASE WHEN arm = 1 THEN css ELSE 0 END) AS ss1
   FROM grid GROUP BY s),
 zs AS (SELECT s, {_AA_Z} AS z FROM mom)
 SELECT CAST({_AA_K} AS INT) AS k_splits,
@@ -982,22 +987,34 @@ def aa_calibration_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE scan map-side-expanded x32 into a 64-group exact
     aggregate — constant factor, no extra shuffle; everything after is
     32 rows."""
-    grid = (
+    # pre-aggregate the value moments per CUSTOMER (the split unit)
+    # BEFORE the x32 expansion: the arm depends only on custkey, and
+    # integer sums are associative, so the per-split moments — and the
+    # z's — are the exact same integers at 1/orders-per-customer the
+    # expanded volume (measured sf1: 11.1 s -> see SCALE.md r14)
+    per_c = (
         spark.table("orders")
-        .crossJoin(
-            F.broadcast(
-                spark.range(_AA_K).select(F.col("id").cast("int").alias("s"))
-            )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.expr(f"SUM(CAST({_CENTS} AS DECIMAL(38,0)))").alias("cs"),
+            F.expr(f"SUM(CAST({_CENTS} AS DECIMAL(38,0)) * {_CENTS})").alias(
+                "css"
+            ),
         )
-        .selectExpr("s", f"{_AA_ARM} AS arm", f"{_CENTS} AS v")
     )
+    grid = per_c.crossJoin(
+        F.broadcast(
+            spark.range(_AA_K).select(F.col("id").cast("int").alias("s"))
+        )
+    ).selectExpr("s", f"{_AA_ARM} AS arm", "cn", "cs", "css")
     mom = grid.groupBy("s").agg(
-        F.expr("CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias("n0"),
-        F.expr("SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END)").alias("s0"),
-        F.expr("SUM(CASE WHEN arm = 0 THEN CAST(v AS DECIMAL(38,0)) * v ELSE 0 END)").alias("ss0"),
-        F.expr("CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias("n1"),
-        F.expr("SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END)").alias("s1"),
-        F.expr("SUM(CASE WHEN arm = 1 THEN CAST(v AS DECIMAL(38,0)) * v ELSE 0 END)").alias("ss1"),
+        F.expr("CAST(SUM(CASE WHEN arm = 0 THEN cn ELSE 0 END) AS BIGINT)").alias("n0"),
+        F.expr("SUM(CASE WHEN arm = 0 THEN cs ELSE 0 END)").alias("s0"),
+        F.expr("SUM(CASE WHEN arm = 0 THEN css ELSE 0 END)").alias("ss0"),
+        F.expr("CAST(SUM(CASE WHEN arm = 1 THEN cn ELSE 0 END) AS BIGINT)").alias("n1"),
+        F.expr("SUM(CASE WHEN arm = 1 THEN cs ELSE 0 END)").alias("s1"),
+        F.expr("SUM(CASE WHEN arm = 1 THEN css ELSE 0 END)").alias("ss1"),
     )
     zs = mom.selectExpr("s", f"{_AA_Z} AS z")
     return zs.agg(
