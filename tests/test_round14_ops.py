@@ -361,3 +361,61 @@ def test_fairness_gaps_internal_consistency(spark):
     assert abs(rows[0]["fpr_gap"] - (max(fprs) - min(fprs))) < 1e-5
     assert abs(rows[0]["selection_gap"] - (max(sels) - min(sels))) < 1e-5
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape pins (the scale claims above, checked against the actual
+# physical plans — the test_plan_properties discipline)
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name):
+    from dawis_spark.catalog import register_testdata
+
+    register_testdata(spark, _SF)
+    df = q.QUERIES[name](spark, _SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_jt_plan_has_no_partitionless_window_or_cartesian(spark):
+    """The JT walk rides value_cum_walk's two-level prefix sum: every
+    Window node is PARTITIONED by the range bucket (the r12 distinct-
+    cents retirement — no single-task sort), and there is no cartesian
+    product (the 10 pair terms are closed expressions, not a group
+    self-join)."""
+    from tests.test_plan_properties import _partitionless_windows
+
+    plan = _plan(spark, "jonckheere_terpstra_priority")
+    assert _partitionless_windows(plan) == []
+    assert "Window [" in plan  # the bucket-partitioned cumsum is there
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_hill_plan_is_takeordered(spark):
+    """TakeOrdered (per-partition heap + k-row merge), not a global
+    sort, feeds the top-(k+1) relation."""
+    plan = _plan(spark, "hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
+    spark.catalog.clearCache()
+
+
+def test_aa_calibration_expands_the_customer_aggregate(spark):
+    """The x32 split grid joins AFTER the per-customer moment
+    aggregate: orders parquet is scanned ONCE, and the grid join is the
+    broadcast nested loop over the 32-row literal range (SCALE.md r14:
+    11.1 -> 1.2 s at sf1 from exactly this shape)."""
+    plan = _plan(spark, "aa_calibration_fpr")
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan
+    spark.catalog.clearCache()
+
+
+def test_modularity_dims_broadcast(spark):
+    """nation/region sides and the 5-row region grid reach the edge
+    relation as broadcasts — no sort-merge exchange against a 5-row
+    dimension."""
+    plan = _plan(spark, "region_trade_modularity")
+    assert "BroadcastHashJoin" in plan
+    assert "region.parquet" in plan
+    spark.catalog.clearCache()
