@@ -487,6 +487,78 @@ def _forecast_spec():
     )
 
 
+def _srm_spec():
+    from dawis_spark.streaming.srmmon import (
+        srm_alerts_to_queue,
+        srm_closed_form,
+        stream_srm_alerts,
+    )
+
+    balanced = lambda key, b: (key, b, 50, 50)  # noqa: E731
+    skewed = lambda key, b: (key, b, 80, 20)  # noqa: E731
+
+    def check_alerts(alerts, rows):
+        # first crossing per the closed form over bad's delivered union
+        union = sorted(
+            {r[1]: (r[2], r[3]) for r in rows if r[0] == "bad"}.items()
+        )
+        expected = next(row for row in srm_closed_form(union) if row[4])
+        assert [
+            (r["series"], r["bucket"], r["cum_n_a"], r["cum_n_b"])
+            for r in alerts
+        ] == [("bad", expected[0], expected[1], expected[2])]
+        assert alerts[0]["chi2_milli"] == expected[3]
+
+    def batch_alerted(rows):
+        by_key = {}
+        for k, b, a, bb in rows:
+            by_key.setdefault(k, {})[b] = (a, bb)
+        return {
+            k
+            for k, hist in by_key.items()
+            if any(row[4] for row in srm_closed_form(sorted(hist.items())))
+        }
+
+    def ctx_check(ctx):
+        assert ctx["series"] == "bad" and ctx["bucket"] == 3
+        assert ctx["cum_n_a"] + ctx["cum_n_b"] >= 100
+        assert ctx["chi2_milli"] > 3841
+
+    return Spec(
+        name="srm",
+        schema=T.StructType(
+            [
+                T.StructField("series", T.StringType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("n_a", T.LongType()),
+                T.StructField("n_b", T.LongType()),
+            ]
+        ),
+        key_col="series",
+        build=lambda stream: stream_srm_alerts(
+            stream, "series", "bucket", "n_a", "n_b"
+        ),
+        to_queue=lambda alerts, queue: srm_alerts_to_queue(
+            alerts, queue, group="srm"
+        ),
+        group="srm",
+        quiet_ticks=[
+            [balanced("bad", b) for b in range(3)]
+            + [balanced("ok", b) for b in range(3)]
+        ],
+        breach_tick=[skewed("bad", b) for b in range(3, 6)]
+        + [balanced("ok", b) for b in range(3, 6)],
+        persist_tick=[skewed("bad", 6), balanced("ok", 6)],
+        check_alerts=check_alerts,
+        batch_alerted=batch_alerted,
+        bad_key="bad",
+        queue_rows=[balanced("bad", b) for b in range(3)]
+        + [skewed("bad", b) for b in range(3, 6)],
+        message_fragment="Sample-ratio mismatch on bad at bucket 3",
+        ctx_check=ctx_check,
+    )
+
+
 _SPEC_BUILDERS = {
     "psi": _psi_spec,
     "cusum": _cusum_spec,
@@ -494,7 +566,24 @@ _SPEC_BUILDERS = {
     "spc": _spc_spec,
     "msprt": _msprt_spec,
     "forecast_residual": _forecast_spec,
+    "srm": _srm_spec,
 }
+
+
+def test_srm_closed_form_gates_and_crosses():
+    """min_n gates tiny skews; a persistent 80/20 split crosses as soon
+    as the cumulative total passes the gate; balanced never crosses."""
+    from dawis_spark.streaming.srmmon import srm_closed_form
+
+    skew = [(b, (8, 2)) for b in range(20)]
+    walk = srm_closed_form(skew, min_n=100)
+    assert all(not f for *_, f in walk[:9])  # n < 100 gated
+    assert walk[9][4] == 1  # n = 100, chi2 = 36 > 3.84
+    flat = srm_closed_form([(b, (50, 50)) for b in range(20)], min_n=100)
+    assert all(not f for *_, f in flat)
+    # chi2_milli is the running statistic, not per-bucket
+    assert walk[9][1] == 80 and walk[9][2] == 20
+    assert walk[9][3] == round((60 * 60) / 100 * 1000)
 
 
 # ---------------------------------------------------------------------------
