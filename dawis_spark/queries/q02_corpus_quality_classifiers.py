@@ -3027,6 +3027,15 @@ def perplexity_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer micro-nats (partition-order invariant — what lets
     DuckDB replay it); tercile cuts come from the distributed-selection
     quantiles, so there is no global sort anywhere."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "perplexity_quality_bands",
+        "bucket-counts",
+        "prefix-sum over the <=1024-row bucket-count relation",
+        n_windows=2,
+    )
+
     from dawis_spark.operators.lm import perplexity_bands
 
     return (
@@ -4390,6 +4399,15 @@ def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Guarded: whale users (> 0.8% of all events, _WHALE_SHARE) are
     excluded from the path window; n_whales audits the exclusion."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "frequent_event_sequences",
+        "category-domain",
+        "share over the |event_types|^3 sequence relation",
+        n_windows=1,
+    )
+
     kept, nw = _guarded_events(spark)
     seqs = _journeys.frequent_sequences(kept, 3, 25)
     return _with_whale_audit(seqs, nw).orderBy(F.desc("support"), "seq")

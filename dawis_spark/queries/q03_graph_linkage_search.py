@@ -315,6 +315,15 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are nine literals (no runtime log); output is per-digit rows so no
     cross-row float accumulation exists; observed shares are
     exact-int / exact-int single divisions. One scan, 9 agg keys."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "benford_first_digit",
+        "category-domain",
+        "share over 9 leading digits",
+        n_windows=1,
+    )
+
     return _drift.benford_profile(spark.table("orders"), "o_totalprice")
 
 
@@ -403,6 +412,15 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exactly-N companion to the rate-based stratified_sample. Scale:
     counts are one agg; the per-source top-quota is a window over the
     source key; the allocation relation is |sources|-sized."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "stratified_quota_sample",
+        "category-domain",
+        "seat allocation over the |sources|-sized relation",
+        n_windows=1,
+    )
+
     from pyspark.sql import Window
 
     from dawis_spark.operators.sketches import _mixed_sql
@@ -1512,6 +1530,15 @@ def wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frequency-vocab + greedy apply instead of learned merges). The
     substring explosion is map-side over word types (vocabulary-sized by
     Zipf); one piece-keyed count exchange; one top-V sort."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "wordpiece_vocab",
+        "vocab-limit",
+        "rank over the limit(v)=48-row TakeOrdered result",
+        n_windows=1,
+    )
+
     return _wp.vocab_df(spark.table("documents"), "text", 48)
 
 
@@ -2501,6 +2528,15 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition regardless of data size. The replicate ranking is over 64
     rows on one reducer. This is THE cluster-friendly bootstrap: no
     per-replicate resample materialization, no driver loop."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "bootstrap_ci_order_value",
+        "replicates",
+        "percentile rank over the B-replicate relation",
+        n_windows=1,
+    )
+
     b = spark.table("orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),

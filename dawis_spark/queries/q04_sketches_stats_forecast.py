@@ -3046,6 +3046,15 @@ def fdr_bh_nation_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the orders-customer join is the canonical co-partitioned
     fact-dim shuffle; everything after is a 25-row relation, so the
     rank/step-up windows are nation-bounded (whitelisted class)."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "fdr_bh_nation_urgency",
+        "category-domain",
+        "rank/step-up over the 25-row nation test relation",
+        n_windows=2,
+    )
+
     from pyspark.sql import Window
 
     per_nation = (

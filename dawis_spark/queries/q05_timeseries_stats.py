@@ -2104,6 +2104,15 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse map-side; the residual quantile uses the bucketed
     two-pass selection (rank_quantiles_select), never a single-task
     sort; coverage is one more map-side aggregate."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "conformal_interval_price",
+        "bucket-counts",
+        "rank_quantiles_select cumulative bucket counts (<= 1024 rows; constant group key constant-folded out of the spec)",
+        n_windows=2,
+    )
+
     from dawis_spark.operators.sketches import rank_quantiles_select
 
     obs = spark.table("lineitem").select(

@@ -3484,6 +3484,15 @@ def bca_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout into a 64-group aggregate plus one moment scan; everything
     past that is a one-row expression chain and a 64-row rank
     selection."""
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "bca_ci_order_value",
+        "replicates",
+        "percentile rank over the B=64 replicate relation",
+        n_windows=1,
+    )
+
     from pyspark.sql import Window
 
     base = spark.table("orders").select(
@@ -3778,6 +3787,15 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan). At 100 TB: nnz is linear in corpus size, state is
     |docs| x k + |vocab| x k.""".format(
         k=_PLSA_K, it=_PLSA_ITERS, top=_PLSA_TOP, v=_PLSA_V
+    )
+    from dawis_spark.plans.bounded import register_bounded
+
+    register_bounded(
+        "plsa_topic_terms",
+        "vocab-limit",
+        "vocab index over the limit(64) TakeOrdered result, re-planned"
+        " per EM-round branch (60 nodes, all vocab-bounded)",
+        n_windows=60,
     )
     from pyspark.sql import Window
 

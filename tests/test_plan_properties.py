@@ -532,21 +532,12 @@ def _partitionless_windows(plan: str) -> list[str]:
 # data scale-up grows the windowed relation sublinearly or not at all.
 # Anything NOT in this dict that plans a partition-less window over a
 # data-sized relation is the r8/r10 failure class and fails the pin.
-_PARTITIONLESS_WINDOW_WHITELIST = {
-    "perplexity_quality_bands": "prefix-sum over the <=1024-row bucket-count relation",
-    "frequent_event_sequences": "share over the |event_types|^3 sequence relation",
-    "benford_first_digit": "share over 9 leading digits",
-    "stratified_quota_sample": "seat allocation over the |sources|-sized relation",
-    "wordpiece_vocab": "rank over the limit(v)=48-row TakeOrdered result",
-    "bootstrap_ci_order_value": "percentile rank over the B-replicate relation",
-    "conformal_interval_price": (
-        "rank_quantiles_select's cumulative bucket counts (<= 1024 rows); the"
-        " constant group key is constant-folded out of the window spec"
-    ),
-    "fdr_bh_nation_urgency": "rank/step-up over the 25-row nation test relation",
-    "bca_ci_order_value": "percentile rank over the B=64 replicate relation",
-    "plsa_topic_terms": "vocab index over the limit(64) TakeOrdered result",
-}
+# EMPTY since r14: every adjudication now lives in code — the query
+# itself calls plans.bounded.{bounded_window,register_bounded} at plan
+# build, naming its bound class and window count. The dict (and the
+# freeze test below) remain as the structural guarantee that prose
+# adjudications can never come back.
+_PARTITIONLESS_WINDOW_WHITELIST: dict[str, str] = {}
 
 
 def test_whole_inventory_has_no_unadjudicated_partitionless_windows(spark):
