@@ -424,11 +424,12 @@ DRIVER_PRIORITY: list[str] = [
     # set to ZERO). Seated in order: (a) the 16 r13 NEXT_ROTATION
     # entries, FIRST, as promised there; (b) the 21 r12 second-session
     # queries no CORRECTNESS file has ever hashed; (c) the 12 new r14
-    # queries; (d) anderson_darling_priorities — already driver-green in
-    # r13, re-seated as the heaviest value_cum_walk consumer to put
-    # driver evidence on the r14 equi-depth bucket change (bit-identical
-    # by construction; this is the witness). 16+21+12+1 = 50 slots; the
-    # union of CORRECTNESS_r01..r14 then covers the whole inventory.
+    # queries; (d) srm_cumulative_watch, the streaming SRM monitor's
+    # oracle-backed batch twin (also new this round). 16+21+13 = 50
+    # slots; the union of CORRECTNESS_r01..r14 then covers the whole
+    # inventory. (The r14 equi-depth bucket change gets its evidence
+    # from SWEEP_r14 + the builder's sf0.1 EDF-family oracle run —
+    # results are bit-identical by construction.)
     #
     # -- (a) the r13 NEXT_ROTATION sixteen --
     "frequent_event_sequences",  # r11-driver-green; r12 output change never hashed
@@ -482,8 +483,8 @@ DRIVER_PRIORITY: list[str] = [
     "context_truncation_loss",
     "region_trade_modularity",
     "classifier_fairness_gaps",
-    # -- (d) equi-depth bucketing witness --
-    "anderson_darling_priorities",
+    # -- (d) the streaming SRM monitor's oracle-backed batch twin --
+    "srm_cumulative_watch",
 ]
 
 # r14 leaves no overflow: every query the driver has never hashed fits

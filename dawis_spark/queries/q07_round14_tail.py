@@ -1383,3 +1383,101 @@ def classifier_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative SRM watch — the oracle-backed batch twin of the streaming
+# monitor (streaming/srmmon.py), the forecastmon <-> holt_residual
+# pairing applied to the seventh detector
+# ---------------------------------------------------------------------------
+
+_SRMW_MIN_N = 100
+_SRMW_CRIT = 3.841459  # chi-square(1) upper 0.05 (the srm_check literal)
+_SRMW_CHI2 = (
+    "CAST((cum_n_a - cum_n_b) * (cum_n_a - cum_n_b) AS DOUBLE)"
+    " / (cum_n_a + cum_n_b)"
+)
+
+
+def _srm_watch_oracle() -> str:
+    return f"""
+WITH enroll AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         MIN(date_trunc('day', ts)) AS day
+  FROM events GROUP BY user_id, arm),
+daily AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM enroll GROUP BY day),
+cum AS (
+  SELECT day, n_a, n_b,
+         CAST(SUM(n_a) OVER w AS BIGINT) AS cum_n_a,
+         CAST(SUM(n_b) OVER w AS BIGINT) AS cum_n_b
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))
+SELECT day, cum_n_a, cum_n_b,
+       ROUND({_SRMW_CHI2}, 6) AS chi2,
+       CAST(CASE WHEN cum_n_a + cum_n_b >= {_SRMW_MIN_N}
+                  AND {_SRMW_CHI2} > {_SRMW_CRIT}
+            THEN 1 ELSE 0 END AS INT) AS srm_flag
+FROM cum ORDER BY day
+"""
+
+
+@query("srm_cumulative_watch", oracle=_srm_watch_oracle())
+def srm_cumulative_watch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sample-ratio-mismatch walk over cumulative enrollments:
+    per enrollment day, the cumulative arm totals and the RUNNING
+    two-cell chi-square against the designed 50/50 split, gated on
+    min_n = 100 cumulative enrollments (tiny totals cross on noise).
+    srm_check flags individual DAYS whose split broke; this walks the
+    cumulative ratio — the exact decision the streaming monitor
+    (streaming/srmmon.py, srm_closed_form) replays per micro-batch, so
+    the two stay equivalent BY SHARED DEFINITION, with this query as
+    the DuckDB-oracle-backed member of the pair (the forecastmon <->
+    holt_residual_breaches pairing, applied to detector #7; pinned in
+    tests/test_round14_ops.py by feeding the monitor this query's
+    daily rollups).
+
+    Determinism: enrollment day is an exact MIN; all counts and
+    cumulative sums exact integers; chi2 is one shared division
+    string; the flag compares that quotient to shared literals.
+
+    Scale: one user-keyed aggregate, one day-keyed rollup to a
+    calendar-bounded relation, one day-spine cumulative window
+    (registered); output is |days| rows."""
+    register_bounded(
+        "srm_cumulative_watch",
+        "day-spine",
+        "cumulative arm totals over the day-bounded enrollment series",
+        n_windows=1,
+    )
+    enroll = (
+        spark.table("events")
+        .groupBy("user_id", (F.col("user_id") % 2).cast("int").alias("arm"))
+        .agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    )
+    daily = enroll.groupBy("day").agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("bigint").alias("n_b"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n_a").over(w).cast("bigint").alias("cum_n_a"),
+        F.sum("n_b").over(w).cast("bigint").alias("cum_n_b"),
+    )
+    return cum.selectExpr(
+        "day",
+        "cum_n_a",
+        "cum_n_b",
+        f"ROUND({_SRMW_CHI2}, 6) AS chi2",
+        f"CAST(CASE WHEN cum_n_a + cum_n_b >= {_SRMW_MIN_N}"
+        f" AND {_SRMW_CHI2} > {_SRMW_CRIT} THEN 1 ELSE 0 END AS INT)"
+        " AS srm_flag",
+    ).orderBy("day")

@@ -419,3 +419,32 @@ def test_modularity_dims_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "region.parquet" in plan
     spark.catalog.clearCache()
+
+
+def test_srm_cumulative_watch_equals_streaming_closed_form(spark, duck):
+    """The batch twin discipline for detector #7: the query's running
+    (cum_n_a, cum_n_b, chi2, flag) walk must equal srm_closed_form —
+    the SAME function the streaming monitor replays per micro-batch —
+    over the query's own daily rollups, row for row."""
+    from dawis_spark.streaming.srmmon import srm_closed_form
+
+    rows = q.QUERIES["srm_cumulative_watch"](spark, _SF).collect()
+    daily = duck.execute("""
+        WITH enroll AS (
+          SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+                 MIN(date_trunc('day', ts)) AS day
+          FROM parquet_scan('/root/testdata/sf0.001/events.parquet')
+          GROUP BY user_id, arm)
+        SELECT day,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        FROM enroll GROUP BY day ORDER BY day
+    """).fetchall()
+    series = [(i, (int(a), int(b))) for i, (_, a, b) in enumerate(daily)]
+    walk = srm_closed_form(series, min_n=100)
+    assert len(rows) == len(walk)
+    for r, (_, na, nb, chi2m, flag) in zip(rows, walk):
+        assert (r["cum_n_a"], r["cum_n_b"]) == (na, nb)
+        assert abs(r["chi2"] * 1000 - chi2m) <= 0.501  # milli-rounding
+        assert r["srm_flag"] == flag
+    spark.catalog.clearCache()
