@@ -674,3 +674,43 @@ def test_detector_alerts_flow_into_queue(spark, tmp_path, detector):
     # commit-after-send: consumed once, second fetch drains nothing
     queue.commit(queue.fetch([spec.group]))
     assert queue.fetch([spec.group]).count() == 0
+
+
+def test_every_detector_module_has_a_contract_spec():
+    """The discipline can't be bypassed: any streaming module that
+    exposes a *_alerts_to_queue wiring (the detector family's
+    signature) must have a spec in _SPEC_BUILDERS, so the contract
+    runs against it. An 8th detector that forgets its spec fails HERE,
+    not in a code review."""
+    import importlib
+    import pkgutil
+
+    import dawis_spark.streaming as pkg
+
+    detector_modules = set()
+    for info in pkgutil.iter_modules(pkg.__path__):
+        mod = importlib.import_module(f"dawis_spark.streaming.{info.name}")
+        if any(n.endswith("_alerts_to_queue") for n in dir(mod)):
+            detector_modules.add(info.name)
+    # resolve each spec to its detector module via the
+    # *_alerts_to_queue function its to_queue lambda closes over
+    # (the lambdas themselves live in THIS test module)
+    wired = set()
+    for build in _SPEC_BUILDERS.values():
+        spec = build()
+        fn = spec.to_queue
+        # the lambda closes over the detector's *_alerts_to_queue
+        wired |= {
+            c.cell_contents.__module__.rsplit(".", 1)[-1]
+            for c in (fn.__closure__ or [])
+            if callable(getattr(c, "cell_contents", None))
+            and getattr(c.cell_contents, "__name__", "").endswith(
+                "_alerts_to_queue"
+            )
+        }
+    missing = detector_modules - wired - {"whales"}  # whale alerts predate
+    # the detector family's rollup-series state contract (hot-key TTL
+    # windows, not closed-form replay) and keep their own test file
+    assert not missing, (
+        f"streaming detectors without a contract spec: {sorted(missing)}"
+    )
