@@ -50,14 +50,23 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
 def _shingle_hashes_col(text_col: str, shingle_k: int):
     """array<bigint> shingle-hash column — Arrow-batched numpy evaluator of
     the same definition functions/text.shingle_hashes renders for SQL
-    (parity asserted in tests; the SQL form remains the oracle)."""
+    (parity asserted in tests; the SQL form remains the oracle).
+
+    Marked non-deterministic (it is in fact pure — this is the guide's
+    §4.4 optimizer fence): callers filter on properties of the returned
+    array (``size(sh) > 0``), and Catalyst pushes such filters below the
+    ``ensure_parallelism`` exchange while keeping the original projection
+    above it, evaluating this — the most expensive UDF in the dedup
+    family — TWICE per branch (measured: two ArrowEvalPython nodes per
+    scan in every shingle-family plan, r15 before-plans). The
+    non-deterministic mark pins one evaluation per branch."""
     import pandas as pd
     from pyspark.sql import types as T
 
     def _batch(texts):
         return pd.Series(TXT.np_shingle_hashes_batch(list(texts), shingle_k))
 
-    udf = F.pandas_udf(_batch, T.ArrayType(T.LongType()))
+    udf = F.pandas_udf(_batch, T.ArrayType(T.LongType())).asNondeterministic()
     return udf(text_col)
 
 
@@ -563,6 +572,11 @@ def prefix_filter_pairs(
         f"size(ks) - cast(({t_num} * size(ks) + {t_den} - 1) div {t_den} "
         f"as int) + 1"
     )
+    # persisted: both sides of the candidate self-join read this relation;
+    # without it the df-count aggregate + df join + per-doc collect_list
+    # sort run twice end-to-end (the prefix postings are a strict subset
+    # of the token postings, so this is smaller state than the already-
+    # persisted hash relation)
     prefixes = (
         keyed.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("key")).alias("ks"))
@@ -571,6 +585,7 @@ def prefix_filter_pairs(
             F.size("ks").alias("sz"),
             F.explode(F.expr(f"slice(ks, 1, {plen})")).alias("key"),
         )
+        .persist()
     )
     # length filter (AllPairs): J >= t implies min|.|/max|.| >= t, so a
     # size-mismatched candidate can be dropped BEFORE the distinct and
@@ -740,11 +755,18 @@ def containment_pairs(
     deterministically top-limited. No text crosses an exchange after
     the map-side hash fold.
     """
+    # ONE evaluation of the shingle UDF: the posting relation feeds the
+    # df-count, the capped-postings join, the size aggregate and both
+    # sides of the pair self-join — without the persist each consumer
+    # re-runs the Python hashing end-to-end (measured: 24 ArrowEvalPython
+    # nodes in the r15 before-plan; 2 after). (id, h) rows only — the
+    # same hash-not-text footprint the docstring promises for exchanges.
     sh = (
         ensure_parallelism(df)
         .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
         .select(F.col(id_col), F.explode("sh").alias("h"))
+        .persist()
     )
     rare = (
         sh.groupBy("h")
@@ -752,7 +774,12 @@ def containment_pairs(
         .filter(F.col("__df") <= df_cap)
         .select("h")
     )
-    p = sh.join(rare, "h")
+    # capped postings are re-read 3x (sizes + both join sides): persist so
+    # the df-cap join runs once, not three times. groupBy+join (not a
+    # window count) stays deliberately: a hot boilerplate shingle must go
+    # through partial aggregation + AQE skew-join handling, which windows
+    # don't get.
+    p = sh.join(rare, "h").persist()
     fsz = p.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = p.select(F.col(id_col).alias("id_a"), "h")
     b = p.select(F.col(id_col).alias("id_b"), "h")

@@ -131,6 +131,12 @@ def perplexity_bands(
             "nll_micro",
             F.expr("nll_sum_micro div n_trans").cast("bigint"),
         )
+        # persisted: the scored relation feeds the tercile selection AND
+        # the banded output — without it the tokenize/explode + two LM
+        # joins run twice per pass (the r15 before-plan showed 145
+        # Exchange nodes from exactly that duplication). One row per doc:
+        # document-count-bounded state, spills if it outgrows memory.
+        .persist()
     )
     thr = rank_quantiles_select(
         scored.withColumn("__g", F.lit(1)), ["__g"], "nll_micro", list(pcts)

@@ -125,14 +125,26 @@ def oph_near_duplicates(
         .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
         .persist()
     )
+    # hash array and signature ride ONE relation, so verification pays
+    # two id-keyed joins (one per pair side) instead of four — two fewer
+    # pair-relation shuffles and two fewer reads of the hash relation
+    # (candidate ids are a subset of the size>0 ids by construction, so
+    # filtering the join side too changes nothing)
     sigs = hashes.filter(F.size("sh") > 0).select(
-        F.col(id_col), F.expr(oph_signature("sh", k_bins, "spark")).alias("sig")
+        F.col(id_col), "sh",
+        F.expr(oph_signature("sh", k_bins, "spark")).alias("sig"),
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    a = hashes.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = hashes.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
     jac = TXT.jaccard("sh_a", "sh_b", "spark")
     slots_eq = (
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1 else 0 end), "
@@ -141,8 +153,6 @@ def oph_near_duplicates(
     return (
         cands.join(a.hint("shuffle_hash"), "id_a")
         .join(b.hint("shuffle_hash"), "id_b")
-        .join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -77,7 +77,13 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lined = spark.table("documents").select(
         "doc_id", "source", F.explode(F.expr(lines_expr)).alias("line")
     )
-    lh = lined.select("doc_id", "source", F.expr(h).cast("bigint").alias("h"))
+    # persisted: the hashed-line relation feeds BOTH the frequency count
+    # and the report join — without it the document split + line hashing
+    # runs twice per pass. (doc_id, source, h) only: line text never
+    # persists, matching the exchange discipline in the docstring.
+    lh = lined.select(
+        "doc_id", "source", F.expr(h).cast("bigint").alias("h")
+    ).persist()
     freq = lh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
     boiler = F.when(F.col("freq") >= _LINE_DEDUP_K, 1).otherwise(0)
     return (
