@@ -770,11 +770,15 @@ def range_partitioned_ranks(
     needs two — cum_a and cum_b — per walk; two calls would pay the
     bucket machinery twice).
 
-    Buckets are EQUI-DEPTH (round 14): boundaries are the in-plan
+    Buckets are EQUI-DEPTH (round 14): boundaries are the
     ``percentile_approx`` quantiles of ``value_col`` at i/n_buckets,
     computed in the SAME single-pass stats aggregate that already
-    gathers the row count — no extra scan, no driver-side action, and
-    the 1-row result broadcasts exactly as before. Each bucket then
+    gathers the row count. Since round 15 that 1-row aggregate is
+    collected to the driver at plan-build time and inlined as a literal
+    (ADVICE r14 medium): a recomputed partition can never be bucketed
+    against a different sketch evaluation than the offsets were built
+    from, which the in-plan broadcast could not guarantee under
+    partition loss. Each bucket then
     holds ~n/n_buckets rows (± the sketch's 1/accuracy rank error and
     tie mass — ties can never straddle a monotone bucketing) for ANY
     value distribution: a whale value six decades beyond the body, a
@@ -814,7 +818,23 @@ def range_partitioned_ranks(
                 10000,
             ).alias("__bnd")
         )
-    stats = df.agg(*stats_aggs)
+    # Boundary derivation is RECOMPUTE-STABLE (r15, ADVICE medium): the
+    # 1-row stats aggregate is collected to the driver ONCE at plan-build
+    # time and the boundary array is inlined as a literal. With the old
+    # in-plan crossJoin(broadcast(stats)), a lost/evicted partition of
+    # ``bucketed`` recomputed after bcounts/offsets were taken could be
+    # re-bucketed against a DIFFERENT percentile_approx evaluation
+    # (sketch merges are not order-deterministic), silently corrupting
+    # ranks on exactly the large-cluster target this operator exists
+    # for. A literal cannot drift; ranks and sums are invariant to the
+    # boundary values by construction either way. Side effect: one
+    # BroadcastNestedLoopJoin and one broadcast build disappear from
+    # every caller's plan.
+    stats_row = df.agg(*stats_aggs).collect()[0]
+    n_total = int(stats_row["__n"])
+    bnd_vals = list(stats_row["__bnd"]) if (
+        n_bnd > 0 and stats_row["__bnd"] is not None
+    ) else None
     # ``bucketed`` feeds BOTH the bucket-count relation and the final
     # rank join; without materialization each reference re-evaluates the
     # full input lineage — and CHAINED calls (rfm's three ntile passes)
@@ -825,20 +845,21 @@ def range_partitioned_ranks(
     # the correctness harness call spark.catalog.clearCache() between
     # queries for exactly this reason; long-lived sessions chaining many
     # ranked relations should do the same.
-    joined_stats = df.crossJoin(F.broadcast(stats))
-    if n_bnd > 0:
-        # __bs = |{boundaries <= v}| via unrolled binary search: each
-        # step is its own projection (withColumn) so the expression tree
-        # stays LINEAR in step count — nesting the accumulator inline
-        # would triple it per level. try_element_at returns NULL past
-        # the array end (and for a NULL __bnd on an empty input), and a
-        # NULL comparison never increments, which also gives NULL values
-        # the window's NULL ordering for free (see docstring).
+    joined_stats = df
+    if n_bnd > 0 and bnd_vals is not None:
+        # __bs = |{boundaries <= v}| via unrolled binary search over the
+        # LITERAL boundary array: each step is its own projection
+        # (withColumn) so the expression tree stays LINEAR in step count
+        # — nesting the accumulator inline would triple it per level.
+        # try_element_at returns NULL past the array end, and a NULL
+        # comparison never increments, which also gives NULL values the
+        # window's NULL ordering for free (see docstring).
+        bnd_lit = F.lit(bnd_vals)
         vd = F.col(value_col).cast("double")
         joined_stats = joined_stats.withColumn("__bs", F.lit(0))
         step = 1 << (n_bnd.bit_length() - 1)
         while step >= 1:
-            hit = F.try_element_at(F.col("__bnd"), F.col("__bs") + step) <= vd
+            hit = F.try_element_at(bnd_lit, F.col("__bs") + step) <= vd
             joined_stats = joined_stats.withColumn(
                 "__bs",
                 F.when(hit, F.col("__bs") + step).otherwise(F.col("__bs")),
@@ -846,15 +867,14 @@ def range_partitioned_ranks(
             step >>= 1
         bcol = (n_bnd - F.col("__bs")) if desc else F.col("__bs")
     else:
-        bcol = F.lit(0)
-    # drop the boundary array (and search accumulator) BEFORE the
-    # persist: the crossJoin materializes stats columns per row, and an
-    # n_buckets-1 double array cached per row would multiply the cache
-    # footprint ~1000x; only the scalar __n (when n_col needs it) and
-    # the int __b ride through
+        # n_buckets == 1, or every value NULL / empty input (NULL
+        # boundary array): everything lands in one bucket, exactly as
+        # the old NULL-__bnd search produced bucket 0 (asc) and the
+        # desc flip mapped it to the last bucket.
+        bcol = F.lit(n_bnd) if (desc and bnd_vals is None and n_bnd > 0) else F.lit(0)
     bucketed = (
         joined_stats.withColumn("__b", bcol.cast("int"))
-        .drop("__bs", "__bnd")
+        .drop("__bs")
         .persist()
     )
     pairs: list[tuple[str, str]] = list(sum_cols) if sum_cols else []
@@ -899,7 +919,9 @@ def range_partitioned_ranks(
     w_in = Window.partitionBy("__b").orderBy(*order)
     keep = [c for c in df.columns]
     if n_col is not None:
-        keep.append(F.col("__n").cast("bigint").alias(n_col))
+        # the driver-collected row count, inlined (the old plan carried a
+        # per-row __n column from the stats crossJoin)
+        keep.append(F.lit(n_total).cast("bigint").alias(n_col))
     out = [
         *keep,
         (F.col("__off") + F.col("__rnb")).cast("bigint").alias(out_col),

@@ -785,9 +785,12 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     aggregate, then everything lives on the distinct-value relation
     (value-bounded domain — the mann_whitney adjudication) and a
     k-row fold."""
+    # persisted: gv feeds the distinct-value rollup AND the rank join —
+    # two end-to-end re-evaluations of the source scan + (g, v) aggregate
+    # per pass without it ((g, v, count) rows, value x k bounded)
     gv = df.groupBy(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gv"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gv")).persist()
     per_v = gv.groupBy("v").agg(F.sum("n_gv").cast("bigint").alias("t_v"))
     ranked = value_cum_walk(per_v, "v", ["t_v"]).select(
         "v", "t_v", (F.col("cum_t_v") - F.col("t_v")).alias("before")
@@ -801,7 +804,10 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             F.sum(avg_rank * F.col("n_gv")).alias("r_g"),
         )
     )
-    ties = ranked.agg(
+    # n and the tie-cube sum only need t_v per distinct value: read them
+    # off per_v instead of re-evaluating the whole cum-walk a second time
+    # (identical integers — the walk carries t_v through unchanged)
+    ties = per_v.agg(
         F.sum("t_v").cast("bigint").alias("n_i"),
         F.sum(
             F.col("t_v").cast("decimal(38,0)") * F.col("t_v") * F.col("t_v")
@@ -1072,9 +1078,13 @@ def anderson_darling_k(
     Scale: the grid is distinct-values x k (value-bounded domain times
     a bounded group count); per-group cumulative windows are
     group-PARTITIONED over that grid."""
+    # persisted: gv feeds the pooled-count walk, the per-group sizes AND
+    # the grid join — three end-to-end re-evaluations of the source scan
+    # + (g, v) aggregate per pass without it. (g, v, count) rows only:
+    # distinct-value x k bounded.
     gv = df.groupBy(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
     per_v = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t_v"))
     pooled = value_cum_walk(per_v, "v", ["t_v"]).select(
         "v", "t_v", F.col("cum_t_v").alias("b")
@@ -1093,7 +1103,11 @@ def anderson_darling_k(
     wg = Window.partitionBy("g").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tot = pooled.agg(F.max("b").cast("bigint").alias("n"))
+    # N = max cumulative pooled count == plain sum over the distinct-value
+    # counts: read it off per_v directly instead of re-evaluating the
+    # whole cum-walk machinery a second time (identical bigint by
+    # construction)
+    tot = per_v.agg(F.sum("t_v").cast("bigint").alias("n"))
     scored = grid.withColumn("m", F.sum("c").over(wg)).crossJoin(
         F.broadcast(tot)
     )
