@@ -66,12 +66,17 @@ def pagerank(
         # relations the iterations already shuffle)
         nodes = nodes.persist()
         deg = deg.persist()
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", F.expr(f"cast({SCALE} as bigint) div n").alias("r")
+    # node count collected once at build (bounded 1-value driver state —
+    # the existing graph-family collect discipline) and inlined: the
+    # n_row broadcast otherwise rebuilds per reference, one broadcast
+    # job for the init plus one per iteration's rank rebuild. Python //
+    # == SQL div for these non-negative integers; the max(n, 1) guard
+    # only touches the empty-graph case, where no row exists to scale.
+    n = max(nodes.count(), 1)
+    ranks = nodes.select(
+        "node", F.lit(SCALE // n).cast("bigint").alias("r")
     )
-    teleport = f"(cast({SCALE} as bigint) * {damping_den - damping_num}) div ({damping_den} * n)"
+    tele = (SCALE * (damping_den - damping_num)) // (damping_den * n)
     for _ in range(iterations):
         contribs = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -85,11 +90,10 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
                 F.expr(
-                    f"{teleport} + (coalesce(s, cast(0 as bigint))"
+                    f"cast({tele} as bigint) + (coalesce(s, cast(0 as bigint))"
                     f" * {damping_num}) div {damping_den}"
                 ).alias("r"),
             )
@@ -214,19 +218,26 @@ def personalized_pagerank(
     if iterations > 1:
         nodes = nodes.persist()
         deg = deg.persist()
-    ns_row = seeds.agg(F.count(F.lit(1)).alias("ns"))
-
+    # seed count collected once at build (bounded 1-value driver state)
+    # and inlined; the seed-marked node relation persists because the
+    # init + every iteration's rank rebuild re-reads it (each re-read
+    # was one more broadcast build of seeds + ns per pass). max(ns, 1)
+    # only touches the empty-seed case, where no is_seed=1 row exists
+    # for the guarded branch to scale.
+    ns = max(seeds.count(), 1)
     marked = nodes.join(F.broadcast(seeds), "node", "left")
-    ranks = marked.crossJoin(F.broadcast(ns_row)).select(
+    if iterations > 1:
+        marked = marked.persist()
+    ranks = marked.select(
         "node",
         F.expr(
-            f"case when is_seed = 1 then cast({SCALE} as bigint) div ns "
+            f"case when is_seed = 1 then cast({SCALE} as bigint) div {ns} "
             "else cast(0 as bigint) end"
         ).alias("r"),
     )
+    tele_seed = (SCALE * (damping_den - damping_num)) // (damping_den * ns)
     teleport = (
-        f"case when is_seed = 1 then (cast({SCALE} as bigint) * "
-        f"{damping_den - damping_num}) div ({damping_den} * ns) "
+        f"case when is_seed = 1 then cast({tele_seed} as bigint) "
         "else cast(0 as bigint) end"
     )
     for _ in range(iterations):
@@ -242,7 +253,6 @@ def personalized_pagerank(
         )
         ranks = (
             marked.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(ns_row))
             .select(
                 "node",
                 F.expr(

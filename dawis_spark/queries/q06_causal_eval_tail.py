@@ -3809,6 +3809,9 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tok.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
+    # vocab (64 rows) and the sparse count matrix persist: the corpus
+    # tokenization otherwise re-runs once per EM-branch reference of
+    # either (measured as the dominant slice of this query's plan)
     vocab = (
         df_.orderBy(F.col("df").desc(), "term")
         .limit(_PLSA_V)
@@ -3821,11 +3824,13 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("widx"),
         )
         .select("term", "widx")
+        .persist()
     )
     cnt = (
         tok.join(F.broadcast(vocab), "term")
         .groupBy("doc_id", "widx")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
     )
     pwz = vocab.selectExpr(
         "widx",
@@ -3841,6 +3846,11 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     den = _plsa_den()
     for _ in range(_PLSA_ITERS):
+        # per-iteration persist of the responsibility-weighted nnz
+        # relation: it feeds the topic sums, the topic totals AND the
+        # next doc posterior — three re-evaluations of the whole EM
+        # prefix per pass without it (nnz-sized state, the
+        # iterative-algorithm budget the graph family already pays)
         jo = (
             cnt.join(pzd, "doc_id")
             .join(F.broadcast(pwz), "widx")
@@ -3853,6 +3863,7 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for z in range(1, k + 1)
                 ],
             )
+            .persist()
         )
         swz = jo.groupBy("widx").agg(
             *[
@@ -3860,9 +3871,11 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for z in range(1, k + 1)
             ]
         )
-        tz = swz.agg(
+        # topic totals read off jo directly (sum of per-widx sums ==
+        # plain sum — identical bigints), so swz is referenced once
+        tz = jo.agg(
             *[
-                F.sum(f"s{z}").cast("bigint").alias(f"t{z}")
+                F.sum(f"nq{z}").cast("bigint").alias(f"t{z}")
                 for z in range(1, k + 1)
             ]
         )
@@ -3890,12 +3903,22 @@ def plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
         )
-    unpiv = None
-    for z in range(1, k + 1):
-        leg = pwz.join(F.broadcast(vocab), "widx").selectExpr(
-            f"{z} AS topic", "term", f"w{z} AS p"
-        )
-        unpiv = leg if unpiv is None else unpiv.unionByName(leg)
+    # single-pass unpivot: one explode over a k-struct array instead of k
+    # unioned legs, so the final P(w|z) relation (and the vocab join) is
+    # evaluated once, not k times — identical row multiset
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("topic"), F.col(f"w{z}").alias("p")
+            )
+            for z in range(1, k + 1)
+        ]
+    )
+    unpiv = (
+        pwz.join(F.broadcast(vocab), "widx")
+        .select(F.explode(legs).alias("s"), "term")
+        .select(F.col("s.topic").alias("topic"), "term", F.col("s.p").alias("p"))
+    )
     wtop = Window.partitionBy("topic").orderBy(F.col("p").desc(), "term")
     return (
         unpiv.withColumn("rank", F.row_number().over(wtop).cast("int"))

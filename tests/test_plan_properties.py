@@ -157,12 +157,15 @@ def test_classifier_is_single_scan_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
-def test_pagerank_broadcasts_node_count_not_edges(spark):
-    """The iteration joins shuffle edge/rank relations; the node-count
-    row must ride a broadcast, and no cartesian product may appear."""
+def test_pagerank_inlines_node_count_no_cartesian(spark):
+    """The iteration joins shuffle edge/rank relations; the node count
+    is driver-collected once and inlined as a literal (r15 — it used to
+    ride a 1-row crossJoin broadcast, one build job per iteration), so
+    the plan must carry NEITHER a cartesian product NOR the nested-loop
+    join the old crossJoin produced."""
     plan = _plan(spark, "pagerank_top_nodes")
-    assert "BroadcastNestedLoopJoin" in plan  # the single-row crossJoins
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_sampled_quantiles_sample_predicate_inside_scan_stage(spark):
