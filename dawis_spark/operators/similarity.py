@@ -159,8 +159,12 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id", _cosine_col().alias("cosine"))
     )
     if multi_probe:
-        # a neighbor can share several probed buckets with the query
-        scored = scored.distinct()
+        # a neighbor can share several probed buckets with the query.
+        # repartition by query_id FIRST: the dedup aggregate is then
+        # satisfied by hash(query_id) and the rank window below reuses
+        # the same partitioning — ONE exchange instead of the
+        # distinct-then-window pair (r15, guide §2.4)
+        scored = scored.repartition("query_id").dropDuplicates()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -491,7 +495,11 @@ def ivf_ann_topk(
             "neighbor_id",
             F.round(F.expr(pair_cos), 6).alias("cosine"),
         )
-        .distinct()  # a neighbor can appear via several probed buckets
+        # a neighbor can appear via several probed buckets; repartition
+        # by query_id first so the dedup aggregate AND the rank window
+        # below share one exchange (r15, guide §2.4)
+        .repartition("query_id")
+        .dropDuplicates()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -931,7 +939,9 @@ def ivfpq_ann_topk(
                 6,
             ).alias("cosine"),
         )
-        .distinct()
+        # multi-probe dedup + rank window share one query_id exchange
+        .repartition("query_id")
+        .dropDuplicates()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1084,7 +1094,9 @@ def ivfpq_residual_ann_topk(
                 "cosine"
             ),
         )
-        .distinct()
+        # multi-probe dedup + rank window share one query_id exchange
+        .repartition("query_id")
+        .dropDuplicates()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
