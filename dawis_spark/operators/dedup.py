@@ -383,7 +383,9 @@ def ngram_jaccard_pairs(
         return verify(all_pairs(ids))
 
     sizes = ids.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
-    tagged = ids.join(sizes, "g")
+    # persisted: the size-tagged id relation routes BOTH the small-block
+    # and hot-block branches — (g, id, count) rows only
+    tagged = ids.join(sizes, "g").persist()
     small = tagged.filter(F.col("__bn") <= max_block_rows).select("g", id_col)
     big = tagged.filter(F.col("__bn") > max_block_rows).select("g", id_col)
     exact = verify(all_pairs(small)).withColumn("pair_method", F.lit("exact"))
@@ -654,10 +656,14 @@ def duplicated_spans(
 
     th = TXT.token_hash_array(text_col, "spark")
     wh = TXT.window_hash_structs("__th", window_k, "spark")
+    # persisted: the positioned window-hash relation feeds the frequency
+    # count AND the duplicate semi-join — tokenize + rolling hashes ran
+    # twice per pass without it ((id, pos, wh) rows only, never text)
     windows = (
         docs.select(F.col(id_col), F.expr(th).alias("__th"))
         .select(id_col, F.explode(F.expr(wh)).alias("w"))
         .select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+        .persist()
     )
     freq = windows.groupBy("wh").agg(F.count(F.lit(1)).alias("__n"))
     dup = windows.join(

@@ -202,11 +202,17 @@ def embedding_near_dup_pairs(
     from dawis_spark.functions import vectors as V
 
     nsq = V.norm_sq("vec", "spark")
+    # persisted: the normed relation feeds both verify sides, the block
+    # sizing, and the hot-block bucket hash — up to 7 end-to-end
+    # re-evaluations of the corpus lineage per pass without it (in
+    # semantic_dedup that lineage includes the per-row centroid argmax).
+    # Corpus-sized state with vectors: persist (spills to disk), never
+    # broadcast — the same budget the shingle-hash relations pay.
     v = corpus.select(
         F.col(block_col).alias("g"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-    ).withColumn("nrm", F.sqrt(F.expr(nsq)))
+    ).withColumn("nrm", F.sqrt(F.expr(nsq))).persist()
     a = v.select(
         F.col("id").alias("id_a"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm")
     )
@@ -1145,10 +1151,13 @@ def semantic_dedup(
         schema = corpus.select(id_col).schema
         schema = schema.add("cid", IntegerType()).add("keep", BooleanType())
         return spark.createDataFrame([], schema=schema)
-    asg = kmeans_assign(corpus, id_col, vec_col, centroids).select(
-        F.col("id").alias(id_col), "cid"
+    # kmeans_assign already carries the vector through its map-side
+    # argmax, so (id, vec, cid) comes out of ONE projection — the old
+    # corpus.join(asg, id) re-joined the corpus to itself by id, a full
+    # extra shuffle for columns the assign never dropped (r15)
+    blocked = kmeans_assign(corpus, id_col, vec_col, centroids).select(
+        F.col("id").alias(id_col), F.col("vec").alias(vec_col), "cid"
     )
-    blocked = corpus.select(id_col, vec_col).join(asg, id_col)
     pairs = embedding_near_dup_pairs(
         blocked,
         id_col,
