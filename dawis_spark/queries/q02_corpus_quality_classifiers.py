@@ -1705,7 +1705,7 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-eval exhibits a nonzero FP rate at sf0.01; deployments size
     m ≈ 10-16 bits per expected distinct key (FPR ≈ (1-e^(-dn/m))^d).
     """
-    from dawis_spark.operators.bloomjoin import bloom_build, bloom_probe
+    from dawis_spark.operators.bloomjoin import _positions_sql, bloom_build
 
     m, d = 128, 2
     keys = (
@@ -1719,29 +1719,35 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom = bloom_build(keys, "s_suppkey", m=m, d=d)
     li = spark.table("lineitem")
-    passed = (
-        bloom_probe(li, "l_suppkey", bloom, m=m, d=d)
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_pass_bloom"))
+    # ONE fact scan (r15): totals, the exact semi-join count and the
+    # bloom pass count were three separate lineitem scans + aggregates
+    # stitched by two joins; the exact membership rides a broadcast
+    # left join marker (keys are distinct by construction) and both
+    # counts fold as conditional sums in the same flag aggregate —
+    # identical bigints.
+    kd = (
+        keys.distinct()
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+        .withColumn("__k", F.lit(1))
     )
-    exact = (
-        li.join(
-            keys.withColumnRenamed("s_suppkey", "l_suppkey"),
-            "l_suppkey",
-            "left_semi",
-        )
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
     return (
-        totals.join(exact, "l_returnflag", "left")
-        .join(passed, "l_returnflag", "left")
-        .select(
-            "l_returnflag",
-            "n_rows",
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            F.coalesce("n_pass_bloom", F.lit(0)).alias("n_pass_bloom"),
+        li.select("l_returnflag", "l_suppkey")
+        .join(F.broadcast(kd), "l_suppkey", "left")
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("__pos", F.expr(_positions_sql("l_suppkey", m, d, "spark")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("__k") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(
+                F.when(
+                    F.expr("forall(__pos, p -> array_contains(bloom, p))"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass_bloom"),
         )
         .withColumn("n_false_pos", F.col("n_pass_bloom") - F.col("n_exact"))
         .withColumn(

@@ -979,37 +979,41 @@ def kmeans_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in vec]) for c, vec in cents],
-        "cid int, cvec array<double>",
+    cent_rows = sorted((int(c), [float(x) for x in vec]) for c, vec in cents)
+    # ONE map-side pass (r15): the per-point affinity ARRAY against the
+    # literal centroids yields own cluster, a and b in a single
+    # projection — the old k-fan-out crossJoin + per-point window +
+    # two id-keyed joins re-evaluated the scored relation twice and
+    # shuffled by vec_id three times for values that are a pure
+    # function of the point's own affinity vector. Identical doubles:
+    # cosines round to 6 BEFORE the argmax exactly as before;
+    # array_position takes the FIRST max (ties -> lowest cid, the old
+    # window order); b = 1 - max over the other cids (1-x is monotone,
+    # so min-distance == max-cosine).
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"cast({x!r} as double)" for x in vec) + ")"
+            for _, vec in cent_rows
+        )
+        + ")"
     )
-    cos = _VEC.cosine_null("vec", "cvec", "spark")
-    scored = (
+    cid_lit = "array(" + ", ".join(str(c) for c, _ in cent_rows) + ")"
+    k_c = len(cent_rows)
+    cos = _VEC.cosine_null("vec", "c", "spark")
+    affs = f"transform({cent_lit}, c -> coalesce(round({cos}, 6), cast(-2.0 as double)))"
+    sil = (
         emb.select("vec_id", F.col("embedding").alias("vec"))
-        .crossJoin(F.broadcast(cent_df))
+        .withColumn("__affs", F.expr(affs))
+        .withColumn("__own", F.expr("cast(array_position(__affs, array_max(__affs)) as int)"))
         .selectExpr(
-            "vec_id", "cid", f"coalesce(round({cos}, 6), -2.0) AS cos6"
+            f"element_at({cid_lit}, __own) AS cid",
+            "cast(1 as double) - array_max(__affs) AS a",
+            "cast(1 as double) - array_max(concat(slice(__affs, 1, __own - 1), "
+            f"slice(__affs, __own + 1, {k_c}))) AS b",
         )
+        .selectExpr("cid", f"{_SIL_S} AS s")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos6").desc(), F.col("cid"))
-    own = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("cid").alias("own_cid"),
-            (F.lit(1) - F.col("cos6")).alias("a"),
-        )
-    )
-    bs = (
-        scored.join(own, "vec_id")
-        .filter(F.col("cid") != F.col("own_cid"))
-        .groupBy("vec_id")
-        .agg(F.min(F.lit(1) - F.col("cos6")).alias("b"))
-    )
-    sil = own.join(bs, "vec_id").selectExpr("own_cid AS cid", f"{_SIL_S} AS s")
     return (
         sil.groupBy("cid")
         .agg(
