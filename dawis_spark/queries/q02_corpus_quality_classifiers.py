@@ -1284,10 +1284,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dawis_spark.operators.graph import pagerank
 
     toks = _TXT.tokens("text", "spark")
+    # persisted: both sides of the positional self-join read the
+    # content-token relation (tokenize ran twice per pass without it)
     tok = (
         spark.table("documents")
         .select("doc_id", F.posexplode(F.expr(toks)).alias("p", "tok"))
         .filter(F.length("tok") >= 4)
+        .persist()
     )
     a = tok.selectExpr("doc_id", "p AS pa", "tok AS src")
     b = tok.selectExpr("doc_id", "p AS pb", "tok AS dst")
@@ -1297,8 +1300,20 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # symmetrize with one explode instead of a 2-leg union (the union
+    # evaluated the adjacency join + distinct twice) — identical rows
     edges = (
-        adj.unionAll(adj.selectExpr("dst AS src", "src AS dst"))
+        adj.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )

@@ -293,13 +293,24 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tb"),
         F.expr(dist_expr).alias("dist"),
     )
-    both = halfpairs.selectExpr("ta AS t", "dist").unionByName(
-        halfpairs.selectExpr("tb AS t", "dist")
-    )
+    # one explode instead of a 2-leg union: each half-pair contributes
+    # to BOTH endpoints' profiles in a single evaluation of the O(days^2)
+    # nested-loop probe (the union re-ran it twice) — identical rows
+    both = halfpairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ta").alias("t"), F.col("dist")),
+                F.struct(F.col("tb").alias("t"), F.col("dist")),
+            )
+        ).alias("s")
+    ).select("s.t", "s.dist")
+    # persisted: the day-bounded profile feeds the discord AND motif
+    # rankings
     dists = (
         both.groupBy("t")
         .agg(F.min("dist").alias("mp"))
         .join(win.select("t", "d"), "t")
+        .persist()
     )
     discords = (
         dists.orderBy(F.desc("mp"), "t")

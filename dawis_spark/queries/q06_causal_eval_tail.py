@@ -182,6 +182,11 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.table("documents")
     toks = _TXT.tokens("text", "spark")
+    # ONE persisted tokenization feeds every query's relevance predicate
+    # (each per-term array_contains otherwise carries its own tokens()
+    # call, and each query evaluated the relevance relation twice:
+    # ground-truth walk + n_relevant aggregate)
+    tokall = docs.select("doc_id", F.expr(toks).alias("__tk")).persist()
     out = None
     for qid, terms in _IR_QUERIES:
         ranked = bm25_scores(
@@ -193,9 +198,9 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
         rel_pred = F.expr(
-            " AND ".join(f"array_contains({toks}, '{t}')" for t in terms)
+            " AND ".join(f"array_contains(__tk, '{t}')" for t in terms)
         )
-        rel = docs.select("doc_id", rel_pred.alias("rel"))
+        rel = tokall.select("doc_id", rel_pred.alias("rel"))
         nrel = rel.agg(
             F.sum(F.when(F.col("rel"), 1).otherwise(0))
             .cast("bigint")
@@ -228,6 +233,9 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS ap_at_{_IR_K}",
         )
         out = row if out is None else out.unionAll(row)
+    # persisted: the 3-row AP relation feeds the MAP fold AND the final
+    # join — each re-evaluation re-ran all three BM25 pipelines
+    out = out.persist()
     m = out.agg(
         F.expr(
             f"ROUND(aggregate(array_sort(collect_list("
