@@ -739,10 +739,12 @@ def range_partitioned_ranks(
          array) — map-side, monotone in the sort key so bucket order IS
          rank order and ties (same value) never straddle buckets;
       3. per-bucket counts (<= n_buckets rows) -> each bucket's rank
-         offset by an ARRAY prefix-sum over the count relation gathered
-         into one row (<= n_buckets structs; O(n_buckets^2) adds on one
-         executor, trivial at 1024) — deliberately not a window, so no
-         partition-less WindowExec node exists anywhere in the plan;
+         offset by a prefix-sum computed on the DRIVER from the
+         collected count relation (r15; <= n_buckets exact-integer rows,
+         inlined as literal arrays) — deliberately not a window, so no
+         partition-less WindowExec node exists anywhere in the plan,
+         and no bucket-count exchange / broadcast join exists in the
+         per-action plan either;
       4. row_number within each bucket (parallelism = populated
          buckets, each sorting ~n/n_buckets rows) + broadcast offset.
 
@@ -885,34 +887,37 @@ def range_partitioned_ranks(
         baggs.append(
             F.coalesce(F.sum(src).cast("bigint"), F.lit(0)).alias(f"__bs{i}")
         )
-    bcounts = bucketed.groupBy("__b").agg(*baggs)
-    struct_cols = ["__b", "__bc"] + [f"__bs{i}" for i in range(len(pairs))]
-    soff_expr = "".join(
-        f", aggregate(slice(__a, 1, i), cast(0 as bigint), "
-        f"(acc, x) -> acc + x.__bs{i2}) AS __soff{i2}"
-        for i2 in range(len(pairs))
+    # Per-bucket offsets are collected once at plan-build time (r15):
+    # <= n_buckets rows of exact integer counts/sums — the same bounded
+    # driver state class as the boundary array, and recompute-stable for
+    # the same reason (counts are deterministic; nothing depends on
+    # sketch evaluation order). The prefix sums fold in ascending-__b
+    # order exactly as the old in-plan sort_array/transform did, and the
+    # per-row offset lookup becomes a literal element_at — the bucket-
+    # count exchange, the collect_list aggregate and the broadcast join
+    # disappear from every ACTION's plan (they were re-run per pass and
+    # per downstream reference). This collect also materializes the
+    # ``bucketed`` persist, so the build pays what the first action
+    # used to.
+    brows = sorted(
+        bucketed.groupBy("__b").agg(*baggs).collect(),
+        key=lambda r: r["__b"],
     )
-    out_cols = [
-        F.col("__s.__b").alias("__b"),
-        F.col("__s.__off").alias("__off"),
-    ]
-    for i in range(len(pairs)):
-        out_cols.append(F.col(f"__s.__soff{i}").alias(f"__soff{i}"))
-    offsets = (
-        bcounts.agg(
-            F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("__a")
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(__a, (s, i) -> struct(s.__b AS __b, "
-                    "aggregate(slice(__a, 1, i), cast(0 as bigint), "
-                    f"(acc, x) -> acc + x.__bc) AS __off{soff_expr}))"
-                )
-            ).alias("__s")
-        )
-        .select(*out_cols)
-    )
+    off_vals = [0] * n_buckets
+    soff_vals = [[0] * n_buckets for _ in pairs]
+    cum = 0
+    cums = [0] * len(pairs)
+    for r in brows:
+        b = int(r["__b"])
+        off_vals[b] = cum
+        cum += int(r["__bc"])
+        for i in range(len(pairs)):
+            soff_vals[i][b] = cums[i]
+            cums[i] += int(r[f"__bs{i}"])
+
+    def _arr_lit(vals: list[int]):
+        return F.array(*[F.lit(v).cast("bigint") for v in vals])
+
     order = [F.desc(value_col) if desc else F.asc(value_col)] + [
         F.asc(c) for c in tie_cols
     ]
@@ -926,9 +931,17 @@ def range_partitioned_ranks(
         *keep,
         (F.col("__off") + F.col("__rnb")).cast("bigint").alias(out_col),
     ]
-    joined = bucketed.join(F.broadcast(offsets), "__b").withColumn(
-        "__rnb", F.row_number().over(w_in)
+    joined = (
+        bucketed.withColumn(
+            "__off", F.element_at(_arr_lit(off_vals), F.col("__b") + 1)
+        )
+        .withColumn("__rnb", F.row_number().over(w_in))
     )
+    for i in range(len(pairs)):
+        joined = joined.withColumn(
+            f"__soff{i}",
+            F.element_at(_arr_lit(soff_vals[i]), F.col("__b") + 1),
+        )
     for i, (out_name, src) in enumerate(pairs):
         joined = joined.withColumn(
             f"__rsb{i}",
