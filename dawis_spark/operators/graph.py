@@ -357,9 +357,14 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .agg(F.sum("h").alias("a"))
             .persist()
         )
-        a_max = a_raw.agg(F.max("a").alias("am"))
-        auths = a_raw.crossJoin(F.broadcast(a_max)).select(
-            "node", F.expr(f"(a * {HITS_SCALE}) div am").alias("a")
+        # the rescale maxima are single exact integers over the persisted
+        # half-step — collect them at build (bounded driver state, the
+        # pagerank-n discipline) and inline: each crossJoin(broadcast)
+        # rebuilt a 1-row broadcast per reference per pass. max(None)
+        # only happens on an empty graph, where no row exists to rescale.
+        am = a_raw.agg(F.max("a")).collect()[0][0] or 1
+        auths = a_raw.select(
+            "node", F.expr(f"(a * {HITS_SCALE}) div {int(am)}").alias("a")
         )
         h_raw = (
             edges.join(auths.withColumnRenamed("node", "dst"), "dst")
@@ -367,9 +372,9 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .agg(F.sum("a").alias("h"))
             .persist()
         )
-        h_max = h_raw.agg(F.max("h").alias("hm"))
-        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
-            "node", F.expr(f"(h * {HITS_SCALE}) div hm").alias("h")
+        hm = h_raw.agg(F.max("h")).collect()[0][0] or 1
+        hubs = h_raw.select(
+            "node", F.expr(f"(h * {HITS_SCALE}) div {int(hm)}").alias("h")
         )
     return (
         hubs.join(auths, "node", "full")

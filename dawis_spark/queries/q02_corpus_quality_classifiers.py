@@ -1546,9 +1546,18 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize with one explode (r15): the 2-leg union evaluated the
+    # lineitem-orders distinct-pair join twice at materialization
     edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     return (

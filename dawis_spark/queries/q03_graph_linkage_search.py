@@ -2934,9 +2934,18 @@ def personalized_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize with one explode (r15): the 2-leg union evaluated the
+    # lineitem-orders distinct-pair join twice at materialization
     edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     seeds = (
@@ -3437,9 +3446,18 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize with one explode (r15): the 2-leg union evaluated the
+    # lineitem-orders distinct-pair join twice at materialization
     edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     core = kcore_peel(edges, k=_KCORE_K, iterations=3)
@@ -3503,9 +3521,18 @@ def bfs_hop_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrize with one explode (r15): the 2-leg union evaluated the
+    # lineitem-orders distinct-pair join twice at materialization
     edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     seeds = (
@@ -4115,9 +4142,18 @@ def community_detection_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("b.g"), F.col("b.t")).alias("j"),
         )
     )
+    # symmetrize with one explode (r15): the 2-leg union evaluated the
+    # pair-building join twice at materialization
     edges = (
-        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
-        .unionAll(pairs.select(F.col("j").alias("src"), F.col("i").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("i").alias("src"), F.col("j").alias("dst")),
+                    F.struct(F.col("j").alias("src"), F.col("i").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     return (
