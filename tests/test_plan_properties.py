@@ -288,9 +288,15 @@ def test_prefix_filter_candidates_join_postings_not_arrays(spark):
         plan,
     )
     assert key_join, "candidate join on postings key (with length filter) missing"
-    # posting projections feeding it carry no shingle arrays
+    # posting relations feeding it carry no shingle arrays — since the
+    # r15 persist of the prefix postings they arrive as cached
+    # (id, size, key) triples (the size() is computed BELOW the cache
+    # point), still array-free
     assert re.search(
-        r"Project \[doc_id#\d+L AS id_a#\d+L, size\(ks#\d+, false\) AS sz_a", plan
+        r"InMemoryTableScan \[id_a#\d+L, sz_a#\d+, key#\d+L\]", plan
+    )
+    assert re.search(
+        r"InMemoryTableScan \[id_b#\d+L, sz_b#\d+, key#\d+L\]", plan
     )
     # verification hydrates by pair id via shuffle-hash, never broadcast
     assert "ShuffledHashJoin [id_a" in plan
