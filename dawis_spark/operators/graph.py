@@ -509,8 +509,15 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = reached.join(dist, "node", "left_anti").select(
-            "node", F.lit(h).cast("int").alias("hops")
+        # persist the frontier too (r15): it feeds BOTH the next hop's
+        # edge join and the dist union — the persisted dist materializes
+        # a COPY of these rows but the next ``reached`` reads the
+        # frontier's own lineage, so without this the frontier's
+        # join+distinct+anti-join ran twice per hop. Node-count-bounded.
+        frontier = (
+            reached.join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+            .persist()
         )
         dist = dist.unionAll(frontier)
     return dist

@@ -197,26 +197,47 @@ def nsw_ann_topk(
     q_cells = _ivf_assign(
         queries, id_col, vec_col, cent_rows, "query_id", "q_vec", n_probe
     ).select("query_id", "cid")
+    # persisted: every hop references its frontier in BOTH union legs, so
+    # an unpersisted unrolled search re-evaluates hop h-1 twice per hop —
+    # a 2^hops lineage blowup (the pagerank lesson, squared). Each hop's
+    # beam is <= queries x beam rows; the initial frontier is the same
+    # scale.
     frontier = (
-        q_cells.join(entries, "cid").select("query_id", "node_id").distinct()
+        q_cells.join(entries, "cid")
+        .select("query_id", "node_id")
+        .distinct()
+        .persist()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("node_id")
     )
     scored = None
     for _ in range(hops):
-        expanded = frontier.union(
+        cand = frontier.union(
             frontier.join(edges, frontier["node_id"] == edges["src"]).select(
                 "query_id", F.col("dst").alias("node_id")
             )
-        ).distinct()
+        )
+        # dedup AFTER hydration+scoring: a node reached along several
+        # paths hydrates more than once (bounded — <= beam·(m·2+1) rows
+        # per query either way), but its cosine is a deterministic
+        # function of the (query, node) pair, so dropDuplicates removes
+        # identical rows — the same set the old pre-hydration distinct
+        # produced. repartition by query_id FIRST: the dedup aggregate is
+        # satisfied by hash(query_id) and the beam-rank window reuses the
+        # same partitioning — ONE exchange for both (the multiprobe
+        # trick, guide §2.4), and the pre-hydration (query_id, node_id)
+        # distinct exchange disappears outright.
         scored = (
-            expanded.join(node_vecs, "node_id")
+            cand.join(node_vecs, "node_id")
             .join(F.broadcast(qv), "query_id")
             .select("query_id", "node_id", _cos6("q_vec", "n_vec").alias("cosine"))
+            .repartition("query_id")
+            .dropDuplicates()
             .withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= beam)
             .select("query_id", "node_id", "cosine")
+            .persist()
         )
         frontier = scored.select("query_id", "node_id")
     final_w = Window.partitionBy("query_id").orderBy(

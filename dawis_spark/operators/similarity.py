@@ -248,15 +248,26 @@ def embedding_near_dup_pairs(
         return verify(all_pairs(ids))
 
     sizes = ids.groupBy("g").agg(F.count(F.lit(1)).alias("__bn"))
-    tagged = ids.join(sizes, "g")
+    # persisted: the size-tagged id relation routes BOTH the small-block
+    # all-pairs legs (id_a and id_b sides) AND the hot-block bucket path
+    # — four end-to-end evaluations of the sizing aggregate without it
+    # (same treatment as dedup.py's block router). Bare (g, id, count)
+    # rows — id-relation-scale, no vectors.
+    tagged = ids.join(sizes, "g").persist()
     small = tagged.filter(F.col("__bn") <= max_block_rows).select("g", "id")
     big = tagged.filter(F.col("__bn") > max_block_rows).select("g", "id")
     exact = verify(all_pairs(small)).withColumn("pair_method", F.lit("exact"))
     # Hot blocks: sign-LSH bucket within the block (map-side hash on both
     # sides; pairing only within (block, bucket) keeps the quadratic capped).
+    # persisted: both sides of the within-bucket pair join read it — the
+    # n_planes x dim sign-projection fold would otherwise run twice per
+    # hot-block row. Bare (g, bucket, id) rows.
     bucket = lsh_bucket_expr(n_planes, dim, "spark")
-    big_b = big.join(v.select("id", "vec"), "id").withColumn(
-        "bucket", F.expr(bucket)
+    big_b = (
+        big.join(v.select("id", "vec"), "id")
+        .withColumn("bucket", F.expr(bucket))
+        .select("g", "bucket", "id")
+        .persist()
     )
     lsh_pairs = (
         big_b.select("g", "bucket", F.col("id").alias("id_a"))
@@ -447,9 +458,18 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned_corpus=None,
 ):
     """IVF approximate NN: bucket corpus by nearest centroid; per query,
     probe the ``n_probe`` nearest centroids' buckets only.
+
+    ``assigned_corpus`` (optional): a pre-computed ``_ivf_assign(corpus,
+    ..., "neighbor_id", "c_vec", 1)`` relation for THESE centroids —
+    callers sweeping a search parameter over one fixed quantizer (the
+    n_probe recall curve) persist the assignment once instead of paying
+    the per-row centroid affinity fold once per sweep point. Pure
+    plan-sharing: the rows are identical to what this function would
+    compute itself.
 
     EAGER at construction time unless ``centroids`` is supplied: the coarse
     quantizer is TRAINED when this function is CALLED (one k-means round
@@ -486,7 +506,11 @@ def ivf_ann_topk(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    corpus_b = _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "c_vec", 1)
+    corpus_b = (
+        assigned_corpus
+        if assigned_corpus is not None
+        else _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "c_vec", 1)
+    )
     queries_b = _ivf_assign(queries, id_col, vec_col, cent_rows, "query_id", "q_vec", n_probe)
     # cosine_null: degenerate (zero-norm) members yield NULL scores, which
     # the rounded select keeps as NULL rows dropped by the rank filter —

@@ -2422,9 +2422,14 @@ def lsh_detection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TXT.minhash_element("sh", a, b, "spark")
         for a, b in _TXT.minhash_coeffs(_N_PERMS)
     ]
+    # persisted: the anchor (broadcast build) and candidate sides are
+    # both full corpus passes through the shingle-hash Arrow UDF + the
+    # 8-permutation MinHash fold — the repo's priciest per-row pipeline
+    # ran twice without it. Signature-relation budget (same as the
+    # minhash family's persisted postings).
     hs = h.select(
         "doc_id", "sh", F.expr("array(" + ", ".join(elems) + ")").alias("sig")
-    )
+    ).persist()
     anchors = hs.filter(
         (F.col("doc_id") % _LSH_CURVE_ANCHOR_MOD == 0)
         & (F.col("doc_id") < _LSH_CURVE_ANCHOR_CAP)
@@ -3854,6 +3859,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter, so the sweep isolates the n_probe effect; the oracle
     replays training and all four searches."""
     from dawis_spark.operators.similarity import (
+        _ivf_assign,
         brute_force_topk,
         ivf_ann_topk,
         train_kmeans,
@@ -3862,9 +3868,31 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     cents = train_kmeans(emb, "vec_id", "embedding", k=16, iterations=1)
-    exact = brute_force_topk(
-        corpus=emb, queries=queries_df, id_col="vec_id", vec_col="embedding", k=5
-    ).select("query_id", "neighbor_id")
+    # persisted (r15): the exact ground truth is referenced by all four
+    # probe branches — its corpus-x-queries scoring pass ran per branch
+    # (the brute-force fold sits under a broadcast nested loop, so no
+    # exchange exists for ReuseExchange to dedupe below the rank window).
+    # queries x k rows.
+    exact = (
+        brute_force_topk(
+            corpus=emb, queries=queries_df, id_col="vec_id", vec_col="embedding", k=5
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    # persisted (r15): the coarse assignment is a pure map-side affinity
+    # fold (16 centroids x 64 dims per row) identical across the sweep —
+    # one evaluation instead of four. (id, vec, cid) rows, the
+    # signature-relation budget.
+    corpus_b = _ivf_assign(
+        emb,
+        "vec_id",
+        "embedding",
+        sorted((int(c), list(v)) for c, v in cents),
+        "neighbor_id",
+        "c_vec",
+        1,
+    ).persist()
     curves = []
     for np_ in (1, 2, 4, 8):
         approx = ivf_ann_topk(
@@ -3875,6 +3903,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=5,
             n_probe=np_,
             centroids=cents,
+            assigned_corpus=corpus_b,
         ).select("query_id", "neighbor_id", F.lit(1).alias("m"))
         curves.append(
             exact.join(approx, ["query_id", "neighbor_id"], "left").agg(

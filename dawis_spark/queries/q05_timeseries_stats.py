@@ -2157,10 +2157,17 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_OLS2_B1} AS b1",
         f"{_OLS2_B2} AS b2",
     )
+    # persisted: the residual relation is consumed ~4x per action — the
+    # selection operator's stats aggregate, its bucket counts, its
+    # picked-bucket re-scan, and the coverage aggregate each re-evaluate
+    # the calibration scan + the train-moments broadcast otherwise.
+    # Calibration-row-scale (one int + three constant doubles per row),
+    # the same budget class as the walk's bucketed persist.
     resid = (
         obs.filter("cal")
         .crossJoin(F.broadcast(coef))
         .selectExpr(f"{_CONF_R} AS r_cents", "n_train", "b1", "b2")
+        .persist()
     )
     q = rank_quantiles_select(
         resid.select(F.lit(1).alias("k"), "r_cents"), ["k"], "r_cents", [90]

@@ -719,11 +719,16 @@ def test_fellegi_sunter_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pareto_customers_offsets_broadcast(spark):
-    # the bucket-offset relation (<= 1024 rows) must broadcast into the
-    # rank join; a shuffle there would defeat the two-level design
+def test_pareto_customers_offsets_inlined(spark):
+    # r15: the bucket-offset relation (<= 1024 exact integers) is
+    # collected at plan-build and inlined as a literal array — the
+    # per-row offset lookup is element_at on that literal, so NO join
+    # (hash or shuffle) may exist for the offsets; the only remaining
+    # join is the 1-row pooled-total broadcast
     plan = _plan(spark, "pareto_customers")
-    assert "BroadcastHashJoin" in plan
+    assert "element_at" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_nb_chain_single_tokenization_and_no_text_in_exchanges(spark):
