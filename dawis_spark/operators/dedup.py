@@ -393,11 +393,21 @@ def ngram_jaccard_pairs(
     elems = [
         TXT.minhash_element("sh", p, q, "spark") for p, q in TXT.minhash_coeffs(n_perms)
     ]
+    # Persisted (r15): both sides of the banded bucket self-join read
+    # this relation, and the two join legs do NOT end in canonically-
+    # identical exchanges (measured: zero ReusedExchange in the plan) —
+    # without the persist the n_perms-element MinHash fold ran once per
+    # side. Hot-block rows only, (g, id, sig[n_perms]) — the signature-
+    # relation budget the family already pays. The same persist inside
+    # lsh_candidate_pairs itself measured NEUTRAL for the minhash/oph
+    # callers (their fold is cheaper relative to the cache-read cost of
+    # the 4x-wider exploded band relation), so the fix stays local.
     big_sigs = (
         big.join(hashes, id_col)  # hashes is already empty-shingle-filtered
         .select(
             "g", F.col(id_col), F.expr("array(" + ", ".join(elems) + ")").alias("sig")
         )
+        .persist()
     )
     lsh_pairs = lsh_candidate_pairs(
         big_sigs, id_col, bands, rows_per_band, extra_keys=("g",)

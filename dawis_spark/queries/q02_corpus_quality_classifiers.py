@@ -1877,8 +1877,8 @@ def ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dawis_spark.operators.similarity import (
         brute_force_topk,
         ivfpq_ann_topk,
-        ivfpq_refine_topk,
         pq_train,
+        refine_exact,
         train_kmeans,
     )
 
@@ -1886,16 +1886,32 @@ def ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 10)
     books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
     cents = train_kmeans(emb, "vec_id", "embedding", k=16, iterations=1)
-    exact = brute_force_topk(
-        corpus=emb, queries=qs, id_col="vec_id", vec_col="embedding", k=5
-    ).select("query_id", "neighbor_id")
-    raw = ivfpq_ann_topk(
-        emb, qs, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4,
+    # persisted (r15): the exact ground truth feeds both recall joins —
+    # its corpus×queries scoring pass sits under a broadcast nested loop
+    # (no exchange for ReuseExchange to dedupe). queries×k rows.
+    exact = (
+        brute_force_topk(
+            corpus=emb, queries=qs, id_col="vec_id", vec_col="embedding", k=5
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    # ONE ADC candidate pool serves both branches (r15): the raw IVFPQ
+    # top-5 is by definition ranks 1..5 of the k*refine_factor pool the
+    # refine stage starts from (same deterministic (desc cosine, asc id)
+    # ordering), so computing ivfpq_ann_topk TWICE — once at k=5, once at
+    # k=15 inside ivfpq_refine_topk — duplicated the whole corpus
+    # encode+ADC-score+window pipeline (plan: 8 embeddings scans, zero
+    # ReusedExchange). Persisted: queries×15 rows.
+    pool = ivfpq_ann_topk(
+        emb, qs, "vec_id", "embedding", k=5 * 3, n_centroids=16, n_probe=4,
         books=books, centroids=cents,
-    ).select(F.col("query_id").alias("r1_qid"), F.col("neighbor_id").alias("r1_nid"))
-    ref = ivfpq_refine_topk(
-        emb, qs, "vec_id", "embedding", k=5, refine_factor=3,
-        n_centroids=16, n_probe=4, books=books, centroids=cents,
+    ).persist()
+    raw = pool.filter(F.col("rank") <= 5).select(
+        F.col("query_id").alias("r1_qid"), F.col("neighbor_id").alias("r1_nid")
+    )
+    ref = refine_exact(
+        pool, emb, qs, "vec_id", "embedding", k=5
     ).select(F.col("query_id").alias("r2_qid"), F.col("neighbor_id").alias("r2_nid"))
     joined = (
         exact.join(
