@@ -640,6 +640,13 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents")
         )
     )
+    # observed-day gate WITHOUT a second daily aggregate (r15): the old
+    # inner join back to observed days re-evaluated the events groupBy on
+    # a second scan (2 events scans, no exchange reuse in the plan). A
+    # target day is observed iff its own total contributed at offset 0,
+    # so the o=0 marker rides the fanout and the gate becomes MAX(o=0)
+    # inside the SAME (user, day) aggregate — identical groups, identical
+    # median/count, one scan and no join.
     expanded = daily.select(
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
@@ -648,17 +655,17 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.expr("day + make_interval(0, 0, 0, o)").alias("day"),
+        (F.col("o") == 0).alias("is_origin"),
         "total_cents",
     )
-    cur = daily.select("user_id", "day")
     med = (
-        expanded.join(cur, ["user_id", "day"])
-        .groupBy("user_id", "day")
+        expanded.groupBy("user_id", "day")
         .agg(
             F.expr("percentile(total_cents, 0.5)").alias("med_cents"),
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("is_origin").alias("__obs"),
         )
-        .filter(F.col("n_days") >= 4)
+        .filter(F.col("__obs") & (F.col("n_days") >= 4))
     )
     # output stays in CENTS: an even-count median is x.5 cents — an exact
     # dyadic double both engines hold bit-identically, where /100-then-

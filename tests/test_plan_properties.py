@@ -453,12 +453,15 @@ def test_attribution_join_is_co_keyed_on_user_journey(spark):
 
 
 def test_rolling_median_fanout_is_map_side(spark):
-    # the x7 explode must happen before (below) the (user, day) exchange:
-    # no join may appear under the expanded side other than the day
-    # membership join; and no window function is used at all
+    # the x7 explode must happen before (below) the (user, day) exchange
+    # and no window function is used at all; r15: the observed-day gate
+    # rides the SAME aggregate (MAX(o=0)) — no join of any kind and only
+    # ONE events scan may remain
     plan = _plan(spark, "rolling_median_7d")
     assert "Window" not in plan
     assert "Generate explode" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # one tree node + its detail
 
 
 def test_feature_correlations_zero_keyed_exchange(spark):
