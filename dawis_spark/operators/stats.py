@@ -625,7 +625,12 @@ ANOVA_F = f"(({ANOVA_SSB} / (k - 1)) / nullif(({ANOVA_SSW} / (n - k)), 0))"
 ANOVA_ETA2 = f"({ANOVA_SSB} / nullif((q - ss_over_n), 0))"
 
 
-def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
     """One-way ANOVA F over an INTEGER-valued column across the groups
     of ``group_col``: one row (k_groups, n_rows, ssb, ssw, f_stat,
     eta_squared). The 'does the mean differ across ANY of k segments'
@@ -642,11 +647,24 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     gathers k structs into one row — group-cardinality-bounded
     everywhere after the first exchange."""
     v = F.col(value_col).cast("decimal(38,0)")
-    per = df.groupBy(F.col(group_col).alias("g")).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
-        F.sum(v).alias("s_g"),
-        F.sum(v * v).alias("q_g"),
-    )
+    # weight_col (r15): per-(group, value) COUNTS instead of one row per
+    # observation — sum(w), sum(v*w), sum(v*v*w) are the SAME exact
+    # integers as the row-scale fold (sum over rows of v == sum over
+    # distinct v of v*n), so callers that already hold a distinct-value
+    # count relation (brown_forsythe) skip a second row-scale pass.
+    if weight_col is not None:
+        w = F.col(weight_col).cast("decimal(38,0)")
+        per = df.groupBy(F.col(group_col).alias("g")).agg(
+            F.sum(w).alias("n_g"),
+            F.sum(v * w).alias("s_g"),
+            F.sum(v * v * w).alias("q_g"),
+        )
+    else:
+        per = df.groupBy(F.col(group_col).alias("g")).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+            F.sum(v).alias("s_g"),
+            F.sum(v * v).alias("q_g"),
+        )
     terms = per.selectExpr(
         "g",
         "n_g",
@@ -839,14 +857,24 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     )
 
 
-def group_median2(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def group_median2(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    gv: DataFrame | None = None,
+) -> DataFrame:
     """(g, m2) — DOUBLED exact median (lo + hi order statistics) of an
     integer value per group, so an even-count median stays an exact
     integer. One (group, value) aggregate; the order-statistic walk
-    runs on the group-partitioned distinct-value relation."""
-    gv = df.groupBy(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    runs on the group-partitioned distinct-value relation.
+
+    ``gv`` (r15): a precomputed (g, v, c) distinct-value count relation —
+    callers that consume the same counts elsewhere (brown_forsythe's
+    weighted ANOVA) build it once instead of re-aggregating the source."""
+    if gv is None:
+        gv = df.groupBy(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     wg = Window.partitionBy("g").orderBy("v").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -879,18 +907,28 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     Deviations are exact integers (doubled-median trick), so the ANOVA
     runs its usual exact-moment fold. Output = anova_oneway's row.
 
-    Scale: the median walk is distinct-value-bounded per group; medians
-    broadcast back (k rows); then one exact-moment aggregate."""
-    med = group_median2(df, group_col, value_col).select(
+    Scale: ONE (group, value) count aggregate is the only row-scale pass
+    (persisted — the median walk and the deviation ANOVA both consume
+    it); medians broadcast back (k rows); the ANOVA moments are weighted
+    sums over the distinct-value counts — the same exact integers as the
+    row-scale fold (sum over rows of |2x-2m| == sum over distinct v of
+    |2v-2m|·n_v), so the result is bit-identical."""
+    gv = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    med = group_median2(df, group_col, value_col, gv=gv).select(
         F.col("g").alias("__bf_med_g"), "m2"
     )
-    dev = df.join(
-        F.broadcast(med), df[group_col] == F.col("__bf_med_g")
+    dev = gv.join(
+        F.broadcast(med), gv["g"] == F.col("__bf_med_g")
     ).select(
-        F.col(group_col).alias("__bf_g"),
-        F.abs(2 * F.col(value_col) - F.col("m2")).cast("bigint").alias("__bf_d"),
+        F.col("g").alias("__bf_g"),
+        F.abs(2 * F.col("v") - F.col("m2")).cast("bigint").alias("__bf_d"),
+        F.col("c").alias("__bf_w"),
     )
-    return anova_oneway(dev, "__bf_g", "__bf_d")
+    return anova_oneway(dev, "__bf_g", "__bf_d", weight_col="__bf_w")
 
 
 # Two-sample effect sizes over exact moments: Cohen's d on the pooled
