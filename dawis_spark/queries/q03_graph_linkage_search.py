@@ -3459,7 +3459,12 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # symmetrize with one explode (r15): the 2-leg union evaluated the
-    # lineitem-orders distinct-pair join twice at materialization
+    # lineitem-orders distinct-pair join twice at materialization.
+    # Persist PRE-PARTITIONED by src (r15): the iterative consumer joins
+    # and degree counts all require hashpartitioning(src), and the
+    # per-iteration state persists split the plan into AQE islands no
+    # ReusedExchange spans — an unpartitioned cache was re-shuffled by
+    # src once per iteration.
     edges = (
         pairs.select(
             F.explode(
@@ -3470,6 +3475,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
+        .repartition("src")
         .persist()
     )
     core = kcore_peel(edges, k=_KCORE_K, iterations=3)
