@@ -163,9 +163,14 @@ def _full_contingency(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     still contributes (row_n*col_n/n) to chi-square — dropping
     unobserved combinations silently understates the statistic on any
     sparse table (caught by test_round11_stats on a diagonal table)."""
+    # persisted (r15): cells feeds the row/col margins, the total AND the
+    # completion join — four end-to-end re-evaluations of the source scan
+    # + (r, c) aggregate per pass without it (zero ReusedExchange in the
+    # plan: the differently-grouped consumers don't end in canonically
+    # identical exchanges). Category-cardinality-bounded rows.
     cells = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs")).persist()
     rows_m = cells.groupBy("r").agg(F.sum("obs").cast("bigint").alias("row_n"))
     cols_m = cells.groupBy("c").agg(F.sum("obs").cast("bigint").alias("col_n"))
     tot = cells.agg(F.sum("obs").cast("bigint").alias("n"))
