@@ -99,6 +99,12 @@ def item_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 6)
         .select("i", "j")
+        # persisted (r15): triangle_counts consumes the edge relation
+        # THREE times (ab/bc/ac legs) and each leg re-ran the basket
+        # self-join + co-count build end-to-end (24 scans in the before
+        # plan). Edge-count-bounded — the same budget
+        # global_clustering_coefficient already pays for this relation.
+        .persist()
     )
     return triangle_counts(edges)
 

@@ -1207,7 +1207,13 @@ def region_trade_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("s"), F.col("r_name").alias("rs"))
     )
     sided = pairs.join(nc, "c").join(F.broadcast(ns), "s").select("rc", "rs")
-    m = sided.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    # ONE row-scale pass (r15): per_r is persisted (5 rows) and m_edges is
+    # read off it via the exact degree identity sum(degree_endpoints) =
+    # 2m (every edge has exactly one rc and one rs inside the 5-name grid
+    # — both sides come off INNER region joins), so the separate count
+    # pass and the 2-4 end-to-end re-evaluations of the pair build that
+    # the m/contrib/q consumers paid (68 scans in the before plan) are
+    # gone. Same exact integers.
     per_r = (
         sided.crossJoin(F.broadcast(spark.table("region").select("r_name")))
         .groupBy("r_name")
@@ -1221,6 +1227,10 @@ def region_trade_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + SUM(CASE WHEN rs = r_name THEN 1 ELSE 0 END) AS BIGINT)"
             ).alias("degree_endpoints"),
         )
+        .persist()
+    )
+    m = per_r.agg(
+        F.expr("CAST(SUM(degree_endpoints) DIV 2 AS BIGINT)").alias("m_edges")
     )
     contrib = per_r.crossJoin(F.broadcast(m)).selectExpr(
         "r_name",
