@@ -1767,20 +1767,35 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything wider than the distinct key sets — at 100 TB the heavy
     pairs are the fact-table keys, which is a single shuffle each on an
     already-compact int64 column."""
+    # one distinct set per (table, column) (r15): four columns appear in
+    # TWO pairs each (l_partkey/p_partkey both directions, c_custkey and
+    # n_nationkey as repeated parents) — the before plan re-ran their
+    # distinct aggregates once per pair (40 scans). Reused sets are
+    # persisted (distinct-key-cardinality-bounded); single-use sets are
+    # not (nothing to share). Identical rows by construction.
+    from collections import Counter
+
+    uses = Counter()
+    for ct, cc, pt, pc in _IND_PAIRS:
+        uses[(ct, cc)] += 1
+        uses[(pt, pc)] += 1
+    dsets: dict = {}
+
+    def _dset(t: str, c: str):
+        if (t, c) not in dsets:
+            d = (
+                spark.table(t)
+                .filter(F.col(c).isNotNull())
+                .select(F.col(c).alias("k"))
+                .distinct()
+            )
+            dsets[(t, c)] = d.persist() if uses[(t, c)] > 1 else d
+        return dsets[(t, c)]
+
     results = None
     for ct, cc, pt, pc in _IND_PAIRS:
-        child = (
-            spark.table(ct)
-            .filter(F.col(cc).isNotNull())
-            .select(F.col(cc).alias("k"))
-            .distinct()
-        )
-        parent = (
-            spark.table(pt)
-            .filter(F.col(pc).isNotNull())
-            .select(F.col(pc).alias("k"), F.lit(1).alias("hit"))
-            .distinct()
-        )
+        child = _dset(ct, cc)
+        parent = _dset(pt, pc).withColumn("hit", F.lit(1))
         leg = (
             child.join(parent, "k", "left")
             .agg(
@@ -3272,12 +3287,21 @@ def lexrank_top_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.sidx").alias("st"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("ov"))
+        # persisted (r15): edges feeds the row sums AND both power-iteration
+        # contributions — three end-to-end re-evaluations of the (doc, word)
+        # overlap self-join per pass otherwise. Sentence-pair-bounded.
+        .persist()
     )
     rs = edges.groupBy("doc_id", "sf").agg(
         F.sum("ov").cast("bigint").alias("rowsum")
     )
 
     def _iterate(prev: DataFrame) -> DataFrame:
+        # persist the iteration state (r15): prev feeds the contribution
+        # join AND the keep-score left join — without this iteration 1's
+        # whole lineage is evaluated twice inside iteration 2 (the
+        # bfs/nsw 2^iterations lesson). Sentence-count-bounded.
+        prev = prev.persist()
         contrib = (
             edges.join(
                 prev.select(
