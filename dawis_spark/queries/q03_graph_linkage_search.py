@@ -3122,29 +3122,50 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("max_day") - F.expr(f"INTERVAL {_MARKOV_TEST_DAYS} DAY")
         ).alias("is_test"),
     )
-    train = (
-        pairs.filter(~F.col("is_test"))
-        .groupBy("cur", "nxt")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # ONE pass over the pair window (r15): the train and test legs each
+    # re-ran the user-keyed lead() window end-to-end (2 events passes) —
+    # one (cur, nxt) aggregate now carries BOTH split counts (identical
+    # integers: per-(cur, nxt) row counts conditioned on is_test), and
+    # the argmax/accuracy machinery runs off the persisted
+    # type-x-type-bounded matrix.
+    mat = (
+        pairs.groupBy("cur", "nxt")
+        .agg(
+            F.sum(F.when(~F.col("is_test"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
+        )
+        .persist()
     )
+    train = mat.filter(F.col("c") > 0).select("cur", "nxt", "c")
     pw = Window.partitionBy("cur").orderBy(F.desc("c"), "nxt")
     pred = (
         train.withColumn("rk", F.row_number().over(pw))
         .filter(F.col("rk") == 1)
         .select("cur", F.col("nxt").alias("predicted_next"))
     )
-    test = pairs.filter(F.col("is_test")).select("cur", "nxt")
     acc = (
-        test.join(F.broadcast(pred), "cur")
+        mat.filter(F.col("ct") > 0)
+        .join(F.broadcast(pred), "cur")
         .groupBy(F.col("cur").alias("event_type"), "predicted_next")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test"),
-            F.sum((F.col("nxt") == F.col("predicted_next")).cast("int"))
+            F.sum("ct").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted_next"), F.col("ct"))
+                .otherwise(0)
+            )
             .cast("bigint")
             .alias("n_correct"),
             F.round(
-                F.sum((F.col("nxt") == F.col("predicted_next")).cast("int"))
-                / F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        F.col("nxt") == F.col("predicted_next"), F.col("ct")
+                    ).otherwise(0)
+                )
+                / F.sum("ct"),
                 6,
             ).alias("accuracy"),
         )
