@@ -46,15 +46,24 @@ def feature_buckets_expr(text_col: str, m: int, dialect: str) -> str:
     uni = _buckets_expr(toks, m, dialect)
     th = TXT.token_hash_array(text_col, dialect)
     if dialect == "spark":
+        # Bind the raw token-hash array ONCE via a one-element transform
+        # stage: unigram buckets are the same char hashes the bigram
+        # combine consumes, so deriving both from the bound `h` halves
+        # the O(len) per-token hash folds per evaluation (the
+        # expression-blowup lesson; values identical by construction —
+        # same hashes, same mixing rounds, same mod).
+        uni = "h"
+        for a, b in _ROUNDS:
+            uni = f"transform({uni}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
+        uni = f"transform({uni}, __x -> __x % {m})"
         bg = (
-            f"flatten(transform(array({th}), h -> "
             f"case when size(h) < 2 then array() else "
-            f"transform(sequence(0, size(h) - 2), i -> (h[i] * 131 + h[i + 1]) % {MOD}) end))"
+            f"transform(sequence(0, size(h) - 2), i -> (h[i] * 131 + h[i + 1]) % {MOD}) end"
         )
         for a, b in _ROUNDS:
             bg = f"transform({bg}, __x -> (__x * __x + {a} * __x + {b}) % {MOD})"
         bg = f"transform({bg}, __x -> __x % {m})"
-        return f"concat({uni}, {bg})"
+        return f"(transform(array({th}), h -> concat({uni}, {bg})))[0]"
     bg = (
         f"flatten(list_transform([{th}], h -> "
         f"list_transform(range(1, greatest(len(h) - 1, 0) + 1), "
@@ -66,12 +75,33 @@ def feature_buckets_expr(text_col: str, m: int, dialect: str) -> str:
     return f"list_concat({uni}, {bg})"
 
 
-def _bucket_counts(docs: DataFrame, text_col: str, m: int) -> list[int]:
+def doc_features(
+    docs: DataFrame, id_cols: list[str], text_col: str, m: int
+) -> DataFrame:
+    """(``*id_cols``, __feats) — the hashed feature-bucket array per
+    document, as a DataFrame so callers that both train AND score over
+    the same corpus can persist ONE tokenize+hash pass and feed it to
+    ``dsir_train``/``dsir_scores`` instead of re-evaluating the
+    feature expression per consumer."""
+    feats = feature_buckets_expr(text_col, m, "spark")
+    return docs.select(*id_cols, F.expr(feats).alias("__feats"))
+
+
+def _bucket_counts(
+    docs: DataFrame | None,
+    text_col: str,
+    m: int,
+    features: DataFrame | None = None,
+) -> list[int]:
     """m-vector of feature-occurrence counts over ``docs`` (driver-side
     result, m-bounded by partial aggregation)."""
-    feats = feature_buckets_expr(text_col, m, "spark")
+    src = (
+        features
+        if features is not None
+        else doc_features(docs, [], text_col, m)
+    )
     rows = (
-        docs.select(F.explode(F.expr(feats)).alias("b"))
+        src.select(F.explode(F.col("__feats")).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
@@ -83,18 +113,25 @@ def _bucket_counts(docs: DataFrame, text_col: str, m: int) -> list[int]:
 
 
 def dsir_train(
-    target: DataFrame, raw: DataFrame, text_col: str, m: int = 1024
+    target: DataFrame | None,
+    raw: DataFrame | None,
+    text_col: str,
+    m: int = 1024,
+    target_features: DataFrame | None = None,
+    raw_features: DataFrame | None = None,
 ) -> list[float]:
     """Log importance-ratio vector lambda[b] = log p_tgt(b) - log
     p_raw(b) with add-one smoothing, each component rounded half-up to
-    6 digits (oracle-replayable)."""
+    6 digits (oracle-replayable). ``*_features`` optionally supply a
+    precomputed (persisted) ``doc_features`` relation so the corpus is
+    tokenized+hashed once across train and score."""
     import math
 
     def _r6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
-    ct = _bucket_counts(target, text_col, m)
-    cr = _bucket_counts(raw, text_col, m)
+    ct = _bucket_counts(target, text_col, m, features=target_features)
+    cr = _bucket_counts(raw, text_col, m, features=raw_features)
     t_tot, r_tot = sum(ct), sum(cr)
     return [
         _r6(
@@ -111,17 +148,20 @@ def dsir_scores(
     text_col: str,
     lam: list[float],
     m: int = 1024,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feats, log_ir) per raw document: one map-side fold of the
     literal lambda array over the doc's feature buckets — the scoring
     plan is the classifier's (zero shuffle, zero UDF). Resampling is the
-    caller's ORDER BY."""
+    caller's ORDER BY. ``features`` optionally supplies a precomputed
+    (id, __feats) relation (see ``doc_features``)."""
     lam_lit = (
         "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in lam) + ")"
     )
-    feats = feature_buckets_expr(text_col, m, "spark")
+    if features is None:
+        features = doc_features(raw, [id_col], text_col, m)
     return (
-        raw.select(id_col, F.expr(feats).alias("__feats"))
+        features.select(id_col, "__feats")
         .select(
             id_col,
             F.size("__feats").cast("bigint").alias("n_feats"),

@@ -1749,16 +1749,37 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left join marker (keys are distinct by construction) and both
     # counts fold as conditional sums in the same flag aggregate —
     # identical bigints.
+    #
+    # Decide with small rows (guide §8): the O(len) polynomial hash fold
+    # is evaluated once per SUPPLIER key (the probe key's dimension
+    # domain) instead of once per fact row, and the fact row reads its
+    # pass flag off the broadcast (suppkey, in_keys, passes) relation —
+    # at 100 TB that is dim-cardinality hash work instead of fact-
+    # cardinality. A fact key missing from the domain (no FK in the
+    # data) still evaluates the original per-row expression via the
+    # lazily-branched coalesce, so the aggregate is identical bigints
+    # for ANY input.
     kd = (
         keys.distinct()
         .withColumnRenamed("s_suppkey", "l_suppkey")
         .withColumn("__k", F.lit(1))
     )
-    return (
-        li.select("l_returnflag", "l_suppkey")
-        .join(F.broadcast(kd), "l_suppkey", "left")
+    dom = (
+        spark.table("supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+        .join(kd, "l_suppkey", "left")
         .crossJoin(F.broadcast(bloom))
         .withColumn("__pos", F.expr(_positions_sql("l_suppkey", m, d, "spark")))
+        .select(
+            "l_suppkey",
+            "__k",
+            F.expr("forall(__pos, p -> array_contains(bloom, p))").alias("__p"),
+        )
+    )
+    return (
+        li.select("l_returnflag", "l_suppkey")
+        .join(F.broadcast(dom), "l_suppkey", "left")
+        .crossJoin(F.broadcast(bloom))
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1767,7 +1788,15 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact"),
             F.sum(
                 F.when(
-                    F.expr("forall(__pos, p -> array_contains(bloom, p))"), 1
+                    F.coalesce(
+                        F.col("__p"),
+                        F.expr(
+                            "forall("
+                            + _positions_sql("l_suppkey", m, d, "spark")
+                            + ", p -> array_contains(bloom, p))"
+                        ),
+                    ),
+                    1,
                 ).otherwise(0)
             )
             .cast("bigint")
@@ -2125,13 +2154,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio vector is ONE driver-side literal array and scoring is a
     codegen'd fold inside the raw scan — the classifier plan, zero
     shuffle. Oracle replays estimation AND scoring in one SQL."""
-    from dawis_spark.operators.dsir import dsir_scores, dsir_train
+    from dawis_spark.operators.dsir import dsir_scores, dsir_train, doc_features
 
     docs = spark.table("documents")
-    tgt = docs.filter(F.col("source") == "src0")
+    # ONE tokenize+hash pass (r15): target counts, raw counts and raw
+    # scoring each re-evaluated the feature expression end-to-end (the
+    # raw corpus paid it twice). The persisted per-doc bucket arrays
+    # feed all three consumers; identical values by construction.
+    feats = doc_features(docs, ["doc_id", "source"], "text", m=1024).persist()
+    tgt_f = feats.filter(F.col("source") == "src0")
+    raw_f = feats.filter(F.col("source") != "src0")
     raw = docs.filter(F.col("source") != "src0")
-    lam = dsir_train(tgt, raw, "text", m=1024)
-    return dsir_scores(raw, "doc_id", "text", lam, m=1024).orderBy("doc_id")
+    lam = dsir_train(
+        None, None, "text", m=1024, target_features=tgt_f, raw_features=raw_f
+    )
+    return dsir_scores(
+        raw, "doc_id", "text", lam, m=1024, features=raw_f
+    ).orderBy("doc_id")
 
 
 def _phrase_oracle(phrase: str) -> str:
