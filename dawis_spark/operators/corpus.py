@@ -224,6 +224,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 10,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a bag-of-words query
     (Robertson/Lucene idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
@@ -235,9 +236,19 @@ def bm25_scores(
     classic inverted-index access pattern, corpus-size-independent for
     selective terms. Corpus stats (N, avgdl) ride along as a broadcast
     1-row aggregate; doc length joins on id (same key as the postings).
+
+    ``tokens`` optionally supplies a precomputed (``id_col``, __toks)
+    relation — callers that run several BM25 queries (the IR eval
+    panel) persist ONE tokenization and share it, instead of this
+    function re-tokenizing the corpus per query (and per internal
+    consumer: doc lengths AND postings both read the token arrays).
+    Same values by construction: the expression is identical.
     """
-    toks = TXT.tokens(text_col, "spark")
-    base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    if tokens is not None:
+        base = tokens.select(F.col(id_col), "__toks")
+    else:
+        toks = TXT.tokens(text_col, "spark")
+        base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
     dl = base.select(
         F.col(id_col), F.expr("size(__toks)").cast("double").alias("dl")
     )
@@ -277,6 +288,87 @@ def bm25_scores(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(top_n)
     )
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, tuple[str, ...]]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    tokens: DataFrame | None = None,
+) -> dict[int, DataFrame]:
+    """Per-query top-``top_n`` BM25 for a SET of bag-of-words queries,
+    sharing ONE corpus pass (tokenize -> explode -> per-(id, token) tf ->
+    per-token df, persisted) across the set — the IR eval panel
+    otherwise re-ran the whole postings pipeline once per query.
+
+    Each query's output is identical to ``bm25_scores(df, ..., terms)``
+    by construction: the per-query tail (filter cached tf to the query's
+    terms -> join df_t -> join dl -> broadcast stats -> sum contribs ->
+    TakeOrdered top_n) evaluates the same expressions over the same rows
+    — a token's tf and df do not depend on which query probes it, and
+    the scale-right per-query global top-k (TakeOrdered, never a
+    corpus-wide window sort) is preserved.
+
+    Scale: the shuffled relations are postings for the UNION of query
+    terms (selective-term-sized) and doc lengths; both are persisted
+    once instead of rebuilt per query.
+    """
+    if tokens is not None:
+        base = tokens.select(F.col(id_col), "__toks")
+    else:
+        toks = TXT.tokens(text_col, "spark")
+        base = df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    dl = base.select(
+        F.col(id_col), F.expr("size(__toks)").cast("double").alias("dl")
+    ).persist()
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf_all = (
+        base.select(F.col(id_col), F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(all_terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .persist()
+    )
+    dfreq_all = tf_all.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    out: dict[int, DataFrame] = {}
+    for qid, terms in queries:
+        term_tf = tf_all.filter(F.col("token").isin(list(terms)))
+        dfreq = dfreq_all.filter(F.col("token").isin(list(terms)))
+        scored = (
+            term_tf.join(dfreq, "token")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "contrib",
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+        )
+        out[qid] = (
+            scored.groupBy(id_col)
+            .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.col(id_col))
+            .limit(top_n)
+        )
+    return out
 
 
 def corpus_filter(

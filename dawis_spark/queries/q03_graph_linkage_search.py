@@ -4051,24 +4051,32 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    from dawis_spark.operators.corpus import bm25_scores
+    from dawis_spark.operators.corpus import bm25_scores_multi
 
     docs = spark.table("documents")
     toks = _TXT.tokens("text", "spark")
+    # ONE persisted tokenization feeds the BM25 postings pass AND each
+    # query's relevance predicate, and ONE shared postings pass
+    # (bm25_scores_multi) feeds all three per-query top-k tails
+    # (before: bm25_scores re-tokenized and re-built tf/df per query x
+    # per internal consumer — ~9 corpus tokenizations per pass)
+    tokall = docs.select("doc_id", F.expr(toks).alias("__toks")).persist()
+    ranked_by_qid = bm25_scores_multi(
+        docs, "doc_id", "text", list(_IR_QUERIES), k1=1.2, b=0.75,
+        top_n=_IR_K, tokens=tokall,
+    )
     out = None
     for qid, terms in _IR_QUERIES:
-        ranked = bm25_scores(
-            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_IR_K
-        ).select(
+        ranked = ranked_by_qid[qid].select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("bm25"), "doc_id"))
             .alias("rank"),
         )
         rel_pred = F.expr(
-            " AND ".join(f"array_contains({toks}, '{t}')" for t in terms)
+            " AND ".join(f"array_contains(__toks, '{t}')" for t in terms)
         )
-        rel = docs.select("doc_id", rel_pred.alias("rel"))
+        rel = tokall.select("doc_id", rel_pred.alias("rel"))
         nrel = rel.agg(
             F.sum(F.when(F.col("rel"), 1).otherwise(0))
             .cast("bigint")
@@ -4714,28 +4722,34 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    from dawis_spark.operators.corpus import bm25_scores
+    from dawis_spark.operators.corpus import bm25_scores_multi
 
     docs = spark.table("documents")
     toks = _TXT.tokens("text", "spark")
+    # ONE persisted tokenization for the postings pass + grade exprs and
+    # ONE shared postings pass for the three per-query top-k tails
+    # (same treatment as search_mrr_eval/search_map_eval)
+    tokall = docs.select("doc_id", F.expr(toks).alias("__toks")).persist()
+    ranked_by_qid = bm25_scores_multi(
+        docs, "doc_id", "text", list(_IR_QUERIES), k1=1.2, b=0.75,
+        top_n=_NDCG_K, tokens=tokall,
+    )
     w_arr = ", ".join(f"{w}D" for w in _NDCG_W)
     cumw_arr = ", ".join(f"{w}D" for w in _NDCG_CUMW)
     out = None
     for qid, terms in _IR_QUERIES:
         g = len(terms)
-        ranked = bm25_scores(
-            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_NDCG_K
-        ).select(
+        ranked = ranked_by_qid[qid].select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("bm25"), "doc_id"))
             .alias("rank"),
         )
         grade_expr = " + ".join(
-            f"CASE WHEN array_contains({toks}, '{t}') THEN 1 ELSE 0 END"
+            f"CASE WHEN array_contains(__toks, '{t}') THEN 1 ELSE 0 END"
             for t in terms
         )
-        grades = docs.select("doc_id", F.expr(grade_expr).alias("grade"))
+        grades = tokall.select("doc_id", F.expr(grade_expr).alias("grade"))
         gc = grades.agg(
             *[
                 F.sum(F.when(F.col("grade") >= lvl, 1).otherwise(0))

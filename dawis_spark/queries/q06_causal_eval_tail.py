@@ -178,27 +178,31 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    from dawis_spark.operators.corpus import bm25_scores
+    from dawis_spark.operators.corpus import bm25_scores_multi
 
     docs = spark.table("documents")
     toks = _TXT.tokens("text", "spark")
     # ONE persisted tokenization feeds every query's relevance predicate
     # (each per-term array_contains otherwise carries its own tokens()
     # call, and each query evaluated the relevance relation twice:
-    # ground-truth walk + n_relevant aggregate)
-    tokall = docs.select("doc_id", F.expr(toks).alias("__tk")).persist()
+    # ground-truth walk + n_relevant aggregate) AND, since r15's second
+    # pass, all three BM25 pipelines (bm25_scores otherwise re-tokenized
+    # the corpus per query x per internal consumer)
+    tokall = docs.select("doc_id", F.expr(toks).alias("__toks")).persist()
+    ranked_by_qid = bm25_scores_multi(
+        docs, "doc_id", "text", list(_IR_QUERIES), k1=1.2, b=0.75,
+        top_n=_IR_K, tokens=tokall,
+    )
     out = None
     for qid, terms in _IR_QUERIES:
-        ranked = bm25_scores(
-            docs, "doc_id", "text", list(terms), k1=1.2, b=0.75, top_n=_IR_K
-        ).select(
+        ranked = ranked_by_qid[qid].select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("bm25"), "doc_id"))
             .alias("rank"),
         )
         rel_pred = F.expr(
-            " AND ".join(f"array_contains(__tk, '{t}')" for t in terms)
+            " AND ".join(f"array_contains(__toks, '{t}')" for t in terms)
         )
         rel = tokall.select("doc_id", rel_pred.alias("rel"))
         nrel = rel.agg(

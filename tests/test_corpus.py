@@ -107,6 +107,33 @@ def test_bm25_prefers_matching_docs_and_caps_topn(spark):
     assert out[0]["bm25"] > out[1]["bm25"] > 0
 
 
+def test_bm25_multi_matches_per_query_scores(spark):
+    """bm25_scores_multi (one shared postings pass) must return, per
+    query, exactly what bm25_scores computes standalone — including a
+    query whose terms overlap another's (shared df/tf rows) and one with
+    zero matches."""
+    from dawis_spark.operators.corpus import bm25_scores, bm25_scores_multi
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark fast engine"),
+            (2, "spark other words"),
+            (3, "fast words here"),
+            (4, "none at all"),
+        ],
+        "id bigint, text string",
+    )
+    queries = [(1, ("spark", "fast")), (2, ("spark",)), (3, ("zzz",))]
+    multi = bm25_scores_multi(df, "id", "text", queries, top_n=3)
+    for qid, terms in queries:
+        single = [
+            (r["id"], r["bm25"])
+            for r in bm25_scores(df, "id", "text", list(terms), top_n=3).collect()
+        ]
+        shared = [(r["id"], r["bm25"]) for r in multi[qid].collect()]
+        assert shared == single, f"query {qid}: {shared} != {single}"
+
+
 def test_keep_one_per_cluster_survivors(spark):
     from dawis_spark.operators.dedup import keep_one_per_cluster
 
