@@ -46,6 +46,15 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Cached plans opt into AQE partition coalescing too (default
+        # false): the repo's persist discipline caches bounded relations
+        # (postings, iteration state, distinct-value counts) that
+        # otherwise materialize at the full shuffle-partition width and
+        # make EVERY downstream consumer stage pay one task per original
+        # partition. Size-adaptive at any scale — big caches keep their
+        # width, small ones stop fanning out. Results are partitioning-
+        # independent by construction (exact-arithmetic discipline).
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),
