@@ -131,12 +131,24 @@ def mmr_rerank(
     k: int = 5,
     n_pool: int = 20,
     lam10: int = 7,
+    pool: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MMR: distributed pool + pairwise sims, exact integer
     greedy on the collected head, selections back as a DataFrame:
-    (query_id, rank, did, mmr_score_scaled)."""
-    pool = mmr_pool(corpus, queries, id_col, vec_col, n_pool)
-    pairs = mmr_pool_pairs(pool, corpus, id_col, vec_col)
+    (query_id, rank, did, mmr_score_scaled).
+
+    ``pool``/``pairs`` optionally supply precomputed (persisted)
+    relations with the exact ``mmr_pool``/``mmr_pool_pairs`` schemas, so
+    a caller that also consumes them (the diversity eval) computes the
+    brute-force pool once. When built here, the pool is persisted: it
+    feeds both hydration legs of the pairs join AND the driver collect —
+    three end-to-end brute-force evaluations otherwise (bounded
+    n_queries x n_pool rows, the operator's own collect budget)."""
+    if pool is None:
+        pool = mmr_pool(corpus, queries, id_col, vec_col, n_pool).persist()
+    if pairs is None:
+        pairs = mmr_pool_pairs(pool, corpus, id_col, vec_col)
     pool_rows = [
         (int(r[0]), int(r[1]), int(r[2])) for r in pool.collect()
     ]  # bounded: n_queries * n_pool

@@ -3941,6 +3941,14 @@ def mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < _MMR_NQ)
+    # ONE persisted brute-force pool + ONE persisted pairs relation
+    # (r15): `ranked` feeds the pool (both pairs-hydration legs + the
+    # mmr relevance join), the top-k subset (pairsum a/b legs + the
+    # relevance sum) AND, via the new mmr_rerank pool/pairs parameters,
+    # the greedy selection's two driver collects — before, each consumer
+    # re-ran the corpus x queries brute-force cosine scan end-to-end
+    # (~8 evaluations per pass). Both relations are head-sized
+    # (n_queries x pool and n_queries x pool^2/2).
     ranked = brute_force_topk(
         corpus=emb, queries=queries_df, id_col="vec_id", vec_col="embedding",
         k=_MMR_POOL,
@@ -3949,11 +3957,12 @@ def mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("did"),
         F.col("rank").alias("rnk"),
         F.expr("cast(round(cosine * 1000000, 0) as bigint)").alias("rel_micro"),
-    )
+    ).persist()
     pool = ranked.select("query_id", "did", "rel_micro")
-    pairs = mmr_pool_pairs(pool, emb, "vec_id", "embedding")
+    pairs = mmr_pool_pairs(pool, emb, "vec_id", "embedding").persist()
     mmr = mmr_rerank(
-        spark, emb, queries_df, "vec_id", "embedding", k=_MMR_K, n_pool=_MMR_POOL
+        spark, emb, queries_df, "vec_id", "embedding", k=_MMR_K,
+        n_pool=_MMR_POOL, pool=pool, pairs=pairs,
     ).select("query_id", "did")
     topk = ranked.filter(F.col("rnk") <= _MMR_K).select(
         "query_id", "did", "rel_micro"
