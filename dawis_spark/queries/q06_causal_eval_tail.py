@@ -4054,14 +4054,27 @@ def ltv_projection_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(EXTRACT(year FROM o_orderdate) * 12"
         " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx",
     )
-    first = om.groupBy("o_custkey").agg(F.min("midx").alias("m0"))
-    mx = om.agg(F.max("midx").alias("maxm"))
+    # ONE persisted (customer, month) aggregate rides every consumer
+    # (r15): first-month, cohort sizes, max month, the per-age
+    # activity/revenue rollup and the observability denominator each
+    # re-evaluated the orders scan end-to-end (~7 scans per pass). A
+    # customer has one row per active month, so per-age count(*) over
+    # this relation IS the old countDistinct(o_custkey) (and drops the
+    # distinct-aggregate Expand), and sum of pre-summed cents is the
+    # same exact bigint.
+    cm = (
+        om.groupBy("o_custkey", "midx")
+        .agg(F.sum("cents").alias("cents"))
+        .persist()
+    )
+    first = cm.groupBy("o_custkey").agg(F.min("midx").alias("m0"))
+    mx = cm.agg(F.max("midx").alias("maxm"))
     coh = first.groupBy("m0").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    aged = om.join(first, "o_custkey").select(
+    aged = cm.join(first, "o_custkey").select(
         "o_custkey", "m0", (F.col("midx") - F.col("m0")).alias("age"), "cents"
     )
     act_rev = aged.groupBy("age").agg(
-        F.countDistinct("o_custkey").cast("bigint").alias("act"),
+        F.count(F.lit(1)).cast("bigint").alias("act"),
         F.sum("cents").cast("bigint").alias("rev"),
     )
     denom = (
