@@ -120,19 +120,24 @@ def oph_near_duplicates(
     )
 
     rows_per_band = k_bins // bands
-    hashes = (
+    # hash array and signature ride ONE PERSISTED relation: the two
+    # band-join legs and both verification sides all consume `sigs`, so
+    # persisting the signature relation itself (rather than just the
+    # hash relation, as before r15's second pass) evaluates the k_bins
+    # coalesce-chain signature fold ONCE at materialization instead of
+    # once per consumer — and verification still pays two id-keyed
+    # joins (one per pair side) instead of four (candidate ids are a
+    # subset of the size>0 ids by construction, so filtering the join
+    # side too changes nothing)
+    sigs = (
         ensure_parallelism(df)
         .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            F.col(id_col), "sh",
+            F.expr(oph_signature("sh", k_bins, "spark")).alias("sig"),
+        )
         .persist()
-    )
-    # hash array and signature ride ONE relation, so verification pays
-    # two id-keyed joins (one per pair side) instead of four — two fewer
-    # pair-relation shuffles and two fewer reads of the hash relation
-    # (candidate ids are a subset of the size>0 ids by construction, so
-    # filtering the join side too changes nothing)
-    sigs = hashes.filter(F.size("sh") > 0).select(
-        F.col(id_col), "sh",
-        F.expr(oph_signature("sh", k_bins, "spark")).alias("sig"),
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a = sigs.select(
