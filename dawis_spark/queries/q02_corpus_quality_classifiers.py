@@ -4195,8 +4195,59 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     no step windows): this is the strict sequential-within-window
     semantics product analytics defaults to — a click only counts after
     the first view AND within its 7-day window, and the purchase clock
-    restarts from that click."""
-    return spark.sql(_FUNNEL_STEPS_SQL)
+    restarts from that click.
+
+    r15: the SQL form's six scalar subqueries re-derived the v/c/p step
+    chains end-to-end (36 scans in the plan — each COUNT re-ran its
+    step's whole join chain). The steps are now built once each as
+    persisted user-keyed relations (the same monotonically-shrinking
+    aggregates the docstring describes) and the one-row counts read off
+    them; expressions are the oracle SQL's verbatim, so the six output
+    values are identical."""
+    e = spark.table("events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .persist()
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & F.expr("ts <= t1 + INTERVAL 7 DAY")
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .persist()
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & F.expr("ts <= t2 + INTERVAL 7 DAY")
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+        .persist()
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("nv"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    np_ = p.agg(F.count(F.lit(1)).alias("np"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .selectExpr(
+            "CAST(nv AS BIGINT) AS users_view",
+            "CAST(nc AS BIGINT) AS users_click",
+            "CAST(np AS BIGINT) AS users_purchase",
+            "ROUND(CAST(nc AS DOUBLE) / nv, 4) AS conv_view_click",
+            "ROUND(CAST(np AS DOUBLE) / nc, 4) AS conv_click_purchase",
+            "ROUND(CAST(np AS DOUBLE) / nv, 4) AS conv_total",
+        )
+    )
 
 
 def _cohort_oracle() -> str:
