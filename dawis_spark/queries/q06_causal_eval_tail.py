@@ -2838,6 +2838,11 @@ def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("r"), F.col("o_orderpriority").alias("p")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # persisted (r15): the |regions| x |priorities| = 25-row cell
+        # relation feeds the marginal-dims aggregate AND the w0 grid —
+        # without it the fact-sized star join ran once per consumer
+        # (16 scans in the before plan)
+        .persist()
     )
     dims = cells.agg(
         F.sum("c").cast("bigint").alias("n_tot"),
