@@ -224,18 +224,34 @@ def _cm_bucket(h_expr: str, a: int, b: int, w: int) -> str:
     return f"(({a} * ({h_expr}) + {b}) % {MOD}) % {w}"
 
 
-def cm_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 512) -> DataFrame:
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Build the d x w counter table: (row, bucket, cnt).
 
     Plan shape: values hash map-side (shared polynomial hash + the KMV
     uniformizing rounds — count-min's error bound also assumes spread
     hashes); each input row explodes to d (row, bucket) cells and ONE
     aggregation reduces them — the exchange carries at most d*w groups.
+
+    ``weight_col``: build from a PRE-COUNTED relation (one row per
+    distinct value carrying its occurrence count) instead of one row
+    per occurrence. A value's d cells depend only on the value, so
+    summing weights is cell-for-cell identical to counting occurrences
+    — it just hashes each distinct value once instead of once per
+    occurrence (and lets a caller that already paid the exact count
+    reuse it instead of re-scanning the source).
     """
     h = TXT.char_hash(f"cast({value_col} as string)", "spark")
-    hashed = df.select(F.expr(h).cast("bigint").alias("__h"))
+    wcols = [F.col(weight_col).alias("__w")] if weight_col else []
+    hashed = df.select(F.expr(h).cast("bigint").alias("__h"), *wcols)
+    keep = ["__w"] if weight_col else []
     for a, b in _KMV_ROUNDS:
-        hashed = hashed.select(F.expr(_kmv_round("__h", a, b)).alias("__h"))
+        hashed = hashed.select(F.expr(_kmv_round("__h", a, b)).alias("__h"), *keep)
     cells = [
         F.struct(
             F.lit(i).alias("row"),
@@ -243,11 +259,13 @@ def cm_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 512) -> DataFr
         )
         for i, (a, b) in enumerate(_cm_coeffs(d))
     ]
-    return (
-        hashed.select(F.explode(F.array(*cells)).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    exploded = hashed.select(F.explode(F.array(*cells)).alias("c"), *keep)
+    cnt = (
+        F.sum("__w").cast("bigint") if weight_col else F.count(F.lit(1))
     )
+    return exploded.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(cnt.alias("cnt"))
 
 
 def cm_estimate(
@@ -318,7 +336,13 @@ def _cs_sign(h_expr: str, a: int, b: int) -> str:
     return f"(1 - 2 * (((({a} * ({h_expr}) + {b}) % {MOD}) % 2)))"
 
 
-def cs_sketch(df: DataFrame, value_col: str, d: int = 5, w: int = 512) -> DataFrame:
+def cs_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 5,
+    w: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
     """COUNT-SKETCH (Charikar, Chen & Farach-Colton 2002): the SIGNED
     d x w table (row, bucket, ssum) where each occurrence adds its row's
     +-1 sign — the two-sided companion to cm_sketch: colliding values
@@ -326,13 +350,20 @@ def cs_sketch(df: DataFrame, value_col: str, d: int = 5, w: int = 512) -> DataFr
     is UNBIASED (count-min never undercounts but always overcounts).
 
     Same plan shape as cm_sketch: hash map-side, explode to d cells,
-    ONE aggregation whose exchange carries at most d*w groups."""
+    ONE aggregation whose exchange carries at most d*w groups.
+
+    ``weight_col``: build from a pre-counted (value, count) relation —
+    a value's d (bucket, sign) cells depend only on the value, so
+    sum(sign * count) is cell-for-cell identical to summing one sign
+    per occurrence (see cm_sketch)."""
     if d % 2 == 0:
         raise ValueError("cs_sketch needs odd d (exact median)")
     h = TXT.char_hash(f"cast({value_col} as string)", "spark")
-    hashed = df.select(F.expr(h).cast("bigint").alias("__h"))
+    wcols = [F.col(weight_col).alias("__w")] if weight_col else []
+    hashed = df.select(F.expr(h).cast("bigint").alias("__h"), *wcols)
+    keep = ["__w"] if weight_col else []
     for a, b in _KMV_ROUNDS:
-        hashed = hashed.select(F.expr(_kmv_round("__h", a, b)).alias("__h"))
+        hashed = hashed.select(F.expr(_kmv_round("__h", a, b)).alias("__h"), *keep)
     signs = _cs_sign_coeffs(d)
     cells = [
         F.struct(
@@ -342,11 +373,13 @@ def cs_sketch(df: DataFrame, value_col: str, d: int = 5, w: int = 512) -> DataFr
         )
         for i, ((a, b), (sa, sb)) in enumerate(zip(_cm_coeffs(d), signs))
     ]
-    return (
-        hashed.select(F.explode(F.array(*cells)).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.sum("c.s").cast("bigint").alias("ssum"))
+    exploded = hashed.select(F.explode(F.array(*cells)).alias("c"), *keep)
+    ssum = (
+        F.sum(F.col("c.s") * F.col("__w")) if weight_col else F.sum("c.s")
     )
+    return exploded.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(ssum.cast("bigint").alias("ssum"))
 
 
 def cs_estimate(

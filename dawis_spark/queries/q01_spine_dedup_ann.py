@@ -2818,9 +2818,14 @@ def self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shingle explode; the reference pool is distinct-hash
     int64s (broadcastable); the join carries hashes, never text."""
     grams = _TXT.shingle_hashes("text", 2, "spark")
-    g = spark.table("documents").select(
-        "doc_id", "source", F.explode(F.expr(grams)).alias("gh")
-    )
+    # ONE bigram-hash pass (r15): the reference pool and the candidate
+    # side both explode the same persisted per-doc gram-array relation
+    # instead of each paying a full corpus hash pass (doc-count rows,
+    # token-sized payload — the postings-cache budget).
+    base = spark.table("documents").select(
+        "doc_id", "source", F.expr(grams).alias("__ghs")
+    ).persist()
+    g = base.select("doc_id", "source", F.explode("__ghs").alias("gh"))
     ref = (
         g.filter(F.col("doc_id") < _SB_REF).select("gh").distinct()
         .withColumn("hit", F.lit(1))

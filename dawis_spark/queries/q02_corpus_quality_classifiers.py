@@ -486,13 +486,18 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = spark.table("documents").select(
         F.explode(F.expr(toks)).alias("tok")
     )
-    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    # ONE tokenize pass (r15): exact top-20 and sketch both ride the
+    # persisted vocabulary-bounded count relation (a token's d buckets
+    # depend only on the token, so sum(count) == count of occurrences).
+    exact = (
+        occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count")).persist()
+    )
     top = (
         exact.orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(20)
         .select("tok", "exact_count")
     )
-    sk = cm_sketch(occ, "tok", d=4, w=512)
+    sk = cm_sketch(exact, "tok", d=4, w=512, weight_col="exact_count")
     est = cm_estimate(sk, top.select("tok"), "tok", d=4, w=512)
     return (
         top.join(est, "tok")
@@ -591,11 +596,17 @@ def kmv_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _TXT.shingle_hashes("text", 3, "spark")
     srcs = [f"src{i}" for i in range(5)]
+    # Persisted (r15): this distinct (source, shingle) relation feeds
+    # FOUR consumers — the KMV sketch build, the exact per-source sizes,
+    # and both legs of the exact-intersection self-join — each of which
+    # re-ran the corpus shingle-hash pass + the distinct exchange.
+    # Distinct-shingle-bounded rows, the postings-cache budget.
     t = (
         spark.table("documents")
         .filter(F.col("source").isin(srcs))
         .select("source", F.explode(F.expr(sh)).alias("s"))
         .distinct()
+        .persist()
     )
     sk = kmv_sets(t, ["source"], "s", k=128, pre_hashed=True)
     pairs = sk.select(

@@ -726,8 +726,14 @@ def cm_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")
     a = ev.filter(F.col("event_type") == _CMJ_A).select("user_id")
     b = ev.filter(F.col("event_type") == _CMJ_B).select("user_id")
-    ska = cm_sketch(a, "user_id", d=_CMJ_D, w=_CMJ_W)
-    skb = cm_sketch(b, "user_id", d=_CMJ_D, w=_CMJ_W)
+    # ONE scan per side (r15): the sketch rides the same persisted
+    # user-keyed frequency relation the exact twin consumes (a key's
+    # d buckets depend only on the key — sum(n) == per-occurrence count),
+    # instead of each side paying a second events scan for the build.
+    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_a")).persist()
+    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_b")).persist()
+    ska = cm_sketch(fa, "user_id", d=_CMJ_D, w=_CMJ_W, weight_col="n_a")
+    skb = cm_sketch(fb, "user_id", d=_CMJ_D, w=_CMJ_W, weight_col="n_b")
     per_row = (
         ska.alias("a")
         .join(
@@ -739,8 +745,6 @@ def cm_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip"))
     )
     est = per_row.agg(F.min("ip").cast("bigint").alias("cm_join_size"))
-    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_a"))
-    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_b"))
     ex = (
         fa.join(fb, "user_id")
         .agg(
@@ -1801,20 +1805,26 @@ def cs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only row-scale exchange carries d*w = 2560 signed-count
     groups; the top-20 is TakeOrderedAndProject; the sketch broadcasts
-    into the probe join."""
+    into the probe join. ONE tokenize pass (r15): the exact top-20 and
+    the sketch both ride the persisted vocabulary-bounded count
+    relation — a token's d (bucket, sign) cells depend only on the
+    token, so sum(sign * count) is cell-identical to one sign per
+    occurrence."""
     from dawis_spark.operators.sketches import cs_estimate, cs_sketch
 
     toks = _TXT.tokens("text", "spark")
     occ = spark.table("documents").select(F.explode(F.expr(toks)).alias("tok"))
-    exact = occ.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .persist()
     )
     top = (
         exact.orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(20)
         .select("tok", "exact_count")
     )
-    sk = cs_sketch(occ, "tok", d=5, w=512)
+    sk = cs_sketch(exact, "tok", d=5, w=512, weight_col="exact_count")
     est = cs_estimate(sk, top.select("tok"), "tok", d=5, w=512)
     return (
         top.join(est, "tok")

@@ -59,3 +59,37 @@ def test_kmv_set_ops_exact_when_sets_small(spark):
     assert out["est_union"] == 20.0
     assert out["est_intersection"] == 5.0
     assert out["est_jaccard"] == 0.25
+
+
+def test_weighted_sketch_builds_match_per_occurrence(spark):
+    """cm_sketch/cs_sketch built from a pre-counted (value, count)
+    relation must be cell-for-cell identical to the per-occurrence
+    build: a value's d (row, bucket, sign) cells depend only on the
+    value, so sum(weight) == count of occurrences and
+    sum(sign * weight) == sum of per-occurrence signs (the r15
+    one-tokenize-pass rewrite of the heavy-hitter queries rides this)."""
+    from dawis_spark.operators.sketches import cm_sketch, cs_sketch
+
+    rows = [(f"v{i % 17}",) for i in range(300) for _ in range(i % 7 + 1)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(5)
+    counts = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+
+    occ_cm = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm_sketch(df, "v", d=4, w=64).collect()
+    }
+    wt_cm = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm_sketch(counts, "v", d=4, w=64, weight_col="n").collect()
+    }
+    assert occ_cm == wt_cm
+
+    occ_cs = {
+        (r["row"], r["bucket"]): r["ssum"]
+        for r in cs_sketch(df, "v", d=5, w=64).collect()
+    }
+    wt_cs = {
+        (r["row"], r["bucket"]): r["ssum"]
+        for r in cs_sketch(counts, "v", d=5, w=64, weight_col="n").collect()
+    }
+    assert occ_cs == wt_cs
