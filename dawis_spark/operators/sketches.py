@@ -668,6 +668,38 @@ def rank_quantiles_select(
     same shape Spark's approxQuantile uses with sketches instead of an
     exact second pass).
     """
+    _, _, chosen, candidates = _rank_select_core(
+        df, key_cols, value_col, pcts, n_buckets
+    )
+    ch, ca = chosen.alias("__ch"), candidates.alias("__ca")
+    ccond = [F.col(f"__ch.{c}") == F.col(f"__ca.{c}") for c in key_cols] + [
+        F.col("__ch.__b") == F.col("__ca.__b"),
+        F.col("__ch.__off") == F.col("__ca.__rnb"),
+    ]
+    return ch.join(ca, ccond).select(
+        *[F.col(f"__ch.{c}") for c in key_cols],
+        F.col("__ch.pct").alias("pct"),
+        F.col("__ch.n").alias("n"),
+        F.col(f"__ca.{value_col}").alias("value"),
+    )
+
+
+def _rank_select_core(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    pcts: list[int],
+    n_buckets: int = 1024,
+    with_sums: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared selection walk behind ``rank_quantiles_select`` and
+    ``trimmed_mean_select``: returns (stats, bcounts, chosen,
+    candidates). With ``with_sums`` the (group, bucket) count relation
+    also carries the exact per-bucket value sum AND is persisted — it
+    then feeds both the cumulative rank walk and a moment consumer
+    without re-running the full-data bucketing scan (the trimmed-mean
+    path derives sums-below-cutoff from it arithmetically instead of
+    paying a fourth source scan)."""
     from pyspark.sql import Window
 
     src = df.select(*key_cols, value_col)
@@ -686,9 +718,17 @@ def rank_quantiles_select(
         .withColumn("__b", F.expr(bexpr))
         .select(*key_cols, value_col, "__b")
     )
-    bcounts = bucketed.groupBy(*key_cols, "__b").agg(
-        F.count(F.lit(1)).alias("__bc")
-    )
+    baggs = [F.count(F.lit(1)).alias("__bc")]
+    if with_sums:
+        baggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,0)")).alias("__bs")
+        )
+    bcounts = bucketed.groupBy(*key_cols, "__b").agg(*baggs)
+    if with_sums:
+        # group x bucket-bounded rows; consumed by the rank walk AND the
+        # moment reader — without materialization each consumer re-runs
+        # the full-data bucketing scan
+        bcounts = bcounts.persist()
     wcum = (
         Window.partitionBy(*key_cols)
         .orderBy("__b")
@@ -732,17 +772,12 @@ def rank_quantiles_select(
         bucketed.join(F.broadcast(picked_buckets), [*key_cols, "__b"])
         .withColumn("__rnb", F.row_number().over(wb))
     )
-    ch, ca = chosen.alias("__ch"), candidates.alias("__ca")
-    ccond = [F.col(f"__ch.{c}") == F.col(f"__ca.{c}") for c in key_cols] + [
-        F.col("__ch.__b") == F.col("__ca.__b"),
-        F.col("__ch.__off") == F.col("__ca.__rnb"),
-    ]
-    return ch.join(ca, ccond).select(
-        *[F.col(f"__ch.{c}") for c in key_cols],
-        F.col("__ch.pct").alias("pct"),
-        F.col("__ch.n").alias("n"),
-        F.col(f"__ca.{value_col}").alias("value"),
-    )
+    if with_sums:
+        # the trimmed-mean path reads candidates twice (cut values +
+        # partial-bucket moments); without materialization each consumer
+        # re-runs the picked-bucket source rescan
+        candidates = candidates.persist()
+    return stats, bcounts, chosen, candidates
 
 
 def range_partitioned_ranks(
@@ -1509,27 +1544,123 @@ def trimmed_mean_select(
 
     Returns (*key_cols, n, kept_n, trimmed_sum, trimmed_mean) with
     trimmed_mean = round(trimmed_sum / kept_n, 6).
+
+    r15: the below/above moments are read off the selection machinery's
+    OWN (group, bucket) relation — extended with exact per-bucket value
+    sums and persisted — plus the already-rescanned picked-bucket rows,
+    instead of a fourth full source scan. Bucketing is monotone in the
+    value, so v < q_lo holds for EVERY row of a bucket strictly below
+    q_lo's bucket and for NO row of a bucket above it; the partial
+    bucket's contribution comes from the candidate slice. Identical
+    integers to the single-scan conditional sums by construction.
     """
+    _, bcounts, chosen, candidates = _rank_select_core(
+        df, key_cols, value_col, [lo_pct, hi_pct], with_sums=True
+    )
+    ch, ca = chosen.alias("__ch"), candidates.alias("__ca")
+    ccond = [F.col(f"__ch.{c}") == F.col(f"__ca.{c}") for c in key_cols] + [
+        F.col("__ch.__b") == F.col("__ca.__b"),
+        F.col("__ch.__off") == F.col("__ca.__rnb"),
+    ]
+    qs = ch.join(ca, ccond).select(
+        *[F.col(f"__ch.{c}") for c in key_cols],
+        F.col("__ch.pct").alias("pct"),
+        F.col("__ch.n").alias("n"),
+        F.col("__ch.__b").alias("__qb"),
+        F.col(f"__ca.{value_col}").alias("value"),
+    )
     cuts = (
-        rank_quantiles_select(df, key_cols, value_col, [lo_pct, hi_pct])
-        .groupBy(*key_cols, "n")
+        qs.groupBy(*key_cols, "n")
         .agg(
             F.max(F.when(F.col("pct") == lo_pct, F.col("value"))).alias("q_lo"),
             F.max(F.when(F.col("pct") == hi_pct, F.col("value"))).alias("q_hi"),
+            F.max(F.when(F.col("pct") == lo_pct, F.col("__qb"))).alias("b_lo"),
+            F.max(F.when(F.col("pct") == hi_pct, F.col("__qb"))).alias("b_hi"),
         )
         .withColumn("t_lo", F.expr(f"({lo_pct} * (n - 1)) div 100 + 1"))
         .withColumn("t_hi", F.expr(f"({hi_pct} * (n - 1)) div 100 + 1"))
     )
-    v = F.col(value_col).cast("decimal(38,0)")
-    agg = (
-        df.join(F.broadcast(cuts), key_cols)
-        .groupBy(*key_cols, "n", "q_lo", "q_hi", "t_lo", "t_hi")
+    zero = F.lit(0).cast("decimal(38,0)")
+    full = (
+        bcounts.join(F.broadcast(cuts), key_cols)
+        .groupBy(*key_cols, "n", "q_lo", "q_hi", "t_lo", "t_hi", "b_lo", "b_hi")
         .agg(
-            F.sum(v).alias("total"),
-            F.sum(F.when(F.col(value_col) < F.col("q_lo"), v)).alias("s_below"),
-            F.count(F.when(F.col(value_col) < F.col("q_lo"), 1)).alias("c_below"),
-            F.sum(F.when(F.col(value_col) > F.col("q_hi"), v)).alias("s_above"),
-            F.count(F.when(F.col(value_col) > F.col("q_hi"), 1)).alias("c_above"),
+            F.sum("__bs").alias("total"),
+            F.sum(F.when(F.col("__b") < F.col("b_lo"), F.col("__bs"))).alias(
+                "s_below_f"
+            ),
+            F.sum(F.when(F.col("__b") < F.col("b_lo"), F.col("__bc"))).alias(
+                "c_below_f"
+            ),
+            F.sum(F.when(F.col("__b") > F.col("b_hi"), F.col("__bs"))).alias(
+                "s_above_f"
+            ),
+            F.sum(F.when(F.col("__b") > F.col("b_hi"), F.col("__bc"))).alias(
+                "c_above_f"
+            ),
+        )
+    )
+    v = F.col(value_col).cast("decimal(38,0)")
+    part = (
+        candidates.join(F.broadcast(cuts), key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__b") == F.col("b_lo"))
+                    & (F.col(value_col) < F.col("q_lo")),
+                    v,
+                )
+            ).alias("s_below_p"),
+            F.count(
+                F.when(
+                    (F.col("__b") == F.col("b_lo"))
+                    & (F.col(value_col) < F.col("q_lo")),
+                    1,
+                )
+            ).alias("c_below_p"),
+            F.sum(
+                F.when(
+                    (F.col("__b") == F.col("b_hi"))
+                    & (F.col(value_col) > F.col("q_hi")),
+                    v,
+                )
+            ).alias("s_above_p"),
+            F.count(
+                F.when(
+                    (F.col("__b") == F.col("b_hi"))
+                    & (F.col(value_col) > F.col("q_hi")),
+                    1,
+                )
+            ).alias("c_above_p"),
+        )
+    )
+    agg = (
+        full.join(F.broadcast(part), key_cols)
+        .select(
+            *key_cols,
+            "n",
+            "q_lo",
+            "q_hi",
+            "t_lo",
+            "t_hi",
+            "total",
+            (
+                F.coalesce(F.col("s_below_f"), zero)
+                + F.coalesce(F.col("s_below_p"), zero)
+            ).alias("s_below"),
+            (
+                F.coalesce(F.col("c_below_f"), F.lit(0).cast("bigint"))
+                + F.col("c_below_p")
+            ).alias("c_below"),
+            (
+                F.coalesce(F.col("s_above_f"), zero)
+                + F.coalesce(F.col("s_above_p"), zero)
+            ).alias("s_above"),
+            (
+                F.coalesce(F.col("c_above_f"), F.lit(0).cast("bigint"))
+                + F.col("c_above_p")
+            ).alias("c_above"),
         )
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
