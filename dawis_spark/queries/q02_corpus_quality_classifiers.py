@@ -1619,7 +1619,10 @@ def embedding_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dawis_spark.operators.similarity import sq8_encode, sq8_stats, sq8_topk
 
     emb = spark.table("embeddings")
-    stats = sq8_stats(emb, "embedding", dim=64)
+    # Persisted (r15): the 1-row stats relation feeds BOTH the encode
+    # and the reconstruction broadcast; unpersisted, each consumer
+    # re-ran the full-corpus min/max aggregate.
+    stats = sq8_stats(emb, "embedding", dim=64).persist()
     codes = sq8_encode(emb, "vec_id", "embedding", stats, dim=64)
     return sq8_topk(
         codes,
@@ -1668,7 +1671,7 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=emb, queries=queries_df, id_col="vec_id",
         vec_col="embedding", k=5,
     ).select("query_id", "neighbor_id")
-    stats = sq8_stats(emb, "embedding", dim=64)
+    stats = sq8_stats(emb, "embedding", dim=64).persist()
     codes = sq8_encode(emb, "vec_id", "embedding", stats, dim=64)
     approx = sq8_topk(
         codes, stats, queries_df, id_col="vec_id", vec_col="embedding",
