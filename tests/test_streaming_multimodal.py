@@ -453,8 +453,16 @@ def test_stream_dedup_ttl_cross_batch_duplicate_then_expiry(spark, tmp_path):
         return rows_now()
 
     spark.createDataFrame([(1, "A")], schema).write.mode("append").parquet(staging)
+    # TTL sized for wall-clock robustness: the duplicate below must be
+    # PROCESSED within the window of doc 1's arm, and on a loaded box
+    # stream pickup latency runs seconds-scale (observed ~4 s), so a 3 s
+    # window flakes without any code being wrong. 12 s keeps the same
+    # contract with an order-of-magnitude margin.
+    ttl_ms = 12000
     q = (
-        stream_dedup(staging_stream(spark, staging, schema), "fp", schema, ttl_ms=3000)
+        stream_dedup(
+            staging_stream(spark, staging, schema), "fp", schema, ttl_ms=ttl_ms
+        )
         .writeStream.format("memory")
         .queryName("ttl_xbatch_sink")
         .option("checkpointLocation", ckpt)
@@ -469,7 +477,9 @@ def test_stream_dedup_ttl_cross_batch_duplicate_then_expiry(spark, tmp_path):
         _time.sleep(1.5)
         assert rows_now() == [(1, "A")]
         # window lapses -> cleanup fires -> the key re-emits on next sight
-        _time.sleep(3.5)
+        # (sleep past arm + ttl with margin; arm <= the first wait_for's
+        # return time, so this is an upper bound on the remaining window)
+        _time.sleep(ttl_ms / 1000 + 1.5)
         spark.createDataFrame([(3, "A")], schema).write.mode("append").parquet(staging)
         wait_for(lambda rows: rows == [(1, "A"), (3, "A")])
     finally:
