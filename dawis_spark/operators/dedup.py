@@ -772,15 +772,15 @@ def containment_pairs(
     the map-side hash fold.
     """
     # ONE evaluation of the shingle UDF: the posting relation feeds the
-    # df-count, the capped-postings join, the size aggregate and both
-    # sides of the pair self-join — without the persist each consumer
-    # re-runs the Python hashing end-to-end (measured: 24 ArrowEvalPython
-    # nodes in the r15 before-plan; 2 after). (id, h) rows only — the
-    # same hash-not-text footprint the docstring promises for exchanges.
+    # df-count pass and the capped-postings join — without the persist
+    # each consumer re-runs the Python hashing end-to-end (measured: 24
+    # ArrowEvalPython nodes in the r15 before-plan; 2 after). (id, h)
+    # rows only — the same hash-not-text footprint the docstring
+    # promises for exchanges. (explode of an empty/null array yields no
+    # rows, so the oracle's len(sh) > 0 gate is implicit.)
     sh = (
         ensure_parallelism(df)
         .select(F.col(id_col), _shingle_hashes_col(text_col, shingle_k).alias("sh"))
-        .filter(F.size("sh") > 0)
         .select(F.col(id_col), F.explode("sh").alias("h"))
         .persist()
     )
@@ -790,19 +790,57 @@ def containment_pairs(
         .filter(F.col("__df") <= df_cap)
         .select("h")
     )
-    # capped postings are re-read 3x (sizes + both join sides): persist so
-    # the df-cap join runs once, not three times. groupBy+join (not a
-    # window count) stays deliberately: a hot boilerplate shingle must go
-    # through partial aggregation + AQE skew-join handling, which windows
-    # don't get.
-    p = sh.join(rare, "h").persist()
-    fsz = p.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    a = p.select(F.col(id_col).alias("id_a"), "h")
-    b = p.select(F.col(id_col).alias("id_b"), "h")
+    # The df-cap stays a groupBy+join (not a window count) deliberately:
+    # a hot boilerplate shingle must go through partial aggregation —
+    # reduced to one row per mapper before the exchange — and hot keys
+    # never reach the join output at all, so no downstream task ever
+    # materializes a hot shingle's postings.
+    #
+    # r16 restructure (guide §2.4, §3): the capped postings fold into ONE
+    # per-shingle group relation instead of feeding a postings self-join.
+    # collect_list here is bounded by construction — only shingles with
+    # total occurrence count <= df_cap survive `rare`, so every group
+    # holds <= df_cap ids. Pairs are then generated map-side from each
+    # group (fanout <= df_cap^2, same bound as the old join) and the
+    # denominators |S_A| fall out of the same relation — this removes the
+    # self-join's two shuffles of the postings, the separate fsz pass and
+    # one persist (r15 driver bench: 7.67 s at 32 cores, scaling 0.11;
+    # the self-join over the cached postings was the dominant piece).
+    # Multiplicities are preserved exactly: collect_list keeps duplicate
+    # ids, pair expansion counts mult_a x mult_b per shingle and the
+    # size explode counts total occurrences — the oracle's COUNT(*)
+    # semantics digit-for-digit.
+    # ensure_parallelism before the persist: the group relation is tiny
+    # in BYTES (ids only) but the pair expansion below fans out x df_cap^2
+    # in CPU — AQE's advisory sizing sees the pre-explode bytes and
+    # coalesces the cached relation to one partition, serializing the
+    # expansion (measured: 3.2 s single-task warm pass vs 1.4 s parallel
+    # at 32 cores). Local-mode-only repartition; on a cluster the
+    # relation keeps its shuffle width and the expansion is already
+    # parallel.
+    grp = (
+        ensure_parallelism(
+            sh.join(rare, "h")
+            .groupBy("h")
+            .agg(F.collect_list(id_col).alias("ids"))
+        )
+        .persist()
+    )
+    fsz = (
+        grp.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, x -> "
+                "transform(filter(ids, y -> y != x), y -> struct(x, y))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.x").alias("id_a"), F.col("pr.y").alias("id_b"))
     inter = (
-        a.join(b.hint("shuffle_hash"), "h")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
         .filter(F.col("inter") >= min_inter)
     )
