@@ -33,6 +33,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LINE_BUDGET = 1900  # bytes; driver tail capture is ~2000
 
+# The stdout line's NAMED query set is pinned to the round-15 set (r15
+# VERDICT #5/PERF churn: ranking the named entries by speed made 27
+# queries "drop from"/"appear in" the line between rounds purely from
+# the fold order, reading as phantom inventory changes). Pinning makes
+# the round-over-round per-query diff stable; every OTHER query's
+# timing is still recorded — the full 388-entry map goes to
+# BENCH_LOCAL.json and BENCH_HISTORY.jsonl with every run.
+PINNED_QUERIES = [
+    "aa_calibration_fpr", "anderson_darling_priorities", "ann_recall_ivfadc",
+    "ann_recall_jl", "ann_recall_lsh_multiprobe", "ann_recall_nsw",
+    "ann_recall_pq", "association_rules", "benchmark_contamination",
+    "bpe_segmented_corpus", "brown_forsythe_priority", "cdc_chunk_dedup",
+    "column_stats_profile", "containment_near_dups",
+    "coreset_cluster_balanced", "corpus_filter_pipeline",
+    "cube_revenue_flag_status", "duplicate_detection_parity",
+    "duplicate_groups_hot_key", "embedding_ann_ivf", "embedding_ann_ivfadc",
+    "embedding_ann_ivfpq", "embedding_ann_jl", "embedding_ann_pq",
+    "embedding_ann_refined", "embedding_pq_codes", "esd_outliers_daily",
+    "good_turing_unseen_mass", "item_cooccurrence_topk",
+    "jonckheere_terpstra_priority", "kmeans_clusters", "minhash_lsh_pairs",
+    "mmr_diversity_eval", "naive_bayes_cv_folds", "ngram_jaccard_topk",
+    "ngram_novelty_rate", "ols_price_regression", "oph_minhash_pairs",
+    "pagerank_top_nodes", "personalized_pagerank", "phrase_search",
+    "pii_redaction", "prefix_filter_similar", "psi_metric_extraction",
+    "q2_min_cost_supplier", "quality_classifier_scores", "rake_keyphrases",
+    "repetition_signals", "rolling_median_7d", "semantic_dedup",
+    "shapley_channel_attribution", "split_leakage_neardups",
+    "symspell_name_matches", "table_fingerprints", "tfidf_top_terms",
+    "token_entropy", "tokenizer_fertility_eval", "trimmed_mean_price",
+]
+
+# Reference calibration probes for the normalized headline: the r15
+# DRIVER box (PERF_r15 calibration: sql 0.323 s, udf 0.564 s). The
+# normalized total answers "what would this run read on the r15 driver
+# box", so cross-box/cross-session drift (measured up to 4x on these
+# sandboxes) stops masquerading as code change. Raw value stays the
+# headline; value_norm rides alongside.
+NORM_REF = {"sql_probe": 0.323, "udf_probe": 0.564}
+
 
 def _calibration(spark) -> dict[str, float]:
     """Fixed machine-speed probes, recorded with every bench run so
@@ -85,10 +124,15 @@ def _calibration(spark) -> dict[str, float]:
 
 
 def _compact(payload: dict, warm: dict[str, float]) -> str:
-    """Render the JSON line; if it overflows the budget, fold the fastest
-    queries into a single "_other" bucket (slowest entries are the ones a
-    judge needs individually)."""
-    keep = dict(sorted(warm.items(), key=lambda kv: -kv[1]))
+    """Render the JSON line with the PINNED named set (everything else
+    folded into "_other"), sorted slowest-first. If the line somehow
+    still overflows the budget, fold the fastest pinned entries as a
+    last resort (never expected — the pinned set fit with 48 bytes spare
+    in r15)."""
+    pinned = {k: warm[k] for k in PINNED_QUERIES if k in warm}
+    other = sum(v for k, v in warm.items() if k not in pinned)
+    keep = dict(sorted(pinned.items(), key=lambda kv: -kv[1]))
+    keep["_other"] = round(other, 2)
     while True:
         payload["queries"] = {k: round(v, 2) for k, v in keep.items()}
         line = json.dumps(payload, separators=(",", ":"))
@@ -180,6 +224,15 @@ def main() -> None:
         "sf": sf_val,
         "calibration": calibration,
     }
+    # probe-normalized headline (r15 VERDICT #3 method note): scale the
+    # raw warm total by the mean probe-speed ratio vs the r15 driver box
+    # so cross-box drift is visible next to the raw number.
+    norm_factor = 0.5 * (
+        NORM_REF["sql_probe"] / max(calibration["sql_probe"], 1e-9)
+        + NORM_REF["udf_probe"] / max(calibration["udf_probe"], 1e-9)
+    )
+    detail["value_norm"] = round(detail["value"] * norm_factor, 1)
+    detail["norm_ref"] = NORM_REF
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
@@ -206,6 +259,7 @@ def main() -> None:
         "metric": "warm wall-clock, full inventory (noop sink)",
         "stat": "median-of-warm-passes",
         "value": detail["value"],
+        "value_norm": detail["value_norm"],
         "unit": "sec",
         "queries": {},
         "sf": sf_val,
