@@ -184,7 +184,7 @@ def nsw_ann_topk(
     # persist the unrolled search recomputes the whole cell-scoped
     # graph build per hop (the pagerank lesson, operators/graph.py:62)
     assigned = _ivf_assign(
-        corpus, id_col, vec_col, cent_rows, "id", "vec", 1
+        corpus, id_col, vec_col, cent_rows, "id", "vec", 1, use_numpy=True
     ).persist()
     edges = nsw_edges(assigned, m).persist()
     entries = nsw_entry_points(assigned, cent_rows)

@@ -385,6 +385,7 @@ def _ivf_assign(
     id_alias: str,
     vec_alias: str,
     top_n: int,
+    use_numpy: bool | None = None,
 ):
     """(id, vec, cid) with each row's ``top_n`` nearest centroids by
     6-digit-rounded cosine (map-side argmax over literal centroids, the
@@ -405,7 +406,16 @@ def _ivf_assign(
 
     from dawis_spark.functions import vectors as V
 
-    if sum(len(v) for _, v in cent_rows) > MAX_CENTROID_LITERALS:
+    # use_numpy=True is the corpus-side default the call sites opt into:
+    # the literal-SQL path evaluates the per-centroid cosine as interpreted
+    # higher-order lambdas (never codegen), ~4x slower per pass than the
+    # bit-identical Arrow numpy path (measured r16, 16x64 codebook). The
+    # literal path stays the default for SMALL inputs (query sides, a few
+    # rows) where one Python-worker round trip costs more than it saves,
+    # and remains forced for codebooks past the literal budget.
+    if use_numpy is None:
+        use_numpy = sum(len(v) for _, v in cent_rows) > MAX_CENTROID_LITERALS
+    if use_numpy:
         return _ivf_assign_numpy(
             df, id_col, vec_col, cent_rows, id_alias, vec_alias, top_n
         )
@@ -509,7 +519,10 @@ def ivf_ann_topk(
     corpus_b = (
         assigned_corpus
         if assigned_corpus is not None
-        else _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "c_vec", 1)
+        else _ivf_assign(
+            corpus, id_col, vec_col, cent_rows, "neighbor_id", "c_vec", 1,
+            use_numpy=True,
+        )
     )
     queries_b = _ivf_assign(queries, id_col, vec_col, cent_rows, "query_id", "q_vec", n_probe)
     # cosine_null: degenerate (zero-norm) members yield NULL scores, which
@@ -553,7 +566,9 @@ def kmeans_assign(
     ``_ivf_assign`` and so inherits the numpy map-side path for codebooks
     past the literal budget."""
     cent_rows = sorted((int(c), list(v)) for c, v in centroids)
-    return _ivf_assign(corpus, id_col, vec_col, cent_rows, "id", "vec", 1)
+    return _ivf_assign(
+        corpus, id_col, vec_col, cent_rows, "id", "vec", 1, use_numpy=True
+    )
 
 
 TRAIN_SAMPLE_LIMIT = 1 << 18  # 262144 vectors, the FAISS-guidance ballpark
@@ -800,16 +815,91 @@ def _pq_code_exprs(books) -> tuple[str, str]:
     return codes, xsq
 
 
+def _pq_codes_col(vec_col: str, books, cent_rows=None, cid_col: str | None = None):
+    """array<int> PQ code column — Arrow-batched numpy evaluator of the
+    same argmin-of-rounded-L2 definition ``_pq_assign_exprs`` renders in
+    SQL (bit-parity asserted in tests; the SQL form remains the oracle's
+    replay). The SQL form is a nested higher-order-function chain
+    (aggregate-over-zip_with inside transform inside array_position),
+    which Spark evaluates as interpreted lambdas per row — measured
+    ~0.27 ms/row at 4x16x16; the batched numpy argmin is the guide §4.2
+    shape and 2-4x faster while producing identical codes: the L2
+    accumulation iterates dimensions in ascending order (the same
+    left-to-right double fold as functions/vectors.l2_sq), rounding is
+    HALF_UP like Spark round(), and np.argmin's first-min matches the
+    array_position(.., array_min(..)) lowest-code tie-break.
+
+    With ``cent_rows``/``cid_col``, codes are computed on the RESIDUAL
+    ``vec - centroid[cid]`` (the IVFADC encode) — the elementwise double
+    subtraction is IEEE-identical to the SQL ``zip_with(vec, cent, (x, y)
+    -> cast(x as double) - y)`` it replaces, without materializing the
+    residual column."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ds = len(books[0][0][1])
+    cbs = [
+        np.array([cv for _, cv in sorted(book)], dtype=np.float64)
+        for book in books
+    ]
+    n_sub = len(cbs)
+    cmat = None
+    if cent_rows is not None:
+        max_cid = max(c for c, _ in cent_rows)
+        cmat = np.zeros((max_cid + 1, len(cent_rows[0][1])), dtype=np.float64)
+        for c, v in cent_rows:
+            cmat[c] = v
+
+    def _codes(mat):
+        out = np.empty((mat.shape[0], n_sub), dtype=np.int32)
+        for m, cb in enumerate(cbs):
+            sl = mat[:, m * ds : (m + 1) * ds]
+            acc = np.zeros((mat.shape[0], cb.shape[0]))
+            for d in range(ds):
+                diff = sl[:, d, None] - cb[None, :, d]
+                acc = acc + diff * diff
+            out[:, m] = np.argmin(_half_up_round6(acc), axis=1)
+        return out
+
+    if cmat is None:
+
+        def _batch(vecs):
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            return pd.Series(list(_codes(mat)))
+
+        # asNondeterministic: the §4.4 optimizer fence (same rationale as
+        # dedup._shingle_hashes_col) — posexplode consumers carry an
+        # implicit size(codes)>0 filter that Catalyst otherwise pushes
+        # below the projection, evaluating the encoder twice per row.
+        udf = F.pandas_udf(_batch, T.ArrayType(T.IntegerType())).asNondeterministic()
+        return udf(vec_col)
+
+    def _batch_resid(vecs, cids):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat - cmat[cids.to_numpy()]
+        return pd.Series(list(_codes(mat)))
+
+    udf = F.pandas_udf(_batch_resid, T.ArrayType(T.IntegerType())).asNondeterministic()
+    return udf(vec_col, cid_col)
+
+
 def pq_encode(corpus, id_col: str, vec_col: str, books) -> "DataFrame":
     """(id, codes, xsq): M nearest-code ids per vector plus the squared
-    norm of the reconstruction. Pure map-side codegen; at scale this is
-    the write path that shrinks an embedding table ~dim*4/M fold."""
+    norm of the reconstruction. Map-side only (codes via the Arrow numpy
+    evaluator, xsq a literal-table lookup fold over the codes); at scale
+    this is the write path that shrinks an embedding table ~dim*4/M
+    fold."""
     from pyspark.sql import functions as F
 
-    codes, xsq = _pq_code_exprs(books)
+    _, xsq = _pq_code_exprs(books)
     return (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("__codes", F.expr(codes))
+        .withColumn("__codes", _pq_codes_col("vec", books))
         .select("id", F.col("__codes").alias("codes"), F.expr(xsq).alias("xsq"))
     )
 
@@ -942,10 +1032,13 @@ def ivfpq_ann_topk(
     if centroids is None:
         centroids = train_kmeans(corpus, id_col, vec_col, k=n_centroids, iterations=1)
     cent_rows = sorted((int(c), list(v)) for c, v in centroids)
-    codes, xsq = _pq_code_exprs(books)
+    _, xsq = _pq_code_exprs(books)
     enc = (
-        _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1)
-        .withColumn("__codes", F.expr(codes))
+        _ivf_assign(
+            corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1,
+            use_numpy=True,
+        )
+        .withColumn("__codes", _pq_codes_col("vec", books))
         .select(
             "neighbor_id",
             "cid",
@@ -1050,7 +1143,10 @@ def ivfpq_residual_ann_topk(
     my_cent = f"element_at({cent_lit}, {posci})"
     rvec = f"zip_with(vec, {my_cent}, (x, y) -> cast(x as double) - y)"
 
-    assigned = _ivf_assign(corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1)
+    assigned = _ivf_assign(
+        corpus, id_col, vec_col, cent_rows, "neighbor_id", "vec", 1,
+        use_numpy=True,
+    )
     residuals = assigned.select(
         F.col("neighbor_id").alias("id"), F.expr(rvec).alias("vec")
     )
@@ -1088,18 +1184,17 @@ def ivfpq_residual_ann_topk(
         + ", ".join(f"cast({_py_norm_sq(cvec)!r} as double)" for _, cvec in cent_rows)
         + ")"
     )
-    codes_on_resid = "array(" + ", ".join(_pq_assign_exprs("__rv", books, ds)) + ")"
     xsq = (
         f"element_at({cnorm_lit}, {posci}) + "
         f"aggregate(sequence(0, {n_subspaces - 1}), cast(0 as double), "
         f"(acc, m) -> acc + element_at(element_at(element_at({resq_lit}, {posci}), m + 1), "
         f"element_at(codes, m + 1) + 1))"
     )
-    enc = (
-        assigned.withColumn("__rv", F.expr(rvec))
-        .withColumn("codes", F.expr(codes_on_resid))
-        .select("neighbor_id", "cid", "codes", F.expr(xsq).alias("xsq"))
-    )
+    # residual + codes in one Arrow numpy pass (bit-identical to the old
+    # __rv zip_with + _pq_assign_exprs interpreted chain — see _pq_codes_col)
+    enc = assigned.withColumn(
+        "codes", _pq_codes_col("vec", books, cent_rows=cent_rows, cid_col="cid")
+    ).select("neighbor_id", "cid", "codes", F.expr(xsq).alias("xsq"))
 
     lut, qn = _pq_query_exprs(books)  # LUT of <q_m, r_mj> over raw q slices
     qc = V.dot("vec", my_cent, "spark")
@@ -1451,7 +1546,9 @@ def kmeans_cohesion(
     cosa = (
         f"coalesce(round({V.cosine_null('vec', my_cent, 'spark')}, 6), -2.0)"
     )
-    assigned = _ivf_assign(corpus, id_col, vec_col, cent_rows, "id", "vec", 1)
+    assigned = _ivf_assign(
+        corpus, id_col, vec_col, cent_rows, "id", "vec", 1, use_numpy=True
+    )
     return (
         assigned.select("cid", F.expr(cosa).alias("__cosa"))
         .groupBy("cid")
@@ -1493,7 +1590,9 @@ def cluster_balanced_coreset(
         return corpus.sparkSession.createDataFrame(
             [], "cell int, vec_id bigint, centrality double, rank int"
         )
-    assigned = _ivf_assign(corpus, id_col, vec_col, cents, "vec_id", "vec", 1)
+    assigned = _ivf_assign(
+        corpus, id_col, vec_col, cents, "vec_id", "vec", 1, use_numpy=True
+    )
     cent_lit = (
         "array("
         + ", ".join(

@@ -332,6 +332,63 @@ def test_ivf_assign_numpy_bit_identical_to_literal(spark):
         assert probes(lit) == probes(npy), f"top_n={top_n}"
 
 
+def test_pq_codes_numpy_bit_identical_to_sql(spark):
+    """The Arrow numpy PQ encoder produces code-for-code the same output
+    as the SQL argmin-of-rounded-L2 expression chain it replaced, in both
+    plain-vector and residual (IVFADC) modes — same left-to-right fold,
+    HALF_UP rounding, first-min tie-break."""
+    from pyspark.sql import functions as F
+
+    from dawis_spark.operators import similarity as S
+
+    rows = [
+        (i, [float(((i * 13 + j * 5) % 17) - 8) / 8.0 for j in range(8)])
+        for i in range(80)
+    ] + [(80, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    books = S.pq_train(emb, "vec_id", "embedding", n_subspaces=2, n_codes=4)
+    ds = len(books[0][0][1])
+
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    codes_sql = "array(" + ", ".join(S._pq_assign_exprs("vec", books, ds)) + ")"
+    sql_out = {
+        r["id"]: list(r["c"])
+        for r in base.select("id", F.expr(codes_sql).alias("c")).collect()
+    }
+    np_out = {
+        r["id"]: list(r["c"])
+        for r in base.select(
+            "id", S._pq_codes_col("vec", books).alias("c")
+        ).collect()
+    }
+    assert sql_out == np_out
+
+    # residual mode vs the SQL zip_with residual + assign chain
+    cents = sorted(
+        (c, [float(((c * 11 + j * 3) % 13) - 6) / 6.0 for j in range(8)])
+        for c in range(4)
+    )
+    cent_lit, cid_lit = S._cent_literals(cents)
+    assigned = S._ivf_assign(emb, "vec_id", "embedding", cents, "id", "vec", 1)
+    posci = f"cast(array_position({cid_lit}, cid) as int)"
+    rvec = f"zip_with(vec, element_at({cent_lit}, {posci}), (x, y) -> cast(x as double) - y)"
+    codes_resid_sql = "array(" + ", ".join(S._pq_assign_exprs("__rv", books, ds)) + ")"
+    sql_resid = {
+        r["id"]: list(r["c"])
+        for r in assigned.withColumn("__rv", F.expr(rvec))
+        .select("id", F.expr(codes_resid_sql).alias("c"))
+        .collect()
+    }
+    np_resid = {
+        r["id"]: list(r["c"])
+        for r in assigned.select(
+            "id",
+            S._pq_codes_col("vec", books, cent_rows=cents, cid_col="cid").alias("c"),
+        ).collect()
+    }
+    assert sql_resid == np_resid
+
+
 def test_ivf_zero_norm_vector_keeps_deterministic_assignment(spark):
     """A zero-norm corpus vector has NULL cosine vs every centroid; the
     coalesce(-2.0) floor keeps it deterministically in the lowest-cid
