@@ -137,11 +137,21 @@ def minhash_element(hashes_expr: str, a: int, b: int, dialect: str) -> str:
 
 
 def jaccard(a_expr: str, b_expr: str, dialect: str) -> str:
-    """|A ∩ B| / |A ∪ B| over distinct-hash arrays, as DOUBLE."""
+    """|A ∩ B| / |A ∪ B| over distinct-hash arrays, as DOUBLE.
+
+    Spark rendering uses |A ∪ B| = |A| + |B| - |A ∩ B| (exact for the
+    distinct arrays this contract requires): size() reads the array
+    header in O(1) where array_union built a second per-pair hash set,
+    ~12 % off the verify stage of every pair family (r16, guide §2.3
+    narrower per-row work; the repeated intersect subexpression is
+    eliminated by codegen CSE). The DuckDB rendering stays the literal
+    intersect/union definition — it IS the oracle."""
     if dialect == "spark":
         inter = f"size(array_intersect({a_expr}, {b_expr}))"
-        union = f"size(array_union({a_expr}, {b_expr}))"
-        return f"(cast({inter} as double) / cast({union} as double))"
+        return (
+            f"(cast({inter} as double) / "
+            f"cast(size({a_expr}) + size({b_expr}) - {inter} as double))"
+        )
     inter = f"len(list_intersect({a_expr}, {b_expr}))"
     union = f"len(list_distinct(list_concat({a_expr}, {b_expr})))"
     return f"(cast({inter} as double) / cast({union} as double))"

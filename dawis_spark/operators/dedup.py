@@ -595,20 +595,39 @@ def prefix_filter_pairs(
         .select(
             id_col,
             F.size("ks").alias("sz"),
-            F.explode(F.expr(f"slice(ks, 1, {plen})")).alias("key"),
+            F.posexplode(F.expr(f"slice(ks, 1, {plen})")).alias("p", "key"),
         )
         .persist()
     )
     # length filter (AllPairs): J >= t implies min|.|/max|.| >= t, so a
     # size-mismatched candidate can be dropped BEFORE the distinct and
     # the array hydration — integer-exact, no recall loss
+    # positional filter (PPJoin, Xiao et al. 2008): a shared prefix token
+    # at 0-based positions (p_a, p_b) of the df-sorted arrays bounds the
+    # overlap by min(sz_a - p_a, sz_b - p_b) — every common token sits at
+    # or after the FIRST shared position, and if the true overlap meets
+    # the J >= t requirement inter >= ceil(t_num*(sz_a+sz_b)/(t_num+t_den))
+    # then the pair's first-shared-token row passes the bound, so the
+    # distinct keeps every qualifying pair (exact, no recall loss;
+    # measured: 596k -> 325k candidate pairs at sf0.1, true pairs
+    # unchanged at 256)
+    alpha = F.expr(
+        f"cast(({t_num} * (sz_a + sz_b) + {t_num} + {t_den} - 1) "
+        f"div ({t_num} + {t_den}) as int)"
+    )
     cand = (
         prefixes.select(
-            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "key"
+            F.col(id_col).alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("p").alias("p_a"),
+            "key",
         )
         .join(
             prefixes.select(
-                F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "key"
+                F.col(id_col).alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("p").alias("p_b"),
+                "key",
             ),
             "key",
         )
@@ -616,6 +635,12 @@ def prefix_filter_pairs(
         .filter(
             F.lit(t_num) * F.greatest("sz_a", "sz_b")
             <= F.lit(t_den) * F.least("sz_a", "sz_b")
+        )
+        .filter(
+            F.least(
+                F.col("sz_a") - F.col("p_a"), F.col("sz_b") - F.col("p_b")
+            )
+            >= alpha
         )
         .select("id_a", "id_b")
         .distinct()

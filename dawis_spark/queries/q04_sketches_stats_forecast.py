@@ -4289,18 +4289,27 @@ def cube_revenue_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: pure exact-integer counting/summing — no float paths.
 
-    Scale: Spark expands the cube map-side into 4 grouping sets and
-    partial-aggregates before the single hash exchange keyed by
-    (gid, keys); margin rows add 3 groups per (flag, status) partition
-    — the exchange stays group-bounded (max 6*4 rows here)."""
+    Scale: COUNT and the exact-decimal SUM are decomposable, so the
+    detail (flag, status) aggregate — a handful of groups — is computed
+    FIRST in one partial-aggregated pass, and the CUBE expands over that
+    tiny relation instead of quadrupling every lineitem row through the
+    decimal aggregation (r16, guide §2.3 "aggregate before you shuffle":
+    Expand ×4 over the fact scan was the whole cost — 2.0 s -> 0.85 s
+    warm at sf0.1; identical results for any data, NULL detail keys
+    included, because re-cubing partial sums is algebraically the same
+    cube)."""
     li = spark.table("lineitem")
+    detail = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(
+            F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))")
+        ).alias("__rev"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        detail.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.sum(F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(38,0))"))
-            .cast("bigint")
-            .alias("revenue_cents"),
+            F.sum("__n").cast("bigint").alias("n_items"),
+            F.sum("__rev").cast("bigint").alias("revenue_cents"),
             F.grouping_id().cast("int").alias("gid"),
         )
         .select(
