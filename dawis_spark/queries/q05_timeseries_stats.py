@@ -283,8 +283,11 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_MP_M)
     )
     # the ordered-walk output is ONE partition; spread the probe side so
-    # the nested-loop pair scan parallelizes across cores
-    a = win.repartition(32, "t").alias("a")
+    # the nested-loop pair scan parallelizes across cores (width follows
+    # the session's parallelism, not a constant — r16 VERDICT item 4)
+    a = win.repartition(
+        spark.sparkContext.defaultParallelism, "t"
+    ).alias("a")
     b = win.selectExpr(
         "t AS tb", *[f"w{k}" for k in range(_MP_M)]
     ).alias("b")

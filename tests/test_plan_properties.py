@@ -281,22 +281,25 @@ def test_prefix_filter_candidates_join_postings_not_arrays(spark):
 
     plan = _plan(spark, "prefix_filter_similar")
     # candidate join keyed on the composite (df, hash) int64 postings key,
-    # with the AllPairs length filter inline in the join condition
+    # with the AllPairs length filter, the PPJoin positional filter
+    # (r16: least(sz - p) bound) and the id-order filter all inline in
+    # the join condition
     key_join = re.search(
         r"Join \[key#\d+L\], \[key#\d+L\], Inner, \w+, "
-        r"\(\(id_a#\d+L < id_b#\d+L\) AND .*greatest\(sz_a",
+        r"\(+greatest\(sz_a.*least\(\(sz_a#\d+ - p_a"
+        r".*id_a#\d+L < id_b#\d+L",
         plan,
     )
-    assert key_join, "candidate join on postings key (with length filter) missing"
+    assert key_join, "candidate join on postings key (with length+positional filters) missing"
     # posting relations feeding it carry no shingle arrays — since the
     # r15 persist of the prefix postings they arrive as cached
-    # (id, size, key) triples (the size() is computed BELOW the cache
-    # point), still array-free
+    # (id, size, prefix-position, key) quadruples (the size() is
+    # computed BELOW the cache point), still array-free
     assert re.search(
-        r"InMemoryTableScan \[id_a#\d+L, sz_a#\d+, key#\d+L\]", plan
+        r"InMemoryTableScan \[id_a#\d+L, sz_a#\d+, p_a#\d+, key#\d+L\]", plan
     )
     assert re.search(
-        r"InMemoryTableScan \[id_b#\d+L, sz_b#\d+, key#\d+L\]", plan
+        r"InMemoryTableScan \[id_b#\d+L, sz_b#\d+, p_b#\d+, key#\d+L\]", plan
     )
     # verification hydrates by pair id via shuffle-hash, never broadcast
     assert "ShuffledHashJoin [id_a" in plan
