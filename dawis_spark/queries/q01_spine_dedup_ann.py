@@ -1018,11 +1018,12 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=1)
-    return (
-        kmeans_assign(emb, "vec_id", "embedding", cents)
-        .select(F.col("id").alias("vec_id"), "cid")
-        .orderBy("vec_id")
-    )
+    # sort below the assignment (the psi_metric_extraction pattern): the
+    # map-side argmax is order-preserving, so the presentation sort runs
+    # over the narrow scan and is never re-sampled
+    return kmeans_assign(
+        emb.orderBy("vec_id"), "vec_id", "embedding", cents
+    ).select(F.col("id").alias("vec_id"), "cid")
 
 
 def _lang_id_oracle() -> str:
@@ -1052,7 +1053,10 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed tie-break order."""
     from dawis_spark.operators.textstats import language_id
 
-    return language_id(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+    # sort below the scoring fold (the psi_metric_extraction pattern)
+    return language_id(
+        spark.table("documents").orderBy("doc_id"), "doc_id", "text"
+    )
 
 
 def _quality_oracle() -> str:
@@ -1091,7 +1095,10 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — the Gopher/C4-style filtering signals, all codegen."""
     from dawis_spark.operators.textstats import quality_score
 
-    return quality_score(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+    # sort below the scoring fold (the psi_metric_extraction pattern)
+    return quality_score(
+        spark.table("documents").orderBy("doc_id"), "doc_id", "text"
+    )
 
 
 def _token_counts_oracle() -> str:
@@ -1109,7 +1116,10 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
     from dawis_spark.operators.textstats import token_counts
 
-    return token_counts(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+    # sort below the counting fold (the psi_metric_extraction pattern)
+    return token_counts(
+        spark.table("documents").orderBy("doc_id"), "doc_id", "text"
+    )
 
 
 def _fingerprint_oracle() -> str:
@@ -1125,7 +1135,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint of whitespace-normalized documents."""
     from dawis_spark.operators.textstats import fingerprint
 
-    return fingerprint(spark.table("documents"), "doc_id", "text").orderBy("doc_id")
+    # sort below the hash fold (the psi_metric_extraction pattern)
+    return fingerprint(
+        spark.table("documents").orderBy("doc_id"), "doc_id", "text"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2506,12 +2519,13 @@ def c4_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks at ' value ', bare breaks at ' table ') — same derivation in
     the oracle. Entirely map-side array expressions
     (operators/textstats.line_quality)."""
-    lined = spark.table("documents").select(
-        "doc_id", F.expr(_LINED).alias("ltext")
+    # sort below the line-stat folds (the psi_metric_extraction pattern)
+    lined = (
+        spark.table("documents")
+        .orderBy("doc_id")
+        .select("doc_id", F.expr(_LINED).alias("ltext"))
     )
-    return _TS.line_quality(lined, "doc_id", "ltext", min_words=3).orderBy(
-        "doc_id"
-    )
+    return _TS.line_quality(lined, "doc_id", "ltext", min_words=3)
 
 
 def _tfidf_oracle(k: int) -> str:
@@ -3762,10 +3776,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     books = pq_train(emb, "vec_id", "embedding", n_subspaces=4, n_codes=16)
-    return (
-        pq_encode(emb, "vec_id", "embedding", books)
-        .select(F.col("id").alias("vec_id"), F.posexplode("codes").alias("m", "code"))
-        .orderBy("vec_id", "m")
+    # sort below the encoder (the psi_metric_extraction pattern):
+    # posexplode emits ascending m per row, so encoding the vec_id-sorted
+    # corpus yields exactly the (vec_id, m) order without a trailing sort
+    return pq_encode(emb.orderBy("vec_id"), "vec_id", "embedding", books).select(
+        F.col("id").alias("vec_id"), F.posexplode("codes").alias("m", "code")
     )
 
 
