@@ -55,7 +55,11 @@ def cooccurrence_topk(
     """Top-``k`` cosine neighbors per item: (item, neighbor, co_users,
     cosine, rank). Ties broken (cosine DESC, co_users DESC, neighbor ASC)
     so the result is replayable."""
-    b = item_baskets(events, item_expr, max_basket)
+    # persisted: the basket relation feeds BOTH pair sides and the item
+    # marginals — three end-to-end re-evaluations of the events scan +
+    # JSON extraction + distinct + size guard without it (the r16
+    # before-plan showed 24 events scans in this one query)
+    b = item_baskets(events, item_expr, max_basket).persist()
     left = b.alias("a")
     right = b.alias("b")
     pairs = (
@@ -69,9 +73,18 @@ def cooccurrence_topk(
         .filter(F.col("co_users") >= min_co)
     )
     marg = b.groupBy("item").agg(F.count("*").cast("bigint").alias("n_u"))
-    sym = pairs.select("i", "j", "co_users").union(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "co_users")
-    )
+    # explode-based symmetrization (the r15 graph trick): one evaluation
+    # of the quadratic basket self-join feeds both directions — the old
+    # 2-leg union ran the whole pair build twice
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i"), F.col("j")),
+                F.struct(F.col("j").alias("i"), F.col("i").alias("j")),
+            )
+        ).alias("__p"),
+        "co_users",
+    ).select(F.col("__p.i").alias("i"), F.col("__p.j").alias("j"), "co_users")
     scored = (
         sym.join(marg.withColumnRenamed("item", "i").withColumnRenamed("n_u", "n_i"), "i")
         .join(marg.withColumnRenamed("item", "j").withColumnRenamed("n_u", "n_j"), "j")

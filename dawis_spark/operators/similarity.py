@@ -1274,9 +1274,13 @@ def semantic_dedup(
     # argmax, so (id, vec, cid) comes out of ONE projection — the old
     # corpus.join(asg, id) re-joined the corpus to itself by id, a full
     # extra shuffle for columns the assign never dropped (r15)
+    # persisted: the assigned relation feeds the pair generator (which
+    # references it for block sizes and both pair sides) AND the final
+    # keep join — the executed plan otherwise ran the Arrow assignment
+    # twice end-to-end (r16; same discipline as nsw's persisted assign)
     blocked = kmeans_assign(corpus, id_col, vec_col, centroids).select(
         F.col("id").alias(id_col), F.col("vec").alias(vec_col), "cid"
-    )
+    ).persist()
     pairs = embedding_near_dup_pairs(
         blocked,
         id_col,

@@ -3439,9 +3439,14 @@ def naive_bayes_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("t"),
     ).filter(F.col("t") != "")
 
+    # persisted: ctf feeds ct_tot, fold_l, tok_f AND the c_train left
+    # join — four consumers, each otherwise re-running the corpus
+    # tokenize+explode+count end-to-end (the before-plan showed 40
+    # parquet scans of documents). folds x langs x vocabulary rows —
+    # bounded model state, the r15 persist discipline (r16, guide §2.4)
     ctf = toks.groupBy("fold", "lang", "t").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_f")
-    )
+    ).persist()
     ct_tot = ctf.groupBy("lang", "t").agg(
         F.sum("c_f").cast("bigint").alias("c_tot")
     )
@@ -3491,9 +3496,12 @@ def naive_bayes_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d_train = langs.groupBy("fold").agg(F.sum("d_l").cast("bigint").alias("d"))
 
+    # persisted: the eval-side per-doc term counts feed etot AND the
+    # c_train model join — one tokenize pass instead of two (per-doc
+    # DISTINCT tokens, ~an order smaller than the raw token stream)
     etok = toks.groupBy("doc_id", "fold", "t").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    ).persist()
     etot = etok.groupBy("doc_id", "fold").agg(
         F.sum("tf").cast("bigint").alias("tf_tot")
     )
