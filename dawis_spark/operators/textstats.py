@@ -190,45 +190,76 @@ def repetition_stats(
     Output: (id, n_tokens, dup_token_frac, top_token_frac, dup_ngram_frac),
     fractions rounded to 6 for oracle parity.
 
-    Scale: tokens and n-grams are tagged ('t:'/'g:') and emitted through a
-    SINGLE explode, so the corpus is scanned once and there is one shuffle
-    on (id, unit) with map-side partial counts, then a tiny (id)-keyed
-    conditional aggregation. The shuffle carries the unit strings; at
-    extreme scale swap the tag+string for the dual-rendered char_hash
-    (functions/text.py) to shrink shuffle bytes at the cost of map CPU.
+    Scale: ENTIRELY map-side since r16 (the token_entropy run-length
+    shape): each document sorts its OWN token array and its OWN n-gram
+    multiset, and every per-unit count is a run length of the sorted
+    array — identical integers to the old explode + groupBy(id, unit)
+    counts, with NO token ever leaving the scan. The previous shape
+    shipped one tagged unit STRING per token per doc through a
+    corpus-sized exchange (its own docstring flagged the cost); docs
+    with zero tokens emit no row, exactly as the groupBy form dropped
+    them.
     """
     toks = TXT.tokens(text_col, "spark")
     sh = TXT.shingles("__toks", ngram_n, "spark")
-    units = (
-        f"concat(transform(__toks, t -> 't:' || t), "
-        f"transform({sh}, s -> 'g:' || s))"
-    )
-    exploded = (
+
+    def _runs(st_ref: str, n_expr: str) -> str:
+        # run lengths from run starts (the entropy_from_runs gap walk);
+        # empty-array guard: sequence(0, -1) counts DOWN and would index
+        # the empty starts array (same guard as run_starts_sql)
+        return (
+            f"case when size({st_ref}) = 0 then array() else "
+            f"transform(sequence(0, size({st_ref}) - 1), "
+            f"j -> (case when j < size({st_ref}) - 1 then {st_ref}[j + 1] "
+            f"else {n_expr} end) - {st_ref}[j]) end"
+        )
+
+    def _dup_sum(runs: str) -> str:
+        return (
+            f"aggregate({runs}, cast(0 as bigint), "
+            f"(acc, c) -> acc + (case when c > 1 then cast(c as bigint) "
+            f"else cast(0 as bigint) end))"
+        )
+
+    base = (
         df.select(F.col(id_col), F.expr(toks).alias("__toks"))
-        .select(F.col(id_col), F.explode(F.expr(units)).alias("u"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.expr("array_sort(__toks)").alias("__ts"),
+            F.expr(f"array_sort({sh})").alias("__gs"),
+        )
+        .select(
+            id_col,
+            F.expr("size(__ts)").alias("__nt"),
+            F.expr("size(__gs)").alias("__ng"),
+            F.expr(run_starts_sql("__ts", "spark")).alias("__tst"),
+            F.expr(run_starts_sql("__gs", "spark")).alias("__gst"),
+        )
+        .select(
+            id_col,
+            "__nt",
+            "__ng",
+            F.expr(_runs("__tst", "__nt")).alias("__trl"),
+            F.expr(_runs("__gst", "__ng")).alias("__grl"),
+        )
     )
-    cnt = exploded.groupBy(id_col, "u").agg(F.count(F.lit(1)).alias("c"))
-    is_t = F.col("u").startswith("t:")
-    is_g = F.col("u").startswith("g:")
-    tok_total = F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0)))
-    ng_total = F.sum(F.when(is_g, F.col("c")).otherwise(F.lit(0)))
-    return cnt.groupBy(id_col).agg(
-        tok_total.cast("bigint").alias("n_tokens"),
+    return base.select(
+        F.col(id_col),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
         F.round(
-            F.sum(F.when(is_t & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0)))
-            .cast("double")
-            / F.greatest(tok_total, F.lit(1)),
+            F.expr(_dup_sum("__trl")).cast("double")
+            / F.greatest(F.col("__nt").cast("bigint"), F.lit(1)),
             6,
         ).alias("dup_token_frac"),
         F.round(
-            F.max(F.when(is_t, F.col("c"))).cast("double")
-            / F.greatest(tok_total, F.lit(1)),
+            F.expr("array_max(__trl)").cast("double")
+            / F.greatest(F.col("__nt").cast("bigint"), F.lit(1)),
             6,
         ).alias("top_token_frac"),
         F.round(
-            F.sum(F.when(is_g & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0)))
-            .cast("double")
-            / F.greatest(ng_total, F.lit(1)),
+            F.expr(_dup_sum("__grl")).cast("double")
+            / F.greatest(F.col("__ng").cast("bigint"), F.lit(1)),
             6,
         ).alias("dup_ngram_frac"),
     )

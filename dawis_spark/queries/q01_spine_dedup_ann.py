@@ -2489,9 +2489,11 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, top-token weight, dup-2-gram fraction) over the documents
     table — the signals MassiveText-class pipelines threshold on before
     training (operators/textstats.repetition_stats)."""
+    # sort below the (map-side since r16) repetition folds — the
+    # psi_metric_extraction pattern
     return _TS.repetition_stats(
-        spark.table("documents"), "doc_id", "text", ngram_n=2
-    ).orderBy("doc_id")
+        spark.table("documents").orderBy("doc_id"), "doc_id", "text", ngram_n=2
+    )
 
 
 _LINED = "replace(replace(text, ' value ', '.' || chr(10)), ' table ', chr(10))"
